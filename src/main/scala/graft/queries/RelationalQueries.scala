@@ -1,0 +1,553 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** The relational operator inventory of SURVEY.md §2 expressed over the
+  * driver's synthetic star schema, each with a DuckDB oracle. Every query
+  * is a deliberately scale-shaped plan: dims broadcast, non-equi joins
+  * bucketed, top-k via limit (partial top-k, no global sort of the fact
+  * table), cumulative windows only over pre-aggregated smalls.
+  *
+  * Doubles in outputs are rounded (both sides identically) so the driver's
+  * hash compare is stable across summation orders.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    // ----- aggregations ---------------------------------------------------
+
+    GraftQuery(
+      "q_agg_pricing_summary", Seq("A8", "P6"),
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity),2) AS sum_qty,
+        round(sum(l_extendedprice),2) AS sum_base_price,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        round(avg(l_quantity),4) AS avg_qty,
+        round(avg(l_discount),6) AS avg_disc,
+        count(*) AS count_order
+        FROM lineitem GROUP BY 1,2 ORDER BY 1,2"""),
+      "TPC-H Q1 shape: map-side partial agg, 6 aggregates, tiny result."),
+
+    GraftQuery(
+      "q_agg_group_count", Seq("A4", "A8"),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderpriority", "o_orderstatus"),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        round(sum(o_totalprice),2) AS sum_price
+        FROM orders GROUP BY 1,2 ORDER BY 1,2""")),
+
+    GraftQuery(
+      "q_agg_set_union", Seq("A1", "D2"),
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(array_join(array_sort(collect_set("l_returnflag")), ";")
+            .as("flag_set"))
+          .groupBy("flag_set")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("flag_set")
+      },
+      Some("""WITH g AS (
+          SELECT l_orderkey,
+            array_to_string(list_sort(list_distinct(list(l_returnflag))), ';') AS flag_set
+          FROM lineitem GROUP BY 1)
+        SELECT flag_set, count(*) AS n_orders FROM g GROUP BY 1 ORDER BY 1"""),
+      "The reference's per-reaction Operators set-union (collect_set + sort)."),
+
+    GraftQuery(
+      "q_agg_stats", Seq("A9", "A12"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg("value"), 4).as("avg_value"),
+            round(stddev_samp("value"), 4).as("std_value"),
+            round(median(col("value")), 4).as("med_value"),
+            round(min("value"), 4).as("min_value"),
+            round(max("value"), 4).as("max_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        round(avg(value),4) AS avg_value,
+        round(stddev_samp(value),4) AS std_value,
+        round(median(value),4) AS med_value,
+        round(min(value),4) AS min_value,
+        round(max(value),4) AS max_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ----- joins ----------------------------------------------------------
+
+    GraftQuery(
+      "q_join_star", Seq("J3", "J9"),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+        round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1,2 ORDER BY 1,2"""),
+      "Star join: fact-fact shuffle join + broadcast dims."),
+
+    GraftQuery(
+      "q_join_semi", Seq("J7"),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val disc = t(s, dir, "lineitem").where(col("l_discount") > 0.05)
+        o.join(disc, o("o_orderkey") === disc("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY 1 ORDER BY 1""")),
+
+    GraftQuery(
+      "q_join_anti", Seq("J7", "A7"),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1""")),
+
+    GraftQuery(
+      "q_join_range", Seq("J6"),
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val ranges = part
+          .where(col("p_partkey") % 200 === 0)
+          .select(col("p_partkey").as("range_id"),
+            (col("p_retailprice") - 2.0).as("lo"),
+            (col("p_retailprice") + 2.0).as("hi"))
+        RangeJoin.intervalJoin(
+            part.select("p_partkey", "p_retailprice"), ranges,
+            "p_retailprice", "lo", "hi", bucketWidth = 4.0)
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("range_id")
+      },
+      Some("""SELECT r.range_id, count(*) AS n_hits
+        FROM part p
+        JOIN (SELECT p_partkey AS range_id, p_retailprice-2.0 AS lo,
+                p_retailprice+2.0 AS hi
+              FROM part WHERE p_partkey % 200 = 0) r
+          ON p.p_retailprice > r.lo AND p.p_retailprice < r.hi
+        GROUP BY 1 ORDER BY 1"""),
+      "Mass/adduct-window interval join (J6) via bucketed equi-join rewrite."),
+
+    GraftQuery(
+      "q_join_asof", Seq("J10"),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts")
+        AsOfJoin.asOfLatest(purchases, views, "user_id", "ts")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count(col("__matched_ts")).as("n_matched"),
+            round(avg((unix_micros(col("ts")) - unix_micros(col("__matched_ts")))
+              / 1000000.0), 3).as("avg_gap_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+             v AS (SELECT user_id, ts FROM events WHERE event_type='view'),
+             j AS (SELECT p.user_id, p.ts AS pts, v.ts AS vts
+                   FROM p ASOF LEFT JOIN v
+                     ON p.user_id = v.user_id AND p.ts >= v.ts)
+        SELECT user_id, count(*) AS n_purchases, count(vts) AS n_matched,
+          round(avg((epoch_us(pts)-epoch_us(vts))/1000000.0),3) AS avg_gap_s
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "As-of join (latest view <= each purchase) via union + running window."),
+
+    GraftQuery(
+      "q_join_jaccard", Seq("J11", "A9", "D7"),
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .select("l_returnflag", "l_partkey").distinct()
+        val sizes = m.groupBy("l_returnflag").agg(count(lit(1)).as("sz"))
+        val inter = m.as("a")
+          .join(m.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.l_returnflag") < col("b.l_returnflag"))
+          .groupBy(col("a.l_returnflag").as("flag_a"),
+            col("b.l_returnflag").as("flag_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes).withColumnRenamed("l_returnflag", "flag_a")
+            .withColumnRenamed("sz", "sz_a"), Seq("flag_a"))
+          .join(broadcast(sizes).withColumnRenamed("l_returnflag", "flag_b")
+            .withColumnRenamed("sz", "sz_b"), Seq("flag_b"))
+          .select(col("flag_a"), col("flag_b"), col("n_common"),
+            round(col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")), 6)
+              .as("jaccard"))
+          .orderBy("flag_a", "flag_b")
+      },
+      Some("""WITH m AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+             s AS (SELECT l_returnflag, count(*) AS sz FROM m GROUP BY 1),
+             i AS (SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+                     count(*) AS n_common
+                   FROM m a JOIN m b ON a.l_partkey = b.l_partkey
+                     AND a.l_returnflag < b.l_returnflag
+                   GROUP BY 1,2)
+        SELECT flag_a, flag_b, n_common,
+          round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        FROM i JOIN s sa ON sa.l_returnflag = flag_a
+               JOIN s sb ON sb.l_returnflag = flag_b
+        ORDER BY 1,2"""),
+      "Pairwise model Jaccard (Scripts/model_jacquard.py) done relationally."),
+
+    // ----- windows / sorts / top-k ---------------------------------------
+
+    GraftQuery(
+      "q_win_cdf", Seq("S6", "W2", "W3", "A5"),
+      (s, dir) => {
+        val counts = t(s, dir, "part")
+          .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        val ord = Seq(col("cnt").desc, col("p_brand").asc)
+        val running = Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val total = Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        counts
+          .withColumn("cdf", sum("cnt").over(running) / sum("cnt").over(total))
+          .where(col("cdf") <= 0.9)
+          .select(col("p_brand"), col("cnt"), round(col("cdf"), 6).as("cdf"))
+          .orderBy(ord: _*)
+      },
+      Some("""WITH c AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY 1),
+             k AS (SELECT p_brand, cnt,
+                     sum(cnt) OVER (ORDER BY cnt DESC, p_brand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / sum(cnt) OVER () AS cdf
+                   FROM c)
+        SELECT p_brand, cnt, round(cdf,6) AS cdf FROM k
+        WHERE cdf <= 0.9 ORDER BY cnt DESC, p_brand"""),
+      "Rule-coverage CDF cut (rules.py:169-196): groupBy + cumulative window."),
+
+    GraftQuery(
+      "q_win_topk_rank", Seq("W4", "W3"),
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("totalprice"))
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey,
+        round(o_totalprice,2) AS totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders)
+        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""")),
+
+    GraftQuery(
+      "q_win_assign_ids", Seq("W1"),
+      (s, dir) => {
+        val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        t(s, dir, "supplier")
+          .withColumn("pk_id",
+            format_string("pks%07d", row_number().over(w)))
+          .select("pk_id", "s_suppkey")
+          .orderBy("pk_id")
+      },
+      Some("""SELECT printf('pks%07d', CAST(row_number() OVER
+          (ORDER BY s_acctbal DESC, s_suppkey) AS INT)) AS pk_id, s_suppkey
+        FROM supplier ORDER BY 1"""),
+      "assign_ids (pickaxe.py:1046-1102): dense export ids via row_number."),
+
+    GraftQuery(
+      "q_win_lag", Seq("W8"),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("prev", lag("value", 1).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("value") > col("prev"), 1)).as("n_increasing"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+        count(CASE WHEN value > prev THEN 1 END) AS n_increasing
+        FROM (SELECT user_id, value, lag(value) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+        GROUP BY 1 ORDER BY 1"""),
+      "Increasing-similarity gate (similarity.py:662-667) as lag comparison."),
+
+    GraftQuery(
+      "q_topk", Seq("W3", "W5"),
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+          .limit(10)
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal"), 2).as("acctbal")),
+      Some("""SELECT s_suppkey, s_name, round(s_acctbal,2) AS acctbal
+        FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10"""),
+      "Global top-k: orderBy+limit plans as partial top-k, no full sort."),
+
+    // ----- set ops / dedup / sampling / graph -----------------------------
+
+    GraftQuery(
+      "q_set_algebra", Seq("D7", "D3"),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+          .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        val tagged = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("l_partkey")
+          .agg(
+            max(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0))
+              .as("in_b"),
+            max(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0))
+              .as("in_a"))
+        tagged.agg(
+          sum("in_b").as("n_building"),
+          sum("in_a").as("n_automobile"),
+          sum(col("in_b") * col("in_a")).as("n_intersect"),
+          sum(col("in_b") * (lit(1) - col("in_a"))).as("n_building_only"),
+          count(lit(1)).as("n_union"))
+      },
+      Some("""WITH tagged AS (
+          SELECT l_partkey,
+            max(CASE WHEN c_mktsegment='BUILDING' THEN 1 ELSE 0 END) AS in_b,
+            max(CASE WHEN c_mktsegment='AUTOMOBILE' THEN 1 ELSE 0 END) AS in_a
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+          GROUP BY 1)
+        SELECT sum(in_b)::BIGINT AS n_building,
+          sum(in_a)::BIGINT AS n_automobile,
+          sum(in_b*in_a)::BIGINT AS n_intersect,
+          sum(in_b*(1-in_a))::BIGINT AS n_building_only,
+          count(*) AS n_union
+        FROM tagged"""),
+      "Set algebra (∩ ∪ ∖) in one pass via membership flags — no N scans."),
+
+    GraftQuery(
+      "q_orphans", Seq("A7", "D6"),
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val li = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_orphans"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_orphans FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1 ORDER BY 1"""),
+      "Orphan detection (pickaxe.py:928-940): anti join on adjacency."),
+
+    GraftQuery(
+      "q_adjacency", Seq("A13", "E6"),
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .where(col("l_partkey") % 97 === 0)
+          .groupBy(col("l_partkey").as("part_key"))
+          .agg(
+            countDistinct("l_orderkey").as("n_orders"),
+            array_join(
+              transform(sort_array(collect_set("l_orderkey")),
+                _.cast("string")), ";").as("order_ids"))
+          .orderBy("part_key")
+      },
+      Some("""SELECT l_partkey AS part_key,
+        count(DISTINCT l_orderkey) AS n_orders,
+        array_to_string(list_sort(list_distinct(list(l_orderkey))), ';')
+          AS order_ids
+        FROM lineitem WHERE l_partkey % 97 = 0
+        GROUP BY 1 ORDER BY 1"""),
+      "Adjacency build (pickaxe.py:1507-1522): explode→collect_set per node."),
+
+    GraftQuery(
+      "q_dedup_exact", Seq("D1", "P10"),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+        count(DISTINCT md5(text)) AS n_distinct,
+        count(*) - count(DISTINCT md5(text)) AS n_dupes
+        FROM documents GROUP BY 1 ORDER BY 1"""),
+      "Exact dedup by content hash — the reference's compound identity (D1)."),
+
+    GraftQuery(
+      "q_sample_weighted", Seq("D8"),
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        Sampling.weightedSample(
+            part.select("p_partkey", "p_retailprice"),
+            pow(col("p_retailprice"), 4.0), col("p_partkey"), n = 50)
+          .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, round(p_retailprice,2) AS price FROM (
+          SELECT p_partkey, p_retailprice FROM part
+          ORDER BY -ln((('0x' || substr(md5(p_partkey::VARCHAR),1,8))::UBIGINT
+            + 1.0) / 4294967296.0) / pow(p_retailprice, 4.0)
+          LIMIT 50)
+        ORDER BY p_partkey"""),
+      "Weighted sampling w/o replacement: deterministic exponential-clocks " +
+        "top-k (similarity.py:217-356 made reproducible & distributed)."),
+
+    GraftQuery(
+      "q_graph_closure", Seq("D4", "D5"),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val seeds = t(s, dir, "part")
+          .where(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("l_partkey"))
+        val (parts, ordersReached) = GraphClosure.bipartiteClosure(
+          li.select("l_partkey", "l_orderkey"), "l_partkey", "l_orderkey", seeds)
+        parts.agg(count(lit(1)).as("n_parts"))
+          .crossJoin(ordersReached.agg(count(lit(1)).as("n_orders")))
+      },
+      Some("""WITH RECURSIVE reach(pk) AS (
+          SELECT p_partkey FROM part WHERE p_partkey % 97 = 0
+          UNION
+          SELECT l2.l_partkey FROM reach
+            JOIN lineitem l1 ON l1.l_partkey = reach.pk
+            JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey)
+        SELECT (SELECT count(*) FROM reach) AS n_parts,
+          (SELECT count(DISTINCT l_orderkey) FROM lineitem
+           JOIN reach ON l_partkey = pk) AS n_orders"""),
+      "find_minimal_set reverse BFS (pickaxe.py:995-1044): iterative " +
+        "semi-join closure with localCheckpoint lineage truncation."),
+
+    // ----- time / sessionization / json -----------------------------------
+
+    GraftQuery(
+      "q_time_buckets", Seq("W2"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+          .orderBy("bucket", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS bucket, event_type, count(*) AS n,
+          round(sum(value),3) AS sum_value
+        FROM events GROUP BY 1,2 ORDER BY 1,2"""),
+      "Windowed-by-time aggregation — the batch twin of the streaming path."),
+
+    GraftQuery(
+      "q_sessionize", Seq("W8", "E1"),
+      (s, dir) => {
+        val sess = Sessionize.sessionize(
+          t(s, dir, "events"), "user_id", "ts", gapSeconds = 3600,
+          tieBreakCols = Seq("event_id"))
+        sess.groupBy("user_id")
+          .agg(
+            max("session_id").as("n_sessions"),
+            count(lit(1)).as("n_events"),
+            round(count(lit(1)).cast("double") / max("session_id"), 4)
+              .as("avg_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH flagged AS (
+          SELECT user_id,
+            CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1
+                 ELSE 0 END AS is_new
+          FROM (SELECT user_id, ts, lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events)),
+        agg AS (SELECT user_id, sum(is_new)::BIGINT AS n_sessions,
+                  count(*) AS n_events
+                FROM flagged GROUP BY 1)
+        SELECT user_id, n_sessions, n_events,
+          round(n_events * 1.0 / n_sessions, 4) AS avg_session_events
+        FROM agg ORDER BY 1"""),
+      "Gap sessionization — batch twin of flatMapGroupsWithState sessions."),
+
+    GraftQuery(
+      "q_json_extract", Seq("P6"),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        round(avg(k),4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type,
+                json_extract_string(props, '$.k')::INT AS k FROM events)
+        GROUP BY 1 ORDER BY 1"""),
+      "Semi-structured props column → typed metric (nested access family).")
+  )
+}

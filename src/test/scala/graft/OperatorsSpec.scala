@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("intervalJoin matches naive non-equi join") {
+    val facts = Seq(1.0, 2.5, 3.7, 8.1, 9.9, 15.0).toDF("v")
+    val ranges = Seq((1, 2.0, 4.0), (2, 9.0, 16.0), (3, -1.0, 1.5))
+      .toDF("id", "lo", "hi")
+    val got = RangeJoin.intervalJoin(facts, ranges, "v", "lo", "hi", 4.0)
+      .select("id", "v").as[(Int, Double)].collect().sorted
+    val want = ranges.crossJoin(facts)
+      .where($"v" > $"lo" && $"v" < $"hi")
+      .select("id", "v").as[(Int, Double)].collect().sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("asOfLatest picks latest right ts <= left ts per key") {
+    val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 09:00:00"))
+      .toDF("k", "s").select($"k", $"s".cast("timestamp").as("ts"))
+    val right = Seq((1L, "2024-01-01 09:30:00"), (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-01 13:00:00"), (3L, "2024-01-01 08:00:00"))
+      .toDF("k", "s").select($"k", $"s".cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfLatest(left, right, "k", "ts")
+      .select($"k", $"ts".cast("string"), $"__matched_ts".cast("string"))
+      .as[(Long, String, Option[String])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00", Some("2024-01-01 09:30:00")),
+      (1L, "2024-01-01 12:00:00", Some("2024-01-01 11:00:00")),
+      (2L, "2024-01-01 09:00:00", None)))
+  }
+
+  test("asOfLatest matches equal timestamps") {
+    val left = Seq((1L, "2024-01-01 10:00:00")).toDF("k", "s")
+      .select($"k", $"s".cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfLatest(left, left, "k", "ts")
+    assert(out.where($"__matched_ts".isNotNull).count() === 1)
+  }
+
+  test("weightedSample: deterministic, right size, favors heavy weights") {
+    val df = (1 to 1000).toDF("id")
+      .withColumn("w", when($"id" <= 100, 1000.0).otherwise(0.001))
+    val sample = Sampling.weightedSample(df, $"w", $"id", 50)
+    val ids = sample.select("id").as[Int].collect().toSet
+    assert(ids.size === 50)
+    // weight ratio 10^6: essentially all draws land in the heavy block
+    assert(ids.count(_ <= 100) >= 45)
+  }
+
+  test("bipartiteClosure computes the reachable component") {
+    // parts 1-2-3 connected through orders 10,20; part 9/order 90 separate
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (9L, 90L))
+      .toDF("a", "b")
+    val seeds = Seq(1L).toDF("a")
+    val (as, bs) = GraphClosure.bipartiteClosure(edges, "a", "b", seeds)
+    assert(as.as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(bs.as[Long].collect().toSet === Set(10L, 20L))
+  }
+
+  test("sessionize splits on gap") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "s")
+      .select($"user_id", $"s".cast("timestamp").as("ts"))
+    val out = Sessionize.sessionize(ev, "user_id", "ts", 3600)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+}
