@@ -58,13 +58,24 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             n_fail += 1
             continue
-        # value compare: exact on strings/ints, exact on rounded doubles
+        # value compare: exact on strings/ints; floats at 1e-9 relative
+        # tolerance (identical-intent doubles can differ in the last ulp
+        # at a rounding boundary when summation order differs)
         mismatch = None
         for c in got.columns:
             a, b = got[c], exp[c]
             try:
-                ok = (a.astype(object).where(pd.notnull(a), None) ==
-                      b.astype(object).where(pd.notnull(b), None))
+                import numpy as np
+                if (pd.api.types.is_float_dtype(a) or
+                        pd.api.types.is_float_dtype(b)):
+                    af = a.astype(float).to_numpy()
+                    bf = b.astype(float).to_numpy()
+                    ok = pd.Series(
+                        np.isclose(af, bf, rtol=1e-9, atol=1e-12) |
+                        (pd.isnull(af) & pd.isnull(bf)))
+                else:
+                    ok = (a.astype(object).where(pd.notnull(a), None) ==
+                          b.astype(object).where(pd.notnull(b), None))
             except Exception:
                 ok = pd.Series([False] * len(a))
             bad = (~ok).to_numpy().nonzero()[0]

@@ -14,8 +14,15 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
       // to its µs TimestampType. Read nanos as a long and truncate to µs —
-      // the same truncation every µs-based engine applies.
+      // the same truncation every µs-based engine applies. The conf is also
+      // set at session setup (Verify/Bench/SparkSuite); setting it here too
+      // keeps driver-owned sessions working. It is execution-time, so it
+      // cannot be scoped to this one read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE: the test data DOES carry sub-µs nanos (e.g. …575175), so
+      // truncation is lossy — but the DuckDB oracle (1.0) also reads
+      // TIMESTAMP(NANOS) as µs TIMESTAMP, applying the SAME truncation,
+      // so both engines see identical values by construction.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

@@ -27,7 +27,7 @@ object GraphClosure {
       seeds: DataFrame,
       maxIter: Int = 50,
       checkpointEvery: Int = 3): (DataFrame, DataFrame) = {
-    val e = edges.select(aCol, bCol).persist()
+    val e = edges.select(aCol, bCol).distinct().persist()
     var visitedA = seeds.select(aCol).distinct().localCheckpoint()
     var visitedB = e.sparkSession.createDataFrame(
       e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -35,13 +35,15 @@ object GraphClosure {
     var frontierA = visitedA
     var iter = 0
     var done = false
+    val toUnpersist = scala.collection.mutable.ListBuffer.empty[DataFrame]
     while (!done && iter < maxIter) {
       iter += 1
       val newB = e.join(frontierA, Seq(aCol), "left_semi")
         .select(bCol).distinct()
         .join(visitedB, Seq(bCol), "left_anti")
       val newBMat =
-        if (iter % checkpointEvery == 0) newB.localCheckpoint() else newB.persist()
+        if (iter % checkpointEvery == 0) newB.localCheckpoint()
+        else { val p = newB.persist(); toUnpersist += p; p }
       if (newBMat.isEmpty) done = true
       else {
         visitedB = visitedB.union(newBMat).distinct().localCheckpoint()
@@ -49,6 +51,10 @@ object GraphClosure {
           .select(aCol).distinct()
           .join(visitedA, Seq(aCol), "left_anti")
           .localCheckpoint()
+        // newBMat's consumers (visitedB, newA) are materialized checkpoints
+        // now — release the cached blocks instead of letting them pile up.
+        toUnpersist.foreach(_.unpersist())
+        toUnpersist.clear()
         if (newA.isEmpty) done = true
         else {
           visitedA = visitedA.union(newA).distinct().localCheckpoint()
@@ -56,7 +62,13 @@ object GraphClosure {
         }
       }
     }
+    toUnpersist.foreach(_.unpersist())
     e.unpersist()
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bipartiteClosure: iteration budget maxIter=$maxIter exhausted " +
+          "before fixpoint — result is a TRUNCATED closure (reference " +
+          "semantics run BFS to fixpoint; raise maxIter).")
     (visitedA, visitedB)
   }
 }
