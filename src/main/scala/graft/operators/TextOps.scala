@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Text / dedup primitives for the training-data pipeline extensions
+  * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
+  * Jaccard, quality scoring, language id, fingerprinting).
+  *
+  * Everything here is built from Spark SQL expressions only — no Scala
+  * UDFs — so every op stays inside whole-stage codegen and (crucially for
+  * the driver's DuckDB-oracle gate) has bit-identical SQL equivalents.
+  *
+  * The shared 60-bit hash is the low 15 hex digits of md5: stable across
+  * engines (DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`), unlike
+  * engine-native hash functions (xxhash64 vs DuckDB's hash), and it fits
+  * a signed 64-bit int so min/compare semantics agree everywhere.
+  *
+  * Scale notes: minhash signatures are computed entirely inside one
+  * projection (array higher-order functions — no explode, no shuffle);
+  * the only shuffle in LSH dedup is the groupBy on band keys, which is
+  * exactly the hash-partitioned bucket join that scales to 100 TB.
+  * Reference analog: compound content-hash dedup, pickaxe.py:533-556.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash of a string expression (md5-derived). */
+  def hash64(inner: String): String =
+    s"cast(conv(substring(md5($inner),1,15),16,10) as bigint)"
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(textCol: String): Column =
+    expr(s"filter(split($textCol, ' '), x -> x != '')")
+
+  /** Word w-shingles from a token-array column (w >= 1). */
+  def wordShingles(toksCol: String, w: Int): Column = {
+    val parts = (0 until w)
+      .map(j => s"element_at($toksCol, i + $j)").mkString(", ")
+    expr(
+      s"if(size($toksCol) >= $w, " +
+        s"transform(sequence(1, size($toksCol) - ${w - 1}), " +
+        s"i -> concat_ws(' ', $parts)), " +
+        "cast(array() as array<string>))")
+  }
+
+  /** k-hash MinHash signature of a string-array column: sig[s] =
+    * min over elements of hash64(s || '|' || element). One projection,
+    * no shuffle.
+    */
+  def minhashSignature(shinglesCol: String, k: Int): Column =
+    expr(
+      s"transform(sequence(0, ${k - 1}), s -> " +
+        s"array_min(transform($shinglesCol, g -> " +
+        hash64("concat(cast(s as string), '|', g)") + ")))")
+
+  /** LSH band key for band `b` of a signature column with `r` rows per
+    * band: md5 over the comma-joined slice.
+    */
+  def bandKey(sigCol: String, b: String, r: Int): String =
+    s"md5(concat_ws(',', transform(slice($sigCol, $b * $r + 1, $r), " +
+      "x -> cast(x as string))))"
+
+  /** `bits`-bit SimHash over a token-array column (weight = term
+    * frequency): bit b is set iff sum over tokens of ±1 (sign of hash
+    * bit b) is positive.
+    */
+  def simhash(toksCol: String, bits: Int): Column =
+    expr(
+      s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, b) -> " +
+        s"acc + if(aggregate($toksCol, cast(0 as bigint), (a, t) -> " +
+        s"a + (shiftright(${hash64("t")}, b) & 1) * 2 - 1) > 0, " +
+        "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))")
+
+  /** Rolling-hash document fingerprints: hash64 of each `w`-char window
+    * sampled every `step` chars.
+    */
+  def charFingerprints(textCol: String, w: Int, step: Int): Column =
+    expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${w - 1}, 1), $step), " +
+        s"i -> ${hash64(s"substring($textCol, i, $w)")})")
+
+  /** Exact Jaccard between two array columns (set semantics). */
+  def jaccard(a: String, b: String): Column =
+    expr(s"size(array_intersect($a, $b)) / " +
+      s"(size($a) + size($b) - size(array_intersect($a, $b)))")
+}

@@ -1,9 +1,334 @@
 package graft.queries
 
-/** Text-analysis / dedup query pack over the `documents` table — filled by
-  * graft.operators.{TextAnalysis, Dedup}. See SURVEY.md §2 + the
-  * training-data-pipeline extensions.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextOps
+
+/** Text-analysis / dedup pack over the `documents` table — the
+  * training-data-pipeline extensions (exact + MinHash-LSH + SimHash +
+  * n-gram-Jaccard dedup, language id, quality scoring, token counting,
+  * fingerprinting). All pure SQL-expression plans (no UDFs): whole-stage
+  * codegen end to end, and every hash is md5-derived so the DuckDB oracle
+  * computes bit-identical values (TextOps.hash64).
   */
 object TextQueries extends QueryPack {
-  override def queries: Seq[GraftQuery] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** DuckDB twin of TextOps.hash64. */
+  private def dh(inner: String): String =
+    s"('0x' || substr(md5($inner),1,15))::BIGINT"
+
+  private val sparkToks = "filter(split(text, ' '), x -> x != '')"
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x != '')"
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_text_stats", Seq("P9", "A8"),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .selectExpr(
+            "lang",
+            "size(t) as n_tok",
+            "size(array_distinct(t)) as n_dist",
+            "aggregate(t, cast(0 as bigint), (a, x) -> a + length(x)) as sum_len",
+            "regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') as n_bpe")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("n_tok"), 4).as("avg_tokens"),
+            round(avg(col("sum_len") / col("n_tok")), 4).as("avg_word_len"),
+            round(avg(col("n_dist") / col("n_tok")), 4).as("avg_ttr"),
+            round(avg("n_bpe"), 4).as("avg_bpe_tokens"))
+          .orderBy("lang"),
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t, text FROM documents),
+          m AS (SELECT lang, len(t) AS n_tok,
+                  len(list_distinct(t)) AS n_dist,
+                  list_sum(list_transform(t, x -> len(x)))::BIGINT AS sum_len,
+                  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS n_bpe
+                FROM d)
+        SELECT lang, count(*) AS n_docs,
+          round(avg(n_tok),4) AS avg_tokens,
+          round(avg(sum_len/n_tok),4) AS avg_word_len,
+          round(avg(n_dist/n_tok),4) AS avg_ttr,
+          round(avg(n_bpe),4) AS avg_bpe_tokens
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Token counting (whitespace + BPE-ish regex), type-token ratio, " +
+        "word length — all inside one codegen'd projection."),
+
+    GraftQuery(
+      "q_text_quality", Seq("P5", "A8"),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .selectExpr(
+            "lang",
+            "size(t) as n_tok",
+            "size(array_distinct(t)) / size(t) as ttr",
+            "size(filter(t, x -> array_contains(array('the','a'), x))) " +
+              "/ size(t) as stop_ratio")
+          .selectExpr(
+            "lang",
+            "0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr " +
+              "+ 0.2 * (1.0 - stop_ratio) as q")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("q"), 4).as("avg_quality"),
+            count(when(col("q") < 0.55, 1)).as("n_low_quality"))
+          .orderBy("lang"),
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+          m AS (SELECT lang, len(t) AS n_tok,
+                  len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+                  len(list_filter(t, x -> list_contains(['the','a'], x)))
+                    * 1.0 / len(t) AS stop_ratio
+                FROM d),
+          sc AS (SELECT lang,
+                   0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr
+                     + 0.2 * (1.0 - stop_ratio) AS q
+                 FROM m)
+        SELECT lang, count(*) AS n_docs, round(avg(q),4) AS avg_quality,
+          count(CASE WHEN q < 0.55 THEN 1 END) AS n_low_quality
+        FROM sc GROUP BY 1 ORDER BY 1"""),
+      "Quality scoring: length / stopword-ratio / type-token-ratio blend " +
+        "(the reference's per-compound property filters, column-math only)."),
+
+    GraftQuery(
+      "q_text_langid", Seq("P2", "P4"),
+      (s, dir) => {
+        def score(words: String) =
+          s"size(filter(t, x -> array_contains(array($words), x)))"
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .selectExpr(
+            "lang",
+            s"${score("'the','a','is','of'")} as s_en",
+            s"${score("'el','la','de','y'")} as s_es",
+            s"${score("'le','les','et','une'")} as s_fr",
+            s"${score("'der','die','und','das'")} as s_de")
+          .selectExpr("lang",
+            "case when s_en >= s_es and s_en >= s_fr and s_en >= s_de " +
+              "then 'en' when s_es >= s_fr and s_es >= s_de then 'es' " +
+              "when s_fr >= s_de then 'fr' else 'de' end as predicted")
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+          sc AS (SELECT lang,
+            len(list_filter(t, x -> list_contains(['the','a','is','of'], x))) AS s_en,
+            len(list_filter(t, x -> list_contains(['el','la','de','y'], x))) AS s_es,
+            len(list_filter(t, x -> list_contains(['le','les','et','une'], x))) AS s_fr,
+            len(list_filter(t, x -> list_contains(['der','die','und','das'], x))) AS s_de
+          FROM d),
+          p AS (SELECT lang,
+            CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                 WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted
+          FROM sc)
+        SELECT lang, predicted, count(*) AS n_docs
+        FROM p GROUP BY 1,2 ORDER BY 1,2"""),
+      "Marker-word language-id heuristic with deterministic argmax " +
+        "tie-break; confusion-matrix output."),
+
+    GraftQuery(
+      "q_text_fingerprint", Seq("P10", "P11", "D1"),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("fps", TextOps.charFingerprints("text", w = 8, step = 4))
+          .selectExpr("source",
+            "size(array_distinct(fps)) as n_fp",
+            "array_min(fps) as min_fp")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_fp").as("sum_fp"),
+            min("min_fp").as("min_fp"),
+            countDistinct("min_fp").as("n_min_clusters"))
+          .orderBy("source"),
+      Some(s"""WITH f AS (
+          SELECT source,
+            list_transform(range(1, greatest(len(text)-7, 1)+1, 4),
+              i -> ${dh("substr(text, i, 8)")}) AS fps
+          FROM documents),
+          m AS (SELECT source, len(list_distinct(fps)) AS n_fp,
+                  list_min(fps) AS min_fp FROM f)
+        SELECT source, count(*) AS n_docs, sum(n_fp)::BIGINT AS sum_fp,
+          min(min_fp) AS min_fp, count(DISTINCT min_fp) AS n_min_clusters
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Rolling-hash document fingerprinting (8-char windows, stride 4); " +
+        "min-fingerprint clustering per source."),
+
+    GraftQuery(
+      "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
+      (s, dir) => {
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) >= 3"))
+          .withColumn("sh", expr(
+            "array_distinct(" +
+              "transform(sequence(1, size(t) - 2), i -> " +
+              "concat_ws(' ', element_at(t, i), element_at(t, i+1), " +
+              "element_at(t, i+2))))"))
+          .withColumn("sig", TextOps.minhashSignature("sh", k = 16))
+          .select("doc_id", "sh", "sig")
+          .persist()
+        val bands = base.select(
+            col("doc_id"), col("sig"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("key", expr(TextOps.bandKey("sig", "b", r = 4)))
+          .select("doc_id", "b", "key")
+        val buckets = bands.groupBy("b", "key")
+          .agg(count(lit(1)).as("sz")).where(col("sz") > 1)
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val verified = pairs
+          .join(base.select(col("doc_id").as("doc_a"),
+            col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"),
+            col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("doc_b"))
+          .selectExpr(
+            "size(filter(zip_with(sig_a, sig_b, (p, q) -> p = q), v -> v)) " +
+              "/ 16.0 as est_jac",
+            "size(array_intersect(sh_a, sh_b)) / (size(sh_a) + size(sh_b) " +
+              "- size(array_intersect(sh_a, sh_b))) as exact_jac")
+        base.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(buckets.agg(
+            coalesce(count(lit(1)), lit(0L)).as("n_buckets_multi")))
+          .crossJoin(verified.agg(
+            count(lit(1)).as("n_candidate_pairs"),
+            coalesce(sum(when(col("exact_jac") >= 0.7, 1L).otherwise(0L)),
+              lit(0L)).as("n_dup_pairs"),
+            round(coalesce(avg("est_jac"), lit(-1.0)), 4).as("avg_est_jac"),
+            round(coalesce(avg("exact_jac"), lit(-1.0)), 4)
+              .as("avg_exact_jac")))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id, sh,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                ${dh("(s::VARCHAR || '|' || g)")}))) AS sig
+          FROM s3),
+        bands AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)),
+        buckets AS (SELECT b, key, count(*) AS sz FROM bands
+          GROUP BY 1,2 HAVING count(*) > 1),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.key = y.key AND x.b = y.b AND x.doc_id < y.doc_id),
+        verified AS (SELECT
+            len(list_filter(range(0,16), i -> sa.sig[i+1] = sb.sig[i+1]))
+              / 16.0 AS est_jac,
+            len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+              AS exact_jac
+          FROM pairs
+          JOIN sigs sa ON sa.doc_id = pairs.doc_a
+          JOIN sigs sb ON sb.doc_id = pairs.doc_b)
+        SELECT (SELECT count(*) FROM sigs) AS n_docs,
+          (SELECT count(*) FROM buckets)::BIGINT AS n_buckets_multi,
+          (SELECT count(*) FROM verified) AS n_candidate_pairs,
+          (SELECT coalesce(sum(CASE WHEN exact_jac >= 0.7 THEN 1 ELSE 0 END), 0)
+             FROM verified)::BIGINT AS n_dup_pairs,
+          (SELECT round(coalesce(avg(est_jac), -1.0), 4) FROM verified)
+            AS avg_est_jac,
+          (SELECT round(coalesce(avg(exact_jac), -1.0), 4) FROM verified)
+            AS avg_exact_jac"""),
+      "MinHash(16)+LSH(4 bands x 4 rows) near-dup detection: signature in " +
+        "one projection (no shuffle), band-bucket equi-join (the 100 TB " +
+        "path — no pairwise cross join), exact-Jaccard verification of " +
+        "candidates only."),
+
+    GraftQuery(
+      "q_dedup_simhash", Seq("D1", "P10"),
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .withColumn("sim", TextOps.simhash("t", bits = 16))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("sim").as("n_distinct"),
+            (count(lit(1)) - countDistinct("sim")).as("n_collisions"),
+            min("sim").as("min_sim"),
+            max("sim").as("max_sim"))
+          .orderBy("lang"),
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+          m AS (SELECT lang,
+            list_sum(list_transform(range(0, 16), b ->
+              CASE WHEN list_sum(list_transform(t, tok ->
+                  ((${dh("tok")} >> b) & 1) * 2 - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sim
+          FROM d)
+        SELECT lang, count(*) AS n_docs,
+          count(DISTINCT sim) AS n_distinct,
+          count(*) - count(DISTINCT sim) AS n_collisions,
+          min(sim) AS min_sim, max(sim) AS max_sim
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "16-bit SimHash (term-frequency weights) computed as one nested " +
+        "array-aggregate expression; per-lang collision stats."),
+
+    GraftQuery(
+      "q_dedup_ngram", Seq("D1", "J11", "J6"),
+      (s, dir) => {
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) >= 2"))
+          .withColumn("sh", expr(
+            "array_distinct(transform(sequence(1, size(t) - 1), i -> " +
+              "concat_ws(' ', element_at(t, i), element_at(t, i+1))))"))
+          .withColumn("bkt", expr("cast(n_chars div 25 as int)"))
+          .select("doc_id", "lang", "n_chars", "bkt", "sh")
+        val left = base
+          .withColumn("jb", explode(expr("array(bkt - 1, bkt, bkt + 1)")))
+        left.as("x")
+          .join(base.as("y"),
+            col("x.lang") === col("y.lang") && col("x.jb") === col("y.bkt") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              abs(col("x.n_chars") - col("y.n_chars")) <= 20)
+          .selectExpr(
+            "x.doc_id as doc_a", "y.doc_id as doc_b",
+            "size(array_intersect(x.sh, y.sh)) / (size(x.sh) + size(y.sh) " +
+              "- size(array_intersect(x.sh, y.sh))) as jac")
+          .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+          .limit(10)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, n_chars, $duckToks AS t
+            FROM documents),
+          s2 AS (SELECT doc_id, lang, n_chars,
+              list_distinct(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS sh
+            FROM d WHERE len(t) >= 2)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+            AS jac
+        FROM s2 x JOIN s2 y
+          ON x.lang = y.lang AND x.doc_id < y.doc_id
+          AND abs(x.n_chars - y.n_chars) <= 20
+        ORDER BY len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) DESC,
+          doc_a, doc_b
+        LIMIT 10"""),
+      "Word-bigram Jaccard near-dup with length-band blocking (bucket " +
+        "width 25 > band 20, so the bucketed equi-join prelude is " +
+        "lossless) — no O(n^2) cross join at scale."),
+  )
 }
