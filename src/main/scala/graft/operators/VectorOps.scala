@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.expr
+
+/** Embedding similarity-search primitives (training-data-pipeline
+  * extensions: brute-force cosine top-k, sign-LSH bucketed ANN,
+  * cosine near-dup).
+  *
+  * All arithmetic is done on embeddings QUANTIZED to a 1e6 integer grid
+  * (exact float→double cast, then round): dot products and norms become
+  * exact 64-bit integer math, so rankings and thresholds are bit-identical
+  * across engines (Spark vs the DuckDB oracle) — no float-summation-order
+  * divergence. Cosine is then derived from the exact integers with IEEE
+  * sqrt/division, which is itself deterministic.
+  *
+  * Everything is array higher-order expressions inside one projection —
+  * no UDFs, no shuffle for sketching; the only shuffles are the bucket
+  * equi-joins (the 100 TB path) and final aggregations. The reference
+  * analog is fingerprint Tanimoto similarity (similarity.py:478-501);
+  * at cluster scale the ±1 hyperplanes would be a broadcast literal —
+  * here they are md5-derived so the oracle can recompute them.
+  */
+object VectorOps {
+
+  /** Quantize a float-array column to bigints on a `scale` grid. */
+  def quantize(embCol: String, scale: Long = 1000000L): Column =
+    expr(s"transform($embCol, x -> " +
+      s"cast(round(cast(x as double) * $scale) as bigint))")
+
+  /** Exact squared L2 norm of a quantized vector. */
+  def normSq(qCol: String): Column =
+    expr(s"aggregate($qCol, cast(0 as bigint), (a, x) -> a + x * x)")
+
+  /** Exact integer dot product of two quantized vector columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)")
+
+  /** Cosine from an exact dot and two exact squared norms. */
+  def cosine(dotCol: String, naCol: String, nbCol: String): Column =
+    expr(s"$dotCol / (sqrt(cast($naCol as double)) * " +
+      s"sqrt(cast($nbCol as double)))")
+
+  /** `bits`-bit sign-LSH sketch of a quantized vector: bit p is set iff
+    * the dot with pseudo-random ±1 hyperplane p (component j = parity of
+    * hash64(p:j)) is positive. One projection, no shuffle.
+    */
+  def signSketch(qCol: String, bits: Int): Column =
+    expr(
+      s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, p) -> " +
+        s"acc + if(aggregate(sequence(1, size($qCol)), cast(0 as bigint), " +
+        s"(a, j) -> a + ((${TextOps.hash64("concat(cast(p as string), ':', cast(j as string))")} & 1) * 2 - 1) " +
+        s"* element_at($qCol, j)) > 0, " +
+        "shiftleft(cast(1 as bigint), p), cast(0 as bigint)))")
+}
