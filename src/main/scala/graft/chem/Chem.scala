@@ -1,0 +1,104 @@
+package graft.chem
+
+import java.security.MessageDigest
+
+/** Facade used by the Pickaxe engine's kernel UDFs: the compound-
+  * processing pipeline of the reference (pickaxe.py:278-336) re-expressed
+  * over the pure-Scala kernel.
+  *
+  * Identity deviation (documented in SURVEY.md §7): compound ids are
+  * `C|X|T + sha1(canonical SMILES)` instead of the reference's
+  * sha1(InChIKey block) (utils.py:115-164) — still content-addressed,
+  * stable, and equality-joinable; the absolute id strings differ from
+  * RDKit-derived ones.
+  */
+object Chem {
+
+  def sha1hex(s: String): String =
+    MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def sha256hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Compound id: type prefix + content hash (P10). */
+  def compoundHash(canonicalSmiles: String, cType: Char): String =
+    cType.toString + sha1hex(canonicalSmiles)
+
+  /** Charge neutralization (P7, utils.py:385-438): protonate negative
+    * O/S/N, deprotonate positive N with an H — run to fixpoint like the
+    * reference's 9-pattern loop.
+    */
+  def neutralize(m: Molecule): Molecule = {
+    val atoms = m.atoms.toArray
+    var changed = true
+    while (changed) {
+      changed = false
+      for (i <- atoms.indices) {
+        val a = atoms(i)
+        val mm = new Molecule(atoms.toVector, m.bonds)
+        if (a.charge < 0 && Set("O", "S", "N", "C")(a.elem)) {
+          // add a proton: [O-] -> OH
+          val h = if (a.hCount >= 0) a.hCount else mm.implicitH(i)
+          atoms(i) = a.copy(charge = a.charge + 1, hCount = h + 1)
+          changed = true
+        } else if (a.charge > 0 && a.elem == "N" && mm.totalH(i) > 0 &&
+          !a.aromatic) {
+          // remove a proton: [NH3+] -> NH2 (aromatic n+ left alone, as the
+          // reference's patterns only hit sp3-ish N-H)
+          val h = if (a.hCount >= 0) a.hCount else mm.implicitH(i)
+          if (h > 0) {
+            atoms(i) = a.copy(charge = a.charge - 1, hCount = h - 1)
+            changed = true
+          }
+        }
+      }
+    }
+    new Molecule(atoms.toVector, m.bonds)
+  }
+
+  /** Full standardization: parse, optionally reject multi-fragment,
+    * neutralize, canonical SMILES. Returns None on parse failure or
+    * rejected structure. (S2 pipeline, pickaxe.py:278-336.)
+    */
+  def standardize(
+      smiles: String,
+      allowFragments: Boolean = false): Option[String] =
+    try {
+      val m = Smiles.parse(smiles)
+      if (!allowFragments && m.components.length > 1) None
+      else Some(Smiles.write(neutralize(m)))
+    } catch { case _: Exception => None }
+
+  /** Organic predicate (P2): contains carbon. */
+  def isOrganic(smiles: String): Boolean =
+    smiles.contains("C") || smiles.contains("c")
+
+  /** Atom-balance check (reactions.py:106-118): element counts must
+    * match across sides, allowing an H difference equal to the net
+    * formal-charge difference.
+    */
+  def isBalanced(
+      reactants: Seq[(Int, Molecule)],
+      products: Seq[(Int, Molecule)]): Boolean = {
+    def total(side: Seq[(Int, Molecule)]): (Map[String, Int], Int) = {
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      var charge = 0
+      for ((st, m) <- side) {
+        Formula.atomCounts(m).foreach { case (e, k) =>
+          counts(e) = counts.getOrElse(e, 0) + st * k
+        }
+        charge += st * m.formalCharge
+      }
+      (counts.toMap, charge)
+    }
+    val (rc, rq) = total(reactants)
+    val (pc, pq) = total(products)
+    val elems = rc.keySet ++ pc.keySet
+    elems.forall { e =>
+      val d = rc.getOrElse(e, 0) - pc.getOrElse(e, 0)
+      if (e == "H") d == rq - pq else d == 0
+    }
+  }
+}

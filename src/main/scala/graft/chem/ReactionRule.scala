@@ -1,0 +1,163 @@
+package graft.chem
+
+/** Reaction-SMARTS application — the expansion kernel's chemistry
+  * (reference: RunReactants at reactions.py:170, product construction
+  * reactions.py:44-220).
+  *
+  * Semantics implemented (RDKit-compatible subset):
+  *  - reactant template component i matches molecule i (role order);
+  *  - all embeddings enumerated; each combination yields one product set;
+  *  - product template: mapped atoms are copied from their matched source
+  *    atoms; bonds BETWEEN two template atoms are exactly the product
+  *    template's bonds; bonds from a template atom to unmatched source
+  *    atoms (and among unmatched atoms) are preserved, i.e. every
+  *    unmatched fragment travels with its mapped anchor;
+  *  - matched atoms whose map number appears in no product are dropped.
+  */
+object ReactionRule {
+
+  final case class Parsed(
+      reactants: Vector[Smarts.Pattern],
+      products: Vector[Smarts.Pattern])
+
+  /** Split a SMARTS side into `.`-components (depth-0 only). */
+  private def splitComponents(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    val sb = new StringBuilder
+    for (c <- s) c match {
+      case '(' => depth += 1; sb += c
+      case ')' => depth -= 1; sb += c
+      case '.' if depth == 0 => out += sb.toString; sb.clear()
+      case _ => sb += c
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  def parse(rxnSmarts: String): Parsed = {
+    val Array(lhs, rhs) = rxnSmarts.split(">>", 2)
+    Parsed(
+      splitComponents(lhs).map(Smarts.parse),
+      splitComponents(rhs).map(Smarts.parse))
+  }
+
+  /** One product set = the product molecules (implicit-H, canonical-ready)
+    * for one combination of embeddings.
+    */
+  def run(
+      rule: Parsed,
+      mols: Seq[Molecule],
+      maxProducts: Int = 10000): Seq[Seq[Molecule]] = {
+    require(rule.reactants.length == mols.length,
+      s"rule arity ${rule.reactants.length} != ${mols.length} molecules")
+    // embeddings per component
+    val embeddings: Seq[Seq[Array[Int]]] =
+      rule.reactants.zip(mols).map { case (pat, mol) => Smarts.findAll(mol, pat) }
+    if (embeddings.exists(_.isEmpty)) return Seq.empty
+
+    // cartesian product of per-component embeddings
+    def combos(idx: Int): Seq[Vector[Array[Int]]] =
+      if (idx == embeddings.length) Seq(Vector.empty)
+      else for {
+        rest <- combos(idx + 1)
+        e <- embeddings(idx)
+      } yield e +: rest
+
+    val all = combos(0).take(maxProducts)
+    all.flatMap { combo => applyOnce(rule, mols, combo) }
+  }
+
+  /** Apply one embedding combination; None if the rewrite is degenerate
+    * (a product would be empty or grab a whole unmatched reactant).
+    */
+  private def applyOnce(
+      rule: Parsed,
+      mols: Seq[Molecule],
+      combo: Vector[Array[Int]]): Option[Seq[Molecule]] = {
+    // map number -> (molIdx, atomIdx); matched atom set per molecule
+    val mapTo = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    val matched: Array[Set[Int]] = Array.fill(mols.length)(Set.empty)
+    for (ci <- rule.reactants.indices) {
+      val pat = rule.reactants(ci)
+      val emb = combo(ci)
+      for (pi <- 0 until pat.n) {
+        matched(ci) += emb(pi)
+        val mn = pat.atoms(pi).mapNum
+        if (mn > 0) mapTo(mn) = (ci, emb(pi))
+      }
+    }
+    val products = rule.products.map { ppat =>
+      buildProduct(ppat, mols, mapTo.toMap, matched)
+    }
+    if (products.exists(_.isEmpty)) None else Some(products.map(_.get))
+  }
+
+  private def buildProduct(
+      ppat: Smarts.Pattern,
+      mols: Seq[Molecule],
+      mapTo: Map[Int, (Int, Int)],
+      matched: Array[Set[Int]]): Option[Molecule] = {
+    val newAtoms = Vector.newBuilder[Atom]
+    val newBonds = Vector.newBuilder[Bond]
+    // (molIdx, atomIdx) -> new index
+    val newIdx = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    var n = 0
+    def copyAtom(mi: Int, ai: Int): Int =
+      newIdx.getOrElseUpdate((mi, ai), {
+        val src = mols(mi).atoms(ai)
+        // fix H count explicitly so bond rewiring can't invent implicit H;
+        // withoutExplicitH re-derives/normalizes at emission time
+        val h = if (src.hCount >= 0) src.hCount else mols(mi).implicitH(ai)
+        newAtoms += src.copy(hCount = h)
+        n += 1
+        n - 1
+      })
+
+    // 1. template atoms
+    val templateSrc = ppat.atoms.map { ap =>
+      mapTo.get(ap.mapNum) match {
+        case Some((mi, ai)) => (mi, ai)
+        case None => return None // unmapped product atom unsupported
+      }
+    }
+    templateSrc.foreach { case (mi, ai) => copyAtom(mi, ai) }
+
+    // 2. template bonds (exactly as written; default kind -> single)
+    for (bp <- ppat.bonds) {
+      val (ma, aa) = templateSrc(bp.a)
+      val (mb, ab) = templateSrc(bp.b)
+      val order = bp.kind match {
+        case 2 => 2
+        case 3 => 3
+        case _ => 1
+      }
+      val aromatic = bp.kind == 4
+      newBonds += Bond(newIdx((ma, aa)), newIdx((mb, ab)), order, aromatic)
+    }
+
+    // 3. carry unmatched fragments attached to this product's atoms
+    val queue = scala.collection.mutable.Queue(templateSrc: _*)
+    val inProduct = scala.collection.mutable.Set(templateSrc: _*)
+    val addedBonds = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+    while (queue.nonEmpty) {
+      val (mi, ai) = queue.dequeue()
+      for ((nj, bd) <- mols(mi).adj(ai)) {
+        val tgt = (mi, nj)
+        if (!matched(mi)(nj)) {
+          // unmatched neighbor: atom + bond travel with the anchor
+          if (!inProduct(tgt)) { inProduct += tgt; queue += tgt }
+          val key = (mi, math.min(ai, nj), math.max(ai, nj))
+          if (!addedBonds(key)) {
+            addedBonds += key
+            newBonds += Bond(newIdx((mi, ai)), copyAtom(mi, nj),
+              bd.order, bd.aromatic)
+          }
+        }
+        // matched-matched bonds: controlled by the product template (2.)
+      }
+    }
+    val mol = new Molecule(newAtoms.result(), newBonds.result())
+    if (mol.n == 0) None else Some(mol)
+  }
+}

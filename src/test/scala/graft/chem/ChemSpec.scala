@@ -1,0 +1,135 @@
+package graft.chem
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChemSpec extends AnyFunSuite {
+
+  private def canon(s: String): String = Smiles.canonical(s)
+
+  test("canonical SMILES is idempotent and input-order independent") {
+    val variants = Seq(
+      "OCC", "CCO", "C(O)C", // ethanol written three ways
+    )
+    val canons = variants.map(canon).distinct
+    assert(canons.size === 1)
+    assert(canon(canons.head) === canons.head)
+  }
+
+  test("canonical SMILES distinguishes non-isomorphic molecules") {
+    assert(canon("CCO") !== canon("COC"))
+    assert(canon("C=O") !== canon("CO"))
+    assert(canon("c1ccccc1") !== canon("C1CCCCC1"))
+  }
+
+  test("ring + aromatic round trip") {
+    val benzene = canon("c1ccccc1")
+    assert(canon(benzene) === benzene)
+    val phenol = canon("Oc1ccccc1")
+    assert(canon("c1ccc(O)cc1") === phenol)
+    val naphthalene = canon("c1ccc2ccccc2c1")
+    assert(canon(naphthalene) === naphthalene)
+  }
+
+  test("charges and brackets survive") {
+    assert(canon("[O-]C(=O)C") === canon("CC(=O)[O-]"))
+    val m = Smiles.parse("[NH4+]")
+    assert(m.atoms.head.charge === 1)
+    assert(m.totalH(0) === 4)
+  }
+
+  test("stereo is stripped") {
+    assert(canon("C[C@@H](N)C(=O)O") === canon("C[C@H](N)C(=O)O"))
+    assert(canon("C/C=C/C") === canon("CC=CC"))
+  }
+
+  test("formulas (Hill order) and atom counts") {
+    assert(Formula.hillFormula(Smiles.parse("O")) === "H2O")
+    assert(Formula.hillFormula(Smiles.parse("CCO")) === "C2H6O")
+    assert(Formula.hillFormula(Smiles.parse("c1ccccc1")) === "C6H6")
+    // ATP (public formula C10H16N5O13P3)
+    val atp = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C1O"
+    assert(Formula.hillFormula(Smiles.parse(atp)) === "C10H16N5O13P3")
+    assert(Formula.parseFormula("C10H16N5O13P3") ===
+      Map("C" -> 10, "H" -> 16, "N" -> 5, "O" -> 13, "P" -> 3))
+  }
+
+  test("exact masses match public monoisotopic values") {
+    assert(math.abs(Formula.exactMass(Smiles.parse("O")) - 18.010565) < 1e-4)
+    assert(math.abs(Formula.exactMass(Smiles.parse("CCO")) - 46.041865) < 1e-4)
+    assert(math.abs(Formula.exactMass(Smiles.parse("C(=O)=O")) - 43.989829) < 1e-4)
+  }
+
+  test("implicit hydrogen model") {
+    val m = Smiles.parse("CC(=O)O") // acetic acid
+    assert((0 until m.n).map(m.totalH) === Seq(3, 0, 0, 1))
+    val pyridine = Smiles.parse("c1ccncc1")
+    assert(pyridine.atoms.count(_.elem == "N") === 1)
+    assert((0 until 6).map(pyridine.totalH).sum === 5)
+    val phosphate = Smiles.parse("OP(=O)(O)O")
+    assert((0 until phosphate.n).map(phosphate.totalH).sum === 3)
+  }
+
+  test("explicit H round trip") {
+    val m = Smiles.parse("CCO").withExplicitH
+    assert(m.atoms.count(_.elem == "H") === 6)
+    assert(Smiles.write(m) === canon("CCO"))
+  }
+
+  test("neutralization") {
+    assert(Chem.standardize("CC(=O)[O-]").get === canon("CC(=O)O"))
+    assert(Chem.standardize("C[NH3+]").get === canon("CN"))
+    assert(Chem.standardize("CC(=O)O.[Na+]") === None) // fragments rejected
+  }
+
+  test("fingerprint tanimoto: identical = 1, disjoint-ish < 1") {
+    val a = Formula.fingerprint(Smiles.parse("CCO"))
+    val b = Formula.fingerprint(Smiles.parse("OCC"))
+    val c = Formula.fingerprint(Smiles.parse("c1ccccc1N"))
+    assert(Formula.tanimoto(a, b) === 1.0)
+    assert(Formula.tanimoto(a, c) < 0.5)
+  }
+
+  test("SMARTS atom/bond matching basics") {
+    val pat = Smarts.parse("[#6;H2D4:8]")
+    val m = Smiles.parse("COP(=O)(O)O").withExplicitH
+    // the methyl C has H3, not H2 -> no match on CH3; try ethyl phosphate
+    val m2 = Smiles.parse("CCOP(=O)(O)O").withExplicitH
+    val hits2 = Smarts.findAll(m2, pat)
+    assert(hits2.nonEmpty) // the CH2 bonded to O,C,H,H has D4 H2
+    assert(Smarts.findAll(m, pat).isEmpty)
+  }
+
+  test("SMARTS OR-of-AND groups") {
+    // [#7;R0;H2D3,H3D4:1] — N not in ring with (H2,D3) or (H3,D4)
+    val pat = Smarts.parse("[#7;R0;H2D3,H3D4:1]")
+    val amine = Smiles.parse("CCN").withExplicitH // N: H2, D3 (C,H,H)
+    assert(Smarts.findAll(amine, pat).nonEmpty)
+    val aromaticN = Smiles.parse("c1ccncc1").withExplicitH
+    assert(Smarts.findAll(aromaticN, pat).isEmpty)
+  }
+
+  test("2.7.1.a phosphorylation: ATP + ethanol -> phospho + ADP") {
+    val smarts = "[#6;H2D4:8][#8;H0D2:7][#15;H0D4:6][#8;H0D2:5]" +
+      "[#15;H0D4:4][#8;H0D2:3][#15;H0D4:2][#8;H1D2R0:1]." +
+      "[#1;D1R0:11][#8;H1D2R0:10][#6:9]>>" +
+      "[*:1]-[*:2]-[*:10]-[*:9].[*:8]-[*:7]-[*:6]-[*:5]-[*:4]-[*:3]-[*:11]"
+    val rule = ReactionRule.parse(smarts)
+    val atp = Smiles.parse(
+      "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C1O").withExplicitH
+    val ethanol = Smiles.parse("CCO").withExplicitH
+    val results = ReactionRule.run(rule, Seq(atp, ethanol))
+    assert(results.nonEmpty)
+    val productSets = results.map(_.map(Smiles.write).sorted).distinct
+    // every product set: ethyl-phosphate-adenosine-diphosphate split:
+    // one product contains the new C-O-P bond, the other is ADP
+    val adp = Smiles.canonical(
+      "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)O)C(O)C1O")
+    assert(productSets.exists(_.contains(adp)),
+      s"expected ADP in $productSets")
+    // balance: ATP + ethanol = products
+    for (ps <- results) {
+      assert(Chem.isBalanced(
+        Seq(1 -> atp, 1 -> ethanol), ps.map(1 -> _)))
+    }
+  }
+}
