@@ -1,0 +1,310 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chem.{Chem, Formula, Smiles}
+
+/** The network state: the two core tables + generation counter. */
+final case class NetworkState(
+    compounds: DataFrame,
+    reactions: DataFrame,
+    generation: Int)
+
+/** A per-generation frontier filter (reference Filter ABC,
+  * filters/base_filter.py:17-86): returns the `_id`s whose Expand flag
+  * must be cleared before the generation expands.
+  */
+trait NetworkFilter {
+  def name: String
+  def blocked(state: NetworkState): DataFrame // single `_id` column
+}
+
+/** Spark-native Pickaxe: iterative rule-driven network expansion
+  * (reference driver loop transform_all, pickaxe.py:610-685).
+  *
+  * Dataflow per generation (SURVEY.md §2.3):
+  *   frontier select (P1) -> flatMap over broadcast rules (E2/E3/J1/J2)
+  *   -> reaction groupBy-merge with operator set-union (A1/D2)
+  *   -> compound anti-join dedup, first-generation-wins (D1/E6)
+  * with persist + localCheckpoint per generation for flat lineage.
+  *
+  * Scale design: the only shuffles are the two groupBy/anti-join merges
+  * per generation, both hash-partitioned on content ids; rules and
+  * coreactants are broadcast (they are small dimension tables); the
+  * chemistry runs inside one flatMap (per-partition imperative kernel,
+  * the documented exception to expression-only plans).
+  */
+final class PickaxeEngine(
+    spark: SparkSession,
+    val rules: Seq[RuleRow],
+    val coreactants: Seq[CoreactantRow]) extends Serializable {
+
+  import spark.implicits._
+
+  private val coreactantMap: Map[String, (String, String)] =
+    coreactants.map(c => c.name -> (c.smiles, c._id)).toMap
+
+  import PickaxeEngine.mkCompound
+
+  /** S2: standardize + hash + dedup starting compounds. */
+  def loadStarting(smiles: Seq[String]): Seq[CompoundRow] =
+    smiles.flatMap(Chem.standardize(_))
+      .filter(Chem.isOrganic)
+      .distinct
+      .map(s => mkCompound(Chem.compoundHash(s, 'C'), s,
+        "Starting Compound", 0, expand = true))
+
+  def initialState(startingSmiles: Seq[String]): NetworkState = {
+    val start = loadStarting(startingSmiles)
+    val core = coreactants.map(c =>
+      mkCompound(c._id, c.smiles, "Coreactant", 0, expand = false))
+    val compounds = (start ++ core).toDF()
+      .dropDuplicates("_id")
+    NetworkState(compounds, spark.emptyDataset[ReactionRow].toDF(), 0)
+  }
+
+  /** One generation: filters -> frontier -> kernel -> merge (E1/E2/E6). */
+  def expandOnce(
+      state: NetworkState,
+      filters: Seq[NetworkFilter] = Nil): NetworkState = {
+    val g = state.generation
+    // filters run in declaration order (pickaxe.py:628-629)
+    val afterFilters = filters.foldLeft(state.compounds) { (cpds, f) =>
+      val blocked = f.blocked(state.copy(compounds = cpds))
+        .select(col("_id").as("__blocked_id")).distinct()
+      cpds.join(broadcast(blocked),
+          cpds("_id") === col("__blocked_id"), "left")
+        .withColumn("Expand",
+          col("Expand") && col("__blocked_id").isNull)
+        .drop("__blocked_id")
+    }
+    // P1 frontier predicate (pickaxe.py:658-664)
+    val frontier = afterFilters
+      .where(col("Generation") === g && col("Expand") &&
+        !col("Type").isin("Coreactant", "Target Compound"))
+      .select("_id", "SMILES").as[(String, String)]
+
+    val rulesB = spark.sparkContext.broadcast(rules)
+    val coreB = spark.sparkContext.broadcast(coreactantMap)
+    val predicted = frontier.flatMap { case (id, smi) =>
+      RuleKernel.applyAll(id, smi, rulesB.value, coreB.value)
+    }.toDF().persist()
+
+    // D2/A1: reaction merge with operator set-union
+    val newRxns = predicted
+      .groupBy(col("rxnId").as("_id"))
+      .agg(
+        first("smilesRxn").as("SMILES_rxn"),
+        first("reactants").as("Reactants"),
+        first("products").as("Products"),
+        array_sort(collect_set("operator")).as("Operators"))
+    val mergedRxns =
+      if (state.reactions.isEmpty) newRxns
+        .select(col("_id"), lit("").as("ID"), col("Reactants"),
+          col("Products"), col("Operators"), col("SMILES_rxn"))
+      else state.reactions.as("old")
+        .join(newRxns.as("new"), Seq("_id"), "full_outer")
+        .select(
+          col("_id"),
+          coalesce(col("old.ID"), lit("")).as("ID"),
+          coalesce(col("old.Reactants"), col("new.Reactants")).as("Reactants"),
+          coalesce(col("old.Products"), col("new.Products")).as("Products"),
+          array_sort(array_distinct(concat(
+            coalesce(col("old.Operators"), array()),
+            coalesce(col("new.Operators"), array())))).as("Operators"),
+          coalesce(col("old.SMILES_rxn"), col("new.SMILES_rxn"))
+            .as("SMILES_rxn"))
+
+    // D1/E6: compound dedup, first-generation-wins via anti-join
+    val newCpds = predicted
+      .select(explode(col("productSmiles")).as("p"))
+      .select(col("p._1").as("_id"), col("p._2").as("SMILES"))
+      .dropDuplicates("_id")
+      .join(afterFilters.select("_id"), Seq("_id"), "left_anti")
+      .as[(String, String)]
+      .map { t => PickaxeEngine.mkCompound(t._1, t._2, "Predicted", g + 1,
+        expand = true) }
+      .toDF()
+
+    val mergedCpds = afterFilters
+      // expanded frontier is done (Expand=false), like the reference's
+      // post-gen flag clear
+      .withColumn("Expand",
+        when(col("Generation") === g, lit(false)).otherwise(col("Expand")))
+      .unionByName(newCpds)
+
+    predicted.unpersist()
+    NetworkState(
+      mergedCpds.persist().localCheckpoint(),
+      mergedRxns.persist().localCheckpoint(),
+      g + 1)
+  }
+
+  def run(
+      startingSmiles: Seq[String],
+      generations: Int,
+      filters: Seq[NetworkFilter] = Nil): NetworkState =
+    (0 until generations).foldLeft(initialState(startingSmiles)) {
+      (st, _) => expandOnce(st, filters)
+    }
+
+  /** A13: derived adjacency (Reactant_in / Product_of arrays). */
+  def adjacency(state: NetworkState): DataFrame = {
+    val rIn = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .groupBy(col("m.c_id").as("_id"))
+      .agg(array_sort(collect_set("rxn")).as("Reactant_in"))
+    val pOf = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .groupBy(col("m.c_id").as("_id"))
+      .agg(array_sort(collect_set("rxn")).as("Product_of"))
+    state.compounds.select("_id")
+      .join(rIn, Seq("_id"), "left")
+      .join(pOf, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("Reactant_in"), array()).as("Reactant_in"),
+        coalesce(col("Product_of"), array()).as("Product_of"))
+  }
+
+  /** D4/D5: prune to targets — reverse BFS over the bipartite graph
+    * (find_minimal_set, pickaxe.py:995-1044), as iterative semi-joins.
+    */
+  def pruneToTargets(state: NetworkState, targetSmiles: Seq[String]): NetworkState = {
+    val targetIds = targetSmiles.flatMap(Chem.standardize(_))
+      .map(s => Chem.compoundHash(s, 'C'))
+    if (targetIds.isEmpty)
+      return NetworkState(state.compounds.limit(0), state.reactions.limit(0),
+        state.generation)
+    val seeds = state.compounds
+      .where(col("_id").isin(targetIds: _*))
+      .select(col("_id").as("c_id")).distinct()
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id")).persist()
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id")).persist()
+
+    var keepC = seeds.localCheckpoint()
+    var keepR = spark.emptyDataset[String].toDF("rxn")
+    var frontier = keepC
+    var done = false
+    while (!done) {
+      val newR = prodM.join(frontier, Seq("c_id"), "left_semi")
+        .select("rxn").distinct()
+        .join(keepR, Seq("rxn"), "left_anti").localCheckpoint()
+      if (newR.isEmpty) done = true
+      else {
+        keepR = keepR.union(newR).distinct().localCheckpoint()
+        val newC = reacM.join(newR, Seq("rxn"), "left_semi")
+          .where(col("c_id").startsWith("C"))
+          .select("c_id").distinct()
+          .join(keepC, Seq("c_id"), "left_anti").localCheckpoint()
+        if (newC.isEmpty) done = true
+        else {
+          keepC = keepC.union(newC).distinct().localCheckpoint()
+          frontier = newC
+        }
+      }
+    }
+    // keep every C member (both sides) of kept reactions, plus seeds
+    val memberC = prodM.union(reacM)
+      .join(keepR, Seq("rxn"), "left_semi")
+      .where(col("c_id").startsWith("C"))
+      .select("c_id").union(keepC.select("c_id")).distinct()
+    val prunedC = state.compounds.join(
+      memberC.withColumnRenamed("c_id", "_id"), Seq("_id"), "left_semi")
+    val keepAll = state.compounds
+      .where(col("Type") === "Coreactant").select("_id")
+      .union(prunedC.select("_id"))
+    val outC = state.compounds.join(keepAll.distinct(), Seq("_id"), "left_semi")
+    val outR = state.reactions.join(keepR.withColumnRenamed("rxn", "_id"),
+      Seq("_id"), "left_semi")
+    prodM.unpersist(); reacM.unpersist()
+    NetworkState(outC, outR, state.generation)
+  }
+
+  /** W1: dense export ids (assign_ids, pickaxe.py:1046-1102). */
+  def assignIds(state: NetworkState): NetworkState = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.orderBy("Generation", "_id")
+    val wr = Window.orderBy("_id")
+    NetworkState(
+      state.compounds.withColumn("ID",
+        format_string("pkc%07d", row_number().over(wc))),
+      state.reactions.withColumn("ID",
+        format_string("pkr%07d", row_number().over(wr))),
+      state.generation)
+  }
+
+  /** TSV export (pickaxe.py:1104-1163): deterministic order by ID. */
+  def writeTsv(state: NetworkState, outDir: String): Unit = {
+    val st = assignIds(state)
+    st.compounds
+      .select("ID", "Type", "Generation", "Formula", "SMILES")
+      .orderBy("ID")
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$outDir/compounds")
+    st.reactions
+      .withColumn("Rxn_hash", col("_id"))
+      .select("ID", "Rxn_hash", "SMILES_rxn")
+      .orderBy("ID")
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$outDir/reactions")
+  }
+}
+
+object PickaxeEngine {
+
+  /** Compound row with kernel-computed properties (static: safe to use
+    * inside task closures without capturing the engine).
+    */
+  def mkCompound(
+      id: String, smiles: String, cType: String, gen: Int,
+      expand: Boolean): CompoundRow = {
+    val m = Smiles.parse(smiles)
+    CompoundRow(id, "", smiles, cType, gen,
+      Formula.hillFormula(m), m.formalCharge, Formula.exactMass(m), expand)
+  }
+
+  /** S4: coreactant TSV (`#`-comments; columns #ID, Name, SMILES). */
+  def parseCoreactants(lines: Seq[String]): Seq[CoreactantRow] =
+    lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .flatMap { l =>
+        val p = l.split("\t")
+        if (p.length < 2) None
+        else {
+          val name = p(0).trim
+          val smi = p.last.trim
+          Chem.standardize(smi, allowFragments = true).map { canon =>
+            CoreactantRow(name, canon, Chem.compoundHash(canon, 'X'))
+          }
+        }
+      }
+
+  /** S5: rule TSV (header Name/Reactants/SMARTS/Products; `#` comments;
+    * `;`-separated role lists; referential check vs coreactants).
+    */
+  def parseRules(
+      lines: Seq[String],
+      coreactants: Seq[CoreactantRow]): Seq[RuleRow] = {
+    val names = coreactants.map(_.name).toSet
+    val rows = lines
+      .filterNot(l => l.startsWith("Name\t") || l.startsWith("#") ||
+        l.trim.isEmpty)
+    rows.flatMap { l =>
+      val p = l.split("\t")
+      if (p.length < 4) None
+      else {
+        val roles = p(1).split(";").map(_.trim).toSeq
+        val prodRoles = p(3).split(";").map(_.trim).toSeq
+        require(roles.forall(r => r == "Any" || names.contains(r)),
+          s"rule ${p(0)}: unknown coreactant in $roles")
+        Some(RuleRow(p(0).trim, roles, p(2).trim, prodRoles))
+      }
+    }
+  }
+}
