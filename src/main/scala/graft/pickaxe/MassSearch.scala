@@ -1,0 +1,128 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** The reference's metabolomics query surface (metabolomics.py):
+  * mass/adduct search (3.2) and MS2 spectral scoring (3.3), Spark-first.
+  *
+  * The per-(peak,adduct) Mongo range `find` of the reference becomes ONE
+  * lazy plan: peaks x adducts (small, broadcast) -> bucketed interval
+  * join (J6) against the compound Mass column -> hit statistics (A6).
+  */
+object MassSearch {
+
+  /** Default adducts (metabolomics data: [M+H]+ / [M-H]-; proton mass). */
+  val defaultAdducts: Seq[AdductRow] = Seq(
+    AdductRow("[M+H]+", 1.0, 1.007276),
+    AdductRow("[M-H]-", 1.0, -1.007276))
+
+  /** S9: adduct TSV (name \t mult \t mass, `#` comments). */
+  def parseAdducts(lines: Seq[String]): Seq[AdductRow] =
+    lines.filterNot(l => l.startsWith("#") || l.trim.isEmpty).flatMap { l =>
+      val p = l.split("\t").map(_.trim)
+      if (p.length < 3) None
+      else Some(AdductRow(p(0), p(1).toDouble, p(2).toDouble))
+    }
+
+  /** Mass/adduct search (ms_adduct_search, metabolomics.py:867-980).
+    *
+    * @param compounds DataFrame with `_id`, `SMILES`, `Formula`, `Mass`,
+    *                  `Charge` columns (the engine's compound table)
+    * @param peaks     (name, mz, charge) rows
+    * @param tol       tolerance; Da when `ppm` false, else parts-per-million
+    * @return hits: peak name, adduct, compound id/SMILES + potential mass
+    */
+  def adductSearch(
+      spark: SparkSession,
+      compounds: DataFrame,
+      peaks: DataFrame,
+      adducts: Seq[AdductRow] = defaultAdducts,
+      tol: Double = 0.001,
+      ppm: Boolean = false,
+      excludeHalogens: Boolean = true): DataFrame = {
+    import spark.implicits._
+    // potential mass per (peak, adduct): (mz - ion) / mult ± tol
+    // (metabolomics.py:211-217); charge polarity must match the adduct's
+    val adductDf = adducts.toDF()
+      .select(col("name").as("adduct"), col("mult"), col("ionMass"))
+    val ranges = peaks.crossJoin(broadcast(adductDf))
+      .where((col("charge") === "+" && col("ionMass") > 0) ||
+        (col("charge") === "-" && col("ionMass") < 0))
+      .withColumn("potential_mass", (col("mz") - col("ionMass")) / col("mult"))
+      .withColumn("tol_da",
+        if (ppm) col("potential_mass") * tol / 1e6 else lit(tol))
+      .select(col("name").as("peak"), col("adduct"),
+        (col("potential_mass") - col("tol_da")).as("lo"),
+        (col("potential_mass") + col("tol_da")).as("hi"))
+    val cands = compounds
+      .where(col("Charge") === 0) // neutral compounds (metabolomics.py:231)
+      .select(col("_id"), col("SMILES"), col("Formula"), col("Mass"))
+    val filtered =
+      if (excludeHalogens) // P4: metabolomics.py:239-241
+        cands.where(!col("Formula").rlike("F[^e]|Cl|Br"))
+      else cands
+    RangeJoin.intervalJoin(filtered, ranges, "Mass", "lo", "hi",
+      bucketWidth = 0.01)
+  }
+
+  /** A6: per-peak hit statistics (total_hits, distinct formulas —
+    * metabolomics.py:245-252,391-394).
+    */
+  def peakStats(hits: DataFrame): DataFrame =
+    hits.groupBy("peak")
+      .agg(count(lit(1)).as("total_hits"),
+        countDistinct("Formula").as("n_formulas"),
+        countDistinct("_id").as("n_compounds"))
+
+  /** A11/J10: spectral similarity between two (mz, intensity) lists with
+    * ±tol both-advance merge — the reference's _approximate_matches +
+    * dot_product (metabolomics.py:404-514) as one deterministic kernel.
+    */
+  def spectralDot(
+      a: Seq[(Double, Double)],
+      b: Seq[(Double, Double)],
+      tol: Double): Double = {
+    val sa = a.sortBy(_._1); val sb = b.sortBy(_._1)
+    var i = 0; var j = 0
+    var z = 0.0; var na = 0.0; var nb = 0.0
+    sa.foreach(t => na += t._2 * t._2)
+    sb.foreach(t => nb += t._2 * t._2)
+    while (i < sa.length && j < sb.length) {
+      val d = sa(i)._1 - sb(j)._1
+      if (math.abs(d) <= tol) { z += sa(i)._2 * sb(j)._2; i += 1; j += 1 }
+      else if (d < 0) i += 1
+      else j += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else z / math.sqrt(na * nb)
+  }
+
+  /** Spectral Jaccard (metabolomics.py:435-460). */
+  def spectralJaccard(
+      a: Seq[(Double, Double)],
+      b: Seq[(Double, Double)],
+      tol: Double): Double = {
+    val sa = a.map(_._1).sorted; val sb = b.map(_._1).sorted
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      val d = sa(i) - sb(j)
+      if (math.abs(d) <= tol) { inter += 1; i += 1; j += 1 }
+      else if (d < 0) i += 1
+      else j += 1
+    }
+    val union = sa.length + sb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Likelihood scoring (score_compounds, metabolomics.py:1209-1269):
+    * 0.75 for native-set members, 0.25 base for derived compounds.
+    */
+  def scoreCompounds(hits: DataFrame, nativeIds: DataFrame): DataFrame =
+    hits.join(nativeIds.select(col("_id")).withColumn("native", lit(true)),
+        Seq("_id"), "left")
+      .withColumn("likelihood_score",
+        when(col("native"), 0.75).otherwise(0.25))
+      .drop("native")
+}

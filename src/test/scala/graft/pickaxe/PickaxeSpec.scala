@@ -104,6 +104,21 @@ class PickaxeSpec extends SparkSuite {
     assert(!pruned.compounds.where(col("_id") === tid).isEmpty)
   }
 
+  test("prune to the reference's target matches its oracle: " +
+    "6 compounds / 4 reactions") {
+    assume(fixturesPresent)
+    // test_target_generation (test_pickaxe.py:207-220)
+    val core = engine.coreactants.filter(c => Set("ATP", "ADP")(c.name))
+    val e = new PickaxeEngine(spark,
+      engine.rules.filter(_.name == "2.7.1.a"), core)
+    val target = scala.io.Source.fromFile(s"$dataDir/test_targets.csv")
+      .getLines().drop(1).next().split(",")(1)
+    val st = e.run(Seq(fadh), generations = 2)
+    val pruned = e.pruneToTargets(st, Seq(target))
+    assert(pruned.reactions.count() === 4) // test_pickaxe.py:219
+    assert(pruned.compounds.count() === 6) // test_pickaxe.py:220
+  }
+
   test("assign_ids is dense and deterministic") {
     assume(fixturesPresent)
     val st = engine.assignIds(engine.run(Seq(fadh), 1))
