@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * (image/audio/video) as opaque `binary` columns + typed metadata,
+  * processed batch-wise with `mapPartitions`-style iteration.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs — see the builder brief): `decodeStub` derives deterministic
+  * pseudo-features from the bytes. Everything around it — schema,
+  * partition-batched iteration, feature schema, chunking — is the real
+  * Spark plumbing a codec-backed UDF would drop into.
+  */
+object Multimodal {
+
+  /** Feature row the stub "decoder" emits per media blob. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sig", StringType, nullable = false)))
+
+  /** Deterministic fake decode: "header parse" from the first bytes.
+    * A real implementation would decode image dimensions / audio frames;
+    * the signature-hash and chunk math are representative of the shape.
+    */
+  def decodeStub(bytes: Array[Byte], chunkSize: Int): Row = {
+    val n = bytes.length.toLong
+    val nChunks = ((n + chunkSize - 1) / chunkSize).toInt
+    // pretend the first 4 bytes encode dimensions
+    def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    val width = 1 + (b(0) << 8 | b(1)) % 1024
+    val height = 1 + (b(2) << 8 | b(3)) % 1024
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).take(4).map("%02x".format(_)).mkString
+    Row(n, nChunks, width, height, sig)
+  }
+
+  /** Attach stub-decoded features to a DataFrame's binary column via
+    * partition-batched iteration (the mapInPandas analog in Scala).
+    */
+  def withDecodedFeatures(
+      df: DataFrame,
+      binaryCol: String,
+      chunkSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ featureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // batch shape: the stub is called per row but a codec would get
+      // the whole iterator to batch I/O — keep that structure
+      it.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case s: String => s.getBytes("UTF-8")
+          case null => Array.empty[Byte]
+        }
+        Row.fromSeq(row.toSeq ++ decodeStub(bytes, chunkSize).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Split a binary column into fixed-size chunk rows — the sharded-blob
+    * layout pattern (one row per chunk, ordered by chunk_idx) used when
+    * media exceeds row-size budgets.
+    */
+  def chunked(df: DataFrame, binaryCol: String, chunkSize: Int): DataFrame =
+    df.withColumn("__n", octet_length(col(binaryCol)))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(ceil(col("__n") / chunkSize).cast("int") - 1, lit(0)))))
+      .withColumn("chunk",
+        expr(s"substring($binaryCol, chunk_idx * $chunkSize + 1, $chunkSize)"))
+      .drop("__n")
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Remaining SURVEY §2 scalar/shape families over the synthetic tables,
+  * each oracle-checked: content-hash identity (P10/P11), stoichiometry
+  * text equations (A2/P11), mass-change join (J12), path-length sort +
+  * per-gen threshold lookup (W6/W7), and the multimodal binary-column
+  * pipeline (stub decode, chunk math).
+  */
+object PipelineQueries extends QueryPack {
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_hash_ids", Seq("P10", "P11"),
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 50 === 0)
+          .select(
+            col("doc_id"),
+            concat(lit("C"), sha2(col("text"), 256)).as("cid"))
+          .withColumn("xid",
+            concat(lit("X"), substring(col("cid"), 2, 64)))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'C' || sha256(text) AS cid,
+          'X' || substr('C' || sha256(text), 2, 64) AS xid
+        FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id"""),
+      "Content-addressed ids: type prefix + sha hash, prefix surgery " +
+        "(C->X) — the reference's compound/reaction identity scheme."),
+
+    GraftQuery(
+      "q_stoich_agg", Seq("A2", "A3", "P11"),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") % 499 === 0)
+          .groupBy("l_orderkey", "l_partkey")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("l_orderkey")
+          .agg(array_join(array_sort(collect_list(
+            format_string("(%d) %d", col("cnt"), col("l_partkey")))), " + ")
+            .as("equation"))
+          .orderBy("l_orderkey"),
+      Some("""WITH c AS (SELECT l_orderkey, l_partkey, count(*) AS cnt
+            FROM lineitem WHERE l_orderkey % 499 = 0 GROUP BY 1,2),
+          e AS (SELECT l_orderkey,
+            string_agg('(' || cnt || ') ' || l_partkey, ' + '
+              ORDER BY '(' || cnt || ') ' || l_partkey) AS equation
+          FROM c GROUP BY 1)
+        SELECT l_orderkey, equation FROM e ORDER BY 1"""),
+      "Stoichiometry counting + sorted text equation — the reference's " +
+        "half-reaction build (reactions.py:87-116, utils.py:343-361)."),
+
+    GraftQuery(
+      "q_mass_change", Seq("J12"),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("items_net"))
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 199 === 0)
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") - col("items_net"), 2)
+              .as("mass_change"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+            sum(l_extendedprice * (1 - l_discount)) AS items_net
+          FROM lineitem GROUP BY 1)
+        SELECT o_orderkey, round(o_totalprice - items_net, 2) AS mass_change
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 199 = 0 ORDER BY 1"""),
+      "Mass-change computation across a join — add_reaction_mass_change " +
+        "(databases.py:117-173)."),
+
+    GraftQuery(
+      "q_pathlen", Seq("W6", "W7"),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_set("l_partkey")).as("path"))
+          .select(col("l_orderkey"), size(col("path")).as("path_len"),
+            element_at(
+              array(lit(5), lit(10), lit(20)),
+              least(size(col("path")), lit(3))).as("gen_threshold"),
+            array_join(col("path"), ";").as("path_str"))
+          .orderBy(col("path_len").desc, col("l_orderkey").asc)
+          .limit(10),
+      Some("""SELECT l_orderkey, len(path) AS path_len,
+          [5,10,20][least(len(path), 3)] AS gen_threshold,
+          array_to_string(path, ';') AS path_str
+        FROM (SELECT l_orderkey,
+            list_sort(list_distinct(list(l_partkey))) AS path
+          FROM lineitem GROUP BY 1)
+        ORDER BY len(path) DESC, l_orderkey LIMIT 10"""),
+      "Path arrays sorted by length (pathway_search.py:61) + the per-gen " +
+        "threshold list lookup crit[min(gen, len-1)] (similarity.py:610)."),
+
+    GraftQuery(
+      "q_multimodal", Seq("S10", "D9", "P6"),
+      (s, dir) => {
+        val media = Tables.load(s, dir, "documents")
+          .withColumn("media", col("text").cast("binary"))
+          .withColumn("n_bytes", octet_length(col("media")))
+          .withColumn("n_chunks",
+            ceil(col("n_bytes") / 256.0).cast("long"))
+          .withColumn("header_sig", md5(substring(col("text"), 1, 4)))
+        media.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bytes").as("total_bytes"),
+            sum("n_chunks").as("total_chunks"),
+            countDistinct("header_sig").as("n_headers"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source, strlen(text) AS n_bytes,
+            ceil(strlen(text) / 256.0)::BIGINT AS n_chunks,
+            md5(substr(text, 1, 4)) AS header_sig
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+          sum(n_bytes)::BIGINT AS total_bytes,
+          sum(n_chunks)::BIGINT AS total_chunks,
+          count(DISTINCT header_sig) AS n_headers
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Multimodal binary-column pipeline: opaque bytes + chunk budget + " +
+        "deterministic header 'decode' stub (see operators.Multimodal " +
+        "for the mapPartitions feature-extraction plumbing)."),
+  )
+}

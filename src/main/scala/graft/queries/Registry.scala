@@ -23,6 +23,7 @@ object Registry {
     RelationalQueries,
     TextQueries,
     SimilarityQueries,
+    PipelineQueries,
     PickaxeQueries)
 
   lazy val all: Seq[GraftQuery] = {
