@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.pickaxe.AdductRow
+
+/** Keyed session state carried across micro-batches (top-level so the
+  * state encoder's generated code can reach the constructor).
+  */
+final case class SessionState(lastTs: Long, sessionId: Long, nEvents: Long)
+
+/** Structured Streaming surfaces (SURVEY §2.10).
+  *
+  * The reference is pure batch; its one unbounded-in-principle feed is
+  * the metabolomics peak stream (annotate_peaks processes peaks one at a
+  * time, metabolomics.py:354-397). Streaming analogs here:
+  *
+  *  - `peakSearchStream`: stream of peaks joined to the static compound
+  *    table — a stream-static interval join; no watermark needed because
+  *    the static side never lates.
+  *  - `windowedEventCounts`: watermarked sliding-window aggregation over
+  *    an event stream (the streaming twin of q_time_buckets).
+  *  - `sessionize`: custom keyed state via flatMapGroupsWithState — the
+  *    streaming twin of the batch gap-sessionize operator.
+  */
+object StreamingOps {
+
+  /** Stream-static mass search: each arriving peak row (name, mz,
+    * charge) is expanded by the (broadcastable) adduct list and interval-
+    * joined to the static compounds table on Mass. The static side is a
+    * bucketed equi-join prelude + exact range check, so the plan stays an
+    * equi-join (no per-row scans) at any compound-table size.
+    */
+  def peakSearchStream(
+      peaks: DataFrame,
+      compounds: DataFrame,
+      adducts: Seq[AdductRow],
+      tolDa: Double = 0.001,
+      bucketWidth: Double = 0.01): DataFrame = {
+    val spark = compounds.sparkSession
+    import spark.implicits._
+    val adductDf = adducts.toDF()
+      .select(col("name").as("adduct"), col("mult"), col("ionMass"))
+    val ranges = peaks.crossJoin(broadcast(adductDf))
+      .where((col("charge") === "+" && col("ionMass") > 0) ||
+        (col("charge") === "-" && col("ionMass") < 0))
+      .withColumn("pm", (col("mz") - col("ionMass")) / col("mult"))
+      .select(col("name").as("peak"), col("adduct"),
+        (col("pm") - tolDa).as("lo"), (col("pm") + tolDa).as("hi"))
+      // bucket keys on the stream side: every bucket the window overlaps
+      .withColumn("bucket", explode(sequence(
+        floor(col("lo") / bucketWidth).cast("long"),
+        floor(col("hi") / bucketWidth).cast("long"))))
+    val bucketed = compounds
+      .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
+    ranges.join(bucketed, Seq("bucket"))
+      .where(col("Mass") > col("lo") && col("Mass") < col("hi"))
+      .select("peak", "adduct", "_id", "SMILES", "Formula", "Mass")
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedEventCounts(
+      events: DataFrame, // columns: ts (timestamp), event_type
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
+
+  /** Gap-based streaming sessionization with explicit keyed state —
+    * emits a row per event annotated with its running session id.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { ev =>
+            val t = ev.ts.getTime
+            st =
+              if (st.lastTs == Long.MinValue ||
+                t - st.lastTs > gapSeconds * 1000)
+                SessionState(t, st.sessionId + 1, st.nEvents + 1)
+              else st.copy(lastTs = t, nEvents = st.nEvents + 1)
+            SessionOut(userId, st.nEvents, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.pickaxe.AdductRow
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream-static peak search joins arriving peaks to compounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val peaks = MemoryStream[(String, Double, String)]
+    val compounds = Seq(
+      ("C1", "CCO", "C2H6O", 46.041865, 0),
+      ("C2", "CC(=O)O", "C2H4O2", 60.021130, 0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
+    val hits = StreamingOps.peakSearchStream(
+      peaks.toDF().toDF("name", "mz", "charge"), compounds,
+      Seq(AdductRow("[M+H]+", 1.0, 1.007276)), tolDa = 0.01)
+    val q = hits.writeStream.format("memory").queryName("peak_hits")
+      .outputMode("append").start()
+    try {
+      peaks.addData(("p_etoh", 47.049141, "+"), ("p_miss", 999.0, "+"))
+      q.processAllAvailable()
+      val got = spark.table("peak_hits")
+        .select("peak", "_id").as[(String, String)].collect().toSet
+      assert(got === Set(("p_etoh", "C1")))
+      // second micro-batch joins against the same static side
+      peaks.addData(("p_acoh", 61.028406, "+"))
+      q.processAllAvailable()
+      assert(spark.table("peak_hits").count() === 2)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedEventCounts(
+      events.toDF().toDF("ts", "event_type"), "1 hour", "2 hours")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      events.addData((t(10, 5), "view"), (t(10, 55), "view"),
+        (t(11, 5), "view"), (t(10, 30), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select(date_format(col("bucket"), "HH").cast("int"),
+          col("event_type"), col("n"))
+        .as[(Int, String, Long)].collect().toSet
+      assert(got === Set((10, "view", 2L), (11, "view", 1L),
+        (10, "purchase", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization splits on gap across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionize(events.toDS(), gapSeconds = 3600)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, s: String) =
+        StreamingOps.SessionEvent(u, Timestamp.valueOf(s))
+      events.addData(ev(1, "2024-01-01 00:00:00"), ev(1, "2024-01-01 00:10:00"))
+      q.processAllAvailable()
+      // state persists across micro-batches: a 2h gap opens session 2
+      events.addData(ev(1, "2024-01-01 02:30:00"), ev(2, "2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions")
+        .groupBy("userId").agg(max("sessionId").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(byUser === Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
