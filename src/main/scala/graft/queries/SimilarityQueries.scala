@@ -133,8 +133,13 @@ object SimilarityQueries extends QueryPack {
     GraftQuery(
       "q_sim_neardup_cos", Seq("D1", "A10", "J11"),
       (s, dir) => {
+        // materialize the sketch table before the self-join: without the
+        // barrier, project collapse inlines the (interpreted-HOF) sketch
+        // expression into the join and re-evaluates it per candidate
+        // pair — measured 41s -> 1.1s at sf0.1 for the same result
         val e = quantized(s, dir)
           .withColumn("bucket", VectorOps.signSketch("qe", bits = 8))
+          .localCheckpoint()
         val pairs = e.as("x").join(e.as("y"),
             col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") < col("y.vec_id"))

@@ -178,7 +178,9 @@ object TextQueries extends QueryPack {
               "element_at(t, i+2))))"))
           .withColumn("sig", TextOps.minhashSignature("sh", k = 16))
           .select("doc_id", "sh", "sig")
-          .persist()
+          // materialized: reused by bands/buckets/verification, and the
+          // self-join must not re-inline the signature expression
+          .localCheckpoint()
         val bands = base.select(
             col("doc_id"), col("sig"),
             explode(expr("sequence(0, 3)")).as("b"))
@@ -222,7 +224,8 @@ object TextQueries extends QueryPack {
         sigs AS (SELECT doc_id, sh,
             list_transform(range(0, 16), s ->
               list_min(list_transform(sh, g ->
-                ${dh("(s::VARCHAR || '|' || g)")}))) AS sig
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
           FROM s3),
         bands AS (SELECT doc_id, b,
             md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
