@@ -1,0 +1,81 @@
+package graft.chem
+
+/** MOL (V2000) / SDF readers — compound_io.py:423-538 (S10).
+  * Parses the counts line, atom block (symbol + charge field) and bond
+  * block; ignores coordinates. SDF = MOL records joined by `$$$$` with
+  * `> <tag>` data fields.
+  */
+object MolFile {
+
+  /** Charge field in V2000 atom lines: 0=none 1=+3 2=+2 3=+1 5=-1 6=-2 7=-3. */
+  private def chargeOf(code: Int): Int = code match {
+    case 1 => 3; case 2 => 2; case 3 => 1
+    case 5 => -1; case 6 => -2; case 7 => -3
+    case _ => 0
+  }
+
+  def parseMol(lines0: Seq[String]): Molecule = {
+    // anchor on the V2000 counts line (header is nominally 3 lines, but
+    // SDF splitting / leading blank lines can shift it)
+    val ci = lines0.indexWhere(_.contains("V2000"))
+    require(ci >= 0, "MOL: no V2000 counts line")
+    val lines = lines0
+    val counts = lines(ci)
+    val nAtoms = counts.substring(0, 3).trim.toInt
+    val nBonds = counts.substring(3, 6).trim.toInt
+    val atoms = (0 until nAtoms).map { i =>
+      val l = lines(ci + 1 + i)
+      val sym = l.substring(31, 34).trim
+      val cc = if (l.length >= 39) l.substring(36, 39).trim.toIntOption.getOrElse(0) else 0
+      Atom(sym, charge = chargeOf(cc))
+    }.toVector
+    val bonds = (0 until nBonds).map { i =>
+      val l = lines(ci + 1 + nAtoms + i)
+      val a = l.substring(0, 3).trim.toInt - 1
+      val b = l.substring(3, 6).trim.toInt - 1
+      val t = l.substring(6, 9).trim.toInt
+      // type 4 = aromatic
+      if (t == 4) Bond(a, b, 1, aromatic = true)
+      else Bond(a, b, t, aromatic = false)
+    }.toVector
+    // M  CHG overrides
+    val chg = lines.filter(_.startsWith("M  CHG")).flatMap { l =>
+      val p = l.trim.split("\\s+").drop(2)
+      p.drop(1).grouped(2).collect { case Array(idx, q) =>
+        (idx.toInt - 1, q.toInt)
+      }
+    }
+    val withChg = chg.foldLeft(atoms) { case (as, (i, q)) =>
+      as.updated(i, as(i).copy(charge = q))
+    }
+    new Molecule(withChg, bonds)
+  }
+
+  /** Canonical SMILES of a MOL block. */
+  def molToSmiles(molBlock: String): String =
+    Smiles.write(parseMol(molBlock.linesIterator.toSeq))
+
+  /** SDF: sequence of (canonical SMILES, data fields). */
+  def parseSdf(content: String): Seq[(String, Map[String, String])] =
+    content.split("\\$\\$\\$\\$").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap { record =>
+        val lines = record.linesIterator.toSeq
+        val endIdx = lines.indexWhere(_.startsWith("M  END"))
+        if (endIdx < 0) None
+        else {
+          val smiles = Smiles.write(parseMol(lines.take(endIdx + 1)))
+          val fields = scala.collection.mutable.Map.empty[String, String]
+          var i = endIdx + 1
+          while (i < lines.length) {
+            val l = lines(i)
+            if (l.startsWith("> ")) {
+              val tag = "<([^>]+)>".r.findFirstMatchIn(l).map(_.group(1))
+              val value = if (i + 1 < lines.length) lines(i + 1) else ""
+              tag.foreach(t => fields(t) = value)
+              i += 2
+            } else i += 1
+          }
+          Some((smiles, fields.toMap))
+        }
+      }
+}

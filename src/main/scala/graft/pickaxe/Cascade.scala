@@ -1,0 +1,94 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D6 + J8: the cascading delete of the filter pipeline and the
+  * product-of-native back-trace, as relational fixpoints.
+  */
+object Cascade {
+
+  /** Cascading filter delete (base_filter.py:163-286): remove the chosen
+    * compounds, but delete a reaction only when ALL its C-products are
+    * removed; products of surviving reactions are resurrected; after
+    * reaction deletes, newly-orphaned predicted compounds cascade — loop
+    * to fixpoint.
+    */
+  def cascadeDelete(state: NetworkState, removeIds: DataFrame): NetworkState = {
+    val spark = state.compounds.sparkSession
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val reacAndProd = state.reactions
+      .select(col("_id").as("rxn"), explode(concat(col("Reactants"),
+        col("Products"))).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    // compounds never removable: starting compounds + coreactants
+    val protectedC = state.compounds
+      .where(col("Type").isin("Starting Compound", "Coreactant"))
+      .select("_id")
+
+    var remove = removeIds.select("_id").distinct()
+      .join(protectedC, Seq("_id"), "left_anti")
+      .localCheckpoint()
+    var deadRxns = spark.emptyDataFrame.select(lit("").as("rxn")).limit(0)
+    var stable = false
+    while (!stable) {
+      // a reaction dies iff every C-product is in the remove set
+      val dead = prodM
+        .join(remove.withColumnRenamed("_id", "c_id")
+          .withColumn("removed", lit(true)), Seq("c_id"), "left")
+        .groupBy("rxn")
+        .agg(min(coalesce(col("removed"), lit(false))).as("all_removed"))
+        .where(col("all_removed")).select("rxn")
+        .localCheckpoint()
+      // compounds still referenced by a surviving reaction are kept
+      // (resurrection, base_filter.py:274-278)
+      val surviving = reacAndProd.join(dead, Seq("rxn"), "left_anti")
+      val keepC = surviving.select(col("c_id").as("_id")).distinct()
+        .union(protectedC).distinct()
+      val newRemove = state.compounds.select("_id")
+        .join(keepC, Seq("_id"), "left_anti")
+        .localCheckpoint()
+      stable = newRemove.count() == remove.count() &&
+        dead.count() == deadRxns.count()
+      remove = newRemove
+      deadRxns = dead
+    }
+    val outC = state.compounds.join(remove, Seq("_id"), "left_anti")
+    val outR = state.reactions.join(
+      deadRxns.withColumnRenamed("rxn", "_id"), Seq("_id"), "left_anti")
+    prodM.unpersist(); reacAndProd.unpersist()
+    NetworkState(outC, outR, state.generation)
+  }
+
+  /** J8 (check_product_of_native, metabolomics.py:273-352): of the given
+    * compound ids, return those produced by at least one reaction whose
+    * reactants include a native-set compound — the 3-stage Mongo $lookup
+    * chain as two semi-joins.
+    */
+  def productOfNative(
+      state: NetworkState,
+      compoundIds: DataFrame, // column `_id`
+      nativeIds: DataFrame // column `_id`
+  ): DataFrame = {
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")) // native trace is C-only
+    val nativeRxns = reacM
+      .join(nativeIds.withColumnRenamed("_id", "c_id"), Seq("c_id"),
+        "left_semi")
+      .select("rxn").distinct()
+    prodM
+      .join(compoundIds.withColumnRenamed("_id", "c_id"), Seq("c_id"),
+        "left_semi")
+      .join(nativeRxns, Seq("rxn"), "left_semi")
+      .select(col("c_id").as("_id")).distinct()
+  }
+}

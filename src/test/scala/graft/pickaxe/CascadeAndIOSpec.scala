@@ -1,0 +1,88 @@
+package graft.pickaxe
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.chem.{MolFile, NPScore, Smiles}
+
+class CascadeAndIOSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def state(): NetworkState = {
+    // tiny hand-built network:
+    //   S (start) -> R1 -> {P1, P2};  P1 -> R2 -> {P3};  P2 -> R3 -> {P4}
+    val compounds = Seq(
+      ("CS", "Starting Compound"), ("CP1", "Predicted"),
+      ("CP2", "Predicted"), ("CP3", "Predicted"), ("CP4", "Predicted"))
+      .map { case (id, t) => (id, "", "C", t, 0, "CH4", 0, 16.0, true) }
+      .toDF("_id", "ID", "SMILES", "Type", "Generation", "Formula",
+        "Charge", "Mass", "Expand")
+    val reactions = Seq(
+      ("R1", Seq((1, "CS")), Seq((1, "CP1"), (1, "CP2"))),
+      ("R2", Seq((1, "CP1")), Seq((1, "CP3"))),
+      ("R3", Seq((1, "CP2")), Seq((1, "CP4"))))
+      .map { case (id, r, p) =>
+        (id, "", r.map(t => Stoich(t._1, t._2)), p.map(t => Stoich(t._1, t._2)),
+          Seq("rule"), "")
+      }
+      .toDF("_id", "ID", "Reactants", "Products", "Operators", "SMILES_rxn")
+    NetworkState(compounds, reactions, 2)
+  }
+
+  test("cascade delete: reaction survives while any product survives") {
+    // removing only P1: R1 survives (P2 remains) => P1 resurrected
+    val out = Cascade.cascadeDelete(state(), Seq("CP1").toDF("_id"))
+    assert(out.reactions.count() === 3)
+    assert(out.compounds.count() === 5) // resurrection
+  }
+
+  test("cascade delete: full-product removal cascades downstream") {
+    // removing P3 and P4 kills R2+R3; P1/P2 still produced by R1 -> kept
+    val out = Cascade.cascadeDelete(state(), Seq("CP3", "CP4").toDF("_id"))
+    assert(out.reactions.select("_id").as[String].collect().toSet === Set("R1"))
+    assert(out.compounds.select("_id").as[String].collect().toSet ===
+      Set("CS", "CP1", "CP2"))
+    // removing P1..P4 kills everything except the protected start
+    val all = Cascade.cascadeDelete(state(),
+      Seq("CP1", "CP2", "CP3", "CP4").toDF("_id"))
+    assert(all.reactions.count() === 0)
+    assert(all.compounds.select("_id").as[String].collect().toSet === Set("CS"))
+  }
+
+  test("product-of-native back-trace (J8)") {
+    val natives = Seq("CS").toDF("_id")
+    // P1, P2 produced from native S; P3 produced from non-native P1
+    val out = Cascade.productOfNative(state(),
+      Seq("CP1", "CP3").toDF("_id"), natives)
+    assert(out.as[String].collect().toSet === Set("CP1"))
+  }
+
+  test("MOL file: reference glucose fixture parses to glucose") {
+    assume(Files.exists(Paths.get("/root/reference/tests/data/glucose.mol")))
+    val mol = new String(Files.readAllBytes(
+      Paths.get("/root/reference/tests/data/glucose.mol")))
+    val smiles = MolFile.molToSmiles(mol)
+    // ring glucose: C6H12O6
+    assert(graft.chem.Formula.hillFormula(Smiles.parse(smiles)) === "C6H12O6")
+    assert(smiles === Smiles.canonical("OCC1OC(O)C(O)C(O)C1O"))
+  }
+
+  test("SDF parsing with data fields") {
+    val mol = new String(Files.readAllBytes(
+      Paths.get("/root/reference/tests/data/glucose.mol")))
+    val sdf = mol + "\n> <ID>\nglucose-1\n\n$$$$\n" + mol + "\n> <ID>\ng2\n\n$$$$\n"
+    val recs = MolFile.parseSdf(sdf)
+    assert(recs.length === 2)
+    assert(recs.head._2("ID") === "glucose-1")
+    assert(recs.map(_._1).distinct.length === 1)
+  }
+
+  test("NP score: deterministic, damped into [-5, 5]") {
+    val s1 = NPScore.score("CCO")
+    assert(s1 === NPScore.score("OCC")) // canonical-fragment invariant
+    for (smi <- Seq("CCO", "c1ccccc1O", "CC(=O)NC1OC(CO)C(O)C(O)C1O"))
+      assert(math.abs(NPScore.score(smi)) <= 5.0)
+  }
+}
