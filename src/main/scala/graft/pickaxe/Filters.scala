@@ -55,13 +55,15 @@ final case class TanimotoCutoffFilter(
     thresholds: Seq[Double]) extends NetworkFilter {
   override def name = s"TanimotoCutoff $thresholds"
   override def blocked(state: NetworkState): DataFrame = {
+    import graft.expressions.BitTanimoto
+    // packed-bitset fingerprints: popcount AND/OR beats set intersection
     val targetFps = targetSmiles
-      .map(s => Formula.fingerprint(Smiles.parse(s)))
+      .map(s => BitTanimoto.pack(Formula.fingerprint(Smiles.parse(s))))
     val crit = thresholds(math.min(state.generation, thresholds.length - 1))
     val simUdf = udf { smiles: String =>
-      val fp = Formula.fingerprint(Smiles.parse(smiles))
+      val fp = BitTanimoto.pack(Formula.fingerprint(Smiles.parse(smiles)))
       // short-circuits at the threshold like similarity.py:761-763
-      targetFps.exists(t => Formula.tanimoto(fp, t) >= crit)
+      targetFps.exists(t => BitTanimoto.tanimoto(fp, t) >= crit)
     }
     state.compounds
       .where(col("Generation") === state.generation && col("Expand") &&
@@ -83,11 +85,12 @@ final case class TanimotoSamplingFilter(
     minSim: Double = 0.15) extends NetworkFilter {
   override def name = s"TanimotoSampling n=$sampleSize"
   override def blocked(state: NetworkState): DataFrame = {
+    import graft.expressions.BitTanimoto
     val targetFps = targetSmiles
-      .map(s => Formula.fingerprint(Smiles.parse(s)))
+      .map(s => BitTanimoto.pack(Formula.fingerprint(Smiles.parse(s))))
     val simUdf = udf { smiles: String =>
-      val fp = Formula.fingerprint(Smiles.parse(smiles))
-      targetFps.map(t => Formula.tanimoto(fp, t)).maxOption.getOrElse(0.0)
+      val fp = BitTanimoto.pack(Formula.fingerprint(Smiles.parse(smiles)))
+      targetFps.map(t => BitTanimoto.tanimoto(fp, t)).maxOption.getOrElse(0.0)
     }
     val frontier = state.compounds
       .where(col("Generation") === state.generation && col("Expand") &&

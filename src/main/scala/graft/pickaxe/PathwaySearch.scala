@@ -1,0 +1,114 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pathway enumeration over the compound↔reaction bipartite graph
+  * (Scripts/pathway_search.py:59-144): BFS from a start compound,
+  * carrying reaction-id path arrays, bounded by `maxLength`, with an
+  * optional per-compound traversal predicate (the reference gates on
+  * NP-likeness floor and ΔG cap — pass e.g. a Thermo/NPScore UDF).
+  *
+  * Spark shape: one iteration = frontier ⋈ reactant-members ⋈
+  * product-members (two equi-joins) + a cycle check on the carried
+  * compound array; paths that reach the target are collected per
+  * iteration and the result is sorted by path length (W6).
+  */
+object PathwaySearch {
+
+  /** @return rows (path: array of reaction ids, n_steps, end_id) for
+    *         every acyclic path start -> target with <= maxLength steps
+    */
+  def findPaths(
+      state: NetworkState,
+      startId: String,
+      targetId: String,
+      maxLength: Int,
+      compoundGate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = state.compounds.sparkSession
+    import spark.implicits._
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("p_id"))
+      .where(col("p_id").startsWith("C")).persist()
+
+    var frontier = Seq((startId, Seq.empty[String], Seq(startId)))
+      .toDF("c_id", "path", "seen")
+    var results = spark.emptyDataset[(Seq[String], Int, String)]
+      .toDF("path", "n_steps", "end_id")
+    var depth = 0
+    while (depth < maxLength && !frontier.isEmpty) {
+      depth += 1
+      var stepped = frontier
+        .join(reacM, Seq("c_id"))
+        .join(prodM, Seq("rxn"))
+        .where(!array_contains(col("seen"), col("p_id")))
+      for (gate <- compoundGate) {
+        val gated = state.compounds.where(gate).select(col("_id").as("p_id"))
+        stepped = stepped.join(gated, Seq("p_id"), "left_semi")
+      }
+      val next = stepped.select(
+        col("p_id").as("c_id"),
+        concat(col("path"), array(col("rxn"))).as("path"),
+        concat(col("seen"), array(col("p_id"))).as("seen"))
+        .localCheckpoint()
+      results = results.union(
+        next.where(col("c_id") === targetId)
+          .select(col("path"), size(col("path")).as("n_steps"),
+            col("c_id").as("end_id")))
+      frontier = next.where(col("c_id") =!= targetId)
+    }
+    val out = results.orderBy(size(col("path")), col("path")(0))
+    reacM.unpersist(); prodM.unpersist()
+    out
+  }
+}
+
+/** Thermodynamics interface (thermodynamics.py:1-357): the reference
+  * computes ΔG via eQuilibrator (an external service + local cache);
+  * here the interface is a pluggable `Molecule => Double` with a
+  * deterministic bond-energy stub so pathway gating and filter wiring
+  * are real while the model is swappable.
+  */
+object Thermo {
+
+  /** Crude additive bond-enthalpy estimate (kJ/mol-ish, deterministic).
+    * Public average bond energies; good enough to ORDER compounds for
+    * gating tests, not a real ΔG.
+    */
+  def bondEnergyEstimate(m: graft.chem.Molecule): Double = {
+    val table = Map(
+      ("C", "C", 1) -> 346.0, ("C", "C", 2) -> 602.0, ("C", "C", 3) -> 835.0,
+      ("C", "H", 1) -> 411.0, ("C", "O", 1) -> 358.0, ("C", "O", 2) -> 799.0,
+      ("C", "N", 1) -> 305.0, ("C", "N", 2) -> 615.0, ("C", "N", 3) -> 887.0,
+      ("O", "H", 1) -> 459.0, ("N", "H", 1) -> 386.0, ("O", "O", 1) -> 142.0,
+      ("O", "P", 1) -> 335.0, ("O", "P", 2) -> 544.0, ("O", "S", 1) -> 265.0,
+      ("S", "H", 1) -> 363.0, ("C", "S", 1) -> 272.0)
+      .map { case ((a, b, o), v) => // normalize to sorted element pairs
+        (if (a <= b) (a, b, o) else (b, a, o)) -> v
+      }
+    def e(a: String, b: String, o: Int): Double = {
+      val k = if (a <= b) (a, b, o) else (b, a, o)
+      table.getOrElse(k, 250.0)
+    }
+    val explicit = m.withExplicitH
+    explicit.bonds.map { bd =>
+      val (x, y) = (explicit.atoms(bd.a).elem, explicit.atoms(bd.b).elem)
+      e(x, y, if (bd.aromatic) 1 else bd.order)
+    }.sum
+  }
+
+  /** ΔG of a reaction under a given per-molecule energy model:
+    * products minus reactants.
+    */
+  def deltaG(
+      reactants: Seq[(Int, graft.chem.Molecule)],
+      products: Seq[(Int, graft.chem.Molecule)],
+      model: graft.chem.Molecule => Double = bondEnergyEstimate): Double =
+    reactants.map(t => t._1 * model(t._2)).sum -
+      products.map(t => t._1 * model(t._2)).sum
+}

@@ -1,0 +1,62 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.chem.{Chem, Smiles}
+
+class PathwaySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val atp = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C1O"
+  private val adp = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)O)C(O)C1O"
+  private val fadh = "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC" +
+    "(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"
+  private val rule = "[#6;H2D4:8][#8;H0D2:7][#15;H0D4:6][#8;H0D2:5]" +
+    "[#15;H0D4:4][#8;H0D2:3][#15;H0D4:2][#8;H1D2R0:1]." +
+    "[#1;D1R0:11][#8;H1D2R0:10][#6:9]>>" +
+    "[*:1]-[*:2]-[*:10]-[*:9].[*:8]-[*:7]-[*:6]-[*:5]-[*:4]-[*:3]-[*:11]"
+  private val target = "Cc1cc2c(cc1C)N(CC(OP(=O)(O)O)C(OP(=O)(O)O)C(O)COP" +
+    "(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"
+
+  private lazy val st: NetworkState = {
+    val core = PickaxeEngine.parseCoreactants(Seq(
+      s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
+    new PickaxeEngine(spark,
+      PickaxeEngine.parseRules(Seq(s"2.7.1.a\tATP;Any\t$rule\tAny;ADP\t-"),
+        core), core).run(Seq(fadh), generations = 2)
+  }
+
+  private def cid(smiles: String): String =
+    Chem.compoundHash(Chem.standardize(smiles).get, 'C')
+
+  test("pathway search: FADH -> double-phospho target in exactly 2 steps") {
+    val paths = PathwaySearch.findPaths(st, cid(fadh), cid(target),
+      maxLength = 2)
+    val collected = paths.select("n_steps").as[Int].collect()
+    assert(collected.nonEmpty)
+    assert(collected.forall(_ === 2)) // two phosphorylations needed
+    // the reference's pruned network has 4 reactions on 2 paths
+    assert(paths.count() === 2)
+  }
+
+  test("path length cap is respected") {
+    assert(PathwaySearch.findPaths(st, cid(fadh), cid(target), 1).isEmpty)
+  }
+
+  test("compound gate prunes traversal") {
+    // gate that blocks everything -> no paths
+    val none = PathwaySearch.findPaths(st, cid(fadh), cid(target), 2,
+      compoundGate = Some(lit(false)))
+    assert(none.isEmpty)
+  }
+
+  test("thermo stub: deterministic, additive, reaction deltaG") {
+    val w = Smiles.parse("O")
+    val e1 = Thermo.bondEnergyEstimate(w)
+    assert(e1 === Thermo.bondEnergyEstimate(Smiles.parse("O")))
+    assert(e1 === 2 * 459.0) // two O-H bonds
+    val dg = Thermo.deltaG(Seq(1 -> w), Seq(1 -> w))
+    assert(dg === 0.0)
+  }
+}
