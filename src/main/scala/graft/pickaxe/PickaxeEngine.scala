@@ -259,6 +259,36 @@ final class PickaxeEngine(
 
 object PickaxeEngine {
 
+  /** S2: compound-file ingest (load_compound_set, pickaxe.py:445-495):
+    * CSV/TSV with auto separator, structure column detected by name
+    * (`smiles` / `inchi` / `structure`, case-insensitive — pickaxe.py:
+    * 463-470), standardize -> organic filter -> content-hash dedup.
+    * DEVIATION: InChI values are skipped (InChI omits bond orders;
+    * faithful reconstruction needs an RDKit-scale kernel) — SMILES
+    * columns are fully supported.
+    */
+  def loadCompoundFile(
+      spark: SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    val sep = if (path.endsWith(".tsv")) "\t" else ","
+    val raw = spark.read
+      .option("header", "true").option("sep", sep).csv(path)
+    val structureField = raw.columns
+      .find(c => Set("smiles", "inchi", "structure")(c.toLowerCase))
+      .getOrElse(sys.error("Structure field not found in input."))
+    raw.select(col(structureField).as("structure"))
+      .where(col("structure").isNotNull &&
+        !col("structure").startsWith("InChI="))
+      .as[String]
+      .flatMap(s => graft.chem.Chem.standardize(s))
+      .filter((s: String) => graft.chem.Chem.isOrganic(s))
+      .distinct()
+      .map(s => mkCompound(graft.chem.Chem.compoundHash(s, 'C'), s,
+        "Starting Compound", 0, expand = true))
+      .toDF()
+  }
+
   /** Compound row with kernel-computed properties (static: safe to use
     * inside task closures without capturing the engine).
     */

@@ -79,6 +79,21 @@ class CascadeAndIOSpec extends SparkSuite {
     assert(recs.map(_._1).distinct.length === 1)
   }
 
+  test("compound file loading: structure column detection + dedup") {
+    assume(Files.exists(Paths.get("/root/reference/tests/data/test_targets.csv")))
+    val df = PickaxeEngine.loadCompoundFile(spark,
+      "/root/reference/tests/data/test_targets.csv")
+    assert(df.count() === 1) // one smiles row in the fixture
+    assert(df.select("_id").first().getString(0).startsWith("C"))
+    // inline file with a duplicate + an inorganic + a fragment
+    val p = Files.createTempFile("cpds", ".csv")
+    Files.writeString(p,
+      "id,smiles\n1,CCO\n2,OCC\n3,[Na+].[Cl-]\n4,O\n5,c1ccccc1\n")
+    val df2 = PickaxeEngine.loadCompoundFile(spark, p.toString)
+    // CCO==OCC dedup; NaCl fragment rejected; water inorganic; benzene ok
+    assert(df2.count() === 2)
+  }
+
   test("NP score: deterministic, damped into [-5, 5]") {
     val s1 = NPScore.score("CCO")
     assert(s1 === NPScore.score("OCC")) // canonical-fragment invariant
