@@ -23,7 +23,8 @@ final case class Atom(
 /** order: 1, 2, 3; aromatic bonds have order 1 + aromatic=true. */
 final case class Bond(a: Int, b: Int, order: Int, aromatic: Boolean)
 
-final class Molecule(val atoms: Vector[Atom], val bonds: Vector[Bond]) {
+final class Molecule(val atoms: Vector[Atom], val bonds: Vector[Bond])
+    extends Serializable {
 
   val n: Int = atoms.length
 

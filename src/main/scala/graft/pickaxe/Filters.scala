@@ -73,6 +73,31 @@ final case class TanimotoCutoffFilter(
   }
 }
 
+/** MCS filter (filters/mcs.py): block frontier compounds whose best
+  * MCS score vs any target — (atoms+bonds)_mcs / (atoms+bonds)_target,
+  * similarity.py:959-974 — is below the per-generation threshold.
+  * Bounded-search MCS kernel (chem.MCS); exact on small molecules.
+  */
+final case class MCSFilter(
+    targetSmiles: Seq[String],
+    thresholds: Seq[Double],
+    budget: Int = 20000) extends NetworkFilter {
+  override def name = s"MCS $thresholds"
+  override def blocked(state: NetworkState): DataFrame = {
+    val targets = targetSmiles.map(Smiles.parse)
+    val crit = thresholds(math.min(state.generation, thresholds.length - 1))
+    val okUdf = udf { smiles: String =>
+      val m = Smiles.parse(smiles)
+      targets.exists(t => graft.chem.MCS.mcsScore(m, t, budget) >= crit)
+    }
+    state.compounds
+      .where(col("Generation") === state.generation && col("Expand") &&
+        !col("Type").isin("Coreactant", "Target Compound"))
+      .where(!okUdf(col("SMILES")))
+      .select("_id")
+  }
+}
+
 /** Weighted similarity sampling filter (filters/similarity.py
   * SimilaritySamplingFilter, D8): keep a weighted sample of N frontier
   * compounds, weight = maxSim^4, via the deterministic exponential-clocks

@@ -49,6 +49,15 @@ class FiltersAndSearchSpec extends SparkSuite {
     assert(blocked.reactions.count() === 0)
   }
 
+  test("MCS filter: self-target passes, unrelated target blocks") {
+    val pass = engine.run(Seq(fadh), 1,
+      filters = Seq(MCSFilter(Seq(fadh), Seq(0.5), budget = 2000)))
+    assert(pass.reactions.count() > 0)
+    val blocked = engine.run(Seq(fadh), 1,
+      filters = Seq(MCSFilter(Seq("CCCCCCCCCC"), Seq(0.9), budget = 2000)))
+    assert(blocked.reactions.count() === 0)
+  }
+
   test("sampling filter keeps at most N frontier compounds expanding") {
     val st1 = engine.run(Seq(fadh), 2,
       filters = Seq(TanimotoSamplingFilter(Seq(fadh), sampleSize = 3,

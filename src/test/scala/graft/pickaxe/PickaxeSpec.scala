@@ -119,6 +119,28 @@ class PickaxeSpec extends SparkSuite {
     assert(pruned.compounds.count() === 6) // test_pickaxe.py:220
   }
 
+  test("TSV export is byte-deterministic across runs") {
+    assume(fixturesPresent)
+    val core = engine.coreactants.filter(c => Set("ATP", "ADP")(c.name))
+    val e = new PickaxeEngine(spark,
+      engine.rules.filter(_.name == "2.7.1.a"), core)
+    def export(dir: String): (String, String) = {
+      e.writeTsv(e.run(Seq(fadh), 1), dir)
+      def read(sub: String): String = {
+        val d = new java.io.File(s"$dir/$sub")
+        val part = d.listFiles().filter(_.getName.startsWith("part-")).head
+        new String(Files.readAllBytes(part.toPath))
+      }
+      (read("compounds"), read("reactions"))
+    }
+    val a = export("/tmp/pk_tsv_a")
+    val b = export("/tmp/pk_tsv_b")
+    assert(a._1 === b._1) // golden-file stability (test_pickaxe.py:114-150
+    assert(a._2 === b._2) // shape; ids differ from RDKit's, see SURVEY §7)
+    assert(a._1.linesIterator.next().startsWith("ID\t"))
+    assert(a._1.linesIterator.size > 5)
+  }
+
   test("assign_ids is dense and deterministic") {
     assume(fixturesPresent)
     val st = engine.assignIds(engine.run(Seq(fadh), 1))
