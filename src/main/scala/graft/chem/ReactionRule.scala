@@ -20,7 +20,12 @@ object ReactionRule {
       reactants: Vector[Smarts.Pattern],
       products: Vector[Smarts.Pattern])
 
-  /** Split a SMARTS side into `.`-components (depth-0 only). */
+  /** Split a SMARTS side into `.`-components (depth-0 only). A component
+    * wrapped in component-grouping parens `(A.B)` stays ONE component
+    * whose pieces must all match within the same molecule — the parens
+    * are stripped and the inner dots handled by the pattern parser as a
+    * disconnected pattern graph.
+    */
   private def splitComponents(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
@@ -32,7 +37,17 @@ object ReactionRule {
       case _ => sb += c
     }
     out += sb.toString
-    out.result()
+    out.result().map { comp =>
+      // strip grouping parens only when they wrap the whole component
+      if (comp.startsWith("(") && comp.endsWith(")")) {
+        var d = 0; var wraps = true
+        for ((c, i) <- comp.zipWithIndex) {
+          if (c == '(') d += 1
+          else if (c == ')') { d -= 1; if (d == 0 && i < comp.length - 1) wraps = false }
+        }
+        if (wraps) comp.substring(1, comp.length - 1) else comp
+      } else comp
+    }
   }
 
   def parse(rxnSmarts: String): Parsed = {

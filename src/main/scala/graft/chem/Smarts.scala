@@ -42,7 +42,9 @@ object Smarts {
 
   val elemNum: Map[String, Int] = Map(
     "H" -> 1, "B" -> 5, "C" -> 6, "N" -> 7, "O" -> 8, "F" -> 9,
-    "Si" -> 14, "P" -> 15, "S" -> 16, "Cl" -> 17, "Br" -> 35, "I" -> 53)
+    "Na" -> 11, "Mg" -> 12, "Si" -> 14, "P" -> 15, "S" -> 16, "Cl" -> 17,
+    "K" -> 19, "Ca" -> 20, "Mn" -> 25, "Fe" -> 26, "Co" -> 27, "Ni" -> 28,
+    "Cu" -> 29, "Zn" -> 30, "As" -> 33, "Se" -> 34, "Br" -> 35, "I" -> 53)
   private val numElem = elemNum.map(_.swap)
 
   // ---------- parsing ----------
@@ -79,6 +81,7 @@ object Smarts {
       s.charAt(i) match {
         case '(' => stack.push(prev); i += 1
         case ')' => prev = stack.pop(); i += 1
+        case '.' => prev = -1; pendingBond = -1; i += 1 // disconnected piece
         case '-' | '/' | '\\' => pendingBond = 1; i += 1
         case '=' => pendingBond = 2; i += 1
         case '#' => pendingBond = 3; i += 1

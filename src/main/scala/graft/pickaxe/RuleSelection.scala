@@ -30,8 +30,9 @@ object RuleSelection {
       includeSmarts: Option[String] = None): DataFrame = {
     val counts = coverage.groupBy("Name")
       .agg(count(lit(1)).as("counts"))
-    var r = rules.join(counts, Seq("Name"), "left")
-      .withColumn("counts", coalesce(col("counts"), lit(0L)))
+    // INNER join: rules with no mapped reactions are dropped, like the
+    // reference's merge (rules.py:164-167 — 1224 TSV rows -> 1216 rules)
+    var r = rules.join(counts, Seq("Name"))
     for (pat <- excludeSmarts) r = r.where(!col("SMARTS").rlike(pat))
     for (pat <- includeSmarts) r = r.where(col("SMARTS").rlike(pat))
 
