@@ -1,0 +1,93 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chem.{Formula, NPScore, Smiles}
+import graft.expressions.BitTanimoto
+
+/** The MINE storage layer (databases.py:263-602) re-expressed as parquet
+  * tables: per-run `compounds`/`reactions` plus a cross-run enriched
+  * `core` table with `$addToSet`-style MINES membership merge.
+  *
+  * Mongo's 10k-doc bulk batching and 1.4 MB adjacency shards are
+  * unnecessary under parquet (SURVEY §4) — writers are per-partition
+  * columnar; adjacency stays as logical arrays.
+  */
+object MineSink {
+
+  /** Core-compound enrichment (databases.py:536-572): Mass, Charge,
+    * Formula, fingerprint as sparse bit-index array + packed bits +
+    * length, NP score; `MINES` membership array.
+    */
+  def coreCompounds(
+      state: NetworkState,
+      mineName: String): DataFrame = {
+    val fpUdf = udf { smiles: String =>
+      Formula.fingerprint(Smiles.parse(smiles))
+    }
+    val packUdf = udf { bits: Seq[Int] =>
+      BitTanimoto.pack(bits.toArray)
+    }
+    val npUdf = udf { smiles: String => NPScore.score(smiles) }
+    state.compounds
+      .where(col("Type") =!= "Coreactant")
+      .withColumn("RDKit_fp", fpUdf(col("SMILES")))
+      .withColumn("len_RDKit_fp", size(col("RDKit_fp")))
+      .withColumn("packed_fp", packUdf(col("RDKit_fp")))
+      .withColumn("NP_likeness", round(npUdf(col("SMILES")), 6))
+      .withColumn("MINES", array(lit(mineName)))
+      .select("_id", "SMILES", "Formula", "Charge", "Mass",
+        "RDKit_fp", "len_RDKit_fp", "packed_fp", "NP_likeness", "MINES")
+  }
+
+  /** Cross-run upsert (databases.py:506-533): insert-if-absent on `_id`
+    * ($setOnInsert) + MINES set-union ($addToSet) — as one full-outer
+    * merge, shuffle-partitioned on the content hash.
+    */
+  def mergeCore(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val cols = incoming.columns.filter(c => c != "_id" && c != "MINES")
+    existing.as("old").join(incoming.as("new"), Seq("_id"), "full_outer")
+      .select(
+        col("_id") +:
+          cols.map(c =>
+            coalesce(col(s"old.$c"), col(s"new.$c")).as(c)) :+
+          array_sort(array_distinct(concat(
+            coalesce(col("old.MINES"), array()),
+            coalesce(col("new.MINES"), array())))).as("MINES"): _*)
+  }
+
+  /** save_to_mine (pickaxe.py:1165-1242): write the per-run tables and
+    * merge the core table in `outDir`.
+    */
+  def save(
+      spark: SparkSession,
+      state: NetworkState,
+      outDir: String,
+      mineName: String): Unit = {
+    val st = state
+    st.compounds.write.mode("overwrite")
+      .parquet(s"$outDir/$mineName/compounds")
+    st.reactions.write.mode("overwrite")
+      .parquet(s"$outDir/$mineName/reactions")
+    val incoming = coreCompounds(st, mineName)
+    val corePath = s"$outDir/core_compounds"
+    val merged =
+      if (new java.io.File(corePath).exists()) {
+        val existing = spark.read.parquet(corePath)
+        mergeCore(existing, incoming)
+      } else incoming
+    // parquet cannot overwrite its own input: stage then swap
+    val tmp = s"$corePath.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val target = new java.io.File(corePath)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.pickaxe
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MineSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val atp = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)OP(=O)(O)O)C(O)C1O"
+  private val adp = "Nc1ncnc2c1ncn2C1OC(COP(=O)(O)OP(=O)(O)O)C(O)C1O"
+  private val rule = "[#6;H2D4:8][#8;H0D2:7][#15;H0D4:6][#8;H0D2:5]" +
+    "[#15;H0D4:4][#8;H0D2:3][#15;H0D4:2][#8;H1D2R0:1]." +
+    "[#1;D1R0:11][#8;H1D2R0:10][#6:9]>>" +
+    "[*:1]-[*:2]-[*:10]-[*:9].[*:8]-[*:7]-[*:6]-[*:5]-[*:4]-[*:3]-[*:11]"
+
+  private lazy val st: NetworkState = {
+    val core = PickaxeEngine.parseCoreactants(Seq(
+      s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
+    new PickaxeEngine(spark,
+      PickaxeEngine.parseRules(Seq(s"2.7.1.a\tATP;Any\t$rule\tAny;ADP\t-"),
+        core), core).run(Seq("CCO"), generations = 1)
+  }
+
+  test("core enrichment columns are populated and deterministic") {
+    val core = MineSink.coreCompounds(st, "mine_a")
+    val row = core.where(col("SMILES") === "CCO").collect().head
+    val fp = row.getSeq[Int](row.fieldIndex("RDKit_fp"))
+    assert(fp.nonEmpty)
+    assert(row.getAs[Int]("len_RDKit_fp") === fp.length)
+    assert(math.abs(row.getAs[Double]("NP_likeness")) <= 5.0)
+    assert(row.getSeq[String](row.fieldIndex("MINES")) === Seq("mine_a"))
+  }
+
+  test("save + re-save merges MINES membership ($addToSet semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("mine").toString
+    MineSink.save(spark, st, dir, "mine_a")
+    MineSink.save(spark, st, dir, "mine_b")
+    val core = spark.read.parquet(s"$dir/core_compounds")
+    val mines = core.select(explode(col("MINES"))).distinct()
+      .as[String].collect().toSet
+    assert(mines === Set("mine_a", "mine_b"))
+    // no duplicate compounds after the merge
+    assert(core.groupBy("_id").count().where(col("count") > 1).isEmpty)
+    // both per-run tables exist
+    assert(spark.read.parquet(s"$dir/mine_a/compounds").count() ===
+      st.compounds.count())
+    assert(spark.read.parquet(s"$dir/mine_b/reactions").count() ===
+      st.reactions.count())
+  }
+}
