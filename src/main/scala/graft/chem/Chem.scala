@@ -68,7 +68,7 @@ object Chem {
     try {
       val m = Smiles.parse(smiles)
       if (!allowFragments && m.components.length > 1) None
-      else Some(Smiles.write(neutralize(m)))
+      else Some(Smiles.write(neutralize(Aromatize.perceive(m))))
     } catch { case _: Exception => None }
 
   /** Organic predicate (P2): contains carbon. */

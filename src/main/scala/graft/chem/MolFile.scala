@@ -51,9 +51,11 @@ object MolFile {
     new Molecule(withChg, bonds)
   }
 
-  /** Canonical SMILES of a MOL block. */
+  /** Canonical SMILES of a MOL block (MOL files are Kekulé — perceive
+    * aromaticity so identity matches SMILES-loaded structures).
+    */
   def molToSmiles(molBlock: String): String =
-    Smiles.write(parseMol(molBlock.linesIterator.toSeq))
+    Smiles.write(Aromatize.perceive(parseMol(molBlock.linesIterator.toSeq)))
 
   /** SDF: sequence of (canonical SMILES, data fields). */
   def parseSdf(content: String): Seq[(String, Map[String, String])] =
@@ -63,7 +65,8 @@ object MolFile {
         val endIdx = lines.indexWhere(_.startsWith("M  END"))
         if (endIdx < 0) None
         else {
-          val smiles = Smiles.write(parseMol(lines.take(endIdx + 1)))
+          val smiles = Smiles.write(
+            Aromatize.perceive(parseMol(lines.take(endIdx + 1))))
           val fields = scala.collection.mutable.Map.empty[String, String]
           var i = endIdx + 1
           while (i < lines.length) {

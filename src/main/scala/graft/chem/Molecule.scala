@@ -178,9 +178,10 @@ object Molecule {
       case None => 0
       case Some(v0) =>
         val v = a.elem match {
-          case "P" if bs > 3 => 5
-          case "S" if bs > 2 && bs <= 4 => 4
-          case "S" if bs > 4 => 6
+          // aromatic atoms never valence-expand (aromatic s/p keep 2/3)
+          case "P" if bs > 3 && !a.aromatic => 5
+          case "S" if bs > 2 && bs <= 4 && !a.aromatic => 4
+          case "S" if bs > 4 && !a.aromatic => 6
           case "N" => v0 + a.charge
           case "O" => v0 + a.charge
           case _ => v0

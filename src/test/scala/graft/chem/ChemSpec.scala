@@ -81,6 +81,22 @@ class ChemSpec extends AnyFunSuite {
     assert(Chem.standardize("CC(=O)O.[Na+]") === None) // fragments rejected
   }
 
+  test("aromaticity perception: Kekulé and aromatic forms share identity") {
+    def std(s: String) = Chem.standardize(s).get
+    assert(std("C1=CC=CC=C1") === std("c1ccccc1")) // benzene
+    assert(std("C1=CC=NC=C1") === std("c1ccncc1")) // pyridine
+    assert(std("C1=CC=CN1") === std("c1cc[nH]c1")) // pyrrole
+    assert(std("C1=CC=CO1") === std("c1ccoc1")) // furan
+    assert(std("C1=CC=CS1") === std("c1ccsc1")) // thiophene
+    assert(std("C1=CN=CN1") === std("c1c[nH]cn1")) // imidazole
+    assert(std("C1=CC=C2C=CC=CC2=C1") === std("c1ccc2ccccc2c1")) // naphthalene
+    // NOT aromatic: cyclohexene, cyclohexane stay aliphatic
+    assert(std("C1=CCCCC1") !== std("c1ccccc1"))
+    assert(std("C1CCCCC1").contains("C1"))
+    // exocyclic carbonyl: 2-pyridone is aromatic in the reference model
+    assert(std("O=C1C=CC=CN1") === std("O=c1cccc[nH]1"))
+  }
+
   test("fingerprint tanimoto: identical = 1, disjoint-ish < 1") {
     val a = Formula.fingerprint(Smiles.parse("CCO"))
     val b = Formula.fingerprint(Smiles.parse("OCC"))
