@@ -116,6 +116,45 @@ object MassSearch {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** MS2 spectral search end to end (ms2_search, metabolomics.py:
+    * 983-1135 / §3.3): adduct-window annotation (J6) -> per-isomer
+    * spectral scoring against a spectra table (J10/A11, tolerance in
+    * mDa like the reference's /1000 at :1098) -> per-peak rank (W4).
+    *
+    * @param spectra  (c_id, spectrum: array of (mz, intensity) structs)
+    * @param peaksMs2 (name, mz, charge, ms2: same struct array)
+    */
+  def ms2Search(
+      spark: SparkSession,
+      compounds: DataFrame,
+      peaksMs2: DataFrame,
+      spectra: DataFrame,
+      adducts: Seq[AdductRow] = defaultAdducts,
+      tol: Double = 0.001,
+      ms2TolMDa: Double = 100.0,
+      useJaccard: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = adductSearch(spark, compounds,
+      peaksMs2.select("name", "mz", "charge"), adducts, tol)
+    val scoreUdf = udf {
+      (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
+        val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))
+        val sb = b.map(r => (r.getDouble(0), r.getDouble(1)))
+        val t = ms2TolMDa / 1000.0
+        val s = if (useJaccard) spectralJaccard(sa, sb, t)
+          else spectralDot(sa, sb, t)
+        math.round(s * 1000).toDouble // score*1000 (metabolomics.py:675)
+    }
+    val w = Window.partitionBy("peak")
+      .orderBy(col("spectral_score").desc, col("_id").asc)
+    hits
+      .join(spectra.withColumnRenamed("c_id", "_id"), Seq("_id"))
+      .join(peaksMs2.select(col("name").as("peak"), col("ms2")), Seq("peak"))
+      .withColumn("spectral_score", scoreUdf(col("spectrum"), col("ms2")))
+      .withColumn("rank", rank().over(w))
+      .select("peak", "adduct", "_id", "SMILES", "spectral_score", "rank")
+  }
+
   /** Likelihood scoring (score_compounds, metabolomics.py:1209-1269):
     * 0.75 for native-set members, 0.25 base for derived compounds.
     */

@@ -56,4 +56,24 @@ object RuleSelection {
     }
     cut
   }
+
+  /** S7 (metacyc_intermediate, rules.py:286-439): intermediate rules are
+    * kept when their name extends a kept generalized rule's name
+    * (prefix containment, rules.py:358-372 — e.g. `rule0001_02` under
+    * `rule0001`), then ordered by mapped-reaction counts descending.
+    * The intermediate rule data file is not shipped with the reference;
+    * the machinery is data-independent.
+    */
+  def intermediate(
+      intermediateRules: DataFrame, // Name, SMARTS, ... + counts column
+      generalizedSelection: DataFrame // output of select(): Name, ...
+  ): DataFrame = {
+    val kept = generalizedSelection.select(col("Name").as("gen_name"))
+    intermediateRules.join(broadcast(kept),
+        col("Name").startsWith(concat(col("gen_name"), lit("_"))) ||
+          col("Name") === col("gen_name"))
+      .drop("gen_name")
+      .dropDuplicates("Name")
+      .orderBy(col("counts").desc, col("Name").asc)
+  }
 }

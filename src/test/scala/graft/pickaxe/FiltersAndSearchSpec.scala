@@ -122,6 +122,41 @@ class FiltersAndSearchSpec extends SparkSuite {
     assert(MassSearch.spectralDot(a, b, 1e-9) === 0.0)
   }
 
+  test("MS2 search: annotation + spectral scoring + per-peak rank") {
+    val cpds = Seq(
+      ("C1", "CCO", "C2H6O", 46.041865, 0),
+      ("C2", "CC(C)O", "C3H8O", 60.057515, 0), // isomer-ish decoy set
+      ("C3", "CCCO", "C3H8O", 60.057515, 0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
+    val spectra = Seq(
+      ("C2", Seq((41.0, 5.0), (43.0, 10.0))),
+      ("C3", Seq((31.0, 10.0), (59.0, 3.0))),
+      ("C1", Seq((31.0, 8.0))))
+      .toDF("c_id", "spectrum")
+    // the query peak matches C2/C3's mass; its ms2 resembles C3
+    val peaks = Seq(
+      ("p1", 61.064791, "+", Seq((31.0005, 9.0), (59.0003, 3.5))))
+      .toDF("name", "mz", "charge", "ms2")
+    val out = MassSearch.ms2Search(spark, cpds, peaks, spectra, tol = 0.001)
+      .orderBy("rank").collect()
+    assert(out.length === 2) // C2 and C3 in the mass window; C1 not
+    assert(out.head.getAs[String]("_id") === "C3") // spectral winner
+    assert(out.head.getAs[Int]("rank") === 1)
+    assert(out.head.getAs[Double]("spectral_score") >
+      out(1).getAs[Double]("spectral_score"))
+  }
+
+  test("intermediate rule selection: prefix containment under kept rules") {
+    val gen = Seq(("rule0001", 10L), ("rule0002", 5L))
+      .toDF("Name", "counts")
+    val inter = Seq(("rule0001_01", 7L), ("rule0001_02", 3L),
+      ("rule0003_01", 9L), ("rule0002", 5L))
+      .toDF("Name", "counts")
+    val out = RuleSelection.intermediate(inter, gen)
+      .select("Name").as[String].collect().toSeq
+    assert(out === Seq("rule0001_01", "rule0002", "rule0001_02"))
+  }
+
   test("MGF and MSP parsers") {
     val mgf = Seq("BEGIN IONS", "TITLE=Test1", "PEPMASS=430.1 123",
       "RTINSECONDS=60", "100.1 1.5", "200.2 2.5", "END IONS",
