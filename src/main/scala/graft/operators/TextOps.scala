@@ -85,4 +85,29 @@ object TextOps {
   def jaccard(a: String, b: String): Column =
     expr(s"size(array_intersect($a, $b)) / " +
       s"(size($a) + size($b) - size(array_intersect($a, $b)))")
+
+  /** Compiled fast path for text -> (distinct word w-shingles, k-hash
+    * minhash signature): one UDF call instead of ~k x |shingles|
+    * interpreted-HOF lambda evaluations per row. Bit-identical to the
+    * expression path (same md5-low-60-bit hash + affine per-seed mix),
+    * so the DuckDB oracle is unchanged.
+    */
+  def shinglesAndSignature(w: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { text: String =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      val sh: Array[String] =
+        if (toks.length < w) Array.empty
+        else Array.tabulate(toks.length - w + 1)(i =>
+          toks.slice(i, i + w).mkString(" ")).distinct
+      val hs = sh.map(g => VectorOps.hash64Scala(g) & 2147483647L)
+      val sig = Array.tabulate(k) { s =>
+        var min = Long.MaxValue
+        for (h <- hs) {
+          val v = h * (2 * s + 1) + s * 2654435761L
+          if (v < min) min = v
+        }
+        min
+      }
+      (sh, sig)
+    }
 }

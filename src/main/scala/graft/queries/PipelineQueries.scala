@@ -103,6 +103,46 @@ object PipelineQueries extends QueryPack {
         "threshold list lookup crit[min(gen, len-1)] (similarity.py:610)."),
 
     GraftQuery(
+      "q_product_of_native", Seq("J8", "J7"),
+      (s, dir) => {
+        // the reference's 3-stage $lookup chain (compound -> producing
+        // reactions -> reactant compounds vs native set) mapped onto the
+        // star schema: part -> orders containing it -> customers, keep
+        // parts ordered by at least one "native" (BUILDING) customer
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val natives = Tables.load(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val nativeOrders = o
+          .join(natives, o("o_custkey") === natives("c_custkey"), "left_semi")
+          .select("o_orderkey")
+        val candidates = Tables.load(s, dir, "part")
+          .where(col("p_partkey") % 40 === 0)
+          .select("p_partkey", "p_brand")
+        candidates
+          .join(li.join(nativeOrders,
+              li("l_orderkey") === nativeOrders("o_orderkey"), "left_semi")
+              .select("l_partkey").distinct(),
+            col("p_partkey") === col("l_partkey"), "left_semi")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_native_produced"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_native_produced
+        FROM part
+        WHERE p_partkey % 40 = 0 AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_partkey = p_partkey AND EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_orderkey = l_orderkey AND EXISTS (
+              SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')))
+        GROUP BY 1 ORDER BY 1"""),
+      "check_product_of_native (metabolomics.py:273-352): the 3-stage " +
+        "lookup chain as cascaded semi-joins — no row explosion."),
+
+    GraftQuery(
       "q_multimodal", Seq("S10", "D9", "P6"),
       (s, dir) => {
         val media = Tables.load(s, dir, "documents")

@@ -168,18 +168,14 @@ object TextQueries extends QueryPack {
     GraftQuery(
       "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
       (s, dir) => {
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
         val base = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          .where(expr("size(t) >= 3"))
-          .withColumn("sh", expr(
-            "array_distinct(" +
-              "transform(sequence(1, size(t) - 2), i -> " +
-              "concat_ws(' ', element_at(t, i), element_at(t, i+1), " +
-              "element_at(t, i+2))))"))
-          .withColumn("sig", TextOps.minhashSignature("sh", k = 16))
-          .select("doc_id", "sh", "sig")
+          .withColumn("r", shSig(col("text")))
+          .where(expr("size(r._1) >= 1"))
+          .select(col("doc_id"), col("r._1").as("sh"),
+            col("r._2").as("sig"))
           // materialized: reused by bands/buckets/verification, and the
-          // self-join must not re-inline the signature expression
+          // self-join must not re-inline the signature computation
           .localCheckpoint()
         val bands = base.select(
             col("doc_id"), col("sig"),
