@@ -25,44 +25,35 @@ object GraphClosure {
       aCol: String,
       bCol: String,
       seeds: DataFrame,
-      maxIter: Int = 50,
-      checkpointEvery: Int = 3): (DataFrame, DataFrame) = {
+      maxIter: Int = 50): (DataFrame, DataFrame) = {
     val e = edges.select(aCol, bCol).distinct().persist()
     var visitedA = seeds.select(aCol).distinct().localCheckpoint()
-    var visitedB = e.sparkSession.createDataFrame(
-      e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      e.select(bCol).schema)
     var frontierA = visitedA
     var iter = 0
     var done = false
-    val toUnpersist = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // loop on the A side only (one two-hop expansion per iteration:
+    // frontier -> adjacent B -> adjacent A); the reachable B set equals
+    // "B adjacent to reachable A" and is derived once at the end —
+    // 2 materializations per iteration instead of 4
     while (!done && iter < maxIter) {
       iter += 1
-      val newB = e.join(frontierA, Seq(aCol), "left_semi")
+      val reachedB = e.join(frontierA, Seq(aCol), "left_semi")
         .select(bCol).distinct()
-        .join(visitedB, Seq(bCol), "left_anti")
-      val newBMat =
-        if (iter % checkpointEvery == 0) newB.localCheckpoint()
-        else { val p = newB.persist(); toUnpersist += p; p }
-      if (newBMat.isEmpty) done = true
+      val newA = e.join(reachedB, Seq(bCol), "left_semi")
+        .select(aCol).distinct()
+        .join(visitedA, Seq(aCol), "left_anti")
+        .localCheckpoint()
+      if (newA.isEmpty) done = true
       else {
-        visitedB = visitedB.union(newBMat).distinct().localCheckpoint()
-        val newA = e.join(newBMat, Seq(bCol), "left_semi")
-          .select(aCol).distinct()
-          .join(visitedA, Seq(aCol), "left_anti")
-          .localCheckpoint()
-        // newBMat's consumers (visitedB, newA) are materialized checkpoints
-        // now — release the cached blocks instead of letting them pile up.
-        toUnpersist.foreach(_.unpersist())
-        toUnpersist.clear()
-        if (newA.isEmpty) done = true
-        else {
-          visitedA = visitedA.union(newA).distinct().localCheckpoint()
-          frontierA = newA
-        }
+        // newA is anti-joined against visitedA: the union is disjoint,
+        // no distinct needed
+        visitedA = visitedA.union(newA).localCheckpoint()
+        frontierA = newA
       }
     }
-    toUnpersist.foreach(_.unpersist())
+    val visitedB = e.join(visitedA, Seq(aCol), "left_semi")
+      .select(bCol).distinct()
+      .localCheckpoint() // materialize before releasing e
     e.unpersist()
     if (!done)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -186,28 +186,27 @@ final class PickaxeEngine(
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id")).persist()
 
+    // loop on the compound side only (producing reactions -> their
+    // reactant compounds per round); the kept-reaction set equals
+    // "reactions producing a kept compound", derived once at the end
     var keepC = seeds.localCheckpoint()
-    var keepR = spark.emptyDataset[String].toDF("rxn")
     var frontier = keepC
     var done = false
     while (!done) {
-      val newR = prodM.join(frontier, Seq("c_id"), "left_semi")
+      val reached = prodM.join(frontier, Seq("c_id"), "left_semi")
         .select("rxn").distinct()
-        .join(keepR, Seq("rxn"), "left_anti").localCheckpoint()
-      if (newR.isEmpty) done = true
+      val newC = reacM.join(reached, Seq("rxn"), "left_semi")
+        .where(col("c_id").startsWith("C"))
+        .select("c_id").distinct()
+        .join(keepC, Seq("c_id"), "left_anti").localCheckpoint()
+      if (newC.isEmpty) done = true
       else {
-        keepR = keepR.union(newR).distinct().localCheckpoint()
-        val newC = reacM.join(newR, Seq("rxn"), "left_semi")
-          .where(col("c_id").startsWith("C"))
-          .select("c_id").distinct()
-          .join(keepC, Seq("c_id"), "left_anti").localCheckpoint()
-        if (newC.isEmpty) done = true
-        else {
-          keepC = keepC.union(newC).distinct().localCheckpoint()
-          frontier = newC
-        }
+        keepC = keepC.union(newC).localCheckpoint() // disjoint by anti-join
+        frontier = newC
       }
     }
+    val keepR = prodM.join(keepC, Seq("c_id"), "left_semi")
+      .select("rxn").distinct().localCheckpoint()
     // keep every C member (both sides) of kept reactions, plus seeds
     val memberC = prodM.union(reacM)
       .join(keepR, Seq("rxn"), "left_semi")
