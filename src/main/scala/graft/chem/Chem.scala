@@ -35,9 +35,11 @@ object Chem {
     var changed = true
     while (changed) {
       changed = false
+      // one Molecule per sweep (bond sums don't change inside a sweep;
+      // the H-count reads below only depend on the atom being edited)
+      val mm = new Molecule(atoms.toVector, m.bonds)
       for (i <- atoms.indices) {
         val a = atoms(i)
-        val mm = new Molecule(atoms.toVector, m.bonds)
         if (a.charge < 0 && Set("O", "S", "N", "C")(a.elem)) {
           // add a proton: [O-] -> OH
           val h = if (a.hCount >= 0) a.hCount else mm.implicitH(i)

@@ -38,16 +38,22 @@ object MolFile {
       if (t == 4) Bond(a, b, 1, aromatic = true)
       else Bond(a, b, t, aromatic = false)
     }.toVector
-    // M  CHG overrides
-    val chg = lines.filter(_.startsWith("M  CHG")).flatMap { l =>
-      val p = l.trim.split("\\s+").drop(2)
-      p.drop(1).grouped(2).collect { case Array(idx, q) =>
-        (idx.toInt - 1, q.toInt)
+    // M  CHG: per V2000, the presence of ANY charge property block
+    // supersedes ALL atom-block charge columns (unlisted atoms -> 0)
+    val chgLines = lines.filter(_.startsWith("M  CHG"))
+    val withChg =
+      if (chgLines.isEmpty) atoms
+      else {
+        val chg = chgLines.flatMap { l =>
+          val p = l.trim.split("\\s+").drop(2)
+          p.drop(1).grouped(2).collect { case Array(idx, q) =>
+            (idx.toInt - 1, q.toInt)
+          }
+        }.toMap
+        atoms.zipWithIndex.map { case (a, i) =>
+          a.copy(charge = chg.getOrElse(i, 0))
+        }
       }
-    }
-    val withChg = chg.foldLeft(atoms) { case (as, (i, q)) =>
-      as.updated(i, as(i).copy(charge = q))
-    }
     new Molecule(withChg, bonds)
   }
 
@@ -73,9 +79,14 @@ object MolFile {
             val l = lines(i)
             if (l.startsWith("> ")) {
               val tag = "<([^>]+)>".r.findFirstMatchIn(l).map(_.group(1))
-              val value = if (i + 1 < lines.length) lines(i + 1) else ""
-              tag.foreach(t => fields(t) = value)
-              i += 2
+              // SDF data values run until the next BLANK line (multi-line)
+              val value = Seq.newBuilder[String]
+              i += 1
+              while (i < lines.length && lines(i).trim.nonEmpty &&
+                !lines(i).startsWith("> ")) {
+                value += lines(i); i += 1
+              }
+              tag.foreach(t => fields(t) = value.result().mkString("\n"))
             } else i += 1
           }
           Some((smiles, fields.toMap))

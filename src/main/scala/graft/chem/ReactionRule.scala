@@ -71,16 +71,17 @@ object ReactionRule {
       rule.reactants.zip(mols).map { case (pat, mol) => Smarts.findAll(mol, pat) }
     if (embeddings.exists(_.isEmpty)) return Seq.empty
 
-    // cartesian product of per-component embeddings
-    def combos(idx: Int): Seq[Vector[Array[Int]]] =
-      if (idx == embeddings.length) Seq(Vector.empty)
-      else for {
-        rest <- combos(idx + 1)
-        e <- embeddings(idx)
-      } yield e +: rest
+    // LAZY cartesian product of per-component embeddings: maxProducts
+    // must bound the work, not just truncate an eagerly-built Seq
+    // (two promiscuous templates could otherwise build millions of
+    // combos before the cap applied)
+    def combos(idx: Int): Iterator[Vector[Array[Int]]] =
+      if (idx == embeddings.length) Iterator.single(Vector.empty)
+      else embeddings(idx).iterator.flatMap(e => combos(idx + 1).map(e +: _))
 
-    val all = combos(0).take(maxProducts)
-    all.flatMap { combo => applyOnce(rule, mols, combo) }
+    combos(0).take(maxProducts)
+      .flatMap { combo => applyOnce(rule, mols, combo) }
+      .toSeq
   }
 
   /** Apply one embedding combination; None if the rewrite is degenerate

@@ -70,11 +70,15 @@ object Multimodal {
     * media exceeds row-size budgets.
     */
   def chunked(df: DataFrame, binaryCol: String, chunkSize: Int): DataFrame =
-    df.withColumn("__n", octet_length(col(binaryCol)))
+    // null media -> one empty chunk row (consistent with
+    // withDecodedFeatures' empty-bytes handling), not a dropped row
+    df.withColumn("__n",
+        coalesce(octet_length(col(binaryCol)), lit(0)))
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
           greatest(ceil(col("__n") / chunkSize).cast("int") - 1, lit(0)))))
       .withColumn("chunk",
-        expr(s"substring($binaryCol, chunk_idx * $chunkSize + 1, $chunkSize)"))
+        expr(s"substring(coalesce($binaryCol, cast('' as binary)), " +
+          s"chunk_idx * $chunkSize + 1, $chunkSize)"))
       .drop("__n")
 }

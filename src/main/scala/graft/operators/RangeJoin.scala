@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param inclusive exclusive `(lo, hi)` when false (default); the
+    *                   reference's mass windows are INCLUSIVE `[lo, hi]`
+    *                   ($gte/$lte, metabolomics.py:226-227)
+    */
   def intervalJoin(
       facts: DataFrame,
       ranges: DataFrame,
       valueCol: String,
       loCol: String,
       hiCol: String,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      inclusive: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = lit(bucketWidth)
     val rb = ranges.withColumn(
@@ -35,8 +40,11 @@ object RangeJoin {
         floor(col(loCol) / b).cast("long"),
         floor(col(hiCol) / b).cast("long"))))
     val fb = facts.withColumn("__bucket", floor(col(valueCol) / b).cast("long"))
+    val pred =
+      if (inclusive) col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol)
+      else col(valueCol) > col(loCol) && col(valueCol) < col(hiCol)
     fb.join(rb, Seq("__bucket"))
-      .where(col(valueCol) > col(loCol) && col(valueCol) < col(hiCol))
+      .where(pred)
       .drop("__bucket")
   }
 }

@@ -35,7 +35,10 @@ object Cascade {
       .localCheckpoint()
     var deadRxns = spark.emptyDataFrame.select(lit("").as("rxn")).limit(0)
     var stable = false
-    while (!stable) {
+    var iter = 0
+    val maxIter = 1000 // defensive cap; each round strictly grows `remove`
+    while (!stable && iter < maxIter) {
+      iter += 1
       // a reaction dies iff every C-product is in the remove set
       val dead = prodM
         .join(remove.withColumnRenamed("_id", "c_id")
@@ -46,14 +49,20 @@ object Cascade {
         .localCheckpoint()
       // compounds still referenced by a surviving reaction are kept
       // (resurrection, base_filter.py:274-278)
-      val surviving = reacAndProd.join(dead, Seq("rxn"), "left_anti")
-      val keepC = surviving.select(col("c_id").as("_id")).distinct()
+      val keepC = reacAndProd.join(dead, Seq("rxn"), "left_anti")
+        .select(col("c_id").as("_id")).distinct()
         .union(protectedC).distinct()
-      val newRemove = state.compounds.select("_id")
+      // the remove set only ever contains: compounds explicitly requested,
+      // plus members of DEAD reactions orphaned by the cascade — never
+      // arbitrary unreferenced compounds (base_filter.py:216-238)
+      val deadMembers = reacAndProd.join(dead, Seq("rxn"), "left_semi")
+        .select(col("c_id").as("_id")).distinct()
+      val newRemove = remove.union(deadMembers)
+        .distinct()
         .join(keepC, Seq("_id"), "left_anti")
         .localCheckpoint()
-      stable = newRemove.count() == remove.count() &&
-        dead.count() == deadRxns.count()
+      // monotone growth: stable once no new ids were added
+      stable = newRemove.join(remove, Seq("_id"), "left_anti").isEmpty
       remove = newRemove
       deadRxns = dead
     }

@@ -65,7 +65,7 @@ object MassSearch {
         cands.where(!col("Formula").rlike("F[^e]|Cl|Br"))
       else cands
     RangeJoin.intervalJoin(filtered, ranges, "Mass", "lo", "hi",
-      bucketWidth = 0.01)
+      bucketWidth = 0.01, inclusive = true) // $gte/$lte like the reference
   }
 
   /** A6: per-peak hit statistics (total_hits, distinct formulas —

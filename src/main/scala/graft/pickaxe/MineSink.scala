@@ -72,22 +72,26 @@ object MineSink {
       .parquet(s"$outDir/$mineName/reactions")
     val incoming = coreCompounds(st, mineName)
     val corePath = s"$outDir/core_compounds"
+    val hadoopPath = new org.apache.hadoop.fs.Path(corePath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(corePath).exists()) {
+      if (fs.exists(hadoopPath)) {
         val existing = spark.read.parquet(corePath)
         mergeCore(existing, incoming)
       } else incoming
-    // parquet cannot overwrite its own input: stage then swap
-    val tmp = s"$corePath.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(corePath)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
+    // parquet cannot overwrite its own input: stage, then swap via the
+    // Hadoop FS API (checked — a failed rename must not lose the table)
+    val tmp = new org.apache.hadoop.fs.Path(s"$corePath.tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$corePath.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(hadoopPath) && !fs.rename(hadoopPath, old))
+      sys.error(s"MineSink: could not stage out $corePath")
+    if (!fs.rename(tmp, hadoopPath)) {
+      // restore the previous table before failing
+      if (fs.exists(old)) fs.rename(old, hadoopPath)
+      sys.error(s"MineSink: rename $tmp -> $corePath failed")
     }
-    new java.io.File(tmp).renameTo(target)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 }

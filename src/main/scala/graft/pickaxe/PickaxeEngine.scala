@@ -134,11 +134,12 @@ final class PickaxeEngine(
         when(col("Generation") === g, lit(false)).otherwise(col("Expand")))
       .unionByName(newCpds)
 
+    // materialize BOTH checkpoints before releasing the kernel output —
+    // unpersisting first would re-run the chemistry flatMap twice
+    val outC = mergedCpds.persist().localCheckpoint()
+    val outR = mergedRxns.persist().localCheckpoint()
     predicted.unpersist()
-    NetworkState(
-      mergedCpds.persist().localCheckpoint(),
-      mergedRxns.persist().localCheckpoint(),
-      g + 1)
+    NetworkState(outC, outR, g + 1)
   }
 
   def run(

@@ -24,13 +24,22 @@ object RuleKernel {
 
   private val compiledRules = TrieMap.empty[String, ReactionRule.Parsed]
   private val parsedMols = TrieMap.empty[String, Molecule]
+  // bounded: the hot entries are the coreactant molecules (catalog-sized);
+  // frontier compounds are one-shot and must not accumulate on long-lived
+  // executors
+  private val maxCachedMols = 4096
 
   private def compiled(smarts: String): ReactionRule.Parsed =
     compiledRules.getOrElseUpdate(smarts, ReactionRule.parse(smarts))
 
-  /** Explicit-H molecule for a canonical SMILES, cached per JVM. */
-  private def molFor(smiles: String): Molecule =
+  /** Explicit-H molecule for a canonical SMILES, cached per JVM with a
+    * hard size cap (cleared wholesale when full — coreactants re-enter
+    * immediately, transient compounds don't).
+    */
+  private def molFor(smiles: String): Molecule = {
+    if (parsedMols.size > maxCachedMols) parsedMols.clear()
     parsedMols.getOrElseUpdate(smiles, Smiles.parse(smiles).withExplicitH)
+  }
 
   /** Reaction content hash (P11, utils.py:324-379): sha256 over the
     * sorted stoich-id text of both sides.

@@ -51,6 +51,28 @@ class CascadeAndIOSpec extends SparkSuite {
     assert(all.compounds.select("_id").as[String].collect().toSet === Set("CS"))
   }
 
+  test("cascade delete touches ONLY requested compounds plus true orphans") {
+    // a compound referenced by no reaction must survive unless requested
+    val extra = state().copy(compounds = state().compounds.unionByName(
+      Seq(("CFREE", "", "C", "Predicted", 0, "CH4", 0, 16.0, true))
+        .toDF("_id", "ID", "SMILES", "Type", "Generation", "Formula",
+          "Charge", "Mass", "Expand")))
+    val out = Cascade.cascadeDelete(extra, Seq("CP3").toDF("_id"))
+    val ids = out.compounds.select("_id").as[String].collect().toSet
+    assert(ids.contains("CFREE")) // unreferenced but NOT requested -> kept
+    assert(!ids.contains("CP3"))
+    assert(out.reactions.select("_id").as[String].collect().toSet ===
+      Set("R1", "R3")) // only R2 (sole product CP3) dies
+  }
+
+  test("SDF multi-line data fields are captured fully") {
+    val mol = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/glucose.mol")))
+    val sdf = mol + "\n> <comment>\nline one\nline two\n\n$$$$\n"
+    val recs = MolFile.parseSdf(sdf)
+    assert(recs.head._2("comment") === "line one\nline two")
+  }
+
   test("product-of-native back-trace (J8)") {
     val natives = Seq("CS").toDF("_id")
     // P1, P2 produced from native S; P3 produced from non-native P1
