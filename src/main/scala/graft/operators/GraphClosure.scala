@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * Each iteration is two semi-joins + a distinct — all equality-based
   * shuffles on the node id, no driver-side adjacency. `localCheckpoint`
   * truncates lineage every few rounds so plans stay flat on deep graphs.
+  *
+  * SIZE-GATED HYBRID: a multi-round distributed BFS costs dozens of Spark
+  * jobs of fixed overhead; on a small graph that overhead dominates by
+  * orders of magnitude. When the (deduped) edge set fits comfortably on
+  * the driver (`localEdgeThreshold`, default 4M edges) the closure runs
+  * as an in-memory BFS over a collected adjacency list — identical
+  * result, one job. Past the gate the iterative semi-join path runs
+  * unchanged, so 100 TB inputs never collect.
   */
 object GraphClosure {
 
@@ -25,8 +33,12 @@ object GraphClosure {
       aCol: String,
       bCol: String,
       seeds: DataFrame,
-      maxIter: Int = 50): (DataFrame, DataFrame) = {
+      maxIter: Int = 50,
+      localEdgeThreshold: Long = 4_000_000L): (DataFrame, DataFrame) = {
     val e = edges.select(aCol, bCol).distinct().persist()
+    val nEdges = e.count() // also materializes the persist
+    if (nEdges <= localEdgeThreshold)
+      return localClosure(e, aCol, bCol, seeds)
     var visitedA = seeds.select(aCol).distinct().localCheckpoint()
     var frontierA = visitedA
     var iter = 0
@@ -61,5 +73,48 @@ object GraphClosure {
           "before fixpoint — result is a TRUNCATED closure (reference " +
           "semantics run BFS to fixpoint; raise maxIter).")
     (visitedA, visitedB)
+  }
+
+  /** Driver-side BFS for the small-graph gate: one collect, identical
+    * fixpoint semantics to the iterative path (seeds are retained even
+    * when absent from the edge set; B = everything adjacent to visited A).
+    */
+  private def localClosure(
+      e: DataFrame,
+      aCol: String,
+      bCol: String,
+      seeds: DataFrame): (DataFrame, DataFrame) = {
+    import scala.collection.mutable
+    val spark = e.sparkSession
+    val edgePairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val seedVals = seeds.select(aCol).distinct().collect().map(_.get(0))
+    e.unpersist()
+    val aToB = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    val bToA = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    edgePairs.foreach { case (a, b) =>
+      aToB.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      bToA.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    val visitedA = mutable.LinkedHashSet[Any](seedVals.toIndexedSeq: _*)
+    val visitedB = mutable.LinkedHashSet.empty[Any]
+    val queue = mutable.Queue[Any](seedVals.toIndexedSeq: _*)
+    while (queue.nonEmpty) {
+      val a = queue.dequeue()
+      aToB.getOrElse(a, Nil).foreach { b =>
+        if (visitedB.add(b))
+          bToA.getOrElse(b, Nil).foreach { a2 =>
+            if (visitedA.add(a2)) queue.enqueue(a2)
+          }
+      }
+    }
+    val aField = e.schema.find(_.name == aCol).get
+    val bField = e.schema.find(_.name == bCol).get
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    def mk(vals: Iterable[Any], f: org.apache.spark.sql.types.StructField) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(vals.toSeq.map(Row(_)), 1),
+        StructType(Seq(f)))
+    (mk(visitedA, aField), mk(visitedB, bField))
   }
 }

@@ -14,8 +14,16 @@ object Cascade {
     * reaction deletes, newly-orphaned predicted compounds cascade — loop
     * to fixpoint.
     */
-  def cascadeDelete(state: NetworkState, removeIds: DataFrame): NetworkState = {
+  def cascadeDelete(
+      state: NetworkState,
+      removeIds: DataFrame,
+      localRxnThreshold: Long = 200_000L): NetworkState = {
     val spark = state.compounds.sparkSession
+    // SIZE-GATED HYBRID (see PickaxeEngine.pruneToTargets): small networks
+    // run the identical fixpoint driver-side in one collect instead of
+    // paying per-round Spark job overhead; large ones stay distributed.
+    if (state.reactions.count() <= localRxnThreshold)
+      return cascadeDeleteLocal(state, removeIds)
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
@@ -70,6 +78,59 @@ object Cascade {
     val outR = state.reactions.join(
       deadRxns.withColumnRenamed("rxn", "_id"), Seq("_id"), "left_anti")
     prodM.unpersist(); reacAndProd.unpersist()
+    NetworkState(outC, outR, state.generation)
+  }
+
+  /** Driver-side twin of the distributed fixpoint above — identical
+    * dead-reaction / resurrection / orphan-cascade semantics, one collect
+    * of the reaction membership plus the (small) protected/remove id sets.
+    */
+  private def cascadeDeleteLocal(
+      state: NetworkState,
+      removeIds: DataFrame): NetworkState = {
+    import scala.collection.mutable
+    val spark = state.compounds.sparkSession
+    import spark.implicits._
+    val members = state.reactions
+      .select(col("_id").as("rxn"), col("Reactants"), col("Products"))
+      .as[(String, Seq[Stoich], Seq[Stoich])]
+      .collect()
+    val prodOf = members.map { case (r, _, p) =>
+      r -> p.map(_.c_id).filter(_.startsWith("C"))
+    }.toMap
+    val memberOf = members.map { case (r, re, p) =>
+      r -> (re ++ p).map(_.c_id).filter(_.startsWith("C")).distinct
+    }.toMap
+    val protectedC = state.compounds
+      .where(col("Type").isin("Starting Compound", "Coreactant"))
+      .select("_id").as[String].collect().toSet
+    var remove = removeIds.select("_id").distinct().as[String]
+      .collect().toSet -- protectedC
+    var dead = Set.empty[String]
+    var stable = false
+    while (!stable) {
+      // a reaction dies iff every C-product is in the remove set
+      // (a rxn with no C-products has no prodM rows distributed-side:
+      // it can never die)
+      dead = memberOf.keysIterator
+        .filter(r => prodOf(r).nonEmpty && prodOf(r).forall(remove.contains))
+        .toSet
+      val keepC = mutable.HashSet.empty[String]
+      memberOf.foreach { case (r, cs) =>
+        if (!dead.contains(r)) keepC ++= cs
+      }
+      keepC ++= protectedC
+      val deadMembers = dead.iterator.flatMap(memberOf(_))
+      val newRemove = (remove ++ deadMembers).filterNot(keepC.contains)
+      // same stop rule as the distributed path: no NEW ids this round
+      // (resurrection may shrink the set; that alone does not loop again)
+      stable = (newRemove -- remove).isEmpty
+      remove = newRemove
+    }
+    val outC = state.compounds.join(
+      broadcast(remove.toSeq.toDF("_id")), Seq("_id"), "left_anti")
+    val outR = state.reactions.join(
+      broadcast(dead.toSeq.toDF("_id")), Seq("_id"), "left_anti")
     NetworkState(outC, outR, state.generation)
   }
 

@@ -170,13 +170,26 @@ final class PickaxeEngine(
 
   /** D4/D5: prune to targets — reverse BFS over the bipartite graph
     * (find_minimal_set, pickaxe.py:995-1044), as iterative semi-joins.
+    *
+    * SIZE-GATED HYBRID: the multi-round distributed BFS pays dozens of
+    * Spark jobs of fixed overhead; on small networks (the common
+    * interactive case — a few generations of expansion) that overhead
+    * dominates. Below `localRxnThreshold` reactions the membership pairs
+    * are collected once and the identical reverse BFS runs driver-side;
+    * past the gate the iterative semi-join path runs unchanged, so
+    * cluster-scale networks never collect.
     */
-  def pruneToTargets(state: NetworkState, targetSmiles: Seq[String]): NetworkState = {
+  def pruneToTargets(
+      state: NetworkState,
+      targetSmiles: Seq[String],
+      localRxnThreshold: Long = 200_000L): NetworkState = {
     val targetIds = targetSmiles.flatMap(Chem.standardize(_))
       .map(s => Chem.compoundHash(s, 'C'))
     if (targetIds.isEmpty)
       return NetworkState(state.compounds.limit(0), state.reactions.limit(0),
         state.generation)
+    if (state.reactions.count() <= localRxnThreshold)
+      return pruneToTargetsLocal(state, targetIds)
     val seeds = state.compounds
       .where(col("_id").isin(targetIds: _*))
       .select(col("_id").as("c_id")).distinct()
@@ -222,6 +235,51 @@ final class PickaxeEngine(
     val outR = state.reactions.join(keepR.withColumnRenamed("rxn", "_id"),
       Seq("_id"), "left_semi")
     prodM.unpersist(); reacM.unpersist()
+    NetworkState(outC, outR, state.generation)
+  }
+
+  /** Driver-side twin of the distributed reverse BFS above — identical
+    * keep-set semantics, one collect of the (rxn, member) pairs.
+    */
+  private def pruneToTargetsLocal(
+      state: NetworkState,
+      targetIds: Seq[String]): NetworkState = {
+    import scala.collection.mutable
+    val members = state.reactions
+      .select(col("_id").as("rxn"), col("Reactants"), col("Products"))
+      .as[(String, Seq[Stoich], Seq[Stoich])]
+      .collect()
+    // producedBy: c_id -> reactions with it as a product
+    val producedBy = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
+    val reactantsOf = mutable.HashMap.empty[String, Seq[String]]
+    val prodIds = mutable.HashMap.empty[String, Seq[String]]
+    members.foreach { case (rxn, reac, prod) =>
+      prod.foreach(m =>
+        producedBy.getOrElseUpdate(m.c_id, mutable.ArrayBuffer.empty) += rxn)
+      reactantsOf(rxn) = reac.map(_.c_id).filter(_.startsWith("C"))
+      prodIds(rxn) = prod.map(_.c_id)
+    }
+    val keepC = mutable.HashSet[String](targetIds: _*)
+    val queue = mutable.Queue[String](targetIds: _*)
+    val keepR = mutable.HashSet.empty[String]
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      producedBy.getOrElse(c, Nil).foreach { rxn =>
+        if (keepR.add(rxn))
+          reactantsOf(rxn).foreach { r =>
+            if (keepC.add(r)) queue.enqueue(r)
+          }
+      }
+    }
+    // keep every C member (both sides) of kept reactions, plus seeds
+    val memberC = keepC ++ keepR.iterator.flatMap(r =>
+      (reactantsOf(r) ++ prodIds(r)).filter(_.startsWith("C")))
+    val memberDf = memberC.toSeq.toDF("_id")
+    val outC = state.compounds.where(col("Type") === "Coreactant")
+      .unionByName(state.compounds.join(broadcast(memberDf), Seq("_id"),
+        "left_semi").where(col("Type") =!= "Coreactant"))
+    val outR = state.reactions.join(
+      broadcast(keepR.toSeq.toDF("_id")), Seq("_id"), "left_semi")
     NetworkState(outC, outR, state.generation)
   }
 

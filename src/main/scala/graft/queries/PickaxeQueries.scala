@@ -44,7 +44,14 @@ object PickaxeQueries extends QueryPack {
           .crossJoin(st.reactions.agg(count(lit(1)).as("n_reactions_total")))
           .orderBy("Generation", "Type")
       },
-      None,
+      // pinned to the reference's own oracle network (test_pickaxe.py:
+      // 31 compounds / 49 reactions; 2 coreactants + 1 start + 7 gen-1 +
+      // 21 gen-2), also asserted by PickaxeSpec
+      Some("""SELECT 0::INTEGER AS "Generation", 'Coreactant' AS "Type",
+            2::BIGINT AS n_compounds, 49::BIGINT AS n_reactions_total
+          UNION ALL SELECT 0::INTEGER, 'Starting Compound', 1::BIGINT, 49::BIGINT
+          UNION ALL SELECT 1::INTEGER, 'Predicted', 7::BIGINT, 49::BIGINT
+          UNION ALL SELECT 2::INTEGER, 'Predicted', 21::BIGINT, 49::BIGINT"""),
       "Full 2-generation FADH x 2.7.1.a expansion (the reference's 31/49 " +
         "oracle network) through the Spark engine; per-gen/type counts."),
 
@@ -60,7 +67,15 @@ object PickaxeQueries extends QueryPack {
         pruned.compounds.select("ID", "Type", "Generation", "Formula")
           .orderBy("ID")
       },
-      None,
+      // pinned: the reference's minimal 6-compound pruned network
+      // (test_pickaxe.py:218-220) with dense W1 ids and kernel formulas
+      Some("""SELECT 'pkc0000001' AS "ID", 'Starting Compound' AS "Type",
+            0::INTEGER AS "Generation", 'C27H35N9O15P2' AS "Formula"
+          UNION ALL SELECT 'pkc0000002', 'Coreactant', 0::INTEGER, 'C10H16N5O13P3'
+          UNION ALL SELECT 'pkc0000003', 'Coreactant', 0::INTEGER, 'C10H15N5O10P2'
+          UNION ALL SELECT 'pkc0000004', 'Predicted', 1::INTEGER, 'C27H36N9O18P3'
+          UNION ALL SELECT 'pkc0000005', 'Predicted', 1::INTEGER, 'C27H36N9O18P3'
+          UNION ALL SELECT 'pkc0000006', 'Predicted', 2::INTEGER, 'C27H37N9O21P4'"""),
       "Reverse-BFS prune to a target (6-compound / 4-reaction minimal " +
         "network, matching test_pickaxe.py:218-220) + dense id assignment."),
 
@@ -69,17 +84,30 @@ object PickaxeQueries extends QueryPack {
       (s, _) => {
         import s.implicits._
         val st = engine(s).run(Seq(fadh), generations = 1)
+        // derive peak m/z from the ENGINE-computed masses (like
+        // FiltersAndSearchSpec does) — a hard-coded constant silently
+        // missed the tolerance window and returned 0 rows in round 2
+        val massOf = st.compounds
+          .where(col("Type").isin("Predicted", "Starting Compound"))
+          .select("Type", "Mass").as[(String, Double)]
+          .collect().toMap
         val peaks = Seq(
-          // FADH+80 (phosphorylated, [M+H]+) and two decoys
-          ("pk1", 867.1633 + 1.007276, "+"),
+          // gen-1 phospho-FADH as [M+H]+, FADH itself as [M-H]-, a decoy
+          ("pk1", massOf("Predicted") + 1.007276, "+"),
           ("pk2", 200.05, "+"),
-          ("pk3", 785.15, "-"))
+          ("pk3", massOf("Starting Compound") - 1.007276, "-"))
           .toDF("name", "mz", "charge")
         val hits = MassSearch.adductSearch(s, st.compounds, peaks,
           tol = 0.01)
         MassSearch.peakStats(hits).orderBy("peak")
       },
-      None,
+      // pinned hit pattern: pk1 matches the 7 gen-1 mono-phospho isomers
+      // (one shared formula), pk3 matches FADH only, pk2 matches nothing
+      // (masses differ by ~80 Da across the network, tol is 0.01)
+      Some("""SELECT 'pk1' AS peak, 7::BIGINT AS total_hits,
+            1::BIGINT AS n_formulas, 7::BIGINT AS n_compounds
+          UNION ALL
+          SELECT 'pk3', 1::BIGINT, 1::BIGINT, 1::BIGINT"""),
       "Mass/adduct window search over the expanded network: peaks x " +
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
   )

@@ -182,6 +182,10 @@ object TextQueries extends QueryPack {
             explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("key", expr(TextOps.bandKey("sig", "b", r = 4)))
           .select("doc_id", "b", "key")
+          // materialized: read by buckets + BOTH sides of the pair
+          // self-join — without the barrier the md5 band keys are
+          // recomputed three times
+          .localCheckpoint()
         val buckets = bands.groupBy("b", "key")
           .agg(count(lit(1)).as("sz")).where(col("sz") > 1)
         val pairs = bands.as("x")

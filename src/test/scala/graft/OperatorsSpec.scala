@@ -60,6 +60,11 @@ class OperatorsSpec extends SparkSuite {
     val (as, bs) = GraphClosure.bipartiteClosure(edges, "a", "b", seeds)
     assert(as.as[Long].collect().toSet === Set(1L, 2L, 3L))
     assert(bs.as[Long].collect().toSet === Set(10L, 20L))
+    // distributed path (gate forced off) must agree with the local path
+    val (ad, bd) = GraphClosure.bipartiteClosure(edges, "a", "b", seeds,
+      localEdgeThreshold = 0L)
+    assert(ad.as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(bd.as[Long].collect().toSet === Set(10L, 20L))
   }
 
   test("sessionize splits on gap") {

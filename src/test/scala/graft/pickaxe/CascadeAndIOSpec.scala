@@ -51,6 +51,19 @@ class CascadeAndIOSpec extends SparkSuite {
     assert(all.compounds.select("_id").as[String].collect().toSet === Set("CS"))
   }
 
+  test("cascade delete: distributed path agrees with the local gate") {
+    for (rm <- Seq(Seq("CP1"), Seq("CP3", "CP4"),
+        Seq("CP1", "CP2", "CP3", "CP4"))) {
+      val loc = Cascade.cascadeDelete(state(), rm.toDF("_id"))
+      val dist = Cascade.cascadeDelete(state(), rm.toDF("_id"),
+        localRxnThreshold = -1L)
+      assert(dist.compounds.select("_id").as[String].collect().sorted
+        === loc.compounds.select("_id").as[String].collect().sorted)
+      assert(dist.reactions.select("_id").as[String].collect().sorted
+        === loc.reactions.select("_id").as[String].collect().sorted)
+    }
+  }
+
   test("cascade delete touches ONLY requested compounds plus true orphans") {
     // a compound referenced by no reaction must survive unless requested
     val extra = state().copy(compounds = state().compounds.unionByName(

@@ -117,6 +117,12 @@ class PickaxeSpec extends SparkSuite {
     val pruned = e.pruneToTargets(st, Seq(target))
     assert(pruned.reactions.count() === 4) // test_pickaxe.py:219
     assert(pruned.compounds.count() === 6) // test_pickaxe.py:220
+    // distributed path (size gate forced off) returns the identical sets
+    val dist = e.pruneToTargets(st, Seq(target), localRxnThreshold = -1L)
+    assert(dist.compounds.select("_id").collect().map(_.getString(0)).sorted
+      === pruned.compounds.select("_id").collect().map(_.getString(0)).sorted)
+    assert(dist.reactions.select("_id").collect().map(_.getString(0)).sorted
+      === pruned.reactions.select("_id").collect().map(_.getString(0)).sorted)
   }
 
   test("TSV export is byte-deterministic across runs") {
