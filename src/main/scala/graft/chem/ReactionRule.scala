@@ -109,6 +109,53 @@ object ReactionRule {
     if (products.exists(_.isEmpty)) None else Some(products.map(_.get))
   }
 
+  /** Template atom's positive H-count spec (single-alternative,
+    * un-negated), if any — RDKit sets the product atom's H count from it.
+    */
+  private def hSpec(ap: Smarts.AtomPat): Option[Int] =
+    ap.alts match {
+      case Seq(conj) => conj.collectFirst { case Smarts.PH(h) => h }
+      case _ => None
+    }
+
+  /** Template atom's positive charge spec, if any (e.g. `[#7+0:7]`). */
+  private def chargeSpec(ap: Smarts.AtomPat): Option[Int] =
+    ap.alts match {
+      case Seq(conj) => conj.collectFirst { case Smarts.PCharge(c) => c }
+      case _ => None
+    }
+
+  /** Max allowed total valence (bonds + H) per element/charge — the
+    * RDKit SanitizeMol "Explicit valence greater than permitted" gate
+    * (reactions.py:132-138: invalid products are thrown out).
+    */
+  private def maxValence(elem: String, charge: Int): Int = elem match {
+    case "C" => 4 - math.abs(charge)
+    case "N" => 3 + charge
+    case "O" => 2 + charge
+    case "P" => 5
+    case "S" => 6
+    case "B" => 3
+    case "H" => 1
+    case "F" | "Cl" | "Br" | "I" => if (charge == 0) 1 else 2
+    case _ => Int.MaxValue // metals etc.: no organic valence model
+  }
+
+  /** RDKit-style validity: reject a product when any non-aromatic atom's
+    * H + bond-order sum exceeds its allowed valence. Aromatic-bonded
+    * atoms are skipped (their H was set by coordination preservation;
+    * 1.5-order sums don't fit the integer valence model).
+    */
+  private def validValences(m: Molecule): Boolean =
+    (0 until m.n).forall { i =>
+      val a = m.atoms(i)
+      m.adj(i).exists(_._2.aromatic) || {
+        val bs = m.bondOrderSum(i)
+        val own = if (a.hCount >= 0) a.hCount else m.implicitH(i)
+        own + bs <= maxValence(a.elem, a.charge) + 1e-9
+      }
+    }
+
   private def buildProduct(
       ppat: Smarts.Pattern,
       mols: Seq[Molecule],
@@ -121,11 +168,10 @@ object ReactionRule {
     var n = 0
     def copyAtom(mi: Int, ai: Int): Int =
       newIdx.getOrElseUpdate((mi, ai), {
-        val src = mols(mi).atoms(ai)
-        // fix H count explicitly so bond rewiring can't invent implicit H;
-        // withoutExplicitH re-derives/normalizes at emission time
-        val h = if (src.hCount >= 0) src.hCount else mols(mi).implicitH(ai)
-        newAtoms += src.copy(hCount = h)
+        // copy as-is: bracket atoms keep their fixed H; implicit atoms
+        // stay derivable (-1) so H counts re-adjust to the NEW bonding,
+        // exactly like RDKit implicit-H recomputation after RunReactants
+        newAtoms += mols(mi).atoms(ai)
         n += 1
         n - 1
       })
@@ -173,7 +219,42 @@ object ReactionRule {
         // matched-matched bonds: controlled by the product template (2.)
       }
     }
-    val mol = new Molecule(newAtoms.result(), newBonds.result())
-    if (mol.n == 0) None else Some(mol)
+
+    // 4. H/charge/aromaticity adjustment (RDKit product semantics):
+    //    - template H / charge specs are applied verbatim;
+    //    - bracket source atoms keep their fixed H (RDKit noImplicit);
+    //    - implicit atoms that STILL sit in an aromatic system preserve
+    //      their coordination number (a pyrrole-type N that lost its
+    //      substituent regains an H — the reference reaches the same
+    //      state via utils.postsanitize_smiles' pyrrole H flip);
+    //    - other implicit atoms re-derive H from the new bonding;
+    //    - atoms left without aromatic bonds lose the aromatic flag
+    //      (a template that writes Kekule bonds de-aromatizes).
+    val atomsArr = newAtoms.result().toArray
+    val bondsV = newBonds.result()
+    val newDeg = Array.fill(atomsArr.length)(0)
+    val hasArom = Array.fill(atomsArr.length)(false)
+    bondsV.foreach { bd =>
+      newDeg(bd.a) += 1; newDeg(bd.b) += 1
+      if (bd.aromatic) { hasArom(bd.a) = true; hasArom(bd.b) = true }
+    }
+    for (ti <- ppat.atoms.indices) {
+      val (mi, ai) = templateSrc(ti)
+      val ni = newIdx((mi, ai))
+      val src = mols(mi).atoms(ai)
+      var a = atomsArr(ni)
+      chargeSpec(ppat.atoms(ti)).foreach(c => a = a.copy(charge = c))
+      hSpec(ppat.atoms(ti)) match {
+        case Some(h) => a = a.copy(hCount = h)
+        case None if src.hCount >= 0 => // bracket: fixed count kept
+        case None if src.aromatic && hasArom(ni) =>
+          val keep = mols(mi).degree(ai) + mols(mi).implicitH(ai) - newDeg(ni)
+          a = a.copy(hCount = math.max(0, keep))
+        case None => a = a.copy(hCount = -1)
+      }
+      atomsArr(ni) = a.copy(aromatic = a.aromatic && hasArom(ni))
+    }
+    val mol = new Molecule(atomsArr.toVector, bondsV)
+    if (mol.n == 0 || !validValences(mol)) None else Some(mol)
   }
 }

@@ -128,3 +128,112 @@ final case class TanimotoSamplingFilter(
       .join(kept.select("_id"), Seq("_id"), "left_anti")
   }
 }
+
+/** Metabolomics-guided expansion filter (filters/metabolomics.py:28-399):
+  * a generation's compounds whose exact mass falls in NO enumerated peak
+  * window are blocked AND removed from the network (the reference's
+  * `_apply_filter_results` cascade — `removes = true`).
+  *
+  * Semantics mirrored from the reference:
+  *  - only UNKNOWN peaks (no annotated structure) enumerate mass windows
+  *    (metabolomics.py:144-163);
+  *  - peak polarity selects the adduct list; window = (mz - ion)/mult
+  *    ± tol with STRICT bounds (metabolomics.py:620-633, :306);
+  *  - no charge/halogen restriction (unlike ms_adduct_search);
+  *  - generation 0 is never filtered (metabolomics.py:183-184);
+  *  - matched compounds carry Matched_Peak_IDs / Matched_Adducts
+  *    (via `annotate`).
+  * The RT-predictor branch (sklearn model) is out of scope — no model
+  * artifact ships with the reference; `rtThreshold` is accepted but a
+  * predictor hook must be supplied to activate it.
+  */
+final case class MetabolomicsFilter(
+    peaks: Seq[PeakRow], // unknown peaks only — see parsePeaksCsv
+    adducts: Seq[AdductRow] = MassSearch.defaultAdducts,
+    tol: Double = 0.001,
+    rtPredictor: Option[String => Option[Double]] = None,
+    rtThreshold: Option[Double] = None) extends NetworkFilter {
+
+  override def name = s"Metabolomics tol=$tol"
+  override def removes = true
+
+  /** (lo, hi, peakId, adduct) windows — peaks x polarity-matched adducts
+    * (Peak._enumerate_possible_masses).
+    */
+  lazy val ranges: Seq[(Double, Double, String, String)] =
+    for {
+      p <- peaks
+      a <- adducts
+      if (p.charge == "+" && a.ionMass > 0) ||
+        (p.charge == "-" && a.ionMass < 0)
+      m = (p.mz - a.ionMass) / a.mult
+    } yield (m - tol, m + tol, p.name, a.name)
+
+  private def rtOk(peakId: String): org.apache.spark.sql.Column =
+    (rtPredictor, rtThreshold) match {
+      case (Some(pred), Some(thr)) =>
+        val rt = peaks.find(_.name == peakId)
+          .map(_.r_time).getOrElse(Double.NaN)
+        val rtUdf = udf { smiles: String =>
+          pred(smiles).exists(p => math.abs(rt - p) <= thr)
+        }
+        rtUdf(col("SMILES"))
+      case _ => lit(true)
+    }
+
+  private def inWindow(lo: Double, hi: Double) =
+    col("Mass") > lo && col("Mass") < hi
+
+  /** Adds Matched_Peak_IDs / Matched_Adducts arrays (in range-enumeration
+    * order, like the reference's append loop at metabolomics.py:327-331).
+    */
+  def annotate(compounds: DataFrame): DataFrame = {
+    def arr(pick: ((Double, Double, String, String)) => String) =
+      filter(
+        array(ranges.map { r =>
+          when(inWindow(r._1, r._2) && rtOk(r._3), lit(pick(r)))
+        }: _*),
+        _.isNotNull)
+    compounds
+      .withColumn("Matched_Peak_IDs", arr(_._3))
+      .withColumn("Matched_Adducts", arr(_._4))
+  }
+
+  override def blocked(state: NetworkState): DataFrame = {
+    if (state.generation == 0)
+      return state.compounds.select("_id").limit(0)
+    val matched = ranges
+      .map(r => inWindow(r._1, r._2) && rtOk(r._3))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // note: no Expand predicate — the reference checks every gen-g
+    // compound, already-unexpandable ones included (metabolomics.py:190)
+    state.compounds
+      .where(col("Generation") === state.generation &&
+        !col("Type").isin("Coreactant", "Target Compound"))
+      .where(!matched)
+      .select("_id")
+  }
+}
+
+object MetabolomicsFilter {
+
+  /** Peak-list CSV loader (filters/metabolomics.py:118-146): columns
+    * `Peak ID, Retention Time, Aggregate M/Z, Polarity, ...,
+    * Predicted Structure (smiles), ...`. Returns (unknown, known) —
+    * peaks WITH a predicted structure are "known" and excluded from
+    * window enumeration.
+    */
+  def parsePeaksCsv(lines: Seq[String]): (Seq[PeakRow], Seq[(PeakRow, String)]) = {
+    val header = lines.head.split(",").map(_.trim).zipWithIndex.toMap
+    def idx(n: String) = header.getOrElse(n,
+      sys.error(s"peak CSV missing column '$n'"))
+    val rows = lines.tail.filter(_.trim.nonEmpty).map { l =>
+      val p = l.split(",", -1).map(_.trim)
+      val smiles = header.get("Predicted Structure (smiles)")
+        .map(p(_)).getOrElse("")
+      (PeakRow(p(idx("Peak ID")), p(idx("Retention Time")).toDouble,
+        p(idx("Aggregate M/Z")).toDouble, p(idx("Polarity")), Nil), smiles)
+    }
+    (rows.filter(_._2.isEmpty).map(_._1), rows.filter(_._2.nonEmpty))
+  }
+}

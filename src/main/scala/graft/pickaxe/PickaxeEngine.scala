@@ -18,6 +18,12 @@ final case class NetworkState(
 trait NetworkFilter {
   def name: String
   def blocked(state: NetworkState): DataFrame // single `_id` column
+  /** When true, blocked compounds are also REMOVED from the network with
+    * the reference's cascade semantics (base_filter.py:163-286) — the
+    * metabolomics filter's behavior — instead of only losing their
+    * Expand flag.
+    */
+  def removes: Boolean = false
 }
 
 /** Spark-native Pickaxe: iterative rule-driven network expansion
@@ -38,7 +44,13 @@ trait NetworkFilter {
 final class PickaxeEngine(
     spark: SparkSession,
     val rules: Seq[RuleRow],
-    val coreactants: Seq[CoreactantRow]) extends Serializable {
+    val coreactants: Seq[CoreactantRow],
+    /** Run the rule kernel on explicit-H molecules (the reference's
+      * `explicit_h` flag, default False — pickaxe.py:147). Rules whose
+      * SMARTS bind hydrogen atoms (`[#1...]`) need true; implicit mode
+      * lets H counts re-derive after rewiring, like RDKit.
+      */
+    val explicitH: Boolean = false) extends Serializable {
 
   import spark.implicits._
 
@@ -69,16 +81,23 @@ final class PickaxeEngine(
       state: NetworkState,
       filters: Seq[NetworkFilter] = Nil): NetworkState = {
     val g = state.generation
-    // filters run in declaration order (pickaxe.py:628-629)
-    val afterFilters = filters.foldLeft(state.compounds) { (cpds, f) =>
-      val blocked = f.blocked(state.copy(compounds = cpds))
+    // filters run in declaration order (pickaxe.py:628-629); a filter
+    // with `removes` additionally cascade-deletes its blocked set
+    val filteredState = filters.foldLeft(state) { (st, f) =>
+      val blocked = f.blocked(st)
         .select(col("_id").as("__blocked_id")).distinct()
-      cpds.join(broadcast(blocked),
-          cpds("_id") === col("__blocked_id"), "left")
+      val cpds = st.compounds.join(broadcast(blocked),
+          st.compounds("_id") === col("__blocked_id"), "left")
         .withColumn("Expand",
           col("Expand") && col("__blocked_id").isNull)
         .drop("__blocked_id")
+      val withFlags = st.copy(compounds = cpds)
+      if (f.removes)
+        Cascade.cascadeDelete(withFlags,
+          blocked.select(col("__blocked_id").as("_id")))
+      else withFlags
     }
+    val afterFilters = filteredState.compounds
     // P1 frontier predicate (pickaxe.py:658-664)
     val frontier = afterFilters
       .where(col("Generation") === g && col("Expand") &&
@@ -87,8 +106,9 @@ final class PickaxeEngine(
 
     val rulesB = spark.sparkContext.broadcast(rules)
     val coreB = spark.sparkContext.broadcast(coreactantMap)
+    val eh = explicitH
     val predicted = frontier.flatMap { case (id, smi) =>
-      RuleKernel.applyAll(id, smi, rulesB.value, coreB.value)
+      RuleKernel.applyAll(id, smi, rulesB.value, coreB.value, explicitH = eh)
     }.toDF().persist()
 
     // D2/A1: reaction merge with operator set-union
@@ -100,10 +120,10 @@ final class PickaxeEngine(
         first("products").as("Products"),
         array_sort(collect_set("operator")).as("Operators"))
     val mergedRxns =
-      if (state.reactions.isEmpty) newRxns
+      if (filteredState.reactions.isEmpty) newRxns
         .select(col("_id"), lit("").as("ID"), col("Reactants"),
           col("Products"), col("Operators"), col("SMILES_rxn"))
-      else state.reactions.as("old")
+      else filteredState.reactions.as("old")
         .join(newRxns.as("new"), Seq("_id"), "full_outer")
         .select(
           col("_id"),

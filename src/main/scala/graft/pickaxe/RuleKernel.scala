@@ -32,13 +32,18 @@ object RuleKernel {
   private def compiled(smarts: String): ReactionRule.Parsed =
     compiledRules.getOrElseUpdate(smarts, ReactionRule.parse(smarts))
 
-  /** Explicit-H molecule for a canonical SMILES, cached per JVM with a
-    * hard size cap (cleared wholesale when full — coreactants re-enter
-    * immediately, transient compounds don't).
+  /** Molecule for a canonical SMILES (explicit-H when the engine runs in
+    * explicit mode), cached per JVM with a hard size cap (cleared
+    * wholesale when full — coreactants re-enter immediately, transient
+    * compounds don't).
     */
-  private def molFor(smiles: String): Molecule = {
+  private def molFor(smiles: String, explicitH: Boolean): Molecule = {
     if (parsedMols.size > maxCachedMols) parsedMols.clear()
-    parsedMols.getOrElseUpdate(smiles, Smiles.parse(smiles).withExplicitH)
+    val key = (if (explicitH) "E|" else "I|") + smiles
+    parsedMols.getOrElseUpdate(key, {
+      val m = Smiles.parse(smiles)
+      if (explicitH) m.withExplicitH else m
+    })
   }
 
   /** Reaction content hash (P11, utils.py:324-379): sha256 over the
@@ -63,16 +68,18 @@ object RuleKernel {
       cSmiles: String,
       rules: Seq[RuleRow],
       coreactants: Map[String, (String, String)],
-      maxProducts: Int = 10000): Seq[Predicted] = {
+      maxProducts: Int = 10000,
+      explicitH: Boolean = false): Seq[Predicted] = {
     val out = Seq.newBuilder[Predicted]
-    val compound = try molFor(cSmiles) catch { case _: Exception => return Seq.empty }
+    val compound = try molFor(cSmiles, explicitH)
+      catch { case _: Exception => return Seq.empty }
     for (rule <- rules) {
       try {
         val parsed = compiled(rule.smarts)
         // reactant tuple by role (reactions.py:276-278)
         val mols = rule.reactantRoles.map {
           case "Any" => compound
-          case role => molFor(coreactants(role)._1)
+          case role => molFor(coreactants(role)._1, explicitH)
         }
         val reactantIds = rule.reactantRoles.map {
           case "Any" => cId
@@ -105,7 +112,8 @@ object RuleKernel {
             // atom balance (reactions.py:106-118,194-198)
             val balanced = Chem.isBalanced(
               reactantStoich.map(st =>
-                st.stoich -> molForId(st.c_id, cId, cSmiles, coreactants)),
+                st.stoich -> molForId(st.c_id, cId, cSmiles, coreactants,
+                  explicitH)),
               productSet.map(1 -> _))
             val rid = reactionHash(reactantStoich, productStoich)
             if (!isNoOp && balanced && seen.add(rid)) {
@@ -125,9 +133,10 @@ object RuleKernel {
 
   private def molForId(
       id: String, cId: String, cSmiles: String,
-      coreactants: Map[String, (String, String)]): Molecule =
-    if (id == cId) molFor(cSmiles)
-    else molFor(coreactants.values.find(_._2 == id).get._1)
+      coreactants: Map[String, (String, String)],
+      explicitH: Boolean): Molecule =
+    if (id == cId) molFor(cSmiles, explicitH)
+    else molFor(coreactants.values.find(_._2 == id).get._1, explicitH)
 
   private def idToSmiles(
       s: Stoich, cId: String, cSmiles: String,

@@ -29,7 +29,7 @@ object PickaxeQueries extends QueryPack {
       s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
     val rules = PickaxeEngine.parseRules(
       Seq(s"2.7.1.a\tATP;Any\t$phosphorylation\tAny;ADP\t-"), core)
-    new PickaxeEngine(s, rules, core)
+    new PickaxeEngine(s, rules, core, explicitH = true)
   }
 
   override def queries: Seq[GraftQuery] = Seq(

@@ -21,7 +21,7 @@ class FiltersAndSearchSpec extends SparkSuite {
       s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
     new PickaxeEngine(spark,
       PickaxeEngine.parseRules(Seq(s"2.7.1.a\tATP;Any\t$rule\tAny;ADP\t-"),
-        core), core)
+        core), core, explicitH = true)
   }
 
   test("MW filter blocks out-of-window frontier compounds entirely") {

@@ -25,6 +25,8 @@ class FullCatalogRunSpec extends SparkSuite {
     val rules = PickaxeEngine.parseRules(
       Files.readAllLines(Paths.get(s"$dir/metacyc_generalized_rules.tsv"))
         .asScala.toSeq, core)
+    // the reference's production template runs metacyc rules with
+    // explicit_h = False (pickaxe_run_template.py:95)
     val engine = new PickaxeEngine(spark, rules, core)
     val glucose = "OCC1OC(O)C(O)C(O)C1O"
     val t0 = System.nanoTime()

@@ -19,7 +19,7 @@ class MineSinkSpec extends SparkSuite {
       s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
     new PickaxeEngine(spark,
       PickaxeEngine.parseRules(Seq(s"2.7.1.a\tATP;Any\t$rule\tAny;ADP\t-"),
-        core), core).run(Seq("CCO"), generations = 1)
+        core), core, explicitH = true).run(Seq("CCO"), generations = 1)
   }
 
   test("core enrichment columns are populated and deterministic") {

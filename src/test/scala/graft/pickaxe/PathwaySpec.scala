@@ -24,7 +24,7 @@ class PathwaySpec extends SparkSuite {
       s"ATP\tATP\t$atp", s"ADP\tADP\t$adp"))
     new PickaxeEngine(spark,
       PickaxeEngine.parseRules(Seq(s"2.7.1.a\tATP;Any\t$rule\tAny;ADP\t-"),
-        core), core).run(Seq(fadh), generations = 2)
+        core), core, explicitH = true).run(Seq(fadh), generations = 2)
   }
 
   private def cid(smiles: String): String =

@@ -26,7 +26,7 @@ class PickaxeSpec extends SparkSuite {
     val rules = PickaxeEngine.parseRules(
       Files.readAllLines(Paths.get(s"$dataDir/test_reaction_rules.tsv"))
         .asScala.toSeq, core)
-    new PickaxeEngine(spark, rules, core)
+    new PickaxeEngine(spark, rules, core, explicitH = true)
   }
 
   private val fadh = "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC" +
@@ -46,7 +46,8 @@ class PickaxeSpec extends SparkSuite {
     // coreactants ATP+ADP only, rule 2.7.1.a only, FADH, 2 generations
     val core = engine.coreactants.filter(c => Set("ATP", "ADP")(c.name))
     val e = new PickaxeEngine(spark,
-      engine.rules.filter(_.name == "2.7.1.a"), core)
+      engine.rules.filter(_.name == "2.7.1.a"), core,
+      explicitH = true)
     val st = e.run(Seq(fadh), generations = 2)
     val nCpds = st.compounds.count() // coreactants included, like len(pk.compounds)
     val nRxns = st.reactions.count()
@@ -110,7 +111,8 @@ class PickaxeSpec extends SparkSuite {
     // test_target_generation (test_pickaxe.py:207-220)
     val core = engine.coreactants.filter(c => Set("ATP", "ADP")(c.name))
     val e = new PickaxeEngine(spark,
-      engine.rules.filter(_.name == "2.7.1.a"), core)
+      engine.rules.filter(_.name == "2.7.1.a"), core,
+      explicitH = true)
     val target = scala.io.Source.fromFile(s"$dataDir/test_targets.csv")
       .getLines().drop(1).next().split(",")(1)
     val st = e.run(Seq(fadh), generations = 2)
@@ -129,7 +131,8 @@ class PickaxeSpec extends SparkSuite {
     assume(fixturesPresent)
     val core = engine.coreactants.filter(c => Set("ATP", "ADP")(c.name))
     val e = new PickaxeEngine(spark,
-      engine.rules.filter(_.name == "2.7.1.a"), core)
+      engine.rules.filter(_.name == "2.7.1.a"), core,
+      explicitH = true)
     def export(dir: String): (String, String) = {
       e.writeTsv(e.run(Seq(fadh), 1), dir)
       def read(sub: String): String = {
