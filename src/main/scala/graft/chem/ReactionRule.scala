@@ -252,7 +252,10 @@ object ReactionRule {
           a = a.copy(hCount = math.max(0, keep))
         case None => a = a.copy(hCount = -1)
       }
-      atomsArr(ni) = a.copy(aromatic = a.aromatic && hasArom(ni))
+      // a template atom's aromaticity follows its PRODUCT bonds: writing
+      // `:` bonds aromatizes (NAD reduction reverse), writing Kekule
+      // bonds de-aromatizes — matching RDKit's product sanitization
+      atomsArr(ni) = a.copy(aromatic = hasArom(ni))
     }
     val mol = new Molecule(atomsArr.toVector, bondsV)
     if (mol.n == 0 || !validValences(mol)) None else Some(mol)

@@ -18,12 +18,15 @@ final case class NetworkState(
 trait NetworkFilter {
   def name: String
   def blocked(state: NetworkState): DataFrame // single `_id` column
-  /** When true, blocked compounds are also REMOVED from the network with
-    * the reference's cascade semantics (base_filter.py:163-286) — the
-    * metabolomics filter's behavior — instead of only losing their
-    * Expand flag.
+  /** When true (the default — the reference's `_apply_filter_results`
+    * runs after EVERY filter, base_filter.py:163-286), blocked compounds
+    * are REMOVED from the network with the cascade semantics (a compound
+    * survives while a surviving reaction references it; Starting
+    * Compounds and Coreactants are never removed — a documented deviation:
+    * the reference can delete a generation-0 start that no reaction
+    * protects). Override to false for flag-only filtering.
     */
-  def removes: Boolean = false
+  def removes: Boolean = true
 }
 
 /** Spark-native Pickaxe: iterative rule-driven network expansion

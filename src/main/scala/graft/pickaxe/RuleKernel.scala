@@ -96,12 +96,23 @@ object RuleKernel {
           val canonProducts = productSet.map(Smiles.write)
           // reject fragments (reactions.py:142-143)
           if (!canonProducts.exists(_.contains("."))) {
-            val prodIdSmiles = canonProducts.map { smi =>
-              cofactorBySmiles.get(smi) match {
-                case Some(xid) => (xid, smi)
-                case None => (Chem.compoundHash(smi, 'C'), smi)
+            // POSITIONAL role mapping (reactions.py:96-104): a non-Any
+            // product slot is DECLARED to be its role's coreactant
+            // whatever the template actually produced; the atom-balance
+            // gate below then rejects embeddings that split the cofactor
+            // at the wrong bond (e.g. ATP cleaved at the alpha- instead
+            // of gamma-phosphate). Any-slot products that equal a
+            // cofactor are still rewritten to the X-id
+            // (_remove_cofactor_redundancy, pickaxe.py:793-940).
+            val prodIdSmiles = canonProducts.zip(rule.productRoles)
+              .map { case (smi, role) =>
+                if (role == "Any")
+                  cofactorBySmiles.get(smi) match {
+                    case Some(xid) => (xid, smi)
+                    case None => (Chem.compoundHash(smi, 'C'), smi)
+                  }
+                else (coreactants(role)._2, coreactants(role)._1)
               }
-            }
             val productStoich = toStoich(prodIdSmiles.map(_._1))
             val reactantIdSet = reactantIds.toSet
             // skip no-op transforms (reactions.py:189-192) and
@@ -109,17 +120,21 @@ object RuleKernel {
             val isNoOp = prodIdSmiles.exists { case (pid, _) =>
               reactantIdSet.contains(pid)
             } || prodIdSmiles.forall(_._1.startsWith("X"))
-            // atom balance (reactions.py:106-118,194-198)
+            // atom balance over the DECLARED molecules
+            // (reactions.py:106-118,194-198 — counts come from the
+            // declared compound documents, which is what prunes
+            // wrong-position cofactor splits)
             val balanced = Chem.isBalanced(
               reactantStoich.map(st =>
                 st.stoich -> molForId(st.c_id, cId, cSmiles, coreactants,
                   explicitH)),
-              productSet.map(1 -> _))
+              prodIdSmiles.map { case (_, smi) =>
+                1 -> molFor(smi, explicitH) })
             val rid = reactionHash(reactantStoich, productStoich)
             if (!isNoOp && balanced && seen.add(rid)) {
               val eq = reactantStoich.map(s => idToSmiles(s, cId, cSmiles,
                 coreactants)).mkString(" + ") + " => " +
-                canonProducts.sorted.mkString(" + ")
+                prodIdSmiles.map(_._2).sorted.mkString(" + ")
               out += Predicted(rid, eq, rule.name, reactantStoich,
                 productStoich,
                 prodIdSmiles.filter(_._1.startsWith("C")))
