@@ -38,11 +38,18 @@ object MolFile {
       if (t == 4) Bond(a, b, 1, aromatic = true)
       else Bond(a, b, t, aromatic = false)
     }.toVector
+    // atoms on an aromatic (type 4) bond are aromatic — keeps the graph
+    // self-consistent when the block came from an aromatic-form writer
+    val aromAtoms = bonds.filter(_.aromatic)
+      .flatMap(b => Seq(b.a, b.b)).toSet
+    val atomsArom = atoms.zipWithIndex.map { case (a, i) =>
+      if (aromAtoms(i)) a.copy(aromatic = true) else a
+    }
     // M  CHG: per V2000, the presence of ANY charge property block
     // supersedes ALL atom-block charge columns (unlisted atoms -> 0)
     val chgLines = lines.filter(_.startsWith("M  CHG"))
     val withChg =
-      if (chgLines.isEmpty) atoms
+      if (chgLines.isEmpty) atomsArom
       else {
         val chg = chgLines.flatMap { l =>
           val p = l.trim.split("\\s+").drop(2)
@@ -50,7 +57,7 @@ object MolFile {
             (idx.toInt - 1, q.toInt)
           }
         }.toMap
-        atoms.zipWithIndex.map { case (a, i) =>
+        atomsArom.zipWithIndex.map { case (a, i) =>
           a.copy(charge = chg.getOrElse(i, 0))
         }
       }

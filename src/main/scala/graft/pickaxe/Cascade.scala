@@ -134,6 +134,115 @@ object Cascade {
     NetworkState(outC, outR, state.generation)
   }
 
+  /** Reaction-driven deletion with orphan cascade (base_filter.py:
+    * 216-238): remove the given reactions; compounds that were members of
+    * a removed reaction and now have NO producing reaction are orphans —
+    * they are removed and their consuming reactions removed too, to
+    * fixpoint. Starting Compounds / Coreactants are never removed
+    * (documented deviation; see cascadeDelete).
+    *
+    * SIZE-GATED like cascadeDelete: small networks run the fixpoint
+    * driver-side in one collect; large ones run iterative semi-joins.
+    */
+  def deleteReactions(
+      state: NetworkState,
+      rxnIds: DataFrame,
+      localRxnThreshold: Long = 200_000L): NetworkState = {
+    if (state.reactions.count() <= localRxnThreshold)
+      return deleteReactionsLocal(state, rxnIds)
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val protectedC = state.compounds
+      .where(col("Type").isin("Starting Compound", "Coreactant"))
+      .select(col("_id").as("c_id"))
+    var dead = rxnIds.select(col("_id").as("rxn")).distinct().localCheckpoint()
+    var removedC = state.compounds.select(col("_id").as("c_id")).limit(0)
+      .localCheckpoint()
+    var stable = false
+    while (!stable) {
+      // orphan = touched compound with no surviving producer
+      val touched = prodM.union(reacM).join(dead, Seq("rxn"), "left_semi")
+        .select("c_id").distinct()
+      val stillProduced = prodM.join(dead, Seq("rxn"), "left_anti")
+        .select("c_id").distinct()
+      val orphans = touched.join(stillProduced, Seq("c_id"), "left_anti")
+        .join(protectedC, Seq("c_id"), "left_anti")
+        .join(removedC, Seq("c_id"), "left_anti")
+        .localCheckpoint()
+      val newDead = reacM.join(orphans, Seq("c_id"), "left_semi")
+        .select("rxn").distinct()
+        .join(dead, Seq("rxn"), "left_anti").localCheckpoint()
+      stable = orphans.isEmpty && newDead.isEmpty
+      removedC = removedC.union(orphans).localCheckpoint()
+      dead = dead.union(newDead).localCheckpoint()
+    }
+    val outC = state.compounds.join(
+      removedC.withColumnRenamed("c_id", "_id"), Seq("_id"), "left_anti")
+    val outR = state.reactions.join(
+      dead.withColumnRenamed("rxn", "_id"), Seq("_id"), "left_anti")
+    prodM.unpersist(); reacM.unpersist()
+    NetworkState(outC, outR, state.generation)
+  }
+
+  private def deleteReactionsLocal(
+      state: NetworkState,
+      rxnIds: DataFrame): NetworkState = {
+    import scala.collection.mutable
+    val spark = state.compounds.sparkSession
+    import spark.implicits._
+    val members = state.reactions
+      .select(col("_id").as("rxn"), col("Reactants"), col("Products"))
+      .as[(String, Seq[Stoich], Seq[Stoich])]
+      .collect()
+    val prodOf = members.map { case (r, _, p) =>
+      r -> p.map(_.c_id).filter(_.startsWith("C"))
+    }.toMap
+    val reacOf = members.map { case (r, re, _) =>
+      r -> re.map(_.c_id).filter(_.startsWith("C"))
+    }.toMap
+    val producedBy = mutable.HashMap.empty[String, mutable.HashSet[String]]
+    val consumedBy = mutable.HashMap.empty[String, mutable.HashSet[String]]
+    members.foreach { case (r, _, _) =>
+      prodOf(r).foreach(c =>
+        producedBy.getOrElseUpdate(c, mutable.HashSet.empty) += r)
+      reacOf(r).foreach(c =>
+        consumedBy.getOrElseUpdate(c, mutable.HashSet.empty) += r)
+    }
+    val protectedC = state.compounds
+      .where(col("Type").isin("Starting Compound", "Coreactant"))
+      .select("_id").as[String].collect().toSet
+    val dead = mutable.HashSet.empty[String]
+    val removed = mutable.HashSet.empty[String]
+    val queue = mutable.Queue[String](
+      rxnIds.select("_id").distinct().as[String].collect().toIndexedSeq: _*)
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      if (dead.add(r)) {
+        // members touched by this deletion: orphan check
+        (prodOf(r) ++ reacOf(r)).foreach { c =>
+          if (!removed(c) && !protectedC(c) &&
+            producedBy.getOrElse(c, mutable.HashSet.empty)
+              .forall(dead.contains)) {
+            removed += c
+            consumedBy.getOrElse(c, mutable.HashSet.empty)
+              .foreach(rr => if (!dead(rr)) queue.enqueue(rr))
+          }
+        }
+      }
+    }
+    val outC = state.compounds.join(
+      broadcast(removed.toSeq.toDF("_id")), Seq("_id"), "left_anti")
+    val outR = state.reactions.join(
+      broadcast(dead.toSeq.toDF("_id")), Seq("_id"), "left_anti")
+    NetworkState(outC, outR, state.generation)
+  }
+
   /** J8 (check_product_of_native, metabolomics.py:273-352): of the given
     * compound ids, return those produced by at least one reaction whose
     * reactants include a native-set compound — the 3-stage Mongo $lookup

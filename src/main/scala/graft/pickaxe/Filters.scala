@@ -215,6 +215,142 @@ final case class MetabolomicsFilter(
   }
 }
 
+/** Thermodynamic filter (filters/thermodynamics.py:17-160): reactions
+  * producing a current-generation compound whose ΔGr >= `dgMax` kJ/mol
+  * are DELETED (with the orphan cascade). The reference computes ΔG via
+  * eQuilibrator under (pH, I, pMg) or physiological defaults; the
+  * condition parameters are carried and the per-molecule energy model is
+  * pluggable (`Thermo.bondEnergyEstimate` deterministic stub by default —
+  * no eQuilibrator cache ships with the container).
+  */
+final case class ThermoFilter(
+    dgMax: Double = 0.0,
+    pH: Double = 7.0,
+    ionicStrength: Double = 0.0,
+    pMg: Double = 3.0,
+    physiological: Boolean = false,
+    generationList: Seq[Int] = Nil,
+    lastGenerationOnly: Boolean = false,
+    totalGenerations: Int = Int.MaxValue,
+    model: graft.chem.Molecule => Double = Thermo.bondEnergyEstimate)
+    extends NetworkFilter {
+
+  override def name = s"Thermo dgMax=$dgMax pH=$pH I=$ionicStrength pMg=$pMg"
+  override def removes = false // thermo blocks nothing compound-side
+
+  override def blocked(state: NetworkState): DataFrame =
+    state.compounds.select("_id").limit(0)
+
+  override def blockedReactions(state: NetworkState): DataFrame = {
+    val g = state.generation
+    // generation gates (thermodynamics.py:119-125)
+    if ((lastGenerationOnly && g != totalGenerations) ||
+      (generationList.nonEmpty && !generationList.contains(g - 1)))
+      return state.reactions.select("_id").limit(0)
+    // reactions producing a current-generation non-coreactant compound
+    val genC = state.compounds
+      .where(col("Generation") === g &&
+        !col("Type").isin("Coreactant", "Target Compound"))
+      .select(col("_id").as("c_id"))
+    val toCheck = state.reactions
+      .select(col("_id"), explode(col("Products")).as("m"))
+      .select(col("_id"), col("m.c_id").as("c_id"))
+      .join(genC, Seq("c_id"), "left_semi")
+      .select("_id").distinct()
+    val smilesOf = state.compounds.select(col("_id").as("c_id"),
+      col("SMILES"))
+    val mdl = model
+    val dgUdf = udf { (reac: Seq[org.apache.spark.sql.Row],
+        prod: Seq[org.apache.spark.sql.Row]) =>
+      def side(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.map(r => r.getInt(0) -> graft.chem.Smiles.parse(r.getString(1)))
+      Thermo.deltaG(side(reac), side(prod), mdl)
+    }
+    // attach SMILES to each member, regroup, compute ΔG in one pass
+    def withSmiles(colName: String) = state.reactions
+      .join(toCheck, Seq("_id"), "left_semi")
+      .select(col("_id"), explode(col(colName)).as("m"))
+      .join(smilesOf, col("m.c_id") === col("c_id"))
+      .groupBy("_id")
+      .agg(collect_list(struct(col("m.stoich"), col("SMILES"))).as(colName))
+    withSmiles("Reactants").join(withSmiles("Products"), Seq("_id"))
+      .withColumn("dg", dgUdf(col("Reactants"), col("Products")))
+      .where(col("dg") >= dgMax) // thermodynamics.py:157-159
+      .select("_id")
+  }
+}
+
+/** Reaction-feasibility filter (filters/feasibility.py:102-240): a
+  * pluggable per-reaction feasibility scorer gates reactions at the
+  * reference's 0.32 threshold (feasibility.py:144); infeasible reactions
+  * are deleted with the orphan cascade. The reference's scorer is an
+  * external trained model (Biotechnol J 2021, 16:e2000605) that does not
+  * ship with the repo — the default stub is a deterministic md5-derived
+  * pseudo-score over the reaction equation, making the wiring and
+  * threshold semantics real while the model is swappable.
+  */
+final case class FeasibilityFilter(
+    scorer: (Seq[String], Seq[String]) => Double =
+      FeasibilityFilter.deterministicStub,
+    threshold: Double = 0.32,
+    useUnpredicted: Boolean = false,
+    generationList: Seq[Int] = Nil,
+    lastGenerationOnly: Boolean = false,
+    totalGenerations: Int = Int.MaxValue) extends NetworkFilter {
+
+  override def name = s"Feasibility threshold=$threshold"
+  override def removes = false
+
+  override def blocked(state: NetworkState): DataFrame =
+    state.compounds.select("_id").limit(0)
+
+  override def blockedReactions(state: NetworkState): DataFrame = {
+    val g = state.generation
+    if ((lastGenerationOnly && g != totalGenerations) ||
+      (generationList.nonEmpty && !generationList.contains(g - 1)))
+      return state.reactions.select("_id").limit(0)
+    val genC = state.compounds
+      .where(col("Generation") === g &&
+        !col("Type").isin("Coreactant", "Target Compound"))
+      .select(col("_id").as("c_id"))
+    val toCheck = state.reactions
+      .select(col("_id"), explode(col("Products")).as("m"))
+      .select(col("_id"), col("m.c_id").as("c_id"))
+      .join(genC, Seq("c_id"), "left_semi")
+      .select("_id").distinct()
+    val smilesOf = state.compounds.select(col("_id").as("c_id"), col("SMILES"))
+    val sc = scorer
+    val thr = threshold
+    val scoreUdf = udf { (reac: Seq[String], prod: Seq[String]) =>
+      sc(reac, prod)
+    }
+    def sideSmiles(colName: String) = state.reactions
+      .join(toCheck, Seq("_id"), "left_semi")
+      .select(col("_id"), explode(col(colName)).as("m"))
+      .join(smilesOf, col("m.c_id") === col("c_id"))
+      .groupBy("_id")
+      .agg(array_sort(collect_list(col("SMILES"))).as(colName))
+    sideSmiles("Reactants").join(sideSmiles("Products"), Seq("_id"))
+      .withColumn("score", scoreUdf(col("Reactants"), col("Products")))
+      .where(col("score") < thr)
+      .select("_id")
+  }
+}
+
+object FeasibilityFilter {
+  /** Deterministic stand-in for the trained feasibility model: uniform
+    * [0,1) from the md5 of the sorted reaction equation.
+    */
+  def deterministicStub(reactants: Seq[String], products: Seq[String]): Double = {
+    val eq = reactants.sorted.mkString("+") + ">>" + products.sorted.mkString("+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(eq.getBytes("UTF-8"))
+    val x = java.lang.Long.parseLong(
+      md.take(7).map("%02x".format(_)).mkString, 16)
+    x.toDouble / math.pow(16, 14)
+  }
+}
+
 object MetabolomicsFilter {
 
   /** Peak-list CSV loader (filters/metabolomics.py:118-146): columns

@@ -27,6 +27,14 @@ trait NetworkFilter {
     * protects). Override to false for flag-only filtering.
     */
   def removes: Boolean = true
+
+  /** Reaction `_id`s to DELETE outright (the thermodynamics/feasibility
+    * filters return reaction sets — thermodynamics.py:159,
+    * feasibility.py:102); deletion cascades to orphaned compounds
+    * (base_filter.py:216-238). Default: none.
+    */
+  def blockedReactions(state: NetworkState): DataFrame =
+    state.reactions.select("_id").limit(0)
 }
 
 /** Spark-native Pickaxe: iterative rule-driven network expansion
@@ -95,10 +103,14 @@ final class PickaxeEngine(
           col("Expand") && col("__blocked_id").isNull)
         .drop("__blocked_id")
       val withFlags = st.copy(compounds = cpds)
-      if (f.removes)
-        Cascade.cascadeDelete(withFlags,
-          blocked.select(col("__blocked_id").as("_id")))
-      else withFlags
+      val afterCpds =
+        if (f.removes)
+          Cascade.cascadeDelete(withFlags,
+            blocked.select(col("__blocked_id").as("_id")))
+        else withFlags
+      val badRxns = f.blockedReactions(afterCpds).select("_id").distinct()
+      if (badRxns.isEmpty) afterCpds
+      else Cascade.deleteReactions(afterCpds, badRxns)
     }
     val afterFilters = filteredState.compounds
     // P1 frontier predicate (pickaxe.py:658-664)

@@ -68,6 +68,31 @@ object SpectraIO {
     out.result().iterator
   }
 
+  /** mzXML (read_mzxml, metabolomics.py:827-857): every msLevel=2 scan
+    * yields one peak — m/z from its precursorMz element, retention time
+    * from the scan's `retentionTime="PT…S"` attribute (the reference
+    * strips the PT/S wrapper with `[2:-1]`), polarity from the scan,
+    * name `"mz @ rt"`. Implemented with scala.xml (JDK-bundled parser,
+    * namespace-agnostic like the reference's prefix handling).
+    */
+  def parseMzxml(content: String, chargeSign: String = "+"): Seq[PeakRow] = {
+    val root = scala.xml.XML.loadString(content)
+    (root \\ "scan").toSeq
+      .filter(s => (s \@ "msLevel") == "2")
+      .map { scan =>
+        val mzText = (scan \ "precursorMz").text.trim
+        val rtRaw = scan \@ "retentionTime"
+        val rt = rtRaw.stripPrefix("PT").stripSuffix("S")
+        val polarity = scan \@ "polarity" match {
+          case "" => chargeSign
+          case p => p
+        }
+        PeakRow(s"$mzText @ $rt",
+          if (rt.isEmpty) 0.0 else rt.toDouble,
+          mzText.toDouble, polarity, Nil)
+      }
+  }
+
   /** Spark wrapper: read spectra files into a Peak DataFrame. */
   def readSpectra(
       spark: SparkSession,
@@ -75,13 +100,14 @@ object SpectraIO {
       format: String,
       chargeSign: String = "+"): DataFrame = {
     import spark.implicits._
-    val parse: Iterator[String] => Iterator[PeakRow] = format match {
-      case "mgf" => parseMgf(_, chargeSign)
-      case "msp" => parseMsp(_, chargeSign)
+    val parse: String => Iterator[PeakRow] = format match {
+      case "mgf" => c => parseMgf(c.linesIterator, chargeSign)
+      case "msp" => c => parseMsp(c.linesIterator, chargeSign)
+      case "mzxml" => c => parseMzxml(c, chargeSign).iterator
       case f => sys.error(s"unsupported spectra format $f")
     }
     spark.sparkContext.wholeTextFiles(path)
-      .flatMap { case (_, content) => parse(content.linesIterator) }
+      .flatMap { case (_, content) => parse(content) }
       .toDF()
   }
 }
