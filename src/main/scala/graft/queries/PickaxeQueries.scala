@@ -110,5 +110,74 @@ object PickaxeQueries extends QueryPack {
           SELECT 'pk3', 1::BIGINT, 1::BIGINT, 1::BIGINT"""),
       "Mass/adduct window search over the expanded network: peaks x " +
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
+
+    GraftQuery(
+      "q_pickaxe_met_filter", Seq("J6", "S9", "A6", "D6", "P13"),
+      (s, _) => {
+        import s.implicits._
+        // self-contained metabolomics-guided expansion (reference
+        // test_filters.py:232-252 shape): deaminate/hydrate
+        // 5'-deoxyadenosine + succinate under a peak filter; only the
+        // deoxyinosine product matches the 253.09337 [M+H]+ peak, every
+        // other gen-1 compound is removed by the cascade
+        val deoxyadenosine = "CC1OC(n2cnc3c(N)ncnc32)C(O)C1O"
+        val succinate = "O=C(O)CCC(=O)O"
+        // WATER drives the rules; NH3 makes the deamination byproduct a
+        // cofactor (X-id) like the metacyc coreactant list does
+        val core = PickaxeEngine.parseCoreactants(Seq(
+          "WATER\tWATER\tO", "NH3\tNH3\tN"))
+        val rules = PickaxeEngine.parseRules(Seq(
+          "deaminate\tAny;WATER\t[#6:1]-[#7:2].[#8:3]>>[#6:1]-[#8:3].[#7:2]\tAny;Any\t-",
+          "hydrolyze\tAny;WATER\t[#6:1]-[#8:2].[#8:3]>>[#6:1]-[#8:3].[#8:2]\tAny;Any\t-"),
+          core)
+        val peaks = Seq(
+          PeakRow("Test3", 26.29, 253.09337, "+", Nil),
+          PeakRow("decoy", 1.0, 999.0, "+", Nil))
+        val f = MetabolomicsFilter(peaks, tol = 0.001)
+        val e = new PickaxeEngine(s, rules, core)
+        val st = e.run(Seq(deoxyadenosine, succinate), generations = 2,
+          filters = Seq(f))
+        f.annotate(st.compounds.where(col("Generation") === 1))
+          .select(col("Formula"),
+            explode(col("Matched_Peak_IDs")).as("peak"))
+          .crossJoin(st.compounds.where(col("Generation") === 1)
+            .agg(count(lit(1)).as("n_gen1_survivors")))
+          .orderBy("Formula", "peak")
+      },
+      // pinned: the deamination product (deoxyinosine, C10H12N4O4,
+      // 252.0859 Da) is the ONLY gen-1 survivor and matches Test3
+      Some("""SELECT 'C10H12N4O4' AS "Formula", 'Test3' AS peak,
+            1::BIGINT AS n_gen1_survivors"""),
+      "Metabolomics-guided expansion: peak-window filter blocks and " +
+        "cascade-removes every non-matching gen-1 compound; the " +
+        "matching compound carries Matched_Peak_IDs annotations."),
+
+    GraftQuery(
+      "q_pickaxe_thermo", Seq("A2", "A3", "D6"),
+      (s, _) => {
+        val e = engine(s)
+        // thermo filters the PREVIOUS expansion's reactions at the start
+        // of each generation (like the reference's transform_all loop),
+        // so a 2-generation run exercises delete-vs-keep
+        def n(f: Seq[NetworkFilter]) = {
+          val st = e.run(Seq(fadh), generations = 2, filters = f)
+          (st.reactions.count(), st.compounds.count())
+        }
+        val (rAll, cAll) = n(Seq(ThermoFilter(dgMax = 1e7)))
+        val (rNone, cNone) = n(Seq(ThermoFilter(dgMax = -1e7)))
+        import s.implicits._
+        Seq(("permissive", rAll, cAll), ("blocking", rNone, cNone))
+          .toDF("mode", "n_reactions", "n_compounds")
+          .orderBy("mode")
+      },
+      // pinned: permissive dgMax keeps the full 31/49 network; blocking
+      // dgMax deletes every gen-1 reaction at the start of generation 2,
+      // the orphan cascade removes all 7 gen-1 compounds, and nothing is
+      // left to expand (3 = start + 2 coreactants remain)
+      Some("""SELECT 'blocking' AS mode, 0::BIGINT AS n_reactions,
+            3::BIGINT AS n_compounds
+          UNION ALL SELECT 'permissive', 49::BIGINT, 31::BIGINT"""),
+      "Thermodynamic gate over the expansion: reactions with dG above " +
+        "the cutoff are deleted and orphaned products cascade away."),
   )
 }
