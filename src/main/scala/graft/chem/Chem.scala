@@ -26,6 +26,35 @@ object Chem {
   def compoundHash(canonicalSmiles: String, cType: Char): String =
     cType.toString + sha1hex(canonicalSmiles)
 
+  /** Aromatic-NH tautomer pick (utils.postsanitize_smiles:441-517): the
+    * reference enumerates every single 1,3-H flip matching
+    * `[#7H1X3&a:1]:[#6&a:2]:[#7H0X2&a:3]` and keeps the
+    * lexicographically smallest SMILES of {variants + original}
+    * (reactions.py:128-131 takes `[0][0]` of the sorted set). Without
+    * this, an imidazole/purine product and its NH tautomer would count
+    * as two distinct compounds.
+    */
+  def postsanitize(canonicalSmiles: String): String = {
+    if (!canonicalSmiles.contains('n')) return canonicalSmiles
+    val m = Smiles.parse(canonicalSmiles)
+    def isAromN(i: Int) = m.atoms(i).elem == "N" && m.atoms(i).aromatic
+    val variants = for {
+      n1 <- 0 until m.n
+      if isAromN(n1) && m.totalH(n1) == 1 && m.degree(n1) == 2 // H1 X3
+      (c, b1) <- m.adj(n1)
+      if b1.aromatic && m.atoms(c).elem == "C" && m.atoms(c).aromatic
+      (n3, b2) <- m.adj(c)
+      if n3 != n1 && b2.aromatic && isAromN(n3) &&
+        m.totalH(n3) == 0 && m.degree(n3) == 2 // H0 X2
+    } yield {
+      val flipped = m.atoms
+        .updated(n1, m.atoms(n1).copy(hCount = 0))
+        .updated(n3, m.atoms(n3).copy(hCount = 1))
+      Smiles.write(new Molecule(flipped, m.bonds))
+    }
+    (variants :+ canonicalSmiles).distinct.min
+  }
+
   /** Charge neutralization (P7, utils.py:385-438): protonate negative
     * O/S/N, deprotonate positive N with an H — run to fixpoint like the
     * reference's 9-pattern loop.

@@ -356,9 +356,8 @@ object PickaxeEngine {
     * CSV/TSV with auto separator, structure column detected by name
     * (`smiles` / `inchi` / `structure`, case-insensitive — pickaxe.py:
     * 463-470), standardize -> organic filter -> content-hash dedup.
-    * DEVIATION: InChI values are skipped (InChI omits bond orders;
-    * faithful reconstruction needs an RDKit-scale kernel) — SMILES
-    * columns are fully supported.
+    * InChI values are reconstructed by `graft.chem.InChI` (bond orders
+    * via valence-deficiency matching; unsupported layers are skipped).
     */
   def loadCompoundFile(
       spark: SparkSession,
@@ -371,10 +370,14 @@ object PickaxeEngine {
       .find(c => Set("smiles", "inchi", "structure")(c.toLowerCase))
       .getOrElse(sys.error("Structure field not found in input."))
     raw.select(col(structureField).as("structure"))
-      .where(col("structure").isNotNull &&
-        !col("structure").startsWith("InChI="))
+      .where(col("structure").isNotNull)
       .as[String]
-      .flatMap(s => graft.chem.Chem.standardize(s))
+      .flatMap { s =>
+        val smiles =
+          if (s.startsWith("InChI=")) graft.chem.InChI.toCanonicalSmiles(s)
+          else Some(s)
+        smiles.flatMap(graft.chem.Chem.standardize(_))
+      }
       .filter((s: String) => graft.chem.Chem.isOrganic(s))
       .distinct()
       .map(s => mkCompound(graft.chem.Chem.compoundHash(s, 'C'), s,

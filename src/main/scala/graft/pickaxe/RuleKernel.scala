@@ -93,7 +93,10 @@ object RuleKernel {
         val cofactorBySmiles = coreactants.values.map(t => t._1 -> t._2).toMap
         val seen = scala.collection.mutable.Set.empty[String]
         for (productSet <- ReactionRule.run(parsed, mols, maxProducts)) {
-          val canonProducts = productSet.map(Smiles.write)
+          // aromaticity perception (RDKit sanitizes every product) +
+          // tautomer pick for n-containing ones (reactions.py:128-131)
+          val canonProducts = productSet
+            .map(p => Chem.postsanitize(Smiles.write(Aromatize.perceive(p))))
           // reject fragments (reactions.py:142-143)
           if (!canonProducts.exists(_.contains("."))) {
             // POSITIONAL role mapping (reactions.py:96-104): a non-Any
