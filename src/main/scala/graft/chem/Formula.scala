@@ -64,7 +64,15 @@ object Formula {
     * `maxLen` atoms sets one of `nBits` bits (analog of RDKitFP;
     * databases.py:544-548 stores the nonzero bit indexes).
     */
-  def fingerprint(m: Molecule, nBits: Int = 512, maxLen: Int = 5): Array[Int] = {
+  /** Path-based bit fingerprint in RDKFingerprint's shape (2048 bits,
+    * linear paths up to 7 atoms, canonical-direction hashing) — the
+    * reference's similarity filters ride on RDKFingerprint
+    * (filters/similarity.py:121,483). Bit-identical RDKit parity is
+    * impossible (RDKit seeds an RNG per path hash), but matching the
+    * size/depth keeps Tanimoto values in the same regime so cutoff
+    * semantics behave comparably.
+    */
+  def fingerprint(m: Molecule, nBits: Int = 2048, maxLen: Int = 7): Array[Int] = {
     val bits = scala.collection.mutable.SortedSet.empty[Int]
     def invar(i: Int): String = {
       val a = m.atoms(i)

@@ -75,6 +75,9 @@ class FilterParitySpec extends SparkSuite {
     val unfiltered = 1860L
     info(s"cutoff 0.5: $nSingle (reference 436); " +
       s"cutoff [0,0.3,0.5]: $nMulti (reference 1358)")
+    // pinned round-3 values: 1024 / 1509 with the 2048-bit maxLen-7
+    // path fingerprint (was 1407 / 1621 at 512 bits) — direction-of-
+    // travel bound, not an equality pin
     assert(nSingle < nMulti, "stricter gen-0 threshold must keep fewer")
     assert(nMulti <= unfiltered)
     assert(nSingle > 53, "coreactants+starts always survive")
