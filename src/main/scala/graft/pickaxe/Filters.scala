@@ -237,6 +237,7 @@ final case class ThermoFilter(
 
   override def name = s"Thermo dgMax=$dgMax pH=$pH I=$ionicStrength pMg=$pMg"
   override def removes = false // thermo blocks nothing compound-side
+  override def deletesReactions = true
 
   override def blocked(state: NetworkState): DataFrame =
     state.compounds.select("_id").limit(0)
@@ -300,6 +301,7 @@ final case class FeasibilityFilter(
 
   override def name = s"Feasibility threshold=$threshold"
   override def removes = false
+  override def deletesReactions = true
 
   override def blocked(state: NetworkState): DataFrame =
     state.compounds.select("_id").limit(0)

@@ -31,10 +31,16 @@ trait NetworkFilter {
   /** Reaction `_id`s to DELETE outright (the thermodynamics/feasibility
     * filters return reaction sets — thermodynamics.py:159,
     * feasibility.py:102); deletion cascades to orphaned compounds
-    * (base_filter.py:216-238). Default: none.
+    * (base_filter.py:216-238). Default: none. Override
+    * `deletesReactions` to true alongside this — the engine skips the
+    * whole reaction-deletion pass (one Spark action per filter per
+    * generation) for filters that never return one.
     */
   def blockedReactions(state: NetworkState): DataFrame =
     state.reactions.select("_id").limit(0)
+
+  /** Static hint: does this filter ever return blocked reactions? */
+  def deletesReactions: Boolean = false
 }
 
 /** Spark-native Pickaxe: iterative rule-driven network expansion
@@ -108,9 +114,12 @@ final class PickaxeEngine(
           Cascade.cascadeDelete(withFlags,
             blocked.select(col("__blocked_id").as("_id")))
         else withFlags
-      val badRxns = f.blockedReactions(afterCpds).select("_id").distinct()
-      if (badRxns.isEmpty) afterCpds
-      else Cascade.deleteReactions(afterCpds, badRxns)
+      if (!f.deletesReactions) afterCpds
+      else {
+        val badRxns = f.blockedReactions(afterCpds).select("_id").distinct()
+        if (badRxns.isEmpty) afterCpds
+        else Cascade.deleteReactions(afterCpds, badRxns)
+      }
     }
     val afterFilters = filteredState.compounds
     // P1 frontier predicate (pickaxe.py:658-664)
