@@ -202,17 +202,38 @@ final case class MetabolomicsFilter(
   override def blocked(state: NetworkState): DataFrame = {
     if (state.generation == 0)
       return state.compounds.select("_id").limit(0)
-    val matched = ranges
-      .map(r => inWindow(r._1, r._2) && rtOk(r._3))
-      .reduceOption(_ || _).getOrElse(lit(false))
     // note: no Expand predicate — the reference checks every gen-g
     // compound, already-unexpandable ones included (metabolomics.py:190)
-    state.compounds
+    val eligible = state.compounds
       .where(col("Generation") === state.generation &&
         !col("Type").isin("Coreactant", "Target Compound"))
-      .where(!matched)
-      .select("_id")
+    if (ranges.size <= 64 || rtPredicate.isDefined) {
+      // few windows (or RT gating): one codegen'd OR-chain predicate
+      val matched = ranges
+        .map(r => inWindow(r._1, r._2) && rtOk(r._3))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      eligible.where(!matched).select("_id")
+    } else {
+      // SCALE PATH: a production peak list has thousands of windows — an
+      // OR-chain that long breaks whole-stage codegen. Use the bucketed
+      // interval join (J6) instead: windows become a small broadcast
+      // range table, candidates come from an equi-join on mass buckets.
+      val spark = state.compounds.sparkSession
+      import spark.implicits._
+      val rangeDf = ranges.map(r => (r._1, r._2)).toDF("lo", "hi")
+      val matched = graft.operators.RangeJoin.intervalJoin(
+        eligible.select("_id", "Mass"), rangeDf, "Mass", "lo", "hi",
+        bucketWidth = math.max(2 * tol, 1e-6), inclusive = false)
+        .select("_id").distinct()
+      eligible.select("_id").join(matched, Seq("_id"), "left_anti")
+    }
   }
+
+  private def rtPredicate: Option[Unit] =
+    (rtPredictor, rtThreshold) match {
+      case (Some(_), Some(_)) => Some(())
+      case _ => None
+    }
 }
 
 /** Thermodynamic filter (filters/thermodynamics.py:17-160): reactions

@@ -45,6 +45,34 @@ class MetabolomicsFilterSpec extends SparkSuite {
     assert(math.abs(hi - (100.0 - 1.007276 + 0.001)) < 1e-9)
   }
 
+  test("scale path: >64 peak windows switch to the interval join and " +
+    "block the identical set") {
+    assume(present)
+    import spark.implicits._
+    val cpds = (1 to 200).map { i =>
+      CompoundRow(s"C$i", "", "C", "Predicted", 1, "CH4", 0,
+        100.0 + i * 0.5, true)
+    } :+ CompoundRow("CS", "", "C", "Starting Compound", 0, "CH4", 0,
+      16.0, false)
+    val st = NetworkState(cpds.toDF(), spark.emptyDataset[ReactionRow].toDF(), 1)
+    // every 3rd compound's [M+H]+ is a peak -> should survive
+    val manyPeaks = (1 to 200 by 3).map { i =>
+      PeakRow(s"p$i", 0.0, 100.0 + i * 0.5 + 1.007276, "+", Nil)
+    }
+    val few = MetabolomicsFilter(manyPeaks.take(20), tol = 0.001)
+    val many = MetabolomicsFilter(manyPeaks, tol = 0.001)
+    assert(manyPeaks.size > 64 && few.peaks.size <= 64)
+    // join path (many) agrees with OR path (few) on the shared prefix
+    val blockedMany = many.blocked(st).as[String].collect().toSet
+    val expectedSurvivors = (1 to 200 by 3).map(i => s"C$i").toSet
+    assert(blockedMany === (1 to 200).map(i => s"C$i").toSet -- expectedSurvivors)
+    val blockedFew = few.blocked(st).as[String].collect().toSet
+    // compounds covered by the first 20 peaks are unblocked in both
+    val first20 = manyPeaks.take(20).map(_.name.stripPrefix("p").toInt)
+      .map(i => s"C$i").toSet
+    assert(first20.forall(c => !blockedFew(c) && !blockedMany(c)))
+  }
+
   test("met filter mass: exactly 1 gen-1 survivor, matched to Test3 " +
     "(test_filters.py:232-252)") {
     assume(present)
