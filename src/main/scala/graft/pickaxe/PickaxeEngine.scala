@@ -144,7 +144,11 @@ final class PickaxeEngine(
         first("products").as("Products"),
         array_sort(collect_set("operator")).as("Operators"))
     val mergedRxns =
-      if (filteredState.reactions.isEmpty) newRxns
+      // generation 0 starts with a typed empty reactions table; the
+      // full_outer merge also handles an empty old side correctly, so
+      // this branch is a plan-size optimization, not a correctness one —
+      // and the generation check costs no Spark action
+      if (state.generation == 0) newRxns
         .select(col("_id"), lit("").as("ID"), col("Reactants"),
           col("Products"), col("Operators"), col("SMILES_rxn"))
       else filteredState.reactions.as("old")
