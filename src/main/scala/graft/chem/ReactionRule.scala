@@ -258,6 +258,8 @@ object ReactionRule {
       atomsArr(ni) = a.copy(aromatic = hasArom(ni))
     }
     val mol = new Molecule(atomsArr.toVector, bondsV)
-    if (mol.n == 0 || !validValences(mol)) None else Some(mol)
+    // valence + kekulizability gates = RDKit SanitizeMol rejection
+    if (mol.n == 0 || !validValences(mol) || !Kekulize.kekulizable(mol)) None
+    else Some(mol)
   }
 }
