@@ -288,14 +288,22 @@ final case class ThermoFilter(
         rows.map(r => r.getInt(0) -> graft.chem.Smiles.parse(r.getString(1)))
       Thermo.deltaG(side(reac), side(prod), mdl)
     }
-    // attach SMILES to each member, regroup, compute ΔG in one pass
-    def withSmiles(colName: String) = state.reactions
+    // ONE explode+join+regroup over both sides (side-tagged members)
+    // instead of two — halves the shuffles per generation
+    val tagged = state.reactions
       .join(toCheck, Seq("_id"), "left_semi")
-      .select(col("_id"), explode(col(colName)).as("m"))
+      .select(col("_id"), explode(concat(
+        expr("transform(Reactants, m -> struct('r' as side, m.stoich as stoich, m.c_id as c_id))"),
+        expr("transform(Products, m -> struct('p' as side, m.stoich as stoich, m.c_id as c_id))")
+      )).as("m"))
       .join(smilesOf, col("m.c_id") === col("c_id"))
       .groupBy("_id")
-      .agg(collect_list(struct(col("m.stoich"), col("SMILES"))).as(colName))
-    withSmiles("Reactants").join(withSmiles("Products"), Seq("_id"))
+      .agg(
+        collect_list(when(col("m.side") === "r",
+          struct(col("m.stoich"), col("SMILES")))).as("Reactants"),
+        collect_list(when(col("m.side") === "p",
+          struct(col("m.stoich"), col("SMILES")))).as("Products"))
+    tagged
       .withColumn("dg", dgUdf(col("Reactants"), col("Products")))
       .where(col("dg") >= dgMax) // thermodynamics.py:157-159
       .select("_id")
@@ -347,13 +355,20 @@ final case class FeasibilityFilter(
     val scoreUdf = udf { (reac: Seq[String], prod: Seq[String]) =>
       sc(reac, prod)
     }
-    def sideSmiles(colName: String) = state.reactions
+    // one side-tagged explode+join+regroup, like ThermoFilter
+    state.reactions
       .join(toCheck, Seq("_id"), "left_semi")
-      .select(col("_id"), explode(col(colName)).as("m"))
+      .select(col("_id"), explode(concat(
+        expr("transform(Reactants, m -> struct('r' as side, m.c_id as c_id))"),
+        expr("transform(Products, m -> struct('p' as side, m.c_id as c_id))")
+      )).as("m"))
       .join(smilesOf, col("m.c_id") === col("c_id"))
       .groupBy("_id")
-      .agg(array_sort(collect_list(col("SMILES"))).as(colName))
-    sideSmiles("Reactants").join(sideSmiles("Products"), Seq("_id"))
+      .agg(
+        array_sort(collect_list(when(col("m.side") === "r", col("SMILES"))))
+          .as("Reactants"),
+        array_sort(collect_list(when(col("m.side") === "p", col("SMILES"))))
+          .as("Products"))
       .withColumn("score", scoreUdf(col("Reactants"), col("Products")))
       .where(col("score") < thr)
       .select("_id")
