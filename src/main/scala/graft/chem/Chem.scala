@@ -14,13 +14,41 @@ import java.security.MessageDigest
   */
 object Chem {
 
-  def sha1hex(s: String): String =
-    MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private val hexChars = "0123456789abcdef".toCharArray
 
-  def sha256hex(s: String): String =
-    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  /** Lowercase hex of a byte array (table-driven — `"%02x".format` costs
+    * a Formatter allocation per byte, which dominates hot hash paths).
+    */
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val sha1Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-1")
+  }
+  private val sha256Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+
+  def sha1hex(s: String): String = {
+    val md = sha1Local.get(); md.reset()
+    hex(md.digest(s.getBytes("UTF-8")))
+  }
+
+  def sha256hex(s: String): String = {
+    val md = sha256Local.get(); md.reset()
+    hex(md.digest(s.getBytes("UTF-8")))
+  }
 
   /** Compound id: type prefix + content hash (P10). */
   def compoundHash(canonicalSmiles: String, cType: Char): String =

@@ -35,8 +35,8 @@ object Multimodal {
     def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
     val width = 1 + (b(0) << 8 | b(1)) % 1024
     val height = 1 + (b(2) << 8 | b(3)) % 1024
-    val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).take(4).map("%02x".format(_)).mkString
+    val sig = graft.chem.Chem.hex(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes).take(4))
     Row(n, nChunks, width, height, sig)
   }
 

@@ -69,10 +69,23 @@ object VectorOps {
         "shiftleft(cast(1 as bigint), p), cast(0 as bigint)))")
   }
 
-  /** Driver-side twin of TextOps.hash64 (low 15 hex digits of md5). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Driver/executor-side twin of TextOps.hash64. The first 15 hex
+    * digits of md5 are exactly the first 60 bits of the digest
+    * (big-endian), so read 8 bytes and shift — no hex string, no
+    * Formatter, no per-call getInstance (these dominated the minhash
+    * UDF's cost: one call per shingle).
+    */
   def hash64Scala(s: String): Long = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(md5.substring(0, 15), 16)
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 }

@@ -383,8 +383,7 @@ object FeasibilityFilter {
     val eq = reactants.sorted.mkString("+") + ">>" + products.sorted.mkString("+")
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(eq.getBytes("UTF-8"))
-    val x = java.lang.Long.parseLong(
-      md.take(7).map("%02x".format(_)).mkString, 16)
+    val x = java.lang.Long.parseLong(graft.chem.Chem.hex(md.take(7)), 16)
     x.toDouble / math.pow(16, 14)
   }
 }
