@@ -1,15 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every registered query once, one JSON line on
-  * stdout. A failing query is recorded as -1 elapsed AND reported on
-  * stderr + in the JSON (`failed` array) so a regression can't silently
-  * shrink the total.
+/** Driver-run benchmark: every registered query `reps` times (default 3),
+  * one JSON line on stdout. Per-query headline is the MEDIAN of the runs
+  * (host-load variance made single-run numbers unfalsifiable); all raw
+  * run times ship in `runs` so outliers stay visible. A failing query is
+  * recorded as -1 elapsed AND reported on stderr + in the JSON (`failed`
+  * array) so a regression can't silently shrink the total.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,21 +29,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.exists(_ < 0) && !failed.contains(name)) failed ::= name
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.isEmpty) (-1.0, times) else (median(ok), times))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val runs = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +
         failed.sorted.mkString(", "))

@@ -101,8 +101,13 @@ final class PickaxeEngine(
     // filters run in declaration order (pickaxe.py:628-629); a filter
     // with `removes` additionally cascade-deletes its blocked set
     val filteredState = filters.foldLeft(state) { (st, f) =>
+      // materialize the (small) blocked id-set ONCE: the plan behind it is
+      // the filter's whole scoring chain, and it is consumed by both the
+      // Expand-flag join and the removal cascade — without the checkpoint
+      // the chain re-runs per consumer
       val blocked = f.blocked(st)
         .select(col("_id").as("__blocked_id")).distinct()
+        .localCheckpoint()
       val cpds = st.compounds.join(broadcast(blocked),
           st.compounds("_id") === col("__blocked_id"), "left")
         .withColumn("Expand",
@@ -116,7 +121,11 @@ final class PickaxeEngine(
         else withFlags
       if (!f.deletesReactions) afterCpds
       else {
+        // same one-shot materialization: the thermo/feasibility scoring
+        // chain (explode + regroup + per-member parse) feeds both the
+        // isEmpty gate and deleteReactions
         val badRxns = f.blockedReactions(afterCpds).select("_id").distinct()
+          .localCheckpoint()
         if (badRxns.isEmpty) afterCpds
         else Cascade.deleteReactions(afterCpds, badRxns)
       }
