@@ -47,10 +47,26 @@ class FilterParitySpec extends SparkSuite {
       .map(r => s"${r.get(0)}/${r.get(1)}=${r.get(2)}").mkString(", ")
     info(s"total=$n ($byGen) vs reference 1740 (test_filters.py:122)")
     // DOCUMENTED DIVERGENCE: the reference (RDKit kernel) reaches 1740
-    // compounds on this fixture; our kernel reaches 1860 (+6.9%) — the
-    // residual gap is canonicalization/tautomer differences (RDKit picks
-    // tautomers via postsanitize_smiles; we canonicalize aromatic forms
-    // directly), pinned here as a regression bound.
+    // compounds on this fixture; our kernel reaches 1860 (+6.9%).
+    // Round-5 diagnostics (graft.pickaxe.TautomerDiag) RULED OUT the
+    // two obvious mechanisms:
+    //   - aromatic n:c:n tautomer merging (utils.postsanitize_smiles
+    //     sorted-first pick) is COMPLETE: the 1807 predicted compounds
+    //     form 1807 single-flip closure classes — no two compounds in
+    //     the network are tautomer-connected, so no sharper tautomer
+    //     pick can merge anything;
+    //   - the canonical SMILES writer is exact under atom relabeling
+    //     (0/1807 compounds split across 3 random permutations each),
+    //     so symmetric-substrate duplicate products cannot phantom-split.
+    // What remains: 142 same-skeleton same-formula groups (+208
+    // members) that are genuine positional isomers (e.g. NAD+-oxidation
+    // rule0002 applied at different C-OH sites of polyol substrates) —
+    // molecules RDKit itself would keep distinct. The residual gap is
+    // therefore RDKit SanitizeMol rejection subtleties (reactions.py:132
+    // "Explicit valence greater than permitted ... we throw them out")
+    // and/or RDKit-vs-ours SMARTS match-site differences, which cannot
+    // be adjudicated in this container (no RDKit available). Pinned as a
+    // regression bound.
     assert(n >= 1700 && n <= 2000, s"2-gen total $n drifted from the " +
       "pinned 1860 (reference: 1740)")
   }
