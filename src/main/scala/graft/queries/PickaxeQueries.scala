@@ -112,6 +112,57 @@ object PickaxeQueries extends QueryPack {
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
 
     GraftQuery(
+      "q_pickaxe_ms2", Seq("J10", "A11", "W4", "J6", "S9"),
+      (s, _) => {
+        import s.implicits._
+        val st = engine(s).run(Seq(fadh), generations = 1)
+        // fixture construction (driver-side, 8 rows): deterministic
+        // spectra keyed by the engine's content-hash ids — the i-th
+        // gen-1 isomer (sorted by _id) gets peaks (100,1),(200,i+1) so
+        // every spectral cosine against the probe (100,1),(200,1) is a
+        // distinct hand-computable score: (1+w)/sqrt(2(1+w^2))
+        val gen1 = st.compounds.where(col("Generation") === 1)
+          .select("_id").as[String].collect().sorted
+        val fadhRow = st.compounds
+          .where(col("Type") === "Starting Compound")
+          .select("_id", "Mass").as[(String, Double)].collect().head
+        val isoMass = st.compounds.where(col("Generation") === 1)
+          .select("Mass").as[Double].head()
+        val spectra = (gen1.toSeq.zipWithIndex.map { case (id, i) =>
+          (id, Seq((100.0, 1.0), (200.0, (i + 1).toDouble)))
+        } :+ (fadhRow._1 -> Seq((150.0, 1.0))))
+          .toDF("c_id", "spectrum")
+        val labels = (gen1.toSeq.zipWithIndex.map { case (id, i) =>
+          (id, s"iso${i + 1}")
+        } :+ (fadhRow._1 -> "fadh")).toDF("_id", "label")
+        val peaks = Seq(
+          ("pk1", isoMass + 1.007276, "+",
+            Seq((100.0, 1.0), (200.0, 1.0))),
+          ("pk2", fadhRow._2 - 1.007276, "-", Seq((150.0, 1.0))))
+          .toDF("name", "mz", "charge", "ms2")
+        MassSearch.ms2Search(s, st.compounds, peaks, spectra, tol = 0.01)
+          .join(broadcast(labels), Seq("_id"))
+          .select("peak", "adduct", "label", "spectral_score", "rank")
+          .orderBy("peak", "rank")
+      },
+      // pinned: the 7 mono-phospho isomers all fall in pk1's [M+H]+
+      // window and rank by their distinct cosine scores
+      // round(1000*(1+w)/sqrt(2(1+w^2))) for w=1..7; pk2's [M-H]- window
+      // holds FADH alone with a perfect-match spectrum (score 1000)
+      Some("""SELECT 'pk1' AS peak, '[M+H]+' AS adduct, 'iso1' AS label,
+            1000.0::DOUBLE AS spectral_score, 1::INTEGER AS "rank"
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso2', 949.0, 2
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso3', 894.0, 3
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso4', 857.0, 4
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso5', 832.0, 5
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso6', 814.0, 6
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso7', 800.0, 7
+          UNION ALL SELECT 'pk2', '[M-H]-', 'fadh', 1000.0, 1"""),
+      "MS2 spectral search end to end through the engine: adduct-window " +
+        "annotation (J6) -> per-isomer spectral cosine vs the probe " +
+        "spectrum (J10/A11) -> per-peak rank (W4)."),
+
+    GraftQuery(
       "q_pickaxe_met_filter", Seq("J6", "S9", "A6", "D6", "P13"),
       (s, _) => {
         import s.implicits._
