@@ -4,27 +4,41 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Pathway enumeration over the compound↔reaction bipartite graph
-  * (Scripts/pathway_search.py:59-144): BFS from a start compound,
-  * carrying reaction-id path arrays, bounded by `maxLength`, with an
-  * optional per-compound traversal predicate (the reference gates on
-  * NP-likeness floor and ΔG cap — pass e.g. a Thermo/NPScore UDF).
+  * (Scripts/pathway_search.py:59-144), level-synchronous in Spark —
+  * one iteration = frontier ⋈ reactant-members ⋈ product-members (two
+  * equi-joins), bounded by `maxLength`, with an optional per-compound
+  * traversal predicate (the reference gates on NP-likeness floor and
+  * ΔG cap — pass e.g. a Thermo/NPScore gate column).
   *
-  * Spark shape: one iteration = frontier ⋈ reactant-members ⋈
-  * product-members (two equi-joins) + a cycle check on the carried
-  * compound array; paths that reach the target are collected per
-  * iteration and the result is sorted by path length (W6).
+  * The reference script's two traversals map onto:
+  *   - `findPaths` (default) = `dfs` with `all_paths`
+  *     (pathway_search.py:59-81): enumerate EVERY start→target path.
+  *     The reference recursion carries the whole path and never prunes
+  *     globally; with `allowRevisits = false` (default) we additionally
+  *     drop walks that revisit a compound — the reference's recursion
+  *     has no cycle check and is bounded only by the depth cap, which
+  *     `allowRevisits = true` reproduces exactly.
+  *   - `findPathsBfs` = `bfs` (pathway_search.py:85-144): a global
+  *     `discovered` set lets each compound be reached once, so the
+  *     traversal returns ONE representative (shortest) path, not all.
   */
 object PathwaySearch {
 
-  /** @return rows (path: array of reaction ids, n_steps, end_id) for
-    *         every acyclic path start -> target with <= maxLength steps
+  /** All start→target paths (reference `dfs`, all_paths=True).
+    *
+    * @param allowRevisits when true, mirror the reference recursion
+    *   exactly (no cycle check — walks may revisit compounds, bounded
+    *   only by `maxLength`); default false keeps simple paths only
+    * @return rows (path: array of reaction ids, n_steps, end_id) for
+    *         every path start -> target with <= maxLength steps
     */
   def findPaths(
       state: NetworkState,
       startId: String,
       targetId: String,
       maxLength: Int,
-      compoundGate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      compoundGate: Option[org.apache.spark.sql.Column] = None,
+      allowRevisits: Boolean = false): DataFrame = {
     val spark = state.compounds.sparkSession
     import spark.implicits._
     val reacM = state.reactions
@@ -46,7 +60,8 @@ object PathwaySearch {
       var stepped = frontier
         .join(reacM, Seq("c_id"))
         .join(prodM, Seq("rxn"))
-        .where(!array_contains(col("seen"), col("p_id")))
+      if (!allowRevisits)
+        stepped = stepped.where(!array_contains(col("seen"), col("p_id")))
       for (gate <- compoundGate) {
         val gated = state.compounds.where(gate).select(col("_id").as("p_id"))
         stepped = stepped.join(gated, Seq("p_id"), "left_semi")
@@ -65,6 +80,69 @@ object PathwaySearch {
     val out = results.orderBy(size(col("path")), col("path")(0))
     reacM.unpersist(); prodM.unpersist()
     out
+  }
+
+  /** Reference `bfs` (pathway_search.py:85-144): a global discovered
+    * set means each compound is expanded the first level it is reached,
+    * so the target yields at most ONE path — by level order necessarily
+    * a shortest one. The reference keeps the FIFO-first path per
+    * compound; for determinism under parallelism we keep the
+    * lexicographically smallest reaction-id sequence instead (documented
+    * deviation — same length, same reachability).
+    *
+    * @return 0- or 1-row DataFrame (path, n_steps, end_id)
+    */
+  def findPathsBfs(
+      state: NetworkState,
+      startId: String,
+      targetId: String,
+      maxLength: Int,
+      compoundGate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = state.compounds.sparkSession
+    import spark.implicits._
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("p_id"))
+      .where(col("p_id").startsWith("C")).persist()
+
+    var visited = Seq(startId).toDF("c_id").localCheckpoint()
+    var frontier = Seq((startId, Seq.empty[String]))
+      .toDF("c_id", "path")
+    var result = spark.emptyDataset[(Seq[String], Int, String)]
+      .toDF("path", "n_steps", "end_id")
+    var depth = 0
+    var found = false
+    while (depth < maxLength && !found && !frontier.isEmpty) {
+      depth += 1
+      var stepped = frontier
+        .join(reacM, Seq("c_id"))
+        .join(prodM, Seq("rxn"))
+      for (gate <- compoundGate) {
+        val gated = state.compounds.where(gate).select(col("_id").as("p_id"))
+        stepped = stepped.join(gated, Seq("p_id"), "left_semi")
+      }
+      // first discovery wins; one representative path per compound
+      val next = stepped
+        .select(col("p_id").as("c_id"),
+          concat(col("path"), array(col("rxn"))).as("path"))
+        .join(visited, Seq("c_id"), "left_anti")
+        .groupBy("c_id").agg(min(col("path")).as("path"))
+        .localCheckpoint()
+      visited = visited.union(next.select("c_id")).localCheckpoint()
+      val hit = next.where(col("c_id") === targetId)
+      if (!hit.isEmpty) {
+        found = true
+        result = hit.select(col("path"), size(col("path")).as("n_steps"),
+          col("c_id").as("end_id"))
+      }
+      frontier = next.where(col("c_id") =!= targetId)
+    }
+    reacM.unpersist(); prodM.unpersist()
+    result
   }
 }
 

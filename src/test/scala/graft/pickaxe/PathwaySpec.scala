@@ -51,6 +51,35 @@ class PathwaySpec extends SparkSuite {
     assert(none.isEmpty)
   }
 
+  test("bfs (discovered-set) returns exactly one shortest path, " +
+    "a member of the dfs all-paths set") {
+    val all = PathwaySearch.findPaths(st, cid(fadh), cid(target),
+      maxLength = 2)
+    val allPaths = all.select("path").as[Seq[String]].collect().toSet
+    val bfs = PathwaySearch.findPathsBfs(st, cid(fadh), cid(target),
+      maxLength = 2)
+    val bfsPaths = bfs.select("path").as[Seq[String]].collect()
+    assert(bfsPaths.length === 1) // discovered set: one representative
+    assert(bfsPaths.head.length === 2) // necessarily a shortest path
+    assert(allPaths.contains(bfsPaths.head)) // member of the dfs set
+    assert(allPaths.size === 2) // dfs enumerates BOTH phospho orders
+  }
+
+  test("bfs respects the depth cap and the compound gate") {
+    assert(PathwaySearch.findPathsBfs(st, cid(fadh), cid(target), 1).isEmpty)
+    assert(PathwaySearch.findPathsBfs(st, cid(fadh), cid(target), 2,
+      compoundGate = Some(lit(false))).isEmpty)
+  }
+
+  test("allowRevisits reproduces the reference dfs recursion " +
+    "(no cycle check): a superset of the simple-path set") {
+    val simple = PathwaySearch.findPaths(st, cid(fadh), cid(target),
+      maxLength = 3).count()
+    val walks = PathwaySearch.findPaths(st, cid(fadh), cid(target),
+      maxLength = 3, allowRevisits = true).count()
+    assert(walks >= simple)
+  }
+
   test("thermo stub: deterministic, additive, reaction deltaG") {
     val w = Smiles.parse("O")
     val e1 = Thermo.bondEnergyEstimate(w)
