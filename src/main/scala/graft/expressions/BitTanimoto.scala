@@ -71,9 +71,12 @@ object BitTanimoto {
   }
 
   /** Pack sparse bit indexes (the reference's RDKit_fp storage,
-    * databases.py:544-548) into a fixed-width byte array.
+    * databases.py:544-548) into a fixed-width byte array. Width MUST
+    * match the fingerprint's bit space (Formula.fingerprint default
+    * 2048) — a narrower width folds indexes together and inflates every
+    * downstream Tanimoto.
     */
-  def pack(bits: Array[Int], nBits: Int = 512): Array[Byte] = {
+  def pack(bits: Array[Int], nBits: Int = 2048): Array[Byte] = {
     val out = new Array[Byte]((nBits + 7) / 8)
     bits.foreach { bit =>
       val idx = math.floorMod(bit, nBits)

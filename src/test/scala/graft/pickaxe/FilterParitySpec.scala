@@ -75,13 +75,20 @@ class FilterParitySpec extends SparkSuite {
     "(reference: 1358) — counts pinned with documented divergence") {
     assume(present)
     // DOCUMENTED DIVERGENCE: the reference's SimilarityFilter uses
-    // RDKFingerprint (path-based) similarities; our kernel uses its own
-    // bit fingerprint (graft.chem.Formula.fingerprint). Thresholds are
-    // therefore not comparable point-for-point and the reference's exact
-    // counts (436 / 1358, test_filters.py:55,89) cannot be reproduced
-    // bit-for-bit; what IS mirrored: per-generation threshold selection
-    // crit[min(gen, len-1)], blocked-set removal via the cascade, and
-    // monotone behavior (stricter thresholds keep fewer compounds).
+    // RDKFingerprint similarities; our kernel mirrors the public
+    // RDKFingerprint ALGORITHM (branched bond subgraphs 1..7 bonds,
+    // sorted bond-hash multiset with subgraph-local degrees, 2 bits per
+    // subgraph over 2048) but cannot be hash-identical, so the
+    // reference's exact counts (436 / 1358, test_filters.py:55,89)
+    // cannot be reproduced bit-for-bit; what IS mirrored: per-generation
+    // threshold selection crit[min(gen, len-1)], blocked-set removal via
+    // the cascade, and monotone behavior.
+    // Round-5 calibration (after fixing a 512-bit packing truncation
+    // that had been inflating every packed Tanimoto): cutoff-0.5 keeps
+    // 754 (ref 436, was 1024), multi-threshold keeps 1333 (ref 1358 —
+    // within 2%). The 0.5 case is knife-edged: the two pivotal starting
+    // sugar phosphates sit at ~0.49 in our hash space vs >=0.5 in
+    // RDKit's, and their gen-2 fan-out dominates the count.
     val stSingle = engine.run(starts, generations = 2,
       filters = Seq(TanimotoCutoffFilter(Seq(target), Seq(0.5))))
     val nSingle = stSingle.compounds.count()
@@ -91,12 +98,11 @@ class FilterParitySpec extends SparkSuite {
     val unfiltered = 1860L
     info(s"cutoff 0.5: $nSingle (reference 436); " +
       s"cutoff [0,0.3,0.5]: $nMulti (reference 1358)")
-    // pinned round-3 values: 1024 / 1509 with the 2048-bit maxLen-7
-    // path fingerprint (was 1407 / 1621 at 512 bits) — direction-of-
-    // travel bound, not an equality pin
+    // pinned round-5 values: 754 / 1333 (round 3: 1024 / 1509; round 1:
+    // 1407 / 1621) — direction-of-travel bound, not an equality pin
     assert(nSingle < nMulti, "stricter gen-0 threshold must keep fewer")
     assert(nMulti <= unfiltered)
-    assert(nSingle > 53, "coreactants+starts always survive")
+    assert(nSingle >= 53, "coreactants+starts always survive")
   }
 
   test("MCS filter [0.1, 0.5] (reference: 382) — pinned with documented " +
