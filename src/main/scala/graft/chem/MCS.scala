@@ -1,22 +1,28 @@
 package graft.chem
 
 /** Bounded maximum-common-substructure search (the MCS filter's kernel,
-  * filters/mcs.py + similarity.py:959-974).
+  * similarity.py:942-974, which rides rdFMCS.FindMCS with
+  * matchValences=False, ringMatchesRingOnly=False).
   *
   * Exact MCS is NP-hard; this is a deterministic connected-growth
-  * backtracking search with a state budget: seeded at every compatible
-  * atom pair, grown over adjacent compatible pairs, keeping the best
-  * (atoms + matched bonds). With the default budget it is exact on
-  * small molecules and a lower bound on large ones — sufficient for the
-  * reference's threshold-filter semantics
-  * (score = (atoms+bonds)_mcs / (atoms+bonds)_target).
+  * backtracking search: seeded at every compatible atom pair, grown
+  * over adjacent compatible pairs, keeping the best (atoms + matched
+  * bonds). Partial maps are globally memoized so each distinct mapping
+  * is explored once (the naive search re-visits every map once per
+  * extension ORDER — factorially wasteful), and the budget counts
+  * UNIQUE states. On molecules up to ~40 heavy atoms the effective
+  * budget is raised so the search is exact in practice (mirroring
+  * FindMCS, whose default timeout makes it exact at fixture scale);
+  * above that it stays a budget-bounded lower bound.
+  *
+  * Atom compatibility is element-only, like FindMCS's default
+  * CompareElements (charge and aromaticity are NOT matched on atoms;
+  * aromaticity still constrains via bond compatibility).
   */
 object MCS {
 
-  private def compatible(a: Molecule, i: Int, b: Molecule, j: Int): Boolean = {
-    val x = a.atoms(i); val y = b.atoms(j)
-    x.elem == y.elem && x.aromatic == y.aromatic && x.charge == y.charge
-  }
+  private def compatible(a: Molecule, i: Int, b: Molecule, j: Int): Boolean =
+    a.atoms(i).elem == b.atoms(j).elem
 
   private def bondCompatible(x: Bond, y: Bond): Boolean =
     x.aromatic == y.aromatic && (x.aromatic || x.order == y.order)
@@ -27,9 +33,23 @@ object MCS {
   def mcsSize(a0: Molecule, b0: Molecule, budget: Int = 200000): (Int, Int) = {
     val a = a0.withoutExplicitH
     val b = b0.withoutExplicitH
+    // exact-leaning on small molecules, bounded above
+    val effBudget =
+      if (math.min(a.n, b.n) <= 40) math.max(budget, 500000) else budget
     var bestAtoms = 0
     var bestBonds = 0
     var states = 0
+    val visited = scala.collection.mutable.HashSet.empty[String]
+    def stateKey(mapAB: Map[Int, Int]): String = {
+      val arr = mapAB.toArray
+      java.util.Arrays.sort(arr, java.util.Comparator.comparingInt(
+        (t: (Int, Int)) => t._1))
+      val sb = new StringBuilder(arr.length * 2)
+      arr.foreach { case (x, y) =>
+        sb.append(x.toChar).append(y.toChar)
+      }
+      sb.toString
+    }
 
     def countBonds(mapAB: Map[Int, Int]): Int =
       mapAB.toSeq.map { case (ai, bi) =>
@@ -45,6 +65,9 @@ object MCS {
     def record(mapAB: Map[Int, Int]): Unit =
       if (mapAB.size >= bestAtoms) {
         val bonds = countBonds(mapAB)
+        // FindMCS seeds from common BONDS: an atom-only overlap (no
+        // compatible bond) is no MCS at all, e.g. benzene/cyclohexane
+        if (bonds < 1) return
         if (mapAB.size > bestAtoms ||
           (mapAB.size == bestAtoms && bonds > bestBonds)) {
           bestAtoms = mapAB.size; bestBonds = bonds
@@ -52,7 +75,8 @@ object MCS {
       }
 
     def grow(mapAB: Map[Int, Int], usedB: Set[Int]): Unit = {
-      if (states >= budget) { record(mapAB); return }
+      if (states >= effBudget) { record(mapAB); return }
+      if (!visited.add(stateKey(mapAB))) return // mapping already explored
       states += 1
       if (mapAB.size > bestAtoms) record(mapAB)
       // candidate extensions: adjacent compatible pairs (deterministic order)

@@ -109,14 +109,19 @@ class FilterParitySpec extends SparkSuite {
     "divergence") {
     assume(present)
     // DOCUMENTED DIVERGENCE: the reference MCSFilter rides on RDKit's
-    // FindMCS; our bounded-search MCS kernel is exact on small molecules
-    // but scores can differ on large ring systems under the budget, so
-    // the reference count (382, test_filters.py:219) is approximated,
-    // not matched.
+    // FindMCS; our kernel mirrors its compatibility model (element-only
+    // atoms, order-exact bonds, bond-seeded) and is exact-leaning under
+    // 40 heavy atoms (memoized search, raised unique-state budget), but
+    // large self-similar molecules can still hit the budget, so the
+    // reference count (382, test_filters.py:219) is approximated, not
+    // matched.
     val st = engine.run(starts, generations = 2,
-      filters = Seq(MCSFilter(Seq(target), Seq(0.1, 0.5), budget = 2000)))
+      filters = Seq(MCSFilter(Seq(target), Seq(0.1, 0.5))))
     val n = st.compounds.count()
     info(s"MCS [0.1,0.5]: $n compounds (reference 382)")
-    assert(n > 53 && n < 1860)
+    // round-5 pin: 383 vs the reference's 382 (was 320 under the
+    // budget-truncated pre-memoization kernel) — one knife-edge
+    // compound away from exact parity
+    assert(n === 383L, s"MCS parity drifted: $n (pinned 383, ref 382)")
   }
 }
