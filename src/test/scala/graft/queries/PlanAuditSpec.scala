@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Scale-regression guard over every registry query's physical plan:
+  * a CartesianProduct (non-broadcast cartesian) anywhere is a 100 TB
+  * scale-killer and fails outright; BroadcastNestedLoopJoin is allowed
+  * only where it is the documented intent — a broadcast brute-force
+  * baseline, broadcast centroid/probe assignment, or a 1-row aggregate
+  * combination. Everything else must plan as hash/sort-merge/broadcast
+  * equi-joins (candidates from band/bucket/cell keys).
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain BroadcastNestedLoopJoin. */
+  private val bnljAllowed: Set[String] = Set(
+    // brute-force ANN baseline: scored = all x broadcast(queries)
+    "q_sim_topk_bruteforce",
+    // IVF assignment: all x broadcast(centroids), then cell equi-join
+    "q_sim_ivf_ann",
+    // A10 max-sim: all x broadcast(targets) — targets are a small dim
+    "q_sim_maxsim_target",
+    // 1-row aggregate crossJoins (counts stitched side by side)
+    "q_dedup_minhash_lsh", "q_graph_closure", "q_set_algebra",
+    "q_orphans",
+    // engine fixture queries: tiny frontier crossJoin(1-row agg)
+    "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
+    "q_pickaxe_ms2", "q_pickaxe_thermo", "q_pickaxe_prune")
+
+  test("no registry query plans a CartesianProduct; " +
+    "BroadcastNestedLoopJoin only where whitelisted") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      "scale-killer plans:\n" + offenders.mkString("\n"))
+  }
+}
