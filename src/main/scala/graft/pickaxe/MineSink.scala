@@ -3,7 +3,7 @@ package graft.pickaxe
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.chem.{Formula, NPScore, Smiles}
+import graft.chem.{Formula, NPModel, NPScore, Smiles}
 import graft.expressions.BitTanimoto
 
 /** The MINE storage layer (databases.py:263-602) re-expressed as parquet
@@ -22,14 +22,26 @@ object MineSink {
     */
   def coreCompounds(
       state: NetworkState,
-      mineName: String): DataFrame = {
+      mineName: String,
+      npModelPath: Option[String] = None): DataFrame = {
     val fpUdf = udf { smiles: String =>
       Formula.fingerprint(Smiles.parse(smiles))
     }
     val packUdf = udf { bits: Seq[Int] =>
       BitTanimoto.pack(bits.toArray)
     }
-    val npUdf = udf { smiles: String => NPScore.score(smiles) }
+    // with the reference's publicnp.model.gz, NP_likeness is bit-exact
+    // (NPScoreParitySpec); without it, the deterministic stub scores
+    val npModelB = npModelPath.map { p =>
+      state.compounds.sparkSession.sparkContext.broadcast(NPModel.load(p))
+    }
+    val npUdf = npModelB match {
+      case Some(b) => udf { smiles: String =>
+        NPScore.score(Smiles.parse(smiles),
+          (bit: Long) => b.value.getOrElse(bit, 0.0))
+      }
+      case None => udf { smiles: String => NPScore.score(smiles) }
+    }
     state.compounds
       .where(col("Type") =!= "Coreactant")
       .withColumn("RDKit_fp", fpUdf(col("SMILES")))
@@ -64,13 +76,14 @@ object MineSink {
       spark: SparkSession,
       state: NetworkState,
       outDir: String,
-      mineName: String): Unit = {
+      mineName: String,
+      npModelPath: Option[String] = None): Unit = {
     val st = state
     st.compounds.write.mode("overwrite")
       .parquet(s"$outDir/$mineName/compounds")
     st.reactions.write.mode("overwrite")
       .parquet(s"$outDir/$mineName/reactions")
-    val incoming = coreCompounds(st, mineName)
+    val incoming = coreCompounds(st, mineName, npModelPath)
     val corePath = s"$outDir/core_compounds"
     val hadoopPath = new org.apache.hadoop.fs.Path(corePath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -32,6 +32,21 @@ class MineSinkSpec extends SparkSuite {
     assert(row.getSeq[String](row.fieldIndex("MINES")) === Seq("mine_a"))
   }
 
+  test("core enrichment with the real NP model scores reference-exactly") {
+    val modelPath =
+      "/root/reference/minedatabase/NP_Score/publicnp.model.gz"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(modelPath)))
+    val core = MineSink.coreCompounds(st, "mine_np", Some(modelPath))
+    val row = core.where(col("SMILES") === "CCO").collect().head
+    // ethanol scored by hand through the exact chain: distinct
+    // Morgan-2 bits -> shipped-model lookup -> / 3 heavy atoms
+    val model = graft.chem.NPModel.load(modelPath)
+    val want = graft.chem.NPScore.scorer(model)(
+      graft.chem.Smiles.parse("CCO"))
+    assert(math.abs(row.getAs[Double]("NP_likeness") -
+      math.rint(want * 1e6) / 1e6) < 1e-9)
+  }
+
   test("save + re-save merges MINES membership ($addToSet semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("mine").toString
     MineSink.save(spark, st, dir, "mine_a")
