@@ -151,6 +151,13 @@ object Morgan {
     out.toSet
   }
 
+  /** GetMorganFingerprintAsBitVect's folded form: raw sparse uint32 ids
+    * mod `nBits` (feasibility.py:371,380 uses radius=2, nBits=1024 for
+    * its reaction feature vectors).
+    */
+  def foldedBits(m: Molecule, radius: Int = 2, nBits: Int = 1024): Set[Int] =
+    bits(m, radius).map(b => (b % nBits).toInt)
+
   private val atomicNums: Map[String, Long] = Map(
     "H" -> 1, "B" -> 5, "C" -> 6, "N" -> 7, "O" -> 8, "F" -> 9,
     "Na" -> 11, "Mg" -> 12, "Si" -> 14, "P" -> 15, "S" -> 16,

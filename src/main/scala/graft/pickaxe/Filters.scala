@@ -317,7 +317,11 @@ final case class ThermoFilter(
   * external trained model (Biotechnol J 2021, 16:e2000605) that does not
   * ship with the repo — the default stub is a deterministic md5-derived
   * pseudo-score over the reaction equation, making the wiring and
-  * threshold semantics real while the model is swappable.
+  * threshold semantics real while the model is swappable. A real model
+  * can consume RDKit-identical input features: the reference's
+  * 1024-bit Morgan feature vectors (feasibility.py:371,380) are
+  * reproduced exactly by `graft.chem.Morgan.foldedBits(m, 2, 1024)`
+  * (bit parity verified via NPScoreParitySpec's raw-id pins).
   */
 final case class FeasibilityFilter(
     scorer: (Seq[String], Seq[String]) => Double =
