@@ -49,21 +49,37 @@ final case class AtomCompositionFilter(
   * SimilarityFilter): block compounds whose max fingerprint similarity
   * to ANY target is below the per-generation threshold
   * (crit[min(gen, len-1)], similarity.py:610-616 — W7).
+  *
+  * `fingerprintMethod`: "rdkit" (default — our RDKFingerprint-shaped
+  * subgraph fingerprint, similarity regime calibrated but not
+  * hash-identical to RDKit) or "morgan" (similarity.py:117-121's
+  * Morgan option — `graft.chem.Morgan` folded bits, which ARE
+  * bit-identical to RDKit's GetMorganFingerprintAsBitVect, so Morgan
+  * Tanimoto values match the reference exactly).
   */
 final case class TanimotoCutoffFilter(
     targetSmiles: Seq[String],
-    thresholds: Seq[Double]) extends NetworkFilter {
+    thresholds: Seq[Double],
+    fingerprintMethod: String = "rdkit",
+    morganRadius: Int = 2,
+    morganBits: Int = 2048) extends NetworkFilter {
   override def name = s"TanimotoCutoff $thresholds"
+  private def fp(smiles: String): Array[Int] =
+    if (fingerprintMethod == "morgan")
+      graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
+        morganRadius, morganBits).toArray.sorted
+    else Formula.fingerprint(Smiles.parse(smiles))
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
     // packed-bitset fingerprints: popcount AND/OR beats set intersection
-    val targetFps = targetSmiles
-      .map(s => BitTanimoto.pack(Formula.fingerprint(Smiles.parse(s))))
+    val nb = if (fingerprintMethod == "morgan") morganBits else 2048
+    val mkFp = fp _
+    val targetFps = targetSmiles.map(s => BitTanimoto.pack(mkFp(s), nb))
     val crit = thresholds(math.min(state.generation, thresholds.length - 1))
     val simUdf = udf { smiles: String =>
-      val fp = BitTanimoto.pack(Formula.fingerprint(Smiles.parse(smiles)))
+      val f = BitTanimoto.pack(mkFp(smiles), nb)
       // short-circuits at the threshold like similarity.py:761-763
-      targetFps.exists(t => BitTanimoto.tanimoto(fp, t) >= crit)
+      targetFps.exists(t => BitTanimoto.tanimoto(f, t) >= crit)
     }
     state.compounds
       .where(col("Generation") === state.generation && col("Expand") &&
@@ -107,15 +123,20 @@ final case class MCSFilter(
 final case class TanimotoSamplingFilter(
     targetSmiles: Seq[String],
     sampleSize: Int,
-    minSim: Double = 0.15) extends NetworkFilter {
+    minSim: Double = 0.15,
+    fingerprintMethod: String = "rdkit") extends NetworkFilter {
   override def name = s"TanimotoSampling n=$sampleSize"
+  private def fp(smiles: String): Array[Int] =
+    if (fingerprintMethod == "morgan")
+      graft.chem.Morgan.foldedBits(Smiles.parse(smiles)).toArray.sorted
+    else Formula.fingerprint(Smiles.parse(smiles))
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
-    val targetFps = targetSmiles
-      .map(s => BitTanimoto.pack(Formula.fingerprint(Smiles.parse(s))))
+    val mkFp = fp _
+    val targetFps = targetSmiles.map(s => BitTanimoto.pack(mkFp(s)))
     val simUdf = udf { smiles: String =>
-      val fp = BitTanimoto.pack(Formula.fingerprint(Smiles.parse(smiles)))
-      targetFps.map(t => BitTanimoto.tanimoto(fp, t)).maxOption.getOrElse(0.0)
+      val f = BitTanimoto.pack(mkFp(smiles))
+      targetFps.map(t => BitTanimoto.tanimoto(f, t)).maxOption.getOrElse(0.0)
     }
     val frontier = state.compounds
       .where(col("Generation") === state.generation && col("Expand") &&

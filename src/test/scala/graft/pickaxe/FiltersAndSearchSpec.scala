@@ -49,6 +49,18 @@ class FiltersAndSearchSpec extends SparkSuite {
     assert(blocked.reactions.count() === 0)
   }
 
+  test("tanimoto cutoff filter, Morgan method (bit-exact RDKit space): " +
+    "self-target passes, foreign target blocks") {
+    val pass = engine.run(Seq(fadh), 1,
+      filters = Seq(TanimotoCutoffFilter(Seq(fadh), Seq(0.9),
+        fingerprintMethod = "morgan")))
+    assert(pass.reactions.count() > 0)
+    val blocked = engine.run(Seq(fadh), 1,
+      filters = Seq(TanimotoCutoffFilter(Seq("CCCCCCCC"), Seq(0.9),
+        fingerprintMethod = "morgan")))
+    assert(blocked.reactions.count() === 0)
+  }
+
   test("MCS filter: self-target passes, unrelated target blocks") {
     val pass = engine.run(Seq(fadh), 1,
       filters = Seq(MCSFilter(Seq(fadh), Seq(0.5), budget = 2000)))
