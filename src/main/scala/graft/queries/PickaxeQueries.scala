@@ -32,6 +32,38 @@ object PickaxeQueries extends QueryPack {
     new PickaxeEngine(s, rules, core, explicitH = true)
   }
 
+
+  // Public fixture data: the 26 (SMILES, NP_likeness) pairs shipped in
+  // the reference's tests/data/testing_db.json (P12 oracle molecules)
+    private val npOracleMols: Seq[(String, String)] = Seq(
+      ("m01", "C=Cc1c2[nH]c(c1C)Cc1[nH]c(c(CCC(=O)O)c1C)Cc1[nH]c(c(C)c1CCC(=O)O)Cc1[nH]c(c(C)c1C=C)C2"),
+      ("m02", "CC(O)=NC1=COC(CO)C(OC2OC(CO)C(OC3OC(CO)C(OC4OC(CO)C(O)C(O)C4N=C(C)O)C(OC(C)C(O)=NC(C)C(O)=NC(CCC(=O)O)C(O)=NC(CCCC(N)C(=O)O)C(O)=NC(C)C(=O)O)C3N=C(C)O)C(O)C2N=C(C)O)C1OC(C)C(O)=NC(C)C(O)=NC(CCC(=O)O)C(O)=NC(CCCC(N)C(=O)O)C(O)=NC(C)C(=O)O"),
+      ("m03", "CCC(=O)C(=O)O"),
+      ("m04", "CCCCCCCCCCCCC[C@H](O)CC(=O)SCCN=C(O)CCN=C(O)[C@H](O)C(C)(C)COP(=O)(O)OP(=O)(O)OC[C@H]1O[C@@H](n2cnc3c(N)ncnc32)[C@H](O)[C@@H]1OP(=O)(O)O"),
+      ("m05", "CCCCCCCCCCC[C@@H](O)CC(=O)O[C@H]1[C@H](O)[C@@H](CO)O[C@@H](OC[C@H]2O[C@H](OP(=O)(O)O)[C@H](N=C(O)C[C@H](O)CCCCCCCCCCC)[C@@H](OC(=O)C[C@H](O)CCCCCCCCCCC)[C@@H]2O)[C@@H]1N=C(O)C[C@H](O)CCCCCCCCCCC"),
+      ("m06", "CSCC[C@@H](N)C(=O)O"),
+      ("m07", "C[C@H](N)C(O)=N[C@@H](CCC(=O)O)C(=O)O"),
+      ("m08", "Cc1cc2c(cc1C)N(CC(O)C(O)C(COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)OP(=O)(O)O)c1nc(O)nc(O)c1N2"),
+      ("m09", "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"),
+      ("m10", "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(OP(=O)(O)O)c1N2"),
+      ("m11", "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(OP(=O)(O)O)nc(O)c1N2"),
+      ("m12", "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1OP(=O)(O)O)c1nc(O)nc(O)c1N2"),
+      ("m13", "Cc1cc2c(cc1C)N(CC(O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(OP(=O)(O)O)C1O)c1nc(O)nc(O)c1N2"),
+      ("m14", "Cc1cc2c(cc1C)N(CC(O)C(OP(=O)(O)O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"),
+      ("m15", "Cc1cc2c(cc1C)N(CC(OP(=O)(O)O)C(O)C(O)COP(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"),
+      ("m16", "Cc1ncc(CO)c(=N)[nH]1"),
+      ("m17", "Cc1ncc(COP(=O)(O)O)c(C=O)c1O"),
+      ("m18", "N#CS"),
+      ("m19", "NCCCC=O"),
+      ("m20", "NCCc1ccc(O)cc1"),
+      ("m21", "Nc1ncnc2c1ncn2[C@@H]1O[C@H](COP(=O)(O)OP(=O)(O)O)[C@@H](O)[C@H]1O"),
+      ("m22", "Nc1ncnc2c1ncn2[C@@H]1O[C@H](COP(=O)(O)OP(=O)(O)OP(=O)(O)O)[C@@H](O)[C@H]1O"),
+      ("m23", "O=P(O)(O)O"),
+      ("m24", "O=P(O)(O)O[C@H]1O[C@H](CO)[C@H](O)[C@H](O)[C@H]1O"),
+      ("m25", "OC[C@H]1OC(O)[C@H](O)[C@@H](O)[C@@H]1O"),
+      ("m26", "OC[C@H]1OC(O)[C@H](O)[C@H](O)[C@@H]1O")
+    )
+
   override def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -110,6 +142,56 @@ object PickaxeQueries extends QueryPack {
           SELECT 'pk3', 1::BIGINT, 1::BIGINT, 1::BIGINT"""),
       "Mass/adduct window search over the expanded network: peaks x " +
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
+
+    GraftQuery(
+      "q_chem_npscore", Seq("P12"),
+      (s, _) => {
+        import s.implicits._
+        val modelPath =
+          "/root/reference/minedatabase/NP_Score/publicnp.model.gz"
+        val model = s.sparkContext.broadcast(
+          graft.chem.NPModel.load(modelPath))
+        val npUdf = udf { smi: String =>
+          graft.chem.NPScore.score(graft.chem.Smiles.parse(smi),
+            (b: Long) => model.value.getOrElse(b, 0.0))
+        }
+        npOracleMols.toDF("mol_id", "smiles")
+          .repartition(4)
+          .withColumn("np_likeness", round(npUdf(col("smiles")), 6))
+          .select("mol_id", "np_likeness")
+          .orderBy("mol_id")
+      },
+      // pinned: the reference's own shipped NP_likeness values,
+      // reproduced bit-exactly by the Morgan + unpickled-model chain
+      // (NPScoreParitySpec pins the unrounded values to 1e-9)
+      Some("""SELECT 'm01' AS mol_id, 0.173556::DOUBLE AS np_likeness
+          UNION ALL SELECT 'm02', 0.48522
+          UNION ALL SELECT 'm03', 0.645647
+          UNION ALL SELECT 'm04', 0.7183
+          UNION ALL SELECT 'm05', 0.676793
+          UNION ALL SELECT 'm06', 0.342829
+          UNION ALL SELECT 'm07', 0.668539
+          UNION ALL SELECT 'm08', 0.63099
+          UNION ALL SELECT 'm09', 0.724148
+          UNION ALL SELECT 'm10', 0.733643
+          UNION ALL SELECT 'm11', 0.76836
+          UNION ALL SELECT 'm12', 0.704722
+          UNION ALL SELECT 'm13', 0.755082
+          UNION ALL SELECT 'm14', 0.628778
+          UNION ALL SELECT 'm15', 0.688906
+          UNION ALL SELECT 'm16', -0.147596
+          UNION ALL SELECT 'm17', 0.845667
+          UNION ALL SELECT 'm18', -1.160918
+          UNION ALL SELECT 'm19', 1.953252
+          UNION ALL SELECT 'm20', 0.758338
+          UNION ALL SELECT 'm21', 1.388354
+          UNION ALL SELECT 'm22', 1.343896
+          UNION ALL SELECT 'm23', 0.556819
+          UNION ALL SELECT 'm24', 2.150849
+          UNION ALL SELECT 'm25', 2.626913
+          UNION ALL SELECT 'm26', 2.626913"""),
+      "NP-likeness scoring through the bit-exact Morgan + real-model " +
+        "chain over the reference's 26 shipped oracle molecules."),
 
     GraftQuery(
       "q_pickaxe_ms2", Seq("J10", "A11", "W4", "J6", "S9"),
