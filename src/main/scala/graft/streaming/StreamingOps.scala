@@ -71,6 +71,23 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * hash-groupBy dedup (q_dedup_exact) for a continuously-arriving
+    * document feed: duplicates of a content hash are dropped while the
+    * hash's state lives, and state is evicted once the watermark passes
+    * it, so memory stays bounded at any stream length (the batch
+    * operator's "distinct forever" is unbounded by design; a stream
+    * must trade lateness for state).
+    */
+  def dedupStream(
+      docs: DataFrame, // columns: <hashCol>, <tsCol> (event time), ...
+      hashCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(hashCol)
+
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
 

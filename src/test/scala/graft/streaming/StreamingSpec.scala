@@ -57,6 +57,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates across " +
+    "micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docs = MemoryStream[(String, Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      docs.toDF().toDF("doc_hash", "ts", "body"),
+      "doc_hash", "ts", watermark = "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      docs.addData(("h1", t(0), "a"), ("h1", t(1), "a-dup"),
+        ("h2", t(2), "b"))
+      q.processAllAvailable()
+      // duplicate h1 arriving in a LATER micro-batch is still dropped
+      docs.addData(("h1", t(5), "a-dup-later"), ("h3", t(6), "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("doc_hash", "body").as[(String, String)].collect().toSet
+      assert(got === Set(("h1", "a"), ("h2", "b"), ("h3", "c")))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
