@@ -152,6 +152,48 @@ object Formula {
     bits.toArray
   }
 
+  /** Crippen-STYLE logP atom-contribution estimate (the reference
+    * stores `AllChem.CalcCrippenDescriptors(mol)[0]` on every core
+    * compound, databases.py:562, and ms_adduct_search filters on a
+    * logP window, metabolomics.py:965). RDKit's exact Wildman-Crippen
+    * table (68 SMARTS atom types) is not reproducible here, so this is
+    * a deterministic coarse-class estimator — hydrophobic carbon
+    * positive, heteroatoms negative, halogens positive — DOCUMENTED
+    * DEVIATION: same sign conventions and rough magnitudes, not
+    * value-parity. Swap in a real table via the `contrib` parameter.
+    */
+  def logPEstimate(
+      m: Molecule,
+      contrib: (String, Boolean, Int, Int) => Double =
+        defaultLogPContrib): Double = {
+    var s = 0.0
+    for (i <- 0 until m.n if m.atoms(i).elem != "H") {
+      val a = m.atoms(i)
+      val doubleBonds = m.adj(i).count(t => t._2.order == 2 && !t._2.aromatic)
+      s += contrib(a.elem, a.aromatic, m.totalH(i), doubleBonds)
+    }
+    math.rint(s * 10000) / 10000
+  }
+
+  /** (elem, aromatic, totalH, nDoubleBonds) -> contribution. */
+  def defaultLogPContrib(
+      elem: String, aromatic: Boolean, totalH: Int, nDouble: Int): Double =
+    elem match {
+      case "C" => if (aromatic) 0.29 else 0.14
+      case "N" => if (aromatic) -0.49 else -0.87
+      case "O" =>
+        if (nDouble > 0) -0.12 // carbonyl-type O
+        else if (totalH > 0) -0.64 // hydroxyl
+        else -0.37 // ether/ester O
+      case "S" => 0.59
+      case "P" => -0.45
+      case "F" => 0.44
+      case "Cl" => 0.64
+      case "Br" => 0.81
+      case "I" => 1.05
+      case _ => 0.0
+    }
+
   def tanimoto(a: Array[Int], b: Array[Int]): Double = {
     val sa = a.toSet; val sb = b.toSet
     val inter = sa.intersect(sb).size

@@ -42,7 +42,13 @@ object MassSearch {
       adducts: Seq[AdductRow] = defaultAdducts,
       tol: Double = 0.001,
       ppm: Boolean = false,
-      excludeHalogens: Boolean = true): DataFrame = {
+      excludeHalogens: Boolean = true,
+      /** logP window (min_logp, max_logp) — metabolomics.py:965 filters
+        * hits to `min_logp < logP < max_logp`; logP comes from the
+        * compound table's `logP` column when present, else the
+        * deterministic estimator (Formula.logPEstimate).
+        */
+      logpRange: Option[(Double, Double)] = None): DataFrame = {
     import spark.implicits._
     // potential mass per (peak, adduct): (mz - ion) / mult ± tol
     // (metabolomics.py:211-217); charge polarity must match the adduct's
@@ -64,7 +70,21 @@ object MassSearch {
       if (excludeHalogens) // P4: metabolomics.py:239-241
         cands.where(!col("Formula").rlike("F[^e]|Cl|Br"))
       else cands
-    RangeJoin.intervalJoin(filtered, ranges, "Mass", "lo", "hi",
+    val logpFiltered = logpRange match {
+      case None => filtered
+      case Some((lo, hi)) =>
+        val logpCol =
+          if (filtered.columns.contains("logP")) col("logP")
+          else {
+            val estUdf = udf { smiles: String =>
+              graft.chem.Formula.logPEstimate(
+                graft.chem.Smiles.parse(smiles))
+            }
+            estUdf(col("SMILES"))
+          }
+        filtered.where(logpCol > lo && logpCol < hi)
+    }
+    RangeJoin.intervalJoin(logpFiltered, ranges, "Mass", "lo", "hi",
       bucketWidth = 0.01, inclusive = true) // $gte/$lte like the reference
   }
 

@@ -48,9 +48,15 @@ object MineSink {
       .withColumn("len_RDKit_fp", size(col("RDKit_fp")))
       .withColumn("packed_fp", packUdf(col("RDKit_fp")))
       .withColumn("NP_likeness", round(npUdf(col("SMILES")), 6))
+      // databases.py:562 stores Crippen logP on every core compound;
+      // here the documented estimator (Formula.logPEstimate scaladoc)
+      .withColumn("logP", udf { smiles: String =>
+        Formula.logPEstimate(Smiles.parse(smiles))
+      }.apply(col("SMILES")))
       .withColumn("MINES", array(lit(mineName)))
       .select("_id", "SMILES", "Formula", "Charge", "Mass",
-        "RDKit_fp", "len_RDKit_fp", "packed_fp", "NP_likeness", "MINES")
+        "RDKit_fp", "len_RDKit_fp", "packed_fp", "NP_likeness", "logP",
+        "MINES")
   }
 
   /** Cross-run upsert (databases.py:506-533): insert-if-absent on `_id`

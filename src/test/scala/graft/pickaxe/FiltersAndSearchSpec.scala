@@ -108,6 +108,23 @@ class FiltersAndSearchSpec extends SparkSuite {
       ppm = true).isEmpty)
   }
 
+  test("logP window filters adduct-search candidates " +
+    "(metabolomics.py:965)") {
+    // octane (logP > 0) and sorbitol-ish polyol (logP < 0), both given
+    // the same Mass so the window is the only discriminator
+    val cpds = Seq(
+      ("C1", "CCCCCCCC", "C8H18", 100.0, 0),
+      ("C2", "OCC(O)C(O)C(O)C(O)CO", "C6H14O6", 100.0, 0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
+    val peaks = Seq(("p", 101.007276, "+")).toDF("name", "mz", "charge")
+    val all = MassSearch.adductSearch(spark, cpds, peaks, tol = 0.01)
+    assert(all.count() === 2)
+    val hydrophobicOnly = MassSearch.adductSearch(spark, cpds, peaks,
+      tol = 0.01, logpRange = Some((0.0, 10.0)))
+    assert(hydrophobicOnly.select("_id").as[String].collect().toSeq
+      === Seq("C1"))
+  }
+
   test("halogen exclusion regex matches the reference semantics") {
     val cpds = Seq(
       ("C1", "CCl", "CH3Cl", 49.9923, 0),
