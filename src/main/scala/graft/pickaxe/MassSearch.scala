@@ -63,9 +63,15 @@ object MassSearch {
       .select(col("name").as("peak"), col("adduct"),
         (col("potential_mass") - col("tol_da")).as("lo"),
         (col("potential_mass") + col("tol_da")).as("hi"))
+    // Project `logP` through when the input table carries it (e.g. the
+    // MineSink core-compounds table): the stored value takes precedence
+    // over the estimator below (metabolomics.py:965 reads the document's
+    // logP field) — keep it out of the final hit schema either way.
+    val candCols = Seq("_id", "SMILES", "Formula", "Mass") ++
+      (if (compounds.columns.contains("logP")) Seq("logP") else Nil)
     val cands = compounds
       .where(col("Charge") === 0) // neutral compounds (metabolomics.py:231)
-      .select(col("_id"), col("SMILES"), col("Formula"), col("Mass"))
+      .select(candCols.map(col): _*)
     val filtered =
       if (excludeHalogens) // P4: metabolomics.py:239-241
         cands.where(!col("Formula").rlike("F[^e]|Cl|Br"))
@@ -84,7 +90,8 @@ object MassSearch {
           }
         filtered.where(logpCol > lo && logpCol < hi)
     }
-    RangeJoin.intervalJoin(logpFiltered, ranges, "Mass", "lo", "hi",
+    RangeJoin.intervalJoin(logpFiltered.drop("logP"), ranges,
+      "Mass", "lo", "hi",
       bucketWidth = 0.01, inclusive = true) // $gte/$lte like the reference
   }
 

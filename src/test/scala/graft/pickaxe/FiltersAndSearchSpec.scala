@@ -125,6 +125,24 @@ class FiltersAndSearchSpec extends SparkSuite {
       === Seq("C1"))
   }
 
+  test("stored logP column takes precedence over the estimator") {
+    // Same molecules as above, but with DELIBERATELY INVERTED stored logP:
+    // octane stored at -5 (estimator would say > 0), polyol stored at +5
+    // (estimator would say < 0). A (0, 10) window keeping the polyol and
+    // dropping octane proves the column path is live — if the estimator
+    // ran instead, the result would flip back to C1.
+    val cpds = Seq(
+      ("C1", "CCCCCCCC", "C8H18", 100.0, 0, -5.0),
+      ("C2", "OCC(O)C(O)C(O)C(O)CO", "C6H14O6", 100.0, 0, 5.0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge", "logP")
+    val peaks = Seq(("p", 101.007276, "+")).toDF("name", "mz", "charge")
+    val hits = MassSearch.adductSearch(spark, cpds, peaks,
+      tol = 0.01, logpRange = Some((0.0, 10.0)))
+    assert(hits.select("_id").as[String].collect().toSeq === Seq("C2"))
+    // hit schema stays logP-free regardless of the input carrying it
+    assert(!hits.columns.contains("logP"))
+  }
+
   test("halogen exclusion regex matches the reference semantics") {
     val cpds = Seq(
       ("C1", "CCl", "CH3Cl", 49.9923, 0),
