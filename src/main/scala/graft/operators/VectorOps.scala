@@ -69,6 +69,40 @@ object VectorOps {
         "shiftleft(cast(1 as bigint), p), cast(0 as bigint)))")
   }
 
+  /** Banded LSH keys from a `bands * bitsPerBand`-bit sign sketch —
+    * the embedding analog of TextOps.bandKey's minhash banding. Band i
+    * owns sketch bits [i*r, (i+1)*r); its key is offset by i*2^r so keys
+    * from different bands can never collide in one equi-join column.
+    * Two vectors are candidates iff they share AT LEAST ONE band key,
+    * so candidate recall is 1-(1-p^r)^b for per-bit agreement p instead
+    * of the all-or-nothing p^(b*r) of a single monolithic bucket.
+    *
+    * Scale rule (see suggestedBandBits): per-band bucket count 2^r must
+    * GROW with table size n — with 2^r ≈ n/targetBucket, expected
+    * same-bucket pairs per band are ~n*targetBucket/2, i.e. linear in n,
+    * where any fixed bucket count degrades to ~(n/2^r)^2 quadratic.
+    */
+  def bandKeys(sketchCol: String, bands: Int, bitsPerBand: Int): Column = {
+    require(bands * bitsPerBand <= 60,
+      s"bands*bitsPerBand must fit the 60-bit sketch: $bands*$bitsPerBand")
+    val width = 1L << bitsPerBand
+    expr(s"transform(sequence(0, ${bands - 1}), i -> " +
+      s"i * ${width}L + (shiftright($sketchCol, cast(i * $bitsPerBand " +
+      s"as int)) & ${width - 1}L))")
+  }
+
+  /** Bits per band r sized from the table: 2^r ≈ n / targetBucket
+    * buckets per band, clamped to [4, 15] (4 bands x 15 bits fits the
+    * 60-bit sketch). At n=500 this gives 4; at 1e9 rows it gives 15 —
+    * at genuine 100 TB scale widen the sketch column to multiple
+    * bigints rather than capping recall.
+    */
+  def suggestedBandBits(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+    math.min(15, math.max(4, raw.toInt))
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

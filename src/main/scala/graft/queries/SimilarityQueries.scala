@@ -33,11 +33,26 @@ object SimilarityQueries extends QueryPack {
     s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))::BIGINT"
   private def duckCos(dot: String, na: String, nb: String) =
     s"$dot / (sqrt($na::DOUBLE) * sqrt($nb::DOUBLE))"
-  private val duckSketch =
-    "list_sum(list_transform(range(0, 8), p -> CASE WHEN " +
+  private def duckSketch(bits: Int) =
+    s"list_sum(list_transform(range(0, $bits), p -> CASE WHEN " +
       "list_sum(list_transform(range(1, len(qe) + 1), j -> " +
       "((('0x' || substr(md5(p::VARCHAR || ':' || j::VARCHAR),1,15))::BIGINT " +
       "& 1) * 2 - 1) * qe[j])) > 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT"
+
+  /** DuckDB twin of VectorOps.bandKeys: one row per (vec_id, band key). */
+  private def duckBands(skRel: String, bands: Int, r: Int) =
+    s"""SELECT vec_id, (t.band * ${1L << r} +
+          ((sketch >> (t.band * $r)) & ${(1L << r) - 1})) AS bkey
+        FROM $skRel, range(0, $bands) t(band)"""
+
+  /** Banded sign-LSH geometry at correctness scale: sf0.01 has 500
+    * embeddings -> suggestedBandBits = 4 (16 buckets/band) x 4 bands =
+    * a 16-bit sketch. The Spark side derives r from the actual row
+    * count, so the bench at larger SFs widens the bands automatically;
+    * the oracle (always run at sf0.01) pins the matching constants.
+    */
+  private val LshBands = 4
+  private val OracleBandBits = 4
 
   private val duckBase =
     s"""base AS (SELECT vec_id, label, $duckQuant AS qe FROM embeddings),
@@ -84,13 +99,33 @@ object SimilarityQueries extends QueryPack {
     GraftQuery(
       "q_sim_lsh_ann", Seq("A10", "J6", "D8"),
       (s, dir) => {
+        // Banded sign-LSH: b bands x r bits, r derived from the table
+        // size (parquet-metadata count — no data scan) so bucket count
+        // grows with n. Candidates = distinct pairs sharing >= 1 band
+        // key; the band join runs on a skinny (bkey, id) projection and
+        // payloads are re-attached afterwards. The sketch table is
+        // materialized once (localCheckpoint) so the interpreted-HOF
+        // sketch is never inlined into the join.
+        val nRows = Tables.load(s, dir, "embeddings").count()
+        val r = VectorOps.suggestedBandBits(nRows)
         val e = quantized(s, dir)
-          .withColumn("bucket", VectorOps.signSketch("qe", bits = 8))
+          .withColumn("sketch",
+            VectorOps.signSketch("qe", bits = LshBands * r))
+          .localCheckpoint()
+        val eb = e.select(col("vec_id"),
+          explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
         val q = e.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
-            col("nq").as("qnq"), col("bucket"))
-        val mates = e.join(q, Seq("bucket"))
+            col("nq").as("qnq"), col("sketch"))
+        val qb = eb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("bkey"))
+        val cands = eb.join(qb, Seq("bkey"))
           .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id").distinct()
+        val mates = cands
+          .join(e.select(col("vec_id"), col("qe")), Seq("vec_id"))
+          .join(broadcast(q.select(col("query_id"), col("qqe"))),
+            Seq("query_id"))
           .withColumn("dot", VectorOps.dot("qqe", "qe"))
         val best = mates.groupBy("query_id")
           .agg(count(lit(1)).as("n_mates"),
@@ -99,55 +134,77 @@ object SimilarityQueries extends QueryPack {
           .selectExpr("query_id", "n_mates", "m.d as best_dot",
             "-m.ni as best_neighbor")
         q.join(best, Seq("query_id"), "left")
-          .select(col("query_id"), col("bucket"),
+          .select(col("query_id"), col("sketch"),
             coalesce(col("n_mates"), lit(0L)).as("n_mates"),
             coalesce(col("best_neighbor"), lit(-1L)).as("best_neighbor"),
             coalesce(col("best_dot"), lit(-1L)).as("best_dot"))
           .orderBy("query_id")
       },
       Some(s"""WITH $duckBase,
-          sk AS (SELECT vec_id, label, qe, nq, $duckSketch AS bucket FROM n),
-          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq, bucket
+          sk AS (SELECT vec_id, label, qe, nq,
+                  ${duckSketch(LshBands * OracleBandBits)} AS sketch FROM n),
+          bands AS (${duckBands("sk", LshBands, OracleBandBits)}),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq, sketch
                 FROM sk WHERE vec_id % 100 = 0),
-          mates AS (SELECT q.query_id, sk.vec_id AS neighbor,
+          qb AS (SELECT vec_id AS query_id, bkey FROM bands
+                WHERE vec_id % 100 = 0),
+          cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+                FROM bands b JOIN qb ON b.bkey = qb.bkey
+                WHERE b.vec_id != qb.query_id),
+          mates AS (SELECT c.query_id, c.vec_id AS neighbor,
                   ${duckDot("qqe", "qe")} AS dot
-                FROM sk JOIN q ON sk.bucket = q.bucket
-                WHERE sk.vec_id != q.query_id),
+                FROM cand c JOIN sk ON sk.vec_id = c.vec_id
+                  JOIN q ON q.query_id = c.query_id),
           best AS (SELECT query_id, count(*) AS n_mates, max(dot) AS best_dot
                 FROM mates GROUP BY 1),
           bn AS (SELECT m.query_id, min(m.neighbor) AS best_neighbor
                 FROM mates m JOIN best b ON m.query_id = b.query_id
                   AND m.dot = b.best_dot
                 GROUP BY 1)
-        SELECT q.query_id, q.bucket,
+        SELECT q.query_id, q.sketch,
           coalesce(b.n_mates, 0) AS n_mates,
           coalesce(bn.best_neighbor, -1) AS best_neighbor,
           coalesce(b.best_dot, -1) AS best_dot
         FROM q LEFT JOIN best b ON b.query_id = q.query_id
                LEFT JOIN bn ON bn.query_id = q.query_id
         ORDER BY q.query_id"""),
-      "Sign-LSH (8 pseudo-random ±1 hyperplanes) bucketed ANN: sketch in " +
-        "one projection, candidates via bucket equi-join only — the " +
-        "100 TB alternative to the brute-force cross join."),
+      "Banded sign-LSH ANN (4 bands x size-derived bits/band): skinny " +
+        "band-key equi-join for candidates, distinct pairs, payload " +
+        "re-attach — bucket count grows with n, so per-band candidate " +
+        "pairs stay linear instead of quadratic."),
 
     GraftQuery(
       "q_sim_neardup_cos", Seq("D1", "A10", "J11"),
       (s, dir) => {
-        // materialize the sketch table before the self-join: without the
-        // barrier, project collapse inlines the (interpreted-HOF) sketch
-        // expression into the join and re-evaluates it per candidate
-        // pair — measured 41s -> 1.1s at sf0.1 for the same result
+        // Banded sign-LSH blocking (same geometry as q_sim_lsh_ann):
+        // the band self-join runs on a skinny (bkey, vec_id) projection,
+        // pairs sharing several bands are deduped BEFORE the payload
+        // re-attach, and the sketch table is materialized once
+        // (localCheckpoint) so the interpreted-HOF sketch is never
+        // inlined into the join (measured 41s -> 1.1s at sf0.1).
+        val nRows = Tables.load(s, dir, "embeddings").count()
+        val r = VectorOps.suggestedBandBits(nRows)
         val e = quantized(s, dir)
-          .withColumn("bucket", VectorOps.signSketch("qe", bits = 8))
+          .withColumn("sketch",
+            VectorOps.signSketch("qe", bits = LshBands * r))
           .localCheckpoint()
-        val pairs = e.as("x").join(e.as("y"),
-            col("x.bucket") === col("y.bucket") &&
+        val eb = e.select(col("vec_id"),
+          explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
+        val cand = eb.as("x").join(eb.as("y"),
+            col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") < col("y.vec_id"))
-          .withColumn("dot", VectorOps.dot("x.qe", "y.qe"))
-          .withColumn("cos", VectorOps.cosine("dot", "x.nq", "y.nq"))
+          .select(col("x.vec_id").as("id_x"), col("y.vec_id").as("id_y"))
+          .distinct()
+        val pairs = cand
+          .join(e.select(col("vec_id").as("id_x"), col("label").as("lx"),
+            col("qe").as("qex"), col("nq").as("nqx")), Seq("id_x"))
+          .join(e.select(col("vec_id").as("id_y"), col("label").as("ly"),
+            col("qe").as("qey"), col("nq").as("nqy")), Seq("id_y"))
+          .withColumn("dot", VectorOps.dot("qex", "qey"))
+          .withColumn("cos", VectorOps.cosine("dot", "nqx", "nqy"))
           .select(
-            least(col("x.label"), col("y.label")).as("label_a"),
-            greatest(col("x.label"), col("y.label")).as("label_b"),
+            least(col("lx"), col("ly")).as("label_a"),
+            greatest(col("lx"), col("ly")).as("label_b"),
             col("cos"))
         pairs.groupBy("label_a", "label_b")
           .agg(count(lit(1)).as("n_pairs"),
@@ -156,18 +213,24 @@ object SimilarityQueries extends QueryPack {
           .orderBy("label_a", "label_b")
       },
       Some(s"""WITH $duckBase,
-          sk AS (SELECT vec_id, label, qe, nq, $duckSketch AS bucket FROM n),
-          p AS (SELECT least(x.label, y.label) AS label_a,
-                  greatest(x.label, y.label) AS label_b,
-                  ${duckCos(duckDot("x.qe", "y.qe"), "x.nq", "y.nq")} AS cos
-                FROM sk x JOIN sk y ON x.bucket = y.bucket
-                  AND x.vec_id < y.vec_id)
+          sk AS (SELECT vec_id, label, qe, nq,
+                  ${duckSketch(LshBands * OracleBandBits)} AS sketch FROM n),
+          bands AS (${duckBands("sk", LshBands, OracleBandBits)}),
+          cand AS (SELECT DISTINCT x.vec_id AS id_x, y.vec_id AS id_y
+                FROM bands x JOIN bands y ON x.bkey = y.bkey
+                  AND x.vec_id < y.vec_id),
+          p AS (SELECT least(a.label, b.label) AS label_a,
+                  greatest(a.label, b.label) AS label_b,
+                  ${duckCos(duckDot("a.qe", "b.qe"), "a.nq", "b.nq")} AS cos
+                FROM cand c JOIN sk a ON a.vec_id = c.id_x
+                  JOIN sk b ON b.vec_id = c.id_y)
         SELECT label_a, label_b, count(*) AS n_pairs,
           count(CASE WHEN cos >= 0.9 THEN 1 END) AS n_neardup,
           round(avg(cos), 4) AS avg_cos
         FROM p GROUP BY 1,2 ORDER BY 1,2"""),
-      "Embedding-cosine near-dup with LSH-bucket blocking: only same-" +
-        "bucket pairs are verified — no O(n^2) pairwise pass."),
+      "Embedding-cosine near-dup with banded-LSH blocking: skinny band " +
+        "self-join -> distinct pairs -> payload re-attach; bucket count " +
+        "scales with n — no O(n^2) pairwise pass at any size."),
 
     GraftQuery(
       "q_sim_ivf_ann", Seq("A10", "J6", "D9"),
@@ -183,7 +246,11 @@ object SimilarityQueries extends QueryPack {
         val cent = e.where(col("vec_id") % 250 === 0)
           .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
             col("nq").as("cnq"))
-        val assigned = e.crossJoin(broadcast(cent))
+        // Materialize ONLY the skinny (vec_id, cell) assignment — the
+        // expensive part is the crossJoin+window, and checkpointing the
+        // qe/nq payload alongside it (as before) tripled the checkpoint
+        // IO for no reuse benefit; payloads re-attach via one equi-join.
+        val cellOf = e.crossJoin(broadcast(cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
           .withColumn("rn", row_number().over(
@@ -191,9 +258,11 @@ object SimilarityQueries extends QueryPack {
               .partitionBy("vec_id")
               .orderBy(col("cos").desc, col("c_id").asc)))
           .where(col("rn") === 1)
-          .select(col("vec_id"), col("label"), col("qe"), col("nq"),
-            col("c_id").as("cell"))
+          .select(col("vec_id"), col("c_id").as("cell"))
           .localCheckpoint()
+        val assigned = e.join(cellOf, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("qe"), col("nq"),
+            col("cell"))
         val queries = assigned.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
             col("nq").as("qnq"), col("cell"))

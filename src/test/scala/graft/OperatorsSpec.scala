@@ -67,6 +67,27 @@ class OperatorsSpec extends SparkSuite {
     assert(bd.as[Long].collect().toSet === Set(10L, 20L))
   }
 
+  test("bandKeys partitions the sketch into disjoint per-band keys") {
+    // sketch 0xABCD: band i (4 bits each) must yield key i*16 + nibble i
+    val df = Seq(0xABCDL).toDF("sketch")
+      .select(explode(VectorOps.bandKeys("sketch", 4, 4)).as("k"))
+    assert(df.as[Long].collect().toSeq ===
+      Seq(0 * 16 + 0xD, 1 * 16 + 0xC, 2 * 16 + 0xB, 3 * 16 + 0xA))
+    // rows agreeing on any one band collide on exactly that key
+    val a = Seq(0x00F1L, 0x23F4L).toDF("sketch")
+      .select(explode(VectorOps.bandKeys("sketch", 4, 4)).as("k"))
+      .as[Long].collect()
+    assert(a.toSeq.groupBy(identity).count(_._2.length == 2) === 1)
+  }
+
+  test("suggestedBandBits grows with table size, clamped to [4,15]") {
+    assert(VectorOps.suggestedBandBits(500) === 4)
+    assert(VectorOps.suggestedBandBits(2000) === 5)
+    assert(VectorOps.suggestedBandBits(1000000) === 14)
+    assert(VectorOps.suggestedBandBits(1L << 40) === 15) // cap
+    assert(VectorOps.suggestedBandBits(1) === 4)         // floor
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
