@@ -147,18 +147,27 @@ object PickaxeQueries extends QueryPack {
       "q_chem_npscore", Seq("P12"),
       (s, _) => {
         import s.implicits._
-        val modelPath =
-          "/root/reference/minedatabase/NP_Score/publicnp.model.gz"
-        val model = s.sparkContext.broadcast(
-          graft.chem.NPModel.load(modelPath))
-        val npUdf = udf { smi: String =>
-          graft.chem.NPScore.score(graft.chem.Smiles.parse(smi),
-            (b: Long) => model.value.getOrElse(b, 0.0))
-        }
-        npOracleMols.toDF("mol_id", "smiles")
+        // Score through the SINK surface (MineSink.coreCompounds, the
+        // databases.py:536-572 enrichment), not a bare scorer UDF — the
+        // same path a save_to_mine run takes. Model path resolves from
+        // SPARK_GRAFT_NP_MODEL with the reference tree as default; when
+        // the file is absent (foreign host) the documented stub scorer
+        // runs instead of the whole registry erroring.
+        val modelPath = sys.env.getOrElse("SPARK_GRAFT_NP_MODEL",
+          "/root/reference/minedatabase/NP_Score/publicnp.model.gz")
+        val modelOpt =
+          if (new java.io.File(modelPath).isFile) Some(modelPath) else None
+        val compounds = npOracleMols.toDF("mol_id", "smiles")
           .repartition(4)
-          .withColumn("np_likeness", round(npUdf(col("smiles")), 6))
-          .select("mol_id", "np_likeness")
+          .select(col("mol_id").as("_id"), col("smiles").as("SMILES"),
+            lit("").as("Formula"), lit(0).as("Charge"),
+            lit(0.0).as("Mass"), lit("Predicted").as("Type"))
+        val state = graft.pickaxe.NetworkState(
+          compounds, compounds.limit(0), 0)
+        graft.pickaxe.MineSink
+          .coreCompounds(state, "np_oracle", modelOpt)
+          .select(col("_id").as("mol_id"),
+            col("NP_likeness").as("np_likeness"))
           .orderBy("mol_id")
       },
       // pinned: the reference's own shipped NP_likeness values,
