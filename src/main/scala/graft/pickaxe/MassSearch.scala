@@ -158,11 +158,12 @@ object MassSearch {
       spectra: DataFrame,
       adducts: Seq[AdductRow] = defaultAdducts,
       tol: Double = 0.001,
+      ppm: Boolean = false,
       ms2TolMDa: Double = 100.0,
       useJaccard: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hits = adductSearch(spark, compounds,
-      peaksMs2.select("name", "mz", "charge"), adducts, tol)
+      peaksMs2.select("name", "mz", "charge"), adducts, tol, ppm)
     val scoreUdf = udf {
       (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
         val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))

@@ -254,6 +254,57 @@ object PickaxeQueries extends QueryPack {
         "spectrum (J10/A11) -> per-peak rank (W4)."),
 
     GraftQuery(
+      "q_pickaxe_ms2_jaccard", Seq("J10", "A11", "W4", "J6", "S9"),
+      (s, _) => {
+        import s.implicits._
+        // The reference's OTHER two metabolomics modes, pinned: jaccard
+        // spectral scoring (metabolomics.py:435-460) and ppm mass
+        // tolerance (:213-216). Isomer i's spectrum is the first i of
+        // {100..700}, the probe is {100..400}: jaccard = min(i,4) /
+        // (i + 4 - min(i,4)) — seven distinct hand-computable scores.
+        val st = engine(s).run(Seq(fadh), generations = 1)
+        val gen1 = st.compounds.where(col("Generation") === 1)
+          .select("_id").as[String].collect().sorted
+        val fadhRow = st.compounds
+          .where(col("Type") === "Starting Compound")
+          .select("_id", "Mass").as[(String, Double)].collect().head
+        val isoMass = st.compounds.where(col("Generation") === 1)
+          .select("Mass").as[Double].head()
+        val spectra = (gen1.toSeq.zipWithIndex.map { case (id, i) =>
+          (id, (1 to i + 1).map(k => (k * 100.0, 1.0)))
+        } :+ (fadhRow._1 -> Seq((150.0, 1.0))))
+          .toDF("c_id", "spectrum")
+        val labels = (gen1.toSeq.zipWithIndex.map { case (id, i) =>
+          (id, s"iso${i + 1}")
+        } :+ (fadhRow._1 -> "fadh")).toDF("_id", "label")
+        val peaks = Seq(
+          ("pk1", isoMass + 1.007276, "+",
+            (1 to 4).map(k => (k * 100.0, 1.0))),
+          ("pk2", fadhRow._2 - 1.007276, "-", Seq((150.0, 1.0))))
+          .toDF("name", "mz", "charge", "ms2")
+        MassSearch.ms2Search(s, st.compounds, peaks, spectra,
+          tol = 10, ppm = true, useJaccard = true)
+          .join(broadcast(labels), Seq("_id"))
+          .select("peak", "adduct", "label", "spectral_score", "rank")
+          .orderBy("peak", "rank")
+      },
+      // pinned: round(1000 * min(i,4)/(i+4-min(i,4))) for i=1..7 ranked
+      // desc — the 10 ppm window (~0.0087 Da at m/z 867) still admits
+      // every isomer (identical masses) and FADH alone for pk2
+      Some("""SELECT 'pk1' AS peak, '[M+H]+' AS adduct, 'iso4' AS label,
+            1000.0::DOUBLE AS spectral_score, 1::INTEGER AS "rank"
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso5', 800.0, 2
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso3', 750.0, 3
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso6', 667.0, 4
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso7', 571.0, 5
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso2', 500.0, 6
+          UNION ALL SELECT 'pk1', '[M+H]+', 'iso1', 250.0, 7
+          UNION ALL SELECT 'pk2', '[M-H]-', 'fadh', 1000.0, 1"""),
+      "MS2 search in the reference's jaccard-scoring + ppm-tolerance " +
+        "modes: 10 ppm adduct windows, set-overlap spectral scores, " +
+        "per-peak rank."),
+
+    GraftQuery(
       "q_pickaxe_met_filter", Seq("J6", "S9", "A6", "D6", "P13"),
       (s, _) => {
         import s.implicits._
