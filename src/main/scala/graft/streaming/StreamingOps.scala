@@ -60,6 +60,73 @@ object StreamingOps {
       .select("peak", "adduct", "_id", "SMILES", "Formula", "Mass")
   }
 
+  /** Stream-static MS2 spectral scoring — the streaming twin of
+    * MassSearch.ms2Search (q_pickaxe_ms2): each arriving MS2 peak
+    * (name, mz, charge, ts, ms2) is adduct-window annotated against the
+    * static compound table (bucketed interval join, same plan shape as
+    * peakSearchStream), joined to the static spectra table, scored with
+    * the SAME spectralDot/spectralJaccard kernel as batch, then reduced
+    * to a per-(event-time-window, peak) best hit by a WATERMARKED
+    * aggregation — streaming has no rank(), so "rank 1" becomes
+    * max(struct(score, _id)) (ties break to the larger id; batch ranks
+    * every hit). The watermark bounds the aggregation state AND drops
+    * peaks arriving later than `watermark` past the stream's event-time
+    * high mark — a batch re-run would still score them; a stream must
+    * trade lateness for bounded state.
+    *
+    * Output: bucket (window start), peak, n_hits, best_score, best_id.
+    */
+  def ms2ScoreStream(
+      peaks: DataFrame, // name, mz, charge, ts, ms2: array<(mz,intensity)>
+      compounds: DataFrame,
+      spectra: DataFrame, // c_id, spectrum: array<(mz,intensity)>
+      adducts: Seq[AdductRow],
+      tolDa: Double = 0.001,
+      ms2TolMDa: Double = 100.0,
+      useJaccard: Boolean = false,
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      bucketWidth: Double = 0.01): DataFrame = {
+    val spark = compounds.sparkSession
+    import spark.implicits._
+    import graft.pickaxe.MassSearch
+    val adductDf = adducts.toDF()
+      .select(col("name").as("adduct"), col("mult"), col("ionMass"))
+    val ranges = peaks.withWatermark("ts", watermark)
+      .crossJoin(broadcast(adductDf))
+      .where((col("charge") === "+" && col("ionMass") > 0) ||
+        (col("charge") === "-" && col("ionMass") < 0))
+      .withColumn("pm", (col("mz") - col("ionMass")) / col("mult"))
+      .select(col("name").as("peak"), col("ts"), col("ms2"),
+        col("adduct"),
+        (col("pm") - tolDa).as("lo"), (col("pm") + tolDa).as("hi"))
+      .withColumn("bucket", explode(sequence(
+        floor(col("lo") / bucketWidth).cast("long"),
+        floor(col("hi") / bucketWidth).cast("long"))))
+    val bucketed = compounds
+      .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
+      .select("bucket", "_id", "Mass")
+    val scoreUdf = udf {
+      (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
+        val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))
+        val sb = b.map(r => (r.getDouble(0), r.getDouble(1)))
+        val t = ms2TolMDa / 1000.0
+        val s = if (useJaccard) MassSearch.spectralJaccard(sa, sb, t)
+          else MassSearch.spectralDot(sa, sb, t)
+        math.round(s * 1000).toDouble // score*1000 like batch
+    }
+    ranges.join(bucketed, Seq("bucket"))
+      .where(col("Mass") > col("lo") && col("Mass") < col("hi"))
+      .join(spectra.withColumnRenamed("c_id", "_id"), Seq("_id"))
+      .withColumn("spectral_score", scoreUdf(col("spectrum"), col("ms2")))
+      .groupBy(window(col("ts"), windowDuration), col("peak"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("spectral_score").as("s"), col("_id").as("id")))
+          .as("m"))
+      .select(col("window.start").as("bucket"), col("peak"),
+        col("n_hits"), col("m.s").as("best_score"), col("m.id").as("best_id"))
+  }
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedEventCounts(
       events: DataFrame, // columns: ts (timestamp), event_type

@@ -36,6 +36,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming MS2 scoring: on-time peaks score identically to " +
+    "batch; late-past-watermark peaks are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val compounds = Seq(
+      ("C1", "CCO", "C2H6O", 46.041865, 0),
+      ("C2", "CC(=O)O", "C2H4O2", 60.021130, 0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
+    val spectra = Seq(
+      ("C1", Seq((50.0, 1.0), (70.0, 2.0))),
+      ("C2", Seq((80.0, 1.0))))
+      .toDF("c_id", "spectrum")
+    val etohMs2 = Seq((50.0, 1.0), (70.0, 1.0))
+    def t(s: String) = Timestamp.valueOf(s)
+    val peaks =
+      MemoryStream[(String, Double, String, Timestamp, Seq[(Double, Double)])]
+    val scored = StreamingOps.ms2ScoreStream(
+      peaks.toDF().toDF("name", "mz", "charge", "ts", "ms2"),
+      compounds, spectra,
+      Seq(AdductRow("[M+H]+", 1.0, 1.007276)),
+      tolDa = 0.01, watermark = "30 minutes", windowDuration = "10 minutes")
+    val q = scored.writeStream.format("memory").queryName("ms2_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: on-time peak at 10:00
+      peaks.addData(("p_etoh", 47.049141, "+", t("2024-01-01 10:00:00"),
+        etohMs2))
+      q.processAllAvailable()
+      // batch 2: a later peak advances the watermark to 11:00
+      peaks.addData(("p_acoh", 61.028406, "+", t("2024-01-01 11:30:00"),
+        Seq((80.0, 1.0))))
+      q.processAllAvailable()
+      // batch 3: p_late WOULD match C1, but its window [10:00,10:10)
+      // closed when the watermark passed — it must be dropped
+      peaks.addData(("p_late", 47.049141, "+", t("2024-01-01 10:05:00"),
+        etohMs2))
+      q.processAllAvailable()
+      val rows = spark.table("ms2_stream")
+        .select("peak", "best_score", "best_id")
+        .as[(String, Double, String)].collect()
+      assert(rows.map(_._1).toSet === Set("p_etoh", "p_acoh"))
+      val batchScore = graft.pickaxe.MassSearch.ms2Search(spark, compounds,
+        Seq(("p_etoh", 47.049141, "+", etohMs2))
+          .toDF("name", "mz", "charge", "ms2"),
+        spectra, tol = 0.01)
+        .select("spectral_score").as[Double].head()
+      val streamEtoh = rows.filter(_._1 == "p_etoh").head
+      assert(streamEtoh._2 === batchScore) // identical kernel, same score
+      assert(streamEtoh._2 === 949.0) // 3/sqrt(10) * 1000 rounded
+      assert(streamEtoh._3 === "C1")
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Timestamp, String)]
