@@ -96,6 +96,32 @@ class ExportsSpec extends SparkSuite {
     assert(!rxns.get(1).contains("X")) // X->C rewrite in equations
   }
 
+  test("SBML and KBase exports match their golden sha256 pins") {
+    // Byte-level fidelity pins over the deterministic 2-gen FADH fixture
+    // (31 compounds / 49 reactions, content-hash ids): any change to the
+    // export serialization — element order, attributes, equation text —
+    // must be a conscious one that re-pins these.
+    def sha256(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(Files.readAllBytes(Paths.get(p)))
+      d.map("%02x".format(_)).mkString
+    }
+    val sbml = "/tmp/graft_sbml_golden.sbml"
+    Exports.writeSbml(st, sbml)
+    Exports.writeKbase(st, "/tmp/graft_kbase_golden", "golden")
+    val got = Map(
+      "sbml" -> sha256(sbml),
+      "kbase_compounds" ->
+        sha256("/tmp/graft_kbase_golden/golden_compounds.tsv"),
+      "kbase_reactions" ->
+        sha256("/tmp/graft_kbase_golden/golden_reactions.tsv"))
+    val pinned = Map(
+      "sbml" -> "431efef2ea23b6b5a27f7fe2d070583fbb8c00d4d01f87c5bb3bd28e3528c560",
+      "kbase_compounds" -> "6a3ecf66acadbec470deec0c563121fd065b0740b69b0ab073b6cb6ee274eeef",
+      "kbase_reactions" -> "a3f3a0960dfdbed794e8f4afdde4fc68d9a41d7f5f2bafe08fa276af1680f3f4")
+    assert(got === pinned, s"golden export drift: $got")
+  }
+
   test("ThermoFilter deletes endergonic reactions; permissive max passes") {
     // dgMax very large: nothing removed
     val pass = engine.run(Seq(fadh), 1,
