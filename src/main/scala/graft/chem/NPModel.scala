@@ -60,8 +60,10 @@ object NPModel {
           require(mark > 0 &&
             (stack(mark - 1).asInstanceOf[AnyRef] eq Dict),
             "SETITEMS without dict+mark")
+          require((stack.length - mark - 1) % 2 == 0,
+            "SETITEMS with odd-length key/value batch")
           var i = mark + 1
-          while (i + 1 < stack.length + 1 && i < stack.length) {
+          while (i + 1 < stack.length) {
             out(stack(i).asInstanceOf[Long]) =
               stack(i + 1) match {
                 case d: Double => d

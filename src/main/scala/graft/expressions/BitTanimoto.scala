@@ -76,6 +76,9 @@ object BitTanimoto {
     * 2048) — a narrower width folds indexes together and inflates every
     * downstream Tanimoto.
     */
+  /** Byte width of the current pack format (2048-bit space). */
+  val packedBytes: Int = 2048 / 8
+
   def pack(bits: Array[Int], nBits: Int = 2048): Array[Byte] = {
     val out = new Array[Byte]((nBits + 7) / 8)
     bits.foreach { bit =>

@@ -124,11 +124,17 @@ final case class TanimotoSamplingFilter(
     targetSmiles: Seq[String],
     sampleSize: Int,
     minSim: Double = 0.15,
-    fingerprintMethod: String = "rdkit") extends NetworkFilter {
+    fingerprintMethod: String = "rdkit",
+    // same folded hash space as TanimotoCutoffFilter (RDKit's
+    // GetMorganFingerprintAsBitVect default) so the two filters score a
+    // given pair identically
+    morganRadius: Int = 2,
+    morganBits: Int = 2048) extends NetworkFilter {
   override def name = s"TanimotoSampling n=$sampleSize"
   private def fp(smiles: String): Array[Int] =
     if (fingerprintMethod == "morgan")
-      graft.chem.Morgan.foldedBits(Smiles.parse(smiles)).toArray.sorted
+      graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
+        morganRadius, morganBits).toArray.sorted
     else Formula.fingerprint(Smiles.parse(smiles))
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto

@@ -62,10 +62,21 @@ object MineSink {
   /** Cross-run upsert (databases.py:506-533): insert-if-absent on `_id`
     * ($setOnInsert) + MINES set-union ($addToSet) — as one full-outer
     * merge, shuffle-partitioned on the content hash.
+    *
+    * packed_fp is WIDTH-NORMALIZED on the way through: stores written
+    * before the 2048-bit pack width (64-byte rows) are repacked from
+    * their sparse RDKit_fp indices, so a merged table can never hold
+    * mixed widths — BitTanimoto.tanimoto on mismatched widths silently
+    * degrades to prefix-only overlap by its documented rule.
     */
   def mergeCore(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val cols = incoming.columns.filter(c => c != "_id" && c != "MINES")
-    existing.as("old").join(incoming.as("new"), Seq("_id"), "full_outer")
+    val repackUdf = udf { (packed: Array[Byte], fp: Seq[Int]) =>
+      if (packed != null && packed.length == BitTanimoto.packedBytes) packed
+      else BitTanimoto.pack(Option(fp).map(_.toArray).getOrElse(Array.empty))
+    }
+    val merged = existing.as("old")
+      .join(incoming.as("new"), Seq("_id"), "full_outer")
       .select(
         col("_id") +:
           cols.map(c =>
@@ -73,6 +84,11 @@ object MineSink {
           array_sort(array_distinct(concat(
             coalesce(col("old.MINES"), array()),
             coalesce(col("new.MINES"), array())))).as("MINES"): _*)
+    if (merged.columns.contains("packed_fp") &&
+      merged.columns.contains("RDKit_fp"))
+      merged.withColumn("packed_fp",
+        repackUdf(col("packed_fp"), col("RDKit_fp")))
+    else merged
   }
 
   /** save_to_mine (pickaxe.py:1165-1242): write the per-run tables and

@@ -47,6 +47,24 @@ class MineSinkSpec extends SparkSuite {
       math.rint(want * 1e6) / 1e6) < 1e-9)
   }
 
+  test("mergeCore repacks legacy narrow packed_fp rows to the current " +
+    "width") {
+    import graft.expressions.BitTanimoto
+    val incoming = MineSink.coreCompounds(st, "mine_new")
+    // a pre-r5 store: same schema, 512-bit (64-byte) packed_fp, and an
+    // _id absent from the incoming run so the legacy row must survive
+    val legacy = incoming.limit(1)
+      .withColumn("_id", lit("Clegacy0000000000000000000000000000000000"))
+      .withColumn("packed_fp",
+        udf { fp: Seq[Int] => BitTanimoto.pack(fp.toArray, nBits = 512) }
+          .apply(col("RDKit_fp")))
+      .withColumn("MINES", array(lit("mine_old")))
+    val widths = MineSink.mergeCore(legacy, incoming)
+      .select(length(col("packed_fp"))).distinct()
+      .as[Int].collect().toSet
+    assert(widths === Set(BitTanimoto.packedBytes))
+  }
+
   test("save + re-save merges MINES membership ($addToSet semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("mine").toString
     MineSink.save(spark, st, dir, "mine_a")
