@@ -144,6 +144,39 @@ object PickaxeQueries extends QueryPack {
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
 
     GraftQuery(
+      "q_pickaxe_likelihood", Seq("J6", "S9", "A6"),
+      (s, _) => {
+        import s.implicits._
+        // score_compounds (metabolomics.py:1209-1269): native-set
+        // members 0.75, derived compounds 0.25 — over the same
+        // adduct-search fixture as q_pickaxe_mass_search
+        val st = engine(s).run(Seq(fadh), generations = 1)
+        val massOf = st.compounds
+          .where(col("Type").isin("Predicted", "Starting Compound"))
+          .select("Type", "Mass").as[(String, Double)]
+          .collect().toMap
+        val peaks = Seq(
+          ("pk1", massOf("Predicted") + 1.007276, "+"),
+          ("pk3", massOf("Starting Compound") - 1.007276, "-"))
+          .toDF("name", "mz", "charge")
+        val hits = MassSearch.adductSearch(s, st.compounds, peaks,
+          tol = 0.01)
+        val natives = st.compounds
+          .where(col("Type") === "Starting Compound").select("_id")
+        MassSearch.scoreCompounds(hits, natives)
+          .groupBy("peak", "likelihood_score")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy("peak")
+      },
+      // pinned: pk1's 7 predicted isomers are derived (0.25); pk3 hits
+      // the native starting compound alone (0.75)
+      Some("""SELECT 'pk1' AS peak, 0.25::DOUBLE AS likelihood_score,
+            7::BIGINT AS n_hits
+          UNION ALL SELECT 'pk3', 0.75, 1"""),
+      "Likelihood scoring over adduct-search hits: native-set members " +
+        "0.75, derived compounds 0.25 (score_compounds)."),
+
+    GraftQuery(
       "q_chem_npscore", Seq("P12"),
       (s, _) => {
         import s.implicits._

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_orphans",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
-    "q_pickaxe_ms2", "q_pickaxe_thermo", "q_pickaxe_prune")
+    "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
+    "q_pickaxe_thermo", "q_pickaxe_prune")
 
   test("no registry query plans a CartesianProduct; " +
     "BroadcastNestedLoopJoin only where whitelisted") {
