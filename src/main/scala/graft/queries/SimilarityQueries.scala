@@ -306,6 +306,81 @@ object SimilarityQueries extends QueryPack {
         "centroid-partitioned alternative to sign-LSH at 100 TB."),
 
     GraftQuery(
+      "q_sim_ivf_probe2", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // IVF with nprobe=2 — the standard IVF recall knob: vectors
+        // still live in exactly ONE cell, queries probe their TWO
+        // nearest cells, so candidates stay a plain cell equi-join
+        // (disjoint cells — no dedup needed) and recall rises without
+        // any new shuffle shape. One skinny (vec_id, c_id, rn)
+        // checkpoint feeds both the assignment and the probe list.
+        val e = quantized(s, dir)
+        val cent = e.where(col("vec_id") % 250 === 0)
+          .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
+            col("nq").as("cnq"))
+        val ranked = e.crossJoin(broadcast(cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id"), col("c_id"), col("rn"))
+          .localCheckpoint()
+        val assigned = e.join(
+          ranked.where(col("rn") === 1)
+            .select(col("vec_id"), col("c_id").as("cell")),
+          Seq("vec_id"))
+        val queries = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+            col("nq").as("qnq"))
+          .join(ranked.select(col("vec_id").as("query_id"),
+            col("c_id").as("cell")), Seq("query_id"))
+        val probed = assigned.join(queries, Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", VectorOps.dot("qqe", "qe"))
+        probed.groupBy("query_id")
+          .agg(count(lit(1)).as("n_cell_mates"),
+            max(struct(col("dot").as("d"), (-col("vec_id")).as("ni")))
+              .as("m"))
+          .selectExpr("query_id", "n_cell_mates", "m.d as best_dot",
+            "-m.ni as best_neighbor")
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
+                FROM n WHERE vec_id % 250 = 0),
+          scored AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          ranked AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM scored),
+          assigned AS (SELECT n.vec_id, n.qe, n.nq, r.c_id AS cell
+                FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq
+                FROM n WHERE vec_id % 100 = 0),
+          probed AS (SELECT qc.query_id, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned a JOIN qc ON a.cell = qc.cell
+                  JOIN q ON q.query_id = qc.query_id
+                WHERE a.vec_id != qc.query_id),
+          best AS (SELECT query_id, count(*) AS n_cell_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "IVF ANN at nprobe=2: queries probe their two nearest cells " +
+        "(vectors still single-cell), lifting recall with the same " +
+        "one-equi-join probe shape — the standard IVF quality knob."),
+
+    GraftQuery(
       "q_sim_maxsim_target", Seq("A10", "W7", "W8"),
       (s, dir) => {
         val e = quantized(s, dir)
