@@ -62,6 +62,32 @@ object TextOps {
     s"md5(concat_ws(',', transform(slice($sigCol, $b * $r + 1, $r), " +
       "x -> cast(x as string))))"
 
+  /** One row per (doc, LSH band key): tokenization, shingling, and the
+    * k-hash minhash signature run in one projection, then the `bands`
+    * band keys explode. Works on batch AND streaming inputs (every step
+    * is stateless), so a static corpus side and a stream side of the
+    * same near-dup join are built by the same call.
+    */
+  def bandedDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      w: Int = 3,
+      k: Int = 9,
+      bands: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val keys = (0 until bands)
+      .map(b => expr(bandKey("sig", b.toString, r)))
+    docs
+      .withColumn("toks", tokens(textCol))
+      .withColumn("sh", wordShingles("toks", w))
+      .withColumn("sig", minhashSignature("sh", k))
+      .withColumn("band_key",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array(keys: _*)))
+      .drop("toks", "sh", "sig")
+  }
+
   /** `bits`-bit SimHash over a token-array column (weight = term
     * frequency): bit b is set iff sum over tokens of ±1 (sign of hash
     * bit b) is positive.

@@ -138,6 +138,47 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
 
+  /** Streaming MinHash-LSH near-dup flagging against a static corpus —
+    * the streaming twin of q_dedup_minhash_lsh for a continuously-
+    * arriving document feed: each arriving doc is minhash-banded
+    * (TextOps.bandedDocs, stateless one-projection work) and equi-joined
+    * to the precomputed corpus band table; sharing >= 1 band key flags
+    * it as a near-dup candidate. A watermarked per-(window, doc) max
+    * aggregation folds the doc's band rows back to ONE verdict row —
+    * deterministic (max over booleans; min over matched corpus ids),
+    * state bounded by the watermark. At scale the corpus band table is
+    * a plain hash-partitioned static side; the stream side never
+    * shuffles more than its own micro-batch.
+    *
+    * Output: bucket (window start), <idCol>, is_neardup, dup_of (the
+    * smallest matching corpus doc id, null when none).
+    */
+  def nearDupStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      corpus: DataFrame, // idCol, textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3): DataFrame = {
+    import graft.operators.TextOps
+    val corpusBands = TextOps
+      .bandedDocs(corpus, textCol, shingleW, minhashK, bands)
+      .select(col("band_key"), col(idCol).as("dup_of"))
+      .distinct()
+    TextOps.bandedDocs(docs.withWatermark(tsCol, watermark),
+        textCol, shingleW, minhashK, bands)
+      .join(corpusBands, Seq("band_key"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(col("dup_of").isNotNull).as("is_neardup"),
+        min(col("dup_of")).as("dup_of"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("is_neardup"), col("dup_of"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * hash-groupBy dedup (q_dedup_exact) for a continuously-arriving
     * document feed: duplicates of a content hash are dropped while the

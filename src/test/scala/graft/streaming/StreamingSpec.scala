@@ -132,6 +132,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash-LSH near-dup flags corpus matches and passes " +
+    "novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog at dawn"),
+      ("c2", "pack my box with five dozen liquor jugs before noon"))
+      .toDF("doc_id", "text")
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val flagged = StreamingOps.nearDupStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), corpus)
+    val q = flagged.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      docs.addData(
+        // identical to c1: every band key collides -> flagged
+        ("d_dup", "the quick brown fox jumps over the lazy dog at dawn",
+          t(0)),
+        // unrelated text: no shared shingles, no shared bands
+        ("d_new", "completely different words about spark catalyst plans " +
+          "and shuffle partitions everywhere", t(1)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("doc_id", "is_neardup", "dup_of")
+        .as[(String, Boolean, Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("d_dup") === ((true, Some("c1"))))
+      assert(got("d_new") === ((false, None)))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
