@@ -179,6 +179,53 @@ object StreamingOps {
         col("is_neardup"), col("dup_of"))
   }
 
+  /** Streaming ANN over a static embedding corpus — the streaming twin
+    * of q_sim_lsh_ann: the corpus is banded-sign-LSH sketched once
+    * (static side, hash-partitioned on band key at scale); each arriving
+    * query vector computes the same quantize/sketch/band projection
+    * statelessly and equi-joins the corpus band table; a watermarked
+    * per-(window, query) aggregation keeps the best-cosine candidate.
+    * Pairs sharing several bands appear once per shared band — harmless
+    * for the max, so no stateful distinct is needed; n_band_hits counts
+    * band-pair rows, not distinct candidates (documented).
+    *
+    * Output: bucket, <queryIdCol>, n_band_hits, best_cos, best_id.
+    */
+  def annStream(
+      queries: DataFrame, // queryIdCol, embedding, tsCol
+      corpus: DataFrame, // idCol, embedding
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      bands: Int = 4,
+      bitsPerBand: Int = 8): DataFrame = {
+    import graft.operators.VectorOps
+    val bits = bands * bitsPerBand
+    def banded(df: DataFrame): DataFrame = df
+      .withColumn("q_", VectorOps.quantize(embCol))
+      .withColumn("n_", VectorOps.normSq("q_"))
+      .withColumn("sk_", VectorOps.signSketch("q_", bits))
+      .withColumn("bkey", explode(VectorOps.bandKeys("sk_", bands,
+        bitsPerBand)))
+      .drop(embCol, "sk_")
+    val corpusBands = banded(corpus)
+      .select(col("bkey"), col(idCol), col("q_").as("cqe"),
+        col("n_").as("cnq"))
+    banded(queries.withWatermark(tsCol, watermark))
+      .join(corpusBands, Seq("bkey"))
+      .withColumn("dot", VectorOps.dot("q_", "cqe"))
+      .withColumn("cos", VectorOps.cosine("dot", "n_", "cnq"))
+      .groupBy(window(col(tsCol), windowDuration), col(queryIdCol))
+      .agg(count(lit(1)).as("n_band_hits"),
+        max(struct(col("cos").as("c"), col(idCol).as("id"))).as("m"))
+      .select(col("window.start").as("bucket"), col(queryIdCol),
+        col("n_band_hits"), col("m.c").as("best_cos"),
+        col("m.id").as("best_id"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * hash-groupBy dedup (q_dedup_exact) for a continuously-arriving
     * document feed: duplicates of a content hash are dropped while the

@@ -163,6 +163,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN finds the matching corpus vector for arriving " +
+    "queries; orthogonal queries miss every band") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      ("v1", Seq(1.0f, 0.0f, 2.0f, 0.0f)),
+      ("v2", Seq(0.0f, 3.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = MemoryStream[(String, Seq[Float], Timestamp)]
+    val out = StreamingOps.annStream(
+      queries.toDF().toDF("query_id", "embedding", "ts"), corpus)
+    val q = out.writeStream.format("memory").queryName("ann_out")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      queries.addData(
+        ("q_v1", Seq(1.0f, 0.0f, 2.0f, 0.0f), t(0)), // identical to v1
+        ("q_far", Seq(-1.0f, 0.0f, -2.0f, 0.0f), t(1))) // -v1: opposite
+      q.processAllAvailable()
+      val got = spark.table("ann_out")
+        .select("query_id", "best_id", "best_cos")
+        .as[(String, String, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("q_v1")._1 === "v1")
+      assert(got("q_v1")._2 > 0.999999) // exact match up to IEEE sqrt
+      // -v1 flips every hyperplane sign: all band keys differ from both
+      // corpus vectors' keys, so it never reaches the join output
+      assert(!got.contains("q_far"))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
