@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot aggregation keys.
+  *
+  * A single groupBy on a skewed key sends every row of the hot key to
+  * one reduce task; at 100 TB that task is the job. For ALGEBRAIC
+  * aggregates (sum/count/min/max) the classic fix is exact: spread each
+  * key over `salts` sub-keys for a partial aggregate (map-side-combine
+  * friendly, at most `salts` rows per key survive), then combine the
+  * partials in a second, tiny aggregate.
+  *
+  * This complements AQE's runtime skew-JOIN splitting
+  * (spark.sql.adaptive.skewJoin.enabled) — AQE does not re-balance a
+  * skewed aggregation key, only join partitions; salting does.
+  *
+  * The salt is a deterministic hash of the whole row, so repeated runs
+  * produce identical partials — no nondeterministic task retries under
+  * speculative execution (why not rand(): a retried task would re-draw
+  * salts and double-count rows under partial-output commit).
+  */
+object Skew {
+
+  /** Supported algebraic combine rules: partial agg -> final agg. */
+  private def partialOf(fn: String, c: String): Column = fn match {
+    case "sum"   => sum(col(c)).as(c)
+    case "count" => count(col(c)).as(c)
+    case "min"   => min(col(c)).as(c)
+    case "max"   => max(col(c)).as(c)
+    case other   => throw new IllegalArgumentException(
+      s"saltedAgg supports sum/count/min/max, got: $other")
+  }
+  private def finalOf(fn: String, c: String): Column = fn match {
+    case "sum" | "count" => sum(col(c)).as(c) // counts combine by summing
+    case "min"           => min(col(c)).as(c)
+    case "max"           => max(col(c)).as(c)
+    case other           => throw new IllegalArgumentException(other)
+  }
+
+  /** Exact two-phase aggregation over possibly-skewed `keyCols`:
+    * `aggs` maps a value column to one of sum/count/min/max. The output
+    * equals `df.groupBy(keyCols).agg(...)` row for row, but no reduce
+    * task ever sees more than ~1/salts of a hot key's rows.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      aggs: Map[String, String],
+      salts: Int = 64): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    require(aggs.nonEmpty, "no aggregates given")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+    val aggList = aggs.toSeq.sortBy(_._1)
+    val partial = salted
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(partialOf(aggList.head._2, aggList.head._1),
+        aggList.tail.map { case (c, fn) => partialOf(fn, c) }: _*)
+    partial
+      .groupBy(keyCols.map(col): _*)
+      .agg(finalOf(aggList.head._2, aggList.head._1),
+        aggList.tail.map { case (c, fn) => finalOf(fn, c) }: _*)
+  }
+}

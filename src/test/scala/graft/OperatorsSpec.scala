@@ -88,6 +88,32 @@ class OperatorsSpec extends SparkSuite {
     assert(VectorOps.suggestedBandBits(1) === 4)         // floor
   }
 
+  test("saltedAgg equals plain groupBy on a skewed key distribution") {
+    // hot key "h" holds 90% of rows; verify exactness of every combine
+    val rows = (1 to 900).map(i => ("h", i.toLong)) ++
+      (1 to 50).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", (i + 1000).toLong))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("v_sum"), count("v").as("v_cnt"),
+        min("v").as("v_min"), max("v").as("v_max"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val salted = Skew.saltedAgg(
+        df.withColumn("v_sum", $"v").withColumn("v_cnt", $"v")
+          .withColumn("v_min", $"v").withColumn("v_max", $"v"),
+        Seq("k"),
+        Map("v_sum" -> "sum", "v_cnt" -> "count",
+          "v_min" -> "min", "v_max" -> "max"), salts = 8)
+      .select("k", "v_sum", "v_cnt", "v_min", "v_max")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(salted === plain)
+    // the partial phase genuinely spreads the hot key across sub-keys
+    val spread = df.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8L)))
+      .where($"k" === "h").select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
