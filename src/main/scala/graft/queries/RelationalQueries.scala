@@ -63,6 +63,37 @@ object RelationalQueries extends QueryPack {
         FROM orders GROUP BY 1,2 ORDER BY 1,2""")),
 
     GraftQuery(
+      "q_agg_salted", Seq("A8", "D9"),
+      (s, dir) => {
+        // Skew.saltedAgg through the correctness gate: l_returnflag is
+        // a 3-value (hot) grouping key — the salted two-phase plan must
+        // equal plain GROUP BY row for row. Integer-exact aggregates
+        // only (float sums reorder under salting; TPC-H quantities are
+        // integral so the bigint cast is lossless).
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty_sum"),
+            col("l_quantity").cast("long").as("qty_cnt"),
+            col("l_quantity").cast("long").as("qty_min"),
+            col("l_quantity").cast("long").as("qty_max"))
+        graft.operators.Skew.saltedAgg(li, Seq("l_returnflag"),
+            Map("qty_sum" -> "sum", "qty_cnt" -> "count",
+              "qty_min" -> "min", "qty_max" -> "max"), salts = 16)
+          .select("l_returnflag", "qty_sum", "qty_cnt", "qty_min",
+            "qty_max")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          sum(l_quantity::BIGINT)::BIGINT AS qty_sum,
+          count(l_quantity) AS qty_cnt,
+          min(l_quantity::BIGINT) AS qty_min,
+          max(l_quantity::BIGINT) AS qty_max
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "Skew-salted two-phase aggregation (hot 3-value key spread over " +
+        "16 deterministic sub-keys, partials combined exactly) vs the " +
+        "plain GROUP BY oracle."),
+
+    GraftQuery(
       "q_agg_set_union", Seq("A1", "D2"),
       (s, dir) => {
         t(s, dir, "lineitem")
