@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * (spark.sql.adaptive.skewJoin.enabled) — AQE does not re-balance a
   * skewed aggregation key, only join partitions; salting does.
   *
-  * The salt is a deterministic hash of the whole row, so repeated runs
-  * produce identical partials — no nondeterministic task retries under
-  * speculative execution (why not rand(): a retried task would re-draw
-  * salts and double-count rows under partial-output commit).
+  * The salt mixes a hash of the whole row with the row's partition-
+  * stable position (monotonically_increasing_id), so IDENTICAL
+  * duplicate rows — the classic hot-key shape — still spread across
+  * sub-keys instead of collapsing into one salt bucket. Both inputs
+  * are deterministic for a stable input layout (why not rand(): a
+  * speculative task retry would re-draw salts and double-count rows
+  * under partial-output commit; mi_id re-derives from partition id +
+  * row offset on retry).
   */
 object Skew {
 
@@ -52,7 +56,8 @@ object Skew {
     require(salts > 0, s"salts must be positive: $salts")
     require(aggs.nonEmpty, "no aggregates given")
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
+      pmod(xxhash64(df.columns.map(col) :+
+        monotonically_increasing_id(): _*), lit(salts.toLong)))
     val aggList = aggs.toSeq.sortBy(_._1)
     val partial = salted
       .groupBy((keyCols :+ "__salt").map(col): _*)

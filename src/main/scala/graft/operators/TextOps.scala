@@ -81,6 +81,11 @@ object TextOps {
     docs
       .withColumn("toks", tokens(textCol))
       .withColumn("sh", wordShingles("toks", w))
+      // docs shorter than w words have NO shingles — an empty signature
+      // would give every such doc the same md5('') band keys, flagging
+      // any two short docs as near-dups of each other; they emit no
+      // band rows instead (and so no near-dup verdicts)
+      .where(expr("size(sh) > 0"))
       .withColumn("sig", minhashSignature("sh", k))
       .withColumn("band_key",
         org.apache.spark.sql.functions.explode(

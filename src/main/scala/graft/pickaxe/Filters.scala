@@ -138,10 +138,13 @@ final case class TanimotoSamplingFilter(
     else Formula.fingerprint(Smiles.parse(smiles))
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
+    // pack at the fingerprint's own bit space (like TanimotoCutoffFilter)
+    // — packing morganBits > 2048 at the 2048 default would fold bits
+    val nb = if (fingerprintMethod == "morgan") morganBits else 2048
     val mkFp = fp _
-    val targetFps = targetSmiles.map(s => BitTanimoto.pack(mkFp(s)))
+    val targetFps = targetSmiles.map(s => BitTanimoto.pack(mkFp(s), nb))
     val simUdf = udf { smiles: String =>
-      val f = BitTanimoto.pack(mkFp(smiles))
+      val f = BitTanimoto.pack(mkFp(smiles), nb)
       targetFps.map(t => BitTanimoto.tanimoto(f, t)).maxOption.getOrElse(0.0)
     }
     val frontier = state.compounds

@@ -143,6 +143,25 @@ object MassSearch {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** The one spectral-scoring UDF — shared by batch ms2Search and the
+    * streaming twin (StreamingOps.ms2ScoreStream) so the mDa/1000
+    * conversion, jaccard-vs-dot dispatch, and the score*1000 scale
+    * (metabolomics.py:675) can never diverge between the two.
+    */
+  def spectralScoreUdf(
+      ms2TolMDa: Double,
+      useJaccard: Boolean): org.apache.spark.sql.expressions
+        .UserDefinedFunction =
+    udf {
+      (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
+        val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))
+        val sb = b.map(r => (r.getDouble(0), r.getDouble(1)))
+        val t = ms2TolMDa / 1000.0
+        val s = if (useJaccard) spectralJaccard(sa, sb, t)
+          else spectralDot(sa, sb, t)
+        math.round(s * 1000).toDouble
+    }
+
   /** MS2 spectral search end to end (ms2_search, metabolomics.py:
     * 983-1135 / §3.3): adduct-window annotation (J6) -> per-isomer
     * spectral scoring against a spectra table (J10/A11, tolerance in
@@ -164,15 +183,7 @@ object MassSearch {
     import org.apache.spark.sql.expressions.Window
     val hits = adductSearch(spark, compounds,
       peaksMs2.select("name", "mz", "charge"), adducts, tol, ppm)
-    val scoreUdf = udf {
-      (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
-        val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))
-        val sb = b.map(r => (r.getDouble(0), r.getDouble(1)))
-        val t = ms2TolMDa / 1000.0
-        val s = if (useJaccard) spectralJaccard(sa, sb, t)
-          else spectralDot(sa, sb, t)
-        math.round(s * 1000).toDouble // score*1000 (metabolomics.py:675)
-    }
+    val scoreUdf = spectralScoreUdf(ms2TolMDa, useJaccard)
     val w = Window.partitionBy("peak")
       .orderBy(col("spectral_score").desc, col("_id").asc)
     hits

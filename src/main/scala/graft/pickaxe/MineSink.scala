@@ -73,7 +73,10 @@ object MineSink {
     val cols = incoming.columns.filter(c => c != "_id" && c != "MINES")
     val repackUdf = udf { (packed: Array[Byte], fp: Seq[Int]) =>
       if (packed != null && packed.length == BitTanimoto.packedBytes) packed
-      else BitTanimoto.pack(Option(fp).map(_.toArray).getOrElse(Array.empty))
+      // null fingerprint stays null — fabricating an all-zero pack would
+      // turn "fingerprint unknown" into "similarity 0" downstream
+      else if (fp != null) BitTanimoto.pack(fp.toArray)
+      else null
     }
     val merged = existing.as("old")
       .join(incoming.as("new"), Seq("_id"), "full_outer")

@@ -32,6 +32,29 @@ object PickaxeQueries extends QueryPack {
     new PickaxeEngine(s, rules, core, explicitH = true)
   }
 
+  /** Shared adduct-search fixture (q_pickaxe_mass_search /
+    * q_pickaxe_likelihood): 1-gen FADH expansion, peaks derived from
+    * the ENGINE-computed masses — a hard-coded m/z silently missed the
+    * tolerance window and returned 0 rows in round 2. All 7 gen-1
+    * products are isomers, so the Type->Mass map is well defined.
+    */
+  private def adductFixture(
+      s: org.apache.spark.sql.SparkSession,
+      withDecoy: Boolean)
+      : (NetworkState, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val st = engine(s).run(Seq(fadh), generations = 1)
+    val massOf = st.compounds
+      .where(col("Type").isin("Predicted", "Starting Compound"))
+      .select("Type", "Mass").as[(String, Double)]
+      .collect().toMap
+    val rows =
+      Seq(("pk1", massOf("Predicted") + 1.007276, "+")) ++
+        (if (withDecoy) Seq(("pk2", 200.05, "+")) else Nil) ++
+        Seq(("pk3", massOf("Starting Compound") - 1.007276, "-"))
+    (st, rows.toDF("name", "mz", "charge"))
+  }
+
 
   // Public fixture data: the 26 (SMILES, NP_likeness) pairs shipped in
   // the reference's tests/data/testing_db.json (P12 oracle molecules)
@@ -114,21 +137,8 @@ object PickaxeQueries extends QueryPack {
     GraftQuery(
       "q_pickaxe_mass_search", Seq("J6", "S9", "A6", "P4", "P13"),
       (s, _) => {
-        import s.implicits._
-        val st = engine(s).run(Seq(fadh), generations = 1)
-        // derive peak m/z from the ENGINE-computed masses (like
-        // FiltersAndSearchSpec does) — a hard-coded constant silently
-        // missed the tolerance window and returned 0 rows in round 2
-        val massOf = st.compounds
-          .where(col("Type").isin("Predicted", "Starting Compound"))
-          .select("Type", "Mass").as[(String, Double)]
-          .collect().toMap
-        val peaks = Seq(
-          // gen-1 phospho-FADH as [M+H]+, FADH itself as [M-H]-, a decoy
-          ("pk1", massOf("Predicted") + 1.007276, "+"),
-          ("pk2", 200.05, "+"),
-          ("pk3", massOf("Starting Compound") - 1.007276, "-"))
-          .toDF("name", "mz", "charge")
+        // gen-1 phospho-FADH as [M+H]+, FADH itself as [M-H]-, a decoy
+        val (st, peaks) = adductFixture(s, withDecoy = true)
         val hits = MassSearch.adductSearch(s, st.compounds, peaks,
           tol = 0.01)
         MassSearch.peakStats(hits).orderBy("peak")
@@ -146,19 +156,10 @@ object PickaxeQueries extends QueryPack {
     GraftQuery(
       "q_pickaxe_likelihood", Seq("J6", "S9", "A6"),
       (s, _) => {
-        import s.implicits._
         // score_compounds (metabolomics.py:1209-1269): native-set
         // members 0.75, derived compounds 0.25 — over the same
-        // adduct-search fixture as q_pickaxe_mass_search
-        val st = engine(s).run(Seq(fadh), generations = 1)
-        val massOf = st.compounds
-          .where(col("Type").isin("Predicted", "Starting Compound"))
-          .select("Type", "Mass").as[(String, Double)]
-          .collect().toMap
-        val peaks = Seq(
-          ("pk1", massOf("Predicted") + 1.007276, "+"),
-          ("pk3", massOf("Starting Compound") - 1.007276, "-"))
-          .toDF("name", "mz", "charge")
+        // adduct-search fixture as q_pickaxe_mass_search (no decoy)
+        val (st, peaks) = adductFixture(s, withDecoy = false)
         val hits = MassSearch.adductSearch(s, st.compounds, peaks,
           tol = 0.01)
         val natives = st.compounds

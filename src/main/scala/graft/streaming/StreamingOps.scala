@@ -84,6 +84,7 @@ object StreamingOps {
       tolDa: Double = 0.001,
       ms2TolMDa: Double = 100.0,
       useJaccard: Boolean = false,
+      excludeHalogens: Boolean = true,
       watermark: String = "30 minutes",
       windowDuration: String = "10 minutes",
       bucketWidth: Double = 0.01): DataFrame = {
@@ -103,21 +104,23 @@ object StreamingOps {
       .withColumn("bucket", explode(sequence(
         floor(col("lo") / bucketWidth).cast("long"),
         floor(col("hi") / bucketWidth).cast("long"))))
-    val bucketed = compounds
+    // static side: the SAME candidate predicate as batch adductSearch
+    // (neutral compounds, halogen exclusion — MassSearch.scala) with the
+    // spectra pre-joined, persisted ONCE — a stream-static join re-runs
+    // the static plan every micro-batch otherwise.
+    val cands0 = compounds.where(col("Charge") === 0)
+    val cands =
+      if (excludeHalogens) cands0.where(!col("Formula").rlike("F[^e]|Cl|Br"))
+      else cands0
+    val staticSide = cands
       .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
       .select("bucket", "_id", "Mass")
-    val scoreUdf = udf {
-      (a: Seq[org.apache.spark.sql.Row], b: Seq[org.apache.spark.sql.Row]) =>
-        val sa = a.map(r => (r.getDouble(0), r.getDouble(1)))
-        val sb = b.map(r => (r.getDouble(0), r.getDouble(1)))
-        val t = ms2TolMDa / 1000.0
-        val s = if (useJaccard) MassSearch.spectralJaccard(sa, sb, t)
-          else MassSearch.spectralDot(sa, sb, t)
-        math.round(s * 1000).toDouble // score*1000 like batch
-    }
-    ranges.join(bucketed, Seq("bucket"))
-      .where(col("Mass") > col("lo") && col("Mass") < col("hi"))
       .join(spectra.withColumnRenamed("c_id", "_id"), Seq("_id"))
+      .persist()
+    val scoreUdf = MassSearch.spectralScoreUdf(ms2TolMDa, useJaccard)
+    ranges.join(staticSide, Seq("bucket"))
+      // inclusive bounds like batch ($gte/$lte — RangeJoin inclusive=true)
+      .where(col("Mass") >= col("lo") && col("Mass") <= col("hi"))
       .withColumn("spectral_score", scoreUdf(col("spectrum"), col("ms2")))
       .groupBy(window(col("ts"), windowDuration), col("peak"))
       .agg(count(lit(1)).as("n_hits"),
@@ -151,7 +154,10 @@ object StreamingOps {
     * shuffles more than its own micro-batch.
     *
     * Output: bucket (window start), <idCol>, is_neardup, dup_of (the
-    * smallest matching corpus doc id, null when none).
+    * smallest matching corpus doc id, null when none). Docs shorter
+    * than `shingleW` words have no shingles and emit NO verdict row
+    * (TextOps.bandedDocs drops them — an empty signature would collide
+    * every short doc with every short corpus doc).
     */
   def nearDupStream(
       docs: DataFrame, // idCol, textCol, tsCol
@@ -165,10 +171,13 @@ object StreamingOps {
       minhashK: Int = 9,
       bands: Int = 3): DataFrame = {
     import graft.operators.TextOps
+    // static side persisted once — a stream-static join re-runs the
+    // static plan (one md5 per corpus shingle) every micro-batch
     val corpusBands = TextOps
       .bandedDocs(corpus, textCol, shingleW, minhashK, bands)
       .select(col("band_key"), col(idCol).as("dup_of"))
       .distinct()
+      .persist()
     TextOps.bandedDocs(docs.withWatermark(tsCol, watermark),
         textCol, shingleW, minhashK, bands)
       .join(corpusBands, Seq("band_key"), "left")
@@ -211,9 +220,12 @@ object StreamingOps {
       .withColumn("bkey", explode(VectorOps.bandKeys("sk_", bands,
         bitsPerBand)))
       .drop(embCol, "sk_")
+    // static side persisted once — the interpreted-HOF sketch would
+    // otherwise re-run over the whole corpus every micro-batch
     val corpusBands = banded(corpus)
       .select(col("bkey"), col(idCol), col("q_").as("cqe"),
         col("n_").as("cnq"))
+      .persist()
     banded(queries.withWatermark(tsCol, watermark))
       .join(corpusBands, Seq("bkey"))
       .withColumn("dot", VectorOps.dot("q_", "cqe"))

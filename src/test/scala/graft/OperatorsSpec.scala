@@ -107,10 +107,19 @@ class OperatorsSpec extends SparkSuite {
       .select("k", "v_sum", "v_cnt", "v_min", "v_max")
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(salted === plain)
-    // the partial phase genuinely spreads the hot key across sub-keys
-    val spread = df.withColumn("__salt",
-        pmod(xxhash64(col("k"), col("v")), lit(8L)))
-      .where($"k" === "h").select("__salt").distinct().count()
+    // the partial phase genuinely spreads the hot key across sub-keys —
+    // including the worst case of IDENTICAL duplicate rows, which a
+    // row-content-only salt would collapse into one bucket
+    val dup = Seq.fill(1000)(("h", 1L)).toDF("k", "v")
+    val dupAgg = Skew.saltedAgg(
+        dup.withColumn("v_cnt", $"v").withColumn("v_sum", $"v"),
+        Seq("k"), Map("v_cnt" -> "count", "v_sum" -> "sum"), salts = 8)
+      .select("v_cnt", "v_sum").as[(Long, Long)].collect().head
+    assert(dupAgg === ((1000L, 1000L)))
+    val spread = dup.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v"),
+          monotonically_increasing_id()), lit(8L)))
+      .select("__salt").distinct().count()
     assert(spread > 1)
   }
 

@@ -41,11 +41,18 @@ class StreamingSpec extends SparkSuite {
     implicit val sqlCtx = spark.sqlContext
     val compounds = Seq(
       ("C1", "CCO", "C2H6O", 46.041865, 0),
-      ("C2", "CC(=O)O", "C2H4O2", 60.021130, 0))
+      ("C2", "CC(=O)O", "C2H4O2", 60.021130, 0),
+      // batch-parity candidate predicate: a charged compound and a
+      // chlorinated one at C1's mass must NOT hit (both would out-rank
+      // C1 as best_id by the max-id tie-break if they leaked through)
+      ("C8", "CC[O-]", "C2H5O", 46.041865, -1),
+      ("C9", "CCCl", "C2H5Cl", 46.041865, 0))
       .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
     val spectra = Seq(
       ("C1", Seq((50.0, 1.0), (70.0, 2.0))),
-      ("C2", Seq((80.0, 1.0))))
+      ("C2", Seq((80.0, 1.0))),
+      ("C8", Seq((50.0, 1.0), (70.0, 1.0))),
+      ("C9", Seq((50.0, 1.0), (70.0, 1.0))))
       .toDF("c_id", "spectrum")
     val etohMs2 = Seq((50.0, 1.0), (70.0, 1.0))
     def t(s: String) = Timestamp.valueOf(s)
@@ -152,7 +159,10 @@ class StreamingSpec extends SparkSuite {
           t(0)),
         // unrelated text: no shared shingles, no shared bands
         ("d_new", "completely different words about spark catalyst plans " +
-          "and shuffle partitions everywhere", t(1)))
+          "and shuffle partitions everywhere", t(1)),
+        // shorter than the shingle width: no shingles -> no verdict row
+        // (an empty signature must NOT collide via md5(''))
+        ("d_short", "hello world", t(2)))
       q.processAllAvailable()
       val got = spark.table("neardup_out")
         .select("doc_id", "is_neardup", "dup_of")
@@ -160,6 +170,7 @@ class StreamingSpec extends SparkSuite {
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got("d_dup") === ((true, Some("c1"))))
       assert(got("d_new") === ((false, None)))
+      assert(!got.contains("d_short"))
     } finally q.stop()
   }
 
