@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Mark this session as THE correctness gate: queries whose DuckDB
+    // oracle pins scale-dependent constants (LSH band bits) assert the
+    // live data matches the pinned geometry instead of silently
+    // hash-mismatching when the gate is pointed at the wrong SF.
+    spark.conf.set("graft.gate", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

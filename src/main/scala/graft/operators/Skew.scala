@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * (spark.sql.adaptive.skewJoin.enabled) — AQE does not re-balance a
   * skewed aggregation key, only join partitions; salting does.
   *
-  * The salt mixes a hash of the whole row with the row's partition-
-  * stable position (monotonically_increasing_id), so IDENTICAL
+  * The salt mixes a hash of the key and value columns with the row's
+  * partition-stable position (monotonically_increasing_id), so IDENTICAL
   * duplicate rows — the classic hot-key shape — still spread across
   * sub-keys instead of collapsing into one salt bucket. Both inputs
   * are deterministic for a stable input layout (why not rand(): a
@@ -55,8 +55,15 @@ object Skew {
       salts: Int = 64): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
     require(aggs.nonEmpty, "no aggregates given")
+    require(!df.columns.contains("__salt"),
+      "saltedAgg: input already has a __salt column")
+    // Hash only the columns the aggregation reads (keys + values) plus
+    // the partition-stable row position — passthrough columns of
+    // unhashable types (xxhash64 rejects MapType) must not break the
+    // salt, and identical duplicate rows still spread via mi_id.
+    val hashedCols = (keyCols ++ aggs.keys.toSeq.sorted).distinct
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col) :+
+      pmod(xxhash64(hashedCols.map(col) :+
         monotonically_increasing_id(): _*), lit(salts.toLong)))
     val aggList = aggs.toSeq.sortBy(_._1)
     val partial = salted

@@ -75,22 +75,26 @@ object TextOps {
       k: Int = 9,
       bands: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(!docs.columns.contains("band_key"),
+      "bandedDocs: input already has a band_key column")
     val r = k / bands
+    // collision-safe internal names: an input column named toks/sh/sig
+    // must pass through untouched, not be clobbered and dropped
     val keys = (0 until bands)
-      .map(b => expr(bandKey("sig", b.toString, r)))
+      .map(b => expr(bandKey("__graft_sig", b.toString, r)))
     docs
-      .withColumn("toks", tokens(textCol))
-      .withColumn("sh", wordShingles("toks", w))
+      .withColumn("__graft_toks", tokens(textCol))
+      .withColumn("__graft_sh", wordShingles("__graft_toks", w))
       // docs shorter than w words have NO shingles — an empty signature
       // would give every such doc the same md5('') band keys, flagging
       // any two short docs as near-dups of each other; they emit no
       // band rows instead (and so no near-dup verdicts)
-      .where(expr("size(sh) > 0"))
-      .withColumn("sig", minhashSignature("sh", k))
+      .where(expr("size(__graft_sh) > 0"))
+      .withColumn("__graft_sig", minhashSignature("__graft_sh", k))
       .withColumn("band_key",
         org.apache.spark.sql.functions.explode(
           org.apache.spark.sql.functions.array(keys: _*)))
-      .drop("toks", "sh", "sig")
+      .drop("__graft_toks", "__graft_sh", "__graft_sig")
   }
 
   /** `bits`-bit SimHash over a token-array column (weight = term

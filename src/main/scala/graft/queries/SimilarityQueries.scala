@@ -45,14 +45,28 @@ object SimilarityQueries extends QueryPack {
           ((sketch >> (t.band * $r)) & ${(1L << r) - 1})) AS bkey
         FROM $skRel, range(0, $bands) t(band)"""
 
-  /** Banded sign-LSH geometry at correctness scale: sf0.01 has 500
-    * embeddings -> suggestedBandBits = 4 (16 buckets/band) x 4 bands =
-    * a 16-bit sketch. The Spark side derives r from the actual row
+  /** Banded sign-LSH geometry at correctness scale: the gate always
+    * runs at sf0.01 = 500 embeddings, so the oracle constant is DERIVED
+    * from the same sizing rule the Spark side applies at runtime — the
+    * two cannot drift. The Spark side derives r from the actual row
     * count, so the bench at larger SFs widens the bands automatically;
-    * the oracle (always run at sf0.01) pins the matching constants.
+    * `gateCheck` makes a gate run at any other SF fail loudly instead
+    * of silently hash-mismatching against the pinned geometry.
     */
   private val LshBands = 4
-  private val OracleBandBits = 4
+  private val OracleGateRows = 500L
+  private val OracleBandBits = VectorOps.suggestedBandBits(OracleGateRows)
+
+  /** In a correctness-gate session (graft.gate set by Verify), require
+    * the live band geometry to equal what the DuckDB oracle pins.
+    */
+  private def gateCheck(s: SparkSession, nRows: Long, r: Int): Unit =
+    if (s.conf.getOption("graft.gate").contains("true"))
+      require(r == OracleBandBits,
+        s"correctness gate expects the sf0.01 LSH geometry " +
+          s"(bandBits=$OracleBandBits from ${OracleGateRows} rows) but the " +
+          s"input has $nRows rows -> bandBits=$r; the DuckDB oracle pins " +
+          "the sf0.01 constants, so run the gate at sf0.01")
 
   private val duckBase =
     s"""base AS (SELECT vec_id, label, $duckQuant AS qe FROM embeddings),
@@ -108,6 +122,7 @@ object SimilarityQueries extends QueryPack {
         // sketch is never inlined into the join.
         val nRows = Tables.load(s, dir, "embeddings").count()
         val r = VectorOps.suggestedBandBits(nRows)
+        gateCheck(s, nRows, r)
         val e = quantized(s, dir)
           .withColumn("sketch",
             VectorOps.signSketch("qe", bits = LshBands * r))
@@ -184,6 +199,7 @@ object SimilarityQueries extends QueryPack {
         // inlined into the join (measured 41s -> 1.1s at sf0.1).
         val nRows = Tables.load(s, dir, "embeddings").count()
         val r = VectorOps.suggestedBandBits(nRows)
+        gateCheck(s, nRows, r)
         val e = quantized(s, dir)
           .withColumn("sketch",
             VectorOps.signSketch("qe", bits = LshBands * r))

@@ -60,6 +60,30 @@ object StreamingOps {
       .select("peak", "adduct", "_id", "SMILES", "Formula", "Mass")
   }
 
+  /** Pre-joined static side for [[ms2ScoreStream]]: batch adductSearch's
+    * candidate predicate (neutral compounds, halogen exclusion —
+    * MassSearch.scala) bucketed on Mass with the spectra attached.
+    * Returned UNPERSISTED — the caller owns the caching contract:
+    * `.persist()` it before starting the query (a stream-static join
+    * re-runs the static plan every micro-batch otherwise) and
+    * `.unpersist()` it after the query stops. `bucketWidth` and
+    * `excludeHalogens` must match the values passed to the stream call.
+    */
+  def ms2StaticSide(
+      compounds: DataFrame,
+      spectra: DataFrame, // c_id, spectrum: array<(mz,intensity)>
+      excludeHalogens: Boolean = true,
+      bucketWidth: Double = 0.01): DataFrame = {
+    val cands0 = compounds.where(col("Charge") === 0)
+    val cands =
+      if (excludeHalogens) cands0.where(!col("Formula").rlike("F[^e]|Cl|Br"))
+      else cands0
+    cands
+      .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
+      .select("bucket", "_id", "Mass")
+      .join(spectra.withColumnRenamed("c_id", "_id"), Seq("_id"))
+  }
+
   /** Stream-static MS2 spectral scoring — the streaming twin of
     * MassSearch.ms2Search (q_pickaxe_ms2): each arriving MS2 peak
     * (name, mz, charge, ts, ms2) is adduct-window annotated against the
@@ -68,11 +92,18 @@ object StreamingOps {
     * the SAME spectralDot/spectralJaccard kernel as batch, then reduced
     * to a per-(event-time-window, peak) best hit by a WATERMARKED
     * aggregation — streaming has no rank(), so "rank 1" becomes
-    * max(struct(score, _id)) (ties break to the larger id; batch ranks
-    * every hit). The watermark bounds the aggregation state AND drops
-    * peaks arriving later than `watermark` past the stream's event-time
-    * high mark — a batch re-run would still score them; a stream must
-    * trade lateness for bounded state.
+    * min(struct(-score, _id)): highest score, ties to the SMALLEST id,
+    * exactly batch ms2Search's rank ordering. The watermark bounds the
+    * aggregation state AND drops peaks arriving later than `watermark`
+    * past the stream's event-time high mark — a batch re-run would still
+    * score them; a stream must trade lateness for bounded state.
+    *
+    * Caching contract: pass `staticSide` = a PERSISTED
+    * [[ms2StaticSide]] (built with the same excludeHalogens/bucketWidth)
+    * and unpersist it when the query stops. When omitted, the static
+    * side is built and persisted internally and stays cached for the
+    * SparkSession's lifetime — fine for one long-lived query, a leak if
+    * you start many.
     *
     * Output: bucket (window start), peak, n_hits, best_score, best_id.
     */
@@ -87,7 +118,8 @@ object StreamingOps {
       excludeHalogens: Boolean = true,
       watermark: String = "30 minutes",
       windowDuration: String = "10 minutes",
-      bucketWidth: Double = 0.01): DataFrame = {
+      bucketWidth: Double = 0.01,
+      staticSide: Option[DataFrame] = None): DataFrame = {
     val spark = compounds.sparkSession
     import spark.implicits._
     import graft.pickaxe.MassSearch
@@ -104,30 +136,23 @@ object StreamingOps {
       .withColumn("bucket", explode(sequence(
         floor(col("lo") / bucketWidth).cast("long"),
         floor(col("hi") / bucketWidth).cast("long"))))
-    // static side: the SAME candidate predicate as batch adductSearch
-    // (neutral compounds, halogen exclusion — MassSearch.scala) with the
-    // spectra pre-joined, persisted ONCE — a stream-static join re-runs
-    // the static plan every micro-batch otherwise.
-    val cands0 = compounds.where(col("Charge") === 0)
-    val cands =
-      if (excludeHalogens) cands0.where(!col("Formula").rlike("F[^e]|Cl|Br"))
-      else cands0
-    val staticSide = cands
-      .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
-      .select("bucket", "_id", "Mass")
-      .join(spectra.withColumnRenamed("c_id", "_id"), Seq("_id"))
-      .persist()
+    val staticDf = staticSide.getOrElse(
+      ms2StaticSide(compounds, spectra, excludeHalogens, bucketWidth)
+        .persist())
     val scoreUdf = MassSearch.spectralScoreUdf(ms2TolMDa, useJaccard)
-    ranges.join(staticSide, Seq("bucket"))
+    ranges.join(staticDf, Seq("bucket"))
       // inclusive bounds like batch ($gte/$lte — RangeJoin inclusive=true)
       .where(col("Mass") >= col("lo") && col("Mass") <= col("hi"))
       .withColumn("spectral_score", scoreUdf(col("spectrum"), col("ms2")))
       .groupBy(window(col("ts"), windowDuration), col("peak"))
       .agg(count(lit(1)).as("n_hits"),
-        max(struct(col("spectral_score").as("s"), col("_id").as("id")))
+        // batch parity: negating the numeric SCORE (not the id) makes
+        // min() pick highest-score-then-smallest-id for ids of ANY type
+        min(struct((-col("spectral_score")).as("ns"), col("_id").as("id")))
           .as("m"))
       .select(col("window.start").as("bucket"), col("peak"),
-        col("n_hits"), col("m.s").as("best_score"), col("m.id").as("best_id"))
+        col("n_hits"), (-col("m.ns")).as("best_score"),
+        col("m.id").as("best_id"))
   }
 
   /** Watermarked tumbling-window counts per event type. */
@@ -159,6 +184,18 @@ object StreamingOps {
     * (TextOps.bandedDocs drops them — an empty signature would collide
     * every short doc with every short corpus doc).
     */
+  def nearDupStaticSide(
+      corpus: DataFrame, // idCol, textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3): DataFrame =
+    graft.operators.TextOps
+      .bandedDocs(corpus, textCol, shingleW, minhashK, bands)
+      .select(col("band_key"), col(idCol).as("dup_of"))
+      .distinct()
+
   def nearDupStream(
       docs: DataFrame, // idCol, textCol, tsCol
       corpus: DataFrame, // idCol, textCol
@@ -169,15 +206,17 @@ object StreamingOps {
       windowDuration: String = "10 minutes",
       shingleW: Int = 3,
       minhashK: Int = 9,
-      bands: Int = 3): DataFrame = {
+      bands: Int = 3,
+      staticSide: Option[DataFrame] = None): DataFrame = {
     import graft.operators.TextOps
-    // static side persisted once — a stream-static join re-runs the
-    // static plan (one md5 per corpus shingle) every micro-batch
-    val corpusBands = TextOps
-      .bandedDocs(corpus, textCol, shingleW, minhashK, bands)
-      .select(col("band_key"), col(idCol).as("dup_of"))
-      .distinct()
-      .persist()
+    // caching contract: pass a PERSISTED nearDupStaticSide (same
+    // shingleW/minhashK/bands) and unpersist it on query stop; when
+    // omitted the band table is persisted internally and stays cached
+    // for the session lifetime (a stream-static join re-runs the static
+    // plan — one md5 per corpus shingle — every micro-batch otherwise)
+    val corpusBands = staticSide.getOrElse(
+      nearDupStaticSide(corpus, idCol, textCol, shingleW, minhashK, bands)
+        .persist())
     TextOps.bandedDocs(docs.withWatermark(tsCol, watermark),
         textCol, shingleW, minhashK, bands)
       .join(corpusBands, Seq("band_key"), "left")
@@ -193,13 +232,41 @@ object StreamingOps {
     * (static side, hash-partitioned on band key at scale); each arriving
     * query vector computes the same quantize/sketch/band projection
     * statelessly and equi-joins the corpus band table; a watermarked
-    * per-(window, query) aggregation keeps the best-cosine candidate.
-    * Pairs sharing several bands appear once per shared band — harmless
-    * for the max, so no stateful distinct is needed; n_band_hits counts
-    * band-pair rows, not distinct candidates (documented).
+    * per-(window, query) aggregation keeps the best-cosine candidate —
+    * min(struct(-cos, id)), so score ties break to the SMALLEST id like
+    * the batch q_sim_lsh_ann ranking. Pairs sharing several bands appear
+    * once per shared band — harmless for the best-candidate reduce, so
+    * no stateful distinct is needed; n_band_hits counts band-pair rows,
+    * not distinct candidates (documented).
+    *
+    * Caching contract: pass `staticSide` = a PERSISTED [[annStaticSide]]
+    * (same bands/bitsPerBand) and unpersist it on query stop; when
+    * omitted it is persisted internally for the session lifetime.
     *
     * Output: bucket, <queryIdCol>, n_band_hits, best_cos, best_id.
     */
+  private def annBanded(
+      df: DataFrame, embCol: String, bands: Int, bitsPerBand: Int)
+      : DataFrame = {
+    import graft.operators.VectorOps
+    df.withColumn("q_", VectorOps.quantize(embCol))
+      .withColumn("n_", VectorOps.normSq("q_"))
+      .withColumn("sk_", VectorOps.signSketch("q_", bands * bitsPerBand))
+      .withColumn("bkey", explode(VectorOps.bandKeys("sk_", bands,
+        bitsPerBand)))
+      .drop(embCol, "sk_")
+  }
+
+  def annStaticSide(
+      corpus: DataFrame, // idCol, embCol
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      bands: Int = 4,
+      bitsPerBand: Int = 8): DataFrame =
+    annBanded(corpus, embCol, bands, bitsPerBand)
+      .select(col("bkey"), col(idCol), col("q_").as("cqe"),
+        col("n_").as("cnq"))
+
   def annStream(
       queries: DataFrame, // queryIdCol, embedding, tsCol
       corpus: DataFrame, // idCol, embedding
@@ -210,31 +277,24 @@ object StreamingOps {
       watermark: String = "30 minutes",
       windowDuration: String = "10 minutes",
       bands: Int = 4,
-      bitsPerBand: Int = 8): DataFrame = {
+      bitsPerBand: Int = 8,
+      staticSide: Option[DataFrame] = None): DataFrame = {
     import graft.operators.VectorOps
-    val bits = bands * bitsPerBand
-    def banded(df: DataFrame): DataFrame = df
-      .withColumn("q_", VectorOps.quantize(embCol))
-      .withColumn("n_", VectorOps.normSq("q_"))
-      .withColumn("sk_", VectorOps.signSketch("q_", bits))
-      .withColumn("bkey", explode(VectorOps.bandKeys("sk_", bands,
-        bitsPerBand)))
-      .drop(embCol, "sk_")
     // static side persisted once — the interpreted-HOF sketch would
     // otherwise re-run over the whole corpus every micro-batch
-    val corpusBands = banded(corpus)
-      .select(col("bkey"), col(idCol), col("q_").as("cqe"),
-        col("n_").as("cnq"))
-      .persist()
-    banded(queries.withWatermark(tsCol, watermark))
+    val corpusBands = staticSide.getOrElse(
+      annStaticSide(corpus, idCol, embCol, bands, bitsPerBand).persist())
+    annBanded(queries.withWatermark(tsCol, watermark), embCol, bands,
+        bitsPerBand)
       .join(corpusBands, Seq("bkey"))
       .withColumn("dot", VectorOps.dot("q_", "cqe"))
       .withColumn("cos", VectorOps.cosine("dot", "n_", "cnq"))
       .groupBy(window(col(tsCol), windowDuration), col(queryIdCol))
       .agg(count(lit(1)).as("n_band_hits"),
-        max(struct(col("cos").as("c"), col(idCol).as("id"))).as("m"))
+        // highest cos, ties to the smallest id (batch rank parity)
+        min(struct((-col("cos")).as("nc"), col(idCol).as("id"))).as("m"))
       .select(col("window.start").as("bucket"), col(queryIdCol),
-        col("n_band_hits"), col("m.c").as("best_cos"),
+        col("n_band_hits"), (-col("m.nc")).as("best_cos"),
         col("m.id").as("best_id"))
   }
 

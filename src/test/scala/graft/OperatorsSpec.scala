@@ -121,6 +121,42 @@ class OperatorsSpec extends SparkSuite {
           monotonically_increasing_id()), lit(8L)))
       .select("__salt").distinct().count()
     assert(spread > 1)
+    // passthrough columns of unhashable types (xxhash64 rejects MapType)
+    // must not break the salt: only key + value columns are hashed
+    val withMap = df.withColumn("v_sum", $"v")
+      .withColumn("meta", map(lit("src"), $"k"))
+    val mapAgg = Skew.saltedAgg(withMap, Seq("k"),
+        Map("v_sum" -> "sum"), salts = 8)
+      .select("k", "v_sum").as[(String, Long)].collect().toMap
+    assert(mapAgg("h") === (1 to 900).map(_.toLong).sum)
+    // an input that already carries __salt is rejected, not clobbered
+    val boom = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(df.withColumn("__salt", lit(0)), Seq("k"),
+        Map("v" -> "sum"))
+    }
+    assert(boom.getMessage.contains("__salt"))
+  }
+
+  test("bandedDocs passes conflicting input columns through untouched") {
+    val docs = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog", "keepme", 7),
+      ("d2", "the quick brown fox jumps over the lazy dog", "keepme2", 8))
+      .toDF("doc_id", "text", "sig", "toks")
+    val out = TextOps.bandedDocs(docs, "text")
+    // user columns named like the old internals survive with their values
+    assert(out.columns.sorted.toSeq ===
+      Seq("band_key", "doc_id", "sig", "text", "toks"))
+    assert(out.select("sig").distinct().as[String].collect().sorted
+      === Array("keepme", "keepme2"))
+    // identical texts share every band key
+    val perDoc = out.groupBy("doc_id")
+      .agg(sort_array(collect_list("band_key")).as("ks"))
+      .select("ks").as[Seq[String]].collect()
+    assert(perDoc(0) === perDoc(1))
+    val boom = intercept[IllegalArgumentException] {
+      TextOps.bandedDocs(docs.withColumn("band_key", lit("x")), "text")
+    }
+    assert(boom.getMessage.contains("band_key"))
   }
 
   test("sessionize splits on gap") {

@@ -43,8 +43,9 @@ class StreamingSpec extends SparkSuite {
       ("C1", "CCO", "C2H6O", 46.041865, 0),
       ("C2", "CC(=O)O", "C2H4O2", 60.021130, 0),
       // batch-parity candidate predicate: a charged compound and a
-      // chlorinated one at C1's mass must NOT hit (both would out-rank
-      // C1 as best_id by the max-id tie-break if they leaked through)
+      // chlorinated one at C1's mass must NOT hit (both carry a perfect
+      // 1000-score spectrum, so either leaking through would out-score
+      // C1's 949 and show up as best_id)
       ("C8", "CC[O-]", "C2H5O", 46.041865, -1),
       ("C9", "CCCl", "C2H5Cl", 46.041865, 0))
       .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
@@ -93,6 +94,71 @@ class StreamingSpec extends SparkSuite {
       assert(streamEtoh._2 === 949.0) // 3/sqrt(10) * 1000 rounded
       assert(streamEtoh._3 === "C1")
     } finally q.stop()
+  }
+
+  test("streaming MS2 score ties break to the smallest id, like batch " +
+    "rank ordering") {
+    implicit val sqlCtx = spark.sqlContext
+    // two candidates at the same mass with IDENTICAL spectra: the
+    // score ties exactly, and batch ms2Search's rank orders by
+    // (score desc, _id asc) -> C3 must win over C7 in the stream too
+    val compounds = Seq(
+      ("C7", "CCO", "C2H6O", 46.041865, 0),
+      ("C3", "OCC", "C2H6O", 46.041865, 0))
+      .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
+    val sp = Seq((50.0, 1.0), (70.0, 1.0))
+    val spectra = Seq(("C7", sp), ("C3", sp)).toDF("c_id", "spectrum")
+    val peaks =
+      MemoryStream[(String, Double, String, Timestamp, Seq[(Double, Double)])]
+    val scored = StreamingOps.ms2ScoreStream(
+      peaks.toDF().toDF("name", "mz", "charge", "ts", "ms2"),
+      compounds, spectra,
+      Seq(AdductRow("[M+H]+", 1.0, 1.007276)), tolDa = 0.01)
+    val q = scored.writeStream.format("memory").queryName("ms2_tie")
+      .outputMode("update").start()
+    try {
+      peaks.addData(("p_tie", 47.049141, "+",
+        Timestamp.valueOf("2024-01-01 10:00:00"), sp))
+      q.processAllAvailable()
+      val (nHits, bestId) = spark.table("ms2_tie")
+        .select("n_hits", "best_id").as[(Long, String)].head()
+      assert(nHits === 2L)
+      assert(bestId === "C3") // smallest id on tie — not largest
+      val batchBest = graft.pickaxe.MassSearch.ms2Search(spark, compounds,
+        Seq(("p_tie", 47.049141, "+", sp)).toDF("name", "mz", "charge", "ms2"),
+        spectra, tol = 0.01)
+        .where(col("rank") === 1).select("_id").as[String].head()
+      assert(batchBest === bestId)
+    } finally q.stop()
+  }
+
+  test("explicit persisted static side: caller owns the cache and can " +
+    "unpersist it after the query stops") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog at dawn"))
+      .toDF("doc_id", "text")
+    val staticDf = StreamingOps.nearDupStaticSide(corpus).persist()
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val flagged = StreamingOps.nearDupStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), corpus,
+      staticSide = Some(staticDf))
+    val q = flagged.writeStream.format("memory").queryName("neardup_own")
+      .outputMode("update").start()
+    try {
+      docs.addData(("d_dup",
+        "the quick brown fox jumps over the lazy dog at dawn",
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_own")
+        .select("doc_id", "is_neardup").as[(String, Boolean)].collect().toSet
+      assert(got === Set(("d_dup", true)))
+      assert(staticDf.storageLevel !==
+        org.apache.spark.storage.StorageLevel.NONE)
+    } finally q.stop()
+    staticDf.unpersist(blocking = true)
+    assert(staticDf.storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE)
   }
 
   test("watermarked windowed counts over an event stream") {
