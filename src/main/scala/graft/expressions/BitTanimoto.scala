@@ -100,6 +100,8 @@ object BitTanimoto {
 
 /** `--conf spark.sql.extensions=graft.expressions.GraftExtensions` */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     BitTanimoto.register(ext)
+    VecDot.register(ext)
+  }
 }

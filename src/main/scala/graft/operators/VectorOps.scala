@@ -28,14 +28,29 @@ object VectorOps {
     expr(s"transform($embCol, x -> " +
       s"cast(round(cast(x as double) * $scale) as bigint))")
 
-  /** Exact squared L2 norm of a quantized vector. */
-  def normSq(qCol: String): Column =
-    expr(s"aggregate($qCol, cast(0 as bigint), (a, x) -> a + x * x)")
+  /** Exact squared L2 norm of a quantized vector (vec_dot with itself —
+    * one codegen'd loop instead of an interpreted HOF aggregate).
+    */
+  def normSq(qCol: String): Column = dot(qCol, qCol)
 
-  /** Exact integer dot product of two quantized vector columns. */
+  /** Exact integer dot product of two quantized vector columns.
+    *
+    * Hot path of every similarity query, so it compiles to the native
+    * codegen'd VecDot expression (registered idempotently in the active
+    * session) — same exact 64-bit integer arithmetic as the array-HOF
+    * form, so rankings, thresholds, and the DuckDB oracles are
+    * unchanged. Falls back to the HOF expression when no session is
+    * active (column built on a thread with no Spark context yet).
+    */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-      "cast(0 as bigint), (acc, v) -> acc + v)")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.expressions.VecDot.ensureRegistered(s)
+        expr(s"vec_dot($a, $b)")
+      case None =>
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)")
+    }
 
   /** Cosine from an exact dot and two exact squared norms. */
   def cosine(dotCol: String, naCol: String, nbCol: String): Column =
