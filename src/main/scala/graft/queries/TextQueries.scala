@@ -259,6 +259,70 @@ object TextQueries extends QueryPack {
         "candidates only."),
 
     GraftQuery(
+      "q_dedup_cluster", Seq("D1", "D2", "E6"),
+      (s, dir) => {
+        // The clustering step AFTER LSH: docs sharing any minhash band
+        // bucket are connected; connected components give transitive
+        // dup clusters; the min doc_id is the canonical survivor. CC
+        // runs over the (doc, band-bucket) MEMBERSHIP relation via
+        // ConnectedComponents.byGroup — a hot bucket of k docs costs k
+        // rows, never k^2/2 pairwise edges, so the shape survives at
+        // 100 TB (see the operator's scaladoc for the hub trick).
+        import graft.operators.ConnectedComponents
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+        val base = docs(s, dir)
+          .withColumn("r", shSig(col("text")))
+          .where(expr("size(r._1) >= 1"))
+          .select(col("doc_id"), col("r._2").as("sig"))
+          .localCheckpoint()
+        val membership = base.select(col("doc_id"), col("sig"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("gkey", concat_ws(":", col("b"),
+            expr(TextOps.bandKey("sig", "b", r = 4))))
+          .select("doc_id", "gkey")
+        val comp = ConnectedComponents.byGroup(membership, "doc_id", "gkey")
+        comp.groupBy("component")
+          .agg(count(lit(1)).as("n_docs"),
+            sort_array(collect_list(col("doc_id"))).as("ms"))
+          .where(col("n_docs") >= 2)
+          .select(col("component").as("canonical"), col("n_docs"),
+            expr("md5(concat_ws(',', transform(ms, x -> cast(x as string))))")
+              .as("members_fp"))
+          .orderBy("canonical")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+          SELECT doc_id, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
+          FROM s3),
+        bands AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)),
+        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.key = y.key AND x.b = y.b
+            AND x.doc_id != y.doc_id),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM sigs
+          UNION
+          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT node AS doc_id, min(reach) AS canonical
+          FROM walk GROUP BY 1)
+        SELECT canonical, count(*) AS n_docs,
+          md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS members_fp
+        FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1"""),
+      "Connected-components dedup clustering over minhash-LSH band " +
+        "buckets: label propagation through bucket hub nodes (k rows " +
+        "per hot bucket, never k^2 pairwise edges), min-id canonical " +
+        "representative per transitive cluster."),
+
+    GraftQuery(
       "q_dedup_simhash", Seq("D1", "P10"),
       (s, dir) =>
         docs(s, dir)

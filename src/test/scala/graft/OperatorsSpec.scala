@@ -137,6 +137,34 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("__salt"))
   }
 
+  test("connected components by group: local and distributed paths agree " +
+    "on a multi-hop chain") {
+    // chain 1-2-3-4 via three overlapping groups (needs >1 propagation
+    // round), a separate pair, and a singleton
+    val m = Seq((1L, "g1"), (2L, "g1"), (2L, "g2"), (3L, "g2"),
+      (3L, "g3"), (4L, "g3"), (10L, "h"), (11L, "h"), (20L, "z"))
+      .toDF("node", "grp")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    val local = ConnectedComponents.byGroup(m, "node", "grp")
+      .as[(Long, Long)].collect().toMap
+    assert(local === expect)
+    val dist = ConnectedComponents.byGroup(m, "node", "grp",
+        localMembershipThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === expect)
+    // string node ids order lexicographically in both paths
+    val sm = Seq(("b", "g"), ("a", "g"), ("c", "g2"), ("b", "g2"))
+      .toDF("node", "grp")
+    val sLocal = ConnectedComponents.byGroup(sm, "node", "grp")
+      .as[(String, String)].collect().toMap
+    val sDist = ConnectedComponents.byGroup(sm, "node", "grp",
+        localMembershipThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sLocal === Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    assert(sDist === sLocal)
+  }
+
   test("bandedDocs passes conflicting input columns through untouched") {
     val docs = Seq(
       ("d1", "the quick brown fox jumps over the lazy dog", "keepme", 7),
