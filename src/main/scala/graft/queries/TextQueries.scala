@@ -63,6 +63,58 @@ object TextQueries extends QueryPack {
         "word length — all inside one codegen'd projection."),
 
     GraftQuery(
+      "q_text_tfidf", Seq("P9", "A8", "W3"),
+      (s, dir) => {
+        // TF-IDF top-3 terms per document. Ranking uses the EXACT
+        // rational score (tf*N)/df — a long multiply (exact) and ONE
+        // IEEE division (correctly rounded on every engine), so rank
+        // order cannot diverge between Spark and the oracle; the
+        // displayed smoothed tfidf = tf * ln((N+1)/(df+1)) is rounded
+        // to 4 decimals. At scale: tf is one shuffle on (doc, term),
+        // df one on term, the doc count broadcasts (1-row agg), the
+        // top-3 window partitions by doc — all hash-partitioned.
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) > 0"))
+          .select(col("doc_id"), col("t"))
+        val tf = base
+          .select(col("doc_id"), explode(col("t")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = base.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("tfidf", round(col("tf") *
+            log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+          .orderBy("doc_id", "rnk")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents
+            WHERE len($duckToks) > 0),
+          tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM d),
+          scored AS (SELECT doc_id, term, tf, df,
+              (tf * n.n)::DOUBLE / df AS score,
+              round(tf * ln((n.n + 1.0) / (df + 1.0)), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rnk FROM scored)
+        SELECT doc_id, rnk, term, tf, df, tfidf
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      "TF-IDF top terms per doc: exact rational ranking score (no " +
+        "float-log rank flips), smoothed-log tfidf display column; " +
+        "tf/df/window all hash-partitioned shuffles."),
+
+    GraftQuery(
       "q_text_quality", Seq("P5", "A8"),
       (s, dir) =>
         docs(s, dir)
