@@ -94,6 +94,47 @@ object MineSink {
     else merged
   }
 
+  /** Bucketed variant of the per-run tables, for repeated co-located id
+    * joins (the MINE query surface joins compounds to reactions through
+    * the adjacency on almost every request — mass search, pathway
+    * traversal, cascades). `bucketBy(_id)`+`sortBy(_id)` pre-partitions
+    * both sides of the join at WRITE time, so each read-side join on
+    * `_id` is exchange-free: with `n` queries against one network the
+    * shuffle is paid once instead of `n` times. The adjacency is also
+    * written as a flat (c_id, r_id, role, stoich) table bucketed on the
+    * COMPOUND id — the array-typed `Reactants`/`Products` columns can't
+    * carry bucketing, the exploded relation can.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable`);
+    * pass `path` to keep the files external to the warehouse dir. On a
+    * cluster the same call against a shared metastore gives every later
+    * job the co-located layout.
+    */
+  def saveBucketed(
+      spark: SparkSession,
+      state: NetworkState,
+      mineName: String,
+      buckets: Int = 8,
+      path: Option[String] = None): Unit = {
+    def write(df: DataFrame, table: String): Unit = {
+      val w = df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "_id").sortBy("_id")
+      path.fold(w)(p => w.option("path", s"$p/$table"))
+        .saveAsTable(s"${mineName}_$table")
+    }
+    write(state.compounds, "compounds")
+    write(state.reactions, "reactions")
+    val adj = state.reactions
+      .select(col("_id").as("r_id"), lit("reactant").as("role"),
+        explode(col("Reactants")).as("m"))
+      .unionByName(state.reactions
+        .select(col("_id").as("r_id"), lit("product").as("role"),
+          explode(col("Products")).as("m")))
+      .select(col("m.c_id").as("_id"), col("r_id"), col("role"),
+        col("m.stoich").as("stoich"))
+    write(adj, "adjacency")
+  }
+
   /** save_to_mine (pickaxe.py:1165-1242): write the per-run tables and
     * merge the core table in `outDir`.
     */

@@ -65,6 +65,32 @@ class MineSinkSpec extends SparkSuite {
     assert(widths === Set(BitTanimoto.packedBytes))
   }
 
+  test("saveBucketed: compound-adjacency id join is exchange-free") {
+    val dir = java.nio.file.Files.createTempDirectory("minebkt").toString
+    MineSink.saveBucketed(spark, st, "bkt", buckets = 4, path = Some(dir))
+    val compounds = spark.table("bkt_compounds")
+    val adj = spark.table("bkt_adjacency")
+    // adjacency carries every reactant + product role row
+    val nRoles = st.reactions
+      .select(explode(col("Reactants"))).count() +
+      st.reactions.select(explode(col("Products"))).count()
+    assert(adj.count() === nRoles)
+    // the id join must use the write-time bucketing: no shuffle on
+    // either side (broadcast disabled so the test can't pass that way)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = compounds.join(adj, Seq("_id"))
+      assert(joined.count() > 0)
+      // the count's final single-partition exchange is fine; a
+      // hash-partitioning exchange would mean the join shuffled
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"expected exchange-free bucketed join, got:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("save + re-save merges MINES membership ($addToSet semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("mine").toString
     MineSink.save(spark, st, dir, "mine_a")

@@ -25,6 +25,8 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row aggregate crossJoins (counts stitched side by side)
     "q_dedup_minhash_lsh", "q_graph_closure", "q_set_algebra",
     "q_orphans",
+    // 1-row corpus-count broadcast for the idf denominator
+    "q_text_tfidf",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
