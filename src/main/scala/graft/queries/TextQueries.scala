@@ -152,6 +152,63 @@ object TextQueries extends QueryPack {
         "(the reference's per-compound property filters, column-math only)."),
 
     GraftQuery(
+      "q_text_quantile", Seq("W2", "W8", "A8"),
+      (s, dir) => {
+        // Quantile-based quality bucketing — the "keep the top X% per
+        // language" training-data filter. EXACT deciles via cume_dist
+        // over (q, doc_id): the blend q is the same IEEE expression on
+        // both engines and doc_id breaks ties, so bucket edges cannot
+        // drift. The window partitions by lang (hash shuffle + in-
+        // partition sort); at 100 TB swap in a per-lang quantile
+        // sketch and broadcast the cut points — same output contract.
+        val scored = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .selectExpr("doc_id", "lang",
+            "size(t) as n_tok",
+            "size(array_distinct(t)) / size(t) as ttr",
+            "size(filter(t, x -> array_contains(array('the','a'), x))) " +
+              "/ size(t) as stop_ratio")
+          .selectExpr("doc_id", "lang",
+            "0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr " +
+              "+ 0.2 * (1.0 - stop_ratio) as q")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("q"), col("doc_id"))
+        scored.withColumn("cd", cume_dist().over(w))
+          .withColumn("decile",
+            least(ceil(col("cd") * 10) - 1, lit(9L)).cast("long"))
+          .groupBy("lang", "decile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min("q"), 4).as("min_q"),
+            round(avg("q"), 4).as("avg_q"),
+            round(max("q"), 4).as("max_q"))
+          .orderBy("lang", "decile")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
+            FROM documents),
+          m AS (SELECT doc_id, lang, len(t) AS n_tok,
+              len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+              len(list_filter(t, x -> list_contains(['the','a'], x)))
+                * 1.0 / len(t) AS stop_ratio
+            FROM d),
+          sc AS (SELECT doc_id, lang,
+              0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr
+                + 0.2 * (1.0 - stop_ratio) AS q
+            FROM m),
+          cd AS (SELECT lang, q,
+              cume_dist() OVER (PARTITION BY lang ORDER BY q, doc_id)
+                AS cd
+            FROM sc),
+          dec AS (SELECT lang, q,
+              least(ceil(cd * 10) - 1, 9)::BIGINT AS decile FROM cd)
+        SELECT lang, decile, count(*) AS n_docs,
+          round(min(q), 4) AS min_q, round(avg(q), 4) AS avg_q,
+          round(max(q), 4) AS max_q
+        FROM dec GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Exact per-language quality deciles via cume_dist with a " +
+        "deterministic tie-break — the keep-top-X% training-data " +
+        "filter; swap in a quantile sketch past memory scale."),
+
+    GraftQuery(
       "q_text_langid", Seq("P2", "P4"),
       (s, dir) => {
         def score(words: String) =
@@ -402,6 +459,67 @@ object TextQueries extends QueryPack {
         FROM m GROUP BY 1 ORDER BY 1"""),
       "16-bit SimHash (term-frequency weights) computed as one nested " +
         "array-aggregate expression; per-lang collision stats."),
+
+    GraftQuery(
+      "q_dedup_simhash_hamming", Seq("D1", "P10", "J11"),
+      (s, dir) => {
+        // The PAIR-FINDING step for SimHash dedup: 32-bit simhash split
+        // into 4 byte-bands; candidates share >= 1 band (by pigeonhole
+        // this is LOSSLESS for hamming distance <= 3 — 3 flipped bits
+        // cannot touch all 4 bands), then the exact distance
+        // bit_count(sim_a ^ sim_b) verifies. The self-join runs on the
+        // skinny (bkey, doc_id, sim) projection; band keys are offset
+        // by the band id so one equi-join column covers all bands. The
+        // simhash is materialized first — an interpreted HOF must never
+        // be re-inlined into both sides of its own self-join.
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) > 0"))
+          .withColumn("sim", TextOps.simhash("t", bits = 32))
+          .select("doc_id", "sim")
+          .localCheckpoint()
+        val bands = base.select(col("doc_id"), col("sim"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("bkey", expr("shiftleft(cast(b as bigint), 8) + " +
+            "(shiftright(sim, cast(b * 8 as int)) & 255)"))
+          .select("doc_id", "sim", "bkey")
+        val pairs = bands.as("x").join(bands.as("y"),
+            col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+          .distinct()
+          .withColumn("ham",
+            expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+          .where(col("ham") <= 3)
+        pairs.groupBy("ham")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("doc_a") * 1000000 + col("doc_b")).as("min_pair"))
+          .orderBy("ham")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS t FROM documents
+            WHERE len($duckToks) > 0),
+          m AS (SELECT doc_id,
+            list_sum(list_transform(range(0, 32), b ->
+              CASE WHEN list_sum(list_transform(t, tok ->
+                  ((${dh("tok")} >> b) & 1) * 2 - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sim
+          FROM d),
+          bands AS (SELECT doc_id, sim,
+            (b::BIGINT << 8) + ((sim >> (b * 8)) & 255) AS bkey
+          FROM m, unnest([0,1,2,3]) AS u(b)),
+          pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              x.sim AS sim_a, y.sim AS sim_b
+            FROM bands x JOIN bands y ON x.bkey = y.bkey
+              AND x.doc_id < y.doc_id),
+          h AS (SELECT doc_a, doc_b,
+              bit_count(xor(sim_a, sim_b))::BIGINT AS ham FROM pairs)
+        SELECT ham, count(*) AS n_pairs,
+          min(doc_a * 1000000 + doc_b) AS min_pair
+        FROM h WHERE ham <= 3 GROUP BY 1 ORDER BY 1"""),
+      "SimHash near-dup PAIRS: 4 byte-bands over a 32-bit sketch " +
+        "(lossless for hamming <= 3), skinny band equi-join candidates, " +
+        "exact popcount-xor verification."),
 
     GraftQuery(
       "q_dedup_ngram", Seq("D1", "J11", "J6"),
