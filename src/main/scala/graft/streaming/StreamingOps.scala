@@ -315,6 +315,75 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCol)
 
+  /** Static corpus term statistics for [[tfidfStream]]: one row per
+    * term with its document frequency and the corpus doc count
+    * attached. Returned UNPERSISTED — same caching contract as the
+    * other static-side builders.
+    */
+  def tfidfStaticSide(
+      corpus: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.operators.TextOps
+    val base = corpus
+      .withColumn("__graft_t", TextOps.tokens(textCol))
+      .where(expr("size(__graft_t) > 0"))
+    base.select(explode(expr("array_distinct(__graft_t)")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+  }
+
+  /** Streaming TF-IDF — score each arriving document's terms against
+    * STATIC corpus statistics (df table + corpus count, the standard
+    * production shape: corpus stats refresh offline, the stream scores
+    * online). Per-doc term counts are computed inside one projection
+    * (array expressions — no pre-aggregation), so the whole pipeline
+    * carries a SINGLE stateful aggregation: the watermarked
+    * per-(window, doc) collect of scored terms, folded to the top-k by
+    * an array sort in the output projection. Ranking uses the same
+    * exact rational key as batch q_text_tfidf (score desc, term asc).
+    * Terms absent from the corpus have no df and are dropped by the
+    * stream-static join (documented OOV behavior).
+    *
+    * Output: bucket, <idCol>, top_terms (array, best first), best_tfidf.
+    */
+  def tfidfStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      corpus: DataFrame, // textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      topK: Int = 3,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.TextOps
+    val stats = staticSide.getOrElse(
+      tfidfStaticSide(corpus, textCol).persist())
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__graft_t", TextOps.tokens(textCol))
+      .where(expr("size(__graft_t) > 0"))
+      .withColumn("__graft_tc", expr(
+        "transform(array_distinct(__graft_t), x -> " +
+          "struct(x as term, size(filter(__graft_t, y -> y = x)) as tf))"))
+      .select(col(idCol), col(tsCol),
+        explode(col("__graft_tc")).as("tc"))
+      .select(col(idCol), col(tsCol),
+        col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .join(broadcast(stats), Seq("term"))
+      // negated exact rational rank key: array_sort ascending puts the
+      // best (highest score, then smallest term) first
+      .withColumn("nscore",
+        -(col("tf") * col("n")).cast("double") / col("df"))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(collect_list(
+        struct(col("nscore"), col("term"), col("tfidf"))).as("terms"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        expr(s"transform(slice(array_sort(terms), 1, $topK), " +
+          "s -> s.term)").as("top_terms"),
+        expr("element_at(array_sort(terms), 1).tfidf").as("best_tfidf"))
+  }
+
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
 

@@ -270,6 +270,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming TF-IDF scores arriving docs against static corpus " +
+    "stats; OOV-only docs emit nothing; late docs are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      ("apple banana apple"), ("banana cherry"), ("banana date"))
+      .toDF("text")
+    // N=3; df: apple 1, banana 3, cherry 1, date 1
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val staticDf = StreamingOps.tfidfStaticSide(corpus).persist()
+    val scored = StreamingOps.tfidfStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), corpus,
+      staticSide = Some(staticDf))
+    val q = scored.writeStream.format("memory").queryName("tfidf_stream")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      docs.addData(
+        // apple: tf1*N3/df1=3, cherry: 3, banana: tf2*N3/df3=2
+        // -> score desc, term asc: apple, cherry, banana
+        ("d1", "apple banana banana cherry", t("2024-01-01 10:00:00")),
+        // only out-of-vocabulary terms: no df rows -> no output row
+        ("d_oov", "zebra zebra", t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // advance the watermark past d1's window, then send a late doc
+      docs.addData(("d_adv", "banana", t("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      docs.addData(("d_late", "apple", t("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val got = spark.table("tfidf_stream")
+        .select("doc_id", "top_terms", "best_tfidf")
+        .as[(String, Seq[String], Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("d1")._1 === Seq("apple", "cherry", "banana"))
+      assert(got("d1")._2 === math.rint(math.log(4.0 / 2.0) * 1e4) / 1e4)
+      assert(!got.contains("d_oov"))
+      assert(!got.contains("d_late"))
+    } finally q.stop()
+    staticDf.unpersist(blocking = true)
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
