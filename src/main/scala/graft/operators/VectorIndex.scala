@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) ANN index over an embedding column —
+  * the build/save/load/probe surface around the q_sim_ivf_ann query
+  * shape: a deterministic coarse quantizer (every `stride`-th vector,
+  * exact integer-cosine argmax assignment) partitions the corpus into
+  * cells; queries probe their `nprobe` nearest cells through one cell
+  * equi-join.
+  *
+  * Scale posture: `save` writes the assignment table BUCKETED BY cell
+  * (`bucketBy` + `sortBy`), so every later probe joins against the
+  * write-time layout — the corpus side of the probe join never
+  * shuffles again; only the (small) query side exchanges to the bucket
+  * partitioning. Centroids are a plain small parquet table and
+  * broadcast at probe time.
+  */
+object VectorIndex {
+
+  /** In-memory handle: small centroid table + per-vector assignment. */
+  final case class IvfIndex(
+      centroids: DataFrame, // c_id, cqe, cnq
+      assigned: DataFrame) // vec_id, cell, qe, nq
+
+  /** Quantize + assign every vector to its nearest centroid (exact
+    * integer cosine, ties to the smaller centroid id — identical math
+    * to q_sim_ivf_ann, so results are engine-reproducible).
+    */
+  def buildIvf(
+      vectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      stride: Int = 250): IvfIndex = {
+    val e = vectors
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select(col(idCol).as("vec_id"), col("qe"), col("nq"))
+    val cent = e.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
+        col("nq").as("cnq"))
+    val cellOf = e.crossJoin(broadcast(cent))
+      .withColumn("dot", VectorOps.dot("cqe", "qe"))
+      .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos").desc,
+          col("c_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    IvfIndex(cent, e.join(cellOf, Seq("vec_id"))
+      .select("vec_id", "cell", "qe", "nq"))
+  }
+
+  /** Persist the index: centroids as plain parquet (small, broadcast
+    * at probe time); assignments bucketed by CELL so probe joins reuse
+    * the write-time partitioning. Bucket metadata lives in the session
+    * catalog (shared metastore on a cluster).
+    */
+  def save(
+      spark: SparkSession,
+      index: IvfIndex,
+      name: String,
+      path: String,
+      buckets: Int = 8): Unit = {
+    index.centroids.write.mode("overwrite")
+      .parquet(s"$path/${name}_centroids")
+    index.assigned.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/${name}_assigned")
+      .saveAsTable(s"${name}_assigned")
+  }
+
+  def load(spark: SparkSession, name: String, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/${name}_centroids"),
+      spark.table(s"${name}_assigned"))
+
+  /** Probe: each query vector is assigned to its `nprobe` nearest
+    * cells (broadcast centroids — no shuffle), then one cell equi-join
+    * against the assignment table scores candidates with the codegen'd
+    * exact dot product; min(struct(-dot, id)) keeps the best hit
+    * (ties to the smallest id, batch rank parity).
+    *
+    * Output: <queryIdCol>, n_cell_mates, best_dot, best_neighbor.
+    */
+  def query(
+      index: IvfIndex,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      embCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
+    val q = queries
+      .withColumn("qqe", VectorOps.quantize(embCol))
+      .withColumn("qnq", VectorOps.normSq("qqe"))
+      .select(col(queryIdCol), col("qqe"), col("qnq"))
+    val qCells = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dot", VectorOps.dot("cqe", "qqe"))
+      .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(col("cos").desc,
+          col("c_id").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col(queryIdCol), col("c_id").as("cell"))
+    val probed = index.assigned
+      .join(q.join(qCells, Seq(queryIdCol)), Seq("cell"))
+      .withColumn("dot", VectorOps.dot("qqe", "qe"))
+    probed.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_cell_mates"),
+        min(struct((-col("dot")).as("nd"), col("vec_id").as("id")))
+          .as("m"))
+      .select(col(queryIdCol), col("n_cell_mates"),
+        (-col("m.nd")).as("best_dot"), col("m.id").as("best_neighbor"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class VectorIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 100 deterministic 8-dim vectors in 4 well-separated direction
+  // groups, so cell assignment is stable and self-queries are exact
+  private lazy val vectors = {
+    val rows = (0 until 100).map { i =>
+      val g = i % 4
+      val base = Array.fill(8)(0.05f * ((i * 7 + 3) % 5))
+      base(g) = 1.0f + 0.01f * (i % 10)
+      (i.toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("build/save/load round-trip: loaded probe equals in-memory probe; " +
+    "self-queries find themselves") {
+    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val dir = java.nio.file.Files.createTempDirectory("vidx").toString
+    VectorIndex.save(spark, idx, "vidx", dir, buckets = 4)
+    val loaded = VectorIndex.load(spark, "vidx", dir)
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val mem = VectorIndex.query(idx, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val disk = VectorIndex.query(loaded, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem === disk)
+    // parity with an in-cell brute force: the probe's best hit must be
+    // the exact max-dot corpus vector of the query's own cell (dot
+    // ranking, ties to the smallest id — same as q_sim_ivf_ann)
+    val assigned = idx.assigned
+      .select("vec_id", "cell", "qe").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray))
+    val cellOf = assigned.map(a => a._1 -> a._2).toMap
+    val byCell = assigned.groupBy(_._2)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val vecOf = assigned.map(a => a._1 -> a._3).toMap
+    mem.foreach { case (qid, nMates, bestDot, bestN) =>
+      val mates = byCell(cellOf(qid))
+      assert(nMates === mates.length.toLong)
+      val best = mates
+        .map(mate => (dot(vecOf(qid), mate._3), mate._1))
+        .max(Ordering.by((p: (Long, Long)) => (p._1, -p._2)))
+      assert(bestDot === best._1)
+      assert(bestN === best._2)
+    }
+  }
+
+  test("nprobe=2 probes two cells and never lowers the best hit") {
+    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val p1 = VectorIndex.query(idx, queries, nprobe = 1)
+      .select("query_id", "best_dot").as[(Long, Long)].collect().toMap
+    val p2 = VectorIndex.query(idx, queries, nprobe = 2)
+      .select("query_id", "best_dot").as[(Long, Long)].collect().toMap
+    p1.foreach { case (qid, d1) => assert(p2(qid) >= d1) }
+  }
+
+  test("saved assignment table joins on cell without shuffling the " +
+    "corpus side") {
+    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val dir = java.nio.file.Files.createTempDirectory("vidx2").toString
+    VectorIndex.save(spark, idx, "vidx2", dir, buckets = 4)
+    val assigned = spark.table("vidx2_assigned")
+    val other = idx.centroids
+      .select(col("c_id").as("cell"), col("cnq"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = assigned.join(other, Seq("cell"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the probe side shuffles to the bucket layout; the corpus side
+      // must not — exactly ONE hash-partitioning exchange in the plan
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(nExchanges === 1,
+        s"expected one exchange (probe side only), got $nExchanges:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
