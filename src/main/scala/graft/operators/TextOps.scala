@@ -121,6 +121,34 @@ object TextOps {
     expr(s"size(array_intersect($a, $b)) / " +
       s"(size($a) + size($b) - size(array_intersect($a, $b)))")
 
+  /** Compiled fast path for the simhash kernel: each token is md5-hashed
+    * ONCE and its low `bits` sign contributions accumulate in a tight
+    * loop — the expression form re-hashes every token PER BIT (32 md5
+    * calls per token at 32 bits; measured 11.5 s -> sub-second at
+    * sf0.1). Bit-identical to [[simhash]] (same 60-bit md5-derived
+    * hash, same tf-weighted sign rule), so DuckDB oracles that mirror
+    * the expression are unchanged.
+    */
+  def simhashCompiled(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { toks: Seq[String] =>
+      val counts = new Array[Long](bits)
+      toks.foreach { t =>
+        val h = VectorOps.hash64Scala(t)
+        var b = 0
+        while (b < bits) {
+          counts(b) += ((h >>> b) & 1L) * 2 - 1
+          b += 1
+        }
+      }
+      var sim = 0L
+      var b = 0
+      while (b < bits) {
+        if (counts(b) > 0) sim |= 1L << b
+        b += 1
+      }
+      sim
+    }
+
   /** Compiled fast path for text -> (distinct word w-shingles, k-hash
     * minhash signature): one UDF call instead of ~k x |shingles|
     * interpreted-HOF lambda evaluations per row. Bit-identical to the

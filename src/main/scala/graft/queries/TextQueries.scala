@@ -475,7 +475,9 @@ object TextQueries extends QueryPack {
         val base = docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
           .where(expr("size(t) > 0"))
-          .withColumn("sim", TextOps.simhash("t", bits = 32))
+          // compiled kernel: one md5 per token (the expression form
+          // hashes per token PER BIT — 32x the md5 work at 32 bits)
+          .withColumn("sim", TextOps.simhashCompiled(32)(col("t")))
           .select("doc_id", "sim")
           .localCheckpoint()
         val bands = base.select(col("doc_id"), col("sim"),

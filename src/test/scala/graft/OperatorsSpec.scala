@@ -187,6 +187,21 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("band_key"))
   }
 
+  test("simhashCompiled is bit-identical to the simhash expression") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a a a b b c", "one-token")
+    val df = texts.toDF("text").withColumn("t", TextOps.tokens("text"))
+    for (bits <- Seq(16, 32)) {
+      val diff = df
+        .withColumn("e", TextOps.simhash("t", bits))
+        .withColumn("c", TextOps.simhashCompiled(bits)(col("t")))
+        .where(col("e") =!= col("c")).count()
+      assert(diff === 0L, s"bits=$bits")
+    }
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
