@@ -397,6 +397,51 @@ object SimilarityQueries extends QueryPack {
         "one-equi-join probe shape — the standard IVF quality knob."),
 
     GraftQuery(
+      "q_sim_index_probe", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // The same IVF math as q_sim_ivf_ann, driven through the
+        // PERSISTENT-INDEX surface (VectorIndex.buildIvf + query) so
+        // the library API itself sits behind the correctness gate —
+        // same deterministic quantizer, assignment, and tie-breaks, so
+        // the oracle is the recomputed-cells SQL.
+        import graft.operators.VectorIndex
+        val idx = VectorIndex.buildIvf(
+          Tables.load(s, dir, "embeddings"), stride = 250)
+        val queries = Tables.load(s, dir, "embeddings")
+          .where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorIndex.query(idx, queries, nprobe = 1)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
+                FROM n WHERE vec_id % 250 = 0),
+          scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, label, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq, cell
+                FROM assigned WHERE vec_id % 100 = 0),
+          probed AS (SELECT q.query_id, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned a JOIN q ON a.cell = q.cell),
+          best AS (SELECT query_id, count(*) AS n_cell_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "IVF probe through the persistent-index surface (VectorIndex): " +
+        "broadcast centroid assignment + one cell equi-join; at write " +
+        "time the assignment table buckets by cell so the corpus side " +
+        "of the probe join never re-shuffles."),
+
+    GraftQuery(
       "q_sim_maxsim_target", Seq("A10", "W7", "W8"),
       (s, dir) => {
         val e = quantized(s, dir)

@@ -205,6 +205,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupStream state survives a query restart from its checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val docs = MemoryStream[(String, Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      docs.toDF().toDF("doc_hash", "ts", "body"),
+      "doc_hash", "ts", watermark = "30 minutes")
+    // the memory sink cannot recover from a checkpoint; the file sink
+    // is the fault-tolerant surface a real pipeline restarts on
+    def start() = deduped.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      docs.addData(("h1", t(0), "a"), ("h2", t(1), "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // restart from the same checkpoint: the dedup state must be
+    // RESTORED, so a replayed h1 is still recognized as a duplicate
+    val q2 = start()
+    try {
+      docs.addData(("h1", t(5), "a-after-restart"), ("h3", t(6), "c"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("doc_hash", "body").as[(String, String)].collect().toSet
+      assert(got === Set(("h1", "a"), ("h2", "b"), ("h3", "c")))
+    } finally q2.stop()
+  }
+
   test("streaming minhash-LSH near-dup flags corpus matches and passes " +
     "novel docs") {
     implicit val sqlCtx = spark.sqlContext
