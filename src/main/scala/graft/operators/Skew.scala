@@ -43,6 +43,46 @@ object Skew {
     case other           => throw new IllegalArgumentException(other)
   }
 
+  /** Exact skew-spread equi-join for a hot-keyed BIG side against a
+    * small-but-not-broadcastable dimension: every big row takes one
+    * deterministic salt from its partition-stable position, the small
+    * side is replicated across all `salts` sub-keys, and the join runs
+    * on (keys, salt) — a hot key's rows land on `salts` reduce tasks
+    * instead of one. Output equals `big.join(small, keys, joinType)`
+    * row for row.
+    *
+    * This is the manual fallback for engines/paths where AQE's
+    * skew-join splitting cannot kick in (disabled AQE, stream-static
+    * joins, bucket-pinned layouts). Cost: the small side shuffles
+    * `salts`x — keep `salts` modest.
+    *
+    * Left-family joins only (inner/left/left_semi/left_anti): each big
+    * row carries exactly ONE salt so its match/no-match outcome is
+    * unchanged; a right/full join would see every unmatched small row
+    * `salts` times and is rejected.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase),
+      s"saltedJoin supports left-family joins, got: $joinType")
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin: an input already has a __salt column")
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    val out = bigS.join(smallS, keys :+ "__salt", joinType)
+    if (out.columns.contains("__salt")) out.drop("__salt") else out
+  }
+
   /** Exact two-phase aggregation over possibly-skewed `keyCols`:
     * `aggs` maps a value column to one of sum/count/min/max. The output
     * equals `df.groupBy(keyCols).agg(...)` row for row, but no reduce

@@ -187,6 +187,36 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("band_key"))
   }
 
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    val big = ((1 to 900).map(i => ("h", i)) ++
+      (1 to 50).map(i => ("a", i)) ++ (1 to 20).map(i => ("z", i)))
+      .toDF("k", "v")
+    val small = Seq(("h", "hot"), ("a", "cold"), ("m", "miss"))
+      .toDF("k", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "label").as[(String, Int, String)].collect()
+        .toSeq.sorted
+    assert(rows(Skew.saltedJoin(big, small, Seq("k"), salts = 8)) ===
+      rows(big.join(small, Seq("k"))))
+    assert(rows(Skew.saltedJoin(big, small, Seq("k"), "left", 8)
+        .na.fill("null", Seq("label"))) ===
+      rows(big.join(small, Seq("k"), "left")
+        .na.fill("null", Seq("label"))))
+    // semi/anti keep big-side semantics
+    assert(Skew.saltedJoin(big, small, Seq("k"), "left_anti", 8).count()
+      === big.join(small, Seq("k"), "left_anti").count())
+    // the hot key genuinely occupies several salt sub-keys
+    val spread = big.where($"k" === "h")
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()),
+        lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1)
+    val boom = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), "full_outer")
+    }
+    assert(boom.getMessage.contains("left-family"))
+  }
+
   test("simhashCompiled is bit-identical to the simhash expression") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
