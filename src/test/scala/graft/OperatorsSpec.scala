@@ -187,6 +187,27 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("band_key"))
   }
 
+  test("savePartitioned: one directory per value, pruned reads, honest " +
+    "manifest") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docsink").toString
+    val manifest = DocumentSink.savePartitioned(docs, dir)
+      .as[(String, Long)].collect().toMap
+    val want = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(manifest === want)
+    // partition pruning: the lang filter must resolve at directory
+    // level, not as a row-level data filter after a full scan
+    val one = DocumentSink.readPartition(spark, dir, "lang", "en")
+    assert(one.count() === want("en"))
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang filter did not prune partitions:\n$scan")
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     val big = ((1 to 900).map(i => ("h", i)) ++
       (1 to 50).map(i => ("a", i)) ++ (1 to 20).map(i => ("z", i)))
