@@ -29,7 +29,7 @@ object AsOfJoin {
       tsCol: String): DataFrame = {
     val leftCols = left.columns
     val l = left
-      .withColumn("__row", struct(leftCols.map(col): _*))
+      .withColumn("__row", struct(leftCols.toIndexedSeq.map(col): _*))
       .select(col(keyCol).as("__key"), col(tsCol).as("__ts"),
         lit(1).as("__side"), lit(null).cast(left.schema(tsCol).dataType).as("__rts"),
         col("__row"))
@@ -44,6 +44,7 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn("__matched_ts", last("__rts", ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__row.$c")) :+ col("__matched_ts"): _*)
+      .select(leftCols.toIndexedSeq.map(c => col(s"__row.$c")) :+
+        col("__matched_ts"): _*)
   }
 }

@@ -70,7 +70,8 @@ object MineSink {
     * degrades to prefix-only overlap by its documented rule.
     */
   def mergeCore(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val cols = incoming.columns.filter(c => c != "_id" && c != "MINES")
+    val cols = incoming.columns.toIndexedSeq
+      .filter(c => c != "_id" && c != "MINES")
     val repackUdf = udf { (packed: Array[Byte], fp: Seq[Int]) =>
       if (packed != null && packed.length == BitTanimoto.packedBytes) packed
       // null fingerprint stays null — fabricating an all-zero pack would
