@@ -432,6 +432,73 @@ object TextQueries extends QueryPack {
         "representative per transitive cluster."),
 
     GraftQuery(
+      "q_dedup_survivors", Seq("D1", "D2", "A8"),
+      (s, dir) => {
+        // The KEEP step: after clustering, the corpus retains one doc
+        // per component (the min-id canonical) plus every unclustered
+        // doc. Per-language retention stats — what a training-data
+        // pipeline reports after its dedup pass. Same CC machinery as
+        // q_dedup_cluster; docs with no shingles (no band rows) are
+        // singletons by definition and survive.
+        import graft.operators.ConnectedComponents
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+        val all = docs(s, dir).select("doc_id", "lang", "text")
+        val base = all
+          .withColumn("r", shSig(col("text")))
+          .where(expr("size(r._1) >= 1"))
+          .select(col("doc_id"), col("r._2").as("sig"))
+          .localCheckpoint()
+        val membership = base.select(col("doc_id"), col("sig"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("gkey", concat_ws(":", col("b"),
+            expr(TextOps.bandKey("sig", "b", r = 4))))
+          .select("doc_id", "gkey")
+        val comp = ConnectedComponents.byGroup(membership, "doc_id", "gkey")
+        val kept = all.join(comp, Seq("doc_id"), "left")
+          .withColumn("keep",
+            col("component").isNull || col("component") === col("doc_id"))
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE d AS (
+          SELECT doc_id, lang, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
+          FROM s3),
+        bands AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)),
+        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.key = y.key AND x.b = y.b
+            AND x.doc_id != y.doc_id),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM sigs
+          UNION
+          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT node AS doc_id, min(reach) AS canonical
+          FROM walk GROUP BY 1),
+        kept AS (SELECT d.lang,
+            (comp.canonical IS NULL OR comp.canonical = d.doc_id) AS keep
+          FROM d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+        SELECT lang, count(*) AS n_docs,
+          sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        FROM kept GROUP BY 1 ORDER BY 1"""),
+      "Dedup retention: keep the min-id canonical per near-dup " +
+        "component plus all unclustered docs; per-language kept/dropped " +
+        "counts — the report a pipeline emits after its dedup pass."),
+
+    GraftQuery(
       "q_dedup_simhash", Seq("D1", "P10"),
       (s, dir) =>
         docs(s, dir)

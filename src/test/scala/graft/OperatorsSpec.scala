@@ -163,6 +163,11 @@ class OperatorsSpec extends SparkSuite {
       .as[(String, String)].collect().toMap
     assert(sLocal === Map("a" -> "a", "b" -> "a", "c" -> "a"))
     assert(sDist === sLocal)
+    // empty membership: empty result with the right schema, no crash
+    val none = ConnectedComponents.byGroup(
+      Seq.empty[(Long, String)].toDF("node", "grp"), "node", "grp")
+    assert(none.columns.toSeq === Seq("node", "component"))
+    assert(none.isEmpty)
   }
 
   test("bandedDocs passes conflicting input columns through untouched") {
