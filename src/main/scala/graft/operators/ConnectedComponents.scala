@@ -44,34 +44,37 @@ object ConnectedComponents {
       maxIter: Int = 50,
       localMembershipThreshold: Long = 4_000_000L): DataFrame = {
     val m = membership.select(nodeCol, groupCol).distinct().persist()
-    val nRows = m.count() // also materializes the persist
-    if (nRows <= localMembershipThreshold) return localComponents(m, nodeCol, groupCol)
-    var lab = m.select(nodeCol).distinct()
-      .withColumn("component", col(nodeCol))
-      .localCheckpoint()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      iter += 1
-      val gmin = m.join(lab, Seq(nodeCol))
-        .groupBy(groupCol).agg(min("component").as("gmin"))
-      val cand = m.join(gmin, Seq(groupCol))
-        .groupBy(nodeCol).agg(min("gmin").as("cand"))
-      val joined = lab.join(cand, Seq(nodeCol), "left")
-        .select(col(nodeCol), col("component"),
-          least(col("component"), coalesce(col("cand"), col("component")))
-            .as("component2"))
+    try {
+      val nRows = m.count() // also materializes the persist
+      if (nRows <= localMembershipThreshold)
+        return localComponents(m, nodeCol, groupCol)
+      var lab = m.select(nodeCol).distinct()
+        .withColumn("component", col(nodeCol))
         .localCheckpoint()
-      done = joined.where(col("component2") < col("component")).isEmpty
-      lab = joined.select(col(nodeCol), col("component2").as("component"))
-    }
-    m.unpersist()
-    if (!done)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        iter += 1
+        val gmin = m.join(lab, Seq(nodeCol))
+          .groupBy(groupCol).agg(min("component").as("gmin"))
+        val cand = m.join(gmin, Seq(groupCol))
+          .groupBy(nodeCol).agg(min("gmin").as("cand"))
+        val joined = lab.join(cand, Seq(nodeCol), "left")
+          .select(col(nodeCol), col("component"),
+            least(col("component"), coalesce(col("cand"), col("component")))
+              .as("component2"))
+          .localCheckpoint()
+        done = joined.where(col("component2") < col("component")).isEmpty
+        lab = joined.select(col(nodeCol), col("component2").as("component"))
+      }
+      // unconverged labels silently split real components — for a
+      // dedup gate that is a wrong answer, not a degraded one: fail
+      if (!done) sys.error(
         s"byGroup: iteration budget maxIter=$maxIter exhausted before " +
-          "fixpoint — labels are an UNCONVERGED upper bound (components " +
-          "may still be split; raise maxIter).")
-    lab
+          "fixpoint — labels would split real components; raise maxIter " +
+          "(rounds needed = the membership graph's node-group diameter)")
+      lab
+    } finally m.unpersist()
   }
 
   /** Driver-side union-find for the small-input gate: identical
@@ -94,7 +97,7 @@ object ConnectedComponents {
         s"byGroup node column must be orderable scalar, got $other")
     }
     val rows = m.collect().map(r => (r.get(0), r.get(1)))
-    m.unpersist()
+    // caller's try/finally owns the unpersist
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x

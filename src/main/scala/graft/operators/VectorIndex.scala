@@ -72,10 +72,19 @@ object VectorIndex {
       .saveAsTable(s"${name}_assigned")
   }
 
-  def load(spark: SparkSession, name: String, path: String): IvfIndex =
+  /** Load a saved index. The catalog table carries the bucket
+    * metadata (exchange-free probes); when the saving session's
+    * catalog is gone (new driver, in-memory catalog), fall back to the
+    * parquet files at `path` — correct results, probe re-shuffles.
+    */
+  def load(spark: SparkSession, name: String, path: String): IvfIndex = {
+    val assigned =
+      if (spark.catalog.tableExists(s"${name}_assigned"))
+        spark.table(s"${name}_assigned")
+      else spark.read.parquet(s"$path/${name}_assigned")
     IvfIndex(
-      spark.read.parquet(s"$path/${name}_centroids"),
-      spark.table(s"${name}_assigned"))
+      spark.read.parquet(s"$path/${name}_centroids"), assigned)
+  }
 
   /** Probe: each query vector is assigned to its `nprobe` nearest
     * cells (broadcast centroids — no shuffle), then one cell equi-join

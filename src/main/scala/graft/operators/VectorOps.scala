@@ -35,22 +35,19 @@ object VectorOps {
 
   /** Exact integer dot product of two quantized vector columns.
     *
-    * Hot path of every similarity query, so it compiles to the native
-    * codegen'd VecDot expression (registered idempotently in the active
-    * session) — same exact 64-bit integer arithmetic as the array-HOF
-    * form, so rankings, thresholds, and the DuckDB oracles are
-    * unchanged. Falls back to the HOF expression when no session is
-    * active (column built on a thread with no Spark context yet).
+    * Hot path of every similarity query, so it builds the native
+    * codegen'd VecDot expression DIRECTLY (no function-registry or
+    * active-session coupling — the Column resolves against whichever
+    * DataFrame it is used on) — same exact 64-bit integer arithmetic
+    * as the array-HOF form, so rankings, thresholds, and the DuckDB
+    * oracles are unchanged.
     */
-  def dot(a: String, b: String): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        graft.expressions.VecDot.ensureRegistered(s)
-        expr(s"vec_dot($a, $b)")
-      case None =>
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-          "cast(0 as bigint), (acc, v) -> acc + v)")
-    }
+  def dot(a: String, b: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expressions.VecDot(
+      ColumnBridge.expression(expr(a)),
+      ColumnBridge.expression(expr(b))))
+  }
 
   /** Cosine from an exact dot and two exact squared norms. */
   def cosine(dotCol: String, naCol: String, nbCol: String): Column =

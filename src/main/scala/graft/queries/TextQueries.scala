@@ -25,6 +25,55 @@ object TextQueries extends QueryPack {
   private val sparkToks = "filter(split(text, ' '), x -> x != '')"
   private val duckToks = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** Shared (doc_id, band-bucket key) membership for the CC dedup pair
+    * (q_dedup_cluster / q_dedup_survivors): minhash w=3, k=16, 4 bands
+    * x r=4 — ONE definition so the two queries' geometry cannot drift.
+    */
+  private def dedupMembership(
+      s: SparkSession, dir: String): DataFrame = {
+    val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+    val base = docs(s, dir)
+      .withColumn("r", shSig(col("text")))
+      .where(expr("size(r._1) >= 1"))
+      .select(col("doc_id"), col("r._2").as("sig"))
+      .localCheckpoint()
+    base.select(col("doc_id"), col("sig"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("gkey", concat_ws(":", col("b"),
+        expr(TextOps.bandKey("sig", "b", r = 4))))
+      .select("doc_id", "gkey")
+  }
+
+  /** DuckDB twin of [[dedupMembership]] + connected components: CTE
+    * chain ending in `comp(doc_id, canonical)`; prefix with
+    * `WITH RECURSIVE`.
+    */
+  private lazy val duckDedupComp: String =
+    s"""d AS (
+          SELECT doc_id, lang, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
+          FROM s3),
+        bands AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)),
+        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.key = y.key AND x.b = y.b
+            AND x.doc_id != y.doc_id),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM sigs
+          UNION
+          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT node AS doc_id, min(reach) AS canonical
+          FROM walk GROUP BY 1)"""
+
   override def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -163,6 +212,10 @@ object TextQueries extends QueryPack {
         // sketch and broadcast the cut points — same output contract.
         val scored = docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
+          // zero-token docs would score NULL here but NaN in DuckDB
+          // (divide-by-zero) and the two sort to opposite window ends
+          // — exclude them explicitly on BOTH sides
+          .where(expr("size(t) > 0"))
           .selectExpr("doc_id", "lang",
             "size(t) as n_tok",
             "size(array_distinct(t)) / size(t) as ttr",
@@ -184,7 +237,7 @@ object TextQueries extends QueryPack {
           .orderBy("lang", "decile")
       },
       Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
-            FROM documents),
+            FROM documents WHERE len($duckToks) > 0),
           m AS (SELECT doc_id, lang, len(t) AS n_tok,
               len(list_distinct(t)) * 1.0 / len(t) AS ttr,
               len(list_filter(t, x -> list_contains(['the','a'], x)))
@@ -378,18 +431,8 @@ object TextQueries extends QueryPack {
         // rows, never k^2/2 pairwise edges, so the shape survives at
         // 100 TB (see the operator's scaladoc for the hub trick).
         import graft.operators.ConnectedComponents
-        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
-        val base = docs(s, dir)
-          .withColumn("r", shSig(col("text")))
-          .where(expr("size(r._1) >= 1"))
-          .select(col("doc_id"), col("r._2").as("sig"))
-          .localCheckpoint()
-        val membership = base.select(col("doc_id"), col("sig"),
-            explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("gkey", concat_ws(":", col("b"),
-            expr(TextOps.bandKey("sig", "b", r = 4))))
-          .select("doc_id", "gkey")
-        val comp = ConnectedComponents.byGroup(membership, "doc_id", "gkey")
+        val comp = ConnectedComponents.byGroup(
+          dedupMembership(s, dir), "doc_id", "gkey")
         comp.groupBy("component")
           .agg(count(lit(1)).as("n_docs"),
             sort_array(collect_list(col("doc_id"))).as("ms"))
@@ -399,30 +442,7 @@ object TextQueries extends QueryPack {
               .as("members_fp"))
           .orderBy("canonical")
       },
-      Some(s"""WITH RECURSIVE d AS (
-          SELECT doc_id, $duckToks AS t FROM documents),
-        s3 AS (SELECT doc_id,
-            list_distinct(list_transform(range(1, len(t)-1),
-              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-          FROM d WHERE len(t) >= 3),
-        sigs AS (SELECT doc_id,
-            list_transform(range(0, 16), s ->
-              list_min(list_transform(sh, g ->
-                (${dh("g")} & 2147483647) * (2 * s + 1)
-                  + s * 2654435761))) AS sig
-          FROM s3),
-        bands AS (SELECT doc_id, b,
-            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
-          FROM sigs, unnest([0,1,2,3]) AS u(b)),
-        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y ON x.key = y.key AND x.b = y.b
-            AND x.doc_id != y.doc_id),
-        walk(node, reach) AS (
-          SELECT doc_id, doc_id FROM sigs
-          UNION
-          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT node AS doc_id, min(reach) AS canonical
-          FROM walk GROUP BY 1)
+      Some(s"""WITH RECURSIVE $duckDedupComp
         SELECT canonical, count(*) AS n_docs,
           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS members_fp
         FROM comp GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1"""),
@@ -441,19 +461,9 @@ object TextQueries extends QueryPack {
         // q_dedup_cluster; docs with no shingles (no band rows) are
         // singletons by definition and survive.
         import graft.operators.ConnectedComponents
-        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
-        val all = docs(s, dir).select("doc_id", "lang", "text")
-        val base = all
-          .withColumn("r", shSig(col("text")))
-          .where(expr("size(r._1) >= 1"))
-          .select(col("doc_id"), col("r._2").as("sig"))
-          .localCheckpoint()
-        val membership = base.select(col("doc_id"), col("sig"),
-            explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("gkey", concat_ws(":", col("b"),
-            expr(TextOps.bandKey("sig", "b", r = 4))))
-          .select("doc_id", "gkey")
-        val comp = ConnectedComponents.byGroup(membership, "doc_id", "gkey")
+        val all = docs(s, dir).select("doc_id", "lang")
+        val comp = ConnectedComponents.byGroup(
+          dedupMembership(s, dir), "doc_id", "gkey")
         val kept = all.join(comp, Seq("doc_id"), "left")
           .withColumn("keep",
             col("component").isNull || col("component") === col("doc_id"))
@@ -463,30 +473,7 @@ object TextQueries extends QueryPack {
             sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
           .orderBy("lang")
       },
-      Some(s"""WITH RECURSIVE d AS (
-          SELECT doc_id, lang, $duckToks AS t FROM documents),
-        s3 AS (SELECT doc_id,
-            list_distinct(list_transform(range(1, len(t)-1),
-              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-          FROM d WHERE len(t) >= 3),
-        sigs AS (SELECT doc_id,
-            list_transform(range(0, 16), s ->
-              list_min(list_transform(sh, g ->
-                (${dh("g")} & 2147483647) * (2 * s + 1)
-                  + s * 2654435761))) AS sig
-          FROM s3),
-        bands AS (SELECT doc_id, b,
-            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
-          FROM sigs, unnest([0,1,2,3]) AS u(b)),
-        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bands x JOIN bands y ON x.key = y.key AND x.b = y.b
-            AND x.doc_id != y.doc_id),
-        walk(node, reach) AS (
-          SELECT doc_id, doc_id FROM sigs
-          UNION
-          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
-        comp AS (SELECT node AS doc_id, min(reach) AS canonical
-          FROM walk GROUP BY 1),
+      Some(s"""WITH RECURSIVE $duckDedupComp,
         kept AS (SELECT d.lang,
             (comp.canonical IS NULL OR comp.canonical = d.doc_id) AS keep
           FROM d LEFT JOIN comp ON comp.doc_id = d.doc_id)

@@ -75,6 +75,10 @@ object StreamingOps {
       excludeHalogens: Boolean = true,
       bucketWidth: Double = 0.01): DataFrame = {
     val cands0 = compounds.where(col("Charge") === 0)
+    // the regex is the reference's own (metabolomics.py:240), quirks
+    // included: a formula-final F does not match F[^e] and leaks
+    // through — batch MassSearch shares the exact pattern, so parity
+    // holds on both engines
     val cands =
       if (excludeHalogens) cands0.where(!col("Formula").rlike("F[^e]|Cl|Br"))
       else cands0
@@ -147,11 +151,17 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowDuration), col("peak"))
       .agg(count(lit(1)).as("n_hits"),
         // batch parity: negating the numeric SCORE (not the id) makes
-        // min() pick highest-score-then-smallest-id for ids of ANY type
-        min(struct((-col("spectral_score")).as("ns"), col("_id").as("id")))
+        // min() pick highest-score-then-smallest-id for ids of ANY
+        // type; a null score coalesces to +Inf so it ranks LAST like
+        // batch's orderBy(score desc) nulls-last, never first (struct
+        // ordering would otherwise sort the null field before values)
+        min(struct(coalesce(-col("spectral_score"),
+            lit(Double.PositiveInfinity)).as("ns"), col("_id").as("id")))
           .as("m"))
       .select(col("window.start").as("bucket"), col("peak"),
-        col("n_hits"), (-col("m.ns")).as("best_score"),
+        col("n_hits"),
+        when(col("m.ns") === Double.PositiveInfinity, lit(null))
+          .otherwise(-col("m.ns")).as("best_score"),
         col("m.id").as("best_id"))
   }
 
@@ -291,10 +301,16 @@ object StreamingOps {
       .withColumn("cos", VectorOps.cosine("dot", "n_", "cnq"))
       .groupBy(window(col(tsCol), windowDuration), col(queryIdCol))
       .agg(count(lit(1)).as("n_band_hits"),
-        // highest cos, ties to the smallest id (batch rank parity)
-        min(struct((-col("cos")).as("nc"), col(idCol).as("id"))).as("m"))
+        // highest cos, ties to the smallest id (batch rank parity); a
+        // null cosine (zero-norm quantized vector -> divide-by-null)
+        // coalesces to +Inf so it ranks LAST like batch's desc
+        // nulls-last ordering, instead of winning the struct min
+        min(struct(coalesce(-col("cos"), lit(Double.PositiveInfinity))
+          .as("nc"), col(idCol).as("id"))).as("m"))
       .select(col("window.start").as("bucket"), col(queryIdCol),
-        col("n_band_hits"), (-col("m.nc")).as("best_cos"),
+        col("n_band_hits"),
+        when(col("m.nc") === Double.PositiveInfinity, lit(null))
+          .otherwise(-col("m.nc")).as("best_cos"),
         col("m.id").as("best_id"))
   }
 
@@ -368,7 +384,9 @@ object StreamingOps {
         explode(col("__graft_tc")).as("tc"))
       .select(col(idCol), col(tsCol),
         col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .join(broadcast(stats), Seq("term"))
+      // no broadcast hint: the vocabulary table grows with the corpus
+      // (millions of terms at scale) — let the planner/AQE choose
+      .join(stats, Seq("term"))
       // negated exact rational rank key: array_sort ascending puts the
       // best (highest score, then smallest term) first
       .withColumn("nscore",
