@@ -94,6 +94,35 @@ object RelationalQueries extends QueryPack {
         "plain GROUP BY oracle."),
 
     GraftQuery(
+      "q_join_salted", Seq("J9", "D9"),
+      (s, dir) => {
+        // Skew.saltedJoin through the correctness gate: lineitem joined
+        // to orders on the (skew-prone) order key with the big side
+        // spread over 16 deterministic salts and orders replicated —
+        // the result must equal the plain join row for row. Summarized
+        // per order priority so the gate output stays small.
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long")
+            .as("qty"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"))
+        graft.operators.Skew.saltedJoin(li, ord, Seq("l_orderkey"),
+            salts = 16)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o.o_orderpriority,
+          count(*) AS n_items,
+          sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1"""),
+      "Skew-salted equi-join (big side salted, dimension replicated " +
+        "across 16 sub-keys) vs the plain join oracle — the manual " +
+        "fallback where AQE's skew split cannot kick in."),
+
+    GraftQuery(
       "q_agg_set_union", Seq("A1", "D2"),
       (s, dir) => {
         t(s, dir, "lineitem")
