@@ -75,6 +75,16 @@ object VecDot {
     acc
   }
 
+  /** Registry builder: clean analysis-time arity error instead of an
+    * IndexOutOfBounds (or silently dropped extras) from raw indexing.
+    */
+  private val builder: Seq[Expression] => Expression = { children =>
+    if (children.size != 2)
+      throw org.apache.spark.sql.graftbridge.ColumnBridge
+        .wrongNumArgs("vec_dot", 2, children.size)
+    VecDot(children(0), children(1))
+  }
+
   /** SparkSessionExtensions hook: register `vec_dot` as a SQL function
     * (spark.sql.extensions=graft.expressions.GraftExtensions).
     */
@@ -82,7 +92,7 @@ object VecDot {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      builder))
 
   /** Idempotently register `vec_dot` in a live session's function
     * registry — for sessions built without the extensions conf (the
@@ -94,6 +104,6 @@ object VecDot {
       s.sessionState.functionRegistry.registerFunction(
         id,
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-        (children: Seq[Expression]) => VecDot(children(0), children(1)))
+        builder)
   }
 }

@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * that filters on it prunes whole directories at planning time
   * instead of scanning and discarding rows.
   *
-  * `savePartitioned` repartitions by the routing column first (one
-  * file set per partition value instead of one per input task x value
-  * — a task-fanout layout produces numPartitions x numValues small
-  * files) and sorts within partitions so per-file min/max column stats
-  * make row-group skipping effective for range predicates on the sort
+  * `savePartitioned` RANGE-repartitions on (partCol, sortCol) first:
+  * rows of one partition value land in a handful of contiguous tasks
+  * (not one file per input task x value — a task-fanout layout
+  * produces numPartitions x numValues small files), while a HOT value
+  * (English ≈ half of any real corpus) spans as many tasks as its row
+  * share of the range sample — no single-task straggler writing one
+  * giant file, which a plain hash `repartition(partCol)` forces at
+  * 100 TB. Within-partition sort keeps per-file min/max column stats
+  * tight so row-group skipping works for range predicates on the sort
   * column.
   *
   * Reference analog: MINE's per-database Mongo collections
@@ -26,14 +30,23 @@ object DocumentSink {
     * partitions by `sortCol`; returns the manifest (one row per
     * partition value with its doc count) computed from the written
     * files, so the manifest can never disagree with the store.
+    *
+    * @param numTasks write-task count (0 = the session's shuffle
+    *                 partition setting); a hot partition value spans
+    *                 multiple of these tasks via the range partitioner,
+    *                 producing multiple files under its directory
     */
   def savePartitioned(
       docs: DataFrame,
       path: String,
       partCol: String = "lang",
-      sortCol: String = "doc_id"): DataFrame = {
-    docs
-      .repartition(col(partCol))
+      sortCol: String = "doc_id",
+      numTasks: Int = 0): DataFrame = {
+    val ranged =
+      if (numTasks > 0)
+        docs.repartitionByRange(numTasks, col(partCol), col(sortCol))
+      else docs.repartitionByRange(col(partCol), col(sortCol))
+    ranged
       .sortWithinPartitions(partCol, sortCol)
       .write.mode("overwrite")
       .partitionBy(partCol)

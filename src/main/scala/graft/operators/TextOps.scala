@@ -131,22 +131,26 @@ object TextOps {
     */
   def simhashCompiled(bits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { toks: Seq[String] =>
-      val counts = new Array[Long](bits)
-      toks.foreach { t =>
-        val h = VectorOps.hash64Scala(t)
+      // null in -> null out, matching the expression twin simhash()
+      if (toks == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val counts = new Array[Long](bits)
+        toks.foreach { t =>
+          val h = VectorOps.hash64Scala(t)
+          var b = 0
+          while (b < bits) {
+            counts(b) += ((h >>> b) & 1L) * 2 - 1
+            b += 1
+          }
+        }
+        var sim = 0L
         var b = 0
         while (b < bits) {
-          counts(b) += ((h >>> b) & 1L) * 2 - 1
+          if (counts(b) > 0) sim |= 1L << b
           b += 1
         }
+        java.lang.Long.valueOf(sim)
       }
-      var sim = 0L
-      var b = 0
-      while (b < bits) {
-        if (counts(b) > 0) sim |= 1L << b
-        b += 1
-      }
-      sim
     }
 
   /** Compiled fast path for text -> (distinct word w-shingles, k-hash
@@ -157,20 +161,25 @@ object TextOps {
     */
   def shinglesAndSignature(w: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { text: String =>
-      val toks = text.split(' ').filter(_.nonEmpty)
-      val sh: Array[String] =
-        if (toks.length < w) Array.empty
-        else Array.tabulate(toks.length - w + 1)(i =>
-          toks.slice(i, i + w).mkString(" ")).distinct
-      val hs = sh.map(g => VectorOps.hash64Scala(g) & 2147483647L)
-      val sig = Array.tabulate(k) { s =>
-        var min = Long.MaxValue
-        for (h <- hs) {
-          val v = h * (2 * s + 1) + s * 2654435761L
-          if (v < min) min = v
+      // null in -> null out, matching the expression path (tokens()
+      // of a null text column is null)
+      if (text == null) null
+      else {
+        val toks = text.split(' ').filter(_.nonEmpty)
+        val sh: Array[String] =
+          if (toks.length < w) Array.empty
+          else Array.tabulate(toks.length - w + 1)(i =>
+            toks.slice(i, i + w).mkString(" ")).distinct
+        val hs = sh.map(g => VectorOps.hash64Scala(g) & 2147483647L)
+        val sig = Array.tabulate(k) { s =>
+          var min = Long.MaxValue
+          for (h <- hs) {
+            val v = h * (2 * s + 1) + s * 2654435761L
+            if (v < min) min = v
+          }
+          min
         }
-        min
+        (sh, sig)
       }
-      (sh, sig)
     }
 }

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Persistent IVF (inverted-file) ANN index over an embedding column —
   * the build/save/load/probe surface around the q_sim_ivf_ann query
-  * shape: a deterministic coarse quantizer (every `stride`-th vector,
-  * exact integer-cosine argmax assignment) partitions the corpus into
-  * cells; queries probe their `nprobe` nearest cells through one cell
-  * equi-join.
+  * shape: a deterministic coarse quantizer (a bounded md5-ordered
+  * sample of k ≈ √n vectors, exact integer-cosine argmax assignment)
+  * partitions the corpus into cells; queries probe their `nprobe`
+  * nearest cells through one cell equi-join.
   *
   * Scale posture: `save` writes the assignment table BUCKETED BY cell
   * (`bucketBy` + `sortBy`), so every later probe joins against the
@@ -28,17 +28,33 @@ object VectorIndex {
   /** Quantize + assign every vector to its nearest centroid (exact
     * integer cosine, ties to the smaller centroid id — identical math
     * to q_sim_ivf_ann, so results are engine-reproducible).
+    *
+    * Centroid count: `numCentroids` when > 0, else
+    * [[VectorOps.suggestedCentroids]] (k ≈ √n capped at 4096) from the
+    * corpus row count — NEVER proportional to n, so the broadcast
+    * centroid table stays bounded and assignment work stays linear at
+    * any corpus size. Centroids are the k first vectors in md5(vec_id)
+    * order (ties by vec_id): a deterministic pseudo-random sample that
+    * both engines (and the DuckDB oracle) recompute identically, and
+    * that Spark plans as a distributed partial top-k
+    * (TakeOrderedAndProject) — no full sort, no collect of the corpus.
     */
   def buildIvf(
       vectors: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      stride: Int = 250): IvfIndex = {
+      numCentroids: Int = 0): IvfIndex = {
     val e = vectors
       .withColumn("qe", VectorOps.quantize(embCol))
       .withColumn("nq", VectorOps.normSq("qe"))
       .select(col(idCol).as("vec_id"), col("qe"), col("nq"))
-    val cent = e.where(col("vec_id") % stride === 0)
+    val k =
+      if (numCentroids > 0) numCentroids
+      else VectorOps.suggestedCentroids(vectors.count())
+    val cent = e
+      .withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
         col("nq").as("cnq"))
     val cellOf = e.crossJoin(broadcast(cent))
@@ -73,15 +89,29 @@ object VectorIndex {
   }
 
   /** Load a saved index. The catalog table carries the bucket
-    * metadata (exchange-free probes); when the saving session's
-    * catalog is gone (new driver, in-memory catalog), fall back to the
-    * parquet files at `path` — correct results, probe re-shuffles.
+    * metadata (exchange-free probes) and is preferred ONLY when its
+    * storage location is the `path` being loaded — a stale or foreign
+    * same-named table from an earlier save to a different path must
+    * not shadow the on-disk index. When the saving session's catalog
+    * is gone (new driver, in-memory catalog) or points elsewhere, fall
+    * back to the parquet files at `path` — correct results, probe
+    * re-shuffles.
     */
   def load(spark: SparkSession, name: String, path: String): IvfIndex = {
+    val tbl = s"${name}_assigned"
+    val catalogMatchesPath =
+      spark.catalog.tableExists(tbl) && {
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          .location
+        val want = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+          .toUri.getPath
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath == want
+      }
     val assigned =
-      if (spark.catalog.tableExists(s"${name}_assigned"))
-        spark.table(s"${name}_assigned")
-      else spark.read.parquet(s"$path/${name}_assigned")
+      if (catalogMatchesPath) spark.table(tbl)
+      else spark.read.parquet(s"$path/$tbl")
     IvfIndex(
       spark.read.parquet(s"$path/${name}_centroids"), assigned)
   }

@@ -103,6 +103,21 @@ object VectorOps {
       s"as int)) & ${width - 1}L))")
   }
 
+  /** IVF coarse-quantizer size k from the corpus row count: k ≈ √n,
+    * clamped to [2, cap]. Work per corpus vector is O(k) (broadcast
+    * centroid argmax), so total assignment work is O(n·√n) until the
+    * cap and exactly linear past it, and the broadcast centroid table
+    * is bounded by cap (4096 × 64-dim bigint ≈ 2 MB) at ANY corpus
+    * size — unlike a stride-derived count, which grows linearly with n
+    * and turns the broadcast assignment quadratic (the r5 fixed-bucket
+    * LSH defect class, in reverse). √n balances the two probe-side
+    * costs: centroid scan O(k) vs cell scan O(n/k).
+    */
+  def suggestedCentroids(n: Long, cap: Int = 4096): Int = {
+    val raw = math.ceil(math.sqrt(math.max(1.0, n.toDouble))).toInt
+    math.min(cap, math.max(2, raw))
+  }
+
   /** Bits per band r sized from the table: 2^r ≈ n / targetBucket
     * buckets per band, clamped to [4, 15] (4 bands x 15 bits fits the
     * 60-bit sketch). At n=500 this gives 4; at 1e9 rows it gives 15 —

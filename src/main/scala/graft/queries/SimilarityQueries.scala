@@ -56,6 +56,7 @@ object SimilarityQueries extends QueryPack {
   private val LshBands = 4
   private val OracleGateRows = 500L
   private val OracleBandBits = VectorOps.suggestedBandBits(OracleGateRows)
+  private val OracleCentroids = VectorOps.suggestedCentroids(OracleGateRows)
 
   /** In a correctness-gate session (graft.gate set by Verify), require
     * the live band geometry to equal what the DuckDB oracle pins.
@@ -67,6 +68,39 @@ object SimilarityQueries extends QueryPack {
           s"(bandBits=$OracleBandBits from ${OracleGateRows} rows) but the " +
           s"input has $nRows rows -> bandBits=$r; the DuckDB oracle pins " +
           "the sf0.01 constants, so run the gate at sf0.01")
+
+  /** In a correctness-gate session, require the live IVF centroid
+    * count to equal what the DuckDB oracle pins (same pattern as
+    * [[gateCheck]] for the LSH band geometry).
+    */
+  private def gateCheckIvf(s: SparkSession, nRows: Long, k: Int): Unit =
+    if (s.conf.getOption("graft.gate").contains("true"))
+      require(k == OracleCentroids,
+        s"correctness gate expects the sf0.01 IVF geometry " +
+          s"(k=$OracleCentroids centroids from ${OracleGateRows} rows) but " +
+          s"the input has $nRows rows -> k=$k; the DuckDB oracle pins the " +
+          "sf0.01 constants, so run the gate at sf0.01")
+
+  /** Spark-side IVF centroid sample: the k first vectors in
+    * md5(vec_id) order (ties by vec_id) — a deterministic
+    * pseudo-random sample both engines recompute; plans as a
+    * distributed partial top-k (TakeOrderedAndProject), so centroid
+    * selection is linear in n with a k-row result at any corpus size.
+    */
+  private def sampledCentroids(e: DataFrame, k: Int): DataFrame =
+    e.withColumn("__h", expr(
+        graft.operators.TextOps.hash64("cast(vec_id as string)")))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
+        col("nq").as("cnq"))
+
+  /** DuckDB twin of [[sampledCentroids]] at the gate geometry. */
+  private val duckCent =
+    s"""cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq FROM n
+          ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+            vec_id
+          LIMIT $OracleCentroids)"""
 
   private val duckBase =
     s"""base AS (SELECT vec_id, label, $duckQuant AS qe FROM embeddings),
@@ -251,17 +285,20 @@ object SimilarityQueries extends QueryPack {
     GraftQuery(
       "q_sim_ivf_ann", Seq("A10", "J6", "D9"),
       (s, dir) => {
-        // IVF-style ANN: coarse quantizer = 8 deterministic centroid
-        // vectors (every 250th vector); each vector is assigned to its
-        // nearest centroid by exact integer dot-cosine ordering (argmax
+        // IVF-style ANN: coarse quantizer = k ≈ √n centroids (capped,
+        // VectorOps.suggestedCentroids) drawn as a deterministic
+        // md5-ordered sample; each vector is assigned to its nearest
+        // centroid by exact integer dot-cosine ordering (argmax
         // tie-broken by centroid id), queries probe ONLY their own cell
         // (nprobe=1). All integer math — the oracle recomputes the same
-        // cells. At scale: centroids broadcast, cells are a hash
-        // partition -> the probe is one equi-join on cell id.
+        // cells. At scale: the broadcast centroid table is bounded (k
+        // never grows linearly with n), assignment work is linear, and
+        // the probe is one equi-join on cell id.
+        val nRows = Tables.load(s, dir, "embeddings").count()
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
-        val cent = e.where(col("vec_id") % 250 === 0)
-          .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
-            col("nq").as("cnq"))
+        val cent = sampledCentroids(e, k)
         // Materialize ONLY the skinny (vec_id, cell) assignment — the
         // expensive part is the crossJoin+window, and checkpointing the
         // qe/nq payload alongside it (as before) tripled the checkpoint
@@ -294,8 +331,7 @@ object SimilarityQueries extends QueryPack {
           .orderBy("query_id")
       },
       Some(s"""WITH $duckBase,
-          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
-                FROM n WHERE vec_id % 250 = 0),
+          $duckCent,
           scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
                   ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
                 FROM n, cent),
@@ -317,9 +353,10 @@ object SimilarityQueries extends QueryPack {
         SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
         FROM best b JOIN bn ON bn.query_id = b.query_id
         ORDER BY b.query_id"""),
-      "IVF-style ANN: 8-centroid coarse quantizer (exact integer-cosine " +
-        "assignment), nprobe=1 cell probe via one equi-join — the " +
-        "centroid-partitioned alternative to sign-LSH at 100 TB."),
+      "IVF-style ANN: √n-capped sampled coarse quantizer (exact " +
+        "integer-cosine assignment), nprobe=1 cell probe via one " +
+        "equi-join — the centroid-partitioned alternative to sign-LSH " +
+        "at 100 TB."),
 
     GraftQuery(
       "q_sim_ivf_probe2", Seq("A10", "J6", "D9"),
@@ -330,10 +367,12 @@ object SimilarityQueries extends QueryPack {
         // (disjoint cells — no dedup needed) and recall rises without
         // any new shuffle shape. One skinny (vec_id, c_id, rn)
         // checkpoint feeds both the assignment and the probe list.
+        // Centroids: same √n-capped md5-ordered sample as q_sim_ivf_ann.
+        val nRows = Tables.load(s, dir, "embeddings").count()
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
-        val cent = e.where(col("vec_id") % 250 === 0)
-          .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
-            col("nq").as("cnq"))
+        val cent = sampledCentroids(e, k)
         val ranked = e.crossJoin(broadcast(cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
@@ -365,8 +404,7 @@ object SimilarityQueries extends QueryPack {
           .orderBy("query_id")
       },
       Some(s"""WITH $duckBase,
-          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
-                FROM n WHERE vec_id % 250 = 0),
+          $duckCent,
           scored AS (SELECT n.vec_id, cent.c_id,
                   ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
                 FROM n, cent),
@@ -405,17 +443,19 @@ object SimilarityQueries extends QueryPack {
         // same deterministic quantizer, assignment, and tie-breaks, so
         // the oracle is the recomputed-cells SQL.
         import graft.operators.VectorIndex
-        val idx = VectorIndex.buildIvf(
-          Tables.load(s, dir, "embeddings"), stride = 250)
-        val queries = Tables.load(s, dir, "embeddings")
+        val emb = Tables.load(s, dir, "embeddings")
+        val nRows = emb.count()
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val idx = VectorIndex.buildIvf(emb, numCentroids = k)
+        val queries = emb
           .where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("embedding"))
         VectorIndex.query(idx, queries, nprobe = 1)
           .orderBy("query_id")
       },
       Some(s"""WITH $duckBase,
-          cent AS (SELECT vec_id AS c_id, qe AS cqe, nq AS cnq
-                FROM n WHERE vec_id % 250 = 0),
+          $duckCent,
           scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
                   ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
                 FROM n, cent),
@@ -440,6 +480,58 @@ object SimilarityQueries extends QueryPack {
         "broadcast centroid assignment + one cell equi-join; at write " +
         "time the assignment table buckets by cell so the corpus side " +
         "of the probe join never re-shuffles."),
+
+    GraftQuery(
+      "q_sim_index_probe2", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // VectorIndex.query at nprobe=2 — the recall knob of the
+        // persistent-index surface behind the gate (q_sim_index_probe
+        // pins nprobe=1 only): queries probe their TWO nearest cells;
+        // vectors still live in exactly one cell, so candidates remain
+        // a plain equi-join over disjoint cells (no dedup) and only
+        // the probe list doubles.
+        import graft.operators.VectorIndex
+        val emb = Tables.load(s, dir, "embeddings")
+        val nRows = emb.count()
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val idx = VectorIndex.buildIvf(emb, numCentroids = k)
+        val queries = emb
+          .where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorIndex.query(idx, queries, nprobe = 2)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          ranked AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM scored),
+          assigned AS (SELECT n.vec_id, n.qe, n.nq, r.c_id AS cell
+                FROM n JOIN ranked r ON r.vec_id = n.vec_id AND r.rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq
+                FROM n WHERE vec_id % 100 = 0),
+          probed AS (SELECT qc.query_id, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned a JOIN qc ON a.cell = qc.cell
+                  JOIN q ON q.query_id = qc.query_id),
+          best AS (SELECT query_id, count(*) AS n_cell_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "VectorIndex.query(nprobe=2): two-cell probe through the " +
+        "persistent-index surface — same disjoint-cell equi-join " +
+        "shape, doubled probe list, no self-exclusion (the index " +
+        "surface returns the true best cell mate)."),
 
     GraftQuery(
       "q_sim_maxsim_target", Seq("A10", "W7", "W8"),

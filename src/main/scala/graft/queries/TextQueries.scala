@@ -580,12 +580,20 @@ object TextQueries extends QueryPack {
     GraftQuery(
       "q_dedup_ngram", Seq("D1", "J11", "J6"),
       (s, dir) => {
+        // Bigrams are HASHED to 60-bit longs before the banded join:
+        // the shuffle then moves 8-byte array elements instead of
+        // bigram strings, and array_intersect compares longs — same
+        // Jaccard (the oracle recomputes identical hashes; md5
+        // collisions across distinct bigrams of one doc pair are
+        // vanishingly rare and mirrored by the oracle anyway).
+        val bigramHash = TextOps.hash64(
+          "concat_ws(' ', element_at(t, i), element_at(t, i+1))")
         val base = docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
           .where(expr("size(t) >= 2"))
           .withColumn("sh", expr(
             "array_distinct(transform(sequence(1, size(t) - 1), i -> " +
-              "concat_ws(' ', element_at(t, i), element_at(t, i+1))))"))
+              bigramHash + "))"))
           .withColumn("bkt", expr("cast(n_chars div 25 as int)"))
           .select("doc_id", "lang", "n_chars", "bkt", "sh")
         val left = base
@@ -607,7 +615,7 @@ object TextQueries extends QueryPack {
             FROM documents),
           s2 AS (SELECT doc_id, lang, n_chars,
               list_distinct(list_transform(range(1, len(t)),
-                i -> t[i] || ' ' || t[i+1])) AS sh
+                i -> ${dh("t[i] || ' ' || t[i+1]")})) AS sh
             FROM d WHERE len(t) >= 2)
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
           round(len(list_intersect(x.sh, y.sh)) * 1.0 /
@@ -622,6 +630,8 @@ object TextQueries extends QueryPack {
         LIMIT 10"""),
       "Word-bigram Jaccard near-dup with length-band blocking (bucket " +
         "width 25 > band 20, so the bucketed equi-join prelude is " +
-        "lossless) — no O(n^2) cross join at scale."),
+        "lossless); bigrams hashed to longs before the join — 8-byte " +
+        "shuffle payloads, integer set-intersection. No O(n^2) cross " +
+        "join at scale."),
   )
 }

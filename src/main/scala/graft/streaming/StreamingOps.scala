@@ -237,6 +237,80 @@ object StreamingOps {
         col("is_neardup"), col("dup_of"))
   }
 
+  /** Static side for [[clusterAssignStream]]: the (band_key ->
+    * component) lookup of an already-clustered corpus — minhash band
+    * membership (TextOps.bandedDocs) clustered by
+    * ConnectedComponents.byGroup, then folded to one component per
+    * band key (every doc sharing a band key is in the same component
+    * by construction, so min() is exact, not a heuristic). Returned
+    * UNPERSISTED — caller owns the caching contract like the other
+    * static-side builders; at scale this table is what a pipeline
+    * persists next to its corpus (hash-partitioned by band_key, the
+    * join key).
+    */
+  def clusterAssignStaticSide(
+      corpus: DataFrame, // idCol, textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3): DataFrame = {
+    val membership = graft.operators.TextOps
+      .bandedDocs(corpus, textCol, shingleW, minhashK, bands)
+      .select(col(idCol), col("band_key"))
+    val comp = graft.operators.ConnectedComponents
+      .byGroup(membership, idCol, "band_key")
+    membership.join(comp, Seq(idCol))
+      .groupBy("band_key").agg(min("component").as("component"))
+  }
+
+  /** Incremental dedup-cluster assignment — the step after
+    * [[nearDupStream]]'s flagging: each arriving doc is minhash-banded
+    * (stateless) and its band keys are joined to the persisted
+    * (band_key -> component) table of the last offline clustering run;
+    * the doc is assigned the canonical id of the matching cluster.
+    * Output per (window, doc): bucket, <idCol>, is_known, component
+    * (null when no band matches — a genuinely new doc).
+    *
+    * MERGE-ON-REFRESH CONTRACT: arrivals never mutate the static
+    * table. An arriving doc whose bands hit TWO existing components is
+    * evidence those clusters should merge — here it is assigned the
+    * smallest matching canonical (min over its band hits,
+    * deterministic), and the merge itself happens at the next offline
+    * refresh, when the corpus + arrivals are re-clustered and the
+    * rebuilt static side is swapped in. Between refreshes, assignments
+    * are exact for docs hitting one component and conservatively
+    * min-canonical for bridge docs; docs assigned null join the corpus
+    * as new cluster seeds at the refresh. Same caching contract as the
+    * other ops: pass a PERSISTED `staticSide` and unpersist it on
+    * query stop, or the internally-built one stays cached for the
+    * session lifetime.
+    */
+  def clusterAssignStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      corpus: DataFrame, // idCol, textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.TextOps
+    val keyToComp = staticSide.getOrElse(
+      clusterAssignStaticSide(
+        corpus, idCol, textCol, shingleW, minhashK, bands).persist())
+    TextOps.bandedDocs(docs.withWatermark(tsCol, watermark),
+        textCol, shingleW, minhashK, bands)
+      .join(keyToComp, Seq("band_key"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(min(col("component")).as("component"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("component").isNotNull.as("is_known"), col("component"))
+  }
+
   /** Streaming ANN over a static embedding corpus — the streaming twin
     * of q_sim_lsh_ann: the corpus is banded-sign-LSH sketched once
     * (static side, hash-partitioned on band key at scale); each arriving

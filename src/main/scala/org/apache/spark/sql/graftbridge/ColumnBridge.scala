@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Standard analysis-time wrong-argument-count error (the same one
+    * built-ins raise), reachable from function builders outside the
+    * sql package — `private[sql]` QueryCompilationErrors otherwise.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected.toString), actual)
 }

@@ -168,6 +168,25 @@ class OperatorsSpec extends SparkSuite {
       Seq.empty[(Long, String)].toDF("node", "grp"), "node", "grp")
     assert(none.columns.toSeq === Seq("node", "component"))
     assert(none.isEmpty)
+    // null node/group rows are dropped on BOTH paths (a null group is
+    // "no membership", a null node is not a node): without the filter
+    // the local HashMap would glue all null-group nodes into one bogus
+    // component while the distributed equi-joins leave them singletons
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(1L), "g1"),
+      (java.lang.Long.valueOf(2L), "g1"),
+      (java.lang.Long.valueOf(7L), null),
+      (java.lang.Long.valueOf(8L), null),
+      (null.asInstanceOf[java.lang.Long], "g9"))
+      .toDF("node", "grp")
+    val expectNulls = Map(1L -> 1L, 2L -> 1L)
+    val nLocal = ConnectedComponents.byGroup(withNulls, "node", "grp")
+      .as[(Long, Long)].collect().toMap
+    val nDist = ConnectedComponents.byGroup(withNulls, "node", "grp",
+        localMembershipThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(nLocal === expectNulls)
+    assert(nDist === expectNulls)
   }
 
   test("bandedDocs passes conflicting input columns through untouched") {
@@ -211,6 +230,26 @@ class OperatorsSpec extends SparkSuite {
       scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("lang"),
       s"lang filter did not prune partitions:\n$scan")
+  }
+
+  test("savePartitioned spreads a hot partition value over multiple " +
+    "files (no single-task straggler) with an unchanged manifest") {
+    // one dominant lang (en = 90%) — the 100 TB skew shape
+    val docs = (1 to 1000).map { i =>
+      (i.toLong, if (i % 10 == 0) "fr" else "en", s"text $i")
+    }.toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docsink2").toString
+    val manifest = DocumentSink.savePartitioned(
+        docs, dir, numTasks = 8)
+      .as[(String, Long)].collect().toMap
+    assert(manifest === Map("en" -> 900L, "fr" -> 100L))
+    val enFiles = new java.io.File(s"$dir/lang=en")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(enFiles > 1,
+      s"hot partition value wrote $enFiles file(s) — straggler layout")
+    // pruned read still returns exactly the partition's rows
+    assert(DocumentSink.readPartition(spark, dir, "lang", "en").count()
+      === 900L)
   }
 
   test("saltedJoin equals the plain join and spreads the hot key") {

@@ -21,7 +21,7 @@ class VectorIndexSpec extends SparkSuite {
 
   test("build/save/load round-trip: loaded probe equals in-memory probe; " +
     "self-queries find themselves") {
-    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
     val dir = java.nio.file.Files.createTempDirectory("vidx").toString
     VectorIndex.save(spark, idx, "vidx", dir, buckets = 4)
     val loaded = VectorIndex.load(spark, "vidx", dir)
@@ -56,7 +56,7 @@ class VectorIndexSpec extends SparkSuite {
   }
 
   test("nprobe=2 probes two cells and never lowers the best hit") {
-    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
     val queries = vectors.where(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val p1 = VectorIndex.query(idx, queries, nprobe = 1)
@@ -66,9 +66,35 @@ class VectorIndexSpec extends SparkSuite {
     p1.foreach { case (qid, d1) => assert(p2(qid) >= d1) }
   }
 
+  test("load falls back to parquet on a catalog miss, and a same-named " +
+    "catalog table saved to a DIFFERENT path never shadows the files") {
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
+    val dirA = java.nio.file.Files.createTempDirectory("vidxA").toString
+    VectorIndex.save(spark, idx, "vidx3", dirA, buckets = 4)
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def probe(): Set[(Long, Long, Long, Long)] =
+      VectorIndex.query(VectorIndex.load(spark, "vidx3", dirA), queries)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = probe()
+    // catalog miss (fresh driver / in-memory catalog gone): the
+    // external files survive the DROP and the fallback must answer
+    // identically (probe re-shuffles, results equal)
+    spark.sql("DROP TABLE vidx3_assigned")
+    assert(probe() === want)
+    // foreign shadow: a DIFFERENT index saved under the same name to
+    // another path retakes the catalog name; loading dirA must read
+    // dirA's files, not the catalog table pointing at dirB
+    val idx2 = VectorIndex.buildIvf(
+      vectors.where(col("vec_id") < 40), numCentroids = 2)
+    val dirB = java.nio.file.Files.createTempDirectory("vidxB").toString
+    VectorIndex.save(spark, idx2, "vidx3", dirB, buckets = 4)
+    assert(probe() === want)
+  }
+
   test("saved assignment table joins on cell without shuffling the " +
     "corpus side") {
-    val idx = VectorIndex.buildIvf(vectors, stride = 25)
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
     val dir = java.nio.file.Files.createTempDirectory("vidx2").toString
     VectorIndex.save(spark, idx, "vidx2", dir, buckets = 4)
     val assigned = spark.table("vidx2_assigned")

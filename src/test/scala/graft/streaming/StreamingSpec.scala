@@ -272,6 +272,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("incremental cluster assignment: an arriving dup of a known " +
+    "cluster gets that cluster's canonical id; novel docs get null") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: c1/c3 are identical texts -> one cluster with canonical
+    // min("c1","c3") = "c1"; c2 is its own singleton cluster
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog at dawn"),
+      ("c3", "the quick brown fox jumps over the lazy dog at dawn"),
+      ("c2", "pack my box with five dozen liquor jugs before noon"))
+      .toDF("doc_id", "text")
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val assigned = StreamingOps.clusterAssignStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), corpus)
+    val q = assigned.writeStream.format("memory")
+      .queryName("cluster_assign_out").outputMode("update").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      docs.addData(
+        // identical to the c1/c3 cluster -> its canonical, not c3
+        ("d_dup", "the quick brown fox jumps over the lazy dog at dawn",
+          t(0)),
+        // identical to the singleton c2 cluster
+        ("d_c2", "pack my box with five dozen liquor jugs before noon",
+          t(1)),
+        // unrelated: no band hits -> is_known=false, null component
+        ("d_new", "completely different words about spark catalyst " +
+          "plans and shuffle partitions everywhere", t(2)))
+      q.processAllAvailable()
+      val got = spark.table("cluster_assign_out")
+        .select("doc_id", "is_known", "component")
+        .as[(String, Boolean, Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("d_dup") === ((true, Some("c1"))))
+      assert(got("d_c2") === ((true, Some("c2"))))
+      assert(got("d_new") === ((false, None)))
+    } finally q.stop()
+  }
+
   test("streaming ANN finds the matching corpus vector for arriving " +
     "queries; orthogonal queries miss every band") {
     implicit val sqlCtx = spark.sqlContext
