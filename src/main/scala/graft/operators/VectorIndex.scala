@@ -57,14 +57,20 @@ object VectorIndex {
       .limit(k)
       .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
         col("nq").as("cnq"))
+    // argmax as a hash AGGREGATION, not a window: min(struct(-cos,
+    // c_id)) is the same ranking (cos desc, ties to the smaller
+    // centroid id; a null cos — zero-norm vector — ranks last via
+    // +Inf, like desc nulls-last), but partial aggregation collapses
+    // the n x k scored rows to n map-side BEFORE the shuffle, where a
+    // row_number window would shuffle and sort all n x k rows.
     val cellOf = e.crossJoin(broadcast(cent))
       .withColumn("dot", VectorOps.dot("cqe", "qe"))
       .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc,
-          col("c_id").asc)))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(
+        coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
+        col("c_id").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
     IvfIndex(cent, e.join(cellOf, Seq("vec_id"))
       .select("vec_id", "cell", "qe", "nq"))
   }

@@ -300,18 +300,21 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
         val cent = sampledCentroids(e, k)
         // Materialize ONLY the skinny (vec_id, cell) assignment — the
-        // expensive part is the crossJoin+window, and checkpointing the
+        // expensive part is the crossJoin+argmax, and checkpointing the
         // qe/nq payload alongside it (as before) tripled the checkpoint
         // IO for no reuse benefit; payloads re-attach via one equi-join.
+        // The argmax is a hash AGGREGATION (min(struct(-cos, c_id)) =
+        // cos desc, ties to the smaller c_id): partial aggregation
+        // collapses n x k scored rows to n map-side before the
+        // shuffle, where a row_number window would shuffle+sort n x k.
         val cellOf = e.crossJoin(broadcast(cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id")
-              .orderBy(col("cos").desc, col("c_id").asc)))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("c_id").as("cell"))
+          .groupBy("vec_id")
+          .agg(min(struct(
+            coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
+            col("c_id").as("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cell"))
           .localCheckpoint()
         val assigned = e.join(cellOf, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("qe"), col("nq"),
@@ -373,25 +376,31 @@ object SimilarityQueries extends QueryPack {
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
         val cent = sampledCentroids(e, k)
-        val ranked = e.crossJoin(broadcast(cent))
+        val scored = e.crossJoin(broadcast(cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+        // corpus assignment: hash-agg argmax (min(struct(-cos, c_id))
+        // = cos desc, ties to the smaller c_id) — partial aggregation
+        // collapses n x k scored rows to n map-side; the top-2 window
+        // below runs only over the QUERY subset's n/100 x k rows
+        // (filter pushed below the crossJoin), never the corpus
+        val cellOf = scored.groupBy("vec_id")
+          .agg(min(struct(
+            coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
+            col("c_id").as("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cell"))
+          .localCheckpoint()
+        val assigned = e.join(cellOf, Seq("vec_id"))
+        val qRanked = scored.where(col("vec_id") % 100 === 0)
           .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("vec_id")
+            Window.partitionBy("vec_id")
               .orderBy(col("cos").desc, col("c_id").asc)))
           .where(col("rn") <= 2)
-          .select(col("vec_id"), col("c_id"), col("rn"))
-          .localCheckpoint()
-        val assigned = e.join(
-          ranked.where(col("rn") === 1)
-            .select(col("vec_id"), col("c_id").as("cell")),
-          Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
         val queries = e.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
             col("nq").as("qnq"))
-          .join(ranked.select(col("vec_id").as("query_id"),
-            col("c_id").as("cell")), Seq("query_id"))
+          .join(qRanked, Seq("query_id"))
         val probed = assigned.join(queries, Seq("cell"))
           .where(col("vec_id") =!= col("query_id"))
           .withColumn("dot", VectorOps.dot("qqe", "qe"))

@@ -88,6 +88,17 @@ class OperatorsSpec extends SparkSuite {
     assert(VectorOps.suggestedBandBits(1) === 4)         // floor
   }
 
+  test("suggestedCentroids is sqrt-of-n capped — never linear in n") {
+    assert(VectorOps.suggestedCentroids(500) === 23)
+    assert(VectorOps.suggestedCentroids(2000) === 45)
+    assert(VectorOps.suggestedCentroids(1000000) === 1000)
+    assert(VectorOps.suggestedCentroids(1L << 40) === 4096) // cap
+    assert(VectorOps.suggestedCentroids(1) === 2)           // floor
+    // the broadcast stays bounded: 1000x the corpus, same k at cap
+    assert(VectorOps.suggestedCentroids(1L << 50) ===
+      VectorOps.suggestedCentroids(1L << 40))
+  }
+
   test("saltedAgg equals plain groupBy on a skewed key distribution") {
     // hot key "h" holds 90% of rows; verify exactness of every combine
     val rows = (1 to 900).map(i => ("h", i.toLong)) ++
