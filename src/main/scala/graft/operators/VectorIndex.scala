@@ -75,6 +75,56 @@ object VectorIndex {
       .select("vec_id", "cell", "qe", "nq"))
   }
 
+  /** Lloyd refinement of a built index: `iterations` rounds of
+    * (centroid mean-update, re-assign) — spherical k-means on the
+    * quantized grid. The updated centroid of a cell is the
+    * element-wise mean of its vectors rounded back to the integer
+    * grid: cosine ignores scale, so the mean DIRECTION is the exact
+    * maximizer of the cell's summed cosine for a fixed assignment,
+    * and the follow-up argmax re-assignment can only improve the
+    * objective further (monotone up to the ≤0.5-per-component grid
+    * rounding, spec-bounded). k never grows; a cell left empty by a
+    * re-assignment drops out (standard k-means behavior, k shrinks).
+    *
+    * Cost per iteration, all bounded at any corpus size: one
+    * hash-partitioned (cell, dim) sum for the means (n·d rows, d =
+    * embedding width), one broadcast-argmax re-assignment (same
+    * map-side-collapsing aggregation as [[buildIvf]]). Deterministic:
+    * integer sums, one IEEE division + round per component, ties to
+    * the smaller cell id.
+    */
+  def refine(index: IvfIndex, iterations: Int = 1): IvfIndex = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    var cur = index
+    var i = 0
+    while (i < iterations) {
+      val means = cur.assigned
+        .select(col("cell"), posexplode(col("qe")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          expr("cast(round(s / c) as bigint)").as("v")))).as("pv"))
+        .select(col("cell").as("c_id"),
+          expr("transform(pv, x -> x.v)").as("cqe"))
+        .withColumn("cnq", VectorOps.normSq("cqe"))
+        .localCheckpoint()
+      val e = cur.assigned.select("vec_id", "qe", "nq")
+      val cellOf = e.crossJoin(broadcast(means))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+        .groupBy("vec_id")
+        .agg(min(struct(
+          coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
+          col("c_id").as("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"))
+      cur = IvfIndex(means, e.join(cellOf, Seq("vec_id"))
+        .select("vec_id", "cell", "qe", "nq").localCheckpoint())
+      i += 1
+    }
+    cur
+  }
+
   /** Persist the index: centroids as plain parquet (small, broadcast
     * at probe time); assignments bucketed by CELL so probe joins reuse
     * the write-time partitioning. Bucket metadata lives in the session

@@ -66,6 +66,36 @@ class VectorIndexSpec extends SparkSuite {
     p1.foreach { case (qid, d1) => assert(p2(qid) >= d1) }
   }
 
+  test("refine (Lloyd) never lowers the mean cosine to the assigned " +
+    "centroid, keeps k bounded, and is deterministic") {
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
+    def obj(ix: VectorIndex.IvfIndex): Double =
+      ix.assigned
+        .join(ix.centroids.withColumnRenamed("c_id", "cell"), Seq("cell"))
+        .withColumn("dot", VectorOps.dot("qe", "cqe"))
+        .withColumn("cos", VectorOps.cosine("dot", "nq", "cnq"))
+        .agg(avg("cos")).as[Double].head()
+    val r1 = VectorIndex.refine(idx, 1)
+    val r2 = VectorIndex.refine(idx, 2)
+    assert(r1.centroids.count() <= 4)
+    assert(r2.centroids.count() <= 4)
+    // spherical-k-means monotonicity, up to the integer-grid rounding
+    // of the mean (components are >= 5e4 on the 1e6 grid, so rounding
+    // perturbs cosines well below 1e-4)
+    assert(obj(r1) >= obj(idx) - 1e-4)
+    assert(obj(r2) >= obj(r1) - 1e-4)
+    // deterministic: same input -> same assignment
+    val r1b = VectorIndex.refine(idx, 1)
+    def cells(ix: VectorIndex.IvfIndex) =
+      ix.assigned.select("vec_id", "cell").as[(Long, Long)]
+        .collect().toSet
+    assert(cells(r1) === cells(r1b))
+    // the refined index still answers probes for every query
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(VectorIndex.query(r1, queries).count() === queries.count())
+  }
+
   test("load falls back to parquet on a catalog miss, and a same-named " +
     "catalog table saved to a DIFFERENT path never shadows the files") {
     val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
