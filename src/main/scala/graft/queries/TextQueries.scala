@@ -208,8 +208,10 @@ object TextQueries extends QueryPack {
         // over (q, doc_id): the blend q is the same IEEE expression on
         // both engines and doc_id breaks ties, so bucket edges cannot
         // drift. The window partitions by lang (hash shuffle + in-
-        // partition sort); at 100 TB swap in a per-lang quantile
-        // sketch and broadcast the cut points — same output contract.
+        // partition sort); at 100 TB swap in the sketch path
+        // (operators.Quantiles.quantileBuckets: per-lang GK cut
+        // points from one mergeable aggregation, broadcast back) —
+        // same output contract, exact away from bucket edges.
         val scored = docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
           // zero-token docs would score NULL here but NaN in DuckDB

@@ -88,6 +88,46 @@ class OperatorsSpec extends SparkSuite {
     assert(VectorOps.suggestedBandBits(1) === 4)         // floor
   }
 
+  test("quantileBuckets: sketch deciles are monotone, balanced, and " +
+    "match the exact cume_dist window away from bucket edges") {
+    val rows = for (g <- Seq("en", "fr"); i <- 1 to 500)
+      yield (g, i.toLong, (i * 7919 % 1000) / 1000.0)
+    val df = rows.toDF("lang", "id", "v")
+    val got = Quantiles.quantileBuckets(df, "lang", "v",
+      buckets = 10, accuracy = 100000)
+    assert(got.count() === 1000) // every row keeps exactly one bucket
+    // buckets are monotone in value within each group
+    val viol = got.as("a").join(got.as("b"),
+      col("a.lang") === col("b.lang") && col("a.v") < col("b.v") &&
+        col("a.bucket") > col("b.bucket")).count()
+    assert(viol === 0)
+    // near-exact balance: 500 distinct values/group -> ~50 per decile
+    val sizes = got.groupBy("lang", "bucket").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(n => n >= 45 && n <= 55), sizes.mkString(","))
+    // parity with the exact window path away from the edges: only rows
+    // within 2 ranks of a 50-rank decile edge may differ (GK edge
+    // placement), everything else must match the exact decile
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("v"), col("id"))
+    val exact = df
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("exact_decile",
+        least(ceil(cume_dist().over(w) * 10) - 1, lit(9L)).cast("long"))
+    val offEdge = exact.join(got, Seq("lang", "id", "v"))
+      .withColumn("edge_dist",
+        least(pmod(col("rnk"), lit(50)), lit(50) - pmod(col("rnk"), lit(50))))
+      .where(col("edge_dist") > 2)
+    assert(offEdge.where(col("exact_decile") =!= col("bucket")).count()
+      === 0)
+    // null values rank nowhere: null bucket, row preserved
+    val withNull = Seq(("en", 1L, Some(0.5)), ("en", 2L, None))
+      .toDF("lang", "id", "v")
+    val g2 = Quantiles.quantileBuckets(withNull, "lang", "v", buckets = 2)
+      .select("id", "bucket").as[(Long, Option[Long])].collect().toMap
+    assert(g2(1L).isDefined && g2(2L).isEmpty)
+  }
+
   test("suggestedCentroids is sqrt-of-n capped — never linear in n") {
     assert(VectorOps.suggestedCentroids(500) === 23)
     assert(VectorOps.suggestedCentroids(2000) === 45)
