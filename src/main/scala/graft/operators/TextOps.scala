@@ -116,6 +116,35 @@ object TextOps {
       s"transform(sequence(1, greatest(length($textCol) - ${w - 1}, 1), $step), " +
         s"i -> ${hash64(s"substring($textCol, i, $w)")})")
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003): hash EVERY k-char gram (one md5 per position), then
+    * keep the minimum of each sliding window of `t - k + 1` hashes —
+    * any two documents sharing a substring of length >= t are
+    * GUARANTEED to share a fingerprint, while only ~2/(t-k+2) of
+    * positions are kept. Plain window-min (not the paper's
+    * rightmost-min tie rule) so the selection is a pure expression
+    * both engines reproduce; duplicates collapse via array_distinct.
+    * Texts shorter than t emit an empty array (no guarantee is
+    * possible below the noise threshold).
+    */
+  def winnow(textCol: String, k: Int, t: Int): Column = {
+    require(t >= k, s"guarantee threshold t=$t must be >= gram size k=$k")
+    val win = t - k + 1
+    val gh = s"if(length($textCol) >= $k, " +
+      s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+      s"i -> ${hash64(s"substring($textCol, i, $k)")}), " +
+      "cast(array() as array<bigint>))"
+    // bind the gram-hash array ONCE via a single-element transform
+    // (SQL has no `let`): the per-position md5 pass must not re-run
+    // for the size guard and again per slice
+    expr(
+      s"element_at(transform(array($gh), gh -> " +
+        s"if(size(gh) >= $win, " +
+        s"array_distinct(transform(sequence(1, size(gh) - ${win - 1}), " +
+        s"j -> array_min(slice(gh, j, $win)))), " +
+        "cast(array() as array<bigint>))), 1)")
+  }
+
   /** Exact Jaccard between two array columns (set semantics). */
   def jaccard(a: String, b: String): Column =
     expr(s"size(array_intersect($a, $b)) / " +

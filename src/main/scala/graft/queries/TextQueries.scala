@@ -330,6 +330,62 @@ object TextQueries extends QueryPack {
         "min-fingerprint clustering per source."),
 
     GraftQuery(
+      "q_text_winnow", Seq("P10", "D1", "J11"),
+      (s, dir) => {
+        // Winnowing fingerprint selection (TextOps.winnow: 8-char
+        // grams, guarantee threshold t=11 -> window of 4 hashes):
+        // any >= 11-char shared substring is guaranteed a shared
+        // fingerprint. Per-lang selection stats plus the copy-
+        // detection signal — fingerprints appearing in >= 2 docs —
+        // computed from the exploded skinny (lang, doc_id, fp)
+        // relation: at scale that is the same hash-partitioned
+        // fp-groupBy shape as every other band/bucket pipeline here,
+        // never a doc x doc comparison.
+        val base = docs(s, dir)
+          .withColumn("win", TextOps.winnow("text", k = 8, t = 11))
+        val stats = base.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(size(col("win"))), 4).as("avg_fps"))
+        val fps = base.select(col("lang"), col("doc_id"),
+          explode(col("win")).as("fp"))
+        val shared = fps.groupBy("lang", "fp")
+          .agg(countDistinct("doc_id").as("nd"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_distinct_fps"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L))
+              .as("n_shared_fps"))
+        stats.join(shared, Seq("lang")).orderBy("lang")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, lang,
+            CASE WHEN len(text) >= 8 THEN
+              list_transform(range(1, len(text) - 6),
+                i -> ${dh("substr(text, i, 8)")})
+            ELSE []::BIGINT[] END AS gh
+          FROM documents),
+          w AS (SELECT doc_id, lang,
+            CASE WHEN len(gh) >= 4 THEN
+              list_distinct(list_transform(range(1, len(gh) - 2),
+                j -> list_min(gh[j:j+3])))
+            ELSE []::BIGINT[] END AS win
+          FROM g),
+          s AS (SELECT lang, count(*) AS n_docs,
+              round(avg(len(win)), 4) AS avg_fps FROM w GROUP BY 1),
+          f AS (SELECT lang, doc_id, unnest(win) AS fp FROM w),
+          c AS (SELECT lang, fp, count(DISTINCT doc_id) AS nd
+            FROM f GROUP BY 1, 2),
+          sh AS (SELECT lang, count(*) AS n_distinct_fps,
+              sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                AS n_shared_fps
+            FROM c GROUP BY 1)
+        SELECT s.lang, s.n_docs, s.avg_fps, sh.n_distinct_fps,
+          sh.n_shared_fps
+        FROM s JOIN sh ON sh.lang = s.lang ORDER BY 1"""),
+      "Winnowing fingerprints (8-char grams, window-min over 4 — any " +
+        ">= 11-char shared substring guarantees a shared fingerprint): " +
+        "per-lang selection density + cross-doc shared-fingerprint " +
+        "counts from one fp-keyed groupBy."),
+
+    GraftQuery(
       "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
       (s, dir) => {
         val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
