@@ -37,20 +37,34 @@ object Quantiles {
     *                 default 10000 bounds each sketch partial to a few
     *                 KB while placing edges within 0.01% rank
     */
-  def quantileBuckets(
+  /** Per-group GK-sketch cut points: (groupCol, __graft_cuts) with
+    * buckets-1 interior quantile values per group — the broadcastable
+    * table both [[quantileBuckets]] and the streaming bucket scorer
+    * (`StreamingOps.qualityBucketStream`) join against.
+    */
+  def cutPoints(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       buckets: Int = 10,
       accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
-    require(!df.columns.contains("__graft_cuts"),
-      "quantileBuckets: input already has a __graft_cuts column")
     val ps = (1 until buckets).map(i => i / buckets.toDouble)
-    val cuts = df.where(col(valueCol).isNotNull)
+    df.where(col(valueCol).isNotNull)
       .groupBy(groupCol)
       .agg(expr(s"percentile_approx($valueCol, " +
         s"array(${ps.mkString(",")}), $accuracy)").as("__graft_cuts"))
+  }
+
+  def quantileBuckets(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      buckets: Int = 10,
+      accuracy: Int = 10000): DataFrame = {
+    require(!df.columns.contains("__graft_cuts"),
+      "quantileBuckets: input already has a __graft_cuts column")
+    val cuts = cutPoints(df, groupCol, valueCol, buckets, accuracy)
     df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn("bucket",
         when(col(valueCol).isNull, lit(null))

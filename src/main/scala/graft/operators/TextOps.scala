@@ -145,6 +145,23 @@ object TextOps {
         "cast(array() as array<bigint>))), 1)")
   }
 
+  /** The quality blend q_text_quantile ranks by — 0.4·length-saturation
+    * + 0.4·type-token-ratio + 0.2·(1 − stopword share) — as ONE
+    * expression over the raw text column, so the batch decile query,
+    * the streaming bucket scorer, and the DuckDB oracle share a single
+    * definition. Zero-token docs score null (they have no rank; DuckDB
+    * would NaN on the divide and sort to the opposite window end).
+    */
+  def qualityScore(textCol: String): Column =
+    expr(
+      s"element_at(transform(array(filter(split($textCol, ' '), " +
+        "x -> x != '')), t -> " +
+        "if(size(t) = 0, cast(null as double), " +
+        "0.4 * least(size(t) / 80.0, 1.0) " +
+        "+ 0.4 * (size(array_distinct(t)) / size(t)) " +
+        "+ 0.2 * (1.0 - size(filter(t, x -> " +
+        "array_contains(array('the', 'a'), x))) / size(t)))), 1)")
+
   /** Exact Jaccard between two array columns (set semantics). */
   def jaccard(a: String, b: String): Column =
     expr(s"size(array_intersect($a, $b)) / " +

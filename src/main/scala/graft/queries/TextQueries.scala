@@ -212,20 +212,14 @@ object TextQueries extends QueryPack {
         // (operators.Quantiles.quantileBuckets: per-lang GK cut
         // points from one mergeable aggregation, broadcast back) —
         // same output contract, exact away from bucket edges.
+        // zero-token docs score null (NaN in DuckDB via divide-by-zero,
+        // sorting to the opposite window end) — excluded on BOTH sides.
+        // The blend lives in TextOps.qualityScore, shared with the
+        // streaming bucket scorer (qualityBucketStream).
         val scored = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          // zero-token docs would score NULL here but NaN in DuckDB
-          // (divide-by-zero) and the two sort to opposite window ends
-          // — exclude them explicitly on BOTH sides
-          .where(expr("size(t) > 0"))
-          .selectExpr("doc_id", "lang",
-            "size(t) as n_tok",
-            "size(array_distinct(t)) / size(t) as ttr",
-            "size(filter(t, x -> array_contains(array('the','a'), x))) " +
-              "/ size(t) as stop_ratio")
-          .selectExpr("doc_id", "lang",
-            "0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr " +
-              "+ 0.2 * (1.0 - stop_ratio) as q")
+          .withColumn("q", TextOps.qualityScore("text"))
+          .where(col("q").isNotNull)
+          .select("doc_id", "lang", "q")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("q"), col("doc_id"))
         scored.withColumn("cd", cume_dist().over(w))

@@ -311,6 +311,58 @@ object StreamingOps {
         col("component").isNotNull.as("is_known"), col("component"))
   }
 
+  /** Static side for [[qualityBucketStream]]: per-group quantile cut
+    * points of the corpus quality score (TextOps.qualityScore — the
+    * same blend q_text_quantile ranks by), via the mergeable GK-sketch
+    * aggregation (`Quantiles.cutPoints`). Returned UNPERSISTED — same
+    * caller-owned caching contract as the other static builders.
+    */
+  def qualityCutsStaticSide(
+      corpus: DataFrame, // groupCol, textCol
+      groupCol: String = "lang",
+      textCol: String = "text",
+      buckets: Int = 10,
+      accuracy: Int = 10000): DataFrame =
+    graft.operators.Quantiles.cutPoints(
+      corpus.withColumn("__graft_q",
+        graft.operators.TextOps.qualityScore(textCol)),
+      groupCol, "__graft_q", buckets, accuracy)
+
+  /** Streaming quality bucketing — the streaming twin of
+    * q_text_quantile's "keep the top X% per language" filter: each
+    * arriving doc computes its quality score statelessly and joins the
+    * BROADCAST per-group cut points of the last offline corpus pass
+    * (the production shape: corpus quantiles refresh offline, the
+    * stream scores online — same refresh contract as
+    * [[clusterAssignStream]]). Entirely STATELESS: no aggregation, no
+    * watermark, no state store; one output row per arriving doc with
+    * its score and bucket (0..buckets-1). Docs with no tokens or a
+    * group absent from the corpus cuts get a null bucket — they have
+    * no rank under the corpus distribution.
+    */
+  def qualityBucketStream(
+      docs: DataFrame, // idCol, groupCol, textCol
+      corpus: DataFrame, // groupCol, textCol
+      idCol: String = "doc_id",
+      groupCol: String = "lang",
+      textCol: String = "text",
+      buckets: Int = 10,
+      accuracy: Int = 10000,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val cuts = staticSide.getOrElse(
+      qualityCutsStaticSide(corpus, groupCol, textCol, buckets, accuracy)
+        .persist())
+    docs
+      .withColumn("q", graft.operators.TextOps.qualityScore(textCol))
+      .join(broadcast(cuts), Seq(groupCol), "left")
+      .withColumn("bucket",
+        // a null q must stay null — filter() would treat the null
+        // predicate as "drop" and score the doc into bucket 0
+        when(col("q").isNull, lit(null))
+          .otherwise(expr("size(filter(__graft_cuts, c -> c < q))")))
+      .select(col(idCol), col(groupCol), col("q"), col("bucket"))
+  }
+
   /** Streaming ANN over a static embedding corpus — the streaming twin
     * of q_sim_lsh_ann: the corpus is banded-sign-LSH sketched once
     * (static side, hash-partitioned on band key at scale); each arriving

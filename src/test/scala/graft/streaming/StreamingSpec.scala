@@ -310,6 +310,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quality bucketing scores arriving docs against " +
+    "broadcast corpus cut points; unknown groups and empty docs get " +
+    "null buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus qualities ~0.49 .. 0.66 — the junk arrival scores below
+    // every cut, the clean arrival above any p<=0.9 cut
+    val corpus = Seq(
+      ("c1", "en", "the cat ran far away today"),
+      ("c2", "en", "the a cat sat on a mat"),
+      ("c3", "en", "alpha beta gamma delta epsilon zeta"),
+      ("c4", "en", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "lang", "text")
+    val docs = MemoryStream[(String, String, String)]
+    val out = StreamingOps.qualityBucketStream(
+      docs.toDF().toDF("doc_id", "lang", "text"), corpus, buckets = 2)
+    val q = out.writeStream.format("memory").queryName("qbucket_out")
+      .outputMode("append").start()
+    try {
+      docs.addData(
+        ("d_good", "en", "red orange yellow green blue indigo violet"),
+        ("d_junk", "en", "the the the a a"),
+        ("d_other", "zz", "totally unscored language words here"),
+        ("d_empty", "en", "  "))
+      q.processAllAvailable()
+      val got = spark.table("qbucket_out")
+        .select("doc_id", "bucket")
+        .as[(String, Option[Int])].collect().toMap
+      assert(got("d_good") === Some(1))
+      assert(got("d_junk") === Some(0))
+      assert(got("d_other").isEmpty) // lang has no corpus cuts
+      assert(got("d_empty").isEmpty) // no tokens -> no rank
+    } finally q.stop()
+  }
+
   test("streaming ANN finds the matching corpus vector for arriving " +
     "queries; orthogonal queries miss every band") {
     implicit val sqlCtx = spark.sqlContext
