@@ -543,6 +543,76 @@ object SimilarityQueries extends QueryPack {
         "surface returns the true best cell mate)."),
 
     GraftQuery(
+      "q_sim_ivf_refined", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // One Lloyd iteration over the built index (VectorIndex.refine)
+        // behind the gate: the oracle recomputes the full round —
+        // per-cell integer means rounded to the grid, argmax
+        // re-assignment — independently, so the refinement math (not
+        // just its monotonicity) is engine-verified. Probe shape
+        // identical to q_sim_index_probe.
+        import graft.operators.VectorIndex
+        val emb = Tables.load(s, dir, "embeddings")
+        val nRows = emb.count()
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val idx = VectorIndex.refine(
+          VectorIndex.buildIvf(emb, numCentroids = k), iterations = 1)
+        val queries = emb
+          .where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorIndex.query(idx, queries, nprobe = 1)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored0 AS (SELECT n.vec_id, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned0 AS (SELECT vec_id, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored0)
+                WHERE rn = 1),
+          sums AS (SELECT cell, i, sum(v)::BIGINT AS s,
+                  count(*)::BIGINT AS c
+                FROM (SELECT cell, unnest(qe) AS v,
+                        generate_subscripts(qe, 1) AS i
+                      FROM assigned0)
+                GROUP BY 1, 2),
+          cent1 AS (SELECT cell AS c_id,
+                  list(CAST(round(s * 1.0 / c) AS BIGINT) ORDER BY i)
+                    AS cqe
+                FROM sums GROUP BY 1),
+          cent2 AS (SELECT c_id, cqe,
+                  list_sum(list_transform(cqe, x -> x * x))::BIGINT
+                    AS cnq
+                FROM cent1),
+          scored1 AS (SELECT n.vec_id, n.qe, n.nq, cent2.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent2),
+          assigned1 AS (SELECT vec_id, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored1)
+                WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq, cell
+                FROM assigned1 WHERE vec_id % 100 = 0),
+          probed AS (SELECT q.query_id, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned1 a JOIN q ON a.cell = q.cell),
+          best AS (SELECT query_id, count(*) AS n_cell_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_dot, bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "One gate-verified Lloyd round: per-cell integer means rounded " +
+        "back to the quantization grid, argmax re-assignment, then the " +
+        "standard nprobe=1 probe — the DuckDB oracle recomputes the " +
+        "entire refinement independently."),
+
+    GraftQuery(
       "q_sim_maxsim_target", Seq("A10", "W7", "W8"),
       (s, dir) => {
         val e = quantized(s, dir)
