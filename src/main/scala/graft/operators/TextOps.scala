@@ -145,6 +145,47 @@ object TextOps {
         "cast(array() as array<bigint>))), 1)")
   }
 
+  /** Compiled fast path for [[winnow]]: one md5 per char position and
+    * the window minima in a tight loop — the expression form walks two
+    * lambda interpreters per position (measured 7.5 s -> sub-second at
+    * sf0.1, the same interpreted-HOF tax the simhash kernel paid).
+    * Bit-identical to the expression (same 60-bit md5-derived hash,
+    * same window-min selection, same first-occurrence dedup order,
+    * empty array below the t threshold and for null text — the
+    * expression's if(null-condition) also lands in the else branch),
+    * so DuckDB oracles mirroring the expression are unchanged.
+    */
+  def winnowCompiled(k: Int, t: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(t >= k, s"guarantee threshold t=$t must be >= gram size k=$k")
+    org.apache.spark.sql.functions.udf { text: String =>
+      if (text == null || text.length < t) Array.empty[Long]
+      else {
+        val n = text.length - k + 1
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hs(i) = VectorOps.hash64Scala(text.substring(i, i + k))
+          i += 1
+        }
+        val win = t - k + 1
+        val seen = new java.util.LinkedHashSet[Long]
+        var j = 0
+        while (j + win <= n) {
+          var m = hs(j)
+          var x = j + 1
+          while (x < j + win) { if (hs(x) < m) m = hs(x); x += 1 }
+          seen.add(m)
+          j += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var o = 0
+        while (it.hasNext) { out(o) = it.next(); o += 1 }
+        out
+      }
+    }
+  }
+
   /** The quality blend q_text_quantile ranks by — 0.4·length-saturation
     * + 0.4·type-token-ratio + 0.2·(1 − stopword share) — as ONE
     * expression over the raw text column, so the batch decile query,

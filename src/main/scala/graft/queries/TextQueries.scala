@@ -326,17 +326,19 @@ object TextQueries extends QueryPack {
     GraftQuery(
       "q_text_winnow", Seq("P10", "D1", "J11"),
       (s, dir) => {
-        // Winnowing fingerprint selection (TextOps.winnow: 8-char
-        // grams, guarantee threshold t=11 -> window of 4 hashes):
-        // any >= 11-char shared substring is guaranteed a shared
-        // fingerprint. Per-lang selection stats plus the copy-
-        // detection signal — fingerprints appearing in >= 2 docs —
-        // computed from the exploded skinny (lang, doc_id, fp)
-        // relation: at scale that is the same hash-partitioned
-        // fp-groupBy shape as every other band/bucket pipeline here,
-        // never a doc x doc comparison.
+        // Winnowing fingerprint selection (8-char grams, guarantee
+        // threshold t=11 -> window of 4 hashes): any >= 11-char shared
+        // substring is guaranteed a shared fingerprint. Per-lang
+        // selection stats plus the copy-detection signal —
+        // fingerprints appearing in >= 2 docs — computed from the
+        // exploded skinny (lang, doc_id, fp) relation: at scale that
+        // is the same hash-partitioned fp-groupBy shape as every other
+        // band/bucket pipeline here, never a doc x doc comparison.
+        // Compiled kernel (one md5 per position; the expression twin
+        // pays two interpreted lambdas per position — 7.5 s -> <1 s at
+        // sf0.1), bit-parity pinned by OperatorsSpec.
         val base = docs(s, dir)
-          .withColumn("win", TextOps.winnow("text", k = 8, t = 11))
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
         val stats = base.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg(size(col("win"))), 4).as("avg_fps"))

@@ -346,6 +346,40 @@ class OperatorsSpec extends SparkSuite {
         .where(col("e") =!= col("c")).count()
       assert(diff === 0L, s"bits=$bits")
     }
+    // null propagation matches the expression twins: null in, null out
+    // (the expression simhash of a null array is null; tokens() of a
+    // null text is null)
+    val nulls = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .withColumn("t", TextOps.tokens("text"))
+    val r = nulls
+      .withColumn("c", TextOps.simhashCompiled(32)(col("t")))
+      .withColumn("ss", TextOps.shinglesAndSignature(3, 9)(col("text")))
+      .select(col("c").isNull, col("ss").isNull).as[(Boolean, Boolean)]
+      .head()
+    assert(r === ((true, true)))
+  }
+
+  test("winnowCompiled is bit-identical to the winnow expression") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog at dawn today",
+      "pack my box with five dozen liquor jugs",
+      "aaaaaaaaaaaaaaaa", // degenerate: one repeated gram hash
+      "exactly11ch", // length == t: exactly one window
+      "tooshort", // length in [k, t): grams exist, no window
+      "tiny") // length < k: no grams at all
+    val df = texts.toDF("text")
+    val diff = df
+      .withColumn("e", TextOps.winnow("text", k = 8, t = 11))
+      .withColumn("c", TextOps.winnowCompiled(8, 11)(col("text")))
+      .where(col("e") =!= col("c")).count()
+    assert(diff === 0L)
+    // null text: the expression's null guard lands in the else branch
+    // (empty array), the kernel matches
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .withColumn("e", TextOps.winnow("text", k = 8, t = 11))
+      .withColumn("c", TextOps.winnowCompiled(8, 11)(col("text")))
+      .selectExpr("size(e)", "size(c)").as[(Int, Int)].head()
+    assert(n === ((0, 0)))
   }
 
   test("sessionize splits on gap") {
