@@ -44,6 +44,25 @@ object TextQueries extends QueryPack {
       .select("doc_id", "gkey")
   }
 
+  /** DuckDB twin of TextOps.winnow(k=8, t=11) over `documents`: CTE
+    * chain ending in `w(doc_id, lang, source, win)` — shared by
+    * q_text_winnow and q_text_contamination so the selection geometry
+    * cannot drift between them.
+    */
+  private lazy val duckWinnow: String =
+    s"""g AS (SELECT doc_id, lang, source,
+          CASE WHEN len(text) >= 8 THEN
+            list_transform(range(1, len(text) - 6),
+              i -> ${dh("substr(text, i, 8)")})
+          ELSE []::BIGINT[] END AS gh
+        FROM documents),
+        w AS (SELECT doc_id, lang, source,
+          CASE WHEN len(gh) >= 4 THEN
+            list_distinct(list_transform(range(1, len(gh) - 2),
+              j -> list_min(gh[j:j+3])))
+          ELSE []::BIGINT[] END AS win
+        FROM g)"""
+
   /** DuckDB twin of [[dedupMembership]] + connected components: CTE
     * chain ending in `comp(doc_id, canonical)`; prefix with
     * `WITH RECURSIVE`.
@@ -352,18 +371,7 @@ object TextQueries extends QueryPack {
               .as("n_shared_fps"))
         stats.join(shared, Seq("lang")).orderBy("lang")
       },
-      Some(s"""WITH g AS (SELECT doc_id, lang,
-            CASE WHEN len(text) >= 8 THEN
-              list_transform(range(1, len(text) - 6),
-                i -> ${dh("substr(text, i, 8)")})
-            ELSE []::BIGINT[] END AS gh
-          FROM documents),
-          w AS (SELECT doc_id, lang,
-            CASE WHEN len(gh) >= 4 THEN
-              list_distinct(list_transform(range(1, len(gh) - 2),
-                j -> list_min(gh[j:j+3])))
-            ELSE []::BIGINT[] END AS win
-          FROM g),
+      Some(s"""WITH $duckWinnow,
           s AS (SELECT lang, count(*) AS n_docs,
               round(avg(len(win)), 4) AS avg_fps FROM w GROUP BY 1),
           f AS (SELECT lang, doc_id, unnest(win) AS fp FROM w),
@@ -380,6 +388,63 @@ object TextQueries extends QueryPack {
         ">= 11-char shared substring guarantees a shared fingerprint): " +
         "per-lang selection density + cross-doc shared-fingerprint " +
         "counts from one fp-keyed groupBy."),
+
+    GraftQuery(
+      "q_text_contamination", Seq("P10", "D1", "J7"),
+      (s, dir) => {
+        // Benchmark decontamination — the step every training-data
+        // pipeline runs before shipping a corpus: score each corpus
+        // doc's winnowed-fingerprint overlap with the eval set (source
+        // src0 plays the benchmark; winnowing guarantees any
+        // >= 11-char verbatim overlap contributes) and flag docs whose
+        // overlap RATIO (shared fps / own fps — length-normalized, the
+        // standard contamination metric shape) reaches 0.75. The eval
+        // fingerprint set is DISTINCT'd and broadcast — eval sets are
+        // tiny next to the corpus at any real scale — so the only
+        // shuffled relation is the corpus's skinny (doc_id, fp)
+        // explode, and the score comes back through one fp equi-join +
+        // per-doc count. Both engines compute the ratio from identical
+        // integers, so the threshold cannot flip between them.
+        val base = docs(s, dir)
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+        val evalFps = base.where(col("source") === "src0")
+          .select(explode(col("win")).as("fp")).distinct()
+        val corpus = base.where(col("source") =!= "src0" &&
+            size(col("win")) > 0)
+          .select("doc_id", "lang", "win")
+        val shared = corpus
+          .select(col("doc_id"), explode(col("win")).as("fp"))
+          .join(broadcast(evalFps), Seq("fp"))
+          .groupBy("doc_id").agg(countDistinct("fp").as("nfp"))
+        corpus.join(shared, Seq("doc_id"), "left")
+          .withColumn("ratio",
+            coalesce(col("nfp"), lit(0L)) / size(col("win")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ratio") >= 0.75, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            round(avg("ratio"), 4).as("avg_overlap"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $duckWinnow,
+          e AS (SELECT DISTINCT unnest(win) AS fp FROM w
+            WHERE source = 'src0'),
+          c AS (SELECT doc_id, lang, win FROM w
+            WHERE source != 'src0' AND len(win) > 0),
+          cf AS (SELECT doc_id, unnest(win) AS fp FROM c),
+          n AS (SELECT cf.doc_id, count(DISTINCT cf.fp) AS nfp
+            FROM cf JOIN e ON cf.fp = e.fp GROUP BY 1)
+        SELECT c.lang, count(*) AS n_docs,
+          sum(CASE WHEN coalesce(n.nfp, 0) * 1.0 / len(c.win) >= 0.75
+            THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+          round(avg(coalesce(n.nfp, 0) * 1.0 / len(c.win)), 4)
+            AS avg_overlap
+        FROM c LEFT JOIN n ON n.doc_id = c.doc_id
+        GROUP BY 1 ORDER BY 1"""),
+      "Benchmark decontamination: length-normalized winnowed-" +
+        "fingerprint overlap of each corpus doc vs the (broadcast) " +
+        "eval set, flagged at ratio >= 0.75 — catches >= 11-char " +
+        "verbatim overlap, one fp equi-join, no doc x doc comparison."),
 
     GraftQuery(
       "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
