@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed running totals — the two-phase scan that replaces a
+  * per-group cumsum WINDOW at corpus scale. A window
+  * `sum over (partition by g order by o)` shuffles every row of a
+  * group to ONE task and sorts there: a hot group (one language ≈ half
+  * a corpus) becomes a single-task straggler. The scan shape instead:
+  *
+  *  1. range-partition by (group, order) — globally sorted across
+  *     partitions, groups span partition boundaries freely — and
+  *     freeze the layout with an eager localCheckpoint so both passes
+  *     see identical partitions;
+  *  2. per (partition, group) local totals — one tiny row each,
+  *     collected to the driver (numPartitions × groups-touching-a-
+  *     boundary rows, KBs at any scale);
+  *  3. per-partition offsets = sum of the same group's totals in
+  *     earlier partitions, broadcast back; a second pass adds local
+  *     running sums to the offset.
+  *
+  * Every row is touched exactly twice, no per-group sort task, and the
+  * driver state is proportional to partition count, not rows.
+  *
+  * Reference analog: generation-cumulative compound counts in the
+  * expansion loop (pickaxe.py prints running totals per generation);
+  * the training-data use is sequence packing (q_text_pack).
+  */
+object PrefixSum {
+
+  /** Append `outCol`: the sum of `valueCol` over all EARLIER rows of
+    * the same `groupCol` in (`orderCol` ascending) order — exclusive
+    * prefix sum, 0 for each group's first row. `orderCol` must be
+    * unique within a group (it is the total order); `valueCol` must be
+    * a non-null bigint.
+    */
+  def runningTotal(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      valueCol: String,
+      numPartitions: Int = 0,
+      outCol: String = "cum_before"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"runningTotal: input already has a $outCol column")
+    val spark = df.sparkSession
+    val base =
+      if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, col(groupCol), col(orderCol))
+      else df.repartitionByRange(col(groupCol), col(orderCol))
+    val ranged = base.sortWithinPartitions(groupCol, orderCol)
+      .localCheckpoint() // freeze layout: both passes see the same rows
+    val gi = ranged.schema.fieldIndex(groupCol)
+    val vi = ranged.schema.fieldIndex(valueCol)
+    // phase 1: per-(partition, group) totals — tiny
+    val totals: Array[(Int, Any, Long)] = ranged.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val g = r.get(gi)
+          sums(g) = sums.getOrElse(g, 0L) + r.getLong(vi)
+        }
+        sums.iterator.map { case (g, s) => (pid, g, s) }
+      }.collect()
+    // offsets: for (pid, g), the sum of g's totals in earlier pids
+    val byGroup = totals.groupBy(_._2)
+    val offset: Map[(Int, Any), Long] = totals.map { case (pid, g, _) =>
+      (pid, g) -> byGroup(g).filter(_._1 < pid).map(_._3).sum
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offset)
+    // phase 2: local running sum + broadcast offset
+    val outSchema = StructType(ranged.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gi)
+        val before =
+          running.getOrElse(g, bc.value.getOrElse((pid, g), 0L))
+        running(g) = before + r.getLong(vi)
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -447,6 +447,46 @@ object TextQueries extends QueryPack {
         "verbatim overlap, one fp equi-join, no doc x doc comparison."),
 
     GraftQuery(
+      "q_text_pack", Seq("D9", "W1", "A8"),
+      (s, dir) => {
+        // Sequence packing — the "concat docs in order, chunk at the
+        // context budget" step that turns a corpus into training
+        // batches: per-lang docs in doc_id order, a doc joins the pack
+        // where its first token lands (pack_id = exclusive-prefix
+        // token count div 512). The prefix sum runs as the TWO-PHASE
+        // SCAN (PrefixSum.runningTotal: range partition + tiny
+        // per-partition totals + broadcast offsets), not a per-lang
+        // window — a hot language would otherwise sort on one task.
+        // The DuckDB oracle recomputes the identical assignment with
+        // its window cumsum, pinning the scan's exactness.
+        val sized = docs(s, dir)
+          .withColumn("n_tok",
+            expr(s"cast(size($sparkToks) as bigint)"))
+          .select("doc_id", "lang", "n_tok")
+        graft.operators.PrefixSum
+          .runningTotal(sized, "lang", "doc_id", "n_tok")
+          .withColumn("pack_id", expr("cum_before div 512"))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("sum_tokens"))
+          .orderBy("lang", "pack_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang,
+            len($duckToks)::BIGINT AS n_tok FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+            coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM d)
+        SELECT lang, (cum_before // 512)::BIGINT AS pack_id,
+          count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Sequence packing at a 512-token budget: per-lang exclusive " +
+        "prefix token counts via the two-phase distributed scan (range " +
+        "partitions + broadcast offsets — no per-group window sort), " +
+        "chunked into pack ids; per-pack doc and token counts."),
+
+    GraftQuery(
       "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
       (s, dir) => {
         val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)

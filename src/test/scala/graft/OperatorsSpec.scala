@@ -382,6 +382,34 @@ class OperatorsSpec extends SparkSuite {
     assert(n === ((0, 0)))
   }
 
+  test("runningTotal (two-phase scan) matches the window cumsum, " +
+    "including groups spanning partition boundaries") {
+    // hot group of 400 rows forced across 4 range partitions
+    val rows = for (g <- Seq("a", "b", "hot");
+        i <- 1 to (if (g == "hot") 400 else 50))
+      yield (g, i.toLong, ((i * 13) % 7 + 1).toLong)
+    val df = rows.toDF("g", "o", "v")
+    val got = PrefixSum.runningTotal(df, "g", "o", "v",
+        numPartitions = 4)
+      .select("g", "o", "cum_before").as[(String, Long, Long)]
+      .collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("o")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val want = df
+      .withColumn("cum_before", coalesce(sum("v").over(w), lit(0L)))
+      .select("g", "o", "cum_before").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got === want)
+    assert(got.size === 500)
+    val boom = intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(
+        df.withColumn("cum_before", lit(0L)), "g", "o", "v")
+    }
+    assert(boom.getMessage.contains("cum_before"))
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
