@@ -363,6 +363,68 @@ object StreamingOps {
       .select(col(idCol), col(groupCol), col("q"), col("bucket"))
   }
 
+  /** Static side for [[contaminationStream]]: the eval/benchmark set's
+    * distinct winnowed fingerprints (TextOps.winnowCompiled — same
+    * k/t geometry as batch q_text_contamination). Eval sets are tiny,
+    * so this broadcasts at any corpus scale. Returned UNPERSISTED —
+    * caller-owned caching contract as usual.
+    */
+  def contaminationStaticSide(
+      evalSet: DataFrame, // textCol
+      textCol: String = "text",
+      gramK: Int = 8,
+      guaranteeT: Int = 11): DataFrame =
+    evalSet
+      .withColumn("__graft_win",
+        graft.operators.TextOps.winnowCompiled(gramK, guaranteeT)(
+          col(textCol)))
+      .select(explode(col("__graft_win")).as("fp")).distinct()
+
+  /** Streaming benchmark decontamination — the streaming twin of
+    * q_text_contamination: each arriving doc winnows its fingerprints
+    * statelessly, left-joins the BROADCAST eval fingerprint set, and a
+    * watermarked per-(window, doc) aggregation folds the fp rows to
+    * one verdict: overlap ratio (shared fps / own fps, the same
+    * length-normalized metric as batch) and a contaminated flag at
+    * `flagRatio`. Docs shorter than the guarantee threshold have no
+    * fingerprints and emit NO verdict row (no overlap is measurable).
+    * State is bounded by the watermark; the eval set refreshes
+    * offline like the other static sides.
+    */
+  def contaminationStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      evalSet: DataFrame, // textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      gramK: Int = 8,
+      guaranteeT: Int = 11,
+      flagRatio: Double = 0.75,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val evalFps = staticSide.getOrElse(
+      contaminationStaticSide(evalSet, textCol, gramK, guaranteeT)
+        .persist())
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__graft_win",
+        graft.operators.TextOps.winnowCompiled(gramK, guaranteeT)(
+          col(textCol)))
+      .where(size(col("__graft_win")) > 0)
+      .select(col(idCol), col(tsCol),
+        explode(col("__graft_win")).as("fp"))
+      .join(broadcast(evalFps.withColumn("__graft_hit", lit(1L))),
+        Seq("fp"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("__graft_hit"), lit(0L))).as("n_shared"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("n_fps"), col("n_shared"),
+        (col("n_shared") / col("n_fps")).as("overlap"),
+        (col("n_shared") / col("n_fps") >= flagRatio)
+          .as("contaminated"))
+  }
+
   /** Streaming ANN over a static embedding corpus — the streaming twin
     * of q_sim_lsh_ann: the corpus is banded-sign-LSH sketched once
     * (static side, hash-partitioned on band key at scale); each arriving

@@ -344,6 +344,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags verbatim eval overlap; clean " +
+    "docs pass; sub-threshold docs emit no verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq(
+      Tuple1("the quick brown fox jumps over the lazy dog at dawn"))
+      .toDF("text")
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingOps.contaminationStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), evalSet)
+    val q = out.writeStream.format("memory").queryName("contam_out")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      docs.addData(
+        // verbatim copy of the eval doc: every fingerprint shared
+        ("d_copy", "the quick brown fox jumps over the lazy dog at dawn",
+          t(0)),
+        // unrelated text: zero shared fingerprints
+        ("d_clean", "completely different words about spark catalyst " +
+          "plans and shuffle partitions everywhere", t(1)),
+        // below the 11-char guarantee threshold: no fingerprints
+        ("d_tiny", "hello", t(2)))
+      q.processAllAvailable()
+      val got = spark.table("contam_out")
+        .select("doc_id", "contaminated", "overlap")
+        .as[(String, Boolean, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("d_copy") === ((true, 1.0)))
+      assert(got("d_clean")._1 === false)
+      assert(got("d_clean")._2 === 0.0)
+      assert(!got.contains("d_tiny"))
+    } finally q.stop()
+  }
+
   test("streaming ANN finds the matching corpus vector for arriving " +
     "queries; orthogonal queries miss every band") {
     implicit val sqlCtx = spark.sqlContext
