@@ -45,6 +45,11 @@ object PrefixSum {
       outCol: String = "cum_before"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"runningTotal: input already has a $outCol column")
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"runningTotal: $valueCol must be bigint, got " +
+        s"${df.schema(valueCol).dataType} (cast before calling — " +
+        "getLong on another type fails row by row at runtime)")
     val spark = df.sparkSession
     val base =
       if (numPartitions > 0)

@@ -487,6 +487,52 @@ object TextQueries extends QueryPack {
         "chunked into pack ids; per-pack doc and token counts."),
 
     GraftQuery(
+      "q_text_repetition", Seq("P9", "A8", "D1"),
+      (s, dir) =>
+        // Repetition quality signals (the Gopher-style filters a
+        // training pipeline applies before anything else): duplicate-
+        // bigram fraction (1 - distinct/total) and top-token share
+        // (most frequent token's share of the doc) — both pure array
+        // expressions in one projection, aggregated per language.
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) >= 2"))
+          .withColumn("bg", expr(
+            "transform(sequence(1, size(t) - 1), i -> " +
+              "concat_ws(' ', element_at(t, i), element_at(t, i+1)))"))
+          .selectExpr("lang",
+            "1.0 - size(array_distinct(bg)) / size(bg) as dup_bg",
+            "array_max(transform(array_distinct(t), x -> " +
+              "size(filter(t, y -> y = x)))) / size(t) as top_tok")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("dup_bg"), 4).as("avg_dup_bigram"),
+            round(max("dup_bg"), 4).as("max_dup_bigram"),
+            round(avg("top_tok"), 4).as("avg_top_token"),
+            round(max("top_tok"), 4).as("max_top_token"))
+          .orderBy("lang"),
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+          m AS (SELECT lang,
+              list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1]) AS bg, t
+            FROM d WHERE len(t) >= 2),
+          r AS (SELECT lang,
+              1.0 - len(list_distinct(bg)) / len(bg) AS dup_bg,
+              list_max(list_transform(list_distinct(t), x ->
+                len(list_filter(t, y -> y = x)))) / len(t) AS top_tok
+            FROM m)
+        SELECT lang, count(*) AS n_docs,
+          round(avg(dup_bg), 4) AS avg_dup_bigram,
+          round(max(dup_bg), 4) AS max_dup_bigram,
+          round(avg(top_tok), 4) AS avg_top_token,
+          round(max(top_tok), 4) AS max_top_token
+        FROM r GROUP BY 1 ORDER BY 1"""),
+      "Repetition quality signals: duplicate-bigram fraction and " +
+        "top-token share per doc (one codegen'd projection), " +
+        "per-language aggregates — the pre-filter every training " +
+        "pipeline runs."),
+
+    GraftQuery(
       "q_dedup_minhash_lsh", Seq("D1", "D8", "J11"),
       (s, dir) => {
         val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
