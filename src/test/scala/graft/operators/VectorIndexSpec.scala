@@ -66,6 +66,16 @@ class VectorIndexSpec extends SparkSuite {
     p1.foreach { case (qid, d1) => assert(p2(qid) >= d1) }
   }
 
+  test("centroid sampling plans as a distributed partial top-k, not a " +
+    "global sort") {
+    val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
+    val plan = idx.centroids.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (partial top-k) in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"centroid sample must not globally sort the corpus:\n$plan")
+  }
+
   test("refine (Lloyd) never lowers the mean cosine to the assigned " +
     "centroid, keeps k bounded, and is deterministic") {
     val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
