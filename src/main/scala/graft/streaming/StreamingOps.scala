@@ -593,6 +593,46 @@ object StreamingOps {
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
 
+  final case class PackDoc(lang: String, docId: Long, nTok: Long)
+  final case class PackedDoc(
+      lang: String, docId: Long, nTok: Long, packId: Long)
+  final case class PackState(cumTokens: Long)
+
+  /** Streaming sequence packing — the stateful continuation of
+    * q_text_pack's concat-and-chunk: per-language cumulative token
+    * counts live in keyed state, so pack ids stay MONOTONE across
+    * micro-batches (a doc's pack = its exclusive running-total div
+    * `budget`, exactly the batch rule — a batch re-pack of the same
+    * arrival order reproduces the stream's assignment). Within a
+    * micro-batch a group's docs pack in docId order; across batches
+    * the order is arrival order — the contract of any online packer
+    * (a late doc packs where it ARRIVES; re-ordering would mean
+    * re-writing shipped packs). State is one counter per language —
+    * bounded by language cardinality, no timeout needed.
+    */
+  def packStream(
+      docs: Dataset[PackDoc],
+      budget: Long = 512L): Dataset[PackedDoc] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[PackDoc],
+         state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L))
+          val out = rows.toSeq.sortBy(_.docId).map { d =>
+            val packId = st.cumTokens / budget
+            st = PackState(st.cumTokens + d.nTok)
+            PackedDoc(lang, d.docId, d.nTok, packId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based streaming sessionization with explicit keyed state —
     * emits a row per event annotated with its running session id.
     */

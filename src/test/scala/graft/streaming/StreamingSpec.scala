@@ -448,6 +448,39 @@ class StreamingSpec extends SparkSuite {
     staticDf.unpersist(blocking = true)
   }
 
+  test("streaming sequence packing keeps pack ids monotone across " +
+    "micro-batches via per-language keyed state") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[StreamingOps.PackDoc]
+    val packed = StreamingOps.packStream(docs.toDS(), budget = 10L)
+    val q = packed.toDF().writeStream.format("memory")
+      .queryName("pack_out").outputMode("append").start()
+    try {
+      // batch 1: en cumulative 0,6,12 -> packs 0,0,1; fr starts its own
+      docs.addData(
+        StreamingOps.PackDoc("en", 1L, 6L),
+        StreamingOps.PackDoc("en", 2L, 6L),
+        StreamingOps.PackDoc("en", 3L, 6L),
+        StreamingOps.PackDoc("fr", 10L, 9L))
+      q.processAllAvailable()
+      // batch 2: en continues at 18 -> pack 1; fr at 9 -> pack 0
+      docs.addData(
+        StreamingOps.PackDoc("en", 4L, 6L),
+        StreamingOps.PackDoc("fr", 11L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("pack_out")
+        .select("lang", "docId", "packId")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got(("en", 1L)) === 0L)
+      assert(got(("en", 2L)) === 0L)
+      assert(got(("en", 3L)) === 1L)
+      assert(got(("en", 4L)) === 1L) // state carried: cum 18 div 10
+      assert(got(("fr", 10L)) === 0L)
+      assert(got(("fr", 11L)) === 0L) // fr cum 9 still inside pack 0
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
