@@ -52,13 +52,24 @@ object Bench {
     println(line)
     // The driver's recorded BENCH tail truncates, losing per-query
     // numbers past ~2000 chars — also write the COMPLETE line to a
-    // committed artifact so every round's judge can compare all queries.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullPath), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fullPath: $e")
+    // committed artifact so every round's judge can compare all
+    // queries. Only sf0.1 runs touch the default artifact (a local
+    // sf0.01 debug run must not clobber the committed sf0.1 baseline
+    // — per-sf lines are not comparable); any explicit
+    // SPARK_GRAFT_BENCH_FULL path is honored as given.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some("BENCH_FULL.json")
+        else None)
+    fullPath match {
+      case Some(p) =>
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p), line + "\n")
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write $p: $e")
+        }
+      case None =>
+        System.err.println(
+          s"[bench] sf=$sfDir: skipping BENCH_FULL.json (sf0.1 only)")
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: " +

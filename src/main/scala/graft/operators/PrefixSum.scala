@@ -14,9 +14,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     partitions, groups span partition boundaries freely — and
   *     freeze the layout with an eager localCheckpoint so both passes
   *     see identical partitions;
-  *  2. per (partition, group) local totals — one tiny row each,
-  *     collected to the driver (numPartitions × groups-touching-a-
-  *     boundary rows, KBs at any scale);
+  *  2. per-partition totals for the groups that can TOUCH a partition
+  *     boundary — only each partition's first and last group, since
+  *     range partitioning keeps a group's rows contiguous — collected
+  *     to the driver: ≤ 2 rows per partition regardless of group
+  *     cardinality (a billion-group input collects the same few KB);
   *  3. per-partition offsets = sum of the same group's totals in
   *     earlier partitions, broadcast back; a second pass adds local
   *     running sums to the offset.
@@ -59,15 +61,36 @@ object PrefixSum {
       .localCheckpoint() // freeze layout: both passes see the same rows
     val gi = ranged.schema.fieldIndex(groupCol)
     val vi = ranged.schema.fieldIndex(valueCol)
-    // phase 1: per-(partition, group) totals — tiny
+    // phase 1: totals for boundary-capable groups only. Rows arrive
+    // sorted by (group, order), so a group interior to the partition
+    // (neither its first nor its last group) cannot continue into a
+    // neighbor — it needs no offset and is NOT collected: driver
+    // state is <= 2 rows per partition at ANY group cardinality.
     val totals: Array[(Int, Any, Long)] = ranged.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r =>
-          val g = r.get(gi)
-          sums(g) = sums.getOrElse(g, 0L) + r.getLong(vi)
+        if (!it.hasNext) Iterator.empty
+        else {
+          var firstG: Any = null
+          var firstSum = 0L
+          var curG: Any = null
+          var curSum = 0L
+          var started = false
+          it.foreach { r =>
+            val g = r.get(gi)
+            val v = r.getLong(vi)
+            if (!started) {
+              started = true; firstG = g; firstSum = v
+              curG = g; curSum = v
+            } else if (g == curG) {
+              curSum += v
+              if (g == firstG) firstSum += v
+            } else {
+              curG = g; curSum = v
+            }
+          }
+          if (firstG == curG) Iterator((pid, firstG, firstSum))
+          else Iterator((pid, firstG, firstSum), (pid, curG, curSum))
         }
-        sums.iterator.map { case (g, s) => (pid, g, s) }
       }.collect()
     // offsets: for (pid, g), the sum of g's totals in earlier pids
     val byGroup = totals.groupBy(_._2)

@@ -186,6 +186,27 @@ object TextOps {
     }
   }
 
+  /** Compiled top-token count: one hash-map pass per doc instead of
+    * the expression form's O(distinct × n) nested interpreted lambdas
+    * (`array_max(transform(array_distinct(t), x -> size(filter(t,
+    * y -> y = x))))`) — the quadratic blow-up lands exactly on long
+    * repetitive docs, the documents a repetition filter exists to
+    * catch. Same value (max term frequency), null in -> null out.
+    */
+  def topTokenCountCompiled(): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { toks: Seq[String] =>
+      if (toks == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val counts = new java.util.HashMap[String, Long]
+        var best = 0L
+        toks.foreach { t =>
+          val c = counts.merge(t, 1L, _ + _)
+          if (c > best) best = c
+        }
+        java.lang.Long.valueOf(best)
+      }
+    }
+
   /** The quality blend q_text_quantile ranks by — 0.4·length-saturation
     * + 0.4·type-token-ratio + 0.2·(1 − stopword share) — as ONE
     * expression over the raw text column, so the batch decile query,

@@ -25,6 +25,37 @@ object VectorIndex {
       centroids: DataFrame, // c_id, cqe, cnq
       assigned: DataFrame) // vec_id, cell, qe, nq
 
+  /** Deterministic centroid sample — the k first vectors in
+    * md5(vec_id) order, ties by vec_id — shared by [[buildIvf]] and
+    * the q_sim_ivf_* query pack: the selection must stay bit-identical
+    * between the index surface and the gate oracles, so it has exactly
+    * one definition. Plans as a distributed partial top-k
+    * (TakeOrderedAndProject, spec-pinned). Input needs
+    * (vec_id, qe, nq).
+    */
+  def sampleCentroids(e: DataFrame, k: Int): DataFrame =
+    e.withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
+        col("nq").as("cnq"))
+
+  /** Engine-parity-critical nearest-centroid argmax over a scored
+    * (idCol, c_id, cos) relation, as a map-side-collapsing
+    * AGGREGATION: min(struct(coalesce(-cos, +Inf), c_id)) = cos desc,
+    * ties to the smaller centroid id, null cos (zero-norm vector)
+    * last — identical ranking to a row_number window but partial
+    * aggregation collapses n x k rows to n before the shuffle. One
+    * definition shared by [[buildIvf]], [[refine]], and the
+    * q_sim_ivf_* queries so the tie-break semantics cannot diverge.
+    */
+  def argmaxCell(scored: DataFrame, idCol: String = "vec_id"): DataFrame =
+    scored.groupBy(idCol)
+      .agg(min(struct(
+        coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
+        col("c_id").as("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cell"))
+
   /** Quantize + assign every vector to its nearest centroid (exact
     * integer cosine, ties to the smaller centroid id — identical math
     * to q_sim_ivf_ann, so results are engine-reproducible).
@@ -51,26 +82,11 @@ object VectorIndex {
     val k =
       if (numCentroids > 0) numCentroids
       else VectorOps.suggestedCentroids(vectors.count())
-    val cent = e
-      .withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
-      .orderBy(col("__h"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
-        col("nq").as("cnq"))
-    // argmax as a hash AGGREGATION, not a window: min(struct(-cos,
-    // c_id)) is the same ranking (cos desc, ties to the smaller
-    // centroid id; a null cos — zero-norm vector — ranks last via
-    // +Inf, like desc nulls-last), but partial aggregation collapses
-    // the n x k scored rows to n map-side BEFORE the shuffle, where a
-    // row_number window would shuffle and sort all n x k rows.
-    val cellOf = e.crossJoin(broadcast(cent))
-      .withColumn("dot", VectorOps.dot("cqe", "qe"))
-      .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-      .groupBy("vec_id")
-      .agg(min(struct(
-        coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
-        col("c_id").as("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    val cent = sampleCentroids(e, k)
+    val cellOf = argmaxCell(
+      e.crossJoin(broadcast(cent))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
     IvfIndex(cent, e.join(cellOf, Seq("vec_id"))
       .select("vec_id", "cell", "qe", "nq"))
   }
@@ -110,14 +126,10 @@ object VectorIndex {
         .withColumn("cnq", VectorOps.normSq("cqe"))
         .localCheckpoint()
       val e = cur.assigned.select("vec_id", "qe", "nq")
-      val cellOf = e.crossJoin(broadcast(means))
-        .withColumn("dot", VectorOps.dot("cqe", "qe"))
-        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-        .groupBy("vec_id")
-        .agg(min(struct(
-          coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
-          col("c_id").as("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"))
+      val cellOf = argmaxCell(
+        e.crossJoin(broadcast(means))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
       cur = IvfIndex(means, e.join(cellOf, Seq("vec_id"))
         .select("vec_id", "cell", "qe", "nq").localCheckpoint())
       i += 1
@@ -155,7 +167,10 @@ object VectorIndex {
     */
   def load(spark: SparkSession, name: String, path: String): IvfIndex = {
     val tbl = s"${name}_assigned"
-    val catalogMatchesPath =
+    // Try: tableExists is true for TEMP VIEWS too, but getTableMetadata
+    // only consults the external catalog and would throw — any lookup
+    // failure means "not our saved table", so fall back to the files.
+    val catalogMatchesPath = scala.util.Try {
       spark.catalog.tableExists(tbl) && {
         val loc = spark.sessionState.catalog
           .getTableMetadata(
@@ -165,6 +180,7 @@ object VectorIndex {
           .toUri.getPath
         new org.apache.hadoop.fs.Path(loc).toUri.getPath == want
       }
+    }.getOrElse(false)
     val assigned =
       if (catalogMatchesPath) spark.table(tbl)
       else spark.read.parquet(s"$path/$tbl")

@@ -81,19 +81,12 @@ object SimilarityQueries extends QueryPack {
           s"the input has $nRows rows -> k=$k; the DuckDB oracle pins the " +
           "sf0.01 constants, so run the gate at sf0.01")
 
-  /** Spark-side IVF centroid sample: the k first vectors in
-    * md5(vec_id) order (ties by vec_id) — a deterministic
-    * pseudo-random sample both engines recompute; plans as a
-    * distributed partial top-k (TakeOrderedAndProject), so centroid
-    * selection is linear in n with a k-row result at any corpus size.
+  /** The IVF centroid sample — ONE definition with the index surface
+    * (VectorIndex.sampleCentroids): the selection is gate-critical and
+    * must stay bit-identical between the query pack and the library.
     */
   private def sampledCentroids(e: DataFrame, k: Int): DataFrame =
-    e.withColumn("__h", expr(
-        graft.operators.TextOps.hash64("cast(vec_id as string)")))
-      .orderBy(col("__h"), col("vec_id"))
-      .limit(k)
-      .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
-        col("nq").as("cnq"))
+    graft.operators.VectorIndex.sampleCentroids(e, k)
 
   /** DuckDB twin of [[sampledCentroids]] at the gate geometry. */
   private val duckCent =
@@ -303,18 +296,13 @@ object SimilarityQueries extends QueryPack {
         // expensive part is the crossJoin+argmax, and checkpointing the
         // qe/nq payload alongside it (as before) tripled the checkpoint
         // IO for no reuse benefit; payloads re-attach via one equi-join.
-        // The argmax is a hash AGGREGATION (min(struct(-cos, c_id)) =
-        // cos desc, ties to the smaller c_id): partial aggregation
-        // collapses n x k scored rows to n map-side before the
-        // shuffle, where a row_number window would shuffle+sort n x k.
-        val cellOf = e.crossJoin(broadcast(cent))
-          .withColumn("dot", VectorOps.dot("cqe", "qe"))
-          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-          .groupBy("vec_id")
-          .agg(min(struct(
-            coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
-            col("c_id").as("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cell"))
+        // VectorIndex.argmaxCell is the shared map-side-collapsing
+        // aggregation (cos desc, ties to the smaller c_id) — one
+        // definition with the index surface.
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
           .localCheckpoint()
         val assigned = e.join(cellOf, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("qe"), col("nq"),
@@ -368,8 +356,9 @@ object SimilarityQueries extends QueryPack {
         // still live in exactly ONE cell, queries probe their TWO
         // nearest cells, so candidates stay a plain cell equi-join
         // (disjoint cells — no dedup needed) and recall rises without
-        // any new shuffle shape. One skinny (vec_id, c_id, rn)
-        // checkpoint feeds both the assignment and the probe list.
+        // any new shuffle shape. Only the skinny (vec_id, cell)
+        // assignment checkpoints; the top-2 probe list recomputes from
+        // the query subset (cheap — see qRanked below).
         // Centroids: same √n-capped md5-ordered sample as q_sim_ivf_ann.
         val nRows = Tables.load(s, dir, "embeddings").count()
         val k = VectorOps.suggestedCentroids(nRows)
@@ -379,16 +368,11 @@ object SimilarityQueries extends QueryPack {
         val scored = e.crossJoin(broadcast(cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
-        // corpus assignment: hash-agg argmax (min(struct(-cos, c_id))
-        // = cos desc, ties to the smaller c_id) — partial aggregation
-        // collapses n x k scored rows to n map-side; the top-2 window
-        // below runs only over the QUERY subset's n/100 x k rows
-        // (filter pushed below the crossJoin), never the corpus
-        val cellOf = scored.groupBy("vec_id")
-          .agg(min(struct(
-            coalesce(-col("cos"), lit(Double.PositiveInfinity)).as("nc"),
-            col("c_id").as("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cell"))
+        // corpus assignment: the shared map-side-collapsing argmax
+        // (VectorIndex.argmaxCell); the top-2 window below runs only
+        // over the QUERY subset's n/100 x k rows (filter pushed below
+        // the crossJoin), never the corpus
+        val cellOf = graft.operators.VectorIndex.argmaxCell(scored)
           .localCheckpoint()
         val assigned = e.join(cellOf, Seq("vec_id"))
         val qRanked = scored.where(col("vec_id") % 100 === 0)

@@ -355,9 +355,13 @@ object TextQueries extends QueryPack {
         // band/bucket pipeline here, never a doc x doc comparison.
         // Compiled kernel (one md5 per position; the expression twin
         // pays two interpreted lambdas per position — 7.5 s -> <1 s at
-        // sf0.1), bit-parity pinned by OperatorsSpec.
+        // sf0.1), bit-parity pinned by OperatorsSpec. Materialized:
+        // stats and the fp explode both read it — without the barrier
+        // the per-position md5 pass runs once per consumer.
         val base = docs(s, dir)
           .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select("doc_id", "lang", "win")
+          .localCheckpoint()
         val stats = base.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg(size(col("win"))), 4).as("avg_fps"))
@@ -405,8 +409,12 @@ object TextQueries extends QueryPack {
         // explode, and the score comes back through one fp equi-join +
         // per-doc count. Both engines compute the ratio from identical
         // integers, so the threshold cannot flip between them.
+        // materialized: the eval side and both corpus uses read it —
+        // without the barrier the winnow kernel runs once per consumer
         val base = docs(s, dir)
           .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select("doc_id", "lang", "source", "win")
+          .localCheckpoint()
         val evalFps = base.where(col("source") === "src0")
           .select(explode(col("win")).as("fp")).distinct()
         val corpus = base.where(col("source") =!= "src0" &&
@@ -492,18 +500,21 @@ object TextQueries extends QueryPack {
         // Repetition quality signals (the Gopher-style filters a
         // training pipeline applies before anything else): duplicate-
         // bigram fraction (1 - distinct/total) and top-token share
-        // (most frequent token's share of the doc) — both pure array
-        // expressions in one projection, aggregated per language.
+        // (most frequent token's share of the doc). The top-token
+        // count uses the compiled one-pass kernel — the expression
+        // form is O(distinct x n) nested lambdas per doc, quadratic
+        // exactly on the long repetitive docs this filter targets
+        // (parity pinned by OperatorsSpec).
         docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
           .where(expr("size(t) >= 2"))
           .withColumn("bg", expr(
             "transform(sequence(1, size(t) - 1), i -> " +
               "concat_ws(' ', element_at(t, i), element_at(t, i+1)))"))
+          .withColumn("top_cnt", TextOps.topTokenCountCompiled()(col("t")))
           .selectExpr("lang",
             "1.0 - size(array_distinct(bg)) / size(bg) as dup_bg",
-            "array_max(transform(array_distinct(t), x -> " +
-              "size(filter(t, y -> y = x)))) / size(t) as top_tok")
+            "top_cnt / size(t) as top_tok")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg("dup_bg"), 4).as("avg_dup_bigram"),

@@ -281,10 +281,14 @@ object StreamingOps {
     * rebuilt static side is swapped in. Between refreshes, assignments
     * are exact for docs hitting one component and conservatively
     * min-canonical for bridge docs; docs assigned null join the corpus
-    * as new cluster seeds at the refresh. Same caching contract as the
-    * other ops: pass a PERSISTED `staticSide` and unpersist it on
-    * query stop, or the internally-built one stays cached for the
-    * session lifetime.
+    * as new cluster seeds at the refresh. Docs shorter than `shingleW`
+    * words have no shingles and emit NO verdict row (same drop as
+    * [[nearDupStream]] — an empty signature would collide every short
+    * doc); a consumer needing every arrival accounted for must treat
+    * absent ids as unclustered. Same caching contract as the other
+    * ops: pass a PERSISTED `staticSide` and unpersist it on query
+    * stop, or the internally-built one stays cached for the session
+    * lifetime.
     */
   def clusterAssignStream(
       docs: DataFrame, // idCol, textCol, tsCol
@@ -349,6 +353,9 @@ object StreamingOps {
       buckets: Int = 10,
       accuracy: Int = 10000,
       staticSide: Option[DataFrame] = None): DataFrame = {
+    require(!docs.columns.contains("q") && !docs.columns.contains("bucket"),
+      "qualityBucketStream: input already has a q/bucket column (these " +
+        "are the op's output names)")
     val cuts = staticSide.getOrElse(
       qualityCutsStaticSide(corpus, groupCol, textCol, buckets, accuracy)
         .persist())

@@ -359,6 +359,27 @@ class OperatorsSpec extends SparkSuite {
     assert(r === ((true, true)))
   }
 
+  test("topTokenCountCompiled equals the array-expression form") {
+    val texts = Seq(
+      "the quick brown fox the quick the",
+      "a a a a a",
+      "unique tokens only here",
+      "x")
+    val df = texts.toDF("text").withColumn("t", TextOps.tokens("text"))
+    val diff = df
+      .withColumn("e", expr("array_max(transform(array_distinct(t), " +
+        "x -> cast(size(filter(t, y -> y = x)) as bigint)))"))
+      .withColumn("c", TextOps.topTokenCountCompiled()(col("t")))
+      .where(col("e") =!= col("c")).count()
+    assert(diff === 0L)
+    // null tokens -> null count
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .withColumn("t", TextOps.tokens("text"))
+      .select(TextOps.topTokenCountCompiled()(col("t")).isNull)
+      .as[Boolean].head()
+    assert(n)
+  }
+
   test("winnowCompiled is bit-identical to the winnow expression") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog at dawn today",
