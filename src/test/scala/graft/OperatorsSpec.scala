@@ -424,6 +424,23 @@ class OperatorsSpec extends SparkSuite {
       .collect().toSet
     assert(got === want)
     assert(got.size === 500)
+    // stress the boundary-only phase-1 collection: 50 groups whose
+    // rows land arbitrarily against partition boundaries, at both a
+    // coarse and a finer-than-the-data partitioning (empty partitions)
+    val many = (for (g <- 1 to 50; i <- 1 to 10)
+      yield (f"g$g%02d", i.toLong, (g * i % 5 + 1).toLong))
+      .toDF("g", "o", "v")
+    val wantMany = many
+      .withColumn("cum_before", coalesce(sum("v").over(w), lit(0L)))
+      .select("g", "o", "cum_before").as[(String, Long, Long)]
+      .collect().toSet
+    for (p <- Seq(8, 64)) {
+      val gotMany = PrefixSum.runningTotal(many, "g", "o", "v",
+          numPartitions = p)
+        .select("g", "o", "cum_before").as[(String, Long, Long)]
+        .collect().toSet
+      assert(gotMany === wantMany, s"numPartitions=$p")
+    }
     val boom = intercept[IllegalArgumentException] {
       PrefixSum.runningTotal(
         df.withColumn("cum_before", lit(0L)), "g", "o", "v")
