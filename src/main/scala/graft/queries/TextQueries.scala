@@ -812,6 +812,10 @@ object TextQueries extends QueryPack {
               bigramHash + "))"))
           .withColumn("bkt", expr("cast(n_chars div 25 as int)"))
           .select("doc_id", "lang", "n_chars", "bkt", "sh")
+          // materialized: BOTH sides of the banded self-join read it —
+          // an interpreted tokenize+hash expression must never be
+          // re-inlined into each side (same rule as the LSH queries)
+          .localCheckpoint()
         val left = base
           .withColumn("jb", explode(expr("array(bkt - 1, bkt, bkt + 1)")))
         left.as("x")
