@@ -27,4 +27,16 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private val rowCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Cached row count for a static table. The parquet count is
+    * footer-metadata-only, but each call still plans and runs a job —
+    * the IVF gate queries all need n for the centroid-count rule, so
+    * one count per (dir, table) per JVM amortizes them. Only valid for
+    * the driver's immutable testdata dirs (documented contract).
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCounts.getOrElseUpdate((sfDir, name), load(spark, sfDir, name).count())
 }

@@ -138,8 +138,11 @@ object ConnectedComponents {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val out = parent.keys.toSeq.map(n => Row(n, find(n)))
+    // spread across defaultParallelism: a 1-partition result would
+    // feed every downstream join/agg a single-task stage
     spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1),
+      spark.sparkContext.parallelize(
+        out, math.max(1, spark.sparkContext.defaultParallelism)),
       StructType(Seq(nodeField, StructField("component",
         nodeField.dataType, nodeField.nullable))))
   }

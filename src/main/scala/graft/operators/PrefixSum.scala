@@ -77,6 +77,10 @@ object PrefixSum {
           var started = false
           it.foreach { r =>
             val g = r.get(gi)
+            if (r.isNullAt(vi))
+              throw new IllegalArgumentException(
+                s"runningTotal: null in value column $valueCol (contract: " +
+                  "non-null bigint) — coalesce before calling")
             val v = r.getLong(vi)
             if (!started) {
               started = true; firstG = g; firstSum = v
@@ -105,6 +109,10 @@ object PrefixSum {
       val running = scala.collection.mutable.HashMap.empty[Any, Long]
       it.map { r =>
         val g = r.get(gi)
+        if (r.isNullAt(vi))
+          throw new IllegalArgumentException(
+            s"runningTotal: null in value column $valueCol (contract: " +
+              "non-null bigint) — coalesce before calling")
         val before =
           running.getOrElse(g, bc.value.getOrElse((pid, g), 0L))
         running(g) = before + r.getLong(vi)

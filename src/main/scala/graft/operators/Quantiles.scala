@@ -56,6 +56,15 @@ object Quantiles {
         s"array(${ps.mkString(",")}), $accuracy)").as("__graft_cuts"))
   }
 
+  /** Append a `bucket` column via a broadcast join against
+    * [[cutPoints]]. The cut table is BROADCAST, so `groupCol` must be
+    * low-cardinality (languages, generations, sources — the documented
+    * uses); a high-cardinality group column makes the cut table itself
+    * large and belongs in a plain shuffled join, not this operator.
+    * The bucket comparison uses the Column-API `filter` lambda — no
+    * SQL-string interpolation, so a value column named `c` (or one
+    * needing backticks) resolves correctly.
+    */
   def quantileBuckets(
       df: DataFrame,
       groupCol: String,
@@ -68,8 +77,8 @@ object Quantiles {
     df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn("bucket",
         when(col(valueCol).isNull, lit(null))
-          .otherwise(expr(
-            s"size(filter(__graft_cuts, c -> c < $valueCol))")))
+          .otherwise(size(filter(col("__graft_cuts"),
+            c => c < col(valueCol)))))
       .drop("__graft_cuts")
   }
 }

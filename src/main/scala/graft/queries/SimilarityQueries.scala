@@ -147,7 +147,7 @@ object SimilarityQueries extends QueryPack {
         // payloads are re-attached afterwards. The sketch table is
         // materialized once (localCheckpoint) so the interpreted-HOF
         // sketch is never inlined into the join.
-        val nRows = Tables.load(s, dir, "embeddings").count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val r = VectorOps.suggestedBandBits(nRows)
         gateCheck(s, nRows, r)
         val e = quantized(s, dir)
@@ -224,7 +224,7 @@ object SimilarityQueries extends QueryPack {
         // re-attach, and the sketch table is materialized once
         // (localCheckpoint) so the interpreted-HOF sketch is never
         // inlined into the join (measured 41s -> 1.1s at sf0.1).
-        val nRows = Tables.load(s, dir, "embeddings").count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val r = VectorOps.suggestedBandBits(nRows)
         gateCheck(s, nRows, r)
         val e = quantized(s, dir)
@@ -287,7 +287,7 @@ object SimilarityQueries extends QueryPack {
         // cells. At scale: the broadcast centroid table is bounded (k
         // never grows linearly with n), assignment work is linear, and
         // the probe is one equi-join on cell id.
-        val nRows = Tables.load(s, dir, "embeddings").count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
@@ -360,7 +360,7 @@ object SimilarityQueries extends QueryPack {
         // assignment checkpoints; the top-2 probe list recomputes from
         // the query subset (cheap — see qRanked below).
         // Centroids: same √n-capped md5-ordered sample as q_sim_ivf_ann.
-        val nRows = Tables.load(s, dir, "embeddings").count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
@@ -437,7 +437,7 @@ object SimilarityQueries extends QueryPack {
         // the oracle is the recomputed-cells SQL.
         import graft.operators.VectorIndex
         val emb = Tables.load(s, dir, "embeddings")
-        val nRows = emb.count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val idx = VectorIndex.buildIvf(emb, numCentroids = k)
@@ -485,7 +485,7 @@ object SimilarityQueries extends QueryPack {
         // the probe list doubles.
         import graft.operators.VectorIndex
         val emb = Tables.load(s, dir, "embeddings")
-        val nRows = emb.count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val idx = VectorIndex.buildIvf(emb, numCentroids = k)
@@ -537,7 +537,7 @@ object SimilarityQueries extends QueryPack {
         // identical to q_sim_index_probe.
         import graft.operators.VectorIndex
         val emb = Tables.load(s, dir, "embeddings")
-        val nRows = emb.count()
+        val nRows = Tables.rowCount(s, dir, "embeddings")
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val idx = VectorIndex.refine(

@@ -356,6 +356,9 @@ object StreamingOps {
     require(!docs.columns.contains("q") && !docs.columns.contains("bucket"),
       "qualityBucketStream: input already has a q/bucket column (these " +
         "are the op's output names)")
+    require(!docs.columns.contains("__graft_cuts"),
+      "qualityBucketStream: input already has a __graft_cuts column " +
+        "(reserved for the broadcast cut table)")
     val cuts = staticSide.getOrElse(
       qualityCutsStaticSide(corpus, groupCol, textCol, buckets, accuracy)
         .persist())
@@ -366,7 +369,7 @@ object StreamingOps {
         // a null q must stay null — filter() would treat the null
         // predicate as "drop" and score the doc into bucket 0
         when(col("q").isNull, lit(null))
-          .otherwise(expr("size(filter(__graft_cuts, c -> c < q))")))
+          .otherwise(size(filter(col("__graft_cuts"), c => c < col("q")))))
       .select(col(idCol), col(groupCol), col("q"), col("bucket"))
   }
 
@@ -616,6 +619,14 @@ object StreamingOps {
     * (a late doc packs where it ARRIVES; re-ordering would mean
     * re-writing shipped packs). State is one counter per language —
     * bounded by language cardinality, no timeout needed.
+    *
+    * Memory note: each (language, micro-batch) group is buffered and
+    * sorted IN MEMORY inside its task (`rows.toSeq.sortBy` — per-batch
+    * docId ordering is inherent to the contract), so per-task memory
+    * is the hot language's share of ONE trigger interval, not of the
+    * stream. On a high-rate source cap the trigger with
+    * `maxOffsetsPerTrigger`/`maxFilesPerTrigger` so that share stays
+    * executor-resident.
     */
   def packStream(
       docs: Dataset[PackDoc],
