@@ -186,6 +186,76 @@ object TextOps {
     }
   }
 
+  /** Positional winnowing — [[winnow]]'s selection with each kept
+    * fingerprint's 1-based char position instead of its hash: window j
+    * keeps the position of its LEFTMOST minimal gram hash (ties to the
+    * first occurrence, matching the compiled kernel's strict `<`),
+    * deduped across windows. The span-level decontamination query maps
+    * matched fingerprints back to the char intervals they cover
+    * ([pos, pos + k - 1]) — the Lee-et-al-style exact-substring
+    * REMOVAL step needs locations, not just overlap ratios.
+    */
+  def winnowPositions(textCol: String, k: Int, t: Int): Column = {
+    require(t >= k, s"guarantee threshold t=$t must be >= gram size k=$k")
+    val win = t - k + 1
+    val gh = s"if(length($textCol) >= $k, " +
+      s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+      s"i -> ${hash64(s"substring($textCol, i, $k)")}), " +
+      "cast(array() as array<bigint>))"
+    expr(
+      s"element_at(transform(array($gh), gh -> " +
+        s"if(size(gh) >= $win, " +
+        s"array_distinct(transform(sequence(1, size(gh) - ${win - 1}), " +
+        s"j -> cast(j - 1 + array_position(slice(gh, j, $win), " +
+        s"array_min(slice(gh, j, $win))) as int))), " +
+        "cast(array() as array<int>))), 1)")
+  }
+
+  /** Compiled fast path for [[winnowPositions]], returning (pos, fp)
+    * pairs — the fingerprint VALUE rides along so the consumer can
+    * equi-join an eval fingerprint set without recomputing the gram
+    * hashes. Selection order, leftmost-min tie rule, and dedup match
+    * the expression twin (parity spec in OperatorsSpec).
+    */
+  def winnowPositionsCompiled(k: Int, t: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(t >= k, s"guarantee threshold t=$t must be >= gram size k=$k")
+    org.apache.spark.sql.functions.udf { text: String =>
+      if (text == null || text.length < t) Array.empty[(Int, Long)]
+      else {
+        val n = text.length - k + 1
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hs(i) = VectorOps.hash64Scala(text.substring(i, i + k))
+          i += 1
+        }
+        val win = t - k + 1
+        val seen = new java.util.LinkedHashSet[Int]
+        var j = 0
+        while (j + win <= n) {
+          var m = hs(j)
+          var arg = j
+          var x = j + 1
+          while (x < j + win) {
+            if (hs(x) < m) { m = hs(x); arg = x }
+            x += 1
+          }
+          seen.add(arg)
+          j += 1
+        }
+        val out = new Array[(Int, Long)](seen.size)
+        val it = seen.iterator()
+        var o = 0
+        while (it.hasNext) {
+          val p = it.next()
+          out(o) = (p + 1, hs(p)) // 1-based, matching SQL substring
+          o += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Compiled top-token count: one hash-map pass per doc instead of
     * the expression form's O(distinct × n) nested interpreted lambdas
     * (`array_max(transform(array_distinct(t), x -> size(filter(t,

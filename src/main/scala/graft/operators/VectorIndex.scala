@@ -70,25 +70,93 @@ object VectorIndex {
     * that Spark plans as a distributed partial top-k
     * (TakeOrderedAndProject) — no full sort, no collect of the corpus.
     */
+  /** Raw (idCol, embCol) vectors -> the internal (vec_id, qe, nq)
+    * quantized shape shared by build/append/probe.
+    */
+  private def quantizedVectors(
+      vectors: DataFrame, idCol: String, embCol: String): DataFrame =
+    vectors
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select(col(idCol).as("vec_id"), col("qe"), col("nq"))
+
+  /** Assign quantized (vec_id, qe, nq) vectors to FIXED centroids —
+    * the broadcast-argmax used by [[buildIvf]], [[refine]], and
+    * [[append]], factored so the incremental path cannot drift from
+    * the build path.
+    */
+  def assignTo(centroids: DataFrame, e: DataFrame): DataFrame = {
+    val cellOf = argmaxCell(
+      e.crossJoin(broadcast(centroids))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+    e.join(cellOf, Seq("vec_id")).select("vec_id", "cell", "qe", "nq")
+  }
+
   def buildIvf(
       vectors: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding",
       numCentroids: Int = 0): IvfIndex = {
-    val e = vectors
-      .withColumn("qe", VectorOps.quantize(embCol))
-      .withColumn("nq", VectorOps.normSq("qe"))
-      .select(col(idCol).as("vec_id"), col("qe"), col("nq"))
+    val e = quantizedVectors(vectors, idCol, embCol)
     val k =
       if (numCentroids > 0) numCentroids
       else VectorOps.suggestedCentroids(vectors.count())
     val cent = sampleCentroids(e, k)
-    val cellOf = argmaxCell(
-      e.crossJoin(broadcast(cent))
-        .withColumn("dot", VectorOps.dot("cqe", "qe"))
-        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-    IvfIndex(cent, e.join(cellOf, Seq("vec_id"))
-      .select("vec_id", "cell", "qe", "nq"))
+    IvfIndex(cent, assignTo(cent, e))
+  }
+
+  /** Incremental append: assign `newVectors` to the EXISTING centroids
+    * (same broadcast-argmax as build — no centroid drift, no
+    * re-clustering of the corpus) and union them into the assignment.
+    * Ids must be disjoint from the indexed corpus (caller contract —
+    * the index never dedups).
+    *
+    * Distribution-shift contract (mirrors clusterAssignStream's
+    * merge-on-refresh): appended vectors always land in their nearest
+    * EXISTING cell, so cells stay probe-correct but grow lopsided if
+    * the arrival distribution departs from the build sample; cell
+    * geometry refreshes only on an offline rebuild/refine of the full
+    * corpus (swap indexes under the reader like any static side).
+    */
+  def append(
+      index: IvfIndex,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        assignTo(index.centroids,
+          quantizedVectors(newVectors, idCol, embCol))))
+
+  /** [[append]] against a SAVED index: assigns arrivals to the saved
+    * centroids and appends them to the bucketed assignment table —
+    * Spark validates the bucket spec, so the write lands in the same
+    * cell-bucketed layout and later probes stay exchange-free on the
+    * corpus side. Requires the catalog entry from [[save]] (same
+    * session or shared metastore) to still point at `path`: appending
+    * bare parquet under a bucketed table would silently break the
+    * bucket contract, so a catalog miss fails loudly instead.
+    */
+  def appendSaved(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      buckets: Int = 8): Unit = {
+    val tbl = s"${name}_assigned"
+    require(catalogMatchesPath(spark, tbl, path),
+      s"appendSaved: catalog table $tbl missing or not at $path — " +
+        "a bucketed append needs the saving catalog entry; rebuild " +
+        "(or re-save) the index instead")
+    val cent = spark.read.parquet(s"$path/${name}_centroids")
+    assignTo(cent, quantizedVectors(newVectors, idCol, embCol))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/$tbl")
+      .saveAsTable(tbl)
   }
 
   /** Lloyd refinement of a built index: `iterations` rounds of
@@ -165,12 +233,14 @@ object VectorIndex {
     * back to the parquet files at `path` — correct results, probe
     * re-shuffles.
     */
-  def load(spark: SparkSession, name: String, path: String): IvfIndex = {
-    val tbl = s"${name}_assigned"
-    // Try: tableExists is true for TEMP VIEWS too, but getTableMetadata
-    // only consults the external catalog and would throw — any lookup
-    // failure means "not our saved table", so fall back to the files.
-    val catalogMatchesPath = scala.util.Try {
+  /** True iff the catalog has `tbl` AND its storage location is the
+    * `path` in question. Try: tableExists is true for TEMP VIEWS too,
+    * but getTableMetadata only consults the external catalog and would
+    * throw — any lookup failure means "not our saved table".
+    */
+  private def catalogMatchesPath(
+      spark: SparkSession, tbl: String, path: String): Boolean =
+    scala.util.Try {
       spark.catalog.tableExists(tbl) && {
         val loc = spark.sessionState.catalog
           .getTableMetadata(
@@ -181,8 +251,11 @@ object VectorIndex {
         new org.apache.hadoop.fs.Path(loc).toUri.getPath == want
       }
     }.getOrElse(false)
+
+  def load(spark: SparkSession, name: String, path: String): IvfIndex = {
+    val tbl = s"${name}_assigned"
     val assigned =
-      if (catalogMatchesPath) spark.table(tbl)
+      if (catalogMatchesPath(spark, tbl, path)) spark.table(tbl)
       else spark.read.parquet(s"$path/$tbl")
     IvfIndex(
       spark.read.parquet(s"$path/${name}_centroids"), assigned)

@@ -30,9 +30,16 @@ object TextQueries extends QueryPack {
     * x r=4 — ONE definition so the two queries' geometry cannot drift.
     */
   private def dedupMembership(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    dedupMembershipOf(docs(s, dir))
+
+  /** Same membership geometry over an arbitrary (doc_id, text, ...)
+    * base — the pipeline composition deduplicates a FILTERED corpus,
+    * not the raw table, so the base is a parameter.
+    */
+  private def dedupMembershipOf(base0: DataFrame): DataFrame = {
     val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
-    val base = docs(s, dir)
+    val base = base0
       .withColumn("r", shSig(col("text")))
       .where(expr("size(r._1) >= 1"))
       .select(col("doc_id"), col("r._2").as("sig"))
@@ -49,27 +56,38 @@ object TextQueries extends QueryPack {
     * q_text_winnow and q_text_contamination so the selection geometry
     * cannot drift between them.
     */
-  private lazy val duckWinnow: String =
-    s"""g AS (SELECT doc_id, lang, source,
+  private lazy val duckWinnow: String = duckWinnowFrom("documents", "g", "w")
+
+  /** Same winnow CTE chain over an arbitrary source relation (must
+    * carry doc_id, lang, source, text) with caller-chosen CTE names,
+    * so one WITH can winnow two relations (pipeline: corpus + eval).
+    */
+  private def duckWinnowFrom(src: String, g: String, w: String): String =
+    s"""$g AS (SELECT doc_id, lang, source,
           CASE WHEN len(text) >= 8 THEN
             list_transform(range(1, len(text) - 6),
               i -> ${dh("substr(text, i, 8)")})
           ELSE []::BIGINT[] END AS gh
-        FROM documents),
-        w AS (SELECT doc_id, lang, source,
+        FROM $src),
+        $w AS (SELECT doc_id, lang, source,
           CASE WHEN len(gh) >= 4 THEN
             list_distinct(list_transform(range(1, len(gh) - 2),
               j -> list_min(gh[j:j+3])))
           ELSE []::BIGINT[] END AS win
-        FROM g)"""
+        FROM $g)"""
 
   /** DuckDB twin of [[dedupMembership]] + connected components: CTE
     * chain ending in `comp(doc_id, canonical)`; prefix with
     * `WITH RECURSIVE`.
     */
-  private lazy val duckDedupComp: String =
+  private lazy val duckDedupComp: String = duckDedupCompFrom("documents")
+
+  /** Same CC chain over an arbitrary source relation (must carry
+    * doc_id, lang, text) — the pipeline dedups a filtered corpus.
+    */
+  private def duckDedupCompFrom(src: String): String =
     s"""d AS (
-          SELECT doc_id, lang, $duckToks AS t FROM documents),
+          SELECT doc_id, lang, $duckToks AS t FROM $src),
         s3 AS (SELECT doc_id,
             list_distinct(list_transform(range(1, len(t)-1),
               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
@@ -853,5 +871,244 @@ object TextQueries extends QueryPack {
         "lossless); bigrams hashed to longs before the join — 8-byte " +
         "shuffle payloads, integer set-intersection. No O(n^2) cross " +
         "join at scale."),
+
+    GraftQuery(
+      "q_pipeline_corpus", Seq("W2", "D1", "D2", "J7", "D9", "A8"),
+      (s, dir) => {
+        // END-TO-END corpus build — the actual deliverable of a
+        // training-data pipeline, composed from the four individually
+        // gated stages (q_text_quantile, q_dedup_survivors,
+        // q_text_contamination, q_text_pack) as ONE plan:
+        //   1. quality filter: per-lang exact deciles on the shared
+        //      blend (TextOps.qualityScore); drop the bottom two
+        //      deciles and unscorable (zero-token) docs;
+        //   2. near-dup dedup on the SURVIVORS (membership geometry =
+        //      dedupMembershipOf, CC over band buckets, min-id
+        //      canonical kept, unclustered docs kept);
+        //   3. decontamination vs the eval source (src0 plays the
+        //      benchmark, full table — eval sets are external and are
+        //      not themselves filtered): drop docs whose winnowed-fp
+        //      overlap ratio reaches 0.75; docs with no fingerprints
+        //      are unmeasurable and KEPT (documented drop-order);
+        //   4. sequence-pack the survivors at the 512-token budget via
+        //      the two-phase prefix scan.
+        // Output: per-lang survivor counts after EVERY stage plus pack
+        // stats, so a regression localizes to its stage. Each stage
+        // boundary localCheckpoints: the winnow/shingle kernels run
+        // once per stage, and stages 2/3 each feed both the next stage
+        // and a count aggregation.
+        import org.apache.spark.sql.expressions.Window
+        val all = docs(s, dir).select("doc_id", "lang", "source", "text")
+        val corpus = all.where(col("source") =!= "src0")
+        val scored = corpus
+          .withColumn("q", TextOps.qualityScore("text"))
+          .where(col("q").isNotNull)
+        val w = Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))
+        val q1 = scored.withColumn("cd", cume_dist().over(w))
+          .withColumn("decile",
+            least(ceil(col("cd") * 10) - 1, lit(9L)).cast("long"))
+          .where(col("decile") >= 2)
+          .select("doc_id", "lang", "source", "text")
+          .localCheckpoint()
+        val comp = graft.operators.ConnectedComponents.byGroup(
+          dedupMembershipOf(q1), "doc_id", "gkey")
+        val q2 = q1.join(comp, Seq("doc_id"), "left")
+          .where(col("component").isNull ||
+            col("component") === col("doc_id"))
+          .select("doc_id", "lang", "source", "text")
+          .localCheckpoint()
+        val withWin = q2
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select("doc_id", "lang", "text", "win")
+          .localCheckpoint()
+        val evalFps = all.where(col("source") === "src0")
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select(explode(col("win")).as("fp")).distinct()
+        val shared = withWin.where(size(col("win")) > 0)
+          .select(col("doc_id"), explode(col("win")).as("fp"))
+          .join(broadcast(evalFps), Seq("fp"))
+          .groupBy("doc_id").agg(countDistinct("fp").as("nfp"))
+        val q3 = withWin.join(shared, Seq("doc_id"), "left")
+          .withColumn("ratio",
+            when(size(col("win")) > 0,
+              coalesce(col("nfp"), lit(0L)) / size(col("win")))
+              .otherwise(lit(0.0)))
+          .where(col("ratio") < 0.75)
+          .select("doc_id", "lang", "text")
+          .localCheckpoint()
+        val sized = q3
+          .withColumn("n_tok", expr(s"cast(size($sparkToks) as bigint)"))
+          .select("doc_id", "lang", "n_tok")
+        val packed = graft.operators.PrefixSum
+          .runningTotal(sized, "lang", "doc_id", "n_tok")
+          .withColumn("pack_id", expr("cum_before div 512"))
+        val packStats = packed.groupBy("lang")
+          .agg(countDistinct("pack_id").as("n_packs"),
+            sum("n_tok").as("sum_tokens"))
+        def cnt(df: DataFrame, name: String) =
+          df.groupBy("lang").agg(count(lit(1)).as(name))
+        cnt(corpus, "n_input")
+          .join(cnt(q1, "nq1"), Seq("lang"), "left")
+          .join(cnt(q2, "nq2"), Seq("lang"), "left")
+          .join(cnt(q3, "nq3"), Seq("lang"), "left")
+          .join(packStats, Seq("lang"), "left")
+          .select(col("lang"), col("n_input"),
+            coalesce(col("nq1"), lit(0L)).as("n_quality"),
+            coalesce(col("nq2"), lit(0L)).as("n_dedup"),
+            coalesce(col("nq3"), lit(0L)).as("n_clean"),
+            coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+            coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE
+          corpus0 AS (SELECT doc_id, lang, source, text FROM documents
+            WHERE source != 'src0'),
+          mq AS (SELECT doc_id, lang, source, text, $duckToks AS t
+            FROM corpus0 WHERE len($duckToks) > 0),
+          sc AS (SELECT doc_id, lang, source, text,
+              0.4 * least(len(t) / 80.0, 1.0)
+                + 0.4 * (len(list_distinct(t)) * 1.0 / len(t))
+                + 0.2 * (1.0 - len(list_filter(t,
+                    x -> list_contains(['the','a'], x))) * 1.0 / len(t))
+                AS q
+            FROM mq),
+          cd0 AS (SELECT *, cume_dist() OVER
+              (PARTITION BY lang ORDER BY q, doc_id) AS cd FROM sc),
+          q1 AS (SELECT doc_id, lang, source, text FROM cd0
+            WHERE least(ceil(cd * 10) - 1, 9) >= 2),
+          ${duckDedupCompFrom("q1")},
+          q2 AS (SELECT q1.doc_id, q1.lang, q1.source, q1.text FROM q1
+            LEFT JOIN comp ON comp.doc_id = q1.doc_id
+            WHERE comp.canonical IS NULL OR comp.canonical = q1.doc_id),
+          ${duckWinnowFrom("q2", "g2", "w2")},
+          ev AS (SELECT doc_id, lang, source, text FROM documents
+            WHERE source = 'src0'),
+          ${duckWinnowFrom("ev", "ge", "we")},
+          e AS (SELECT DISTINCT unnest(win) AS fp FROM we),
+          cf AS (SELECT doc_id, unnest(win) AS fp FROM w2
+            WHERE len(win) > 0),
+          n AS (SELECT cf.doc_id, count(DISTINCT cf.fp) AS nfp
+            FROM cf JOIN e ON cf.fp = e.fp GROUP BY 1),
+          q3 AS (SELECT w2.doc_id, w2.lang FROM w2
+            LEFT JOIN n ON n.doc_id = w2.doc_id
+            WHERE CASE WHEN len(w2.win) > 0
+              THEN coalesce(n.nfp, 0) * 1.0 / len(w2.win)
+              ELSE 0 END < 0.75),
+          szd AS (SELECT q3.doc_id, q3.lang, len($duckToks)::BIGINT
+              AS n_tok
+            FROM q3 JOIN q2 ON q2.doc_id = q3.doc_id),
+          c AS (SELECT doc_id, lang, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+            FROM szd),
+          pk AS (SELECT lang,
+              count(DISTINCT cum_before // 512) AS n_packs,
+              sum(n_tok)::BIGINT AS sum_tokens FROM c GROUP BY 1),
+          ci AS (SELECT lang, count(*) AS n_input FROM corpus0 GROUP BY 1),
+          c1 AS (SELECT lang, count(*) AS nq1 FROM q1 GROUP BY 1),
+          c2 AS (SELECT lang, count(*) AS nq2 FROM q2 GROUP BY 1),
+          c3 AS (SELECT lang, count(*) AS nq3 FROM q3 GROUP BY 1)
+        SELECT ci.lang, ci.n_input,
+          coalesce(c1.nq1, 0)::BIGINT AS n_quality,
+          coalesce(c2.nq2, 0)::BIGINT AS n_dedup,
+          coalesce(c3.nq3, 0)::BIGINT AS n_clean,
+          coalesce(pk.n_packs, 0)::BIGINT AS n_packs,
+          coalesce(pk.sum_tokens, 0)::BIGINT AS sum_tokens
+        FROM ci LEFT JOIN c1 ON c1.lang = ci.lang
+          LEFT JOIN c2 ON c2.lang = ci.lang
+          LEFT JOIN c3 ON c3.lang = ci.lang
+          LEFT JOIN pk ON pk.lang = ci.lang
+        ORDER BY 1"""),
+      "End-to-end corpus build as one plan: per-lang quality-decile " +
+        "filter (drop bottom 20%) -> CC near-dup dedup keeping " +
+        "canonical survivors -> winnow decontamination vs the eval " +
+        "source (drop ratio >= 0.75) -> 512-token sequence packing " +
+        "via the two-phase prefix scan; per-stage survivor counts " +
+        "per language so regressions localize to their stage."),
+
+    GraftQuery(
+      "q_text_spans", Seq("P10", "D1", "J7"),
+      (s, dir) => {
+        // SPAN-LEVEL decontamination — q_text_contamination says how
+        // MUCH of a doc overlaps the eval set; this says WHERE: each
+        // winnowed fingerprint keeps its char position (positional
+        // winnow, leftmost-min tie rule), matched fingerprints map to
+        // the [pos, pos + 7] char intervals they cover, and intervals
+        // merge when they overlap or touch (gap rule: a new span
+        // starts iff the next position exceeds prev + 8). Per-doc
+        // output: matched-position count, merged span count, total
+        // covered chars — the locations an exact-substring REMOVAL
+        // pass (Lee et al., "Deduplicating Training Data Makes
+        // Language Models Better") would cut. Same scale shape as
+        // q_text_contamination: eval fps distinct + broadcast, one fp
+        // equi-join on the corpus's skinny (doc, pos, fp) explode,
+        // merge math per doc over its own sorted positions (array
+        // expressions — no window, no doc x doc).
+        val all = docs(s, dir)
+        val corpus = all.where(col("source") =!= "src0")
+          .withColumn("wp",
+            TextOps.winnowPositionsCompiled(8, 11)(col("text")))
+          .where(size(col("wp")) > 0)
+          .select(col("doc_id"), col("lang"),
+            explode(col("wp")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            col("w._1").as("pos"), col("w._2").as("fp"))
+        val evalFps = all.where(col("source") === "src0")
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select(explode(col("win")).as("fp")).distinct()
+        corpus.join(broadcast(evalFps), Seq("fp"))
+          .groupBy("doc_id", "lang")
+          .agg(sort_array(collect_list(col("pos"))).as("ps"))
+          .withColumn("deltas", expr(
+            "if(size(ps) <= 1, cast(array() as array<int>), " +
+              "transform(sequence(2, size(ps)), " +
+              "i -> element_at(ps, i) - element_at(ps, i - 1)))"))
+          .select(col("doc_id"), col("lang"),
+            expr("cast(size(ps) as bigint)").as("n_matched"),
+            expr("cast(1 + size(filter(deltas, d -> d > 8)) as bigint)")
+              .as("n_spans"),
+            expr("cast(8 + aggregate(deltas, 0, " +
+              "(a, d) -> a + least(d, 8)) as bigint)").as("covered_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ga AS (SELECT doc_id, lang,
+            CASE WHEN len(text) >= 8 THEN
+              list_transform(range(1, len(text) - 6),
+                i -> ${dh("substr(text, i, 8)")})
+            ELSE []::BIGINT[] END AS gh
+          FROM documents WHERE source != 'src0'),
+          wp AS (SELECT doc_id, lang, gh,
+            CASE WHEN len(gh) >= 4 THEN
+              list_distinct(list_transform(range(1, len(gh) - 2),
+                j -> j - 1 + list_position(gh[j:j+3],
+                  list_min(gh[j:j+3]))))
+            ELSE []::INT[] END AS poss
+          FROM ga),
+          ev AS (SELECT doc_id, lang, source, text FROM documents
+            WHERE source = 'src0'),
+          ${duckWinnowFrom("ev", "ge", "we")},
+          e AS (SELECT DISTINCT unnest(win) AS fp FROM we),
+          cp AS (SELECT doc_id, lang, gh, unnest(poss) AS pos FROM wp),
+          cf AS (SELECT doc_id, lang, pos, gh[pos] AS fp FROM cp),
+          mt AS (SELECT cf.doc_id, cf.lang, cf.pos
+            FROM cf JOIN e ON cf.fp = e.fp),
+          ag AS (SELECT doc_id, lang, count(*)::BIGINT AS n_matched,
+              list_sort(list(pos)) AS ps
+            FROM mt GROUP BY 1, 2),
+          sp AS (SELECT doc_id, lang, n_matched,
+              list_transform(range(2, len(ps) + 1),
+                i -> ps[i] - ps[i-1]) AS deltas
+            FROM ag)
+        SELECT doc_id, lang, n_matched,
+          (1 + len(list_filter(deltas, d -> d > 8)))::BIGINT AS n_spans,
+          (8 + coalesce(list_sum(list_transform(deltas,
+            d -> least(d, 8))), 0))::BIGINT AS covered_chars
+        FROM sp ORDER BY doc_id"""),
+      "Span-level decontamination: positional winnowing maps each " +
+        "matched eval fingerprint to the [pos, pos+7] chars it covers; " +
+        "overlapping/touching intervals merge into spans (new span iff " +
+        "gap > 8). Per-doc matched positions, merged span count, and " +
+        "covered chars — the cut list for exact-substring removal."),
   )
 }

@@ -403,6 +403,35 @@ class OperatorsSpec extends SparkSuite {
     assert(n === ((0, 0)))
   }
 
+  test("winnowPositionsCompiled is bit-identical to the positional " +
+    "winnow expression, and each pair's fp hashes its own gram") {
+    // real corpus text plus the same edge shapes as the winnow parity
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(40)
+    val edges = Seq(
+      "aaaaaaaaaaaaaaaa", // duplicate min VALUES: leftmost-min tie rule
+      "exactly11ch", "tooshort", "tiny").toDF("text")
+    val df = real.union(edges)
+      .withColumn("e", TextOps.winnowPositions("text", k = 8, t = 11))
+      .withColumn("c", TextOps.winnowPositionsCompiled(8, 11)(col("text")))
+    // positions agree exactly (same selection AND same dedup order)
+    assert(df.where(expr("transform(c, p -> p._1) != e")).count() === 0L)
+    // every compiled pair's fp is the hash of the gram at its position
+    val badFp = df
+      .select(explode(col("c")).as("p"), col("text"))
+      .where(expr("p._2 != " +
+        TextOps.hash64("substring(text, p._1, 8)")))
+      .count()
+    assert(badFp === 0L)
+    // null text: empty pairs, matching the expression's empty array
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .withColumn("e", TextOps.winnowPositions("text", k = 8, t = 11))
+      .withColumn("c", TextOps.winnowPositionsCompiled(8, 11)(col("text")))
+      .selectExpr("size(e)", "size(c)").as[(Int, Int)].head()
+    assert(n === ((0, 0)))
+  }
+
   test("runningTotal (two-phase scan) matches the window cumsum, " +
     "including groups spanning partition boundaries") {
     // hot group of 400 rows forced across 4 range partitions

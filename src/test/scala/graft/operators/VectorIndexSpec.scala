@@ -132,6 +132,76 @@ class VectorIndexSpec extends SparkSuite {
     assert(probe() === want)
   }
 
+  test("append assigns to the existing centroids: probe equals a " +
+    "rebuild-assignment over the full corpus with the same centroids") {
+    val old = vectors.where(col("vec_id") < 70)
+    val fresh = vectors.where(col("vec_id") >= 70)
+    val idx = VectorIndex.buildIvf(old, numCentroids = 4)
+    val appended = VectorIndex.append(idx, fresh)
+    // centroids are untouched by append
+    assert(appended.centroids.collect().toSeq
+      === idx.centroids.collect().toSeq)
+    // rebuild-probe twin: the same centroids, assignment recomputed
+    // over the FULL corpus in one batch pass
+    val full = vectors
+      .withColumn("qe", VectorOps.quantize("embedding"))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select(col("vec_id"), col("qe"), col("nq"))
+    val rebuilt = VectorIndex.IvfIndex(
+      idx.centroids, VectorIndex.assignTo(idx.centroids, full))
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val a = VectorIndex.query(appended, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val r = VectorIndex.query(rebuilt, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === r)
+    // new ids are actually present and probeable
+    val newQ = fresh.select(col("vec_id").as("query_id"), col("embedding"))
+    assert(VectorIndex.query(appended, newQ).count() === newQ.count())
+  }
+
+  test("appendSaved lands in the bucketed layout (corpus side still " +
+    "exchange-free) and fails loudly without the catalog entry") {
+    val old = vectors.where(col("vec_id") < 70)
+    val fresh = vectors.where(col("vec_id") >= 70)
+    val idx = VectorIndex.buildIvf(old, numCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("vidxApp").toString
+    VectorIndex.save(spark, idx, "vidx4", dir, buckets = 4)
+    VectorIndex.appendSaved(spark, "vidx4", dir, fresh, buckets = 4)
+    val loaded = VectorIndex.load(spark, "vidx4", dir)
+    assert(loaded.assigned.count() === 100L)
+    // append+load probe == in-memory append probe
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val mem = VectorIndex.query(VectorIndex.append(idx, fresh), queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val disk = VectorIndex.query(loaded, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem === disk)
+    // bucketed layout intact after the append: a non-broadcast join on
+    // cell still shuffles only the other side
+    val other = idx.centroids
+      .select(col("c_id").as("cell"), col("cnq"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("vidx4_assigned").join(other, Seq("cell"))
+      assert(joined.count() > 0)
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).length
+      assert(nExchanges === 1)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // catalog gone -> loud failure, not a silent bucket-contract break
+    spark.sql("DROP TABLE vidx4_assigned")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.appendSaved(spark, "vidx4", dir, fresh, buckets = 4)
+    }
+    assert(e.getMessage.contains("bucketed append needs the saving " +
+      "catalog entry"))
+  }
+
   test("saved assignment table joins on cell without shuffling the " +
     "corpus side") {
     val idx = VectorIndex.buildIvf(vectors, numCentroids = 4)
