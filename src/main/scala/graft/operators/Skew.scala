@@ -56,10 +56,17 @@ object Skew {
     * joins, bucket-pinned layouts). Cost: the small side shuffles
     * `salts`x — keep `salts` modest.
     *
-    * Left-family joins only (inner/left/left_semi/left_anti): each big
-    * row carries exactly ONE salt so its match/no-match outcome is
-    * unchanged; a right/full join would see every unmatched small row
-    * `salts` times and is rejected.
+    * Left-family joins (inner/left/left_semi/left_anti) run directly:
+    * each big row carries exactly ONE salt, so its match/no-match
+    * outcome is unchanged. Right/full joins cannot — the replicated
+    * small side would emit every unmatched small row `salts` times —
+    * so they decompose instead: the salted INNER core plus the
+    * unmatched rows of the outer side(s), recovered by an anti-join
+    * against the other side's DISTINCT keys (distinct collapses the
+    * hot key map-side, so no skewed shuffle reappears) with the
+    * missing side's columns as typed nulls. Exact for all families.
+    * Right/full requires disjoint non-key column names between the
+    * two inputs (the null-extension is built by name).
     */
   def saltedJoin(
       big: DataFrame,
@@ -68,19 +75,48 @@ object Skew {
       joinType: String = "inner",
       salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
-    val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti")
-    require(allowed(joinType.toLowerCase),
-      s"saltedJoin supports left-family joins, got: $joinType")
     require(!big.columns.contains("__salt") &&
       !small.columns.contains("__salt"),
       "saltedJoin: an input already has a __salt column")
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
-    val smallS = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts - 1L))))
-    val out = bigS.join(smallS, keys :+ "__salt", joinType)
-    if (out.columns.contains("__salt")) out.drop("__salt") else out
+    val lt = joinType.toLowerCase.replace("_", "")
+    val leftFamily = Set("inner", "left", "leftouter", "leftsemi",
+      "leftanti")
+    val rightOuter = Set("right", "rightouter")
+    val fullOuter = Set("full", "fullouter", "outer")
+    require(leftFamily(lt) || rightOuter(lt) || fullOuter(lt),
+      s"saltedJoin: unsupported join type $joinType")
+    if (leftFamily(lt)) {
+      val bigS = big.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      val smallS = small.withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts - 1L))))
+      val out = bigS.join(smallS, keys :+ "__salt", joinType)
+      if (out.columns.contains("__salt")) out.drop("__salt") else out
+    } else {
+      val bigOthers = big.columns.filterNot(keys.contains).toSeq
+      val smallOthers = small.columns.filterNot(keys.contains).toSeq
+      require((bigOthers ++ smallOthers).distinct.sizeIs ==
+        bigOthers.size + smallOthers.size,
+        "saltedJoin right/full: non-key column names must be disjoint " +
+          s"between the inputs, got ${bigOthers.intersect(smallOthers)}")
+      val keyC = keys.map(col)
+      val inner = saltedJoin(big, small, keys, "inner", salts)
+      val bigNulls = big.schema.filter(f => !keys.contains(f.name))
+        .map(f => lit(null).cast(f.dataType).as(f.name))
+      val unmatchedSmall = small
+        .join(big.select(keyC: _*).distinct(), keys, "left_anti")
+        .select(keyC ++ bigNulls ++ smallOthers.map(col): _*)
+      val withSmall = inner.unionByName(unmatchedSmall)
+      if (rightOuter(lt)) withSmall
+      else {
+        val smallNulls = small.schema.filter(f => !keys.contains(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name))
+        val unmatchedBig = big
+          .join(small.select(keyC: _*).distinct(), keys, "left_anti")
+          .select(keyC ++ bigOthers.map(col) ++ smallNulls: _*)
+        withSmall.unionByName(unmatchedBig)
+      }
+    }
   }
 
   /** Exact two-phase aggregation over possibly-skewed `keyCols`:

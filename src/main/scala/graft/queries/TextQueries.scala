@@ -295,6 +295,61 @@ object TextQueries extends QueryPack {
         "filter; swap in a quantile sketch past memory scale."),
 
     GraftQuery(
+      "q_text_quantile_sketch", Seq("W2", "A8"),
+      (s, dir) => {
+        // The GK-SKETCH quantile path through the gate: same blend and
+        // bucket contract as q_text_quantile, but buckets come from
+        // Quantiles.quantileBuckets (mergeable percentile_approx
+        // partials + broadcast cuts — the 100 TB path with no per-group
+        // sort) run at accuracy >= group size, where GK is EXACT: its
+        // cut for p is the sorted group's element at rank ceil(p*n) —
+        // bit-identical to DuckDB's quantile_disc, so the oracle pins
+        // the sketch path's arithmetic, not an approximation of it.
+        // Bucket semantics differ from cume_dist deciles only in how
+        // tie-runs land (documented in the operator's scaladoc); the
+        // oracle recomputes THIS rule, not the window rule.
+        val scored = docs(s, dir)
+          .withColumn("q", TextOps.qualityScore("text"))
+          .where(col("q").isNotNull)
+          .select("doc_id", "lang", "q")
+        graft.operators.Quantiles
+          .quantileBuckets(scored, "lang", "q",
+            buckets = 10, accuracy = 1000000)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min("q"), 4).as("min_q"),
+            round(avg("q"), 4).as("avg_q"),
+            round(max("q"), 4).as("max_q"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
+            FROM documents WHERE len($duckToks) > 0),
+          m AS (SELECT doc_id, lang, len(t) AS n_tok,
+              len(list_distinct(t)) * 1.0 / len(t) AS ttr,
+              len(list_filter(t, x -> list_contains(['the','a'], x)))
+                * 1.0 / len(t) AS stop_ratio
+            FROM d),
+          sc AS (SELECT doc_id, lang,
+              0.4 * least(n_tok / 80.0, 1.0) + 0.4 * ttr
+                + 0.2 * (1.0 - stop_ratio) AS q
+            FROM m),
+          cuts AS (SELECT lang, quantile_disc(q,
+              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+            FROM sc GROUP BY 1),
+          b AS (SELECT sc.lang, sc.q,
+              len(list_filter(cuts.cs, c -> c < sc.q))::BIGINT AS bucket
+            FROM sc JOIN cuts ON cuts.lang = sc.lang)
+        SELECT lang, bucket, count(*) AS n_docs,
+          round(min(q), 4) AS min_q, round(avg(q), 4) AS avg_q,
+          round(max(q), 4) AS max_q
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "GK-sketch quantile bucketing through the gate at exact-accuracy " +
+        "settings: percentile_approx's rank-ceil(p*n) cuts equal " +
+        "DuckDB's quantile_disc, so the mergeable-sketch path (no " +
+        "per-group sort) is pinned bit-for-bit, not approximately."),
+
+    GraftQuery(
       "q_text_langid", Seq("P2", "P4"),
       (s, dir) => {
         def score(words: String) =

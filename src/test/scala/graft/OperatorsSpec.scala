@@ -321,16 +321,28 @@ class OperatorsSpec extends SparkSuite {
     // semi/anti keep big-side semantics
     assert(Skew.saltedJoin(big, small, Seq("k"), "left_anti", 8).count()
       === big.join(small, Seq("k"), "left_anti").count())
+    // right/full decompose into salted-inner + anti-recovered rows;
+    // equality vs the plain join covers matched multiplicity AND the
+    // exactly-once survival of unmatched rows on each side
+    def rowsN(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "label")
+        .na.fill(-1, Seq("v")).na.fill("null", Seq("label"))
+        .as[(String, Int, String)].collect().toSeq.sorted
+    assert(rowsN(Skew.saltedJoin(big, small, Seq("k"), "right", 8)) ===
+      rowsN(big.join(small, Seq("k"), "right")))
+    assert(rowsN(Skew.saltedJoin(big, small, Seq("k"), "full_outer", 8)) ===
+      rowsN(big.join(small, Seq("k"), "full_outer")))
     // the hot key genuinely occupies several salt sub-keys
     val spread = big.where($"k" === "h")
       .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()),
         lit(8L)))
       .select("__salt").distinct().count()
     assert(spread > 1)
+    // colliding non-key names cannot build the null-extension by name
     val boom = intercept[IllegalArgumentException] {
-      Skew.saltedJoin(big, small, Seq("k"), "full_outer")
+      Skew.saltedJoin(big, big, Seq("k"), "right")
     }
-    assert(boom.getMessage.contains("left-family"))
+    assert(boom.getMessage.contains("must be disjoint"))
   }
 
   test("simhashCompiled is bit-identical to the simhash expression") {

@@ -378,6 +378,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination verdicts equal the batch query's " +
+    "math on a shared real-corpus fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    // same fixture through both paths: sf0.001 docs, src0 as the eval
+    // set — the pattern the near-dup and TF-IDF parity cases use
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = all.where($"source" === "src0").select("text")
+    val corpusDocs = all.where($"source" =!= "src0").limit(30)
+      .select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)].collect()
+    // batch twin: q_text_contamination's exact per-doc math (same
+    // kernel, same distinct-fp counting, same length-normalized ratio)
+    val batchDocs = corpusDocs.toSeq.toDF("doc_id", "text")
+      .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+      .where(size(col("win")) > 0)
+      .localCheckpoint()
+    val evalFps = evalSet
+      .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+      .select(explode(col("win")).as("fp")).distinct()
+    val sharedB = batchDocs
+      .select($"doc_id", explode($"win").as("fp"))
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy("doc_id").agg(countDistinct("fp").as("nfp"))
+    val batch = batchDocs.join(sharedB, Seq("doc_id"), "left")
+      .select($"doc_id", size($"win").cast("long").as("n_fps"),
+        coalesce($"nfp", lit(0L)).as("n_shared"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 ->
+        ((r._2, r._3, r._3.toDouble / r._2, r._3.toDouble / r._2 >= 0.75)))
+      .toMap
+    assert(batch.nonEmpty)
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingOps.contaminationStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), evalSet)
+    val q = out.writeStream.format("memory")
+      .queryName("contam_parity_out").outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      docs.addData(corpusDocs.map(d => (d._1, d._2, t0)).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("contam_parity_out")
+        .select("doc_id", "n_fps", "n_shared", "overlap", "contaminated")
+        .as[(String, Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming ANN finds the matching corpus vector for arriving " +
     "queries; orthogonal queries miss every band") {
     implicit val sqlCtx = spark.sqlContext
