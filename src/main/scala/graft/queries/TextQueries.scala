@@ -1165,5 +1165,112 @@ object TextQueries extends QueryPack {
         "overlapping/touching intervals merge into spans (new span iff " +
         "gap > 8). Per-doc matched positions, merged span count, and " +
         "covered chars — the cut list for exact-substring removal."),
+
+    GraftQuery(
+      "q_text_clean", Seq("P10", "D1", "J7"),
+      (s, dir) => {
+        // Exact-substring REMOVAL — completes the Lee-et-al loop from
+        // q_text_spans: where spans REPORTS the merged contaminated
+        // [pos, pos+7] intervals, this CUTS them, emitting the
+        // decontaminated text for every corpus doc (docs with no eval
+        // overlap pass through unchanged). Same scale shape: eval fps
+        // distinct + broadcast, one fp equi-join on the corpus's
+        // skinny (doc, pos) explode, then a single left fold over each
+        // doc's own sorted positions builds the kept text in one pass
+        // (`aggregate` expression, state = (out, next-uncovered-char):
+        // emit text[cur, p-1] when a match starts past cur, advance
+        // cur to max(cur, p + 8)) — no window, no doc x doc, and the
+        // doc body is scanned once.
+        val all = docs(s, dir)
+        val corpus = all.where(col("source") =!= "src0")
+        val matched = corpus
+          .withColumn("wp",
+            TextOps.winnowPositionsCompiled(8, 11)(col("text")))
+          .where(size(col("wp")) > 0)
+          .select(col("doc_id"), explode(col("wp")).as("w"))
+          .select(col("doc_id"),
+            col("w._1").as("pos"), col("w._2").as("fp"))
+        val evalFps = all.where(col("source") === "src0")
+          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+          .select(explode(col("win")).as("fp")).distinct()
+        val spans = matched.join(broadcast(evalFps), Seq("fp"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        corpus.join(spans, Seq("doc_id"), "left")
+          .withColumn("cleaned", expr(
+            "if(ps is null, text, aggregate(ps, " +
+              "struct(cast('' as string) as out, 1 as cur), " +
+              "(acc, p) -> struct(" +
+              "if(p > acc.cur, concat(acc.out, " +
+              "substr(text, acc.cur, p - acc.cur)), acc.out) as out, " +
+              "greatest(acc.cur, p + 8) as cur), " +
+              "acc -> concat(acc.out, " +
+              "substr(text, acc.cur, length(text) - acc.cur + 1))))"))
+          .select(col("doc_id"), col("lang"),
+            expr("cast(coalesce(size(ps), 0) as bigint)").as("n_matched"),
+            expr("cast(length(text) - length(cleaned) as bigint)")
+              .as("removed_chars"),
+            col("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, lang, text FROM documents
+            WHERE source != 'src0'),
+          ga AS (SELECT doc_id,
+              CASE WHEN len(text) >= 8 THEN
+                list_transform(range(1, len(text) - 6),
+                  i -> ${dh("substr(text, i, 8)")})
+              ELSE []::BIGINT[] END AS gh
+            FROM corpus),
+          wp AS (SELECT doc_id, gh,
+              CASE WHEN len(gh) >= 4 THEN
+                list_distinct(list_transform(range(1, len(gh) - 2),
+                  j -> j - 1 + list_position(gh[j:j+3],
+                    list_min(gh[j:j+3]))))
+              ELSE []::INT[] END AS poss
+            FROM ga),
+          ev AS (SELECT doc_id, lang, source, text FROM documents
+            WHERE source = 'src0'),
+          ${duckWinnowFrom("ev", "ge", "we")},
+          e AS (SELECT DISTINCT unnest(win) AS fp FROM we),
+          cp AS (SELECT doc_id, gh, unnest(poss) AS pos FROM wp),
+          cf AS (SELECT doc_id, pos, gh[pos] AS fp FROM cp),
+          mt AS (SELECT cf.doc_id, cf.pos FROM cf
+            JOIN e ON cf.fp = e.fp),
+          gr AS (SELECT doc_id, pos,
+              CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+            FROM mt),
+          g2 AS (SELECT doc_id, pos,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM gr),
+          sp AS (SELECT doc_id, grp, min(pos) AS s,
+              max(pos) + 7 AS e, count(*) AS nm
+            FROM g2 GROUP BY 1, 2),
+          sg AS (SELECT doc_id, s, e, nm,
+              coalesce(lag(e) OVER
+                (PARTITION BY doc_id ORDER BY s), 0) AS pe
+            FROM sp),
+          agg AS (SELECT sg.doc_id,
+              string_agg(substr(c.text, sg.pe + 1, sg.s - sg.pe - 1),
+                '' ORDER BY sg.s) AS head,
+              max(sg.e) AS maxe, sum(sg.nm)::BIGINT AS n_matched
+            FROM sg JOIN corpus c ON c.doc_id = sg.doc_id GROUP BY 1)
+        SELECT c.doc_id, c.lang,
+          coalesce(a.n_matched, 0)::BIGINT AS n_matched,
+          (len(c.text) - len(CASE WHEN a.doc_id IS NULL THEN c.text
+            ELSE coalesce(a.head, '') || substr(c.text, a.maxe + 1)
+            END))::BIGINT AS removed_chars,
+          CASE WHEN a.doc_id IS NULL THEN c.text
+            ELSE coalesce(a.head, '') || substr(c.text, a.maxe + 1)
+          END AS cleaned
+        FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
+        ORDER BY c.doc_id"""),
+      "Exact-substring removal (Lee et al., \"Deduplicating Training " +
+        "Data Makes Language Models Better\"): cut the merged " +
+        "contaminated spans q_text_spans reports and emit the " +
+        "decontaminated text per doc; unmatched docs pass through " +
+        "verbatim, so removed_chars doubles as a whole-corpus " +
+        "contamination audit."),
   )
 }
