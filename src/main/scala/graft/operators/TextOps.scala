@@ -294,6 +294,33 @@ object TextOps {
         "+ 0.2 * (1.0 - size(filter(t, x -> " +
         "array_contains(array('the', 'a'), x))) / size(t)))), 1)")
 
+  /** Cut the k-gram spans starting at the (1-based, ascending) match
+    * positions in `psCol` out of `textCol` — the exact-substring
+    * REMOVAL step of Lee et al.'s dedup loop, shared by the batch
+    * q_text_clean query and [[graft.streaming.StreamingOps.cleanStream]]
+    * so the two paths cannot drift. One left fold over the doc's own
+    * sorted positions (state = (emitted-so-far, next-uncovered-char)):
+    * emit text[cur, p-1] when a match starts past cur, advance cur to
+    * max(cur, p + k) — overlapping/adjacent spans merge for free, and
+    * the doc body is scanned once. Null or empty `psCol` passes the
+    * text through verbatim. Lambda variables are `__graft_`-prefixed
+    * and interpolated names backticked, so no user column can shadow
+    * them.
+    */
+  def removeSpans(textCol: String, psCol: String, k: Int): Column =
+    expr(
+      s"if(`$psCol` is null or size(`$psCol`) = 0, `$textCol`, " +
+        s"aggregate(`$psCol`, " +
+        "struct(cast('' as string) as out, 1 as cur), " +
+        "(__graft_acc, __graft_p) -> struct(" +
+        "if(__graft_p > __graft_acc.cur, concat(__graft_acc.out, " +
+        s"substr(`$textCol`, __graft_acc.cur, " +
+        "__graft_p - __graft_acc.cur)), __graft_acc.out) as out, " +
+        s"greatest(__graft_acc.cur, __graft_p + $k) as cur), " +
+        "__graft_acc -> concat(__graft_acc.out, " +
+        s"substr(`$textCol`, __graft_acc.cur, " +
+        s"length(`$textCol`) - __graft_acc.cur + 1))))")
+
   /** Exact Jaccard between two array columns (set semantics). */
   def jaccard(a: String, b: String): Column =
     expr(s"size(array_intersect($a, $b)) / " +

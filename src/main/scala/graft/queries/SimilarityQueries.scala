@@ -626,5 +626,88 @@ object SimilarityQueries extends QueryPack {
         FROM sc GROUP BY 1 ORDER BY 1"""),
       "Max-similarity per item vs a broadcast target set — the " +
         "reference's similarity-cutoff filter (A10) over embeddings."),
+
+    GraftQuery(
+      "q_sim_semdedup", Seq("D1", "J11", "A8"),
+      (s, dir) => {
+        // SemDeDup-style SEMANTIC dedup end-to-end: where
+        // q_sim_neardup_cos reports near-dup pair counts, this resolves
+        // them — cos >= 0.9 pairs (same banded-LSH blocking, same
+        // integer-exact cosine) become edges, connected components glue
+        // transitive duplicate chains, and the min-id member of each
+        // component survives. Each edge is a 2-member group for
+        // ConnectedComponents.byGroup, so the CC engine (size-gated
+        // local/distributed hybrid) is shared with the text near-dup
+        // path. Output: per-label corpus size, clustered count, and
+        // surviving count — the semantic-dedup audit a corpus build
+        // reports.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val r = VectorOps.suggestedBandBits(nRows)
+        gateCheck(s, nRows, r)
+        val e = quantized(s, dir)
+          .withColumn("sketch",
+            VectorOps.signSketch("qe", bits = LshBands * r))
+          .localCheckpoint()
+        val eb = e.select(col("vec_id"),
+          explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
+        val cand = eb.as("x").join(eb.as("y"),
+            col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_x"), col("y.vec_id").as("id_y"))
+          .distinct()
+        val edges = cand
+          .join(e.select(col("vec_id").as("id_x"),
+            col("qe").as("qex"), col("nq").as("nqx")), Seq("id_x"))
+          .join(e.select(col("vec_id").as("id_y"),
+            col("qe").as("qey"), col("nq").as("nqy")), Seq("id_y"))
+          .withColumn("dot", VectorOps.dot("qex", "qey"))
+          .withColumn("cos", VectorOps.cosine("dot", "nqx", "nqy"))
+          .where(col("cos") >= 0.9)
+          .select(col("id_x"), col("id_y"))
+        val pk = concat_ws(":", col("id_x"), col("id_y"))
+        val membership = edges.select(col("id_x").as("vec_id"), pk.as("pk"))
+          .union(edges.select(col("id_y").as("vec_id"), pk.as("pk")))
+        val comp = graft.operators.ConnectedComponents
+          .byGroup(membership, "vec_id", "pk")
+        e.select("vec_id", "label").join(comp, Seq("vec_id"), "left")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            count(col("component")).as("n_clustered"),
+            count(when(col("component").isNull ||
+              col("component") === col("vec_id"), 1)).as("n_survivors"))
+          .orderBy("label")
+      },
+      Some(s"""WITH RECURSIVE $duckBase,
+          sk AS (SELECT vec_id, label, qe, nq,
+                  ${duckSketch(LshBands * OracleBandBits)} AS sketch FROM n),
+          bands AS (${duckBands("sk", LshBands, OracleBandBits)}),
+          cand AS (SELECT DISTINCT x.vec_id AS id_x, y.vec_id AS id_y
+                FROM bands x JOIN bands y ON x.bkey = y.bkey
+                  AND x.vec_id < y.vec_id),
+          p AS (SELECT c.id_x, c.id_y
+                FROM cand c JOIN sk a ON a.vec_id = c.id_x
+                  JOIN sk b ON b.vec_id = c.id_y
+                WHERE ${duckCos(duckDot("a.qe", "b.qe"), "a.nq", "b.nq")}
+                  >= 0.9),
+          edges AS (SELECT id_x AS a, id_y AS b FROM p
+                UNION SELECT id_y, id_x FROM p),
+          walk(node, reach) AS (
+            SELECT vec_id, vec_id FROM sk
+            UNION
+            SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+          comp AS (SELECT node AS vec_id, min(reach) AS canonical
+                FROM walk GROUP BY 1),
+          cl AS (SELECT DISTINCT a AS vec_id FROM edges)
+        SELECT n.label, count(*)::BIGINT AS n_vecs,
+          count(cl.vec_id)::BIGINT AS n_clustered,
+          count(CASE WHEN comp.canonical = n.vec_id THEN 1 END)::BIGINT
+            AS n_survivors
+        FROM n LEFT JOIN cl ON cl.vec_id = n.vec_id
+          LEFT JOIN comp ON comp.vec_id = n.vec_id
+        GROUP BY 1 ORDER BY 1"""),
+      "SemDeDup-style semantic dedup resolved to survivors: banded-LSH " +
+        "cos>=0.9 edges -> connected components (each edge a 2-member " +
+        "group, shared CC engine) -> min-id canonical kept; per-label " +
+        "clustered/survivor audit, no O(n^2) pass anywhere."),
   )
 }

@@ -1197,15 +1197,7 @@ object TextQueries extends QueryPack {
           .groupBy("doc_id")
           .agg(sort_array(collect_list(col("pos"))).as("ps"))
         corpus.join(spans, Seq("doc_id"), "left")
-          .withColumn("cleaned", expr(
-            "if(ps is null, text, aggregate(ps, " +
-              "struct(cast('' as string) as out, 1 as cur), " +
-              "(acc, p) -> struct(" +
-              "if(p > acc.cur, concat(acc.out, " +
-              "substr(text, acc.cur, p - acc.cur)), acc.out) as out, " +
-              "greatest(acc.cur, p + 8) as cur), " +
-              "acc -> concat(acc.out, " +
-              "substr(text, acc.cur, length(text) - acc.cur + 1))))"))
+          .withColumn("cleaned", TextOps.removeSpans("text", "ps", 8))
           .select(col("doc_id"), col("lang"),
             expr("cast(coalesce(size(ps), 0) as bigint)").as("n_matched"),
             expr("cast(length(text) - length(cleaned) as bigint)")
@@ -1272,5 +1264,152 @@ object TextQueries extends QueryPack {
         "decontaminated text per doc; unmatched docs pass through " +
         "verbatim, so removed_chars doubles as a whole-corpus " +
         "contamination audit."),
+
+    GraftQuery(
+      "q_text_bm25", Seq("P9", "A8", "W3"),
+      (s, dir) => {
+        // Okapi BM25 (k1=1.2, b=0.75) of every doc against a small
+        // query-term set — the retrieval-style ranking TF-IDF
+        // (q_text_tfidf) approximates. Scale shape: tf only for the
+        // broadcast query terms (inner join prunes the explode before
+        // the shuffle), df from that tiny tf table, the 1-row
+        // (N, avgdl) agg cross-broadcast. Float discipline: each
+        // per-term score is scaled to an exact 1e-4 integer BEFORE the
+        // per-doc sum, so the sum is order-independent (a raw double
+        // sum over 2-3 terms can round differently under different
+        // reduce orders); the display score is one exact int/1e4
+        // division.
+        import s.implicits._
+        val terms = Seq("spark", "hash", "window")
+        val dd = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) > 0"))
+          .select(col("doc_id"), col("lang"), col("t"),
+            expr("cast(size(t) as bigint)").as("dl"))
+        val n = dd.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+        val tf = dd.select(col("doc_id"), explode(col("t")).as("term"))
+          .join(broadcast(terms.toDF("term")), Seq("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val sc = tf.join(broadcast(dfreq), Seq("term"))
+          .join(dd.select("doc_id", "dl"), Seq("doc_id"))
+          .crossJoin(broadcast(n))
+          .withColumn("s",
+            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(round(col("s") * 10000).cast("long")).as("s4"))
+        dd.join(sc, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("dl"),
+            col("n_terms"), (col("s4") / 10000.0).as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
+            FROM documents),
+          dd AS (SELECT doc_id, lang, t, len(t)::BIGINT AS dl FROM d
+            WHERE len(t) > 0),
+          n AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dd),
+          qt AS (SELECT unnest(['spark','hash','window']) AS term),
+          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM dd) x
+            JOIN qt USING (term) GROUP BY 1,2),
+          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+            GROUP BY 1),
+          sc AS (SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
+              sum(round((ln(1.0 + (n.n - dfreq.df + 0.5)
+                  / (dfreq.df + 0.5)) *
+                (tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * dd.dl / n.avgdl)))
+                * 10000)::BIGINT)::BIGINT AS s4
+            FROM tf JOIN dfreq USING (term)
+              JOIN dd ON dd.doc_id = tf.doc_id, n
+            GROUP BY 1)
+        SELECT dd.doc_id, dd.lang, dd.dl, sc.n_terms,
+          sc.s4 / 10000.0 AS bm25
+        FROM dd JOIN sc ON sc.doc_id = dd.doc_id
+        ORDER BY dd.doc_id"""),
+      "Okapi BM25 retrieval scoring against broadcast query terms: " +
+        "per-term scores scaled to exact 1e-4 integers before the " +
+        "per-doc sum (order-independent), one exact division for " +
+        "display; tf explode pruned by the broadcast term join."),
+
+    GraftQuery(
+      "q_pipeline_mixture", Seq("D8", "W2", "A8"),
+      (s, dir) => {
+        // Corpus MIXTURE under a token budget — the sampling step a
+        // training run performs after the corpus is built: give
+        // premium sources (src1-src5) weight 2 and the rest weight 1,
+        // target half the corpus tokens overall, and within each
+        // source take a deterministic uniform shuffle of docs until
+        // that source's budget is reached (take-until semantics: the
+        // doc straddling the boundary is kept). All integer math —
+        // budget = (total * w) div (2 * sum(w)), cut on exclusive
+        // per-source running token counts from the two-phase prefix
+        // scan (PrefixSum — no per-source window sort straggler), and
+        // the shuffle order is the md5-of-doc_id priority the D8
+        // sampler uses, so the draw is reproducible on any engine.
+        val corpus = docs(s, dir)
+          .where(col("source") =!= "src0")
+          .select(col("doc_id"), col("source"),
+            expr(s"cast(size($sparkToks) as bigint)").as("n_tok"),
+            concat(md5(col("doc_id").cast("string")),
+              col("doc_id").cast("string")).as("pri"))
+        val wExpr = when(col("source")
+          .isin("src1", "src2", "src3", "src4", "src5"), lit(2L))
+          .otherwise(lit(1L))
+        val total = corpus.agg(sum("n_tok").as("total"))
+        val budgets = corpus.groupBy("source")
+          .agg(sum("n_tok").as("avail"))
+          .crossJoin(broadcast(total))
+          .withColumn("w", wExpr)
+          .select(col("source"),
+            expr("(total * w) div 48").as("budget"))
+        val cum = graft.operators.PrefixSum
+          .runningTotal(corpus, "source", "pri", "n_tok")
+        val sel = cum.join(broadcast(budgets), Seq("source"))
+          .where(col("cum_before") < col("budget"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"))
+        budgets.join(sel, Seq("source"), "left")
+          .select(col("source"), col("budget"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH c AS (SELECT doc_id, source,
+            len($duckToks)::BIGINT AS n_tok,
+            md5(doc_id::VARCHAR) || doc_id AS pri
+          FROM documents WHERE source != 'src0'),
+          t AS (SELECT sum(n_tok)::BIGINT AS total FROM c),
+          b AS (SELECT source,
+              (t.total * (CASE WHEN source IN
+                ('src1','src2','src3','src4','src5')
+                THEN 2 ELSE 1 END)) // 48 AS budget
+            FROM (SELECT DISTINCT source FROM c) s, t),
+          cum AS (SELECT doc_id, source, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY source
+                ORDER BY pri
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS cb
+            FROM c),
+          sel AS (SELECT cum.source, count(*)::BIGINT AS n_docs,
+              sum(n_tok)::BIGINT AS n_tokens
+            FROM cum JOIN b USING (source) WHERE cb < budget
+            GROUP BY 1)
+        SELECT b.source, b.budget::BIGINT AS budget,
+          coalesce(sel.n_docs, 0)::BIGINT AS n_docs,
+          coalesce(sel.n_tokens, 0)::BIGINT AS n_tokens
+        FROM b LEFT JOIN sel ON sel.source = b.source
+        ORDER BY b.source"""),
+      "Token-budget corpus mixing: weighted per-source budgets " +
+        "(integer-exact), deterministic md5-priority shuffle within " +
+        "each source, take-until cut on the two-phase prefix scan's " +
+        "exclusive running totals — the D8 sampler composed with W2 " +
+        "cumulative semantics, reproducible on any engine."),
   )
 }

@@ -435,6 +435,68 @@ object StreamingOps {
           .as("contaminated"))
   }
 
+  /** Streaming exact-substring REMOVAL — the streaming twin of
+    * q_text_clean: each arriving doc winnows (position, fingerprint)
+    * pairs, the positions whose fingerprint appears in the broadcast
+    * eval set are collected per (window, doc), and
+    * [[graft.operators.TextOps.removeSpans]] (the SAME fold the batch
+    * query uses) cuts the matched k-gram spans, emitting the cleaned
+    * text. Docs with no fingerprints (shorter than the guarantee
+    * threshold) and docs with no eval overlap pass through verbatim —
+    * `explode_outer` keeps them as a single null-position row, so
+    * nothing is dropped.
+    *
+    * State: one watermarked (window, doc) group per doc — the same
+    * bound as [[contaminationStream]]; the static side is the eval
+    * set's distinct fingerprints ([[contaminationStaticSide]], tiny by
+    * definition). Caching contract as usual: pass a PERSISTED
+    * `staticSide` and unpersist on stop, or the internal one persists
+    * for the session lifetime.
+    *
+    * Output: bucket, <idCol>, n_matched, removed_chars, cleaned.
+    */
+  def cleanStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      evalSet: DataFrame, // textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      gramK: Int = 8,
+      guaranteeT: Int = 11,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val reserved = Seq("__graft_wp", "__graft_pos", "__graft_hit",
+      "__graft_ps", "fp")
+    reserved.foreach(c => require(!docs.columns.contains(c),
+      s"cleanStream: input already has a $c column (reserved)"))
+    val evalFps = staticSide.getOrElse(
+      contaminationStaticSide(evalSet, textCol, gramK, guaranteeT)
+        .persist())
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__graft_wp",
+        graft.operators.TextOps.winnowPositionsCompiled(gramK, guaranteeT)(
+          col(textCol)))
+      .select(col(idCol), col(tsCol), col(textCol),
+        explode_outer(col("__graft_wp")).as("__graft_w"))
+      .select(col(idCol), col(tsCol), col(textCol),
+        col("__graft_w._1").as("__graft_pos"),
+        col("__graft_w._2").as("fp"))
+      .join(broadcast(evalFps.withColumn("__graft_hit", lit(1L))),
+        Seq("fp"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(first(col(textCol)).as(textCol),
+        sort_array(collect_list(when(col("__graft_hit").isNotNull,
+          col("__graft_pos")))).as("__graft_ps"))
+      .withColumn("cleaned",
+        graft.operators.TextOps.removeSpans(textCol, "__graft_ps", gramK))
+      .select(col("window.start").as("bucket"), col(idCol),
+        size(col("__graft_ps")).cast("long").as("n_matched"),
+        (length(col(textCol)) - length(col("cleaned"))).cast("long")
+          .as("removed_chars"),
+        col("cleaned"))
+  }
+
   /** Streaming ANN over a static embedding corpus — the streaming twin
     * of q_sim_lsh_ann: the corpus is banded-sign-LSH sketched once
     * (static side, hash-partitioned on band key at scale); each arriving

@@ -489,6 +489,24 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("cum_before"))
   }
 
+  test("removeSpans cuts k-gram spans: overlap merges, boundary clips, " +
+    "null/empty pass through") {
+    // 16-char doc, k=8; positions are 1-based starts of 8-char spans
+    val rows = Seq(
+      ("abcdefghijklmnop", Some(Seq(1, 3)), "klmnop"), // overlap -> 1..10
+      ("abcdefghijklmnop", Some(Seq(9)), "abcdefgh"), // tail span
+      ("abcdefghijklmnop", Some(Seq(1, 9)), ""), // adjacent covers all
+      ("abcdefghijklmnop", Some(Seq(1, 11)), "ij"), // gap keeps middle
+      ("abcdefghijklmnop", Some(Seq(11)), "abcdefghij"), // clip past end
+      ("abcdefghijklmnop", Some(Seq.empty[Int]), "abcdefghijklmnop"),
+      ("abcdefghijklmnop", None, "abcdefghijklmnop")) // null ps
+    val got = rows.map { case (t, ps, _) => (t, ps.orNull) }
+      .toDF("text", "ps")
+      .withColumn("cleaned", TextOps.removeSpans("text", "ps", 8))
+      .select("cleaned").as[String].collect()
+    assert(got.toSeq === rows.map(_._3))
+  }
+
   test("sessionize splits on gap") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),

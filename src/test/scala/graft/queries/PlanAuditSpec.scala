@@ -28,6 +28,10 @@ class PlanAuditSpec extends SparkSuite {
     "q_orphans",
     // 1-row corpus-count broadcast for the idf denominator
     "q_text_tfidf",
+    // 1-row (N, avgdl) broadcast for the bm25 idf/length norm
+    "q_text_bm25",
+    // 1-row total-token broadcast feeding the per-source budgets
+    "q_pipeline_mixture",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",

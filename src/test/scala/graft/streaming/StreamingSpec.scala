@@ -428,6 +428,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming span removal emits the same cleaned text as the " +
+    "batch q_text_clean math on a shared real-corpus fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = all.where($"source" === "src0").select("text")
+    val corpusDocs = all.where($"source" =!= "src0").limit(30)
+      .select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)].collect() ++ Seq(
+        // pass-through branches: no eval-gram overlap; below the
+        // 11-char guarantee threshold (no fingerprints at all)
+        ("d_untouched", "zzzz qqqq xxxx wwww yyyy unrelated gibberish"),
+        ("d_tiny", "hello"))
+    // batch twin: q_text_clean's exact per-doc math (same positional
+    // winnow kernel, same broadcast eval-fp join, same removeSpans fold)
+    val evalFps = evalSet
+      .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+      .select(explode($"win").as("fp")).distinct()
+    val batch = corpusDocs.toSeq.toDF("doc_id", "text")
+      .withColumn("wp", TextOps.winnowPositionsCompiled(8, 11)($"text"))
+      .select($"doc_id", $"text", explode_outer($"wp").as("w"))
+      .select($"doc_id", $"text", $"w._1".as("pos"), $"w._2".as("fp"))
+      .join(broadcast(evalFps.withColumn("hit", lit(1L))), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(first($"text").as("text"),
+        sort_array(collect_list(when($"hit".isNotNull, $"pos"))).as("ps"))
+      .withColumn("cleaned", TextOps.removeSpans("text", "ps", 8))
+      .select($"doc_id", size($"ps").cast("long").as("n_matched"),
+        $"cleaned")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch.size === 32)
+    // the fixture exercises both branches: contaminated real docs
+    // (src0 shares grams across this synthetic corpus) and the two
+    // injected pass-through docs, which must come out verbatim
+    assert(batch.values.exists(_._1 > 0L))
+    assert(batch("d_untouched") === ((0L,
+      "zzzz qqqq xxxx wwww yyyy unrelated gibberish")))
+    assert(batch("d_tiny") === ((0L, "hello")))
+    val docs = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingOps.cleanStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), evalSet)
+    val q = out.writeStream.format("memory")
+      .queryName("clean_parity_out").outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      docs.addData(corpusDocs.map(d => (d._1, d._2, t0)).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("clean_parity_out")
+        .select("doc_id", "n_matched", "cleaned")
+        .as[(String, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming ANN finds the matching corpus vector for arriving " +
     "queries; orthogonal queries miss every band") {
     implicit val sqlCtx = spark.sqlContext
