@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) over the integer-quantized
+  * embedding representation (VectorOps.quantize): split each vector
+  * into `m` subvectors, code each against a per-subspace codebook, and
+  * score queries by asymmetric distance computation (ADC) — the
+  * memory-bounded scale path for ANN (m bytes per vector instead of
+  * the full embedding; the reference's similarity surface is
+  * brute-force fingerprints, similarity.py:478-501, which caps at
+  * RAM-resident corpora).
+  *
+  * Codebooks here are SAMPLED, not Lloyd-trained — the same
+  * deterministic md5-ordered draw as the IVF coarse quantizer
+  * (VectorIndex.sampleCentroids), so every code and every ADC score is
+  * reproducible on any engine with md5, and the DuckDB oracle matches
+  * bit-for-bit: all distances are exact 64-bit integer arithmetic
+  * (‖a−b‖² = na + nb − 2·a·b on the quantized grid). A Lloyd refine of
+  * the codebooks would slot in exactly like VectorIndex.refine and is
+  * deliberately left to it.
+  *
+  * Scale shape: the codebook is m × k rows (bounded constants —
+  * broadcast); encoding is linear in corpus × m with a map-side
+  * collapsing argmin (no window); ADC is one broadcast equi-join on
+  * (subspace, code) followed by a sum aggregation — candidates never
+  * pair corpus × corpus.
+  */
+object ProductQuantizer {
+
+  /** Per-subspace sampled codebook over `e` = (vec_id, qe): the first
+    * `k` vectors in (md5(vec_id), vec_id) order contribute their
+    * subvectors. Output: (j, cidx, cvec, cnorm) — m·k rows, broadcast
+    * wherever joined. `cidx` is the rank in the SAME md5 order, so the
+    * oracle recomputes identical codes.
+    */
+  def codebook(e: DataFrame, m: Int, subLen: Int, k: Int): DataFrame = {
+    val ord = Seq(col("__h"), col("vec_id"))
+    val sample = e
+      .withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
+      .orderBy(ord: _*)
+      .limit(k)
+      // k-row single-partition window — bounded by the codebook size,
+      // never by the corpus
+      .withColumn("cidx", row_number().over(Window.orderBy(ord: _*)) - 1)
+    sample
+      .select(col("cidx"), explode(expr(s"sequence(0, ${m - 1})")).as("j"),
+        col("qe"))
+      .select(col("j"), col("cidx"),
+        expr(s"slice(qe, j * $subLen + 1, $subLen)").as("cvec"))
+      .withColumn("cnorm", VectorOps.normSq("cvec"))
+  }
+
+  /** PQ-encode `corpus` = (idCol, qe) against a codebook: one row per
+    * (id, subspace) with the argmin code — exact integer distances,
+    * ties to the smaller code index, collapsed map-side
+    * (min(struct(dist, cidx))) like VectorIndex.argmaxCell.
+    */
+  def encode(
+      corpus: DataFrame,
+      cb: DataFrame,
+      m: Int,
+      subLen: Int,
+      idCol: String = "vec_id"): DataFrame =
+    corpus
+      .select(col(idCol), explode(expr(s"sequence(0, ${m - 1})")).as("j"),
+        col("qe"))
+      .select(col(idCol), col("j"),
+        expr(s"slice(qe, j * $subLen + 1, $subLen)").as("svec"))
+      .withColumn("snorm", VectorOps.normSq("svec"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("dist",
+        col("snorm") + col("cnorm") - lit(2L) * VectorOps.dot("svec", "cvec"))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("dist"), col("cidx"))).as("m"))
+      .select(col(idCol), col("j"), col("m.cidx").as("code"))
+
+  /** ADC scores of every (query, corpus vector) pair: the query's
+    * per-(subspace, code) distance table (q × m × k rows — queries are
+    * a small probe set, so it broadcasts) equi-joins the corpus codes
+    * and sums per pair. Output: (queryIdCol, idCol, adist) with adist
+    * = Σ_j ‖q_j − c(x_j)‖², an exact integer.
+    */
+  def adcScore(
+      queries: DataFrame, // queryIdCol, qe
+      codes: DataFrame, // idCol, j, code
+      cb: DataFrame,
+      m: Int,
+      subLen: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val qd = queries
+      .select(col(queryIdCol), explode(expr(s"sequence(0, ${m - 1})")).as("j"),
+        col("qe"))
+      .select(col(queryIdCol), col("j"),
+        expr(s"slice(qe, j * $subLen + 1, $subLen)").as("qvec"))
+      .withColumn("qnorm", VectorOps.normSq("qvec"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("qdist",
+        col("qnorm") + col("cnorm") - lit(2L) * VectorOps.dot("qvec", "cvec"))
+      .select(col(queryIdCol), col("j"), col("cidx").as("code"),
+        col("qdist"))
+    codes.join(broadcast(qd), Seq("j", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("qdist").as("adist"))
+  }
+}

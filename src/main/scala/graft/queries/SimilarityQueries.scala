@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.VectorOps
+import graft.operators.{ProductQuantizer, VectorOps}
 
 /** Embedding similarity-search pack over the `embeddings` table:
   * brute-force cosine top-k (baseline), sign-LSH bucketed ANN (the scale
@@ -709,5 +709,86 @@ object SimilarityQueries extends QueryPack {
         "cos>=0.9 edges -> connected components (each edge a 2-member " +
         "group, shared CC engine) -> min-id canonical kept; per-label " +
         "clustered/survivor audit, no O(n^2) pass anywhere."),
+
+    GraftQuery(
+      "q_sim_pq_ann", Seq("A10", "J11", "W4"),
+      (s, dir) => {
+        // Product-quantization ANN (ProductQuantizer): m=8 subspaces x
+        // 8 dims, k=16 sampled codebook entries per subspace —
+        // constants independent of corpus size, so no gate geometry
+        // pin is needed. Codes and ADC distances are exact 64-bit
+        // integers on the quantized grid; the probe set is the same
+        // vec_id % 100 convention as the brute-force baseline, ranked
+        // by (adist asc, id asc) — approximate L2 ranking from m bytes
+        // per corpus vector.
+        val e = quantized(s, dir)
+        val base = e.select("vec_id", "qe")
+        val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
+          .localCheckpoint() // one sample scan; feeds encode AND adc
+        val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe"))
+        val ad = ProductQuantizer
+          .adcScore(q, codes, cb, m = 8, subLen = 8)
+          .where(col("query_id") =!= col("vec_id"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          smp0 AS (SELECT vec_id, qe FROM n
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+              vec_id
+            LIMIT 16),
+          smp AS (SELECT vec_id, qe, row_number() OVER
+              (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+                vec_id) - 1 AS cidx
+            FROM smp0),
+          cb AS (SELECT t.j, cidx,
+              qe[t.j*8+1 : t.j*8+8] AS cvec,
+              list_sum(list_transform(qe[t.j*8+1 : t.j*8+8],
+                x -> x*x))::BIGINT AS cnorm
+            FROM smp, range(0, 8) t(j)),
+          sub AS (SELECT vec_id, t.j,
+              qe[t.j*8+1 : t.j*8+8] AS svec,
+              list_sum(list_transform(qe[t.j*8+1 : t.j*8+8],
+                x -> x*x))::BIGINT AS snorm
+            FROM n, range(0, 8) t(j)),
+          scd AS (SELECT vec_id, sub.j, cidx,
+              snorm + cnorm - 2 * ${duckDot("svec", "cvec")} AS dist
+            FROM sub JOIN cb ON cb.j = sub.j),
+          codes AS (SELECT vec_id, j, cidx FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY dist, cidx) AS rn FROM scd)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, qe FROM n
+            WHERE vec_id % 100 = 0),
+          qsub AS (SELECT query_id, t.j,
+              qe[t.j*8+1 : t.j*8+8] AS qvec,
+              list_sum(list_transform(qe[t.j*8+1 : t.j*8+8],
+                x -> x*x))::BIGINT AS qnorm
+            FROM q, range(0, 8) t(j)),
+          qd AS (SELECT query_id, qsub.j, cidx,
+              qnorm + cnorm - 2 * ${duckDot("qvec", "cvec")} AS qdist
+            FROM qsub JOIN cb ON cb.j = qsub.j),
+          ad AS (SELECT query_id, c.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM codes c JOIN qd ON qd.j = c.j AND qd.cidx = c.cidx
+            WHERE c.vec_id != query_id
+            GROUP BY 1, 2),
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "Product-quantization ANN: md5-sampled per-subspace codebooks, " +
+        "integer-exact codes and ADC distances (m bytes per corpus " +
+        "vector), broadcast (subspace, code) equi-join + sum — the " +
+        "memory-bounded scale path beside IVF."),
   )
 }

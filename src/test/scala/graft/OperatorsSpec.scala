@@ -489,6 +489,47 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("cum_before"))
   }
 
+  test("product quantizer: codes bounded by the codebook, sampled " +
+    "members self-encode at distance 0, ADC is exact on codebook hits") {
+    // 16-dim vectors, m=4 subspaces x 4 dims, k=4 codebook entries
+    // 23 invertible mod 101 -> all 20 vectors (and all their
+    // subvectors) pairwise distinct: no accidental codebook collisions
+    val vecs = (1L to 20L).map(i =>
+      (i, (0 until 16).map(d => ((i * 23 + d * 3) % 101) - 50L)))
+      .toDF("vec_id", "qe")
+    val cb = ProductQuantizer.codebook(vecs, m = 4, subLen = 4, k = 4)
+      .localCheckpoint()
+    val cbRows = cb.select("j", "cidx").as[(Int, Int)].collect()
+    assert(cbRows.length === 16) // 4 subspaces x 4 entries
+    assert(cbRows.forall { case (j, c) => j >= 0 && j < 4 && c >= 0 && c < 4 })
+    val codes = ProductQuantizer.encode(vecs, cb, m = 4, subLen = 4)
+    assert(codes.count() === 80) // 20 vectors x 4 subspaces
+    assert(codes.where(col("code") < 0 || col("code") >= 4).count() === 0)
+    // which vec_ids got sampled into the codebook?
+    val sampleIds = ProductQuantizer.codebook(vecs, 4, 4, 4)
+      .join(vecs.select(col("vec_id"),
+        explode(expr("sequence(0, 3)")).as("j"),
+        expr("slice(qe, j * 4 + 1, 4)").as("cvec")), Seq("j", "cvec"))
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(sampleIds.size === 4)
+    // a sampled member queries itself: every subspace hits its own
+    // subvector (dist 0) -> ADC distance exactly 0
+    val qid = sampleIds.min
+    val q = vecs.where(col("vec_id") === qid)
+      .select(col("vec_id").as("query_id"), col("qe"))
+    val ad = ProductQuantizer.adcScore(q, codes, cb, m = 4, subLen = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(ad(qid) === 0L)
+    // ADC against ANOTHER codebook member x is the exact decomposed
+    // distance sum_j ||q_j - x_j||^2 (x's codes are its own subvectors)
+    val other = (sampleIds - qid).min
+    val byId = vecs.as[(Long, Seq[Long])].collect().toMap
+    val exact = (0 until 16).map { d =>
+      val diff = byId(qid)(d) - byId(other)(d); diff * diff
+    }.sum
+    assert(ad(other) === exact)
+  }
+
   test("removeSpans cuts k-gram spans: overlap merges, boundary clips, " +
     "null/empty pass through") {
     // 16-char doc, k=8; positions are 1-based starts of 8-char spans
