@@ -34,9 +34,21 @@ object Tables {
   /** Cached row count for a static table. The parquet count is
     * footer-metadata-only, but each call still plans and runs a job —
     * the IVF gate queries all need n for the centroid-count rule, so
-    * one count per (dir, table) per JVM amortizes them. Only valid for
-    * the driver's immutable testdata dirs (documented contract).
+    * one count per (dir, table) per JVM amortizes them.
+    *
+    * CONTRACT: the path must be IMMUTABLE for the JVM lifetime (true
+    * of the driver's testdata dirs). The cache is keyed by path only —
+    * overwriting a counted path mid-JVM yields a stale n, from which
+    * suggestedBandBits/suggestedCentroids would derive stale geometry
+    * that gateCheck can NOT catch (it validates against the same n).
+    * Anything that rewrites a table in place must call
+    * [[invalidateRowCount]] (DocumentSink/VectorIndex write to fresh
+    * target dirs, so library code never needs to).
     */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
     rowCounts.getOrElseUpdate((sfDir, name), load(spark, sfDir, name).count())
+
+  /** Drop a cached count after rewriting `sfDir/name.parquet` in place. */
+  def invalidateRowCount(sfDir: String, name: String): Unit =
+    rowCounts.remove((sfDir, name))
 }

@@ -24,7 +24,17 @@ object Verify {
     // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset
     // (unset for the driver's full gate run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would silently run nothing and leave any STALE
+    // parquet from a prior run in outDir looking like a green gate —
+    // fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY: unknown/empty query names " +
+          s"${unknown.mkString(", ")} (registered: " +
+          s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

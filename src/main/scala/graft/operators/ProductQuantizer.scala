@@ -39,12 +39,12 @@ object ProductQuantizer {
     */
   def codebook(e: DataFrame, m: Int, subLen: Int, k: Int): DataFrame = {
     val ord = Seq(col("__h"), col("vec_id"))
-    val sample = e
-      .withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
-      .orderBy(ord: _*)
-      .limit(k)
-      // k-row single-partition window — bounded by the codebook size,
-      // never by the corpus
+    // the ONE md5-ordered draw (VectorIndex.orderedSample — shared
+    // with the IVF centroid sample so the two selection surfaces
+    // cannot drift from the oracles' ORDER BY md5 LIMIT k CTEs);
+    // k-row single-partition window for the rank — bounded by the
+    // codebook size, never by the corpus
+    val sample = VectorIndex.orderedSample(e, k)
       .withColumn("cidx", row_number().over(Window.orderBy(ord: _*)) - 1)
     sample
       .select(col("cidx"), explode(expr(s"sequence(0, ${m - 1})")).as("j"),

@@ -111,8 +111,12 @@ object Skew {
       else {
         val smallNulls = small.schema.filter(f => !keys.contains(f.name))
           .map(f => lit(null).cast(f.dataType).as(f.name))
-        val unmatchedBig = big
-          .join(small.select(keyC: _*).distinct(), keys, "left_anti")
+        // the anti-join's left side is the full (skewed) big relation,
+        // so it must be salted too — recursing through the left-family
+        // path spreads the hot key over the salt space; the keys-only
+        // right side stays tiny (distinct keys x salts)
+        val unmatchedBig = saltedJoin(big,
+            small.select(keyC: _*).distinct(), keys, "left_anti", salts)
           .select(keyC ++ bigOthers.map(col) ++ smallNulls: _*)
         withSmall.unionByName(unmatchedBig)
       }

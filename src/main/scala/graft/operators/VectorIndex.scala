@@ -25,18 +25,25 @@ object VectorIndex {
       centroids: DataFrame, // c_id, cqe, cnq
       assigned: DataFrame) // vec_id, cell, qe, nq
 
-  /** Deterministic centroid sample — the k first vectors in
-    * md5(vec_id) order, ties by vec_id — shared by [[buildIvf]] and
-    * the q_sim_ivf_* query pack: the selection must stay bit-identical
-    * between the index surface and the gate oracles, so it has exactly
-    * one definition. Plans as a distributed partial top-k
-    * (TakeOrderedAndProject, spec-pinned). Input needs
-    * (vec_id, qe, nq).
+  /** THE deterministic md5-ordered draw — the k first rows in
+    * (md5(vec_id), vec_id) order, `__h` retained for downstream rank
+    * assignment. Every sampled-selection surface (IVF centroids here,
+    * PQ codebooks in [[ProductQuantizer.codebook]]) must stay
+    * bit-identical to the gate oracles' ORDER BY md5 LIMIT k CTEs, so
+    * the draw has exactly one definition. Plans as a distributed
+    * partial top-k (TakeOrderedAndProject, spec-pinned).
     */
-  def sampleCentroids(e: DataFrame, k: Int): DataFrame =
+  def orderedSample(e: DataFrame, k: Int): DataFrame =
     e.withColumn("__h", expr(TextOps.hash64("cast(vec_id as string)")))
       .orderBy(col("__h"), col("vec_id"))
       .limit(k)
+
+  /** Deterministic centroid sample ([[orderedSample]]) — shared by
+    * [[buildIvf]] and the q_sim_ivf_* query pack. Input needs
+    * (vec_id, qe, nq).
+    */
+  def sampleCentroids(e: DataFrame, k: Int): DataFrame =
+    orderedSample(e, k)
       .select(col("vec_id").as("c_id"), col("qe").as("cqe"),
         col("nq").as("cnq"))
 

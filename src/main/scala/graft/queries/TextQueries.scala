@@ -312,9 +312,24 @@ object TextQueries extends QueryPack {
           .withColumn("q", TextOps.qualityScore("text"))
           .where(col("q").isNotNull)
           .select("doc_id", "lang", "q")
+        val acc = 1000000
+        // gate-only pin of the exactness premise (the LSH/IVF
+        // gateCheck pattern): GK is exact only while accuracy >= the
+        // largest group, and the oracle compares EXACT quantiles — a
+        // gate run on data past that bound must fail loudly, not
+        // silently drift into approximate cuts
+        if (s.conf.getOption("graft.gate").contains("true")) {
+          val maxG = scored.groupBy("lang").count()
+            .agg(max("count")).head.getLong(0)
+          require(maxG <= acc,
+            s"q_text_quantile_sketch: largest lang group ($maxG rows) " +
+              s"exceeds sketch accuracy $acc — GK cuts are no longer " +
+              "exact and the DuckDB oracle pins exact quantile_disc; " +
+              "raise accuracy or gate at a smaller SF")
+        }
         graft.operators.Quantiles
           .quantileBuckets(scored, "lang", "q",
-            buckets = 10, accuracy = 1000000)
+            buckets = 10, accuracy = acc)
           .withColumn("bucket", col("bucket").cast("long"))
           .groupBy("lang", "bucket")
           .agg(count(lit(1)).as("n_docs"),
@@ -1347,7 +1362,10 @@ object TextQueries extends QueryPack {
         // source take a deterministic uniform shuffle of docs until
         // that source's budget is reached (take-until semantics: the
         // doc straddling the boundary is kept). All integer math —
-        // budget = (total * w) div (2 * sum(w)), cut on exclusive
+        // budget = (total * w) div (2 * sum(w)) with sum(w) computed
+        // from the live source set (not a hardcoded constant, so the
+        // half-the-tokens contract survives any source cardinality),
+        // cut on exclusive
         // per-source running token counts from the two-phase prefix
         // scan (PrefixSum — no per-source window sort straggler), and
         // the shuffle order is the md5-of-doc_id priority the D8
@@ -1362,12 +1380,14 @@ object TextQueries extends QueryPack {
           .isin("src1", "src2", "src3", "src4", "src5"), lit(2L))
           .otherwise(lit(1L))
         val total = corpus.agg(sum("n_tok").as("total"))
-        val budgets = corpus.groupBy("source")
-          .agg(sum("n_tok").as("avail"))
-          .crossJoin(broadcast(total))
+        val srcs = corpus.select("source").distinct()
           .withColumn("w", wExpr)
+        val sumW = srcs.agg(sum("w").as("sumw"))
+        val budgets = srcs
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(sumW))
           .select(col("source"),
-            expr("(total * w) div 48").as("budget"))
+            expr("(total * w) div (2 * sumw)").as("budget"))
         val cum = graft.operators.PrefixSum
           .runningTotal(corpus, "source", "pri", "n_tok")
         val sel = cum.join(broadcast(budgets), Seq("source"))
@@ -1386,11 +1406,13 @@ object TextQueries extends QueryPack {
             md5(doc_id::VARCHAR) || doc_id AS pri
           FROM documents WHERE source != 'src0'),
           t AS (SELECT sum(n_tok)::BIGINT AS total FROM c),
-          b AS (SELECT source,
-              (t.total * (CASE WHEN source IN
+          ws AS (SELECT source, CASE WHEN source IN
                 ('src1','src2','src3','src4','src5')
-                THEN 2 ELSE 1 END)) // 48 AS budget
-            FROM (SELECT DISTINCT source FROM c) s, t),
+                THEN 2 ELSE 1 END AS w
+            FROM (SELECT DISTINCT source FROM c)),
+          sw AS (SELECT sum(w)::BIGINT AS sumw FROM ws),
+          b AS (SELECT source, (t.total * w) // (2 * sw.sumw) AS budget
+            FROM ws, t, sw),
           cum AS (SELECT doc_id, source, n_tok,
               coalesce(sum(n_tok) OVER (PARTITION BY source
                 ORDER BY pri

@@ -446,9 +446,15 @@ object StreamingOps {
     * `explode_outer` keeps them as a single null-position row, so
     * nothing is dropped.
     *
-    * State: one watermarked (window, doc) group per doc — the same
-    * bound as [[contaminationStream]]; the static side is the eval
-    * set's distinct fingerprints ([[contaminationStaticSide]], tiny by
+    * State: one watermarked (window, doc) group per doc — but unlike
+    * [[contaminationStream]] (two longs per group) each group carries
+    * the doc's FULL TEXT (first(textCol)) plus its matched positions
+    * until watermark expiry, so state-store size scales with doc size
+    * x in-flight doc count. On high-rate streams of large documents,
+    * bound the trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) and
+    * keep the watermark tight, or run the batch q_text_clean path over
+    * micro-batched input instead. The static side is the eval set's
+    * distinct fingerprints ([[contaminationStaticSide]], tiny by
     * definition). Caching contract as usual: pass a PERSISTED
     * `staticSide` and unpersist on stop, or the internal one persists
     * for the session lifetime.
