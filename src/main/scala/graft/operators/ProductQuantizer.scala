@@ -78,6 +78,40 @@ object ProductQuantizer {
       .agg(min(struct(col("dist"), col("cidx"))).as("m"))
       .select(col(idCol), col("j"), col("m.cidx").as("code"))
 
+  /** One Lloyd step on the codebooks for a FIXED encoding: each
+    * (subspace, code) centroid moves to the element-wise mean of its
+    * assigned subvectors, rounded back to the integer grid — the PQ
+    * analog of [[VectorIndex.refine]], with the same determinism
+    * (integer sums, ONE IEEE division + round per component). For the
+    * fixed assignment the mean minimizes the subspace's summed squared
+    * distance exactly, so a refine + re-encode round can only lower
+    * total quantization error up to the ≤0.5-per-component grid
+    * rounding. Codes left without members drop out (k shrinks —
+    * standard k-means). Re-[[encode]] against the result to complete
+    * the iteration.
+    */
+  def refineCodebook(
+      corpus: DataFrame,
+      codes: DataFrame,
+      m: Int,
+      subLen: Int,
+      idCol: String = "vec_id"): DataFrame =
+    corpus
+      .select(col(idCol), explode(expr(s"sequence(0, ${m - 1})")).as("j"),
+        col("qe"))
+      .select(col(idCol), col("j"),
+        expr(s"slice(qe, j * $subLen + 1, $subLen)").as("svec"))
+      .join(codes, Seq(idCol, "j"))
+      .select(col("j"), col("code"), posexplode(col("svec")))
+      .groupBy("j", "code", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("c"))
+      .groupBy("j", "code")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        expr("cast(round(s / c) as bigint)").as("v")))).as("pv"))
+      .select(col("j"), col("code").as("cidx"),
+        expr("transform(pv, x -> x.v)").as("cvec"))
+      .withColumn("cnorm", VectorOps.normSq("cvec"))
+
   /** ADC scores of every (query, corpus vector) pair: the query's
     * per-(subspace, code) distance table (q × m × k rows — queries are
     * a small probe set, so it broadcasts) equi-joins the corpus codes

@@ -880,5 +880,79 @@ object SimilarityQueries extends QueryPack {
         "integer-exact with the same tie rule, so the number measures " +
         "the PQ geometry itself; exact side is the broadcast " +
         "brute-force pattern, PQ side the shared codebook chain."),
+
+    GraftQuery(
+      "q_sim_pq_refined", Seq("A10", "J11", "W4"),
+      (s, dir) => {
+        // One Lloyd round on the PQ codebooks
+        // (ProductQuantizer.refineCodebook — per-(subspace, code)
+        // integer means rounded to the grid, the q_sim_ivf_refined
+        // pattern), re-encode, then the same ADC top-3 as
+        // q_sim_pq_ann. The DuckDB oracle recomputes the ENTIRE
+        // refinement independently, so the mean/round/re-encode
+        // arithmetic is engine-verified, not self-checked.
+        val e = quantized(s, dir)
+        val base = e.select("vec_id", "qe")
+        val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
+          .localCheckpoint()
+        val codes0 = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+        val cb1 = ProductQuantizer
+          .refineCodebook(base, codes0, m = 8, subLen = 8)
+          .localCheckpoint()
+        val codes1 = ProductQuantizer.encode(base, cb1, m = 8, subLen = 8)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe"))
+        val ad = ProductQuantizer
+          .adcScore(q, codes1, cb1, m = 8, subLen = 8)
+          .where(col("query_id") =!= col("vec_id"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckPqChain,
+          asg AS (SELECT c.j, c.cidx, s.svec
+            FROM codes c JOIN sub s ON s.vec_id = c.vec_id
+              AND s.j = c.j),
+          rs AS (SELECT j, cidx, i, sum(v)::BIGINT AS sm,
+              count(*)::BIGINT AS cnt
+            FROM (SELECT j, cidx, unnest(svec) AS v,
+                generate_subscripts(svec, 1) AS i FROM asg)
+            GROUP BY 1, 2, 3),
+          cb2 AS (SELECT j, cidx,
+              list(CAST(round(sm * 1.0 / cnt) AS BIGINT) ORDER BY i)
+                AS cvec
+            FROM rs GROUP BY 1, 2),
+          cb2n AS (SELECT j, cidx, cvec,
+              list_sum(list_transform(cvec, x -> x*x))::BIGINT AS cnorm
+            FROM cb2),
+          scd2 AS (SELECT vec_id, sub.j, cidx,
+              snorm + cb2n.cnorm - 2 * ${duckDot("svec", "cvec")} AS dist
+            FROM sub JOIN cb2n ON cb2n.j = sub.j),
+          codes2 AS (SELECT vec_id, j, cidx FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                ORDER BY dist, cidx) AS rn FROM scd2)
+            WHERE rn = 1),
+          qd2 AS (SELECT query_id, qsub.j, cidx,
+              qnorm + cb2n.cnorm - 2 * ${duckDot("qvec", "cvec")} AS qdist
+            FROM qsub JOIN cb2n ON cb2n.j = qsub.j),
+          ad AS (SELECT query_id, c.vec_id,
+              sum(qd2.qdist)::BIGINT AS adist
+            FROM codes2 c JOIN qd2 ON qd2.j = c.j AND qd2.cidx = c.cidx
+            WHERE c.vec_id != query_id
+            GROUP BY 1, 2),
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "One gate-verified Lloyd round on the PQ codebooks: per-code " +
+        "integer means rounded to the grid, re-encode, ADC top-3 — " +
+        "the oracle recomputes the whole refinement independently."),
   )
 }

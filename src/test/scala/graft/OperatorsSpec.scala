@@ -528,6 +528,37 @@ class OperatorsSpec extends SparkSuite {
       val diff = byId(qid)(d) - byId(other)(d); diff * diff
     }.sum
     assert(ad(other) === exact)
+    // one Lloyd round: refined codebook keeps the (j, code) keyspace
+    // bounded, subvector width intact, and is deterministic
+    val cb1 = ProductQuantizer.refineCodebook(vecs, codes, m = 4,
+      subLen = 4).localCheckpoint()
+    val rows1 = cb1.select("j", "cidx", "cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    assert(rows1.nonEmpty && rows1.length <= 16)
+    assert(rows1.forall { case (j, c, v) =>
+      j >= 0 && j < 4 && c >= 0 && c < 4 && v.length === 4 })
+    val again = ProductQuantizer.refineCodebook(vecs, codes, m = 4,
+      subLen = 4).select("j", "cidx", "cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    assert(rows1.sortBy(r => (r._1, r._2)).toSeq ===
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    // Lloyd monotonicity on the grid: total quantization error after
+    // refine + re-encode does not exceed the original (the fixture's
+    // sums are far from the 0.5-rounding edge)
+    def totalErr(cbX: org.apache.spark.sql.DataFrame): Long = {
+      val cds = ProductQuantizer.encode(vecs, cbX, m = 4, subLen = 4)
+      vecs.select(col("vec_id"),
+          explode(expr("sequence(0, 3)")).as("j"), col("qe"))
+        .select(col("vec_id"), col("j"),
+          expr("slice(qe, j * 4 + 1, 4)").as("svec"))
+        .withColumn("snorm", graft.operators.VectorOps.normSq("svec"))
+        .join(cds, Seq("vec_id", "j"))
+        .join(cbX.withColumnRenamed("cidx", "code"), Seq("j", "code"))
+        .withColumn("dist", col("snorm") + col("cnorm") -
+          lit(2L) * graft.operators.VectorOps.dot("svec", "cvec"))
+        .agg(sum("dist")).head.getLong(0)
+    }
+    assert(totalErr(cb1) <= totalErr(cb))
   }
 
   test("removeSpans cuts k-gram spans: overlap merges, boundary clips, " +
