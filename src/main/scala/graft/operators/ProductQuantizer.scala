@@ -118,15 +118,17 @@ object ProductQuantizer {
     * and sums per pair. Output: (queryIdCol, idCol, adist) with adist
     * = Σ_j ‖q_j − c(x_j)‖², an exact integer.
     */
-  def adcScore(
-      queries: DataFrame, // queryIdCol, qe
-      codes: DataFrame, // idCol, j, code
+  /** The per-query distance table (queryIdCol, j, code, qdist) — one
+    * row per (query, subspace, codebook entry), q × m × k rows total:
+    * queries are a small probe set, so the table broadcasts.
+    */
+  private def qdTable(
+      queries: DataFrame,
       cb: DataFrame,
       m: Int,
       subLen: Int,
-      idCol: String = "vec_id",
-      queryIdCol: String = "query_id"): DataFrame = {
-    val qd = queries
+      queryIdCol: String): DataFrame =
+    queries
       .select(col(queryIdCol), explode(expr(s"sequence(0, ${m - 1})")).as("j"),
         col("qe"))
       .select(col(queryIdCol), col("j"),
@@ -137,8 +139,38 @@ object ProductQuantizer {
         col("qnorm") + col("cnorm") - lit(2L) * VectorOps.dot("qvec", "cvec"))
       .select(col(queryIdCol), col("j"), col("cidx").as("code"),
         col("qdist"))
-    codes.join(broadcast(qd), Seq("j", "code"))
+
+  def adcScore(
+      queries: DataFrame, // queryIdCol, qe
+      codes: DataFrame, // idCol, j, code
+      cb: DataFrame,
+      m: Int,
+      subLen: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame =
+    codes.join(broadcast(qdTable(queries, cb, m, subLen, queryIdCol)),
+        Seq("j", "code"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum("qdist").as("adist"))
-  }
+
+  /** ADC restricted to an explicit candidate-pair relation
+    * (queryIdCol, idCol) — the IVF-PQ composition: the coarse
+    * quantizer supplies the candidates (cell mates), PQ ranks them,
+    * so the scored pair count is candidates × m, never corpus ×
+    * queries.
+    */
+  def adcScoreCandidates(
+      queries: DataFrame, // queryIdCol, qe
+      candidates: DataFrame, // queryIdCol, idCol
+      codes: DataFrame, // idCol, j, code
+      cb: DataFrame,
+      m: Int,
+      subLen: Int,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame =
+    codes.join(candidates, Seq(idCol))
+      .join(broadcast(qdTable(queries, cb, m, subLen, queryIdCol)),
+        Seq(queryIdCol, "j", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("qdist").as("adist"))
 }

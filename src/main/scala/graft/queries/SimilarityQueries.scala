@@ -954,5 +954,82 @@ object SimilarityQueries extends QueryPack {
       "One gate-verified Lloyd round on the PQ codebooks: per-code " +
         "integer means rounded to the grid, re-encode, ADC top-3 — " +
         "the oracle recomputes the whole refinement independently."),
+
+    GraftQuery(
+      "q_sim_ivfpq", Seq("A10", "J6", "W4"),
+      (s, dir) => {
+        // IVF-PQ — the FAISS-style composition and the full
+        // 100 TB-memory story: the coarse quantizer (same √n-capped
+        // sampled centroids + argmax assignment as q_sim_ivf_ann)
+        // supplies each query's candidate set (its cell mates), and PQ
+        // ADC ranks those candidates from m-byte codes
+        // (ProductQuantizer.adcScoreCandidates) — scored pairs are
+        // candidates × m, never corpus × queries, and the corpus-side
+        // memory per vector is the code row, not the embedding. All
+        // integer math end to end; the oracle recomputes coarse
+        // assignment, codebooks, codes, and ADC independently.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val cent = sampledCentroids(e, k)
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+          .localCheckpoint() // skinny (vec_id, cell); feeds both sides
+        val base = e.select("vec_id", "qe")
+        val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
+          .localCheckpoint()
+        val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe"))
+        val qCell = q.select("query_id")
+          .join(cellOf.withColumnRenamed("vec_id", "query_id"),
+            Seq("query_id"))
+        val cand = cellOf.join(broadcast(qCell), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id")
+        val ad = ProductQuantizer.adcScoreCandidates(
+          q, cand, codes, cb, m = 8, subLen = 8)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          $duckPqChain,
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          asg AS (SELECT vec_id, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM sc0)
+                WHERE rn = 1),
+          qc AS (SELECT q.query_id, a.cell FROM q
+                JOIN asg a ON a.vec_id = q.query_id),
+          cand AS (SELECT qc.query_id, a.vec_id
+                FROM asg a JOIN qc ON a.cell = qc.cell
+                WHERE a.vec_id != qc.query_id),
+          ad AS (SELECT c2.query_id, c2.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM cand c2 JOIN codes co ON co.vec_id = c2.vec_id
+              JOIN qd ON qd.query_id = c2.query_id AND qd.j = co.j
+                AND qd.cidx = co.cidx
+            GROUP BY 1, 2),
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "IVF-PQ: coarse cells supply the candidates, m-byte ADC codes " +
+        "rank them — scored pairs are cell mates x subspaces, corpus " +
+        "memory is the code row; coarse assignment, codebooks, codes, " +
+        "and ADC all recomputed independently by the oracle."),
   )
 }
