@@ -580,6 +580,161 @@ object StreamingOps {
         col("m.id").as("best_id"))
   }
 
+  /** Static side for [[ivfPqStream]] — everything the probe path
+    * needs, built ONCE from the corpus: the coded corpus table
+    * (id, cell, m packed PQ codes), plus the coarse centroids and the
+    * PQ codebook COLLECTED to the driver (both are bounded by design:
+    * centroids ≤ the √n cap, codebook = m × k entries — the same data
+    * the batch path broadcasts). `coded` is returned UNPERSISTED —
+    * caller-owned caching contract as usual. The codebook must be
+    * dense (every (subspace, code) present), which [[ProductQuantizer
+    * .codebook]]'s k-row sample guarantees; a refined (possibly
+    * shrunken) codebook is rejected loudly rather than mis-indexed.
+    */
+  case class IvfPqStatic(
+      coded: DataFrame, // idCol, cell, codes array<int> (length m)
+      centroids: Array[(Long, Array[Long], Long)], // (c_id, cqe, cnq)
+      codebook: Array[Array[(Array[Long], Long)]], // [j][code] = (cvec, cnorm)
+      m: Int,
+      subLen: Int,
+      kCodes: Int)
+
+  def ivfPqStaticSide(
+      corpus: DataFrame, // idCol, embCol
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      kCentroids: Int,
+      m: Int = 8,
+      subLen: Int = 8,
+      kCodes: Int = 16): IvfPqStatic = {
+    import graft.operators.{ProductQuantizer, VectorIndex, VectorOps}
+    val e = corpus
+      .select(col(idCol).as("vec_id"), col(embCol))
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select("vec_id", "qe", "nq")
+      .localCheckpoint() // feeds centroid sample, assignment, codebook
+    val cent = VectorIndex.sampleCentroids(e, kCentroids).localCheckpoint()
+    val cellOf = VectorIndex.argmaxCell(
+      e.crossJoin(broadcast(cent))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+    val base = e.select("vec_id", "qe")
+    val cb = ProductQuantizer.codebook(base, m, subLen, kCodes)
+      .localCheckpoint()
+    val codes = ProductQuantizer.encode(base, cb, m, subLen)
+    val coded = codes
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("j"), col("code"))))
+        .as("jc"))
+      .select(col("vec_id"),
+        expr("transform(jc, x -> x.code)").as("codes"))
+      .join(cellOf, Seq("vec_id"))
+      .select(col("vec_id").as(idCol), col("cell"), col("codes"))
+    val centLocal = cent
+      .select("c_id", "cqe", "cnq")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val cbRows = cb.select("j", "cidx", "cvec", "cnorm").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+    val cbLocal = Array.tabulate(m) { j =>
+      val entries = cbRows.filter(_._1 == j).sortBy(_._2)
+      require(entries.length == kCodes &&
+        entries.zipWithIndex.forall { case (en, i) => en._2 == i },
+        s"ivfPqStaticSide: codebook for subspace $j is not dense " +
+          s"0..${kCodes - 1} (got ${entries.map(_._2).mkString(",")}) — " +
+          "pass the raw sampled codebook, not a refined/shrunken one")
+      entries.map(en => (en._3, en._4))
+    }
+    IvfPqStatic(coded, centLocal, cbLocal, m, subLen, kCodes)
+  }
+
+  /** Streaming IVF-PQ probe — the streaming twin of q_sim_ivfpq: each
+    * arriving query quantizes on the SAME expression as the batch path,
+    * then one compiled closure over the bounded driver-collected
+    * statics assigns its coarse cell (identical double-cosine argmax
+    * and (cos desc, c_id) tie rule as VectorIndex.argmaxCell — NaN
+    * ranks last via java.lang.Double ordering, matching Spark's) and
+    * emits its m × k ADC distance table. Candidates come from ONE
+    * stream-static equi-join on the cell; each candidate's approximate
+    * distance is a pure expression over (qtab, codes) — no per-pair
+    * aggregation — and a single watermarked (window, query) reduce
+    * keeps the best candidate, ties to the smallest id (batch rank
+    * parity). Queries landing in an empty cell emit nothing (the
+    * annStream miss contract).
+    *
+    * Output: bucket, <queryIdCol>, n_cell_mates, best_adist, best_id.
+    */
+  def ivfPqStream(
+      queries: DataFrame, // queryIdCol, embCol, tsCol
+      static: IvfPqStatic,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes"): DataFrame = {
+    import graft.operators.VectorOps
+    val cents = static.centroids
+    val cbArr = static.codebook
+    val (m, subLen, kCodes) = (static.m, static.subLen, static.kCodes)
+    val probe = udf { qe: Seq[Long] =>
+      var nq = 0L
+      qe.foreach(x => nq += x * x)
+      var bestNc = Double.NaN // "unset": any compare(nc, NaN) < 0 wins
+      var bestId = Long.MaxValue
+      var first = true
+      cents.foreach { case (cid, cqe, cnq) =>
+        var dot = 0L
+        var i = 0
+        while (i < cqe.length) { dot += cqe(i) * qe(i); i += 1 }
+        val nc = -(dot / (math.sqrt(cnq.toDouble) * math.sqrt(nq.toDouble)))
+        val cmp = if (first) -1 else java.lang.Double.compare(nc, bestNc)
+        if (cmp < 0 || (cmp == 0 && cid < bestId)) {
+          bestNc = nc; bestId = cid; first = false
+        }
+      }
+      val qtab = new Array[Long](m * kCodes)
+      var j = 0
+      while (j < m) {
+        var qnorm = 0L
+        var d = 0
+        while (d < subLen) {
+          val v = qe(j * subLen + d); qnorm += v * v; d += 1
+        }
+        var c = 0
+        while (c < kCodes) {
+          val (cvec, cnorm) = cbArr(j)(c)
+          var dot = 0L
+          var i = 0
+          while (i < subLen) { dot += cvec(i) * qe(j * subLen + i); i += 1 }
+          qtab(j * kCodes + c) = qnorm + cnorm - 2 * dot
+          c += 1
+        }
+        j += 1
+      }
+      (bestId, qtab)
+    }
+    queries.withWatermark(tsCol, watermark)
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("p", probe(col("qe")))
+      .select(col(queryIdCol), col(tsCol),
+        col("p._1").as("cell"), col("p._2").as("qtab"))
+      .join(static.coded, Seq("cell"))
+      .withColumn("adist", expr(
+        s"aggregate(sequence(0, ${m - 1}), cast(0 as bigint), " +
+          s"(acc, j) -> acc + element_at(qtab, " +
+          s"j * $kCodes + element_at(codes, j + 1) + 1))"))
+      .groupBy(window(col(tsCol), windowDuration), col(queryIdCol))
+      .agg(count(lit(1)).as("n_cell_mates"),
+        min(struct(col("adist").as("ad"), col(idCol).as("id"))).as("m"))
+      .select(col("window.start").as("bucket"), col(queryIdCol),
+        col("n_cell_mates"), col("m.ad").as("best_adist"),
+        col("m.id").as("best_id"))
+  }
+
   /** Streaming exact dedup — the streaming twin of the batch
     * hash-groupBy dedup (q_dedup_exact) for a continuously-arriving
     * document feed: duplicates of a content hash are dropped while the

@@ -515,6 +515,68 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ probe matches the batch composition's best " +
+    "candidate and cell-mate count on a shared real-corpus fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{ProductQuantizer, VectorIndex, VectorOps}
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val static = StreamingOps.ivfPqStaticSide(all, kCentroids = 8)
+    static.coded.persist().count()
+    // batch twin: the q_sim_ivfpq math (same coarse argmax, same
+    // codebook chain, same candidate restriction; self NOT excluded —
+    // the stream side has no notion of a query being a corpus row)
+    val e = all
+      .withColumn("qe", VectorOps.quantize("embedding"))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select("vec_id", "qe", "nq")
+    val cent = VectorIndex.sampleCentroids(e, 8)
+    val cellOf = VectorIndex.argmaxCell(
+      e.crossJoin(broadcast(cent))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+    val base = e.select("vec_id", "qe")
+    val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
+    val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+    val q = e.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"qe")
+    val qCell = q.select("query_id")
+      .join(cellOf.withColumnRenamed("vec_id", "query_id"),
+        Seq("query_id"))
+    val cand = cellOf.join(qCell, Seq("cell"))
+      .select("query_id", "vec_id")
+    val batch = ProductQuantizer
+      .adcScoreCandidates(q, cand, codes, cb, m = 8, subLen = 8)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        min(struct($"adist".as("ad"), $"vec_id".as("id"))).as("m"))
+      .select($"query_id", $"n", $"m.ad", $"m.id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(batch.nonEmpty)
+    val probes = all.where($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val queries = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = StreamingOps.ivfPqStream(
+      queries.toDF().toDF("query_id", "embedding", "ts"), static)
+    val sq = out.writeStream.format("memory").queryName("ivfpq_out")
+      .outputMode("update").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      queries.addData(probes.map(p => (p._1, p._2, t0)).toSeq: _*)
+      sq.processAllAvailable()
+      val got = spark.table("ivfpq_out")
+        .select("query_id", "n_cell_mates", "best_adist", "best_id")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === batch)
+    } finally {
+      sq.stop()
+      static.coded.unpersist()
+    }
+  }
+
   test("streaming TF-IDF scores arriving docs against static corpus " +
     "stats; OOV-only docs emit nothing; late docs are dropped") {
     implicit val sqlCtx = spark.sqlContext
