@@ -19,9 +19,8 @@ import org.apache.spark.sql.functions._
   * (VectorIndex.sampleCentroids), so every code and every ADC score is
   * reproducible on any engine with md5, and the DuckDB oracle matches
   * bit-for-bit: all distances are exact 64-bit integer arithmetic
-  * (‖a−b‖² = na + nb − 2·a·b on the quantized grid). A Lloyd refine of
-  * the codebooks would slot in exactly like VectorIndex.refine and is
-  * deliberately left to it.
+  * (‖a−b‖² = na + nb − 2·a·b on the quantized grid). [[refineCodebook]]
+  * runs Lloyd rounds on the codebooks with the same determinism.
   *
   * Scale shape: the codebook is m × k rows (bounded constants —
   * broadcast); encoding is linear in corpus × m with a map-side
@@ -112,12 +111,6 @@ object ProductQuantizer {
         expr("transform(pv, x -> x.v)").as("cvec"))
       .withColumn("cnorm", VectorOps.normSq("cvec"))
 
-  /** ADC scores of every (query, corpus vector) pair: the query's
-    * per-(subspace, code) distance table (q × m × k rows — queries are
-    * a small probe set, so it broadcasts) equi-joins the corpus codes
-    * and sums per pair. Output: (queryIdCol, idCol, adist) with adist
-    * = Σ_j ‖q_j − c(x_j)‖², an exact integer.
-    */
   /** The per-query distance table (queryIdCol, j, code, qdist) — one
     * row per (query, subspace, codebook entry), q × m × k rows total:
     * queries are a small probe set, so the table broadcasts.
@@ -140,6 +133,11 @@ object ProductQuantizer {
       .select(col(queryIdCol), col("j"), col("cidx").as("code"),
         col("qdist"))
 
+  /** ADC scores of every (query, corpus vector) pair: the query's
+    * per-(subspace, code) distance table equi-joins the corpus codes
+    * and sums per pair. Output: (queryIdCol, idCol, adist) with adist
+    * = Σ_j ‖q_j − c(x_j)‖², an exact integer.
+    */
   def adcScore(
       queries: DataFrame, // queryIdCol, qe
       codes: DataFrame, // idCol, j, code
@@ -159,6 +157,33 @@ object ProductQuantizer {
     * so the scored pair count is candidates × m, never corpus ×
     * queries.
     */
+  /** The IVF-PQ chain assembled ONCE — coarse-cell assignment +
+    * codebook + codes over one (vec_id, qe, nq) relation — shared by
+    * the batch q_sim_ivfpq query, the streaming static side
+    * (StreamingOps.ivfPqStaticSide), and the stream-batch parity spec,
+    * so a change to the composition (assignment expression, refine
+    * step, geometry) lands everywhere or nowhere. cellOf and cb are
+    * localCheckpointed: each feeds at least two consumers.
+    */
+  case class IvfPq(cellOf: DataFrame, cb: DataFrame, codes: DataFrame)
+
+  def buildIvfPq(
+      e: DataFrame, // vec_id, qe, nq
+      kCentroids: Int,
+      m: Int = 8,
+      subLen: Int = 8,
+      kCodes: Int = 16): IvfPq = {
+    val cent = VectorIndex.sampleCentroids(e, kCentroids)
+    val cellOf = VectorIndex.argmaxCell(
+      e.crossJoin(broadcast(cent))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+      .localCheckpoint()
+    val base = e.select("vec_id", "qe")
+    val cbDf = codebook(base, m, subLen, kCodes).localCheckpoint()
+    IvfPq(cellOf, cbDf, encode(base, cbDf, m, subLen))
+  }
+
   def adcScoreCandidates(
       queries: DataFrame, // queryIdCol, qe
       candidates: DataFrame, // queryIdCol, idCol

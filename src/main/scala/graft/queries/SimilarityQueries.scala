@@ -972,26 +972,21 @@ object SimilarityQueries extends QueryPack {
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
-        val cent = sampledCentroids(e, k)
-        val cellOf = graft.operators.VectorIndex.argmaxCell(
-          e.crossJoin(broadcast(cent))
-            .withColumn("dot", VectorOps.dot("cqe", "qe"))
-            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint() // skinny (vec_id, cell); feeds both sides
-        val base = e.select("vec_id", "qe")
-        val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
-          .localCheckpoint()
-        val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+        // the ONE assembled chain (cells + codebook + codes) shared
+        // with the streaming static side and the parity spec
+        val ivfpq = ProductQuantizer.buildIvfPq(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
         val q = e.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe"))
         val qCell = q.select("query_id")
-          .join(cellOf.withColumnRenamed("vec_id", "query_id"),
+          .join(ivfpq.cellOf.withColumnRenamed("vec_id", "query_id"),
             Seq("query_id"))
-        val cand = cellOf.join(broadcast(qCell), Seq("cell"))
+        val cand = ivfpq.cellOf.join(broadcast(qCell), Seq("cell"))
           .where(col("vec_id") =!= col("query_id"))
           .select("query_id", "vec_id")
         val ad = ProductQuantizer.adcScoreCandidates(
-          q, cand, codes, cb, m = 8, subLen = 8)
+          q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
         val w = Window.partitionBy("query_id")
           .orderBy(col("adist").asc, col("vec_id").asc)
         ad.withColumn("rnk", row_number().over(w))

@@ -319,8 +319,9 @@ object TextQueries extends QueryPack {
         // gate run on data past that bound must fail loudly, not
         // silently drift into approximate cuts
         if (s.conf.getOption("graft.gate").contains("true")) {
-          val maxG = scored.groupBy("lang").count()
-            .agg(max("count")).head.getLong(0)
+          val row = scored.groupBy("lang").count().agg(max("count")).head
+          // null max = zero scored rows: trivially exact, pin passes
+          val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
           require(maxG <= acc,
             s"q_text_quantile_sketch: largest lang group ($maxG rows) " +
               s"exceeds sketch accuracy $acc — GK cuts are no longer " +

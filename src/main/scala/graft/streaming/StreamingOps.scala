@@ -581,15 +581,16 @@ object StreamingOps {
   }
 
   /** Static side for [[ivfPqStream]] — everything the probe path
-    * needs, built ONCE from the corpus: the coded corpus table
+    * needs, built ONCE from the corpus via the shared
+    * [[ProductQuantizer.buildIvfPq]] chain: the coded corpus table
     * (id, cell, m packed PQ codes), plus the coarse centroids and the
     * PQ codebook COLLECTED to the driver (both are bounded by design:
     * centroids ≤ the √n cap, codebook = m × k entries — the same data
     * the batch path broadcasts). `coded` is returned UNPERSISTED —
-    * caller-owned caching contract as usual. The codebook must be
-    * dense (every (subspace, code) present), which [[ProductQuantizer
-    * .codebook]]'s k-row sample guarantees; a refined (possibly
-    * shrunken) codebook is rejected loudly rather than mis-indexed.
+    * caller-owned caching contract as usual. The probe layout needs a
+    * dense codebook (every (subspace, code) present), which the k-row
+    * sample guarantees whenever the corpus has ≥ kCodes vectors; a
+    * smaller corpus fails loudly rather than mis-indexing.
     */
   case class IvfPqStatic(
       coded: DataFrame, // idCol, cell, codes array<int> (length m)
@@ -614,29 +615,23 @@ object StreamingOps {
       .withColumn("nq", VectorOps.normSq("qe"))
       .select("vec_id", "qe", "nq")
       .localCheckpoint() // feeds centroid sample, assignment, codebook
-    val cent = VectorIndex.sampleCentroids(e, kCentroids).localCheckpoint()
-    val cellOf = VectorIndex.argmaxCell(
-      e.crossJoin(broadcast(cent))
-        .withColumn("dot", VectorOps.dot("cqe", "qe"))
-        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-    val base = e.select("vec_id", "qe")
-    val cb = ProductQuantizer.codebook(base, m, subLen, kCodes)
-      .localCheckpoint()
-    val codes = ProductQuantizer.encode(base, cb, m, subLen)
-    val coded = codes
+    // the ONE assembled chain — shared with batch q_sim_ivfpq
+    val ivfpq = ProductQuantizer.buildIvfPq(e, kCentroids, m, subLen,
+      kCodes)
+    val coded = ivfpq.codes
       .groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("j"), col("code"))))
         .as("jc"))
       .select(col("vec_id"),
         expr("transform(jc, x -> x.code)").as("codes"))
-      .join(cellOf, Seq("vec_id"))
+      .join(ivfpq.cellOf, Seq("vec_id"))
       .select(col("vec_id").as(idCol), col("cell"), col("codes"))
-    val centLocal = cent
+    val centLocal = VectorIndex.sampleCentroids(e, kCentroids)
       .select("c_id", "cqe", "cnq")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
       .sortBy(_._1)
-    val cbRows = cb.select("j", "cidx", "cvec", "cnorm").collect()
+    val cbRows = ivfpq.cb.select("j", "cidx", "cvec", "cnorm").collect()
       .map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Long](2).toArray, r.getLong(3)))
     val cbLocal = Array.tabulate(m) { j =>
@@ -645,7 +640,8 @@ object StreamingOps {
         entries.zipWithIndex.forall { case (en, i) => en._2 == i },
         s"ivfPqStaticSide: codebook for subspace $j is not dense " +
           s"0..${kCodes - 1} (got ${entries.map(_._2).mkString(",")}) — " +
-          "pass the raw sampled codebook, not a refined/shrunken one")
+          s"the corpus has fewer than kCodes=$kCodes vectors; shrink " +
+          "kCodes or grow the corpus")
       entries.map(en => (en._3, en._4))
     }
     IvfPqStatic(coded, centLocal, cbLocal, m, subLen, kCodes)
@@ -663,7 +659,9 @@ object StreamingOps {
     * aggregation — and a single watermarked (window, query) reduce
     * keeps the best candidate, ties to the smallest id (batch rank
     * parity). Queries landing in an empty cell emit nothing (the
-    * annStream miss contract).
+    * annStream miss contract), and malformed rows (null or
+    * mis-dimensioned embeddings) drop the same way instead of
+    * poisoning the query.
     *
     * Output: bucket, <queryIdCol>, n_cell_mates, best_adist, best_id.
     */
@@ -680,42 +678,55 @@ object StreamingOps {
     val cents = static.centroids
     val cbArr = static.codebook
     val (m, subLen, kCodes) = (static.m, static.subLen, static.kCodes)
+    val dims = static.centroids.headOption.map(_._2.length).getOrElse(0)
     val probe = udf { qe: Seq[Long] =>
-      var nq = 0L
-      qe.foreach(x => nq += x * x)
-      var bestNc = Double.NaN // "unset": any compare(nc, NaN) < 0 wins
-      var bestId = Long.MaxValue
-      var first = true
-      cents.foreach { case (cid, cqe, cnq) =>
-        var dot = 0L
-        var i = 0
-        while (i < cqe.length) { dot += cqe(i) * qe(i); i += 1 }
-        val nc = -(dot / (math.sqrt(cnq.toDouble) * math.sqrt(nq.toDouble)))
-        val cmp = if (first) -1 else java.lang.Double.compare(nc, bestNc)
-        if (cmp < 0 || (cmp == 0 && cid < bestId)) {
-          bestNc = nc; bestId = cid; first = false
-        }
-      }
-      val qtab = new Array[Long](m * kCodes)
-      var j = 0
-      while (j < m) {
-        var qnorm = 0L
-        var d = 0
-        while (d < subLen) {
-          val v = qe(j * subLen + d); qnorm += v * v; d += 1
-        }
-        var c = 0
-        while (c < kCodes) {
-          val (cvec, cnorm) = cbArr(j)(c)
+      // a malformed row (null embedding, wrong dimension) must DROP,
+      // not poison the query: a thrown exception fails the whole
+      // stream and re-fails on restart, while a null probe result
+      // null-keys the cell join and the row falls out — the streaming
+      // analog of the batch path's null-propagating expressions
+      if (qe == null || qe.length != dims || dims < m * subLen)
+        null.asInstanceOf[(Long, Array[Long])]
+      else {
+        var nq = 0L
+        qe.foreach(x => nq += x * x)
+        var bestNc = Double.NaN
+        var bestId = Long.MaxValue
+        var first = true
+        cents.foreach { case (cid, cqe, cnq) =>
           var dot = 0L
           var i = 0
-          while (i < subLen) { dot += cvec(i) * qe(j * subLen + i); i += 1 }
-          qtab(j * kCodes + c) = qnorm + cnorm - 2 * dot
-          c += 1
+          while (i < cqe.length) { dot += cqe(i) * qe(i); i += 1 }
+          val nc =
+            -(dot / (math.sqrt(cnq.toDouble) * math.sqrt(nq.toDouble)))
+          val cmp = if (first) -1 else java.lang.Double.compare(nc, bestNc)
+          if (cmp < 0 || (cmp == 0 && cid < bestId)) {
+            bestNc = nc; bestId = cid; first = false
+          }
         }
-        j += 1
+        val qtab = new Array[Long](m * kCodes)
+        var j = 0
+        while (j < m) {
+          var qnorm = 0L
+          var d = 0
+          while (d < subLen) {
+            val v = qe(j * subLen + d); qnorm += v * v; d += 1
+          }
+          var c = 0
+          while (c < kCodes) {
+            val (cvec, cnorm) = cbArr(j)(c)
+            var dot = 0L
+            var i = 0
+            while (i < subLen) {
+              dot += cvec(i) * qe(j * subLen + i); i += 1
+            }
+            qtab(j * kCodes + c) = qnorm + cnorm - 2 * dot
+            c += 1
+          }
+          j += 1
+        }
+        (bestId, qtab)
       }
-      (bestId, qtab)
     }
     queries.withWatermark(tsCol, watermark)
       .withColumn("qe", VectorOps.quantize(embCol))

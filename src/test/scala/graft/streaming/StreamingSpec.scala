@@ -518,35 +518,32 @@ class StreamingSpec extends SparkSuite {
   test("streaming IVF-PQ probe matches the batch composition's best " +
     "candidate and cell-mate count on a shared real-corpus fixture") {
     implicit val sqlCtx = spark.sqlContext
-    import graft.operators.{ProductQuantizer, VectorIndex, VectorOps}
+    import graft.operators.{ProductQuantizer, VectorOps}
     val all = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
     val static = StreamingOps.ivfPqStaticSide(all, kCentroids = 8)
     static.coded.persist().count()
-    // batch twin: the q_sim_ivfpq math (same coarse argmax, same
-    // codebook chain, same candidate restriction; self NOT excluded —
-    // the stream side has no notion of a query being a corpus row)
+    // batch twin: the q_sim_ivfpq math through the SAME buildIvfPq
+    // chain the static side uses (the parity under test is the probe
+    // mechanics — closure argmax + qtab expression vs the relational
+    // path; self NOT excluded — the stream side has no notion of a
+    // query being a corpus row)
     val e = all
       .withColumn("qe", VectorOps.quantize("embedding"))
       .withColumn("nq", VectorOps.normSq("qe"))
       .select("vec_id", "qe", "nq")
-    val cent = VectorIndex.sampleCentroids(e, 8)
-    val cellOf = VectorIndex.argmaxCell(
-      e.crossJoin(broadcast(cent))
-        .withColumn("dot", VectorOps.dot("cqe", "qe"))
-        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-    val base = e.select("vec_id", "qe")
-    val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
-    val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
+    val ivfpq = ProductQuantizer.buildIvfPq(e, kCentroids = 8,
+      m = 8, subLen = 8, kCodes = 16)
     val q = e.where($"vec_id" % 50 === 0)
       .select($"vec_id".as("query_id"), $"qe")
     val qCell = q.select("query_id")
-      .join(cellOf.withColumnRenamed("vec_id", "query_id"),
+      .join(ivfpq.cellOf.withColumnRenamed("vec_id", "query_id"),
         Seq("query_id"))
-    val cand = cellOf.join(qCell, Seq("cell"))
+    val cand = ivfpq.cellOf.join(qCell, Seq("cell"))
       .select("query_id", "vec_id")
     val batch = ProductQuantizer
-      .adcScoreCandidates(q, cand, codes, cb, m = 8, subLen = 8)
+      .adcScoreCandidates(q, cand, ivfpq.codes, ivfpq.cb,
+        m = 8, subLen = 8)
       .groupBy("query_id")
       .agg(count(lit(1)).as("n"),
         min(struct($"adist".as("ad"), $"vec_id".as("id"))).as("m"))
