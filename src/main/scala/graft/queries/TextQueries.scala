@@ -1434,5 +1434,47 @@ object TextQueries extends QueryPack {
         "each source, take-until cut on the two-phase prefix scan's " +
         "exclusive running totals — the D8 sampler composed with W2 " +
         "cumulative semantics, reproducible on any engine."),
+
+    GraftQuery(
+      "q_pipeline_split", Seq("D8", "A8"),
+      (s, dir) => {
+        // Deterministic train/val/test split (90/5/5) by CONTENT-ID
+        // hash, not row position: membership is a pure function of
+        // doc_id, so it is stable under corpus growth, repartitioning,
+        // and re-runs — adding documents never moves an existing doc
+        // across splits (the property row_number- or rand-based splits
+        // lack, and the reason eval contamination stays impossible
+        // across pipeline versions). Same md5-derived hash64 as every
+        // other selection surface, so the oracle recomputes membership
+        // bit-for-bit. One projection + one groupBy — no shuffle
+        // beyond the final small aggregation.
+        val h = expr(TextOps.hash64("cast(doc_id as string)"))
+        docs(s, dir)
+          .withColumn("b", h % 100)
+          .withColumn("split",
+            when(col("b") < 90, "train")
+              .when(col("b") < 95, "val")
+              .otherwise("test"))
+          .withColumn("n_tok", expr(s"cast(size($sparkToks) as bigint)"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH d AS (SELECT lang,
+            ${dh("doc_id::VARCHAR")} % 100 AS b,
+            len($duckToks)::BIGINT AS n_tok
+          FROM documents),
+          sp AS (SELECT lang, n_tok,
+            CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM d)
+        SELECT lang, split, count(*)::BIGINT AS n_docs,
+          sum(n_tok)::BIGINT AS n_tokens
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Hash-stable 90/5/5 train/val/test split: membership is a pure " +
+        "function of doc_id (md5-derived), so splits survive corpus " +
+        "growth and re-runs without cross-split drift — one projection " +
+        "and one small aggregation."),
   )
 }
