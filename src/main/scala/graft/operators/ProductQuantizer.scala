@@ -115,7 +115,7 @@ object ProductQuantizer {
     * row per (query, subspace, codebook entry), q × m × k rows total:
     * queries are a small probe set, so the table broadcasts.
     */
-  private def qdTable(
+  private[operators] def qdTable(
       queries: DataFrame,
       cb: DataFrame,
       m: Int,
@@ -157,6 +157,17 @@ object ProductQuantizer {
     * so the scored pair count is candidates × m, never corpus ×
     * queries.
     */
+  /** Pack per-(id, subspace) code rows into one row per id with the m
+    * codes as a j-ordered array — the storage/probe layout of the
+    * coded corpus (VectorIndex.savePq, StreamingOps.ivfPqStaticSide).
+    */
+  def packCodes(codes: DataFrame, idCol: String = "vec_id"): DataFrame =
+    codes
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("j"), col("code"))))
+        .as("jc"))
+      .select(col(idCol), expr("transform(jc, x -> x.code)").as("codes"))
+
   /** The IVF-PQ chain assembled ONCE — coarse-cell assignment +
     * codebook + codes over one (vec_id, qe, nq) relation — shared by
     * the batch q_sim_ivfpq query, the streaming static side

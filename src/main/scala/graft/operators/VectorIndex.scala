@@ -304,4 +304,122 @@ object VectorIndex {
       .select(col(queryIdCol), col("n_cell_mates"),
         (-col("m.nd")).as("best_dot"), col("m.id").as("best_neighbor"))
   }
+
+  // ---------------------------------------------------------------
+  // Persistent IVF-PQ: the memory-bounded index — the corpus side of
+  // every probe is the CODED table (cell + m packed bytes per vector,
+  // never the embeddings), bucketed by cell so repeated probes reuse
+  // the write-time partitioning exactly like the full-precision index.
+  // ---------------------------------------------------------------
+
+  /** centroids (c_id, cqe, cnq); codebook (j, cidx, cvec, cnorm);
+    * coded (vec_id, cell, codes array — [[ProductQuantizer.packCodes]]
+    * layout).
+    */
+  case class IvfPqIndex(
+      centroids: DataFrame,
+      codebook: DataFrame,
+      coded: DataFrame)
+
+  /** Build the persistent form of the shared
+    * [[ProductQuantizer.buildIvfPq]] chain. Input needs
+    * (vec_id, qe, nq).
+    */
+  def buildIvfPqIndex(
+      e: DataFrame,
+      kCentroids: Int,
+      m: Int = 8,
+      subLen: Int = 8,
+      kCodes: Int = 16): IvfPqIndex = {
+    val chain = ProductQuantizer.buildIvfPq(e, kCentroids, m, subLen,
+      kCodes)
+    IvfPqIndex(
+      sampleCentroids(e, kCentroids),
+      chain.cb,
+      ProductQuantizer.packCodes(chain.codes)
+        .join(chain.cellOf, Seq("vec_id"))
+        .select("vec_id", "cell", "codes"))
+  }
+
+  /** Persist: centroids + codebook as plain parquet (both broadcast
+    * at probe time), the coded table bucketed by CELL (the [[save]]
+    * layout — repeated probe joins reuse the write-time partitioning;
+    * same catalog-vs-path shadowing rules as [[load]]).
+    */
+  def savePq(
+      spark: SparkSession,
+      index: IvfPqIndex,
+      name: String,
+      path: String,
+      buckets: Int = 8): Unit = {
+    index.centroids.write.mode("overwrite")
+      .parquet(s"$path/${name}_centroids")
+    index.codebook.write.mode("overwrite")
+      .parquet(s"$path/${name}_codebook")
+    index.coded.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/${name}_coded")
+      .saveAsTable(s"${name}_coded")
+  }
+
+  def loadPq(spark: SparkSession, name: String, path: String)
+      : IvfPqIndex = {
+    val tbl = s"${name}_coded"
+    val coded =
+      if (catalogMatchesPath(spark, tbl, path)) spark.table(tbl)
+      else spark.read.parquet(s"$path/$tbl")
+    IvfPqIndex(
+      spark.read.parquet(s"$path/${name}_centroids"),
+      spark.read.parquet(s"$path/${name}_codebook"),
+      coded)
+  }
+
+  /** ADC probe of an IVF-PQ index: queries assign to their `nprobe`
+    * nearest cells (broadcast centroids), candidates come from the
+    * cell equi-join against the bucketed coded table (exchange-free
+    * on the corpus side), each candidate unpacks its m codes and sums
+    * the broadcast per-query distance table — the relational twin of
+    * the streaming closure probe. Geometry (m, subLen) is derived from
+    * the codebook itself, so a probe cannot silently run with the
+    * wrong constants.
+    *
+    * Output: <queryIdCol>, n_cell_mates, best_adist, best_id.
+    */
+  def queryPq(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      embCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
+    val geom = index.codebook
+      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
+    val (m, subLen) = (geom.getInt(0) + 1, geom.getInt(1))
+    val q = queries
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("qnq", VectorOps.normSq("qe"))
+      .select(col(queryIdCol), col("qe"), col("qnq"))
+    val qCells = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dot", VectorOps.dot("cqe", "qe"))
+      .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(col("cos").desc,
+          col("c_id").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col(queryIdCol), col("c_id").as("cell"))
+    val qd = ProductQuantizer.qdTable(
+      q.select(col(queryIdCol), col("qe")), index.codebook, m, subLen,
+      queryIdCol)
+    index.coded.join(broadcast(qCells), Seq("cell"))
+      .select(col(queryIdCol), col("vec_id"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+      .join(broadcast(qd), Seq(queryIdCol, "j", "code"))
+      .groupBy(col(queryIdCol), col("vec_id"))
+      .agg(sum("qdist").as("adist"))
+      .groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_cell_mates"),
+        min(struct(col("adist").as("ad"), col("vec_id").as("id")))
+          .as("m"))
+      .select(col(queryIdCol), col("n_cell_mates"),
+        col("m.ad").as("best_adist"), col("m.id").as("best_id"))
+  }
 }

@@ -618,12 +618,7 @@ object StreamingOps {
     // the ONE assembled chain — shared with batch q_sim_ivfpq
     val ivfpq = ProductQuantizer.buildIvfPq(e, kCentroids, m, subLen,
       kCodes)
-    val coded = ivfpq.codes
-      .groupBy("vec_id")
-      .agg(sort_array(collect_list(struct(col("j"), col("code"))))
-        .as("jc"))
-      .select(col("vec_id"),
-        expr("transform(jc, x -> x.code)").as("codes"))
+    val coded = ProductQuantizer.packCodes(ivfpq.codes)
       .join(ivfpq.cellOf, Seq("vec_id"))
       .select(col("vec_id").as(idCol), col("cell"), col("codes"))
     val centLocal = VectorIndex.sampleCentroids(e, kCentroids)

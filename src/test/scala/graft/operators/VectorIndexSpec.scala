@@ -225,4 +225,68 @@ class VectorIndexSpec extends SparkSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("IVF-PQ index: save/load probe parity, agreement with the " +
+    "adcScoreCandidates path, exchange-free coded side") {
+    import org.apache.spark.sql.expressions.Window
+    // 8-dim fixture -> m=4 subspaces x 2 dims, 8 codebook entries
+    val e = vectors
+      .withColumn("qe", VectorOps.quantize("embedding"))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select("vec_id", "qe", "nq")
+    val idx = VectorIndex.buildIvfPqIndex(e, kCentroids = 4,
+      m = 4, subLen = 2, kCodes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("vpq").toString
+    VectorIndex.savePq(spark, idx, "vpq", dir, buckets = 4)
+    val loaded = VectorIndex.loadPq(spark, "vpq", dir)
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val mem = VectorIndex.queryPq(idx, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val disk = VectorIndex.queryPq(loaded, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem.nonEmpty)
+    assert(mem === disk)
+    // independent path: the same candidates scored through
+    // adcScoreCandidates (per-(id, j) rows) must reduce to the same
+    // best hit as queryPq's packed posexplode path
+    val q2 = queries
+      .withColumn("qe", VectorOps.quantize("embedding"))
+      .withColumn("qnq", VectorOps.normSq("qe"))
+    val qCells = q2.crossJoin(broadcast(idx.centroids))
+      .withColumn("dot", VectorOps.dot("cqe", "qe"))
+      .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc,
+          col("c_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("c_id").as("cell"))
+    val cand = idx.coded.select("vec_id", "cell")
+      .join(qCells, Seq("cell")).select("query_id", "vec_id")
+    val unpacked = idx.coded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("j", "code")))
+    val expected = ProductQuantizer
+      .adcScoreCandidates(q2.select(col("query_id"), col("qe")), cand,
+        unpacked, idx.codebook, m = 4, subLen = 2)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("adist").as("ad"), col("vec_id").as("id")))
+          .as("m"))
+      .select(col("query_id"), col("n"), col("m.ad"), col("m.id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem === expected)
+    // bucketed coded side: a non-broadcast join on cell shuffles only
+    // the other side
+    val other = idx.centroids.select(col("c_id").as("cell"), col("cnq"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("vpq_coded").join(other, Seq("cell"))
+      assert(joined.count() > 0)
+      val nExchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).length
+      assert(nExchanges === 1)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
