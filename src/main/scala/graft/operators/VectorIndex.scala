@@ -374,6 +374,73 @@ object VectorIndex {
       coded)
   }
 
+  /** Code arrivals against an EXISTING index's centroids and codebook
+    * — shared by [[appendPq]] and [[appendSavedPq]] so the incremental
+    * path cannot drift from the build path. Geometry derives from the
+    * codebook itself.
+    */
+  /** (m, subLen) read off the codebook itself, so no caller can run a
+    * probe or append with constants that disagree with the build.
+    */
+  private def pqGeometry(index: IvfPqIndex): (Int, Int) = {
+    val geom = index.codebook
+      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
+    (geom.getInt(0) + 1, geom.getInt(1))
+  }
+
+  private def codeAgainst(
+      index: IvfPqIndex,
+      newVectors: DataFrame,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val (m, subLen) = pqGeometry(index)
+    val e = quantizedVectors(newVectors, idCol, embCol)
+    val cellOf = assignTo(index.centroids, e).select("vec_id", "cell")
+    val codes = ProductQuantizer.encode(
+      e.select("vec_id", "qe"), index.codebook, m, subLen)
+    ProductQuantizer.packCodes(codes)
+      .join(cellOf, Seq("vec_id"))
+      .select("vec_id", "cell", "codes")
+  }
+
+  /** Incremental PQ append: arrivals are assigned to the EXISTING
+    * centroids and coded against the EXISTING codebooks (no drift —
+    * the [[append]] contract; rebuild on distribution shift, same
+    * wording as the cluster-assign merge-on-refresh contract).
+    */
+  def appendPq(
+      index: IvfPqIndex,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfPqIndex =
+    IvfPqIndex(index.centroids, index.codebook,
+      index.coded.unionByName(
+        codeAgainst(index, newVectors, idCol, embCol)))
+
+  /** [[appendPq]] against a SAVED index — appends to the bucketed
+    * coded table so later probes stay exchange-free; a catalog miss
+    * fails loudly (the [[appendSaved]] contract).
+    */
+  def appendSavedPq(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      buckets: Int = 8): Unit = {
+    val tbl = s"${name}_coded"
+    require(catalogMatchesPath(spark, tbl, path),
+      s"appendSavedPq: catalog table $tbl missing or not at $path — " +
+        "a bucketed append needs the saving catalog entry; rebuild " +
+        "(or re-save) the index instead")
+    codeAgainst(loadPq(spark, name, path), newVectors, idCol, embCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/$tbl")
+      .saveAsTable(tbl)
+  }
+
   /** ADC probe of an IVF-PQ index: queries assign to their `nprobe`
     * nearest cells (broadcast centroids), candidates come from the
     * cell equi-join against the bucketed coded table (exchange-free
@@ -391,9 +458,7 @@ object VectorIndex {
       queryIdCol: String = "query_id",
       embCol: String = "embedding",
       nprobe: Int = 1): DataFrame = {
-    val geom = index.codebook
-      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
-    val (m, subLen) = (geom.getInt(0) + 1, geom.getInt(1))
+    val (m, subLen) = pqGeometry(index)
     val q = queries
       .withColumn("qe", VectorOps.quantize(embCol))
       .withColumn("qnq", VectorOps.normSq("qe"))

@@ -289,4 +289,36 @@ class VectorIndexSpec extends SparkSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("IVF-PQ append: arrivals code against the existing geometry, " +
+    "saved append equals in-memory append, catalog miss fails loudly") {
+    val old = vectors.where(col("vec_id") < 70)
+    val fresh = vectors.where(col("vec_id") >= 70)
+    val e70 = old
+      .withColumn("qe", VectorOps.quantize("embedding"))
+      .withColumn("nq", VectorOps.normSq("qe"))
+      .select("vec_id", "qe", "nq")
+    val idx = VectorIndex.buildIvfPqIndex(e70, kCentroids = 4,
+      m = 4, subLen = 2, kCodes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("vpqApp").toString
+    VectorIndex.savePq(spark, idx, "vpq2", dir, buckets = 4)
+    VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh, buckets = 4)
+    val loaded = VectorIndex.loadPq(spark, "vpq2", dir)
+    assert(loaded.coded.count() === 100L)
+    val queries = vectors.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val mem = VectorIndex.queryPq(VectorIndex.appendPq(idx, fresh),
+        queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val disk = VectorIndex.queryPq(loaded, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem === disk)
+    // catalog gone -> loud failure, not a silent bucket-contract break
+    spark.sql("DROP TABLE vpq2_coded")
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh, buckets = 4)
+    }
+    assert(err.getMessage.contains("bucketed append needs the saving " +
+      "catalog entry"))
+  }
 }
