@@ -151,12 +151,6 @@ object ProductQuantizer {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum("qdist").as("adist"))
 
-  /** ADC restricted to an explicit candidate-pair relation
-    * (queryIdCol, idCol) — the IVF-PQ composition: the coarse
-    * quantizer supplies the candidates (cell mates), PQ ranks them,
-    * so the scored pair count is candidates × m, never corpus ×
-    * queries.
-    */
   /** Pack per-(id, subspace) code rows into one row per id with the m
     * codes as a j-ordered array — the storage/probe layout of the
     * coded corpus (VectorIndex.savePq, StreamingOps.ivfPqStaticSide).
@@ -173,10 +167,17 @@ object ProductQuantizer {
     * the batch q_sim_ivfpq query, the streaming static side
     * (StreamingOps.ivfPqStaticSide), and the stream-batch parity spec,
     * so a change to the composition (assignment expression, refine
-    * step, geometry) lands everywhere or nowhere. cellOf and cb are
-    * localCheckpointed: each feeds at least two consumers.
+    * step, geometry) lands everywhere or nowhere. cent, cellOf, and cb
+    * are localCheckpointed: each feeds at least two consumers, and the
+    * pinned cent evaluation is what guarantees the EXPOSED centroids
+    * are the ones the cells were assigned against (a re-evaluated
+    * sample over nondeterministic lineage could silently disagree).
     */
-  case class IvfPq(cellOf: DataFrame, cb: DataFrame, codes: DataFrame)
+  case class IvfPq(
+      cent: DataFrame,
+      cellOf: DataFrame,
+      cb: DataFrame,
+      codes: DataFrame)
 
   def buildIvfPq(
       e: DataFrame, // vec_id, qe, nq
@@ -185,6 +186,7 @@ object ProductQuantizer {
       subLen: Int = 8,
       kCodes: Int = 16): IvfPq = {
     val cent = VectorIndex.sampleCentroids(e, kCentroids)
+      .localCheckpoint()
     val cellOf = VectorIndex.argmaxCell(
       e.crossJoin(broadcast(cent))
         .withColumn("dot", VectorOps.dot("cqe", "qe"))
@@ -192,9 +194,15 @@ object ProductQuantizer {
       .localCheckpoint()
     val base = e.select("vec_id", "qe")
     val cbDf = codebook(base, m, subLen, kCodes).localCheckpoint()
-    IvfPq(cellOf, cbDf, encode(base, cbDf, m, subLen))
+    IvfPq(cent, cellOf, cbDf, encode(base, cbDf, m, subLen))
   }
 
+  /** ADC restricted to an explicit candidate-pair relation
+    * (queryIdCol, idCol) — the IVF-PQ composition: the coarse
+    * quantizer supplies the candidates (cell mates), PQ ranks them,
+    * so the scored pair count is candidates × m, never corpus ×
+    * queries.
+    */
   def adcScoreCandidates(
       queries: DataFrame, // queryIdCol, qe
       candidates: DataFrame, // queryIdCol, idCol

@@ -151,13 +151,15 @@ object VectorIndex {
       path: String,
       newVectors: DataFrame,
       idCol: String = "vec_id",
-      embCol: String = "embedding",
-      buckets: Int = 8): Unit = {
+      embCol: String = "embedding"): Unit = {
     val tbl = s"${name}_assigned"
     require(catalogMatchesPath(spark, tbl, path),
       s"appendSaved: catalog table $tbl missing or not at $path — " +
         "a bucketed append needs the saving catalog entry; rebuild " +
         "(or re-save) the index instead")
+    // the saved table's bucket spec is authoritative (savedBuckets) —
+    // a caller-supplied count could only agree or fail the write
+    val buckets = savedBuckets(spark, tbl)
     val cent = spark.read.parquet(s"$path/${name}_centroids")
     assignTo(cent, quantizedVectors(newVectors, idCol, embCol))
       .write.mode("append").format("parquet")
@@ -314,15 +316,22 @@ object VectorIndex {
 
   /** centroids (c_id, cqe, cnq); codebook (j, cidx, cvec, cnorm);
     * coded (vec_id, cell, codes array — [[ProductQuantizer.packCodes]]
-    * layout).
+    * layout); (m, subLen) pinned at build/load time so probes and
+    * appends are lazy plan-builders that cannot disagree with the
+    * build geometry.
     */
   case class IvfPqIndex(
       centroids: DataFrame,
       codebook: DataFrame,
-      coded: DataFrame)
+      coded: DataFrame,
+      m: Int,
+      subLen: Int)
 
   /** Build the persistent form of the shared
-    * [[ProductQuantizer.buildIvfPq]] chain. Input needs
+    * [[ProductQuantizer.buildIvfPq]] chain — the chain's own pinned
+    * centroid sample is stored, so the exposed centroids are BY
+    * CONSTRUCTION the ones the cells were assigned against (no second
+    * sample evaluation to drift, no second corpus scan). Input needs
     * (vec_id, qe, nq).
     */
   def buildIvfPqIndex(
@@ -334,11 +343,12 @@ object VectorIndex {
     val chain = ProductQuantizer.buildIvfPq(e, kCentroids, m, subLen,
       kCodes)
     IvfPqIndex(
-      sampleCentroids(e, kCentroids),
+      chain.cent,
       chain.cb,
       ProductQuantizer.packCodes(chain.codes)
         .join(chain.cellOf, Seq("vec_id"))
-        .select("vec_id", "cell", "codes"))
+        .select("vec_id", "cell", "codes"),
+      m, subLen)
   }
 
   /** Persist: centroids + codebook as plain parquet (both broadcast
@@ -368,36 +378,40 @@ object VectorIndex {
     val coded =
       if (catalogMatchesPath(spark, tbl, path)) spark.table(tbl)
       else spark.read.parquet(s"$path/$tbl")
+    val codebook = spark.read.parquet(s"$path/${name}_codebook")
+    val (m, subLen) = pqGeometry(codebook, s"loadPq($name, $path)")
     IvfPqIndex(
       spark.read.parquet(s"$path/${name}_centroids"),
-      spark.read.parquet(s"$path/${name}_codebook"),
-      coded)
+      codebook, coded, m, subLen)
+  }
+
+  /** (m, subLen) read off a codebook ONCE (at load time — built
+    * indexes carry the build constants), with a loud error instead of
+    * an opaque NPE when the codebook is empty.
+    */
+  private def pqGeometry(
+      codebook: DataFrame, what: String): (Int, Int) = {
+    val geom = codebook
+      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
+    require(!geom.isNullAt(0) && !geom.isNullAt(1),
+      s"$what: codebook is empty — the index was built over an empty " +
+        "corpus or the _codebook parquet is missing/empty")
+    (geom.getInt(0) + 1, geom.getInt(1))
   }
 
   /** Code arrivals against an EXISTING index's centroids and codebook
     * — shared by [[appendPq]] and [[appendSavedPq]] so the incremental
-    * path cannot drift from the build path. Geometry derives from the
-    * codebook itself.
+    * path cannot drift from the build path.
     */
-  /** (m, subLen) read off the codebook itself, so no caller can run a
-    * probe or append with constants that disagree with the build.
-    */
-  private def pqGeometry(index: IvfPqIndex): (Int, Int) = {
-    val geom = index.codebook
-      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
-    (geom.getInt(0) + 1, geom.getInt(1))
-  }
-
   private def codeAgainst(
       index: IvfPqIndex,
       newVectors: DataFrame,
       idCol: String,
       embCol: String): DataFrame = {
-    val (m, subLen) = pqGeometry(index)
     val e = quantizedVectors(newVectors, idCol, embCol)
     val cellOf = assignTo(index.centroids, e).select("vec_id", "cell")
     val codes = ProductQuantizer.encode(
-      e.select("vec_id", "qe"), index.codebook, m, subLen)
+      e.select("vec_id", "qe"), index.codebook, index.m, index.subLen)
     ProductQuantizer.packCodes(codes)
       .join(cellOf, Seq("vec_id"))
       .select("vec_id", "cell", "codes")
@@ -415,7 +429,8 @@ object VectorIndex {
       embCol: String = "embedding"): IvfPqIndex =
     IvfPqIndex(index.centroids, index.codebook,
       index.coded.unionByName(
-        codeAgainst(index, newVectors, idCol, embCol)))
+        codeAgainst(index, newVectors, idCol, embCol)),
+      index.m, index.subLen)
 
   /** [[appendPq]] against a SAVED index — appends to the bucketed
     * coded table so later probes stay exchange-free; a catalog miss
@@ -427,28 +442,51 @@ object VectorIndex {
       path: String,
       newVectors: DataFrame,
       idCol: String = "vec_id",
-      embCol: String = "embedding",
-      buckets: Int = 8): Unit = {
+      embCol: String = "embedding"): Unit = {
     val tbl = s"${name}_coded"
     require(catalogMatchesPath(spark, tbl, path),
       s"appendSavedPq: catalog table $tbl missing or not at $path — " +
         "a bucketed append needs the saving catalog entry; rebuild " +
         "(or re-save) the index instead")
-    codeAgainst(loadPq(spark, name, path), newVectors, idCol, embCol)
+    // the saved table's own bucket spec is authoritative — a
+    // caller-supplied count could only agree or fail the write
+    val buckets = savedBuckets(spark, tbl)
+    // no loadPq: it would repeat the catalog lookup and load the coded
+    // table codeAgainst never reads — only the two small parquets
+    val codebook = spark.read.parquet(s"$path/${name}_codebook")
+    val (m, subLen) = pqGeometry(codebook, s"appendSavedPq($name)")
+    val idx = IvfPqIndex(
+      spark.read.parquet(s"$path/${name}_centroids"),
+      codebook, spark.table(tbl), m, subLen)
+    codeAgainst(idx, newVectors, idCol, embCol)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$path/$tbl")
       .saveAsTable(tbl)
   }
 
+  /** Bucket count of a saved assignment/coded table, read from its
+    * catalog metadata — the caller-supplied count it replaces could
+    * only agree with it or fail the append at write time.
+    */
+  private def savedBuckets(spark: SparkSession, tbl: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tbl exists but carries no bucket spec — not a saved index " +
+          "table"))
+
   /** ADC probe of an IVF-PQ index: queries assign to their `nprobe`
     * nearest cells (broadcast centroids), candidates come from the
     * cell equi-join against the bucketed coded table (exchange-free
     * on the corpus side), each candidate unpacks its m codes and sums
     * the broadcast per-query distance table — the relational twin of
-    * the streaming closure probe. Geometry (m, subLen) is derived from
-    * the codebook itself, so a probe cannot silently run with the
-    * wrong constants.
+    * the streaming closure probe. Geometry (m, subLen) is carried on
+    * the index (pinned at build, re-derived once at load), so a probe
+    * is a lazy plan-builder that cannot run with the wrong constants.
     *
     * Output: <queryIdCol>, n_cell_mates, best_adist, best_id.
     */
@@ -458,7 +496,7 @@ object VectorIndex {
       queryIdCol: String = "query_id",
       embCol: String = "embedding",
       nprobe: Int = 1): DataFrame = {
-    val (m, subLen) = pqGeometry(index)
+    val (m, subLen) = (index.m, index.subLen)
     val q = queries
       .withColumn("qe", VectorOps.quantize(embCol))
       .withColumn("qnq", VectorOps.normSq("qe"))

@@ -168,7 +168,7 @@ class VectorIndexSpec extends SparkSuite {
     val idx = VectorIndex.buildIvf(old, numCentroids = 4)
     val dir = java.nio.file.Files.createTempDirectory("vidxApp").toString
     VectorIndex.save(spark, idx, "vidx4", dir, buckets = 4)
-    VectorIndex.appendSaved(spark, "vidx4", dir, fresh, buckets = 4)
+    VectorIndex.appendSaved(spark, "vidx4", dir, fresh)
     val loaded = VectorIndex.load(spark, "vidx4", dir)
     assert(loaded.assigned.count() === 100L)
     // append+load probe == in-memory append probe
@@ -196,7 +196,7 @@ class VectorIndexSpec extends SparkSuite {
     // catalog gone -> loud failure, not a silent bucket-contract break
     spark.sql("DROP TABLE vidx4_assigned")
     val e = intercept[IllegalArgumentException] {
-      VectorIndex.appendSaved(spark, "vidx4", dir, fresh, buckets = 4)
+      VectorIndex.appendSaved(spark, "vidx4", dir, fresh)
     }
     assert(e.getMessage.contains("bucketed append needs the saving " +
       "catalog entry"))
@@ -302,7 +302,7 @@ class VectorIndexSpec extends SparkSuite {
       m = 4, subLen = 2, kCodes = 8)
     val dir = java.nio.file.Files.createTempDirectory("vpqApp").toString
     VectorIndex.savePq(spark, idx, "vpq2", dir, buckets = 4)
-    VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh, buckets = 4)
+    VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh)
     val loaded = VectorIndex.loadPq(spark, "vpq2", dir)
     assert(loaded.coded.count() === 100L)
     val queries = vectors.where(col("vec_id") % 10 === 0)
@@ -316,7 +316,7 @@ class VectorIndexSpec extends SparkSuite {
     // catalog gone -> loud failure, not a silent bucket-contract break
     spark.sql("DROP TABLE vpq2_coded")
     val err = intercept[IllegalArgumentException] {
-      VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh, buckets = 4)
+      VectorIndex.appendSavedPq(spark, "vpq2", dir, fresh)
     }
     assert(err.getMessage.contains("bucketed append needs the saving " +
       "catalog entry"))
