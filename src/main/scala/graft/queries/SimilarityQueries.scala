@@ -1026,5 +1026,77 @@ object SimilarityQueries extends QueryPack {
         "rank them — scored pairs are cell mates x subspaces, corpus " +
         "memory is the code row; coarse assignment, codebooks, codes, " +
         "and ADC all recomputed independently by the oracle."),
+
+    GraftQuery(
+      "q_sim_ivfpq2", Seq("A10", "J6", "W4"),
+      (s, dir) => {
+        // IVF-PQ at nprobe=2 — both recall knobs composed: queries
+        // probe their TWO nearest coarse cells (vectors still live in
+        // exactly one cell, so candidates stay a plain disjoint-cell
+        // equi-join, the q_sim_ivf_probe2 shape) and PQ ADC ranks the
+        // widened candidate set from m-byte codes. Same shared
+        // buildIvfPq chain as q_sim_ivfpq; the top-2 window runs only
+        // over the query subset x k centroid scores, never the corpus.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val ivfpq = ProductQuantizer.buildIvfPq(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
+        val qBase = e.where(col("vec_id") % 100 === 0)
+        val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
+        val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id")
+        val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
+        val ad = ProductQuantizer.adcScoreCandidates(
+          q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          $duckPqChain,
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          rk AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM sc0),
+          asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM rk
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          cand AS (SELECT qc.query_id, a.vec_id
+                FROM asg a JOIN qc ON a.cell = qc.cell
+                WHERE a.vec_id != qc.query_id),
+          ad AS (SELECT c2.query_id, c2.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM cand c2 JOIN codes co ON co.vec_id = c2.vec_id
+              JOIN qd ON qd.query_id = c2.query_id AND qd.j = co.j
+                AND qd.cidx = co.cidx
+            GROUP BY 1, 2),
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "IVF-PQ at nprobe=2: queries probe their two nearest cells " +
+        "(disjoint-cell equi-join candidates, no dedup needed), ADC " +
+        "ranks the widened set — both recall knobs composed on the " +
+        "shared chain."),
   )
 }
