@@ -1098,5 +1098,122 @@ object SimilarityQueries extends QueryPack {
         "(disjoint-cell equi-join candidates, no dedup needed), ADC " +
         "ranks the widened set — both recall knobs composed on the " +
         "shared chain."),
+
+    GraftQuery(
+      "q_sim_recall_ivfpq", Seq("A10", "W4"),
+      (s, dir) => {
+        // End-to-end recall audit of the COMPOSED index: how many of
+        // the exact whole-corpus L2 top-3 does IVF-PQ recover at
+        // nprobe 1 vs 2? Unlike q_sim_recall (PQ coarseness alone),
+        // this number folds in cell misses too — the figure a user
+        // sizing nprobe actually needs. All integer-exact on both
+        // engines; shared buildIvfPq chain.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val ivfpq = ProductQuantizer.buildIvfPq(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
+        val qBase = e.where(col("vec_id") % 100 === 0)
+        val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
+        val wx = Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val exact = e.crossJoin(broadcast(qBase
+            .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+              col("nq").as("qnq"))))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dist", col("qnq") + col("nq") -
+            lit(2L) * VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(wx))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+          .localCheckpoint() // feeds both nprobe overlap counts
+        val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"),
+            col("rn"))
+          .localCheckpoint()
+        def hits(nprobe: Int, name: String) = {
+          val cand = ivfpq.cellOf
+            .join(broadcast(qRanked.where(col("rn") <= nprobe)
+              .select("query_id", "cell")), Seq("cell"))
+            .where(col("vec_id") =!= col("query_id"))
+            .select("query_id", "vec_id")
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("adist").asc, col("vec_id").asc)
+          ProductQuantizer.adcScoreCandidates(
+              q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+            .withColumn("rnk", row_number().over(w))
+            .where(col("rnk") <= 3)
+            .select("query_id", "vec_id")
+            .join(exact, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as(name))
+        }
+        q.select("query_id")
+          .join(hits(1, "h1"), Seq("query_id"), "left")
+          .join(hits(2, "h2"), Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h1"), lit(0L)).as("hits_np1"),
+            coalesce(col("h2"), lit(0L)).as("hits_np2"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          $duckPqChain,
+          ext AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, n.vec_id, row_number() OVER
+                (PARTITION BY q.query_id ORDER BY
+                  q.qnq + n.nq - 2 * ${duckDot("q.qe", "n.qe")},
+                  n.vec_id) AS rnk
+              FROM n, q WHERE n.vec_id != q.query_id)
+            WHERE rnk <= 3),
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          rk AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM sc0),
+          asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell, rn FROM rk
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          ad AS (SELECT qc.query_id, a.vec_id, qc.rn,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM asg a JOIN qc ON a.cell = qc.cell
+              JOIN codes co ON co.vec_id = a.vec_id
+              JOIN qd ON qd.query_id = qc.query_id AND qd.j = co.j
+                AND qd.cidx = co.cidx
+            WHERE a.vec_id != qc.query_id
+            GROUP BY 1, 2, 3),
+          t1 AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+              FROM ad WHERE rn = 1) WHERE rnk <= 3),
+          t2 AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+              FROM (SELECT query_id, vec_id,
+                  min(adist) AS adist FROM ad GROUP BY 1, 2))
+            WHERE rnk <= 3),
+          h1 AS (SELECT t1.query_id, count(*)::BIGINT AS h
+            FROM t1 JOIN ext ON ext.query_id = t1.query_id
+              AND ext.vec_id = t1.vec_id GROUP BY 1),
+          h2 AS (SELECT t2.query_id, count(*)::BIGINT AS h
+            FROM t2 JOIN ext ON ext.query_id = t2.query_id
+              AND ext.vec_id = t2.vec_id GROUP BY 1)
+        SELECT q.query_id, coalesce(h1.h, 0)::BIGINT AS hits_np1,
+          coalesce(h2.h, 0)::BIGINT AS hits_np2
+        FROM q LEFT JOIN h1 ON h1.query_id = q.query_id
+          LEFT JOIN h2 ON h2.query_id = q.query_id
+        ORDER BY q.query_id"""),
+      "End-to-end recall audit of the composed IVF-PQ index at nprobe " +
+        "1 and 2 vs the exact whole-corpus L2 top-3 — folds cell " +
+        "misses into the number a user sizing nprobe needs; " +
+        "integer-exact on both engines."),
   )
 }
