@@ -451,14 +451,7 @@ object VectorIndex {
     // the saved table's own bucket spec is authoritative — a
     // caller-supplied count could only agree or fail the write
     val buckets = savedBuckets(spark, tbl)
-    // no loadPq: it would repeat the catalog lookup and load the coded
-    // table codeAgainst never reads — only the two small parquets
-    val codebook = spark.read.parquet(s"$path/${name}_codebook")
-    val (m, subLen) = pqGeometry(codebook, s"appendSavedPq($name)")
-    val idx = IvfPqIndex(
-      spark.read.parquet(s"$path/${name}_centroids"),
-      codebook, spark.table(tbl), m, subLen)
-    codeAgainst(idx, newVectors, idCol, embCol)
+    codeAgainst(loadPq(spark, name, path), newVectors, idCol, embCol)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$path/$tbl")

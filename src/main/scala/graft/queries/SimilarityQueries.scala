@@ -1139,16 +1139,24 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id").as("query_id"), col("c_id").as("cell"),
             col("rn"))
           .localCheckpoint()
+        // ONE ADC pass over the nprobe=2 candidate set with each
+        // candidate's probe rank carried; both overlap counts derive
+        // from the same checkpointed scored relation (the oracle's ad
+        // shape) — no double corpus encode, no double candidate score
+        val cand2 = ivfpq.cellOf
+          .join(broadcast(qRanked.select("query_id", "cell", "rn")),
+            Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id", "rn")
+        val scoredAll = ProductQuantizer.adcScoreCandidates(
+            q, cand2.select("query_id", "vec_id"),
+            ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+          .join(cand2, Seq("query_id", "vec_id"))
+          .localCheckpoint()
         def hits(nprobe: Int, name: String) = {
-          val cand = ivfpq.cellOf
-            .join(broadcast(qRanked.where(col("rn") <= nprobe)
-              .select("query_id", "cell")), Seq("cell"))
-            .where(col("vec_id") =!= col("query_id"))
-            .select("query_id", "vec_id")
           val w = Window.partitionBy("query_id")
             .orderBy(col("adist").asc, col("vec_id").asc)
-          ProductQuantizer.adcScoreCandidates(
-              q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+          scoredAll.where(col("rn") <= nprobe)
             .withColumn("rnk", row_number().over(w))
             .where(col("rnk") <= 3)
             .select("query_id", "vec_id")
@@ -1197,9 +1205,7 @@ object SimilarityQueries extends QueryPack {
           t2 AS (SELECT query_id, vec_id FROM (
               SELECT query_id, vec_id, row_number() OVER
                 (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
-              FROM (SELECT query_id, vec_id,
-                  min(adist) AS adist FROM ad GROUP BY 1, 2))
-            WHERE rnk <= 3),
+              FROM ad) WHERE rnk <= 3),
           h1 AS (SELECT t1.query_id, count(*)::BIGINT AS h
             FROM t1 JOIN ext ON ext.query_id = t1.query_id
               AND ext.vec_id = t1.vec_id GROUP BY 1),
