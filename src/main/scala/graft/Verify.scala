@@ -35,6 +35,21 @@ object Verify {
           s"${unknown.mkString(", ")} (registered: " +
           s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     }
+    // a subset run must not leave a prior full run's outputs in
+    // place: stale parquet under the full oracle map would read as a
+    // green FULL gate. Delete the unselected outputs and (below) emit
+    // only the subset's oracle rows, so a subset dir can only ever
+    // gate the subset it actually ran.
+    only.foreach { names =>
+      (SparkEntry.queries.keySet -- names).foreach { stale =>
+        val p = Paths.get(outDir, stale)
+        if (Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -57,6 +72,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -111,6 +111,116 @@ object TextQueries extends QueryPack {
         comp AS (SELECT node AS doc_id, min(reach) AS canonical
           FROM walk GROUP BY 1)"""
 
+  /** The q_pipeline_corpus plan, with the stage-boundary persistence
+    * pluggable so PlanAuditSpec can compose it WITHOUT localCheckpoint
+    * (which severs the plan) and assert the whole chain — in
+    * particular that stage 1 plans as sketch-aggregate + broadcast cut
+    * join, never a per-language window sort. Production callers pass
+    * `_.localCheckpoint()`.
+    *
+    * END-TO-END corpus build — the actual deliverable of a
+    * training-data pipeline, composed from the four individually gated
+    * stages (q_text_quantile_sketch, q_dedup_survivors,
+    * q_text_contamination, q_text_pack) as ONE plan:
+    *  1. quality filter: per-lang GK-sketch deciles on the shared
+    *     blend (TextOps.qualityScore) via Quantiles.quantileBuckets —
+    *     mergeable percentile_approx partials + broadcast cuts, NO
+    *     per-language window sort (a hot language at 100 TB would
+    *     otherwise sort on one task); drop the bottom two deciles and
+    *     unscorable (zero-token) docs. Run at accuracy >= the largest
+    *     group, where GK cuts are exact (= DuckDB quantile_disc — the
+    *     q_text_quantile_sketch pin), gate-asserted below;
+    *  2. near-dup dedup on the SURVIVORS (membership geometry =
+    *     dedupMembershipOf, CC over band buckets, min-id canonical
+    *     kept, unclustered docs kept);
+    *  3. decontamination vs the eval source (src0 plays the benchmark,
+    *     full table — eval sets are external and are not themselves
+    *     filtered): drop docs whose winnowed-fp overlap ratio reaches
+    *     0.75; docs with no fingerprints are unmeasurable and KEPT
+    *     (documented drop-order);
+    *  4. sequence-pack the survivors at the 512-token budget via the
+    *     two-phase prefix scan.
+    * Output: per-lang survivor counts after EVERY stage plus pack
+    * stats, so a regression localizes to its stage. Each stage
+    * boundary runs through `cp` (localCheckpoint in production): the
+    * winnow/shingle kernels run once per stage, and stages 2/3 each
+    * feed both the next stage and a count aggregation.
+    */
+  private[graft] def corpusPipeline(
+      s: SparkSession, dir: String,
+      cp: DataFrame => DataFrame): DataFrame = {
+    val all = docs(s, dir).select("doc_id", "lang", "source", "text")
+    val corpus = all.where(col("source") =!= "src0")
+    val scored = cp(corpus
+      .withColumn("q", TextOps.qualityScore("text"))
+      .where(col("q").isNotNull))
+    val acc = 1000000
+    // gate-only pin of the exactness premise (same contract as
+    // q_text_quantile_sketch): GK cuts equal DuckDB quantile_disc
+    // only while accuracy >= the largest group — past that bound
+    // the gate must fail loudly, not drift into approximate cuts
+    if (s.conf.getOption("graft.gate").contains("true")) {
+      val row = scored.groupBy("lang").count().agg(max("count")).head
+      val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
+      require(maxG <= acc,
+        s"q_pipeline_corpus: largest lang group ($maxG rows) " +
+          s"exceeds sketch accuracy $acc — GK cuts are no longer " +
+          "exact vs the DuckDB quantile_disc oracle; raise " +
+          "accuracy or gate at a smaller SF")
+    }
+    val q1 = cp(graft.operators.Quantiles
+      .quantileBuckets(scored, "lang", "q",
+        buckets = 10, accuracy = acc)
+      .where(col("bucket") >= 2)
+      .select("doc_id", "lang", "source", "text"))
+    val comp = graft.operators.ConnectedComponents.byGroup(
+      dedupMembershipOf(q1), "doc_id", "gkey")
+    val q2 = cp(q1.join(comp, Seq("doc_id"), "left")
+      .where(col("component").isNull ||
+        col("component") === col("doc_id"))
+      .select("doc_id", "lang", "source", "text"))
+    val withWin = cp(q2
+      .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+      .select("doc_id", "lang", "text", "win"))
+    val evalFps = all.where(col("source") === "src0")
+      .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
+      .select(explode(col("win")).as("fp")).distinct()
+    val shared = withWin.where(size(col("win")) > 0)
+      .select(col("doc_id"), explode(col("win")).as("fp"))
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy("doc_id").agg(countDistinct("fp").as("nfp"))
+    val q3 = cp(withWin.join(shared, Seq("doc_id"), "left")
+      .withColumn("ratio",
+        when(size(col("win")) > 0,
+          coalesce(col("nfp"), lit(0L)) / size(col("win")))
+          .otherwise(lit(0.0)))
+      .where(col("ratio") < 0.75)
+      .select("doc_id", "lang", "text"))
+    val sized = q3
+      .withColumn("n_tok", expr(s"cast(size($sparkToks) as bigint)"))
+      .select("doc_id", "lang", "n_tok")
+    val packed = graft.operators.PrefixSum
+      .runningTotal(sized, "lang", "doc_id", "n_tok")
+      .withColumn("pack_id", expr("cum_before div 512"))
+    val packStats = packed.groupBy("lang")
+      .agg(countDistinct("pack_id").as("n_packs"),
+        sum("n_tok").as("sum_tokens"))
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("lang").agg(count(lit(1)).as(name))
+    cnt(corpus, "n_input")
+      .join(cnt(q1, "nq1"), Seq("lang"), "left")
+      .join(cnt(q2, "nq2"), Seq("lang"), "left")
+      .join(cnt(q3, "nq3"), Seq("lang"), "left")
+      .join(packStats, Seq("lang"), "left")
+      .select(col("lang"), col("n_input"),
+        coalesce(col("nq1"), lit(0L)).as("n_quality"),
+        coalesce(col("nq2"), lit(0L)).as("n_dedup"),
+        coalesce(col("nq3"), lit(0L)).as("n_clean"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -945,92 +1055,10 @@ object TextQueries extends QueryPack {
 
     GraftQuery(
       "q_pipeline_corpus", Seq("W2", "D1", "D2", "J7", "D9", "A8"),
-      (s, dir) => {
-        // END-TO-END corpus build — the actual deliverable of a
-        // training-data pipeline, composed from the four individually
-        // gated stages (q_text_quantile, q_dedup_survivors,
-        // q_text_contamination, q_text_pack) as ONE plan:
-        //   1. quality filter: per-lang exact deciles on the shared
-        //      blend (TextOps.qualityScore); drop the bottom two
-        //      deciles and unscorable (zero-token) docs;
-        //   2. near-dup dedup on the SURVIVORS (membership geometry =
-        //      dedupMembershipOf, CC over band buckets, min-id
-        //      canonical kept, unclustered docs kept);
-        //   3. decontamination vs the eval source (src0 plays the
-        //      benchmark, full table — eval sets are external and are
-        //      not themselves filtered): drop docs whose winnowed-fp
-        //      overlap ratio reaches 0.75; docs with no fingerprints
-        //      are unmeasurable and KEPT (documented drop-order);
-        //   4. sequence-pack the survivors at the 512-token budget via
-        //      the two-phase prefix scan.
-        // Output: per-lang survivor counts after EVERY stage plus pack
-        // stats, so a regression localizes to its stage. Each stage
-        // boundary localCheckpoints: the winnow/shingle kernels run
-        // once per stage, and stages 2/3 each feed both the next stage
-        // and a count aggregation.
-        import org.apache.spark.sql.expressions.Window
-        val all = docs(s, dir).select("doc_id", "lang", "source", "text")
-        val corpus = all.where(col("source") =!= "src0")
-        val scored = corpus
-          .withColumn("q", TextOps.qualityScore("text"))
-          .where(col("q").isNotNull)
-        val w = Window.partitionBy("lang").orderBy(col("q"), col("doc_id"))
-        val q1 = scored.withColumn("cd", cume_dist().over(w))
-          .withColumn("decile",
-            least(ceil(col("cd") * 10) - 1, lit(9L)).cast("long"))
-          .where(col("decile") >= 2)
-          .select("doc_id", "lang", "source", "text")
-          .localCheckpoint()
-        val comp = graft.operators.ConnectedComponents.byGroup(
-          dedupMembershipOf(q1), "doc_id", "gkey")
-        val q2 = q1.join(comp, Seq("doc_id"), "left")
-          .where(col("component").isNull ||
-            col("component") === col("doc_id"))
-          .select("doc_id", "lang", "source", "text")
-          .localCheckpoint()
-        val withWin = q2
-          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
-          .select("doc_id", "lang", "text", "win")
-          .localCheckpoint()
-        val evalFps = all.where(col("source") === "src0")
-          .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
-          .select(explode(col("win")).as("fp")).distinct()
-        val shared = withWin.where(size(col("win")) > 0)
-          .select(col("doc_id"), explode(col("win")).as("fp"))
-          .join(broadcast(evalFps), Seq("fp"))
-          .groupBy("doc_id").agg(countDistinct("fp").as("nfp"))
-        val q3 = withWin.join(shared, Seq("doc_id"), "left")
-          .withColumn("ratio",
-            when(size(col("win")) > 0,
-              coalesce(col("nfp"), lit(0L)) / size(col("win")))
-              .otherwise(lit(0.0)))
-          .where(col("ratio") < 0.75)
-          .select("doc_id", "lang", "text")
-          .localCheckpoint()
-        val sized = q3
-          .withColumn("n_tok", expr(s"cast(size($sparkToks) as bigint)"))
-          .select("doc_id", "lang", "n_tok")
-        val packed = graft.operators.PrefixSum
-          .runningTotal(sized, "lang", "doc_id", "n_tok")
-          .withColumn("pack_id", expr("cum_before div 512"))
-        val packStats = packed.groupBy("lang")
-          .agg(countDistinct("pack_id").as("n_packs"),
-            sum("n_tok").as("sum_tokens"))
-        def cnt(df: DataFrame, name: String) =
-          df.groupBy("lang").agg(count(lit(1)).as(name))
-        cnt(corpus, "n_input")
-          .join(cnt(q1, "nq1"), Seq("lang"), "left")
-          .join(cnt(q2, "nq2"), Seq("lang"), "left")
-          .join(cnt(q3, "nq3"), Seq("lang"), "left")
-          .join(packStats, Seq("lang"), "left")
-          .select(col("lang"), col("n_input"),
-            coalesce(col("nq1"), lit(0L)).as("n_quality"),
-            coalesce(col("nq2"), lit(0L)).as("n_dedup"),
-            coalesce(col("nq3"), lit(0L)).as("n_clean"),
-            coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-            coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
-          .orderBy("lang")
-      },
+      // body + stage semantics documented on corpusPipeline (shared
+      // with PlanAuditSpec, which composes it un-checkpointed to
+      // assert stage 1 never plans a per-language window sort)
+      (s, dir) => corpusPipeline(s, dir, _.localCheckpoint()),
       Some(s"""WITH RECURSIVE
           corpus0 AS (SELECT doc_id, lang, source, text FROM documents
             WHERE source != 'src0'),
@@ -1043,10 +1071,12 @@ object TextQueries extends QueryPack {
                     x -> list_contains(['the','a'], x))) * 1.0 / len(t))
                 AS q
             FROM mq),
-          cd0 AS (SELECT *, cume_dist() OVER
-              (PARTITION BY lang ORDER BY q, doc_id) AS cd FROM sc),
-          q1 AS (SELECT doc_id, lang, source, text FROM cd0
-            WHERE least(ceil(cd * 10) - 1, 9) >= 2),
+          cuts AS (SELECT lang, quantile_disc(q,
+              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+            FROM sc GROUP BY 1),
+          q1 AS (SELECT sc.doc_id, sc.lang, sc.source, sc.text
+            FROM sc JOIN cuts ON cuts.lang = sc.lang
+            WHERE len(list_filter(cuts.cs, c -> c < sc.q)) >= 2),
           ${duckDedupCompFrom("q1")},
           q2 AS (SELECT q1.doc_id, q1.lang, q1.source, q1.text FROM q1
             LEFT JOIN comp ON comp.doc_id = q1.doc_id
@@ -1091,8 +1121,9 @@ object TextQueries extends QueryPack {
           LEFT JOIN c3 ON c3.lang = ci.lang
           LEFT JOIN pk ON pk.lang = ci.lang
         ORDER BY 1"""),
-      "End-to-end corpus build as one plan: per-lang quality-decile " +
-        "filter (drop bottom 20%) -> CC near-dup dedup keeping " +
+      "End-to-end corpus build as one plan: per-lang GK-sketch " +
+        "quality-decile filter (broadcast cut points, no per-language " +
+        "window sort; drop bottom 20%) -> CC near-dup dedup keeping " +
         "canonical survivors -> winnow decontamination vs the eval " +
         "source (drop ratio >= 0.75) -> 512-token sequence packing " +
         "via the two-phase prefix scan; per-stage survivor counts " +
@@ -1362,7 +1393,11 @@ object TextQueries extends QueryPack {
         // target half the corpus tokens overall, and within each
         // source take a deterministic uniform shuffle of docs until
         // that source's budget is reached (take-until semantics: the
-        // doc straddling the boundary is kept). All integer math —
+        // doc straddling the boundary is kept, so a source's selected
+        // tokens may EXCEED its budget — by strictly less than that
+        // one straddling doc's length, never by a second doc, because
+        // every other selected doc STARTED strictly under budget.
+        // MixtureBoundSpec pins this bound). All integer math —
         // budget = (total * w) div (2 * sum(w)) with sum(w) computed
         // from the live source set (not a hardcoded constant, so the
         // half-the-tokens contract survives any source cardinality),
@@ -1420,6 +1455,9 @@ object TextQueries extends QueryPack {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                 0) AS cb
             FROM c),
+          -- take-until: cb < budget keeps the straddling doc, so
+          -- n_tokens may exceed budget by AT MOST that one doc
+          -- (every other kept doc started strictly under budget)
           sel AS (SELECT cum.source, count(*)::BIGINT AS n_docs,
               sum(n_tok)::BIGINT AS n_tokens
             FROM cum JOIN b USING (source) WHERE cb < budget
@@ -1448,8 +1486,15 @@ object TextQueries extends QueryPack {
         // other selection surface, so the oracle recomputes membership
         // bit-for-bit. One projection + one groupBy — no shuffle
         // beyond the final small aggregation.
+        // src0 is the EVAL benchmark everywhere else in this pack
+        // (contamination/decontamination treat it as the held-out
+        // set), so it never enters the training split at all — a
+        // benchmark doc in 'train' would be contamination by
+        // construction, exactly what the hash-stable split is sold
+        // as preventing.
         val h = expr(TextOps.hash64("cast(doc_id as string)"))
         docs(s, dir)
+          .where(col("source") =!= "src0")
           .withColumn("b", h % 100)
           .withColumn("split",
             when(col("b") < 90, "train")
@@ -1464,7 +1509,7 @@ object TextQueries extends QueryPack {
       Some(s"""WITH d AS (SELECT lang,
             ${dh("doc_id::VARCHAR")} % 100 AS b,
             len($duckToks)::BIGINT AS n_tok
-          FROM documents),
+          FROM documents WHERE source != 'src0'),
           sp AS (SELECT lang, n_tok,
             CASE WHEN b < 90 THEN 'train'
               WHEN b < 95 THEN 'val' ELSE 'test' END AS split
@@ -1472,7 +1517,9 @@ object TextQueries extends QueryPack {
         SELECT lang, split, count(*)::BIGINT AS n_docs,
           sum(n_tok)::BIGINT AS n_tokens
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "Hash-stable 90/5/5 train/val/test split: membership is a pure " +
+      "Hash-stable 90/5/5 train/val/test split over the TRAINING " +
+        "corpus (the src0 eval benchmark is excluded outright — " +
+        "benchmark docs never enter any split): membership is a pure " +
         "function of doc_id (md5-derived), so splits survive corpus " +
         "growth and re-runs without cross-split drift — one projection " +
         "and one small aggregation."),

@@ -53,4 +53,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(offenders.isEmpty,
       "scale-killer plans:\n" + offenders.mkString("\n"))
   }
+
+  test("q_pipeline_corpus plans no window anywhere — stage 1 is " +
+    "sketch-aggregate + broadcast cuts, not a per-language sort") {
+    // the production query localCheckpoints each stage boundary,
+    // which severs the visible plan — so compose the SAME pipeline
+    // with identity boundaries and audit the full chain. A
+    // WindowExec anywhere (cume_dist deciles, a per-group cumsum,
+    // a rank) would be the hot-language single-task sort straggler
+    // this query exists to avoid. PrefixSum checkpoints internally
+    // (its two-phase scan needs a frozen layout), so stage 4's scan
+    // shape is pinned by its own spec; stages 1-3 + the count joins
+    // are all visible here.
+    val plan = TextQueries
+      .corpusPipeline(spark, sfDir, identity)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "q_pipeline_corpus plan contains a Window node:\n" + plan)
+    assert(plan.contains("percentile_approx"),
+      "stage 1 no longer plans the GK-sketch cut aggregation:\n" + plan)
+  }
 }
