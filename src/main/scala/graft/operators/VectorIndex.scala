@@ -291,8 +291,15 @@ object VectorIndex {
     val qCells = q.crossJoin(broadcast(index.centroids))
       .withColumn("dot", VectorOps.dot("cqe", "qqe"))
       .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      // rank by the SAME negated-coalesced key as argmaxCell: plain
+      // `cos.desc` would rank NaN FIRST (Spark sorts NaN largest), so
+      // a zero-norm (NaN-cosine) centroid would be probed first here
+      // but never by the streaming closures (java.lang.Double
+      // ordering ranks NaN last) — key NaN/null to the +Inf side,
+      // last under ascending
       .withColumn("rn", row_number().over(
-        Window.partitionBy(queryIdCol).orderBy(col("cos").desc,
+        Window.partitionBy(queryIdCol).orderBy(
+          coalesce(-col("cos"), lit(Double.PositiveInfinity)).asc,
           col("c_id").asc)))
       .where(col("rn") <= nprobe)
       .select(col(queryIdCol), col("c_id").as("cell"))
@@ -497,8 +504,15 @@ object VectorIndex {
     val qCells = q.crossJoin(broadcast(index.centroids))
       .withColumn("dot", VectorOps.dot("cqe", "qe"))
       .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      // rank by the SAME negated-coalesced key as argmaxCell: plain
+      // `cos.desc` would rank NaN FIRST (Spark sorts NaN largest), so
+      // a zero-norm (NaN-cosine) centroid would be probed first here
+      // but never by the streaming closures (java.lang.Double
+      // ordering ranks NaN last) — key NaN/null to the +Inf side,
+      // last under ascending
       .withColumn("rn", row_number().over(
-        Window.partitionBy(queryIdCol).orderBy(col("cos").desc,
+        Window.partitionBy(queryIdCol).orderBy(
+          coalesce(-col("cos"), lit(Double.PositiveInfinity)).asc,
           col("c_id").asc)))
       .where(col("rn") <= nprobe)
       .select(col(queryIdCol), col("c_id").as("cell"))

@@ -49,9 +49,20 @@ object VectorOps {
       ColumnBridge.expression(expr(b))))
   }
 
-  /** Cosine from an exact dot and two exact squared norms. */
+  /** Cosine from an exact dot and two exact squared norms.
+    *
+    * `try_divide`, not `/`: under ANSI mode (Spark 4 default) a
+    * zero-norm vector would make plain division THROW and kill the
+    * whole job; try_divide yields NULL, which every consumer already
+    * ranks/filters last — argmaxCell and the probe windows key through
+    * coalesce(-cos, +Inf), thresholds (`cos >= t`) drop NULL — and
+    * which is exactly what the DuckDB oracles compute (DuckDB division
+    * by zero is NULL). The streaming closures' java.lang.Double NaN
+    * sorts last too, so all three surfaces agree: a degenerate vector
+    * is never anyone's best match.
+    */
   def cosine(dotCol: String, naCol: String, nbCol: String): Column =
-    expr(s"$dotCol / (sqrt(cast($naCol as double)) * " +
+    expr(s"try_divide($dotCol, sqrt(cast($naCol as double)) * " +
       s"sqrt(cast($nbCol as double)))")
 
   /** `bits`-bit sign-LSH sketch of a quantized vector: bit p is set iff

@@ -621,7 +621,11 @@ object StreamingOps {
     val coded = ProductQuantizer.packCodes(ivfpq.codes)
       .join(ivfpq.cellOf, Seq("vec_id"))
       .select(col("vec_id").as(idCol), col("cell"), col("codes"))
-    val centLocal = VectorIndex.sampleCentroids(e, kCentroids)
+    // collect the chain's OWN pinned sample (buildIvfPq
+    // localCheckpoints it) — re-evaluating sampleCentroids here would
+    // re-run the top-k scan and lean on e's checkpoint for agreement
+    // instead of being the same data by construction
+    val centLocal = ivfpq.cent
       .select("c_id", "cqe", "cnq")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))

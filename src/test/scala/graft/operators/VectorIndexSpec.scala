@@ -321,4 +321,29 @@ class VectorIndexSpec extends SparkSuite {
     assert(err.getMessage.contains("bucketed append needs the saving " +
       "catalog entry"))
   }
+
+  test("probe cell ranking sends a degenerate (zero-norm) centroid " +
+    "last, matching argmaxCell and the streaming closures") {
+    // a zero vector in the corpus can be sampled as a centroid. Its
+    // cosine is undefined: plain `/` under ANSI would THROW
+    // (DIVIDE_BY_ZERO) and kill the probe, and a NaN under `cos.desc`
+    // would rank FIRST (Spark sorts NaN largest) while the streaming
+    // closures rank it last. With try_divide the cosine is NULL and
+    // the coalesce(-cos, +Inf) key ranks it last everywhere. Force
+    // that geometry: 2 vectors, 2 centroids (both vectors), one of
+    // them all-zero.
+    val degen = Seq(
+      (0L, Seq.fill(8)(0.0f)),
+      (1L, (Seq(1.0f) ++ Seq.fill(7)(0.0f)))).toDF("vec_id", "embedding")
+    val idx = VectorIndex.buildIvf(degen, numCentroids = 2)
+    // both centroids exist, one with zero norm
+    assert(idx.centroids.count() === 2L)
+    val queries = degen.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val hit = VectorIndex.query(idx, queries, nprobe = 1)
+      .select("best_neighbor").as[Long].collect()
+    // nprobe=1 must pick the REAL centroid's cell (cos=1), not the
+    // NaN cell — so the best neighbor is the query itself
+    assert(hit.toSeq === Seq(1L))
+  }
 }
