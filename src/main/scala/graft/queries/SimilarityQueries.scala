@@ -58,6 +58,23 @@ object SimilarityQueries extends QueryPack {
   private val OracleBandBits = VectorOps.suggestedBandBits(OracleGateRows)
   private val OracleCentroids = VectorOps.suggestedCentroids(OracleGateRows)
 
+  /** Recall audits brute-force their exact side over corpus x queries
+    * (n * ~n/100 scored pairs with the %100 probe set) — the
+    * "measure, don't guess" gate, priced for gate/bench SFs only.
+    * This budget makes pointing an audit at a production-sized corpus
+    * fail loudly instead of launching a quadratic job: 1e9 pairs
+    * (n ~ 316k vectors) is far past any gate SF and far below any
+    * real corpus.
+    */
+  private def auditPairBudget(name: String, nRows: Long): Unit = {
+    val pairs = nRows * (nRows / 100 + 1)
+    require(pairs <= 1000000000L,
+      s"$name is a gate-scale AUDIT: its exact side would brute-force " +
+        s"$pairs corpus x query pairs at $nRows rows — sample the " +
+        "corpus/query set instead of running the audit at production " +
+        "scale")
+  }
+
   /** In a correctness-gate session (graft.gate set by Verify), require
     * the live band geometry to equal what the DuckDB oracle pins.
     */
@@ -814,6 +831,14 @@ object SimilarityQueries extends QueryPack {
         // side is the brute-force broadcast pattern
         // (q_sim_topk_bruteforce); the PQ side is the shared
         // ProductQuantizer chain (q_sim_pq_ann).
+        //
+        // AUDIT-ONLY contract: the exact side deliberately scores
+        // corpus x queries = n * (n/100) pairs — priced for gate and
+        // bench SFs, never for a production corpus (where you would
+        // audit a sampled query set against a sampled corpus slice).
+        // The pair-budget guard makes pointing it at one fail loudly.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        auditPairBudget("q_sim_recall", nRows)
         val e = quantized(s, dir)
         val base = e.select("vec_id", "qe")
         val q = e.where(col("vec_id") % 100 === 0)
@@ -1100,6 +1125,105 @@ object SimilarityQueries extends QueryPack {
         "shared chain."),
 
     GraftQuery(
+      "q_sim_ivfpq_rerank", Seq("A10", "J6", "W4"),
+      (s, dir) => {
+        // The standard production ANN chain (Jégou/Douze/Schmid,
+        // TPAMI 2011 §V): coarse cells -> ADC shortlist -> EXACT
+        // re-rank of the top-c shortlist against the full-precision
+        // vectors. The approximate pass (nprobe=2, same shared
+        // buildIvfPq chain as q_sim_ivfpq2) only has to get the true
+        // neighbors INTO the c=10 shortlist; the exact pass then
+        // orders them correctly. The re-rank is candidates-only: the
+        // shortlist (queries x 10 id pairs) broadcasts and the
+        // full-precision rows come back through a vec_id equi-join —
+        // never a corpus-wide distance pass (at 100 TB the embedding
+        // store is bucketed by vec_id, so even the probe side of that
+        // join prunes). Exact distances are the same integer L2 the
+        // recall audits use, so the output is engine-reproducible.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val ivfpq = ProductQuantizer.buildIvfPq(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
+        val qBase = e.where(col("vec_id") % 100 === 0)
+        val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
+        val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id")
+        val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
+        val wa = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        val shortlist = ProductQuantizer.adcScoreCandidates(
+            q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+          .withColumn("srk", row_number().over(wa))
+          .where(col("srk") <= 10)
+          .select("query_id", "vec_id")
+        val qv = qBase.select(col("vec_id").as("query_id"),
+          col("qe").as("qqe"), col("nq").as("qnq"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        e.join(broadcast(shortlist), Seq("vec_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("dist", col("qnq") + col("nq") -
+            lit(2L) * VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("dist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          $duckPqChain,
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          rk AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM sc0),
+          asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM rk
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          cand AS (SELECT qc.query_id, a.vec_id
+                FROM asg a JOIN qc ON a.cell = qc.cell
+                WHERE a.vec_id != qc.query_id),
+          ad AS (SELECT c2.query_id, c2.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM cand c2 JOIN codes co ON co.vec_id = c2.vec_id
+              JOIN qd ON qd.query_id = c2.query_id AND qd.j = co.j
+                AND qd.cidx = co.cidx
+            GROUP BY 1, 2),
+          sl AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
+              FROM ad) WHERE srk <= 10),
+          rr AS (SELECT sl.query_id, sl.vec_id,
+              (q.qnq + n.nq - 2 * ${duckDot("q.qe", "n.qe")})::BIGINT
+                AS dist
+            FROM sl JOIN n ON n.vec_id = sl.vec_id
+              JOIN q ON q.query_id = sl.query_id),
+          r AS (SELECT query_id, vec_id AS neighbor_id, dist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY dist, vec_id) AS rnk
+            FROM rr)
+        SELECT query_id, rnk, neighbor_id, dist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "IVF-PQ with exact re-rank (Jegou et al. SV): ADC shortlists " +
+        "the top-10 cell mates at nprobe=2, then the full-precision " +
+        "vectors come back by broadcast id equi-join for an exact " +
+        "integer-L2 top-3 — candidates-only re-rank, no corpus-wide " +
+        "distance pass."),
+
+    GraftQuery(
       "q_sim_recall_ivfpq", Seq("A10", "W4"),
       (s, dir) => {
         // End-to-end recall audit of the COMPOSED index: how many of
@@ -1108,7 +1232,12 @@ object SimilarityQueries extends QueryPack {
         // this number folds in cell misses too — the figure a user
         // sizing nprobe actually needs. All integer-exact on both
         // engines; shared buildIvfPq chain.
+        //
+        // AUDIT-ONLY contract: the exact side is a corpus x queries
+        // brute force (see q_sim_recall) — gate/bench scale only,
+        // guarded by the shared pair budget.
         val nRows = Tables.rowCount(s, dir, "embeddings")
+        auditPairBudget("q_sim_recall_ivfpq", nRows)
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
@@ -1163,12 +1292,41 @@ object SimilarityQueries extends QueryPack {
             .join(exact, Seq("query_id", "vec_id"))
             .groupBy("query_id").agg(count(lit(1)).as(name))
         }
+        // the q_sim_ivfpq_rerank path at the SAME nprobe=2: ADC
+        // shortlist top-10, exact re-rank of just those 10 by id
+        // equi-join. hits_rr >= hits_np2 per query BY CONSTRUCTION —
+        // a true top-3 neighbor inside the shortlist survives any
+        // exact subset ranking (at most 2 corpus vectors beat it
+        // anywhere) — and RerankRecallSpec pins the dominance.
+        val rerankHits = {
+          val wa = Window.partitionBy("query_id")
+            .orderBy(col("adist").asc, col("vec_id").asc)
+          val sl = scoredAll
+            .withColumn("srk", row_number().over(wa))
+            .where(col("srk") <= 10)
+            .select("query_id", "vec_id")
+          val qv = qBase.select(col("vec_id").as("query_id"),
+            col("qe").as("qqe"), col("nq").as("qnq"))
+          val wr = Window.partitionBy("query_id")
+            .orderBy(col("dist").asc, col("vec_id").asc)
+          e.join(broadcast(sl), Seq("vec_id"))
+            .join(broadcast(qv), Seq("query_id"))
+            .withColumn("dist", col("qnq") + col("nq") -
+              lit(2L) * VectorOps.dot("qqe", "qe"))
+            .withColumn("rnk", row_number().over(wr))
+            .where(col("rnk") <= 3)
+            .select("query_id", "vec_id")
+            .join(exact, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("h3"))
+        }
         q.select("query_id")
           .join(hits(1, "h1"), Seq("query_id"), "left")
           .join(hits(2, "h2"), Seq("query_id"), "left")
+          .join(rerankHits, Seq("query_id"), "left")
           .select(col("query_id"),
             coalesce(col("h1"), lit(0L)).as("hits_np1"),
-            coalesce(col("h2"), lit(0L)).as("hits_np2"))
+            coalesce(col("h2"), lit(0L)).as("hits_np2"),
+            coalesce(col("h3"), lit(0L)).as("hits_rerank"))
           .orderBy("query_id")
       },
       Some(s"""WITH $duckBase,
@@ -1211,14 +1369,33 @@ object SimilarityQueries extends QueryPack {
               AND ext.vec_id = t1.vec_id GROUP BY 1),
           h2 AS (SELECT t2.query_id, count(*)::BIGINT AS h
             FROM t2 JOIN ext ON ext.query_id = t2.query_id
-              AND ext.vec_id = t2.vec_id GROUP BY 1)
+              AND ext.vec_id = t2.vec_id GROUP BY 1),
+          sl AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
+              FROM ad) WHERE srk <= 10),
+          t3 AS (SELECT query_id, vec_id FROM (
+              SELECT sl.query_id, sl.vec_id, row_number() OVER
+                (PARTITION BY sl.query_id ORDER BY
+                  q2.qnq + n.nq - 2 * ${duckDot("q2.qe", "n.qe")},
+                  sl.vec_id) AS rnk
+              FROM sl JOIN n ON n.vec_id = sl.vec_id
+                JOIN q q2 ON q2.query_id = sl.query_id)
+            WHERE rnk <= 3),
+          h3 AS (SELECT t3.query_id, count(*)::BIGINT AS h
+            FROM t3 JOIN ext ON ext.query_id = t3.query_id
+              AND ext.vec_id = t3.vec_id GROUP BY 1)
         SELECT q.query_id, coalesce(h1.h, 0)::BIGINT AS hits_np1,
-          coalesce(h2.h, 0)::BIGINT AS hits_np2
+          coalesce(h2.h, 0)::BIGINT AS hits_np2,
+          coalesce(h3.h, 0)::BIGINT AS hits_rerank
         FROM q LEFT JOIN h1 ON h1.query_id = q.query_id
           LEFT JOIN h2 ON h2.query_id = q.query_id
+          LEFT JOIN h3 ON h3.query_id = q.query_id
         ORDER BY q.query_id"""),
       "End-to-end recall audit of the composed IVF-PQ index at nprobe " +
-        "1 and 2 vs the exact whole-corpus L2 top-3 — folds cell " +
+        "1 and 2 vs the exact whole-corpus L2 top-3, plus the exact " +
+        "re-ranked path (top-10 ADC shortlist, same nprobe=2) whose " +
+        "recall dominates the no-rerank path per query — folds cell " +
         "misses into the number a user sizing nprobe needs; " +
         "integer-exact on both engines."),
   )
