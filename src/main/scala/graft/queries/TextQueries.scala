@@ -146,9 +146,26 @@ object TextQueries extends QueryPack {
     * winnow/shingle kernels run once per stage, and stages 2/3 each
     * feed both the next stage and a count aggregation.
     */
+  /** The per-stage relations of [[corpusPipeline]] — exposed so the
+    * streaming-parity spec can diff each batch stage's survivor set
+    * against the composed streaming pipeline, not just final counts.
+    */
+  private[graft] final case class CorpusStages(
+      corpus: DataFrame, // doc_id, lang, source, text
+      q1: DataFrame,     // quality survivors
+      q2: DataFrame,     // dedup survivors
+      q3: DataFrame,     // decontamination survivors (doc_id, lang, text)
+      packed: DataFrame, // doc_id, lang, n_tok, cum_before, pack_id
+      counts: DataFrame) // the query's per-lang stage-count output
+
   private[graft] def corpusPipeline(
       s: SparkSession, dir: String,
-      cp: DataFrame => DataFrame): DataFrame = {
+      cp: DataFrame => DataFrame): DataFrame =
+    corpusStages(s, dir, cp).counts
+
+  private[graft] def corpusStages(
+      s: SparkSession, dir: String,
+      cp: DataFrame => DataFrame): CorpusStages = {
     val all = docs(s, dir).select("doc_id", "lang", "source", "text")
     val corpus = all.where(col("source") =!= "src0")
     val scored = cp(corpus
@@ -207,7 +224,7 @@ object TextQueries extends QueryPack {
         sum("n_tok").as("sum_tokens"))
     def cnt(df: DataFrame, name: String) =
       df.groupBy("lang").agg(count(lit(1)).as(name))
-    cnt(corpus, "n_input")
+    val counts = cnt(corpus, "n_input")
       .join(cnt(q1, "nq1"), Seq("lang"), "left")
       .join(cnt(q2, "nq2"), Seq("lang"), "left")
       .join(cnt(q3, "nq3"), Seq("lang"), "left")
@@ -219,6 +236,7 @@ object TextQueries extends QueryPack {
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
         coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
       .orderBy("lang")
+    CorpusStages(corpus, q1, q2, q3, packed, counts)
   }
 
   override def queries: Seq[GraftQuery] = Seq(

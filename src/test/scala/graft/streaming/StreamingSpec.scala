@@ -647,6 +647,124 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("composed streaming corpus pipeline (quality -> dedup -> " +
+    "decontamination -> pack) matches the batch pipeline stage by stage") {
+    implicit val sqlCtx = spark.sqlContext
+    // Shared fixture: the SAME sf0.001 documents table the batch
+    // q_pipeline_corpus runs on. The streaming side composes the four
+    // stage ops in the production topology — each stage's survivors
+    // RELAY into the next stage's stream (topic -> job -> topic) — so
+    // the stage boundaries (drop rules, null semantics, column
+    // contracts) are exercised, which is where composition bugs hide
+    // (the round-8 lesson). Every stage's survivor SET, and the final
+    // pack assignment of every doc, must equal the batch pipeline's.
+    val stages = graft.queries.TextQueries.corpusStages(
+      spark, sf, _.localCheckpoint())
+    val batch1 = stages.q1.select("doc_id").as[Long].collect().toSet
+    val batch2 = stages.q2.select("doc_id").as[Long].collect().toSet
+    val batch3 = stages.q3.select("doc_id").as[Long].collect().toSet
+    val batchPacks = stages.packed.select("lang", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(batch1.nonEmpty && batch2.nonEmpty && batch3.nonEmpty)
+    val corpus = stages.corpus.localCheckpoint()
+    val evalSet = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("source") === "src0").select("text")
+    def surviving(ids: Set[Long]) =
+      corpus.join(ids.toSeq.toDF("doc_id"), Seq("doc_id"))
+        .localCheckpoint()
+    def t(i: Int) = new Timestamp(1704103200000L + i * 1000L)
+
+    // stage 1: quality bucketing against the corpus cut points, at
+    // the batch query's accuracy => identical GK cuts, same >= 2 keep
+    val in1 = MemoryStream[(Long, String, String)]
+    val out1 = StreamingOps.qualityBucketStream(
+      in1.toDF().toDF("doc_id", "lang", "text"),
+      corpus.select("lang", "text"), accuracy = 1000000)
+    val sq1 = out1.writeStream.format("memory").queryName("pipe_s1")
+      .outputMode("append").start()
+    val s1 = try {
+      in1.addData(corpus.select("doc_id", "lang", "text")
+        .as[(Long, String, String)].collect().toSeq)
+      sq1.processAllAvailable()
+      spark.table("pipe_s1").where(col("bucket") >= 2)
+        .select("doc_id").as[Long].collect().toSet
+    } finally sq1.stop()
+    assert(s1 === batch1, "stage 1 (quality) survivors diverge")
+
+    // stage 2: incremental cluster assignment against the stage-1
+    // survivors, at the batch dedup geometry (w=3, k=16, 4 bands);
+    // keep unclustered (absent or null component) + cluster canonicals
+    val surv1 = surviving(s1)
+    val static2 = StreamingOps.clusterAssignStaticSide(
+      surv1.select("doc_id", "text"),
+      shingleW = 3, minhashK = 16, bands = 4).persist()
+    val in2 = MemoryStream[(Long, String, Timestamp)]
+    val out2 = StreamingOps.clusterAssignStream(
+      in2.toDF().toDF("doc_id", "text", "ts"),
+      surv1.select("doc_id", "text"),
+      shingleW = 3, minhashK = 16, bands = 4,
+      staticSide = Some(static2))
+    val sq2 = out2.writeStream.format("memory").queryName("pipe_s2")
+      .outputMode("update").start()
+    val s2 = try {
+      in2.addData(surv1.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq.zipWithIndex
+        .map { case ((id, tx), i) => (id, tx, t(i)) })
+      sq2.processAllAvailable()
+      val comp = spark.table("pipe_s2")
+        .select("doc_id", "component")
+        .as[(Long, Option[Long])].collect().toMap
+      s1.filter(id => comp.get(id).forall(c => c.forall(_ == id)))
+    } finally {
+      sq2.stop()
+      static2.unpersist(blocking = true)
+    }
+    assert(s2 === batch2, "stage 2 (dedup) survivors diverge")
+
+    // stage 3: decontamination vs the src0 eval set (same winnow
+    // geometry and 0.75 flag ratio as the batch stage); docs with no
+    // fingerprints emit no verdict and are KEPT, the batch drop-order
+    val surv2 = surviving(s2)
+    val in3 = MemoryStream[(Long, String, Timestamp)]
+    val out3 = StreamingOps.contaminationStream(
+      in3.toDF().toDF("doc_id", "text", "ts"), evalSet)
+    val sq3 = out3.writeStream.format("memory").queryName("pipe_s3")
+      .outputMode("update").start()
+    val s3 = try {
+      in3.addData(surv2.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq.zipWithIndex
+        .map { case ((id, tx), i) => (id, tx, t(i)) })
+      sq3.processAllAvailable()
+      val dropped = spark.table("pipe_s3")
+        .where(col("contaminated"))
+        .select("doc_id").as[Long].collect().toSet
+      s2 -- dropped
+    } finally sq3.stop()
+    assert(s3 === batch3, "stage 3 (decontamination) survivors diverge")
+
+    // stage 4: stateful sequence packing at the batch budget; one
+    // micro-batch, so the per-lang docId order equals the batch
+    // prefix-scan order and every pack id must match exactly
+    val surv3 = surviving(s3).withColumn("n_tok",
+      expr("cast(size(filter(split(text, ' '), x -> x != '')) as bigint)"))
+    val in4 = MemoryStream[StreamingOps.PackDoc]
+    val out4 = StreamingOps.packStream(in4.toDS(), budget = 512L)
+    val sq4 = out4.toDF().writeStream.format("memory")
+      .queryName("pipe_s4").outputMode("append").start()
+    val streamPacks = try {
+      in4.addData(surv3.select("lang", "doc_id", "n_tok")
+        .as[(String, Long, Long)].collect().toSeq
+        .map(r => StreamingOps.PackDoc(r._1, r._2, r._3)))
+      sq4.processAllAvailable()
+      spark.table("pipe_s4").select("lang", "docId", "packId")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    } finally sq4.stop()
+    assert(streamPacks === batchPacks,
+      "stage 4 (packing) assignments diverge")
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
