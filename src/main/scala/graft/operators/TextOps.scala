@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{expr, regexp_replace}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -320,6 +320,43 @@ object TextOps {
         "__graft_acc -> concat(__graft_acc.out, " +
         s"substr(`$textCol`, __graft_acc.cur, " +
         s"length(`$textCol`) - __graft_acc.cur + 1))))")
+
+  /** PII patterns for corpus scrubbing, kept to the syntax subset that
+    * Java regex (Spark) and RE2 (the DuckDB oracle) interpret
+    * identically: character classes, bounded repetition, and ASCII \b.
+    * No lookaround, no backreferences — RE2 has neither.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe: String = "\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{3}[ -]?\\d{3,4}"
+
+  /** PII-scrub a text column: emails, then phone numbers, then bare
+    * IPv4s are replaced with typed tags. Email first so its local part
+    * cannot be re-matched as something else; phone before IPv4 only by
+    * convention (a +-prefixed number and a dotted quad cannot overlap).
+    * Plain chained regexp_replace — codegen'd, and the DuckDB twin is
+    * the same three patterns with the 'g' flag.
+    */
+  def scrubPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipv4Re, "[IP]")
+
+  /** Mask blocklisted TOKENS in a token-array column (Dolma-style term
+    * scrubbing): whole-token match only — a blocklisted term embedded in
+    * a longer token is untouched, which is what token-boundary masking
+    * means (and what a regex over the raw string would get wrong at
+    * punctuation). Pure transform expression; terms are inlined as a
+    * literal array (blocklists are small — broadcast-sized by nature).
+    */
+  def maskTokens(toksCol: String, terms: Seq[String], tag: String): Column = {
+    require(terms.nonEmpty && terms.forall(t => !t.contains("'")),
+      "blocklist terms must be non-empty and quote-free")
+    val arr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+    expr(s"transform($toksCol, x -> if(array_contains($arr, x), '$tag', x))")
+  }
 
   /** Exact Jaccard between two array columns (set semantics). */
   def jaccard(a: String, b: String): Column =

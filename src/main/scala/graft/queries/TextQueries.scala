@@ -1403,6 +1403,80 @@ object TextQueries extends QueryPack {
         "display; tf explode pruned by the broadcast term join."),
 
     GraftQuery(
+      "q_text_scrub", Seq("P4", "P6", "A8"),
+      (s, dir) => {
+        // Corpus scrubbing — the PII-masking + term-blocklist stage a
+        // training-data pipeline runs before anything else ships
+        // (C4/Dolma-style). Two kernels, one pass: (1) PII regexes
+        // (email, phone, IPv4 — the Java/RE2 common subset, so the
+        // DuckDB twin applies the IDENTICAL patterns) rewrite spans to
+        // typed tags; (2) a broadcast-sized token blocklist masks
+        // whole tokens. The per-source fingerprint is the sum of each
+        // scrubbed doc's md5-derived hash64 mod 1e9+7 — order-
+        // independent (no sort), overflow-free (6e13 max at sf1), and
+        // it proves the masked TEXT matches byte-for-byte across
+        // engines, not just the counts. Scale shape: one narrow
+        // projection + one hash-partitioned agg; no shuffle of the doc
+        // bodies, no window. The corpus has no real PII (n_pii_hits is
+        // an all-zero column by construction of the testdata) — the
+        // regex behavior itself is pinned on synthetic strings in
+        // ScrubSpec; the oracle proves the wiring end to end.
+        val bl = Seq("customer", "merge", "window")
+        val arr = bl.map(t => s"'$t'").mkString("array(", ", ", ")")
+        docs(s, dir)
+          .withColumn("clean", TextOps.scrubPii(col("text")))
+          .withColumn("n_pii",
+            regexp_count(col("text"), lit(TextOps.emailRe)) +
+              regexp_count(col("text"), lit(TextOps.phoneRe)) +
+              regexp_count(col("text"), lit(TextOps.ipv4Re)))
+          .withColumn("t", TextOps.tokens("clean"))
+          .withColumn("n_masked",
+            expr(s"size(filter(t, x -> array_contains($arr, x)))"))
+          .withColumn("scrubbed",
+            array_join(TextOps.maskTokens("t", bl, "[MASKED]"), " "))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("n_masked") > 0, 1)).as("n_docs_hit"),
+            sum("n_masked").as("n_tokens_masked"),
+            sum("n_pii").as("n_pii_hits"),
+            sum(expr(TextOps.hash64("scrubbed") + " % 1000000007"))
+              .as("corpus_fp"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${TextOps.emailRe}', '[EMAIL]', 'g'),
+              '${TextOps.phoneRe}', '[PHONE]', 'g'),
+              '${TextOps.ipv4Re}', '[IP]', 'g') AS clean,
+            len(regexp_extract_all(text, '${TextOps.emailRe}'))
+              + len(regexp_extract_all(text, '${TextOps.phoneRe}'))
+              + len(regexp_extract_all(text, '${TextOps.ipv4Re}'))
+              AS n_pii
+          FROM documents),
+        m AS (SELECT source, n_pii,
+            list_filter(string_split(clean, ' '), x -> x != '') AS t
+          FROM d),
+        x AS (SELECT source, n_pii,
+            len(list_filter(t, x ->
+              list_contains(['customer','merge','window'], x)))
+              AS n_masked,
+            array_to_string(list_transform(t, x ->
+              CASE WHEN list_contains(['customer','merge','window'], x)
+              THEN '[MASKED]' ELSE x END), ' ') AS scrubbed
+          FROM m)
+        SELECT source, count(*) AS n_docs,
+          count(CASE WHEN n_masked > 0 THEN 1 END) AS n_docs_hit,
+          sum(n_masked)::BIGINT AS n_tokens_masked,
+          sum(n_pii)::BIGINT AS n_pii_hits,
+          sum(${dh("scrubbed")} % 1000000007)::BIGINT AS corpus_fp
+        FROM x GROUP BY 1 ORDER BY 1"""),
+      "PII + blocklist corpus scrubbing: chained codegen'd " +
+        "regexp_replace for emails/phones/IPv4s, whole-token blocklist " +
+        "masking, per-source order-independent fingerprint of the " +
+        "scrubbed text."),
+
+    GraftQuery(
       "q_pipeline_mixture", Seq("D8", "W2", "A8"),
       (s, dir) => {
         // Corpus MIXTURE under a token budget — the sampling step a

@@ -373,6 +373,45 @@ object StreamingOps {
       .select(col(idCol), col(groupCol), col("q"), col("bucket"))
   }
 
+  /** Streaming corpus scrubbing — the streaming twin of q_text_scrub's
+    * per-doc stage: every arriving doc is PII-scrubbed
+    * ([[graft.operators.TextOps.scrubPii]] — emails, phones, IPv4s to
+    * typed tags) and its blocklisted tokens masked
+    * ([[graft.operators.TextOps.maskTokens]] — whole-token semantics),
+    * with per-doc hit counts. Entirely STATELESS — no watermark, no
+    * state store, no static side: the blocklist is part of the plan
+    * (blocklists are broadcast-sized by nature), so this is a pure
+    * projection that runs in append mode at any rate and composes in
+    * front of the rest of the streaming pipeline (scrub first, like
+    * the batch corpus build).
+    *
+    * Output: <idCol>, n_pii, n_masked, scrubbed.
+    */
+  def scrubStream(
+      docs: DataFrame, // idCol, textCol, ...
+      blocklist: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tag: String = "[MASKED]"): DataFrame = {
+    import graft.operators.TextOps
+    Seq("__graft_clean", "__graft_t").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"scrubStream: input already has a $c column (reserved)"))
+    val arr = blocklist.map(t => s"'$t'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("__graft_clean", TextOps.scrubPii(col(textCol)))
+      .withColumn("__graft_t", TextOps.tokens("__graft_clean"))
+      .select(col(idCol),
+        (regexp_count(col(textCol), lit(TextOps.emailRe)) +
+          regexp_count(col(textCol), lit(TextOps.phoneRe)) +
+          regexp_count(col(textCol), lit(TextOps.ipv4Re)))
+          .cast("long").as("n_pii"),
+        expr(s"size(filter(__graft_t, x -> array_contains($arr, x)))")
+          .cast("long").as("n_masked"),
+        array_join(TextOps.maskTokens("__graft_t", blocklist, tag), " ")
+          .as("scrubbed"))
+  }
+
   /** Static side for [[contaminationStream]]: the eval/benchmark set's
     * distinct winnowed fingerprints (TextOps.winnowCompiled — same
     * k/t geometry as batch q_text_contamination). Eval sets are tiny,

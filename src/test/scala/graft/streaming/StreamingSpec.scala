@@ -344,6 +344,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming scrub masks PII and blocklist tokens identically to " +
+    "the batch kernel composition") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val bl = Seq("customer", "merge")
+    val fixture = Seq(
+      ("d1", "mail jane.doe@ex.co about the customer merge today"),
+      ("d2", "ping 10.0.42.7 then call +1 555 867 5309"),
+      ("d3", "no sensitive content in this one"),
+      ("d4", "customers accumulate but customer is masked"))
+    val docs = MemoryStream[(String, String)]
+    val out = StreamingOps.scrubStream(
+      docs.toDF().toDF("doc_id", "text"), bl)
+    val q = out.writeStream.format("memory").queryName("scrub_out")
+      .outputMode("append").start()
+    try {
+      docs.addData(fixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_out")
+        .select("doc_id", "n_pii", "n_masked", "scrubbed")
+        .as[(String, Long, Long, String)].collect().sortBy(_._1)
+      // batch twin: the same kernels composed the way q_text_scrub's
+      // per-doc stage composes them
+      val arr = bl.map(t => s"'$t'").mkString("array(", ", ", ")")
+      val want = fixture.toDF("doc_id", "text")
+        .withColumn("clean", TextOps.scrubPii(col("text")))
+        .withColumn("t", TextOps.tokens("clean"))
+        .select(col("doc_id"),
+          (regexp_count(col("text"), lit(TextOps.emailRe)) +
+            regexp_count(col("text"), lit(TextOps.phoneRe)) +
+            regexp_count(col("text"), lit(TextOps.ipv4Re)))
+            .cast("long").as("n_pii"),
+          expr(s"size(filter(t, x -> array_contains($arr, x)))")
+            .cast("long").as("n_masked"),
+          array_join(TextOps.maskTokens("t", bl, "[MASKED]"), " ")
+            .as("scrubbed"))
+        .as[(String, Long, Long, String)].collect().sortBy(_._1)
+      assert(got === want)
+      // and the values themselves are the intended ones, not just
+      // stream==batch on a shared bug
+      val byId = got.map(r => r._1 -> r).toMap
+      assert(byId("d1") === (("d1", 1L, 2L,
+        "mail [EMAIL] about the [MASKED] [MASKED] today")))
+      assert(byId("d2") === (("d2", 2L, 0L,
+        "ping [IP] then call [PHONE]")))
+      assert(byId("d3") === (("d3", 0L, 0L,
+        "no sensitive content in this one")))
+      assert(byId("d4") === (("d4", 0L, 1L,
+        "customers accumulate but [MASKED] is masked")))
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags verbatim eval overlap; clean " +
     "docs pass; sub-threshold docs emit no verdict") {
     implicit val sqlCtx = spark.sqlContext
