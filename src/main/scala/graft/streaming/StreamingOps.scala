@@ -923,6 +923,59 @@ object StreamingOps {
       }
   }
 
+  final case class MixtureDoc(source: String, docId: String, nTok: Long)
+  final case class MixtureVerdict(
+      source: String, docId: String, nTok: Long,
+      cumBefore: Long, keep: Boolean)
+  final case class MixtureState(cumTokens: Long)
+
+  /** Streaming token-budget mixture — the stateful continuation of
+    * q_pipeline_mixture's take-until cut: each source's cumulative
+    * token count lives in keyed state, and an arriving doc is KEPT iff
+    * its EXCLUSIVE running total is still under the source's budget —
+    * the batch rule verbatim, so the straddling doc is kept and a
+    * source exceeds its budget by strictly less than that one doc
+    * (the MixtureBoundSpec bound). Within a micro-batch a source's
+    * docs cut in docId order; across batches, arrival order — the
+    * online contract (the batch query's md5-priority shuffle is an
+    * OFFLINE reproducibility device; an online cut takes docs as they
+    * come). The count advances for DROPPED docs too, which is what
+    * take-until means: the total is monotone, so once a source crosses
+    * its budget nothing later can sneak back in. Sources without a
+    * budget entry always drop — they are not part of the mixture.
+    *
+    * State: one counter per source — bounded by source cardinality, no
+    * timeout needed. Budgets are plan constants (a mixture spec is
+    * broadcast-sized by nature, like the scrub blocklist); refresh
+    * them by restarting the query, the same offline-refresh contract
+    * as the quality cuts and cluster lookups.
+    */
+  def mixtureStream(
+      docs: Dataset[MixtureDoc],
+      budgets: Map[String, Long]): Dataset[MixtureVerdict] = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-empty with non-negative token targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[MixtureState, MixtureVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[MixtureDoc],
+         state: GroupState[MixtureState]) =>
+          val budget = budgets.getOrElse(source, 0L)
+          var st = state.getOption.getOrElse(MixtureState(0L))
+          val out = rows.toSeq.sortBy(_.docId).map { d =>
+            val before = st.cumTokens
+            st = MixtureState(before + d.nTok)
+            MixtureVerdict(source, d.docId, d.nTok, before,
+              before < budget)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based streaming sessionization with explicit keyed state —
     * emits a row per event annotated with its running session id.
     */

@@ -817,6 +817,55 @@ class StreamingSpec extends SparkSuite {
       "stage 4 (packing) assignments diverge")
   }
 
+  test("streaming mixture enforces per-source token budgets across " +
+    "micro-batches with take-until straddle semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingOps.{MixtureDoc, MixtureVerdict}
+    val budgets = Map("srcA" -> 10L, "srcB" -> 5L)
+    val docs = MemoryStream[MixtureDoc]
+    val out = StreamingOps.mixtureStream(docs.toDS(), budgets)
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("mixture_out").outputMode("append").start()
+    val batch1 = Seq(
+      MixtureDoc("srcA", "a1", 4L), MixtureDoc("srcA", "a2", 5L),
+      MixtureDoc("srcA", "a3", 6L), // before=9 < 10: the straddler
+      MixtureDoc("srcB", "b1", 7L), // before=0 < 5: straddles alone
+      MixtureDoc("srcB", "b2", 1L), // before=7 >= 5: drops
+      MixtureDoc("srcC", "c1", 2L)) // no budget entry: drops
+    try {
+      docs.addData(batch1: _*)
+      q.processAllAvailable()
+      docs.addData( // state persisted: both sources are now exhausted
+        MixtureDoc("srcA", "a4", 1L), MixtureDoc("srcB", "b3", 1L))
+      q.processAllAvailable()
+      val got = spark.table("mixture_out")
+        .as[MixtureVerdict].collect()
+      val kept = got.filter(_.keep).map(_.docId).toSet
+      assert(kept === Set("a1", "a2", "a3", "b1"))
+      // the take-until bound: a source's kept tokens exceed its budget
+      // by strictly less than its straddling (last-kept) doc
+      for ((src, budget) <- budgets) {
+        val sel = got.filter(v => v.source == src && v.keep)
+        val straddler = sel.maxBy(_.cumBefore).nTok
+        assert(sel.map(_.nTok).sum - straddler < budget)
+      }
+      // single-batch parity with the batch take-until rule: PrefixSum
+      // over the same order (priority = docId) picks the same docs
+      val base = batch1.toDF()
+        .select(col("source"), col("docId"), col("nTok"))
+      val cum = graft.operators.PrefixSum
+        .runningTotal(base, "source", "docId", "nTok")
+      val batchKeep = cum
+        .withColumn("budget", coalesce(
+          element_at(typedLit[Map[String, Long]](budgets), col("source")),
+          lit(0L)))
+        .where(col("cum_before") < col("budget"))
+        .select("docId").as[String].collect().toSet
+      assert(kept === batchKeep,
+        "stream take-until diverges from the batch PrefixSum rule")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization splits on gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[StreamingOps.SessionEvent]
