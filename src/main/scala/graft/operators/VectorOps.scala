@@ -141,6 +141,67 @@ object VectorOps {
     math.min(15, math.max(4, raw.toInt))
   }
 
+  /** Unnormalized Walsh-Hadamard rotation of a quantized vector column:
+    * y_i = Σ_j (−1)^popcount(i AND j) · x_j (natural ordering), for
+    * power-of-two d. H·Hᵀ = d·I, so ‖Hx − Hy‖² = d·‖x − y‖² EXACTLY on
+    * the integer grid — every L2 ranking, ties included, is preserved
+    * while each output coordinate mixes ALL input coordinates. This is
+    * the rotation-before-PQ preprocessing of the OPQ family (Ge/He/
+    * Ke/Sun, "Optimized Product Quantization", CVPR 2013 §2; FAISS
+    * ships it as the random-rotation pretransform) in its
+    * deterministic, data-independent form: a trained OPQ rotation
+    * needs a model artifact, where the Walsh rotation spreads
+    * per-subspace energy with no training and the DuckDB oracle
+    * recomputes it bit-for-bit. O(d²) expression — the oracle-twin
+    * form; the hot path is [[hadamardCompiled]] (bit-parity pinned in
+    * RotationSpec). Magnitude note: components grow by at most ×d, so
+    * the 1e6-grid values stay far inside Long range.
+    */
+  def hadamard(qCol: String, d: Int): Column = {
+    require(d > 0 && (d & (d - 1)) == 0, s"dim must be a power of two: $d")
+    expr(s"transform(sequence(0, ${d - 1}), __graft_i -> " +
+      s"aggregate(sequence(0, ${d - 1}), cast(0 as bigint), " +
+      "(__graft_acc, __graft_j) -> __graft_acc + " +
+      "if(bit_count(__graft_i & __graft_j) % 2 = 0, " +
+      s"element_at($qCol, cast(__graft_j + 1 as int)), " +
+      s"-element_at($qCol, cast(__graft_j + 1 as int)))))")
+  }
+
+  /** Compiled fast path for [[hadamard]]: the in-place FWHT butterfly,
+    * O(d log d) instead of the expression's O(d²) — natural ordering,
+    * so the outputs are bit-identical (RotationSpec pins parity).
+    * Null rows pass through as null; a wrong-length vector fails
+    * loudly rather than silently rotating garbage.
+    */
+  def hadamardCompiled(d: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(d > 0 && (d & (d - 1)) == 0, s"dim must be a power of two: $d")
+    org.apache.spark.sql.functions.udf { (xs: Seq[Long]) =>
+      if (xs == null) null
+      else {
+        require(xs.length == d,
+          s"hadamardCompiled($d): got a ${xs.length}-dim vector")
+        val a = xs.toArray
+        var len = 1
+        while (len < d) {
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < i + len) {
+              val u = a(j); val v = a(j + len)
+              a(j) = u + v
+              a(j + len) = u - v
+              j += 1
+            }
+            i += 2 * len
+          }
+          len <<= 1
+        }
+        a.toSeq
+      }
+    }
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -124,8 +124,13 @@ object SimilarityQueries extends QueryPack {
     * Queries are the vec_id % 100 probe set, exposed as
     * `q(query_id, qe, qnq)`.
     */
-  private val duckPqChain =
-    s"""smp0 AS (SELECT vec_id, qe FROM n
+  private val duckPqChain = duckPqChainOver("n")
+
+  /** The same chain over an arbitrary (vec_id, qe) base relation — the
+    * rotated-PQ queries run it over the Walsh-rotated vectors.
+    */
+  private def duckPqChainOver(base: String) =
+    s"""smp0 AS (SELECT vec_id, qe FROM $base
           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
             vec_id
           LIMIT 16),
@@ -142,7 +147,7 @@ object SimilarityQueries extends QueryPack {
             qe[t.j*8+1 : t.j*8+8] AS svec,
             list_sum(list_transform(qe[t.j*8+1 : t.j*8+8],
               x -> x*x))::BIGINT AS snorm
-          FROM n, range(0, 8) t(j)),
+          FROM $base, range(0, 8) t(j)),
         scd AS (SELECT vec_id, sub.j, cidx,
             snorm + cnorm - 2 * ${duckDot("svec", "cvec")} AS dist
           FROM sub JOIN cb ON cb.j = sub.j),
@@ -150,8 +155,9 @@ object SimilarityQueries extends QueryPack {
             SELECT *, row_number() OVER (PARTITION BY vec_id, j
               ORDER BY dist, cidx) AS rn FROM scd)
           WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, qe, nq AS qnq FROM n
-          WHERE vec_id % 100 = 0),
+        q AS (SELECT vec_id AS query_id, qe,
+            list_sum(list_transform(qe, x -> x * x))::BIGINT AS qnq
+          FROM $base WHERE vec_id % 100 = 0),
         qsub AS (SELECT query_id, t.j,
             qe[t.j*8+1 : t.j*8+8] AS qvec,
             list_sum(list_transform(qe[t.j*8+1 : t.j*8+8],
@@ -905,6 +911,164 @@ object SimilarityQueries extends QueryPack {
         "integer-exact with the same tie rule, so the number measures " +
         "the PQ geometry itself; exact side is the broadcast " +
         "brute-force pattern, PQ side the shared codebook chain."),
+
+    GraftQuery(
+      "q_sim_pq_rotated", Seq("A10", "J11", "W4"),
+      (s, dir) => {
+        // Rotation-enhanced PQ: the Walsh-Hadamard pretransform
+        // (VectorOps.hadamard — the OPQ family's rotation step in its
+        // deterministic, data-independent form) runs BEFORE the
+        // codebook/encode/ADC chain, spreading each input coordinate
+        // across every subspace so PQ's axis-aligned cuts stop being
+        // blind to cross-subspace structure. Everything stays on the
+        // integer grid (H has ±1 entries), so codes and ADC distances
+        // remain exact and the oracle recomputes the rotation with the
+        // identical Σ±x_j formula. Same probe set, same (adist, id)
+        // rank rule, same output shape as q_sim_pq_ann — the two rows
+        // differ only by the rotation, which is the point: whether the
+        // rotation HELPS is corpus-dependent and q_sim_recall_rotpq
+        // measures it (on this i.i.d.-dimension testdata it does not
+        // — see that query's scaladoc).
+        val e = quantized(s, dir)
+        val er = e.select(col("vec_id"),
+          VectorOps.hadamardCompiled(64)(col("qe")).as("qe"))
+          .localCheckpoint() // one FWHT pass; feeds codebook+encode+probe
+        val cb = ProductQuantizer.codebook(er, m = 8, subLen = 8, k = 16)
+          .localCheckpoint()
+        val codes = ProductQuantizer.encode(er, cb, m = 8, subLen = 8)
+        val q = er.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe"))
+        val ad = ProductQuantizer
+          .adcScore(q, codes, cb, m = 8, subLen = 8)
+          .where(col("query_id") =!= col("vec_id"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          rot AS (SELECT vec_id,
+              list_transform(range(0, 64), i ->
+                list_sum(list_transform(range(0, 64), j ->
+                  CASE WHEN bit_count(i & j) % 2 = 0 THEN qe[j+1]
+                  ELSE -qe[j+1] END))::BIGINT) AS qe
+            FROM n),
+          ${duckPqChainOver("rot")},
+          ad AS (SELECT query_id, c.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM codes c JOIN qd ON qd.j = c.j AND qd.cidx = c.cidx
+            WHERE c.vec_id != query_id
+            GROUP BY 1, 2),
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM ad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "Walsh-rotated product quantization (the OPQ-family rotation " +
+        "pretransform, deterministic form): ±1 rotation keeps every " +
+        "code and ADC distance integer-exact; same chain, probe set " +
+        "and rank rule as q_sim_pq_ann."),
+
+    GraftQuery(
+      "q_sim_recall_rotpq", Seq("A10", "W4"),
+      (s, dir) => {
+        // Recall AUDIT of the ROTATED PQ path — the measured answer to
+        // "did the rotation help?", next to q_sim_recall's unrotated
+        // number. The exact side runs UNROTATED: H scales every
+        // squared L2 distance by exactly d, so the exact top-3 is
+        // provably identical either way (RotationSpec pins it) and one
+        // brute-force pass serves both audits.
+        //
+        // AUDIT-ONLY contract: same corpus x queries pair budget as
+        // q_sim_recall — gate/bench SFs only, loud failure beyond.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        auditPairBudget("q_sim_recall_rotpq", nRows)
+        val e = quantized(s, dir)
+        val q0 = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+            col("nq").as("qnq"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val exact = e.crossJoin(broadcast(q0))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dist", col("qnq") + col("nq") -
+            lit(2L) * VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+        val er = e.select(col("vec_id"),
+          VectorOps.hadamardCompiled(64)(col("qe")).as("qe"))
+          .localCheckpoint()
+        val cb = ProductQuantizer.codebook(er, m = 8, subLen = 8, k = 16)
+          .localCheckpoint()
+        val codes = ProductQuantizer.encode(er, cb, m = 8, subLen = 8)
+        val qr = er.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe"))
+        val wpq = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        val pq = ProductQuantizer
+          .adcScore(qr, codes, cb, m = 8, subLen = 8)
+          .where(col("query_id") =!= col("vec_id"))
+          .withColumn("rnk", row_number().over(wpq))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+        q0.select("query_id")
+          .join(exact.join(pq, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("h")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("h"), lit(0L)) / 3.0, 4).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          rot AS (SELECT vec_id,
+              list_transform(range(0, 64), i ->
+                list_sum(list_transform(range(0, 64), j ->
+                  CASE WHEN bit_count(i & j) % 2 = 0 THEN qe[j+1]
+                  ELSE -qe[j+1] END))::BIGINT) AS qe
+            FROM n),
+          ${duckPqChainOver("rot")},
+          qx AS (SELECT vec_id AS query_id, qe, nq AS qnq FROM n
+            WHERE vec_id % 100 = 0),
+          ext AS (SELECT query_id, vec_id FROM (
+              SELECT qx.query_id, n.vec_id, row_number() OVER
+                (PARTITION BY qx.query_id ORDER BY
+                  qx.qnq + n.nq - 2 * ${duckDot("qx.qe", "n.qe")},
+                  n.vec_id) AS rnk
+              FROM n, qx WHERE n.vec_id != qx.query_id)
+            WHERE rnk <= 3),
+          ad AS (SELECT query_id, c.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM codes c JOIN qd ON qd.j = c.j AND qd.cidx = c.cidx
+            WHERE c.vec_id != query_id
+            GROUP BY 1, 2),
+          pqt AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+              FROM ad)
+            WHERE rnk <= 3),
+          hits AS (SELECT ext.query_id, count(*)::BIGINT AS h
+            FROM ext JOIN pqt ON pqt.query_id = ext.query_id
+              AND pqt.vec_id = ext.vec_id
+            GROUP BY 1)
+        SELECT qx.query_id, coalesce(h.h, 0)::BIGINT AS n_hits,
+          round(coalesce(h.h, 0) / 3.0, 4) AS recall
+        FROM qx LEFT JOIN hits h ON h.query_id = qx.query_id
+        ORDER BY qx.query_id"""),
+      "Recall@3 audit of the Walsh-rotated PQ path — the exact side " +
+        "runs unrotated (H scales every squared distance by exactly " +
+        "d, RotationSpec-pinned), so one brute-force pass grounds " +
+        "both this and q_sim_recall. MEASURED on this corpus the " +
+        "rotation does NOT beat plain PQ (the synthetic embeddings " +
+        "have i.i.d. dimensions — no cross-dimension energy skew to " +
+        "spread, which is the rotation's win condition on real " +
+        "PCA-like embeddings); the audit ships to measure that, not " +
+        "to assume the textbook answer."),
 
     GraftQuery(
       "q_sim_pq_refined", Seq("A10", "J11", "W4"),

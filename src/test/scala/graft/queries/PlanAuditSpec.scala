@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSuite {
     // brute-force ANN baseline: scored = all x broadcast(queries)
     "q_sim_topk_bruteforce",
     // recall audits: exact side = all x broadcast(queries)
-    "q_sim_recall", "q_sim_recall_ivfpq",
+    "q_sim_recall", "q_sim_recall_ivfpq", "q_sim_recall_rotpq",
     // IVF assignment: all x broadcast(centroids), then cell equi-join
     "q_sim_ivf_ann", "q_sim_ivf_probe2", "q_sim_index_probe",
     "q_sim_index_probe2", "q_sim_ivf_refined", "q_sim_ivfpq",
