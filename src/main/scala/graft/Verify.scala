@@ -40,19 +40,24 @@ object Verify {
     // green FULL gate. Delete the unselected outputs and (below) emit
     // only the subset's oracle rows, so a subset dir can only ever
     // gate the subset it actually ran.
-    only.foreach { names =>
-      (SparkEntry.queries.keySet -- names).foreach { stale =>
-        val p = Paths.get(outDir, stale)
-        if (Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-        }
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
       }
+    only.foreach { names =>
+      (SparkEntry.queries.keySet -- names).foreach(stale =>
+        rmTree(Paths.get(outDir, stale)))
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // delete the query's PRIOR output before attempting the write: a
+      // query that throws (analysis error, gate assert) must leave NO
+      // parquet behind, or the checker would compare the previous
+      // run's stale result and report PASS for a query that never ran
+      rmTree(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{expr, regexp_replace}
+import org.apache.spark.sql.functions.{array_contains, array_join, expr,
+  filter, lit, regexp_count, regexp_replace, size, split, struct,
+  transform, typedLit, when}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -348,14 +350,51 @@ object TextOps {
     * scrubbing): whole-token match only — a blocklisted term embedded in
     * a longer token is untouched, which is what token-boundary masking
     * means (and what a regex over the raw string would get wrong at
-    * punctuation). Pure transform expression; terms are inlined as a
-    * literal array (blocklists are small — broadcast-sized by nature).
+    * punctuation). Column-API transform with the terms as a typedLit
+    * array literal, so arbitrary caller strings (quotes, backslashes,
+    * anything) are data, never SQL text; blocklists are small —
+    * broadcast-sized by nature.
     */
-  def maskTokens(toksCol: String, terms: Seq[String], tag: String): Column = {
-    require(terms.nonEmpty && terms.forall(t => !t.contains("'")),
-      "blocklist terms must be non-empty and quote-free")
-    val arr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
-    expr(s"transform($toksCol, x -> if(array_contains($arr, x), '$tag', x))")
+  def maskTokens(toks: Column, terms: Seq[String], tag: String): Column = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val arr = typedLit(terms)
+    transform(toks, x =>
+      when(array_contains(arr, x), lit(tag)).otherwise(x))
+  }
+
+  /** PII hit count matched to [[scrubPii]]'s SEQUENTIAL replacement:
+    * each pattern is counted over the text as it stands when scrubPii
+    * applies that pattern (emails on the raw text, phones on the
+    * email-scrubbed text, IPv4s on the phone-scrubbed text), so the
+    * count equals the number of spans actually replaced. Counting all
+    * three patterns on the raw text would double-count overlapping
+    * spans — an email whose host part is a dotted quad scrubs to ONE
+    * [EMAIL] tag but would report two hits.
+    */
+  def piiCount(textCol: Column): Column = {
+    val afterEmail = regexp_replace(textCol, emailRe, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, phoneRe, "[PHONE]")
+    (regexp_count(textCol, lit(emailRe)) +
+      regexp_count(afterEmail, lit(phoneRe)) +
+      regexp_count(afterPhone, lit(ipv4Re))).cast("long")
+  }
+
+  /** The per-doc scrub projection — ONE definition shared by the batch
+    * query (q_text_scrub), its streaming twin
+    * ([[graft.streaming.StreamingOps.scrubStream]]), and their parity
+    * spec, so the three surfaces cannot drift apart. Returns a struct
+    * of (n_pii, n_masked, scrubbed): sequential PII hit count
+    * ([[piiCount]]), blocklisted-token count, and the scrubbed text
+    * re-joined on single spaces after [[scrubPii]] + [[maskTokens]].
+    */
+  def scrubProjection(
+      textCol: Column, terms: Seq[String], tag: String): Column = {
+    val toks = filter(split(scrubPii(textCol), " "), x => x =!= lit(""))
+    struct(
+      piiCount(textCol).as("n_pii"),
+      size(filter(toks, x => array_contains(typedLit(terms), x)))
+        .cast("long").as("n_masked"),
+      array_join(maskTokens(toks, terms, tag), " ").as("scrubbed"))
   }
 
   /** Exact Jaccard between two array columns (set semantics). */

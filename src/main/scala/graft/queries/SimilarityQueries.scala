@@ -67,7 +67,10 @@ object SimilarityQueries extends QueryPack {
     * real corpus.
     */
   private def auditPairBudget(name: String, nRows: Long): Unit = {
-    val pairs = nRows * (nRows / 100 + 1)
+    // BigInt: a Long product overflows (wraps NEGATIVE, passing the
+    // check) above ~3e10 rows — exactly the production scale this
+    // guard exists to reject
+    val pairs = BigInt(nRows) * (nRows / 100 + 1)
     require(pairs <= 1000000000L,
       s"$name is a gate-scale AUDIT: its exact side would brute-force " +
         s"$pairs corpus x query pairs at $nRows rows — sample the " +
@@ -166,6 +169,55 @@ object SimilarityQueries extends QueryPack {
         qd AS (SELECT query_id, qsub.j, cidx,
             qnorm + cnorm - 2 * ${duckDot("qvec", "cvec")} AS qdist
           FROM qsub JOIN cb ON cb.j = qsub.j)"""
+
+  /** The shortlist → exact re-rank rule (Jégou et al. §V) — ONE
+    * definition shared by q_sim_ivfpq_rerank (the shipped chain) and
+    * q_sim_recall_ivfpq's hits_rerank column, so the recall audit
+    * always measures exactly the composition the query ships (a
+    * drifted inline copy would pin dominance for a DIFFERENT chain).
+    * `scored` is an ADC-scored candidate relation (query_id, vec_id,
+    * adist, …); the top-`shortlistC` per query by (adist, vec_id)
+    * come back through a broadcast id equi-join against the
+    * full-precision `e` and are exact-ranked by integer L2; rows with
+    * rnk <= topK survive, carrying (query_id, vec_id, dist, rnk).
+    */
+  private def shortlistRerank(
+      scored: DataFrame, e: DataFrame, qBase: DataFrame,
+      shortlistC: Int = 10, topK: Int = 3): DataFrame = {
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val sl = scored.withColumn("srk", row_number().over(wa))
+      .where(col("srk") <= shortlistC)
+      .select("query_id", "vec_id")
+    val qv = qBase.select(col("vec_id").as("query_id"),
+      col("qe").as("qqe"), col("nq").as("qnq"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    e.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("dist", col("qnq") + col("nq") -
+        lit(2L) * VectorOps.dot("qqe", "qe"))
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= topK)
+  }
+
+  /** DuckDB twin of [[shortlistRerank]] over an `ad`-shaped relation
+    * (query_id, vec_id, adist): emits `sl` (the ADC shortlist) and
+    * `rrk` (exact-re-ranked shortlist with dist + rnk) CTEs.
+    */
+  private def duckShortlistRerank(
+      adRel: String, shortlistC: Int = 10): String =
+    s"""sl AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id, row_number() OVER
+            (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
+          FROM $adRel) WHERE srk <= $shortlistC),
+        rrk AS (SELECT query_id, vec_id, dist, row_number() OVER
+            (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk
+          FROM (SELECT sl.query_id, sl.vec_id,
+              (q.qnq + n.nq - 2 * ${duckDot("q.qe", "n.qe")})::BIGINT
+                AS dist
+            FROM sl JOIN n ON n.vec_id = sl.vec_id
+              JOIN q ON q.query_id = sl.query_id))"""
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -1324,23 +1376,9 @@ object SimilarityQueries extends QueryPack {
           .where(col("vec_id") =!= col("query_id"))
           .select("query_id", "vec_id")
         val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
-        val wa = Window.partitionBy("query_id")
-          .orderBy(col("adist").asc, col("vec_id").asc)
-        val shortlist = ProductQuantizer.adcScoreCandidates(
-            q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
-          .withColumn("srk", row_number().over(wa))
-          .where(col("srk") <= 10)
-          .select("query_id", "vec_id")
-        val qv = qBase.select(col("vec_id").as("query_id"),
-          col("qe").as("qqe"), col("nq").as("qnq"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("dist").asc, col("vec_id").asc)
-        e.join(broadcast(shortlist), Seq("vec_id"))
-          .join(broadcast(qv), Seq("query_id"))
-          .withColumn("dist", col("qnq") + col("nq") -
-            lit(2L) * VectorOps.dot("qqe", "qe"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 3)
+        val scored = ProductQuantizer.adcScoreCandidates(
+          q, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+        shortlistRerank(scored, e, qBase)
           .select(col("query_id"), col("rnk"),
             col("vec_id").as("neighbor_id"), col("dist"))
           .orderBy("query_id", "rnk")
@@ -1366,21 +1404,9 @@ object SimilarityQueries extends QueryPack {
               JOIN qd ON qd.query_id = c2.query_id AND qd.j = co.j
                 AND qd.cidx = co.cidx
             GROUP BY 1, 2),
-          sl AS (SELECT query_id, vec_id FROM (
-              SELECT query_id, vec_id, row_number() OVER
-                (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
-              FROM ad) WHERE srk <= 10),
-          rr AS (SELECT sl.query_id, sl.vec_id,
-              (q.qnq + n.nq - 2 * ${duckDot("q.qe", "n.qe")})::BIGINT
-                AS dist
-            FROM sl JOIN n ON n.vec_id = sl.vec_id
-              JOIN q ON q.query_id = sl.query_id),
-          r AS (SELECT query_id, vec_id AS neighbor_id, dist,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY dist, vec_id) AS rnk
-            FROM rr)
-        SELECT query_id, rnk, neighbor_id, dist
-        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+          ${duckShortlistRerank("ad")}
+        SELECT query_id, rnk, vec_id AS neighbor_id, dist
+        FROM rrk WHERE rnk <= 3 ORDER BY query_id, rnk"""),
       "IVF-PQ with exact re-rank (Jegou et al. SV): ADC shortlists " +
         "the top-10 cell mates at nprobe=2, then the full-precision " +
         "vectors come back by broadcast id equi-join for an exact " +
@@ -1462,27 +1488,11 @@ object SimilarityQueries extends QueryPack {
         // a true top-3 neighbor inside the shortlist survives any
         // exact subset ranking (at most 2 corpus vectors beat it
         // anywhere) — and RerankRecallSpec pins the dominance.
-        val rerankHits = {
-          val wa = Window.partitionBy("query_id")
-            .orderBy(col("adist").asc, col("vec_id").asc)
-          val sl = scoredAll
-            .withColumn("srk", row_number().over(wa))
-            .where(col("srk") <= 10)
-            .select("query_id", "vec_id")
-          val qv = qBase.select(col("vec_id").as("query_id"),
-            col("qe").as("qqe"), col("nq").as("qnq"))
-          val wr = Window.partitionBy("query_id")
-            .orderBy(col("dist").asc, col("vec_id").asc)
-          e.join(broadcast(sl), Seq("vec_id"))
-            .join(broadcast(qv), Seq("query_id"))
-            .withColumn("dist", col("qnq") + col("nq") -
-              lit(2L) * VectorOps.dot("qqe", "qe"))
-            .withColumn("rnk", row_number().over(wr))
-            .where(col("rnk") <= 3)
+        val rerankHits =
+          shortlistRerank(scoredAll, e, qBase)
             .select("query_id", "vec_id")
             .join(exact, Seq("query_id", "vec_id"))
             .groupBy("query_id").agg(count(lit(1)).as("h3"))
-        }
         q.select("query_id")
           .join(hits(1, "h1"), Seq("query_id"), "left")
           .join(hits(2, "h2"), Seq("query_id"), "left")
@@ -1534,21 +1544,11 @@ object SimilarityQueries extends QueryPack {
           h2 AS (SELECT t2.query_id, count(*)::BIGINT AS h
             FROM t2 JOIN ext ON ext.query_id = t2.query_id
               AND ext.vec_id = t2.vec_id GROUP BY 1),
-          sl AS (SELECT query_id, vec_id FROM (
-              SELECT query_id, vec_id, row_number() OVER
-                (PARTITION BY query_id ORDER BY adist, vec_id) AS srk
-              FROM ad) WHERE srk <= 10),
-          t3 AS (SELECT query_id, vec_id FROM (
-              SELECT sl.query_id, sl.vec_id, row_number() OVER
-                (PARTITION BY sl.query_id ORDER BY
-                  q2.qnq + n.nq - 2 * ${duckDot("q2.qe", "n.qe")},
-                  sl.vec_id) AS rnk
-              FROM sl JOIN n ON n.vec_id = sl.vec_id
-                JOIN q q2 ON q2.query_id = sl.query_id)
-            WHERE rnk <= 3),
-          h3 AS (SELECT t3.query_id, count(*)::BIGINT AS h
-            FROM t3 JOIN ext ON ext.query_id = t3.query_id
-              AND ext.vec_id = t3.vec_id GROUP BY 1)
+          ${duckShortlistRerank("ad")},
+          h3 AS (SELECT rrk.query_id, count(*)::BIGINT AS h
+            FROM rrk JOIN ext ON ext.query_id = rrk.query_id
+              AND ext.vec_id = rrk.vec_id
+            WHERE rrk.rnk <= 3 GROUP BY 1)
         SELECT q.query_id, coalesce(h1.h, 0)::BIGINT AS hits_np1,
           coalesce(h2.h, 0)::BIGINT AS hits_np2,
           coalesce(h3.h, 0)::BIGINT AS hits_rerank

@@ -1420,40 +1420,39 @@ object TextQueries extends QueryPack {
         // bodies, no window. The corpus has no real PII (n_pii_hits is
         // an all-zero column by construction of the testdata) — the
         // regex behavior itself is pinned on synthetic strings in
-        // ScrubSpec; the oracle proves the wiring end to end.
+        // ScrubSpec; the oracle proves the wiring end to end. n_pii
+        // counts SEQUENTIALLY (TextOps.piiCount) so overlapping spans
+        // count once, matching the one tag scrubPii actually emits.
         val bl = Seq("customer", "merge", "window")
-        val arr = bl.map(t => s"'$t'").mkString("array(", ", ", ")")
         docs(s, dir)
-          .withColumn("clean", TextOps.scrubPii(col("text")))
-          .withColumn("n_pii",
-            regexp_count(col("text"), lit(TextOps.emailRe)) +
-              regexp_count(col("text"), lit(TextOps.phoneRe)) +
-              regexp_count(col("text"), lit(TextOps.ipv4Re)))
-          .withColumn("t", TextOps.tokens("clean"))
-          .withColumn("n_masked",
-            expr(s"size(filter(t, x -> array_contains($arr, x)))"))
-          .withColumn("scrubbed",
-            array_join(TextOps.maskTokens("t", bl, "[MASKED]"), " "))
+          .withColumn("sp", TextOps.scrubProjection(col("text"), bl,
+            "[MASKED]"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
-            count(when(col("n_masked") > 0, 1)).as("n_docs_hit"),
-            sum("n_masked").as("n_tokens_masked"),
-            sum("n_pii").as("n_pii_hits"),
-            sum(expr(TextOps.hash64("scrubbed") + " % 1000000007"))
+            count(when(col("sp.n_masked") > 0, 1)).as("n_docs_hit"),
+            sum("sp.n_masked").as("n_tokens_masked"),
+            sum("sp.n_pii").as("n_pii_hits"),
+            sum(expr(TextOps.hash64("sp.scrubbed") + " % 1000000007"))
               .as("corpus_fp"))
           .orderBy("source")
       },
-      Some(s"""WITH d AS (SELECT source,
-            regexp_replace(regexp_replace(regexp_replace(text,
-              '${TextOps.emailRe}', '[EMAIL]', 'g'),
-              '${TextOps.phoneRe}', '[PHONE]', 'g'),
-              '${TextOps.ipv4Re}', '[IP]', 'g') AS clean,
-            len(regexp_extract_all(text, '${TextOps.emailRe}'))
-              + len(regexp_extract_all(text, '${TextOps.phoneRe}'))
-              + len(regexp_extract_all(text, '${TextOps.ipv4Re}'))
-              AS n_pii
+      Some(s"""WITH s1 AS (SELECT source, text,
+            regexp_replace(text, '${TextOps.emailRe}', '[EMAIL]', 'g')
+              AS c1
           FROM documents),
+        s2 AS (SELECT source, text, c1,
+            regexp_replace(c1, '${TextOps.phoneRe}', '[PHONE]', 'g')
+              AS c2
+          FROM s1),
+        d AS (SELECT source,
+            regexp_replace(c2, '${TextOps.ipv4Re}', '[IP]', 'g')
+              AS clean,
+            len(regexp_extract_all(text, '${TextOps.emailRe}'))
+              + len(regexp_extract_all(c1, '${TextOps.phoneRe}'))
+              + len(regexp_extract_all(c2, '${TextOps.ipv4Re}'))
+              AS n_pii
+          FROM s2),
         m AS (SELECT source, n_pii,
             list_filter(string_split(clean, ' '), x -> x != '') AS t
           FROM d),

@@ -394,22 +394,18 @@ object StreamingOps {
       textCol: String = "text",
       tag: String = "[MASKED]"): DataFrame = {
     import graft.operators.TextOps
-    Seq("__graft_clean", "__graft_t").foreach(c =>
-      require(!docs.columns.contains(c),
-        s"scrubStream: input already has a $c column (reserved)"))
-    val arr = blocklist.map(t => s"'$t'").mkString("array(", ", ", ")")
+    require(!docs.columns.contains("__graft_sp"),
+      "scrubStream: input already has a __graft_sp column (reserved)")
+    // the per-doc projection is THE shared definition
+    // (TextOps.scrubProjection) — batch q_text_scrub and this twin
+    // cannot drift apart
     docs
-      .withColumn("__graft_clean", TextOps.scrubPii(col(textCol)))
-      .withColumn("__graft_t", TextOps.tokens("__graft_clean"))
+      .withColumn("__graft_sp",
+        TextOps.scrubProjection(col(textCol), blocklist, tag))
       .select(col(idCol),
-        (regexp_count(col(textCol), lit(TextOps.emailRe)) +
-          regexp_count(col(textCol), lit(TextOps.phoneRe)) +
-          regexp_count(col(textCol), lit(TextOps.ipv4Re)))
-          .cast("long").as("n_pii"),
-        expr(s"size(filter(__graft_t, x -> array_contains($arr, x)))")
-          .cast("long").as("n_masked"),
-        array_join(TextOps.maskTokens("__graft_t", blocklist, tag), " ")
-          .as("scrubbed"))
+        col("__graft_sp.n_pii").as("n_pii"),
+        col("__graft_sp.n_masked").as("n_masked"),
+        col("__graft_sp.scrubbed").as("scrubbed"))
   }
 
   /** Static side for [[contaminationStream]]: the eval/benchmark set's

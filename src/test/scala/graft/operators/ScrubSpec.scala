@@ -48,7 +48,8 @@ class ScrubSpec extends SparkSuite {
       .toDF("text")
       .withColumn("t", TextOps.tokens("text"))
       .select(array_join(
-        TextOps.maskTokens("t", Seq("customer", "merge"), "[MASKED]"),
+        TextOps.maskTokens(col("t"), Seq("customer", "merge"),
+          "[MASKED]"),
         " ").as("m"))
       .as[String].head()
     // 'customers' and 'accumulate' contain the term but are NOT masked
@@ -65,12 +66,34 @@ class ScrubSpec extends SparkSuite {
     assert(row === (("ping [IP] from [EMAIL] customer", 5)))
   }
 
-  test("blocklist terms with quotes are rejected loudly") {
+  test("blocklist terms are data, not SQL text: quotes and backslashes " +
+    "match literally; empty blocklists are rejected") {
+    val out = Seq("say a'b and c\\d aloud")
+      .toDF("text")
+      .withColumn("t", TextOps.tokens("text"))
+      .select(array_join(
+        TextOps.maskTokens(col("t"), Seq("a'b", "c\\d"), "[DON'T]"),
+        " ").as("m"))
+      .as[String].head()
+    assert(out === "say [DON'T] and [DON'T] aloud")
     intercept[IllegalArgumentException] {
-      TextOps.maskTokens("t", Seq("a'b"), "[MASKED]")
+      TextOps.maskTokens(col("t"), Seq.empty, "[MASKED]")
     }
-    intercept[IllegalArgumentException] {
-      TextOps.maskTokens("t", Seq.empty, "[MASKED]")
-    }
+  }
+
+  test("piiCount counts sequentially, matching scrubPii's replacements") {
+    def counts(s: String): (Long, Long) =
+      Seq(s).toDF("text")
+        .select(TextOps.piiCount(col("text")).as("n"),
+          TextOps.scrubProjection(col("text"), Seq("zzz"), "[M]")
+            .getField("n_pii").as("n2"))
+        .as[(Long, Long)].head()
+    // email whose host part is a dotted quad: ONE replacement -> 1,
+    // not 2 (raw-text counting of email + IPv4 would double-count)
+    assert(counts("root@10.0.0.1.example.com") === ((1L, 1L)))
+    // disjoint spans still all count
+    assert(counts("a@b.co then 10.0.42.7 then +1 555 867 5309") ===
+      ((3L, 3L)))
+    assert(counts("nothing here") === ((0L, 0L)))
   }
 }

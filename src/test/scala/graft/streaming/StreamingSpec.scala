@@ -353,7 +353,9 @@ class StreamingSpec extends SparkSuite {
       ("d1", "mail jane.doe@ex.co about the customer merge today"),
       ("d2", "ping 10.0.42.7 then call +1 555 867 5309"),
       ("d3", "no sensitive content in this one"),
-      ("d4", "customers accumulate but customer is masked"))
+      ("d4", "customers accumulate but customer is masked"),
+      // email/IPv4 overlap: ONE replacement, so n_pii must be 1
+      ("d5", "root@10.0.0.1.example.com pinged us"))
     val docs = MemoryStream[(String, String)]
     val out = StreamingOps.scrubStream(
       docs.toDF().toDF("doc_id", "text"), bl)
@@ -365,21 +367,14 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("scrub_out")
         .select("doc_id", "n_pii", "n_masked", "scrubbed")
         .as[(String, Long, Long, String)].collect().sortBy(_._1)
-      // batch twin: the same kernels composed the way q_text_scrub's
-      // per-doc stage composes them
-      val arr = bl.map(t => s"'$t'").mkString("array(", ", ", ")")
+      // batch twin: q_text_scrub's per-doc stage IS the same shared
+      // TextOps.scrubProjection, so this pins stream == the projection
+      // the batch query aggregates over
       val want = fixture.toDF("doc_id", "text")
-        .withColumn("clean", TextOps.scrubPii(col("text")))
-        .withColumn("t", TextOps.tokens("clean"))
-        .select(col("doc_id"),
-          (regexp_count(col("text"), lit(TextOps.emailRe)) +
-            regexp_count(col("text"), lit(TextOps.phoneRe)) +
-            regexp_count(col("text"), lit(TextOps.ipv4Re)))
-            .cast("long").as("n_pii"),
-          expr(s"size(filter(t, x -> array_contains($arr, x)))")
-            .cast("long").as("n_masked"),
-          array_join(TextOps.maskTokens("t", bl, "[MASKED]"), " ")
-            .as("scrubbed"))
+        .withColumn("sp",
+          TextOps.scrubProjection(col("text"), bl, "[MASKED]"))
+        .select(col("doc_id"), col("sp.n_pii"), col("sp.n_masked"),
+          col("sp.scrubbed"))
         .as[(String, Long, Long, String)].collect().sortBy(_._1)
       assert(got === want)
       // and the values themselves are the intended ones, not just
@@ -393,6 +388,8 @@ class StreamingSpec extends SparkSuite {
         "no sensitive content in this one")))
       assert(byId("d4") === (("d4", 0L, 1L,
         "customers accumulate but [MASKED] is masked")))
+      // overlapping email/IPv4 span: one [EMAIL] tag, counted ONCE
+      assert(byId("d5") === (("d5", 1L, 0L, "[EMAIL] pinged us")))
     } finally q.stop()
   }
 
