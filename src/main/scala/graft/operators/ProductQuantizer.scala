@@ -197,6 +197,97 @@ object ProductQuantizer {
     IvfPq(cent, cellOf, cbDf, encode(base, cbDf, m, subLen))
   }
 
+  /** Element-wise residuals against the assigned coarse centroid:
+    * (vec_id, qe := qe − cqe[cell(vec_id)]). Residuals stay on the
+    * integer grid (difference of integers), so every downstream code
+    * and ADC score remains exact 64-bit arithmetic. One broadcast join
+    * against the bounded centroid table — linear in the corpus.
+    */
+  def residuals(
+      e: DataFrame, // vec_id, qe
+      cellOf: DataFrame, // vec_id, cell
+      cent: DataFrame): DataFrame = // c_id, cqe, ...
+    e.join(cellOf, Seq("vec_id"))
+      .join(broadcast(cent.select(col("c_id").as("cell"), col("cqe"))),
+        Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+
+  /** Residual IVF-PQ — the IVFADC composition of Jégou et al. §V:
+    * PQ encodes each vector's RESIDUAL against its coarse centroid
+    * (x − c(x)) instead of x itself. Residuals concentrate near the
+    * origin, so the same m×k codebook budget spends its resolution on
+    * a much smaller ball — the standard recall lift over plain IVF-PQ
+    * at identical index size (measured, not assumed: q_sim_recall_
+    * residual). Same deterministic md5-ordered codebook draw over the
+    * residual relation; cent/cellOf pinned exactly as [[buildIvfPq]].
+    * The coded table still costs m bytes/vector; the only extra build
+    * work is one broadcast centroid join to form residuals.
+    */
+  def buildIvfPqResidual(
+      e: DataFrame, // vec_id, qe, nq
+      kCentroids: Int,
+      m: Int = 8,
+      subLen: Int = 8,
+      kCodes: Int = 16): IvfPq = {
+    val cent = VectorIndex.sampleCentroids(e, kCentroids)
+      .localCheckpoint()
+    val cellOf = VectorIndex.argmaxCell(
+      e.crossJoin(broadcast(cent))
+        .withColumn("dot", VectorOps.dot("cqe", "qe"))
+        .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+      .localCheckpoint()
+    val resid = residuals(e.select("vec_id", "qe"), cellOf, cent)
+    val cbDf = codebook(residCbBase(resid), m, subLen, kCodes)
+      .localCheckpoint()
+    IvfPq(cent, cellOf, cbDf, encode(resid, cbDf, m, subLen))
+  }
+
+  /** Codebook training base for the residual chain: residuals with
+    * non-zero norm. The md5-ordered codebook draw and the coarse
+    * centroid draw rank by the SAME key, so the top-kCodes rows of the
+    * raw residual relation are sampled centroids — whose own residual
+    * is exactly the zero vector (a vector is its own cosine-nearest
+    * centroid). Without this filter the "codebook" is kCodes copies of
+    * zero, every vector codes identically, and ADC carries no signal.
+    */
+  def residCbBase(resid: DataFrame): DataFrame =
+    resid.where(VectorOps.normSq("qe") > 0)
+
+  /** ADC for the residual composition. Unlike [[adcScoreCandidates]],
+    * the query-side distance table depends on the PROBED CELL (the
+    * query's residual differs per centroid), so `queryCells` carries
+    * one row per (query, probed cell) with the query residual as `qe`,
+    * and the table joins on (query, cell, subspace, code) — q × nprobe
+    * × m × k rows, still broadcast-bounded. Candidates are cell mates,
+    * so each candidate pair's cell is the candidate's OWN cell and the
+    * scored ‖r_q − code(r_x)‖² approximates the true ‖q − x‖² with
+    * both vectors expressed relative to the same centroid.
+    */
+  def adcScoreResidual(
+      queryCells: DataFrame, // query_id, cell, qe (query residual)
+      candidates: DataFrame, // query_id, cell, vec_id
+      codes: DataFrame, // vec_id, j, code (residual codes)
+      cb: DataFrame,
+      m: Int,
+      subLen: Int): DataFrame = {
+    val qd = queryCells
+      .select(col("query_id"), col("cell"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("j"), col("qe"))
+      .select(col("query_id"), col("cell"), col("j"),
+        expr(s"slice(qe, j * $subLen + 1, $subLen)").as("qvec"))
+      .withColumn("qnorm", VectorOps.normSq("qvec"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("qdist",
+        col("qnorm") + col("cnorm") - lit(2L) * VectorOps.dot("qvec", "cvec"))
+      .select(col("query_id"), col("cell"), col("j"),
+        col("cidx").as("code"), col("qdist"))
+    codes.join(candidates, Seq("vec_id"))
+      .join(broadcast(qd), Seq("query_id", "cell", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("qdist").as("adist"))
+  }
+
   /** ADC restricted to an explicit candidate-pair relation
     * (queryIdCol, idCol) — the IVF-PQ composition: the coarse
     * quantizer supplies the candidates (cell mates), PQ ranks them,

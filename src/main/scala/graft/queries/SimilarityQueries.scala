@@ -219,6 +219,72 @@ object SimilarityQueries extends QueryPack {
             FROM sl JOIN n ON n.vec_id = sl.vec_id
               JOIN q ON q.query_id = sl.query_id))"""
 
+  /** DuckDB twin of the RESIDUAL IVF-PQ chain
+    * ([[graft.operators.ProductQuantizer.buildIvfPqResidual]] +
+    * adcScoreResidual). Assumes `n` (vec_id, qe, nq), `cent`, `asg`
+    * (vec_id, cell), and `qc` (query_id, cell — the probed cells) are
+    * already defined; emits `rsd` (corpus residuals), the residual
+    * codebook/codes (`rcb`, `rcodes` — same md5-ordered 16-row draw
+    * as the Spark side, over NON-ZERO residuals: see
+    * ProductQuantizer.residCbBase), the per-(query, probed-cell)
+    * residual
+    * distance table `rqd`, and the scored candidate relation `rad`
+    * (query_id, vec_id, adist).
+    */
+  private val duckResidChain =
+    s"""rsd AS (SELECT n.vec_id,
+          list_transform(range(1, len(n.qe) + 1),
+            i -> n.qe[i] - cent.cqe[i]) AS re
+        FROM n JOIN asg ON asg.vec_id = n.vec_id
+          JOIN cent ON cent.c_id = asg.cell),
+      rsmp AS (SELECT vec_id, re, row_number() OVER
+            (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+              vec_id) - 1 AS cidx
+        FROM (SELECT vec_id, re FROM rsd
+          WHERE list_sum(list_transform(re, x -> x * x)) > 0
+          ORDER BY ('0x' || substr(md5(vec_id::VARCHAR),1,15))::BIGINT,
+            vec_id
+          LIMIT 16)),
+      rcb AS (SELECT t.j, cidx,
+          re[t.j*8+1 : t.j*8+8] AS cvec,
+          list_sum(list_transform(re[t.j*8+1 : t.j*8+8],
+            x -> x*x))::BIGINT AS cnorm
+        FROM rsmp, range(0, 8) t(j)),
+      rsub AS (SELECT vec_id, t.j,
+          re[t.j*8+1 : t.j*8+8] AS svec,
+          list_sum(list_transform(re[t.j*8+1 : t.j*8+8],
+            x -> x*x))::BIGINT AS snorm
+        FROM rsd, range(0, 8) t(j)),
+      rscd AS (SELECT vec_id, rsub.j, cidx,
+          snorm + cnorm - 2 * ${duckDot("svec", "cvec")} AS dist
+        FROM rsub JOIN rcb ON rcb.j = rsub.j),
+      rcodes AS (SELECT vec_id, j, cidx FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j
+            ORDER BY dist, cidx) AS rn FROM rscd)
+        WHERE rn = 1),
+      qrsd AS (SELECT qc.query_id, qc.cell,
+          list_transform(range(1, len(n.qe) + 1),
+            i -> n.qe[i] - cent.cqe[i]) AS rqe
+        FROM qc JOIN n ON n.vec_id = qc.query_id
+          JOIN cent ON cent.c_id = qc.cell),
+      rqsub AS (SELECT query_id, cell, t.j,
+          rqe[t.j*8+1 : t.j*8+8] AS qvec,
+          list_sum(list_transform(rqe[t.j*8+1 : t.j*8+8],
+            x -> x*x))::BIGINT AS qnorm
+        FROM qrsd, range(0, 8) t(j)),
+      rqd AS (SELECT query_id, cell, rqsub.j, cidx,
+          qnorm + cnorm - 2 * ${duckDot("qvec", "cvec")} AS qdist
+        FROM rqsub JOIN rcb ON rcb.j = rqsub.j),
+      rcand AS (SELECT qc.query_id, qc.cell, a.vec_id
+        FROM asg a JOIN qc ON a.cell = qc.cell
+        WHERE a.vec_id != qc.query_id),
+      rad AS (SELECT c2.query_id, c2.vec_id,
+          sum(rqd.qdist)::BIGINT AS adist
+        FROM rcand c2 JOIN rcodes co ON co.vec_id = c2.vec_id
+          JOIN rqd ON rqd.query_id = c2.query_id AND rqd.cell = c2.cell
+            AND rqd.j = co.j AND rqd.cidx = co.cidx
+        GROUP BY 1, 2)"""
+
   override def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1562,5 +1628,218 @@ object SimilarityQueries extends QueryPack {
         "recall dominates the no-rerank path per query — folds cell " +
         "misses into the number a user sizing nprobe needs; " +
         "integer-exact on both engines."),
+
+    GraftQuery(
+      "q_sim_ivfpq_residual", Seq("A10", "J6", "W4"),
+      (s, dir) => {
+        // Residual IVF-PQ — IVFADC proper (Jégou et al. §V): PQ
+        // encodes each vector's residual against its coarse centroid
+        // instead of the vector itself, so the m×k codebook budget
+        // resolves a much smaller ball (residuals concentrate near the
+        // origin) at IDENTICAL index size — m bytes/vector, same
+        // bounded broadcasts. The query side differs from plain
+        // IVF-PQ in one structural way: the query's residual depends
+        // on the probed cell, so the ADC distance table is per
+        // (query, probed cell) — q × nprobe × m × k rows, still a
+        // broadcast. Candidates are the same disjoint-cell mates at
+        // nprobe=2; all arithmetic stays exact 64-bit integers
+        // (residual = difference of grid points).
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val ivfpq = ProductQuantizer.buildIvfPqResidual(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
+        val qBase = e.where(col("vec_id") % 100 === 0)
+        val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
+        val qCells = qRanked
+          .join(broadcast(ivfpq.cent
+            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
+          .join(qBase.select(col("vec_id").as("query_id"),
+            col("qe").as("qqe")), Seq("query_id"))
+          .select(col("query_id"), col("cell"),
+            zip_with(col("qqe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "cell", "vec_id")
+        val ad = ProductQuantizer.adcScoreResidual(
+          qCells, cand, ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        ad.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("adist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          rk AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM sc0),
+          asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM rk
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          $duckResidChain,
+          r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY adist, vec_id) AS rnk
+            FROM rad)
+        SELECT query_id, rnk, neighbor_id, adist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "Residual IVF-PQ (IVFADC, Jegou et al. SV): PQ codes the " +
+        "residual against the assigned coarse centroid; the query's " +
+        "ADC table is per probed cell (q x nprobe x m x k, still " +
+        "broadcast) and candidates stay disjoint-cell equi-join mates " +
+        "at nprobe=2 — integer-exact on both engines."),
+
+    GraftQuery(
+      "q_sim_recall_residual", Seq("A10", "W4"),
+      (s, dir) => {
+        // Does residual encoding actually buy recall at this geometry?
+        // Measured, not assumed: plain IVF-PQ vs residual IVF-PQ hits
+        // against the exact whole-corpus L2 top-3, both at nprobe=2,
+        // both over the SAME coarse layer (shared cent/cellOf), so the
+        // two columns differ ONLY in what PQ encodes.
+        //
+        // AUDIT-ONLY contract: the exact side is a corpus x queries
+        // brute force (see q_sim_recall) — gate/bench scale only,
+        // guarded by the shared pair budget.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        auditPairBudget("q_sim_recall_residual", nRows)
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val ivfpq = ProductQuantizer.buildIvfPq(
+          e.select("vec_id", "qe", "nq"), kCentroids = k,
+          m = 8, subLen = 8, kCodes = 16)
+        val resid = ProductQuantizer.residuals(
+          e.select("vec_id", "qe"), ivfpq.cellOf, ivfpq.cent)
+        // zero-residual rows (the sampled centroids themselves) must
+        // not seed the codebook — see ProductQuantizer.residCbBase
+        val rcb = ProductQuantizer.codebook(
+          ProductQuantizer.residCbBase(resid), m = 8, subLen = 8,
+          k = 16).localCheckpoint()
+        val rcodes = ProductQuantizer.encode(resid, rcb, m = 8,
+          subLen = 8)
+        val qBase = e.where(col("vec_id") % 100 === 0)
+        val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
+        val wx = Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val exact = e.crossJoin(broadcast(qBase
+            .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+              col("nq").as("qnq"))))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dist", col("qnq") + col("nq") -
+            lit(2L) * VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(wx))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+          .localCheckpoint() // feeds both hit counts
+        val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
+          .withColumn("dot", VectorOps.dot("cqe", "qe"))
+          .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("cos").desc, col("c_id").asc)))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
+          .localCheckpoint()
+        val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select("query_id", "cell", "vec_id")
+        def top3Hits(ad: DataFrame, name: String) = {
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("adist").asc, col("vec_id").asc)
+          ad.withColumn("rnk", row_number().over(w))
+            .where(col("rnk") <= 3)
+            .select("query_id", "vec_id")
+            .join(exact, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as(name))
+        }
+        val plainHits = top3Hits(ProductQuantizer.adcScoreCandidates(
+          q, cand.select("query_id", "vec_id"), ivfpq.codes, ivfpq.cb,
+          m = 8, subLen = 8), "hp")
+        val qCells = qRanked
+          .join(broadcast(ivfpq.cent
+            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
+          .join(qBase.select(col("vec_id").as("query_id"),
+            col("qe").as("qqe")), Seq("query_id"))
+          .select(col("query_id"), col("cell"),
+            zip_with(col("qqe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val residHits = top3Hits(ProductQuantizer.adcScoreResidual(
+          qCells, cand, rcodes, rcb, m = 8, subLen = 8), "hr")
+        q.select("query_id")
+          .join(plainHits, Seq("query_id"), "left")
+          .join(residHits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hp"), lit(0L)).as("hits_np2"),
+            coalesce(col("hr"), lit(0L)).as("hits_resid"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          $duckPqChain,
+          ext AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, n.vec_id, row_number() OVER
+                (PARTITION BY q.query_id ORDER BY
+                  q.qnq + n.nq - 2 * ${duckDot("q.qe", "n.qe")},
+                  n.vec_id) AS rnk
+              FROM n, q WHERE n.vec_id != q.query_id)
+            WHERE rnk <= 3),
+          sc0 AS (SELECT n.vec_id, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          rk AS (SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, c_id) AS rn FROM sc0),
+          asg AS (SELECT vec_id, c_id AS cell FROM rk WHERE rn = 1),
+          qc AS (SELECT vec_id AS query_id, c_id AS cell FROM rk
+                WHERE rn <= 2 AND vec_id % 100 = 0),
+          cand AS (SELECT qc.query_id, a.vec_id
+                FROM asg a JOIN qc ON a.cell = qc.cell
+                WHERE a.vec_id != qc.query_id),
+          ad AS (SELECT c2.query_id, c2.vec_id,
+              sum(qd.qdist)::BIGINT AS adist
+            FROM cand c2 JOIN codes co ON co.vec_id = c2.vec_id
+              JOIN qd ON qd.query_id = c2.query_id AND qd.j = co.j
+                AND qd.cidx = co.cidx
+            GROUP BY 1, 2),
+          t2 AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+              FROM ad) WHERE rnk <= 3),
+          h2 AS (SELECT t2.query_id, count(*)::BIGINT AS h
+            FROM t2 JOIN ext ON ext.query_id = t2.query_id
+              AND ext.vec_id = t2.vec_id GROUP BY 1),
+          $duckResidChain,
+          rt AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+              FROM rad) WHERE rnk <= 3),
+          rh AS (SELECT rt.query_id, count(*)::BIGINT AS h
+            FROM rt JOIN ext ON ext.query_id = rt.query_id
+              AND ext.vec_id = rt.vec_id GROUP BY 1)
+        SELECT q.query_id, coalesce(h2.h, 0)::BIGINT AS hits_np2,
+          coalesce(rh.h, 0)::BIGINT AS hits_resid
+        FROM q LEFT JOIN h2 ON h2.query_id = q.query_id
+          LEFT JOIN rh ON rh.query_id = q.query_id
+        ORDER BY q.query_id"""),
+      "Recall audit of residual vs plain IVF-PQ over one shared " +
+        "coarse layer, both at nprobe=2 vs the exact corpus L2 top-3 " +
+        "— the measured answer to whether residual encoding buys " +
+        "recall at this codebook geometry; exact side is gate-scale " +
+        "brute force (audit-only, pair-budget guarded)."),
   )
 }
