@@ -1403,6 +1403,90 @@ object TextQueries extends QueryPack {
         "display; tf explode pruned by the broadcast term join."),
 
     GraftQuery(
+      "q_text_perplexity", Seq("A8", "J11", "W3"),
+      (s, dir) => {
+        // CCNet-style LM quality scoring (Wenzek et al., "CCNet:
+        // Extracting High Quality Monolingual Datasets from Web Crawl
+        // Data"): score each document by its per-token negative
+        // log-likelihood under an n-gram LM — high-perplexity docs are
+        // gibberish/boilerplate candidates, low are fluent. The LM here
+        // is a word-bigram model with add-one smoothing TRAINED ON THE
+        // CORPUS ITSELF (self-perplexity — the CCNet trick of scoring
+        // against in-domain counts, no external artifact): P(w2|w1) =
+        // (C(w1 w2) + 1) / (C(w1) + V), C(w1) the unigram occurrence
+        // count, V the distinct-token vocabulary. Cross-engine
+        // exactness: each bigram's -ln P is computed from identical
+        // IEEE doubles (one division of exact integer counts) and
+        // scaled to 1e-4 integers BEFORE the per-doc sum — the sum is
+        // order-independent integer arithmetic, one exact division at
+        // the end (the q_text_bm25 convention).
+        //
+        // Scale shape: the canonical LM count job — bigram explode +
+        // hash-partitioned count (the groupBy shuffle IS the job),
+        // scoring is two equi-joins (bigram -> C, first-token -> Cw)
+        // plus a 1-row broadcast for V; no window, no driver state,
+        // no doc x doc. At 100 TB the count tables are corpus-sized
+        // relations (not broadcasts) and the joins stay shuffle
+        // equi-joins on the n-gram key.
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(size(col("t")) >= 2)
+          .select("doc_id", "lang", "t")
+          .localCheckpoint() // feeds model counts AND scoring
+        val big = base.select(col("doc_id"),
+          explode(TextOps.wordShingles("t", 2)).as("bg"))
+        val bgCounts = big.groupBy("bg")
+          .agg(count(lit(1)).as("cbg"))
+        val uniCounts = base
+          .select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val vDf = uniCounts.agg(count(lit(1)).as("v"))
+        val scored = big
+          .withColumn("w1", expr("split(bg, ' ')[0]"))
+          .join(bgCounts, Seq("bg"))
+          .join(uniCounts, col("w1") === col("w"))
+          .crossJoin(broadcast(vDf))
+          .withColumn("s",
+            expr("cast(round(-ln(cast(cbg + 1 as double) / " +
+              "cast(cw + v as double)) * 10000) as bigint)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_big"), sum("s").as("ss"))
+        base.select("doc_id", "lang")
+          .join(scored, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_big"),
+            (col("ss") / (col("n_big") * lit(10000.0))).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
+            FROM documents),
+          dd AS (SELECT doc_id, lang, t FROM d WHERE len(t) >= 2),
+          bge AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM dd),
+          bgc AS (SELECT bg, count(*)::BIGINT AS cbg FROM bge
+            GROUP BY 1),
+          unic AS (SELECT w, count(*)::BIGINT AS cw FROM
+            (SELECT unnest(t) AS w FROM dd) GROUP BY 1),
+          vv AS (SELECT count(*)::BIGINT AS v FROM unic),
+          sc AS (SELECT bge.doc_id, count(*)::BIGINT AS n_big,
+              sum(round(-ln((bgc.cbg + 1)::DOUBLE /
+                (unic.cw + vv.v)::DOUBLE) * 10000)::BIGINT)::BIGINT
+                AS ss
+            FROM bge JOIN bgc USING (bg)
+              JOIN unic ON unic.w = split_part(bge.bg, ' ', 1), vv
+            GROUP BY 1)
+        SELECT dd.doc_id, dd.lang, sc.n_big,
+          sc.ss / (sc.n_big * 10000.0) AS nll
+        FROM dd JOIN sc USING (doc_id)
+        ORDER BY dd.doc_id"""),
+      "CCNet-style self-perplexity quality scoring: per-doc mean " +
+        "negative log-likelihood under an add-one-smoothed word-bigram " +
+        "LM trained on the corpus itself; per-bigram scores scaled to " +
+        "exact 1e-4 integers before the order-independent per-doc " +
+        "sum, counts via the canonical hash-partitioned n-gram job."),
+
+    GraftQuery(
       "q_text_scrub", Seq("P4", "P6", "A8"),
       (s, dir) => {
         // Corpus scrubbing — the PII-masking + term-blocklist stage a

@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSuite {
     // IVF assignment: all x broadcast(centroids), then cell equi-join
     "q_sim_ivf_ann", "q_sim_ivf_probe2", "q_sim_index_probe",
     "q_sim_index_probe2", "q_sim_ivf_refined", "q_sim_ivfpq",
-    "q_sim_ivfpq2", "q_sim_ivfpq_rerank",
+    "q_sim_ivfpq2", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
     // A10 max-sim: all x broadcast(targets) — targets are a small dim
     "q_sim_maxsim_target",
     // 1-row aggregate crossJoins (counts stitched side by side)
@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_text_bm25",
     // 1-row total-token broadcast feeding the per-source budgets
     "q_pipeline_mixture",
+    // 1-row vocabulary-count broadcast for the add-one denominator
+    "q_text_perplexity",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
