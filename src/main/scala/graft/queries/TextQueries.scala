@@ -25,6 +25,13 @@ object TextQueries extends QueryPack {
   private val sparkToks = "filter(split(text, ' '), x -> x != '')"
   private val duckToks = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** The corpus blocklist — ONE definition shared by q_text_scrub,
+    * the corpus pipeline's scrub stage, and the streaming parity spec.
+    */
+  private[graft] val PipelineBlocklist = Seq("customer", "merge", "window")
+  private val duckBlocklist =
+    PipelineBlocklist.map(t => s"'$t'").mkString("[", ",", "]")
+
   /** Shared (doc_id, band-bucket key) membership for the CC dedup pair
     * (q_dedup_cluster / q_dedup_survivors): minhash w=3, k=16, 4 bands
     * x r=4 — ONE definition so the two queries' geometry cannot drift.
@@ -167,7 +174,21 @@ object TextQueries extends QueryPack {
       s: SparkSession, dir: String,
       cp: DataFrame => DataFrame): CorpusStages = {
     val all = docs(s, dir).select("doc_id", "lang", "source", "text")
-    val corpus = all.where(col("source") =!= "src0")
+    // stage 0: scrub — PII tags + blocklist masking via the shared
+    // per-doc projection (TextOps.scrubProjection, the same definition
+    // q_text_scrub aggregates and scrubStream emits). Everything
+    // downstream — quality scoring, dedup shingles, decontamination
+    // fingerprints, packing token counts — consumes the SCRUBBED
+    // bytes: what ships is what was checked. Scrub drops nothing, so
+    // n_input is unchanged; per-lang masked-token totals surface the
+    // stage in the counts output.
+    val scrub0 = all.where(col("source") =!= "src0")
+      .withColumn("sp", TextOps.scrubProjection(col("text"),
+        PipelineBlocklist, "[MASKED]"))
+    val corpus = cp(scrub0.select(col("doc_id"), col("lang"),
+      col("source"), col("sp.scrubbed").as("text")))
+    val scrubStats = scrub0.groupBy("lang")
+      .agg(sum("sp.n_masked").as("nmask"))
     val scored = cp(corpus
       .withColumn("q", TextOps.qualityScore("text"))
       .where(col("q").isNotNull))
@@ -225,11 +246,13 @@ object TextQueries extends QueryPack {
     def cnt(df: DataFrame, name: String) =
       df.groupBy("lang").agg(count(lit(1)).as(name))
     val counts = cnt(corpus, "n_input")
+      .join(scrubStats, Seq("lang"), "left")
       .join(cnt(q1, "nq1"), Seq("lang"), "left")
       .join(cnt(q2, "nq2"), Seq("lang"), "left")
       .join(cnt(q3, "nq3"), Seq("lang"), "left")
       .join(packStats, Seq("lang"), "left")
       .select(col("lang"), col("n_input"),
+        coalesce(col("nmask"), lit(0L)).as("n_masked"),
         coalesce(col("nq1"), lit(0L)).as("n_quality"),
         coalesce(col("nq2"), lit(0L)).as("n_dedup"),
         coalesce(col("nq3"), lit(0L)).as("n_clean"),
@@ -1078,8 +1101,21 @@ object TextQueries extends QueryPack {
       // assert stage 1 never plans a per-language window sort)
       (s, dir) => corpusPipeline(s, dir, _.localCheckpoint()),
       Some(s"""WITH RECURSIVE
-          corpus0 AS (SELECT doc_id, lang, source, text FROM documents
-            WHERE source != 'src0'),
+          raw0 AS (SELECT doc_id, lang, source,
+              list_filter(string_split(
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '${TextOps.emailRe}', '[EMAIL]', 'g'),
+                  '${TextOps.phoneRe}', '[PHONE]', 'g'),
+                  '${TextOps.ipv4Re}', '[IP]', 'g'), ' '),
+                x -> x != '') AS mt
+            FROM documents WHERE source != 'src0'),
+          corpus0 AS (SELECT doc_id, lang, source,
+              array_to_string(list_transform(mt, x ->
+                CASE WHEN list_contains($duckBlocklist, x)
+                  THEN '[MASKED]' ELSE x END), ' ') AS text,
+              len(list_filter(mt, x ->
+                list_contains($duckBlocklist, x)))::BIGINT AS nmask
+            FROM raw0),
           mq AS (SELECT doc_id, lang, source, text, $duckToks AS t
             FROM corpus0 WHERE len($duckToks) > 0),
           sc AS (SELECT doc_id, lang, source, text,
@@ -1125,27 +1161,33 @@ object TextQueries extends QueryPack {
               count(DISTINCT cum_before // 512) AS n_packs,
               sum(n_tok)::BIGINT AS sum_tokens FROM c GROUP BY 1),
           ci AS (SELECT lang, count(*) AS n_input FROM corpus0 GROUP BY 1),
+          cm AS (SELECT lang, sum(nmask)::BIGINT AS n_masked
+            FROM corpus0 GROUP BY 1),
           c1 AS (SELECT lang, count(*) AS nq1 FROM q1 GROUP BY 1),
           c2 AS (SELECT lang, count(*) AS nq2 FROM q2 GROUP BY 1),
           c3 AS (SELECT lang, count(*) AS nq3 FROM q3 GROUP BY 1)
         SELECT ci.lang, ci.n_input,
+          coalesce(cm.n_masked, 0)::BIGINT AS n_masked,
           coalesce(c1.nq1, 0)::BIGINT AS n_quality,
           coalesce(c2.nq2, 0)::BIGINT AS n_dedup,
           coalesce(c3.nq3, 0)::BIGINT AS n_clean,
           coalesce(pk.n_packs, 0)::BIGINT AS n_packs,
           coalesce(pk.sum_tokens, 0)::BIGINT AS sum_tokens
-        FROM ci LEFT JOIN c1 ON c1.lang = ci.lang
+        FROM ci LEFT JOIN cm ON cm.lang = ci.lang
+          LEFT JOIN c1 ON c1.lang = ci.lang
           LEFT JOIN c2 ON c2.lang = ci.lang
           LEFT JOIN c3 ON c3.lang = ci.lang
           LEFT JOIN pk ON pk.lang = ci.lang
         ORDER BY 1"""),
-      "End-to-end corpus build as one plan: per-lang GK-sketch " +
-        "quality-decile filter (broadcast cut points, no per-language " +
-        "window sort; drop bottom 20%) -> CC near-dup dedup keeping " +
-        "canonical survivors -> winnow decontamination vs the eval " +
-        "source (drop ratio >= 0.75) -> 512-token sequence packing " +
-        "via the two-phase prefix scan; per-stage survivor counts " +
-        "per language so regressions localize to their stage."),
+      "End-to-end corpus build as one plan: PII + blocklist scrub " +
+        "(shared scrubProjection — what ships is what was checked) -> " +
+        "per-lang GK-sketch quality-decile filter (broadcast cut " +
+        "points, no per-language window sort; drop bottom 20%) -> CC " +
+        "near-dup dedup keeping canonical survivors -> winnow " +
+        "decontamination vs the eval source (drop ratio >= 0.75) -> " +
+        "512-token sequence packing via the two-phase prefix scan; " +
+        "per-stage survivor + masked-token counts per language so " +
+        "regressions localize to their stage."),
 
     GraftQuery(
       "q_text_spans", Seq("P10", "D1", "J7"),
@@ -1507,7 +1549,7 @@ object TextQueries extends QueryPack {
         // ScrubSpec; the oracle proves the wiring end to end. n_pii
         // counts SEQUENTIALLY (TextOps.piiCount) so overlapping spans
         // count once, matching the one tag scrubPii actually emits.
-        val bl = Seq("customer", "merge", "window")
+        val bl = PipelineBlocklist
         docs(s, dir)
           .withColumn("sp", TextOps.scrubProjection(col("text"), bl,
             "[MASKED]"))
@@ -1542,10 +1584,10 @@ object TextQueries extends QueryPack {
           FROM d),
         x AS (SELECT source, n_pii,
             len(list_filter(t, x ->
-              list_contains(['customer','merge','window'], x)))
+              list_contains($duckBlocklist, x)))
               AS n_masked,
             array_to_string(list_transform(t, x ->
-              CASE WHEN list_contains(['customer','merge','window'], x)
+              CASE WHEN list_contains($duckBlocklist, x)
               THEN '[MASKED]' ELSE x END), ' ') AS scrubbed
           FROM m)
         SELECT source, count(*) AS n_docs,

@@ -696,8 +696,9 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("composed streaming corpus pipeline (quality -> dedup -> " +
-    "decontamination -> pack) matches the batch pipeline stage by stage") {
+  test("composed streaming corpus pipeline (scrub -> quality -> dedup " +
+    "-> decontamination -> pack) matches the batch pipeline stage by " +
+    "stage") {
     implicit val sqlCtx = spark.sqlContext
     // Shared fixture: the SAME sf0.001 documents table the batch
     // q_pipeline_corpus runs on. The streaming side composes the four
@@ -723,6 +724,29 @@ class StreamingSpec extends SparkSuite {
       corpus.join(ids.toSeq.toDF("doc_id"), Seq("doc_id"))
         .localCheckpoint()
     def t(i: Int) = new Timestamp(1704103200000L + i * 1000L)
+
+    // stage 0: scrub — raw docs stream through scrubStream; the
+    // per-doc scrubbed text must equal the batch pipeline's corpus
+    // text (both are the shared TextOps.scrubProjection), so every
+    // downstream stage consumes identical bytes in both topologies
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("source") =!= "src0")
+    val in0 = MemoryStream[(Long, String)]
+    val out0 = StreamingOps.scrubStream(
+      in0.toDF().toDF("doc_id", "text"),
+      graft.queries.TextQueries.PipelineBlocklist)
+    val sq0 = out0.writeStream.format("memory").queryName("pipe_s0")
+      .outputMode("append").start()
+    val s0 = try {
+      in0.addData(raw.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq)
+      sq0.processAllAvailable()
+      spark.table("pipe_s0").select("doc_id", "scrubbed")
+        .as[(Long, String)].collect().toMap
+    } finally sq0.stop()
+    val batchText = corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(s0 === batchText, "stage 0 (scrub) text diverges")
 
     // stage 1: quality bucketing against the corpus cut points, at
     // the batch query's accuracy => identical GK cuts, same >= 2 keep
