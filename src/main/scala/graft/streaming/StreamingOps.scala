@@ -868,6 +868,114 @@ object StreamingOps {
         expr("element_at(array_sort(terms), 1).tfidf").as("best_tfidf"))
   }
 
+  /** Static side for [[perplexityStream]]: the pruned, PRE-SCORED
+    * add-one bigram LM of q_text_perplexity, serving-shaped. Rows
+    * (kind, key, s), integer scores in the batch query's exact 1e-4
+    * scale:
+    *  - kind 'bg': the `topKBi` most frequent corpus bigrams, scored
+    *    with the IDENTICAL batch expression (ratio of exact counts,
+    *    one IEEE division, then -ln) — a stream doc whose bigrams are
+    *    all retained scores bit-for-bit like the batch query;
+    *  - kind 'w1': the `topKUni` most frequent unigrams with the
+    *    unseen-bigram backoff round(ln(C(w1)+V)·1e4) — add-one with
+    *    C(bigram)=0;
+    *  - kind 'oov' (key ''): the unknown-history score
+    *    round(ln(V)·1e4) — add-one with both counts 0.
+    * Pruning changes scores ONLY for n-grams outside the top-K (the
+    * CCNet serving trade: the LM table must broadcast; rare n-grams
+    * degrade to backoff). Ties in the top-K cut break
+    * deterministically (count desc, key asc). Returned UNPERSISTED —
+    * caller-owned caching contract as usual.
+    */
+  def perplexityStaticSide(
+      corpus: DataFrame, textCol: String = "text",
+      topKUni: Int = 65536, topKBi: Int = 262144): DataFrame = {
+    require(topKUni > 0 && topKBi > 0 &&
+      topKUni <= (1 << 20) && topKBi <= (1 << 20),
+      "perplexityStaticSide: the pruned LM is a broadcast static — " +
+        "top-K tables are capped at 1M rows each")
+    import graft.operators.TextOps
+    val base = corpus
+      .withColumn("__graft_t", TextOps.tokens(textCol))
+      .where(expr("size(__graft_t) >= 2"))
+    val cw = base.select(explode(col("__graft_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vDf = cw.agg(count(lit(1)).as("v"))
+    val bgS = base
+      .select(explode(TextOps.wordShingles("__graft_t", 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(cw, col("w1") === col("w"))
+      .crossJoin(broadcast(vDf))
+      .orderBy(col("cbg").desc, col("bg").asc)
+      .limit(topKBi)
+      .select(lit("bg").as("kind"), col("bg").as("key"),
+        expr("cast(round(-ln(cast(cbg + 1 as double) / " +
+          "cast(cw + v as double)) * 10000) as bigint)").as("s"))
+    val w1S = cw.crossJoin(broadcast(vDf))
+      .orderBy(col("cw").desc, col("w").asc)
+      .limit(topKUni)
+      .select(lit("w1").as("kind"), col("w").as("key"),
+        expr("cast(round(ln(cast(cw + v as double)) * 10000) " +
+          "as bigint)").as("s"))
+    val oov = vDf.select(lit("oov").as("kind"), lit("").as("key"),
+      expr("cast(round(ln(cast(v as double)) * 10000) as bigint)")
+        .as("s"))
+    bgS.unionByName(w1S).unionByName(oov)
+  }
+
+  /** Streaming CCNet-style quality scoring — arriving docs score their
+    * mean bigram negative log-likelihood against the STATIC pruned LM
+    * (corpus counts refresh offline, the stream scores online — the
+    * q_text_perplexity serving twin). Per bigram the score resolves
+    * bg → w1-backoff → oov (three broadcast left equi-joins, the last
+    * on a constant key to attach the 1-row OOV score), so EVERY
+    * arriving doc scores — no silent drops on novel vocabulary. One
+    * stateful aggregation: the watermarked per-(window, doc) integer
+    * sum; the mean is one exact division in the output projection,
+    * identical to the batch query's display rule.
+    *
+    * Output: bucket, <idCol>, n_big, nll.
+    */
+  def perplexityStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      corpus: DataFrame, // textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.TextOps
+    docs.columns.filter(_.startsWith("__graft_")).foreach(c =>
+      require(false, s"perplexityStream: input column $c is reserved"))
+    val lm = staticSide.getOrElse(
+      perplexityStaticSide(corpus, textCol).persist())
+    val bgRows = lm.where(col("kind") === "bg")
+      .select(col("key").as("__graft_bg"), col("s").as("__graft_sbg"))
+    val w1Rows = lm.where(col("kind") === "w1")
+      .select(col("key").as("__graft_w1"), col("s").as("__graft_sw1"))
+    val oovRow = lm.where(col("kind") === "oov")
+      .select(col("s").as("__graft_soov"), lit(1).as("__graft_one"))
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("__graft_t", TextOps.tokens(textCol))
+      .where(expr("size(__graft_t) >= 2"))
+      .select(col(idCol), col(tsCol),
+        explode(TextOps.wordShingles("__graft_t", 2)).as("__graft_bg"))
+      .withColumn("__graft_w1", expr("split(__graft_bg, ' ')[0]"))
+      .join(broadcast(bgRows), Seq("__graft_bg"), "left")
+      .join(broadcast(w1Rows), Seq("__graft_w1"), "left")
+      .withColumn("__graft_one", lit(1))
+      .join(broadcast(oovRow), Seq("__graft_one"), "left")
+      .withColumn("__graft_s", coalesce(
+        col("__graft_sbg"), col("__graft_sw1"), col("__graft_soov")))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_big"), sum("__graft_s").as("__graft_ss"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("n_big"),
+        (col("__graft_ss") / (col("n_big") * lit(10000.0))).as("nll"))
+  }
+
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
 

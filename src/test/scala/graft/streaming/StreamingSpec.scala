@@ -663,6 +663,51 @@ class StreamingSpec extends SparkSuite {
     staticDf.unpersist(blocking = true)
   }
 
+  test("streaming perplexity equals batch q_text_perplexity when the " +
+    "pruned LM covers the corpus; novel n-grams back off, never drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // default top-K far exceeds the sf0.001 vocabulary -> zero pruning
+    val lm = StreamingOps.perplexityStaticSide(corpus).persist()
+    val docs = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.perplexityStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), corpus,
+      staticSide = Some(lm))
+    val q = out.writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("update").start()
+    try {
+      def t(i: Int) = new Timestamp(1704103200000L + i * 1000L)
+      val fixture = corpus.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      docs.addData(fixture.zipWithIndex
+        .map { case ((id, tx), i) => (id, tx, t(i)) })
+      // a doc of entirely novel vocabulary: every bigram resolves to
+      // the OOV row — one row out, not a silent drop (the tfidf
+      // stream's documented OOV drop is wrong for a quality GATE:
+      // unscoreable docs must surface, not vanish)
+      docs.addData((900001L, "qqxz wvpk", t(fixture.size)))
+      q.processAllAvailable()
+      val got = spark.table("ppl_stream")
+        .select("doc_id", "n_big", "nll")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch twin over the same table: full-coverage LM -> exact
+      val want = graft.SparkEntry.queries("q_text_perplexity")(spark, sf)
+        .select("doc_id", "n_big", "nll")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(want.keySet.subsetOf(got.keySet))
+      want.foreach { case (id, (nb, nll)) =>
+        assert(got(id) === ((nb, nll)), s"doc $id diverges from batch")
+      }
+      // the OOV doc scored through the backoff chain: ln(V) per bigram
+      val soov = lm.where(col("kind") === "oov")
+        .select("s").as[Long].head()
+      assert(got(900001L) === ((1L, soov / 10000.0)))
+    } finally q.stop()
+    lm.unpersist(blocking = true)
+  }
+
   test("streaming sequence packing keeps pack ids monotone across " +
     "micro-batches via per-language keyed state") {
     implicit val sqlCtx = spark.sqlContext
