@@ -32,6 +32,63 @@ object TextQueries extends QueryPack {
   private val duckBlocklist =
     PipelineBlocklist.map(t => s"'$t'").mkString("[", ",", "]")
 
+  /** Per-doc add-one bigram self-perplexity partials — ONE definition
+    * shared by q_text_perplexity and q_text_ppl_buckets: (doc_id,
+    * lang, n_big, ss) with ss the exact integer sum of 1e-4-scaled
+    * per-bigram -ln P(w2|w1) scores (see q_text_perplexity's scaladoc
+    * for the model and the cross-engine exactness argument).
+    */
+  private def perplexityScores(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("t", TextOps.tokens("text"))
+      .where(size(col("t")) >= 2)
+      .select("doc_id", "lang", "t")
+      .localCheckpoint() // feeds model counts AND scoring
+    val big = base.select(col("doc_id"),
+      explode(TextOps.wordShingles("t", 2)).as("bg"))
+    val bgCounts = big.groupBy("bg")
+      .agg(count(lit(1)).as("cbg"))
+    val uniCounts = base
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val vDf = uniCounts.agg(count(lit(1)).as("v"))
+    val scored = big
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .join(bgCounts, Seq("bg"))
+      .join(uniCounts, col("w1") === col("w"))
+      .crossJoin(broadcast(vDf))
+      .withColumn("s",
+        expr("cast(round(-ln(cast(cbg + 1 as double) / " +
+          "cast(cw + v as double)) * 10000) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum("s").as("ss"))
+    base.select("doc_id", "lang").join(scored, Seq("doc_id"))
+  }
+
+  /** DuckDB twin of [[perplexityScores]]: emits `dd` (doc_id, lang, t)
+    * and `sc` (doc_id, n_big, ss) CTEs.
+    */
+  private val duckPpl =
+    s"""d AS (SELECT doc_id, lang, $duckToks AS t
+          FROM documents),
+        dd AS (SELECT doc_id, lang, t FROM d WHERE len(t) >= 2),
+        bge AS (SELECT doc_id,
+            unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS bg
+          FROM dd),
+        bgc AS (SELECT bg, count(*)::BIGINT AS cbg FROM bge
+          GROUP BY 1),
+        unic AS (SELECT w, count(*)::BIGINT AS cw FROM
+          (SELECT unnest(t) AS w FROM dd) GROUP BY 1),
+        vv AS (SELECT count(*)::BIGINT AS v FROM unic),
+        sc AS (SELECT bge.doc_id, count(*)::BIGINT AS n_big,
+            sum(round(-ln((bgc.cbg + 1)::DOUBLE /
+              (unic.cw + vv.v)::DOUBLE) * 10000)::BIGINT)::BIGINT
+              AS ss
+          FROM bge JOIN bgc USING (bg)
+            JOIN unic ON unic.w = split_part(bge.bg, ' ', 1), vv
+          GROUP BY 1)"""
+
   /** Shared (doc_id, band-bucket key) membership for the CC dedup pair
     * (q_dedup_cluster / q_dedup_survivors): minhash w=3, k=16, 4 bands
     * x r=4 — ONE definition so the two queries' geometry cannot drift.
@@ -1470,54 +1527,12 @@ object TextQueries extends QueryPack {
         // no doc x doc. At 100 TB the count tables are corpus-sized
         // relations (not broadcasts) and the joins stay shuffle
         // equi-joins on the n-gram key.
-        val base = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          .where(size(col("t")) >= 2)
-          .select("doc_id", "lang", "t")
-          .localCheckpoint() // feeds model counts AND scoring
-        val big = base.select(col("doc_id"),
-          explode(TextOps.wordShingles("t", 2)).as("bg"))
-        val bgCounts = big.groupBy("bg")
-          .agg(count(lit(1)).as("cbg"))
-        val uniCounts = base
-          .select(explode(col("t")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cw"))
-        val vDf = uniCounts.agg(count(lit(1)).as("v"))
-        val scored = big
-          .withColumn("w1", expr("split(bg, ' ')[0]"))
-          .join(bgCounts, Seq("bg"))
-          .join(uniCounts, col("w1") === col("w"))
-          .crossJoin(broadcast(vDf))
-          .withColumn("s",
-            expr("cast(round(-ln(cast(cbg + 1 as double) / " +
-              "cast(cw + v as double)) * 10000) as bigint)"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_big"), sum("s").as("ss"))
-        base.select("doc_id", "lang")
-          .join(scored, Seq("doc_id"))
+        perplexityScores(s, dir)
           .select(col("doc_id"), col("lang"), col("n_big"),
             (col("ss") / (col("n_big") * lit(10000.0))).as("nll"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
-            FROM documents),
-          dd AS (SELECT doc_id, lang, t FROM d WHERE len(t) >= 2),
-          bge AS (SELECT doc_id,
-              unnest(list_transform(range(1, len(t)),
-                i -> t[i] || ' ' || t[i+1])) AS bg
-            FROM dd),
-          bgc AS (SELECT bg, count(*)::BIGINT AS cbg FROM bge
-            GROUP BY 1),
-          unic AS (SELECT w, count(*)::BIGINT AS cw FROM
-            (SELECT unnest(t) AS w FROM dd) GROUP BY 1),
-          vv AS (SELECT count(*)::BIGINT AS v FROM unic),
-          sc AS (SELECT bge.doc_id, count(*)::BIGINT AS n_big,
-              sum(round(-ln((bgc.cbg + 1)::DOUBLE /
-                (unic.cw + vv.v)::DOUBLE) * 10000)::BIGINT)::BIGINT
-                AS ss
-            FROM bge JOIN bgc USING (bg)
-              JOIN unic ON unic.w = split_part(bge.bg, ' ', 1), vv
-            GROUP BY 1)
+      Some(s"""WITH $duckPpl
         SELECT dd.doc_id, dd.lang, sc.n_big,
           sc.ss / (sc.n_big * 10000.0) AS nll
         FROM dd JOIN sc USING (doc_id)
@@ -1527,6 +1542,66 @@ object TextQueries extends QueryPack {
         "LM trained on the corpus itself; per-bigram scores scaled to " +
         "exact 1e-4 integers before the order-independent per-doc " +
         "sum, counts via the canonical hash-partitioned n-gram job."),
+
+    GraftQuery(
+      "q_text_ppl_buckets", Seq("W2", "A8"),
+      (s, dir) => {
+        // The CCNet head/middle/tail split (Wenzek et al. §4.3):
+        // tercile-bucket each language's corpus by LM perplexity —
+        // bucket 0 = head (most fluent, lowest NLL), 1 = middle,
+        // 2 = tail (candidates for dropping or down-weighting).
+        // Composition of two gated pieces: perplexityScores (shared
+        // with q_text_perplexity) and the GK-sketch broadcast-cut
+        // bucketing (Quantiles.quantileBuckets — the no-window 100 TB
+        // path, exact at gate accuracy, q_text_quantile_sketch's
+        // proven contract). Same gate-only exactness pin as the other
+        // sketch consumers.
+        val scored = perplexityScores(s, dir)
+          .withColumn("nll", col("ss") / (col("n_big") * lit(10000.0)))
+          .select("doc_id", "lang", "nll")
+        val acc = 1000000
+        if (s.conf.getOption("graft.gate").contains("true")) {
+          val row = scored.groupBy("lang").count().agg(max("count")).head
+          val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
+          require(maxG <= acc,
+            s"q_text_ppl_buckets: largest lang group ($maxG rows) " +
+              s"exceeds sketch accuracy $acc — GK cuts are no longer " +
+              "exact vs the DuckDB quantile_disc oracle; raise " +
+              "accuracy or gate at a smaller SF")
+        }
+        graft.operators.Quantiles
+          .quantileBuckets(scored, "lang", "nll",
+            buckets = 3, accuracy = acc)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min("nll"), 4).as("min_nll"),
+            round(avg("nll"), 4).as("avg_nll"),
+            round(max("nll"), 4).as("max_nll"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH $duckPpl,
+          sco AS (SELECT dd.doc_id, dd.lang,
+              sc.ss / (sc.n_big * 10000.0) AS nll
+            FROM dd JOIN sc USING (doc_id)),
+          cuts AS (SELECT lang, quantile_disc(nll,
+              [${(1 until 3).map(i => i / 3.0).mkString(",")}]) AS cs
+            FROM sco GROUP BY 1),
+          b AS (SELECT sco.lang,
+              len(list_filter(cuts.cs, c -> c < sco.nll))::BIGINT
+                AS bucket,
+              sco.nll
+            FROM sco JOIN cuts ON cuts.lang = sco.lang)
+        SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+          round(min(nll), 4) AS min_nll,
+          round(avg(nll), 4) AS avg_nll,
+          round(max(nll), 4) AS max_nll
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "CCNet head/middle/tail corpus split: per-language perplexity " +
+        "terciles from the GK-sketch broadcast cut points (no " +
+        "per-language window sort), composed from the shared " +
+        "perplexity partials — bucket 0 is the fluent head, 2 the " +
+        "tail."),
 
     GraftQuery(
       "q_text_scrub", Seq("P4", "P6", "A8"),

@@ -36,7 +36,7 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row total-token broadcast feeding the per-source budgets
     "q_pipeline_mixture",
     // 1-row vocabulary-count broadcast for the add-one denominator
-    "q_text_perplexity",
+    "q_text_perplexity", "q_text_ppl_buckets",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
