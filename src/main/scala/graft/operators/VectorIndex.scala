@@ -325,14 +325,20 @@ object VectorIndex {
     * coded (vec_id, cell, codes array — [[ProductQuantizer.packCodes]]
     * layout); (m, subLen) pinned at build/load time so probes and
     * appends are lazy plan-builders that cannot disagree with the
-    * build geometry.
+    * build geometry. `residual` marks an IVFADC index (codes are
+    * residuals against the coarse centroids — see
+    * [[ProductQuantizer.buildIvfPqResidual]]); it is PERSISTED with
+    * the codebook and recovered by [[loadPq]], so probes and appends
+    * route through the residual math automatically — a residual index
+    * can never be silently probed with the plain distance tables.
     */
   case class IvfPqIndex(
       centroids: DataFrame,
       codebook: DataFrame,
       coded: DataFrame,
       m: Int,
-      subLen: Int)
+      subLen: Int,
+      residual: Boolean = false)
 
   /** Build the persistent form of the shared
     * [[ProductQuantizer.buildIvfPq]] chain — the chain's own pinned
@@ -358,6 +364,30 @@ object VectorIndex {
       m, subLen)
   }
 
+  /** Persistent form of [[ProductQuantizer.buildIvfPqResidual]] —
+    * IVFADC: same artifacts and layout as [[buildIvfPqIndex]], but the
+    * packed codes quantize each vector's RESIDUAL against its coarse
+    * centroid. [[savePq]]/[[loadPq]] carry the flag, and
+    * [[queryPq]]/[[appendPq]] route through the per-(query, probed
+    * cell) residual tables when it is set.
+    */
+  def buildIvfPqResidualIndex(
+      e: DataFrame,
+      kCentroids: Int,
+      m: Int = 8,
+      subLen: Int = 8,
+      kCodes: Int = 16): IvfPqIndex = {
+    val chain = ProductQuantizer.buildIvfPqResidual(e, kCentroids, m,
+      subLen, kCodes)
+    IvfPqIndex(
+      chain.cent,
+      chain.cb,
+      ProductQuantizer.packCodes(chain.codes)
+        .join(chain.cellOf, Seq("vec_id"))
+        .select("vec_id", "cell", "codes"),
+      m, subLen, residual = true)
+  }
+
   /** Persist: centroids + codebook as plain parquet (both broadcast
     * at probe time), the coded table bucketed by CELL (the [[save]]
     * layout — repeated probe joins reuse the write-time partitioning;
@@ -371,7 +401,10 @@ object VectorIndex {
       buckets: Int = 8): Unit = {
     index.centroids.write.mode("overwrite")
       .parquet(s"$path/${name}_centroids")
-    index.codebook.write.mode("overwrite")
+    // the residual flag rides with the codebook (a constant column on
+    // bounded rows) so loadPq recovers it without a separate artifact
+    index.codebook.withColumn("residual", lit(index.residual))
+      .write.mode("overwrite")
       .parquet(s"$path/${name}_codebook")
     index.coded.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell")
@@ -385,11 +418,14 @@ object VectorIndex {
     val coded =
       if (catalogMatchesPath(spark, tbl, path)) spark.table(tbl)
       else spark.read.parquet(s"$path/$tbl")
-    val codebook = spark.read.parquet(s"$path/${name}_codebook")
-    val (m, subLen) = pqGeometry(codebook, s"loadPq($name, $path)")
+    val cbRaw = spark.read.parquet(s"$path/${name}_codebook")
+    val (m, subLen) = pqGeometry(cbRaw, s"loadPq($name, $path)")
+    // pre-flag artifacts (no residual column) are plain indexes
+    val residual = cbRaw.columns.contains("residual") &&
+      cbRaw.select("residual").head.getBoolean(0)
     IvfPqIndex(
       spark.read.parquet(s"$path/${name}_centroids"),
-      codebook, coded, m, subLen)
+      cbRaw.drop("residual"), coded, m, subLen, residual)
   }
 
   /** (m, subLen) read off a codebook ONCE (at load time — built
@@ -417,8 +453,15 @@ object VectorIndex {
       embCol: String): DataFrame = {
     val e = quantizedVectors(newVectors, idCol, embCol)
     val cellOf = assignTo(index.centroids, e).select("vec_id", "cell")
+    // a residual index codes the arrival's residual against its
+    // (existing) centroid — the same relation the build encoded
+    val base =
+      if (index.residual)
+        ProductQuantizer.residuals(
+          e.select("vec_id", "qe"), cellOf, index.centroids)
+      else e.select("vec_id", "qe")
     val codes = ProductQuantizer.encode(
-      e.select("vec_id", "qe"), index.codebook, index.m, index.subLen)
+      base, index.codebook, index.m, index.subLen)
     ProductQuantizer.packCodes(codes)
       .join(cellOf, Seq("vec_id"))
       .select("vec_id", "cell", "codes")
@@ -516,15 +559,39 @@ object VectorIndex {
           col("c_id").asc)))
       .where(col("rn") <= nprobe)
       .select(col(queryIdCol), col("c_id").as("cell"))
-    val qd = ProductQuantizer.qdTable(
-      q.select(col(queryIdCol), col("qe")), index.codebook, m, subLen,
-      queryIdCol)
-    index.coded.join(broadcast(qCells), Seq("cell"))
-      .select(col(queryIdCol), col("vec_id"),
-        posexplode(col("codes")).as(Seq("j", "code")))
-      .join(broadcast(qd), Seq(queryIdCol, "j", "code"))
-      .groupBy(col(queryIdCol), col("vec_id"))
-      .agg(sum("qdist").as("adist"))
+    val scored =
+      if (index.residual) {
+        // IVFADC probe: the query's residual depends on the probed
+        // centroid, so the distance table keys on (query, cell) —
+        // computed by the SAME ProductQuantizer.adcScoreResidual the
+        // batch queries use (no drift), over the unpacked codes
+        val qCellsR = qCells
+          .join(broadcast(index.centroids
+            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
+          .join(q.select(col(queryIdCol), col("qe")), Seq(queryIdCol))
+          .select(col(queryIdCol).as("query_id"), col("cell"),
+            zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val cand = index.coded.join(broadcast(qCells), Seq("cell"))
+          .select(col(queryIdCol).as("query_id"), col("cell"),
+            col("vec_id"))
+        val unpacked = index.coded.select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        ProductQuantizer.adcScoreResidual(
+            qCellsR, cand, unpacked, index.codebook, m, subLen)
+          .select(col("query_id").as(queryIdCol), col("vec_id"),
+            col("adist"))
+      } else {
+        val qd = ProductQuantizer.qdTable(
+          q.select(col(queryIdCol), col("qe")), index.codebook, m,
+          subLen, queryIdCol)
+        index.coded.join(broadcast(qCells), Seq("cell"))
+          .select(col(queryIdCol), col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "code")))
+          .join(broadcast(qd), Seq(queryIdCol, "j", "code"))
+          .groupBy(col(queryIdCol), col("vec_id"))
+          .agg(sum("qdist").as("adist"))
+      }
+    scored
       .groupBy(queryIdCol)
       .agg(count(lit(1)).as("n_cell_mates"),
         min(struct(col("adist").as("ad"), col("vec_id").as("id")))

@@ -56,4 +56,39 @@ class ResidualPqSpec extends SparkSuite {
       s"only $words distinct code words over $n vectors — the " +
         "residual codebook is (near-)degenerate")
   }
+
+  test("persistent residual index: flag survives save/load with probe " +
+    "parity; appends code residuals against the existing geometry") {
+    val raw = Tables.load(spark, sf, "embeddings")
+    val k = VectorOps.suggestedCentroids(e.count())
+    val idx = VectorIndex.buildIvfPqResidualIndex(e, k)
+    assert(idx.residual)
+    val dir = java.nio.file.Files.createTempDirectory("vpqr").toString
+    VectorIndex.savePq(spark, idx, "vpqr", dir, buckets = 4)
+    val loaded = VectorIndex.loadPq(spark, "vpqr", dir)
+    // the flag rides with the codebook: a loaded residual index can
+    // never be silently probed with the plain distance tables
+    assert(loaded.residual)
+    val queries = raw.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    import spark.implicits._
+    val mem = VectorIndex.queryPq(idx, queries, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val disk = VectorIndex.queryPq(loaded, queries, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mem.nonEmpty)
+    assert(mem === disk)
+    // append an exact duplicate under a fresh id: same cell, same
+    // residual, hence byte-identical packed codes — proves the append
+    // path routes through the residual encoding, not the plain one
+    val fresh = raw.where(col("vec_id") === 7L)
+      .select(lit(990007L).as("vec_id"), col("embedding"))
+    val appended = VectorIndex.appendPq(idx, fresh)
+    val distinctForms = appended.coded
+      .where(col("vec_id").isin(7L, 990007L))
+      .select("cell", "codes").distinct().count()
+    assert(distinctForms === 1L,
+      "appended duplicate must land in the same cell with identical " +
+        "residual codes")
+  }
 }
