@@ -72,10 +72,12 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val varJson = varianceFlagged.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // base_reps is the REQUESTED rep count; variance-flagged queries
-    // carry one extra entry in their runs array, so per-query rep
-    // counts come from len(runs[q]) — the authoritative source
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","base_reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"sf":"$sfDir"}"""
+    // "reps" keeps its round-1..9 meaning (the REQUESTED rep count) so
+    // cross-round readers of BENCH_r{N}.json don't hit a missing key;
+    // variance-flagged queries carry one extra entry in their runs
+    // array, so per-query rep counts come from len(runs[q]) — the
+    // authoritative source
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's recorded BENCH tail truncates, losing per-query
     // numbers past ~2000 chars — also write the COMPLETE line to a

@@ -213,6 +213,25 @@ object ProductQuantizer {
       .select(col("vec_id"),
         zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
 
+  /** Query-side twin of [[residuals]] for the IVFADC probe: one row
+    * per (query, probed cell) with the query's residual against THAT
+    * cell's centroid as `qe` — the exact relation
+    * [[adcScoreResidual]]'s `queryCells` input expects. Shared by the
+    * batch queries and the persistent-index probe so the residual
+    * convention (sign, column names) cannot drift between them; the
+    * corpus-side half already routes through [[residuals]].
+    */
+  def queryResiduals(
+      queryCells: DataFrame, // query_id, cell
+      cent: DataFrame, // c_id, cqe, ...
+      queries: DataFrame): DataFrame = // query_id, qe
+    queryCells
+      .join(broadcast(cent.select(col("c_id").as("cell"), col("cqe"))),
+        Seq("cell"))
+      .join(queries.withColumnRenamed("qe", "__pq_qqe"), Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("__pq_qqe"), col("cqe"), (a, b) => a - b).as("qe"))
+
   /** Residual IVF-PQ — the IVFADC composition of Jégou et al. §V:
     * PQ encodes each vector's RESIDUAL against its coarse centroid
     * (x − c(x)) instead of x itself. Residuals concentrate near the

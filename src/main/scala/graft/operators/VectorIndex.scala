@@ -477,10 +477,12 @@ object VectorIndex {
       newVectors: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding"): IvfPqIndex =
-    IvfPqIndex(index.centroids, index.codebook,
-      index.coded.unionByName(
-        codeAgainst(index, newVectors, idCol, embCol)),
-      index.m, index.subLen)
+    // copy, not positional construction: the returned index must keep
+    // carrying `residual` (and any future flag) — dropping it would
+    // route later probes through the plain distance tables against
+    // residual codes
+    index.copy(coded = index.coded.unionByName(
+      codeAgainst(index, newVectors, idCol, embCol)))
 
   /** [[appendPq]] against a SAVED index — appends to the bucketed
     * coded table so later probes stay exchange-free; a catalog miss
@@ -565,17 +567,22 @@ object VectorIndex {
         // centroid, so the distance table keys on (query, cell) —
         // computed by the SAME ProductQuantizer.adcScoreResidual the
         // batch queries use (no drift), over the unpacked codes
-        val qCellsR = qCells
-          .join(broadcast(index.centroids
-            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
-          .join(q.select(col(queryIdCol), col("qe")), Seq(queryIdCol))
-          .select(col(queryIdCol).as("query_id"), col("cell"),
-            zip_with(col("qe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val qCellsR = ProductQuantizer.queryResiduals(
+          qCells.withColumnRenamed(queryIdCol, "query_id"),
+          index.centroids,
+          q.select(col(queryIdCol).as("query_id"), col("qe")))
         val cand = index.coded.join(broadcast(qCells), Seq("cell"))
           .select(col(queryIdCol).as("query_id"), col("cell"),
             col("vec_id"))
-        val unpacked = index.coded.select(col("vec_id"),
-          posexplode(col("codes")).as(Seq("j", "code")))
+        // unpack codes of the PROBED CELLS only — unpacking the full
+        // coded table would shuffle n·m code rows per probe, breaking
+        // the probed-cells-only contract the plain branch keeps; the
+        // distinct cell list keeps each coded row joining at most
+        // once, so (vec_id, j) stays unique for adcScoreResidual
+        val unpacked = index.coded
+          .join(broadcast(qCells.select("cell").distinct()), Seq("cell"))
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("j", "code")))
         ProductQuantizer.adcScoreResidual(
             qCellsR, cand, unpacked, index.codebook, m, subLen)
           .select(col("query_id").as(queryIdCol), col("vec_id"),

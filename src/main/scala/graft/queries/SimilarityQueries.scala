@@ -1660,13 +1660,9 @@ object SimilarityQueries extends QueryPack {
               .orderBy(col("cos").desc, col("c_id").asc)))
           .where(col("rn") <= 2)
           .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
-        val qCells = qRanked
-          .join(broadcast(ivfpq.cent
-            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
-          .join(qBase.select(col("vec_id").as("query_id"),
-            col("qe").as("qqe")), Seq("query_id"))
-          .select(col("query_id"), col("cell"),
-            zip_with(col("qqe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val qCells = ProductQuantizer.queryResiduals(
+          qRanked, ivfpq.cent,
+          qBase.select(col("vec_id").as("query_id"), col("qe")))
         val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
           .where(col("vec_id") =!= col("query_id"))
           .select("query_id", "cell", "vec_id")
@@ -1771,13 +1767,9 @@ object SimilarityQueries extends QueryPack {
         val plainHits = top3Hits(ProductQuantizer.adcScoreCandidates(
           q, cand.select("query_id", "vec_id"), ivfpq.codes, ivfpq.cb,
           m = 8, subLen = 8), "hp")
-        val qCells = qRanked
-          .join(broadcast(ivfpq.cent
-            .select(col("c_id").as("cell"), col("cqe"))), Seq("cell"))
-          .join(qBase.select(col("vec_id").as("query_id"),
-            col("qe").as("qqe")), Seq("query_id"))
-          .select(col("query_id"), col("cell"),
-            zip_with(col("qqe"), col("cqe"), (a, b) => a - b).as("qe"))
+        val qCells = ProductQuantizer.queryResiduals(
+          qRanked, ivfpq.cent,
+          qBase.select(col("vec_id").as("query_id"), col("qe")))
         val residHits = top3Hits(ProductQuantizer.adcScoreResidual(
           qCells, cand, rcodes, rcb, m = 8, subLen = 8), "hr")
         q.select("query_id")

@@ -242,10 +242,15 @@ object TextQueries extends QueryPack {
     val scrub0 = all.where(col("source") =!= "src0")
       .withColumn("sp", TextOps.scrubProjection(col("text"),
         PipelineBlocklist, "[MASKED]"))
-    val corpus = cp(scrub0.select(col("doc_id"), col("lang"),
-      col("source"), col("sp.scrubbed").as("text")))
-    val scrubStats = scrub0.groupBy("lang")
-      .agg(sum("sp.n_masked").as("nmask"))
+    // n_masked rides the checkpointed projection: aggregating it from
+    // scrub0 instead would re-run the regex/blocklist kernels over the
+    // whole corpus a second time (cp severs nothing for that branch)
+    val scrubbed = cp(scrub0.select(col("doc_id"), col("lang"),
+      col("source"), col("sp.scrubbed").as("text"),
+      col("sp.n_masked").as("n_masked")))
+    val corpus = scrubbed.drop("n_masked")
+    val scrubStats = scrubbed.groupBy("lang")
+      .agg(sum("n_masked").as("nmask"))
     val scored = cp(corpus
       .withColumn("q", TextOps.qualityScore("text"))
       .where(col("q").isNotNull))

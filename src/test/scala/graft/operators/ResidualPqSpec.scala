@@ -84,6 +84,10 @@ class ResidualPqSpec extends SparkSuite {
     val fresh = raw.where(col("vec_id") === 7L)
       .select(lit(990007L).as("vec_id"), col("embedding"))
     val appended = VectorIndex.appendPq(idx, fresh)
+    // the RETURNED index must still carry the residual flag — a
+    // positional reconstruction once dropped it, silently routing
+    // post-append probes through the plain distance tables
+    assert(appended.residual)
     val distinctForms = appended.coded
       .where(col("vec_id").isin(7L, 990007L))
       .select("cell", "codes").distinct().count()
