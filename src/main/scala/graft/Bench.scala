@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * one JSON line on stdout. Per-query headline is the MEDIAN of the runs
   * (host-load variance made single-run numbers unfalsifiable); all raw
   * run times ship in `runs` so outliers stay visible. A failing query is
-  * recorded as -1 elapsed AND reported on stderr + in the JSON (`failed`
+  * recorded as JSON null AND reported on stderr + in the JSON (`failed`
   * array) so a regression can't silently shrink the total. Queries whose
   * reps spread past 3x get ONE extra rep and a `variance_flagged` entry
   * (host contention made a whole round of driver trend data void once;
@@ -26,7 +26,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,10 +62,14 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.isEmpty) (-1.0, times) else (median(ok), times))
     }
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + m }
+    // failed reps/medians render as JSON null, not a -1.0 sentinel: a
+    // downstream mean/min over the queries map must not silently fold
+    // an impossible negative duration (round-10 ADVICE)
+    def num(d: Double): String = if (d < 0) "null" else d.toString
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + num(m) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, (_, ts)) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.collect { case (m, _) if m >= 0 => m }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -10,23 +10,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to its µs TimestampType. Read nanos as a long and truncate to µs —
-      // the same truncation every µs-based engine applies. The conf is also
-      // set at session setup (Verify/Bench/SparkSuite); setting it here too
-      // keeps driver-owned sessions working. It is execution-time, so it
-      // cannot be scoped to this one read.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // NOTE: the test data DOES carry sub-µs nanos (e.g. …575175), so
-      // truncation is lossy — but the DuckDB oracle (1.0) also reads
-      // TIMESTAMP(NANOS) as µs TIMESTAMP, applying the SAME truncation,
-      // so both engines see identical values by construction.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Normalize `events.ts` to the session-local `TimestampType` every
+    * downstream query expects, whatever vintage the file carries. The
+    * testdata encoding has drifted across driver regenerations —
+    * parquet TIMESTAMP(NANOS) in early rounds, TIMESTAMP(µs) now — so
+    * adapt to the schema that actually loaded instead of assuming one:
+    *  - LongType: the session has the legacy parquet nanos-as-long conf
+    *    set and the file is the nanos vintage → truncate to µs, the
+    *    same truncation a µs-based oracle (DuckDB) applies on read.
+    *  - TimestampNTZType: µs vintage without UTC adjustment → cast to
+    *    the session-local TimestampType; with the gate's UTC session
+    *    timezone this is value-identical to the oracle's naive read.
+    *  - TimestampType: already what every query expects → pass through.
+    * Works on batch AND streaming DataFrames (pure projection), so the
+    * streaming twins share the exact normalization the batch gate runs.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventsTs(df) else df
+  }
 
   private val rowCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]

@@ -952,4 +952,66 @@ class StreamingSpec extends SparkSuite {
       assert(byUser === Map(1L -> 2L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("events streaming twins read the driver's real events parquet " +
+    "through the shared loader normalization") {
+    // Round-10 lesson: the in-memory streaming specs stayed green while
+    // every batch events query broke on a testdata re-encode (ts went
+    // TIMESTAMP(NANOS) → TIMESTAMP(µs)). This case drives the streaming
+    // twins from the REAL testdata file through the same
+    // Tables.normalizeEventsTs projection the batch loader uses, so a
+    // future schema drift turns the suite red here too.
+    val path = s"$sf/events.parquet"
+    val batch = graft.Tables.load(spark, sf, "events")
+    // the file source wants a DIRECTORY; point it at the real testdata
+    // file through a symlink so the bytes under test stay the driver's
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val rawSchema = spark.read.parquet(path).schema
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
+
+    // windowed counts: complete mode over the bounded file → final
+    // windows must equal the batch tumbling-window aggregation
+    val counts = StreamingOps.windowedEventCounts(stream,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q1 = counts.writeStream.format("memory").queryName("real_ev_counts")
+      .outputMode("complete").start()
+    try {
+      q1.processAllAvailable()
+      val got = spark.table("real_ev_counts")
+        .select(col("bucket"), col("event_type"), col("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      val want = batch
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(want.nonEmpty && got === want,
+        "streaming windowed counts diverge from batch over the real events table")
+    } finally q1.stop()
+
+    // stateful sessionization: max session id per user must match the
+    // batch window-based sessionizer on the same loaded data
+    val sessions = StreamingOps.sessionize(
+      stream.select(col("user_id").as("userId"), col("ts"))
+        .as[StreamingOps.SessionEvent],
+      gapSeconds = 3600)
+    val q2 = sessions.writeStream.format("memory").queryName("real_ev_sessions")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("real_ev_sessions")
+        .groupBy("userId").agg(max("sessionId").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val want = graft.operators.Sessionize
+        .sessionize(batch, "user_id", "ts", 3600)
+        .groupBy(col("user_id")).agg(max("session_id").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(want.nonEmpty && got === want,
+        "streaming sessionization diverges from batch over the real events table")
+    } finally q2.stop()
+  }
 }
