@@ -1820,5 +1820,39 @@ object TextQueries extends QueryPack {
         "function of doc_id (md5-derived), so splits survive corpus " +
         "growth and re-runs without cross-split drift — one projection " +
         "and one small aggregation."),
+
+    GraftQuery(
+      "q_dedup_incremental", Seq("D1", "D2", "J7"),
+      (s, dir) => {
+        // Incremental ingest dedup: treat docs with doc_id % 5 != 0 as
+        // the PRIOR corpus (already ingested) and the whole table as
+        // the arriving shard; keep only rows whose content hash is
+        // genuinely new. Exact anti-join semantics with a broadcast
+        // Bloom prefilter: definitely-new rows (no false negatives)
+        // bypass the shuffle entirely; only Bloom-positive candidates
+        // are confirmed by the anti-join — at 100 TB the shuffle
+        // carries the dup sliver, not the shard.
+        val d = docs(s, dir)
+        val prior = d.where(col("doc_id") % 5 =!= 0)
+        val priorN = (Tables.rowCount(s, dir, "documents") * 4) / 5
+        graft.operators.IncrementalDedup
+          .newRows(d, prior, md5(col("text")), priorN)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_new"),
+            sum(col("n_chars")).as("new_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS n_new,
+          sum(n_chars)::BIGINT AS new_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM documents p
+          WHERE p.doc_id % 5 <> 0 AND md5(p.text) = md5(d.text))
+        GROUP BY 1 ORDER BY 1"""),
+      "Incremental corpus dedup (D1/D2 against a PRIOR corpus, J7 " +
+        "anti semantics): bounded Bloom built from the prior side in " +
+        "one mergeable pass, broadcast to the shard; no-false-negative " +
+        "fast path emits definitely-new docs without shuffling, exact " +
+        "anti-join confirms only the Bloom-positive sliver — result is " +
+        "exact for ANY fpp."),
   )
 }
