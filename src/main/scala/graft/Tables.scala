@@ -35,9 +35,29 @@ object Tables {
     }
   }
 
+  /** Same drift insurance for `embeddings.embedding`: the queries and
+    * the VecDot/BitTanimoto expressions expect `array<float>`. A driver
+    * regeneration that widens the parquet list to double (the pandas
+    * default) would analysis-fail every similarity query the way the
+    * events µs re-encode did — cast it back on load instead.
+    */
+  def normalizeEmbedding(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    df.schema("embedding").dataType match {
+      case ArrayType(DoubleType, n) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType, n)))
+      case _ => df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventsTs(df) else df
+    name match {
+      case "events"     => normalizeEventsTs(df)
+      case "embeddings" => normalizeEmbedding(df)
+      case _            => df
+    }
   }
 
   private val rowCounts =

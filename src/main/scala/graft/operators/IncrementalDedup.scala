@@ -40,6 +40,13 @@ object IncrementalDedup {
   /** Rows of `shard` whose `key` (a string-typed expression evaluable
     * on BOTH inputs) appears nowhere in `prior`. Column-equal to
     * `shard.join(prior-keys, anti)` for every fpp.
+    *
+    * STREAMING-TRANSPARENT: `shard` may be a streaming DataFrame with a
+    * static `prior` — every action here (emptiness probe, Bloom build)
+    * runs on the prior side only, and the shard-side plan is a
+    * stateless filter/union plus a stream-static left-anti join, all
+    * supported in micro-batch mode. StreamingSpec pins batch parity,
+    * making this the §2.10 streaming twin without a second kernel.
     */
   def newRows(
       shard: DataFrame,

@@ -1854,5 +1854,77 @@ object TextQueries extends QueryPack {
         "fast path emits definitely-new docs without shuffling, exact " +
         "anti-join confirms only the Bloom-positive sliver — result is " +
         "exact for ANY fpp."),
+
+    GraftQuery(
+      "q_text_gopher", Seq("P5", "A8"),
+      (s, dir) => {
+        // Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1),
+        // the pre-LM heuristic pack every web-corpus build runs before
+        // model-based scoring. Four rules, each INTEGER-exact so the
+        // oracle reproduces verdicts bit-for-bit (mean-word-length and
+        // alpha-fraction bounds via cross-multiplication, no division):
+        //   wc:    50 <= word count <= 100_000          (Gopher bounds)
+        //   mwl:   3 <= mean word length <= 10          (sumlen vs 3n/10n)
+        //   alpha: >= 80% of words contain a letter     (5·n_alpha >= 4·n)
+        //   stop:  >= 2 distinct function words present (corpus set:
+        //          'the','a' — the synthetic vocabulary's function
+        //          words, standing in for Gopher's 8-word English set)
+        // Output: per-language doc count, full-pass count, and per-rule
+        // fail counts — the same "which rule binds on THIS corpus"
+        // measurement the audit-style queries report. One projection +
+        // one small aggregation; no joins, no window.
+        docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .selectExpr(
+            "lang",
+            "size(t) as n",
+            "aggregate(t, 0L, (acc, w) -> acc + length(w)) as sumlen",
+            "size(filter(t, w -> w rlike '[a-zA-Z]')) as n_alpha",
+            "size(array_intersect(array_distinct(t), array('the','a'))) " +
+              "as n_stop")
+          .selectExpr(
+            "lang",
+            "cast(n >= 50 and n <= 100000 as bigint) as p_wc",
+            "cast(sumlen >= 3*n and sumlen <= 10*n as bigint) as p_mwl",
+            "cast(5*n_alpha >= 4*n as bigint) as p_alpha",
+            "cast(n_stop >= 2 as bigint) as p_stop")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("p_wc * p_mwl * p_alpha * p_stop")).as("n_pass"),
+            (count(lit(1)) - sum("p_wc")).as("n_fail_wc"),
+            (count(lit(1)) - sum("p_mwl")).as("n_fail_mwl"),
+            (count(lit(1)) - sum("p_alpha")).as("n_fail_alpha"),
+            (count(lit(1)) - sum("p_stop")).as("n_fail_stop"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT lang, $duckToks AS t FROM documents),
+          m AS (SELECT lang, len(t)::BIGINT AS n,
+              coalesce(list_sum(list_transform(t, w -> length(w))), 0)::BIGINT
+                AS sumlen,
+              len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+                AS n_alpha,
+              len(list_intersect(list_distinct(t), ['the','a']))::BIGINT
+                AS n_stop
+            FROM d),
+          p AS (SELECT lang,
+              CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS p_wc,
+              CASE WHEN sumlen >= 3*n AND sumlen <= 10*n THEN 1 ELSE 0 END
+                AS p_mwl,
+              CASE WHEN 5*n_alpha >= 4*n THEN 1 ELSE 0 END AS p_alpha,
+              CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop
+            FROM m)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+          sum(p_wc * p_mwl * p_alpha * p_stop)::BIGINT AS n_pass,
+          (count(*) - sum(p_wc))::BIGINT AS n_fail_wc,
+          (count(*) - sum(p_mwl))::BIGINT AS n_fail_mwl,
+          (count(*) - sum(p_alpha))::BIGINT AS n_fail_alpha,
+          (count(*) - sum(p_stop))::BIGINT AS n_fail_stop
+        FROM p GROUP BY 1 ORDER BY 1"""),
+      "Gopher-style rule-based quality gate: word-count bounds, " +
+        "mean-word-length bounds, alphabetic-word fraction, and " +
+        "function-word presence — all integer-exact (cross-multiplied " +
+        "bounds, no division), per-language pass/fail-by-rule counts " +
+        "in one projection + one aggregation."),
   )
 }

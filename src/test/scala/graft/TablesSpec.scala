@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-drift insurance for the loader: the driver regenerates the
+  * testdata between rounds and has already re-encoded `events.ts` once
+  * (TIMESTAMP(NANOS) → TIMESTAMP(µs)), breaking every events query at
+  * analysis time. These cases pin the adaptive normalization for every
+  * vintage the loader claims to handle, on in-memory frames so the
+  * suite stays green whichever vintage is mounted.
+  */
+class TablesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("normalizeEventsTs adapts all three ts vintages to TimestampType") {
+    // nanos-as-long vintage (legacy conf): truncate to µs
+    val asLong = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+    val fromLong = Tables.normalizeEventsTs(asLong)
+    assert(fromLong.schema("ts").dataType === TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).as[Long].head() ===
+      1700000000123456L) // sub-µs nanos truncated, same as a µs oracle read
+    // µs NTZ vintage (current testdata): cast, value-identical under UTC
+    val asNtz = asLong.select(col("event_id"),
+      timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType).as("ts"))
+    val fromNtz = Tables.normalizeEventsTs(asNtz)
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).as[Long].head() ===
+      1700000000123456L)
+    // already-TimestampType vintage: untouched
+    val asTs = fromLong
+    assert(Tables.normalizeEventsTs(asTs).schema("ts").dataType ===
+      TimestampType)
+    assert(Tables.normalizeEventsTs(asTs).select(unix_micros(col("ts")))
+      .as[Long].head() === 1700000000123456L)
+  }
+
+  test("normalizeEmbedding narrows a drifted double vector back to " +
+    "float and leaves float untouched") {
+    val asDouble = Seq((1L, Seq(1.5d, -2.25d))).toDF("vec_id", "embedding")
+    val fixed = Tables.normalizeEmbedding(asDouble)
+    assert(fixed.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+    assert(fixed.select("embedding").as[Seq[Float]].head() ===
+      Seq(1.5f, -2.25f))
+    val asFloat = Seq((1L, Seq(1.5f))).toDF("vec_id", "embedding")
+    assert(Tables.normalizeEmbedding(asFloat).schema("embedding")
+      .dataType.asInstanceOf[ArrayType].elementType === FloatType)
+  }
+
+  test("the mounted testdata loads with the schema every query expects") {
+    val ev = Tables.load(spark, sf, "events")
+    assert(ev.schema("ts").dataType === TimestampType)
+    val emb = Tables.load(spark, sf, "embeddings")
+    assert(emb.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+  }
+}

@@ -1014,4 +1014,33 @@ class StreamingSpec extends SparkSuite {
         "streaming sessionization diverges from batch over the real events table")
     } finally q2.stop()
   }
+
+  test("incremental dedup is streaming-transparent: the batch kernel " +
+    "filters an arriving shard against the static prior corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = Seq((100L, "alpha"), (101L, "zeta"), (102L, "beta"))
+      .toDF("id", "text")
+    val arriving = MemoryStream[(Long, String)]
+    val out = graft.operators.IncrementalDedup.newRows(
+      arriving.toDF().toDF("id", "text"), prior,
+      md5(col("text")), expectedPriorItems = 100)
+    val q = out.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      arriving.addData((1L, "alpha"), (2L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: the bloom + anti-join re-apply per micro-batch
+      arriving.addData((3L, "beta"), (4L, "delta"), (5L, "zeta"))
+      q.processAllAvailable()
+      val got = spark.table("inc_dedup").select("id").as[Long]
+        .collect().toSet
+      val want = graft.operators.IncrementalDedup.newRows(
+        Seq((1L, "alpha"), (2L, "gamma"), (3L, "beta"), (4L, "delta"),
+          (5L, "zeta")).toDF("id", "text"),
+        prior, md5(col("text")), expectedPriorItems = 100)
+        .select("id").as[Long].collect().toSet
+      assert(got === want && got === Set(2L, 4L),
+        "stream kept set must equal the batch kernel's on the same rows")
+    } finally q.stop()
+  }
 }
