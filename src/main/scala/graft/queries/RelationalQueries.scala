@@ -608,6 +608,98 @@ object RelationalQueries extends QueryPack {
         FROM (SELECT event_type,
                 json_extract_string(props, '$.k')::INT AS k FROM events)
         GROUP BY 1 ORDER BY 1"""),
-      "Semi-structured props column → typed metric (nested access family).")
+      "Semi-structured props column → typed metric (nested access family).",
+    ),
+
+    GraftQuery(
+      "q_events_funnel", Seq("W8", "J7", "A8"),
+      (s, dir) => {
+        // Ordered WINDOWED conversion funnel view → click → purchase:
+        // greedy first-touch semantics — anchor on the user's earliest
+        // view, convert a step only with an event strictly after the
+        // previous step's conversion AND within 6 hours of it (the
+        // window is what makes the funnel discriminative; unwindowed,
+        // a month of dense activity converts everyone). Three
+        // min-reductions chained by equi-joins on user_id — every
+        // shuffle keys on user_id so the exchanges line up, and
+        // per-user state is one timestamp per step regardless of how
+        // many events a hot user has (the collect-and-sort-per-user
+        // alternative is skew-unsafe at 100 TB: a bot user's event
+        // list has no size bound). Timestamp arithmetic is µs-exact on
+        // both engines, so the window boundary is bit-identical.
+        val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+        def step(prev: DataFrame, et: String, tPrev: String, tOut: String) =
+          ev.where(col("event_type") === et)
+            .join(prev.select("user_id", tPrev), Seq("user_id"))
+            .where(col("ts") > col(tPrev) &&
+              col("ts") <= col(tPrev) + expr("INTERVAL 6 HOUR"))
+            .groupBy("user_id").agg(min("ts").as(tOut))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = step(v, "click", "tv", "tc")
+        val p = step(c, "purchase", "tc", "tp")
+        ev.agg(countDistinct("user_id").as("n_users"))
+          .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_funnel"))))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(ts) AS tc FROM events e
+            JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts > tv
+              AND ts <= tv + INTERVAL 6 HOUR GROUP BY 1),
+          p AS (SELECT e.user_id, min(ts) AS tp FROM events e
+            JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts > tc
+              AND ts <= tc + INTERVAL 6 HOUR GROUP BY 1)
+        SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+            AS n_users,
+          (SELECT count(*) FROM v)::BIGINT AS n_view,
+          (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+          (SELECT count(*) FROM p)::BIGINT AS n_funnel"""),
+      "Ordered windowed conversion funnel (sequence-pattern family): " +
+        "per-step strictly-later-within-6h min-timestamp chain, one " +
+        "timestamp of state per user per step — skew-safe where " +
+        "per-user event collection is not."),
+
+    GraftQuery(
+      "q_retention_cohort", Seq("W2", "A8"),
+      (s, dir) => {
+        // Day-7 retention by signup cohort: cohort = a user's first
+        // active day; retained = active again exactly 7 days later.
+        // distinct (user, day) first — all later joins and counts run
+        // on the deduplicated activity relation, which at 100 TB is
+        // orders of magnitude smaller than the raw event log. Date
+        // arithmetic only (no epoch math): both engines agree on
+        // calendar days under the UTC session.
+        val d = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = d.groupBy("user_id").agg(min("day").as("cohort"))
+        val d7 = d.join(cohort, Seq("user_id"))
+          .where(col("day") === date_add(col("cohort"), 7))
+          .select("user_id", "cohort")
+        cohort.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+          .join(d7.groupBy("cohort").agg(count(lit(1)).as("n_d7")),
+            Seq("cohort"), "left")
+          .select(col("cohort").cast("string").as("cohort"),
+            col("n_users"), coalesce(col("n_d7"), lit(0L)).as("n_d7"))
+          .orderBy("cohort")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day
+            FROM events),
+          cohort AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+          d7 AS (SELECT d.user_id, cohort FROM d JOIN cohort USING (user_id)
+            WHERE day = cohort + INTERVAL 7 DAY),
+          base AS (SELECT cohort, count(*)::BIGINT AS n_users
+            FROM cohort GROUP BY 1),
+          ret AS (SELECT cohort, count(*)::BIGINT AS n_d7 FROM d7 GROUP BY 1)
+        SELECT strftime(base.cohort, '%Y-%m-%d') AS cohort, n_users,
+          coalesce(ret.n_d7, 0)::BIGINT AS n_d7
+        FROM base LEFT JOIN ret USING (cohort) ORDER BY 1"""),
+      "Day-7 retention cohorts (W2 bucketing + A8 network counts): " +
+        "dedup to the (user, day) activity relation before any join; " +
+        "calendar-exact date math portable across engines.")
   )
 }

@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_sim_maxsim_target",
     // 1-row aggregate crossJoins (counts stitched side by side)
     "q_dedup_minhash_lsh", "q_graph_closure", "q_set_algebra",
-    "q_orphans",
+    "q_orphans", "q_events_funnel",
     // 1-row corpus-count broadcast for the idf denominator
     "q_text_tfidf",
     // 1-row (N, avgdl) broadcast for the bm25 idf/length norm
