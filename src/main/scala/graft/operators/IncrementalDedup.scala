@@ -65,11 +65,21 @@ object IncrementalDedup {
     if (priorKeys.isEmpty) return shard
     val bloom = priorKeys.stat.bloomFilter(
       "__ik", math.max(expectedPriorItems, 1L), fpp)
-    val bBloom = shard.sparkSession.sparkContext.broadcast(bloom)
-    val maybePrior = udf((k: String) => k != null && bBloom.value
-      .mightContainString(k))
-    val definitelyNew = keyed.where(!maybePrior(col("__ik")))
-    val confirmedNew = keyed.where(maybePrior(col("__ik")))
+    // codegen'd membership probe (graft.expressions.BloomMightContain)
+    // instead of a Scala UDF: the check runs once per shard row, and
+    // the expression stays inside whole-stage codegen with zero
+    // per-row object conversion
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val maybePrior = ColumnBridge.column(
+      graft.expressions.BloomMightContain(
+        ColumnBridge.expression(col("__ik")), bytes))
+    val definitelyNew = keyed.where(!maybePrior)
+    val confirmedNew = keyed.where(maybePrior)
       .join(priorKeys.distinct(), Seq("__ik"), "left_anti")
     definitelyNew.unionByName(confirmedNew).drop("__ik")
   }

@@ -36,6 +36,27 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(got === Set(3L, 5L, 6L, 7L)) // gamma, delta, epsilon, null
   }
 
+  test("the membership probe is the native codegen'd expression inside " +
+    "a whole-stage-codegen span, not a UDF") {
+    // over parquet (an in-memory relation pre-folds its filters into
+    // the LocalTableScan, leaving nothing to audit)
+    val d = graft.Tables.load(spark, sf, "documents")
+    val out = IncrementalDedup.newRows(
+      d, d.where(col("doc_id") % 5 =!= 0), md5(col("text")),
+      expectedPriorItems = 500)
+    // materialize THIS dataset's own queryExecution (count() would
+    // spawn a fresh one) so AQE finalizes and codegen stages exist
+    out.collect()
+    val planStr = out.queryExecution.executedPlan.toString
+    // a codegen'd node renders as "*(n) Filter ..." in the final plan;
+    // a UDF would plan a non-starred Filter (or a BatchEvalPython)
+    val probeInCodegen =
+      """\*\(\d+\) Filter [^\n]*bloom_might_contain""".r
+        .findFirstIn(planStr).nonEmpty
+    assert(probeInCodegen,
+      s"bloom probe not inside WholeStageCodegen:\n$planStr")
+  }
+
   test("saturated bloom (every row a false positive) still yields the " +
     "exact result via the confirm join") {
     val got = IncrementalDedup
