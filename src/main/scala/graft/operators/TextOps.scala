@@ -463,4 +463,29 @@ object TextOps {
         (sh, sig)
       }
     }
+
+  /** Gopher-rule verdict bits over a TOKEN-ARRAY column — ONE
+    * definition shared by the batch query (q_text_gopher), its
+    * streaming twin ([[graft.streaming.StreamingOps.gopherStream]]),
+    * and their parity spec, so the surfaces cannot drift apart
+    * (same contract as [[scrubProjection]]). Every bound is
+    * cross-multiplied to integer comparisons (Rae et al. 2021 §A1.1):
+    *   p_wc:    50 <= word count <= 100000
+    *   p_mwl:   3 <= mean word length <= 10  (sumlen vs 3n / 10n)
+    *   p_alpha: >= 80% of words contain a letter (5·n_alpha >= 4·n)
+    *   p_stop:  >= 2 distinct corpus function words ('the','a')
+    * Returns a struct of four BIGINT bits (1 = rule passed).
+    */
+  def gopherBits(toksCol: String): Column = expr(s"""named_struct(
+    'p_wc', cast(size($toksCol) >= 50 and size($toksCol) <= 100000
+      as bigint),
+    'p_mwl', cast(
+      aggregate($toksCol, 0L, (acc, w) -> acc + length(w))
+        >= 3 * size($toksCol)
+      and aggregate($toksCol, 0L, (acc, w) -> acc + length(w))
+        <= 10 * size($toksCol) as bigint),
+    'p_alpha', cast(5 * size(filter($toksCol, w -> w rlike '[a-zA-Z]'))
+      >= 4 * size($toksCol) as bigint),
+    'p_stop', cast(size(array_intersect(array_distinct($toksCol),
+      array('the','a'))) >= 2 as bigint))""")
 }

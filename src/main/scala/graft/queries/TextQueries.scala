@@ -1873,21 +1873,15 @@ object TextQueries extends QueryPack {
         // fail counts — the same "which rule binds on THIS corpus"
         // measurement the audit-style queries report. One projection +
         // one small aggregation; no joins, no window.
+        // rule bits come from the ONE shared projection
+        // (TextOps.gopherBits) — the streaming twin and the parity
+        // spec consume the same definition, scrub-style
         docs(s, dir)
           .withColumn("t", TextOps.tokens("text"))
-          .selectExpr(
-            "lang",
-            "size(t) as n",
-            "aggregate(t, 0L, (acc, w) -> acc + length(w)) as sumlen",
-            "size(filter(t, w -> w rlike '[a-zA-Z]')) as n_alpha",
-            "size(array_intersect(array_distinct(t), array('the','a'))) " +
-              "as n_stop")
-          .selectExpr(
-            "lang",
-            "cast(n >= 50 and n <= 100000 as bigint) as p_wc",
-            "cast(sumlen >= 3*n and sumlen <= 10*n as bigint) as p_mwl",
-            "cast(5*n_alpha >= 4*n as bigint) as p_alpha",
-            "cast(n_stop >= 2 as bigint) as p_stop")
+          .withColumn("g", TextOps.gopherBits("t"))
+          .select(col("lang"), col("g.p_wc").as("p_wc"),
+            col("g.p_mwl").as("p_mwl"), col("g.p_alpha").as("p_alpha"),
+            col("g.p_stop").as("p_stop"))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_docs"),

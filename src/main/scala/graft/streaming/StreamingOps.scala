@@ -408,6 +408,35 @@ object StreamingOps {
         col("__graft_sp.scrubbed").as("scrubbed"))
   }
 
+  /** Streaming Gopher-rule quality gate — the streaming twin of
+    * q_text_gopher's per-doc stage: each arriving document gets the
+    * four rule verdict bits and an overall pass flag, from the ONE
+    * shared projection (TextOps.gopherBits), so batch and stream
+    * cannot drift. Stateless — pure projection, no watermark, no
+    * state; aggregation (per-language pass rates) is the downstream
+    * job's choice, exactly like scrubStream leaves counting to the
+    * caller.
+    */
+  def gopherStream(
+      docs: DataFrame, // idCol, textCol, ...
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.TextOps
+    require(!docs.columns.contains("__graft_g"),
+      "gopherStream: input already has a __graft_g column (reserved)")
+    docs
+      .withColumn("__graft_g",
+        TextOps.gopherBits(s"filter(split($textCol, ' '), x -> x != '')"))
+      .select(col(idCol),
+        col("__graft_g.p_wc").as("p_wc"),
+        col("__graft_g.p_mwl").as("p_mwl"),
+        col("__graft_g.p_alpha").as("p_alpha"),
+        col("__graft_g.p_stop").as("p_stop"),
+        (col("__graft_g.p_wc") * col("__graft_g.p_mwl") *
+          col("__graft_g.p_alpha") * col("__graft_g.p_stop") === 1L)
+          .as("pass"))
+  }
+
   /** Static side for [[contaminationStream]]: the eval/benchmark set's
     * distinct winnowed fingerprints (TextOps.winnowCompiled — same
     * k/t geometry as batch q_text_contamination). Eval sets are tiny,

@@ -1043,4 +1043,43 @@ class StreamingSpec extends SparkSuite {
         "stream kept set must equal the batch kernel's on the same rows")
     } finally q.stop()
   }
+
+  test("streaming gopher gate scores arriving docs identically to the " +
+    "batch rule projection, one fixture per failing rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixtures = Seq(
+      (1L, ("word " * 60).trim + " the a"),          // passes all four
+      (2L, "short doc the a"),                       // fails wc only
+      (3L, (("w" * 20 + " ") * 60).trim + " the a"), // fails mwl only
+      (4L, ("12345 " * 60).trim + " the a"),         // fails alpha only
+      (5L, ("word " * 60).trim))                     // fails stop only
+    val docs = MemoryStream[(Long, String)]
+    val out = StreamingOps.gopherStream(docs.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      docs.addData(fixtures.take(2): _*)
+      q.processAllAvailable()
+      docs.addData(fixtures.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5), r._6)).toMap
+      // batch twin over the same rows through the SAME projection
+      val want = fixtures.toDF("doc_id", "text")
+        .withColumn("t", graft.operators.TextOps.tokens("text"))
+        .withColumn("g", graft.operators.TextOps.gopherBits("t"))
+        .select(col("doc_id"), col("g.p_wc"), col("g.p_mwl"),
+          col("g.p_alpha"), col("g.p_stop"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5),
+          r._2 * r._3 * r._4 * r._5 == 1L)).toMap
+      assert(got === want, "stream verdicts diverge from batch bits")
+      assert(got(1L) === (((1L, 1L, 1L, 1L), true)))
+      assert(got(2L) === (((0L, 1L, 1L, 1L), false)))
+      assert(got(3L) === (((1L, 0L, 1L, 1L), false)))
+      assert(got(4L) === (((1L, 1L, 0L, 1L), false)))
+      assert(got(5L) === (((1L, 1L, 1L, 0L), false)))
+    } finally q.stop()
+  }
 }
