@@ -33,7 +33,27 @@ def main():
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Reconcile against Verify's self-audit record (round 11+): a query
+    # that threw leaves no output directory, so without this the checker
+    # would silently skip it — exactly the round-10 failure mode. Queries
+    # WITHOUT an oracle entry are covered only by this marker.
+    thrown = {}
+    try:
+        audit = json.load(open(f"{out_dir}/errors.json"))
+        thrown = audit.get("errors", {})
+        for name, err in sorted(thrown.items()):
+            print(f"FAIL {name}: query threw: {err}")
+            n_fail += 1
+        if audit.get("n_written") != audit.get("n_selected"):
+            print(f"AUDIT: only {audit.get('n_written')} of "
+                  f"{audit.get('n_selected')} selected queries wrote output "
+                  f"({audit.get('n_registered')} registered)")
+    except FileNotFoundError:
+        print("AUDIT: no errors.json — run Verify from round 11+ "
+              "so failures cannot vanish silently")
     for name, sql in sorted(oracle.items()):
+        if name in thrown:
+            continue  # already reported from errors.json
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
