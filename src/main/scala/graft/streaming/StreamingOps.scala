@@ -1006,6 +1006,10 @@ object StreamingOps {
   }
 
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+  final case class FunnelEvent(
+    userId: Long, eventType: String, ts: java.sql.Timestamp)
+  final case class FunnelState(stageTimes: Seq[Long])
+  final case class FunnelOut(userId: Long, stage: Int, ts: java.sql.Timestamp)
   final case class SessionOut(userId: Long, nEvents: Long, sessionId: Long)
 
   final case class PackDoc(lang: String, docId: Long, nTok: Long)
@@ -1106,6 +1110,58 @@ object StreamingOps {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming ordered-funnel state machine — the streaming twin of
+    * q_events_funnel's greedy first-touch semantics: per user, anchor
+    * on the first `steps(0)` event, then advance one stage per
+    * matching event that is strictly later than, and within
+    * `windowSeconds` of, the previous stage's conversion time. Keyed
+    * state is ONE timestamp per converted stage (the same bound that
+    * makes the batch chain skew-safe); a row is emitted each time a
+    * user advances a stage. Window arithmetic is integer microseconds,
+    * so stage boundaries are bit-identical to the batch query's
+    * timestamp comparisons.
+    *
+    * Parity contract: processing in event-time order reproduces the
+    * batch chained-min result exactly (the first in-order qualifying
+    * event IS the min); rows are sorted per micro-batch, so in-order
+    * DELIVERY across batches gives exact parity, and a late event
+    * older than an already-converted stage is ignored — the same
+    * lateness trade every stateful twin here makes (cf. ms2 windows).
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowSeconds: Long = 6 * 3600L): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(steps.nonEmpty, "funnelStream: steps must be non-empty")
+    val winMicros = windowSeconds * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var times = state.getOption
+            .map(_.stageTimes.toVector).getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[FunnelOut]
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val k = times.length // next stage to convert
+            if (k < steps.length && e.eventType == steps(k)) {
+              val t = micros(e.ts)
+              if (k == 0 || (t > times(k - 1) && t <= times(k - 1) + winMicros)) {
+                times = times :+ t
+                out += FunnelOut(userId, k + 1, e.ts)
+              }
+            }
+          }
+          state.update(FunnelState(times))
+          out.result().iterator
       }
   }
 

@@ -1082,4 +1082,80 @@ class StreamingSpec extends SparkSuite {
       assert(got(5L) === (((1L, 1L, 1L, 0L), false)))
     } finally q.stop()
   }
+
+  test("streaming funnel state machine matches the batch chained-min " +
+    "funnel over the real events table") {
+    val batch = graft.Tables.load(spark, sf, "events")
+    // the batch q_events_funnel derivation, kept per-user for comparison
+    val v = batch.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    def step(prev: org.apache.spark.sql.DataFrame, et: String,
+             tPrev: String, tOut: String) =
+      batch.where(col("event_type") === et)
+        .join(prev.select("user_id", tPrev), Seq("user_id"))
+        .where(col("ts") > col(tPrev) &&
+          col("ts") <= col(tPrev) + expr("INTERVAL 6 HOUR"))
+        .groupBy("user_id").agg(min("ts").as(tOut))
+    val wantByStage = Seq(
+      v.select("user_id").as[Long].collect().toSet,
+      step(v, "click", "tv", "tc").select("user_id").as[Long]
+        .collect().toSet,
+      step(step(v, "click", "tv", "tc"), "purchase", "tc", "tp")
+        .select("user_id").as[Long].collect().toSet)
+
+    // single-batch file stream: per-group sort makes delivery in-order
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(raw.schema).parquet(dir.toString))
+      .select(col("user_id").as("userId"),
+        col("event_type").as("eventType"), col("ts"))
+      .as[StreamingOps.FunnelEvent]
+    val out = StreamingOps.funnelStream(stream)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val gotByStage = (1 to 3).map(k =>
+        spark.table("funnel_stream").where(col("stage") === k)
+          .select("userId").as[Long].collect().toSet)
+      assert(gotByStage(0) === wantByStage(0), "stage-1 (view) users diverge")
+      assert(gotByStage(1) === wantByStage(1), "stage-2 (click) users diverge")
+      assert(gotByStage(2) === wantByStage(2), "stage-3 (purchase) users diverge")
+      assert(wantByStage(0).nonEmpty)
+    } finally q.stop()
+  }
+
+  test("funnel state persists across micro-batches; the window gate " +
+    "rejects a too-late next step") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    def ev(u: Long, et: String, ts: String) =
+      StreamingOps.FunnelEvent(u, et, t(ts))
+    val events = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(events.toDS())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        ev(1, "view", "2024-01-01 08:00:00"),
+        ev(2, "view", "2024-01-01 08:00:00"))
+      q.processAllAvailable()
+      // batch 2: user 1's click is within 6h of the batch-1 view;
+      // user 2's is 1µs past the window and must NOT advance
+      events.addData(
+        ev(1, "click", "2024-01-01 13:59:59.999999"),
+        ev(2, "click", "2024-01-01 14:00:00.000001"))
+      q.processAllAvailable()
+      val stages = spark.table("funnel_state")
+        .groupBy("userId").agg(max("stage").as("s"))
+        .as[(Long, Int)].collect().toMap
+      assert(stages === Map(1L -> 2, 2L -> 1),
+        "cross-batch window gate broke: " + stages)
+    } finally q.stop()
+  }
 }
