@@ -57,6 +57,17 @@ object Verify {
     }
     val selected = queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Crash marker: write errors.json BEFORE running anything, with a
+    // sentinel error that only a COMPLETED run overwrites. If the JVM
+    // dies mid-run (OOM, kill), the checker finds this marker instead
+    // of a partial output directory with no audit trail — the same
+    // silent-shrink hole the end-of-run record closes for per-query
+    // throws, closed for whole-process death.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      s"""{"n_registered": ${queries.size},""" +
+      s""" "n_selected": ${selected.size}, "n_written": 0,""" +
+      s""" "errors": {"__run_incomplete__":""" +
+      s""" "Verify started but did not finish"}}""")
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       // delete the query's PRIOR output before attempting the write: a

@@ -64,6 +64,29 @@ class VerifySpec extends SparkSuite {
     assert(marker.contains("\"n_registered\": 1"))
     assert(marker.contains("\"n_written\": 1"))
     assert(marker.contains("\"errors\": {}"))
+    // the start-of-run crash sentinel must have been overwritten
+    assert(!marker.contains("__run_incomplete__"))
+  }
+
+  test("the crash sentinel is on disk while queries run, so a mid-run " +
+    "JVM death cannot leave partial outputs with no audit trail") {
+    val out = tmpDir("crash")
+    // observe errors.json from INSIDE a query body: at that moment the
+    // run is by definition incomplete, which is exactly the state a
+    // crash would freeze on disk
+    var seen: String = null
+    Verify.run(spark, sf, out,
+      Map("q_probe" -> ((s: org.apache.spark.sql.SparkSession, _: String) => {
+        seen = Files.readString(Paths.get(out, "errors.json"))
+        import s.implicits._
+        Seq(1).toDF("x")
+      })),
+      Map.empty, None)
+    assert(seen != null && seen.contains("__run_incomplete__"),
+      s"sentinel absent while queries were running: $seen")
+    val after = Files.readString(Paths.get(out, "errors.json"))
+    assert(!after.contains("__run_incomplete__") &&
+      after.contains("\"n_written\": 1"))
   }
 
   test("subset run prunes unselected outputs and counts honestly") {
