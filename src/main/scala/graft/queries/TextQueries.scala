@@ -1920,5 +1920,137 @@ object TextQueries extends QueryPack {
         "function-word presence — all integer-exact (cross-multiplied " +
         "bounds, no division), per-language pass/fail-by-rule counts " +
         "in one projection + one aggregation."),
+
+    GraftQuery(
+      "q_text_vocab", Seq("P9", "A8", "W3"),
+      (s, dir) => {
+        // Vocabulary extraction with Zipf coverage — the tokenizer-
+        // training prelude (BPE/unigram corpora start from exactly
+        // this table): top-20 corpus tokens by frequency plus the
+        // cumulative share of all token occurrences they cover, and
+        // the total vocabulary size. Scale shape: one (token) hash
+        // shuffle for counts, a 1-row (tot, v) agg broadcast, and the
+        // top-k via orderBy+limit — Spark's TakeOrderedAndProject, a
+        // per-partition heap + driver merge of 20-row partials, NOT a
+        // global sort and NOT an unpartitioned window over the whole
+        // vocabulary. The rank/cumsum window then runs over exactly 20
+        // rows. Counts and cumulative counts are exact integers;
+        // coverage is one int/int division rounded for display.
+        val counts = docs(s, dir)
+          .select(explode(TextOps.tokens("text")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+        val totals = counts.agg(
+          sum("cnt").as("tot"), count(lit(1)).as("vocab_size"))
+        val top = counts
+          .orderBy(col("cnt").desc, col("token").asc).limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)
+        top.crossJoin(broadcast(totals))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cum", sum("cnt").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+          .select(col("rnk"), col("token"), col("cnt"),
+            round(col("cum").cast("double") / col("tot"), 6)
+              .as("coverage"),
+            col("vocab_size"))
+          .orderBy("rnk")
+      },
+      Some(s"""WITH tok AS (SELECT unnest($duckToks) AS token
+            FROM documents),
+          c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok
+            GROUP BY 1),
+          tv AS (SELECT sum(cnt)::BIGINT AS tot,
+              count(*)::BIGINT AS vocab_size FROM c),
+          r AS (SELECT token, cnt,
+              row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+              sum(cnt) OVER (ORDER BY cnt DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum
+            FROM c)
+        SELECT rnk, token, cnt,
+          round(cum::DOUBLE / tv.tot, 6) AS coverage, tv.vocab_size
+        FROM r, tv WHERE rnk <= 20 ORDER BY rnk"""),
+      "Vocabulary extraction with Zipf coverage CDF: exact corpus " +
+        "token counts, top-20 via TakeOrdered (no global sort, no " +
+        "full-vocab window), cumulative coverage from exact integer " +
+        "sums over the 20-row prefix."),
+
+    GraftQuery(
+      "q_text_dsir", Seq("P5", "A8", "D8"),
+      (s, dir) => {
+        // DSIR-style importance weighting (Xie et al., NeurIPS 2023):
+        // score every doc by how much more likely its hashed-unigram
+        // bag is under a TARGET domain model than under the RAW corpus
+        // model, lambda(doc) = sum_b c_b(doc) * (ln p_t(b) - ln p_r(b))
+        // with B=64 hash buckets and add-one smoothing. The target is
+        // the curated src1..src4 slice (src0 stays the held-out eval
+        // set, as everywhere in this pack); raw is the whole corpus.
+        // Float discipline follows q_text_perplexity: each bucket's
+        // log-ratio is scaled to an exact 1e4 integer ONCE in the
+        // 64-row model table, so every per-doc weight is an exact
+        // integer dot product — order-independent and bit-identical in
+        // the oracle. Scale shape: one (doc_id, b) shuffle, one (b)
+        // shuffle into a FIXED 64-row model that broadcasts, top-25 by
+        // TakeOrdered. The model never grows with the corpus.
+        val B = 64
+        val tokBuck = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens("text")).as("tok"))
+          .withColumn("b", expr(s"${TextOps.hash64("tok")} % $B"))
+        val docBuck = tokBuck.groupBy("doc_id", "b")
+          .agg(count(lit(1)).as("c"))
+        val rawModel = docBuck.groupBy("b").agg(sum("c").as("cr"))
+        val tgtModel = tokBuck
+          .where(col("source").isin("src1", "src2", "src3", "src4"))
+          .groupBy("b").agg(count(lit(1)).as("ct"))
+        val model = rawModel.join(tgtModel, Seq("b"), "left")
+          .withColumn("ct", coalesce(col("ct"), lit(0L)))
+          .crossJoin(broadcast(rawModel.agg(sum("cr").as("tr"))))
+          .crossJoin(broadcast(tgtModel.agg(sum("ct").as("tt"))
+            .toDF("tt")))
+          .withColumn("s4", expr(
+            s"""cast(round((ln(cast(ct + 1 as double) / cast(tt + $B as double))
+                - ln(cast(cr + 1 as double) / cast(tr + $B as double)))
+                * 10000) as bigint)"""))
+          .select("b", "s4")
+        val weights = docBuck.join(broadcast(model), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("s4")).as("weight"),
+            sum("c").as("n_tok"))
+        weights
+          .join(docs(s, dir).select("doc_id", "source", "lang"),
+            Seq("doc_id"))
+          .orderBy(col("weight").desc, col("doc_id").asc).limit(25)
+          .select("doc_id", "source", "lang", "n_tok", "weight")
+          .orderBy(col("weight").desc, col("doc_id").asc)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source,
+              unnest($duckToks) AS tok FROM documents),
+          tb AS (SELECT doc_id, source,
+              ${dh("tok")} % 64 AS b FROM tok),
+          db AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb
+            GROUP BY 1, 2),
+          raw AS (SELECT b, sum(c)::BIGINT AS cr FROM db GROUP BY 1),
+          tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tb
+            WHERE source IN ('src1','src2','src3','src4') GROUP BY 1),
+          tot AS (SELECT (SELECT sum(cr) FROM raw)::BIGINT AS tr,
+              (SELECT sum(ct) FROM tgt)::BIGINT AS tt),
+          model AS (SELECT raw.b,
+              round((ln((coalesce(tgt.ct, 0) + 1)::DOUBLE / (tot.tt + 64))
+                - ln((raw.cr + 1)::DOUBLE / (tot.tr + 64)))
+                * 10000)::BIGINT AS s4
+            FROM raw LEFT JOIN tgt USING (b), tot),
+          w AS (SELECT doc_id, sum(c * s4)::BIGINT AS weight,
+              sum(c)::BIGINT AS n_tok
+            FROM db JOIN model USING (b) GROUP BY 1)
+        SELECT d.doc_id, d.source, d.lang, w.n_tok, w.weight
+        FROM w JOIN documents d USING (doc_id)
+        ORDER BY w.weight DESC, d.doc_id LIMIT 25"""),
+      "DSIR-style data selection: hashed-unigram importance weights " +
+        "ln p_target/p_raw with add-one smoothing, log-ratios scaled " +
+        "to exact 1e4 integers in a FIXED 64-row broadcast model, " +
+        "per-doc weights as exact integer dot products, top-25 via " +
+        "TakeOrdered."),
   )
 }
