@@ -700,6 +700,95 @@ object RelationalQueries extends QueryPack {
         FROM base LEFT JOIN ret USING (cohort) ORDER BY 1"""),
       "Day-7 retention cohorts (W2 bucketing + A8 network counts): " +
         "dedup to the (user, day) activity relation before any join; " +
-        "calendar-exact date math portable across engines.")
+        "calendar-exact date math portable across engines."),
+
+    GraftQuery(
+      "q_graph_pagerank", Seq("A13", "D4", "J9"),
+      (s, dir) => {
+        // PageRank over the part co-purchase graph (parts sharing an
+        // order are linked — the adjacency family of A13, iterated the
+        // way D4's closure iterates reachability). FIXED-POINT INTEGER
+        // arithmetic throughout: ranks live at SCALE=1e12, each
+        // iteration is r'(v) = (15*(SCALE div n) + 85*sum_{u->v}
+        // (r(u) div outdeg(u))) div 100 — every op an integral
+        // div/mul/sum of positive bigints, so three unrolled
+        // iterations are bit-identical in the oracle with NO float
+        // summation-order hazard (a double PageRank would hash-drift
+        // under Spark's unordered partial aggregation). Scale shape:
+        // the per-order self-join is bounded by order size (TPC-H
+        // lineitems per order <= 7), edges/degrees hash-partition on
+        // node, each iteration is one shuffle on dst; the graph is
+        // symmetric so every node has out-edges (no dangling mass).
+        // Top-10 via TakeOrdered.
+        val Scale = 1000000000000L
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.toDF("ok", "src")
+          .join(li.toDF("ok", "dst"), Seq("ok"))
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .localCheckpoint() // reused by 3 iterations + degrees
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("outdeg"))
+        val nDf = deg.agg(count(lit(1)).as("n"))
+        val r0 = deg.select(col("node")).crossJoin(broadcast(nDf))
+          .withColumn("r", expr(s"$Scale div n")).select("node", "r")
+        val rFinal = (1 to 3).foldLeft(r0) { (ranks, _) =>
+          val contribs = edges
+            .join(ranks.join(deg, Seq("node")),
+              col("src") === col("node"))
+            .withColumn("c", expr("r div outdeg"))
+            .groupBy(col("dst").as("node")).agg(sum("c").as("sc"))
+          deg.select("node").join(contribs, Seq("node"), "left")
+            .crossJoin(broadcast(nDf))
+            .withColumn("r", expr(
+              s"(15 * ($Scale div n) + 85 * coalesce(sc, 0)) div 100"))
+            .select("node", "r")
+        }
+        rFinal.join(deg, Seq("node"))
+          .orderBy(col("r").desc, col("node").asc).limit(10)
+          .select(col("node"), col("outdeg"), col("r"))
+          .orderBy(col("r").desc, col("node").asc)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem WHERE l_orderkey % 11 = 0),
+          e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk),
+          deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+            FROM e GROUP BY 1),
+          n AS (SELECT count(*)::BIGINT AS n FROM deg),
+          r0 AS (SELECT node, (1000000000000 // n.n)::BIGINT AS r
+            FROM deg, n),
+          s1 AS (SELECT e.dst AS node,
+              sum(r0.r // deg.outdeg)::BIGINT AS sc
+            FROM e JOIN r0 ON r0.node = e.src
+              JOIN deg ON deg.node = e.src GROUP BY 1),
+          r1 AS (SELECT deg.node, ((15 * (1000000000000 // n.n))
+              + 85 * coalesce(s1.sc, 0)) // 100 AS r
+            FROM deg LEFT JOIN s1 ON s1.node = deg.node, n),
+          s2 AS (SELECT e.dst AS node,
+              sum(r1.r // deg.outdeg)::BIGINT AS sc
+            FROM e JOIN r1 ON r1.node = e.src
+              JOIN deg ON deg.node = e.src GROUP BY 1),
+          r2 AS (SELECT deg.node, ((15 * (1000000000000 // n.n))
+              + 85 * coalesce(s2.sc, 0)) // 100 AS r
+            FROM deg LEFT JOIN s2 ON s2.node = deg.node, n),
+          s3 AS (SELECT e.dst AS node,
+              sum(r2.r // deg.outdeg)::BIGINT AS sc
+            FROM e JOIN r2 ON r2.node = e.src
+              JOIN deg ON deg.node = e.src GROUP BY 1),
+          r3 AS (SELECT deg.node, ((15 * (1000000000000 // n.n))
+              + 85 * coalesce(s3.sc, 0)) // 100 AS r
+            FROM deg LEFT JOIN s3 ON s3.node = deg.node, n)
+        SELECT r3.node, deg.outdeg, r3.r
+        FROM r3 JOIN deg ON deg.node = r3.node
+        ORDER BY r3.r DESC, r3.node LIMIT 10"""),
+      "Fixed-point integer PageRank (damping 0.85, 3 iterations) over " +
+        "the part co-purchase graph: order-bounded pair generation, " +
+        "one dst-keyed shuffle per iteration, integral div/sum only — " +
+        "bit-identical across engines with no float summation-order " +
+        "hazard; top-10 via TakeOrdered.")
   )
 }

@@ -1833,5 +1833,78 @@ object SimilarityQueries extends QueryPack {
         "— the measured answer to whether residual encoding buys " +
         "recall at this codebook geometry; exact side is gate-scale " +
         "brute force (audit-only, pair-budget guarded)."),
+
+    GraftQuery(
+      "q_hybrid_rrf", Seq("A10", "W4", "J9"),
+      (s, dir) => {
+        // Hybrid retrieval with reciprocal-rank fusion (Cormack et
+        // al., SIGIR 2009): fuse the LEXICAL ranking (Okapi BM25
+        // against the fixed term set — the exact scorer q_text_bm25
+        // gates, shared via TextQueries.bm25Scored so the two cannot
+        // drift) with the DENSE ranking (exact integer dot products
+        // against query vector 100) — doc_id and vec_id share the id
+        // space. Each retriever contributes its top-50 list only —
+        // how production hybrid search actually fuses — via
+        // orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+        // no global sort); the rank window then runs over exactly 50
+        // rows. RRF contribution round(1e9/(60+rank)) is an exact
+        // bigint (no 1/2-ulp boundary exists for k=60, rank<=50), so
+        // the fused score is an exact integer sum — order-independent
+        // and hash-identical in the oracle. Docs in only one list
+        // keep their single contribution (rank 0 display = absent).
+        val bmTop = TextQueries.bm25Scored(s, dir)
+          .orderBy(col("s4").desc, col("doc_id").asc).limit(50)
+          .withColumn("r_bm", row_number().over(
+            Window.orderBy(col("s4").desc, col("doc_id").asc))
+            .cast("long"))
+          .select(col("doc_id").as("id"), col("r_bm"))
+        val e = quantized(s, dir)
+        val qv = e.where(col("vec_id") === 100)
+          .select(col("qe").as("qqe"))
+        val embTop = e.crossJoin(broadcast(qv))
+          .where(col("vec_id") =!= 100)
+          .withColumn("dot", VectorOps.dot("qqe", "qe"))
+          .orderBy(col("dot").desc, col("vec_id").asc).limit(50)
+          .withColumn("r_emb", row_number().over(
+            Window.orderBy(col("dot").desc, col("vec_id").asc))
+            .cast("long"))
+          .select(col("vec_id").as("id"), col("r_emb"))
+        bmTop.join(embTop, Seq("id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr(
+              "cast(round(1000000000 / (60 + r_bm)) as bigint)"),
+              lit(0L)) +
+            coalesce(expr(
+              "cast(round(1000000000 / (60 + r_emb)) as bigint)"),
+              lit(0L)))
+          .orderBy(col("rrf").desc, col("id").asc).limit(10)
+          .select(col("id"), coalesce(col("r_bm"), lit(0L)).as("r_bm"),
+            coalesce(col("r_emb"), lit(0L)).as("r_emb"), col("rrf"))
+          .orderBy(col("rrf").desc, col("id").asc)
+      },
+      Some(s"""WITH ${graft.queries.TextQueries.duckBm25}, $duckBase,
+          bmt AS (SELECT doc_id AS id, row_number() OVER
+                (ORDER BY s4 DESC, doc_id) AS r_bm
+              FROM bm ORDER BY s4 DESC, doc_id LIMIT 50),
+          qv AS (SELECT qe AS qqe FROM n WHERE vec_id = 100),
+          ed AS (SELECT vec_id, ${duckDot("qqe", "qe")} AS dot
+              FROM n, qv WHERE vec_id != 100),
+          emt AS (SELECT vec_id AS id, row_number() OVER
+                (ORDER BY dot DESC, vec_id) AS r_emb
+              FROM ed ORDER BY dot DESC, vec_id LIMIT 50),
+          f AS (SELECT coalesce(bmt.id, emt.id) AS id,
+              bmt.r_bm, emt.r_emb,
+              coalesce(round(1000000000 / (60 + bmt.r_bm))::BIGINT, 0)
+                + coalesce(round(1000000000 / (60 + emt.r_emb))::BIGINT,
+                  0) AS rrf
+            FROM bmt FULL JOIN emt ON bmt.id = emt.id)
+        SELECT id, coalesce(r_bm, 0)::BIGINT AS r_bm,
+          coalesce(r_emb, 0)::BIGINT AS r_emb, rrf
+        FROM f ORDER BY rrf DESC, id LIMIT 10"""),
+      "Hybrid lexical+dense retrieval: BM25 top-50 (shared scorer " +
+        "with q_text_bm25) fused with exact-integer-dot embedding " +
+        "top-50 by reciprocal-rank fusion, contributions as exact " +
+        "1e9-scaled bigints — both lists via TakeOrdered, rank " +
+        "windows over 50 rows only."),
   )
 }

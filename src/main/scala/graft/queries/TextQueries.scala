@@ -175,6 +175,71 @@ object TextQueries extends QueryPack {
         comp AS (SELECT node AS doc_id, min(reach) AS canonical
           FROM walk GROUP BY 1)"""
 
+  /** Per-doc Okapi BM25 (k1=1.2, b=0.75) integer scores against the
+    * fixed query-term set — ONE definition shared by q_text_bm25 and
+    * the hybrid-fusion retrieval query (SimilarityQueries.q_hybrid_rrf)
+    * so the lexical ranking the fusion consumes is exactly the ranking
+    * the BM25 gate pins. Returns (doc_id, lang, dl, n_terms, s4) with
+    * s4 the exact 1e-4-scaled integer score (see q_text_bm25's scaladoc
+    * for the float discipline). Scale shape: tf explode pruned by the
+    * broadcast term join before the shuffle; 1-row (N, avgdl) agg
+    * cross-broadcast.
+    */
+  private[queries] val Bm25Terms = Seq("spark", "hash", "window")
+
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dd = docs(s, dir)
+      .withColumn("t", TextOps.tokens("text"))
+      .where(expr("size(t) > 0"))
+      .select(col("doc_id"), col("lang"), col("t"),
+        expr("cast(size(t) as bigint)").as("dl"))
+    val n = dd.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = dd.select(col("doc_id"), explode(col("t")).as("term"))
+      .join(broadcast(Bm25Terms.toDF("term")), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dd.select("doc_id", "dl"), Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(col("s") * 10000).cast("long")).as("s4"))
+    dd.select("doc_id", "lang", "dl").join(sc, Seq("doc_id"))
+  }
+
+  /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
+    * `bm(doc_id, lang, dl, n_terms, s4)`.
+    */
+  private[queries] val duckBm25 =
+    s"""bd AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+        bdd AS (SELECT doc_id, lang, t, len(t)::BIGINT AS dl FROM bd
+          WHERE len(t) > 0),
+        bn AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM bdd),
+        bqt AS (SELECT unnest(['spark','hash','window']) AS term),
+        btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(t) AS term FROM bdd) x
+          JOIN bqt USING (term) GROUP BY 1,2),
+        bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf
+          GROUP BY 1),
+        bsc AS (SELECT btf.doc_id, count(*)::BIGINT AS n_terms,
+            sum(round((ln(1.0 + (bn.n - bdf.df + 0.5)
+                / (bdf.df + 0.5)) *
+              (btf.tf * 2.2) /
+              (btf.tf + 1.2 * (0.25 + 0.75 * bdd.dl / bn.avgdl)))
+              * 10000)::BIGINT)::BIGINT AS s4
+          FROM btf JOIN bdf USING (term)
+            JOIN bdd ON bdd.doc_id = btf.doc_id, bn
+          GROUP BY 1),
+        bm AS (SELECT bdd.doc_id, bdd.lang, bdd.dl, bsc.n_terms, bsc.s4
+          FROM bdd JOIN bsc ON bsc.doc_id = bdd.doc_id)"""
+
   /** The q_pipeline_corpus plan, with the stage-boundary persistence
     * pluggable so PlanAuditSpec can compose it WITHOUT localCheckpoint
     * (which severs the plan) and assert the whole chain — in
@@ -1436,71 +1501,23 @@ object TextQueries extends QueryPack {
 
     GraftQuery(
       "q_text_bm25", Seq("P9", "A8", "W3"),
-      (s, dir) => {
+      (s, dir) =>
         // Okapi BM25 (k1=1.2, b=0.75) of every doc against a small
         // query-term set — the retrieval-style ranking TF-IDF
-        // (q_text_tfidf) approximates. Scale shape: tf only for the
-        // broadcast query terms (inner join prunes the explode before
-        // the shuffle), df from that tiny tf table, the 1-row
-        // (N, avgdl) agg cross-broadcast. Float discipline: each
+        // (q_text_tfidf) approximates. Scoring lives in [[bm25Scored]]
+        // (shared with the hybrid-fusion query). Float discipline: each
         // per-term score is scaled to an exact 1e-4 integer BEFORE the
         // per-doc sum, so the sum is order-independent (a raw double
         // sum over 2-3 terms can round differently under different
         // reduce orders); the display score is one exact int/1e4
         // division.
-        import s.implicits._
-        val terms = Seq("spark", "hash", "window")
-        val dd = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          .where(expr("size(t) > 0"))
-          .select(col("doc_id"), col("lang"), col("t"),
-            expr("cast(size(t) as bigint)").as("dl"))
-        val n = dd.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
-        val tf = dd.select(col("doc_id"), explode(col("t")).as("term"))
-          .join(broadcast(terms.toDF("term")), Seq("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val sc = tf.join(broadcast(dfreq), Seq("term"))
-          .join(dd.select("doc_id", "dl"), Seq("doc_id"))
-          .crossJoin(broadcast(n))
-          .withColumn("s",
-            log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            sum(round(col("s") * 10000).cast("long")).as("s4"))
-        dd.join(sc, Seq("doc_id"))
+        bm25Scored(s, dir)
           .select(col("doc_id"), col("lang"), col("dl"),
             col("n_terms"), (col("s4") / 10000.0).as("bm25"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
-            FROM documents),
-          dd AS (SELECT doc_id, lang, t, len(t)::BIGINT AS dl FROM d
-            WHERE len(t) > 0),
-          n AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dd),
-          qt AS (SELECT unnest(['spark','hash','window']) AS term),
-          tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-            FROM (SELECT doc_id, unnest(t) AS term FROM dd) x
-            JOIN qt USING (term) GROUP BY 1,2),
-          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
-            GROUP BY 1),
-          sc AS (SELECT tf.doc_id, count(*)::BIGINT AS n_terms,
-              sum(round((ln(1.0 + (n.n - dfreq.df + 0.5)
-                  / (dfreq.df + 0.5)) *
-                (tf.tf * 2.2) /
-                (tf.tf + 1.2 * (0.25 + 0.75 * dd.dl / n.avgdl)))
-                * 10000)::BIGINT)::BIGINT AS s4
-            FROM tf JOIN dfreq USING (term)
-              JOIN dd ON dd.doc_id = tf.doc_id, n
-            GROUP BY 1)
-        SELECT dd.doc_id, dd.lang, dd.dl, sc.n_terms,
-          sc.s4 / 10000.0 AS bm25
-        FROM dd JOIN sc ON sc.doc_id = dd.doc_id
-        ORDER BY dd.doc_id"""),
+          .orderBy("doc_id"),
+      Some(s"""WITH $duckBm25
+        SELECT doc_id, lang, dl, n_terms, s4 / 10000.0 AS bm25
+        FROM bm ORDER BY doc_id"""),
       "Okapi BM25 retrieval scoring against broadcast query terms: " +
         "per-term scores scaled to exact 1e-4 integers before the " +
         "per-doc sum (order-independent), one exact division for " +
