@@ -488,4 +488,48 @@ object TextOps {
       >= 4 * size($toksCol) as bigint),
     'p_stop', cast(size(array_intersect(array_distinct($toksCol),
       array('the','a'))) >= 2 as bigint))""")
+
+  /** DSIR-style hashed-unigram importance model (Xie et al., NeurIPS
+    * 2023): a COMPLETE `buckets`-row table (b, s4) where s4 is the
+    * exact 1e4-scaled integer log-ratio ln p_target(b) - ln p_raw(b)
+    * with add-one smoothing — ONE definition shared by the batch
+    * query (q_text_dsir), its streaming twin
+    * ([[graft.streaming.StreamingOps.dsirStream]]), and their parity
+    * spec (same contract as [[scrubProjection]]/[[gopherBits]]).
+    * Target token mass comes from `isTarget` rows; raw mass from the
+    * whole corpus. Every bucket 0..buckets-1 gets a row — buckets
+    * unseen in the corpus carry the smoothed empty-count ratio — so a
+    * stream-side join can never silently drop a novel token's bucket.
+    * The model is FIXED-size (never grows with the corpus) and
+    * broadcast-sized by construction.
+    */
+  def dsirModel(
+      corpus: org.apache.spark.sql.DataFrame,
+      isTarget: Column,
+      textCol: String = "text",
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      count, explode, sum}
+    val spark = corpus.sparkSession
+    val tok = corpus
+      .select(isTarget.as("__graft_tgt"),
+        explode(tokens(textCol)).as("__graft_tok"))
+      .withColumn("b", expr(s"${hash64("__graft_tok")} % $buckets"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.where(col("__graft_tgt"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    spark.range(buckets).toDF("b")
+      .join(raw, Seq("b"), "left")
+      .join(tgt, Seq("b"), "left")
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(raw.agg(coalesce(sum("cr"), lit(0L)).as("tr"))))
+      .crossJoin(broadcast(tgt.agg(coalesce(sum("ct"), lit(0L)).as("tt"))))
+      .withColumn("s4", expr(
+        s"""cast(round((ln(cast(ct + 1 as double)
+            / cast(tt + $buckets as double))
+            - ln(cast(cr + 1 as double)
+            / cast(tr + $buckets as double))) * 10000) as bigint)"""))
+      .select("b", "s4")
+  }
 }

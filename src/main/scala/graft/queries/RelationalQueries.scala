@@ -789,6 +789,67 @@ object RelationalQueries extends QueryPack {
         "the part co-purchase graph: order-bounded pair generation, " +
         "one dst-keyed shuffle per iteration, integral div/sum only — " +
         "bit-identical across engines with no float summation-order " +
-        "hazard; top-10 via TakeOrdered.")
+        "hazard; top-10 via TakeOrdered."),
+
+    GraftQuery(
+      "q_events_anomaly", Seq("A9", "W2", "W8"),
+      (s, dir) => {
+        // Rolling z-score anomaly detection on the hourly event-count
+        // series — the ops-dashboard staple (trailing-baseline spike
+        // detection). The trailing window is the PREVIOUS 6 observed
+        // hourly buckets (rows frame, so the current point never
+        // contaminates its own baseline). Float discipline: m, S, SS
+        // are exact integer window sums, and z = (6x - S) /
+        // sqrt(6*SS - S^2) — numerator and radicand exact ints, ONE
+        // sqrt + ONE division + round(4), so both engines compute the
+        // identical double. Zero-variance baselines emit NULL z (not
+        // +-inf). Scale shape: the global-ordered window runs over the
+        // POST-AGGREGATION hourly rollup (one row per hour — a few
+        // thousand rows even at 100 TB of raw events), never the raw
+        // table; the only big-data pass is the hash-partitioned
+        // groupBy(hour).
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("hr").rowsBetween(-6, -1)
+        hourly
+          .withColumn("m", count("cnt").over(w))
+          .withColumn("s", sum("cnt").over(w))
+          .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+          .where(col("m") === 6)
+          .withColumn("z", when(expr("6 * ss - s * s > 0"),
+            round(expr("(6 * cnt - s)").cast("double") /
+              sqrt(expr("6 * ss - s * s").cast("double")), 4)))
+          .select(
+            date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+            col("cnt"), col("z"),
+            coalesce(col("z") < -2.0 || col("z") > 2.0, lit(false))
+              .as("is_anomaly"))
+          .orderBy("bucket")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS hr,
+              count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1),
+          win AS (SELECT hr, cnt,
+              count(cnt) OVER f AS m,
+              sum(cnt) OVER f AS s,
+              sum(cnt * cnt) OVER f AS ss
+            FROM hourly
+            WINDOW f AS (ORDER BY hr
+              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+          sc AS (SELECT hr, cnt,
+              CASE WHEN 6 * ss - s * s > 0 THEN
+                round((6 * cnt - s)::DOUBLE /
+                  sqrt((6 * ss - s * s)::DOUBLE), 4)
+              END AS z
+            FROM win WHERE m = 6)
+        SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS bucket, cnt, z,
+          coalesce(z < -2.0 OR z > 2.0, false) AS is_anomaly
+        FROM sc ORDER BY 1"""),
+      "Trailing-baseline z-score anomaly detection over the hourly " +
+        "event series: exact integer window sums feed one sqrt + one " +
+        "division (cross-engine-identical doubles), current point " +
+        "excluded from its own baseline, window only over the tiny " +
+        "post-aggregation series.")
   )
 }

@@ -2011,26 +2011,17 @@ object TextQueries extends QueryPack {
         // shuffle into a FIXED 64-row model that broadcasts, top-25 by
         // TakeOrdered. The model never grows with the corpus.
         val B = 64
-        val tokBuck = docs(s, dir)
-          .select(col("doc_id"), col("source"),
+        val docBuck = docs(s, dir)
+          .select(col("doc_id"),
             explode(TextOps.tokens("text")).as("tok"))
           .withColumn("b", expr(s"${TextOps.hash64("tok")} % $B"))
-        val docBuck = tokBuck.groupBy("doc_id", "b")
+          .groupBy("doc_id", "b")
           .agg(count(lit(1)).as("c"))
-        val rawModel = docBuck.groupBy("b").agg(sum("c").as("cr"))
-        val tgtModel = tokBuck
-          .where(col("source").isin("src1", "src2", "src3", "src4"))
-          .groupBy("b").agg(count(lit(1)).as("ct"))
-        val model = rawModel.join(tgtModel, Seq("b"), "left")
-          .withColumn("ct", coalesce(col("ct"), lit(0L)))
-          .crossJoin(broadcast(rawModel.agg(sum("cr").as("tr"))))
-          .crossJoin(broadcast(tgtModel.agg(sum("ct").as("tt"))
-            .toDF("tt")))
-          .withColumn("s4", expr(
-            s"""cast(round((ln(cast(ct + 1 as double) / cast(tt + $B as double))
-                - ln(cast(cr + 1 as double) / cast(tr + $B as double)))
-                * 10000) as bigint)"""))
-          .select("b", "s4")
+        // model definition shared with the streaming twin
+        // (StreamingOps.dsirStream) via TextOps.dsirModel
+        val model = TextOps.dsirModel(docs(s, dir),
+          col("source").isin("src1", "src2", "src3", "src4"),
+          buckets = B)
         val weights = docBuck.join(broadcast(model), Seq("b"))
           .groupBy("doc_id")
           .agg(sum(col("c") * col("s4")).as("weight"),

@@ -437,6 +437,43 @@ object StreamingOps {
           .as("pass"))
   }
 
+  /** Streaming DSIR importance scoring — the streaming twin of
+    * q_text_dsir: each arriving doc's tokens hash into the FIXED
+    * 64-row importance model (TextOps.dsirModel — the ONE shared
+    * definition, so batch selection weights and stream scores cannot
+    * drift), and a watermarked per-(window, doc) aggregation folds the
+    * token rows into the exact integer weight sum_b c_b * s4_b. The
+    * model covers every bucket by construction, so a novel-vocabulary
+    * doc scores through the smoothed empty-bucket ratio instead of
+    * silently losing tokens (the perplexityStream OOV contract).
+    * Join side is 64 rows — broadcast at any corpus scale; state is
+    * the windowed aggregation only.
+    */
+  def dsirStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      model: DataFrame, // (b, s4) from TextOps.dsirModel
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      buckets: Int = 64): DataFrame = {
+    import graft.operators.TextOps
+    docs.columns.filter(_.startsWith("__graft_")).foreach(c =>
+      require(false, s"dsirStream: input column $c is reserved"))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(TextOps.tokens(textCol)).as("__graft_tok"))
+      .withColumn("__graft_b",
+        expr(s"${TextOps.hash64("__graft_tok")} % $buckets"))
+      .join(broadcast(model.select(col("b").as("__graft_b"),
+        col("s4").as("__graft_s4"))), Seq("__graft_b"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("__graft_s4").as("weight"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("n_tok"), col("weight"))
+  }
+
   /** Static side for [[contaminationStream]]: the eval/benchmark set's
     * distinct winnowed fingerprints (TextOps.winnowCompiled — same
     * k/t geometry as batch q_text_contamination). Eval sets are tiny,

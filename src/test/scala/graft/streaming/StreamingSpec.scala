@@ -1158,4 +1158,52 @@ class StreamingSpec extends SparkSuite {
         "cross-batch window gate broke: " + stages)
     } finally q.stop()
   }
+
+  test("streaming DSIR weights equal the batch q_text_dsir selection; " +
+    "novel-vocabulary docs score through the smoothed model, never drop") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // the ONE shared model definition (TextOps.dsirModel) — the same
+    // object the batch query builds internally
+    val model = graft.operators.TextOps.dsirModel(
+      corpus, col("source").isin("src1", "src2", "src3", "src4"))
+      .persist()
+    val docs = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.dsirStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), model)
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("update").start()
+    try {
+      def t(i: Int) = new Timestamp(1704103200000L + i * 1000L)
+      val fixture = corpus.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      docs.addData(fixture.zipWithIndex
+        .map { case ((id, tx), i) => (id, tx, t(i)) })
+      // entirely novel vocabulary: every token lands in SOME bucket of
+      // the complete 64-row model — one scored row out, not a drop
+      docs.addData((900001L, "qqxz wvpk", t(fixture.size)))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+        .select("doc_id", "n_tok", "weight")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch twin: the registered query's top-25 selection must carry
+      // EXACTLY the weights the stream computes for those docs
+      val want = graft.SparkEntry.queries("q_text_dsir")(spark, sf)
+        .select("doc_id", "n_tok", "weight")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(want.nonEmpty)
+      assert(want.keySet.subsetOf(got.keySet))
+      want.foreach { case (id, (nt, w)) =>
+        assert(got(id) === ((nt, w)), s"doc $id diverges from batch")
+      }
+      assert(got.contains(900001L))
+      assert(got(900001L)._1 === 2L)
+    } finally {
+      q.stop()
+      model.unpersist(blocking = true)
+    }
+  }
 }
