@@ -1097,6 +1097,70 @@ object StreamingOps {
       }
   }
 
+  final case class SeriesBucket(
+      series: String, bucket: java.sql.Timestamp, cnt: Long)
+  final case class AnomalyOut(
+      series: String, bucket: java.sql.Timestamp, cnt: Long,
+      z: Option[Double], isAnomaly: Boolean)
+  final case class AnomalyState(recent: Seq[Long])
+
+  /** Streaming trailing-baseline z-score anomaly detection — the
+    * stateful continuation of q_events_anomaly: per SERIES (the batch
+    * query's single global hourly series generalizes to one series per
+    * metric/event-type), keyed state holds the last `baseline`
+    * finalized bucket counts, and each arriving bucket scores
+    * z = (m*x - S) / sqrt(m*SS - S^2) against that ring — numerator
+    * and radicand exact integers, ONE sqrt + ONE division + the same
+    * HALF_UP 4-decimal rounding Spark's `round` applies, so a batch
+    * replay of the same bucket order reproduces the stream's verdicts
+    * bit for bit (the parity spec's pin). Buckets seen before the ring
+    * fills emit z = None (exactly the batch `m = 6` gate); the current
+    * bucket never contaminates its own baseline (scored BEFORE being
+    * pushed). Input is a stream of FINALIZED bucket counts (the
+    * append-mode output of an upstream watermarked windowed count —
+    * same division of labor as packStream taking docs, not raw text).
+    * Within a micro-batch a series' buckets score in bucket-time
+    * order; across batches, arrival order — the online contract.
+    * State: `baseline` longs per live series — bounded, no timeout.
+    */
+  def anomalyStream(
+      buckets: Dataset[SeriesBucket],
+      baseline: Int = 6,
+      threshold: Double = 2.0): Dataset[AnomalyOut] = {
+    require(baseline >= 2, s"baseline must be >= 2: $baseline")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.groupByKey(_.series)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesBucket],
+         state: GroupState[AnomalyState]) =>
+          var recent = state.getOption.map(_.recent)
+            .getOrElse(Seq.empty[Long])
+          val out = rows.toSeq.sortBy(_.bucket.getTime).map { bkt =>
+            val z =
+              if (recent.size < baseline) None
+              else {
+                val m = baseline.toLong
+                val sS = recent.sum
+                val ss = recent.map(c => c * c).sum
+                val den = m * ss - sS * sS
+                if (den <= 0) None
+                else Some(BigDecimal(
+                  (m * bkt.cnt - sS).toDouble / math.sqrt(den.toDouble))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+              }
+            recent = (recent :+ bkt.cnt).takeRight(baseline)
+            AnomalyOut(series, bkt.bucket, bkt.cnt, z,
+              z.exists(v => v < -threshold || v > threshold))
+          }
+          state.update(AnomalyState(recent))
+          out.iterator
+      }
+  }
+
   final case class MixtureDoc(source: String, docId: String, nTok: Long)
   final case class MixtureVerdict(
       source: String, docId: String, nTok: Long,

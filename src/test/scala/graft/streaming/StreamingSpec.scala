@@ -1206,4 +1206,57 @@ class StreamingSpec extends SparkSuite {
       model.unpersist(blocking = true)
     }
   }
+
+  test("streaming z-score anomaly verdicts equal batch q_events_anomaly " +
+    "over the real events table; ring state survives micro-batch splits") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    // the batch query's own input: hourly rollup of the driver's
+    // events parquet through the SAME loader (schema-drift insurance)
+    val hourly = graft.Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("hr")
+      .as[(Timestamp, Long)].collect().toSeq
+    val in = MemoryStream[StreamingOps.SeriesBucket]
+    val out = StreamingOps.anomalyStream(in.toDS())
+    val q = out.toDF().writeStream.format("memory")
+      .queryName("anomaly_stream").outputMode("append").start()
+    try {
+      // two micro-batches: the ring must carry across the split for
+      // the first post-split buckets to score against pre-split state
+      val (first, second) = hourly.splitAt(hourly.size / 2)
+      in.addData(first.map { case (hr, c) =>
+        StreamingOps.SeriesBucket("events", hr, c) })
+      q.processAllAvailable()
+      in.addData(second.map { case (hr, c) =>
+        StreamingOps.SeriesBucket("events", hr, c) })
+      q.processAllAvailable()
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val got = spark.table("anomaly_stream")
+        .select("bucket", "cnt", "z", "isAnomaly")
+        .collect()
+        .map(r => fmt.format(r.getTimestamp(0)) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            r.getBoolean(3)))).toMap
+      val want = graft.SparkEntry.queries("q_events_anomaly")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            r.getBoolean(3)))).toMap
+      assert(want.nonEmpty)
+      // batch emits only fully-baselined buckets; each must match the
+      // stream verdict bit for bit (z rounding included)
+      assert(want.keySet.subsetOf(got.keySet))
+      want.foreach { case (b, v) =>
+        assert(got(b) === v, s"bucket $b diverges from batch")
+      }
+      // the stream additionally emitted the warm-up buckets, unscored
+      assert(got.size === hourly.size)
+      assert((got.keySet -- want.keySet).forall(b => got(b)._2.isEmpty))
+    } finally q.stop()
+  }
 }
