@@ -175,6 +175,21 @@ object TextQueries extends QueryPack {
         comp AS (SELECT node AS doc_id, min(reach) AS canonical
           FROM walk GROUP BY 1)"""
 
+  /** GK-sketch accuracy for the quantile consumers (q_text_quantile_
+    * sketch, q_text_ppl_buckets, q_pipeline_corpus stage 1): the cuts
+    * are exact-vs-quantile_disc only while accuracy >= the largest
+    * per-language group, and the TOTAL document count bounds every
+    * group from above — so derive accuracy from the footer-metadata
+    * row count (cached per JVM) instead of a fixed 1e6
+    * ceiling-of-paranoia, whose oversized summary buffers made the
+    * sketch's first-run allocation/JIT cost dominate the whole query
+    * at bench scale. Floor 10k keeps small corpora deep inside exact
+    * territory; each gate still run-time-asserts maxGroup <= accuracy.
+    */
+  private def sketchAcc(s: SparkSession, dir: String): Int =
+    math.min(math.max(10000L, Tables.rowCount(s, dir, "documents")),
+      10000000L).toInt
+
   /** Per-doc Okapi BM25 (k1=1.2, b=0.75) integer scores against the
     * fixed query-term set — ONE definition shared by q_text_bm25 and
     * the hybrid-fusion retrieval query (SimilarityQueries.q_hybrid_rrf)
@@ -319,7 +334,7 @@ object TextQueries extends QueryPack {
     val scored = cp(corpus
       .withColumn("q", TextOps.qualityScore("text"))
       .where(col("q").isNotNull))
-    val acc = 1000000
+    val acc = sketchAcc(s, dir)
     // gate-only pin of the exactness premise (same contract as
     // q_text_quantile_sketch): GK cuts equal DuckDB quantile_disc
     // only while accuracy >= the largest group — past that bound
@@ -590,7 +605,7 @@ object TextQueries extends QueryPack {
           .withColumn("q", TextOps.qualityScore("text"))
           .where(col("q").isNotNull)
           .select("doc_id", "lang", "q")
-        val acc = 1000000
+        val acc = sketchAcc(s, dir)
         // gate-only pin of the exactness premise (the LSH/IVF
         // gateCheck pattern): GK is exact only while accuracy >= the
         // largest group, and the oracle compares EXACT quantiles — a
@@ -1581,7 +1596,7 @@ object TextQueries extends QueryPack {
         val scored = perplexityScores(s, dir)
           .withColumn("nll", col("ss") / (col("n_big") * lit(10000.0)))
           .select("doc_id", "lang", "nll")
-        val acc = 1000000
+        val acc = sketchAcc(s, dir)
         if (s.conf.getOption("graft.gate").contains("true")) {
           val row = scored.groupBy("lang").count().agg(max("count")).head
           val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
