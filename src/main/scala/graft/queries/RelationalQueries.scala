@@ -850,6 +850,43 @@ object RelationalQueries extends QueryPack {
         "event series: exact integer window sums feed one sqrt + one " +
         "division (cross-engine-identical doubles), current point " +
         "excluded from its own baseline, window only over the tiny " +
-        "post-aggregation series.")
+        "post-aggregation series."),
+
+    GraftQuery(
+      "q_agg_rollup", Seq("A8", "P6"),
+      (s, dir) =>
+        // Multidimensional subtotal aggregation — the OLAP ROLLUP the
+        // pricing-summary family implies but never materializes:
+        // (flag, status) leaf groups, per-flag subtotals, and the
+        // grand total in ONE pass (Spark plans rollup as a single
+        // Expand + hash aggregate — each input row feeds all three
+        // grouping sets map-side, so the subtotals cost no extra scan
+        // and no extra shuffle beyond the widened key space).
+        // grouping_id uses the same bit order in both engines
+        // (leftmost column = most significant bit); measures are
+        // exact-int counts and 2-decimal rounded sums.
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            grouping_id().as("gid"))
+          // subtotal rows coalesce their rolled-up dimension to 'ALL':
+          // the gid column already encodes which levels rolled up, and
+          // non-float NULLs defeat the gate's row-equality compare
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"), col("sum_qty"), col("gid"))
+          .orderBy("gid", "flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          coalesce(l_linestatus, 'ALL') AS status,
+          count(*)::BIGINT AS n,
+          round(sum(l_quantity), 2) AS sum_qty,
+          grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, flag, status"""),
+      "OLAP ROLLUP subtotals: leaf, per-flag, and grand-total groups " +
+        "in one Expand + hash-aggregate pass (no extra scans), " +
+        "cross-engine grouping_id bit parity pinned by the oracle.")
   )
 }

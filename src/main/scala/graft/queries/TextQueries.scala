@@ -2075,5 +2075,106 @@ object TextQueries extends QueryPack {
         "to exact 1e4 integers in a FIXED 64-row broadcast model, " +
         "per-doc weights as exact integer dot products, top-25 via " +
         "TakeOrdered."),
+
+    GraftQuery(
+      "q_text_dupspans", Seq("D1", "J11", "A8"),
+      (s, dir) => {
+        // Substring-level duplication audit (Lee et al., ACL 2022 —
+        // dedup below document granularity): what share of each doc's
+        // char-8-gram fingerprints also appears in ANOTHER doc. The
+        // candidate structure is the usual band/bucket discipline:
+        // one (doc, fp) row per distinct fingerprint, popularity by
+        // fp-keyed groupBy, membership join back on the SAME bigint
+        // key — a hot fingerprint of k docs costs k rows, never k^2
+        // pairs. Ratios leave integer land exactly once per source
+        // (sum_shared/sum_fp), and the heavy-dup flag is
+        // cross-multiplied (2*shared >= fps) so verdicts are
+        // integer-exact.
+        val fps = docs(s, dir)
+          .withColumn("fp", explode(array_distinct(
+            TextOps.charFingerprints("text", w = 8, step = 4))))
+          .select("doc_id", "source", "fp")
+        val pop = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        fps.join(pop, Seq("fp"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_fp"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_fp").as("sum_fp"),
+            sum("n_shared").as("sum_shared"),
+            round(sum("n_shared").cast("double") / sum("n_fp"), 4)
+              .as("dup_ratio"),
+            sum(when(col("n_shared") * 2 >= col("n_fp"), 1L)
+              .otherwise(0L)).as("n_heavy"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+            unnest(list_distinct(list_transform(
+              range(1, greatest(len(text)-7, 1)+1, 4),
+              i -> ${dh("substr(text, i, 8)")}))) AS fp
+          FROM documents),
+          pop AS (SELECT fp, count(*)::BIGINT AS nd FROM f GROUP BY 1),
+          per AS (SELECT doc_id, source, count(*)::BIGINT AS n_fp,
+              sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                AS n_shared
+            FROM f JOIN pop USING (fp) GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(n_fp)::BIGINT AS sum_fp,
+          sum(n_shared)::BIGINT AS sum_shared,
+          round(sum(n_shared)::DOUBLE / sum(n_fp), 4) AS dup_ratio,
+          sum(CASE WHEN n_shared * 2 >= n_fp THEN 1 ELSE 0 END)::BIGINT
+            AS n_heavy
+        FROM per GROUP BY 1 ORDER BY 1"""),
+      "Cross-document duplicated-substring share: distinct char-8-gram " +
+        "fingerprints per doc, fp-keyed popularity + membership join " +
+        "(k rows per hot fingerprint, never k^2 pairs), per-source " +
+        "duplication ratio with one exact division and a " +
+        "cross-multiplied heavy-dup flag."),
+
+    GraftQuery(
+      "q_text_bpe_pairs", Seq("P9", "A8", "W3"),
+      (s, dir) => {
+        // The BPE merge-candidate count — tokenizer training's inner
+        // loop (Sennrich et al. 2016): adjacent character-pair
+        // frequencies over the corpus, each pair weighted by its
+        // word's corpus frequency (exactly one BPE iteration's merge
+        // scoring over a word-count table). Exact integer counts; the
+        // per-word pair explode runs over the DISTINCT word table (one
+        // row per vocabulary word, not per token instance — the
+        // standard BPE trick, and a big shuffle saver at corpus
+        // scale); top-15 via TakeOrdered, rank window over 15 rows.
+        val wc = docs(s, dir)
+          .select(explode(TextOps.tokens("text")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        val pairs = wc
+          .select(col("wc"), explode(expr(
+            """if(length(w) >= 2,
+               transform(sequence(1, length(w) - 1),
+                 i -> substring(w, i, 2)),
+               cast(array() as array<string>))""")).as("pair"))
+          .groupBy("pair").agg(sum("wc").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("pair").asc)
+          .limit(15)
+        top.withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("pair").asc)))
+          .select("rnk", "pair", "cnt")
+          .orderBy("rnk")
+      },
+      Some(s"""WITH wsp AS (SELECT unnest($duckToks) AS w
+            FROM documents),
+          wc AS (SELECT w, count(*)::BIGINT AS wc FROM wsp GROUP BY 1),
+          pc AS (SELECT substr(w, i::INT, 2) AS pair,
+              sum(wc)::BIGINT AS cnt
+            FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+              FROM wc) GROUP BY 1),
+          r AS (SELECT pair, cnt, row_number() OVER
+              (ORDER BY cnt DESC, pair) AS rnk FROM pc)
+        SELECT rnk, pair, cnt FROM r WHERE rnk <= 15 ORDER BY rnk"""),
+      "BPE merge-pair scoring over the distinct-word count table " +
+        "(one explode per vocabulary word, not per token instance): " +
+        "exact frequency-weighted adjacent-pair counts, top-15 merge " +
+        "candidates via TakeOrdered."),
   )
 }
