@@ -81,4 +81,32 @@ object Multimodal {
         expr(s"substring(coalesce($binaryCol, cast('' as binary)), " +
           s"chunk_idx * $chunkSize + 1, $chunkSize)"))
       .drop("__n")
+
+  /** Sample every `stride`-th fixed-size frame from a binary column —
+    * the video frame-sampling pattern (decode is elsewhere; this is the
+    * SELECTION step a pipeline runs before handing frames to a codec
+    * UDF). One output row per SAMPLED frame (`frame_idx` is the frame's
+    * position in the full frame sequence, so downstream code can
+    * reconstruct timing); the final partial frame is a frame (codecs
+    * get the tail); empty/null media emit no frames (there is nothing
+    * to sample — unlike [[chunked]], whose storage-layout contract
+    * needs a row per blob). Pure codegen'd expressions — sequence +
+    * explode + byte substring — no UDF.
+    */
+  def frameSample(
+      df: DataFrame, binaryCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0,
+      s"frameSize/stride must be positive: $frameSize/$stride")
+    df.withColumn("__nf",
+        coalesce(ceil(octet_length(col(binaryCol)) / frameSize.toDouble)
+          .cast("int"), lit(0)))
+      .where(col("__nf") > 0)
+      .withColumn("frame_idx",
+        explode(expr(s"sequence(0, __nf - 1, $stride)")))
+      .withColumn("frame",
+        expr(s"substring($binaryCol, frame_idx * $frameSize + 1, " +
+          s"$frameSize)"))
+      .drop("__nf")
+  }
 }

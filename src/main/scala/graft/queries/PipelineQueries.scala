@@ -170,5 +170,52 @@ object PipelineQueries extends QueryPack {
       "Multimodal binary-column pipeline: opaque bytes + chunk budget + " +
         "deterministic header 'decode' stub (see operators.Multimodal " +
         "for the mapPartitions feature-extraction plumbing)."),
+
+    GraftQuery(
+      "q_multimodal_frames", Seq("D9", "P6", "A8"),
+      (s, dir) => {
+        // Frame sampling — the video-pipeline SELECTION step (every
+        // 4th 64-unit frame; decode happens downstream): one row per
+        // sampled frame via sequence + explode + substring, all
+        // codegen'd. This oracle query frames on CHARACTER offsets
+        // (both engines' substring is char-based; DuckDB has no blob
+        // substring, so byte-exact framing is not oracle-expressible —
+        // the true byte-based kernel is Multimodal.frameSample,
+        // MultimodalSpec-pinned). Per-source stats close the loop
+        // with an order-independent md5-derived fingerprint of every
+        // sampled frame, proving frame CONTENT (boundaries included)
+        // matches across engines, not just counts.
+        import graft.operators.TextOps
+        val frames = Tables.load(s, dir, "documents")
+          .withColumn("nf",
+            ceil(length(col("text")) / 64.0).cast("int"))
+          .where(col("nf") > 0)
+          .withColumn("fi", explode(expr("sequence(0, nf - 1, 4)")))
+          .withColumn("frame", expr("substring(text, fi * 64 + 1, 64)"))
+        frames.groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_frames"),
+            countDistinct(md5(col("frame"))).as("n_distinct_frames"),
+            sum(expr(TextOps.hash64("frame") + " % 1000000007"))
+              .as("frames_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT doc_id, source,
+            ceil(length(text) / 64.0)::INT AS nf, text FROM documents),
+          f AS (SELECT doc_id, source,
+              substr(text, i::INT * 64 + 1, 64) AS frame
+            FROM (SELECT doc_id, source, text,
+                unnest(range(0, nf, 4)) AS i
+              FROM m WHERE nf > 0))
+        SELECT source, count(DISTINCT doc_id) AS n_docs,
+          count(*)::BIGINT AS n_frames,
+          count(DISTINCT md5(frame)) AS n_distinct_frames,
+          sum(('0x' || substr(md5(frame),1,15))::BIGINT % 1000000007)
+            ::BIGINT AS frames_fp
+        FROM f GROUP BY 1 ORDER BY 1"""),
+      "Multimodal frame sampling (every 4th 64-unit frame, tail frame " +
+        "included): codegen'd sequence/explode/substring selection, " +
+        "per-source frame counts plus an order-independent content " +
+        "fingerprint over every sampled frame."),
   )
 }

@@ -27,6 +27,29 @@ class MultimodalSpec extends SparkSuite {
     assert(again === out.select("sig").as[String].collect().sorted)
   }
 
+  test("frameSample emits every stride-th byte frame, tail included, " +
+    "none for empty media") {
+    // 10 bytes at frameSize=3 -> frames 0..3 ('012','345','678','9');
+    // stride 2 samples indices 0 and 2
+    val df = Seq(("a", "0123456789"), ("b", ""))
+      .toDF("id", "payload")
+      .withColumn("media", col("payload").cast("binary"))
+    val out = Multimodal.frameSample(df, "media", frameSize = 3, stride = 2)
+      .select(col("id"), col("frame_idx"), col("frame").cast("string"))
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(("a", 0, "012"), ("a", 2, "678")))
+    // stride 1 = every frame; the partial tail frame is a frame
+    val all = Multimodal.frameSample(df, "media", frameSize = 3, stride = 1)
+      .select(col("frame").cast("string")).as[String].collect()
+    assert(all.toSeq.sorted === Seq("012", "345", "678", "9"))
+    // byte-based framing: a 3-byte UTF-8 char splits across frames
+    val utf = Seq(("u", "a世b")).toDF("id", "payload")
+      .withColumn("media", col("payload").cast("binary"))
+    val nBytes = utf.select(octet_length(col("media"))).as[Int].head()
+    assert(nBytes === 5)
+    assert(Multimodal.frameSample(utf, "media", 2, 1).count() === 3)
+  }
+
   test("chunked yields ceil(n/chunk) ordered chunk rows that reassemble") {
     val df = Seq(("a", "0123456789")).toDF("id", "payload")
       .withColumn("media", col("payload").cast("binary"))

@@ -37,6 +37,14 @@ class PlanAuditSpec extends SparkSuite {
     "q_pipeline_mixture",
     // 1-row vocabulary-count broadcast for the add-one denominator
     "q_text_perplexity", "q_text_ppl_buckets",
+    // 1-row (tot, vocab_size) broadcast joined to the top-20 prefix
+    "q_text_vocab",
+    // 1-row token-total broadcasts feeding the FIXED 64-row model
+    "q_text_dsir",
+    // 1-row node-count broadcast in every fixed-point iteration
+    "q_graph_pagerank",
+    // 1-row query-vector broadcast against the corpus (dense side)
+    "q_hybrid_rrf",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
