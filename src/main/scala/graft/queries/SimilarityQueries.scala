@@ -1906,5 +1906,78 @@ object SimilarityQueries extends QueryPack {
         "top-50 by reciprocal-rank fusion, contributions as exact " +
         "1e9-scaled bigints — both lists via TakeOrdered, rank " +
         "windows over 50 rows only."),
+
+    GraftQuery(
+      "q_sim_kmeans_stats", Seq("A10", "A8", "D9"),
+      (s, dir) => {
+        // Clustering-quality audit of the shared coarse layer — the
+        // k-means diagnostics every IVF consumer implicitly depends
+        // on, surfaced as first-class numbers: per-cluster size,
+        // EXACT integer inertia (||x - c||^2 = nq + cnq - 2*dot, all
+        // bigints — no float summation hazard), and label purity
+        // (majority label + its count, ties to the smaller label).
+        // Assignment is the ONE shared argmax (VectorIndex.argmaxCell,
+        // identical math to q_sim_ivf_ann), so these stats describe
+        // exactly the cells the ANN queries probe. Scale shape:
+        // bounded centroid broadcast, linear assignment, two
+        // hash-partitioned aggregations.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val cent = sampledCentroids(e, k)
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+          .localCheckpoint()
+        val assigned = e.join(cellOf, Seq("vec_id"))
+          .join(broadcast(cent.select(col("c_id").as("cell"),
+            col("cqe"), col("cnq"))), Seq("cell"))
+          .withColumn("d2",
+            col("nq") + col("cnq") - lit(2) * VectorOps.dot("cqe", "qe"))
+        val stats = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n_members"), sum("d2").as("inertia"))
+        val purity = assigned.groupBy("cell", "label")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy("cell")
+          .agg(max(struct(col("nl"),
+            (-col("label")).as("negl"))).as("m"))
+          .selectExpr("cell", "m.nl as top_label_n",
+            "-m.negl as top_label")
+        stats.join(purity, Seq("cell"))
+          .select("cell", "n_members", "inertia", "top_label",
+            "top_label_n")
+          .orderBy("cell")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
+                  cent.cqe, cent.cnq,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, label, qe, nq, c_id AS cell,
+                  cqe, cnq
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          d AS (SELECT cell, label,
+                  nq + cnq - 2 * ${duckDot("cqe", "qe")} AS d2
+                FROM assigned),
+          st AS (SELECT cell, count(*)::BIGINT AS n_members,
+                  sum(d2)::BIGINT AS inertia FROM d GROUP BY 1),
+          lc AS (SELECT cell, label, count(*)::BIGINT AS nl FROM d
+                GROUP BY 1, 2),
+          top AS (SELECT cell, nl AS top_label_n, label AS top_label
+                FROM (SELECT *, row_number() OVER (PARTITION BY cell
+                        ORDER BY nl DESC, label) AS rn FROM lc)
+                WHERE rn = 1)
+        SELECT st.cell, st.n_members, st.inertia, top.top_label,
+          top.top_label_n
+        FROM st JOIN top USING (cell) ORDER BY st.cell"""),
+      "k-means clustering diagnostics over the shared IVF coarse " +
+        "layer: per-cluster size, exact integer inertia, and " +
+        "majority-label purity — the measured cell balance the ANN " +
+        "probe queries depend on."),
   )
 }

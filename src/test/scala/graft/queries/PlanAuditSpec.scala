@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSuite {
     "q_sim_ivf_ann", "q_sim_ivf_probe2", "q_sim_index_probe",
     "q_sim_index_probe2", "q_sim_ivf_refined", "q_sim_ivfpq",
     "q_sim_ivfpq2", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
+    "q_sim_kmeans_stats",
     // A10 max-sim: all x broadcast(targets) — targets are a small dim
     "q_sim_maxsim_target",
     // 1-row aggregate crossJoins (counts stitched side by side)
