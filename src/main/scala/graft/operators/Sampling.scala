@@ -44,4 +44,28 @@ object Sampling {
       .orderBy("__ek")
       .limit(n)
       .drop("__ek")
+
+  /** Per-stratum weighted sample without replacement: `nPerGroup` rows
+    * from EVERY group (fewer if the group is smaller) with probability
+    * proportional to `weightCol` within the group — the quota-ed twin
+    * of [[weightedSample]] (a global draw over skewed strata starves
+    * the small ones; stratified pipelines want exact per-stratum
+    * quotas). Same deterministic exponential clocks, ranked by ONE
+    * hash-partitioned window per stratum (no global sort, no
+    * collect); ties break on the row key for full determinism.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      groupCol: Column,
+      weightCol: Column,
+      keyCol: Column,
+      nPerGroup: Int,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__ek", exponentialKey(weightCol, keyCol, salt))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("__ek"), keyCol)))
+      .where(col("__rk") <= nPerGroup)
+      .drop("__ek", "__rk")
+  }
 }

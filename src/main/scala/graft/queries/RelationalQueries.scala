@@ -887,6 +887,113 @@ object RelationalQueries extends QueryPack {
         ORDER BY gid, flag, status"""),
       "OLAP ROLLUP subtotals: leaf, per-flag, and grand-total groups " +
         "in one Expand + hash-aggregate pass (no extra scans), " +
-        "cross-engine grouping_id bit parity pinned by the oracle.")
+        "cross-engine grouping_id bit parity pinned by the oracle."),
+
+    GraftQuery(
+      "q_sample_stratified", Seq("D8", "A8"),
+      (s, dir) =>
+        // Stratified sampling with exact per-stratum quotas — the
+        // training-data sampling mode a GLOBAL weighted draw
+        // (q_sample_weighted) cannot provide over skewed strata (a
+        // dominant language would starve the rest). Same deterministic
+        // exponential clocks (md5-derived U(0,1], so the oracle
+        // recomputes the draw bit for bit), quota enforced by ONE
+        // hash-partitioned per-language window — no global sort.
+        Sampling.stratifiedSample(
+            t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+            col("lang"), col("n_chars").cast("double"), col("doc_id"),
+            nPerGroup = 8)
+          .orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY
+              -ln((('0x' || substr(md5(doc_id::VARCHAR),1,8))::UBIGINT
+                + 1.0) / 4294967296.0) / n_chars, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 8 ORDER BY lang, doc_id"""),
+      "Per-stratum weighted sampling without replacement: exact " +
+        "8-doc quota per language via deterministic exponential " +
+        "clocks and one partitioned window — reproducible across " +
+        "runs, engines, and repartitionings."),
+
+    GraftQuery(
+      "q_profile_table", Seq("A8", "A9", "P6"),
+      (s, dir) => {
+        // Table profiling — the data-quality pass every warehouse
+        // runs before trusting a feed: per-column row/null/distinct
+        // counts and min/max, ONE scan (single aggregate row, then a
+        // 4-row stack unpivot — the multi-distinct expands map-side,
+        // no extra scans). Min/max stringify through per-type
+        // DETERMINISTIC formats (ints as ints, integral doubles via
+        // bigint, timestamps via explicit format) so the oracle
+        // cannot drift on float/timestamp rendering.
+        val li = t(s, dir, "lineitem")
+        val a = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .as("nn_ok"),
+          countDistinct("l_orderkey").as("nd_ok"),
+          min("l_orderkey").cast("string").as("mn_ok"),
+          max("l_orderkey").cast("string").as("mx_ok"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+            .as("nn_q"),
+          countDistinct("l_quantity").as("nd_q"),
+          min("l_quantity").cast("bigint").cast("string").as("mn_q"),
+          max("l_quantity").cast("bigint").cast("string").as("mx_q"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .as("nn_rf"),
+          countDistinct("l_returnflag").as("nd_rf"),
+          min("l_returnflag").as("mn_rf"),
+          max("l_returnflag").as("mx_rf"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .as("nn_sd"),
+          countDistinct("l_shipdate").as("nd_sd"),
+          date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("mn_sd"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("mx_sd"))
+        a.selectExpr(
+          """stack(4,
+            'l_orderkey', n, nn_ok, nd_ok, mn_ok, mx_ok,
+            'l_quantity', n, nn_q, nd_q, mn_q, mx_q,
+            'l_returnflag', n, nn_rf, nd_rf, mn_rf, mx_rf,
+            'l_shipdate', n, nn_sd, nd_sd, mn_sd, mx_sd)
+            as (col_name, n_rows, n_null, n_distinct, min_s, max_s)""")
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT count(*)::BIGINT AS n,
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+              AS nn_ok,
+            count(DISTINCT l_orderkey) AS nd_ok,
+            min(l_orderkey)::VARCHAR AS mn_ok,
+            max(l_orderkey)::VARCHAR AS mx_ok,
+            sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+              AS nn_q,
+            count(DISTINCT l_quantity) AS nd_q,
+            min(l_quantity)::BIGINT::VARCHAR AS mn_q,
+            max(l_quantity)::BIGINT::VARCHAR AS mx_q,
+            sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+              ::BIGINT AS nn_rf,
+            count(DISTINCT l_returnflag) AS nd_rf,
+            min(l_returnflag) AS mn_rf,
+            max(l_returnflag) AS mx_rf,
+            sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+              AS nn_sd,
+            count(DISTINCT l_shipdate) AS nd_sd,
+            strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mn_sd,
+            strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS mx_sd
+          FROM lineitem)
+        SELECT 'l_orderkey' AS col_name, n AS n_rows, nn_ok AS n_null,
+            nd_ok AS n_distinct, mn_ok AS min_s, mx_ok AS max_s FROM a
+        UNION ALL SELECT 'l_quantity', n, nn_q, nd_q, mn_q, mx_q FROM a
+        UNION ALL SELECT 'l_returnflag', n, nn_rf, nd_rf, mn_rf, mx_rf
+          FROM a
+        UNION ALL SELECT 'l_shipdate', n, nn_sd, nd_sd, mn_sd, mx_sd
+          FROM a
+        ORDER BY col_name"""),
+      "One-scan table profiling: per-column null/distinct counts and " +
+        "min/max with per-type deterministic string rendering — the " +
+        "data-quality audit pass, unpivoted via stack (no extra " +
+        "scans).")
   )
 }

@@ -52,6 +52,21 @@ class OperatorsSpec extends SparkSuite {
     assert(ids.count(_ <= 100) >= 45)
   }
 
+  test("stratifiedSample: exact quota per stratum, small groups whole, " +
+    "deterministic") {
+    val df = ((1 to 100).map(i => (i, "big")) ++
+        Seq((201, "tiny"), (202, "tiny")))
+      .toDF("id", "g").withColumn("w", lit(1.0))
+    val s1 = Sampling.stratifiedSample(df, $"g", $"w", $"id", 10)
+    val byG = s1.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG === Map("big" -> 10L, "tiny" -> 2L))
+    // pure function of keys: a re-run and a repartition draw the same
+    val s2 = Sampling.stratifiedSample(df.repartition(7), $"g", $"w",
+      $"id", 10)
+    assert(s1.select("id").as[Int].collect().sorted.toSeq ===
+      s2.select("id").as[Int].collect().sorted.toSeq)
+  }
+
   test("bipartiteClosure computes the reachable component") {
     // parts 1-2-3 connected through orders 10,20; part 9/order 90 separate
     val edges = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (9L, 90L))
