@@ -995,5 +995,107 @@ object RelationalQueries extends QueryPack {
         "min/max with per-type deterministic string rendering — the " +
         "data-quality audit pass, unpivoted via stack (no extra " +
         "scans).")
+    ,
+
+    GraftQuery(
+      "q_events_twa", Seq("W8", "A9", "W2"),
+      (s, dir) => {
+        // Time-weighted average of a sampled signal — the IoT/finance
+        // aggregation a plain avg gets wrong when sampling is uneven
+        // (sample-and-hold: each reading holds until the next one).
+        // Exactness: the 2-decimal `value` scales to an exact 1e2
+        // integer, hold durations are exact µs longs from lead(ts),
+        // so sum(v100 * dur) and sum(dur) are exact integer sums
+        // (order-independent) and TWA leaves integer land in ONE
+        // division. A user's last reading has no hold window and is
+        // excluded (n_holds counts the weighted ones). Scale shape:
+        // one user-partitioned window (hash-partitioned, no global
+        // sort), one aggregation.
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("v100",
+            expr("cast(round(value * 100) as bigint)"))
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("dur", lead("us", 1).over(w) - col("us"))
+          .where(col("dur").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_holds"),
+            sum("dur").as("total_us"),
+            round(sum(col("v100") * col("dur")).cast("double") /
+              (sum("dur") * lit(100.0)), 4).as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+              round(value * 100)::BIGINT AS v100,
+              epoch_us(ts) AS us,
+              lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts) AS dur
+            FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_holds,
+          sum(dur)::BIGINT AS total_us,
+          round(sum(v100 * dur)::DOUBLE / (sum(dur) * 100.0), 4) AS twa
+        FROM e WHERE dur IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""),
+      "Sample-and-hold time-weighted average per user: exact 1e2 " +
+        "integer values x exact µs hold durations, one division at " +
+        "the end — the uneven-sampling aggregation plain avg gets " +
+        "wrong; one partitioned window + one aggregation."),
+
+    GraftQuery(
+      "q_scd2_orders", Seq("W8", "E6", "A8"),
+      (s, dir) => {
+        // SCD Type-2 snapshot merge — the warehouse versioned-
+        // dimension pattern: fold a revision feed into the base table
+        // and derive validity intervals per business key with ONE
+        // key-partitioned window (valid_to = lead(valid_from), open
+        // interval = current). The revision feed is synthesized
+        // deterministically (every 7th order re-prices +100.00 thirty
+        // days later) so the oracle reproduces it exactly; prices are
+        // 2-decimal doubles summed as exact 1e2 integers.
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("status"),
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("p100"),
+            col("o_orderdate").as("valid_from"))
+        val rev = base.where(col("k") % 7 === 0)
+          .withColumn("p100", col("p100") + lit(10000L))
+          .withColumn("valid_from",
+            expr("valid_from + interval 30 days"))
+        val w = Window.partitionBy("k").orderBy("valid_from")
+        val scd = base.unionByName(rev)
+          .withColumn("valid_to", lead("valid_from", 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+        scd.groupBy("status")
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("is_current"), 1L).otherwise(0L))
+              .as("n_current"),
+            (sum(when(col("is_current"), col("p100"))
+              .otherwise(0L)) / 100.0).as("current_total"))
+          .orderBy("status")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+              o_orderstatus AS status,
+              round(o_totalprice * 100)::BIGINT AS p100,
+              o_orderdate AS valid_from
+            FROM orders),
+          rev AS (SELECT k, status, p100 + 10000 AS p100,
+              valid_from + INTERVAL 30 DAY AS valid_from
+            FROM base WHERE k % 7 = 0),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM rev),
+          scd AS (SELECT *, lead(valid_from) OVER (PARTITION BY k
+                ORDER BY valid_from) AS valid_to
+            FROM u)
+        SELECT status, count(*)::BIGINT AS n_versions,
+          sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_current,
+          sum(CASE WHEN valid_to IS NULL THEN p100 ELSE 0 END) / 100.0
+            AS current_total
+        FROM scd GROUP BY 1 ORDER BY 1"""),
+      "SCD Type-2 versioned-dimension merge: deterministic revision " +
+        "feed folded into the base, validity intervals from one " +
+        "key-partitioned lead window, current-snapshot totals as " +
+        "exact integer sums.")
   )
 }
