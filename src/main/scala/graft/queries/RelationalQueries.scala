@@ -1096,6 +1096,90 @@ object RelationalQueries extends QueryPack {
       "SCD Type-2 versioned-dimension merge: deterministic revision " +
         "feed folded into the base, validity intervals from one " +
         "key-partitioned lead window, current-snapshot totals as " +
-        "exact integer sums.")
+        "exact integer sums."),
+
+    GraftQuery(
+      "q_join_asof_fwd", Seq("J10", "W8"),
+      (s, dir) => {
+        // Forward as-of: each view matches the user's NEXT purchase —
+        // time-to-convert, the mirror of q_join_asof's attribution
+        // direction. Same union + one-window-pass kernel
+        // (AsOfJoin.asOfNext), one key shuffle, no nested loop; an
+        // equal-timestamp purchase is a valid match (rights sort
+        // after lefts at ties). Gap math in exact µs before ONE
+        // division.
+        val ev = t(s, dir, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "ts")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts")
+        AsOfJoin.asOfNext(views, purchases, "user_id", "ts")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_views"),
+            count(col("__matched_ts")).as("n_converted"),
+            round(avg((unix_micros(col("__matched_ts")) -
+              unix_micros(col("ts"))) / 1000000.0), 3)
+              .as("avg_ttc_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts FROM events
+              WHERE event_type='view'),
+            p AS (SELECT user_id, ts FROM events
+              WHERE event_type='purchase'),
+            j AS (SELECT v.user_id, v.ts AS vts, p.ts AS pts
+                  FROM v ASOF LEFT JOIN p
+                    ON v.user_id = p.user_id AND v.ts <= p.ts)
+        SELECT user_id, count(*) AS n_views,
+          count(pts) AS n_converted,
+          round(avg((epoch_us(pts)-epoch_us(vts))/1000000.0),3)
+            AS avg_ttc_s
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "Forward as-of join (next purchase >= each view): time-to-" +
+        "convert via the mirrored union + running-window kernel."),
+
+    GraftQuery(
+      "q_join_fuzzy", Seq("J11", "J6", "D1"),
+      (s, dir) => {
+        // Blocked fuzzy entity-resolution join: distinct part names
+        // that are within edit distance 2 of each other. Candidates
+        // come from a shared-TOKEN blocking key (the ER classic —
+        // explode each name's words, equi-join on the word), NEVER
+        // all-pairs: a hot block of k names costs k rows into the
+        // bucket join. Levenshtein runs only on candidate pairs;
+        // pair dedup by name_a < name_b; the per-distance pair count
+        // plus an order-independent md5-derived pair fingerprint
+        // prove the MATCHED PAIR SET (not just counts) is identical
+        // across engines.
+        val names = t(s, dir, "part").select("p_name").distinct()
+          .withColumn("tok", explode(split(col("p_name"), " ")))
+        val cands = names.toDF("a", "tok")
+          .join(names.toDF("b", "tok"), Seq("tok"))
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cands
+          .withColumn("dist", levenshtein(col("a"), col("b")))
+          .where(col("dist") <= 2)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr(graft.operators.TextOps.hash64(
+              "concat(a, '|', b)") + " % 1000000007")).as("pairs_fp"))
+          .orderBy("dist")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name FROM part),
+          tok AS (SELECT p_name, unnest(string_split(p_name, ' '))
+              AS tok FROM n),
+          cand AS (SELECT DISTINCT a.p_name AS a, b.p_name AS b
+            FROM tok a JOIN tok b ON a.tok = b.tok AND a.p_name < b.p_name),
+          m AS (SELECT a, b, levenshtein(a, b) AS dist FROM cand
+            WHERE levenshtein(a, b) <= 2)
+        SELECT dist, count(*)::BIGINT AS n_pairs,
+          sum(('0x' || substr(md5(a || '|' || b),1,15))::BIGINT
+            % 1000000007)::BIGINT AS pairs_fp
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Blocked fuzzy join (edit distance <= 2 on part names): " +
+        "shared-token blocking feeds the bucket equi-join (k rows " +
+        "per hot block, never all-pairs), Levenshtein only on " +
+        "candidates, pair-set fingerprint pinned cross-engine.")
   )
 }

@@ -42,6 +42,24 @@ class OperatorsSpec extends SparkSuite {
     assert(out.where($"__matched_ts".isNotNull).count() === 1)
   }
 
+  test("asOfNext picks the earliest right ts >= left, equal ts included") {
+    val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 09:00:00"))
+      .toDF("k", "s").select($"k", $"s".cast("timestamp").as("ts"))
+    val right = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-01 08:00:00"))
+      .toDF("k", "s").select($"k", $"s".cast("timestamp").as("ts"))
+    val out = AsOfJoin.asOfNext(left, right, "k", "ts")
+      .select($"k", $"ts".cast("string"), $"__matched_ts".cast("string"))
+      .as[(Long, String, Option[String])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      // equal-ts right row IS a forward match
+      (1L, "2024-01-01 10:00:00", Some("2024-01-01 10:00:00")),
+      // nothing after 12:00 for key 1
+      (1L, "2024-01-01 12:00:00", None),
+      (2L, "2024-01-01 09:00:00", None)))
+  }
+
   test("weightedSample: deterministic, right size, favors heavy weights") {
     val df = (1 to 1000).toDF("id")
       .withColumn("w", when($"id" <= 100, 1000.0).otherwise(0.001))
