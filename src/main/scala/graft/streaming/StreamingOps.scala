@@ -1097,6 +1097,39 @@ object StreamingOps {
       }
   }
 
+  /** STREAM-STREAM time-interval join — both sides unbounded (every
+    * other join in this pack is stream-static): left events match
+    * right events of the same key with right.ts in [left.ts,
+    * left.ts + windowSeconds]. Both sides carry the watermark, so
+    * Spark bounds the join state to watermark + window and evicts
+    * buffered rows once no future match is possible — the canonical
+    * two-feed correlation (view→purchase conversion, order→fill,
+    * request→response) at unbounded scale. Inner join: a pair emits
+    * as soon as both sides arrive; the batch twin is the identical
+    * range predicate on the static table (parity spec-pinned over
+    * the real events parquet).
+    */
+  def intervalJoinStream(
+      left: DataFrame, // keyCol, tsCol
+      right: DataFrame, // keyCol, tsCol
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left
+      .select(col(keyCol).as("key"), col(tsCol).as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val r = right
+      .select(col(keyCol).as("__graft_rk"), col(tsCol).as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    l.join(r,
+      col("key") === col("__graft_rk") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <=
+          col("left_ts") + expr(s"interval $windowSeconds seconds"))
+      .select("key", "left_ts", "right_ts")
+  }
+
   final case class SeriesBucket(
       series: String, bucket: java.sql.Timestamp, cnt: Long)
   final case class AnomalyOut(

@@ -1259,4 +1259,48 @@ class StreamingSpec extends SparkSuite {
       assert((got.keySet -- want.keySet).forall(b => got(b)._2.isEmpty))
     } finally q.stop()
   }
+
+  test("stream-stream interval join emits exactly the batch range-join " +
+    "pairs over the real events table") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.load(spark, sf, "events")
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select("user_id", "ts").as[(Long, Timestamp)].collect().toSeq
+    val (viewsFx, purchFx) = (side("view"), side("purchase"))
+    val views = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val out = StreamingOps.intervalJoinStream(
+      views.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split at the median EVENT time (a split
+      // that re-delivers old data in batch 2 would be legitimately
+      // watermark-dropped): pairs whose halves straddle the split
+      // must still join from buffered state
+      val cut = (viewsFx ++ purchFx).map(_._2.getTime).sorted
+        .apply((viewsFx.size + purchFx.size) / 2)
+      views.addData(viewsFx.filter(_._2.getTime < cut))
+      purchases.addData(purchFx.filter(_._2.getTime < cut))
+      q.processAllAvailable()
+      views.addData(viewsFx.filter(_._2.getTime >= cut))
+      purchases.addData(purchFx.filter(_._2.getTime >= cut))
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("key", "left_ts", "right_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSeq.sorted
+      val want = ev.where(col("event_type") === "view").as("v")
+        .select(col("user_id"), col("ts").as("left_ts"))
+        .join(ev.where(col("event_type") === "purchase").as("p")
+            .select(col("user_id"), col("ts").as("right_ts")),
+          Seq("user_id"))
+        .where(col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr("interval 1 hour"))
+        .as[(Long, Timestamp, Timestamp)].collect().toSeq.sorted
+      assert(want.nonEmpty)
+      assert(got === want)
+    } finally q.stop()
+  }
 }
