@@ -1180,6 +1180,35 @@ object RelationalQueries extends QueryPack {
       "Blocked fuzzy join (edit distance <= 2 on part names): " +
         "shared-token blocking feeds the bucket equi-join (k rows " +
         "per hot block, never all-pairs), Levenshtein only on " +
-        "candidates, pair-set fingerprint pinned cross-engine.")
+        "candidates, pair-set fingerprint pinned cross-engine."),
+
+    GraftQuery(
+      "q_agg_pivot", Seq("A8", "P6"),
+      (s, dir) =>
+        // PIVOT — long-to-wide reshaping with an EXPLICIT value list
+        // (the deterministic form; discovery-mode pivot needs an extra
+        // pass to enumerate values and makes the output schema
+        // data-dependent). Spark plans explicit-values pivot as one
+        // hash aggregate with per-value conditional aggregates — one
+        // scan, one shuffle, exactly the CASE-WHEN matrix the oracle
+        // spells out. Measures stay exact (integer counts + 2-decimal
+        // rounded sums).
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(round(sum("l_quantity"), 2).as("qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+            AS "F_qty",
+          count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F_n",
+          round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+            AS "O_qty",
+          count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O_n"
+        FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      "Explicit-values PIVOT: long-to-wide in one hash-aggregate pass " +
+        "(per-value conditional aggregates, no second scan), " +
+        "deterministic output schema.")
   )
 }

@@ -1979,5 +1979,51 @@ object SimilarityQueries extends QueryPack {
         "layer: per-cluster size, exact integer inertia, and " +
         "majority-label purity — the measured cell balance the ANN " +
         "probe queries depend on."),
+
+    GraftQuery(
+      "q_sim_standardize", Seq("A9", "A8", "P6"),
+      (s, dir) => {
+        // Per-dimension corpus statistics — the standardization /
+        // whitening prelude (mean-center, unit-variance) every
+        // embedding pipeline runs before indexing. One posexplode +
+        // one (dim)-keyed aggregation over the quantized integers:
+        // count/sum/sum-of-squares are EXACT integer partials
+        // (order-independent), and the n*SS - S^2 radicand widens to
+        // decimal(38,0) — at bench scale the bigint product already
+        // overflows (n*sum(v^2) ~ 2.5e19 > 2^63), and a 128-bit-exact
+        // radicand keeps mean/std down to ONE double conversion +
+        // sqrt + division, identical in the oracle (HUGEINT there).
+        val dims = quantized(s, dir)
+          .select(posexplode(col("qe")).as(Seq("dim", "v")))
+        dims.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+          .withColumn("mean", round(
+            col("sv").cast("double") / (col("n") * lit(1000000.0)), 6))
+          .withColumn("std", round(
+            sqrt((col("n").cast("decimal(38,0)") *
+              col("svv").cast("decimal(38,0)") -
+              col("sv").cast("decimal(38,0)") *
+              col("sv").cast("decimal(38,0)")).cast("double")) /
+              (col("n") * lit(1000000.0)), 6))
+          .select("dim", "n", "mean", "std")
+          .orderBy("dim")
+      },
+      Some(s"""WITH $duckBase,
+          d AS (SELECT (i - 1)::INT AS dim, qe[i] AS v
+            FROM (SELECT qe, unnest(range(1, len(qe) + 1)) AS i
+              FROM n)),
+          st AS (SELECT dim, count(*)::BIGINT AS n,
+              sum(v)::BIGINT AS sv, sum(v * v)::BIGINT AS svv
+            FROM d GROUP BY 1)
+        SELECT dim, n,
+          round(sv::DOUBLE / (n * 1000000.0), 6) AS mean,
+          round(sqrt((n::HUGEINT * svv - sv::HUGEINT * sv)::DOUBLE)
+            / (n * 1000000.0), 6) AS std
+        FROM st ORDER BY dim"""),
+      "Per-dimension embedding mean/std (the standardization " +
+        "prelude): exact integer count/sum/sum-of-squares partials, " +
+        "128-bit-exact variance radicand, one double conversion at " +
+        "the end — order-independent at any parallelism."),
   )
 }
