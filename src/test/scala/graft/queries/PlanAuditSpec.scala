@@ -84,4 +84,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("percentile_approx"),
       "stage 1 no longer plans the GK-sketch cut aggregation:\n" + plan)
   }
+
+  test("column pruning reaches the parquet scan: representative queries " +
+    "read ONLY the columns they use") {
+    // A scan whose ReadSchema carries unused columns is the 100 TB
+    // I/O regression Catalyst normally prevents for free — unless a
+    // plan shape (RDD round-trip, star-select before explode, UDF
+    // over the whole row) silently defeats it. Pin a representative
+    // query per table family: every ReadSchema for the named file
+    // must be a subset of the allowed columns.
+    def readSchemas(name: String, file: String): Seq[Set[String]] = {
+      // sparkPlan (pre-AQE) still has the real FileSourceScanExec
+      // leaves; AQE's executedPlan wrapper hides them from collect
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains(file)) =>
+            f.requiredSchema.fieldNames.toSet
+        }
+    }
+    val cases = Seq(
+      // (query, parquet file, allowed columns for that scan)
+      ("q_text_vocab", "documents.parquet", Set("text")),
+      ("q_agg_pricing_summary", "lineitem.parquet",
+        Set("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount")),
+      ("q_events_anomaly", "events.parquet", Set("ts")),
+      ("q_agg_rollup", "lineitem.parquet",
+        Set("l_returnflag", "l_linestatus", "l_quantity")),
+      ("q_sample_stratified", "documents.parquet",
+        Set("doc_id", "lang", "n_chars")))
+    val bad = cases.flatMap { case (q, f, allowed) =>
+      val schemas = readSchemas(q, f)
+      if (schemas.isEmpty) Seq(s"$q: no $f scan found in plan")
+      else schemas.filterNot(_.subsetOf(allowed))
+        .map(s => s"$q: $f scan reads ${s.mkString(",")} " +
+          s"(allowed: ${allowed.mkString(",")})")
+    }
+    assert(bad.isEmpty, "unpruned scans:\n" + bad.mkString("\n"))
+  }
 }
