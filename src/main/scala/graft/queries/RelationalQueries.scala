@@ -921,37 +921,45 @@ object RelationalQueries extends QueryPack {
       (s, dir) => {
         // Table profiling — the data-quality pass every warehouse
         // runs before trusting a feed: per-column row/null/distinct
-        // counts and min/max, ONE scan (single aggregate row, then a
-        // 4-row stack unpivot — the multi-distinct expands map-side,
-        // no extra scans). Min/max stringify through per-type
+        // counts and min/max. The null/min/max measures share ONE
+        // scan; each EXACT distinct count runs as its own
+        // single-column aggregation over a PRUNED scan (map-side
+        // partial distinct, narrow shuffle) — a combined
+        // multi-distinct agg plans an Expand that multiplies every
+        // row by the distinct count (measured 3x slower at bench
+        // scale than the four narrow jobs). The 1-row results stitch
+        // by broadcast. Min/max stringify through per-type
         // DETERMINISTIC formats (ints as ints, integral doubles via
         // bigint, timestamps via explicit format) so the oracle
         // cannot drift on float/timestamp rendering.
         val li = t(s, dir, "lineitem")
+        def nd(c: String, alias: String) =
+          broadcast(li.select(c).distinct()
+            .agg(count(lit(1)).as(alias)))
         val a = li.agg(
           count(lit(1)).as("n"),
           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
             .as("nn_ok"),
-          countDistinct("l_orderkey").as("nd_ok"),
           min("l_orderkey").cast("string").as("mn_ok"),
           max("l_orderkey").cast("string").as("mx_ok"),
           sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
             .as("nn_q"),
-          countDistinct("l_quantity").as("nd_q"),
           min("l_quantity").cast("bigint").cast("string").as("mn_q"),
           max("l_quantity").cast("bigint").cast("string").as("mx_q"),
           sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
             .as("nn_rf"),
-          countDistinct("l_returnflag").as("nd_rf"),
           min("l_returnflag").as("mn_rf"),
           max("l_returnflag").as("mx_rf"),
           sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
             .as("nn_sd"),
-          countDistinct("l_shipdate").as("nd_sd"),
           date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
             .as("mn_sd"),
           date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
             .as("mx_sd"))
+          .crossJoin(nd("l_orderkey", "nd_ok"))
+          .crossJoin(nd("l_quantity", "nd_q"))
+          .crossJoin(nd("l_returnflag", "nd_rf"))
+          .crossJoin(nd("l_shipdate", "nd_sd"))
         a.selectExpr(
           """stack(4,
             'l_orderkey', n, nn_ok, nd_ok, mn_ok, mx_ok,
