@@ -203,30 +203,16 @@ object TextQueries extends QueryPack {
   private[queries] val Bm25Terms = Seq("spark", "hash", "window")
 
   private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val dd = docs(s, dir)
-      .withColumn("t", TextOps.tokens("text"))
-      .where(expr("size(t) > 0"))
-      .select(col("doc_id"), col("lang"), col("t"),
-        expr("cast(size(t) as bigint)").as("dl"))
-    val n = dd.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
-    val tf = dd.select(col("doc_id"), explode(col("t")).as("term"))
-      .join(broadcast(Bm25Terms.toDF("term")), Seq("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val sc = tf.join(broadcast(dfreq), Seq("term"))
-      .join(dd.select("doc_id", "dl"), Seq("doc_id"))
-      .crossJoin(broadcast(n))
-      .withColumn("s",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"),
-        sum(round(col("s") * 10000).cast("long")).as("s4"))
-    dd.select("doc_id", "lang", "dl").join(sc, Seq("doc_id"))
+    // delegate to the ONE scoring definition (TextIndex.score) over a
+    // query-pruned build: tf/df restricted to the query terms by a
+    // broadcast join before any shuffle — scores identical to the
+    // full index's (df/n/avgdl don't depend on the pruning)
+    import graft.operators.TextIndex
+    val d = docs(s, dir)
+    val idx = TextIndex.build(d, onlyTerms = Some(Bm25Terms))
+    TextIndex.score(idx, Bm25Terms)
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "dl", "n_terms", "s4")
   }
 
   /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
@@ -2176,5 +2162,33 @@ object TextQueries extends QueryPack {
         "(one explode per vocabulary word, not per token instance): " +
         "exact frequency-weighted adjacent-pair counts, top-15 merge " +
         "candidates via TakeOrdered."),
+
+    GraftQuery(
+      "q_text_index_search", Seq("A8", "W3", "W4"),
+      (s, dir) => {
+        // The same BM25 math as q_text_bm25, driven through the
+        // PERSISTENT-INDEX surface (TextIndex.build + search) — the
+        // library's inverted-index API sits behind the correctness
+        // gate itself (the q_sim_index_probe pattern for text). The
+        // FULL index builds here (every term, the real build path);
+        // q_text_bm25 exercises the query-pruned build of the same
+        // scorer, so the two gates together pin that pruned and full
+        // builds score identically.
+        import graft.operators.TextIndex
+        val idx = TextIndex.build(docs(s, dir))
+        TextIndex.search(idx, Bm25Terms, k = 10)
+          .withColumn("bm25", col("s4") / 10000.0)
+          .select("rnk", "doc_id", "n_terms", "bm25")
+          .orderBy("rnk")
+      },
+      Some(s"""WITH $duckBm25,
+          r AS (SELECT doc_id, n_terms, s4, row_number() OVER
+              (ORDER BY s4 DESC, doc_id) AS rnk FROM bm)
+        SELECT rnk, doc_id, n_terms, s4 / 10000.0 AS bm25
+        FROM r WHERE rnk <= 10 ORDER BY rnk"""),
+      "Top-10 keyword search through the persistent inverted-index " +
+        "surface (full-vocabulary build + pruned probe): identical " +
+        "exact-integer BM25 ranking as the ad-hoc scorer, TakeOrdered " +
+        "+ a 10-row rank window."),
   )
 }

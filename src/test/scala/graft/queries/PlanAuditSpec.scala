@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row corpus-count broadcast for the idf denominator
     "q_text_tfidf",
     // 1-row (N, avgdl) broadcast for the bm25 idf/length norm
-    "q_text_bm25",
+    "q_text_bm25", "q_text_index_search",
     // 1-row total-token broadcast feeding the per-source budgets
     "q_pipeline_mixture",
     // 1-row vocabulary-count broadcast for the add-one denominator
