@@ -1097,6 +1097,59 @@ object StreamingOps {
       }
   }
 
+  /** Streaming keyword search — the serving twin of the persistent
+    * BM25 index (`operators.TextIndex`): arriving queries (id + term
+    * array) explode to (query, term) rows, join the STATIC postings /
+    * df side (term-keyed — over a catalog-bucketed postings table the
+    * static side is exchange-free, same contract as the batch probe),
+    * score with the ONE shared BM25 float discipline (per-term scores
+    * scaled to exact 1e-4 integers before the per-(query, doc) sum),
+    * and a watermarked per-(window, query) aggregation keeps the
+    * single best hit (min(struct(-s4, doc_id)) — the stream best-hit
+    * reduce used across this pack). Queries whose terms all miss the
+    * vocabulary emit nothing (a retrieval miss, not a quality gate —
+    * unlike perplexityStream's OOV contract).
+    */
+  def searchStream(
+      queries: DataFrame, // idCol, termsCol (array<string>), tsCol
+      index: graft.operators.Bm25Index,
+      idCol: String = "query_id",
+      termsCol: String = "terms",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes"): DataFrame = {
+    queries.columns.filter(_.startsWith("__graft_")).foreach(c =>
+      require(false, s"searchStream: input column $c is reserved"))
+    val post = index.postings
+      .join(index.dfTable, Seq("term"))
+      .join(index.docLens, Seq("doc_id"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("term").as("__graft_term"), col("doc_id"),
+        col("tf"), col("df"), col("dl"), col("n"), col("avgdl"))
+    queries.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(col(termsCol)).as("__graft_term"))
+      .join(post, Seq("__graft_term"))
+      .withColumn("__graft_s",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol),
+        col("doc_id"))
+      .agg(count(lit(1)).as("__graft_nt"),
+        sum(round(col("__graft_s") * 10000).cast("long"))
+          .as("__graft_s4"))
+      .groupBy(col("window"), col(idCol))
+      .agg(min(struct((-col("__graft_s4")).as("ns"),
+        col("doc_id").as("d"))).as("m"),
+        count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("n_hits"), col("m.d").as("best_doc"),
+        (-col("m.ns") / 10000.0).as("best_bm25"))
+  }
+
   /** STREAM-STREAM time-interval join — both sides unbounded (every
     * other join in this pack is stream-static): left events match
     * right events of the same key with right.ts in [left.ts,

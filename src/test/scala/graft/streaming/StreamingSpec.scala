@@ -1260,6 +1260,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming keyword search over the static inverted index returns " +
+    "the batch top-1 verdict per query") {
+    import graft.streaming.StreamingOps
+    import graft.operators.TextIndex
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = TextIndex.build(corpus)
+    val terms = Seq("spark", "hash", "window")
+    val queries = MemoryStream[(Long, Seq[String], Timestamp)]
+    val out = StreamingOps.searchStream(
+      queries.toDF().toDF("query_id", "terms", "ts"), idx)
+    val q = out.writeStream.format("memory").queryName("search_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      queries.addData((1L, terms, t("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past query 1's window so the chained
+      // append-mode aggregations emit it
+      queries.addData((2L, Seq("spark"), t("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("search_stream")
+        .select("query_id", "n_hits", "best_doc", "best_bm25")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val top = TextIndex.search(idx, terms, 1)
+        .select("doc_id", "s4").as[(Long, Long)].collect().head
+      val nHits = TextIndex.score(idx, terms).count()
+      assert(got.contains(1L), s"query 1 not emitted: $got")
+      assert(got(1L) === ((nHits, top._1, top._2 / 10000.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch range-join " +
     "pairs over the real events table") {
     import graft.streaming.StreamingOps
