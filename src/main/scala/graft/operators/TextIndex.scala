@@ -138,6 +138,57 @@ object TextIndex {
       .parquet(s"$path/${name}_stats")
   }
 
+  /** Incremental append of new documents to a SAVED index: new
+    * postings and doc lengths land in the existing layouts (the
+    * bucketed postings append goes through the catalog, which
+    * validates the bucket spec — same contract as
+    * [[VectorIndex.appendSaved]], and the same loud failure when the
+    * catalog entry is gone, because a bare parquet append would
+    * silently break the bucket contract). df and stats are then
+    * RECOMPUTED from the appended tables and overwritten — BM25's idf
+    * and length norm are corpus-global, so an append legitimately
+    * shifts every score (unlike the vector index, whose centroids
+    * deliberately do NOT move on append); both are one cheap
+    * aggregation each. An append+load therefore scores identically
+    * to a full rebuild over the union — spec-pinned.
+    */
+  def appendSaved(
+      spark: SparkSession,
+      path: String,
+      name: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val tbl = s"${name}_postings"
+    require(
+      try spark.catalog.tableExists(tbl)
+      catch { case _: Exception => false },
+      s"appendSaved: catalog table $tbl missing — a bucketed append " +
+        "needs the saving catalog entry; rebuild (or re-save) the " +
+        "index instead")
+    val add = build(newDocs, idCol, textCol)
+    add.postings.write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(spark, tbl), "term").sortBy("term")
+      .option("path", s"$path/$tbl")
+      .saveAsTable(tbl)
+    add.docLens.write.mode("append")
+      .parquet(s"$path/${name}_doclens")
+    // corpus-global side tables: recompute from the appended state
+    val postings = spark.table(tbl)
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/${name}_df")
+    spark.read.parquet(s"$path/${name}_doclens")
+      .agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/${name}_stats")
+  }
+
+  /** Bucket count of a saved catalog table (authoritative for appends). */
+  private def bucketsOf(spark: SparkSession, tbl: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+      .find(_.getString(0).trim == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(sys.error(s"$tbl has no bucket spec"))
+
   /** Load a saved index. Postings come from the catalog table when its
     * location matches `path` (bucketed scans — exchange-free term
     * aggregations); otherwise fall back to the raw parquet (correct,

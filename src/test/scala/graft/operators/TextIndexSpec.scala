@@ -46,6 +46,28 @@ class TextIndexSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tidx1_postings")
   }
 
+  test("appendSaved + load searches exactly like a full rebuild over " +
+    "the union; fails loudly without the catalog entry") {
+    val old = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("tidxApp").toString
+    TextIndex.save(spark, TextIndex.build(old), dir, "tidx2", buckets = 4)
+    TextIndex.appendSaved(spark, dir, "tidx2", fresh)
+    val appended = TextIndex.search(
+      TextIndex.load(spark, dir, "tidx2"), terms, 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val rebuilt = TextIndex.search(TextIndex.build(docs), terms, 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(appended.nonEmpty)
+    // df/avgdl recompute makes append score-identical to a rebuild
+    assert(appended === rebuilt)
+    spark.sql("DROP TABLE tidx2_postings")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendSaved(spark, dir, "tidx2", fresh)
+    }
+    assert(e.getMessage.contains("catalog entry"))
+  }
+
   test("search ranks by exact integer score, ties to the smaller doc_id") {
     val d = Seq((1L, "spark spark window"), (2L, "spark spark window"),
       (3L, "hash"), (4L, "nothing here"))
