@@ -1217,6 +1217,123 @@ object RelationalQueries extends QueryPack {
         FROM lineitem GROUP BY 1 ORDER BY 1"""),
       "Explicit-values PIVOT: long-to-wide in one hash-aggregate pass " +
         "(per-value conditional aggregates, no second scan), " +
-        "deterministic output schema.")
+        "deterministic output schema."),
+
+    GraftQuery(
+      "q_events_gapfill", Seq("W2", "W8", "A8"),
+      (s, dir) => {
+        // Time-series regularization — the resampling step every
+        // dashboard/feature pipeline runs on irregular event data:
+        // generate the COMPLETE hourly spine between the observed min
+        // and max (sequence + explode over a 1-row aggregate — the
+        // spine derives from data, no driver-side date math), left
+        // join the observed hourly rollup, zero-fill counts, and
+        // forward-fill the last observed hourly value-sum (an
+        // unbounded-preceding last(ignoreNulls) window — the
+        // sample-and-hold twin of q_events_twa). Value sums are exact
+        // 1e2 integers; the window runs over the post-aggregation
+        // spine only (one row per hour). n_gap flags synthesized
+        // hours so downstream knows filled from observed.
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(expr("cast(round(value * 100) as bigint)")).as("v100"))
+        val spine = hourly
+          .agg(min("hr").as("lo"), max("hr").as("hi"))
+          .select(explode(expr(
+            "sequence(lo, hi, interval 1 hour)")).as("hr"))
+        val w = Window.orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(hourly, Seq("hr"), "left")
+          .withColumn("is_gap", col("cnt").isNull)
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .withColumn("held_v", last("v100", ignoreNulls = true).over(w))
+          .groupBy(lit(1).as("g"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("is_gap"), 1L).otherwise(0L)).as("n_gaps"),
+            sum("cnt").as("n_events"),
+            (sum("held_v") / 100.0).as("held_sum"))
+          .drop("g")
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS hr,
+              count(*)::BIGINT AS cnt,
+              sum(round(value * 100)::BIGINT)::BIGINT AS v100
+            FROM events GROUP BY 1),
+          bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+          spine AS (SELECT unnest(generate_series(lo, hi,
+              INTERVAL 1 HOUR)) AS hr FROM bounds),
+          f AS (SELECT spine.hr, hourly.cnt IS NULL AS is_gap,
+              coalesce(hourly.cnt, 0) AS cnt,
+              last_value(hourly.v100 IGNORE NULLS) OVER
+                (ORDER BY spine.hr ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS held_v
+            FROM spine LEFT JOIN hourly ON hourly.hr = spine.hr)
+        SELECT count(*)::BIGINT AS n_hours,
+          sum(CASE WHEN is_gap THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+          sum(cnt)::BIGINT AS n_events,
+          sum(held_v) / 100.0 AS held_sum
+        FROM f"""),
+      "Hourly gap filling: data-derived spine via sequence+explode, " +
+        "zero-filled counts, forward-filled (sample-and-hold) exact " +
+        "integer value sums — the resampling pass over the tiny " +
+        "post-aggregation series, gaps flagged."),
+
+    GraftQuery(
+      "q_agg_corr", Seq("A9", "A8"),
+      (s, dir) =>
+        // Pearson correlation WITHOUT the built-in corr(): the
+        // built-in accumulates running double moments whose partial-
+        // merge order varies run to run (and differs from DuckDB's),
+        // so its last ulps are not gate-stable. Instead: the five
+        // sufficient statistics as EXACT integer sums over 1e2-scaled
+        // values (order-independent at any parallelism), widened to
+        // decimal(38,0) for the n*Sxy - Sx*Sy products (they pass
+        // 2^63 at bench scale), ONE conversion chain to double at the
+        // end. Per-returnflag grouping keeps it a plain hash
+        // aggregate.
+        t(s, dir, "lineitem")
+          .withColumn("x", expr("cast(round(l_quantity * 100) as bigint)"))
+          .withColumn("y",
+            expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("corr_qty_price", round(
+            (col("n").cast("decimal(38,0)") *
+              col("sxy").cast("decimal(38,0)") -
+              col("sx").cast("decimal(38,0)") *
+              col("sy").cast("decimal(38,0)")).cast("double") /
+            (sqrt((col("n").cast("decimal(38,0)") *
+              col("sxx").cast("decimal(38,0)") -
+              col("sx").cast("decimal(38,0)") *
+              col("sx").cast("decimal(38,0)")).cast("double")) *
+             sqrt((col("n").cast("decimal(38,0)") *
+              col("syy").cast("decimal(38,0)") -
+              col("sy").cast("decimal(38,0)") *
+              col("sy").cast("decimal(38,0)")).cast("double"))), 6))
+          .select("l_returnflag", "n", "corr_qty_price")
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag,
+              round(l_quantity * 100)::BIGINT AS x,
+              round(l_extendedprice * 100)::BIGINT AS y
+            FROM lineitem),
+          a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+              sum(x * y)::BIGINT AS sxy
+            FROM m GROUP BY 1)
+        SELECT l_returnflag, n,
+          round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+            (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE) *
+             sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)), 6)
+            AS corr_qty_price
+        FROM a ORDER BY 1"""),
+      "Gate-stable Pearson correlation: five exact integer sufficient " +
+        "statistics (order-independent), 128-bit-exact moment " +
+        "products, one double conversion chain — where the built-in " +
+        "corr()'s merge-order-dependent ulps would hash-drift.")
   )
 }
