@@ -1335,5 +1335,63 @@ object RelationalQueries extends QueryPack {
         "statistics (order-independent), 128-bit-exact moment " +
         "products, one double conversion chain — where the built-in " +
         "corr()'s merge-order-dependent ulps would hash-drift.")
+    ,
+
+    GraftQuery(
+      "q_itemsets", Seq("J9", "A8", "W3"),
+      (s, dir) => {
+        // Frequent-itemset mining at the pair level (market-basket
+        // support counts): top-10 part pairs by the number of orders
+        // containing both. Pair generation is bounded by basket size
+        // (TPC-H lineitems per order <= 7 — the same order-bounded
+        // self-join as q_graph_pagerank's edges), direction fixed by
+        // a < b so each pair counts once per order, supports via one
+        // hash-partitioned (a, b) aggregation, top-10 by TakeOrdered.
+        // Confidence-style ratios stay exact: support counts are
+        // ints; the lift display does ONE division chain from exact
+        // counts.
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = li.select("ok").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val itemSupp = li.groupBy("pk").agg(count(lit(1)).as("supp"))
+        val pairs = li.toDF("ok", "a")
+          .join(li.toDF("ok", "b"), Seq("ok"))
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
+        val top = pairs
+          .orderBy(col("supp_ab").desc, col("a").asc, col("b").asc)
+          .limit(10)
+        top
+          .join(itemSupp.toDF("a", "supp_a"), Seq("a"))
+          .join(itemSupp.toDF("b", "supp_b"), Seq("b"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift", round(
+            (col("supp_ab") * col("n_orders")).cast("double") /
+              (col("supp_a") * col("supp_b")), 4))
+          .select("a", "b", "supp_ab", "supp_a", "supp_b", "lift")
+          .orderBy(col("supp_ab").desc, col("a").asc, col("b").asc)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+          isupp AS (SELECT pk, count(*)::BIGINT AS supp FROM li
+            GROUP BY 1),
+          p AS (SELECT a.pk AS a, b.pk AS b, count(*)::BIGINT AS supp_ab
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2),
+          top AS (SELECT * FROM p
+            ORDER BY supp_ab DESC, a, b LIMIT 10)
+        SELECT top.a, top.b, top.supp_ab,
+          sa.supp AS supp_a, sb.supp AS supp_b,
+          round((top.supp_ab * n.n_orders)::DOUBLE /
+            (sa.supp * sb.supp), 4) AS lift
+        FROM top JOIN isupp sa ON sa.pk = top.a
+          JOIN isupp sb ON sb.pk = top.b, n
+        ORDER BY supp_ab DESC, a, b"""),
+      "Market-basket pair mining: order-bounded pair self-join (never " +
+        "all-parts quadratic), exact support counts, top-10 via " +
+        "TakeOrdered, lift from one exact-count division.")
   )
 }
