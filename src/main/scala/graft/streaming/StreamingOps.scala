@@ -1190,6 +1190,61 @@ object StreamingOps {
       z: Option[Double], isAnomaly: Boolean)
   final case class AnomalyState(recent: Seq[Long])
 
+  final case class SeriesValue(
+      series: String, bucket: java.sql.Timestamp, v: Long)
+  final case class FilledBucket(
+      series: String, bucket: java.sql.Timestamp, v: Long,
+      isGap: Boolean)
+  final case class HoldState(lastBucketMs: Long, lastV: Long)
+
+  /** Streaming gap filling — the stateful twin of q_events_gapfill's
+    * spine + forward fill: per series, keyed state remembers the last
+    * emitted bucket and value; when an arriving bucket jumps more
+    * than `stepSeconds` past the previous one, the missing buckets
+    * are SYNTHESIZED with the held value (`isGap = true`) before the
+    * observed bucket emits — so the output stream is a complete
+    * regular series, exactly what the batch spine produces over the
+    * same arrival order (sample-and-hold contract, parity
+    * spec-pinned). Out-of-order buckets within a micro-batch fill in
+    * bucket-time order; an arrival at or before the held bucket
+    * passes through unfilled (late data is the caller's
+    * dedup/correction policy, not the filler's). State: one
+    * (bucket, value) pair per live series — bounded, no timeout.
+    */
+  def gapFillStream(
+      values: Dataset[SeriesValue],
+      stepSeconds: Long = 3600L): Dataset[FilledBucket] = {
+    require(stepSeconds > 0, s"stepSeconds must be positive: $stepSeconds")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val stepMs = stepSeconds * 1000L
+    values.groupByKey(_.series)
+      .flatMapGroupsWithState[HoldState, FilledBucket](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesValue],
+         state: GroupState[HoldState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[FilledBucket]
+          rows.toSeq.sortBy(_.bucket.getTime).foreach { r =>
+            val t = r.bucket.getTime
+            if (st != null && t > st.lastBucketMs) {
+              var fill = st.lastBucketMs + stepMs
+              while (fill < t) {
+                out += FilledBucket(series,
+                  new java.sql.Timestamp(fill), st.lastV, isGap = true)
+                fill += stepMs
+              }
+            }
+            out += FilledBucket(series, r.bucket, r.v, isGap = false)
+            if (st == null || t > st.lastBucketMs)
+              st = HoldState(t, r.v)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming trailing-baseline z-score anomaly detection — the
     * stateful continuation of q_events_anomaly: per SERIES (the batch
     * query's single global hourly series generalizes to one series per

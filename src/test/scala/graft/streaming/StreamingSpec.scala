@@ -1260,6 +1260,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming gap fill synthesizes held buckets across micro-batches " +
+    "and matches the batch spine over the real events hourly series") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    // the batch gapfill's own input: hourly (bucket, v100) series
+    val hourly = graft.Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("v"))
+      .orderBy("hr")
+      .as[(Timestamp, Long)].collect().toSeq
+    val in = MemoryStream[StreamingOps.SeriesValue]
+    val q = StreamingOps.gapFillStream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("gapfill_stream")
+      .outputMode("append").start()
+    try {
+      val (first, second) = hourly.splitAt(hourly.size / 2)
+      in.addData(first.map { case (hr, v) =>
+        StreamingOps.SeriesValue("events", hr, v) })
+      q.processAllAvailable()
+      in.addData(second.map { case (hr, v) =>
+        StreamingOps.SeriesValue("events", hr, v) })
+      q.processAllAvailable()
+      val got = spark.table("gapfill_stream")
+        .select("bucket", "v", "isGap")
+        .as[(Timestamp, Long, Boolean)].collect().toSeq.sortBy(_._1.getTime)
+      // complete regular series from first to last observed hour
+      val lo = hourly.head._1.getTime
+      val hi = hourly.last._1.getTime
+      assert(got.size === ((hi - lo) / 3600000L + 1))
+      assert(got.map(_._1.getTime) ===
+        (lo to hi by 3600000L).toSeq)
+      // observed hours carry their value unflagged; gaps hold the
+      // previous observed value
+      val obs = hourly.toMap
+      got.foreach { case (b, v, isGap) =>
+        obs.get(b) match {
+          case Some(ov) => assert(v === ov && !isGap)
+          case None =>
+            val prev = hourly.takeWhile(_._1.getTime < b.getTime).last
+            assert(v === prev._2 && isGap, s"bad fill at $b")
+        }
+      }
+      assert(got.exists(_._3), "fixture has no gaps — test is vacuous")
+    } finally q.stop()
+  }
+
   test("streaming keyword search over the static inverted index returns " +
     "the batch top-1 verdict per query") {
     import graft.streaming.StreamingOps
