@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Measures the pack's core float-discipline claim instead of arguing
+  * it: every query whose output carries doubles derives them from
+  * exact integer partials (or a single terminal division/sqrt chain),
+  * so results must be BIT-identical under a different shuffle
+  * partitioning and input split size — the two knobs that reorder
+  * Spark's partial-aggregate merges. A raw double sum would flip last
+  * ulps here and fail this spec before it ever hash-drifted against
+  * the driver's oracle.
+  */
+class PartitionInvarianceSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // float-bearing representatives across the families; integer-only
+  // queries are invariant trivially, these are the ones with a story
+  private val queries = Seq(
+    "q_text_bm25", "q_text_perplexity", "q_events_twa", "q_agg_corr",
+    "q_events_anomaly", "q_text_tfidf", "q_hybrid_rrf",
+    "q_sim_standardize")
+
+  private def rows(name: String): Seq[String] = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect().map(_.toString).sorted.toSeq
+  }
+
+  for (q <- queries)
+    test(s"$q is bit-identical under different partitioning") {
+      val base = rows(q)
+      assert(base.nonEmpty)
+      val conf = spark.conf
+      val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+      val prevSplit = conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        // different reduce fan-in AND different scan split count:
+        // both reorder partial merges
+        conf.set("spark.sql.shuffle.partitions", "7")
+        conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        assert(rows(q) === base,
+          s"$q result depends on partitioning — a float partial is " +
+            "leaking into a commutative merge")
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+      }
+    }
+}
