@@ -70,6 +70,30 @@ class OperatorsSpec extends SparkSuite {
     assert(ids.count(_ <= 100) >= 45)
   }
 
+  test("sessionize agrees with Spark's native session_window over the " +
+    "real events table") {
+    // Independent implementations of the same gap rule: our
+    // window-lag sessionizer (new session when gap > g) vs Spark's
+    // built-in session_window (half-open [start, last+g) — new
+    // session when gap >= g). The rules differ only at EXACTLY g,
+    // measure-zero for µs-random data, so per-user session counts
+    // must agree on the driver's events table — two codebases
+    // cross-checking each other.
+    val ev = Tables.load(spark, sf, "events")
+    val ours = Sessionize
+      .sessionize(ev, "user_id", "ts", 3600, Seq("event_id"))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val native = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+      .count()
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(ours.nonEmpty)
+    assert(ours === native)
+  }
+
   test("stratifiedSample: exact quota per stratum, small groups whole, " +
     "deterministic") {
     val df = ((1 to 100).map(i => (i, "big")) ++
