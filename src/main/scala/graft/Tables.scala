@@ -52,6 +52,9 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // idempotent: the pack's SQL lambdas name graft_hash64, and every
+    // query/gate/bench path loads a table first
+    graft.expressions.Hash64.register(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events"     => normalizeEventsTs(df)

@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions.{array_contains, array_join, expr,
   */
 object TextOps {
 
-  /** 60-bit deterministic hash of a string expression (md5-derived). */
-  def hash64(inner: String): String =
-    s"cast(conv(substring(md5($inner),1,15),16,10) as bigint)"
+  /** 60-bit deterministic hash of a string expression (md5-derived):
+    * the fused [[graft.expressions.Hash64]] — bit-identical to
+    * `cast(conv(substring(md5(x),1,15),16,10) as bigint)` (and to the
+    * DuckDB oracles' `('0x'||substr(md5(x),1,15))::BIGINT`) without
+    * the hex-string round trip, which matters inside interpreted HOF
+    * lambdas. Sessions register the function via `Hash64.register`
+    * (Tables.load and the DataFrame-bearing entry points call it).
+    */
+  def hash64(inner: String): String = s"graft_hash64($inner)"
 
   /** Whitespace tokens, empties dropped. */
   def tokens(textCol: String): Column =
@@ -77,6 +83,7 @@ object TextOps {
       k: Int = 9,
       bands: Int = 3): org.apache.spark.sql.DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    graft.expressions.Hash64.register(docs.sparkSession)
     require(!docs.columns.contains("band_key"),
       "bandedDocs: input already has a band_key column")
     val r = k / bands
@@ -511,6 +518,7 @@ object TextOps {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col,
       count, explode, sum}
     val spark = corpus.sparkSession
+    graft.expressions.Hash64.register(spark)
     val tok = corpus
       .select(isTarget.as("__graft_tgt"),
         explode(tokens(textCol)).as("__graft_tok"))

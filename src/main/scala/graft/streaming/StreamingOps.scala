@@ -461,6 +461,7 @@ object StreamingOps {
     import graft.operators.TextOps
     docs.columns.filter(_.startsWith("__graft_")).foreach(c =>
       require(false, s"dsirStream: input column $c is reserved"))
+    graft.expressions.Hash64.register(docs.sparkSession)
     docs.withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol),
         explode(TextOps.tokens(textCol)).as("__graft_tok"))

@@ -19,6 +19,7 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.expressions.Hash64.register(s)
     s
   }
 }
