@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Catalyst extension entry point — the production wiring for the
+  * library's SQL-named functions:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * injects `graft_hash64` (the fused 60-bit md5 hash,
+  * [[graft.expressions.Hash64]]) into every session built from that
+  * config, including sessions the library never touches — thriftserver
+  * SQL clients, notebook sessions, structured-streaming jobs. The
+  * imperative twin `Hash64.register(spark)` stays for sessions created
+  * without the config (Tables.load and the DataFrame-bearing operator
+  * entry points call it idempotently); both routes build the identical
+  * expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(
+        classOf[graft.expressions.Hash64].getName, "graft_hash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"graft_hash64 takes 1 argument, got ${exprs.length}")
+        graft.expressions.Hash64(exprs.head)
+      }))
+  }
+}
