@@ -1392,6 +1392,70 @@ object RelationalQueries extends QueryPack {
         ORDER BY supp_ab DESC, a, b"""),
       "Market-basket pair mining: order-bounded pair self-join (never " +
         "all-parts quadratic), exact support counts, top-10 via " +
-        "TakeOrdered, lift from one exact-count division.")
+        "TakeOrdered, lift from one exact-count division."),
+
+    GraftQuery(
+      "q_join_pit", Seq("J10", "W8", "A8"),
+      (s, dir) => {
+        // Point-in-time join — the feature-store correctness problem:
+        // each fact must see the dimension version valid AT ITS OWN
+        // timestamp, never a later one (training-serving skew is
+        // exactly this join done wrong). Dimension = the q_scd2_orders
+        // versioned feed (same deterministic revision rule: every 7th
+        // order re-prices +100.00 thirty days after the order date);
+        // facts = lineitems at their ship date. The interval lookup
+        // IS an as-of join (latest valid_from <= fact ts per key), so
+        // it rides the shared union + one-window kernel — one key
+        // shuffle, no per-fact range scan. Version attribution and
+        // price sums stay exact integers.
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("p100"),
+            col("o_orderdate").as("valid_from"),
+            lit(1L).as("version"))
+        val rev = base.where(col("k") % 7 === 0)
+          .withColumn("p100", col("p100") + lit(10000L))
+          .withColumn("valid_from",
+            expr("valid_from + interval 30 days"))
+          .withColumn("version", lit(2L))
+        val dim = base.unionByName(rev)
+        val facts = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"),
+            col("l_shipdate").as("ts"))
+        val matched = AsOfJoin.asOfLatest(
+          facts, dim.select(col("k"), col("valid_from").as("ts")),
+          "k", "ts")
+        matched
+          .join(dim.select(col("k"), col("valid_from").as("__matched_ts"),
+            col("version"), col("p100")),
+            Seq("k", "__matched_ts"), "left")
+          .groupBy(coalesce(col("version"), lit(0L)).as("version"))
+          .agg(count(lit(1)).as("n_lineitems"),
+            countDistinct("k").as("n_orders"),
+            (sum(coalesce(col("p100"), lit(0L))) / 100.0)
+              .as("seen_price_sum"))
+          .orderBy("version")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+              round(o_totalprice * 100)::BIGINT AS p100,
+              o_orderdate AS valid_from, 1::BIGINT AS version
+            FROM orders),
+          rev AS (SELECT k, p100 + 10000, valid_from + INTERVAL 30 DAY,
+              2::BIGINT
+            FROM base WHERE k % 7 = 0),
+          dim AS (SELECT * FROM base UNION ALL SELECT * FROM rev),
+          f AS (SELECT l_orderkey AS k, l_shipdate AS ts FROM lineitem),
+          m AS (SELECT f.k, f.ts, d.version, d.p100
+            FROM f ASOF LEFT JOIN dim d
+              ON f.k = d.k AND f.ts >= d.valid_from)
+        SELECT coalesce(version, 0) AS version,
+          count(*)::BIGINT AS n_lineitems,
+          count(DISTINCT k) AS n_orders,
+          sum(coalesce(p100, 0)) / 100.0 AS seen_price_sum
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Point-in-time dimension lookup (the feature-store join): each " +
+        "fact sees the SCD2 version valid at its own timestamp via " +
+        "the shared as-of kernel — no training-serving leakage, no " +
+        "per-fact range scan; version attribution and sums exact.")
   )
 }
