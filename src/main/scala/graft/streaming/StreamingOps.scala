@@ -1151,6 +1151,42 @@ object StreamingOps {
         (-col("m.ns") / 10000.0).as("best_bm25"))
   }
 
+  /** Streaming point-in-time dimension lookup — the ONLINE side of
+    * q_join_pit's feature-store join: each arriving fact sees the
+    * static SCD2 dimension version valid at the fact's OWN event time
+    * (never a later one — the training-serving-skew guarantee, now at
+    * serving time). Stream-static inner join on (key, valid_from <=
+    * ts), then one watermarked per-(window, fact) aggregation keeps
+    * the LATEST qualifying version via the pack's best-hit reduce
+    * (max of a (valid_from, version) struct — valid_from per key is
+    * unique, so the reduce is total-ordered). Facts older than every
+    * version emit nothing (there is no feature to serve — the batch
+    * twin's version-0 bucket is a report row, not a servable value).
+    * Dim must carry (keyCol, valid_from, version).
+    */
+  def pitLookupStream(
+      facts: DataFrame, // idCol, keyCol, tsCol
+      dim: DataFrame, // keyCol, valid_from, version
+      idCol: String = "fact_id",
+      keyCol: String = "k",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes"): DataFrame = {
+    facts.columns.filter(_.startsWith("__graft_")).foreach(c =>
+      require(false, s"pitLookupStream: input column $c is reserved"))
+    val d = dim.select(col(keyCol).as("__graft_k"),
+      col("valid_from").as("__graft_vf"),
+      col("version").as("__graft_ver"))
+    facts.withWatermark(tsCol, watermark)
+      .join(d, col(keyCol) === col("__graft_k") &&
+        col("__graft_vf") <= col(tsCol))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(struct(col("__graft_vf").as("vf"),
+        col("__graft_ver").as("ver"))).as("m"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("m.vf").as("valid_from"), col("m.ver").as("version"))
+  }
+
   /** STREAM-STREAM time-interval join — both sides unbounded (every
     * other join in this pack is stream-static): left events match
     * right events of the same key with right.ts in [left.ts,

@@ -1260,6 +1260,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming point-in-time lookup attributes each fact to the batch " +
+    "as-of version over the real orders/lineitem tables") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    // the q_join_pit dimension: every 7th order revises 30 days later
+    val base = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderdate").as("valid_from"), lit(1L).as("version"))
+    val dim = base.unionByName(base.where(col("k") % 7 === 0)
+      .withColumn("valid_from", expr("valid_from + interval 30 days"))
+      .withColumn("version", lit(2L)))
+    val factsFx = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_shipdate").as("ts"))
+      .withColumn("fact_id", monotonically_increasing_id())
+      .select("fact_id", "k", "ts")
+      .as[(Long, Long, Timestamp)].collect().toSeq
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingOps.pitLookupStream(
+        in.toDF().toDF("fact_id", "k", "ts"), dim)
+      .writeStream.format("memory").queryName("pit_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(factsFx)
+      q.processAllAvailable()
+      // flush the windows: one far-future sentinel advances the
+      // watermark past every real fact
+      in.addData((-1L, -1L,
+        new Timestamp(factsFx.map(_._3.getTime).max + 86400000L * 30)))
+      q.processAllAvailable()
+      val got = spark.table("pit_stream")
+        .select("fact_id", "version")
+        .as[(Long, Long)].collect().toMap
+      // batch attribution through the shared as-of kernel
+      val facts = factsFx.toDF("fact_id", "k", "ts")
+      val want = graft.operators.AsOfJoin.asOfLatest(
+          facts, dim.select(col("k"), col("valid_from").as("ts")),
+          "k", "ts")
+        .join(dim.select(col("k"),
+          col("valid_from").as("__matched_ts"), col("version")),
+          Seq("k", "__matched_ts"))
+        .select("fact_id", "version")
+        .as[(Long, Long)].collect().toMap
+      assert(want.nonEmpty)
+      assert(got === want)
+      // both versions actually exercised
+      assert(want.values.toSet === Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming gap fill synthesizes held buckets across micro-batches " +
     "and matches the batch spine over the real events hourly series") {
     import graft.streaming.StreamingOps
