@@ -385,9 +385,16 @@ object PickaxeQueries extends QueryPack {
         val e = engine(s)
         // thermo filters the PREVIOUS expansion's reactions at the start
         // of each generation (like the reference's transform_all loop),
-        // so a 2-generation run exercises delete-vs-keep
+        // so a 2-generation run exercises delete-vs-keep. ThermoFilter
+        // is provably a no-op on the initial state (no reactions exist
+        // yet, and it blocks nothing compound-side), so generation 1 is
+        // filter-independent: expand it ONCE (expandOnce's outputs are
+        // persisted+checkpointed) and branch only generation 2 — the
+        // permissive and blocking modes each pay one generation instead
+        // of two.
+        val st1 = e.run(Seq(fadh), generations = 1)
         def n(f: Seq[NetworkFilter]) = {
-          val st = e.run(Seq(fadh), generations = 2, filters = f)
+          val st = e.expandOnce(st1, f)
           (st.reactions.count(), st.compounds.count())
         }
         val (rAll, cAll) = n(Seq(ThermoFilter(dgMax = 1e7)))
