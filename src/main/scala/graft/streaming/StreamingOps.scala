@@ -1227,6 +1227,60 @@ object StreamingOps {
       z: Option[Double], isAnomaly: Boolean)
   final case class AnomalyState(recent: Seq[Long])
 
+  final case class WeightedArrival(key: Long, weight: Double)
+  final case class ReservoirState(
+      items: Seq[(Double, Long)], seen: Long)
+  final case class ReservoirSnapshot(
+      nSeen: Long, ids: Seq[Long], idsFp: Long)
+
+  /** Streaming weighted reservoir without replacement — the online
+    * twin of `Sampling.weightedSample`: keep the `n` arrivals with
+    * the smallest deterministic exponential keys (`-ln(u)/w`, u an
+    * md5 hash of the row key — `Sampling.exponentialKeyScala`, the
+    * compiled twin of the batch SQL, parity spec-pinned). Because the
+    * keys are a pure function of (row key, weight), the reservoir
+    * after ANY prefix of the stream equals the batch sample over
+    * that prefix — arrival order, batching, and restarts cannot
+    * change the draw (the property rand()-based reservoirs lack).
+    * Emits one snapshot per micro-batch (CUMULATIVE seen-count,
+    * sorted sample ids, order-independent id fingerprint); the
+    * snapshot whose nSeen equals the corpus size is the final
+    * sample. State: n (ek, key) pairs under ONE group key — a
+    * global top-k is inherently a single cut point, same funnel as
+    * the batch TakeOrdered's driver merge; n is sample-sized, not
+    * corpus-sized.
+    */
+  def weightedSampleStream(
+      arrivals: Dataset[WeightedArrival],
+      n: Int,
+      salt: String = ""): Dataset[ReservoirSnapshot] = {
+    require(n > 0, s"sample size must be positive: $n")
+    val spark = arrivals.sparkSession
+    import spark.implicits._
+    arrivals.groupByKey(_ => 0)
+      .flatMapGroupsWithState[ReservoirState, ReservoirSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[WeightedArrival],
+         state: GroupState[ReservoirState]) =>
+          var items = state.getOption.map(_.items)
+            .getOrElse(Seq.empty[(Double, Long)])
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          rows.foreach { r =>
+            seen += 1
+            val ek = graft.operators.Sampling
+              .exponentialKeyScala(r.weight, r.key.toString, salt)
+            items = ((ek, r.key) +: items).sortBy(_._1).take(n)
+          }
+          state.update(ReservoirState(items, seen))
+          val ids = items.map(_._2).sorted
+          val fp = ids.foldLeft(0L)((a, id) =>
+            a + graft.operators.VectorOps.hash64Scala(id.toString)
+              % 1000000007L)
+          Iterator.single(ReservoirSnapshot(seen, ids, fp))
+      }
+  }
+
   final case class SeriesValue(
       series: String, bucket: java.sql.Timestamp, v: Long)
   final case class FilledBucket(

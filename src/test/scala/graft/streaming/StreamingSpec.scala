@@ -1260,6 +1260,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir converges to the batch draw over " +
+    "the real part table, whatever the batching") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val part = graft.Tables.load(spark, sf, "part")
+    // the q_sample_weighted fixture: weight = price^4, key = partkey
+    val fixture = part
+      .select(col("p_partkey"), pow(col("p_retailprice"), 4.0).as("w"))
+      .as[(Long, Double)].collect().toSeq
+    val want = graft.operators.Sampling.weightedSample(
+        part.select("p_partkey", "p_retailprice"),
+        pow(col("p_retailprice"), 4.0), col("p_partkey"), n = 50)
+      .select("p_partkey").as[Long].collect().sorted.toSeq
+    val in = MemoryStream[StreamingOps.WeightedArrival]
+    val q = StreamingOps.weightedSampleStream(in.toDS(), n = 50).toDF()
+      .writeStream.format("memory").queryName("reservoir")
+      .outputMode("append").start()
+    try {
+      // adversarial batching: reversed order, uneven splits — the
+      // deterministic keys make the draw batching-independent
+      val rev = fixture.reverse
+      val (b1, rest) = rev.splitAt(7)
+      val (b2, b3) = rest.splitAt(rest.size / 3)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (k, w) =>
+          StreamingOps.WeightedArrival(k, w) })
+        q.processAllAvailable()
+      }
+      val snaps = spark.table("reservoir")
+        .select("nSeen", "ids").as[(Long, Seq[Long])].collect()
+      assert(snaps.length === 3)
+      // the snapshot that has seen the whole corpus IS the batch draw
+      val last = snaps.find(_._1 === fixture.size.toLong)
+      assert(last.isDefined)
+      assert(last.get._2.sorted.toSeq === want)
+    } finally q.stop()
+  }
+
   test("streaming point-in-time lookup attributes each fact to the batch " +
     "as-of version over the real orders/lineitem tables") {
     import graft.streaming.StreamingOps
