@@ -1456,6 +1456,97 @@ object RelationalQueries extends QueryPack {
       "Point-in-time dimension lookup (the feature-store join): each " +
         "fact sees the SCD2 version valid at its own timestamp via " +
         "the shared as-of kernel — no training-serving leakage, no " +
-        "per-fact range scan; version attribution and sums exact.")
+        "per-fact range scan; version attribution and sums exact."),
+
+    GraftQuery(
+      "q_events_abtest", Seq("A8", "A9", "W8"),
+      (s, dir) => {
+        // Experiment analysis — the A/B readout every event pipeline
+        // ultimately feeds: hash-split users into variants (md5-stable
+        // — assignment survives re-runs and corpus growth, the
+        // q_pipeline_split discipline), measure view→purchase
+        // conversion per variant, and test the difference with the
+        // pooled two-proportion z statistic. Conversion = a purchase
+        // strictly after the user's FIRST view and within ONE DAY of
+        // it (unwindowed, this dense synthetic log converts every
+        // user — p=1 has zero variance and z is undefined; the window
+        // makes the metric discriminative, the funnel-gate reasoning).
+        // Two tiny per-user min-aggregations joined on user_id — no
+        // event collection, skew-safe. Counts are exact ints; rates
+        // and z leave integer land in one fixed-order double chain,
+        // rounded once.
+        val ev = t(s, dir, "events")
+        val firstView = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v0"))
+        val converted = ev.where(col("event_type") === "purchase")
+          .join(firstView, Seq("user_id"))
+          .where(col("ts") > col("v0") &&
+            col("ts") <= col("v0") + expr("interval 1 day"))
+          .select("user_id").distinct()
+        val variants = firstView
+          .withColumn("variant", when(
+            expr(s"${graft.operators.TextOps.hash64("cast(user_id as string)")} % 2")
+              === 0, "A").otherwise("B"))
+          .join(converted.withColumn("c", lit(1L)), Seq("user_id"),
+            "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("c"), lit(0L))).as("conv"))
+        val wide = variants.groupBy()
+          .agg(
+            sum(when(col("variant") === "A", col("n"))).as("n_a"),
+            sum(when(col("variant") === "A", col("conv"))).as("conv_a"),
+            sum(when(col("variant") === "B", col("n"))).as("n_b"),
+            sum(when(col("variant") === "B", col("conv"))).as("conv_b"))
+        wide.select(
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("conv_a").cast("double") / col("n_a"), 4)
+            .as("cr_a"),
+          round(col("conv_b").cast("double") / col("n_b"), 4)
+            .as("cr_b"),
+          round(
+            (col("conv_a").cast("double") / col("n_a") -
+              col("conv_b").cast("double") / col("n_b")) /
+            sqrt(
+              ((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+            .as("z"))
+      },
+      Some(s"""WITH fv AS (SELECT user_id, min(ts) AS v0 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          conv AS (SELECT DISTINCT e.user_id FROM events e
+            JOIN fv ON fv.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fv.v0
+              AND e.ts <= fv.v0 + INTERVAL 1 DAY),
+          va AS (SELECT fv.user_id,
+              CASE WHEN ('0x' || substr(md5(fv.user_id::VARCHAR),1,15))
+                ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+              CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS c
+            FROM fv LEFT JOIN conv ON conv.user_id = fv.user_id),
+          g AS (SELECT
+              sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT
+                AS n_a,
+              sum(CASE WHEN variant = 'A' THEN c ELSE 0 END)::BIGINT
+                AS conv_a,
+              sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT
+                AS n_b,
+              sum(CASE WHEN variant = 'B' THEN c ELSE 0 END)::BIGINT
+                AS conv_b
+            FROM va)
+        SELECT n_a, conv_a, n_b, conv_b,
+          round(conv_a::DOUBLE / n_a, 4) AS cr_a,
+          round(conv_b::DOUBLE / n_b, 4) AS cr_b,
+          round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+            sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+              (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)) *
+              (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        FROM g"""),
+      "A/B experiment readout: md5-stable variant assignment, " +
+        "view→purchase conversion from two per-user min-aggregations " +
+        "(no event collection), exact counts, pooled two-proportion " +
+        "z in one fixed-order double chain.")
   )
 }
