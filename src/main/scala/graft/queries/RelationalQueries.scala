@@ -792,6 +792,82 @@ object RelationalQueries extends QueryPack {
         "hazard; top-10 via TakeOrdered."),
 
     GraftQuery(
+      "q_graph_triangles", Seq("A13", "D4", "A8"),
+      (s, dir) => {
+        // Exact triangle counting over the same part co-purchase graph
+        // as q_graph_pagerank, with the DEGREE-ORDERED orientation that
+        // makes it survive skew at scale: orient every undirected edge
+        // low→high by (degree, id), so wedge generation per node is
+        // bounded by its ORIENTED out-degree — O(sqrt(E)) max even for
+        // a celebrity hub (vs the raw-degree square that melts a
+        // naive neighbor self-join). The orientation is a total order,
+        // so each triangle materializes exactly once at its
+        // smallest-(deg,id) apex; closure is one (v,w) equi-join back
+        // to the oriented edge set. The result SET is
+        // orientation-independent, so the oracle counts the identical
+        // triangles from the plain id-ordered 3-way join.
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val und = li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .localCheckpoint() // reused by degrees + wedges + closure
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val aFirst = // (deg, id) order decides the orientation
+          col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b"))
+        val oriented = und
+          .join(deg.toDF("a", "da"), Seq("a"))
+          .join(deg.toDF("b", "db"), Seq("b"))
+          .select(
+            when(aFirst, col("a")).otherwise(col("b")).as("src"),
+            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+            when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+          .localCheckpoint()
+        val wedges = oriented.toDF("u", "v", "dv")
+          .join(oriented.toDF("u", "w", "dw"), Seq("u"))
+          .where(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
+          .select("u", "v", "w")
+        val tri = wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+        val total = tri.agg(count(lit(1)).as("n_triangles"))
+        tri.select(explode(array(col("u"), col("v"), col("w")))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy(col("tri_cnt").desc, col("node").asc).limit(10)
+          .crossJoin(broadcast(total))
+          .orderBy(col("tri_cnt").desc, col("node").asc)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem WHERE l_orderkey % 11 = 0),
+          und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+            FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+          tot AS (SELECT count(*)::BIGINT AS n_triangles FROM tri),
+          pern AS (SELECT node, count(*)::BIGINT AS tri_cnt FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            GROUP BY 1),
+          top AS (SELECT node, tri_cnt FROM pern
+            ORDER BY tri_cnt DESC, node LIMIT 10)
+        SELECT t.node, t.tri_cnt, tot.n_triangles FROM top t, tot
+        ORDER BY tri_cnt DESC, node"""),
+      "Exact triangle counting with degree-ordered edge orientation: " +
+        "per-node wedge work bounded by oriented out-degree (hub-" +
+        "safe), each triangle found once at its min-(deg,id) apex, " +
+        "closure as one equi-join; per-node top-10 plus global total."),
+
+    GraftQuery(
       "q_events_anomaly", Seq("A9", "W2", "W8"),
       (s, dir) => {
         // Rolling z-score anomaly detection on the hourly event-count
@@ -888,6 +964,113 @@ object RelationalQueries extends QueryPack {
       "OLAP ROLLUP subtotals: leaf, per-flag, and grand-total groups " +
         "in one Expand + hash-aggregate pass (no extra scans), " +
         "cross-engine grouping_id bit parity pinned by the oracle."),
+
+    GraftQuery(
+      "q_agg_hll", Seq("A8", "A9"),
+      (s, dir) => {
+        // HyperLogLog distinct-count sketch, per group — the 100 TB
+        // answer to "distinct orders per flag": exact countDistinct
+        // shuffles every key; the sketch shuffles at most 4096
+        // registers per group (map-side partial max) and merges across
+        // shards by max with no re-scan. Registers are integer-exact
+        // (graft_hash64 top-12-bit bucket, binary-digit-length rho) so
+        // the oracle rebuilds the IDENTICAL sketch; the estimate is
+        // the raw harmonic-mean formula from an exact bigint-scaled
+        // denominator (one IEEE multiply/divide — no libm ln, see
+        // Sketches.hllEstimate). The exact count rides along as the
+        // audit: the query MEASURES the sketch error per group.
+        val li = t(s, dir, "lineitem")
+        val regs = Sketches.hllRegisters(
+          li, col("l_orderkey"), Seq("l_returnflag"), p = 12)
+        val est = Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 12)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("exact_nd"))
+        est.join(broadcast(exact), Seq("l_returnflag"))
+          .withColumn("err_pct", expr(
+            "round((hll_est - CAST(exact_nd AS DOUBLE)) / " +
+              "CAST(exact_nd AS DOUBLE) * 100.0, 2)"))
+          .select("l_returnflag", "nonempty", "z_scaled", "hll_est",
+            "exact_nd", "err_pct")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH k AS (SELECT DISTINCT l_returnflag, l_orderkey
+              FROM lineitem),
+          h AS (SELECT l_returnflag,
+              ('0x' || substr(md5(l_orderkey::VARCHAR),1,15))::BIGINT
+                AS hh FROM k),
+          r AS (SELECT l_returnflag, hh // 281474976710656 AS bucket,
+              hh % 281474976710656 AS w FROM h),
+          regs AS (SELECT l_returnflag, bucket,
+              max(CASE WHEN w = 0 THEN 49
+                ELSE 49 - length(bin(w)) END)::BIGINT AS reg
+            FROM r GROUP BY 1, 2),
+          z AS (SELECT l_returnflag, count(*)::BIGINT AS nonempty,
+              sum(1::BIGINT << (49 - reg))::BIGINT AS zpart
+            FROM regs GROUP BY 1),
+          e AS (SELECT l_returnflag, nonempty,
+              (zpart + (4096 - nonempty) *
+                (1::BIGINT << 49))::BIGINT AS z_scaled FROM z),
+          x AS (SELECT l_returnflag, nonempty, z_scaled,
+              round((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 *
+                562949953421312.0 / z_scaled::DOUBLE, 1) AS hll_est
+            FROM e),
+          ex AS (SELECT l_returnflag,
+              count(DISTINCT l_orderkey)::BIGINT AS exact_nd
+            FROM lineitem GROUP BY 1)
+        SELECT x.l_returnflag, nonempty, z_scaled, hll_est, exact_nd,
+          round((hll_est - exact_nd::DOUBLE) / exact_nd::DOUBLE
+            * 100.0, 2) AS err_pct
+        FROM x JOIN ex USING (l_returnflag) ORDER BY 1"""),
+      "HyperLogLog distinct sketch (p=12) with bit-reproducible " +
+        "registers and an exact bigint-scaled denominator; raw " +
+        "estimate plus the exact distinct count as the measured " +
+        "error audit — registers, not keys, cross the shuffle."),
+
+    GraftQuery(
+      "q_agg_cms", Seq("A8"),
+      (s, dir) => {
+        // Count-Min point-frequency sketch: d=4 hash rows x w=1024
+        // buckets of partial-sum cells — fixed memory whatever the
+        // key universe, mergeable by cell-wise sum. The probe joins
+        // the exact top-10 parts (the audit candidates) against the
+        // BROADCAST sketch and takes the min over the 4 cells; the
+        // one-sided guarantee est >= true is visible in the
+        // overcount column (collisions only ever inflate).
+        val li = t(s, dir, "lineitem")
+        val sk = Sketches.cmsSketch(li, col("l_partkey"), d = 4, w = 1024)
+        val exact = li
+          .groupBy(col("l_partkey").cast("string").as("key"))
+          .agg(count(lit(1)).as("true_cnt"))
+        val top = exact
+          .orderBy(col("true_cnt").desc, col("key").asc).limit(10)
+        Sketches.cmsEstimate(sk, top.select("key"), d = 4, w = 1024)
+          .join(broadcast(top), Seq("key"))
+          .withColumn("overcount", col("cms_est") - col("true_cnt"))
+          .select("key", "true_cnt", "cms_est", "overcount")
+          .orderBy(col("true_cnt").desc, col("key").asc)
+      },
+      Some("""WITH keys AS (SELECT l_partkey::VARCHAR AS key,
+              count(*)::BIGINT AS true_cnt FROM lineitem GROUP BY 1),
+          top AS (SELECT key, true_cnt FROM keys
+            ORDER BY true_cnt DESC, key LIMIT 10),
+          cells AS (SELECT r.i AS row,
+              ('0x' || substr(md5(r.i::VARCHAR || ':' ||
+                l_partkey::VARCHAR),1,15))::BIGINT % 1024 AS bucket,
+              count(*)::BIGINT AS cnt
+            FROM lineitem, range(4) r(i) GROUP BY 1, 2),
+          est AS (SELECT t.key, min(c.cnt)::BIGINT AS cms_est
+            FROM top t CROSS JOIN range(4) r(i)
+            JOIN cells c ON c.row = r.i AND c.bucket =
+              ('0x' || substr(md5(r.i::VARCHAR || ':' ||
+                t.key),1,15))::BIGINT % 1024
+            GROUP BY 1)
+        SELECT t.key, t.true_cnt, e.cms_est,
+          e.cms_est - t.true_cnt AS overcount
+        FROM top t JOIN est e USING (key)
+        ORDER BY true_cnt DESC, key"""),
+      "Count-Min frequency sketch (4x1024 cells, graft_hash64 rows): " +
+        "fixed-size mergeable cells, broadcast probe for the exact " +
+        "top-10 candidates, one-sided overcount audited per key."),
 
     GraftQuery(
       "q_sample_stratified", Seq("D8", "A8"),
@@ -1547,6 +1730,51 @@ object RelationalQueries extends QueryPack {
       "A/B experiment readout: md5-stable variant assignment, " +
         "view→purchase conversion from two per-user min-aggregations " +
         "(no event collection), exact counts, pooled two-proportion " +
-        "z in one fixed-order double chain.")
+        "z in one fixed-order double chain."),
+
+    GraftQuery(
+      "q_events_decay", Seq("A8", "W2"),
+      (s, dir) => {
+        // Exponentially time-decayed event counts (one-day half-life)
+        // — the recency-weighted popularity score feature stores keep
+        // per key. The decay weight 2^-age_days is DYADIC, so the
+        // whole aggregation stays exact: each event contributes the
+        // bigint 2^(30-age) (0 beyond 30 days — below 1e-9 weight),
+        // the per-type sum is integer-exact in any summation order
+        // (no float decay-factor drift under Spark's unordered
+        // partial aggregation), and ONE terminal division renders the
+        // score. The reference day is data-derived (global max day,
+        // 1-row broadcast); at 100 TB this is a map-side-combined
+        // count-shaped aggregation — no window, no per-key state.
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"))
+        val mx = ev.agg(max("day").as("max_day"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("age", datediff(col("max_day"), col("day")))
+          .withColumn("term", when(col("age") <= 30,
+            expr("shiftleft(1L, 30 - age)")).otherwise(lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("term").as("decayed_scaled"))
+          .withColumn("decayed", expr(
+            "round(CAST(decayed_scaled AS DOUBLE) / 1073741824.0, 6)"))
+          .select("event_type", "n_events", "decayed_scaled", "decayed")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, ts::DATE AS day
+              FROM events),
+          mx AS (SELECT max(day) AS max_day FROM ev),
+          ages AS (SELECT event_type,
+              date_diff('day', day, max_day) AS age FROM ev, mx)
+        SELECT event_type, count(*)::BIGINT AS n_events,
+          sum(CASE WHEN age <= 30 THEN 1::BIGINT << (30 - age)
+            ELSE 0 END)::BIGINT AS decayed_scaled,
+          round(sum(CASE WHEN age <= 30 THEN 1::BIGINT << (30 - age)
+            ELSE 0 END)::DOUBLE / 1073741824.0, 6) AS decayed
+        FROM ages GROUP BY 1 ORDER BY 1"""),
+      "Half-life decayed counts: dyadic 2^-age weights keep the " +
+        "recency-weighted sum integer-exact under any partial-agg " +
+        "order; data-derived reference day via 1-row broadcast, one " +
+        "terminal division — a plain mergeable aggregation at scale.")
   )
 }
