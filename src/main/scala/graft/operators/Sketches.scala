@@ -35,7 +35,11 @@ object Sketches {
     * (`length(bin(w))` — no leading zeros in either engine), so the
     * register table is integer-exact and oracle-reproducible.
     */
-  def hllRegisters(
+  /** The per-row (bucket, rho) projection shared by [[hllRegisters]]
+    * and the streaming twin (`StreamingOps.hllStream`) — stateless
+    * narrow work, so both engines aggregate the identical rows.
+    */
+  def hllProjection(
       df: DataFrame,
       keyExpr: Column,
       groupCols: Seq[String],
@@ -51,9 +55,16 @@ object Sketches {
       .withColumn("__rho",
         when(col("__w") === 0L, lit(wBits + 1))
           .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
-      .groupBy(gs :+ col("bucket"): _*)
-      .agg(max("__rho").cast("long").as("reg"))
   }
+
+  def hllRegisters(
+      df: DataFrame,
+      keyExpr: Column,
+      groupCols: Seq[String],
+      p: Int = 12): DataFrame =
+    hllProjection(df, keyExpr, groupCols, p)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("__rho").cast("long").as("reg"))
 
   /** Raw HLL estimate per group from a register table: the harmonic-mean
     * formula `alpha_m * m^2 / sum_j 2^-M_j` with the sum kept EXACT as a

@@ -1526,4 +1526,32 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming HyperLogLog registers — the streaming twin of
+    * `Sketches.hllRegisters` (q_agg_hll's sketch): arriving rows are
+    * bucketed/rho'd by the SAME stateless projection the batch side
+    * runs (`Sketches.hllProjection`), then a running per-(group,
+    * bucket) max maintains the registers across micro-batches.
+    *
+    * This is the one streaming distinct-count whose state does NOT
+    * grow with the number of distinct keys: the aggregation state IS
+    * the sketch — at most `2^p` rows per group forever, whatever the
+    * stream's cardinality (an exact streaming distinct would hold
+    * every key seen). A snapshot of the output feeds
+    * `Sketches.hllEstimate` unchanged; the parity spec pins snapshot
+    * registers — and therefore the estimate — bit-equal to the batch
+    * sketch of the same rows, independent of micro-batch slicing
+    * (max is order- and batching-insensitive).
+    *
+    * Run with update or complete output mode (no watermark: registers
+    * never expire; they merge monotonically).
+    */
+  def hllStream(
+      rows: DataFrame,
+      keyExpr: org.apache.spark.sql.Column,
+      groupCols: Seq[String],
+      p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllProjection(rows, keyExpr, groupCols, p)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("__rho").cast("long").as("reg"))
 }

@@ -1469,4 +1469,41 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming HLL registers equal the batch sketch of the real " +
+    "lineitem table, whatever the batching") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_orderkey").as("k"))
+    val batchRegs = graft.operators.Sketches
+      .hllRegisters(li, col("k"), Seq("g"), p = 12)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val batchEst = graft.operators.Sketches
+      .hllEstimate(graft.operators.Sketches
+        .hllRegisters(li, col("k"), Seq("g"), p = 12), Seq("g"), p = 12)
+      .as[(String, Long, Long, Double)].collect().sorted.toSeq
+    val fixture = li.as[(String, Long)].collect().toSeq
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.hllStream(
+        in.toDF().toDF("g", "k"), col("k"), Seq("g"), p = 12)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      // adversarial batching: reversed order, uneven splits — max is
+      // batching-insensitive so the final registers must be the sketch
+      val rev = fixture.reverse
+      val (b1, rest) = rev.splitAt(13)
+      val (b2, b3) = rest.splitAt(rest.size / 3)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("hll_regs")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got === batchRegs)
+      // and the snapshot registers yield the identical estimate
+      val estGot = graft.operators.Sketches
+        .hllEstimate(spark.table("hll_regs"), Seq("g"), p = 12)
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      assert(estGot === batchEst)
+    } finally q.stop()
+  }
 }
