@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2190,5 +2191,76 @@ object TextQueries extends QueryPack {
         "surface (full-vocabulary build + pruned probe): identical " +
         "exact-integer BM25 ranking as the ad-hoc scorer, TakeOrdered " +
         "+ a 10-row rank window."),
+
+    GraftQuery(
+      "q_text_containment", Seq("J11", "D1", "A8"),
+      (s, dir) => {
+        // ASYMMETRIC containment dedup: C(A,B) = |A ∩ B| / |A| over
+        // each doc's distinct char-8-gram fingerprints — the quote /
+        // subsumption detector symmetric Jaccard misses (a short doc
+        // fully embedded in a long one has high containment but tiny
+        // Jaccard). Exact result via the PREFIX FILTER of the
+        // set-similarity-join literature (SSJoin/PPJoin, Chaudhuri et
+        // al. ICDE 2006): if C(A,B) >= t then B must contain at least
+        // one of ANY floor((1-t)|A|)+1 chosen fingerprints of A —
+        // losing all of them caps the overlap below t|A|. So only the
+        // floor(0.2|A|)+1 globally RAREST fingerprints of each doc
+        // (rarity = doc frequency, the classic candidate-minimizing
+        // order; one per-doc window over the fp rank) enter the
+        // candidate join, and the exact overlap count runs only over
+        // candidate pairs — lossless by the bound, never all-pairs.
+        // Verdicts are cross-multiplied (5*ov >= 4*n) so the gate is
+        // integer-exact; the displayed containment divides once.
+        val tauNum = 4; val tauDen = 5 // t = 0.8
+        val fps = docs(s, dir)
+          .withColumn("fp", explode(array_distinct(
+            TextOps.charFingerprints("text", w = 8, step = 4))))
+          .select(col("doc_id").as("a"), col("fp"))
+        val sizes = fps.groupBy("a").agg(count(lit(1)).as("n_a"))
+        val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        val prefix = fps.join(dfreq, Seq("fp"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a").orderBy("df", "fp")))
+          .join(sizes, Seq("a"))
+          .where(col("rk") <=
+            expr(s"(n_a * ${tauDen - tauNum}) div $tauDen") + 1L)
+          .select("a", "fp")
+        val cands = prefix
+          .join(fps.toDF("b", "fp"), Seq("fp"))
+          .where(col("a") =!= col("b"))
+          .select("a", "b").distinct()
+        val ov = fps.join(cands, Seq("a"))
+          .join(fps.toDF("b", "fp"), Seq("b", "fp"))
+          .groupBy("a", "b").agg(count(lit(1)).as("overlap"))
+        ov.join(sizes, Seq("a"))
+          .where(col("overlap") * tauDen >= col("n_a") * tauNum)
+          .withColumn("containment", round(
+            col("overlap").cast("double") / col("n_a"), 4))
+          .select(col("a").as("contained"), col("b").as("container"),
+            col("n_a"), col("overlap"), col("containment"))
+          .orderBy("contained", "container")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              range(1, greatest(len(text)-7, 1)+1, 4),
+              i -> ${dh("substr(text, i, 8)")}))) AS fp
+          FROM documents),
+          sz AS (SELECT doc_id, count(*)::BIGINT AS n_a FROM f
+            GROUP BY 1),
+          ov AS (SELECT a.doc_id AS a, b.doc_id AS b,
+              count(*)::BIGINT AS overlap
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+        SELECT ov.a AS contained, ov.b AS container, sz.n_a,
+          ov.overlap, round(ov.overlap::DOUBLE / sz.n_a, 4)
+            AS containment
+        FROM ov JOIN sz ON sz.doc_id = ov.a
+        WHERE ov.overlap * 5 >= sz.n_a * 4
+        ORDER BY 1, 2"""),
+      "Prefix-filtered exact containment join (C(A,B) = |A∩B|/|A| >= " +
+        "0.8): only each doc's rarest floor(0.2n)+1 fingerprints seed " +
+        "candidates (lossless by the prefix bound), overlap counted " +
+        "only on candidate pairs, verdict cross-multiplied — the " +
+        "asymmetric subsumption detector Jaccard dedup misses."),
   )
 }

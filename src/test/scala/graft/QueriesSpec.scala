@@ -70,4 +70,36 @@ class QueriesSpec extends SparkSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     assert(a.length === 50)
   }
+
+  test("q_text_containment pairs all meet the asymmetric 0.8 bound") {
+    val rows = SparkEntry.queries("q_text_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("contained") !== r.getAs[Long]("container"))
+      // the integer-exact gate the query promises
+      assert(r.getAs[Long]("overlap") * 5 >= r.getAs[Long]("n_a") * 4)
+      assert(r.getAs[Long]("overlap") <= r.getAs[Long]("n_a"))
+    }
+    // the synthetic corpus carries at least one full subsumption
+    assert(rows.exists(_.getAs[Double]("containment") === 1.0))
+  }
+
+  test("q_agg_hll sketch state is structurally sound per group") {
+    val rows = SparkEntry.queries("q_agg_hll")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sf0.001 per-flag cardinality (~1.1k) sits BELOW the raw
+    // estimator's 2.5m operating zone (the documented small-range
+    // bias — the oracle gate at sf0.01 checks the numbers), so pin
+    // the exact-integer sketch state instead of the estimate:
+    rows.foreach { r =>
+      val nonempty = r.getAs[Long]("nonempty")
+      val exact = r.getAs[Long]("exact_nd")
+      assert(nonempty >= 1L && nonempty <= 4096L)
+      assert(nonempty <= exact) // buckets can only collide, never split
+      assert(nonempty * 2 >= exact - 4096,
+        "occupancy too low for the cardinality")
+      assert(r.getAs[Long]("z_scaled") > 0L)
+      assert(r.getAs[Double]("hll_est") > 0.0)
+    }
+  }
 }
