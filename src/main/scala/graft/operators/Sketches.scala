@@ -116,19 +116,29 @@ object Sketches {
     * universe in fixed memory, with the one-sided guarantee
     * `est ≥ true` (never undercounts) that the query audits.
     */
-  def cmsSketch(
+  /** The per-row (row, bucket) explode shared by [[cmsSketch]] and the
+    * streaming twin (`StreamingOps.cmsStream`) — stateless narrow work.
+    */
+  def cmsProjection(
       df: DataFrame,
       keyExpr: Column,
-      d: Int = 4,
-      w: Int = 1024): DataFrame = {
+      d: Int,
+      w: Int): DataFrame = {
     require(d >= 1 && w >= 2)
     df.select(keyExpr.cast("string").as("__cms_key"))
       .withColumn("row", explode(expr(s"sequence(0, ${d - 1})")))
       .withColumn("bucket",
         expr(s"graft_hash64(concat(row, ':', __cms_key)) % $w"))
+  }
+
+  def cmsSketch(
+      df: DataFrame,
+      keyExpr: Column,
+      d: Int = 4,
+      w: Int = 1024): DataFrame =
+    cmsProjection(df, keyExpr, d, w)
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point-frequency estimates for `keys` (must carry a string column
     * `key`) against a CMS sketch: min over the d cells the key hashes

@@ -1554,4 +1554,25 @@ object StreamingOps {
     graft.operators.Sketches.hllProjection(rows, keyExpr, groupCols, p)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max("__rho").cast("long").as("reg"))
+
+  /** Streaming Count-Min sketch — the streaming twin of
+    * `Sketches.cmsSketch` (q_agg_cms): arriving keys explode into
+    * their d hash rows and a running per-(row, bucket) sum maintains
+    * the cells across micro-batches. Like [[hllStream]], the state IS
+    * the sketch — exactly d×w counters forever, whatever the key
+    * universe — so a feed of unbounded-cardinality keys gets
+    * point-frequency answers (`Sketches.cmsEstimate` over any
+    * snapshot) in fixed memory. Sum is batching-insensitive, so the
+    * snapshot cells are bit-equal to the batch sketch of the same
+    * rows (parity spec). Update/complete mode; no watermark — cells
+    * merge monotonically.
+    */
+  def cmsStream(
+      rows: DataFrame,
+      keyExpr: org.apache.spark.sql.Column,
+      d: Int = 4,
+      w: Int = 1024): DataFrame =
+    graft.operators.Sketches.cmsProjection(rows, keyExpr, d, w)
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
 }

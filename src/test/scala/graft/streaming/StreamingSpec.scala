@@ -1506,4 +1506,37 @@ class StreamingSpec extends SparkSuite {
       assert(estGot === batchEst)
     } finally q.stop()
   }
+
+  test("streaming CMS cells equal the batch sketch of the real " +
+    "lineitem part keys, and estimates never undercount") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey").as("k"))
+    val batchCells = graft.operators.Sketches
+      .cmsSketch(li, col("k"), d = 4, w = 1024)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val fixture = li.as[Long].collect().toSeq
+    val in = MemoryStream[Long]
+    val q = StreamingOps.cmsStream(
+        in.toDF().toDF("k"), col("k"), d = 4, w = 1024)
+      .writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = fixture.reverse.splitAt(fixture.size / 3)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("cms_cells")
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+      assert(got === batchCells)
+      // a snapshot answers point queries with the one-sided guarantee
+      val truth = li.groupBy(col("k").cast("string").as("key"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val bad = graft.operators.Sketches
+        .cmsEstimate(spark.table("cms_cells"), truth.select("key"),
+          d = 4, w = 1024)
+        .join(truth, Seq("key"))
+        .where(col("cms_est") < col("true_cnt")).count()
+      assert(bad === 0L)
+    } finally q.stop()
+  }
 }
