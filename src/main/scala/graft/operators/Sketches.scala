@@ -140,6 +140,67 @@ object Sketches {
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Misra-Gries candidate pass for [[heavyHitters]]: per-partition
+    * k-counter summaries (Misra & Gries 1982), unioned. The guarantee
+    * that makes the 2-pass result EXACT: an item with total frequency
+    * > N/(k+1) must exceed n_p/(k+1) in at least one partition p
+    * (otherwise its total is ≤ Σ n_p/(k+1) = N/(k+1)), and MG with k
+    * counters never evicts an item above its partition's threshold —
+    * so the candidate union is a SUPERSET of every qualifying key,
+    * whatever the partitioning. At most k × partitions candidates.
+    *
+    * This is the pack's one genuinely per-partition imperative kernel
+    * (SURVEY §7.3 sanctions mapPartitions exactly here): the
+    * decrement-all eviction is amortized O(1) per row and the state
+    * is k entries — a declarative window/groupBy formulation would
+    * shuffle the full key universe, which is what this avoids.
+    */
+  def mgCandidates(df: DataFrame, keyExpr: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val keys = df.select(keyExpr.cast("string").as("key"))
+    val spark = keys.sparkSession
+    import spark.implicits._
+    keys.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { s =>
+        counters.get(s) match {
+          case Some(c) => counters(s) = c + 1
+          case None if counters.size < k => counters(s) = 1L
+          case None =>
+            // decrement-all; each decrement cancels one prior
+            // increment, so total work is amortized O(1) per row
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("key").distinct()
+  }
+
+  /** EXACT heavy hitters in two passes — every key with total
+    * frequency strictly above N/(k+1), with its exact count. Pass 1:
+    * [[mgCandidates]] (narrow, no shuffle of the key universe). Pass
+    * 2: exact recount restricted to candidates (one semi-ish
+    * equi-join + count-shaped aggregation), then the integer-exact
+    * cross-multiplied threshold `cnt * (k+1) > N`. The MG superset
+    * guarantee makes the output EQUAL to the plain
+    * groupBy-everything answer — which is exactly what the DuckDB
+    * oracle computes — while the shuffle carries only candidate
+    * keys. Output: key, cnt, n_total.
+    */
+  def heavyHitters(df: DataFrame, keyExpr: Column, k: Int): DataFrame = {
+    val keys = df.select(keyExpr.cast("string").as("key"))
+    val tot = keys.agg(count(lit(1)).as("n_total"))
+    keys
+      .join(mgCandidates(df, keyExpr, k).hint("broadcast"), Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .where(col("cnt") * lit(k + 1L) > col("n_total"))
+  }
+
   /** Point-frequency estimates for `keys` (must carry a string column
     * `key`) against a CMS sketch: min over the d cells the key hashes
     * to. Broadcasts the sketch (d×w rows — bounded by construction) so

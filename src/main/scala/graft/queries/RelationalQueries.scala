@@ -1073,6 +1073,33 @@ object RelationalQueries extends QueryPack {
         "top-10 candidates, one-sided overcount audited per key."),
 
     GraftQuery(
+      "q_agg_heavyhitters", Seq("A8", "A9"),
+      (s, dir) =>
+        // EXACT threshold heavy hitters without shuffling the key
+        // universe: pass 1 runs per-partition Misra-Gries summaries
+        // (k=2047 counters, narrow mapPartitions — the §7.3-sanctioned
+        // imperative kernel), whose union provably contains every key
+        // with total frequency > N/2048; pass 2 recounts candidates
+        // exactly and applies the cross-multiplied integer threshold.
+        // The result EQUALS the oracle's group-everything answer —
+        // the point is the plan shape: at 100 TB the groupBy-all
+        // shuffle carries billions of keys, this one carries only
+        // the bounded candidate set.
+        Sketches.heavyHitters(
+            t(s, dir, "lineitem"), col("l_partkey"), k = 2047)
+          .orderBy(col("cnt").desc, col("key").asc),
+      Some("""WITH c AS (SELECT l_partkey::VARCHAR AS key,
+              count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1),
+          n AS (SELECT count(*)::BIGINT AS n_total FROM lineitem)
+        SELECT key, cnt, n_total FROM c, n
+        WHERE cnt * 2048 > n_total ORDER BY cnt DESC, key"""),
+      "Two-pass exact heavy hitters: per-partition Misra-Gries " +
+        "candidates (superset guarantee above N/(k+1)), exact " +
+        "candidate recount, integer cross-multiplied threshold — " +
+        "identical answer to a full groupBy at a fraction of the " +
+        "shuffle."),
+
+    GraftQuery(
       "q_sample_stratified", Seq("D8", "A8"),
       (s, dir) =>
         // Stratified sampling with exact per-stratum quotas — the

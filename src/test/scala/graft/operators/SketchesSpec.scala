@@ -90,6 +90,39 @@ class SketchesSpec extends SparkSuite {
     assert(over > 0, "expected at least one collision at w=64")
   }
 
+  test("Misra-Gries candidates keep every key above the threshold " +
+    "even with aggressive eviction") {
+    import spark.implicits._
+    // 1 partition, k=3 counters, 10k rows: two heavy keys (30% each)
+    // drowned in 4000 singletons — eviction churns constantly but the
+    // MG guarantee keeps anything above n/(k+1) = 25%
+    val heavy = Seq.fill(3000)("hh1") ++ Seq.fill(3000)("hh2")
+    val noise = (1 to 4000).map(i => s"n$i")
+    val df = (heavy ++ noise).toDF("k").repartition(1)
+    val cands = Sketches.mgCandidates(df, col("k"), k = 3)
+      .as[String].collect().toSet
+    assert(cands.contains("hh1") && cands.contains("hh2"))
+    assert(cands.size <= 3)
+  }
+
+  test("heavyHitters equals the exact groupBy answer under any " +
+    "partitioning") {
+    import spark.implicits._
+    val df = (1 to 100).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k")
+    val n = 5050L
+    val k = 63
+    val want = df.groupBy(col("k").cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1L) > n)
+      .as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 13)) {
+      val got = Sketches.heavyHitters(df.repartition(parts), col("k"), k)
+        .select("key", "cnt").as[(String, Long)].collect().toMap
+      assert(got === want, s"parts=$parts")
+    }
+    assert(want.nonEmpty) // the fixture actually exercises the filter
+  }
+
   test("CMS sketches merge: shard cells sum to the whole") {
     import spark.implicits._
     val rows = (1 to 100).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k")
