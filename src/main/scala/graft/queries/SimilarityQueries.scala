@@ -324,6 +324,128 @@ object SimilarityQueries extends QueryPack {
         "top-k per query — the exact-ANN baseline."),
 
     GraftQuery(
+      "q_sim_mmr", Seq("A10", "W3", "J11"),
+      (s, dir) => {
+        // Maximal Marginal Relevance diversified re-rank (Carbonell &
+        // Goldstein, SIGIR 1998) — the diversity-aware selection a
+        // pure top-k misses (three near-duplicate neighbors beat one
+        // and waste two slots). Per query: top-8 relevance shortlist
+        // (partial top-k, never a corpus sort), pairwise sims among
+        // the ≤8 candidates (bounded 64-row self-join per query, the
+        // candidates-only discipline of the rerank family), then the
+        // sequential greedy UNROLLED into 3 dataframe steps — each
+        // picks argmax of 2·rel − max-sim-to-selected over the
+        // remainder. λ = 1/2 cross-multiplied into pure bigint dots,
+        // so every selection and tie-break is integer-exact and the
+        // oracle replays the identical greedy.
+        val e = quantized(s, dir)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("vec_id").asc)
+        val cands = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("rel", VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 8)
+          .select("query_id", "vec_id", "rel", "rnk", "qe")
+          .localCheckpoint() // 8 rows/query; reused by pairs + 3 steps
+        val pair = cands
+          .select(col("query_id"), col("vec_id").as("xi"),
+            col("qe").as("xqe"))
+          .join(cands.select(col("query_id"), col("vec_id").as("yi"),
+            col("qe").as("yqe")), Seq("query_id"))
+          .where(col("xi") =!= col("yi"))
+          .withColumn("sim", VectorOps.dot("xqe", "yqe"))
+          .select("query_id", "xi", "yi", "sim")
+        val s1 = cands.where(col("rnk") === 1)
+          .select(col("query_id"), col("vec_id").as("sel"),
+            lit(1).as("step"), (col("rel") * 2).as("mmr_score"),
+            col("rel"))
+        def greedyStep(selected: DataFrame, stepNo: Int): DataFrame = {
+          val ms = pair
+            .join(selected.select(col("query_id"), col("sel").as("yi")),
+              Seq("query_id", "yi"))
+            .groupBy(col("query_id"), col("xi").as("vec_id"))
+            .agg(max("sim").as("maxsim"))
+          val wS = Window.partitionBy("query_id")
+            .orderBy(col("mmr_score").desc, col("vec_id").asc)
+          cands.join(ms, Seq("query_id", "vec_id"))
+            .join(selected.select(col("query_id"),
+              col("sel").as("vec_id")), Seq("query_id", "vec_id"),
+              "left_anti")
+            .withColumn("mmr_score", col("rel") * 2 - col("maxsim"))
+            .withColumn("r", row_number().over(wS))
+            .where(col("r") === 1)
+            .select(col("query_id"), col("vec_id").as("sel"),
+              lit(stepNo).as("step"), col("mmr_score"), col("rel"))
+        }
+        val s2 = greedyStep(s1, 2)
+        val s3 = greedyStep(s1.unionByName(s2), 3)
+        s1.unionByName(s2).unionByName(s3)
+          .select(col("query_id"), col("step"),
+            col("sel").as("vec_id"), col("rel"), col("mmr_score"))
+          .orderBy("query_id", "step")
+      },
+      Some(s"""WITH $duckBase,
+          q AS (SELECT vec_id AS query_id, qe AS qqe FROM n
+            WHERE vec_id % 100 = 0),
+          d AS (SELECT query_id, vec_id, ${duckDot("qqe", "qe")}
+              AS rel, qe FROM n, q WHERE vec_id != query_id),
+          cand AS (SELECT * FROM (SELECT query_id, vec_id, rel, qe,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, vec_id) AS rnk FROM d)
+            WHERE rnk <= 8),
+          pw AS (SELECT x.query_id AS query_id, x.vec_id AS xi,
+              y.vec_id AS yi,
+              list_sum(list_transform(range(1, len(x.qe) + 1),
+                i -> x.qe[i] * y.qe[i]))::BIGINT AS sim
+            FROM cand x JOIN cand y ON x.query_id = y.query_id
+              AND x.vec_id != y.vec_id),
+          s1 AS (SELECT query_id, vec_id AS sel, 1 AS step,
+              rel * 2 AS mmr_score, rel FROM cand WHERE rnk = 1),
+          m2 AS (SELECT c.query_id, c.vec_id, c.rel,
+              pw.sim AS maxsim
+            FROM cand c
+            JOIN s1 ON s1.query_id = c.query_id AND c.vec_id != s1.sel
+            JOIN pw ON pw.query_id = c.query_id AND pw.xi = c.vec_id
+              AND pw.yi = s1.sel),
+          s2 AS (SELECT query_id, vec_id AS sel, 2 AS step,
+              mmr_score, rel FROM (
+            SELECT query_id, vec_id, rel,
+              rel * 2 - maxsim AS mmr_score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel * 2 - maxsim DESC, vec_id) AS r
+            FROM m2) WHERE r = 1),
+          sel12 AS (SELECT query_id, sel FROM s1
+            UNION ALL SELECT query_id, sel FROM s2),
+          m3 AS (SELECT c.query_id, c.vec_id, c.rel,
+              max(pw.sim)::BIGINT AS maxsim
+            FROM cand c
+            JOIN pw ON pw.query_id = c.query_id AND pw.xi = c.vec_id
+            JOIN sel12 s ON s.query_id = pw.query_id
+              AND s.sel = pw.yi
+            WHERE NOT EXISTS (SELECT 1 FROM sel12 z
+              WHERE z.query_id = c.query_id AND z.sel = c.vec_id)
+            GROUP BY 1, 2, 3),
+          s3 AS (SELECT query_id, vec_id AS sel, 3 AS step,
+              mmr_score, rel FROM (
+            SELECT query_id, vec_id, rel,
+              rel * 2 - maxsim AS mmr_score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY rel * 2 - maxsim DESC, vec_id) AS r
+            FROM m3) WHERE r = 1)
+        SELECT query_id, step, sel AS vec_id, rel, mmr_score
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3)
+        ORDER BY query_id, step"""),
+      "MMR diversified top-3 re-rank (λ=1/2 cross-multiplied to " +
+        "integer dots): top-8 relevance shortlist per query, pairwise " +
+        "sims on candidates only, greedy unrolled into 3 argmax " +
+        "steps — every selection integer-exact, oracle replays the " +
+        "identical greedy."),
+
+    GraftQuery(
       "q_sim_lsh_ann", Seq("A10", "J6", "D8"),
       (s, dir) => {
         // Banded sign-LSH: b bands x r bits, r derived from the table

@@ -84,6 +84,23 @@ class QueriesSpec extends SparkSuite {
     assert(rows.exists(_.getAs[Double]("containment") === 1.0))
   }
 
+  test("q_sim_mmr picks the true top-1 first, then diversifies") {
+    val mmr = SparkEntry.queries("q_sim_mmr")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val bf = SparkEntry.queries("q_sim_topk_bruteforce")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(mmr.nonEmpty)
+    for ((q, rows) <- mmr) {
+      val byStep = rows.sortBy(_.getAs[Int]("step"))
+      assert(byStep.map(_.getAs[Int]("step")).toSeq === Seq(1, 2, 3))
+      // step 1 is pure relevance: must equal the brute-force top-1
+      assert(byStep.head.getAs[Long]("vec_id") ===
+        bf(q).minBy(_.getAs[Int]("rnk")).getAs[Long]("neighbor_id"))
+      // selections are distinct
+      assert(byStep.map(_.getAs[Long]("vec_id")).distinct.length === 3)
+    }
+  }
+
   test("q_agg_hll sketch state is structurally sound per group") {
     val rows = SparkEntry.queries("q_agg_hll")(spark, sf).collect()
     assert(rows.nonEmpty)
