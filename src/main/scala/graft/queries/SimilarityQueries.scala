@@ -358,6 +358,7 @@ object SimilarityQueries extends QueryPack {
           .where(col("xi") =!= col("yi"))
           .withColumn("sim", VectorOps.dot("xqe", "yqe"))
           .select("query_id", "xi", "yi", "sim")
+          .localCheckpoint() // ≤64 rows/query; probed by steps 2 and 3
         val s1 = cands.where(col("rnk") === 1)
           .select(col("query_id"), col("vec_id").as("sel"),
             lit(1).as("step"), (col("rel") * 2).as("mmr_score"),
