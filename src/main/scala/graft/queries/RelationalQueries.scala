@@ -1802,6 +1802,63 @@ object RelationalQueries extends QueryPack {
       "Half-life decayed counts: dyadic 2^-age weights keep the " +
         "recency-weighted sum integer-exact under any partial-agg " +
         "order; data-derived reference day via 1-row broadcast, one " +
-        "terminal division — a plain mergeable aggregation at scale.")
+        "terminal division — a plain mergeable aggregation at scale."),
+
+    GraftQuery(
+      "q_events_attribution", Seq("J6", "W8", "A8"),
+      (s, dir) => {
+        // Linear multi-touch attribution: every purchase splits one
+        // unit of credit equally across the user's clicks in the
+        // 24 h before it — the marketing-analytics staple between
+        // last-touch (as-of join) and position-weighted. The
+        // user×time window join follows the RangeJoin bucket
+        // discipline: each conversion explodes into its 2 covering
+        // calendar days, the join is a plain (user_id, day)
+        // equi-join (fan-out exactly 2, never a per-user cross), and
+        // the exact window predicate filters after. Credit is the
+        // integer 1e6 div n per touch — deterministic under any
+        // order (documented truncation: a conversion's credits sum
+        // to ≤ 1e6) — rolled up to the touch's hour-of-day.
+        val ev = t(s, dir, "events")
+        val conv = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            col("ts").as("conv_ts"))
+          .withColumn("day", explode(array(
+            expr("date_trunc('day', conv_ts)"),
+            expr("date_trunc('day', conv_ts - interval 1 day)"))))
+        val touch = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("ts").as("touch_ts"))
+          .withColumn("day", expr("date_trunc('day', touch_ts)"))
+        val matched = conv.join(touch, Seq("user_id", "day"))
+          .where(col("touch_ts") < col("conv_ts") &&
+            col("touch_ts") >= col("conv_ts") - expr("interval 1 day"))
+        val withN = matched.withColumn("n", count(lit(1)).over(
+          Window.partitionBy("conv_id")))
+        withN
+          .groupBy(hour(col("touch_ts")).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct("conv_id").as("n_convs"),
+            sum(expr("1000000L div n")).as("credit_scaled"))
+          .orderBy("hr")
+      },
+      Some("""WITH conv AS (SELECT event_id AS conv_id, user_id,
+              ts AS conv_ts FROM events WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+            FROM events WHERE event_type = 'click'),
+          m AS (SELECT conv_id, touch_id, touch_ts,
+              count(*) OVER (PARTITION BY conv_id) AS n
+            FROM conv JOIN tch ON conv.user_id = tch.user_id
+              AND tch.touch_ts < conv.conv_ts
+              AND tch.touch_ts >= conv.conv_ts - INTERVAL 1 DAY)
+        SELECT extract(hour FROM touch_ts)::BIGINT AS hr,
+          count(*)::BIGINT AS n_touches,
+          count(DISTINCT conv_id)::BIGINT AS n_convs,
+          sum(1000000 // n)::BIGINT AS credit_scaled
+        FROM m GROUP BY 1 ORDER BY 1"""),
+      "Linear multi-touch attribution in a 24h lookback: bucketed " +
+        "(user, day) equi-join with fan-out 2 — never a per-user " +
+        "cross — exact window predicate after, integer 1e6 div n " +
+        "credit split rolled up by touch hour.")
   )
 }
