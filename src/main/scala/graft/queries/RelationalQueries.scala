@@ -868,6 +868,71 @@ object RelationalQueries extends QueryPack {
         "closure as one equi-join; per-node top-10 plus global total."),
 
     GraftQuery(
+      "q_graph_kcore", Seq("D4", "A13", "A8"),
+      (s, dir) => {
+        // Degeneracy peel toward the k=10 core of the co-purchase
+        // graph: 3 UNROLLED rounds of drop-degree-<k, recompute —
+        // each round one count-shaped aggregation plus two semi-joins
+        // (never a node×node product), with the tiny edge survivor
+        // set checkpointed between rounds so the final plan stays
+        // shallow. Fixed depth keeps both engines bit-identical (a
+        // to-fixpoint peel is the GraphClosure-style size-gated loop
+        // — same per-round plan, driver-controlled stop; 3 rounds is
+        // the oracle-replayable slice and already cascades: removing
+        // a weak node drags its neighbors' degrees down next round).
+        val k = 10
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
+          .where(col("a") =!= col("b"))
+          .select(col("a").as("src"), col("b").as("dst")).distinct()
+          .localCheckpoint()
+        val e3 = (1 to 3).foldLeft(e0) { (e, _) =>
+          val keep = e.groupBy("src").agg(count(lit(1)).as("c"))
+            .where(col("c") >= k).select("src")
+          e.join(keep, Seq("src"), "left_semi")
+            .join(keep.toDF("dst"), Seq("dst"), "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        }
+        val deg = e3.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val tot = deg.agg(count(lit(1)).as("n_core"))
+        deg.orderBy(col("deg").desc, col("node").asc).limit(20)
+          .crossJoin(broadcast(tot))
+          .orderBy(col("deg").desc, col("node").asc)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem WHERE l_orderkey % 11 = 0),
+          e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk),
+          k1 AS (SELECT src FROM e0 GROUP BY 1 HAVING count(*) >= 10),
+          e1 AS (SELECT src, dst FROM e0
+            WHERE src IN (SELECT src FROM k1)
+              AND dst IN (SELECT src FROM k1)),
+          k2 AS (SELECT src FROM e1 GROUP BY 1 HAVING count(*) >= 10),
+          e2 AS (SELECT src, dst FROM e1
+            WHERE src IN (SELECT src FROM k2)
+              AND dst IN (SELECT src FROM k2)),
+          k3 AS (SELECT src FROM e2 GROUP BY 1 HAVING count(*) >= 10),
+          e3 AS (SELECT src, dst FROM e2
+            WHERE src IN (SELECT src FROM k3)
+              AND dst IN (SELECT src FROM k3)),
+          deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+            FROM e3 GROUP BY 1),
+          tot AS (SELECT count(*)::BIGINT AS n_core FROM deg),
+          top AS (SELECT node, deg FROM deg
+            ORDER BY deg DESC, node LIMIT 20)
+        SELECT t.node, t.deg, tot.n_core FROM top t, tot
+        ORDER BY deg DESC, node"""),
+      "3-round k=10 degeneracy peel: per round one degree aggregation " +
+        "+ two semi-joins over the shrinking edge set (checkpointed), " +
+        "cascading removals, top-20 core nodes + core size — the " +
+        "fixed-depth oracle-replayable slice of the k-core fixpoint."),
+
+    GraftQuery(
       "q_events_anomaly", Seq("A9", "W2", "W8"),
       (s, dir) => {
         // Rolling z-score anomaly detection on the hourly event-count

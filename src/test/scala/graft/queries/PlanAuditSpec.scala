@@ -60,6 +60,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_events_decay",
     // 1-row global-triangle-count broadcast stitched to the top-10
     "q_graph_triangles",
+    // 1-row core-size broadcast stitched to the top-20
+    "q_graph_kcore",
     // MMR: all x broadcast(query vectors) relevance scoring (the
     // brute-force baseline shape), then candidates-only equi-joins
     "q_sim_mmr")
