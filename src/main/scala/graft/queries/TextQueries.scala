@@ -2212,32 +2212,60 @@ object TextQueries extends QueryPack {
         // Verdicts are cross-multiplied (5*ov >= 4*n) so the gate is
         // integer-exact; the displayed containment divides once.
         val tauNum = 4; val tauDen = 5 // t = 0.8
-        val fps = docs(s, dir)
-          .withColumn("fp", explode(array_distinct(
+        // one sorted fingerprint ARRAY per doc: the prefix pass
+        // explodes it, and the overlap pass intersects two arrays per
+        // candidate pair IN a projection — the posting-explosion
+        // alternative (postings ⋈ pairs ⋈ postings then group-count)
+        // shuffles |pairs|·|doc| rows, measured 7x slower at bench
+        // scale on this small-fp-space corpus (5k docs share 12k
+        // distinct fps → 1.8M candidates)
+        val fpArr = docs(s, dir)
+          .withColumn("fps", array_sort(array_distinct(
             TextOps.charFingerprints("text", w = 8, step = 4))))
-          .select(col("doc_id").as("a"), col("fp"))
-        val sizes = fps.groupBy("a").agg(count(lit(1)).as("n_a"))
+          .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
+          .localCheckpoint() // 1 row/doc; reused by 3 consumers
+        val fps = fpArr.select(col("doc_id").as("a"),
+          explode(col("fps")).as("fp"))
         val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        val prefix = fps.join(dfreq, Seq("fp"))
+        // every token ranked inside its doc by the ONE global
+        // (df, fp) order — the prefix bound reads it on the A side,
+        // the PPJoin positional filter reads it on the B side
+        val ranked = fps.join(dfreq, Seq("fp"))
           .withColumn("rk", row_number().over(
             Window.partitionBy("a").orderBy("df", "fp")))
-          .join(sizes, Seq("a"))
+          .join(fpArr.select(col("doc_id").as("a"), col("n")), Seq("a"))
+          .select("a", "fp", "rk", "n")
+          .localCheckpoint() // one row per posting; probed twice
+        val prefix = ranked
           .where(col("rk") <=
-            expr(s"(n_a * ${tauDen - tauNum}) div $tauDen") + 1L)
-          .select("a", "fp")
+            expr(s"(n * ${tauDen - tauNum}) div $tauDen") + 1L)
+          .select(col("a"), col("fp"), col("n").as("n_a"))
+        // candidates: A-prefix token ⋈ B token, PLUS the positional
+        // filter — the first shared token t* in the global order has
+        // p_b(t*) ≤ n_b − o + 1, so a qualifying pair always
+        // survives via t* (lossless); B-tokens too late in B's order
+        // to leave room for τ·n_a overlap generate no pair
         val cands = prefix
-          .join(fps.toDF("b", "fp"), Seq("fp"))
-          .where(col("a") =!= col("b"))
+          .join(ranked.select(col("a").as("b"), col("fp"),
+            col("rk").as("rk_b"), col("n").as("n_b")), Seq("fp"))
+          .where(col("a") =!= col("b") &&
+            lit(tauDen) * (col("n_b") - col("rk_b") + 1L) >=
+              lit(tauNum) * col("n_a"))
           .select("a", "b").distinct()
-        val ov = fps.join(cands, Seq("a"))
-          .join(fps.toDF("b", "fp"), Seq("b", "fp"))
-          .groupBy("a", "b").agg(count(lit(1)).as("overlap"))
-        ov.join(sizes, Seq("a"))
+        cands
+          .join(broadcast(fpArr.select(col("doc_id").as("a"),
+            col("fps").as("fps_a"), col("n").as("n_a"))), Seq("a"))
+          .join(broadcast(fpArr.select(col("doc_id").as("b"),
+            col("fps").as("fps_b"))), Seq("b"))
+          .withColumn("overlap",
+            size(array_intersect(col("fps_a"), col("fps_b")))
+              .cast("long"))
           .where(col("overlap") * tauDen >= col("n_a") * tauNum)
           .withColumn("containment", round(
             col("overlap").cast("double") / col("n_a"), 4))
           .select(col("a").as("contained"), col("b").as("container"),
-            col("n_a"), col("overlap"), col("containment"))
+            col("n_a").cast("long").as("n_a"), col("overlap"),
+            col("containment"))
           .orderBy("contained", "container")
       },
       Some(s"""WITH f AS (SELECT doc_id,
