@@ -1575,4 +1575,88 @@ object StreamingOps {
     graft.operators.Sketches.cmsProjection(rows, keyExpr, d, w)
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Static side for [[containmentStream]]: the corpus's ranked
+    * fingerprint postings and per-doc sorted arrays — the same two
+    * relations the batch q_text_containment derives, PRE-computed so
+    * each micro-batch pays only the probe. `postings` carries the
+    * PPJoin positional metadata (rk_b = the token's rank in its doc
+    * under the global (df, fp) order, n_b = the doc's token count);
+    * `arrays` carries (b, fps_b) for the exact array-intersect
+    * overlap. Persist both (the caller owns the lifecycle).
+    */
+  def containmentStaticSide(
+      corpus: DataFrame, // idCol, textCol
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    import graft.operators.TextOps
+    val fpArr = corpus
+      .withColumn("__fps", array_sort(array_distinct(
+        TextOps.charFingerprints(textCol, w = 8, step = 4))))
+      .select(col(idCol).as("b"), col("__fps").as("fps_b"),
+        size(col("__fps")).cast("long").as("n_b"))
+    val fps = fpArr.select(col("b"), col("n_b"),
+      explode(col("fps_b")).as("fp"))
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val postings = fps.join(dfreq, Seq("fp"))
+      .withColumn("rk_b", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("b").orderBy("df", "fp")))
+      .select("fp", "b", "rk_b", "n_b")
+    (postings, fpArr.select("b", "fps_b"))
+  }
+
+  /** Streaming containment detection — the streaming twin of
+    * q_text_containment for an arriving document feed: is this doc
+    * substantially CONTAINED in some corpus doc (C(A,B) = |A∩B|/|A|
+    * ≥ τ — the quote/subsumption direction)? Candidates come from
+    * one fp equi-join of the arrival's distinct fingerprints against
+    * the static ranked postings, pruned by the same PPJoin positional
+    * filter the batch side uses (a corpus token too late in its
+    * doc's global order to leave τ·n_a overlap room generates no
+    * candidate — lossless, the first shared token always qualifies;
+    * the arrival side skips the prefix filter entirely, which only
+    * ever widens candidates, so stream and batch verdicts agree —
+    * the parity spec pins pair-set equality). One watermarked
+    * aggregation folds the candidate rows per (window, arrival,
+    * corpus doc); the exact overlap is one array_intersect against
+    * the static per-doc arrays. Output: bucket, <idCol>, container,
+    * n_a, overlap, containment.
+    */
+  def containmentStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      postings: DataFrame, // from containmentStaticSide._1, persisted
+      arrays: DataFrame, // from containmentStaticSide._2, persisted
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      tauNum: Int = 4,
+      tauDen: Int = 5): DataFrame = {
+    import graft.operators.TextOps
+    val arr = docs.withWatermark(tsCol, watermark)
+      .withColumn("__fps", array_sort(array_distinct(
+        TextOps.charFingerprints(textCol, w = 8, step = 4))))
+      .withColumn("__n_a", size(col("__fps")).cast("long"))
+    val cand = arr.select(col(tsCol), col(idCol), col("__n_a"),
+        col("__fps"), explode(col("__fps")).as("fp"))
+      .join(postings, Seq("fp"))
+      .where(col(idCol) =!= col("b") &&
+        lit(tauDen) * (col("n_b") - col("rk_b") + 1L) >=
+          lit(tauNum) * col("__n_a"))
+    cand
+      .groupBy(window(col(tsCol), windowDuration), col(idCol),
+        col("b"))
+      .agg(first("__n_a").as("n_a"), first("__fps").as("fps_a"))
+      .join(arrays, Seq("b"))
+      .withColumn("overlap",
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long"))
+      .where(col("overlap") * tauDen >= col("n_a") * tauNum)
+      .withColumn("containment",
+        round(col("overlap").cast("double") / col("n_a"), 4))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("b").as("container"), col("n_a"), col("overlap"),
+        col("containment"))
+  }
 }

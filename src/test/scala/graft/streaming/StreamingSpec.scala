@@ -1539,4 +1539,40 @@ class StreamingSpec extends SparkSuite {
       assert(bad === 0L)
     } finally q.stop()
   }
+
+  test("streaming containment flags the same (contained, container) " +
+    "pairs as the batch prefix-filtered join over the real documents") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, sf, "documents")
+    val want = graft.queries.TextQueries.queries
+      .find(_.name == "q_text_containment").get.run(spark, sf)
+      .select("contained", "container", "overlap")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    val (postings, arrays) = StreamingOps.containmentStaticSide(corpus)
+    postings.persist(); arrays.persist()
+    val fixture = corpus.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.containmentStream(
+        in.toDF().toDF("doc_id", "text", "ts"), postings, arrays)
+      .writeStream.format("memory").queryName("containment_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.size / 2)
+      Seq(b1, b2).foreach { b =>
+        in.addData(b.map { case (id, tx) => (id, tx, t0) })
+        q.processAllAvailable()
+      }
+      // watermark-close the window so append mode emits
+      in.addData((-1L, "", Timestamp.valueOf("2026-01-02 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("containment_stream")
+        .select(col("doc_id"), col("container"), col("overlap"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally { q.stop(); postings.unpersist(); arrays.unpersist() }
+  }
 }
