@@ -1924,6 +1924,53 @@ object RelationalQueries extends QueryPack {
       "Linear multi-touch attribution in a 24h lookback: bucketed " +
         "(user, day) equi-join with fan-out 2 — never a per-user " +
         "cross — exact window predicate after, integer 1e6 div n " +
-        "credit split rolled up by touch hour.")
+        "credit split rolled up by touch hour."),
+
+    GraftQuery(
+      "q_events_transitions", Seq("W8", "A8"),
+      (s, dir) => {
+        // First-order user-journey transition matrix: which event
+        // follows which, per user timeline — the Markov-chain summary
+        // behind funnel design (funnel/retention/attribution ask
+        // about chosen steps; this surfaces ALL observed step pairs).
+        // One lead() per user ordered by (ts, event_id) — the id
+        // tie-break makes equal-timestamp ordering deterministic in
+        // both engines — then a 25-cell count aggregation; row
+        // probabilities leave integer land exactly once (cnt/total,
+        // round 4). Scale: the window partitions by user (the
+        // sessionize family's bucketing story), everything after is
+        // a tiny grouped table.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, dir, "events")
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("cnt"))
+        val totals = pairs.groupBy("event_type")
+          .agg(sum("cnt").as("row_total"))
+        pairs.join(broadcast(totals), Seq("event_type"))
+          .withColumn("p", round(
+            col("cnt").cast("double") / col("row_total"), 4))
+          .select("event_type", "next_type", "cnt", "row_total", "p")
+          .orderBy("event_type", "next_type")
+      },
+      Some("""WITH pairs AS (SELECT event_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+            FROM events),
+          cells AS (SELECT event_type, next_type,
+              count(*)::BIGINT AS cnt
+            FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT event_type, sum(cnt)::BIGINT AS row_total
+            FROM cells GROUP BY 1)
+        SELECT c.event_type, c.next_type, c.cnt, t.row_total,
+          round(c.cnt::DOUBLE / t.row_total, 4) AS p
+        FROM cells c JOIN tot t USING (event_type)
+        ORDER BY 1, 2"""),
+      "User-journey transition matrix: one deterministic lead() per " +
+        "user timeline (id tie-break), 25-cell count aggregation, " +
+        "row-stochastic probabilities with one exact division each.")
   )
 }
