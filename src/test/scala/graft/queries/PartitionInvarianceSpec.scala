@@ -20,7 +20,12 @@ class PartitionInvarianceSpec extends SparkSuite {
   private val queries = Seq(
     "q_text_bm25", "q_text_perplexity", "q_events_twa", "q_agg_corr",
     "q_events_anomaly", "q_text_tfidf", "q_hybrid_rrf",
-    "q_sim_standardize")
+    "q_sim_standardize",
+    // round-11 sketch/dedup wave: HLL's raw-estimate division,
+    // containment's C ratio, attribution's credit rollup, the
+    // transition matrix's row probabilities
+    "q_agg_hll", "q_text_containment", "q_events_attribution",
+    "q_events_transitions")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
