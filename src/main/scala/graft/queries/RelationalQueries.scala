@@ -1092,6 +1092,106 @@ object RelationalQueries extends QueryPack {
         "error audit — registers, not keys, cross the shuffle."),
 
     GraftQuery(
+      "q_agg_hll_setops", Seq("A8", "D7"),
+      (s, dir) => {
+        // Sketch SET ALGEBRA: how many distinct orders appear under
+        // BOTH of two return flags — answered from the per-flag HLL
+        // registers alone. Union sketches are exact sketch-of-union
+        // (bucket-wise max, the merge law); the intersection estimate
+        // is inclusion-exclusion est(x)+est(y)-est(x∪y) on the raw
+        // estimates. At 100 TB this answers any overlap question
+        // from three register tables without re-scanning — the exact
+        // overlap (one distinct + self-join here) rides along as the
+        // measured error, because I-E error compounds and should be
+        // REPORTED, not assumed.
+        val li = t(s, dir, "lineitem")
+        val regs = Sketches.hllRegisters(
+            li, col("l_orderkey"), Seq("l_returnflag"), p = 12)
+          .localCheckpoint() // 3*4096 rows; probed by 3 pair unions
+        val single = Sketches.hllEstimate(regs, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("hll_est"))
+        val pairs = Seq(("A", "N"), ("A", "R"), ("N", "R"))
+        val unionRegs = pairs.map { case (x, y) =>
+          regs.where(col("l_returnflag").isin(x, y))
+            .withColumn("pair", lit(s"$x+$y"))
+            .groupBy("pair", "bucket").agg(max("reg").as("reg"))
+        }.reduce(_ unionByName _)
+        val unionEst = Sketches.hllEstimate(unionRegs, Seq("pair"))
+          .select(col("pair"), col("hll_est").as("est_union"))
+        val pairDf = pairs.map { case (x, y) =>
+          Seq((s"$x+$y", x, y)) }.reduce(_ ++ _) match {
+          case rows =>
+            import s.implicits._
+            rows.toDF("pair", "fx", "fy")
+        }
+        val dk = li.select(col("l_returnflag").as("f"),
+          col("l_orderkey").as("ok")).distinct().localCheckpoint()
+        val exact = dk.toDF("fx", "ok")
+          .join(dk.toDF("fy", "ok"), Seq("ok"))
+          .where(col("fx") < col("fy"))
+          .groupBy("fx", "fy")
+          .agg(countDistinct("ok").as("exact_both"))
+        broadcast(pairDf)
+          .join(single.toDF("fx", "est_x"), Seq("fx"))
+          .join(single.toDF("fy", "est_y"), Seq("fy"))
+          .join(unionEst, Seq("pair"))
+          .join(exact, Seq("fx", "fy"))
+          .withColumn("est_both", expr(
+            "round(est_x + est_y - est_union, 1)"))
+          .select(col("pair"), col("est_x"), col("est_y"),
+            col("est_union"), col("est_both"), col("exact_both"))
+          .orderBy("pair")
+      },
+      Some("""WITH k AS (SELECT DISTINCT l_returnflag AS f,
+              l_orderkey AS ok FROM lineitem),
+          h AS (SELECT f, ('0x' || substr(md5(ok::VARCHAR),1,15))
+              ::BIGINT AS hh FROM k),
+          r AS (SELECT f, hh // 281474976710656 AS bucket,
+              hh % 281474976710656 AS w FROM h),
+          regs AS (SELECT f, bucket,
+              max(CASE WHEN w = 0 THEN 49
+                ELSE 49 - length(bin(w)) END)::BIGINT AS reg
+            FROM r GROUP BY 1, 2),
+          est AS (SELECT f,
+              round((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 562949953421312.0 /
+                (sum(1::BIGINT << (49 - reg)) +
+                 (4096 - count(*)) * (1::BIGINT << 49))::DOUBLE, 1)
+                AS hll_est
+            FROM regs GROUP BY 1),
+          pr(pair, fx, fy) AS (VALUES ('A+N', 'A', 'N'),
+            ('A+R', 'A', 'R'), ('N+R', 'N', 'R')),
+          uregs AS (SELECT pr.pair, regs.bucket,
+              max(regs.reg)::BIGINT AS reg
+            FROM pr JOIN regs ON regs.f IN (pr.fx, pr.fy)
+            GROUP BY 1, 2),
+          uest AS (SELECT pair,
+              round((0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                * 562949953421312.0 /
+                (sum(1::BIGINT << (49 - reg)) +
+                 (4096 - count(*)) * (1::BIGINT << 49))::DOUBLE, 1)
+                AS est_union
+            FROM uregs GROUP BY 1),
+          exact AS (SELECT a.f AS fx, b.f AS fy,
+              count(DISTINCT a.ok)::BIGINT AS exact_both
+            FROM k a JOIN k b ON a.ok = b.ok AND a.f < b.f
+            GROUP BY 1, 2)
+        SELECT pr.pair, ex.hll_est AS est_x, ey.hll_est AS est_y,
+          uest.est_union,
+          round(ex.hll_est + ey.hll_est - uest.est_union, 1)
+            AS est_both,
+          exact.exact_both
+        FROM pr JOIN est ex ON ex.f = pr.fx
+          JOIN est ey ON ey.f = pr.fy
+          JOIN uest USING (pair)
+          JOIN exact ON exact.fx = pr.fx AND exact.fy = pr.fy
+        ORDER BY pair"""),
+      "HLL set algebra: union sketches by bucket-wise max (exact " +
+        "sketch-of-union), intersection by inclusion-exclusion on " +
+        "raw estimates, with the exact overlap reported alongside — " +
+        "overlap questions answered from registers, not re-scans."),
+
+    GraftQuery(
       "q_agg_cms", Seq("A8"),
       (s, dir) => {
         // Count-Min point-frequency sketch: d=4 hash rows x w=1024

@@ -1044,6 +1044,11 @@ object StreamingOps {
   }
 
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+  final case class TransEvent(
+    userId: Long, ts: java.sql.Timestamp, eventId: Long,
+    eventType: String)
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class TransPair(eventType: String, nextType: String)
   final case class FunnelEvent(
     userId: Long, eventType: String, ts: java.sql.Timestamp)
   final case class FunnelState(stageTimes: Seq[Long])
@@ -1575,6 +1580,42 @@ object StreamingOps {
     graft.operators.Sketches.cmsProjection(rows, keyExpr, d, w)
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming user-journey transitions — the streaming twin of
+    * q_events_transitions: keyed state holds ONE (ts, id, type) tuple
+    * per user (the previous event), and each arrival emits the
+    * (previous, current) pair before becoming the new state. Arrivals
+    * are ordered within a micro-batch by the batch query's exact
+    * (ts, event_id) tie-break; like the sessionizer, cross-batch
+    * correctness assumes the feed delivers a user's events in time
+    * order across batches (the state is the boundary event, so
+    * in-order feeds produce the identical pair multiset — parity
+    * spec). Downstream counting/normalizing is the consumer's plain
+    * aggregation.
+    */
+  def transitionsStream(
+      events: Dataset[TransEvent]): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[TransState, TransPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[TransEvent],
+         state: GroupState[TransState]) =>
+          var st = state.getOption
+          val out = Vector.newBuilder[TransPair]
+          rows.toSeq
+            .sortBy(e => ((e.ts.getTime / 1000) * 1000000L +
+              e.ts.getNanos / 1000, e.eventId))
+            .foreach { e =>
+              st.foreach(s => out += TransPair(s.lastType, e.eventType))
+              st = Some(TransState(e.ts.getTime, e.eventId, e.eventType))
+            }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Static side for [[containmentStream]]: the corpus's ranked
     * fingerprint postings and per-doc sorted arrays — the same two

@@ -1575,4 +1575,38 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally { q.stop(); postings.unpersist(); arrays.unpersist() }
   }
+
+  test("streaming transitions emit the batch pair multiset over the " +
+    "real events table under time-ordered batching") {
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.queries.RelationalQueries.queries
+      .find(_.name == "q_events_transitions").get.run(spark, sf)
+      .select("event_type", "next_type", "cnt")
+      .as[(String, String, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    val fixture = graft.Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, Timestamp, Long, String)].collect()
+      .sortBy { case (_, ts, id, _) => (ts.getTime, id) }.toSeq
+    val in = MemoryStream[StreamingOps.TransEvent]
+    val q = StreamingOps.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      // time-ordered feed, uneven batch cuts (the documented contract)
+      val (b1, rest) = fixture.splitAt(fixture.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (u, ts, id, t) =>
+          StreamingOps.TransEvent(u, ts, id, t) })
+        q.processAllAvailable()
+      }
+      val got = spark.table("trans_stream")
+        .groupBy("eventType", "nextType")
+        .agg(count(lit(1)).as("cnt"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
 }
