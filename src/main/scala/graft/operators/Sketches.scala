@@ -140,6 +140,48 @@ object Sketches {
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Persist an HLL register table (the VectorIndex/TextIndex
+    * discipline applied to sketches): registers as parquet plus a
+    * 1-row meta table pinning `p`, so a later load/append cannot
+    * silently mix geometries. The saved artifact is the WHOLE
+    * summary — loading it answers cardinality questions about a
+    * 100 TB corpus without touching the corpus.
+    */
+  def saveHll(registers: DataFrame, path: String, p: Int): Unit = {
+    registers.write.mode("overwrite").parquet(s"$path/registers")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    Seq(p).toDF("p").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadHll(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int) = {
+    val p = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("p")
+    (spark.read.parquet(s"$path/registers"), p)
+  }
+
+  /** Fold new rows into a saved HLL sketch: sketch the arrivals at
+    * the saved geometry, bucket-wise max with the stored registers,
+    * rewrite. Exactly the merge law the spec pins — an append is
+    * indistinguishable from a full rebuild over old ∪ new (no decay,
+    * no approximation drift), because registers are monotone maxima.
+    */
+  def appendHll(
+      df: DataFrame,
+      keyExpr: Column,
+      groupCols: Seq[String],
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val (saved, p) = loadHll(spark, path)
+    val merged = saved
+      .unionByName(hllRegisters(df, keyExpr, groupCols, p))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("reg").as("reg"))
+      .localCheckpoint() // sever lineage from the files being replaced
+    saveHll(merged, path, p)
+  }
+
   /** Misra-Gries candidate pass for [[heavyHitters]]: per-partition
     * k-counter summaries (Misra & Gries 1982), unioned. The guarantee
     * that makes the 2-pass result EXACT: an item with total frequency

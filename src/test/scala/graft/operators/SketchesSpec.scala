@@ -123,6 +123,28 @@ class SketchesSpec extends SparkSuite {
     assert(want.nonEmpty) // the fixture actually exercises the filter
   }
 
+  test("saved HLL sketch + append equals the full rebuild, and the " +
+    "meta table pins the geometry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_store").toString
+    val df = liSample
+    val (oldHalf, newHalf) =
+      (df.where(col("k") <= 250), df.where(col("k") > 250))
+    Sketches.saveHll(
+      Sketches.hllRegisters(oldHalf, col("k"), Seq("g"), p = 10),
+      dir, p = 10)
+    Sketches.appendHll(newHalf, col("k"), Seq("g"), dir)
+    val (loaded, p) = Sketches.loadHll(spark, dir)
+    assert(p === 10)
+    val got = loaded.orderBy("g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = Sketches.hllRegisters(df, col("k"), Seq("g"), p = 10)
+      .orderBy("g", "bucket")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("CMS sketches merge: shard cells sum to the whole") {
     import spark.implicits._
     val rows = (1 to 100).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k")
