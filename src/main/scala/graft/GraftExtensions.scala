@@ -22,6 +22,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in non-equi interval-join rewrite (fires only when
+    // spark.graft.rangejoin.bucketWidth is set): the RangeJoin
+    // bucketed-equi rewrite as a transparent optimizer rule —
+    // plain SQL/DataFrame interval joins plan as hash joins
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_hash64"),
       new ExpressionInfo(
