@@ -2071,6 +2071,47 @@ object RelationalQueries extends QueryPack {
         ORDER BY 1, 2"""),
       "User-journey transition matrix: one deterministic lead() per " +
         "user timeline (id tie-break), 25-cell count aggregation, " +
-        "row-stochastic probabilities with one exact division each.")
+        "row-stochastic probabilities with one exact division each."),
+
+    GraftQuery(
+      "q_zorder", Seq("P6", "A8", "W5"),
+      (s, dir) => {
+        // Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+        // the data-skipping layout primitive behind ZOrder.clusteredWrite
+        // (lakehouse OPTIMIZE ZORDER BY), driven through the gate as
+        // integer-exact arithmetic. Per-dim min/max arrive as a 1-row
+        // broadcast (map-side-combined at scale), quantize is integer
+        // `div` onto a 2^16 grid, interleave is a sum of 32 disjoint
+        // single-bit terms — all codegen'd builtins, bit-identical to
+        // the generated DuckDB twin. The query folds the curve into 64
+        // coarse buckets (top 6 z-bits = the 8x8 top-level grid) with
+        // per-bucket extents: the histogram a file planner would use
+        // to cut range boundaries, and a full-precision pin on every
+        // row's z-value via min/max/sum.
+        val z = ZOrder.withZValue(
+          t(s, dir, "lineitem").select("l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey")
+        z.groupBy(shiftright(col("zval"), 26).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("zval").as("zmin"), max("zval").as("zmax"),
+            sum("zval").as("zsum"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH st AS (SELECT min(l_partkey) AS pmn,
+              max(l_partkey) AS pmx, min(l_suppkey) AS smn,
+              max(l_suppkey) AS smx FROM lineitem),
+          g AS (SELECT
+              ${ZOrder.duckGrid("l_partkey", "pmn", "pmx")} AS gp,
+              ${ZOrder.duckGrid("l_suppkey", "smn", "smx")} AS gs
+            FROM lineitem, st),
+          z AS (SELECT ${ZOrder.duckInterleave("gp", "gs")} AS zval
+            FROM g)
+        SELECT (zval >> 26)::BIGINT AS bucket,
+          count(*)::BIGINT AS n, min(zval)::BIGINT AS zmin,
+          max(zval)::BIGINT AS zmax, sum(zval)::BIGINT AS zsum
+        FROM z GROUP BY 1 ORDER BY 1"""),
+      "Z-order clustering key: integer quantize to a 2^16 grid + " +
+        "32-term bit interleave (sum of disjoint bits == OR), folded " +
+        "into the 8x8 top-grid histogram with exact per-bucket extents.")
   )
 }

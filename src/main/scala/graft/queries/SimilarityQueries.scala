@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{ProductQuantizer, VectorOps}
+import graft.operators.{ProductQuantizer, ScalarQuantizer, VectorOps}
 
 /** Embedding similarity-search pack over the `embeddings` table:
   * brute-force cosine top-k (baseline), sign-LSH bucketed ANN (the scale
@@ -118,6 +118,23 @@ object SimilarityQueries extends QueryPack {
   private val duckBase =
     s"""base AS (SELECT vec_id, label, $duckQuant AS qe FROM embeddings),
         n AS (SELECT vec_id, label, qe, $duckNorm AS nq FROM base)"""
+
+  /** DuckDB twin of the ScalarQuantizer SQ8 chain: per-dim min/max →
+    * 1-row arrays → byte-per-dimension codes → the %100 probe set.
+    */
+  private val duckSqChain =
+    s"""sqst AS (SELECT (i - 1) AS pos, min(qe[i]) AS mn,
+            max(qe[i]) AS mx
+          FROM (SELECT qe, unnest(range(1, len(qe) + 1)) AS i FROM n)
+          GROUP BY 1),
+        sqa AS (SELECT list(mn ORDER BY pos) AS mns,
+            list(mx ORDER BY pos) AS mxs FROM sqst),
+        sqcodes AS (SELECT vec_id, list_transform(range(1, len(qe) + 1),
+            i -> ((qe[i] - mns[i]) * ${ScalarQuantizer.Levels}) //
+              greatest(1, mxs[i] - mns[i])) AS code
+          FROM n, sqa),
+        sqq AS (SELECT vec_id AS query_id, code AS qcode
+          FROM sqcodes WHERE vec_id % 100 = 0)"""
 
   /** DuckDB twin of the ProductQuantizer chain (m=8 subspaces x 8
     * dims, k=16 sampled codebook entries) ending in `codes(vec_id, j,
@@ -2148,5 +2165,123 @@ object SimilarityQueries extends QueryPack {
         "prelude): exact integer count/sum/sum-of-squares partials, " +
         "128-bit-exact variance radicand, one double conversion at " +
         "the end — order-independent at any parallelism."),
+
+    GraftQuery(
+      "q_sim_sq8", Seq("A10", "J11", "W4"),
+      (s, dir) => {
+        // SQ8 scalar-quantized ANN (ScalarQuantizer) — one byte per
+        // DIMENSION: the 4x compression point between raw vectors and
+        // PQ's byte-per-subspace, with no codebook training (per-dim
+        // min/max only). Codes and squared-L2 distances are exact
+        // integers on the 256-level grid, so ranking and tie-breaks
+        // ((sqdist asc, id asc), the pack's rule) reproduce in the
+        // oracle bit-for-bit. Same % 100 probe set as every ANN query.
+        val e = quantized(s, dir)
+        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+        val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
+        val q = coded.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sqdist").asc, col("vec_id").asc)
+        coded.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("sqdist", ScalarQuantizer.sqDist("code", "qcode"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("sqdist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckSqChain,
+          d AS (SELECT query_id, sc.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(code) + 1),
+                i -> (code[i] - qcode[i]) * (code[i] - qcode[i])))::BIGINT
+                AS sqdist
+            FROM sqcodes sc, sqq WHERE sc.vec_id != query_id),
+          r AS (SELECT query_id, neighbor_id, sqdist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sqdist, neighbor_id) AS rnk
+            FROM d)
+        SELECT query_id, rnk, neighbor_id, sqdist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "SQ8 scalar-quantized ANN: per-dim min/max grid (1-row " +
+        "broadcast), byte-per-dimension codes, exact integer " +
+        "squared-L2 top-k — the training-free 4x compression point " +
+        "beside PQ and IVF-PQ."),
+
+    GraftQuery(
+      "q_sim_recall_sq8", Seq("A10", "W4"),
+      (s, dir) => {
+        // Recall AUDIT of the SQ8 path against the exact integer L2
+        // top-3 — same measure-don't-guess contract (and pair budget)
+        // as q_sim_recall for PQ. SQ8 keeps 8 bits per dimension, so
+        // its recall should sit at or near 1.0 where PQ's m-byte codes
+        // lose neighbors — this query MEASURES that claim instead of
+        // assuming it, and the oracle replays both rankings exactly.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        auditPairBudget("q_sim_recall_sq8", nRows)
+        val e = quantized(s, dir)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+            col("nq").as("qnq"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        val exact = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dist", col("qnq") + col("nq") -
+            lit(2L) * VectorOps.dot("qqe", "qe"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+        val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
+        val qc = coded.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+        val wsq = Window.partitionBy("query_id")
+          .orderBy(col("sqdist").asc, col("vec_id").asc)
+        val sq8 = coded.crossJoin(broadcast(qc))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("sqdist", ScalarQuantizer.sqDist("code", "qcode"))
+          .withColumn("rnk", row_number().over(wsq))
+          .where(col("rnk") <= 3)
+          .select("query_id", "vec_id")
+        q.select("query_id")
+          .join(exact.join(sq8, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("h")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            round(coalesce(col("h"), lit(0L)) / 3.0, 4).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          q AS (SELECT vec_id AS query_id, qe AS qqe, nq AS qnq
+                FROM n WHERE vec_id % 100 = 0),
+          ext AS (SELECT query_id, vec_id FROM (
+              SELECT q.query_id, n.vec_id, row_number() OVER
+                (PARTITION BY q.query_id ORDER BY
+                  q.qnq + n.nq - 2 * ${duckDot("q.qqe", "n.qe")},
+                  n.vec_id) AS rnk
+              FROM n, q WHERE n.vec_id != q.query_id)
+            WHERE rnk <= 3),
+          $duckSqChain,
+          sqd AS (SELECT query_id, sc.vec_id,
+              list_sum(list_transform(range(1, len(code) + 1),
+                i -> (code[i] - qcode[i]) * (code[i] - qcode[i])))::BIGINT
+                AS sqdist
+            FROM sqcodes sc, sqq WHERE sc.vec_id != query_id),
+          sq8 AS (SELECT query_id, vec_id FROM (
+              SELECT query_id, vec_id, row_number() OVER
+                (PARTITION BY query_id ORDER BY sqdist, vec_id) AS rnk
+              FROM sqd) WHERE rnk <= 3),
+          hits AS (SELECT e.query_id, count(*)::BIGINT AS h
+            FROM ext e JOIN sq8 USING (query_id, vec_id) GROUP BY 1)
+        SELECT q.query_id, coalesce(h, 0)::BIGINT AS n_hits,
+          round(coalesce(h, 0) / 3.0, 4) AS recall
+        FROM q LEFT JOIN hits USING (query_id) ORDER BY q.query_id"""),
+      "Recall audit of SQ8 vs exact integer L2 top-3 (pair-budget " +
+        "guarded): measures that byte-per-dimension codes keep " +
+        "near-exact recall where PQ trades it away."),
   )
 }
