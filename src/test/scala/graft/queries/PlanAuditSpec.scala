@@ -64,7 +64,14 @@ class PlanAuditSpec extends SparkSuite {
     "q_graph_kcore",
     // MMR: all x broadcast(query vectors) relevance scoring (the
     // brute-force baseline shape), then candidates-only equi-joins
-    "q_sim_mmr")
+    "q_sim_mmr",
+    // SQ8: 1-row per-dim min/max broadcast (encode) + all x
+    // broadcast(probe codes) scoring — the brute-force probe shape;
+    // the recall audit additionally broadcasts the exact side's
+    // query set
+    "q_sim_sq8", "q_sim_recall_sq8",
+    // 1-row per-dim min/max broadcast feeding the quantize grid
+    "q_zorder")
 
   test("no registry query plans a CartesianProduct; " +
     "BroadcastNestedLoopJoin only where whitelisted") {
