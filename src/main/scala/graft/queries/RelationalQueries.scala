@@ -2112,6 +2112,117 @@ object RelationalQueries extends QueryPack {
         FROM z GROUP BY 1 ORDER BY 1"""),
       "Z-order clustering key: integer quantize to a 2^16 grid + " +
         "32-term bit interleave (sum of disjoint bits == OR), folded " +
-        "into the 8x8 top-grid histogram with exact per-bucket extents.")
+        "into the 8x8 top-grid histogram with exact per-bucket extents."),
+
+    GraftQuery(
+      "q_graph_sssp", Seq("D4", "A13", "J9"),
+      (s, dir) => {
+        // Hop-bounded weighted shortest paths (Bellman-Ford, 4
+        // relaxation rounds) from a seed set over the part
+        // co-purchase graph — the "how close is everything to these
+        // products" query pagerank's popularity and closure's
+        // reachability don't answer. Edge weight is data-derived and
+        // integer-exact: 10 - min(9, shared_orders), so heavily
+        // co-purchased parts are cheaper to traverse. Each round is
+        // one equi-join frontier relaxation + a min-combine keyed on
+        // node (both shuffles on the node key, the Pregel shape);
+        // localCheckpoint truncates the 4-round lineage exactly like
+        // the closure/k-core family. The 4-edge hop bound makes the
+        // result well-defined and lets the oracle replay it as a
+        // depth-bounded recursive CTE.
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.toDF("ok", "src")
+          .join(li.toDF("ok", "dst"), Seq("ok"))
+          .where(col("src") =!= col("dst"))
+          .groupBy("src", "dst")
+          .agg((lit(10L) - least(lit(9L), count(lit(1)))).as("w"))
+          .localCheckpoint() // reused by all 4 relaxation rounds
+        var d = t(s, dir, "part")
+          .where(col("p_partkey") % 191 === 0)
+          .select(col("p_partkey").as("v"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val relaxed = d.withColumnRenamed("v", "src")
+            .join(edges, Seq("src"))
+            .select(col("dst").as("v"),
+              (col("dist") + col("w")).as("dist"))
+          d = d.union(relaxed).groupBy("v").agg(min("dist").as("dist"))
+            .localCheckpoint()
+        }
+        d.select(col("v").as("node"), col("dist"))
+          .orderBy("dist", "node").limit(50)
+      },
+      Some("""WITH RECURSIVE
+          le AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % 11 = 0),
+          edges AS (SELECT a.pk AS src, b.pk AS dst,
+              (10 - least(9, count(*)))::BIGINT AS w
+            FROM le a JOIN le b ON a.ok = b.ok AND a.pk != b.pk
+            GROUP BY a.pk, b.pk),
+          seeds AS (SELECT p_partkey AS v FROM part
+            WHERE p_partkey % 191 = 0),
+          paths(v, d, k) AS (
+            SELECT v, 0::BIGINT, 0 FROM seeds
+            UNION
+            SELECT e.dst, p.d + e.w, p.k + 1
+            FROM paths p JOIN edges e ON e.src = p.v WHERE p.k < 4)
+        SELECT v AS node, min(d)::BIGINT AS dist FROM paths
+        GROUP BY v ORDER BY dist, node LIMIT 50"""),
+      "Hop-bounded Bellman-Ford shortest paths from a seed set: " +
+        "integer co-purchase weights, 4 join+min-combine relaxation " +
+        "rounds with checkpointed lineage, top-50 nearest — the " +
+        "oracle replays it as a depth-bounded recursive CTE."),
+
+    GraftQuery(
+      "q_merge_upsert", Seq("E6", "D1", "J7"),
+      (s, dir) => {
+        // MERGE INTO semantics (Merge.cdcMerge): apply a CDC change
+        // feed — upserts, deletes, MULTIPLE versions of the same key
+        // in one batch, latest wins — onto a base table as pure
+        // relational algebra. The feed is synthesized from orders so
+        // the oracle can replay it: v1 touches every %5 key (+100,
+        // delete where %15), v2 re-touches every %10 key (+200) and
+        // must win over v1 — including resurrecting %30 keys v1
+        // deleted. Verified in aggregate per order status (count +
+        // exact 2-decimal price sum), which any wrong
+        // survivor/version/delete set shifts.
+        val base = t(s, dir, "orders")
+        val v1 = base.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 100, 2))
+          .withColumn("op", when(col("o_orderkey") % 15 === 0, "d")
+            .otherwise("u"))
+          .withColumn("seq", lit(1L))
+        val v2 = base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 200, 2))
+          .withColumn("op", lit("u"))
+          .withColumn("seq", lit(2L))
+        Merge.cdcMerge(base, v1.unionByName(v2), Seq("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH merged AS (
+          SELECT * FROM orders WHERE o_orderkey % 5 != 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            round(o_totalprice + 200, 2) AS o_totalprice, o_orderdate,
+            o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            round(o_totalprice + 100, 2) AS o_totalprice, o_orderdate,
+            o_orderpriority
+          FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 != 0
+            AND o_orderkey % 15 != 0)
+        SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+          round(sum(o_totalprice), 2) AS sum_price
+        FROM merged GROUP BY 1 ORDER BY 1"""),
+      "CDC MERGE INTO: latest-wins version reduce (max-of-struct, " +
+        "version leading), LEFT ANTI base survival, upsert union — " +
+        "deletes drop, later versions override, deleted-then-upserted " +
+        "keys resurrect; verified by exact per-status aggregates.")
   )
 }
