@@ -1700,4 +1700,42 @@ object StreamingOps {
         col("b").as("container"), col("n_a"), col("overlap"),
         col("containment"))
   }
+
+  final case class MergeChange(
+      k: Long, name: String, v: Long, op: String, seq: Long)
+  final case class MergeRowState(
+      seq: Long, op: String, name: String, v: Long)
+  final case class MergeSnapshot(
+      k: Long, op: String, name: String, v: Long, seq: Long)
+
+  /** Streaming CDC merge — the ONLINE half of `Merge.cdcMerge`: keyed
+    * state holds each key's winning (version, op, payload), and every
+    * micro-batch emits the key's CURRENT resolved row (op = "d" rows
+    * are live tombstones — a serving layer drops them, exactly as the
+    * batch LEFT ANTI does). The winner rule is the batch reduce
+    * verbatim — lexicographic max of (seq, op, payload) — so after ANY
+    * prefix of the feed, in ANY arrival order or batching, the state
+    * table equals the batch latest-wins reduce over that prefix, and
+    * applying the final snapshot to a base table reproduces
+    * `Merge.cdcMerge(base, feed)` row for row (parity spec-pinned).
+    * State: one row per live key — the natural lower bound for a merge
+    * view; keys never expire (a CDC table's keyset IS the state).
+    */
+  def cdcMergeStream(
+      changes: Dataset[MergeChange]): Dataset[MergeSnapshot] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.groupByKey(_.k)
+      .mapGroupsWithState[MergeRowState, MergeSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[MergeChange],
+         state: GroupState[MergeRowState]) =>
+          val candidates = rows.map(c =>
+            MergeRowState(c.seq, c.op, c.name, c.v)) ++
+            state.getOption.iterator
+          val best = candidates.maxBy(s => (s.seq, s.op, s.name, s.v))
+          state.update(best)
+          MergeSnapshot(k, best.op, best.name, best.v, best.seq)
+      }
+  }
 }

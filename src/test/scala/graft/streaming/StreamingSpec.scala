@@ -1609,4 +1609,60 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming CDC merge snapshot applied to the base equals batch " +
+    "cdcMerge over the real orders table, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q_merge_upsert fixture shape on typed columns: base keyed by
+    // o_orderkey with (priority, price-in-cents) payload; v1 touches
+    // %5 keys (+100_00, delete where %15), v2 re-touches %10 (+200_00)
+    val base = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("name"),
+        expr("cast(round(o_totalprice * 100) as long)").as("v"))
+    val v1 = base.where(col("k") % 5 === 0)
+      .withColumn("v", col("v") + 10000L)
+      .withColumn("op", when(col("k") % 15 === 0, "d").otherwise("u"))
+      .withColumn("seq", lit(1L))
+    val v2 = base.where(col("k") % 10 === 0)
+      .withColumn("v", col("v") + 20000L)
+      .withColumn("op", lit("u"))
+      .withColumn("seq", lit(2L))
+    val feed = v1.unionByName(v2)
+    val want = graft.operators.Merge.cdcMerge(base, feed, Seq("k"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+    val fixture = feed.as[(Long, String, Long, String, Long)]
+      .collect().toSeq
+    val in = MemoryStream[StreamingOps.MergeChange]
+    val q = StreamingOps.cdcMergeStream(in.toDS())
+      .writeStream.format("memory").queryName("cdc_merge")
+      .outputMode("update").start()
+    try {
+      // adversarial batching: v2 rows first for half the keys, uneven
+      // cuts — latest-wins must not depend on arrival order
+      val shuffled = fixture.sortBy { case (k, _, _, _, seq) =>
+        (k % 3, -seq, k)
+      }
+      val (b1, rest) = shuffled.splitAt(shuffled.size / 4)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (k, name, v, op, seq) =>
+          StreamingOps.MergeChange(k, name, v, op, seq) })
+        q.processAllAvailable()
+      }
+      // final state per key = max snapshot by the shared winner rule
+      val snap = spark.table("cdc_merge")
+        .groupBy("k")
+        .agg(max(struct(col("seq"), col("op"), col("name"), col("v")))
+          .as("m"))
+        .select(col("k"), col("m.op").as("op"),
+          col("m.name").as("name"), col("m.v").as("v"))
+      val applied = base.join(snap.select("k"), Seq("k"), "left_anti")
+        .unionByName(snap.where(col("op") === "u")
+          .select("k", "name", "v"))
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(applied === want)
+    } finally q.stop()
+  }
 }
