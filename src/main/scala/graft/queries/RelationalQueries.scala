@@ -2223,6 +2223,99 @@ object RelationalQueries extends QueryPack {
       "CDC MERGE INTO: latest-wins version reduce (max-of-struct, " +
         "version leading), LEFT ANTI base survival, upsert union — " +
         "deletes drop, later versions override, deleted-then-upserted " +
-        "keys resurrect; verified by exact per-status aggregates.")
+        "keys resurrect; verified by exact per-status aggregates."),
+
+    GraftQuery(
+      "q_agg_histogram", Seq("A8", "A9", "P6"),
+      (s, dir) => {
+        // Equi-width histogram of order value — the profiling staple
+        // (width_bucket) done integer-exact: prices move to cents
+        // once (the pack's shared round-to-grid device), the 20-bin
+        // width derives from a 1-row min/max broadcast, and
+        // bucket = ((c - mn) * 20) div (mx - mn + 1) is pure integer
+        // division (the +1 keeps the max value in the last bin
+        // without a special case). One scan, one 1-row agg, one
+        // 20-row group — at 100 TB this is a map-side-combined
+        // count with a broadcast constant.
+        val o = t(s, dir, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as long)")
+            .as("c"))
+        val mm = o.agg(min("c").as("mn"), max("c").as("mx"))
+        o.crossJoin(broadcast(mm))
+          .withColumn("bucket",
+            expr("((c - mn) * 20) div (mx - mn + 1)"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("c") / 100.0, 2).as("lo_price"),
+            round(max("c") / 100.0, 2).as("hi_price"))
+          .orderBy("bucket")
+      },
+      Some("""WITH c AS (SELECT round(o_totalprice * 100)::BIGINT AS c
+            FROM orders),
+          mm AS (SELECT min(c) AS mn, max(c) AS mx FROM c)
+        SELECT (((c - mn) * 20) // (mx - mn + 1))::BIGINT AS bucket,
+          count(*)::BIGINT AS n,
+          round(min(c) / 100.0, 2) AS lo_price,
+          round(max(c) / 100.0, 2) AS hi_price
+        FROM c, mm GROUP BY 1 ORDER BY 1"""),
+      "Equi-width 20-bin histogram (width_bucket) in exact integer " +
+        "cents: 1-row min/max broadcast, integer-div bucketing, " +
+        "map-side-combined counts with observed per-bin extents."),
+
+    GraftQuery(
+      "q_events_rfm", Seq("A8", "W8", "P6"),
+      (s, dir) => {
+        // RFM segmentation (recency / frequency / monetary) — the
+        // marketing-warehouse classic, shaped for scale: one per-user
+        // aggregate (exact integer partials: max event micros,
+        // purchase count, cent-sum of purchase value), one 1-row
+        // corpus-max broadcast anchoring recency, then FIXED integer
+        // thresholds cut the 8-segment cube (r: last seen within 7
+        // hours of corpus end — microsecond-exact integer div, no
+        // engine-specific calendar-boundary semantics; f >= 14
+        // purchases; m >= 600.00). No global ntile window —
+        // quantile-based scoring belongs to the sketch family; fixed
+        // cuts keep every comparison exact and the plan window-free.
+        // Output: the segment cube with counts and exact per-segment
+        // totals.
+        val ev = t(s, dir, "events")
+        val user = ev.groupBy("user_id")
+          .agg(max(expr("unix_micros(ts)")).as("last_us"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("f"),
+            sum(when(col("event_type") === "purchase",
+              expr("cast(round(value * 100) as long)"))
+              .otherwise(0L)).as("m"))
+        val anchor = ev.agg(max(expr("unix_micros(ts)")).as("max_us"))
+        user.crossJoin(broadcast(anchor))
+          .withColumn("r_hours",
+            expr("(max_us - last_us) div 3600000000"))
+          .withColumn("r_hot", (col("r_hours") <= 7L).cast("int"))
+          .withColumn("f_hot", (col("f") >= 14L).cast("int"))
+          .withColumn("m_hot", (col("m") >= 60000L).cast("int"))
+          .groupBy("r_hot", "f_hot", "m_hot")
+          .agg(count(lit(1)).as("n_users"),
+            sum("f").as("sum_purchases"),
+            round(sum("m") / 100.0, 2).as("sum_monetary"))
+          .orderBy("r_hot", "f_hot", "m_hot")
+      },
+      Some("""WITH u AS (SELECT user_id,
+              max(epoch_us(ts))::BIGINT AS last_us,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END)::BIGINT AS f,
+              sum(CASE WHEN event_type = 'purchase'
+                THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS m
+            FROM events GROUP BY 1),
+          a AS (SELECT max(epoch_us(ts))::BIGINT AS max_us FROM events)
+        SELECT
+          (((max_us - last_us) // 3600000000) <= 7)::INT AS r_hot,
+          (f >= 14)::INT AS f_hot, (m >= 60000)::INT AS m_hot,
+          count(*)::BIGINT AS n_users, sum(f)::BIGINT AS sum_purchases,
+          round(sum(m) / 100.0, 2) AS sum_monetary
+        FROM u, a GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      "RFM segmentation: one exact per-user aggregate, 1-row " +
+        "corpus-max broadcast recency anchor (microsecond-exact), " +
+        "fixed integer thresholds cutting the 8-segment cube — " +
+        "window-free and integer-exact.")
   )
 }

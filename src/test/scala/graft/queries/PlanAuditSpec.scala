@@ -71,7 +71,11 @@ class PlanAuditSpec extends SparkSuite {
     // query set
     "q_sim_sq8", "q_sim_recall_sq8",
     // 1-row per-dim min/max broadcast feeding the quantize grid
-    "q_zorder")
+    "q_zorder",
+    // 1-row min/max broadcast feeding the integer bin width
+    "q_agg_histogram",
+    // 1-row corpus-max broadcast anchoring recency
+    "q_events_rfm")
 
   test("no registry query plans a CartesianProduct; " +
     "BroadcastNestedLoopJoin only where whitelisted") {
