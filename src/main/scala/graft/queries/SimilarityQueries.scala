@@ -2283,5 +2283,76 @@ object SimilarityQueries extends QueryPack {
       "Recall audit of SQ8 vs exact integer L2 top-3 (pair-budget " +
         "guarded): measures that byte-per-dimension codes keep " +
         "near-exact recall where PQ trades it away."),
+
+    GraftQuery(
+      "q_sim_ivfsq8", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // IVF-SQ8 — the remaining cell of the quantization matrix
+        // (coarse layer × {raw, PQ, residual-PQ, SQ8}): the shared
+        // √n-capped IVF coarse quantizer partitions the corpus, and
+        // within the probed cell distances run on SQ8
+        // byte-per-dimension codes instead of raw vectors — FAISS's
+        // IVF,SQ8 composite. Probe work is one cell equi-join (the
+        // exchange-free shape the persisted index family bucketes
+        // for), candidate scoring touches dim bytes per vector, and
+        // every code and distance is an exact integer, so the oracle
+        // replays cells, codes, and ranking bit-for-bit.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val cent = sampledCentroids(e, k)
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+          .localCheckpoint()
+        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+        val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
+          .join(cellOf, Seq("vec_id"))
+        val q = coded.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("code").as("qcode"), col("cell"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sqdist").asc, col("vec_id").asc)
+        coded.join(q, Seq("cell"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("sqdist", ScalarQuantizer.sqDist("code", "qcode"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neighbor_id"), col("sqdist"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          $duckSqChain,
+          cc AS (SELECT c.vec_id, c.code, a.cell
+                FROM sqcodes c JOIN assigned a USING (vec_id)),
+          qs AS (SELECT vec_id AS query_id, code AS qcode, cell
+                FROM cc WHERE vec_id % 100 = 0),
+          d AS (SELECT query_id, cc.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(code) + 1),
+                i -> (code[i] - qcode[i]) * (code[i] - qcode[i])))::BIGINT
+                AS sqdist
+            FROM cc JOIN qs ON cc.cell = qs.cell
+            WHERE cc.vec_id != query_id),
+          r AS (SELECT query_id, neighbor_id, sqdist,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sqdist, neighbor_id) AS rnk
+            FROM d)
+        SELECT query_id, rnk, neighbor_id, sqdist
+        FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""),
+      "IVF-SQ8 composite ANN: shared coarse cells probed by one " +
+        "equi-join, byte-per-dimension SQ8 distances inside the cell " +
+        "— completes the coarse-layer x code-family quantization " +
+        "matrix, integer-exact end to end."),
   )
 }
