@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for algebraic aggregates — the
+  * materialized-view refresh that never rescans the base table: keep a
+  * keyed STATE table of mergeable partials (sum/count/min/max, avg as
+  * its (sum, count) pair), fold each arriving delta batch into it with
+  * one delta-sized aggregate + one state-keyed combine, and finalize
+  * on read. `merge(state, aggState(delta))` equals
+  * `aggState(base ∪ delta)` exactly when the partials are integers —
+  * the associativity/commutativity IVM rests on — so an incremental
+  * refresh is bit-identical to a full recompute (q_agg_incremental
+  * gates exactly that equality against a full-scan oracle).
+  *
+  * Insert-only deltas: min/max are not retractable partials (a delete
+  * would need a rescan of the survivors); retractable sum/count under
+  * deletes is the CDC-merge + re-aggregate path (`Merge.cdcMerge`).
+  *
+  * At 100 TB the state table is |keys|-sized and partitions by key;
+  * each refresh shuffles only the delta and the state — never the
+  * accumulated base.
+  */
+object Ivm {
+
+  /** Supported spec values: "sum", "count", "min", "max", "avg". */
+  private def partial(fn: String, c: String) = fn match {
+    case "sum"   => Seq(sum(col(c)).as(s"${c}__sum"))
+    case "count" => Seq(count(col(c)).as(s"${c}__count"))
+    case "min"   => Seq(min(col(c)).as(s"${c}__min"))
+    case "max"   => Seq(max(col(c)).as(s"${c}__max"))
+    case "avg"   => Seq(sum(col(c)).as(s"${c}__sum"),
+      count(col(c)).as(s"${c}__cnt"))
+    case other   => throw new IllegalArgumentException(
+      s"Ivm supports sum/count/min/max/avg, got: $other")
+  }
+
+  private def combine(fn: String, c: String) = fn match {
+    case "sum"   => Seq(sum(col(s"${c}__sum")).as(s"${c}__sum"))
+    case "count" => Seq(sum(col(s"${c}__count")).as(s"${c}__count"))
+    case "min"   => Seq(min(col(s"${c}__min")).as(s"${c}__min"))
+    case "max"   => Seq(max(col(s"${c}__max")).as(s"${c}__max"))
+    case "avg"   => Seq(sum(col(s"${c}__sum")).as(s"${c}__sum"),
+      sum(col(s"${c}__cnt")).as(s"${c}__cnt"))
+    case other   => throw new IllegalArgumentException(other)
+  }
+
+  /** Aggregate a batch into its keyed partial-state table. */
+  def aggState(
+      df: DataFrame, keys: Seq[String],
+      specs: Seq[(String, String)]): DataFrame = {
+    val aggs = specs.flatMap { case (c, fn) => partial(fn, c) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a delta's state into the accumulated state (union + keyed
+    * combine — both inputs already |keys|-sized).
+    */
+  def merge(
+      state: DataFrame, delta: DataFrame, keys: Seq[String],
+      specs: Seq[(String, String)]): DataFrame = {
+    val aggs = specs.flatMap { case (c, fn) => combine(fn, c) }
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Resolve partials to final values (avg = sum / count, one terminal
+    * division; everything else passes through under its plain name).
+    */
+  def finalize(
+      state: DataFrame, keys: Seq[String],
+      specs: Seq[(String, String)]): DataFrame = {
+    val outs = specs.map {
+      case (c, "avg") =>
+        (col(s"${c}__sum").cast("double") / col(s"${c}__cnt"))
+          .as(s"${c}_avg")
+      case (c, fn) => col(s"${c}__$fn").as(s"${c}_$fn")
+    }
+    state.select(keys.map(col) ++ outs: _*)
+  }
+}

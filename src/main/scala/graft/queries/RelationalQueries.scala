@@ -2316,6 +2316,50 @@ object RelationalQueries extends QueryPack {
       "RFM segmentation: one exact per-user aggregate, 1-row " +
         "corpus-max broadcast recency anchor (microsecond-exact), " +
         "fixed integer thresholds cutting the 8-segment cube — " +
-        "window-free and integer-exact.")
+        "window-free and integer-exact."),
+
+    GraftQuery(
+      "q_agg_incremental", Seq("A8", "E6", "A1"),
+      (s, dir) => {
+        // Incremental view maintenance (Ivm): the materialized
+        // aggregate refreshed from three delta batches must equal the
+        // full recompute BIT FOR BIT — the refresh path a 100 TB
+        // warehouse runs nightly without rescanning the base. The
+        // base splits into three arrival batches (orderkey mod 3);
+        // each folds into the keyed state with one delta-sized
+        // aggregate + one state combine, and the finalized view is
+        // checked against a plain full-scan GROUP BY oracle. Partials
+        // are integers (quantity as long, price in cents), so merge
+        // order cannot drift the result; avg leaves integer land in
+        // exactly one terminal division.
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(round(l_extendedprice * 100) as long)").as("cents"))
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val specs = Seq("qty" -> "sum", "qty" -> "count",
+          "cents" -> "avg", "cents" -> "max")
+        val batches = (0 to 2).map(i =>
+          li.where(pmod(col("cents"), lit(3)) === i))
+        val state = batches.map(b => Ivm.aggState(b, keys, specs))
+          .reduce((a, b) => Ivm.merge(a, b, keys, specs))
+        Ivm.finalize(state, keys, specs)
+          .withColumn("avg_price", round(col("cents_avg") / 100.0, 4))
+          .withColumn("max_price", round(col("cents_max") / 100.0, 2))
+          .drop("cents_avg", "cents_max")
+          .orderBy(keys.map(col): _*)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          sum(l_quantity)::BIGINT AS qty_sum,
+          count(*)::BIGINT AS qty_count,
+          round(avg(round(l_extendedprice * 100)::BIGINT) / 100.0, 4)
+            AS avg_price,
+          round(max(round(l_extendedprice * 100)::BIGINT) / 100.0, 2)
+            AS max_price
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Incremental view maintenance: three delta batches folded into " +
+        "a keyed partial state (integer sum/count/min/max, avg as its " +
+        "pair) finalize bit-identically to the full-scan GROUP BY — " +
+        "refresh cost is delta + state, never the base.")
   )
 }
