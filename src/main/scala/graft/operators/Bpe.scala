@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training (Sennrich et al., ACL 2016) — the iterative
+  * half of q_text_bpe_pairs' single merge-scoring round: learn `n`
+  * merge rules by repeatedly (1) counting frequency-weighted adjacent
+  * symbol pairs over the DISTINCT word table, (2) taking the global
+  * argmax (count desc, pair asc — fully deterministic), (3) applying
+  * the merge to every word's symbol sequence with the standard greedy
+  * left-to-right non-overlapping scan.
+  *
+  * Scale shape: the word table has one row per VOCABULARY word (not
+  * per token instance — the standard BPE trick), pair counting is one
+  * map-side-combined aggregate per round, and the per-round driver
+  * materialization is exactly ONE row (the winning pair) — the same
+  * bounded-driver contract as the closure family's size gates. Each
+  * round localCheckpoints the re-segmented vocabulary so the loop's
+  * lineage stays flat. Merge application is an `aggregate` fold over
+  * the symbol array: a merged symbol differs from its left part (the
+  * right part is non-empty), so the fold cannot re-merge overlapping
+  * occurrences — "aaa" under (a,a) yields [aa, a], matching the
+  * reference algorithm.
+  */
+object Bpe {
+
+  final case class MergeRule(left: String, right: String, count: Long)
+
+  /** Split a word column (by name) into single-character symbols. */
+  private def charSyms(w: String): Column =
+    expr(s"transform(sequence(1, length($w)), i -> substring($w, i, 1))")
+
+  private def sqlQuote(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Apply one merge rule to a symbol-array column (greedy
+    * left-to-right, non-overlapping).
+    */
+  def applyMerge(syms: String, left: String, right: String): Column = {
+    val l = sqlQuote(left)
+    val r = sqlQuote(right)
+    val m = sqlQuote(left + right)
+    expr(
+      s"""aggregate($syms, cast(array() as array<string>),
+            (acc, s) -> if(size(acc) > 0
+                AND element_at(acc, -1) = $l AND s = $r,
+              concat(slice(acc, 1, size(acc) - 1), array($m)),
+              concat(acc, array(s))))""")
+  }
+
+  /** Frequency-weighted adjacent-pair counts over (syms, wc) rows. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+           i -> struct(element_at(syms, i) as l,
+                       element_at(syms, i + 1) as r))""")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wc").as("cnt"))
+
+  /** Learn `n` merge rules from a corpus of documents (`textCol`).
+    * Returns the rules in learned order plus the final vocabulary
+    * segmentation (word, wc, syms).
+    */
+  def train(
+      docs: DataFrame, n: Int,
+      textCol: String = "text"): (Seq[MergeRule], DataFrame) = {
+    var vocab = docs
+      .select(explode(TextOps.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", charSyms("w"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var continue = true
+    var i = 0
+    while (i < n && continue) {
+      // ONE driver row per round: the deterministic argmax pair
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) continue = false
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        rules += MergeRule(l, r, c)
+        vocab = vocab
+          .withColumn("syms", applyMerge("syms", l, r))
+          .localCheckpoint()
+      }
+      i += 1
+    }
+    (rules.toSeq, vocab)
+  }
+
+  /** Segment a text column with an already-learned rule list (applied
+    * in learned order — the standard inference path). Returns the
+    * symbol arrays, one row per token instance.
+    */
+  def segment(
+      docs: DataFrame, rules: Seq[MergeRule],
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(explode(TextOps.tokens(textCol)).as("w"))
+      .withColumn("syms", charSyms("w"))
+    rules.foldLeft(base) { (df, rule) =>
+      df.withColumn("syms", applyMerge("syms", rule.left, rule.right))
+    }
+  }
+}

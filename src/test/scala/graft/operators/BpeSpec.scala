@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** BPE training pinned against an independent in-memory reference
+  * implementation of the Sennrich merge loop over the same vocabulary.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Pure-Scala reference BPE: same argmax rule (count desc, pair
+    * asc), same greedy left-to-right non-overlapping merge.
+    */
+  private def refBpe(
+      vocab: Map[String, Long],
+      n: Int): (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    var syms: Map[String, Seq[String]] = vocab.map { case (w, _) =>
+      w -> (w.map(_.toString): Seq[String])
+    }
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      syms.foreach { case (w, ss) =>
+        ss.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + vocab(w)
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) =>
+          (-c, l, r)
+        }
+        rules += ((l, r, c))
+        syms = syms.map { case (w, ss) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          ss.foreach { s =>
+            if (out.nonEmpty && out.last == l && s == r) {
+              out.remove(out.size - 1); out += (l + r)
+            } else out += s
+          }
+          w -> out.toSeq
+        }
+      }
+    }
+    (rules.toSeq, syms)
+  }
+
+  test("greedy merge is left-to-right non-overlapping") {
+    val out = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "a", "a", "a")),
+      Tuple1(Seq("b", "a", "a")))
+      .toDF("syms")
+      .select(Bpe.applyMerge("syms", "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(out === Seq(Seq("aa", "a"), Seq("aa", "aa"), Seq("b", "aa")))
+  }
+
+  test("train matches the reference merge loop over the real corpus " +
+    "vocabulary; segment replays the learned rules") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val vocab = docs
+      .select(explode(TextOps.tokens("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)].collect().toMap
+    val (wantRules, wantSyms) = refBpe(vocab, n = 8)
+
+    val (rules, trained) = Bpe.train(docs, n = 8)
+    assert(rules.map(r => (r.left, r.right, r.count)) === wantRules)
+    val gotSyms = trained.select("w", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(gotSyms === wantSyms)
+
+    // inference path: segmenting the corpus with the learned rules
+    // reproduces the training segmentation for every word
+    val seg = Bpe.segment(docs, rules).select("w", "syms")
+      .dropDuplicates("w")
+      .as[(String, Seq[String])].collect().toMap
+    assert(seg === wantSyms)
+  }
+}
