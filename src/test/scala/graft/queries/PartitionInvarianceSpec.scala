@@ -25,7 +25,11 @@ class PartitionInvarianceSpec extends SparkSuite {
     // containment's C ratio, attribution's credit rollup, the
     // transition matrix's row probabilities
     "q_agg_hll", "q_text_containment", "q_events_attribution",
-    "q_events_transitions")
+    "q_events_transitions",
+    // this round's wave: IVM's terminal avg division, RFM's monetary
+    // rollup, the histogram's per-bin extents, SQ8 recall's /3
+    "q_agg_incremental", "q_events_rfm", "q_agg_histogram",
+    "q_sim_recall_sq8")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
