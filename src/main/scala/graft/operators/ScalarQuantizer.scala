@@ -43,14 +43,22 @@ object ScalarQuantizer {
   /** Append `codeCol`: the SQ8 code array (one 0..255 long per
     * dimension). `st` must be the 1-row [[stats]] frame; it rides a
     * broadcast cross join, the encode itself is a codegen'd transform.
+    *
+    * Values inside the stats grid land on exactly
+    * `((x - mn) * 255) div max(1, mx - mn)` — the formula the DuckDB
+    * oracles replay; the outer clamp only fires for OUT-OF-GRID values
+    * (vectors appended after the grid froze, the
+    * [[VectorIndex.appendSq8]] contract), which must still code to a
+    * valid byte instead of escaping the codebook range.
     */
   def encode(
       e: DataFrame, st: DataFrame, vecCol: String = "qe",
       codeCol: String = "code"): DataFrame =
     e.crossJoin(broadcast(st))
       .withColumn(codeCol, expr(
-        s"transform($vecCol, (x, i) -> ((x - mns[i]) * $Levels) div " +
-          "greatest(1L, mxs[i] - mns[i]))"))
+        s"transform($vecCol, (x, i) -> greatest(0L, least($Levels, " +
+          s"((x - mns[i]) * $Levels) div " +
+          "greatest(1L, mxs[i] - mns[i]))))"))
       .drop("mns", "mxs")
 
   /** Exact squared L2 between two code arrays (<= 255^2 * dim — far

@@ -606,4 +606,158 @@ object VectorIndex {
       .select(col(queryIdCol), col("n_cell_mates"),
         col("m.ad").as("best_adist"), col("m.id").as("best_id"))
   }
+
+  // ----- SQ8 (byte-per-dimension) index ---------------------------------
+
+  /** Persistent IVF-SQ8 index (the q_sim_ivfsq8 shape): coarse cells
+    * from the shared sampled quantizer, SQ8 byte-per-dimension codes
+    * inside — 4x compression with near-exact recall, no codebook
+    * training, same exchange-free bucketed probe layout as the PQ
+    * index.
+    */
+  final case class Sq8Index(
+      centroids: DataFrame, // c_id, cqe, cnq
+      stats: DataFrame, // ONE row: mns, mxs (per-dim long arrays)
+      coded: DataFrame) // vec_id, cell, code
+
+  def buildSq8Index(
+      vectors: DataFrame,
+      kCentroids: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Sq8Index = {
+    val e = quantizedVectors(vectors, idCol, embCol)
+    val cent = sampleCentroids(e, kCentroids)
+    val cellOf = assignTo(cent, e).select("vec_id", "cell")
+    val st = ScalarQuantizer.stats(e)
+    Sq8Index(cent, st,
+      ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
+        .join(cellOf, Seq("vec_id"))
+        .select("vec_id", "cell", "code"))
+  }
+
+  /** Persist: centroids + the 1-row stats grid as plain parquet, the
+    * coded table bucketed by CELL (the [[savePq]] layout and catalog
+    * rules).
+    */
+  def saveSq8(
+      spark: SparkSession,
+      index: Sq8Index,
+      name: String,
+      path: String,
+      buckets: Int = 8): Unit = {
+    index.centroids.write.mode("overwrite")
+      .parquet(s"$path/${name}_centroids")
+    index.stats.write.mode("overwrite")
+      .parquet(s"$path/${name}_sq8stats")
+    index.coded.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/${name}_coded")
+      .saveAsTable(s"${name}_coded")
+  }
+
+  def loadSq8(spark: SparkSession, name: String, path: String)
+      : Sq8Index = {
+    val tbl = s"${name}_coded"
+    val coded =
+      if (catalogMatchesPath(spark, tbl, path)) spark.table(tbl)
+      else spark.read.parquet(s"$path/$tbl")
+    val stats = spark.read.parquet(s"$path/${name}_sq8stats")
+    require(stats.count() == 1,
+      s"loadSq8($name, $path): the _sq8stats artifact must hold " +
+        "exactly one (mns, mxs) row")
+    Sq8Index(
+      spark.read.parquet(s"$path/${name}_centroids"), stats, coded)
+  }
+
+  /** Incremental SQ8 append: arrivals assign to the EXISTING centroids
+    * and code against the EXISTING frozen grid (out-of-grid values
+    * clamp to the byte range — see ScalarQuantizer.encode). Same
+    * no-drift / rebuild-on-distribution-shift contract as [[appendPq]].
+    */
+  def appendSq8(
+      index: Sq8Index,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Sq8Index =
+    index.copy(coded = index.coded.unionByName(
+      sq8CodeAgainst(index, newVectors, idCol, embCol)))
+
+  /** [[appendSq8]] against a SAVED index — appends to the bucketed
+    * coded table; a catalog miss fails loudly (the [[appendSavedPq]]
+    * contract).
+    */
+  def appendSavedSq8(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val tbl = s"${name}_coded"
+    require(catalogMatchesPath(spark, tbl, path),
+      s"appendSavedSq8: catalog table $tbl missing or not at $path — " +
+        "a bucketed append needs the saving catalog entry; rebuild " +
+        "(or re-save) the index instead")
+    val buckets = savedBuckets(spark, tbl)
+    sq8CodeAgainst(loadSq8(spark, name, path), newVectors, idCol, embCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .option("path", s"$path/$tbl")
+      .saveAsTable(tbl)
+  }
+
+  /** Code arrivals against an EXISTING SQ8 index — one definition for
+    * [[appendSq8]] and [[appendSavedSq8]], mirroring [[codeAgainst]].
+    */
+  private def sq8CodeAgainst(
+      index: Sq8Index,
+      newVectors: DataFrame,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val e = quantizedVectors(newVectors, idCol, embCol)
+    val cellOf = assignTo(index.centroids, e).select("vec_id", "cell")
+    ScalarQuantizer.encode(e.select("vec_id", "qe"), index.stats)
+      .join(cellOf, Seq("vec_id"))
+      .select("vec_id", "cell", "code")
+  }
+
+  /** SQ8 probe: queries take their `nprobe` nearest cells (the
+    * [[queryPq]] ranked-probe discipline, NaN keyed last), encode
+    * against the index grid, and score candidates from the cell
+    * equi-join with the exact integer squared-L2 on codes.
+    *
+    * Output: <queryIdCol>, n_cell_mates, best_sqdist, best_id.
+    */
+  def querySq8(
+      index: Sq8Index,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      embCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
+    val q = queries
+      .withColumn("qe", VectorOps.quantize(embCol))
+      .withColumn("qnq", VectorOps.normSq("qe"))
+      .select(col(queryIdCol), col("qe"), col("qnq"))
+    val qCells = q.crossJoin(broadcast(index.centroids))
+      .withColumn("dot", VectorOps.dot("cqe", "qe"))
+      .withColumn("cos", VectorOps.cosine("dot", "cnq", "qnq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(queryIdCol).orderBy(
+          coalesce(-col("cos"), lit(Double.PositiveInfinity)).asc,
+          col("c_id").asc)))
+      .where(col("rn") <= nprobe)
+      .select(col(queryIdCol), col("c_id").as("cell"))
+    val qCodes = ScalarQuantizer
+      .encode(q.select(col(queryIdCol), col("qe")), index.stats)
+      .select(col(queryIdCol), col("code").as("qcode"))
+    index.coded.join(broadcast(qCells), Seq("cell"))
+      .join(broadcast(qCodes), Seq(queryIdCol))
+      .withColumn("sqdist", ScalarQuantizer.sqDist("code", "qcode"))
+      .groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_cell_mates"),
+        min(struct(col("sqdist").as("sd"), col("vec_id").as("id")))
+          .as("m"))
+      .select(col(queryIdCol), col("n_cell_mates"),
+        col("m.sd").as("best_sqdist"), col("m.id").as("best_id"))
+  }
 }
