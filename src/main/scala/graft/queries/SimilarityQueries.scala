@@ -2354,5 +2354,61 @@ object SimilarityQueries extends QueryPack {
         "equi-join, byte-per-dimension SQ8 distances inside the cell " +
         "— completes the coarse-layer x code-family quantization " +
         "matrix, integer-exact end to end."),
+
+    GraftQuery(
+      "q_sim_sq8_probe", Seq("A10", "J6", "D9"),
+      (s, dir) => {
+        // The q_sim_ivfsq8 math driven through the PERSISTENT-INDEX
+        // surface (VectorIndex.buildSq8Index + querySq8) — the same
+        // contract q_sim_index_probe pins for plain IVF: the library
+        // API itself sits behind the correctness gate, so quantizer,
+        // grid, cell assignment, clamp, and tie-breaks cannot drift
+        // from what the oracle recomputes. Self-hits are included
+        // (the index never excludes the query's own row), so
+        // best_sqdist is 0 with the smallest coinciding id winning —
+        // exactly the min-of-struct rule the oracle replays.
+        import graft.operators.VectorIndex
+        val emb = Tables.load(s, dir, "embeddings")
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val idx = VectorIndex.buildSq8Index(emb, kCentroids = k)
+        val queries = emb
+          .where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        VectorIndex.querySq8(idx, queries, nprobe = 1)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          $duckSqChain,
+          cc AS (SELECT c.vec_id, c.code, a.cell
+                FROM sqcodes c JOIN assigned a USING (vec_id)),
+          qs AS (SELECT vec_id AS query_id, code AS qcode, cell
+                FROM cc WHERE vec_id % 100 = 0),
+          probed AS (SELECT query_id, cc.vec_id,
+              list_sum(list_transform(range(1, len(code) + 1),
+                i -> (code[i] - qcode[i]) * (code[i] - qcode[i])))::BIGINT
+                AS sqdist
+            FROM cc JOIN qs ON cc.cell = qs.cell),
+          best AS (SELECT query_id, count(*)::BIGINT AS n_cell_mates,
+                  min(sqdist) AS best_sqdist FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.vec_id) AS best_id
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.sqdist = b.best_sqdist GROUP BY 1)
+        SELECT b.query_id, b.n_cell_mates, b.best_sqdist, bn.best_id
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "SQ8 probe through the persistent-index surface: broadcast " +
+        "centroid assignment, frozen byte grid, one cell equi-join " +
+        "against the (bucketable) coded table — the library API " +
+        "itself behind the gate."),
   )
 }

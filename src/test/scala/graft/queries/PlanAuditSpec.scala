@@ -71,7 +71,7 @@ class PlanAuditSpec extends SparkSuite {
     // query set
     "q_sim_sq8", "q_sim_recall_sq8",
     // IVF assignment (all x broadcast centroids) + 1-row SQ8 stats
-    "q_sim_ivfsq8",
+    "q_sim_ivfsq8", "q_sim_sq8_probe",
     // 1-row per-dim min/max broadcast feeding the quantize grid
     "q_zorder",
     // 1-row min/max broadcast feeding the integer bin width
