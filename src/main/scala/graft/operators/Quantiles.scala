@@ -81,4 +81,55 @@ object Quantiles {
             c => c < col(valueCol)))))
       .drop("__graft_cuts")
   }
+
+  /** EXACT global p-quantile (the k = ceil(p·n)-th smallest, 1-indexed)
+    * of a long column WITHOUT a global sort — the third point on the
+    * quantile ladder beside the exact per-group window
+    * (q_text_quantile, needs a per-partition sort) and the GK sketch
+    * ([[cutPoints]], approximate): two bucket-refinement passes.
+    *
+    * Pass 1 histograms values into ≤ `buckets` integer-width bins
+    * (one map-side-combined aggregate) and finds the bin containing
+    * rank k via a running sum over the TINY bin table; pass 2 repeats
+    * the rank walk over the distinct VALUES of that single bin. Both
+    * windows run over pre-aggregated smalls (≤ buckets rows / ≤ the
+    * bin's distinct values), never the data. For a pathological bin
+    * (all mass on few bins but many distinct values) recurse by
+    * calling again on the bin's rows; the uniform-ish case — and any
+    * integer-grid column — finishes in these two passes.
+    *
+    * Returns ONE row: (value) — the exact k-th smallest.
+    */
+  def exactQuantile(
+      values: DataFrame, valueCol: String,
+      pNum: Long, pDen: Long, buckets: Int = 65536): DataFrame = {
+    require(pNum >= 1 && pNum <= pDen,
+      s"exactQuantile: p = $pNum/$pDen must be in (0, 1]")
+    val v = values.select(col(valueCol).as("v"))
+    val st = v.agg(count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx"))
+    val withB = v.crossJoin(broadcast(st))
+      .withColumn("k", expr(s"($pNum * n + $pDen - 1) div $pDen"))
+      .withColumn("w",
+        expr(s"greatest(1L, (mx - mn) div ${buckets}L + 1L)"))
+      .withColumn("b", expr("(v - mn) div w"))
+    val binCounts = withB.groupBy("b").agg(count(lit(1)).as("c"),
+      first("k").as("k"), first("mn").as("mn"), first("w").as("w"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("b")
+    val target = binCounts.withColumn("cum", sum("c").over(wb))
+      .where(col("cum") >= col("k") &&
+        col("cum") - col("c") < col("k"))
+      .select(col("b").as("tb"),
+        (col("k") - (col("cum") - col("c"))).as("kin"),
+        col("mn"), col("w"))
+    val inBin = v.crossJoin(broadcast(target))
+      .where(expr("(v - mn) div w") === col("tb"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy("v")
+    inBin.groupBy("v").agg(count(lit(1)).as("c"),
+        first("kin").as("kin"))
+      .withColumn("cum", sum("c").over(wv))
+      .where(col("cum") >= col("kin") &&
+        col("cum") - col("c") < col("kin"))
+      .select(col("v").as("value"))
+  }
 }

@@ -2360,6 +2360,46 @@ object RelationalQueries extends QueryPack {
       "Incremental view maintenance: three delta batches folded into " +
         "a keyed partial state (integer sum/count/min/max, avg as its " +
         "pair) finalize bit-identically to the full-scan GROUP BY — " +
-        "refresh cost is delta + state, never the base.")
+        "refresh cost is delta + state, never the base."),
+
+    GraftQuery(
+      "q_quantile_exact", Seq("A9", "W2", "A8"),
+      (s, dir) => {
+        // EXACT global quantiles with NO global sort
+        // (Quantiles.exactQuantile): two bucket-refinement passes —
+        // histogram into 2^16 integer bins, rank-walk the tiny bin
+        // table, then rank-walk the distinct values of the one target
+        // bin. The sort-based equivalent shuffles and sorts the whole
+        // column; this plan sorts nothing bigger than pre-aggregated
+        // smalls, which is the only shape that survives a 100 TB
+        // column. Median and p90 of order value in integer cents; the
+        // oracle computes the same ceil(p*n)-th smallest by LIMIT.
+        val c = t(s, dir, "lineitem")
+          .select(expr("cast(round(l_extendedprice * 100) as long)")
+            .as("v"))
+        val q50 = Quantiles.exactQuantile(c, "v", 1, 2)
+          .withColumn("p", lit("p50"))
+        val q90 = Quantiles.exactQuantile(c, "v", 9, 10)
+          .withColumn("p", lit("p90"))
+        q50.unionByName(q90)
+          .select(col("p"), round(col("value") / 100.0, 2).as("value"))
+          .orderBy("p")
+      },
+      Some("""WITH c AS (SELECT round(l_extendedprice * 100)::BIGINT
+            AS v FROM lineitem),
+          n AS (SELECT count(*)::BIGINT AS n FROM c),
+          q50 AS (SELECT 'p50' AS p, max(v) AS cents FROM
+            (SELECT v FROM c ORDER BY v LIMIT (SELECT (n + 1) // 2
+              FROM n))),
+          q90 AS (SELECT 'p90' AS p, max(v) AS cents FROM
+            (SELECT v FROM c ORDER BY v LIMIT (SELECT (9 * n + 9) // 10
+              FROM n)))
+        SELECT p, round(cents / 100.0, 2) AS value FROM q50
+        UNION ALL
+        SELECT p, round(cents / 100.0, 2) AS value FROM q90
+        ORDER BY p"""),
+      "Exact global median/p90 via two bucket-refinement passes — " +
+        "rank walks over pre-aggregated smalls only, no global sort; " +
+        "the oracle takes the same ceil(p*n)-th smallest by LIMIT.")
   )
 }

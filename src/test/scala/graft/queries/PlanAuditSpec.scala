@@ -77,7 +77,9 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row min/max broadcast feeding the integer bin width
     "q_agg_histogram",
     // 1-row corpus-max broadcast anchoring recency
-    "q_events_rfm")
+    "q_events_rfm",
+    // 1-row stats + 1-row target-bin broadcasts per refinement pass
+    "q_quantile_exact")
 
   test("no registry query plans a CartesianProduct; " +
     "BroadcastNestedLoopJoin only where whitelisted") {
