@@ -1701,6 +1701,42 @@ object StreamingOps {
         col("containment"))
   }
 
+  final case class RfmEvent(
+      userId: Long, us: Long, isPurchase: Boolean, cents: Long)
+  final case class RfmState(lastUs: Long, f: Long, m: Long)
+  final case class RfmRow(userId: Long, lastUs: Long, f: Long, m: Long)
+
+  /** Streaming RFM profile — the ONLINE half of q_events_rfm: keyed
+    * state accumulates each user's (last-seen micros, purchase count,
+    * purchase cents), and every micro-batch emits the user's CURRENT
+    * profile row. All three fields are monotone non-decreasing and
+    * integer-exact, so the profile after ANY prefix of the stream
+    * equals the batch per-user aggregate over that prefix whatever the
+    * arrival order or batching (parity spec-pinned over the real
+    * events table). Segment thresholds (the batch query's fixed cuts)
+    * apply downstream against the serving anchor — recency is a
+    * read-time comparison, not state. State: 3 longs per live user.
+    */
+  def rfmStream(events: Dataset[RfmEvent]): Dataset[RfmRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[RfmState, RfmRow](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[RfmEvent],
+         state: GroupState[RfmState]) =>
+          var st = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          rows.foreach { e =>
+            st = RfmState(
+              math.max(st.lastUs, e.us),
+              st.f + (if (e.isPurchase) 1L else 0L),
+              st.m + (if (e.isPurchase) e.cents else 0L))
+          }
+          state.update(st)
+          RfmRow(userId, st.lastUs, st.f, st.m)
+      }
+  }
+
   final case class MergeChange(
       k: Long, name: String, v: Long, op: String, seq: Long)
   final case class MergeRowState(

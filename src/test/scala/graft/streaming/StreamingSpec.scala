@@ -1665,4 +1665,48 @@ class StreamingSpec extends SparkSuite {
       assert(applied === want)
     } finally q.stop()
   }
+
+  test("streaming RFM profile converges to the batch segment cube over " +
+    "the real events table, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.queries.RelationalQueries.queries
+      .find(_.name == "q_events_rfm").get.run(spark, sf)
+      .select("r_hot", "f_hot", "m_hot", "n_users")
+      .as[(Int, Int, Int, Long)].collect().sorted.toSeq
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        (col("event_type") === "purchase").as("p"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .as[(Long, Long, Boolean, Long)].collect().toSeq
+    val maxUs = ev.map(_._2).max
+    val in = MemoryStream[StreamingOps.RfmEvent]
+    val q = StreamingOps.rfmStream(in.toDS())
+      .writeStream.format("memory").queryName("rfm_stream")
+      .outputMode("update").start()
+    try {
+      // adversarial: reverse time order, uneven cuts
+      val rev = ev.reverse
+      val (b1, rest) = rev.splitAt(rev.size / 5)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (u, us, p, c) =>
+          StreamingOps.RfmEvent(u, us, p, c) })
+        q.processAllAvailable()
+      }
+      // final state per user: all fields are monotone, max-struct wins
+      val got = spark.table("rfm_stream")
+        .groupBy("userId")
+        .agg(max(struct(col("lastUs"), col("f"), col("m"))).as("s"))
+        .select(
+          ((lit(maxUs) - col("s.lastUs")) >= 0 &&
+            expr(s"($maxUs - s.lastUs) div 3600000000") <= 7)
+            .cast("int").as("r_hot"),
+          (col("s.f") >= 14L).cast("int").as("f_hot"),
+          (col("s.m") >= 60000L).cast("int").as("m_hot"))
+        .groupBy("r_hot", "f_hot", "m_hot")
+        .agg(count(lit(1)).as("n_users"))
+        .as[(Int, Int, Int, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
 }
