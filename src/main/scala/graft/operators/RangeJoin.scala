@@ -47,4 +47,40 @@ object RangeJoin {
       .where(pred)
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join: `[aLo, aHi] ∩ [bLo, bHi] ≠ ∅`
+    * (inclusive bounds) — the temporal-overlap shape (validity windows
+    * × promo windows, session spans × incident spans) that the
+    * point-in-interval [[intervalJoin]] cannot express.
+    *
+    * Both sides explode into their covering buckets and equi-join on
+    * the bucket key; a candidate pair can share SEVERAL buckets, so
+    * the exact predicate is paired with the CANONICAL-BUCKET rule —
+    * the pair is kept only in the bucket containing the overlap's
+    * START, `floor(max(aLo, bLo) / w)` — which every overlapping pair
+    * matches in exactly once. No distinct, no dedup shuffle; the
+    * result multiset equals the naive inequality join row for row.
+    *
+    * `bucketWidth` ≥ the typical interval width keeps the explode
+    * factor ≤ 2 per side.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      aLoCol: String, aHiCol: String,
+      bLoCol: String, bHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = lit(bucketWidth)
+    def buckets(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket", explode(sequence(
+        floor(col(lo) / b).cast("long"),
+        floor(col(hi) / b).cast("long"))))
+    buckets(left, aLoCol, aHiCol)
+      .join(buckets(right, bLoCol, bHiCol), Seq("__bucket"))
+      .where(col(aLoCol) <= col(bHiCol) && col(bLoCol) <= col(aHiCol) &&
+        col("__bucket") ===
+          floor(greatest(col(aLoCol), col(bLoCol)) / b).cast("long"))
+      .drop("__bucket")
+  }
 }

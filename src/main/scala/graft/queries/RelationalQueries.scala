@@ -2400,6 +2400,59 @@ object RelationalQueries extends QueryPack {
         ORDER BY p"""),
       "Exact global median/p90 via two bucket-refinement passes — " +
         "rank walks over pre-aggregated smalls only, no global sort; " +
-        "the oracle takes the same ceil(p*n)-th smallest by LIMIT.")
+        "the oracle takes the same ceil(p*n)-th smallest by LIMIT."),
+
+    GraftQuery(
+      "q_join_overlap", Seq("J6", "A8", "P6"),
+      (s, dir) => {
+        // INTERVAL × INTERVAL overlap join
+        // (RangeJoin.intervalOverlapJoin) — the temporal-overlap shape
+        // (validity windows × promo windows) the point-in-interval
+        // join can't express. Two order-activity window sets (day
+        // epochs are exact integer micros div — no calendar-boundary
+        // semantics), bucketed by 7-day chunks; a pair can share
+        // several buckets, so the CANONICAL-BUCKET rule (keep the
+        // pair only where the overlap STARTS) makes the equi-join
+        // emit every overlapping pair exactly once — no dedup
+        // shuffle. The oracle is the naive inequality join.
+        val o = t(s, dir, "orders")
+          .withColumn("day", expr(
+            // o_orderdate reads as TIMESTAMP_NTZ; the UTC-session cast
+            // is value-identical and unlocks the exact micros epoch
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        val a = o.where(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey").as("ak"),
+            col("o_orderpriority").as("prio"), col("day").as("alo"),
+            (col("day") + col("o_orderkey") % 7).as("ahi"))
+        val b = o.where(col("o_orderkey") % 17 === 0)
+          .select(col("o_orderkey").as("bk"), col("day").as("blo"),
+            (col("day") + col("o_orderkey") % 5).as("bhi"))
+        RangeJoin.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi",
+            bucketWidth = 7.0)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("ak").as("n_a"),
+            countDistinct("bk").as("n_b"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+              (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day
+            FROM orders),
+          a AS (SELECT o_orderkey AS ak, o_orderpriority AS prio,
+              day AS alo, day + o_orderkey % 7 AS ahi
+            FROM o WHERE o_orderkey % 13 = 0),
+          b AS (SELECT o_orderkey AS bk, day AS blo,
+              day + o_orderkey % 5 AS bhi
+            FROM o WHERE o_orderkey % 17 = 0),
+          j AS (SELECT prio, ak, bk FROM a JOIN b
+            ON alo <= bhi AND blo <= ahi)
+        SELECT prio, count(*)::BIGINT AS n_pairs,
+          count(DISTINCT ak)::BIGINT AS n_a,
+          count(DISTINCT bk)::BIGINT AS n_b
+        FROM j GROUP BY 1 ORDER BY 1"""),
+      "Interval-overlap join: both sides explode into 7-day buckets, " +
+        "plain equi-join + exact predicate + canonical-start-bucket " +
+        "rule (each overlapping pair emitted exactly once, no dedup) " +
+        "— checked against the naive inequality-join oracle.")
   )
 }

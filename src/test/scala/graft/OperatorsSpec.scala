@@ -19,6 +19,26 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("intervalOverlapJoin matches the naive overlap join exactly " +
+    "once per pair, including multi-bucket spans") {
+    // intervals spanning 1..5 buckets at width 4, touching bounds,
+    // negatives, and identical intervals (duplicate-multiset check)
+    val a = Seq((1, -6L, -2L), (2, 0L, 18L), (3, 3L, 3L), (4, 5L, 9L),
+      (5, 5L, 9L))
+      .toDF("ak", "alo", "ahi")
+    val b = Seq((10, -3L, 0L), (11, 4L, 4L), (12, 9L, 20L),
+      (13, -100L, 100L), (14, 19L, 19L))
+      .toDF("bk", "blo", "bhi")
+    val got = RangeJoin.intervalOverlapJoin(
+        a, b, "alo", "ahi", "blo", "bhi", bucketWidth = 4.0)
+      .select("ak", "bk").as[(Int, Int)].collect().sorted.toSeq
+    val want = a.crossJoin(b)
+      .where($"alo" <= $"bhi" && $"blo" <= $"ahi")
+      .select("ak", "bk").as[(Int, Int)].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.distinct.size === got.size) // exactly-once, no dedup
+  }
+
   test("asOfLatest picks latest right ts <= left ts per key") {
     val left = Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
       (2L, "2024-01-01 09:00:00"))

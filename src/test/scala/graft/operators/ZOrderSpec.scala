@@ -103,14 +103,18 @@ class ZOrderSpec extends SparkSuite {
     // the linear layout answers its own sort key well but degenerates
     // to a full scan on the other dimension; the z layout prunes on
     // both. Thresholds are loose on purpose — the property, not a
-    // brittle count, is pinned.
+    // brittle count, is pinned (range-exchange boundaries shift a
+    // file or two when the shared test session runs under different
+    // conf, e.g. the partition-invariance sweep's 7-partition phase).
     assert(linOnP <= nFiles / 4, s"linear layout should prune its own " +
       s"key: $linOnP of $nFiles")
     assert(linOnS >= nFiles - 1, s"linear layout cannot prune the " +
       s"other key: $linOnS of $nFiles")
-    assert(zOnP <= nFiles / 2, s"z layout should prune dim 1: $zOnP")
-    assert(zOnS <= nFiles / 2, s"z layout should prune dim 2: $zOnS")
-    assert(zOnS < linOnS, "z layout must beat linear on the non-sort dim")
+    assert(zOnP <= 5 * nFiles / 8, s"z layout should prune dim 1: $zOnP")
+    assert(zOnS <= 5 * nFiles / 8, s"z layout should prune dim 2: $zOnS")
+    assert(zOnS <= linOnS - nFiles / 4,
+      s"z layout must clearly beat linear on the non-sort dim: " +
+        s"$zOnS vs $linOnS")
 
     // correctness: the clustered copy holds exactly the same multiset
     val a = spark.read.parquet(zDir)
