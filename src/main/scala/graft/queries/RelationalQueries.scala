@@ -2453,6 +2453,50 @@ object RelationalQueries extends QueryPack {
       "Interval-overlap join: both sides explode into 7-day buckets, " +
         "plain equi-join + exact predicate + canonical-start-bucket " +
         "rule (each overlapping pair emitted exactly once, no dedup) " +
-        "— checked against the naive inequality-join oracle.")
+        "— checked against the naive inequality-join oracle."),
+
+    GraftQuery(
+      "q_topk_agg", Seq("W3", "W4", "A8"),
+      (s, dir) => {
+        // Per-group top-k as a TYPED map-side-combining Aggregator
+        // (operators.TopKAgg, §2.9's custom-UDAF surface) — the same
+        // answer as q_win_topk_rank's window, from a fundamentally
+        // better plan: partial buffers carry at most k tuples per
+        // group per map task (ObjectHashAggregate partials), so the
+        // shuffle moves k·groups·partitions tiny rows instead of
+        // co-locating and SORTING every group — the hot-group
+        // straggler fix at 100 TB. Prices move to exact integer cents
+        // inside the aggregator and back out for display.
+        import s.implicits._
+        val agg = TopKAgg(3)
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            expr("cast(round(o_totalprice * 100) as long)").as("cents"),
+            col("o_orderkey"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .agg(agg.column)
+          .toDF("o_orderpriority", "topk")
+          .select(col("o_orderpriority"),
+            posexplode(col("topk")).as(Seq("i", "t")))
+          .select(col("o_orderpriority"),
+            (col("i") + 1).cast("long").as("rnk"),
+            col("t._2").as("o_orderkey"),
+            round(col("t._1") / 100.0, 2).as("totalprice"))
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey,
+          round(cents / 100.0, 2) AS totalprice
+        FROM (SELECT o_orderpriority, o_orderkey,
+                round(o_totalprice * 100)::BIGINT AS cents,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                    o_orderkey) AS rnk
+              FROM orders)
+        WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""),
+      "Per-group top-3 via a typed map-side-combining Aggregator: at " +
+        "most k buffer tuples per group per map task cross the " +
+        "shuffle (no partitioned sort) — equals the window oracle " +
+        "row for row.")
   )
 }
