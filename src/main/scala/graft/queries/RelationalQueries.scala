@@ -2497,6 +2497,78 @@ object RelationalQueries extends QueryPack {
       "Per-group top-3 via a typed map-side-combining Aggregator: at " +
         "most k buffer tuples per group per map task cross the " +
         "shuffle (no partitioned sort) — equals the window oracle " +
-        "row for row.")
+        "row for row."),
+
+    GraftQuery(
+      "q_table_diff", Seq("J7", "D7", "A8"),
+      (s, dir) => {
+        // Snapshot reconciliation (TableDiff.diff): the before/after
+        // audit of the CDC merge — diffing orders against the merged
+        // result must report EXACTLY the changes the feed carried:
+        // the inserted keys as added, the net-deleted keys as removed,
+        // the re-priced survivors as changed, and the untouched
+        // majority not at all (difference-sized output). Null-safe
+        // struct comparison; one full-outer key join. The feed
+        // extends q_merge_upsert's with brand-new keys so all three
+        // statuses appear.
+        val base = t(s, dir, "orders")
+        val v1 = base.where(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 100, 2))
+          .withColumn("op", when(col("o_orderkey") % 15 === 0, "d")
+            .otherwise("u"))
+          .withColumn("seq", lit(1L))
+        val v2 = base.where(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 200, 2))
+          .withColumn("op", lit("u"))
+          .withColumn("seq", lit(2L))
+        val ins = base.where(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("op", lit("u"))
+          .withColumn("seq", lit(1L))
+        val merged = Merge.cdcMerge(base,
+          v1.unionByName(v2).unionByName(ins), Seq("o_orderkey"))
+        TableDiff.diff(base, merged, Seq("o_orderkey"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("status")
+      },
+      Some("""WITH merged AS (
+          SELECT * FROM orders WHERE o_orderkey % 5 != 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            round(o_totalprice + 200, 2), o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            round(o_totalprice + 100, 2), o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 != 0
+            AND o_orderkey % 15 != 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+            o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 100 = 0),
+        d AS (
+          SELECT m.o_orderkey AS k, 'added' AS status
+            FROM merged m LEFT JOIN orders o USING (o_orderkey)
+            WHERE o.o_orderkey IS NULL
+          UNION ALL
+          SELECT o.o_orderkey, 'removed'
+            FROM orders o LEFT JOIN merged m USING (o_orderkey)
+            WHERE m.o_orderkey IS NULL
+          UNION ALL
+          SELECT o.o_orderkey, 'changed'
+            FROM orders o JOIN merged m USING (o_orderkey)
+            WHERE (o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                o.o_orderdate, o.o_orderpriority) IS DISTINCT FROM
+              (m.o_custkey, m.o_orderstatus, m.o_totalprice,
+                m.o_orderdate, m.o_orderpriority))
+        SELECT status, count(*)::BIGINT AS n, min(k)::BIGINT AS min_key,
+          max(k)::BIGINT AS max_key
+        FROM d GROUP BY 1 ORDER BY 1"""),
+      "Snapshot diff audit of the CDC merge: full-outer key join, " +
+        "null-safe struct change detection, difference-sized output — " +
+        "added/removed/changed counts match the feed exactly.")
   )
 }
