@@ -1701,6 +1701,38 @@ object StreamingOps {
         col("containment"))
   }
 
+  /** Streaming equi-width histogram — the online half of
+    * q_agg_histogram: arrivals land in the SAME integer-div bins as
+    * the batch query (the bin grid `(mn, mx)` is an offline constant
+    * broadcast into the projection, like the quality cuts and the
+    * scrub blocklist — refresh by restart), and one watermarked
+    * (window, bucket) count aggregation emits finalized per-window
+    * bins. Integer-exact end to end, so a batch replay of any window's
+    * arrivals reproduces the stream's bins bit for bit (parity
+    * spec-pinned over the real orders feed). Out-of-grid arrivals
+    * clamp into the edge bins — the online analogue of the frozen-grid
+    * append contract.
+    */
+  def histogramStream(
+      values: DataFrame, // valueCol (long), tsCol (event time)
+      mn: Long, mx: Long,
+      bins: Int = 20,
+      valueCol: String = "c",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes"): DataFrame = {
+    require(bins >= 1 && mx >= mn, s"histogramStream: bins=$bins mn=$mn mx=$mx")
+    values.withWatermark(tsCol, watermark)
+      .withColumn("bucket", expr(
+        s"greatest(0L, least(${bins - 1}L, " +
+          s"(($valueCol - ${mn}L) * ${bins}L) div (${mx}L - ${mn}L + 1L)))"))
+      .groupBy(window(col(tsCol), windowDuration), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(valueCol).as("lo"), max(valueCol).as("hi"))
+      .select(col("window.start").as("ws"), col("bucket"), col("n"),
+        col("lo"), col("hi"))
+  }
+
   final case class RfmEvent(
       userId: Long, us: Long, isPurchase: Boolean, cents: Long)
   final case class RfmState(lastUs: Long, f: Long, m: Long)

@@ -1666,6 +1666,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram reproduces the batch bins per window over " +
+    "the real orders feed, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as long)").as("c"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+    val (mn, mx) = o.agg(min("c"), max("c")).as[(Long, Long)].head()
+    val fixture = o.as[(Long, Timestamp)].collect().toSeq
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.histogramStream(
+        in.toDS().toDF("c", "ts"), mn, mx, bins = 20,
+        windowDuration = "7 days")
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("update").start()
+    try {
+      // time-ordered feed, uneven batch cuts (the documented contract
+      // for watermarked aggregations — a reversed feed would CORRECTLY
+      // drop its own late arrivals)
+      val ordered = fixture.sortBy(_._2.getTime)
+      val (b1, rest) = ordered.splitAt(ordered.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      // last update per (window, bucket) is the finalized bin
+      val got = spark.table("hist_stream")
+        .groupBy("ws", "bucket")
+        .agg(max(struct(col("n"), col("lo"), col("hi"))).as("m"))
+        .select(col("ws"), col("bucket"), col("m.n"), col("m.lo"),
+          col("m.hi"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+      val want = o
+        .withColumn("ws", window(col("ts"), "7 days")("start"))
+        .withColumn("bucket", expr(
+          s"greatest(0L, least(19L, ((c - ${mn}L) * 20L) div " +
+            s"(${mx}L - ${mn}L + 1L)))"))
+        .groupBy("ws", "bucket")
+        .agg(count(lit(1)).as("n"), min("c").as("lo"), max("c").as("hi"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+      assert(got === want)
+      assert(got.map(_._1).distinct.size > 1) // several real windows
+    } finally q.stop()
+  }
+
   test("streaming RFM profile converges to the batch segment cube over " +
     "the real events table, whatever the batching") {
     implicit val sqlCtx = spark.sqlContext
