@@ -2569,6 +2569,59 @@ object RelationalQueries extends QueryPack {
         FROM d GROUP BY 1 ORDER BY 1"""),
       "Snapshot diff audit of the CDC merge: full-outer key join, " +
         "null-safe struct change detection, difference-sized output — " +
-        "added/removed/changed counts match the feed exactly.")
+        "added/removed/changed counts match the feed exactly."),
+
+    GraftQuery(
+      "q_expectations", Seq("A8", "J7", "P6"),
+      (s, dir) => {
+        // Declarative data-quality expectations
+        // (operators.Expectations) — the validation pass a production
+        // table runs before consumers touch it: every scalar rule
+        // (completeness, uniqueness, range) computes in ONE aggregate
+        // over ONE scan; the referential rule adds one LEFT ANTI
+        // join. The rule set includes a deliberately FAILING check
+        // (o_custkey is not unique across orders) so both verdicts
+        // flow through the gate, and all violation counts are exact
+        // integers the oracle recomputes.
+        val o = t(s, dir, "orders").withColumn("cents",
+          expr("cast(round(o_totalprice * 100) as long)"))
+        val cust = t(s, dir, "customer")
+        Expectations.check(o, Seq(
+            Expectations.NotNull("o_custkey"),
+            Expectations.Unique("o_orderkey"),
+            Expectations.Unique("o_custkey"),
+            Expectations.InRange("cents", 0L, 60000000L),
+            Expectations.ForeignKey("o_custkey", cust, "c_custkey")))
+          .orderBy("rule", "col_name")
+      },
+      Some("""WITH c AS (SELECT o_custkey, o_orderkey,
+              round(o_totalprice * 100)::BIGINT AS cents FROM orders),
+          rows0 AS (
+            SELECT 'foreign_key' AS rule, 'o_custkey' AS col_name,
+              (SELECT count(*) FROM c LEFT JOIN customer
+                 ON o_custkey = c_custkey
+               WHERE o_custkey IS NOT NULL AND c_custkey IS NULL)
+                ::BIGINT AS violations
+            UNION ALL
+            SELECT 'in_range', 'cents',
+              (SELECT count(*) FROM c WHERE cents < 0
+                 OR cents > 60000000)::BIGINT
+            UNION ALL
+            SELECT 'not_null', 'o_custkey',
+              (SELECT count(*) FROM c WHERE o_custkey IS NULL)::BIGINT
+            UNION ALL
+            SELECT 'unique', 'o_custkey',
+              (SELECT count(o_custkey) - count(DISTINCT o_custkey)
+               FROM c)::BIGINT
+            UNION ALL
+            SELECT 'unique', 'o_orderkey',
+              (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+               FROM c)::BIGINT)
+        SELECT rule, col_name, violations, violations = 0 AS pass
+        FROM rows0 ORDER BY rule, col_name"""),
+      "Data-quality expectations: one shared aggregate for all scalar " +
+        "rules + one anti-join per referential rule, exact violation " +
+        "counts, uniform pass = zero-violations verdicts (one rule " +
+        "deliberately failing).")
   )
 }
