@@ -2622,6 +2622,69 @@ object RelationalQueries extends QueryPack {
       "Data-quality expectations: one shared aggregate for all scalar " +
         "rules + one anti-join per referential rule, exact violation " +
         "counts, uniform pass = zero-violations verdicts (one rule " +
-        "deliberately failing).")
+        "deliberately failing)."),
+
+    GraftQuery(
+      "q_pipeline_entity", Seq("J11", "D4", "D1", "A8"),
+      (s, dir) => {
+        // End-to-end entity resolution — the composed pipeline the
+        // blocked fuzzy join (q_join_fuzzy) and the CC clustering
+        // (q_dedup_cluster) are stages of: shared-token BLOCKING →
+        // Levenshtein ≤ 2 on candidates only → transitive closure via
+        // the membership-shaped connected components (each match edge
+        // is a 2-member group — the hub trick keeps hot names linear)
+        // → golden-record clusters keyed by the min (canonical) name.
+        // Output: cluster-size histogram with an order-independent
+        // member fingerprint, so the oracle pins the exact CLUSTER
+        // ASSIGNMENT, not just counts.
+        val names = t(s, dir, "part").select("p_name").distinct()
+          .withColumn("tok", explode(split(col("p_name"), " ")))
+        val cands = names.toDF("a", "tok")
+          .join(names.toDF("b", "tok"), Seq("tok"))
+          .where(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val edges = cands
+          .where(levenshtein(col("a"), col("b")) <= 2)
+          .withColumn("edge", concat(col("a"), lit("|"), col("b")))
+        val membership = edges.select(col("a").as("name"), col("edge"))
+          .unionByName(edges.select(col("b").as("name"), col("edge")))
+        val comp = ConnectedComponents.byGroup(membership, "name", "edge")
+        val sizes = comp.groupBy("component")
+          .agg(count(lit(1)).as("sz"),
+            sum(expr(graft.operators.TextOps.hash64("name") +
+              " % 1000000007")).as("members_fp"))
+        sizes.groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("members_fp").as("fp"))
+          .orderBy("sz")
+      },
+      Some("""WITH RECURSIVE
+          n0 AS (SELECT DISTINCT p_name FROM part),
+          tok AS (SELECT p_name, unnest(string_split(p_name, ' '))
+              AS tok FROM n0),
+          cand AS (SELECT DISTINCT a.p_name AS a, b.p_name AS b
+            FROM tok a JOIN tok b ON a.tok = b.tok
+              AND a.p_name < b.p_name),
+          m AS (SELECT a, b FROM cand WHERE levenshtein(a, b) <= 2),
+          nodes AS (SELECT a AS name FROM m UNION SELECT b FROM m),
+          e AS (SELECT a, b FROM m UNION SELECT b AS a, a AS b FROM m),
+          walk(name, comp) AS (
+            SELECT name, name FROM nodes
+            UNION
+            SELECT e.b, walk.comp FROM walk JOIN e ON e.a = walk.name
+              WHERE walk.comp < e.b),
+          comp AS (SELECT name, min(comp) AS component FROM walk
+            GROUP BY 1),
+          sizes AS (SELECT component, count(*)::BIGINT AS sz,
+              sum(('0x' || substr(md5(name),1,15))::BIGINT
+                % 1000000007)::BIGINT AS members_fp
+            FROM comp GROUP BY 1)
+        SELECT sz, count(*)::BIGINT AS n_clusters,
+          sum(members_fp)::BIGINT AS fp
+        FROM sizes GROUP BY 1 ORDER BY 1"""),
+      "Composed entity resolution: token blocking, candidate-only " +
+        "Levenshtein, membership-shaped connected components, " +
+        "canonical min-name clusters — cluster-size histogram with " +
+        "an exact member fingerprint, oracle via recursive CTE.")
   )
 }
