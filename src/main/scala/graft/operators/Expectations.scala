@@ -41,6 +41,86 @@ object Expectations {
     * long each) land on the driver — the report is rule-sized by
     * definition; the scans stay distributed.
     */
+  /** Row-level violation labeling — the expect-or-drop half of the
+    * expectations surface (the Delta Live Tables / Deequ "quarantine"
+    * pattern): annotate every row with the list of rules it violates,
+    * so callers can split the table into a clean publishable side and
+    * an auditable reject side WITHOUT a second scan per rule.
+    *
+    * Per-rule label = "rule:column". NotNull / InRange are pure row
+    * predicates (stay inside codegen); Unique marks every row whose key
+    * occurs more than once (one self-aggregate producing the MINORITY
+    * dup-key table, equi-joined back — never a window over the full
+    * table); ForeignKey marks orphans via a left join against the
+    * parent's distinct keys. A NULL child key is not an FK violation
+    * (matching SQL FK semantics and [[check]]), and a NULL is not an
+    * InRange violation (NotNull owns nullness) — so the two label
+    * families compose without double counting.
+    *
+    * Violation labels are emitted in RULE-LIST ORDER (the caller's
+    * declaration order), making the reason string deterministic and
+    * oracle-reproducible via ordered concat_ws.
+    */
+  def withViolations(
+      df: DataFrame, rules: Seq[Rule],
+      out: String = "violations"): DataFrame = {
+    val (cur, indicators, markers) = ruleIndicators(df, rules)
+    val labeled = cur.withColumn(out,
+      filter(
+        array(indicators.map { case (rule, c, bad) =>
+          when(bad, lit(s"$rule:$c")).otherwise(lit(null))
+        }: _*),
+        _.isNotNull))
+    markers.foldLeft(labeled)(_ drop _)
+  }
+
+  /** Shared per-row indicator kernel behind [[withViolations]] and the
+    * streaming twin (`streaming.StreamingOps.expectationsStream`):
+    * returns the (possibly join-augmented) frame, one (rule, column,
+    * bad) triple per rule — `bad` a never-null boolean column on that
+    * frame — and the helper marker columns to drop afterwards. NotNull
+    * and InRange are pure codegen'd predicates; Unique equi-joins the
+    * minority dup-key table (batch only — it aggregates `df` itself);
+    * ForeignKey left-joins the parent's distinct keys, which is a
+    * stream-static join when `df` streams.
+    */
+  def ruleIndicators(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, Seq[(String, String, Column)], Seq[String]) = {
+    require(rules.nonEmpty, "ruleIndicators: no rules")
+    var cur = df
+    val markers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val indicators: Seq[(String, String, Column)] = rules.map {
+      case NotNull(c) => ("not_null", c, col(c).isNull)
+      case InRange(c, lo, hi) =>
+        ("in_range", c,
+          coalesce(col(c) < lo || col(c) > hi, lit(false)))
+      case Unique(c) =>
+        val m = s"__dup_$c"
+        markers += m
+        val dups = df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1).select(col(c).as(m))
+        cur = cur.join(dups, cur(c) === dups(m), "left")
+        ("unique", c, col(m).isNotNull)
+      case ForeignKey(c, parent, pc) =>
+        val m = s"__pk_$c"
+        markers += m
+        val pk = parent.select(col(pc).as(m)).distinct()
+        cur = cur.join(pk, cur(c) === pk(m), "left")
+        ("foreign_key", c, col(c).isNotNull && col(m).isNull)
+    }
+    (cur, indicators, markers.toSeq)
+  }
+
+  /** Split into (clean, quarantined): clean rows carry the original
+    * schema; quarantined rows keep the `violations` label array.
+    */
+  def quarantine(
+      df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val labeled = withViolations(df, rules)
+    (labeled.where(size(col("violations")) === 0).drop("violations"),
+      labeled.where(size(col("violations")) > 0))
+  }
+
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
     require(rules.nonEmpty, "check: no rules")

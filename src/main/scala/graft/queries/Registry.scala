@@ -24,7 +24,8 @@ object Registry {
     TextQueries,
     SimilarityQueries,
     PipelineQueries,
-    PickaxeQueries)
+    PickaxeQueries,
+    GovernanceQueries)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = packs.flatMap(_.queries)

@@ -1806,4 +1806,46 @@ object StreamingOps {
           MergeSnapshot(k, best.op, best.name, best.v, best.seq)
       }
   }
+
+  /** Streaming data-quality expectations — the online twin of
+    * `Expectations.check` (q_expectations): running violation counters
+    * per rule over an unbounded ingest, maintained as ONE streaming
+    * aggregation whose state is rule-sized forever. Each arriving row
+    * projects through the SHARED indicator kernel
+    * (`Expectations.ruleIndicators` — batch and stream cannot drift),
+    * explodes into its |rules| (rule, column, bad) rows (bounded
+    * fan-out), and a (rule, col_name) grouped sum keeps the exact
+    * violation totals; `pass` is the zero-violations verdict over
+    * everything ingested so far. ForeignKey rules ride a stream-static
+    * left join against the parent's distinct keys (the parent is the
+    * static dimension, refreshed by restart like every broadcast-style
+    * constant in this file).
+    *
+    * `Unique` is rejected: exact uniqueness needs the full key history,
+    * which is the dedup family's keyed state — run `dedupStream` on the
+    * key and count arrivals minus survivors instead (the same
+    * count − countDistinct identity the batch rule computes).
+    *
+    * Run in complete (or update) output mode; no watermark — counters
+    * merge monotonically, and sums are batching-insensitive, so any
+    * snapshot equals the batch check of the rows ingested so far
+    * (parity spec-pinned under adversarial batching).
+    */
+  def expectationsStream(
+      rows: DataFrame,
+      rules: Seq[graft.operators.Expectations.Rule]): DataFrame = {
+    import graft.operators.Expectations
+    require(!rules.exists(_.isInstanceOf[Expectations.Unique]),
+      "expectationsStream: Unique needs the full key history — use " +
+        "dedupStream on the key and count arrivals minus survivors")
+    val (cur, indicators, _) = Expectations.ruleIndicators(rows, rules)
+    cur
+      .select(explode(array(indicators.map { case (rule, c, bad) =>
+        struct(lit(rule).as("rule"), lit(c).as("col_name"),
+          bad.cast("long").as("bad"))
+      }: _*)).as("i"))
+      .groupBy(col("i.rule").as("rule"), col("i.col_name").as("col_name"))
+      .agg(sum("i.bad").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+  }
 }

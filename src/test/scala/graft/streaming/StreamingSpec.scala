@@ -1755,4 +1755,54 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming expectations counters equal the batch check of the " +
+    "ingested rows, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations
+    val cust = graft.Tables.load(spark, sf, "customer")
+    // real orders + synthetic rows lighting up every rule family:
+    // a NULL custkey (not_null; NOT an FK violation), an orphan
+    // custkey (foreign_key), and an out-of-range price
+    val base = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").as("custkey"),
+        expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+      .as[(Option[Long], Long)].collect().toSeq
+    val fixture = base ++ Seq(
+      (None: Option[Long], 5L),
+      (Some(999999999L), 5L),
+      (Some(base.head._1.get), -7L))
+    val rules = Seq(
+      Expectations.NotNull("custkey"),
+      Expectations.InRange("cents", 0L, 30000000L),
+      Expectations.ForeignKey("custkey", cust, "c_custkey"))
+    val in = MemoryStream[(Option[Long], Long)]
+    val q = StreamingOps.expectationsStream(
+        in.toDS().toDF("custkey", "cents"), rules)
+      .writeStream.format("memory").queryName("expect_stream")
+      .outputMode("complete").start()
+    try {
+      // adversarial: reversed order, uneven cuts (sums are order- and
+      // batching-insensitive; counters never finalize)
+      val rev = fixture.reverse
+      val (b1, rest) = rev.splitAt(rev.size / 4)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("expect_stream")
+        .as[(String, String, Long, Boolean)].collect().sorted.toSeq
+      val want = Expectations.check(
+          fixture.toDF("custkey", "cents"), rules)
+        .as[(String, String, Long, Boolean)].collect().sorted.toSeq
+      assert(got === want)
+      // every family actually fired
+      assert(got.forall(!_._4) && got.map(_._3).forall(_ > 0))
+    } finally q.stop()
+    // Unique is the dedup family's keyed state, not a streaming counter
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.expectationsStream(
+        in.toDS().toDF("custkey", "cents"),
+        Seq(Expectations.Unique("custkey")))
+    }
+    assert(err.getMessage.contains("dedupStream"))
+  }
 }
