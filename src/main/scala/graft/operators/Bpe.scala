@@ -94,6 +94,53 @@ object Bpe {
     (rules.toSeq, vocab)
   }
 
+  /** Corpus token accounting under a trained segmentation — the
+    * token-budget bookkeeping every training-data pipeline runs before
+    * mixing sources ("how many tokens does this corpus contribute?").
+    * Counts tokens per group (e.g. per language) WITHOUT re-running a
+    * single merge over per-instance rows: `train`'s final vocabulary
+    * already carries each DISTINCT word's symbol count, and that
+    * word→n_tokens table broadcast-joins onto the exploded word stream.
+    * One shuffle (the group aggregate); the merge loop never touches
+    * the corpus, only the vocabulary.
+    *
+    * Out-of-vocabulary words (the tokenizer was trained on a SAMPLE, the
+    * standard practice at corpus scale) fall back to character-level
+    * segmentation — n_tokens = word length, the untrained-BPE identity —
+    * so the count is total and deterministic for any vocabulary.
+    *
+    * Output: one row per group —
+    * (groupCols..., n_docs, n_words, oov_words, n_tokens, n_word_chars).
+    */
+  def tokenStats(
+      docs: DataFrame, vocab: DataFrame, groupCols: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(groupCols.nonEmpty, "tokenStats: no group columns")
+    val perWord = broadcast(
+      vocab.select(col("w"), size(col("syms")).as("__nt")))
+    val counted = docs
+      .select(groupCols.map(col) :+
+        explode(TextOps.tokens(textCol)).as("w"): _*)
+      .join(perWord, Seq("w"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("__nt").isNull, 1L).otherwise(0L)).as("oov_words"),
+        sum(coalesce(col("__nt").cast("long"), length(col("w"))
+          .cast("long"))).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_word_chars"))
+    // the explode drops token-less documents; doc counts come from the
+    // un-exploded side (both aggregates are group-sized smalls)
+    val nDocs = docs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(counted, groupCols, "left")
+      .select(groupCols.map(col) :+ col("n_docs") :+
+        coalesce(col("n_words"), lit(0L)).as("n_words") :+
+        coalesce(col("oov_words"), lit(0L)).as("oov_words") :+
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens") :+
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"): _*)
+  }
+
   /** Segment a text column with an already-learned rule list (applied
     * in learned order — the standard inference path). Returns the
     * symbol arrays, one row per token instance.

@@ -2290,5 +2290,32 @@ object TextQueries extends QueryPack {
         "candidates (lossless by the prefix bound), overlap counted " +
         "only on candidate pairs, verdict cross-multiplied — the " +
         "asymmetric subsumption detector Jaccard dedup misses."),
+
+    GraftQuery(
+      "q_text_tokens", Seq("P9", "A8", "J1"),
+      (s, dir) => {
+        // Corpus token-budget accounting (Bpe.tokenStats): train the
+        // tokenizer on a deterministic 20% document SAMPLE (doc_id %
+        // 5 == 0 — at 100 TB nobody trains BPE on the full corpus;
+        // training cost is sample-sized, not corpus-sized), then count
+        // every document's tokens per language by broadcast-joining
+        // the sample-trained vocabulary's word→n_tokens table onto the
+        // exploded word stream; out-of-sample words fall back to
+        // character-level counts (oov_words reports how many). The
+        // merge loop (24 rounds, one driver row per round) never
+        // touches per-instance rows. Iterative training is not
+        // SQL-expressible — driver runs the rows-only check; exact
+        // parity with an independent in-memory reference tokenizer is
+        // pinned in BpeSpec.
+        val d = docs(s, dir)
+        val (_, vocab) = graft.operators.Bpe.train(
+          d.where(pmod(col("doc_id"), lit(5)) === 0), 24)
+        graft.operators.Bpe.tokenStats(d, vocab, Seq("lang"))
+          .orderBy("lang")
+      },
+      None,
+      "Token-budget accounting under a sample-trained BPE tokenizer: " +
+        "vocabulary-sized merge loop, broadcast word→n_tokens join, " +
+        "char-level OOV fallback, per-language doc/word/token totals."),
   )
 }

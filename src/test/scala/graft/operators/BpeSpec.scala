@@ -80,4 +80,48 @@ class BpeSpec extends SparkSuite {
       .as[(String, Seq[String])].collect().toMap
     assert(seg === wantSyms)
   }
+
+  test("tokenStats equals the reference count with char-level OOV " +
+    "fallback when the tokenizer is trained on a sample") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val sample = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val sampleVocab = sample
+      .select(explode(TextOps.tokens("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)].collect().toMap
+    val (_, refSyms) = refBpe(sampleVocab, n = 6)
+
+    val (_, vocab) = Bpe.train(sample, n = 6)
+    val got = Bpe.tokenStats(docs, vocab, Seq("lang"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+
+    val rows = docs.select(col("lang"), col("text"))
+      .as[(String, String)].collect()
+    val want = rows.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.toSeq.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val oov = words.count(w => !refSyms.contains(w))
+      val toks = words.map(w =>
+        refSyms.get(w).map(_.size.toLong).getOrElse(w.length.toLong))
+      (lang, ds.size.toLong, words.size.toLong, oov.toLong,
+        toks.sum, words.map(_.length.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("tokenStats falls back to char-level counts for OOV words and " +
+    "keeps token-less documents in n_docs") {
+    // vocab: 'ab' merged to one symbol; 'xyz' never seen → 3 chars
+    val vocab = Seq(("ab", Seq("ab"))).toDF("w", "syms")
+    val docs = Seq(
+      (1L, "g", "ab ab xyz"),
+      (2L, "g", ""), // token-less: counted in n_docs, nowhere else
+      (3L, "h", "ab")).toDF("doc_id", "lang", "text")
+    val got = Bpe.tokenStats(docs, vocab, Seq("lang"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("g", 2L, 3L, 1L, 5L, 7L), // 2 docs, ab+ab+xyz, 1 OOV, 1+1+3 toks
+      ("h", 1L, 1L, 0L, 1L, 2L)))
+  }
 }
