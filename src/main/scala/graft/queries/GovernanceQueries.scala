@@ -199,6 +199,81 @@ object GovernanceQueries extends QueryPack {
       "Quarantine split: per-row violation labels (codegen'd " +
         "predicates + minority dup-key join + parent-key left join), " +
         "reason-grouped counts with an exact member fingerprint — " +
-        "pins the row-level partition, not just totals.")
+        "pins the row-level partition, not just totals."),
+
+    GraftQuery(
+      "q_drift_psi", Seq("A8", "W2", "J9"),
+      (s, dir) => {
+        // Distribution-drift monitoring (operators.Drift): PSI + KL +
+        // grid-KS between a reference and a current slice over one
+        // FROZEN 20-bin grid — each side collapses to ≤20 rows in one
+        // map-side-combined aggregate; the only window runs over the
+        // pre-aggregated bins; the KS argmax is cross-multiplied
+        // integer arithmetic. Two comparisons flow through the gate:
+        // 'time' (order prices before vs after 1998-07-01 — the
+        // stationary synthetic feed HONESTLY reports no drift) and
+        // 'feed' (order totals vs line-item prices — genuinely
+        // different distributions, drifted = true), so both verdict
+        // branches are oracle-pinned.
+        val o = t(s, dir, "orders")
+          .withColumn("v", centsOf("o_totalprice"))
+        val li = t(s, dir, "lineitem")
+          .withColumn("v", centsOf("l_extendedprice"))
+        val time = Drift.binnedDrift(
+            o.where(expr("o_orderdate < timestamp'1998-07-01'")),
+            o.where(expr("o_orderdate >= timestamp'1998-07-01'")),
+            "v", 0L, 60000000L, 20)
+          .withColumn("cmp", lit("time"))
+        val feed = Drift.binnedDrift(o, li, "v", 0L, 60000000L, 20)
+          .withColumn("cmp", lit("feed"))
+        time.unionByName(feed)
+          .select("cmp", "n_ref", "n_cur", "psi", "kl", "ks", "drifted")
+          .orderBy("cmp")
+      },
+      Some {
+        def block(label: String, refSel: String, curSel: String) =
+          s"""SELECT '$label' AS cmp, n_ref, n_cur, psi, kl, ks,
+              psi >= 0.2 AS drifted FROM (
+            WITH r AS (SELECT greatest(0, least(19, (v*20)//60000001))
+                  AS bin, count(*)::BIGINT AS nr
+                FROM ($refSel) GROUP BY 1),
+              c AS (SELECT greatest(0, least(19, (v*20)//60000001))
+                  AS bin, count(*)::BIGINT AS nc
+                FROM ($curSel) GROUP BY 1),
+              a AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+                  COALESCE(nr, 0)::BIGINT AS nr,
+                  COALESCE(nc, 0)::BIGINT AS nc
+                FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+              t AS (SELECT sum(nr)::BIGINT AS n_ref,
+                  sum(nc)::BIGINT AS n_cur FROM a),
+              terms AS (SELECT a.bin, nr, nc, n_ref, n_cur,
+                  (nr + 1.0) / (n_ref + 20.0) AS p,
+                  (nc + 1.0) / (n_cur + 20.0) AS q,
+                  sum(nr) OVER (ORDER BY a.bin) AS cum_r,
+                  sum(nc) OVER (ORDER BY a.bin) AS cum_c
+                FROM a, t)
+            SELECT n_ref, n_cur,
+              round(sum((q - p) * ln(q / p)), 4) AS psi,
+              round(sum(q * ln(q / p)), 4) AS kl,
+              round(max(abs(cum_c * n_ref - cum_r * n_cur))
+                / (n_ref::DOUBLE * n_cur::DOUBLE), 4) AS ks
+            FROM terms GROUP BY 1, 2)"""
+        val oCents =
+          "SELECT o_orderdate, round(o_totalprice * 100)::BIGINT AS v" +
+            " FROM orders"
+        block("feed", oCents,
+          "SELECT round(l_extendedprice * 100)::BIGINT AS v" +
+            " FROM lineitem") +
+          "\nUNION ALL\n" +
+          block("time",
+            s"SELECT v FROM ($oCents)" +
+              " WHERE o_orderdate < TIMESTAMP '1998-07-01'",
+            s"SELECT v FROM ($oCents)" +
+              " WHERE o_orderdate >= TIMESTAMP '1998-07-01'") +
+          "\nORDER BY cmp"
+      },
+      "Drift audit over a frozen grid: Laplace-smoothed PSI/KL and an " +
+        "integer-exact grid-KS, bin-sized state, both a no-drift and " +
+        "a drifted verdict oracle-pinned.")
   )
 }

@@ -1848,4 +1848,25 @@ object StreamingOps {
       .agg(sum("i.bad").as("violations"))
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Streaming drift monitoring — the online half of
+    * `Drift.binnedDrift` (q_drift_psi): the CURRENT side's running
+    * bin counts over the frozen grid, maintained as one complete-mode
+    * aggregation whose state is ≤ `bins` counters forever (counts
+    * merge monotonically; no watermark). Any snapshot feeds
+    * `Drift.reportFromBins` against the offline reference bins —
+    * the report kernel is SHARED with batch, so the streaming PSI
+    * verdict cannot drift from the batch one (parity spec-pinned
+    * under adversarial batching). The reference histogram is an
+    * offline constant like the quality cuts and the scrub blocklist:
+    * refresh by restart.
+    */
+  def driftBinsStream(
+      values: DataFrame,
+      mn: Long, mx: Long, bins: Int = 20,
+      valueCol: String = "v"): DataFrame =
+    values
+      .select(graft.operators.Drift.bin(valueCol, mn, mx, bins)
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
 }

@@ -1805,4 +1805,36 @@ class StreamingSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("dedupStream"))
   }
+
+  test("streaming drift bins feed the shared report kernel to the exact " +
+    "batch drift verdict, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Drift
+    val o = graft.Tables.load(spark, sf, "orders")
+      .withColumn("v", expr("cast(round(o_totalprice * 100) as long)"))
+    val ref = o.where(expr("o_orderdate < timestamp'1998-07-01'"))
+    val cur = o.where(expr("o_orderdate >= timestamp'1998-07-01'"))
+    val want = Drift.binnedDrift(ref, cur, "v", 0L, 60000000L, 20)
+      .as[(Long, Long, Double, Double, Double, Boolean)].head()
+
+    val fixture = cur.select("v").as[Long].collect().toSeq
+    val in = MemoryStream[Long]
+    val q = StreamingOps.driftBinsStream(
+        in.toDS().toDF("v"), 0L, 60000000L, 20)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("complete").start()
+    try {
+      // adversarial: reversed, uneven cuts (bin counts are order- and
+      // batching-insensitive sums)
+      val rev = fixture.reverse
+      val (b1, rest) = rev.splitAt(rev.size / 4)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = Drift.reportFromBins(
+          Drift.sliceBins(ref, "v", 0L, 60000000L, 20),
+          spark.table("drift_stream"), 20)
+        .as[(Long, Long, Double, Double, Double, Boolean)].head()
+      assert(got === want)
+    } finally q.stop()
+  }
 }
