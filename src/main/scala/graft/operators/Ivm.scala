@@ -79,4 +79,50 @@ object Ivm {
     }
     state.select(keys.map(col) ++ outs: _*)
   }
+
+  /** Re-combine the finest-grain state under a SUBSET of its keys —
+    * the coarser-grain view derived from the state table, never the
+    * base: mergeable partials make `regroup(state, S)` equal the full
+    * recompute grouped by S for every S ⊆ keys. The input is
+    * |finest-keys|-sized, so deriving any rollup level costs a
+    * state-sized aggregate.
+    */
+  def regroup(
+      state: DataFrame, coarserKeys: Seq[String],
+      specs: Seq[(String, String)]): DataFrame = {
+    val aggs = specs.flatMap { case (c, fn) => combine(fn, c) }
+    if (coarserKeys.isEmpty) state.agg(aggs.head, aggs.tail: _*)
+    else state.groupBy(coarserKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The full CUBE derived from the finest-grain state: one
+    * state-sized [[regroup]] per of the 2^d dimension subsets, rolled-
+    * up dimensions filled with the `all` sentinel (dims are emitted as
+    * strings for a uniform union schema — the GROUPING-bit encoding
+    * without nullable grouping columns). This is the incremental-cube
+    * refresh contract: fold deltas into the finest state with
+    * [[merge]] (delta-sized work), then derive EVERY grain from the
+    * state (2^d × |state| work) — the base table is never rescanned,
+    * which at 100 TB is the difference between a cube refresh costing
+    * |delta| + 2^d·|keys| and one costing 2^d·|base|.
+    */
+  def cubeFromState(
+      state: DataFrame, dims: Seq[String],
+      specs: Seq[(String, String)], all: String = "__all__"): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 8,
+      s"cubeFromState: 1..8 dims, got ${dims.size}")
+    (0 until (1 << dims.size)).map { mask =>
+      val keep = dims.zipWithIndex.collect {
+        case (d, i) if (mask & (1 << i)) != 0 => d
+      }
+      val outs = dims.map { d =>
+        if (keep.contains(d)) col(d).cast("string").as(d)
+        else lit(all).as(d)
+      }
+      val fin = finalize(regroup(state, keep, specs), keep, specs)
+      fin.select(outs ++ fin.columns.filterNot(keep.contains)
+        .map(col): _*)
+    }.reduce(_ unionByName _)
+  }
 }

@@ -2363,6 +2363,49 @@ object RelationalQueries extends QueryPack {
         "refresh cost is delta + state, never the base."),
 
     GraftQuery(
+      "q_agg_cube_incremental", Seq("A8", "A4", "E6"),
+      (s, dir) => {
+        // Incremental CUBE maintenance (Ivm.cubeFromState): fold the
+        // same three delta batches into the FINEST-grain state, then
+        // derive every one of the 2^d cube grains by re-combining the
+        // state table — the base is never rescanned. At 100 TB a cube
+        // refresh costs |delta| + 2^d·|keys| instead of 2^d·|base|;
+        // the whole cube here is 24 rows derived from a 15-row state.
+        // Rolled-up dimensions carry the '__all__' sentinel (uniform
+        // string schema instead of GROUPING-bit nullable columns);
+        // the oracle replays it as a plain GROUP BY CUBE.
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"),
+          expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+        val keys = Seq("priority", "status")
+        val specs = Seq("cents" -> "sum", "cents" -> "count",
+          "cents" -> "max")
+        val batches = (0 to 2).map(i =>
+          o.where(pmod(col("cents"), lit(3)) === i))
+        val state = batches.map(b => Ivm.aggState(b, keys, specs))
+          .reduce((a, b) => Ivm.merge(a, b, keys, specs))
+        Ivm.cubeFromState(state, keys, specs)
+          .withColumn("avg_price",
+            round(col("cents_sum") / col("cents_count"), 4))
+          .withColumnRenamed("cents_count", "n_rows")
+          .orderBy("priority", "status")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS priority,
+            o_orderstatus AS status,
+            round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+        SELECT coalesce(priority, '__all__') AS priority,
+          coalesce(status, '__all__') AS status,
+          sum(cents)::BIGINT AS cents_sum,
+          count(*)::BIGINT AS n_rows,
+          max(cents)::BIGINT AS cents_max,
+          round(sum(cents)::DOUBLE / count(*), 4) AS avg_price
+        FROM o GROUP BY CUBE(priority, status) ORDER BY 1, 2"""),
+      "Incremental cube: deltas fold into the finest-grain state once; " +
+        "all four grouping sets derive from the 15-row state by " +
+        "partial re-combine, bit-equal to a full-scan GROUP BY CUBE."),
+
+    GraftQuery(
       "q_quantile_exact", Seq("A9", "W2", "A8"),
       (s, dir) => {
         // EXACT global quantiles with NO global sort

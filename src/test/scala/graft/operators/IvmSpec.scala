@@ -39,4 +39,32 @@ class IvmSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("median"))
   }
+
+  test("cubeFromState equals the native full-scan cube at every grain") {
+    val base = graft.Tables.load(spark, sf, "orders").select(
+      col("o_orderpriority").as("a"), col("o_orderstatus").as("b"),
+      expr("cast(round(o_totalprice * 100) as long)").as("v"))
+    val keys = Seq("a", "b")
+    val specs = Seq("v" -> "sum", "v" -> "count", "v" -> "max")
+    // state folded from 4 uneven deltas, cube derived from state only
+    val state = (0 to 3).map(i =>
+        Ivm.aggState(base.where(pmod(col("v"), lit(4)) === i),
+          keys, specs))
+      .reduce((x, y) => Ivm.merge(x, y, keys, specs))
+    val got = Ivm.cubeFromState(state, keys, specs)
+      .as[(String, String, Long, Long, Long)].collect().sorted.toSeq
+    // native cube over the base, sentinel-mapped like cubeFromState
+    val want = base.cube(col("a"), col("b"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("m"))
+      .select(coalesce(col("a"), lit("__all__")),
+        coalesce(col("b"), lit("__all__")),
+        col("s"), col("n"), col("m"))
+      .as[(String, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(got.size === want.size && got.nonEmpty)
+    // every grain present: (a,b), (a,*), (*,b), (*,*)
+    assert(got.exists(r => r._1 == "__all__" && r._2 == "__all__"))
+    assert(got.exists(r => r._1 == "__all__" && r._2 != "__all__"))
+    assert(got.exists(r => r._1 != "__all__" && r._2 == "__all__"))
+  }
 }

@@ -38,6 +38,11 @@ class PlanAuditSpec extends SparkSuite {
     "q_pipeline_mixture",
     // 1-row vocabulary-count broadcast for the add-one denominator
     "q_text_perplexity", "q_text_ppl_buckets",
+    // 1-row totals broadcast onto the ≤bins aligned bin table
+    "q_drift_psi",
+    // 1-row argmin (smallest satisfying width) broadcast onto the
+    // ladder-sized level table
+    "q_privacy_generalize",
     // 1-row (tot, vocab_size) broadcast joined to the top-20 prefix
     "q_text_vocab",
     // 1-row token-total broadcasts feeding the FIXED 64-row model
