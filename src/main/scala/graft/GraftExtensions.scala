@@ -36,5 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_hash64 takes 1 argument, got ${exprs.length}")
         graft.expressions.Hash64(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(
+        classOf[graft.expressions.NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"graft_nfc takes 1 argument, got ${exprs.length}")
+        graft.expressions.NfcNormalize(exprs.head)
+      }))
   }
 }

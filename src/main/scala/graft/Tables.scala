@@ -52,9 +52,10 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // idempotent: the pack's SQL lambdas name graft_hash64, and every
-    // query/gate/bench path loads a table first
+    // idempotent: the pack's SQL lambdas name graft_hash64 / graft_nfc,
+    // and every query/gate/bench path loads a table first
     graft.expressions.Hash64.register(spark)
+    graft.expressions.NfcNormalize.register(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events"     => normalizeEventsTs(df)

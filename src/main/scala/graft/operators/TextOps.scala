@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{array_contains, array_join, expr,
-  filter, lit, regexp_count, regexp_replace, size, split, struct,
-  transform, typedLit, when}
+  filter, length, lit, regexp_count, regexp_replace, size, split, struct,
+  transform, trim, typedLit, when}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -402,6 +402,32 @@ object TextOps {
       size(filter(toks, x => array_contains(typedLit(terms), x)))
         .cast("long").as("n_masked"),
       array_join(maskTokens(toks, terms, tag), " ").as("scrubbed"))
+  }
+
+  /** Unicode + whitespace canonicalization stage — runs BEFORE any
+    * byte-keyed operator (exact dedup, shingles, winnowing, token
+    * counts key on bytes; "é" composed vs decomposed must not split a
+    * logical document). Chain: NFC composition (the codegen'd
+    * [[graft.expressions.NfcNormalize]] — ASCII fast path returns the
+    * input buffer untouched) → control-char strip (C0 minus \t\n\r,
+    * plus DEL — the same RE2-common-subset class on both engines) →
+    * space/tab-run collapse → trim. Counters are exact character
+    * deltas so the oracle reproduces them bit for bit; `normalized`
+    * carries the canonical bytes (fingerprint-pinned cross-engine).
+    */
+  def normalizeProjection(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nfc = ColumnBridge.column(graft.expressions.NfcNormalize(
+      ColumnBridge.expression(textCol)))
+    val noCtrl = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = regexp_replace(noCtrl, "[ \\t]+", " ")
+    struct(
+      (nfc =!= textCol).cast("long").as("nfc_changed"),
+      (length(nfc) - length(noCtrl)).cast("long").as("ctrl_removed"),
+      (length(noCtrl) - length(collapsed)).cast("long")
+        .as("ws_collapsed"),
+      trim(collapsed).as("normalized"))
   }
 
   /** Exact Jaccard between two array columns (set semantics). */

@@ -2317,5 +2317,66 @@ object TextQueries extends QueryPack {
       "Token-budget accounting under a sample-trained BPE tokenizer: " +
         "vocabulary-sized merge loop, broadcast word→n_tokens join, " +
         "char-level OOV fallback, per-language doc/word/token totals."),
+
+    GraftQuery(
+      "q_text_normalize", Seq("P6", "A8", "P9"),
+      (s, dir) => {
+        // Unicode + whitespace canonicalization
+        // (TextOps.normalizeProjection): NFC composition via the
+        // codegen'd graft_nfc expression, control-char strip,
+        // space/tab-run collapse, trim — the stage every byte-keyed
+        // operator (dedup, shingles, winnowing) depends on. The
+        // synthetic corpus is already clean, so each doc is
+        // deterministically DIRTIED identically in both engines
+        // (doubled spaces, a leading tab, one C0 control byte, a
+        // decomposed e+COMBINING ACUTE) and the gate pins that
+        // normalization restores canonical bytes: exact per-source
+        // counter sums plus an order-independent fingerprint of the
+        // normalized text. DuckDB's nfc_normalize is the oracle twin
+        // of the Catalyst expression.
+        val d = docs(s, dir)
+          .withColumn("dirty",
+            concat(lit("\t "),
+              regexp_replace(col("text"), " ", "  "),
+              lit("\u0001"), lit(" e\u0301")))
+        d.withColumn("np", TextOps.normalizeProjection(col("dirty")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("np.nfc_changed").as("n_nfc_changed"),
+            sum("np.ctrl_removed").as("ctrl_removed"),
+            sum("np.ws_collapsed").as("ws_collapsed"),
+            sum(expr(TextOps.hash64("np.normalized") +
+              " % 1000000007")).as("bytes_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH dirty AS (
+            SELECT source,
+              chr(9) || ' ' || replace(text, ' ', '  ') || chr(1) ||
+                ' e' || chr(769) AS t
+            FROM documents),
+          nfc AS (SELECT source, t, nfc_normalize(t) AS n FROM dirty),
+          x AS (SELECT source, (n <> t)::BIGINT AS ch, n,
+              regexp_replace(n,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS nc
+            FROM nfc),
+          y AS (SELECT source, ch, length(n) - length(nc) AS ctrl, nc,
+              regexp_replace(nc, '[ \t]+', ' ', 'g') AS coll
+            FROM x),
+          z AS (SELECT source, ch, ctrl,
+              length(nc) - length(coll) AS ws, trim(coll) AS norm
+            FROM y)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(ch)::BIGINT AS n_nfc_changed,
+          sum(ctrl)::BIGINT AS ctrl_removed,
+          sum(ws)::BIGINT AS ws_collapsed,
+          sum(('0x' || substr(md5(norm), 1, 15))::BIGINT
+            % 1000000007)::BIGINT AS bytes_fp
+        FROM z GROUP BY 1 ORDER BY 1"""),
+      "Byte-canonicalization gate: codegen'd NFC expression vs " +
+        "DuckDB's nfc_normalize, identical RE2-subset strip/collapse " +
+        "patterns, exact counter sums and a normalized-bytes " +
+        "fingerprint — engine parity of the bytes every dedup key " +
+        "hashes."),
   )
 }

@@ -20,6 +20,7 @@ object SparkSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.expressions.Hash64.register(s)
+    graft.expressions.NfcNormalize.register(s)
     s
   }
 }
