@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * the final three scalars divide/log in doubles (rounded 4dp, the
   * repo's float-output convention). PSI/KL probabilities are Laplace-
   * smoothed (add-1 per bin) so empty bins never produce ±∞ terms —
-  * p = (c+1)/(N+bins) on both sides, and a bin empty on BOTH sides
-  * contributes exactly 0 to every measure.
+  * p = (c+1)/(N+bins) on both sides, summed over a FULL bin spine
+  * (every grid bin is materialized, not just the observed ones), so
+  * the smoothed p and q each sum to exactly 1: this is the textbook
+  * Laplace-smoothed PSI/KL, independent of which bins happened to be
+  * non-empty.
   */
 object Drift {
 
@@ -67,9 +70,17 @@ object Drift {
   def reportFromBins(
       refBins: DataFrame, curBins: DataFrame, bins: Int,
       psiThreshold: Double = 0.2): DataFrame = {
-    val aligned = refBins.withColumnRenamed("n", "n_ref_b")
-      .join(curBins.withColumnRenamed("n", "n_cur_b"),
-        Seq("bin"), "full_outer")
+    // full bin spine: every grid bin exists in the aligned table, so
+    // the Laplace-smoothed p/q sum to exactly 1 regardless of which
+    // bins were observed (bins rows — driver-trivial, never a shuffle
+    // concern)
+    val spine = refBins.sparkSession.range(bins.toLong)
+      .select(col("id").as("bin"))
+    val aligned = spine
+      .join(broadcast(refBins.withColumnRenamed("n", "n_ref_b")),
+        Seq("bin"), "left")
+      .join(broadcast(curBins.withColumnRenamed("n", "n_cur_b")),
+        Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref_b"), lit(0L)).as("nr"),
         coalesce(col("n_cur_b"), lit(0L)).as("nc"))

@@ -89,25 +89,30 @@ object Expectations {
     require(rules.nonEmpty, "ruleIndicators: no rules")
     var cur = df
     val markers = scala.collection.mutable.ArrayBuffer.empty[String]
-    val indicators: Seq[(String, String, Column)] = rules.map {
-      case NotNull(c) => ("not_null", c, col(c).isNull)
-      case InRange(c, lo, hi) =>
-        ("in_range", c,
-          coalesce(col(c) < lo || col(c) > hi, lit(false)))
-      case Unique(c) =>
-        val m = s"__dup_$c"
-        markers += m
-        val dups = df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
-          .where(col("__n") > 1).select(col(c).as(m))
-        cur = cur.join(dups, cur(c) === dups(m), "left")
-        ("unique", c, col(m).isNotNull)
-      case ForeignKey(c, parent, pc) =>
-        val m = s"__pk_$c"
-        markers += m
-        val pk = parent.select(col(pc).as(m)).distinct()
-        cur = cur.join(pk, cur(c) === pk(m), "left")
-        ("foreign_key", c, col(c).isNotNull && col(m).isNull)
-    }
+    // marker names carry the rule INDEX, not just the column: the same
+    // rule family declared twice on one column (e.g. two ForeignKey
+    // rules against different parents) must get distinct, unambiguous
+    // helper columns
+    val indicators: Seq[(String, String, Column)] =
+      rules.zipWithIndex.map {
+        case (NotNull(c), _) => ("not_null", c, col(c).isNull)
+        case (InRange(c, lo, hi), _) =>
+          ("in_range", c,
+            coalesce(col(c) < lo || col(c) > hi, lit(false)))
+        case (Unique(c), i) =>
+          val m = s"__dup_${i}_$c"
+          markers += m
+          val dups = df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+            .where(col("__n") > 1).select(col(c).as(m))
+          cur = cur.join(dups, cur(c) === dups(m), "left")
+          ("unique", c, col(m).isNotNull)
+        case (ForeignKey(c, parent, pc), i) =>
+          val m = s"__pk_${i}_$c"
+          markers += m
+          val pk = parent.select(col(pc).as(m)).distinct()
+          cur = cur.join(pk, cur(c) === pk(m), "left")
+          ("foreign_key", c, col(c).isNotNull && col(m).isNull)
+      }
     (cur, indicators, markers.toSeq)
   }
 

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
-  /** Supported spec values: "sum", "count", "min", "max", "avg". */
+  /** Supported spec values: "sum", "count", "min", "max", "avg".
+    *
+    * NOTE: "count" is SQL `count(col)` — null-skipping — NOT
+    * `count(*)`. To maintain a row count, spec "count" on a column
+    * that is never null (a key); only then does the partial equal
+    * `count(*)` of the batch.
+    */
   private def partial(fn: String, c: String) = fn match {
     case "sum"   => Seq(sum(col(c)).as(s"${c}__sum"))
     case "count" => Seq(count(col(c)).as(s"${c}__count"))
@@ -106,6 +112,14 @@ object Ivm {
     * state (2^d × |state| work) — the base table is never rescanned,
     * which at 100 TB is the difference between a cube refresh costing
     * |delta| + 2^d·|keys| and one costing 2^d·|base|.
+    *
+    * NULL dimension values coalesce to the `all` sentinel (matching
+    * the GROUP BY CUBE + coalesce replay this is verified against), so
+    * a data-NULL and a rolled-up grain are indistinguishable in the
+    * output — exactly as in the SQL replay. A real dim value EQUAL to
+    * the sentinel would collide with the rollup marker; pick a
+    * sentinel outside the dim domain (the `__all__` default is safe
+    * for any sane dimension).
     */
   def cubeFromState(
       state: DataFrame, dims: Seq[String],
@@ -117,7 +131,8 @@ object Ivm {
         case (d, i) if (mask & (1 << i)) != 0 => d
       }
       val outs = dims.map { d =>
-        if (keep.contains(d)) col(d).cast("string").as(d)
+        if (keep.contains(d))
+          coalesce(col(d).cast("string"), lit(all)).as(d)
         else lit(all).as(d)
       }
       val fin = finalize(regroup(state, keep, specs), keep, specs)

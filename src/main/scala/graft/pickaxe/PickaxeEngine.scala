@@ -375,19 +375,29 @@ final class PickaxeEngine(
 object PickaxeEngine {
 
   /** S2: compound-file ingest (load_compound_set, pickaxe.py:445-495):
-    * CSV/TSV with auto separator, structure column detected by name
-    * (`smiles` / `inchi` / `structure`, case-insensitive — pickaxe.py:
-    * 463-470), standardize -> organic filter -> content-hash dedup.
-    * InChI values are reconstructed by `graft.chem.InChI` (bond orders
-    * via valence-deficiency matching; unsupported layers are skipped).
+    * CSV/TSV/JSON dispatched on extension (file_to_dict_list,
+    * utils.py:71-94 — `.tsv` tab, `.csv` comma, `.json` a JSON array of
+    * records, anything else is an error), structure column detected by
+    * name (`smiles` / `inchi` / `structure`, case-insensitive —
+    * pickaxe.py:463-470), standardize -> organic filter -> content-hash
+    * dedup. InChI values are reconstructed by `graft.chem.InChI` (bond
+    * orders via valence-deficiency matching; unsupported layers are
+    * skipped).
     */
   def loadCompoundFile(
       spark: SparkSession,
       path: String): DataFrame = {
     import spark.implicits._
-    val sep = if (path.endsWith(".tsv")) "\t" else ","
-    val raw = spark.read
-      .option("header", "true").option("sep", sep).csv(path)
+    val raw =
+      if (path.contains(".tsv"))
+        spark.read.option("header", "true").option("sep", "\t").csv(path)
+      else if (path.contains(".csv"))
+        spark.read.option("header", "true").csv(path)
+      else if (path.contains(".json"))
+        // the reference json.loads a whole array of records; multiLine
+        // reads exactly that shape (and still accepts JSON-lines files)
+        spark.read.option("multiLine", "true").json(path)
+      else sys.error("Unrecognized input file type")
     val structureField = raw.columns
       .find(c => Set("smiles", "inchi", "structure")(c.toLowerCase))
       .getOrElse(sys.error("Structure field not found in input."))

@@ -73,6 +73,11 @@ object RuleKernel {
     val out = Seq.newBuilder[Predicted]
     val compound = try molFor(cSmiles, explicitH)
       catch { case _: Exception => return Seq.empty }
+    // canonical SMILES -> X-id, for cofactor-redundancy rewrite at birth
+    // (the reference repairs this post-hoc in _remove_cofactor_redundancy,
+    // pickaxe.py:793-940; rewriting as products are emitted reaches the
+    // same fixpoint in one pass). Built once per compound, not per rule.
+    val cofactorBySmiles = coreactants.values.map(t => t._1 -> t._2).toMap
     for (rule <- rules) {
       try {
         val parsed = compiled(rule.smarts)
@@ -86,11 +91,6 @@ object RuleKernel {
           case role => coreactants(role)._2
         }
         val reactantStoich = toStoich(reactantIds)
-        // canonical SMILES -> X-id, for cofactor-redundancy rewrite at
-        // birth (the reference repairs this post-hoc in
-        // _remove_cofactor_redundancy, pickaxe.py:793-940; rewriting as
-        // products are emitted reaches the same fixpoint in one pass)
-        val cofactorBySmiles = coreactants.values.map(t => t._1 -> t._2).toMap
         val seen = scala.collection.mutable.Set.empty[String]
         for (productSet <- ReactionRule.run(parsed, mols, maxProducts)) {
           // aromaticity perception (RDKit sanitizes every product) +

@@ -240,10 +240,11 @@ object GovernanceQueries extends QueryPack {
               c AS (SELECT greatest(0, least(19, (v*20)//60000001))
                   AS bin, count(*)::BIGINT AS nc
                 FROM ($curSel) GROUP BY 1),
-              a AS (SELECT COALESCE(r.bin, c.bin) AS bin,
-                  COALESCE(nr, 0)::BIGINT AS nr,
+              a AS (SELECT s.bin, COALESCE(nr, 0)::BIGINT AS nr,
                   COALESCE(nc, 0)::BIGINT AS nc
-                FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+                FROM (SELECT range AS bin FROM range(0, 20)) s
+                LEFT JOIN r ON s.bin = r.bin
+                LEFT JOIN c ON s.bin = c.bin),
               t AS (SELECT sum(nr)::BIGINT AS n_ref,
                   sum(nc)::BIGINT AS n_cur FROM a),
               terms AS (SELECT a.bin, nr, nc, n_ref, n_cur,

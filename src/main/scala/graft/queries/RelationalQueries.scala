@@ -2385,6 +2385,10 @@ object RelationalQueries extends QueryPack {
           o.where(pmod(col("cents"), lit(3)) === i))
         val state = batches.map(b => Ivm.aggState(b, keys, specs))
           .reduce((a, b) => Ivm.merge(a, b, keys, specs))
+        // Ivm "count" is count(col), null-skipping: the n_rows rename
+        // against the count(*) oracle is sound ONLY because cents
+        // derives from o_totalprice, which is non-null by schema — a
+        // nullable measure would need its count spec'd on a key column
         Ivm.cubeFromState(state, keys, specs)
           .withColumn("avg_price",
             round(col("cents_sum") / col("cents_count"), 4))

@@ -129,6 +129,28 @@ class CascadeAndIOSpec extends SparkSuite {
     assert(df2.count() === 2)
   }
 
+  test("compound file loading: json branch matches the csv path") {
+    // file_to_dict_list (utils.py:71-94) accepts .json as a JSON array
+    // of records; the same rows must land on identical compound hashes
+    val csv = Files.createTempFile("cpds", ".csv")
+    Files.writeString(csv, "id,smiles\n1,CCO\n2,c1ccccc1\n3,CC(=O)O\n")
+    val json = Files.createTempFile("cpds", ".json")
+    Files.writeString(json,
+      """[{"id": "1", "smiles": "CCO"},
+         {"id": "2", "smiles": "c1ccccc1"},
+         {"id": "3", "smiles": "CC(=O)O"}]""")
+    val fromCsv = PickaxeEngine.loadCompoundFile(spark, csv.toString)
+      .select("_id").collect().map(_.getString(0)).sorted
+    val fromJson = PickaxeEngine.loadCompoundFile(spark, json.toString)
+      .select("_id").collect().map(_.getString(0)).sorted
+    assert(fromJson.length === 3)
+    assert(fromJson.toSeq === fromCsv.toSeq)
+    // unknown extension fails loudly, like the reference's ValueError
+    intercept[RuntimeException] {
+      PickaxeEngine.loadCompoundFile(spark, "/tmp/x.parquet")
+    }
+  }
+
   test("NP score: deterministic, damped into [-5, 5]") {
     val s1 = NPScore.score("CCO")
     assert(s1 === NPScore.score("OCC")) // canonical-fragment invariant
