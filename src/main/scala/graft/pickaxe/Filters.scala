@@ -56,13 +56,36 @@ final case class AtomCompositionFilter(
   * Morgan option — `graft.chem.Morgan` folded bits, which ARE
   * bit-identical to RDKit's GetMorganFingerprintAsBitVect, so Morgan
   * Tanimoto values match the reference exactly).
+  *
+  * `increasingSimilarity` (W8, similarity.py:661-667): additionally
+  * kill frontier compounds whose similarity DROPPED relative to their
+  * parent — "only keep compounds whose similarity score is higher than
+  * its parent" (the class docstring, similarity.py:533-535). The
+  * shipped reference initializes the memo under the old key
+  * (`last_tani`, pickaxe.py:550 / reactions.py:160) but reads
+  * `last_similarity`, so its increasing path raises KeyError as of
+  * v2.2.0 and is only ever tested with the flag off
+  * (test_filters.py:50-116); we implement the documented intent
+  * STATELESSLY from the reaction graph: a generation-g compound
+  * survives the gate iff its max target similarity is >= the
+  * similarity of at least one parent (the non-cofactor reactants of
+  * any reaction producing it) — i.e. similarity is non-decreasing
+  * along at least one lineage, which is exactly what an inherited
+  * `last_similarity` memo enforces. Generation-0 compounds have no
+  * parents and always pass the gate (memo starts at 0).
+  *
+  * Scale shape: the gate adds one explode of the generation's NEW
+  * reactions + one hash join back to compounds for parent SMILES + a
+  * min-combine per child — all keyed on content ids, no all-pairs
+  * stage; target fingerprints stay a broadcast-sized local array.
   */
 final case class TanimotoCutoffFilter(
     targetSmiles: Seq[String],
     thresholds: Seq[Double],
     fingerprintMethod: String = "rdkit",
     morganRadius: Int = 2,
-    morganBits: Int = 2048) extends NetworkFilter {
+    morganBits: Int = 2048,
+    increasingSimilarity: Boolean = false) extends NetworkFilter {
   override def name = s"TanimotoCutoff $thresholds"
   private def fp(smiles: String): Array[Int] =
     if (fingerprintMethod == "morgan")
@@ -76,16 +99,52 @@ final case class TanimotoCutoffFilter(
     val mkFp = fp _
     val targetFps = targetSmiles.map(s => BitTanimoto.pack(mkFp(s), nb))
     val crit = thresholds(math.min(state.generation, thresholds.length - 1))
-    val simUdf = udf { smiles: String =>
-      val f = BitTanimoto.pack(mkFp(smiles), nb)
-      // short-circuits at the threshold like similarity.py:761-763
-      targetFps.exists(t => BitTanimoto.tanimoto(f, t) >= crit)
-    }
-    state.compounds
+    val frontier = state.compounds
       .where(col("Generation") === state.generation && col("Expand") &&
         !col("Type").isin("Coreactant", "Target Compound"))
-      .where(!simUdf(col("SMILES")))
-      .select("_id")
+    if (!increasingSimilarity) {
+      val okUdf = udf { smiles: String =>
+        val f = BitTanimoto.pack(mkFp(smiles), nb)
+        // short-circuits at the threshold like similarity.py:761-763
+        targetFps.exists(t => BitTanimoto.tanimoto(f, t) >= crit)
+      }
+      frontier.where(!okUdf(col("SMILES"))).select("_id")
+    } else {
+      // full max-similarity values: the gate compares child vs parent,
+      // so the threshold short-circuit no longer applies
+      val simUdf = udf { smiles: String =>
+        val f = BitTanimoto.pack(mkFp(smiles), nb)
+        if (targetFps.isEmpty) 0.0
+        else targetFps.map(t => BitTanimoto.tanimoto(f, t)).max
+      }
+      val scored = frontier
+        .select(col("_id"), simUdf(col("SMILES")).as("__sim"))
+      // child -> non-cofactor parent edges from the reactions that
+      // produce the frontier (J2-shaped explode, id-keyed joins only)
+      val edges = state.reactions
+        .select(explode(col("Products")).as("p"), col("Reactants"))
+        .select(col("p.c_id").as("_id"),
+          explode(col("Reactants")).as("r"))
+        .select(col("_id"), col("r.c_id").as("__parent"))
+        .where(col("__parent").startsWith("C") &&
+          col("__parent") =!= col("_id"))
+      val parentSim = edges
+        .join(scored.select("_id"), Seq("_id"), "left_semi")
+        .join(state.compounds
+            .select(col("_id").as("__parent"),
+              col("SMILES").as("__psmiles")),
+          Seq("__parent"))
+        .select(col("_id"), simUdf(col("__psmiles")).as("__psim"))
+        // survive iff sim >= similarity of SOME parent: compare
+        // against the min over parents (min is exactly order-
+        // independent on doubles — hash-stable)
+        .groupBy("_id").agg(min("__psim").as("__min_parent_sim"))
+      scored.join(parentSim, Seq("_id"), "left")
+        .where(col("__sim") < crit ||
+          (col("__min_parent_sim").isNotNull &&
+            col("__sim") < col("__min_parent_sim")))
+        .select("_id")
+    }
   }
 }
 

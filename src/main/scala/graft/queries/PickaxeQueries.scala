@@ -135,6 +135,47 @@ object PickaxeQueries extends QueryPack {
         "network, matching test_pickaxe.py:218-220) + dense id assignment."),
 
     GraftQuery(
+      "q_pickaxe_simgate", Seq("W8", "P5", "A10"),
+      (s, _) => {
+        // Increasing-similarity gate (similarity.py:661-667, W8): expand
+        // FADH two generations toward the double-phospho target with
+        // crit=0 so ONLY the monotonicity gate acts — every generation-g
+        // compound must be at least as similar to the target as one of
+        // its parents, or it is killed and cascade-removed. Morgan
+        // fingerprints (bit-identical to RDKit's) make the similarity
+        // values — and so the survivor set — exactly reproducible.
+        val target = "Cc1cc2c(cc1C)N(CC(OP(=O)(O)O)C(OP(=O)(O)O)C(O)COP" +
+          "(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"
+        val gate = TanimotoCutoffFilter(Seq(target), Seq(0.0),
+          fingerprintMethod = "morgan", increasingSimilarity = true)
+        val gated = engine(s).run(Seq(fadh), generations = 2,
+          filters = Seq(gate))
+        val open = engine(s).run(Seq(fadh), generations = 2)
+        def counts(st: NetworkState, label: String) =
+          st.compounds.where(col("Type") === "Predicted")
+            .groupBy("Generation")
+            .agg(count(lit(1)).as("n_compounds"))
+            .crossJoin(st.reactions.agg(count(lit(1)).as("n_reactions")))
+            .withColumn("run", lit(label))
+        counts(gated, "gated").unionByName(counts(open, "open"))
+          .select("run", "Generation", "n_compounds", "n_reactions")
+          .orderBy("run", "Generation")
+      },
+      // pinned: the gate kills 4 of the 7 gen-1 phospho isomers (their
+      // Morgan similarity to the double-phospho target is below
+      // FADH's own) and cascade-removes their reactions; the 3
+      // survivors expand to 15 gen-2 compounds over 21 reactions,
+      // vs the open run's 7/21/49 network
+      Some("""SELECT 'gated' AS run, 1::INTEGER AS "Generation",
+            3::BIGINT AS n_compounds, 21::BIGINT AS n_reactions
+          UNION ALL SELECT 'gated', 2::INTEGER, 15::BIGINT, 21::BIGINT
+          UNION ALL SELECT 'open', 1::INTEGER, 7::BIGINT, 49::BIGINT
+          UNION ALL SELECT 'open', 2::INTEGER, 21::BIGINT, 49::BIGINT"""),
+      "Increasing-similarity gate (W8): non-improving frontier " +
+        "compounds are killed before expansion; gated vs open run " +
+        "pinned side by side."),
+
+    GraftQuery(
       "q_pickaxe_mass_search", Seq("J6", "S9", "A6", "P4", "P13"),
       (s, _) => {
         // gen-1 phospho-FADH as [M+H]+, FADH itself as [M-H]-, a decoy

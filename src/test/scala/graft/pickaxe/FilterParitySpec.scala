@@ -105,6 +105,43 @@ class FilterParitySpec extends SparkSuite {
     assert(nSingle >= 53, "coreactants+starts always survive")
   }
 
+  test("increasing-similarity gate kills non-improving children only " +
+    "(similarity.py:661-667, W8)") {
+    import spark.implicits._
+    // target = hexane. Parent pentane (sim high); child A heptane
+    // (closer to hexane than pentane under Morgan bits), child B
+    // ethanol (much less similar). The gate with crit=0 must kill
+    // exactly B; the gen-0 parent itself always passes (no parents).
+    val target = "CCCCCC"
+    def cpd(id: String, smi: String, gen: Int) =
+      PickaxeEngine.mkCompound(id, smi, if (gen == 0) "Starting Compound"
+        else "Predicted", gen, expand = true)
+    val parent = cpd("Cp", "CCCCC", 0)
+    val childA = cpd("Ca", "CCCCCCC", 1)
+    val childB = cpd("Cb", "CCO", 1)
+    val rxns = Seq(
+      ReactionRow("R1", "", Seq(Stoich(1, "Cp")), Seq(Stoich(1, "Ca")),
+        Seq("op1"), ""),
+      ReactionRow("R2", "", Seq(Stoich(1, "Cp")), Seq(Stoich(1, "Cb")),
+        Seq("op1"), ""))
+    val gate = TanimotoCutoffFilter(Seq(target), Seq(0.0),
+      fingerprintMethod = "morgan", increasingSimilarity = true)
+    // generation 1: children checked against parent's similarity
+    val st1 = NetworkState(Seq(parent.copy(Expand = false), childA, childB)
+      .toDF(), rxns.toDF(), 1)
+    val blocked1 = gate.blocked(st1).as[String].collect().toSet
+    assert(blocked1 === Set("Cb"),
+      s"expected only the diverging child blocked, got $blocked1")
+    // generation 0: no parents — the gate never fires, crit=0 passes all
+    val st0 = NetworkState(Seq(parent).toDF(),
+      spark.emptyDataset[ReactionRow].toDF(), 0)
+    assert(gate.blocked(st0).count() === 0L)
+    // flag off: plain cutoff at crit=0 blocks nothing
+    val off = TanimotoCutoffFilter(Seq(target), Seq(0.0),
+      fingerprintMethod = "morgan")
+    assert(off.blocked(st1).count() === 0L)
+  }
+
   test("MCS filter [0.1, 0.5] (reference: 382) — pinned with documented " +
     "divergence") {
     assume(present)
