@@ -340,17 +340,23 @@ final class PickaxeEngine(
     NetworkState(outC, outR, state.generation)
   }
 
-  /** W1: dense export ids (assign_ids, pickaxe.py:1046-1102). */
+  /** W1: dense export ids (assign_ids, pickaxe.py:1046-1102) — via the
+    * distributed two-pass rank (operators.DenseIds), not a global
+    * `row_number() over (order by ...)` window: the window form moves
+    * every row through one task, which is fine for a golden-file
+    * export and a straggler on a 100 TB network table. Result is
+    * bit-identical (the (Generation, _id) / (_id) orders are total).
+    */
   def assignIds(state: NetworkState): NetworkState = {
-    import org.apache.spark.sql.expressions.Window
-    val wc = Window.orderBy("Generation", "_id")
-    val wr = Window.orderBy("_id")
-    NetworkState(
-      state.compounds.withColumn("ID",
-        format_string("pkc%07d", row_number().over(wc))),
-      state.reactions.withColumn("ID",
-        format_string("pkr%07d", row_number().over(wr))),
-      state.generation)
+    import graft.operators.DenseIds
+    val cpds = DenseIds.withDenseRank(state.compounds,
+        Seq(col("Generation"), col("_id")))
+      .withColumn("ID", format_string("pkc%07d", col("__rank")))
+      .drop("__rank")
+    val rxns = DenseIds.withDenseRank(state.reactions, Seq(col("_id")))
+      .withColumn("ID", format_string("pkr%07d", col("__rank")))
+      .drop("__rank")
+    NetworkState(cpds, rxns, state.generation)
   }
 
   /** TSV export (pickaxe.py:1104-1163): deterministic order by ID. */

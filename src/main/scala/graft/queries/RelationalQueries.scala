@@ -364,17 +364,22 @@ object RelationalQueries extends QueryPack {
     GraftQuery(
       "q_win_assign_ids", Seq("W1"),
       (s, dir) => {
-        val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
-        t(s, dir, "supplier")
-          .withColumn("pk_id",
-            format_string("pks%07d", row_number().over(w)))
+        // distributed dense ids (DenseIds two-pass rank): NO
+        // `row_number() over (order by ...)` global window — that plan
+        // funnels the whole table through one task; the two-pass form
+        // range-partitions on the order and adds per-partition offsets
+        graft.operators.DenseIds.withDenseRank(
+            t(s, dir, "supplier"),
+            Seq(col("s_acctbal").desc, col("s_suppkey").asc))
+          .withColumn("pk_id", format_string("pks%07d", col("__rank")))
           .select("pk_id", "s_suppkey")
           .orderBy("pk_id")
       },
       Some("""SELECT printf('pks%07d', CAST(row_number() OVER
           (ORDER BY s_acctbal DESC, s_suppkey) AS INT)) AS pk_id, s_suppkey
         FROM supplier ORDER BY 1"""),
-      "assign_ids (pickaxe.py:1046-1102): dense export ids via row_number."),
+      "assign_ids (pickaxe.py:1046-1102): dense export ids via the " +
+        "distributed two-pass rank — no single-task global window."),
 
     GraftQuery(
       "q_win_lag", Seq("W8"),

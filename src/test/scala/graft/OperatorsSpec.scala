@@ -566,6 +566,36 @@ class OperatorsSpec extends SparkSuite {
     assert(boom.getMessage.contains("cum_before"))
   }
 
+  test("withDenseRank matches the global row_number window on a " +
+    "composite desc/asc order, dense 1..n at any partitioning") {
+    val df = (1 to 500)
+      .map(i => (i.toLong, (i * 37 % 100).toLong, s"k$i"))
+      .toDF("id", "score", "key")
+    val order = Seq(col("score").desc, col("key").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("key").asc)
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk").as[(Long, Long)].collect().toSet
+    for (p <- Seq(0, 3, 64)) {
+      val got = DenseIds.withDenseRank(df, order, numPartitions = p)
+        .select(col("id"), col("__rank")).as[(Long, Long)]
+        .collect().toSet
+      assert(got === want, s"numPartitions=$p")
+    }
+    // dense: exactly 1..n
+    val ranks = DenseIds.withDenseRank(df, Seq(col("id")))
+      .select("__rank").as[Long].collect().sorted.toSeq
+    assert(ranks === (1L to 500L))
+    // empty input stays empty, collision on outCol fails loudly
+    assert(DenseIds.withDenseRank(df.limit(0), Seq(col("id")))
+      .count() === 0L)
+    val boom = intercept[IllegalArgumentException] {
+      DenseIds.withDenseRank(df.withColumn("__rank", lit(1L)),
+        Seq(col("id")))
+    }
+    assert(boom.getMessage.contains("__rank"))
+  }
+
   test("product quantizer: codes bounded by the codebook, sampled " +
     "members self-encode at distance 0, ADC is exact on codebook hits") {
     // 16-dim vectors, m=4 subspaces x 4 dims, k=4 codebook entries
