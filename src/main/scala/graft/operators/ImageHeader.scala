@@ -1,0 +1,104 @@
+package graft.operators
+
+/** Pure-JVM image header parsing: container format + pixel dimensions
+  * from the first bytes of a blob, no codec libraries. This makes the
+  * multimodal `width`/`height` feature columns REAL for the formats a
+  * training-data pipeline actually meets (PNG, JPEG, GIF, BMP) while
+  * the pixel decode itself stays stubbed (no codecs in this
+  * container — builder brief). Header layouts are from the public
+  * specs: PNG (RFC 2083 §4.1.1 IHDR), JPEG (ITU T.81 SOFn segment),
+  * GIF (GIF89a §17 logical screen descriptor), BMP (BITMAPINFOHEADER).
+  *
+  * Reference analog: the reference has no media path at all; this is
+  * part of the pipeline surface the survey adds beyond it.
+  */
+object ImageHeader {
+
+  /** Parsed header: container format and pixel dimensions. */
+  final case class Info(format: String, width: Int, height: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (u8(b, i + 3) << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse the header, or None when no supported signature matches or
+    * the header is truncated/corrupt. Never throws on arbitrary bytes.
+    */
+  def parse(bytes: Array[Byte]): Option[Info] =
+    if (bytes == null) None
+    else png(bytes).orElse(gif(bytes)).orElse(bmp(bytes)).orElse(jpeg(bytes))
+
+  /** PNG: 8-byte signature, then the IHDR chunk (always first, RFC 2083
+    * §4.1.1): length(4) "IHDR"(4) width(4 BE) height(4 BE).
+    */
+  private def png(b: Array[Byte]): Option[Info] = {
+    if (b.length < 24 || !b.startsWith(PngSig)) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+      return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    // spec: 4-byte unsigned, zero is invalid
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(Info("png", w.toInt, h.toInt))
+  }
+
+  /** GIF87a/GIF89a: 6-byte signature, then the logical screen
+    * descriptor: width(2 LE) height(2 LE).
+    */
+  private def gif(b: Array[Byte]): Option[Info] = {
+    if (b.length < 10) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w < 1 || h < 1) None else Some(Info("gif", w, h))
+  }
+
+  /** BMP: "BM", BITMAPINFOHEADER at offset 14: size(4) width(4 LE
+    * signed) height(4 LE signed — negative means top-down rows; the
+    * pixel extent is |height|).
+    */
+  private def bmp(b: Array[Byte]): Option[Info] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    if (w < 1 || h < 1) None else Some(Info("bmp", w, h))
+  }
+
+  /** JPEG: FF D8, then a marker-segment walk to the first SOFn frame
+    * header (ITU T.81 B.2.2): FF Cn len(2 BE) precision(1)
+    * height(2 BE) width(2 BE). C4/C8/CC are not frame markers (DHT /
+    * JPG-extension / DAC); standalone markers (D0-D9, 01) carry no
+    * length field.
+    */
+  private def jpeg(b: Array[Byte]): Option[Info] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced: not a marker
+      var m = u8(b, i + 1)
+      // fill bytes: FF may be repeated before the marker code
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (i + 8 >= b.length) return None
+        val h = be16(b, i + 5)
+        val w = be16(b, i + 7)
+        return if (w < 1 || h < 1) None else Some(Info("jpeg", w, h))
+      } else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) {
+        i += 2 // standalone marker, no payload
+      } else {
+        val len = be16(b, i + 2)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+}

@@ -16,28 +16,39 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Feature row the stub "decoder" emits per media blob. */
+  /** Feature row the "decoder" emits per media blob. `format`, `width`
+    * and `height` are REAL header parses for PNG/JPEG/GIF/BMP (see
+    * [[ImageHeader]] — pure-JVM, no codecs); unrecognized bytes get
+    * format "unknown" and deterministic stub dimensions. The pixel
+    * decode itself stays stubbed (`sig` is an md5-derived stand-in for
+    * a feature vector).
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_chunks", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("sig", StringType, nullable = false)))
 
-  /** Deterministic fake decode: "header parse" from the first bytes.
-    * A real implementation would decode image dimensions / audio frames;
-    * the signature-hash and chunk math are representative of the shape.
+  /** Header decode: real container format + dimensions when a PNG /
+    * JPEG / GIF / BMP signature matches; deterministic stub math on
+    * the first bytes otherwise (a codec-backed pixel decoder would
+    * drop in here — absent from this container by brief).
     */
   def decodeStub(bytes: Array[Byte], chunkSize: Int): Row = {
     val n = bytes.length.toLong
     val nChunks = ((n + chunkSize - 1) / chunkSize).toInt
-    // pretend the first 4 bytes encode dimensions
-    def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
-    val width = 1 + (b(0) << 8 | b(1)) % 1024
-    val height = 1 + (b(2) << 8 | b(3)) % 1024
+    val (fmt, width, height) = ImageHeader.parse(bytes) match {
+      case Some(info) => (info.format, info.width, info.height)
+      case None =>
+        // pretend the first 4 bytes encode dimensions
+        def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+        ("unknown", 1 + (b(0) << 8 | b(1)) % 1024, 1 + (b(2) << 8 | b(3)) % 1024)
+    }
     val sig = graft.chem.Chem.hex(
       java.security.MessageDigest.getInstance("MD5").digest(bytes).take(4))
-    Row(n, nChunks, width, height, sig)
+    Row(n, nChunks, fmt, width, height, sig)
   }
 
   /** Attach stub-decoded features to a DataFrame's binary column via

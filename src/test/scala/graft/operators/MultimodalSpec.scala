@@ -27,6 +27,50 @@ class MultimodalSpec extends SparkSuite {
     assert(again === out.select("sig").as[String].collect().sorted)
   }
 
+  test("ImageHeader parses real PNG/GIF/BMP/JPEG dimensions and " +
+    "withDecodedFeatures surfaces them; garbage stays 'unknown'") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG 640x480: 8-byte signature, IHDR length+tag, BE dims
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0)
+    assert(ImageHeader.parse(png) === Some(ImageHeader.Info("png", 640, 480)))
+    // GIF89a 800x600: LE u16 dims in the logical screen descriptor
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      bytes(0x20, 0x03, 0x58, 0x02, 0xf7, 0, 0)
+    assert(ImageHeader.parse(gif) === Some(ImageHeader.Info("gif", 800, 600)))
+    // BMP 17 x -9 (top-down): |height| is the pixel extent
+    val bmp = bytes('B', 'M') ++ Array.fill[Byte](12)(0) ++
+      bytes(40, 0, 0, 0, 17, 0, 0, 0, 0xf7, 0xff, 0xff, 0xff)
+    assert(ImageHeader.parse(bmp) === Some(ImageHeader.Info("bmp", 17, 9)))
+    // JPEG 512x256: SOI, APP0 (skipped by the marker walk), SOF0
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x00, 0x02, 0x00, 3)
+    assert(ImageHeader.parse(jpeg) ===
+      Some(ImageHeader.Info("jpeg", 512, 256)))
+    // truncated PNG header and plain text -> no parse
+    assert(ImageHeader.parse(png.take(20)) === None)
+    assert(ImageHeader.parse("hello world".getBytes) === None)
+    assert(ImageHeader.parse(null) === None)
+    // surfaced through the DataFrame plumbing
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("p", png),
+        org.apache.spark.sql.Row("t", "plain".getBytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = Multimodal.withDecodedFeatures(df, "media", 256)
+      .select("id", "format", "width", "height")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out("p") === (("png", 640, 480)))
+    assert(out("t")._1 === "unknown")
+  }
+
   test("frameSample emits every stride-th byte frame, tail included, " +
     "none for empty media") {
     // 10 bytes at frameSize=3 -> frames 0..3 ('012','345','678','9');
