@@ -58,7 +58,7 @@ class PlanAuditSpec extends SparkSuite {
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
-    "q_pickaxe_thermo", "q_pickaxe_prune",
+    "q_pickaxe_thermo", "q_pickaxe_prune", "q_pickaxe_simgate",
     // 1-row total-count broadcast for the cross-multiplied threshold
     "q_agg_heavyhitters",
     // 1-row max-day broadcast anchoring the decay reference
