@@ -31,7 +31,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
     var varianceFlagged = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just
+    // those queries (never used by the driver, which runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -90,8 +98,9 @@ object Bench {
     // — per-sf lines are not comparable); any explicit
     // SPARK_GRAFT_BENCH_FULL path is honored as given.
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
-      .orElse(if (sfDir.endsWith("sf0.1")) Some("BENCH_FULL.json")
-        else None)
+      .orElse(if (sfDir.endsWith("sf0.1") && only.isEmpty)
+        Some("BENCH_FULL.json")
+      else None) // a name-filtered run must never clobber the baseline
     fullPath match {
       case Some(p) =>
         try java.nio.file.Files.writeString(

@@ -55,13 +55,18 @@ object ConnectedComponents {
     // identifiable node at all. Dropping both makes the local and
     // distributed paths agree exactly; callers wanting null-keyed rows
     // back join the output with "left" (see q_dedup_survivors).
-    val m = membership.select(nodeCol, groupCol)
+    // raw (pre-distinct) rows are cached and counted for the size gate:
+    // union-find absorbs duplicate membership rows natively, so the
+    // local path never pays a distinct shuffle; only the iterative path
+    // dedups (below), where repeated rows would inflate every join.
+    val m0 = membership.select(nodeCol, groupCol)
       .where(col(nodeCol).isNotNull && col(groupCol).isNotNull)
-      .distinct().persist()
+      .persist()
     try {
-      val nRows = m.count() // also materializes the persist
+      val nRows = m0.count() // also materializes the persist
       if (nRows <= localMembershipThreshold)
-        return localComponents(m, nodeCol, groupCol)
+        return localComponents(m0, nodeCol, groupCol)
+      val m = m0.distinct()
       var lab = m.select(nodeCol).distinct()
         .withColumn("component", col(nodeCol))
         .localCheckpoint()
@@ -88,7 +93,7 @@ object ConnectedComponents {
           "fixpoint — labels would split real components; raise maxIter " +
           "(rounds needed = the membership graph's node-group diameter)")
       lab
-    } finally m.unpersist()
+    } finally m0.unpersist()
   }
 
   /** Driver-side union-find for the small-input gate: identical

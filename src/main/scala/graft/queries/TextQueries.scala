@@ -104,11 +104,14 @@ object TextQueries extends QueryPack {
     */
   private def dedupMembershipOf(base0: DataFrame): DataFrame = {
     val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+    // no checkpoint here: every consumer (ConnectedComponents.byGroup,
+    // the survivors join) persists or single-passes the membership, so
+    // an eager materialization of the signature arrays would only add
+    // a full extra pass over the corpus
     val base = base0
       .withColumn("r", shSig(col("text")))
       .where(expr("size(r._1) >= 1"))
       .select(col("doc_id"), col("r._2").as("sig"))
-      .localCheckpoint()
     base.select(col("doc_id"), col("sig"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("gkey", concat_ws(":", col("b"),
