@@ -399,6 +399,33 @@ final case class ThermoFilter(
   }
 }
 
+object ThermoFilter {
+
+  /** Component-contribution mode (thermodynamics.py:146-159 with the
+    * dg_prime(p_h, ionic_strength, p_mg) path): per-molecule
+    * Legendre-transformed group-contribution formation energies, so the
+    * reaction energy is Σν·∆G′f(products) − Σν·∆G′f(reactants).
+    * `Thermo.deltaG` sums the pluggable model reactants-minus-products
+    * (the bond-ENERGY sign convention), so the formation model is
+    * passed negated — the two flips compose to the formation-energy
+    * convention.
+    */
+  def componentContribution(
+      dgMax: Double = 0.0,
+      pH: Double = 7.0,
+      ionicStrength: Double = 0.25,
+      pMg: Double = 14.0,
+      generationList: Seq[Int] = Nil,
+      lastGenerationOnly: Boolean = false,
+      totalGenerations: Int = Int.MaxValue): ThermoFilter = {
+    val f = graft.chem.Thermodynamics
+      .transformedFormation(pH, ionicStrength, pMg)
+    ThermoFilter(dgMax, pH, ionicStrength, pMg,
+      physiological = false, generationList, lastGenerationOnly,
+      totalGenerations, model = m => -f(m))
+  }
+}
+
 /** Reaction-feasibility filter (filters/feasibility.py:102-240): a
   * pluggable per-reaction feasibility scorer gates reactions at the
   * reference's 0.32 threshold (feasibility.py:144); infeasible reactions

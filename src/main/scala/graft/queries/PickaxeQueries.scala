@@ -454,5 +454,128 @@ object PickaxeQueries extends QueryPack {
           UNION ALL SELECT 'permissive', 49::BIGINT, 31::BIGINT"""),
       "Thermodynamic gate over the expansion: reactions with dG above " +
         "the cutoff are deleted and orphaned products cascade away."),
+
+    GraftQuery(
+      "q_thermo_legendre", Seq("A12"),
+      (s, _) => {
+        import s.implicits._
+        // Alberty Legendre transform over a (species x pH x I) grid —
+        // the arithmetic behind the reference's dg_prime_from_rid
+        // (thermodynamics.py:300-360), dual-computed: Spark evaluates
+        // Thermodynamics.legendreCol, the oracle re-derives the SAME
+        // published formula (RT·ln10 pH term + extended Debye–Hückel)
+        // from first principles in SQL. Literal rows, join-free plan.
+        val rows = for {
+          (name, sps) <- graft.chem.Thermodynamics.speciesTable.toSeq
+            .sortBy(_._1)
+          (sp, idx) <- sps.zipWithIndex
+          ph <- Seq(5.0, 6.0, 7.0, 8.0, 9.0)
+          i <- Seq(0.0, 0.1, 0.25)
+        } yield (name, idx, sp.dGf0, sp.nH.toDouble, sp.charge.toDouble,
+          sp.nMg.toDouble, ph, i)
+        rows.toDF("compound", "ms", "dgf0", "nh", "z", "nmg", "ph", "ionic")
+          .withColumn("dgf_prime",
+            round(graft.chem.Thermodynamics.legendreCol(
+              col("dgf0"), col("nh"), col("z"), col("nmg"),
+              col("ph"), col("ionic"), lit(14.0)), 6))
+          .select("compound", "ms", "ph", "ionic", "dgf_prime")
+          .orderBy("compound", "ms", "ph", "ionic")
+      },
+      Some("""
+        WITH sp(compound, ms, dgf0, nh, z, nmg) AS (VALUES
+          ('adp', 0, -1906.13, 12.0, -3.0, 0.0),
+          ('adp', 1, -1947.10, 13.0, -2.0, 0.0),
+          ('atp', 0, -2768.10, 12.0, -4.0, 0.0),
+          ('atp', 1, -2811.48, 13.0, -3.0, 0.0),
+          ('pi', 0, -1096.10, 1.0, -2.0, 0.0),
+          ('pi', 1, -1137.30, 2.0, -1.0, 0.0),
+          ('water', 0, -237.19, 2.0, 0.0, 0.0)),
+        ph(ph) AS (VALUES (5.0), (6.0), (7.0), (8.0), (9.0)),
+        ionic(ionic) AS (VALUES (0.0), (0.1), (0.25)),
+        c AS (SELECT 8.314462618e-3 * 298.15 * ln(10) AS rtln10,
+          9.20483e-3 * 298.15 - 1.284668e-5 * 298.15 * 298.15
+            + 4.95199e-8 * 298.15 * 298.15 * 298.15 AS alpha)
+        SELECT compound, ms, ph, ionic,
+          round(dgf0 + nh * rtln10 * ph
+              + nmg * (rtln10 * 14.0 - (-455.3))
+              - alpha * sqrt(ionic) / (1 + 1.6 * sqrt(ionic))
+                * (z * z - nh - 4 * nmg), 6) AS dgf_prime
+        FROM sp, ph, ionic, c"""),
+      "Transformed formation energies dG'f(pH, I) for the Alberty " +
+        "species table: the pH term and extended Debye-Huckel ionic " +
+        "correction, Spark column arithmetic vs the same published " +
+        "formula re-derived in SQL."),
+
+    GraftQuery(
+      "q_thermo_atp", Seq("A12"),
+      (s, _) => {
+        import s.implicits._
+        val th = graft.chem.Thermodynamics
+        // ATP + H2O -> ADP + Pi with pseudoisomer (protonation-state)
+        // group averaging -RT·ln Σ exp(-G'/RT) — reproduces Alberty's
+        // published -36.04 kJ/mol at pH 7, I = 0.25 M (Mg-free). The
+        // log-sum-exp is min-stabilized identically on both sides.
+        val rows = for {
+          (name, sps) <- th.speciesTable.toSeq.sortBy(_._1)
+          sp <- sps
+          ph <- Seq(5.0, 6.0, 7.0, 8.0, 9.0)
+          i <- Seq(0.0, 0.25)
+        } yield (name, sp.dGf0, sp.nH.toDouble, sp.charge.toDouble,
+          sp.nMg.toDouble, ph, i)
+        rows.toDF("compound", "dgf0", "nh", "z", "nmg", "ph", "ionic")
+          .withColumn("gf", th.legendreCol(
+            col("dgf0"), col("nh"), col("z"), col("nmg"),
+            col("ph"), col("ionic"), lit(14.0)))
+          .groupBy("compound", "ph", "ionic")
+          .agg(min("gf").as("mn"), collect_list("gf").as("gs"))
+          .withColumn("gfp", col("mn") - lit(th.rt()) * log(expr(
+            s"aggregate(gs, 0.0D, (acc, g) -> acc + exp((mn - g) / ${th.rt()}))")))
+          .groupBy("ph", "ionic")
+          .agg(
+            max(when(col("compound") === "atp", col("gfp"))).as("g_atp"),
+            max(when(col("compound") === "adp", col("gfp"))).as("g_adp"),
+            max(when(col("compound") === "pi", col("gfp"))).as("g_pi"),
+            max(when(col("compound") === "water", col("gfp"))).as("g_water"))
+          .withColumn("dgr_prime", round(
+            col("g_adp") + col("g_pi") - col("g_atp") - col("g_water"), 6))
+          .select("ph", "ionic", "dgr_prime")
+          .orderBy("ph", "ionic")
+      },
+      Some("""
+        WITH sp(compound, dgf0, nh, z, nmg) AS (VALUES
+          ('adp', -1906.13, 12.0, -3.0, 0.0),
+          ('adp', -1947.10, 13.0, -2.0, 0.0),
+          ('atp', -2768.10, 12.0, -4.0, 0.0),
+          ('atp', -2811.48, 13.0, -3.0, 0.0),
+          ('pi', -1096.10, 1.0, -2.0, 0.0),
+          ('pi', -1137.30, 2.0, -1.0, 0.0),
+          ('water', -237.19, 2.0, 0.0, 0.0)),
+        ph(ph) AS (VALUES (5.0), (6.0), (7.0), (8.0), (9.0)),
+        ionic(ionic) AS (VALUES (0.0), (0.25)),
+        c AS (SELECT 8.314462618e-3 * 298.15 AS rt,
+          8.314462618e-3 * 298.15 * ln(10) AS rtln10,
+          9.20483e-3 * 298.15 - 1.284668e-5 * 298.15 * 298.15
+            + 4.95199e-8 * 298.15 * 298.15 * 298.15 AS alpha),
+        g AS (SELECT compound, ph, ionic,
+            dgf0 + nh * rtln10 * ph + nmg * (rtln10 * 14.0 - (-455.3))
+              - alpha * sqrt(ionic) / (1 + 1.6 * sqrt(ionic))
+                * (z * z - nh - 4 * nmg) AS gf
+          FROM sp, ph, ionic, c),
+        gm AS (SELECT compound, ph, ionic, gf,
+            min(gf) OVER (PARTITION BY compound, ph, ionic) AS mn
+          FROM g),
+        iso AS (SELECT compound, ph, ionic,
+            min(mn) - (SELECT rt FROM c)
+              * ln(sum(exp((mn - gf) / (SELECT rt FROM c)))) AS gfp
+          FROM gm GROUP BY compound, ph, ionic)
+        SELECT ph, ionic, round(
+            max(CASE WHEN compound = 'adp' THEN gfp END)
+            + max(CASE WHEN compound = 'pi' THEN gfp END)
+            - max(CASE WHEN compound = 'atp' THEN gfp END)
+            - max(CASE WHEN compound = 'water' THEN gfp END), 6) AS dgr_prime
+        FROM iso GROUP BY ph, ionic"""),
+      "Pseudoisomer-averaged dG' of ATP hydrolysis across a pH x I " +
+        "grid (Alberty -36.04 kJ/mol at pH 7, I = 0.25): isomer-group " +
+        "log-sum-exp plus the Legendre transform, dual-computed."),
   )
 }
