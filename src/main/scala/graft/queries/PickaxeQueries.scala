@@ -577,5 +577,38 @@ object PickaxeQueries extends QueryPack {
       "Pseudoisomer-averaged dG' of ATP hydrolysis across a pH x I " +
         "grid (Alberty -36.04 kJ/mol at pH 7, I = 0.25): isomer-group " +
         "log-sum-exp plus the Legendre transform, dual-computed."),
+
+    GraftQuery(
+      "q_pickaxe_dbstats", Seq("A8", "P5", "P12", "P13"),
+      (s, _) => {
+        // db_plots.py make_box_plots data prep over the 31/49 fixture
+        // network: exact five-number summaries of Mass / logP /
+        // NP_likeness per compound Type, coreactants excluded. One
+        // unpivot + one aggregate — no raw compound rows leave the
+        // executors (the script's Mongo-cursor→pandas path does).
+        val st = engine(s).run(Seq(fadh), generations = 2)
+        DbStats.propertyBox(st.compounds)
+          .orderBy("Type", "prop")
+      },
+      // pinned: the 28 predicted isomer products cluster at the
+      // phosphorylated masses; the lone starting compound is FADH
+      Some("""
+        SELECT * FROM (VALUES
+          ('Predicted', 'Mass', 28::BIGINT,
+            867.1391, 927.1139, 947.1054, 947.1054, 947.1054),
+          ('Predicted', 'NP_likeness', 28::BIGINT,
+            -0.9077, -0.8650, -0.8331, -0.7752, -0.6370),
+          ('Predicted', 'logP', 28::BIGINT,
+            -11.0600, -11.0600, -11.0600, -10.6650, -9.4800),
+          ('Starting Compound', 'Mass', 1::BIGINT,
+            787.1728, 787.1728, 787.1728, 787.1728, 787.1728),
+          ('Starting Compound', 'NP_likeness', 1::BIGINT,
+            -0.8088, -0.8088, -0.8088, -0.8088, -0.8088),
+          ('Starting Compound', 'logP', 1::BIGINT,
+            -7.9000, -7.9000, -7.9000, -7.9000, -7.9000))
+          AS t("Type", prop, n, "min", q1, median, q3, "max")"""),
+      "Property-distribution statistics (db_plots.py box/violin data): " +
+        "per-Type exact quartiles of Mass, logP and NP-likeness over " +
+        "the expansion network."),
   )
 }
