@@ -2417,5 +2417,101 @@ object TextQueries extends QueryPack {
         "patterns, exact counter sums and a normalized-bytes " +
         "fingerprint — engine parity of the bytes every dedup key " +
         "hashes."),
+
+    GraftQuery(
+      "q_text_kneser_ney", Seq("A8", "J11", "W3"),
+      (s, dir) => {
+        // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+        // smoothing KenLM implements and CCNet scores with), trained
+        // on the corpus itself like q_text_perplexity's add-one
+        // baseline but with the real estimator:
+        //   P(w2|w1) = (c(w1w2) − D)/c(w1)
+        //            + D·N1+(w1,·)/c(w1) · N1+(·,w2)/B
+        // with discount D = 0.75, N1+(w1,·) the distinct continuation
+        // types after w1, N1+(·,w2) the distinct left contexts of w2
+        // (the "how many contexts has this word completed" continuation
+        // probability that distinguishes KN from count smoothing), and
+        // B the total distinct bigram types. Self-trained, so every
+        // scored bigram has c ≥ 1 and the discounted mass is positive.
+        //
+        // Scale shape: the count tables are three hash-partitioned
+        // groupBys over the exploded bigram stream (the type counts
+        // N1+ reduce the ALREADY-distinct bigram relation, never the
+        // token stream twice); scoring is equi-joins on w1 / w2 / bg
+        // with the left-context stats pre-merged so each key family
+        // joins once, plus ONE 1-row broadcast (B). Per-bigram scores
+        // are 1e-4-scaled integers before the order-independent
+        // per-doc sum (the cross-engine exactness convention).
+        val base = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(size(col("t")) >= 2)
+          .select("doc_id", "lang", "t")
+          .localCheckpoint() // feeds model counts AND scoring
+        val big = base.select(col("doc_id"),
+          explode(TextOps.wordShingles("t", 2)).as("bg"))
+        val bgc = big.groupBy("bg").agg(count(lit(1)).as("cbg"))
+          .withColumn("w1", expr("split(bg, ' ')[0]"))
+          .withColumn("w2", expr("split(bg, ' ')[1]"))
+          .localCheckpoint() // bigram types feed three consumers
+        val cw = base.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val n1f = bgc.groupBy("w1").agg(count(lit(1)).as("n1f"))
+        val n1p = bgc.groupBy("w2").agg(count(lit(1)).as("n1p"))
+        val bb = bgc.agg(count(lit(1)).as("bb"))
+        val left = cw.join(n1f, col("w") === col("w1")).drop("w1")
+        val scored = big
+          .join(bgc.select("bg", "cbg", "w1", "w2"), Seq("bg"))
+          .join(left, col("w1") === col("w"))
+          .join(n1p, Seq("w2"))
+          .crossJoin(broadcast(bb))
+          .withColumn("s", expr(
+            "cast(round(-ln((cast(cbg as double) - 0.75) " +
+              "/ cast(cw as double) " +
+              "+ 0.75 * cast(n1f as double) / cast(cw as double) " +
+              "* (cast(n1p as double) / cast(bb as double))) " +
+              "* 10000) as bigint)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_big"), sum("s").as("ss"))
+        base.select("doc_id", "lang").join(scored, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_big"),
+            (col("ss") / (col("n_big") * lit(10000.0))).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $duckToks AS t
+            FROM documents),
+          dd AS (SELECT doc_id, lang, t FROM d WHERE len(t) >= 2),
+          bge AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM dd),
+          bgc AS (SELECT bg, count(*)::BIGINT AS cbg,
+              split_part(bg, ' ', 1) AS w1,
+              split_part(bg, ' ', 2) AS w2
+            FROM bge GROUP BY 1),
+          cw AS (SELECT w, count(*)::BIGINT AS cw FROM
+            (SELECT unnest(t) AS w FROM dd) GROUP BY 1),
+          n1f AS (SELECT w1, count(*)::BIGINT AS n1f FROM bgc
+            GROUP BY 1),
+          n1p AS (SELECT w2, count(*)::BIGINT AS n1p FROM bgc
+            GROUP BY 1),
+          bb AS (SELECT count(*)::BIGINT AS bb FROM bgc),
+          sc AS (SELECT bge.doc_id, count(*)::BIGINT AS n_big,
+              sum(round(-ln((bgc.cbg::DOUBLE - 0.75) / cw.cw::DOUBLE
+                + 0.75 * n1f.n1f::DOUBLE / cw.cw::DOUBLE
+                * (n1p.n1p::DOUBLE / bb.bb::DOUBLE))
+                * 10000)::BIGINT)::BIGINT AS ss
+            FROM bge JOIN bgc USING (bg)
+              JOIN cw ON cw.w = bgc.w1
+              JOIN n1f ON n1f.w1 = bgc.w1
+              JOIN n1p ON n1p.w2 = bgc.w2, bb
+            GROUP BY 1)
+        SELECT dd.doc_id, dd.lang, sc.n_big,
+          sc.ss / (sc.n_big * 10000.0) AS nll
+        FROM dd JOIN sc USING (doc_id)
+        ORDER BY dd.doc_id"""),
+      "Interpolated Kneser-Ney bigram perplexity (the KenLM/CCNet " +
+        "estimator): discounted bigram mass plus continuation-type " +
+        "backoff, all count tables from hash-partitioned n-gram jobs, " +
+        "1e-4-integer score scaling for cross-engine exactness."),
   )
 }
