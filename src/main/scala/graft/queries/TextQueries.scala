@@ -2513,5 +2513,60 @@ object TextQueries extends QueryPack {
         "estimator): discounted bigram mass plus continuation-type " +
         "backoff, all count tables from hash-partitioned n-gram jobs, " +
         "1e-4-integer score scaling for cross-engine exactness."),
+
+    GraftQuery(
+      "q_text_chunk", Seq("A8", "D9"),
+      (s, dir) => {
+        // Sliding-window chunking — the RAG-index / context-window
+        // prep step: split each document's token stream into windows
+        // of W = 64 tokens with o = 16 tokens of overlap (stride
+        // W − o = 48). Window starts are 0, 48, 96, …; a trailing
+        // window whose content is FULLY contained in its predecessor
+        // (n − s ≤ o) is dropped — boundary-token coverage without
+        // duplicate chunks. Per-token-array arithmetic only
+        // (sequence + slice higher-order functions, codegen'd): zero
+        // shuffles before the per-doc regroup, embarrassingly
+        // parallel at 100 TB. The chunk fingerprint is the standard
+        // md5-derived hash64 mod 1e9+7 so both engines pin the exact
+        // chunk BYTES, order-independently.
+        val W = 64; val o = 16; val step = W - o
+        docs(s, dir)
+          .select(col("doc_id"), expr(sparkToks).as("t"))
+          .withColumn("n", size(col("t")))
+          .where(col("n") >= 1)
+          .withColumn("s", explode(expr(s"sequence(0, n - 1, $step)")))
+          .where(col("s") === 0 || (col("n") - col("s")) > o)
+          .withColumn("chunk", expr(s"slice(t, s + 1, $W)"))
+          .withColumn("ctext", concat_ws(" ", col("chunk")))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            max(col("n")).as("n_tokens"),
+            sum(size(col("chunk"))).as("sum_chunk_tokens"),
+            sum(expr(TextOps.hash64("ctext") + " % 1000000007"))
+              .as("chunks_fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS t
+            FROM documents),
+          e AS (SELECT doc_id, len(t) AS n, t,
+              unnest(range(0, len(t), 48)) AS s
+            FROM d WHERE len(t) >= 1),
+          k AS (SELECT doc_id, n, s,
+              t[s + 1 : s + 64] AS chunk
+            FROM e WHERE s = 0 OR (n - s) > 16),
+          c AS (SELECT doc_id, n, len(chunk) AS clen,
+              array_to_string(chunk, ' ') AS ctext
+            FROM k)
+        SELECT doc_id, count(*)::BIGINT AS n_chunks,
+          max(n)::BIGINT AS n_tokens,
+          sum(clen)::BIGINT AS sum_chunk_tokens,
+          sum(${dh("ctext")} % 1000000007)::BIGINT AS chunks_fp
+        FROM c GROUP BY 1 ORDER BY 1"""),
+      "Sliding-window token chunking (W=64, overlap 16) with " +
+        "contained-trailing-window suppression: per-doc chunk counts, " +
+        "overlap-inflated token totals, and an exact chunk-bytes " +
+        "fingerprint — all per-row array arithmetic, shuffle-free " +
+        "until the final regroup."),
   )
 }
