@@ -2410,5 +2410,65 @@ object SimilarityQueries extends QueryPack {
         "centroid assignment, frozen byte grid, one cell equi-join " +
         "against the (bucketable) coded table — the library API " +
         "itself behind the gate."),
+
+    GraftQuery(
+      "q_sim_hardneg", Seq("A10", "J11", "W4"),
+      (s, dir) => {
+        // Hard-negative mining for contrastive/embedding training:
+        // per query, the top-3 MOST-similar vectors whose label
+        // DIFFERS (the negatives that actually move the loss), plus
+        // the best same-label positive and the pos−neg margin — the
+        // audit that finds label noise (negative margins = a
+        // different-label vector outscoring every positive). Dots are
+        // exact BIGINTs on the shared quantized grid, so ranks, ties
+        // and margins are integer-exact in both engines.
+        //
+        // This gate scores the brute-force baseline shape (corpus x
+        // broadcast queries — the same AUDIT-ONLY discipline as the
+        // recall family); production mining swaps the scored relation
+        // for any shortlist family (IVF cells, PQ ADC, SQ8) since the
+        // label filter and margin join are downstream of scoring.
+        val e = quantized(s, dir)
+        val q = e.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+            col("label").as("qlabel"))
+        val scored = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", VectorOps.dot("qqe", "qe"))
+        val pos = scored.where(col("label") === col("qlabel"))
+          .groupBy("query_id").agg(max("dot").as("pos_dot"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("vec_id").asc)
+        scored.where(col("label") =!= col("qlabel"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .join(pos, Seq("query_id"))
+          .select(col("query_id"), col("rnk"),
+            col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            col("dot").as("neg_dot"), col("pos_dot"),
+            (col("pos_dot") - col("dot")).as("margin"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH $duckBase,
+          q AS (SELECT vec_id AS query_id, qe AS qqe, label AS qlabel
+                FROM n WHERE vec_id % 100 = 0),
+          d AS (SELECT query_id, qlabel, vec_id, label,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM n, q WHERE vec_id != query_id),
+          pos AS (SELECT query_id, max(dot) AS pos_dot FROM d
+                WHERE label = qlabel GROUP BY 1),
+          neg AS (SELECT query_id, vec_id, label, dot,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, vec_id) AS rnk
+                FROM d WHERE label != qlabel)
+        SELECT neg.query_id, neg.rnk, neg.vec_id AS neg_id,
+          neg.label AS neg_label, neg.dot AS neg_dot, pos.pos_dot,
+          pos.pos_dot - neg.dot AS margin
+        FROM neg JOIN pos USING (query_id)
+        WHERE neg.rnk <= 3 ORDER BY neg.query_id, neg.rnk"""),
+      "Hard-negative mining: per query the top-3 different-label " +
+        "neighbors by exact integer dot with the best-positive margin " +
+        "— label-aware contrastive-training prep over any scoring " +
+        "shortlist; gated on the brute-force baseline."),
   )
 }

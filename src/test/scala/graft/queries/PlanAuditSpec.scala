@@ -27,6 +27,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_sim_kmeans_stats",
     // A10 max-sim: all x broadcast(targets) — targets are a small dim
     "q_sim_maxsim_target",
+    // hard-negative mining gate: all x broadcast(queries) baseline
+    "q_sim_hardneg",
     // 1-row aggregate crossJoins (counts stitched side by side)
     "q_dedup_minhash_lsh", "q_graph_closure", "q_set_algebra",
     "q_orphans", "q_events_funnel",
