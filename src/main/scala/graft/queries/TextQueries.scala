@@ -2568,5 +2568,66 @@ object TextQueries extends QueryPack {
         "overlap-inflated token totals, and an exact chunk-bytes " +
         "fingerprint — all per-row array arithmetic, shuffle-free " +
         "until the final regroup."),
+
+    GraftQuery(
+      "q_text_novelty", Seq("A8", "J7", "D1"),
+      (s, dir) => {
+        // N-gram novelty scoring — the memorization/overlap metric
+        // (e.g. the "novel n-grams" analyses of memorization papers):
+        // fraction of a document's DISTINCT word trigrams that never
+        // occur in a reference corpus (here the src0 split — the
+        // pretraining-set stand-in; scored docs are every other
+        // source). Low novelty = the doc largely restates reference
+        // content (dedup/decontamination candidate); high = genuinely
+        // new text.
+        //
+        // Scale shape: doc-level trigram TYPES (one distinct over the
+        // exploded shingle stream), the reference side reduced to its
+        // type set (corpus-sized relation, NOT a broadcast), one
+        // shuffle equi-join on the trigram key, one per-doc regroup.
+        // No doc x doc pairs anywhere — novelty is per-doc against
+        // the corpus, so it stays linear in total shingle volume.
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens("text").as("t"))
+          .where(size(col("t")) >= 3)
+        val tri = base
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.wordShingles("t", 3)).as("g"))
+          .distinct()
+        val ref = tri.where(col("source") === "src0")
+          .select("g").distinct()
+          .withColumn("seen", lit(1))
+        tri.where(col("source") =!= "src0")
+          .join(ref, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_types"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel") / col("n_types"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, $duckToks AS t
+            FROM documents),
+          dd AS (SELECT doc_id, source, t FROM d WHERE len(t) >= 3),
+          tri AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM dd),
+          ref AS (SELECT DISTINCT g FROM tri WHERE source = 'src0')
+        SELECT tri.doc_id, count(*)::BIGINT AS n_types,
+          sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_novel,
+          round(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)
+            / count(*)::DOUBLE, 6) AS novelty
+        FROM tri LEFT JOIN ref ON tri.g = ref.g
+        WHERE tri.source != 'src0'
+        GROUP BY 1 ORDER BY 1"""),
+      "Trigram novelty vs a reference split: per-doc fraction of " +
+        "distinct word trigrams absent from the src0 corpus — the " +
+        "memorization/decontamination overlap metric as one type-set " +
+        "equi-join, linear in shingle volume."),
   )
 }

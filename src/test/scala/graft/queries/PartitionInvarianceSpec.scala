@@ -29,7 +29,13 @@ class PartitionInvarianceSpec extends SparkSuite {
     // this round's wave: IVM's terminal avg division, RFM's monetary
     // rollup, the histogram's per-bin extents, SQ8 recall's /3
     "q_agg_incremental", "q_events_rfm", "q_agg_histogram",
-    "q_sim_recall_sq8")
+    "q_sim_recall_sq8",
+    // round-12 wave: the Legendre-transform grids (pure double
+    // arithmetic over literal rows — invariance pins the log-sum-exp
+    // grouping too), KN's 1e-4-integer score sums with a terminal
+    // division, novelty's type-count ratio
+    "q_thermo_legendre", "q_thermo_atp", "q_text_kneser_ney",
+    "q_text_novelty")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
