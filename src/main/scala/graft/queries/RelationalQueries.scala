@@ -2737,6 +2737,146 @@ object RelationalQueries extends QueryPack {
       "Composed entity resolution: token blocking, candidate-only " +
         "Levenshtein, membership-shaped connected components, " +
         "canonical min-name clusters — cluster-size histogram with " +
-        "an exact member fingerprint, oracle via recursive CTE.")
+        "an exact member fingerprint, oracle via recursive CTE."),
+
+    GraftQuery(
+      "q_graph_lpa", Seq("A13", "D4", "A8"),
+      (s, dir) => {
+        // Synchronous min-label propagation, 3 rounds, over the part
+        // co-purchase graph (same edge family as q_graph_pagerank).
+        // This is the bounded-round community pass used at web scale
+        // where full convergence (q_graph_closure's fixpoint) is too
+        // expensive: label'(v) = min(label(v), min_{u~v} label(u)),
+        // all integer, so every round is bit-reproducible and the
+        // oracle replays the identical 3 unrolled rounds. Output is
+        // the community-size histogram plus an exact member
+        // fingerprint per size class — pinning the ASSIGNMENT, not
+        // just the counts.
+        //
+        // Scale shape: edges are order-bounded pairs (TPC-H orders
+        // hold <= 7 parts), symmetric by construction; each round is
+        // ONE shuffle — edges join labels on src (node-keyed), then a
+        // min-combine on dst with map-side partial aggregation. No
+        // iteration-count data dependence, no driver loop over
+        // collect(): 3 static rounds = 3 shuffles regardless of
+        // graph size. Labels stay (node, bigint) — the frontier
+        // never widens.
+        val li = t(s, dir, "lineitem")
+          .where(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.toDF("ok", "src")
+          .join(li.toDF("ok", "dst"), Seq("ok"))
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+          .localCheckpoint() // reused by all 3 rounds
+        val nodes = edges.select(col("src").as("node")).distinct()
+        val l0 = nodes.withColumn("lab", col("node"))
+        val lFinal = (1 to 3).foldLeft(l0) { (labs, _) =>
+          val nbrMin = edges
+            .join(labs.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(min("lab").as("nl"))
+          labs.join(nbrMin, Seq("node"), "left")
+            .withColumn("lab", least(col("lab"),
+              coalesce(col("nl"), col("lab"))))
+            .select("node", "lab")
+        }
+        val sizes = lFinal.groupBy("lab")
+          .agg(count(lit(1)).as("sz"),
+            sum(col("node") % 1000000007L).as("members_fp"))
+        sizes.groupBy("sz")
+          .agg(count(lit(1)).as("n_communities"),
+            sum("members_fp").as("fp"))
+          .orderBy("sz")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem WHERE l_orderkey % 11 = 0),
+          e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          l0 AS (SELECT node, node AS lab FROM nodes),
+          m1 AS (SELECT e.dst AS node, min(l0.lab) AS nl
+            FROM e JOIN l0 ON l0.node = e.src GROUP BY 1),
+          l1 AS (SELECT l0.node,
+              least(l0.lab, coalesce(m1.nl, l0.lab)) AS lab
+            FROM l0 LEFT JOIN m1 ON m1.node = l0.node),
+          m2 AS (SELECT e.dst AS node, min(l1.lab) AS nl
+            FROM e JOIN l1 ON l1.node = e.src GROUP BY 1),
+          l2 AS (SELECT l1.node,
+              least(l1.lab, coalesce(m2.nl, l1.lab)) AS lab
+            FROM l1 LEFT JOIN m2 ON m2.node = l1.node),
+          m3 AS (SELECT e.dst AS node, min(l2.lab) AS nl
+            FROM e JOIN l2 ON l2.node = e.src GROUP BY 1),
+          l3 AS (SELECT l2.node,
+              least(l2.lab, coalesce(m3.nl, l2.lab)) AS lab
+            FROM l2 LEFT JOIN m3 ON m3.node = l2.node),
+          sizes AS (SELECT lab, count(*)::BIGINT AS sz,
+              sum(node % 1000000007)::BIGINT AS members_fp
+            FROM l3 GROUP BY 1)
+        SELECT sz, count(*)::BIGINT AS n_communities,
+          sum(members_fp)::BIGINT AS fp
+        FROM sizes GROUP BY 1 ORDER BY 1"""),
+      "Bounded-round min-label propagation (3 synchronous rounds) " +
+        "over the part co-purchase graph: one node-keyed shuffle per " +
+        "round with map-side min-combine, integer labels throughout — " +
+        "community-size histogram with exact member fingerprints.")
+    ,
+
+    GraftQuery(
+      "q_join_bloom", Seq("J9", "J7", "A8"),
+      (s, dir) => {
+        // Bloom-runtime-filtered fact join — the explicit form of the
+        // runtime-filter pushdown that keeps a 100-TB shuffle join
+        // alive: the small side (suppliers of 3 nations) builds a
+        // driver-side Bloom sketch over its join keys (bounded: dim
+        // cardinality, never the fact table), the codegen'd
+        // BloomMightContain probe prunes the fact SCAN before any
+        // shuffle, and the exact broadcast join afterwards removes
+        // the false positives — so the result is IDENTICAL to the
+        // plain join (no false negatives), which is exactly what the
+        // oracle checks. The Bloom prunes ~88%% of lineitem rows
+        // before they reach the join here; at a 1000-executor scale
+        // the same plan turns a full-fact shuffle into a
+        // selectivity-bounded one.
+        import graft.expressions.BloomMightContain
+        import org.apache.spark.util.sketch.{BloomFilter => BF}
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .where(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        val keys = sup.select(col("s_suppkey").cast("string"))
+          .collect().map(_.getString(0))
+        val bf = BF.create(math.max(keys.length.toLong, 1L), 0.01)
+        keys.foreach(bf.putString)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val probe = ColumnBridge.column(BloomMightContain(
+          ColumnBridge.expression(col("l_suppkey").cast("string")),
+          bos.toByteArray))
+        t(s, dir, "lineitem")
+          .where(probe) // scan-side prune, inside WholeStageCodegen
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey")) // exact FP removal
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("cast(round(l_extendedprice * 100) as long)"))
+              .as("revenue_cents"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*)::BIGINT AS n_items,
+          sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        GROUP BY 1 ORDER BY 1"""),
+      "Bloom-runtime-filtered fact join: driver-built dim-key sketch, " +
+        "codegen'd scan-side probe, exact broadcast join removing the " +
+        "false positives — result provably equal to the plain join, " +
+        "plan shuffles only the pre-pruned fact rows.")
   )
 }

@@ -2470,5 +2470,99 @@ object SimilarityQueries extends QueryPack {
         "neighbors by exact integer dot with the best-positive margin " +
         "— label-aware contrastive-training prep over any scoring " +
         "shortlist; gated on the brute-force baseline."),
+
+    GraftQuery(
+      "q_sim_knn_graph", Seq("A10", "J6", "A13"),
+      (s, dir) => {
+        // Approximate kNN-GRAPH construction (k=4, candidates = IVF
+        // cell mates, nprobe=1) with mutual-edge (reciprocity) stats —
+        // the neighborhood graph that seeds NN-Descent refinement,
+        // graph-based dedup clustering, and SemDeDup-style community
+        // pruning. Exact integer L2 ranking (nq_a + nq_b - 2*dot, ties
+        // to the smaller neighbor id), so the oracle replays the
+        // identical graph. A vector alone in its cell yields no edges
+        // and is absent from the output (documented contract; cells
+        // are √n-sized on average, so singletons are rare and shrink
+        // with scale).
+        //
+        // Scale shape: candidate pairs are CELL MATES only — expected
+        // cell size ≈ √n capped, so pair volume stays ~n·√n bounded,
+        // never the n² all-pairs graph; the per-source top-k is a
+        // cell-local window (src-keyed, cell-bounded partitions); the
+        // reciprocity check is one equi-join of the 4n-row edge list
+        // against its own (nbr, src) flip — linear. Corpus payloads
+        // re-attach by id equi-join, the centroid table is the only
+        // broadcast.
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val cent = sampledCentroids(e, k)
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+          .localCheckpoint()
+        val assigned = e.join(cellOf, Seq("vec_id"))
+          .select(col("vec_id"), col("qe"), col("nq"), col("cell"))
+        val pairs = assigned
+          .select(col("cell"), col("vec_id").as("src"),
+            col("qe").as("aqe"), col("nq").as("anq"))
+          .join(assigned.select(col("cell"), col("vec_id").as("nbr"),
+            col("qe").as("bqe"), col("nq").as("bnq")), Seq("cell"))
+          .where(col("src") =!= col("nbr"))
+          .withColumn("dist", col("anq") + col("bnq") -
+            lit(2L) * VectorOps.dot("aqe", "bqe"))
+          .select("src", "nbr", "dist")
+        val w = Window.partitionBy("src")
+          .orderBy(col("dist").asc, col("nbr").asc)
+        val knn = pairs.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 4)
+          .select("src", "nbr", "rnk", "dist")
+          .localCheckpoint() // reused by the reciprocity flip join
+        val mut = knn.select(col("src"), col("nbr"))
+          .join(knn.select(col("nbr").as("src"), col("src").as("nbr")),
+            Seq("src", "nbr"))
+          .withColumn("m", lit(1L))
+        knn.join(mut, Seq("src", "nbr"), "left")
+          .groupBy(col("src").as("vec_id"))
+          .agg(count(lit(1)).as("deg"),
+            sum(coalesce(col("m"), lit(0L))).as("n_mutual"),
+            sum(col("nbr") * col("rnk")).as("nbr_fp"),
+            min("dist").as("d_min"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          pairs AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+                  (a.nq + b.nq - 2 * ${duckDot("a.qe", "b.qe")})::BIGINT
+                    AS dist
+                FROM assigned a JOIN assigned b ON a.cell = b.cell
+                WHERE a.vec_id != b.vec_id),
+          knn AS (SELECT src, nbr, rnk, dist FROM (
+                SELECT src, nbr, dist, row_number() OVER
+                  (PARTITION BY src ORDER BY dist, nbr) AS rnk
+                FROM pairs) WHERE rnk <= 4),
+          mut AS (SELECT x.src, x.nbr FROM knn x
+                JOIN knn y ON y.src = x.nbr AND y.nbr = x.src)
+        SELECT knn.src AS vec_id, count(*)::BIGINT AS deg,
+          sum(CASE WHEN mut.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_mutual,
+          sum(knn.nbr * knn.rnk)::BIGINT AS nbr_fp,
+          min(knn.dist)::BIGINT AS d_min
+        FROM knn LEFT JOIN mut ON mut.src = knn.src
+          AND mut.nbr = knn.nbr
+        GROUP BY 1 ORDER BY 1"""),
+      "Approximate kNN-graph (k=4 within IVF cells) with reciprocity " +
+        "stats: cell-mate candidate pairs (~n·√n, never n²), exact " +
+        "integer-L2 cell-local top-k, one flip equi-join for mutual " +
+        "edges — the NN-Descent/graph-clustering seed structure."),
   )
 }

@@ -2629,5 +2629,90 @@ object TextQueries extends QueryPack {
         "distinct word trigrams absent from the src0 corpus — the " +
         "memorization/decontamination overlap metric as one type-set " +
         "equi-join, linear in shingle volume."),
+
+    GraftQuery(
+      "q_text_boilerplate", Seq("A8", "J7", "D1"),
+      (s, dir) => {
+        // Per-source boilerplate-phrase detection — the CCNet/RefinedWeb
+        // template-removal pass adapted to phrase granularity: a word
+        // bigram whose within-source DOCUMENT frequency reaches 5 is a
+        // template phrase (navigation chrome, license footers, site
+        // furniture), and each doc is scored by the fraction of its
+        // bigram OCCURRENCES that are boilerplate. Integer-exact
+        // throughout: per-doc fractions are ppm via integral division,
+        // summed as bigints per source, so no float summation-order
+        // hazard anywhere.
+        //
+        // Scale shape: occurrence stream is exploded once (linear in
+        // token volume); doc frequency reduces the DISTINCT per-doc
+        // types with map-side combine on (source, gram); the
+        // boilerplate set is df-thresholded and therefore tiny
+        // relative to the corpus, but it is corpus-derived, so it
+        // re-joins the occurrence stream with a standard (source,
+        // gram)-keyed shuffle equi-join — never a broadcast of
+        // unbounded corpus state. No doc x doc pairs anywhere.
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens("text").as("t"))
+          .where(size(col("t")) >= 2)
+        val big = base.select(col("doc_id"), col("source"),
+          explode(TextOps.wordShingles("t", 2)).as("g"))
+        val dfreq = big.distinct()
+          .groupBy("source", "g").agg(count(lit(1)).as("df"))
+        val bp = dfreq.where(col("df") >= 5).select("source", "g")
+          .localCheckpoint() // reused by the phrase count + the score join
+        val perDoc = big
+          .join(bp.withColumn("is_bp", lit(1L)), Seq("source", "g"),
+            "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_big"),
+            sum(coalesce(col("is_bp"), lit(0L))).as("n_bp"))
+          .withColumn("frac_ppm",
+            expr("n_bp * 1000000 div n_big"))
+        val phrases = bp.groupBy("source")
+          .agg(count(lit(1)).as("n_phrases"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bp").as("n_bp_occ"),
+            sum("frac_ppm").as("sum_frac_ppm"))
+          .join(phrases, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+            col("n_bp_occ"), col("sum_frac_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, $duckToks AS t
+            FROM documents),
+          dd AS (SELECT doc_id, source, t FROM d WHERE len(t) >= 2),
+          big AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS g
+            FROM dd),
+          ty AS (SELECT DISTINCT doc_id, source, g FROM big),
+          dfreq AS (SELECT source, g, count(*)::BIGINT AS df
+            FROM ty GROUP BY 1, 2),
+          bp AS (SELECT source, g FROM dfreq WHERE df >= 5),
+          pd AS (SELECT big.doc_id, big.source,
+              count(*)::BIGINT AS n_big,
+              sum(CASE WHEN bp.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                AS n_bp
+            FROM big LEFT JOIN bp ON bp.source = big.source
+              AND bp.g = big.g
+            GROUP BY 1, 2),
+          ph AS (SELECT source, count(*)::BIGINT AS n_phrases
+            FROM bp GROUP BY 1),
+          agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+              sum(n_bp)::BIGINT AS n_bp_occ,
+              sum(n_bp * 1000000 // n_big)::BIGINT AS sum_frac_ppm
+            FROM pd GROUP BY 1)
+        SELECT agg.source, n_docs,
+          coalesce(ph.n_phrases, 0)::BIGINT AS n_phrases,
+          n_bp_occ, sum_frac_ppm
+        FROM agg LEFT JOIN ph ON ph.source = agg.source
+        ORDER BY 1"""),
+      "Per-source boilerplate-phrase detection (df >= 5 bigrams) with " +
+        "integer-ppm per-doc boilerplate fractions — the CCNet-style " +
+        "template-removal signal as one explode + one type reduce + " +
+        "one (source, gram)-keyed score join; no doc pairs."),
   )
 }
