@@ -76,6 +76,57 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Feature row the audio "decoder" emits per media blob: REAL
+    * RIFF/WAVE header fields + exact integer PCM16 signal stats (see
+    * [[AudioHeader]] — pure-JVM, no codecs); non-WAV bytes get format
+    * "unknown" with zeroed fields. rms_x1000 is computed from the
+    * exact integer Σ sample² so it is bit-stable across partitionings.
+    */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("a_format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("rms_x1000", LongType, nullable = false),
+    StructField("n_clipped", LongType, nullable = false)))
+
+  /** Audio analog of [[decodeStub]]: header parse + PCM16 stats. */
+  def decodeAudio(bytes: Array[Byte]): Row =
+    AudioHeader.parse(bytes) match {
+      case Some(info) =>
+        val st = AudioHeader.pcm16Stats(bytes)
+          .getOrElse(AudioHeader.Pcm16Stats(0L, 0, 0L, 0L))
+        val rms = if (st.n == 0) 0L
+          else math.round(math.sqrt(st.sumSq.toDouble / st.n) * 1000)
+        Row(info.format, info.sampleRate, info.channels,
+          info.bitsPerSample, info.nSamples, info.durationMs,
+          st.peak, rms, st.nClipped)
+      case None => Row("unknown", 0, 0, 0, 0L, 0L, 0, 0L, 0L)
+    }
+
+  /** Attach audio features to a DataFrame's binary column — same
+    * partition-batched iteration shape as [[withDecodedFeatures]].
+    */
+  def withAudioFeatures(df: DataFrame, binaryCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ audioFeatureSchema.fields)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(binIdx) match {
+          case b: Array[Byte] => b
+          case s: String => s.getBytes("UTF-8")
+          case null => Array.empty[Byte]
+        }
+        Row.fromSeq(row.toSeq ++ decodeAudio(bytes).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Split a binary column into fixed-size chunk rows — the sharded-blob
     * layout pattern (one row per chunk, ordered by chunk_idx) used when
     * media exceeds row-size budgets.

@@ -12,6 +12,13 @@ import graft.operators.Multimodal
   * per-gen threshold lookup (W6/W7), and the multimodal binary-column
   * pipeline (stub decode, chunk math).
   */
+/** Typed return row of q_multimodal_audio's decode UDF (top-level so
+  * the encoder derives).
+  */
+final case class WavStats(
+    n_samples: Long, duration_ms: Long, peak: Int,
+    rms_x1000: Long, n_clipped: Long)
+
 object PipelineQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
@@ -217,5 +224,78 @@ object PipelineQueries extends QueryPack {
         "included): codegen'd sequence/explode/substring selection, " +
         "per-source frame counts plus an order-independent content " +
         "fingerprint over every sampled frame."),
+
+    GraftQuery(
+      "q_multimodal_audio", Seq("S10", "D9", "P6"),
+      (s, dir) => {
+        // Audio-pipeline roundtrip PROOF: each doc's tokens become a
+        // deterministic int16 sample stream (hash-derived), Spark
+        // ENCODES it into real RIFF/WAVE bytes
+        // (AudioHeader.synthesizeWavPcm16), re-PARSES the container,
+        // and computes exact integer PCM stats from the blob — while
+        // the oracle computes the identical stats from first
+        // principles on the same sample definition. Equality proves
+        // the whole binary encode → header walk → PCM decode path,
+        // not just the arithmetic. The per-doc UDF is the
+        // codec-shaped step (a real encoder would drop in here);
+        // everything around it — sample derivation, per-doc grouping,
+        // final aggregation — is codegen'd columnar.
+        //
+        // Scale shape: samples are per-doc and bounded by token
+        // count; the only shuffle is the per-doc regroup (doc-keyed),
+        // and blobs live one row at a time inside the UDF — never
+        // collected, never broadcast.
+        import graft.operators.{AudioHeader, TextOps}
+        val decode = udf((samples: Seq[Int]) => {
+          val wav = AudioHeader.synthesizeWavPcm16(
+            8000, samples.map(_.toShort).toArray)
+          val info = AudioHeader.parse(wav).get
+          val st = AudioHeader.pcm16Stats(wav).get
+          val rms = if (st.n == 0) 0L
+            else math.round(math.sqrt(st.sumSq.toDouble / st.n) * 1000)
+          WavStats(info.nSamples, info.durationMs, st.peak, rms,
+            st.nClipped)
+        })
+        val samples = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
+          .withColumn("sv",
+            expr(TextOps.hash64(
+              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
+              .cast("int"))
+        samples.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
+            .as("ps"))
+          .withColumn("st", decode(expr("transform(ps, x -> x.sv)")))
+          .select(col("doc_id"), col("st.n_samples"),
+            col("st.duration_ms"), col("st.peak"), col("st.rms_x1000"),
+            col("st.n_clipped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x != '') AS t
+          FROM documents WHERE doc_id % 5 = 0),
+        sm AS (SELECT doc_id,
+            (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i - 1)::VARCHAR || ':' || t[i]),1,15))::BIGINT
+              % 65536 - 32768)::INT AS sv
+          FROM (SELECT doc_id, t,
+              unnest(range(1, len(t) + 1)) AS i FROM d)),
+        st AS (SELECT doc_id, count(*)::BIGINT AS n,
+            max(abs(sv))::INT AS peak,
+            sum(sv::BIGINT * sv)::BIGINT AS ssq,
+            sum(CASE WHEN sv = 32767 OR sv = -32768 THEN 1 ELSE 0
+              END)::BIGINT AS n_clipped
+          FROM sm GROUP BY 1)
+        SELECT doc_id, n AS n_samples,
+          (n * 1000 // 8000)::BIGINT AS duration_ms, peak,
+          round(sqrt(ssq::DOUBLE / n) * 1000)::BIGINT AS rms_x1000,
+          n_clipped
+        FROM st ORDER BY doc_id"""),
+      "Audio roundtrip: token-derived int16 streams encoded into real " +
+        "RIFF/WAVE blobs, container re-parsed, exact integer PCM " +
+        "stats — oracle recomputes from first principles, so equality " +
+        "proves the binary encode/parse/decode path itself."),
   )
 }

@@ -2877,6 +2877,51 @@ object RelationalQueries extends QueryPack {
       "Bloom-runtime-filtered fact join: driver-built dim-key sketch, " +
         "codegen'd scan-side probe, exact broadcast join removing the " +
         "false positives — result provably equal to the plain join, " +
-        "plan shuffles only the pre-pruned fact rows.")
+        "plan shuffles only the pre-pruned fact rows."),
+
+    GraftQuery(
+      "q_events_entropy", Seq("A8", "A9", "W2"),
+      (s, dir) => {
+        // Per-user behavioral entropy — the predictability feature of
+        // user-modeling pipelines: H = Σ_type (c/n)·ln(n/c) over the
+        // user's event-type distribution, reported at 1e6 scale.
+        // Determinism discipline (same as the perplexity family):
+        // each per-type term is rounded to an INTEGER once, so the
+        // only float ops are per-row (c, n) → ln — identical on both
+        // engines — and the cross-row SUM is pure bigint, immune to
+        // Spark's unordered partial aggregation. Scale shape: two
+        // user-keyed aggregations (type counts, then the entropy
+        // reduce), both map-side combining; nothing quadratic, no
+        // windows, no driver loops.
+        val ev = t(s, dir, "events")
+        val counts = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy("user_id")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+        counts.join(totals, Seq("user_id"))
+          .withColumn("term", expr(
+            "cast(round(ln(cast(n as double) / cast(c as double)) " +
+              "* c * 1000000 / n) as bigint)"))
+          .groupBy("user_id")
+          .agg(max("n").as("n_events"), max("n_types").as("n_types"),
+            sum("term").as("h_x1e6"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type,
+              count(*)::BIGINT AS c
+            FROM events GROUP BY 1, 2),
+          tot AS (SELECT user_id, sum(c)::BIGINT AS n,
+              count(*)::BIGINT AS n_types
+            FROM c GROUP BY 1)
+        SELECT c.user_id, max(n)::BIGINT AS n_events,
+          max(n_types)::BIGINT AS n_types,
+          sum(round(ln(n::DOUBLE / c::DOUBLE) * c * 1000000 / n)
+            ::BIGINT)::BIGINT AS h_x1e6
+        FROM c JOIN tot ON tot.user_id = c.user_id
+        GROUP BY 1 ORDER BY 1"""),
+      "Per-user event-type Shannon entropy at 1e6 scale: per-term " +
+        "integer rounding then exact bigint summation — the " +
+        "behavioral-predictability feature with no float " +
+        "summation-order hazard, two map-side-combining aggregations.")
   )
 }

@@ -2564,5 +2564,85 @@ object SimilarityQueries extends QueryPack {
         "stats: cell-mate candidate pairs (~n·√n, never n²), exact " +
         "integer-L2 cell-local top-k, one flip equi-join for mutual " +
         "edges — the NN-Descent/graph-clustering seed structure."),
+
+    GraftQuery(
+      "q_sim_centroid_drift", Seq("A10", "A9", "A8"),
+      (s, dir) => {
+        // Embedding-space drift monitor: per label, split the corpus
+        // into two halves (vec_id parity — the stand-in for
+        // before/after snapshots) and measure the cosine between the
+        // two class-centroid directions. The drift score the
+        // retraining trigger of an embedding pipeline watches: a
+        // label whose centroid rotates is a class whose distribution
+        // moved. EXACT integer path all the way to the final cosine:
+        // centroids are elementwise BIGINT sums of the quantized
+        // vectors (unnormalized — cosine is scale-invariant, so
+        // dividing by the count would only add float noise), and the
+        // dot/norms are integer products of those sums; the single
+        // float op is the last sqrt+divide on already-exact integers.
+        //
+        // Scale shape: posexplode → (label, pos, parity) partial sums
+        // — one map-side-combining aggregation linear in n·dim; the
+        // per-(label,pos) regroup to pair the halves is a shuffle of
+        // |labels|·dim rows (tiny); never a vector collect, never a
+        // pairwise join.
+        val e = quantized(s, dir)
+        val parts = e
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("qe")).as(Seq("pos", "v")))
+          .groupBy("label", "pos", "half")
+          .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        val paired = parts.groupBy("label", "pos")
+          .agg(
+            sum(when(col("half") === 0, col("sv")).otherwise(0L))
+              .as("sa"),
+            sum(when(col("half") === 1, col("sv")).otherwise(0L))
+              .as("sb"))
+        val counts = e.groupBy("label")
+          .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_a"),
+            sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+              .as("n_b"))
+        paired.groupBy("label")
+          .agg(sum(col("sa") * col("sb")).as("dot_ab"),
+            sum(col("sa") * col("sa")).as("norm_a"),
+            sum(col("sb") * col("sb")).as("norm_b"))
+          .join(counts, Seq("label"))
+          .select(col("label"), col("n_a"), col("n_b"), col("dot_ab"),
+            round(col("dot_ab") /
+              (sqrt(col("norm_a")) * sqrt(col("norm_b"))), 6)
+              .as("centroid_cos"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $duckBase,
+          px AS (SELECT label, vec_id % 2 AS half,
+              (i - 1) AS pos, qe[i] AS v
+            FROM (SELECT label, vec_id, qe,
+                unnest(range(1, len(qe) + 1)) AS i FROM n)),
+          parts AS (SELECT label, pos, half, sum(v)::BIGINT AS sv
+            FROM px GROUP BY 1, 2, 3),
+          paired AS (SELECT label, pos,
+              sum(CASE WHEN half = 0 THEN sv ELSE 0 END)::BIGINT AS sa,
+              sum(CASE WHEN half = 1 THEN sv ELSE 0 END)::BIGINT AS sb
+            FROM parts GROUP BY 1, 2),
+          agg AS (SELECT label, sum(sa * sb)::BIGINT AS dot_ab,
+              sum(sa * sa)::BIGINT AS norm_a,
+              sum(sb * sb)::BIGINT AS norm_b
+            FROM paired GROUP BY 1),
+          cnt AS (SELECT label,
+              sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                AS n_a,
+              sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+                AS n_b
+            FROM n GROUP BY 1)
+        SELECT agg.label, n_a, n_b, dot_ab,
+          round(dot_ab / (sqrt(norm_a::DOUBLE) * sqrt(norm_b::DOUBLE)),
+            6) AS centroid_cos
+        FROM agg JOIN cnt ON cnt.label = agg.label
+        ORDER BY 1"""),
+      "Per-label centroid drift between corpus halves: elementwise " +
+        "bigint centroid sums, integer dot/norms, one final " +
+        "sqrt+divide — the embedding-distribution shift monitor as " +
+        "two linear aggregations, no pairwise work."),
   )
 }

@@ -1869,4 +1869,49 @@ object StreamingOps {
       .select(graft.operators.Drift.bin(valueCol, mn, mx, bins)
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  final case class EntropyEvent(userId: Long, eventType: String)
+  final case class EntropyState(counts: Map[String, Long])
+  final case class EntropySnapshot(
+      userId: Long, nEvents: Long, nTypes: Long, hX1e6: Long)
+
+  /** Streaming behavioral entropy — the streaming twin of
+    * q_events_entropy: keyed state holds the user's event-type
+    * histogram (bounded by the type vocabulary, NOT the event
+    * volume), and each micro-batch emits one updated snapshot per
+    * touched user. The per-term math is the batch query's expression
+    * verbatim — round(ln(n/c)·c·1e6/n) summed as bigints — so the
+    * LATEST snapshot per user is bit-identical to the batch result
+    * over the same prefix, whatever the batching (parity
+    * spec-pinned). Update-mode output: downstream picks the max-n
+    * snapshot per user (nEvents is the monotone version stamp).
+    */
+  def entropyStream(
+      events: Dataset[EntropyEvent]): Dataset[EntropySnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[EntropyState, EntropySnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[EntropyEvent],
+         state: GroupState[EntropyState]) =>
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[String, Long])
+          rows.foreach { e =>
+            counts = counts.updated(e.eventType,
+              counts.getOrElse(e.eventType, 0L) + 1L)
+          }
+          state.update(EntropyState(counts))
+          val n = counts.values.sum
+          // identical op order to the batch expr
+          // ln(n/c) * c * 1000000 / n (left-associative), terms are
+          // non-negative so math.round == Spark's HALF_UP round
+          val h = counts.values.map { c =>
+            math.round(math.log(n.toDouble / c.toDouble) *
+              c * 1000000L / n)
+          }.sum
+          Iterator.single(EntropySnapshot(u, n, counts.size.toLong, h))
+      }
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** AudioHeader (pure-JVM RIFF/WAVE parsing + exact PCM16 stats) and the
+  * Multimodal audio-feature plumbing. Fixture bytes are synthesized by
+  * AudioHeader.synthesizeWavPcm16, whose layout is the spec's executable
+  * statement of the RIFF grammar; hand-pinned header offsets below
+  * guard the synthesizer and the parser against agreeing on a shared
+  * mistake.
+  */
+class AudioHeaderSpec extends SparkSuite {
+
+  private val tone: Array[Short] =
+    Array.tabulate(8000)(i => (math.sin(i * 0.1) * 16384).toShort)
+
+  test("synthesized WAV layout matches the RIFF spec byte-for-byte") {
+    val b = AudioHeader.synthesizeWavPcm16(8000, tone)
+    assert(new String(b.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(new String(b.slice(12, 16), "US-ASCII") === "fmt ")
+    assert(new String(b.slice(36, 40), "US-ASCII") === "data")
+    // LE int32 data length at offset 40
+    val dl = (b(40) & 0xff) | ((b(41) & 0xff) << 8) |
+      ((b(42) & 0xff) << 16) | ((b(43) & 0xff) << 24)
+    assert(dl === 16000)
+    assert(b.length === 44 + 16000)
+  }
+
+  test("parse returns the header fields and frame-exact duration") {
+    val b = AudioHeader.synthesizeWavPcm16(8000, tone)
+    val info = AudioHeader.parse(b).get
+    assert(info.format === "wav")
+    assert(info.audioFormat === 1)
+    assert(info.channels === 1)
+    assert(info.sampleRate === 8000)
+    assert(info.bitsPerSample === 16)
+    assert(info.nSamples === 8000L)
+    assert(info.durationMs === 1000L)
+  }
+
+  test("parser walks unknown chunks (LIST before data) per the grammar") {
+    val base = AudioHeader.synthesizeWavPcm16(16000, tone)
+    // splice a 7-byte LIST chunk (odd size -> 1 pad byte) before data
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ Array.fill[Byte](8)(42)
+    val spliced = base.slice(0, 36) ++ listChunk ++ base.drop(36)
+    val info = AudioHeader.parse(spliced).get
+    assert(info.sampleRate === 16000)
+    assert(info.nSamples === 8000L)
+    assert(info.durationMs === 500L)
+  }
+
+  test("corrupt and non-WAV bytes never throw, return None") {
+    assert(AudioHeader.parse(null).isEmpty)
+    assert(AudioHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(AudioHeader.parse("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(AudioHeader.parse(Array.fill[Byte](100)(13)).isEmpty)
+    // truncated data chunk: declared length exceeds the blob
+    val b = AudioHeader.synthesizeWavPcm16(8000, tone).dropRight(100)
+    assert(AudioHeader.parse(b).isEmpty)
+    assert(AudioHeader.pcm16Stats(Array.fill[Byte](50)(7)).isEmpty)
+  }
+
+  test("pcm16Stats are exact: peak, sum of squares, clipping count") {
+    val s = Array[Short](0, 100, -200, 32767, -32768, 32767)
+    val b = AudioHeader.synthesizeWavPcm16(44100, s)
+    val st = AudioHeader.pcm16Stats(b).get
+    assert(st.n === 6L)
+    assert(st.peak === 32768)
+    assert(st.nClipped === 3L)
+    assert(st.sumSq === 0L + 100L * 100 + 200L * 200 +
+      32767L * 32767 * 2 + 32768L * 32768)
+  }
+
+  test("withAudioFeatures decodes WAV rows and zeroes non-audio rows") {
+    import spark.implicits._
+    val wav = AudioHeader.synthesizeWavPcm16(8000, tone)
+    val df = Seq(
+      (1L, wav),
+      (2L, "not audio at all".getBytes("UTF-8"))).toDF("id", "media")
+    val out = Multimodal.withAudioFeatures(df, "media")
+      .select("id", "a_format", "sample_rate", "n_samples",
+        "duration_ms", "peak", "rms_x1000", "n_clipped")
+      .collect().sortBy(_.getLong(0))
+    val r1 = out(0)
+    assert(r1.getString(1) === "wav")
+    assert(r1.getInt(2) === 8000)
+    assert(r1.getLong(3) === 8000L)
+    assert(r1.getLong(4) === 1000L)
+    assert(r1.getInt(5) > 16000 && r1.getInt(5) <= 16384)
+    // RMS of a full-swing sine at amplitude A is ~A/sqrt(2)
+    assert(math.abs(r1.getLong(6) - 16384000L / math.sqrt(2).toLong)
+      < 16384000L) // loose band; exactness is pinned via sumSq above
+    assert(r1.getLong(7) === 0L)
+    val r2 = out(1)
+    assert(r2.getString(1) === "unknown")
+    assert(r2.getInt(2) === 0)
+  }
+
+  test("audio feature columns stay bit-identical across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, AudioHeader.synthesizeWavPcm16(
+        8000 + i, tone.take(500 + i * 7)))
+    }
+    // drop the media column before comparing: Array[Byte].toString is
+    // identity-based, not content-based
+    val a = Multimodal.withAudioFeatures(
+      rows.toDF("id", "media").repartition(1), "media")
+      .drop("media").orderBy("id").collect().map(_.toString)
+    val b = Multimodal.withAudioFeatures(
+      rows.toDF("id", "media").repartition(13), "media")
+      .drop("media").orderBy("id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+}

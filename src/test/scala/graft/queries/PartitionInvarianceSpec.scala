@@ -35,7 +35,12 @@ class PartitionInvarianceSpec extends SparkSuite {
     // grouping too), KN's 1e-4-integer score sums with a terminal
     // division, novelty's type-count ratio
     "q_thermo_legendre", "q_thermo_atp", "q_text_kneser_ney",
-    "q_text_novelty")
+    "q_text_novelty",
+    // round-12 wave 2: entropy's per-term ln rounding, centroid
+    // drift's terminal cosine, the audio roundtrip's RMS sqrt, the
+    // kNN graph's window over exact integer distances
+    "q_events_entropy", "q_sim_centroid_drift", "q_multimodal_audio",
+    "q_sim_knn_graph")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)

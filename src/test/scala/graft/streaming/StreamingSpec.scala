@@ -1837,4 +1837,41 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming entropy latest snapshots equal batch q_events_entropy " +
+    "over the real events table, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val want = graft.queries.RelationalQueries.queries
+      .find(_.name == "q_events_entropy").get.run(spark, sf)
+      .select("user_id", "n_events", "n_types", "h_x1e6")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    val fixture = graft.Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[StreamingOps.EntropyEvent]
+    val q = StreamingOps.entropyStream(in.toDS())
+      .writeStream.format("memory").queryName("entropy_stream")
+      .outputMode("update").start()
+    try {
+      // adversarial batching: uneven cuts, arbitrary order (entropy is
+      // order-invariant — counts are — so any feed order must agree)
+      val shuffled = new scala.util.Random(7).shuffle(fixture)
+      val (b1, rest) = shuffled.splitAt(shuffled.size / 5)
+      val (b2, b3) = rest.splitAt(rest.size / 3)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (u, t) =>
+          StreamingOps.EntropyEvent(u, t) })
+        q.processAllAvailable()
+      }
+      // latest snapshot per user: nEvents is the monotone version stamp
+      val got = spark.table("entropy_stream")
+        .groupBy("userId")
+        .agg(max(struct(col("nEvents"), col("nTypes"), col("hX1e6")))
+          .as("m"))
+        .select(col("userId"), col("m.nEvents"), col("m.nTypes"),
+          col("m.hX1e6"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
 }
