@@ -2922,6 +2922,71 @@ object RelationalQueries extends QueryPack {
       "Per-user event-type Shannon entropy at 1e6 scale: per-term " +
         "integer rounding then exact bigint summation — the " +
         "behavioral-predictability feature with no float " +
-        "summation-order hazard, two map-side-combining aggregations.")
+        "summation-order hazard, two map-side-combining aggregations."),
+
+    GraftQuery(
+      "q_agg_pmi", Seq("J1", "A8", "W3"),
+      (s, dir) => {
+        // Pointwise mutual information over part co-purchases — the
+        // association score embedding/recommender pipelines derive
+        // from co-occurrence counts (word2vec's SGNS objective
+        // factorizes a shifted PMI matrix): PMI(a,b) =
+        // ln(n_ab·N / (n_a·n_b)) at 1e6 scale over order baskets.
+        // All counts are exact integers; ln is the single per-row
+        // float op (same discipline as the entropy/perplexity
+        // family), and the top-20 is TakeOrdered — never a global
+        // sort. Support floor n_ab >= 3 kills the noise pairs that
+        // dominate raw PMI (its textbook failure mode).
+        //
+        // Scale shape: basket pairs are order-bounded (TPC-H orders
+        // hold <= 7 parts → <= 21 pairs per order), so the pair
+        // stream is linear in lineitem volume; everything downstream
+        // is key-partitioned aggregation; the marginal join keys on
+        // part id. No n² anywhere.
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = li.select("ok").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val marg = li.groupBy(col("pk"))
+          .agg(count(lit(1)).as("n_one"))
+        val pairs = li.toDF("ok", "a")
+          .join(li.toDF("ok", "b"), Seq("ok"))
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 3)
+        pairs
+          .join(marg.select(col("pk").as("a"), col("n_one").as("n_a")),
+            Seq("a"))
+          .join(marg.select(col("pk").as("b"), col("n_one").as("n_b")),
+            Seq("b"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("pmi_x1e6", expr(
+            "cast(round(ln(cast(n_ab as double) * n_orders / " +
+              "(cast(n_a as double) * n_b)) * 1000000) as bigint)"))
+          .orderBy(col("pmi_x1e6").desc, col("a").asc, col("b").asc)
+          .limit(20)
+          .select("a", "b", "n_ab", "n_a", "n_b", "pmi_x1e6")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+              l_partkey AS pk FROM lineitem),
+          n AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+          marg AS (SELECT pk, count(*)::BIGINT AS n_one
+            FROM li GROUP BY 1),
+          pairs AS (SELECT x.pk AS a, y.pk AS b,
+              count(*)::BIGINT AS n_ab
+            FROM li x JOIN li y USING (ok) WHERE x.pk < y.pk
+            GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT a, b, n_ab, ma.n_one AS n_a, mb.n_one AS n_b,
+          round(ln(n_ab::DOUBLE * n.n_orders /
+            (ma.n_one::DOUBLE * mb.n_one)) * 1000000)::BIGINT
+            AS pmi_x1e6
+        FROM pairs JOIN marg ma ON ma.pk = a
+          JOIN marg mb ON mb.pk = b, n
+        ORDER BY pmi_x1e6 DESC, a, b LIMIT 20"""),
+      "Co-purchase PMI at 1e6 scale with a support floor: " +
+        "order-bounded pair generation, exact integer counts, one ln " +
+        "per surviving pair, top-20 via TakeOrdered — the " +
+        "co-occurrence association score of embedding pipelines.")
   )
 }

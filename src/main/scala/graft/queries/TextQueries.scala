@@ -90,6 +90,43 @@ object TextQueries extends QueryPack {
             JOIN unic ON unic.w = split_part(bge.bg, ' ', 1), vv
           GROUP BY 1)"""
 
+  /** Per-source boilerplate-phrase set (word bigrams with document
+    * frequency >= 5 within their source) — ONE definition shared by
+    * q_text_boilerplate and the streaming twin's static side, so the
+    * two cannot drift.
+    */
+  private[graft] def boilerplateSet(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens("text").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordShingles("t", 2)).as("g"))
+      .distinct()
+      .groupBy("source", "g").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 5).select("source", "g")
+
+  /** Per-doc boilerplate occurrence stats against a boilerplate set —
+    * the scoring half of q_text_boilerplate, shared with the
+    * streaming twin (which runs it per micro-batch against the
+    * FROZEN static set).
+    */
+  private[graft] def boilerplatePerDoc(
+      base: DataFrame, bp: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens("text").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.wordShingles("t", 2)).as("g"))
+      .join(bp.withColumn("is_bp", lit(1L)), Seq("source", "g"),
+        "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_big"),
+        sum(coalesce(col("is_bp"), lit(0L))).as("n_bp"))
+      .withColumn("frac_ppm",
+        expr("n_bp * 1000000 div n_big"))
+
   /** Shared (doc_id, band-bucket key) membership for the CC dedup pair
     * (q_dedup_cluster / q_dedup_survivors): minhash w=3, k=16, 4 bands
     * x r=4 — ONE definition so the two queries' geometry cannot drift.
@@ -2651,24 +2688,9 @@ object TextQueries extends QueryPack {
         // re-joins the occurrence stream with a standard (source,
         // gram)-keyed shuffle equi-join — never a broadcast of
         // unbounded corpus state. No doc x doc pairs anywhere.
-        val base = docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            TextOps.tokens("text").as("t"))
-          .where(size(col("t")) >= 2)
-        val big = base.select(col("doc_id"), col("source"),
-          explode(TextOps.wordShingles("t", 2)).as("g"))
-        val dfreq = big.distinct()
-          .groupBy("source", "g").agg(count(lit(1)).as("df"))
-        val bp = dfreq.where(col("df") >= 5).select("source", "g")
+        val bp = boilerplateSet(docs(s, dir))
           .localCheckpoint() // reused by the phrase count + the score join
-        val perDoc = big
-          .join(bp.withColumn("is_bp", lit(1L)), Seq("source", "g"),
-            "left")
-          .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_big"),
-            sum(coalesce(col("is_bp"), lit(0L))).as("n_bp"))
-          .withColumn("frac_ppm",
-            expr("n_bp * 1000000 div n_big"))
+        val perDoc = boilerplatePerDoc(docs(s, dir), bp)
         val phrases = bp.groupBy("source")
           .agg(count(lit(1)).as("n_phrases"))
         perDoc.groupBy("source")

@@ -1870,6 +1870,21 @@ object StreamingOps {
         .as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
 
+  /** Streaming boilerplate scoring — the streaming twin of
+    * q_text_boilerplate's per-doc half: arriving docs are scored
+    * against a FROZEN per-source boilerplate-phrase set (the offline
+    * corpus statistic, refreshed by restart like the quality cuts and
+    * the scrub blocklist). The plan is literally the batch scoring
+    * function (TextQueries.boilerplatePerDoc) applied to a streaming
+    * frame: explode → stream-static (source, gram) equi-join → one
+    * stateful per-doc aggregation in update mode — so stream and
+    * batch verdicts CANNOT drift (parity spec-pinned). Docs arrive
+    * whole (one row per doc), so each doc's stats finalize in its
+    * arrival micro-batch.
+    */
+  def boilerplateStream(docs: DataFrame, bp: DataFrame): DataFrame =
+    graft.queries.TextQueries.boilerplatePerDoc(docs, bp)
+
   final case class EntropyEvent(userId: Long, eventType: String)
   final case class EntropyState(counts: Map[String, Long])
   final case class EntropySnapshot(

@@ -1874,4 +1874,38 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming boilerplate scoring equals the batch per-doc stats " +
+    "against the frozen phrase set, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, sf, "documents")
+    val bp = graft.queries.TextQueries.boilerplateSet(corpus)
+      .persist()
+    val want = graft.queries.TextQueries
+      .boilerplatePerDoc(corpus, bp)
+      .select("doc_id", "source", "n_big", "n_bp", "frac_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    assert(want.exists(_._4 > 0), "fixture should carry boilerplate hits")
+    val fixture = corpus.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.boilerplateStream(
+        in.toDF().toDF("doc_id", "source", "text"), bp)
+      .writeStream.format("memory").queryName("bp_stream")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = fixture.splitAt(fixture.size / 4)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("bp_stream")
+        .select("doc_id", "source", "n_big", "n_bp", "frac_ppm")
+        .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally {
+      q.stop(); bp.unpersist()
+    }
+  }
 }
