@@ -5,7 +5,7 @@ package graft.chem
   * Covers the primitives used by the reference's rule sets
   * (reference data: metacyc_rules TSVs and
   * tests/data/test_reaction_rules.tsv): `#n`, element symbols, `*`,
-  * `A`/`a`, `Hn`, `Dn`, `Rn`, charge, `!`-negation, `,`-OR, `;`/`&`-AND
+  * `A`/`a`, `Hn`, `Dn`, `Xn`, `Rn`, charge, `!`-negation, `,`-OR, `;`/`&`-AND
   * and juxtaposition, atom maps, bonds `- = # ~ :` and the default
   * single-or-aromatic bond, branches and ring-closure digits.
   */
@@ -19,6 +19,7 @@ object Smarts {
   case object PAromatic extends Prim
   final case class PH(n: Int) extends Prim
   final case class PDegree(n: Int) extends Prim
+  final case class PConn(n: Int) extends Prim
   final case class PRing(in: Boolean) extends Prim
   final case class PCharge(c: Int) extends Prim
   final case class PNot(p: Prim) extends Prim
@@ -156,7 +157,7 @@ object Smarts {
         case 'H' => i += 1; PH(num(1))
         case 'D' => i += 1; PDegree(num(1))
         case 'R' => i += 1; val k = num(-1); PRing(k != 0)
-        case 'X' => i += 1; val k = num(1); PDegree(k) // approx: X≈D for our data
+        case 'X' => i += 1; PConn(num(1))
         case '+' => i += 1; PCharge(num(1))
         case '-' => i += 1; PCharge(-num(1))
         case c =>
@@ -189,6 +190,12 @@ object Smarts {
       case PAromatic => a.aromatic
       case PH(nH) => m.totalH(i) == nH
       case PDegree(d) => m.degree(i) == d
+      // total connectivity: explicit neighbors (incl. explicit-H atoms,
+      // already in degree) + the atom's own bracket/implicit H
+      case PConn(x) =>
+        val ownH = if (m.atoms(i).hCount >= 0) m.atoms(i).hCount
+          else m.implicitH(i)
+        m.degree(i) + ownH == x
       case PRing(in) => m.inRing(i) == in
       case PCharge(c) => a.charge == c
     }

@@ -115,6 +115,24 @@ class ChemSpec extends AnyFunSuite {
     assert(Smarts.findAll(m, pat).isEmpty)
   }
 
+  test("SMARTS X is total connectivity (neighbors + own H), not degree") {
+    // Daylight/RDKit X counts hydrogens: ethanol's CH2 is X4 (C,O,H,H)
+    // with heavy degree 2 — the old X≈D reading matched nothing here.
+    val ethanol = Smiles.parse("CCO")
+    val x4c = Smarts.parse("[#6;X4:1]")
+    assert(Smarts.findAll(ethanol, x4c).length === 2, "both carbons are X4")
+    val x2o = Smarts.parse("[#8;X2:1]")
+    assert(Smarts.findAll(ethanol, x2o).length === 1, "hydroxyl O is X2")
+    // explicit-H mode: H atoms are graph neighbors; X must not
+    // double-count them
+    val eh = ethanol.withExplicitH
+    assert(Smarts.findAll(eh, x4c).length === 2)
+    assert(Smarts.findAll(eh, x2o).length === 1)
+    // carbonyl C of acetone: 3 neighbors + 0 H = X3
+    val acetone = Smiles.parse("CC(=O)C")
+    assert(Smarts.findAll(acetone, Smarts.parse("[#6;X3:1]")).length === 1)
+  }
+
   test("SMARTS OR-of-AND groups") {
     // [#7;R0;H2D3,H3D4:1] — N not in ring with (H2,D3) or (H3,D4)
     val pat = Smarts.parse("[#7;R0;H2D3,H3D4:1]")
