@@ -2987,6 +2987,89 @@ object RelationalQueries extends QueryPack {
       "Co-purchase PMI at 1e6 scale with a support floor: " +
         "order-bounded pair generation, exact integer counts, one ln " +
         "per surviving pair, top-20 via TakeOrdered — the " +
-        "co-occurrence association score of embedding pipelines.")
+        "co-occurrence association score of embedding pipelines."),
+
+    GraftQuery(
+      "q_win_running_distinct", Seq("W2", "A8", "D1"),
+      (s, dir) => {
+        // Running COUNT(DISTINCT) over a user's event timeline — the
+        // window Spark (and ANSI SQL engines generally) refuse to
+        // plan directly, and the naive self-join emulation of which
+        // is O(n²) per user. The scale-safe rewrite: a distinct type
+        // contributes exactly at its FIRST occurrence, so reduce to
+        // one row per (user, type) via min(ts) — one map-side-
+        // combining shuffle that also collapses the data to the
+        // distinct-key cardinality — then rank first-occurrences
+        // per user. The window partitions by user (bounded
+        // partitions), never a global sort; ties broken by type for
+        // a total order.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("first_ts", "event_type")
+        t(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(min("ts").as("first_ts"))
+          .withColumn("nth_distinct",
+            row_number().over(w).cast("bigint"))
+          .where(col("user_id") % 53 === 0)
+          .select("user_id", "event_type", "first_ts", "nth_distinct")
+          .orderBy("user_id", "nth_distinct")
+      },
+      Some("""WITH firsts AS (SELECT user_id, event_type,
+              min(ts) AS first_ts
+            FROM events GROUP BY 1, 2)
+        SELECT user_id, event_type, first_ts,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY first_ts, event_type)::BIGINT AS nth_distinct
+        FROM firsts WHERE user_id % 53 = 0
+        ORDER BY user_id, nth_distinct"""),
+      "Running distinct-count rewrite: first-occurrence reduction " +
+        "(one combining shuffle to distinct-key cardinality) + " +
+        "per-user rank — the linear plan for the window COUNT" +
+        "(DISTINCT) engines cannot express, quadratic-free at any " +
+        "scale."),
+
+    GraftQuery(
+      "q_agg_grouping_sets", Seq("A8", "P6"),
+      (s, dir) => {
+        // Explicit GROUPING SETS — the OLAP report shape rollup/cube
+        // cannot express: exactly (priority, year), (priority), and
+        // (year) — NO grand total, no other combination. Spark plans
+        // it as the same single Expand + hash aggregate as rollup
+        // (each row feeds its 3 sets map-side; one shuffle on the
+        // widened key), so the subtotal views cost no extra scan.
+        // Money leaves float land per-row (exact integer cents), so
+        // subtotal sums are summation-order-free; grouping_id bit
+        // parity with the oracle as in q_agg_rollup.
+        val o = t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+          .withColumn("cents",
+            expr("cast(round(o_totalprice * 100) as bigint)"))
+        o.groupingSets(
+            Seq(Seq(col("o_orderpriority"), col("yr")),
+              Seq(col("o_orderpriority")), Seq(col("yr"))),
+            col("o_orderpriority"), col("yr"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+            grouping_id().as("gid"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("yr"), lit(-1L)).as("yr"),
+            col("n"), col("cents"), col("gid"))
+          .orderBy("gid", "priority", "yr")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+              year(o_orderdate)::BIGINT AS yr,
+              round(o_totalprice * 100)::BIGINT AS cents
+            FROM orders)
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          coalesce(yr, -1) AS yr, count(*)::BIGINT AS n,
+          sum(cents)::BIGINT AS cents,
+          grouping(o_orderpriority, yr)::BIGINT AS gid
+        FROM o
+        GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority),
+          (yr))
+        ORDER BY gid, priority, yr"""),
+      "Explicit GROUPING SETS (two subtotal views + leaf, no grand " +
+        "total) in one Expand + hash-aggregate pass, exact-cents " +
+        "measures, cross-engine grouping_id parity.")
   )
 }

@@ -323,6 +323,7 @@ object TextQueries extends QueryPack {
     */
   private[graft] final case class CorpusStages(
       corpus: DataFrame, // doc_id, lang, source, text
+      scored: DataFrame, // scorable docs (quality score non-null)
       q1: DataFrame,     // quality survivors
       q2: DataFrame,     // dedup survivors
       q3: DataFrame,     // decontamination survivors (doc_id, lang, text)
@@ -428,8 +429,65 @@ object TextQueries extends QueryPack {
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
         coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
       .orderBy("lang")
-    CorpusStages(corpus, q1, q2, q3, packed, counts)
+    CorpusStages(corpus, scored, q1, q2, q3, packed, counts)
   }
+
+  /** DuckDB CTE chain re-deriving [[corpusStages]] through its q3
+    * (decontamination survivors) — ONE definition shared by the
+    * q_pipeline_corpus oracle (which appends packing + stage counts)
+    * and the q_pipeline_provenance oracle (which appends the per-doc
+    * drop classification), so the two gates pin the SAME pipeline.
+    * Callers prepend `WITH RECURSIVE` (the dedup walk needs it).
+    */
+  private def duckCorpusChainToQ3: String =
+    s"""raw0 AS (SELECT doc_id, lang, source,
+              list_filter(string_split(
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '${TextOps.emailRe}', '[EMAIL]', 'g'),
+                  '${TextOps.phoneRe}', '[PHONE]', 'g'),
+                  '${TextOps.ipv4Re}', '[IP]', 'g'), ' '),
+                x -> x != '') AS mt
+            FROM documents WHERE source != 'src0'),
+          corpus0 AS (SELECT doc_id, lang, source,
+              array_to_string(list_transform(mt, x ->
+                CASE WHEN list_contains($duckBlocklist, x)
+                  THEN '[MASKED]' ELSE x END), ' ') AS text,
+              len(list_filter(mt, x ->
+                list_contains($duckBlocklist, x)))::BIGINT AS nmask
+            FROM raw0),
+          mq AS (SELECT doc_id, lang, source, text, $duckToks AS t
+            FROM corpus0 WHERE len($duckToks) > 0),
+          sc AS (SELECT doc_id, lang, source, text,
+              0.4 * least(len(t) / 80.0, 1.0)
+                + 0.4 * (len(list_distinct(t)) * 1.0 / len(t))
+                + 0.2 * (1.0 - len(list_filter(t,
+                    x -> list_contains(['the','a'], x))) * 1.0 / len(t))
+                AS q
+            FROM mq),
+          cuts AS (SELECT lang, quantile_disc(q,
+              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+            FROM sc GROUP BY 1),
+          q1 AS (SELECT sc.doc_id, sc.lang, sc.source, sc.text
+            FROM sc JOIN cuts ON cuts.lang = sc.lang
+            WHERE len(list_filter(cuts.cs, c -> c < sc.q)) >= 2),
+          ${duckDedupCompFrom("q1")},
+          q2 AS (SELECT q1.doc_id, q1.lang, q1.source, q1.text FROM q1
+            LEFT JOIN comp ON comp.doc_id = q1.doc_id
+            WHERE comp.canonical IS NULL OR comp.canonical = q1.doc_id),
+          ${duckWinnowFrom("q2", "g2", "w2")},
+          ev AS (SELECT doc_id, lang, source, text FROM documents
+            WHERE source = 'src0'),
+          ${duckWinnowFrom("ev", "ge", "we")},
+          e AS (SELECT DISTINCT unnest(win) AS fp FROM we),
+          cf AS (SELECT doc_id, unnest(win) AS fp FROM w2
+            WHERE len(win) > 0),
+          n AS (SELECT cf.doc_id, count(DISTINCT cf.fp) AS nfp
+            FROM cf JOIN e ON cf.fp = e.fp GROUP BY 1),
+          q3 AS (SELECT w2.doc_id, w2.lang FROM w2
+            LEFT JOIN n ON n.doc_id = w2.doc_id
+            WHERE CASE WHEN len(w2.win) > 0
+              THEN coalesce(n.nfp, 0) * 1.0 / len(w2.win)
+              ELSE 0 END < 0.75)"""
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -1306,54 +1364,7 @@ object TextQueries extends QueryPack {
       // assert stage 1 never plans a per-language window sort)
       (s, dir) => corpusPipeline(s, dir, _.localCheckpoint()),
       Some(s"""WITH RECURSIVE
-          raw0 AS (SELECT doc_id, lang, source,
-              list_filter(string_split(
-                regexp_replace(regexp_replace(regexp_replace(text,
-                  '${TextOps.emailRe}', '[EMAIL]', 'g'),
-                  '${TextOps.phoneRe}', '[PHONE]', 'g'),
-                  '${TextOps.ipv4Re}', '[IP]', 'g'), ' '),
-                x -> x != '') AS mt
-            FROM documents WHERE source != 'src0'),
-          corpus0 AS (SELECT doc_id, lang, source,
-              array_to_string(list_transform(mt, x ->
-                CASE WHEN list_contains($duckBlocklist, x)
-                  THEN '[MASKED]' ELSE x END), ' ') AS text,
-              len(list_filter(mt, x ->
-                list_contains($duckBlocklist, x)))::BIGINT AS nmask
-            FROM raw0),
-          mq AS (SELECT doc_id, lang, source, text, $duckToks AS t
-            FROM corpus0 WHERE len($duckToks) > 0),
-          sc AS (SELECT doc_id, lang, source, text,
-              0.4 * least(len(t) / 80.0, 1.0)
-                + 0.4 * (len(list_distinct(t)) * 1.0 / len(t))
-                + 0.2 * (1.0 - len(list_filter(t,
-                    x -> list_contains(['the','a'], x))) * 1.0 / len(t))
-                AS q
-            FROM mq),
-          cuts AS (SELECT lang, quantile_disc(q,
-              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
-            FROM sc GROUP BY 1),
-          q1 AS (SELECT sc.doc_id, sc.lang, sc.source, sc.text
-            FROM sc JOIN cuts ON cuts.lang = sc.lang
-            WHERE len(list_filter(cuts.cs, c -> c < sc.q)) >= 2),
-          ${duckDedupCompFrom("q1")},
-          q2 AS (SELECT q1.doc_id, q1.lang, q1.source, q1.text FROM q1
-            LEFT JOIN comp ON comp.doc_id = q1.doc_id
-            WHERE comp.canonical IS NULL OR comp.canonical = q1.doc_id),
-          ${duckWinnowFrom("q2", "g2", "w2")},
-          ev AS (SELECT doc_id, lang, source, text FROM documents
-            WHERE source = 'src0'),
-          ${duckWinnowFrom("ev", "ge", "we")},
-          e AS (SELECT DISTINCT unnest(win) AS fp FROM we),
-          cf AS (SELECT doc_id, unnest(win) AS fp FROM w2
-            WHERE len(win) > 0),
-          n AS (SELECT cf.doc_id, count(DISTINCT cf.fp) AS nfp
-            FROM cf JOIN e ON cf.fp = e.fp GROUP BY 1),
-          q3 AS (SELECT w2.doc_id, w2.lang FROM w2
-            LEFT JOIN n ON n.doc_id = w2.doc_id
-            WHERE CASE WHEN len(w2.win) > 0
-              THEN coalesce(n.nfp, 0) * 1.0 / len(w2.win)
-              ELSE 0 END < 0.75),
+          $duckCorpusChainToQ3,
           szd AS (SELECT q3.doc_id, q3.lang, len($duckToks)::BIGINT
               AS n_tok
             FROM q3 JOIN q2 ON q2.doc_id = q3.doc_id),
@@ -1393,6 +1404,66 @@ object TextQueries extends QueryPack {
         "512-token sequence packing via the two-phase prefix scan; " +
         "per-stage survivor + masked-token counts per language so " +
         "regressions localize to their stage."),
+
+    GraftQuery(
+      "q_pipeline_provenance", Seq("D6", "J7", "A8"),
+      (s, dir) => {
+        // Doc-level drop attribution for the corpus build —
+        // q_pipeline_corpus says how many docs each stage kept; this
+        // says, for EVERY input document, which stage rejected it and
+        // why: 'unscorable' (zero tokens after scrub), 'quality'
+        // (bottom-two deciles), 'near_dup' (non-canonical cluster
+        // member), 'contaminated' (winnow overlap >= 0.75), or
+        // 'kept'. The audit trail a data-governance review asks for
+        // ("show me what the pipeline deleted and under which rule"),
+        // summarized per (lang, verdict) with a reproducible example
+        // doc id. Shares corpusStages verbatim, so the attribution
+        // CANNOT drift from the pipeline it explains.
+        //
+        // Scale shape: each stage frame is already checkpointed by
+        // the pipeline; classification is three skinny doc_id
+        // equi-joins (shuffle on the key, combining aggregation
+        // after) — no window, no broadcast of any O(corpus) side.
+        val st = corpusStages(s, dir, _.localCheckpoint())
+        def mark(df: DataFrame, c: String) =
+          df.select("doc_id").withColumn(c, lit(1))
+        st.corpus.select("doc_id", "lang")
+          .join(mark(st.scored, "in_sc"), Seq("doc_id"), "left")
+          .join(mark(st.q1, "in1"), Seq("doc_id"), "left")
+          .join(mark(st.q2, "in2"), Seq("doc_id"), "left")
+          .join(mark(st.q3, "in3"), Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("in3") === 1, "kept")
+              .when(col("in2") === 1, "contaminated")
+              .when(col("in1") === 1, "near_dup")
+              .when(col("in_sc") === 1, "quality")
+              .otherwise("unscorable"))
+          .groupBy("lang", "verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("example_doc"))
+          .orderBy("lang", "verdict")
+      },
+      Some(s"""WITH RECURSIVE
+          $duckCorpusChainToQ3
+        SELECT c0.lang,
+          CASE WHEN q3.doc_id IS NOT NULL THEN 'kept'
+               WHEN q2.doc_id IS NOT NULL THEN 'contaminated'
+               WHEN q1.doc_id IS NOT NULL THEN 'near_dup'
+               WHEN mq.doc_id IS NOT NULL THEN 'quality'
+               ELSE 'unscorable' END AS verdict,
+          count(*)::BIGINT AS n_docs,
+          min(c0.doc_id) AS example_doc
+        FROM corpus0 c0
+        LEFT JOIN mq ON mq.doc_id = c0.doc_id
+        LEFT JOIN q1 ON q1.doc_id = c0.doc_id
+        LEFT JOIN q2 ON q2.doc_id = c0.doc_id
+        LEFT JOIN q3 ON q3.doc_id = c0.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Per-document drop attribution over the corpus pipeline: " +
+        "which stage rejected each doc and under which rule, " +
+        "summarized per (lang, verdict) with example ids — three " +
+        "skinny equi-joins over the checkpointed stage frames, the " +
+        "governance audit trail of the corpus build."),
 
     GraftQuery(
       "q_text_spans", Seq("P10", "D1", "J7"),
