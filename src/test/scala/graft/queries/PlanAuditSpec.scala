@@ -59,6 +59,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_profile_table",
     // 1-row order-count broadcast for the lift denominator
     "q_itemsets",
+    // 1-row order-count broadcast for the PMI denominator
+    "q_agg_pmi",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
