@@ -1885,6 +1885,57 @@ object StreamingOps {
   def boilerplateStream(docs: DataFrame, bp: DataFrame): DataFrame =
     graft.queries.TextQueries.boilerplatePerDoc(docs, bp)
 
+  final case class DistinctEvent(
+      userId: Long, eventType: String, tsMicros: Long)
+  final case class DistinctState(
+      firstSeen: Map[String, Long], nSeen: Long)
+  final case class DistinctSnapshot(
+      userId: Long, eventType: String, firstTsMicros: Long,
+      nthDistinct: Long, nSeenEvents: Long)
+
+  /** Streaming running COUNT(DISTINCT) — the streaming twin of
+    * q_win_running_distinct: keyed state holds each user's
+    * (event_type -> min event-time) map (bounded by the TYPE
+    * vocabulary, not the event volume — the same reduction that makes
+    * the batch rewrite linear), and each micro-batch re-emits the
+    * touched user's full first-occurrence ranking. Late events are
+    * handled exactly (a new earlier ts re-ranks the map — no
+    * watermark approximation), so the LATEST snapshot per user (max
+    * nSeenEvents, the monotone version stamp) equals the batch
+    * ranking over the same prefix whatever the batching or arrival
+    * order (parity spec-pinned). Update-mode output.
+    */
+  def runningDistinctStream(
+      events: Dataset[DistinctEvent]): Dataset[DistinctSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[DistinctState, DistinctSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[DistinctEvent],
+         state: GroupState[DistinctState]) =>
+          val prev = state.getOption
+            .getOrElse(DistinctState(Map.empty, 0L))
+          var first = prev.firstSeen
+          var nNew = 0L
+          rows.foreach { e =>
+            nNew += 1L
+            val cur = first.get(e.eventType)
+            if (cur.forall(e.tsMicros < _))
+              first = first.updated(e.eventType, e.tsMicros)
+          }
+          // monotone version stamp: total events seen for this user
+          val seenSoFar = prev.nSeen + nNew
+          state.update(DistinctState(first, seenSoFar))
+          first.toSeq
+            .sortBy { case (t, ts) => (ts, t) }
+            .zipWithIndex.iterator.map { case ((t, ts), i) =>
+              DistinctSnapshot(u, t, ts, i + 1L, seenSoFar)
+            }
+      }
+  }
+
   final case class EntropyEvent(userId: Long, eventType: String)
   final case class EntropyState(counts: Map[String, Long])
   final case class EntropySnapshot(

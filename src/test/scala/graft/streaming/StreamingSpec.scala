@@ -1908,4 +1908,47 @@ class StreamingSpec extends SparkSuite {
       q.stop(); bp.unpersist()
     }
   }
+
+  test("streaming running distinct-count equals the batch " +
+    "first-occurrence ranking, with late arrivals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("m"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("first_m", "event_type")
+    val want = ev.groupBy("user_id", "event_type")
+      .agg(min("m").as("first_m"))
+      .withColumn("nth", row_number().over(w).cast("bigint"))
+      .select("user_id", "event_type", "first_m", "nth")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    // arrival order = event_id DESCENDING: every batch delivers
+    // events with earlier timestamps than already-processed ones, so
+    // the state must re-rank (the late-data path, no watermark cut)
+    val fixture = ev.orderBy(col("event_id").desc)
+      .select("user_id", "event_type", "m")
+      .as[(Long, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingOps.runningDistinctStream(
+        in.toDS().map(t => StreamingOps.DistinctEvent(t._1, t._2, t._3)))
+      .writeStream.format("memory").queryName("rdist_stream")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = fixture.splitAt(fixture.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      // latest snapshot per user = rows carrying its max version stamp
+      val snaps = spark.table("rdist_stream")
+      val latest = snaps.groupBy(col("userId").as("u"))
+        .agg(max("nSeenEvents").as("v"))
+      val got = snaps.join(latest,
+          snaps("userId") === col("u") && snaps("nSeenEvents") === col("v"))
+        .select("userId", "eventType", "firstTsMicros", "nthDistinct")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
 }
