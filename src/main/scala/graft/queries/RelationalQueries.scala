@@ -3071,5 +3071,120 @@ object RelationalQueries extends QueryPack {
       "Explicit GROUPING SETS (two subtotal views + leaf, no grand " +
         "total) in one Expand + hash-aggregate pass, exact-cents " +
         "measures, cross-engine grouping_id parity.")
+  ,
+
+    GraftQuery(
+      "q_events_disorder", Seq("W8", "A8"),
+      (s, dir) => {
+        // Event-time disorder audit — the measurement that SIZES a
+        // streaming watermark: how late do events actually arrive?
+        // Arrival order is the monotone ingest id (event_id);
+        // lateness of an event = how far its event time sits behind
+        // the max event time already ingested FOR THAT USER. One
+        // running-max window per user (bounded partitions, id-unique
+        // order — never a global sort), then an exact integer
+        // aggregation per event type: late fraction in ppm, worst
+        // and total lateness in micros. All integer micros — no
+        // float anywhere.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("m"))
+          .withColumn("late_us",
+            greatest(lit(0L), max("m").over(w) - col("m")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0, 1L).otherwise(0L))
+              .as("n_late"),
+            max("late_us").as("max_late_us"),
+            sum("late_us").as("sum_late_us"))
+          .withColumn("late_ppm",
+            expr("n_late * 1000000 div n_events"))
+          .select("event_type", "n_events", "n_late", "late_ppm",
+            "max_late_us", "sum_late_us")
+          .orderBy("event_type")
+      },
+      Some("""WITH l AS (SELECT event_type,
+              greatest(0, coalesce(max(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                - epoch_us(ts)) AS late_us
+            FROM events)
+        SELECT event_type, count(*)::BIGINT AS n_events,
+          sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_late,
+          (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+            * 1000000 // count(*))::BIGINT AS late_ppm,
+          max(late_us)::BIGINT AS max_late_us,
+          sum(late_us)::BIGINT AS sum_late_us
+        FROM l GROUP BY 1 ORDER BY 1"""),
+      "Watermark-sizing disorder audit: per-user running-max window " +
+        "over the arrival order (bounded partitions), exact integer " +
+        "lateness stats per event type — late ppm, worst and total " +
+        "lateness in micros."),
+
+    GraftQuery(
+      "q_events_winsorized", Seq("A9", "A8", "W7"),
+      (s, dir) => {
+        // Winsorized (clipped) robust statistics per event type — the
+        // outlier-tolerant feature scaling a metrics pipeline applies
+        // before averaging heavy-tailed values: clip each value to its
+        // group's [p10, p90], report clip counts and the clipped sum.
+        // Quantiles come from the GK sketch (percentile_approx) run at
+        // accuracy >= the table size, where its cuts are EXACT and
+        // equal DuckDB's quantile_disc (the q_text_quantile_sketch
+        // pin); the premise is gate-asserted, not assumed. Scale
+        // shape: one sketch aggregation (mergeable partials), a
+        // broadcast of the 5-row cut table, one combining
+        // aggregation — no window, no sort, all-integer micros.
+        val acc = math.min(math.max(10000L,
+          Tables.rowCount(s, dir, "events")), 10000000L).toInt
+        if (s.conf.getOption("graft.gate").contains("true")) {
+          val n = Tables.rowCount(s, dir, "events")
+          require(n <= acc, s"q_events_winsorized: table ($n rows) " +
+            s"exceeds sketch accuracy $acc — cuts no longer exact")
+        }
+        val v = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("cast(round(value * 1000000) as bigint)").as("v6"))
+        val cuts = v.groupBy("event_type")
+          .agg(expr(s"percentile_approx(v6, array(0.1, 0.9), $acc)")
+            .as("c"))
+          .select(col("event_type"), col("c")(0).as("lo"),
+            col("c")(1).as("hi"))
+        v.join(broadcast(cuts), Seq("event_type"))
+          .withColumn("w", least(greatest(col("v6"), col("lo")),
+            col("hi")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            first("lo").as("lo_v6"), first("hi").as("hi_v6"),
+            sum(when(col("v6") < col("lo"), 1L).otherwise(0L))
+              .as("n_clip_lo"),
+            sum(when(col("v6") > col("hi"), 1L).otherwise(0L))
+              .as("n_clip_hi"),
+            sum("w").as("sum_w6"))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+              round(value * 1000000)::BIGINT AS v6 FROM events),
+          c AS (SELECT event_type,
+              quantile_disc(v6, 0.1) AS lo,
+              quantile_disc(v6, 0.9) AS hi
+            FROM v GROUP BY 1)
+        SELECT v.event_type, count(*)::BIGINT AS n,
+          first(c.lo)::BIGINT AS lo_v6, first(c.hi)::BIGINT AS hi_v6,
+          sum(CASE WHEN v6 < c.lo THEN 1 ELSE 0 END)::BIGINT
+            AS n_clip_lo,
+          sum(CASE WHEN v6 > c.hi THEN 1 ELSE 0 END)::BIGINT
+            AS n_clip_hi,
+          sum(least(greatest(v6, c.lo), c.hi))::BIGINT AS sum_w6
+        FROM v JOIN c USING (event_type)
+        GROUP BY 1 ORDER BY 1"""),
+      "Winsorized robust stats: exact GK cuts (gate-asserted " +
+        "accuracy) broadcast onto one combining clip-and-sum pass — " +
+        "no window, no sort, integer micros end to end.")
   )
 }
