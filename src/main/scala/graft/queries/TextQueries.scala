@@ -127,6 +127,62 @@ object TextQueries extends QueryPack {
       .withColumn("frac_ppm",
         expr("n_bp * 1000000 div n_big"))
 
+  /** EXACT word-trigram Jaccard ≥ 0.5 pair set via the lossless SSJoin
+    * rare-prefix bound — the q_dedup_ngram plan through verification,
+    * shared with the LSH recall audit (q_dedup_recall) so "ground
+    * truth" there is exactly the pair set the ngram gate pins.
+    * Returns (doc_a, doc_b, n_a, n_b, overlap); plan notes on
+    * q_dedup_ngram.
+    */
+  private def ngramDupPairs(
+      s: SparkSession, dir: String): DataFrame = {
+    val trigramHash = TextOps.hash64(
+      "concat_ws(' ', element_at(t, i), element_at(t, i+1), " +
+        "element_at(t, i+2))")
+    val base = docs(s, dir)
+      .withColumn("t", TextOps.tokens("text"))
+      .where(expr("size(t) >= 3"))
+      .withColumn("sh", expr(
+        "array_sort(array_distinct(" +
+          "transform(sequence(1, size(t) - 2), i -> " +
+          trigramHash + ")))"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      // 1 row/doc; the posting pass and the verify pass both read
+      // it — an interpreted tokenize+hash expression must never
+      // be re-inlined into each consumer
+      .localCheckpoint()
+    val fps = base.select(col("doc_id"), explode(col("sh")).as("fp"))
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val prefix = fps.join(dfreq, Seq("fp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "fp")))
+      .join(base.select("doc_id", "n"), Seq("doc_id"))
+      // prefix length n − ⌈n/2⌉ + 1 (τ = 1/2, integer arithmetic)
+      .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1L)
+      .select(col("doc_id"), col("fp"), col("n"))
+    // candidates: rare-prefix token match + the Jaccard length
+    // bound (τ·n_a ≤ n_b ≤ n_a/τ) — never an all-pairs stage
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          lit(2) * col("y.n") >= col("x.n") &&
+          lit(2) * col("x.n") >= col("y.n"))
+      .select(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("overlap",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(lit(3) * col("overlap") >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("overlap"))
+  }
+
   /** Shared (doc_id, band-bucket key) membership for the CC dedup pair
     * (q_dedup_cluster / q_dedup_survivors): minhash w=3, k=16, 4 bands
     * x r=4 — ONE definition so the two queries' geometry cannot drift.
@@ -1282,51 +1338,9 @@ object TextQueries extends QueryPack {
         // (the oracle recomputes identical hashes). Verdict is
         // cross-multiplied (3·ov ≥ n_a + n_b ⟺ jac ≥ 0.5): the gate
         // is integer-exact; the displayed jac divides once.
-        val trigramHash = TextOps.hash64(
-          "concat_ws(' ', element_at(t, i), element_at(t, i+1), " +
-            "element_at(t, i+2))")
-        val base = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          .where(expr("size(t) >= 3"))
-          .withColumn("sh", expr(
-            "array_sort(array_distinct(" +
-              "transform(sequence(1, size(t) - 2), i -> " +
-              trigramHash + ")))"))
-          .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-          // 1 row/doc; the posting pass and the verify pass both read
-          // it — an interpreted tokenize+hash expression must never
-          // be re-inlined into each consumer
-          .localCheckpoint()
-        val fps = base.select(col("doc_id"), explode(col("sh")).as("fp"))
-        val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        val prefix = fps.join(dfreq, Seq("fp"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "fp")))
-          .join(base.select("doc_id", "n"), Seq("doc_id"))
-          // prefix length n − ⌈n/2⌉ + 1 (τ = 1/2, integer arithmetic)
-          .where(col("rk") <= col("n") - expr("(n + 1) div 2") + 1L)
-          .select(col("doc_id"), col("fp"), col("n"))
-        // candidates: rare-prefix token match + the Jaccard length
-        // bound (τ·n_a ≤ n_b ≤ n_a/τ) — never an all-pairs stage
-        val cands = prefix.as("x").join(prefix.as("y"),
-            col("x.fp") === col("y.fp") &&
-              col("x.doc_id") < col("y.doc_id") &&
-              lit(2) * col("y.n") >= col("x.n") &&
-              lit(2) * col("x.n") >= col("y.n"))
-          .select(col("x.doc_id").as("doc_a"),
-            col("y.doc_id").as("doc_b"))
-          .distinct()
-        cands
-          .join(base.select(col("doc_id").as("doc_a"),
-            col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
-          .join(base.select(col("doc_id").as("doc_b"),
-            col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
-          .withColumn("overlap",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-          .where(lit(3) * col("overlap") >= col("n_a") + col("n_b"))
-          .select(col("doc_a"), col("doc_b"),
-            col("n_a").cast("long").as("n_a"),
-            col("n_b").cast("long").as("n_b"), col("overlap"),
+        ngramDupPairs(s, dir)
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+            col("overlap"),
             round(col("overlap").cast("double") /
               (col("n_a") + col("n_b") - col("overlap")), 6).as("jac"))
           .orderBy("doc_a", "doc_b")
@@ -1356,6 +1370,85 @@ object TextQueries extends QueryPack {
         "doc's rarest ~half of trigrams seed candidates, overlap " +
         "verified integer-exactly on candidate pairs only — no " +
         "blocking key ever goes quadratic in corpus size."),
+
+    GraftQuery(
+      "q_dedup_recall", Seq("D1", "A9", "J11"),
+      (s, dir) => {
+        // MEASURED recall audit of the minhash-LSH banding geometry
+        // (w=3, k=16, 4 bands × r=4 — dedupMembership, the geometry
+        // q_dedup_cluster/survivors and the corpus pipeline actually
+        // run) against EXACT trigram-Jaccard ≥ 0.5 ground truth (the
+        // q_dedup_recall twin of the q_sim_recall* family: dedup
+        // configs deserve the same honesty as ANN configs). Truth is
+        // the shared ngramDupPairs plan, so the audit pins the very
+        // pair set the ngram gate verifies. A true pair is CAUGHT iff
+        // its two docs share at least one band bucket — checked by
+        // joining the 4-row/doc membership through the pair list
+        // (keyed equi-joins on bounded frames), never by enumerating
+        // LSH candidate pairs. Bucket workload is reported as
+        // Σ C(size, 2) candidate slots straight off the bucket-size
+        // aggregation — the join work the CC stage faces — plus the
+        // max bucket, the skew number that decides whether a hub
+        // bucket needs salting at 100 TB.
+        val truth = ngramDupPairs(s, dir)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val mem = dedupMembership(s, dir).localCheckpoint()
+        val caught = truth
+          .join(mem.toDF("doc_a", "gkey"), Seq("doc_a"))
+          .join(mem.toDF("doc_b", "gkey"), Seq("doc_b", "gkey"))
+          .select("doc_a", "doc_b").distinct()
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val nCaught = caught.agg(count(lit(1)).as("n_caught"))
+        val buckets = mem.groupBy("gkey")
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max("sz").as("max_bucket"),
+            sum(expr("sz * (sz - 1) div 2")).as("cand_slots"))
+        nTrue.crossJoin(nCaught).crossJoin(buckets)
+          .withColumn("recall_ppm",
+            expr("n_caught * 1000000 div greatest(n_true, 1)"))
+          .select("n_true", "n_caught", "recall_ppm", "n_buckets",
+            "max_bucket", "cand_slots")
+      },
+      Some(s"""WITH RECURSIVE
+          td AS (SELECT doc_id, $duckToks AS t FROM documents),
+          ts2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> ${dh("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}))
+                AS sh
+            FROM td WHERE len(t) >= 3),
+          tf AS (SELECT doc_id, unnest(sh) AS fp FROM ts2),
+          tsz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM ts2),
+          tov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*)::BIGINT AS overlap
+            FROM tf a JOIN tf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (SELECT tov.doc_a, tov.doc_b FROM tov
+            JOIN tsz sa ON sa.doc_id = tov.doc_a
+            JOIN tsz sb ON sb.doc_id = tov.doc_b
+            WHERE 3 * tov.overlap >= sa.n + sb.n),
+          ${duckDedupCompFrom("documents")},
+          caught AS (SELECT DISTINCT t.doc_a, t.doc_b FROM truth t
+            JOIN bands xa ON xa.doc_id = t.doc_a
+            JOIN bands xb ON xb.doc_id = t.doc_b
+              AND xb.b = xa.b AND xb.key = xa.key),
+          bk AS (SELECT b, key, count(*)::BIGINT AS sz
+            FROM bands GROUP BY 1, 2),
+          agg AS (SELECT count(*)::BIGINT AS n_buckets,
+              max(sz)::BIGINT AS max_bucket,
+              sum(sz * (sz - 1) // 2)::BIGINT AS cand_slots FROM bk),
+          tc AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+          cc AS (SELECT count(*)::BIGINT AS n_caught FROM caught)
+        SELECT tc.n_true, cc.n_caught,
+          (cc.n_caught * 1000000 // greatest(tc.n_true, 1))::BIGINT
+            AS recall_ppm,
+          agg.n_buckets, agg.max_bucket, agg.cand_slots
+        FROM tc, cc, agg"""),
+      "Measured LSH dedup recall: exact trigram-Jaccard truth " +
+        "(shared ngramDupPairs) vs the production banding geometry, " +
+        "caught-pair check via keyed membership joins (no candidate " +
+        "enumeration), bucket workload + skew straight off the " +
+        "bucket-size aggregation."),
 
     GraftQuery(
       "q_pipeline_corpus", Seq("W2", "D1", "D2", "J7", "D9", "A8"),
