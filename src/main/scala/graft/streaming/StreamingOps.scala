@@ -1936,6 +1936,56 @@ object StreamingOps {
       }
   }
 
+  final case class ArrivalEvent(
+      userId: Long, eventId: Long, tsMicros: Long)
+  final case class DisorderState(
+      maxTs: Long, nEvents: Long, nLate: Long, maxLate: Long,
+      sumLate: Long)
+  final case class DisorderSnapshot(
+      userId: Long, nEvents: Long, nLate: Long, maxLateUs: Long,
+      sumLateUs: Long)
+
+  /** Streaming event-time disorder monitor — the streaming twin of
+    * q_events_disorder's per-user lateness core: keyed state carries
+    * the user's running max event time plus four exact integer
+    * counters; each arriving event's lateness is its distance behind
+    * that max. Within a micro-batch, rows are processed in ingest-id
+    * order (the batch query's arrival order), so snapshots are
+    * batching-invariant and the LATEST per user (max nEvents, the
+    * monotone stamp) equals the batch lateness aggregate over the
+    * same prefix — parity spec-pinned. This is the live view of the
+    * watermark-sizing audit: alert when late ppm or max lateness
+    * drifts past what the configured watermark absorbs.
+    */
+  def disorderStream(
+      events: Dataset[ArrivalEvent]): Dataset[DisorderSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[DisorderState, DisorderSnapshot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[ArrivalEvent],
+         state: GroupState[DisorderState]) =>
+          var st = state.getOption
+            .getOrElse(DisorderState(Long.MinValue, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.eventId).foreach { e =>
+            val late =
+              if (st.maxTs == Long.MinValue) 0L
+              else math.max(0L, st.maxTs - e.tsMicros)
+            st = DisorderState(
+              math.max(st.maxTs, e.tsMicros),
+              st.nEvents + 1L,
+              st.nLate + (if (late > 0) 1L else 0L),
+              math.max(st.maxLate, late),
+              st.sumLate + late)
+          }
+          state.update(st)
+          Iterator.single(DisorderSnapshot(
+            u, st.nEvents, st.nLate, st.maxLate, st.sumLate))
+      }
+  }
+
   final case class EntropyEvent(userId: Long, eventType: String)
   final case class EntropyState(counts: Map[String, Long])
   final case class EntropySnapshot(

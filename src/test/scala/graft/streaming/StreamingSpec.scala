@@ -1951,4 +1951,54 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming disorder monitor equals the batch per-user lateness " +
+    "aggregate, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    // the fixture ingests in event-time order (no natural lateness),
+    // so REVERSE the arrival id on both sides: every non-first event
+    // of a user then arrives behind that user's running max — the
+    // late path is exercised on the whole table
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), (-col("event_id")).as("event_id"),
+        unix_micros(col("ts")).as("m"))
+    // batch twin of the q_events_disorder core, aggregated per USER
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = ev
+      .withColumn("late_us",
+        greatest(lit(0L), max("m").over(w) - col("m")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("nl"),
+        max("late_us").as("mx"), sum("late_us").as("sm"))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(want.nonEmpty)
+    assert(want.exists(_._3 > 0), "fixture should carry late events")
+    // arrival order = event_id, split mid-user across batches
+    val fixture = ev.orderBy("event_id")
+      .select("user_id", "event_id", "m")
+      .as[(Long, Long, Long)].collect().toSeq
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.disorderStream(
+        in.toDS().map(t => StreamingOps.ArrivalEvent(t._1, t._2, t._3)))
+      .writeStream.format("memory").queryName("disorder_stream")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = fixture.splitAt(fixture.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val snaps = spark.table("disorder_stream")
+      val latest = snaps.groupBy(col("userId").as("u"))
+        .agg(max("nEvents").as("v"))
+      val got = snaps.join(latest,
+          snaps("userId") === col("u") && snaps("nEvents") === col("v"))
+        .select("userId", "nEvents", "nLate", "maxLateUs", "sumLateUs")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
 }
