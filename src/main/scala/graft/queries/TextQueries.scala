@@ -1451,6 +1451,88 @@ object TextQueries extends QueryPack {
         "bucket-size aggregation."),
 
     GraftQuery(
+      "q_dedup_minhash_err", Seq("A9", "J11", "D1"),
+      (s, dir) => {
+        // MinHash ESTIMATOR-error audit — the statistical companion
+        // to q_dedup_recall: on the exact ≥0.5-Jaccard pair set, how
+        // far does the k=16 signature's agreement fraction sit from
+        // the true Jaccard it estimates? (E[matches/k] = J; the audit
+        // measures the realized error of the production k, the number
+        // that justifies — or indicts — the signature width.) Both
+        // quantities leave division-land as exact 1e6-scaled integer
+        // floors, so the error stats carry no float-summation hazard.
+        // Scale shape: truth pairs are the bounded ngramDupPairs set;
+        // signatures join through the pair list by doc id — keyed
+        // equi-joins, one final 1-row aggregation, no pair
+        // enumeration beyond truth itself.
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+        val sigs = docs(s, dir)
+          .withColumn("r", shSig(col("text")))
+          .where(expr("size(r._1) >= 1"))
+          .select(col("doc_id"), col("r._2").as("sig"))
+          .localCheckpoint()
+        ngramDupPairs(s, dir)
+          .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
+          .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+          .withColumn("est16", expr(
+            "aggregate(zip_with(sig_a, sig_b, " +
+              "(x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+          .withColumn("jac6",
+            expr("overlap * 1000000 div (n_a + n_b - overlap)"))
+          .withColumn("est6", expr("est16 * 1000000 div 16"))
+          .withColumn("err6", abs(col("est6") - col("jac6")))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("err6").as("sum_err6"), max("err6").as("max_err6"))
+          .withColumn("mean_err6",
+            expr("sum_err6 div greatest(n_pairs, 1)"))
+          .select("n_pairs", "mean_err6", "max_err6", "sum_err6")
+      },
+      Some(s"""WITH td AS (SELECT doc_id, $duckToks AS t
+              FROM documents),
+          ts2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+            FROM td WHERE len(t) >= 3),
+          tsg AS (SELECT doc_id,
+              list_transform(g, x -> ${dh("x")}) AS sh,
+              list_transform(range(0, 16), s ->
+                list_min(list_transform(g, x ->
+                  (${dh("x")} & 2147483647) * (2 * s + 1)
+                    + s * 2654435761))) AS sig
+            FROM ts2),
+          tf AS (SELECT doc_id, unnest(sh) AS fp FROM tsg),
+          tsz AS (SELECT doc_id, len(list_distinct(sh))::BIGINT AS n
+            FROM tsg),
+          tov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(DISTINCT a.fp)::BIGINT AS overlap
+            FROM tf a JOIN tf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (SELECT tov.doc_a, tov.doc_b, sa.n AS n_a,
+              sb.n AS n_b, tov.overlap FROM tov
+            JOIN tsz sa ON sa.doc_id = tov.doc_a
+            JOIN tsz sb ON sb.doc_id = tov.doc_b
+            WHERE 3 * tov.overlap >= sa.n + sb.n),
+          e AS (SELECT t.*, list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN xa.sig[i] = xb.sig[i]
+                  THEN 1 ELSE 0 END))::BIGINT AS est16
+            FROM truth t
+            JOIN tsg xa ON xa.doc_id = t.doc_a
+            JOIN tsg xb ON xb.doc_id = t.doc_b),
+          p AS (SELECT est16 * 1000000 // 16 AS est6,
+              overlap * 1000000 // (n_a + n_b - overlap) AS jac6
+            FROM e)
+        SELECT count(*)::BIGINT AS n_pairs,
+          (sum(abs(est6 - jac6)) //
+            greatest(count(*), 1))::BIGINT AS mean_err6,
+          max(abs(est6 - jac6))::BIGINT AS max_err6,
+          sum(abs(est6 - jac6))::BIGINT AS sum_err6
+        FROM p"""),
+      "MinHash estimator-error audit on the exact near-dup pair set: " +
+        "signature agreement (est = matches/16) vs true Jaccard as " +
+        "exact 1e6-integers — the realized error of the production " +
+        "signature width, via keyed joins only."),
+
+    GraftQuery(
       "q_pipeline_corpus", Seq("W2", "D1", "D2", "J7", "D9", "A8"),
       // body + stage semantics documented on corpusPipeline (shared
       // with PlanAuditSpec, which composes it un-checkpointed to
