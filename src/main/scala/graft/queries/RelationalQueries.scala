@@ -3185,6 +3185,111 @@ object RelationalQueries extends QueryPack {
         GROUP BY 1 ORDER BY 1"""),
       "Winsorized robust stats: exact GK cuts (gate-asserted " +
         "accuracy) broadcast onto one combining clip-and-sum pass — " +
-        "no window, no sort, integer micros end to end.")
+        "no window, no sort, integer micros end to end."),
+
+    GraftQuery(
+      "q_events_cuped", Seq("A9", "A8", "J9"),
+      (s, dir) => {
+        // CUPED variance-reduced experiment readout (Deng et al.,
+        // WSDM 2013) — the industry-standard upgrade of the plain A/B
+        // comparison (q_events_abtest): regress the experiment-period
+        // metric Y on a PRE-period covariate X (per-user event count
+        // before Jan 16), pool θ = cov(X,Y)/var(X) over all users,
+        // and report per-variant means of Y and of the adjusted
+        // Y − θ(X − X̄); ρ² is the variance fraction CUPED removes.
+        // Float discipline: every sum (n, ΣX, ΣY, ΣX², ΣXY, ΣY²) is
+        // an EXACT integer (counts and cents), so partial aggregation
+        // order cannot perturb anything; θ/means/ρ² leave integer
+        // land in one fixed-order double chain each, rounded once.
+        // Scale shape: one per-user aggregation (combining shuffle),
+        // a 2-row per-variant integer aggregation, a 1-row pooled
+        // aggregate broadcast back onto it — no window, no sort.
+        val ev = t(s, dir, "events")
+        val perUser = ev.groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < lit("2024-01-16").cast("timestamp"),
+              1L).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+              expr("cast(round(value * 100) as bigint)"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant", when(
+            expr(s"${graft.operators.TextOps.hash64("cast(user_id as string)")} % 2")
+              === 0, "A").otherwise("B"))
+        val byVariant = perUser.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum("y").as("sy"), sum(expr("x * x")).as("sxx"),
+            sum(expr("x * y")).as("sxy"),
+            sum(expr("y * y")).as("syy"))
+        val pooled = byVariant
+          .agg(sum("n").as("pn"), sum("sx").as("psx"),
+            sum("sy").as("psy"), sum("sxx").as("psxx"),
+            sum("sxy").as("psxy"), sum("syy").as("psyy"))
+        byVariant.crossJoin(broadcast(pooled))
+          .withColumn("theta", expr(
+            "(cast(pn as double) * psxy - cast(psx as double) * psy)" +
+              " / (cast(pn as double) * psxx " +
+              "- cast(psx as double) * psx)"))
+          .withColumn("xbar", expr("cast(psx as double) / pn"))
+          .withColumn("mean_y_c", expr(
+            "round(cast(sy as double) / n, 2)"))
+          .withColumn("mean_yadj_c", expr(
+            "round(cast(sy as double) / n - theta * " +
+              "(cast(sx as double) / n - xbar), 2)"))
+          .withColumn("rho2_ppm", expr(
+            "cast(round((cast(pn as double) * psxy " +
+              "- cast(psx as double) * psy) " +
+              "* (cast(pn as double) * psxy " +
+              "- cast(psx as double) * psy) " +
+              "/ ((cast(pn as double) * psxx " +
+              "- cast(psx as double) * psx) " +
+              "* (cast(pn as double) * psyy " +
+              "- cast(psy as double) * psy)) * 1000000) as bigint)"))
+          .withColumn("theta_x1e6",
+            expr("cast(round(theta * 1000000) as bigint)"))
+          .select("variant", "n", "mean_y_c", "mean_yadj_c",
+            "theta_x1e6", "rho2_ppm")
+          .orderBy("variant")
+      },
+      Some(s"""WITH u AS (SELECT user_id,
+              sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                ELSE 0 END)::BIGINT AS x,
+              sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT
+                AS y
+            FROM events GROUP BY 1),
+          v AS (SELECT CASE WHEN
+                ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                  ::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+              x, y
+            FROM u),
+          bv AS (SELECT variant, count(*)::BIGINT AS n,
+              sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+              sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+              sum(y * y)::BIGINT AS syy
+            FROM v GROUP BY 1),
+          p AS (SELECT sum(n)::BIGINT AS pn, sum(sx)::BIGINT AS psx,
+              sum(sy)::BIGINT AS psy, sum(sxx)::BIGINT AS psxx,
+              sum(sxy)::BIGINT AS psxy, sum(syy)::BIGINT AS psyy
+            FROM bv)
+        SELECT variant, n,
+          round(sy::DOUBLE / n, 2) AS mean_y_c,
+          round(sy::DOUBLE / n
+            - ((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+               / (pn::DOUBLE * psxx - psx::DOUBLE * psx))
+              * (sx::DOUBLE / n - psx::DOUBLE / pn), 2)
+            AS mean_yadj_c,
+          round(((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+            / (pn::DOUBLE * psxx - psx::DOUBLE * psx))
+            * 1000000)::BIGINT AS theta_x1e6,
+          round((pn::DOUBLE * psxy - psx::DOUBLE * psy)
+            * (pn::DOUBLE * psxy - psx::DOUBLE * psy)
+            / ((pn::DOUBLE * psxx - psx::DOUBLE * psx)
+              * (pn::DOUBLE * psyy - psy::DOUBLE * psy))
+            * 1000000)::BIGINT AS rho2_ppm
+        FROM bv, p ORDER BY variant"""),
+      "CUPED variance-reduced A/B readout: exact integer sufficient " +
+        "statistics (counts + cents), pooled θ and ρ² in one " +
+        "fixed-order double chain each, per-variant adjusted means — " +
+        "one combining shuffle plus tiny aggregates.")
   )
 }

@@ -69,6 +69,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_agg_heavyhitters",
     // 1-row max-day broadcast anchoring the decay reference
     "q_events_decay",
+    // 1-row pooled-moments broadcast onto the 2-row variant table
+    "q_events_cuped",
     // 1-row global-triangle-count broadcast stitched to the top-10
     "q_graph_triangles",
     // 1-row core-size broadcast stitched to the top-20
