@@ -1191,6 +1191,46 @@ object TextQueries extends QueryPack {
         "representative per transitive cluster."),
 
     GraftQuery(
+      "q_dedup_sizedist", Seq("D1", "A8"),
+      (s, dir) => {
+        // Duplication-profile histogram — the "how duplicated is this
+        // corpus" summary a dedup pass reports before anyone decides
+        // thresholds: number of dup clusters and docs at each cluster
+        // size, singletons included (docs with no band membership are
+        // size-1 components by definition). Web-scale corpora follow
+        // a long-tailed size distribution; the tail rows here are the
+        // templated-boilerplate families the pipeline most wants to
+        // see. Same CC machinery as q_dedup_cluster; two combining
+        // aggregations after the label propagation, nothing else.
+        import graft.operators.ConnectedComponents
+        val comp = ConnectedComponents.byGroup(
+          dedupMembership(s, dir), "doc_id", "gkey")
+        docs(s, dir).select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("component",
+            coalesce(col("component"), col("doc_id")))
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"))
+          .withColumn("n_docs", expr("sz * n_components"))
+          .select("sz", "n_components", "n_docs")
+          .orderBy("sz")
+      },
+      Some(s"""WITH RECURSIVE $duckDedupComp,
+          lbl AS (SELECT d0.doc_id,
+              coalesce(comp.canonical, d0.doc_id) AS component
+            FROM documents d0
+            LEFT JOIN comp ON comp.doc_id = d0.doc_id),
+          cs AS (SELECT component, count(*)::BIGINT AS sz
+            FROM lbl GROUP BY 1)
+        SELECT sz, count(*)::BIGINT AS n_components,
+          (sz * count(*))::BIGINT AS n_docs
+        FROM cs GROUP BY 1 ORDER BY 1"""),
+      "Cluster-size histogram of the dedup pass (singletons " +
+        "included): the duplication profile whose long tail names " +
+        "the boilerplate families — two combining aggregations on " +
+        "top of the shared CC labels."),
+
+    GraftQuery(
       "q_dedup_survivors", Seq("D1", "D2", "A8"),
       (s, dir) => {
         // The KEEP step: after clustering, the corpus retains one doc

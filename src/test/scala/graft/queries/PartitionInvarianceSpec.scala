@@ -40,7 +40,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     // drift's terminal cosine, the audio roundtrip's RMS sqrt, the
     // kNN graph's window over exact integer distances
     "q_events_entropy", "q_sim_centroid_drift", "q_multimodal_audio",
-    "q_sim_knn_graph", "q_agg_pmi")
+    "q_sim_knn_graph", "q_agg_pmi",
+    // CUPED: θ/ρ²/adjusted means are double chains over exact
+    // integer sufficient statistics — order-free by construction
+    "q_events_cuped")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
