@@ -2001,4 +2001,46 @@ class StreamingSpec extends SparkSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("runningDistinctStream state survives a query restart from its " +
+    "checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rdist_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("rdist_out").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val snaps = StreamingOps.runningDistinctStream(
+      in.toDS().map(t => StreamingOps.DistinctEvent(t._1, t._2, t._3)))
+    // update-mode stateful output rides foreachBatch onto parquet —
+    // the fault-tolerant shape a real pipeline restarts on
+    def start() = snaps.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+                         StreamingOps.DistinctSnapshot],
+                       _: Long) =>
+        df.write.mode("append").parquet(out); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    val q1 = start()
+    try {
+      in.addData((1L, "a", 100L), (1L, "b", 50L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the restored state must (i) keep b's first_ts, (ii)
+    // re-rank a when its EARLIER occurrence arrives, (iii) keep the
+    // monotone event count accumulating across the restart
+    val q2 = start()
+    try {
+      in.addData((1L, "a", 10L), (1L, "c", 200L))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      val vmax = rows.agg(max("nSeenEvents")).head.getLong(0)
+      val latest = rows.where(col("nSeenEvents") === vmax)
+        .select("userId", "eventType", "firstTsMicros", "nthDistinct")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(vmax === 4L, "event count must accumulate across restart")
+      assert(latest === Seq((1L, "a", 10L, 1L), (1L, "b", 50L, 2L),
+        (1L, "c", 200L, 3L)))
+    } finally q2.stop()
+  }
 }
