@@ -1573,6 +1573,74 @@ object TextQueries extends QueryPack {
         "signature width, via keyed joins only."),
 
     GraftQuery(
+      "q_dedup_split_leak", Seq("D1", "J7", "A8"),
+      (s, dir) => {
+        // Split-leakage audit — the check that makes a train/val/test
+        // split TRUSTWORTHY: a near-duplicate pair whose two docs
+        // land in different splits leaks the held-out answer into
+        // training even though no doc crosses splits by id. Truth is
+        // the exact trigram-Jaccard ≥ 0.5 pair set (shared
+        // ngramDupPairs); split membership is the q_pipeline_split
+        // hash rule verbatim, with the src0 benchmark labeled 'eval'
+        // (an eval×train row here is benchmark contamination that
+        // id-level hygiene can never see). Output: pair counts per
+        // unordered split combination — the off-diagonal rows are
+        // the leaks. Keyed joins through the bounded pair list only.
+        val h = expr(TextOps.hash64("cast(doc_id as string)"))
+        val splits = docs(s, dir)
+          .withColumn("b", h % 100)
+          .withColumn("split",
+            when(col("source") === "src0", "eval")
+              .when(col("b") < 90, "train")
+              .when(col("b") < 95, "val")
+              .otherwise("test"))
+          .select("doc_id", "split")
+        ngramDupPairs(s, dir)
+          .join(splits.toDF("doc_a", "sa"), Seq("doc_a"))
+          .join(splits.toDF("doc_b", "sb"), Seq("doc_b"))
+          .withColumn("split_lo", least(col("sa"), col("sb")))
+          .withColumn("split_hi", greatest(col("sa"), col("sb")))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""WITH td AS (SELECT doc_id, $duckToks AS t
+              FROM documents),
+          ts2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> ${dh("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}))
+                AS sh
+            FROM td WHERE len(t) >= 3),
+          tf AS (SELECT doc_id, unnest(sh) AS fp FROM ts2),
+          tsz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM ts2),
+          tov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              count(*)::BIGINT AS overlap
+            FROM tf a JOIN tf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (SELECT tov.doc_a, tov.doc_b FROM tov
+            JOIN tsz sa ON sa.doc_id = tov.doc_a
+            JOIN tsz sb ON sb.doc_id = tov.doc_b
+            WHERE 3 * tov.overlap >= sa.n + sb.n),
+          sp AS (SELECT doc_id,
+              CASE WHEN source = 'src0' THEN 'eval'
+                WHEN ${dh("doc_id::VARCHAR")} % 100 < 90 THEN 'train'
+                WHEN ${dh("doc_id::VARCHAR")} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents)
+        SELECT least(xa.split, xb.split) AS split_lo,
+          greatest(xa.split, xb.split) AS split_hi,
+          count(*)::BIGINT AS n_pairs
+        FROM truth t
+        JOIN sp xa ON xa.doc_id = t.doc_a
+        JOIN sp xb ON xb.doc_id = t.doc_b
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Split-leakage audit: exact near-dup pairs classified by the " +
+        "unordered split combination of their endpoints (benchmark " +
+        "src0 = 'eval') — the off-diagonal counts are answers " +
+        "leaking across train/val/test that id-level split hygiene " +
+        "cannot detect."),
+
+    GraftQuery(
       "q_pipeline_corpus", Seq("W2", "D1", "D2", "J7", "D9", "A8"),
       // body + stage semantics documented on corpusPipeline (shared
       // with PlanAuditSpec, which composes it un-checkpointed to
