@@ -676,6 +676,81 @@ object SimilarityQueries extends QueryPack {
         "at 100 TB."),
 
     GraftQuery(
+      "q_sim_ivf_filtered", Seq("A10", "J6", "J7"),
+      (s, dir) => {
+        // FILTERED vector search — the production ANN shape
+        // ("neighbors of this embedding WHERE label matches") that
+        // naive pipelines implement as post-filtering, which silently
+        // empties the result when the top-k is dominated by
+        // non-matching labels. Here the predicate is PUSHED INTO the
+        // probe: each query retrieves same-label cell-mates via one
+        // (cell, label) equi-join — the filter rides the join key, so
+        // selectivity reduces the shuffle instead of the recall.
+        // Same geometry as q_sim_ivf_ann (√n sampled centroids,
+        // exact integer assignment, nprobe=1); output adds the
+        // query's label and the filtered cell-mate count — queries
+        // whose cell holds no same-label mate disappear (the honest
+        // filtered-ANN failure mode the count column makes visible).
+        val nRows = Tables.rowCount(s, dir, "embeddings")
+        val k = VectorOps.suggestedCentroids(nRows)
+        gateCheckIvf(s, nRows, k)
+        val e = quantized(s, dir)
+        val cent = sampledCentroids(e, k)
+        val cellOf = graft.operators.VectorIndex.argmaxCell(
+          e.crossJoin(broadcast(cent))
+            .withColumn("dot", VectorOps.dot("cqe", "qe"))
+            .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
+          .localCheckpoint()
+        val assigned = e.join(cellOf, Seq("vec_id"))
+          .select(col("vec_id"), col("label"), col("qe"), col("nq"),
+            col("cell"))
+        val queries = assigned.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("qe").as("qqe"), col("cell"))
+        val probed = assigned.join(queries, Seq("cell", "label"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("dot", VectorOps.dot("qqe", "qe"))
+        probed.groupBy("query_id")
+          .agg(first("label").as("label"),
+            count(lit(1)).as("n_filtered_mates"),
+            max(struct(col("dot").as("d"), (-col("vec_id")).as("ni")))
+              .as("m"))
+          .selectExpr("query_id", "label", "n_filtered_mates",
+            "m.d as best_dot", "-m.ni as best_neighbor")
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $duckBase,
+          $duckCent,
+          scored AS (SELECT n.vec_id, n.label, n.qe, n.nq, cent.c_id,
+                  ${duckCos(duckDot("cqe", "qe"), "cnq", "nq")} AS cos
+                FROM n, cent),
+          assigned AS (SELECT vec_id, label, qe, nq, c_id AS cell
+                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, c_id) AS rn FROM scored)
+                WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, label, qe AS qqe, cell
+                FROM assigned WHERE vec_id % 100 = 0),
+          probed AS (SELECT q.query_id, q.label, a.vec_id AS neighbor,
+                  ${duckDot("qqe", "qe")} AS dot
+                FROM assigned a JOIN q ON a.cell = q.cell
+                  AND a.label = q.label
+                WHERE a.vec_id != q.query_id),
+          best AS (SELECT query_id, first(label) AS label,
+                  count(*) AS n_filtered_mates,
+                  max(dot) AS best_dot FROM probed GROUP BY 1),
+          bn AS (SELECT p.query_id, min(p.neighbor) AS best_neighbor
+                FROM probed p JOIN best b ON p.query_id = b.query_id
+                  AND p.dot = b.best_dot GROUP BY 1)
+        SELECT b.query_id, b.label, b.n_filtered_mates, b.best_dot,
+          bn.best_neighbor
+        FROM best b JOIN bn ON bn.query_id = b.query_id
+        ORDER BY b.query_id"""),
+      "Filtered ANN with the predicate pushed into the probe join " +
+        "key (cell, label) — selectivity shrinks the shuffle, not " +
+        "the recall; the filtered-mate count exposes empty-cell " +
+        "failure instead of hiding it."),
+
+    GraftQuery(
       "q_sim_ivf_probe2", Seq("A10", "J6", "D9"),
       (s, dir) => {
         // IVF with nprobe=2 — the standard IVF recall knob: vectors

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSuite {
     // recall audits: exact side = all x broadcast(queries)
     "q_sim_recall", "q_sim_recall_ivfpq", "q_sim_recall_rotpq",
     // IVF assignment: all x broadcast(centroids), then cell equi-join
-    "q_sim_ivf_ann", "q_sim_ivf_probe2", "q_sim_index_probe",
+    "q_sim_ivf_ann", "q_sim_ivf_probe2", "q_sim_ivf_filtered",
+    "q_sim_index_probe",
     "q_sim_index_probe2", "q_sim_ivf_refined", "q_sim_ivfpq",
     "q_sim_ivfpq2", "q_sim_ivfpq_rerank", "q_sim_ivfpq_residual",
     "q_sim_kmeans_stats",
