@@ -1936,6 +1936,32 @@ object StreamingOps {
       }
   }
 
+  /** Streaming winsorized stats — the streaming twin of
+    * q_events_winsorized's scoring half: arriving events are clipped
+    * against a FROZEN per-type [lo, hi] cut table (the offline GK
+    * quantiles, refreshed by restart like the quality cuts and the
+    * scrub blocklist) and folded into a running per-type aggregate.
+    * The plan is a stream-static broadcast-able equi-join on the
+    * tiny cut table plus one stateful combining aggregation in
+    * update mode — the same exact-integer columns as the batch
+    * query, so the LATEST row per type equals the batch result over
+    * the same prefix (parity spec-pinned).
+    * `events`: (event_type, v6); `cuts`: (event_type, lo, hi).
+    */
+  def winsorizedStream(events: DataFrame, cuts: DataFrame): DataFrame =
+    events
+      .join(broadcast(cuts), Seq("event_type"))
+      .withColumn("w", least(greatest(col("v6"), col("lo")),
+        col("hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        first("lo").as("lo_v6"), first("hi").as("hi_v6"),
+        sum(when(col("v6") < col("lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("v6") > col("hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        sum("w").as("sum_w6"))
+
   final case class ArrivalEvent(
       userId: Long, eventId: Long, tsMicros: Long)
   final case class DisorderState(

@@ -2002,6 +2002,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming winsorized stats equal the batch clip-and-sum " +
+    "against the frozen cuts, whatever the batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 1000000) as bigint)").as("v6"))
+    val cuts = ev.groupBy("event_type")
+      .agg(expr("percentile_approx(v6, array(0.1, 0.9), 100000)")
+        .as("c"))
+      .select(col("event_type"), col("c")(0).as("lo"),
+        col("c")(1).as("hi"))
+      .persist()
+    val want = StreamingOps.winsorizedStream(ev, cuts)
+      .select("event_type", "n", "lo_v6", "hi_v6", "n_clip_lo",
+        "n_clip_hi", "sum_w6")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(want.nonEmpty)
+    assert(want.exists(r => r._5 > 0 || r._6 > 0),
+      "fixture should clip something")
+    val fixture = ev.as[(String, Long)].collect().toSeq
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingOps.winsorizedStream(
+        in.toDF().toDF("event_type", "v6"), cuts)
+      .writeStream.format("memory").queryName("wins_stream")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = fixture.splitAt(fixture.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      val snaps = spark.table("wins_stream")
+      val latest = snaps.groupBy(col("event_type").as("et"))
+        .agg(max("n").as("v"))
+      val got = snaps.join(latest, snaps("event_type") === col("et") &&
+          snaps("n") === col("v"))
+        .select("event_type", "n", "lo_v6", "hi_v6", "n_clip_lo",
+          "n_clip_hi", "sum_w6")
+        .as[(String, Long, Long, Long, Long, Long, Long)]
+        .collect().sorted.toSeq
+      assert(got === want)
+    } finally {
+      q.stop(); cuts.unpersist()
+    }
+  }
+
   test("runningDistinctStream state survives a query restart from its " +
     "checkpoint") {
     implicit val sqlCtx = spark.sqlContext
