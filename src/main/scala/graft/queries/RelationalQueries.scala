@@ -3291,5 +3291,166 @@ object RelationalQueries extends QueryPack {
         "statistics (counts + cents), pooled θ and ρ² in one " +
         "fixed-order double chain each, per-variant adjusted means — " +
         "one combining shuffle plus tiny aggregates.")
+    ,
+
+    GraftQuery(
+      "q_events_bootstrap", Seq("A9", "A8", "W3"),
+      (s, dir) => {
+        // Poisson-bootstrap confidence interval for the per-user spend
+        // mean, per event type (Chamandy et al., "Estimating Uncertainty
+        // for Massive Data Streams", Google TR 2012): instead of
+        // resampling n users WITH replacement (which needs global
+        // coordination), each (user, replicate) pair draws an
+        // independent Poisson(1) weight — at 100 TB the B=100
+        // replicates are one explode away, and the partial aggregation
+        // collapses each partition to at most |types|×B rows before the
+        // only shuffle, so the wire carries replicate partial sums, not
+        // events. Determinism discipline: the weight comes from the
+        // low-60-bit md5 hash of (type, user, b) compared against
+        // FLOOR(CDF_Poisson(1)(k) · 2^60) integer thresholds — both
+        // engines branch on identical integers, no float RNG anywhere;
+        // replicate means leave integer land in one double division,
+        // and the CI bounds are ORDER STATISTICS (ranks 3/98 of the
+        // 100 replicate means — ≈ the 2.5th/97.5th percentiles)
+        // rather than interpolated quantiles, so no engine-specific
+        // interpolation enters the hash compare.
+        val B = 100
+        val ev = t(s, dir, "events")
+        val base = ev.groupBy("event_type", "user_id")
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y_c"))
+        val h = graft.operators.TextOps.hash64(
+          "concat(event_type, ':', cast(user_id as string), ':', " +
+            "cast(b as string))")
+        val wCase =
+          s"""CASE WHEN $h < 424136118829305344L THEN 0L
+                WHEN $h < 848272237658610688L THEN 1L
+                WHEN $h < 1060340297073263360L THEN 2L
+                WHEN $h < 1131029650211480960L THEN 3L
+                WHEN $h < 1148701988496035328L THEN 4L
+                WHEN $h < 1152236456152946176L THEN 5L
+                WHEN $h < 1152825534095764608L THEN 6L
+                ELSE 7L END"""
+        val repMeans = base
+          .select(col("event_type"), col("user_id"), col("y_c"),
+            explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+          .withColumn("w", expr(wCase))
+          .groupBy("event_type", "b")
+          .agg(sum(expr("w * y_c")).as("swy"), sum("w").as("sw"))
+          .withColumn("rep_mean", expr("cast(swy as double) / sw"))
+        val ranked = repMeans.withColumn("r",
+          row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("rep_mean"), col("b"))))
+        val ci = ranked.groupBy("event_type").agg(
+          max(when(col("r") === 3, col("rep_mean"))).as("lo"),
+          max(when(col("r") === 98, col("rep_mean"))).as("hi"))
+        base.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum("y_c").as("sy"))
+          .join(ci, Seq("event_type"))
+          .select(col("event_type"), col("n_users"),
+            expr("round(cast(sy as double) / n_users, 2)")
+              .as("mean_cents"),
+            expr("round(lo, 2)").as("boot_lo_cents"),
+            expr("round(hi, 2)").as("boot_hi_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH base AS (SELECT event_type, user_id,
+              sum(round(value * 100)::BIGINT)::BIGINT AS y_c
+            FROM events GROUP BY 1, 2),
+          reps AS (SELECT event_type, b, y_c,
+              ('0x' || substr(md5(event_type || ':' ||
+                user_id::VARCHAR || ':' || b::VARCHAR), 1, 15))::BIGINT
+                AS h
+            FROM base, (SELECT range AS b FROM range(100)) r),
+          w AS (SELECT event_type, b, y_c,
+              CASE WHEN h < 424136118829305344 THEN 0
+                WHEN h < 848272237658610688 THEN 1
+                WHEN h < 1060340297073263360 THEN 2
+                WHEN h < 1131029650211480960 THEN 3
+                WHEN h < 1148701988496035328 THEN 4
+                WHEN h < 1152236456152946176 THEN 5
+                WHEN h < 1152825534095764608 THEN 6
+                ELSE 7 END AS wt
+            FROM reps),
+          rm AS (SELECT event_type, b,
+              sum(wt * y_c)::BIGINT AS swy, sum(wt)::BIGINT AS sw
+            FROM w GROUP BY 1, 2),
+          rk AS (SELECT event_type, b, swy::DOUBLE / sw AS rep_mean,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY swy::DOUBLE / sw, b) AS r
+            FROM rm),
+          ci AS (SELECT event_type,
+              max(CASE WHEN r = 3 THEN rep_mean END) AS lo,
+              max(CASE WHEN r = 98 THEN rep_mean END) AS hi
+            FROM rk GROUP BY 1),
+          pt AS (SELECT event_type, count(*)::BIGINT AS n_users,
+              sum(y_c)::BIGINT AS sy
+            FROM base GROUP BY 1)
+        SELECT pt.event_type, pt.n_users,
+          round(pt.sy::DOUBLE / pt.n_users, 2) AS mean_cents,
+          round(ci.lo, 2) AS boot_lo_cents,
+          round(ci.hi, 2) AS boot_hi_cents
+        FROM pt JOIN ci USING (event_type)
+        ORDER BY event_type"""),
+      "Poisson-bootstrap CI for the per-user spend mean: hash-seeded " +
+        "integer Poisson(1) weights (no RNG), B=100 replicates " +
+        "collapsed map-side to |types|×B partial sums, CI from order " +
+        "statistics of the replicate means — uncertainty without a " +
+        "single collect."),
+
+    GraftQuery(
+      "q_events_srm", Seq("A8", "A9"),
+      (s, dir) => {
+        // Sample-ratio-mismatch guardrail (Fabijan et al., "Diagnosing
+        // Sample Ratio Mismatch", KDD 2019): per activity day, the
+        // users active that day should split 50/50 across the hash
+        // variants of q_events_abtest/q_events_cuped; a skewed split
+        // means the assignment or logging pipeline is dropping one arm
+        // (the single most common invalidator of A/B readouts). The
+        // chi-square statistic against the expected equal split is an
+        // exact rational in the observed integer counts — scaled to
+        // ×1e6 and floored into a BIGINT so both engines hash the same
+        // value — and the flag applies the 95% critical value for one
+        // degree of freedom (3.841). Scale shape: one distinct over
+        // (day, user) — a combining shuffle — then a per-day integer
+        // aggregation; no window, no sort beyond the output's.
+        val ev = t(s, dir, "events")
+        val vExpr = s"${graft.operators.TextOps.hash64(
+          "cast(user_id as string)")} % 2"
+        val dayUser = ev
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .distinct()
+          .withColumn("v", expr(vExpr))
+        dayUser.groupBy("day")
+          .agg(
+            sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+          .withColumn("chi2_x1e6", expr(
+            "cast(floor(cast((n_a - n_b) as double) * (n_a - n_b) " +
+              "/ (n_a + n_b) * 1000000) as bigint)"))
+          .withColumn("srm_flag", expr("chi2_x1e6 > 3841000"))
+          .select("day", "n_a", "n_b", "chi2_x1e6", "srm_flag")
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+              strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events),
+          v AS (SELECT day,
+              ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+                AS v
+            FROM du),
+          c AS (SELECT day,
+              sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM v GROUP BY 1)
+        SELECT day, n_a, n_b,
+          floor((n_a - n_b)::DOUBLE * (n_a - n_b) / (n_a + n_b)
+            * 1000000)::BIGINT AS chi2_x1e6,
+          floor((n_a - n_b)::DOUBLE * (n_a - n_b) / (n_a + n_b)
+            * 1000000)::BIGINT > 3841000 AS srm_flag
+        FROM c ORDER BY day"""),
+      "Per-day sample-ratio-mismatch guardrail: distinct active users " +
+        "per hash variant, exact integer chi-square ×1e6 against the " +
+        "50/50 design, flagged at the 95% critical value.")
   )
 }

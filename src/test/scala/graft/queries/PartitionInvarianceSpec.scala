@@ -43,7 +43,11 @@ class PartitionInvarianceSpec extends SparkSuite {
     "q_sim_knn_graph", "q_agg_pmi",
     // CUPED: θ/ρ²/adjusted means are double chains over exact
     // integer sufficient statistics — order-free by construction
-    "q_events_cuped")
+    "q_events_cuped",
+    // bootstrap: replicate means are one double division over exact
+    // integer (weight × cents) partials; the CI bounds are order
+    // statistics of those means, so partitioning cannot move them
+    "q_events_bootstrap")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
