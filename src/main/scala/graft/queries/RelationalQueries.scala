@@ -1211,8 +1211,11 @@ object RelationalQueries extends QueryPack {
         val exact = li
           .groupBy(col("l_partkey").cast("string").as("key"))
           .agg(count(lit(1)).as("true_cnt"))
+        // 10 rows consumed twice (probe keys + broadcast audit join):
+        // materialize once or the full exact aggregation re-runs
         val top = exact
           .orderBy(col("true_cnt").desc, col("key").asc).limit(10)
+          .localCheckpoint()
         Sketches.cmsEstimate(sk, top.select("key"), d = 4, w = 1024)
           .join(broadcast(top), Seq("key"))
           .withColumn("overcount", col("cms_est") - col("true_cnt"))
