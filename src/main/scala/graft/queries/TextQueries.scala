@@ -1160,6 +1160,101 @@ object TextQueries extends QueryPack {
         "candidates only."),
 
     GraftQuery(
+      "q_dedup_index_probe", Seq("D1", "J11", "D9"),
+      (s, dir) => {
+        // PERSISTENT-DEDUP-INDEX surface (DedupIndex.membership +
+        // probeBuckets) — the near-dup twin of q_sim_index_probe /
+        // q_text_index_search: the corpus's band-bucket membership
+        // table is the saved artifact (disk round-trip + frozen
+        // geometry pinned in DedupIndexSpec), and probing a NEW batch
+        // re-shingles only the batch and equi-joins the saved buckets
+        // — never re-reads corpus text, never an all-pairs stage.
+        // Fixture split: doc_id % 10 == 0 is the arriving batch, the
+        // rest is the indexed corpus.
+        import graft.operators.DedupIndex
+        val g = DedupIndex.Geometry(w = 3, k = 16, bands = 4)
+        val all = docs(s, dir)
+        val idx = DedupIndex.membership(
+            all.where(col("doc_id") % 10 =!= 0), "text", "doc_id", g)
+          // the saved-artifact stand-in: consumed by the probe join
+          // AND the membership counts
+          .localCheckpoint()
+        val cand = DedupIndex.probeBuckets(idx,
+          all.where(col("doc_id") % 10 === 0), "text", "doc_id", g)
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+        val sh = all.withColumn("r", shSig(col("text")))
+          .where(expr("size(r._1) >= 1"))
+          .select(col("doc_id"), col("r._1").as("sh"))
+          .localCheckpoint()
+        val verified = cand
+          .join(sh.select(col("doc_id").as("new_id"),
+            col("sh").as("sh_n")), Seq("new_id"))
+          .join(sh.select(col("doc_id").as("corpus_id"),
+            col("sh").as("sh_c")), Seq("corpus_id"))
+          .selectExpr(
+            "size(array_intersect(sh_n, sh_c)) / (size(sh_n) + " +
+              "size(sh_c) - size(array_intersect(sh_n, sh_c))) " +
+              "as exact_jac")
+        idx.agg(
+            countDistinct("doc_id").as("n_indexed_docs"),
+            count(lit(1)).as("n_membership_rows"))
+          .crossJoin(sh.where(col("doc_id") % 10 === 0)
+            .agg(count(lit(1)).as("n_probed")))
+          .crossJoin(verified.agg(
+            count(lit(1)).as("n_candidate_pairs"),
+            coalesce(sum(when(col("exact_jac") >= 0.7, 1L)
+              .otherwise(0L)), lit(0L)).as("n_dup_pairs"),
+            round(coalesce(avg("exact_jac"), lit(-1.0)), 4)
+              .as("avg_exact_jac")))
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id, sh,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
+          FROM s3),
+        cb AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)
+          WHERE doc_id % 10 != 0),
+        bb AS (SELECT doc_id, b,
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS key
+          FROM sigs, unnest([0,1,2,3]) AS u(b)
+          WHERE doc_id % 10 = 0),
+        cand AS (SELECT DISTINCT bb.doc_id AS new_id,
+            cb.doc_id AS corpus_id
+          FROM bb JOIN cb ON bb.b = cb.b AND bb.key = cb.key
+            AND bb.doc_id != cb.doc_id),
+        verified AS (SELECT
+            len(list_intersect(sn.sh, sc.sh)) * 1.0 /
+              (len(sn.sh) + len(sc.sh)
+                - len(list_intersect(sn.sh, sc.sh))) AS exact_jac
+          FROM cand
+          JOIN sigs sn ON sn.doc_id = cand.new_id
+          JOIN sigs sc ON sc.doc_id = cand.corpus_id)
+        SELECT
+          (SELECT count(DISTINCT doc_id) FROM cb) AS n_indexed_docs,
+          (SELECT count(*) FROM cb)::BIGINT AS n_membership_rows,
+          (SELECT count(*) FROM sigs WHERE doc_id % 10 = 0)
+            AS n_probed,
+          (SELECT count(*) FROM verified) AS n_candidate_pairs,
+          (SELECT coalesce(sum(CASE WHEN exact_jac >= 0.7
+             THEN 1 ELSE 0 END), 0) FROM verified)::BIGINT
+            AS n_dup_pairs,
+          (SELECT round(coalesce(avg(exact_jac), -1.0), 4)
+             FROM verified) AS avg_exact_jac"""),
+      "Persistent near-dup index probe: the corpus's saved band-bucket " +
+        "membership is the dedup state; an arriving batch shingles " +
+        "only itself and equi-joins the buckets, with exact-Jaccard " +
+        "verification of the candidates."),
+
+    GraftQuery(
       "q_dedup_cluster", Seq("D1", "D2", "E6"),
       (s, dir) => {
         // The clustering step AFTER LSH: docs sharing any minhash band
