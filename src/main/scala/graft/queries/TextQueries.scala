@@ -672,6 +672,65 @@ object TextQueries extends QueryPack {
         "(the reference's per-compound property filters, column-math only)."),
 
     GraftQuery(
+      "q_text_domain_cap", Seq("D8", "W3", "A8"),
+      (s, dir) => {
+        // Per-source quota capping (web-corpus "domain balancing"):
+        // keep at most K=10 docs per source, preferring the
+        // HIGHEST-quality ones — the curation step that stops one
+        // crawled domain from dominating the training mix. Quality is
+        // the q_text_quality blend (identical double chain on both
+        // engines); ties break on doc_id, so the kept set is exact.
+        // Scale shape: one window partitioned BY SOURCE (parallel
+        // across domains; for a pathological mega-domain the typed
+        // TopKAgg aggregator is the drop-in replacement — same
+        // contract, map-side combining), then a per-source integer
+        // rollup. No global sort anywhere.
+        val ranked = docs(s, dir)
+          .withColumn("t", TextOps.tokens("text"))
+          .where(expr("size(t) > 0"))
+          .withColumn("q", expr(
+            "0.4 * least(size(t) / 80.0, 1.0) " +
+              "+ 0.4 * (size(array_distinct(t)) / size(t)) " +
+              "+ 0.2 * (1.0 - size(filter(t, x -> " +
+              "array_contains(array('the','a'), x))) / size(t))"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("q").desc, col("doc_id"))))
+        ranked.groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rk") <= 10, col("n_chars")).otherwise(0L))
+              .as("kept_chars"),
+            sum(when(col("rk") > 10, col("n_chars")).otherwise(0L))
+              .as("dropped_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, n_chars,
+              $duckToks AS t FROM documents),
+          sc AS (SELECT doc_id, source, n_chars,
+              0.4 * least(len(t) / 80.0, 1.0)
+                + 0.4 * (len(list_distinct(t)) * 1.0 / len(t))
+                + 0.2 * (1.0 - len(list_filter(t, x ->
+                    list_contains(['the','a'], x))) * 1.0 / len(t))
+                AS q
+            FROM d WHERE len(t) > 0),
+          rk AS (SELECT source, n_chars,
+              row_number() OVER (PARTITION BY source
+                ORDER BY q DESC, doc_id) AS rk
+            FROM sc)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END)::BIGINT
+            AS kept_chars,
+          sum(CASE WHEN rk > 10 THEN n_chars ELSE 0 END)::BIGINT
+            AS dropped_chars
+        FROM rk GROUP BY 1 ORDER BY 1"""),
+      "Domain balancing: keep the top-10 quality docs per source via a " +
+        "source-partitioned window (TopKAgg is the mega-domain " +
+        "fallback), with kept/dropped char accounting per source."),
+
+    GraftQuery(
       "q_text_quantile", Seq("W2", "W8", "A8"),
       (s, dir) => {
         // Quantile-based quality bucketing — the "keep the top X% per

@@ -47,7 +47,11 @@ class PartitionInvarianceSpec extends SparkSuite {
     // bootstrap: replicate means are one double division over exact
     // integer (weight × cents) partials; the CI bounds are order
     // statistics of those means, so partitioning cannot move them
-    "q_events_bootstrap")
+    "q_events_bootstrap",
+    // domain cap: the kept set hangs on a per-row double quality score
+    // and a doc_id tie-break — per-row math is partition-free, so the
+    // ranked cut (and the integer char rollups) cannot move
+    "q_text_domain_cap")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
