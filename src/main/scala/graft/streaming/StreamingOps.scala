@@ -864,6 +864,45 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCol)
 
+  /** Streaming sample-ratio-mismatch guardrail — the streaming twin of
+    * q_events_srm: per closed day, the distinct active users split
+    * across the hash variants, with the batch query's exact integer
+    * chi-square against the 50/50 design. Topology is the documented
+    * two-stateful-operator chain Spark supports natively: a
+    * watermarked `dropDuplicatesWithinWatermark` on (day, user)
+    * feeding an event-time tumbling-window aggregation — the built-in
+    * operators own both state stores, nothing custom. Append-mode
+    * output: one FINAL row per day once the watermark passes it,
+    * bit-identical to the batch query over the same closed data
+    * (parity spec-pinned). A (day, user) pair re-arriving after its
+    * dedup state expired would double-count, but the same watermark
+    * has already excluded those rows from the window — the standard
+    * within-watermark exactness trade.
+    */
+  def srmStream(
+      events: DataFrame, // ts (event time), user_id
+      watermark: String = "1 day"): DataFrame = {
+    graft.expressions.Hash64.register(events.sparkSession)
+    val vExpr =
+      s"${graft.operators.TextOps.hash64("cast(user_id as string)")} % 2"
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .dropDuplicatesWithinWatermark("day", "user_id")
+      .withColumn("v", expr(vExpr))
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_x1e6", expr(
+        "cast(floor(cast((n_a - n_b) as double) * (n_a - n_b) " +
+          "/ (n_a + n_b) * 1000000) as bigint)"))
+      .withColumn("srm_flag", expr("chi2_x1e6 > 3841000"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("n_a"), col("n_b"), col("chi2_x1e6"), col("srm_flag"))
+  }
+
   /** Static corpus term statistics for [[tfidfStream]]: one row per
     * term with its document frequency and the corpus doc count
     * attached. Returned UNPERSISTED — same caching contract as the

@@ -205,6 +205,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SRM emits the batch chi-square row once a day " +
+    "closes, deduping repeat visits across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(d: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-0$d $h%02d:30:00")
+    val events = MemoryStream[(Timestamp, Long)]
+    val out = StreamingOps.srmStream(
+      events.toDF().toDF("ts", "user_id"), watermark = "1 day")
+    val q = out.writeStream.format("memory").queryName("srm_out")
+      .outputMode("append").start()
+    try {
+      // day 1: users 1..6, with repeat visits split across batches
+      events.addData((t(1, 9), 1L), (t(1, 10), 2L), (t(1, 11), 3L),
+        (t(1, 12), 1L))
+      q.processAllAvailable()
+      events.addData((t(1, 13), 4L), (t(1, 14), 5L), (t(1, 15), 6L),
+        (t(1, 16), 2L))
+      q.processAllAvailable()
+      assert(spark.table("srm_out").count() === 0L,
+        "day emitted before the watermark closed it")
+      // day 3 arrival pushes the watermark past end-of-day-1
+      events.addData((t(3, 9), 7L))
+      q.processAllAvailable()
+      val got = spark.table("srm_out")
+        .select("day", "n_a", "n_b", "chi2_x1e6", "srm_flag")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+      // batch twin over the same closed day (q_events_srm core)
+      val batch = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("user_id")
+        .withColumn("v", expr(
+          s"${graft.operators.TextOps.hash64("cast(user_id as string)")}" +
+            " % 2"))
+        .agg(
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_x1e6", expr(
+          "cast(floor(cast((n_a - n_b) as double) * (n_a - n_b) " +
+            "/ (n_a + n_b) * 1000000) as bigint)"))
+        .withColumn("srm_flag", expr("chi2_x1e6 > 3841000"))
+        .as[(Long, Long, Long, Boolean)].head()
+      assert(got === Seq(("2024-01-01", batch._1, batch._2,
+        batch._3, batch._4)))
+      assert(batch._1 + batch._2 === 6L, "repeat visits not deduped")
+    } finally q.stop()
+  }
+
   test("dedupStream state survives a query restart from its checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
