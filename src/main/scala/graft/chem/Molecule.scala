@@ -37,12 +37,13 @@ final class Molecule(val atoms: Vector[Atom], val bonds: Vector[Bond])
 
   def degree(i: Int): Int = adj(i).length
 
-  /** Ring membership per atom: an atom is in a ring iff it has an
-    * incident non-bridge edge (bridges found via one DFS).
+  /** (min, max) endpoint keys of bridge edges (one DFS); every
+    * non-bridge edge lies on a cycle. Parallel bonds between the same
+    * atom pair cannot occur, so the key identifies the bond.
     */
-  lazy val inRing: Vector[Boolean] = {
+  private lazy val bridgeKeys: Set[(Int, Int)] = {
     val disc = Array.fill(n)(-1); val low = Array.fill(n)(0)
-    val isBridge = scala.collection.mutable.Set.empty[Bond]
+    val out = scala.collection.mutable.Set.empty[(Int, Int)]
     var time = 0
     def dfs(u: Int, parentBond: Bond): Unit = {
       disc(u) = time; low(u) = time; time += 1
@@ -50,12 +51,52 @@ final class Molecule(val atoms: Vector[Atom], val bonds: Vector[Bond])
         if (disc(v) == -1) {
           dfs(v, bd)
           low(u) = math.min(low(u), low(v))
-          if (low(v) > disc(u)) isBridge += bd
+          if (low(v) > disc(u))
+            out += ((math.min(bd.a, bd.b), math.max(bd.a, bd.b)))
         } else low(u) = math.min(low(u), disc(v))
       }
     }
     (0 until n).foreach(i => if (disc(i) == -1) dfs(i, null))
-    Vector.tabulate(n)(i => adj(i).exists { case (_, bd) => !isBridge(bd) })
+    out.toSet
+  }
+
+  /** Is this bond part of some ring? (SMARTS `@` / `!@` bond primitive.) */
+  def bondInRing(bd: Bond): Boolean =
+    !bridgeKeys((math.min(bd.a, bd.b), math.max(bd.a, bd.b)))
+
+  /** Ring membership per atom: an atom is in a ring iff it has an
+    * incident non-bridge edge.
+    */
+  lazy val inRing: Vector[Boolean] =
+    Vector.tabulate(n)(i => adj(i).exists { case (_, bd) => bondInRing(bd) })
+
+  /** Ring sizes present at each atom: for every ring bond, the
+    * SMALLEST cycle through it (BFS between its endpoints avoiding the
+    * bond itself) stamps that size on both endpoints — in a plain ring
+    * every member atom is an endpoint of two such bonds, so all carry
+    * the ring's size; in fused systems each atom carries the smallest
+    * cycle of each incident ring bond (the SSSR sizes RDKit's
+    * IsAtomInRingOfSize reports for the rule fixtures' patterns).
+    * Backs the SMARTS `r<n>` primitive.
+    */
+  lazy val atomRingSizes: Vector[Set[Int]] = {
+    val sizes = Array.fill(n)(Set.empty[Int])
+    for (bd <- bonds if bondInRing(bd)) {
+      val dist = Array.fill(n)(-1)
+      dist(bd.a) = 0
+      val q = scala.collection.mutable.Queue(bd.a)
+      while (q.nonEmpty && dist(bd.b) < 0) {
+        val u = q.dequeue()
+        for ((v, e) <- adj(u) if dist(v) < 0 && (e ne bd)) {
+          dist(v) = dist(u) + 1; q += v
+        }
+      }
+      if (dist(bd.b) > 0) {
+        val size = dist(bd.b) + 1
+        sizes(bd.a) += size; sizes(bd.b) += size
+      }
+    }
+    sizes.toVector
   }
 
   def bondOrderSum(i: Int): Double =

@@ -3,10 +3,15 @@ package graft.chem
 /** SMARTS subset: parser + VF2-style subgraph matcher.
   *
   * Covers the primitives used by the reference's rule sets
-  * (reference data: metacyc_rules TSVs and
+  * (reference data: metacyc_rules + original_rules/BNICE TSVs and
   * tests/data/test_reaction_rules.tsv): `#n`, element symbols, `*`,
-  * `A`/`a`, `Hn`, `Dn`, `Xn`, `Rn`, charge, `!`-negation, `,`-OR, `;`/`&`-AND
-  * and juxtaposition, atom maps, bonds `- = # ~ :` and the default
+  * `A`/`a`, `Hn`, `Dn`, `Xn`, `Rn`, `r<n>` (ring size), charge,
+  * `h<n>` (own-H count), `v<n>` (valence), `!`-negation, `,`-OR,
+  * `;`/`&`-AND and juxtaposition, atom maps, recursive SMARTS
+  * `$(...)` (anchored sub-pattern), chirality primitives as no-ops
+  * (stereo is stripped on parse, like the reference — pickaxe.py:307),
+  * bond EXPRESSIONS over `- = # ~ :` plus `@`/`!@` ring membership
+  * with the same `,`/`;` logic (`-;!@`, `=;@`, `-,:`), the default
   * single-or-aromatic bond, branches and ring-closure digits.
   */
 object Smarts {
@@ -18,19 +23,42 @@ object Smarts {
   case object PAliphatic extends Prim
   case object PAromatic extends Prim
   final case class PH(n: Int) extends Prim
+  /** `h<n>`: the atom's OWN hydrogen count (bracket/implicit), not
+    * counting explicit H-atom neighbors.
+    */
+  final case class PImplH(n: Int) extends Prim
+  /** `v<n>`: total valence — bond order sum plus own hydrogens. */
+  final case class PValence(n: Int) extends Prim
   final case class PDegree(n: Int) extends Prim
   final case class PConn(n: Int) extends Prim
   final case class PRing(in: Boolean) extends Prim
+  final case class PRingSize(k: Int) extends Prim
   final case class PCharge(c: Int) extends Prim
   final case class PNot(p: Prim) extends Prim
+  /** Recursive SMARTS `$(...)`: the atom matches iff it can be the
+    * FIRST atom of an embedding of the sub-pattern (Daylight §4.2).
+    */
+  final case class PRecursive(pat: Pattern) extends Prim
 
   /** alts = OR of AND-groups. */
   final case class AtomPat(alts: Seq[Seq[Prim]], mapNum: Int)
 
-  /** kind: 0 default (single-or-aromatic), 1 single, 2 double, 3 triple,
-    * 4 aromatic, 5 any.
+  /** A bond pattern is an OR over (kind, ring) alternatives.
+    *
+    * kind: 0 default (single-or-aromatic), 1 single, 2 double,
+    * 3 triple, 4 aromatic, 5 any. ring: 0 unconstrained, 1 must be a
+    * ring bond (`@`), -1 must not be (`!@`). `kind` (the first
+    * alternative's order) is what product-template writers read — an
+    * OR-bond in a product template resolves to its first listed order,
+    * and ring constraints are matcher-only.
     */
-  final case class BondPat(a: Int, b: Int, kind: Int)
+  final case class BondPat(a: Int, b: Int, alts: Seq[(Int, Int)]) {
+    def kind: Int = alts.head._1
+  }
+  object BondPat {
+    def apply(a: Int, b: Int, kind: Int): BondPat =
+      BondPat(a, b, Seq((kind, 0)))
+  }
 
   final class Pattern(val atoms: Vector[AtomPat], val bonds: Vector[BondPat]) {
     val adj: Vector[Vector[(Int, BondPat)]] = {
@@ -50,51 +78,108 @@ object Smarts {
 
   // ---------- parsing ----------
 
+  /** Characters that can occur inside a bond expression between atoms. */
+  private val bondChars = "-=#:~@!;,/\\".toSet
+
+  /** Parse a bond-expression token (e.g. `-`, `=;@`, `-;!@`, `-,:`,
+    * `!@`) into (kind, ring) alternatives: `;` = AND over constraint
+    * groups, `,` = OR inside a group; order and ring constraints merge
+    * across AND groups. A pure ring constraint (`@` / `!@` with no
+    * order primitive) leaves the order unconstrained (kind 5).
+    */
+  private[chem] def parseBondExpr(tok: String): Seq[(Int, Int)] = {
+    def prim(p: String): (Int, Int) = p match {
+      case "-" | "/" | "\\" => (1, 0)
+      case "=" => (2, 0)
+      case "#" => (3, 0)
+      case ":" => (4, 0)
+      case "~" => (5, 0)
+      case "@" => (-1, 1)
+      case "!@" => (-1, -1)
+      case other => sys.error(s"SMARTS bond primitive: '$other' in $tok")
+    }
+    def splitPrims(group: String): Seq[(Int, Int)] = {
+      // a ','-alternative may itself juxtapose primitives (rare); scan
+      // one primitive at a time
+      val out = Seq.newBuilder[(Int, Int)]
+      var j = 0
+      while (j < group.length) {
+        val len = if (group.charAt(j) == '!') 2 else 1
+        out += prim(group.substring(j, j + len))
+        j += len
+      }
+      // juxtaposed primitives AND together within the alternative
+      Seq(out.result().foldLeft((-1, 0))(merge))
+    }
+    def merge(a: (Int, Int), b: (Int, Int)): (Int, Int) = (
+      if (b._1 >= 0) b._1 else a._1,
+      if (b._2 != 0) b._2 else a._2)
+    val groups: Seq[Seq[(Int, Int)]] = tok.split(';').toSeq
+      .filter(_.nonEmpty).map(_.split(',').toSeq.flatMap(splitPrims))
+    // AND across groups: cartesian-merge one alternative per group
+    val alts = groups.foldLeft(Seq((-1, 0))) { (acc, g) =>
+      for (a <- acc; b <- g) yield merge(a, b)
+    }
+    alts.map { case (k, r) => (if (k >= 0) k else 5, r) }
+  }
+
   /** Parse one SMARTS component (no '.'). */
   def parse(s: String): Pattern = {
     val atoms = Vector.newBuilder[AtomPat]
     val bonds = Vector.newBuilder[BondPat]
     var nAtoms = 0
     var prev = -1
-    var pendingBond = -1 // -1 = unset
+    var pendingBond: Seq[(Int, Int)] = null // null = unset
     val stack = scala.collection.mutable.Stack.empty[Int]
-    val ringOpen = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    val ringOpen =
+      scala.collection.mutable.Map.empty[Int, (Int, Seq[(Int, Int)])]
     var i = 0
 
     def addAtom(ap: AtomPat): Unit = {
       val cur = nAtoms
       atoms += ap; nAtoms += 1
       if (prev >= 0)
-        bonds += BondPat(prev, cur, if (pendingBond < 0) 0 else pendingBond)
-      pendingBond = -1
+        bonds += BondPat(prev, cur,
+          if (pendingBond == null) Seq((0, 0)) else pendingBond)
+      pendingBond = null
       prev = cur
     }
     def ringClosure(num: Int): Unit = ringOpen.remove(num) match {
       case None =>
-        ringOpen(num) = (prev, pendingBond); pendingBond = -1
+        ringOpen(num) = (prev, pendingBond); pendingBond = null
       case Some((other, k0)) =>
-        val k = if (k0 >= 0) k0 else pendingBond
-        bonds += BondPat(other, prev, if (k < 0) 0 else k)
-        pendingBond = -1
+        val k = if (k0 != null) k0 else pendingBond
+        bonds += BondPat(other, prev, if (k == null) Seq((0, 0)) else k)
+        pendingBond = null
     }
 
     while (i < s.length) {
       s.charAt(i) match {
         case '(' => stack.push(prev); i += 1
         case ')' => prev = stack.pop(); i += 1
-        case '.' => prev = -1; pendingBond = -1; i += 1 // disconnected piece
-        case '-' | '/' | '\\' => pendingBond = 1; i += 1
-        case '=' => pendingBond = 2; i += 1
-        case '#' => pendingBond = 3; i += 1
-        case ':' => pendingBond = 4; i += 1
-        case '~' => pendingBond = 5; i += 1
+        case '.' => prev = -1; pendingBond = null; i += 1 // disconnected
+        case c if bondChars(c) =>
+          var j = i
+          while (j < s.length && bondChars(s.charAt(j))) j += 1
+          pendingBond = parseBondExpr(s.substring(i, j))
+          i = j
         case '%' => ringClosure(s.substring(i + 1, i + 3).toInt); i += 3
         case d if d.isDigit => ringClosure(d - '0'); i += 1
         case '[' =>
-          val close = s.indexOf(']', i)
-          require(close > 0, s"unclosed [ in $s")
-          addAtom(parseAtomExpr(s.substring(i + 1, close)))
-          i = close + 1
+          // ']' search must respect nesting: recursive SMARTS $(...)
+          // may contain bracket atoms of its own
+          var depth = 1; var j = i + 1
+          while (j < s.length && depth > 0) {
+            s.charAt(j) match {
+              case '[' => depth += 1
+              case ']' => depth -= 1
+              case _ =>
+            }
+            j += 1
+          }
+          require(depth == 0, s"unclosed [ in $s")
+          addAtom(parseAtomExpr(s.substring(i + 1, j - 1)))
+          i = j
         case '*' => addAtom(AtomPat(Seq(Seq(PAny)), 0)); i += 1
         case 'A' => addAtom(AtomPat(Seq(Seq(PAliphatic)), 0)); i += 1
         case 'a' => addAtom(AtomPat(Seq(Seq(PAromatic)), 0)); i += 1
@@ -117,16 +202,52 @@ object Smarts {
   /** `[...]` body: `;`-separated AND of `,`-separated OR of juxtaposed
     * primitive runs; trailing `:n` map.
     */
-  def parseAtomExpr(body0: String): AtomPat = {
+  def parseAtomExpr(body00: String): AtomPat = {
+    // extract recursive-SMARTS $(...) blocks FIRST (they may contain
+    // ':' ';' ',' that would confuse the map-strip and logic splits),
+    // replacing each with a \u0001<idx> placeholder
+    val recs = Vector.newBuilder[Pattern]
+    val sb = new StringBuilder
+    var nRec = 0
+    var p = 0
+    while (p < body00.length) {
+      if (body00.charAt(p) == '$' && p + 1 < body00.length &&
+        body00.charAt(p + 1) == '(') {
+        var depth = 1; var j = p + 2
+        while (j < body00.length && depth > 0) {
+          body00.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          j += 1
+        }
+        require(depth == 0, s"SMARTS: unbalanced '$$(' in [$body00]")
+        recs += parse(body00.substring(p + 2, j - 1))
+        sb.append('\u0001').append(nRec)
+        nRec += 1
+        p = j
+      } else { sb.append(body00.charAt(p)); p += 1 }
+    }
+    val body0 = sb.toString
+    val recPats = recs.result()
+
     val (body, mapNum) = body0.lastIndexOf(':') match {
       case k if k >= 0 && body0.substring(k + 1).forall(_.isDigit) &&
         body0.length > k + 1 =>
         (body0.substring(0, k), body0.substring(k + 1).toInt)
       case _ => (body0, 0)
     }
+    // [H...] with H as the very first primitive is the hydrogen ATOM
+    // (Daylight/RDKit special case — e.g. the BNICE explicit-H pattern
+    // [H;D1R0:18]); everywhere else H<n> is the hydrogen-count query
+    val body1 =
+      if (body.startsWith("H") &&
+        (body.length == 1 || !body.charAt(1).isDigit)) "#1" + body.tail
+      else body
     // a;b,c;d  =>  AND(a, OR(b, c), d) — distribute into alternatives
-    val andGroups: Seq[Seq[Seq[Prim]]] = body.split(';').toSeq
-      .map(_.split(',').toSeq.map(parsePrimRun))
+    val andGroups: Seq[Seq[Seq[Prim]]] = body1.split(';').toSeq
+      .map(_.split(',').toSeq.map(r => parsePrimRun(r, recPats)))
     // cartesian product of one alternative per AND group
     val alts = andGroups.foldLeft(Seq(Seq.empty[Prim])) { (acc, group) =>
       for (a <- acc; g <- group) yield a ++ g
@@ -134,8 +255,13 @@ object Smarts {
     AtomPat(alts, mapNum)
   }
 
-  /** A juxtaposed primitive run like `#1D1AR0` or `H3D4` or `!H0`. */
-  private def parsePrimRun(run0: String): Seq[Prim] = {
+  /** A juxtaposed primitive run like `#1D1AR0` or `H3D4` or `!H0`;
+    * `recPats` resolves the `\u0001<idx>` placeholders parseAtomExpr
+    * substituted for recursive-SMARTS blocks.
+    */
+  private def parsePrimRun(
+      run0: String,
+      recPats: Vector[Pattern] = Vector.empty): Seq[Prim] = {
     val out = Seq.newBuilder[Prim]
     val run = run0.replace("&", "") // & is just high-precedence AND
     var i = 0
@@ -157,6 +283,19 @@ object Smarts {
         case 'H' => i += 1; PH(num(1))
         case 'D' => i += 1; PDegree(num(1))
         case 'R' => i += 1; val k = num(-1); PRing(k != 0)
+        case 'r' => i += 1; val k = num(-1)
+          if (k < 0) PRing(true) else PRingSize(k)
+        case '\u0001' => i += 1; PRecursive(recPats(num(0)))
+        case 'h' => i += 1; PImplH(num(1))
+        case 'v' => i += 1; PValence(num(1))
+        case '@' =>
+          // chirality primitive: the kernel strips stereo on parse
+          // (like the reference, pickaxe.py:307), so @/@@ match any
+          // atom — RDKit's own useChirality=false behavior
+          i += 1
+          if (i < run.length && run.charAt(i) == '@') i += 1
+          if (i < run.length && run.charAt(i) == '?') i += 1
+          PAny
         case 'X' => i += 1; PConn(num(1))
         case '+' => i += 1; PCharge(num(1))
         case '-' => i += 1; PCharge(-num(1))
@@ -197,11 +336,18 @@ object Smarts {
           else m.implicitH(i)
         m.degree(i) + ownH == x
       case PRing(in) => m.inRing(i) == in
+      case PRingSize(k) => m.atomRingSizes(i).contains(k)
       case PCharge(c) => a.charge == c
+      case PImplH(nH) =>
+        (if (a.hCount >= 0) a.hCount else m.implicitH(i)) == nH
+      case PValence(v) =>
+        val ownH = if (a.hCount >= 0) a.hCount else m.implicitH(i)
+        math.round(m.bondOrderSum(i)).toInt + ownH == v
+      case PRecursive(sub) => findAll(m, sub, limit = 1, anchor = i).nonEmpty
     }
   }
 
-  def bondMatches(bd: Bond, bp: BondPat): Boolean = bp.kind match {
+  private def orderMatches(bd: Bond, kind: Int): Boolean = kind match {
     case 0 => (bd.order == 1 && !bd.aromatic) || bd.aromatic
     case 1 => bd.order == 1 && !bd.aromatic
     case 2 => bd.order == 2 && !bd.aromatic
@@ -210,10 +356,21 @@ object Smarts {
     case 5 => true
   }
 
+  def bondMatches(m: Molecule, bd: Bond, bp: BondPat): Boolean =
+    bp.alts.exists { case (kind, ring) =>
+      orderMatches(bd, kind) &&
+        (ring == 0 || m.bondInRing(bd) == (ring > 0))
+    }
+
   /** All embeddings of `pat` in `m`: arrays mapping pattern atom index ->
-    * molecule atom index (injective). Deterministic order.
+    * molecule atom index (injective). Deterministic order. `anchor`
+    * (for recursive SMARTS) pins pattern atom 0 to that molecule atom.
     */
-  def findAll(m: Molecule, pat: Pattern, limit: Int = 20000): Seq[Array[Int]] = {
+  def findAll(
+      m: Molecule,
+      pat: Pattern,
+      limit: Int = 20000,
+      anchor: Int = -1): Seq[Array[Int]] = {
     if (pat.n == 0) return Seq.empty
     val out = Seq.newBuilder[Array[Int]]
     var count = 0
@@ -239,15 +396,17 @@ object Smarts {
       val anchored = pat.adj(pu).collectFirst {
         case (pv, bp) if assign(pv) >= 0 => (pv, bp)
       }
-      val candidates: Seq[Int] = anchored match {
-        case Some((pv, _)) => m.adj(assign(pv)).map(_._1)
-        case None => 0 until m.n
-      }
+      val candidates: Seq[Int] =
+        if (k == 0 && anchor >= 0 && pu == 0) Seq(anchor)
+        else anchored match {
+          case Some((pv, _)) => m.adj(assign(pv)).map(_._1)
+          case None => 0 until m.n
+        }
       for (mi <- candidates if !used(mi) && atomMatches(m, mi, pat.atoms(pu))) {
         // every pattern edge to assigned atoms must exist + match
         val ok = pat.adj(pu).forall { case (pv, bp) =>
           assign(pv) < 0 || m.adj(mi).exists { case (mj, bd) =>
-            mj == assign(pv) && bondMatches(bd, bp)
+            mj == assign(pv) && bondMatches(m, bd, bp)
           }
         }
         if (ok) {

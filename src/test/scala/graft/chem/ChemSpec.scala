@@ -133,6 +133,67 @@ class ChemSpec extends AnyFunSuite {
     assert(Smarts.findAll(acetone, Smarts.parse("[#6;X3:1]")).length === 1)
   }
 
+  test("SMARTS bond expressions: ring membership and order ORs") {
+    // methylcyclohexane: ring C-C bonds are @, the methyl bond is !@
+    val m = Smiles.parse("CC1CCCCC1")
+    assert(Smarts.findAll(m, Smarts.parse("[#6]-;@[#6]")).length === 12,
+      "6 ring single bonds, both directions")
+    assert(Smarts.findAll(m, Smarts.parse("[#6]-;!@[#6]")).length === 2,
+      "only the exocyclic methyl bond")
+    assert(Smarts.findAll(m, Smarts.parse("[#6]@[#6]")).length === 12)
+    // -,: matches single OR aromatic: toluene's exocyclic bond (single)
+    // and its 6 aromatic ring bonds all qualify
+    val tol = Smiles.parse("Cc1ccccc1")
+    assert(Smarts.findAll(tol, Smarts.parse("[#6]-,:[#6]")).length === 14)
+    // =;@ — endocyclic double bond only
+    val cyclohexenone = Smiles.parse("O=C1CCCC=C1")
+    assert(
+      Smarts.findAll(cyclohexenone, Smarts.parse("[#6]=;@[#6]")).length
+        === 2)
+    assert(
+      Smarts.findAll(cyclohexenone, Smarts.parse("[#6]=;!@[#8]")).length
+        === 1, "the exocyclic carbonyl, one direction from C")
+  }
+
+  test("SMARTS ring-size, own-H, valence, and [H] primitives") {
+    val m = Smiles.parse("CC1CCCCC1") // 6-ring
+    assert(Smarts.findAll(m, Smarts.parse("[#6;r6]")).length === 6)
+    assert(Smarts.findAll(m, Smarts.parse("[#6;r5]")).isEmpty)
+    assert(Smarts.findAll(m, Smarts.parse("[#6;!r6]")).length === 1,
+      "the methyl is in no 6-ring")
+    val cp = Smiles.parse("C1CC1CCC1CCCC1") // 3-ring + 5-ring
+    assert(Smarts.findAll(cp, Smarts.parse("[#6;r3]")).length === 3)
+    assert(Smarts.findAll(cp, Smarts.parse("[#6;r5]")).length === 5)
+    // h = OWN hydrogen count; v = valence (bond orders + own H)
+    val ethanol = Smiles.parse("CCO")
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#6;h3]")).length === 1)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#6;h2]")).length === 1)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#8;v2]")).length === 1)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#6;v4]")).length === 2)
+    val amine = Smiles.parse("CN")
+    assert(Smarts.findAll(amine, Smarts.parse("[#7v3]")).length === 1)
+    // [H] as the first primitive is the hydrogen ATOM (explicit-H mode)
+    val eh = ethanol.withExplicitH
+    assert(Smarts.findAll(eh, Smarts.parse("[H;D1]")).length === 6)
+    // chirality primitives are documented no-ops (stereo stripped):
+    // [#6;@H2] reduces to [#6;H2] — ethanol's CH2
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#6;@H2:1]")).length
+      === 1)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[#6;@H1:1]")).isEmpty,
+      "no #6 with exactly one H in ethanol")
+  }
+
+  test("SMARTS recursive $(...) anchors at the bracket atom") {
+    // carboxylic acid C via recursion: C(=O)O pattern anchored at C
+    val acid = Smiles.parse("CCC(=O)O")
+    val pat = Smarts.parse("[$([#6](=[#8])[#8])]")
+    val hits = Smarts.findAll(acid, pat)
+    assert(hits.length === 1)
+    assert(hits.head(0) === 2, "anchored at the carboxyl carbon")
+    // the same sub-pattern does NOT match the plain chain carbons
+    assert(Smarts.findAll(Smiles.parse("CCC"), pat).isEmpty)
+  }
+
   test("SMARTS OR-of-AND groups") {
     // [#7;R0;H2D3,H3D4:1] — N not in ring with (H2,D3) or (H3,D4)
     val pat = Smarts.parse("[#7;R0;H2D3,H3D4:1]")
