@@ -59,6 +59,27 @@ class BniceCatalogSpec extends AnyFunSuite {
       s"${failures.length} chemical-damage rules failed to compile")
   }
 
+  test("full BNICE enzymatic catalog expands glucose one generation") {
+    assume(present)
+    val spark = graft.SparkSuite.session
+    val core = PickaxeEngine.parseCoreactants(
+      lines("EnzymaticCoreactants.tsv"))
+    val rules = PickaxeEngine.parseRules(
+      lines("EnzymaticReactionRules.tsv"), core)
+    val engine = new PickaxeEngine(spark, rules, core, explicitH = true)
+    val st = engine.run(Seq("OCC1OC(O)C(O)C(O)C1O"), generations = 1)
+    val nPred = st.compounds
+      .where(org.apache.spark.sql.functions.col("Type") === "Predicted")
+      .count()
+    val nRxn = st.reactions.count()
+    info(s"glucose x 250 BNICE rules: $nPred products, $nRxn reactions")
+    // kernel-derived regression pins (no reference oracle publishes
+    // BNICE expansion counts): 17 products / 18 reactions as of the
+    // round-12 SMARTS extension
+    assert(nPred === 17L, s"full-catalog product count drifted: $nPred")
+    assert(nRxn === 18L, s"full-catalog reaction count drifted: $nRxn")
+  }
+
   test("a BNICE hydrolysis expansion runs end to end") {
     assume(present)
     val spark = graft.SparkSuite.session
