@@ -63,16 +63,33 @@ object InChISkeleton {
       adj(a) ::= ((b, o)); adj(b) ::= ((a, o))
     }
 
-    // ---- proton normalization (InChI /p): neutralize heteroatoms
-    // where a proton move does it. Quaternary/aromatic cations
-    // without H stay charged (their charge would sit in /q, outside
-    // the first block — drop it from the key below).
-    for (i <- 0 until nh) {
-      if (charge(i) < 0 && endpointElems(elem(i))) {
-        hyd(i) += -charge(i); charge(i) = 0
-      } else if (charge(i) > 0 && endpointElems(elem(i)) &&
-        hyd(i) >= charge(i)) {
-        hyd(i) -= charge(i); charge(i) = 0
+    // ---- proton normalization (InChI /p): block 1 digests the
+    // PROTONATED PARENT — InChI adds/removes exactly |net charge|
+    // protons to reach net 0 (acetate's block 1 is acetic acid's;
+    // /p records the difference OUTSIDE the block), and leaves
+    // net-neutral zwitterions (nitro written charge-separated,
+    // N-oxides, betaines) untouched: CH3[N+](=O)[O-] and CN(=O)=O
+    // share one block-1. Proton placement order is a local canonical
+    // invariant (element, degree, neighbor elements), so equivalent
+    // writings pick equivalent sites; true symmetry ties yield
+    // isomorphic results and therefore equal keys.
+    val localInv = (i: Int) =>
+      s"${elem(i)}|${adj(i).length}|" +
+        adj(i).map(t => elem(t._1)).sorted.mkString
+    var net = charge.sum
+    if (net < 0) {
+      for (i <- (0 until nh).sortBy(localInv) if net < 0) {
+        if (charge(i) < 0 && endpointElems(elem(i))) {
+          val take = math.min(-charge(i), -net)
+          hyd(i) += take; charge(i) += take; net += take
+        }
+      }
+    } else if (net > 0) {
+      for (i <- (0 until nh).sortBy(localInv) if net > 0) {
+        if (charge(i) > 0 && endpointElems(elem(i)) && hyd(i) > 0) {
+          val take = math.min(math.min(charge(i), hyd(i)), net)
+          hyd(i) -= take; charge(i) -= take; net -= take
+        }
       }
     }
 
@@ -89,13 +106,14 @@ object InChISkeleton {
           visited: Set[Int]): Unit = {
         if (depth > 6) return
         for ((nb, o) <- adj(at) if !visited(nb)) {
-          val single = o == 10
-          val dbl = o == 20 || o == 15 // aromatic counts as either
+          // aromatic bonds (15) satisfy EITHER parity: the kekulé
+          // structure behind an aromatic ring realizes both
+          val single = o == 10 || o == 15
+          val dbl = o == 20 || o == 15
           if (wantDouble && dbl && isEndpoint(nb)) found += nb
-          val interiorOk =
-            if (depth == 1) Set("C", "N", "P", "S")(elem(nb)) &&
-              !isEndpoint(nb)
-            else Set("C", "N")(elem(nb)) && !isEndpoint(nb)
+          // interior atoms past the first bond are C/N only (the
+          // first-bond P/S case lives in reach()'s seed loop)
+          val interiorOk = Set("C", "N")(elem(nb)) && !isEndpoint(nb)
           if (interiorOk && ((wantDouble && dbl) || (!wantDouble && single)))
             step(nb, !wantDouble, depth + 1, visited + nb)
         }

@@ -15,7 +15,7 @@ package graft.chem
   */
 object Kekulize {
 
-  private def allowedValence(elem: String, charge: Int): Option[Int] =
+  private[chem] def allowedValence(elem: String, charge: Int): Option[Int] =
     elem match {
       case "C" => Some(4 - math.abs(charge))
       case "N" => Some(3 + charge)

@@ -30,9 +30,9 @@ package graft.chem
   *     (divide by floor((2^32-1)/fpSize), reject overflow) — each
   *     sets one bit.
   *
-  * `layout` selects between candidate bit-packings of step 3 (the one
-  * ambiguity the written sources leave): 0 = larger invariant at the
-  * low field (default), 1 = smaller at the low field.
+  * `Variant` selects between candidate packings/draw details of steps
+  * 3-5 (the ambiguities the written sources leave); the default is the
+  * grid-calibrated best match against the reference's count pins.
   */
 object RdkFp {
 
@@ -136,9 +136,8 @@ object RdkFp {
       minPath: Int = 1,
       maxPath: Int = 7,
       nBitsPerHash: Int = 2,
-      layout: Int = 0,
       variant: Variant = Variant()): Array[Int] = {
-    val v = if (layout == 1) variant.copy(smallFirst = true) else variant
+    val v = variant
     import scala.collection.mutable
     // heavy-atom graph (parsed SMILES carries implicit H only; any
     // explicit-H atoms mirror RDKit useHs=true by participating)

@@ -342,7 +342,25 @@ object Smarts {
         (if (a.hCount >= 0) a.hCount else m.implicitH(i)) == nH
       case PValence(v) =>
         val ownH = if (a.hCount >= 0) a.hCount else m.implicitH(i)
-        math.round(m.bondOrderSum(i)).toInt + ownH == v
+        val hasArom = m.adj(i).exists(_._2.aromatic)
+        val total =
+          if (!hasArom) math.round(m.bondOrderSum(i)).toInt + ownH
+          else {
+            // kekulized valence without kekulizing: σ bonds (aromatic
+            // = 1) + own H + the atom's π need (0 or 1 — whether the
+            // kekulé structure puts a double bond on it). Benzene C:
+            // 2+1+1=4; naphthalene fusion C: 3+0+1=4; pyrrole NH:
+            // 2+1+0=3; furan O: 2+0+0=2 — all RDKit's numbers, which
+            // the 1.5-per-aromatic-bond rounding got wrong.
+            val sigma = m.adj(i).map { case (_, bd) =>
+              if (bd.aromatic) 1 else bd.order
+            }.sum
+            val piNeed = Kekulize.allowedValence(a.elem, a.charge)
+              .map(av => math.max(0, math.min(1, av - sigma - ownH)))
+              .getOrElse(0)
+            sigma + ownH + piNeed
+          }
+        total == v
       case PRecursive(sub) => findAll(m, sub, limit = 1, anchor = i).nonEmpty
     }
   }

@@ -131,9 +131,10 @@ object DedupIndex {
       textCol: String,
       idCol: String): Long = {
     val g = loadGeometry(spark, path)
-    val before = buckets(spark, path).count()
-    membership(newDocs, textCol, idCol, g)
-      .write.mode("append").parquet(s"$path/buckets")
-    buckets(spark, path).count() - before
+    // count the (batch-sized) rows being appended — never scan the
+    // existing index, whose size is the whole point of the artifact
+    val m = membership(newDocs, textCol, idCol, g).localCheckpoint()
+    m.write.mode("append").parquet(s"$path/buckets")
+    m.count()
   }
 }

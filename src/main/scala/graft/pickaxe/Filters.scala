@@ -99,21 +99,22 @@ final case class TanimotoCutoffFilter(
         graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
           morganRadius, morganBits).toArray.sorted
       case "path" => Formula.fingerprint(Smiles.parse(smiles))
-      case m =>
-        // bit-level RDKFingerprint replica (RdkFp); "rdkit" is the
-        // calibrated default, while an "rdkit-exact:pswd" suffix
-        // (pack digit, smallFirst, drawMod, seed32 as 0/1 flags)
-        // selects a hash variant for calibration runs
-        val v = m.split(":", 2) match {
-          case Array(_, spec) if spec.length == 4 =>
-            graft.chem.RdkFp.Variant(
-              pack = spec(0) - '0',
-              smallFirst = spec(1) == '1',
-              drawMod = spec(2) == '1',
-              seed32 = spec(3) == '1')
-          case _ => graft.chem.RdkFp.Variant()
-        }
-        graft.chem.RdkFp.bits(Smiles.parse(smiles), variant = v)
+      case "rdkit" | "rdkit-exact" =>
+        graft.chem.RdkFp.bits(Smiles.parse(smiles))
+      case m if m.startsWith("rdkit-exact:") =>
+        // "rdkit-exact:pswd" (pack digit, smallFirst, drawMod, seed32
+        // as 0/1 flags) selects a hash variant for calibration runs
+        val spec = m.substring("rdkit-exact:".length)
+        require(spec.length == 4 && spec.forall(_.isDigit),
+          s"malformed rdkit-exact variant spec: '$m'")
+        graft.chem.RdkFp.bits(Smiles.parse(smiles),
+          variant = graft.chem.RdkFp.Variant(
+            pack = spec(0) - '0',
+            smallFirst = spec(1) == '1',
+            drawMod = spec(2) == '1',
+            seed32 = spec(3) == '1'))
+      case m => sys.error(s"unknown fingerprintMethod: '$m' " +
+        "(expected rdkit, rdkit-exact[:pswd], morgan, or path)")
     }
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto
@@ -224,7 +225,9 @@ final case class TanimotoSamplingFilter(
       graft.chem.Morgan.foldedBits(Smiles.parse(smiles),
         morganRadius, morganBits).toArray.sorted
     case "path" => Formula.fingerprint(Smiles.parse(smiles))
-    case _ => graft.chem.RdkFp.bits(Smiles.parse(smiles))
+    case "rdkit" => graft.chem.RdkFp.bits(Smiles.parse(smiles))
+    case m => sys.error(s"unknown fingerprintMethod: '$m' " +
+      "(expected rdkit, morgan, or path)")
   }
   override def blocked(state: NetworkState): DataFrame = {
     import graft.expressions.BitTanimoto

@@ -3321,6 +3321,10 @@ object RelationalQueries extends QueryPack {
         val ev = t(s, dir, "events")
         val base = ev.groupBy("event_type", "user_id")
           .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y_c"))
+          // consumed by BOTH the replicate pipeline and the point
+          // estimate: materialize once or the events scan+shuffle
+          // behind it runs twice
+          .localCheckpoint()
         val h = graft.operators.TextOps.hash64(
           "concat(event_type, ':', cast(user_id as string), ':', " +
             "cast(b as string))")

@@ -878,6 +878,14 @@ object StreamingOps {
     * dedup state expired would double-count, but the same watermark
     * has already excluded those rows from the window — the standard
     * within-watermark exactness trade.
+    *
+    * Day semantics: the dedup key is the UTC epoch-day — the SAME
+    * boundary `window(ts, "1 day")` aggregates on — so the two
+    * stateful stages can never disagree about which day a user
+    * belongs to. The batch twin labels days in the session timezone,
+    * so exact batch parity holds under a UTC session (the library's
+    * test/bench configuration); under another zone the stream is
+    * still internally consistent, just UTC-bucketed.
     */
   def srmStream(
       events: DataFrame, // ts (event time), user_id
@@ -888,8 +896,9 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .select(col("ts"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
-      .dropDuplicatesWithinWatermark("day", "user_id")
+        expr("floor(cast(ts as long) / 86400)").as("uday"),
+        col("user_id"))
+      .dropDuplicatesWithinWatermark("uday", "user_id")
       .withColumn("v", expr(vExpr))
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(

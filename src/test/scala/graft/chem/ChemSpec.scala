@@ -172,6 +172,19 @@ class ChemSpec extends AnyFunSuite {
     assert(Smarts.findAll(ethanol, Smarts.parse("[#6;v4]")).length === 2)
     val amine = Smiles.parse("CN")
     assert(Smarts.findAll(amine, Smarts.parse("[#7v3]")).length === 1)
+    // aromatic valences are KEKULIZED totals, not 1.5-rounded sums:
+    // every naphthalene carbon (incl. the two fusion carbons with
+    // three aromatic bonds) is v4; pyrrole's NH nitrogen is v3;
+    // furan's oxygen is v2; pyridine's nitrogen is v3
+    val naph = Smiles.parse("c1ccc2ccccc2c1")
+    assert(Smarts.findAll(naph, Smarts.parse("[#6;v4]")).length === 10)
+    assert(Smarts.findAll(naph, Smarts.parse("[#6;v5]")).isEmpty)
+    assert(Smarts.findAll(Smiles.parse("c1cc[nH]c1"),
+      Smarts.parse("[#7;v3]")).length === 1)
+    assert(Smarts.findAll(Smiles.parse("c1ccoc1"),
+      Smarts.parse("[#8;v2]")).length === 1)
+    assert(Smarts.findAll(Smiles.parse("c1ccncc1"),
+      Smarts.parse("[#7;v3]")).length === 1)
     // [H] as the first primitive is the hydrogen ATOM (explicit-H mode)
     val eh = ethanol.withExplicitH
     assert(Smarts.findAll(eh, Smarts.parse("[H;D1]")).length === 6)

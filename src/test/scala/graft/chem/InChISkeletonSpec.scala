@@ -47,6 +47,19 @@ class InChISkeletonSpec extends AnyFunSuite {
     assert(k("COCCO") === k("OCCOC"))
   }
 
+  test("charge-separated and neutral nitro writings merge (net-0 " +
+    "zwitterions get NO phantom proton)") {
+    assert(k("C[N+](=O)[O-]") === k("CN(=O)=O"))
+    // and the anion of a DIFFERENT group still protonates: net charge,
+    // not per-atom charge, drives /p (real InChI semantics)
+    assert(k("CC(=O)[O-]") === k("CC(=O)O"))
+  }
+
+  test("4-pyridone and 4-hydroxypyridine merge (mobile H through an " +
+    "aromatic ring path)") {
+    assert(k("Oc1ccncc1") === k("O=C1C=CNC=C1"))
+  }
+
   test("key is invariant under atom relabeling") {
     val s = "O=C(O)CCC(=O)OP(=O)(O)OCC1OC(n2ccccc2)C(O)C1O"
     val m = Smiles.parse(s)
