@@ -610,5 +610,44 @@ object PickaxeQueries extends QueryPack {
       "Property-distribution statistics (db_plots.py box/violin data): " +
         "per-Type exact quartiles of Mass, logP and NP-likeness over " +
         "the expansion network."),
+
+    GraftQuery(
+      "q_pickaxe_skeleton", Seq("P10", "D1", "A8"),
+      (s, _) => {
+        // InChIKey-block-1 identity audit (get_compound_hash,
+        // utils.py:115-164): the current reference ids compounds by
+        // sha1 of the InChIKey FIRST BLOCK, which merges mobile-H
+        // tautomers and protonation states our SMILES-hash ids keep
+        // apart. Group the 2-gen FADH network by the InChI-skeleton
+        // equivalence key (chem.InChISkeleton) and report, per Type,
+        // compounds vs distinct skeletons and how many compounds
+        // carry a mobile-H group — n == n_skeletons is the pinned
+        // evidence that the two id schemes agree on this network
+        // (nothing would merge), so hash-pinned oracles transfer.
+        // Chemistry UDF = the survey's sanctioned exception.
+        val st = engine(s).run(Seq(fadh), generations = 2)
+        val keyUdf = udf { smi: String =>
+          graft.chem.InChISkeleton.keyOrSmiles(smi)
+        }
+        st.compounds
+          .withColumn("k", keyUdf(col("SMILES")))
+          .withColumn("mobile",
+            when(col("k").contains("(H"), 1L).otherwise(0L))
+          .groupBy("Type")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct("k").as("n_skeletons"),
+            sum("mobile").as("n_mobile"))
+          .orderBy("Type")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('Coreactant', 2::BIGINT, 2::BIGINT, 2::BIGINT),
+          ('Predicted', 28::BIGINT, 28::BIGINT, 28::BIGINT),
+          ('Starting Compound', 1::BIGINT, 1::BIGINT, 1::BIGINT))
+          AS t("Type", n, n_skeletons, n_mobile)"""),
+      "InChIKey-block-1 identity audit: skeleton-key classes equal " +
+        "compound counts on the expansion network (the reference's " +
+        "InChI ids and our SMILES-hash ids agree here), with mobile-H " +
+        "group prevalence per Type."),
   )
 }
