@@ -237,6 +237,45 @@ object StreamingOps {
         col("is_neardup"), col("dup_of"))
   }
 
+  final case class QuotaEvent(source: String, docId: Long, tsMicros: Long)
+  final case class QuotaVerdict(
+      source: String, docId: Long, admitted: Boolean, nAdmitted: Long)
+
+  /** Streaming per-source quota admission — the arrival-order twin of
+    * q_text_domain_cap's quota: admit the FIRST `k` docs per source,
+    * reject the rest. Keyed state is ONE counter per source (bounded
+    * by the source vocabulary, not the doc volume); within a
+    * micro-batch rows process in (tsMicros, docId) order so a batch's
+    * verdicts are deterministic whatever the partitioning. Quality-
+    * preferential capping needs the whole day's candidates and stays
+    * a batch job (the window/TopKAgg forms); this is the online
+    * admission-control half — rate limiting by key — that decides at
+    * arrival time. Parity: over event-ordered arrivals the admitted
+    * set equals the batch row_number-by-(ts, doc_id) <= k cut
+    * (spec-pinned, including quota exhaustion across micro-batches).
+    */
+  def quotaAdmitStream(
+      docs: Dataset[QuotaEvent], k: Int): Dataset[QuotaVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[QuotaEvent],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.tsMicros, r.docId)).map {
+            r =>
+              val admit = n < k
+              if (admit) n += 1
+              QuotaVerdict(src, r.docId, admit, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Static side for [[clusterAssignStream]]: the (band_key ->
     * component) lookup of an already-clustered corpus — minhash band
     * membership (TextOps.bandedDocs) clustered by

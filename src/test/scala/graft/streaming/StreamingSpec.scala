@@ -250,6 +250,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quota admission matches the batch first-k cut and " +
+    "exhausts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = MemoryStream[StreamingOps.QuotaEvent]
+    val out = StreamingOps.quotaAdmitStream(docs.toDS(), k = 2)
+    val q = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("update").start()
+    try {
+      import StreamingOps.QuotaEvent
+      // batch 1: srcA fills its quota, srcB takes one slot
+      docs.addData(QuotaEvent("A", 1L, 100L), QuotaEvent("A", 2L, 200L),
+        QuotaEvent("A", 3L, 300L), QuotaEvent("B", 10L, 150L))
+      q.processAllAvailable()
+      // batch 2: srcA stays exhausted; srcB's second doc still admits
+      docs.addData(QuotaEvent("A", 4L, 400L), QuotaEvent("B", 11L, 450L),
+        QuotaEvent("B", 12L, 500L))
+      q.processAllAvailable()
+      val admitted = spark.table("quota_out")
+        .where(col("admitted"))
+        .select("source", "docId").as[(String, Long)].collect().toSet
+      // batch twin: first-k by (tsMicros, docId) per source
+      val all = Seq(("A", 1L, 100L), ("A", 2L, 200L), ("A", 3L, 300L),
+        ("B", 10L, 150L), ("A", 4L, 400L), ("B", 11L, 450L),
+        ("B", 12L, 500L)).toDF("source", "docId", "tsMicros")
+      val batchKept = all.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("tsMicros"), col("docId"))))
+        .where(col("rk") <= 2)
+        .select("source", "docId").as[(String, Long)].collect().toSet
+      assert(admitted === batchKept, s"got $admitted vs $batchKept")
+      // the per-source counter never exceeds the quota
+      val maxN = spark.table("quota_out")
+        .agg(max("nAdmitted")).as[Long].head()
+      assert(maxN === 2L)
+    } finally q.stop()
+  }
+
   test("dedupStream state survives a query restart from its checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
