@@ -629,18 +629,28 @@ object PickaxeQueries extends QueryPack {
         val keyUdf = udf { smi: String =>
           graft.chem.InChISkeleton.keyOrSmiles(smi)
         }
-        st.compounds
+        val keyed = st.compounds
           .withColumn("k", keyUdf(col("SMILES")))
           .withColumn("mobile",
             when(col("k").contains("(H"), 1L).otherwise(0L))
-          .groupBy("Type")
-          .agg(
+          .localCheckpoint()
+        def roll(df: org.apache.spark.sql.DataFrame) = df.agg(
+          count(lit(1)).as("n"),
+          countDistinct("k").as("n_skeletons"),
+          sum("mobile").as("n_mobile"))
+        // the "(all)" row is the one that actually pins "nothing
+        // would merge": per-Type counts are blind to a Predicted
+        // compound sharing a skeleton with a coreactant or start
+        keyed.groupBy("Type").agg(
             count(lit(1)).as("n"),
             countDistinct("k").as("n_skeletons"),
             sum("mobile").as("n_mobile"))
+          .unionByName(roll(keyed).withColumn("Type", lit("(all)"))
+            .select("Type", "n", "n_skeletons", "n_mobile"))
           .orderBy("Type")
       },
       Some("""SELECT * FROM (VALUES
+          ('(all)', 31::BIGINT, 31::BIGINT, 31::BIGINT),
           ('Coreactant', 2::BIGINT, 2::BIGINT, 2::BIGINT),
           ('Predicted', 28::BIGINT, 28::BIGINT, 28::BIGINT),
           ('Starting Compound', 1::BIGINT, 1::BIGINT, 1::BIGINT))

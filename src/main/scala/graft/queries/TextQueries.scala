@@ -686,13 +686,11 @@ object TextQueries extends QueryPack {
         // contract, map-side combining), then a per-source integer
         // rollup. No global sort anywhere.
         val ranked = docs(s, dir)
-          .withColumn("t", TextOps.tokens("text"))
-          .where(expr("size(t) > 0"))
-          .withColumn("q", expr(
-            "0.4 * least(size(t) / 80.0, 1.0) " +
-              "+ 0.4 * (size(array_distinct(t)) / size(t)) " +
-              "+ 0.2 * (1.0 - size(filter(t, x -> " +
-              "array_contains(array('the','a'), x))) / size(t))"))
+          // the ONE shared blend definition (also q_text_quality /
+          // q_text_quantile / qualityBucketStream); zero-token docs
+          // score null and drop, like the size(t) > 0 guard
+          .withColumn("q", TextOps.qualityScore("text"))
+          .where(col("q").isNotNull)
           .withColumn("rk", row_number().over(
             Window.partitionBy("source")
               .orderBy(col("q").desc, col("doc_id"))))

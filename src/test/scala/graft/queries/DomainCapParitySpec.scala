@@ -22,13 +22,10 @@ class DomainCapParitySpec extends SparkSuite {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
       "documents")
     val scored = docs
-      .withColumn("t", TextOps.tokens("text"))
-      .where(expr("size(t) > 0"))
-      .withColumn("q", expr(
-        "0.4 * least(size(t) / 80.0, 1.0) " +
-          "+ 0.4 * (size(array_distinct(t)) / size(t)) " +
-          "+ 0.2 * (1.0 - size(filter(t, x -> " +
-          "array_contains(array('the','a'), x))) / size(t))"))
+      // the production query's own scorer — this spec must rank by
+      // exactly what q_text_domain_cap ranks by, or it pins nothing
+      .withColumn("q", TextOps.qualityScore("text"))
+      .where(col("q").isNotNull)
       .localCheckpoint()
 
     val winKept = scored
@@ -39,10 +36,13 @@ class DomainCapParitySpec extends SparkSuite {
       .select("source", "doc_id")
       .as[(String, Long)].collect().toSet
 
-    // the aggregator ranks (value desc, id asc) on Longs: scale the
-    // quality chain to exact 1e12 integers — far below the double's
-    // resolution on [0,1], so the ordering cannot flip — and negate
-    // nothing (same direction as the window's q desc)
+    // the aggregator ranks (value desc, id asc) on Longs: quality is
+    // scaled to 1e12 integers. That quantization is COARSER than
+    // double resolution, so the parity's real precondition is that
+    // distinct scores in one source differ by more than 1e-12 — true
+    // here by a wide margin (the blend is a short rational chain over
+    // token counts; sub-1e-12 gaps would need ~1e6-token docs), and a
+    // violation fails this assert loudly rather than passing silently
     val aggKept = scored
       .select(col("source"),
         expr("cast(round(q * 1000000000000) as long)").as("qi"),
