@@ -148,9 +148,14 @@ object PickaxeQueries extends QueryPack {
           "(=O)(O)OP(=O)(O)OCC1OC(n3cnc4c(N)ncnc43)C(O)C1O)c1nc(O)nc(O)c1N2"
         val gate = TanimotoCutoffFilter(Seq(target), Seq(0.0),
           fingerprintMethod = "morgan", increasingSimilarity = true)
-        val gated = engine(s).run(Seq(fadh), generations = 2,
-          filters = Seq(gate))
-        val open = engine(s).run(Seq(fadh), generations = 2)
+        // generation 0 -> 1 is provably identical in both runs (the
+        // increasing gate never fires on generation 0 — no parents —
+        // and crit=0 blocks nothing; FilterParitySpec pins that), so
+        // expand it ONCE and fork the second generation
+        val e = engine(s)
+        val st1 = e.expandOnce(e.initialState(Seq(fadh)))
+        val gated = e.expandOnce(st1, Seq(gate))
+        val open = e.expandOnce(st1)
         def counts(st: NetworkState, label: String) =
           st.compounds.where(col("Type") === "Predicted")
             .groupBy("Generation")
