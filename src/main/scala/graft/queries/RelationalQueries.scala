@@ -3405,6 +3405,125 @@ object RelationalQueries extends QueryPack {
         "single collect."),
 
     GraftQuery(
+      "q_events_bootstrap_diff", Seq("A9", "A8", "W3"),
+      (s, dir) => {
+        // The decision-relevant experiment readout: a Poisson-
+        // bootstrap CI on the A−B DIFFERENCE of per-user spend means
+        // under the standard md5 variant split (the one
+        // q_events_abtest / q_events_cuped / q_events_srm share).
+        // Each replicate resamples USERS (weights keyed on user and
+        // replicate only, so a user's weight is common to its variant
+        // aggregates — the unit of resampling is the randomization
+        // unit, as bootstrap theory requires), computes both variant
+        // means and their difference, and ranks 3/98 of the 100
+        // replicate diffs bound the ~95% CI; `significant` = the CI
+        // excludes zero. Same determinism discipline as
+        // q_events_bootstrap: integer thresholds, one double division
+        // per (variant, replicate), order-statistic bounds.
+        val B = 100
+        val ev = t(s, dir, "events")
+        val vExpr = s"${graft.operators.TextOps.hash64(
+          "cast(user_id as string)")} % 2"
+        val base = ev.groupBy("user_id")
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y_c"))
+          .withColumn("v", expr(vExpr))
+          .localCheckpoint()
+        val h = graft.operators.TextOps.hash64(
+          "concat(cast(user_id as string), '#', cast(b as string))")
+        val wCase =
+          s"""CASE WHEN $h < 424136118829305344L THEN 0L
+                WHEN $h < 848272237658610688L THEN 1L
+                WHEN $h < 1060340297073263360L THEN 2L
+                WHEN $h < 1131029650211480960L THEN 3L
+                WHEN $h < 1148701988496035328L THEN 4L
+                WHEN $h < 1152236456152946176L THEN 5L
+                WHEN $h < 1152825534095764608L THEN 6L
+                ELSE 7L END"""
+        val reps = base
+          .select(col("user_id"), col("y_c"), col("v"),
+            explode(expr(s"sequence(0, ${B - 1})")).as("b"))
+          .withColumn("w", expr(wCase))
+          .groupBy("b", "v")
+          .agg(sum(expr("w * y_c")).as("swy"), sum("w").as("sw"))
+          .groupBy("b")
+          .agg(
+            max(when(col("v") === 0,
+              expr("cast(swy as double) / sw"))).as("ma"),
+            max(when(col("v") === 1,
+              expr("cast(swy as double) / sw"))).as("mb"))
+          .withColumn("d", expr("ma - mb"))
+        val ranked = reps.withColumn("r",
+          row_number().over(Window.orderBy(col("d"), col("b"))))
+        val ci = ranked.agg(
+          max(when(col("r") === 3, col("d"))).as("lo"),
+          max(when(col("r") === 98, col("d"))).as("hi"))
+        base.groupBy("v").agg(count(lit(1)).as("n"),
+            sum("y_c").as("sy"))
+          .agg(
+            max(when(col("v") === 0,
+              expr("cast(sy as double) / n"))).as("mean_a"),
+            max(when(col("v") === 1,
+              expr("cast(sy as double) / n"))).as("mean_b"),
+            sum(when(col("v") === 0, col("n"))).as("n_a"),
+            sum(when(col("v") === 1, col("n"))).as("n_b"))
+          .crossJoin(ci)
+          .select(
+            col("n_a"), col("n_b"),
+            expr("round(mean_a - mean_b, 2)").as("diff_cents"),
+            expr("round(lo, 2)").as("boot_lo_cents"),
+            expr("round(hi, 2)").as("boot_hi_cents"),
+            expr("lo > 0 OR hi < 0").as("significant"))
+      },
+      Some("""WITH base AS (SELECT user_id,
+              sum(round(value * 100)::BIGINT)::BIGINT AS y_c,
+              ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+                AS v
+            FROM events GROUP BY 1),
+          reps AS (SELECT user_id, y_c, v, b,
+              ('0x' || substr(md5(user_id::VARCHAR || '#' ||
+                b::VARCHAR), 1, 15))::BIGINT AS h
+            FROM base, (SELECT range AS b FROM range(100)) r),
+          w AS (SELECT v, b, y_c,
+              CASE WHEN h < 424136118829305344 THEN 0
+                WHEN h < 848272237658610688 THEN 1
+                WHEN h < 1060340297073263360 THEN 2
+                WHEN h < 1131029650211480960 THEN 3
+                WHEN h < 1148701988496035328 THEN 4
+                WHEN h < 1152236456152946176 THEN 5
+                WHEN h < 1152825534095764608 THEN 6
+                ELSE 7 END AS wt
+            FROM reps),
+          bv AS (SELECT b, v, sum(wt * y_c)::BIGINT AS swy,
+              sum(wt)::BIGINT AS sw
+            FROM w GROUP BY 1, 2),
+          d AS (SELECT b,
+              max(CASE WHEN v = 0 THEN swy::DOUBLE / sw END)
+                - max(CASE WHEN v = 1 THEN swy::DOUBLE / sw END) AS d
+            FROM bv GROUP BY 1),
+          rk AS (SELECT d, row_number() OVER (ORDER BY d, b) AS r
+            FROM d),
+          ci AS (SELECT max(CASE WHEN r = 3 THEN d END) AS lo,
+              max(CASE WHEN r = 98 THEN d END) AS hi
+            FROM rk),
+          pt AS (SELECT
+              max(CASE WHEN v = 0 THEN sy::DOUBLE / n END) AS mean_a,
+              max(CASE WHEN v = 1 THEN sy::DOUBLE / n END) AS mean_b,
+              sum(CASE WHEN v = 0 THEN n END)::BIGINT AS n_a,
+              sum(CASE WHEN v = 1 THEN n END)::BIGINT AS n_b
+            FROM (SELECT v, count(*)::BIGINT AS n,
+                sum(y_c)::BIGINT AS sy FROM base GROUP BY 1))
+        SELECT n_a, n_b,
+          round(mean_a - mean_b, 2) AS diff_cents,
+          round(lo, 2) AS boot_lo_cents,
+          round(hi, 2) AS boot_hi_cents,
+          (lo > 0 OR hi < 0) AS significant
+        FROM pt, ci"""),
+      "Poisson-bootstrap CI on the A-B spend difference under the " +
+        "shared hash variant split: users are the resampling unit, " +
+        "both variant means share each user's replicate weight, and " +
+        "the significance verdict is the order-statistic CI vs zero."),
+
+    GraftQuery(
       "q_events_srm", Seq("A8", "A9"),
       (s, dir) => {
         // Sample-ratio-mismatch guardrail (Fabijan et al., "Diagnosing

@@ -51,7 +51,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     // domain cap: the kept set hangs on a per-row double quality score
     // and a doc_id tie-break — per-row math is partition-free, so the
     // ranked cut (and the integer char rollups) cannot move
-    "q_text_domain_cap")
+    "q_text_domain_cap",
+    // bootstrap diff: replicate diffs are differences of two exact-
+    // integer-partial divisions; the CI is their order statistics
+    "q_events_bootstrap_diff")
 
   private def rows(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)

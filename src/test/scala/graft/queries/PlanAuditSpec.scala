@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row aggregate crossJoins (counts stitched side by side)
     "q_dedup_minhash_lsh", "q_graph_closure", "q_set_algebra",
     "q_orphans", "q_events_funnel", "q_dedup_recall",
-    "q_dedup_index_probe",
+    "q_dedup_index_probe", "q_events_bootstrap_diff",
     // 1-row corpus-count broadcast for the idf denominator
     "q_text_tfidf",
     // 1-row (N, avgdl) broadcast for the bm25 idf/length norm
