@@ -319,6 +319,46 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("srmStream's two-stateful chain (dedup state + window state) " +
+    "survives a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(d: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-0$d $h%02d:30:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("srm_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("srm_out").toString
+    val events = MemoryStream[(Timestamp, Long)]
+    val srm = StreamingOps.srmStream(
+      events.toDF().toDF("ts", "user_id"), watermark = "1 day")
+    def start() = srm.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: day-1 users 1..4 (user 2 twice), then STOP before the
+    // watermark closes the day — both state stores must persist
+    val q1 = start()
+    try {
+      events.addData((t(1, 9), 1L), (t(1, 10), 2L), (t(1, 11), 3L),
+        (t(1, 12), 2L), (t(1, 13), 4L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 0,
+      "no day closed yet — nothing emitted before the restart")
+    // phase 2: after restart, a repeat visit of user 1 must STILL
+    // dedup (restored dedup state), and the day-3 arrival closes
+    // day 1 with the restored window counts
+    val q2 = start()
+    try {
+      events.addData((t(1, 14), 1L), (t(3, 9), 9L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("day", "n_a", "n_b").as[(String, Long, Long)]
+        .collect().toSeq
+      assert(got.length === 1, s"exactly day 1 closes: $got")
+      assert(got.head._1 === "2024-01-01")
+      assert(got.head._2 + got.head._3 === 4L,
+        s"users 1..4 once each across the restart: $got")
+    } finally q2.stop()
+  }
+
   test("streaming minhash-LSH near-dup flags corpus matches and passes " +
     "novel docs") {
     implicit val sqlCtx = spark.sqlContext
