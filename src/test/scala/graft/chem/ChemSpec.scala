@@ -196,6 +196,18 @@ class ChemSpec extends AnyFunSuite {
       "no #6 with exactly one H in ethanol")
   }
 
+  test("bond-expression parser: and/or logic over order and ring") {
+    assert(Smarts.parseBondExpr("-") === Seq((1, 0)))
+    assert(Smarts.parseBondExpr("=") === Seq((2, 0)))
+    assert(Smarts.parseBondExpr("~") === Seq((5, 0)))
+    assert(Smarts.parseBondExpr("@") === Seq((5, 1)))
+    assert(Smarts.parseBondExpr("!@") === Seq((5, -1)))
+    assert(Smarts.parseBondExpr("-;!@") === Seq((1, -1)))
+    assert(Smarts.parseBondExpr("=;@") === Seq((2, 1)))
+    assert(Smarts.parseBondExpr("-,:") === Seq((1, 0), (4, 0)))
+    assert(Smarts.parseBondExpr("-,:;!@") === Seq((1, -1), (4, -1)))
+  }
+
   test("SMARTS recursive $(...) anchors at the bracket atom") {
     // carboxylic acid C via recursion: C(=O)O pattern anchored at C
     val acid = Smiles.parse("CCC(=O)O")
