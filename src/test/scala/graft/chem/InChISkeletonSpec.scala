@@ -60,6 +60,15 @@ class InChISkeletonSpec extends AnyFunSuite {
     assert(k("Oc1ccncc1") === k("O=C1C=CNC=C1"))
   }
 
+  test("7H- and 9H-purine merge (the adenine-scaffold tautomerism " +
+    "the reference's InChI ids fold)") {
+    assert(k("c1ncc2[nH]cnc2n1") === k("c1ncc2nc[nH]c2n1"))
+    // and the mobile group spans all four ring nitrogens
+    val key = k("c1ncc2[nH]cnc2n1")
+    assert(key.endsWith(")") && key.contains("(H1,"),
+      s"expected one mobile-H group over the N set: $key")
+  }
+
   test("key is invariant under atom relabeling") {
     val s = "O=C(O)CCC(=O)OP(=O)(O)OCC1OC(n2ccccc2)C(O)C1O"
     val m = Smiles.parse(s)
