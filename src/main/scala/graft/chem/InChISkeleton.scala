@@ -160,36 +160,62 @@ object InChISkeleton {
     // + normalized charge for non-/p-normalizable atoms folded OUT of
     // the first block — InChI puts /q outside block 1, so exclude it.
     val fixedH = (0 until nh).map(i => if (inGroup(i)) 0 else hyd(i))
-    var color: Array[String] =
+    val color0: Array[String] =
       (0 until nh).map(i => s"${elem(i)}H${fixedH(i)}").toArray
     val simpleAdj = adj.map(_.map(_._1))
-    for (_ <- 0 until 12) {
-      val next = (0 until nh).map { i =>
-        val nb = simpleAdj(i).map(color).sorted.mkString(",")
-        Integer.toHexString((color(i) + "|" + nb).hashCode)
-      }.toArray
-      color = next
-    }
-    // orbit tie-break: if colors are not discrete, individualize the
-    // smallest-color ambiguous node and re-refine (1 round is enough
-    // for the fixture's near-symmetric molecules; repeat to fixpoint)
-    var guard = 0
-    while (color.distinct.length < nh && guard < nh) {
-      guard += 1
-      val dup = color.zipWithIndex.groupBy(_._1).filter(_._2.length > 1)
-      val pick = dup.keys.min
-      val i0 = dup(pick).map(_._2).min
-      color(i0) = color(i0) + "*"
+    def refine(c0: Array[String]): Array[String] = {
+      var c = c0
       for (_ <- 0 until 12) {
-        val next = (0 until nh).map { i =>
-          val nb = simpleAdj(i).map(color).sorted.mkString(",")
-          Integer.toHexString((color(i) + "|" + nb).hashCode)
+        c = (0 until nh).map { i =>
+          val nb = simpleAdj(i).map(c).sorted.mkString(",")
+          Integer.toHexString((c(i) + "|" + nb).hashCode)
         }.toArray
-        color = next
+      }
+      c
+    }
+    // assemble the key tail for a discrete (or budget-truncated)
+    // colouring — ranks by colour, ties by index
+    def assemble(color: Array[String]): String = {
+      val rank = color.zipWithIndex.map { case (c, i) => (c, i) }
+        .sortBy(identity).map(_._2)
+        .zipWithIndex.map { case (i, r) => i -> r }.toMap
+      val nodeStr = (0 until nh).sortBy(rank)
+        .map(i => s"${elem(i)}${fixedH(i)}").mkString(",")
+      val edgeStr = edges.map { case (a, b, _) =>
+        val (x, y) = (rank(a), rank(b))
+        if (x < y) s"$x-$y" else s"$y-$x"
+      }.sorted.mkString(",")
+      val mobStr = groups.indices.map { gi =>
+        val members = groups(gi).map(rank).sorted.mkString("+")
+        s"(H${groupH(gi)}${if (groupNeg(gi) > 0) s"-${groupNeg(gi)}" else ""},$members)"
+      }.sorted.mkString
+      s"$nodeStr/$edgeStr/$mobStr"
+    }
+    // orbit tie-break: when colours are not discrete, individualize
+    // EVERY node of the smallest ambiguous cell in turn, recurse, and
+    // keep the lexicographically smallest assembled key — this makes
+    // the key independent of atom input order (two SMILES writings of
+    // the same molecule canonicalize identically), unlike picking the
+    // minimum INDEX, which falsely split WL-equivalent non-automorphic
+    // atoms. A branch budget bounds pathological symmetry; past it we
+    // fall back to first-candidate (deterministic but order-sensitive
+    // — never hit by the catalogs, guarded by q_pickaxe_skeleton).
+    var budget = 4096
+    def solve(c0: Array[String]): String = {
+      val c = refine(c0)
+      if (c.distinct.length == nh) assemble(c)
+      else {
+        val dup = c.zipWithIndex.groupBy(_._1).filter(_._2.length > 1)
+        val pick = dup.keys.min
+        val cands0 = dup(pick).map(_._2).sorted
+        val cands = if (budget <= 0) cands0.take(1) else cands0
+        budget -= cands.length
+        cands.map { i0 =>
+          val c2 = c.clone(); c2(i0) = c2(i0) + "*"
+          solve(c2)
+        }.min
       }
     }
-    val rank = color.zipWithIndex.sortBy(_._1).map(_._2)
-      .zipWithIndex.map { case (i, r) => i -> r }.toMap
 
     // ---- assemble the key ----
     val formula = {
@@ -200,17 +226,7 @@ object InChISkeleton {
       if (hTot > 0) counts("H") = counts.getOrElse("H", 0) + hTot
       counts.toSeq.sorted.map { case (e, k) => s"$e$k" }.mkString
     }
-    val nodeStr = (0 until nh).sortBy(rank)
-      .map(i => s"${elem(i)}${fixedH(i)}").mkString(",")
-    val edgeStr = edges.map { case (a, b, _) =>
-      val (x, y) = (rank(a), rank(b))
-      if (x < y) s"$x-$y" else s"$y-$x"
-    }.sorted.mkString(",")
-    val mobStr = groups.indices.map { gi =>
-      val members = groups(gi).map(rank).sorted.mkString("+")
-      s"(H${groupH(gi)}${if (groupNeg(gi) > 0) s"-${groupNeg(gi)}" else ""},$members)"
-    }.sorted.mkString
-    s"$formula/$nodeStr/$edgeStr/$mobStr"
+    s"$formula/${solve(color0)}"
   }
 
   /** Key for a canonical SMILES; falls back to the SMILES itself when

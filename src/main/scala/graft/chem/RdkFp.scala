@@ -1,16 +1,20 @@
 package graft.chem
 
 /** RDKit `RDKFingerprint` (the Daylight-style path/subgraph hash
-  * fingerprint) re-implemented to bit-level fidelity from the public
-  * algorithm: RDKit's legacy `RDKFingerprintMol`
+  * fingerprint) re-implemented from the public algorithm: RDKit's
+  * legacy `RDKFingerprintMol`
   * (GraphMol/Fingerprints/Fingerprints.cpp +
-  * FingerprintUtil.cpp::generateBondHashes). The reference's
-  * SimilarityFilter scores compounds with `RDKFingerprint(mol)` at
-  * defaults (filters/similarity.py:121), and its cutoff pins
-  * (test_filters.py:55,73,89) sit on a dense band of near-0.5
-  * similarities, so the hash pipeline must match bit-for-bit — a
-  * "statistically equivalent" fingerprint lands ±0.03 on Tanimoto and
-  * flips a dozen borderline compounds.
+  * FingerprintUtil.cpp::generateBondHashes). NOT hash-identical to
+  * RDKit: the written sources leave packing/draw details ambiguous,
+  * and the calibrated default (`Variant` pack=2) does not reproduce
+  * the reference's count pins exactly — FilterParitySpec pins 480 vs
+  * RDKit's 436 at cutoff 0.5 and 1332 vs 1358 multi-threshold, with
+  * the residual co-moving with the expansion product-set divergence.
+  * The reference's SimilarityFilter scores compounds with
+  * `RDKFingerprint(mol)` at defaults (filters/similarity.py:121), and
+  * its cutoff pins (test_filters.py:55,73,89) sit on a dense band of
+  * near-0.5 similarities, so downstream counts are sensitive to the
+  * exact hash — treat the divergence pins as the contract.
   *
   * Pipeline (defaults minPath=1, maxPath=7, fpSize=2048,
   * nBitsPerHash=2, useHs=true, branchedPaths=true, useBondOrder=true):

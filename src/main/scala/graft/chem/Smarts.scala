@@ -73,7 +73,8 @@ object Smarts {
     "H" -> 1, "B" -> 5, "C" -> 6, "N" -> 7, "O" -> 8, "F" -> 9,
     "Na" -> 11, "Mg" -> 12, "Si" -> 14, "P" -> 15, "S" -> 16, "Cl" -> 17,
     "K" -> 19, "Ca" -> 20, "Mn" -> 25, "Fe" -> 26, "Co" -> 27, "Ni" -> 28,
-    "Cu" -> 29, "Zn" -> 30, "As" -> 33, "Se" -> 34, "Br" -> 35, "I" -> 53)
+    "Cu" -> 29, "Zn" -> 30, "As" -> 33, "Se" -> 34, "Br" -> 35, "I" -> 53,
+    "He" -> 2, "Li" -> 3, "Al" -> 13, "Hf" -> 72, "Ho" -> 67, "Hg" -> 80)
   private val numElem = elemNum.map(_.swap)
 
   // ---------- parsing ----------
@@ -88,28 +89,40 @@ object Smarts {
     * order primitive) leaves the order unconstrained (kind 5).
     */
   private[chem] def parseBondExpr(tok: String): Seq[(Int, Int)] = {
-    def prim(p: String): (Int, Int) = p match {
-      case "-" | "/" | "\\" => (1, 0)
-      case "=" => (2, 0)
-      case "#" => (3, 0)
-      case ":" => (4, 0)
-      case "~" => (5, 0)
-      case "@" => (-1, 1)
-      case "!@" => (-1, -1)
-      case other => sys.error(s"SMARTS bond primitive: '$other' in $tok")
+    // A negated order primitive (!-, !=, !#, !:) is the complement
+    // alternative set over the four concrete orders; !~ matches no
+    // bond and is rejected at parse time with a clear message.
+    def prim(p: String): Seq[(Int, Int)] = p match {
+      case "-" | "/" | "\\" => Seq((1, 0))
+      case "=" => Seq((2, 0))
+      case "#" => Seq((3, 0))
+      case ":" => Seq((4, 0))
+      case "~" => Seq((5, 0))
+      case "@" => Seq((-1, 1))
+      case "!@" => Seq((-1, -1))
+      case "!-" | "!/" | "!\\" => Seq((2, 0), (3, 0), (4, 0))
+      case "!=" => Seq((1, 0), (3, 0), (4, 0))
+      case "!#" => Seq((1, 0), (2, 0), (4, 0))
+      case "!:" => Seq((1, 0), (2, 0), (3, 0))
+      case "!~" => sys.error(
+        s"SMARTS bond '!~' matches no bond (in $tok) — rejected at parse")
+      case other => sys.error(
+        s"unsupported SMARTS bond primitive '$other' in '$tok'")
     }
     def splitPrims(group: String): Seq[(Int, Int)] = {
       // a ','-alternative may itself juxtapose primitives (rare); scan
       // one primitive at a time
-      val out = Seq.newBuilder[(Int, Int)]
+      var alts: Seq[(Int, Int)] = Seq((-1, 0))
       var j = 0
       while (j < group.length) {
         val len = if (group.charAt(j) == '!') 2 else 1
-        out += prim(group.substring(j, j + len))
+        val ps = prim(group.substring(j, j + len))
         j += len
+        // juxtaposed primitives AND together within the alternative;
+        // a complement set fans out as OR across its members
+        alts = for (a <- alts; b <- ps) yield merge(a, b)
       }
-      // juxtaposed primitives AND together within the alternative
-      Seq(out.result().foldLeft((-1, 0))(merge))
+      alts.distinct
     }
     def merge(a: (Int, Int), b: (Int, Int)): (Int, Int) = (
       if (b._1 >= 0) b._1 else a._1,
@@ -240,10 +253,13 @@ object Smarts {
     }
     // [H...] with H as the very first primitive is the hydrogen ATOM
     // (Daylight/RDKit special case — e.g. the BNICE explicit-H pattern
-    // [H;D1R0:18]); everywhere else H<n> is the hydrogen-count query
+    // [H;D1R0:18]); everywhere else H<n> is the hydrogen-count query.
+    // Bodies that start with a two-letter element symbol (He, Hg, Hf,
+    // Ho) are element queries, not the H-atom special case.
     val body1 =
       if (body.startsWith("H") &&
-        (body.length == 1 || !body.charAt(1).isDigit)) "#1" + body.tail
+        (body.length == 1 || !body.charAt(1).isDigit) &&
+        !(body.length >= 2 && elemNum.contains(body.take(2)))) "#1" + body.tail
       else body
     // a;b,c;d  =>  AND(a, OR(b, c), d) — distribute into alternatives
     val andGroups: Seq[Seq[Seq[Prim]]] = body1.split(';').toSeq
@@ -275,7 +291,15 @@ object Smarts {
     while (i < run.length) {
       var negate = false
       while (i < run.length && run.charAt(i) == '!') { negate = true; i += 1 }
-      val p: Prim = run.charAt(i) match {
+      // two-letter element symbols (He, Hg, As, Co, ...) take
+      // precedence over single-char primitive juxtapositions — the
+      // Daylight bracket-atom rule; without this [He] would parse as
+      // H-count + garbage and [As] as aliphatic + aromatic-S
+      val two = if (i + 1 < run.length) run.substring(i, i + 2) else ""
+      val p: Prim = if (two.length == 2 && two.charAt(0).isUpper &&
+        two.charAt(1).isLower && elemNum.contains(two)) {
+        i += 2; PElemSym(two, aromatic = false)
+      } else run.charAt(i) match {
         case '#' => i += 1; PElem(num(0))
         case '*' => i += 1; PAny
         case 'A' => i += 1; PAliphatic

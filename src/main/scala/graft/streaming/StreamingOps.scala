@@ -922,13 +922,19 @@ object StreamingOps {
     * boundary `window(ts, "1 day")` aggregates on — so the two
     * stateful stages can never disagree about which day a user
     * belongs to. The batch twin labels days in the session timezone,
-    * so exact batch parity holds under a UTC session (the library's
-    * test/bench configuration); under another zone the stream is
-    * still internally consistent, just UTC-bucketed.
+    * so exact batch parity holds only under a UTC session (the
+    * library's test/bench configuration) — ASSERTED below rather than
+    * assumed, so a non-UTC deployment fails loudly instead of
+    * silently breaking the pinned bit-parity.
     */
   def srmStream(
       events: DataFrame, // ts (event time), user_id
       watermark: String = "1 day"): DataFrame = {
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() ==
+      java.time.ZoneOffset.UTC,
+      s"srmStream buckets days by UTC epoch-day; batch-parity requires " +
+        s"spark.sql.session.timeZone=UTC (got '$tz')")
     graft.expressions.Hash64.register(events.sparkSession)
     val vExpr =
       s"${graft.operators.TextOps.hash64("cast(user_id as string)")} % 2"

@@ -208,6 +208,34 @@ class ChemSpec extends AnyFunSuite {
     assert(Smarts.parseBondExpr("-,:;!@") === Seq((1, -1), (4, -1)))
   }
 
+  test("bond-expression parser: negated order primitives = complement") {
+    assert(Smarts.parseBondExpr("!-") ===
+      Seq((2, 0), (3, 0), (4, 0)))
+    assert(Smarts.parseBondExpr("!=") ===
+      Seq((1, 0), (3, 0), (4, 0)))
+    assert(Smarts.parseBondExpr("!:") ===
+      Seq((1, 0), (2, 0), (3, 0)))
+    assert(Smarts.parseBondExpr("!:;@") ===
+      Seq((1, 1), (2, 1), (3, 1)))
+    // !~ matches no bond: rejected with a clear message, not a crash
+    val e = intercept[RuntimeException](Smarts.parseBondExpr("!~"))
+    assert(e.getMessage.contains("matches no bond"))
+    // behavioral: benzene's aromatic ring bonds fail [!:-pattern]
+    val benzene = Smiles.parse("c1ccccc1")
+    assert(Smarts.findAll(benzene, Smarts.parse("[#6]!:[#6]")).isEmpty)
+    assert(Smarts.findAll(benzene, Smarts.parse("[#6]!-[#6]")).nonEmpty)
+  }
+
+  test("two-letter H-elements are element queries, not the H atom") {
+    // [He], [Hg] must not be rewritten to '#1e'/'#1g' (which crashed);
+    // they parse as element-symbol queries and match nothing organic
+    val ethanol = Smiles.parse("CCO").withExplicitH
+    assert(Smarts.findAll(ethanol, Smarts.parse("[He]")).isEmpty)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[Hg]")).isEmpty)
+    // while [H;D1] still hits the explicit hydrogens (the special case)
+    assert(Smarts.findAll(ethanol, Smarts.parse("[H;D1]")).nonEmpty)
+  }
+
   test("SMARTS recursive $(...) anchors at the bracket atom") {
     // carboxylic acid C via recursion: C(=O)O pattern anchored at C
     val acid = Smiles.parse("CCC(=O)O")

@@ -69,6 +69,28 @@ class InChISkeletonSpec extends AnyFunSuite {
       s"expected one mobile-H group over the N set: $key")
   }
 
+  test("WL-ambiguous symmetric cages: key invariant under relabeling") {
+    // cubane is 3-regular and vertex-transitive — WL leaves ALL eight
+    // carbons in one cell, so the orbit tie-break must branch over
+    // every candidate and take the lexicographic minimum; the old
+    // min-INDEX individualization was input-order-dependent here
+    for (s <- Seq("C12C3C4C1C5C2C3C45", // cubane
+      "C1C2CC3CC1CC(C2)C3")) { // adamantane
+      val m = Smiles.parse(s)
+      val rng = new scala.util.Random(13)
+      val base = InChISkeleton.key(m)
+      for (_ <- 0 until 8) {
+        val perm = rng.shuffle((0 until m.n).toVector)
+        val inv = Array.ofDim[Int](m.n)
+        perm.zipWithIndex.foreach { case (p, i) => inv(p) = i }
+        val atoms2 = perm.map(m.atoms)
+        val bonds2 = m.bonds.map(b => b.copy(a = inv(b.a), b = inv(b.b)))
+        assert(InChISkeleton.key(new Molecule(atoms2, bonds2)) === base,
+          s"relabeled $s changed key")
+      }
+    }
+  }
+
   test("key is invariant under atom relabeling") {
     val s = "O=C(O)CCC(=O)OP(=O)(O)OCC1OC(n2ccccc2)C(O)C1O"
     val m = Smiles.parse(s)
