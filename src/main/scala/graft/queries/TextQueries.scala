@@ -26,6 +26,15 @@ object TextQueries extends QueryPack {
   private val sparkToks = "filter(split(text, ' '), x -> x != '')"
   private val duckToks = "list_filter(string_split(text, ' '), x -> x != '')"
 
+  /** Fixed location of q_text_tokens' exported word→n_tokens model
+    * artifact. Oracle SQL is a static string, so the path cannot vary
+    * with the Verify outDir; the query overwrites it on every run and
+    * the oracle (which the driver runs immediately after Verify) reads
+    * it back.
+    */
+  private[graft] val tokensVocabPath =
+    "/root/repo/spark-warehouse/q_text_tokens_vocab"
+
   /** The corpus blocklist — ONE definition shared by q_text_scrub,
     * the corpus pipeline's scrub stage, and the streaming parity spec.
     */
@@ -2892,13 +2901,46 @@ object TextQueries extends QueryPack {
         val d = docs(s, dir)
         val (_, vocab) = graft.operators.Bpe.train(
           d.where(pmod(col("doc_id"), lit(5)) === 0), 24)
+        // Export the trained word→n_tokens table as a model artifact
+        // (the standard tokenizer-as-artifact shape: training happens
+        // once on a sample, scoring replays everywhere) so the DuckDB
+        // oracle can replay the SCORING half — broadcast join +
+        // char-fallback sums — independently. The training half stays
+        // pinned by BpeSpec (iterative, not SQL-expressible). The
+        // artifact path is fixed because oracle SQL is a static string.
+        vocab.select(col("w"), size(col("syms")).as("n_tokens"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(TextQueries.tokensVocabPath)
         graft.operators.Bpe.tokenStats(d, vocab, Seq("lang"))
           .orderBy("lang")
       },
-      None,
+      Some(s"""WITH vocab AS (SELECT w, n_tokens FROM
+            read_parquet('${TextQueries.tokensVocabPath}/*.parquet')),
+          words AS (SELECT lang, unnest($duckToks) AS w
+            FROM documents),
+          counted AS (SELECT lang,
+              count(*)::BIGINT AS n_words,
+              sum(CASE WHEN v.n_tokens IS NULL THEN 1 ELSE 0
+                END)::BIGINT AS oov_words,
+              sum(coalesce(v.n_tokens, length(words.w)))::BIGINT
+                AS n_tokens,
+              sum(length(words.w))::BIGINT AS n_word_chars
+            FROM words LEFT JOIN vocab v ON words.w = v.w
+            GROUP BY 1),
+          nd AS (SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1)
+        SELECT nd.lang, nd.n_docs,
+          coalesce(c.n_words, 0) AS n_words,
+          coalesce(c.oov_words, 0) AS oov_words,
+          coalesce(c.n_tokens, 0) AS n_tokens,
+          coalesce(c.n_word_chars, 0) AS n_word_chars
+        FROM nd LEFT JOIN counted c ON nd.lang = c.lang
+        ORDER BY nd.lang"""),
       "Token-budget accounting under a sample-trained BPE tokenizer: " +
         "vocabulary-sized merge loop, broadcast word→n_tokens join, " +
-        "char-level OOV fallback, per-language doc/word/token totals."),
+        "char-level OOV fallback, per-language doc/word/token totals; " +
+        "the trained vocabulary exports as a parquet model artifact " +
+        "and the oracle replays the scoring join over it."),
 
     GraftQuery(
       "q_text_normalize", Seq("P6", "A8", "P9"),
