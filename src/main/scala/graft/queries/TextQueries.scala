@@ -395,6 +395,96 @@ object TextQueries extends QueryPack {
       packed: DataFrame, // doc_id, lang, n_tok, cum_before, pack_id
       counts: DataFrame) // the query's per-lang stage-count output
 
+  /** q_text_containment's full plan, parameterized so PlanAuditSpec
+    * can drive the verify-stage size gate both ways.
+    *
+    * ASYMMETRIC containment dedup: C(A,B) = |A ∩ B| / |A| over each
+    * doc's distinct char-8-gram fingerprints — the quote / subsumption
+    * detector symmetric Jaccard misses (a short doc fully embedded in
+    * a long one has high containment but tiny Jaccard). Exact result
+    * via the PREFIX FILTER of the set-similarity-join literature
+    * (SSJoin/PPJoin, Chaudhuri et al. ICDE 2006): if C(A,B) >= t then
+    * B must contain at least one of ANY floor((1-t)|A|)+1 chosen
+    * fingerprints of A — losing all of them caps the overlap below
+    * t|A|. So only the floor(0.2|A|)+1 globally RAREST fingerprints of
+    * each doc (rarity = doc frequency, the classic candidate-minimizing
+    * order; one per-doc window over the fp rank) enter the candidate
+    * join, and the exact overlap count runs only over candidate pairs
+    * — lossless by the bound, never all-pairs. Verdicts are
+    * cross-multiplied (5*ov >= 4*n) so the gate is integer-exact; the
+    * displayed containment divides once.
+    */
+  private[graft] def containmentPipeline(
+      s: SparkSession, dir: String,
+      tauNum: Int = 4, tauDen: Int = 5, // t = 0.8
+      bcastGate: Long = 100_000L): DataFrame = {
+    // one sorted fingerprint ARRAY per doc: the prefix pass
+    // explodes it, and the overlap pass intersects two arrays per
+    // candidate pair IN a projection — the posting-explosion
+    // alternative (postings ⋈ pairs ⋈ postings then group-count)
+    // shuffles |pairs|·|doc| rows, measured 7x slower at bench
+    // scale on this small-fp-space corpus (5k docs share 12k
+    // distinct fps → 1.8M candidates)
+    val fpArr = docs(s, dir)
+      .withColumn("fps", array_sort(array_distinct(
+        TextOps.charFingerprints("text", w = 8, step = 4))))
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
+      .localCheckpoint() // 1 row/doc; reused by 3 consumers
+    val fps = fpArr.select(col("doc_id").as("a"),
+      explode(col("fps")).as("fp"))
+    val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    // every token ranked inside its doc by the ONE global
+    // (df, fp) order — the prefix bound reads it on the A side,
+    // the PPJoin positional filter reads it on the B side
+    val ranked = fps.join(dfreq, Seq("fp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy("df", "fp")))
+      .join(fpArr.select(col("doc_id").as("a"), col("n")), Seq("a"))
+      .select("a", "fp", "rk", "n")
+      .localCheckpoint() // one row per posting; probed twice
+    val prefix = ranked
+      .where(col("rk") <=
+        expr(s"(n * ${tauDen - tauNum}) div $tauDen") + 1L)
+      .select(col("a"), col("fp"), col("n").as("n_a"))
+    // candidates: A-prefix token ⋈ B token, PLUS the positional
+    // filter — the first shared token t* in the global order has
+    // p_b(t*) ≤ n_b − o + 1, so a qualifying pair always
+    // survives via t* (lossless); B-tokens too late in B's order
+    // to leave room for τ·n_a overlap generate no pair
+    val cands = prefix
+      .join(ranked.select(col("a").as("b"), col("fp"),
+        col("rk").as("rk_b"), col("n").as("n_b")), Seq("fp"))
+      .where(col("a") =!= col("b") &&
+        lit(tauDen) * (col("n_b") - col("rk_b") + 1L) >=
+          lit(tauNum) * col("n_a"))
+      .select("a", "b").distinct()
+    // SIZE-GATED verify join (the pruneNetwork hybrid discipline):
+    // the overlap pass needs each candidate's full fingerprint
+    // array back. Below the gate the one-row-per-doc array table
+    // broadcasts (two mapside joins, no shuffle of the pair
+    // stream); above it — a corpus-sized array table can NOT ship
+    // to every executor — both lookups run as plain shuffle hash
+    // joins on the doc id. fpArr is localCheckpointed, so the
+    // count is a cached-partition sweep, not a recompute.
+    val doBcast = fpArr.count() <= bcastGate
+    def side(df: DataFrame) = if (doBcast) broadcast(df) else df
+    cands
+      .join(side(fpArr.select(col("doc_id").as("a"),
+        col("fps").as("fps_a"), col("n").as("n_a"))), Seq("a"))
+      .join(side(fpArr.select(col("doc_id").as("b"),
+        col("fps").as("fps_b"))), Seq("b"))
+      .withColumn("overlap",
+        size(array_intersect(col("fps_a"), col("fps_b")))
+          .cast("long"))
+      .where(col("overlap") * tauDen >= col("n_a") * tauNum)
+      .withColumn("containment", round(
+        col("overlap").cast("double") / col("n_a"), 4))
+      .select(col("a").as("contained"), col("b").as("container"),
+        col("n_a").cast("long").as("n_a"), col("overlap"),
+        col("containment"))
+      .orderBy("contained", "container")
+  }
+
   private[graft] def corpusPipeline(
       s: SparkSession, dir: String,
       cp: DataFrame => DataFrame): DataFrame =
@@ -2785,80 +2875,7 @@ object TextQueries extends QueryPack {
 
     GraftQuery(
       "q_text_containment", Seq("J11", "D1", "A8"),
-      (s, dir) => {
-        // ASYMMETRIC containment dedup: C(A,B) = |A ∩ B| / |A| over
-        // each doc's distinct char-8-gram fingerprints — the quote /
-        // subsumption detector symmetric Jaccard misses (a short doc
-        // fully embedded in a long one has high containment but tiny
-        // Jaccard). Exact result via the PREFIX FILTER of the
-        // set-similarity-join literature (SSJoin/PPJoin, Chaudhuri et
-        // al. ICDE 2006): if C(A,B) >= t then B must contain at least
-        // one of ANY floor((1-t)|A|)+1 chosen fingerprints of A —
-        // losing all of them caps the overlap below t|A|. So only the
-        // floor(0.2|A|)+1 globally RAREST fingerprints of each doc
-        // (rarity = doc frequency, the classic candidate-minimizing
-        // order; one per-doc window over the fp rank) enter the
-        // candidate join, and the exact overlap count runs only over
-        // candidate pairs — lossless by the bound, never all-pairs.
-        // Verdicts are cross-multiplied (5*ov >= 4*n) so the gate is
-        // integer-exact; the displayed containment divides once.
-        val tauNum = 4; val tauDen = 5 // t = 0.8
-        // one sorted fingerprint ARRAY per doc: the prefix pass
-        // explodes it, and the overlap pass intersects two arrays per
-        // candidate pair IN a projection — the posting-explosion
-        // alternative (postings ⋈ pairs ⋈ postings then group-count)
-        // shuffles |pairs|·|doc| rows, measured 7x slower at bench
-        // scale on this small-fp-space corpus (5k docs share 12k
-        // distinct fps → 1.8M candidates)
-        val fpArr = docs(s, dir)
-          .withColumn("fps", array_sort(array_distinct(
-            TextOps.charFingerprints("text", w = 8, step = 4))))
-          .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
-          .localCheckpoint() // 1 row/doc; reused by 3 consumers
-        val fps = fpArr.select(col("doc_id").as("a"),
-          explode(col("fps")).as("fp"))
-        val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        // every token ranked inside its doc by the ONE global
-        // (df, fp) order — the prefix bound reads it on the A side,
-        // the PPJoin positional filter reads it on the B side
-        val ranked = fps.join(dfreq, Seq("fp"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a").orderBy("df", "fp")))
-          .join(fpArr.select(col("doc_id").as("a"), col("n")), Seq("a"))
-          .select("a", "fp", "rk", "n")
-          .localCheckpoint() // one row per posting; probed twice
-        val prefix = ranked
-          .where(col("rk") <=
-            expr(s"(n * ${tauDen - tauNum}) div $tauDen") + 1L)
-          .select(col("a"), col("fp"), col("n").as("n_a"))
-        // candidates: A-prefix token ⋈ B token, PLUS the positional
-        // filter — the first shared token t* in the global order has
-        // p_b(t*) ≤ n_b − o + 1, so a qualifying pair always
-        // survives via t* (lossless); B-tokens too late in B's order
-        // to leave room for τ·n_a overlap generate no pair
-        val cands = prefix
-          .join(ranked.select(col("a").as("b"), col("fp"),
-            col("rk").as("rk_b"), col("n").as("n_b")), Seq("fp"))
-          .where(col("a") =!= col("b") &&
-            lit(tauDen) * (col("n_b") - col("rk_b") + 1L) >=
-              lit(tauNum) * col("n_a"))
-          .select("a", "b").distinct()
-        cands
-          .join(broadcast(fpArr.select(col("doc_id").as("a"),
-            col("fps").as("fps_a"), col("n").as("n_a"))), Seq("a"))
-          .join(broadcast(fpArr.select(col("doc_id").as("b"),
-            col("fps").as("fps_b"))), Seq("b"))
-          .withColumn("overlap",
-            size(array_intersect(col("fps_a"), col("fps_b")))
-              .cast("long"))
-          .where(col("overlap") * tauDen >= col("n_a") * tauNum)
-          .withColumn("containment", round(
-            col("overlap").cast("double") / col("n_a"), 4))
-          .select(col("a").as("contained"), col("b").as("container"),
-            col("n_a").cast("long").as("n_a"), col("overlap"),
-            col("containment"))
-          .orderBy("contained", "container")
-      },
+      (s, dir) => containmentPipeline(s, dir),
       Some(s"""WITH f AS (SELECT doc_id,
             unnest(list_distinct(list_transform(
               range(1, greatest(len(text)-7, 1)+1, 4),

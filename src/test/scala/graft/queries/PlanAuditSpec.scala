@@ -110,6 +110,32 @@ class PlanAuditSpec extends SparkSuite {
       "scale-killer plans:\n" + offenders.mkString("\n"))
   }
 
+  test("q_text_containment verify stage: size gate controls the " +
+    "broadcast — no forced BroadcastExchange of the array table " +
+    "above the gate") {
+    // Above-gate (bcastGate = 0 forces the shuffle path) the
+    // corpus-sized fingerprint-array table must NOT carry a broadcast
+    // hint: with auto-broadcast disabled (what a 100 TB table's stats
+    // would do anyway) the physical plan contains zero
+    // BroadcastExchange. Below-gate the hint forces the two mapside
+    // joins even with auto-broadcast off.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val above = TextQueries
+        .containmentPipeline(spark, sfDir, bcastGate = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!above.contains("BroadcastExchange"),
+        "above-gate verify join still broadcasts the array table:\n" +
+          above)
+      val below = TextQueries
+        .containmentPipeline(spark, sfDir, bcastGate = Long.MaxValue)
+        .queryExecution.executedPlan.toString
+      assert(below.contains("BroadcastExchange"),
+        "below-gate verify join lost its broadcast hint:\n" + below)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_pipeline_corpus plans no window anywhere — stage 1 is " +
     "sketch-aggregate + broadcast cuts, not a per-language sort") {
     // the production query localCheckpoints each stage boundary,
