@@ -163,13 +163,26 @@ object InChISkeleton {
     val color0: Array[String] =
       (0 until nh).map(i => s"${elem(i)}H${fixedH(i)}").toArray
     val simpleAdj = adj.map(_.map(_._1))
+    // WL refinement with early exit: the distinct-colour count is
+    // non-decreasing round over round, and a round that splits no cell
+    // leaves the partition stable forever — so stop at the plateau
+    // instead of a fixed 12 rounds (typical molecules stabilize in
+    // 3-5; long chains with diameter > 12 now also refine fully)
     def refine(c0: Array[String]): Array[String] = {
       var c = c0
-      for (_ <- 0 until 12) {
+      var prevDistinct = -1
+      var round = 0
+      val maxRounds = math.max(12, nh)
+      while (round < maxRounds && {
+        val d = c.distinct.length
+        val go = d != prevDistinct && d < nh
+        prevDistinct = d; go
+      }) {
         c = (0 until nh).map { i =>
           val nb = simpleAdj(i).map(c).sorted.mkString(",")
           Integer.toHexString((c(i) + "|" + nb).hashCode)
         }.toArray
+        round += 1
       }
       c
     }
@@ -207,8 +220,19 @@ object InChISkeleton {
       else {
         val dup = c.zipWithIndex.groupBy(_._1).filter(_._2.length > 1)
         val pick = dup.keys.min
-        val cands0 = dup(pick).map(_._2).sorted
-        val cands = if (budget <= 0) cands0.take(1) else cands0
+        val cands0 = dup(pick).map(_._2).sorted.toSeq
+        // sibling-automorphism prune: same-cell atoms with IDENTICAL
+        // neighbor index sets (plus the same mobile group, charge and
+        // H count — everything assemble can see) are swapped by an
+        // automorphism, so individualizing either yields the same
+        // assembled string — branch one representative per class.
+        // This covers the common chemistry (terminal phosphate/carboxy
+        // oxygens, gem-dimethyl, ring-symmetric pairs of leaves).
+        val reps = cands0.groupBy { i =>
+          (simpleAdj(i).sorted.toSeq,
+            groupOf.getOrElse(i, -1), charge(i), hyd(i))
+        }.values.map(_.min).toSeq.sorted
+        val cands = if (budget <= 0) reps.take(1) else reps
         budget -= cands.length
         cands.map { i0 =>
           val c2 = c.clone(); c2(i0) = c2(i0) + "*"
