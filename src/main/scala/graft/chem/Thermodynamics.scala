@@ -109,14 +109,45 @@ object Thermodynamics {
     m - rt(t) * math.log(gs.map(g => math.exp(-(g - m) / rt(t))).sum)
   }
 
-  /** Alberty 2003 reference species (I=0, kJ/mol): the ATP-hydrolysis
-    * quartet, each with its pH-7-relevant protonation microspecies.
+  /** Alberty 2003 reference species (I=0, kJ/mol, 298.15 K) — the
+    * published BasicBiochemData table values, each compound with its
+    * pH-relevant protonation microspecies. Internal consistency is
+    * spec-pinned through the pKa values the adjacent microspecies
+    * imply (ΔdGf0 / RT·ln10): acetate 4.75, NH4+ 9.25, carbonate
+    * 6.37/10.33, succinate 5.64, citrate 6.39, AMP 6.73, G6P 6.42 —
+    * all the published constants (ThermodynamicsSpec).
+    *
+    * NAD(H) follows Alberty's convention ΔGf°(NADox⁻) := 0 — the pair
+    * is only meaningful inside reactions that conserve the NAD moiety
+    * (as in the lactate-dehydrogenase pin).
     */
   val speciesTable: Map[String, Seq[Species]] = Map(
     "water" -> Seq(Species(-237.19, 2, 0)),
     "atp" -> Seq(Species(-2768.10, 12, -4), Species(-2811.48, 13, -3)),
     "adp" -> Seq(Species(-1906.13, 12, -3), Species(-1947.10, 13, -2)),
-    "pi" -> Seq(Species(-1096.10, 1, -2), Species(-1137.30, 2, -1)))
+    "pi" -> Seq(Species(-1096.10, 1, -2), Species(-1137.30, 2, -1)),
+    "amp" -> Seq(Species(-1040.45, 12, -2), Species(-1078.86, 13, -1)),
+    "glucose" -> Seq(Species(-915.90, 12, 0)),
+    "glucose6phos" -> Seq(
+      Species(-1763.94, 11, -2), Species(-1800.59, 12, -1)),
+    "acetate" -> Seq(Species(-369.31, 3, -1), Species(-396.45, 4, 0)),
+    "acetaldehyde" -> Seq(Species(-139.00, 4, 0)),
+    "ethanol" -> Seq(Species(-181.64, 6, 0)),
+    "formate" -> Seq(Species(-351.04, 1, -1)),
+    "lactate" -> Seq(Species(-516.72, 5, -1)),
+    "pyruvate" -> Seq(Species(-472.27, 3, -1)),
+    "succinate" -> Seq(Species(-690.44, 4, -2), Species(-722.62, 5, -1)),
+    "fumarate" -> Seq(Species(-601.87, 2, -2)),
+    "malate" -> Seq(Species(-842.66, 4, -2)),
+    "citrate" -> Seq(
+      Species(-1162.69, 5, -3), Species(-1199.18, 6, -2)),
+    "co2tot" -> Seq(
+      Species(-527.81, 0, -2), Species(-586.77, 1, -1),
+      Species(-623.11, 2, 0)),
+    "ammonia" -> Seq(Species(-26.50, 3, 0), Species(-79.31, 4, 1)),
+    "glycerol" -> Seq(Species(-497.48, 8, 0)),
+    "nadox" -> Seq(Species(0.0, 26, -1)),
+    "nadred" -> Seq(Species(22.65, 27, -2)))
 
   /** Isomer-group ∆G′f of a table compound. */
   def dgfPrime(

@@ -486,15 +486,19 @@ object PickaxeQueries extends QueryPack {
           .select("compound", "ms", "ph", "ionic", "dgf_prime")
           .orderBy("compound", "ms", "ph", "ionic")
       },
-      Some("""
+      Some(s"""
         WITH sp(compound, ms, dgf0, nh, z, nmg) AS (VALUES
-          ('adp', 0, -1906.13, 12.0, -3.0, 0.0),
-          ('adp', 1, -1947.10, 13.0, -2.0, 0.0),
-          ('atp', 0, -2768.10, 12.0, -4.0, 0.0),
-          ('atp', 1, -2811.48, 13.0, -3.0, 0.0),
-          ('pi', 0, -1096.10, 1.0, -2.0, 0.0),
-          ('pi', 1, -1137.30, 2.0, -1.0, 0.0),
-          ('water', 0, -237.19, 2.0, 0.0, 0.0)),
+          ${
+        // the oracle's species list is GENERATED from the same
+        // speciesTable the Spark side iterates, so extending the
+        // published Alberty table can never desynchronize the gate
+        (for {
+          (name, sps) <- graft.chem.Thermodynamics.speciesTable.toSeq
+            .sortBy(_._1)
+          (sp, idx) <- sps.zipWithIndex
+        } yield s"('$name', $idx, ${sp.dGf0}, ${sp.nH}.0, " +
+          s"${sp.charge}.0, ${sp.nMg}.0)").mkString(",\n          ")
+      }),
         ph(ph) AS (VALUES (5.0), (6.0), (7.0), (8.0), (9.0)),
         ionic(ionic) AS (VALUES (0.0), (0.1), (0.25)),
         c AS (SELECT 8.314462618e-3 * 298.15 * ln(10) AS rtln10,

@@ -33,6 +33,53 @@ class ThermodynamicsSpec extends SparkSuite {
     assert(math.abs(pka("atp") - 7.60) < 0.02) // ATP4- / HATP3-
     assert(math.abs(pka("adp") - 7.18) < 0.02) // ADP3- / HADP2-
     assert(math.abs(pka("pi") - 7.22) < 0.02) // HPO4 2- / H2PO4-
+    assert(math.abs(pka("amp") - 6.73) < 0.02) // AMP2- / HAMP-
+    assert(math.abs(pka("acetate") - 4.75) < 0.02) // textbook 4.756
+    assert(math.abs(pka("ammonia") - 9.25) < 0.02) // NH4+ 9.25
+    assert(math.abs(pka("succinate") - 5.64) < 0.02) // pKa2
+    assert(math.abs(pka("citrate") - 6.39) < 0.02) // pKa3
+    assert(math.abs(pka("glucose6phos") - 6.42) < 0.02)
+    // carbonate: both steps from the 3-species ladder
+    val Seq(co3, hco3, h2co3) = speciesTable("co2tot").sortBy(_.nH)
+    assert(math.abs((hco3.dGf0 - h2co3.dGf0) / rtLn10() - 6.37) < 0.02)
+    assert(math.abs((co3.dGf0 - hco3.dGf0) / rtLn10() - 10.33) < 0.02)
+  }
+
+  test("published reaction dG' values from the extended table") {
+    // hexokinase: glucose + ATP -> G6P + ADP, pH 7, I = 0.25, in the
+    // same Mg-FREE frame as the pinned -36.04 ATP hydrolysis (the
+    // textbook -17 is the Mg-physiological number; Mg-free sits ~7
+    // lower, exactly like ATP hydrolysis -36.04 vs textbook -30.5)
+    val hex = dgrPrime(
+      Seq(1 -> "glucose", 1 -> "atp"),
+      Seq(1 -> "glucose6phos", 1 -> "adp"),
+      pH = 7.0, ionicStrength = 0.25)
+    assert(hex > -27.0 && hex < -22.0, s"hexokinase dG'=$hex")
+    // cross-check: hexokinase − (G6P hydrolysis) = ATP hydrolysis,
+    // and G6P + H2O -> glucose + Pi is the textbook ~ -11..-14
+    val g6pHyd = dgrPrime(
+      Seq(1 -> "glucose6phos", 1 -> "water"),
+      Seq(1 -> "glucose", 1 -> "pi"),
+      pH = 7.0, ionicStrength = 0.25)
+    assert(g6pHyd > -14.5 && g6pHyd < -10.0, s"G6P hydrolysis=$g6pHyd")
+    val atpHyd = dgrPrime(
+      Seq(1 -> "atp", 1 -> "water"), Seq(1 -> "adp", 1 -> "pi"),
+      pH = 7.0, ionicStrength = 0.25)
+    assert(math.abs(hex + g6pHyd - atpHyd) < 1e-9,
+      "phosphoryl-transfer thermodynamic cycle must close exactly")
+    // lactate dehydrogenase: pyruvate + NADH -> lactate + NAD+
+    // (NAD convention pair conserves the moiety), pH 7, I = 0.25 —
+    // published ~ -25 kJ/mol
+    val ldh = dgrPrime(
+      Seq(1 -> "pyruvate", 1 -> "nadred"),
+      Seq(1 -> "lactate", 1 -> "nadox"),
+      pH = 7.0, ionicStrength = 0.25)
+    assert(ldh > -28.0 && ldh < -22.0, s"LDH dG'=$ldh")
+    // adenylate kinase: ATP + AMP -> 2 ADP is near-equilibrium
+    val adk = dgrPrime(
+      Seq(1 -> "atp", 1 -> "amp"), Seq(2 -> "adp"),
+      pH = 7.0, ionicStrength = 0.25)
+    assert(math.abs(adk) < 5.0, s"adenylate kinase dG'=$adk")
   }
 
   test("Legendre pH slope is exactly N_H·RT·ln10 per pH unit") {
