@@ -48,7 +48,13 @@ object MassSearch {
         * compound table's `logP` column when present, else the
         * deterministic estimator (Formula.logPEstimate).
         */
-      logpRange: Option[(Double, Double)] = None): DataFrame = {
+      logpRange: Option[(Double, Double)] = None,
+      /** J6 bucket width — size it >= the widest tolerance window so
+        * each (peak, adduct) range explodes to <= 2 bucket rows; the
+        * 0.001-Da default suits the fixture's absolute tolerances,
+        * ppm searches over wide mass ranges should pass ~1.0.
+        */
+      bucketWidth: Double = 0.01): DataFrame = {
     import spark.implicits._
     // potential mass per (peak, adduct): (mz - ion) / mult ± tol
     // (metabolomics.py:211-217); charge polarity must match the adduct's
@@ -92,7 +98,8 @@ object MassSearch {
     }
     RangeJoin.intervalJoin(logpFiltered.drop("logP"), ranges,
       "Mass", "lo", "hi",
-      bucketWidth = 0.01, inclusive = true) // $gte/$lte like the reference
+      bucketWidth = bucketWidth,
+      inclusive = true) // $gte/$lte like the reference
   }
 
   /** A6: per-peak hit statistics (total_hits, distinct formulas —

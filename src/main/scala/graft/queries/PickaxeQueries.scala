@@ -200,6 +200,92 @@ object PickaxeQueries extends QueryPack {
         "adducts broadcast -> bucketed interval join -> per-peak stats."),
 
     GraftQuery(
+      "q_mass_search_scale", Seq("J6", "A6", "S9", "P4"),
+      (s, dir) => {
+        // CATALOG-SCALE J6: the same MassSearch.adductSearch surface
+        // the fixture query pins, driven with THOUSANDS of (peak,
+        // adduct) ppm windows against the scale factor's mass column —
+        // the reference's hot web-API path (metabolomics.py:211-236,
+        // ms_adduct_search) at the load a real MINE serves, proving
+        // the bucketed interval-join discipline holds when the ranges
+        // side stops being broadcast-trivial. Peaks come from orders
+        // (1 in 100, alternating polarity), the compound catalog from
+        // part (retail price as the mass spectrum, a deterministic
+        // pseudo-formula carrying a halogen sliver so the P4 exclusion
+        // regex runs at scale). ppm tolerance exercises the
+        // per-window width branch; bucketWidth 1.0 keeps every window
+        // in <= 2 buckets. The oracle replays the identical double
+        // arithmetic relationally in DuckDB.
+        val compounds = graft.Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("_id"),
+            lit("C").as("SMILES"),
+            when(col("p_partkey") % 7 === 0,
+              concat(lit("C6Cl"), col("p_partkey") % 50))
+              .otherwise(concat(lit("C"), col("p_partkey") % 50))
+              .as("Formula"),
+            col("p_retailprice").as("Mass"),
+            lit(0).as("Charge"))
+        val peaks = graft.Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") % 10 === 0)
+          .select(concat(lit("pk"), col("o_orderkey")).as("name"),
+            (col("o_totalprice") / lit(100.0)).as("mz"),
+            when(col("o_orderkey") % 20 === 0, "+").otherwise("-")
+              .as("charge"))
+        val adducts = Seq(
+          AdductRow("[M+H]+", 1.0, 1.007276),
+          AdductRow("[M+Na]+", 1.0, 22.989218),
+          AdductRow("[M+2H]2+", 2.0, 2.014552),
+          AdductRow("[M-H]-", 1.0, -1.007276),
+          AdductRow("[M-2H]2-", 2.0, -2.014552),
+          AdductRow("[2M-H]-", 0.5, -1.007276))
+        val hits = MassSearch.adductSearch(s, compounds, peaks,
+          adducts = adducts, tol = 20.0, ppm = true, bucketWidth = 1.0)
+        hits.groupBy("adduct")
+          .agg(count(lit(1)).as("n_hits"),
+            countDistinct("peak").as("n_peaks"),
+            countDistinct("Formula").as("n_formulas"),
+            sum("_id").as("id_sum"))
+          .orderBy("adduct")
+      },
+      Some("""WITH ad(adduct, mult, ion) AS (VALUES
+            ('[M+H]+', 1.0, 1.007276),
+            ('[M+Na]+', 1.0, 22.989218),
+            ('[M+2H]2+', 2.0, 2.014552),
+            ('[M-H]-', 1.0, -1.007276),
+            ('[M-2H]2-', 2.0, -2.014552),
+            ('[2M-H]-', 0.5, -1.007276)),
+          pk AS (SELECT 'pk' || o_orderkey AS peak,
+              o_totalprice / 100.0 AS mz,
+              CASE WHEN o_orderkey % 20 = 0 THEN '+' ELSE '-' END
+                AS charge
+            FROM orders WHERE o_orderkey % 10 = 0),
+          r AS (SELECT peak, adduct, (mz - ion) / mult AS pm
+            FROM pk, ad
+            WHERE (charge = '+' AND ion > 0)
+               OR (charge = '-' AND ion < 0)),
+          rr AS (SELECT peak, adduct,
+              pm - pm * 20.0 / 1e6 AS lo, pm + pm * 20.0 / 1e6 AS hi
+            FROM r),
+          cp AS (SELECT p_partkey AS id, p_retailprice AS mass,
+              CASE WHEN p_partkey % 7 = 0
+                THEN 'C6Cl' || (p_partkey % 50)
+                ELSE 'C' || (p_partkey % 50) END AS formula
+            FROM part),
+          cpf AS (SELECT * FROM cp
+            WHERE NOT regexp_matches(formula, 'F[^e]|Cl|Br')),
+          h AS (SELECT rr.adduct, rr.peak, cpf.id, cpf.formula
+            FROM rr JOIN cpf ON cpf.mass >= rr.lo AND cpf.mass <= rr.hi)
+        SELECT adduct, count(*)::BIGINT AS n_hits,
+          count(DISTINCT peak)::BIGINT AS n_peaks,
+          count(DISTINCT formula)::BIGINT AS n_formulas,
+          sum(id)::BIGINT AS id_sum
+        FROM h GROUP BY 1 ORDER BY 1"""),
+      "Catalog-scale mass/adduct search: thousands of ppm windows " +
+        "through the bucketed interval join (each window <= 2 buckets, " +
+        "plain equi-join shuffle, no BNLJ), halogen exclusion at " +
+        "scale, per-adduct hit statistics."),
+
+    GraftQuery(
       "q_pickaxe_likelihood", Seq("J6", "S9", "A6"),
       (s, _) => {
         // score_compounds (metabolomics.py:1209-1269): native-set

@@ -63,6 +63,10 @@ class PlanAuditSpec extends SparkSuite {
     "q_itemsets",
     // 1-row order-count broadcast for the PMI denominator
     "q_agg_pmi",
+    // catalog-scale mass search: peaks x broadcast(6-row adduct dim)
+    // fan-out — the adduct table is a constant-size dimension at any
+    // scale; the mass join itself is the bucketed equi-join
+    "q_mass_search_scale",
     // engine fixture queries: tiny frontier crossJoin(1-row agg)
     "q_pickaxe_expand", "q_pickaxe_met_filter", "q_pickaxe_mass_search",
     "q_pickaxe_ms2", "q_pickaxe_ms2_jaccard", "q_pickaxe_likelihood",
