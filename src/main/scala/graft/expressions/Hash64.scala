@@ -76,11 +76,30 @@ object Hash64 {
     * and spec path is covered; standalone library users with a fresh
     * session call this (or any of those entry points) first.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash64", (exprs: Seq[Expression]) => {
         require(exprs.length == 1,
           s"graft_hash64 takes 1 argument, got ${exprs.length}")
         Hash64(exprs.head)
       }, "built-in")
+    // the fused shingle kernels ride along so every call site that
+    // registered the hash can also emit them in SQL strings
+    def lit(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_fps", (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_char_fps takes (text, w, step), got ${exprs.length}")
+        CharFps(exprs.head, lit(exprs(1), "w"), lit(exprs(2), "step"))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_winnow takes (text, k, t), got ${exprs.length}")
+        WinnowFps(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "t"))
+      }, "built-in")
+  }
 }

@@ -121,9 +121,13 @@ object TextOps {
     * sampled every `step` chars.
     */
   def charFingerprints(textCol: String, w: Int, step: Int): Column =
-    expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${w - 1}, 1), $step), " +
-        s"i -> ${hash64(s"substring($textCol, i, $w)")})")
+    // the fused kernel (expressions.CharFps): one tight
+    // substring→md5-low-60 loop per row instead of an interpreted
+    // transform lambda per position — bit-identical to
+    //   transform(sequence(1, greatest(length(t)-w+1, 1), step),
+    //             i -> graft_hash64(substring(t, i, w)))
+    // which remains the DuckDB oracles' formulation
+    expr(s"graft_char_fps($textCol, $w, $step)")
 
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003): hash EVERY k-char gram (one md5 per position), then
@@ -164,35 +168,15 @@ object TextOps {
     * expression's if(null-condition) also lands in the else branch),
     * so DuckDB oracles mirroring the expression are unchanged.
     */
-  def winnowCompiled(k: Int, t: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+  def winnowCompiled(k: Int, t: Int): Column => Column = {
     require(t >= k, s"guarantee threshold t=$t must be >= gram size k=$k")
-    org.apache.spark.sql.functions.udf { text: String =>
-      if (text == null || text.length < t) Array.empty[Long]
-      else {
-        val n = text.length - k + 1
-        val hs = new Array[Long](n)
-        var i = 0
-        while (i < n) {
-          hs(i) = VectorOps.hash64Scala(text.substring(i, i + k))
-          i += 1
-        }
-        val win = t - k + 1
-        val seen = new java.util.LinkedHashSet[Long]
-        var j = 0
-        while (j + win <= n) {
-          var m = hs(j)
-          var x = j + 1
-          while (x < j + win) { if (hs(x) < m) m = hs(x); x += 1 }
-          seen.add(m)
-          j += 1
-        }
-        val out = new Array[Long](seen.size)
-        val it = seen.iterator()
-        var o = 0
-        while (it.hasNext) { out(o) = it.next(); o += 1 }
-        out
-      }
-    }
+    // the fused kernel (expressions.WinnowFps) replaced the compiled
+    // Scala UDF here: same tight loop, but evaluated on UTF8String /
+    // primitive ArrayData in place — the UDF paid a string copy and
+    // an array conversion per row. Null text: SQL NULL (the UDF
+    // returned empty; every consumer treats the two alike — explode
+    // drops the row, size(null) > 0 is not true)
+    c => expr(s"graft_winnow(${c.toString}, $k, $t)")
   }
 
   /** Positional winnowing — [[winnow]]'s selection with each kept

