@@ -18,6 +18,38 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Per-query medians of a committed BENCH_FULL.json line (flat regex
+    * scan of the `"queries"` object — no JSON dependency in main), used
+    * by the second variance guard. Returns empty when the artifact is
+    * missing/unreadable or records a different scale factor.
+    */
+  private[graft] def parseBaselineMedians(
+      line: String, sfDir: String): Map[String, Double] = {
+    if (!line.contains("\"sf\":\"" + sfDir + "\"")) return Map.empty
+    val qObj = {
+      val i = line.indexOf("\"queries\":{")
+      if (i < 0) return Map.empty
+      val start = i + "\"queries\":".length
+      val end = line.indexOf('}', start)
+      if (end < 0) return Map.empty
+      line.substring(start, end + 1)
+    }
+    val Entry = """"([^"]+)":([0-9.eE+\-]+)""".r
+    Entry.findAllMatchIn(qObj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Second variance guard: the intra-spread check misses a query whose
+    * reps are UNIFORMLY contended (all slow, small spread) — the shape
+    * that contaminated the round-12 working-tree artifact. A query
+    * whose every successful rep exceeds 3x its committed-baseline
+    * median is flagged the same way.
+    */
+  private[graft] def uniformlyAboveBaseline(
+      baseline: Option[Double], okReps: Seq[Double]): Boolean =
+    baseline.exists(b => b > 0 && okReps.nonEmpty &&
+      okReps.forall(_ > 3.0 * b))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +63,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     var failed = List.empty[String]
     var varianceFlagged = List.empty[String]
+    // committed per-query baseline for the uniform-contention guard —
+    // read BEFORE the run (this process overwrites the artifact later)
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BASELINE", "BENCH_FULL.json")
+    val baseline: Map[String, Double] =
+      try parseBaselineMedians(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath))), sfDir)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just
     // those queries (never used by the driver, which runs the full set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -57,13 +98,21 @@ object Bench {
       // steady state; the flag ships in the JSON so a reader knows
       // which headline numbers carried an outlier.
       val okBase = base.filter(_ >= 0)
-      val noisy = reps > 1 && okBase.length > 1 &&
+      val spreadNoisy = reps > 1 && okBase.length > 1 &&
         okBase.max / math.max(okBase.min, 1e-9) > 3.0
-      val times = if (noisy) {
+      // second guard: all reps uniformly >3x the committed baseline
+      // median — uniform contention the intra-spread check cannot see
+      val uniformNoisy =
+        uniformlyAboveBaseline(baseline.get(name), okBase)
+      val times = if (spreadNoisy || uniformNoisy) {
         varianceFlagged ::= name
-        System.err.println(s"[bench] $name reps spread " +
-          f"${okBase.max / math.max(okBase.min, 1e-9)}%.1fx " +
-          s"(${base.mkString(", ")}) — rerunning once")
+        val why =
+          if (spreadNoisy)
+            f"reps spread ${okBase.max / math.max(okBase.min, 1e-9)}%.1fx"
+          else
+            f"all reps >3x committed baseline ${baseline(name)}%.2fs"
+        System.err.println(
+          s"[bench] $name $why (${base.mkString(", ")}) — rerunning once")
         base :+ rep()
       } else base
       if (times.exists(_ < 0) && !failed.contains(name)) failed ::= name
