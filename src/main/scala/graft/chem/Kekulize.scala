@@ -29,16 +29,25 @@ object Kekulize {
   /** True when every aromatic system in the molecule admits a Kekulé
     * assignment. Molecules without aromatic bonds are trivially true.
     */
-  def kekulizable(m: Molecule): Boolean = {
-    val aromNeigh = Array.fill(m.n)(List.empty[Int])
-    m.bonds.foreach { bd =>
+  def kekulizable(m: Molecule): Boolean = assignment(m).isDefined
+
+  /** One concrete Kekulé assignment: the set of AROMATIC-bond indices
+    * that carry the double bond. `Some(Set.empty)` for molecules whose
+    * aromatic atoms all have π need 0 (or no aromatic bonds at all);
+    * `None` when no perfect matching exists — RDKit's "Can't kekulize
+    * mol". The strict sanitize audit uses the assignment to compute
+    * integer valences over aromatic systems.
+    */
+  def assignment(m: Molecule): Option[Set[Int]] = {
+    val aromNeigh = Array.fill(m.n)(List.empty[(Int, Int)]) // (atom, bondIdx)
+    m.bonds.zipWithIndex.foreach { case (bd, bi) =>
       if (bd.aromatic) {
-        aromNeigh(bd.a) = bd.b :: aromNeigh(bd.a)
-        aromNeigh(bd.b) = bd.a :: aromNeigh(bd.b)
+        aromNeigh(bd.a) = (bd.b, bi) :: aromNeigh(bd.a)
+        aromNeigh(bd.b) = (bd.a, bi) :: aromNeigh(bd.b)
       }
     }
     val inSystem = (0 until m.n).filter(aromNeigh(_).nonEmpty)
-    if (inSystem.isEmpty) return true
+    if (inSystem.isEmpty) return Some(Set.empty)
 
     // π need per aromatic atom: allowed valence − bond sum (aromatic
     // bonds count 1 σ) − own H
@@ -55,15 +64,16 @@ object Kekulize {
           // implicit H uses the molecule's aromatic-aware derivation
           val ownH = if (a.hCount >= 0) a.hCount else m.implicitH(i)
           val need = v - bondSum - ownH
-          if (need < 0 || need > 1) return false
+          if (need < 0 || need > 1) return None
           needs(i) = need
       }
     }
     // perfect matching of needs-1 atoms along aromatic edges, per
     // connected component, by backtracking (systems are small)
     val need1 = inSystem.filter(needs(_) == 1).toArray
-    if (need1.isEmpty) return true
+    if (need1.isEmpty) return Some(Set.empty)
     val matched = Array.fill(m.n)(false)
+    val picked = scala.collection.mutable.Set.empty[Int]
     def bt(idx: Int): Boolean = {
       if (idx == need1.length) true
       else {
@@ -71,11 +81,12 @@ object Kekulize {
         if (matched(u)) bt(idx + 1)
         else {
           matched(u) = true
-          val ok = aromNeigh(u).exists { v =>
+          val ok = aromNeigh(u).exists { case (v, bi) =>
             needs(v) == 1 && !matched(v) && {
               matched(v) = true
+              picked += bi
               val r = bt(idx + 1)
-              if (!r) matched(v) = false
+              if (!r) { matched(v) = false; picked -= bi }
               r
             }
           }
@@ -84,6 +95,6 @@ object Kekulize {
         }
       }
     }
-    bt(0)
+    if (bt(0)) Some(picked.toSet) else None
   }
 }

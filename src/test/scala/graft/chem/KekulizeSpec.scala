@@ -26,4 +26,39 @@ class KekulizeSpec extends AnyFunSuite {
     // N-methylpyridinium IS valid
     assert(Kekulize.kekulizable(mol("C[n+]1ccccc1")))
   }
+
+  test("assignment returns a concrete alternating Kekulé matching") {
+    val benzene = mol("c1ccccc1")
+    val Some(doubled) = Kekulize.assignment(benzene)
+    assert(doubled.size === 3, "benzene carries exactly 3 double bonds")
+    // the matching is a perfect pairing: every atom touched exactly once
+    val touched = doubled.toSeq.flatMap { bi =>
+      Seq(benzene.bonds(bi).a, benzene.bonds(bi).b) }
+    assert(touched.distinct.length === 6)
+    // pyrrole: N contributes the lone pair, only 2 doubles
+    val Some(d2) = Kekulize.assignment(mol("c1cc[nH]c1"))
+    assert(d2.size === 2)
+    assert(Kekulize.assignment(mol("c1nc2c(N)ncnc2n1")).isEmpty)
+    assert(Kekulize.assignment(mol("CCO")) === Some(Set.empty[Int]))
+  }
+
+  test("RdkitValence.sanitizeOk: strict valence over the assignment") {
+    assert(RdkitValence.sanitizeOk(mol("c1ccccc1")))
+    assert(RdkitValence.sanitizeOk(mol("Nc1ncnc2c1nc[nH]2")))
+    assert(RdkitValence.sanitizeOk(mol("CC(=O)[O-]")))
+    assert(RdkitValence.sanitizeOk(mol("C[n+]1ccccc1")))
+    assert(RdkitValence.sanitizeOk(mol("COP(=O)(O)OC")))
+    // unkekulizable -> rejected
+    assert(!RdkitValence.sanitizeOk(mol("c1nc2c(N)ncnc2n1")))
+    // bracket-fixed over-valent atoms -> rejected (RDKit "Explicit
+    // valence greater than permitted")
+    assert(!RdkitValence.sanitizeOk(mol("C[NH4]")))  // 5-valent N0
+    assert(!RdkitValence.sanitizeOk(mol("CO(C)C")))  // 3-bonded O0
+    // the charged forms are fine
+    assert(RdkitValence.sanitizeOk(mol("C[NH3+]")))
+    assert(RdkitValence.sanitizeOk(mol("C[OH2+]")))
+    // anionic O may carry at most one bond
+    assert(RdkitValence.sanitizeOk(mol("CC([O-])=O")))
+    assert(!RdkitValence.sanitizeOk(mol("C[O-]C")))
+  }
 }

@@ -48,25 +48,37 @@ class FilterParitySpec extends SparkSuite {
     info(s"total=$n ($byGen) vs reference 1740 (test_filters.py:122)")
     // DOCUMENTED DIVERGENCE: the reference (RDKit kernel) reaches 1740
     // compounds on this fixture; our kernel reaches 1860 (+6.9%).
-    // Round-5 diagnostics (graft.pickaxe.TautomerDiag) RULED OUT the
-    // two obvious mechanisms:
+    // Round-5 diagnostics (graft.pickaxe.TautomerDiag) RULED OUT:
     //   - aromatic n:c:n tautomer merging (utils.postsanitize_smiles
     //     sorted-first pick) is COMPLETE: the 1807 predicted compounds
-    //     form 1807 single-flip closure classes — no two compounds in
-    //     the network are tautomer-connected, so no sharper tautomer
-    //     pick can merge anything;
+    //     form 1807 single-flip closure classes;
     //   - the canonical SMILES writer is exact under atom relabeling
-    //     (0/1807 compounds split across 3 random permutations each),
-    //     so symmetric-substrate duplicate products cannot phantom-split.
-    // What remains: 142 same-skeleton same-formula groups (+208
-    // members) that are genuine positional isomers (e.g. NAD+-oxidation
-    // rule0002 applied at different C-OH sites of polyol substrates) —
-    // molecules RDKit itself would keep distinct. The residual gap is
-    // therefore RDKit SanitizeMol rejection subtleties (reactions.py:132
-    // "Explicit valence greater than permitted ... we throw them out")
-    // and/or RDKit-vs-ours SMARTS match-site differences, which cannot
-    // be adjudicated in this container (no RDKit available). Pinned as a
-    // regression bound.
+    //     (0/1807 compounds split across 3 random permutations each).
+    // Round-13 diagnostics (graft.pickaxe.SkeletonKeyDiag) ruled out
+    // FOUR more mechanisms, each with an exact count on this network:
+    //   - InChI-block-1 id merging (the reference hashes InChIKey
+    //     block 1, utils.py:146-151; ours hashes canonical SMILES):
+    //     the full mobile-H + proton-folding key (InChISkeleton)
+    //     produces 1807 classes for 1807 compounds — ZERO merges, so
+    //     id-granularity differences explain nothing here;
+    //   - RDKit-strict SanitizeMol valence rejection: every one of the
+    //     1807 products passes the kekulize-then-integer-valence audit
+    //     (chem.RdkitValence, no aromatic exemption) — ZERO of our
+    //     keepers are RDKit-invalid;
+    //   - InChI-granular no-op skips (reactions.py:190-192 intersects
+    //     InChI-based ids, so a product that is a mobile-H tautomer of
+    //     its own reactant is a no-op there): ZERO products share a
+    //     skeleton key with any reactant of their producing reaction;
+    //   - the single-flip pyrrole kekulize repair the reference's
+    //     postsanitize can fail (dropping valid products): only 4
+    //     [nH]-bearing products exist network-wide — bounded at 4.
+    // Valence tables, '-'-excludes-aromatic bond matching, and the
+    // ring-bond fragment-distribution rejection were verified
+    // consistent by code comparison. What remains is match-site
+    // enumeration inside RDKit's RunReactants vs our matcher on the
+    // generic O-transfer templates (rule0001/0006/0015 emit 2103 of
+    // the 2-gen products), which cannot be adjudicated in this
+    // container (no RDKit available). Pinned as a regression bound.
     assert(n >= 1700 && n <= 2000, s"2-gen total $n drifted from the " +
       "pinned 1860 (reference: 1740)")
   }
