@@ -89,20 +89,35 @@ final case class WinnowFps(child: Expression, k: Int, t: Int)
 object CharFps {
 
   /** 1-based char positions 1, 1+step, ... up to max(n-w+1, 1); each
-    * gram is substring-SQL(i, w) — the final grams of a short text
-    * are shorter than w, exactly like the SQL chain.
+    * gram is substring(i, w) — the final grams of a short text are
+    * shorter than w, exactly like the SQL chain. One forward pass:
+    * rolling byte cursors for the gram start/end instead of
+    * substringSQL (which re-scans from byte 0 per call — quadratic).
     */
   def compute(s: UTF8String, w: Int, step: Int): ArrayData = {
+    val b = s.getBytes
+    val nBytes = b.length
     val n = s.numChars()
-    val last = math.max(n - w + 1, 1)
+    val last = math.max(n - w + 1, 1) // last 1-based start position
     val m = (last - 1) / step + 1
     val out = new Array[Long](m)
-    var i = 1
+    var i = 0 // current 0-based char start
+    var startB = 0 // byte offset of char i
+    var e = 0 // end cursor: char count covered
+    var endB = 0 // byte offset of char e
     var o = 0
-    while (i <= last) {
-      out(o) = Hash64.compute(s.substringSQL(i, w))
+    while (o < m) {
+      val targetEnd = math.min(i + w, n)
+      while (e < targetEnd) {
+        endB += UTF8String.numBytesForFirstByte(b(endB)); e += 1
+      }
+      out(o) = Hash64.computeRange(b, startB, endB - startB)
       o += 1
-      i += step
+      var st = 0
+      while (st < step && startB < nBytes) {
+        startB += UTF8String.numBytesForFirstByte(b(startB))
+        i += 1; st += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
@@ -117,9 +132,20 @@ object WinnowFps {
     if (n < t) return EMPTY
     val grams = n - k + 1
     val hs = new Array[Long](grams)
+    val b = s.getBytes
+    // rolling byte cursors — one forward pass, not a substringSQL
+    // rescan per position (quadratic)
     var i = 0
+    var startB = 0
+    var e = 0
+    var endB = 0
     while (i < grams) {
-      hs(i) = Hash64.compute(s.substringSQL(i + 1, k))
+      val targetEnd = i + k
+      while (e < targetEnd) {
+        endB += UTF8String.numBytesForFirstByte(b(endB)); e += 1
+      }
+      hs(i) = Hash64.computeRange(b, startB, endB - startB)
+      startB += UTF8String.numBytesForFirstByte(b(startB))
       i += 1
     }
     val win = t - k + 1

@@ -58,9 +58,21 @@ object Hash64 {
     * unsigned value: first 8 digest bytes big-endian, >>> 4.
     */
   def compute(s: UTF8String): Long = {
+    val b = s.getBytes
+    computeRange(b, 0, b.length)
+  }
+
+  /** Same hash over a byte RANGE — the shingle kernels hash thousands
+    * of overlapping grams per document, so they slice one byte array
+    * with rolling cursors instead of materializing a UTF8String per
+    * position (UTF8String.substringSQL re-scans from byte 0 each call,
+    * which made the naive fused kernel quadratic).
+    */
+  def computeRange(b: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(s.getBytes)
+    d.update(b, off, len)
+    val dig = d.digest()
     val be =
       (dig(0) & 0xffL) << 56 | (dig(1) & 0xffL) << 48 |
         (dig(2) & 0xffL) << 40 | (dig(3) & 0xffL) << 32 |
