@@ -28,8 +28,63 @@ object Kekulize {
 
   /** True when every aromatic system in the molecule admits a Kekulé
     * assignment. Molecules without aromatic bonds are trivially true.
+    *
+    * This is the expansion kernel's PER-PRODUCT hot path — it keeps
+    * the original allocation-lean matcher (plain Int adjacency, no
+    * bond-index bookkeeping) rather than delegating to [[assignment]],
+    * whose picked-set tracking measurably slowed every engine query
+    * when it briefly sat on this path.
     */
-  def kekulizable(m: Molecule): Boolean = assignment(m).isDefined
+  def kekulizable(m: Molecule): Boolean = {
+    val aromNeigh = Array.fill(m.n)(List.empty[Int])
+    m.bonds.foreach { bd =>
+      if (bd.aromatic) {
+        aromNeigh(bd.a) = bd.b :: aromNeigh(bd.a)
+        aromNeigh(bd.b) = bd.a :: aromNeigh(bd.b)
+      }
+    }
+    val inSystem = (0 until m.n).filter(aromNeigh(_).nonEmpty)
+    if (inSystem.isEmpty) return true
+    val needs = Array.fill(m.n)(0)
+    for (i <- inSystem) {
+      val a = m.atoms(i)
+      allowedValence(a.elem, a.charge) match {
+        case None => needs(i) = 0
+        case Some(v) =>
+          val bondSum = m.adj(i).map { case (_, bd) =>
+            if (bd.aromatic) 1 else bd.order
+          }.sum
+          val ownH = if (a.hCount >= 0) a.hCount else m.implicitH(i)
+          val need = v - bondSum - ownH
+          if (need < 0 || need > 1) return false
+          needs(i) = need
+      }
+    }
+    val need1 = inSystem.filter(needs(_) == 1).toArray
+    if (need1.isEmpty) return true
+    val matched = Array.fill(m.n)(false)
+    def bt(idx: Int): Boolean = {
+      if (idx == need1.length) true
+      else {
+        val u = need1(idx)
+        if (matched(u)) bt(idx + 1)
+        else {
+          matched(u) = true
+          val ok = aromNeigh(u).exists { v =>
+            needs(v) == 1 && !matched(v) && {
+              matched(v) = true
+              val r = bt(idx + 1)
+              if (!r) matched(v) = false
+              r
+            }
+          }
+          if (!ok) matched(u) = false
+          ok
+        }
+      }
+    }
+    bt(0)
+  }
 
   /** One concrete Kekulé assignment: the set of AROMATIC-bond indices
     * that carry the double bond. `Some(Set.empty)` for molecules whose
