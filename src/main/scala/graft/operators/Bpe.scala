@@ -63,13 +63,35 @@ object Bpe {
   /** Learn `n` merge rules from a corpus of documents (`textCol`).
     * Returns the rules in learned order plus the final vocabulary
     * segmentation (word, wc, syms).
+    *
+    * SIZE-GATED HYBRID (the pruneNetwork discipline): training state
+    * is VOCABULARY-sized — one row per distinct word — and the merge
+    * loop pays `n` Spark-job round-trips of fixed overhead. Below
+    * `localVocabThreshold` distinct words the (w, wc) table collects
+    * once and the IDENTICAL deterministic loop (same argmax order,
+    * same greedy merge) runs driver-side — ~70 ms × n of job overhead
+    * becomes microseconds; past the gate the distributed loop runs
+    * unchanged, so a web-scale vocabulary never collects. Bit-parity
+    * of the two paths is spec-pinned (BpeSpec).
     */
   def train(
       docs: DataFrame, n: Int,
-      textCol: String = "text"): (Seq[MergeRule], DataFrame) = {
-    var vocab = docs
+      textCol: String = "text",
+      localVocabThreshold: Long = 200_000L): (Seq[MergeRule], DataFrame) = {
+    val spark = docs.sparkSession
+    val base = docs
       .select(explode(TextOps.tokens(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+    if (base.count() <= localVocabThreshold) {
+      import spark.implicits._
+      val words = base.as[(String, Long)].collect()
+      val (rules, syms) = trainLocal(words, n)
+      val vocabOut = words.toSeq
+        .map { case (w, wc) => (w, wc, syms(w).toSeq) }
+        .toDF("w", "wc", "syms")
+      return (rules, vocabOut)
+    }
+    var vocab = base
       .withColumn("syms", charSyms("w"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
@@ -92,6 +114,53 @@ object Bpe {
       i += 1
     }
     (rules.toSeq, vocab)
+  }
+
+  /** The driver-side twin of the distributed merge loop: identical
+    * argmax (count desc, then (l, r) asc — ASCII-safe, and the parity
+    * spec guards the corpus actually fed through it) and the identical
+    * greedy left-to-right non-overlapping merge.
+    */
+  private def trainLocal(
+      words: Array[(String, Long)],
+      n: Int): (Seq[MergeRule], Map[String, IndexedSeq[String]]) = {
+    var syms: Array[IndexedSeq[String]] =
+      words.map { case (w, _) => w.map(_.toString): IndexedSeq[String] }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var round = 0
+    var continue = true
+    while (round < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val ss = syms(wi)
+        val wc = words(wi)._2
+        var j = 0
+        while (j < ss.length - 1) {
+          val k = (ss(j), ss(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wc
+          j += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        rules += MergeRule(l, r, c)
+        syms = syms.map { ss =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          ss.foreach { s =>
+            if (out.nonEmpty && out.last == l && s == r) {
+              out.remove(out.size - 1); out += (l + r)
+            } else out += s
+          }
+          out.toIndexedSeq
+        }
+      }
+      round += 1
+    }
+    (rules.toSeq,
+      words.map(_._1).zip(syms.map(_.toIndexedSeq)).toMap)
   }
 
   /** Corpus token accounting under a trained segmentation — the

@@ -81,6 +81,24 @@ class BpeSpec extends SparkSuite {
     assert(seg === wantSyms)
   }
 
+  test("size-gated local training is bit-identical to the " +
+    "distributed merge loop") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    // localVocabThreshold = 0 forces the distributed path; the default
+    // takes the driver-side loop — rules AND final segmentation must
+    // agree exactly
+    val (rulesDist, vocabDist) =
+      Bpe.train(docs, n = 6, localVocabThreshold = 0L)
+    val (rulesLocal, vocabLocal) = Bpe.train(docs, n = 6)
+    assert(rulesLocal === rulesDist)
+    val d = vocabDist.select("w", "wc", "syms")
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val l = vocabLocal.select("w", "wc", "syms")
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(l === d)
+  }
+
   test("tokenStats equals the reference count with char-level OOV " +
     "fallback when the tokenizer is trained on a sample") {
     val docs = graft.Tables.load(spark, sf, "documents")
