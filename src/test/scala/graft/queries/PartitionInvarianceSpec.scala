@@ -54,10 +54,19 @@ class PartitionInvarianceSpec extends SparkSuite {
     "q_text_domain_cap",
     // bootstrap diff: replicate diffs are differences of two exact-
     // integer-partial divisions; the CI is their order statistics
-    "q_events_bootstrap_diff")
+    "q_events_bootstrap_diff",
+    // catalog-scale mass search: every hit hangs on a DOUBLE window
+    // comparison ((mz-ion)/mult ± ppm vs the mass column) — per-row
+    // math is partition-free and the rollups are integer, so the hit
+    // set cannot move under re-partitioning
+    "q_mass_search_scale")
+
+  // queries whose hit geometry is empty at sf0.001 run one SF up
+  private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")
 
   private def rows(name: String): Seq[String] = {
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val df = graft.SparkEntry.queries(name)(
+      spark, sfOverride.getOrElse(name, sfDir))
     df.collect().map(_.toString).sorted.toSeq
   }
 
