@@ -140,6 +140,27 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_mass_search_scale: the mass join is the bucketed equi-join, " +
+    "never a nested loop over the windows") {
+    // the ONLY nested-loop in the plan is the peaks x 6-row adduct
+    // dimension fan-out; the (window x mass) join itself must plan as
+    // a hash/sort-merge join on the derived __bucket key even with
+    // auto-broadcast off (what corpus-scale stats would force)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.SparkEntry.queries("q_mass_search_scale")(
+        spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("__bucket"),
+        "mass join lost the bucket-key rewrite:\n" + plan)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnlj <= 1,
+        s"expected at most the adduct fan-out BNLJ, found $bnlj:\n" + plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "bucket equi-join did not plan as a shuffled join:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_pipeline_corpus plans no window anywhere — stage 1 is " +
     "sketch-aggregate + broadcast cuts, not a per-language sort") {
     // the production query localCheckpoints each stage boundary,
