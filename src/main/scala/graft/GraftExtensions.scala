@@ -45,5 +45,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_nfc takes 1 argument, got ${exprs.length}")
         graft.expressions.NfcNormalize(exprs.head)
       }))
+    // the fused shingle kernels (TextOps.charFingerprints /
+    // winnowCompiled emit these names) — an extension-wired session
+    // must resolve them without any library entry-point call
+    def intLit(
+        e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_fps"),
+      new ExpressionInfo(
+        classOf[graft.expressions.CharFps].getName, "graft_char_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"graft_char_fps takes (text, w, step), got ${exprs.length}")
+        graft.expressions.CharFps(exprs.head,
+          intLit(exprs(1), "w"), intLit(exprs(2), "step"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(
+        classOf[graft.expressions.WinnowFps].getName, "graft_winnow"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 3,
+          s"graft_winnow takes (text, k, t), got ${exprs.length}")
+        graft.expressions.WinnowFps(exprs.head,
+          intLit(exprs(1), "k"), intLit(exprs(2), "t"))
+      }))
   }
 }

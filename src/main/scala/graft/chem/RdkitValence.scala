@@ -20,7 +20,7 @@ object RdkitValence {
     */
   def maxAllowed(elem: String, charge: Int): Option[Int] = elem match {
     case "H" => Some(1)
-    case "B" => Some(3 + charge) // B- borate: 4
+    case "B" => Some(3 - charge) // boron is LEFT of carbon: B- borate 4
     case "C" => Some(if (charge == 0) 4 else 3) // C+ 3, C- 3 (carbanion)
     case "N" => Some(3 + (if (charge > 0) 1 else if (charge < 0) -1 else 0))
     case "O" => Some(2 + charge) // O+ 3, O- 1

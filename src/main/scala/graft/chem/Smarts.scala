@@ -89,51 +89,67 @@ object Smarts {
     * order primitive) leaves the order unconstrained (kind 5).
     */
   private[chem] def parseBondExpr(tok: String): Seq[(Int, Int)] = {
-    // A negated order primitive (!-, !=, !#, !:) is the complement
-    // alternative set over the four concrete orders; !~ matches no
-    // bond and is rejected at parse time with a clear message.
-    def prim(p: String): Seq[(Int, Int)] = p match {
-      case "-" | "/" | "\\" => Seq((1, 0))
-      case "=" => Seq((2, 0))
-      case "#" => Seq((3, 0))
-      case ":" => Seq((4, 0))
-      case "~" => Seq((5, 0))
-      case "@" => Seq((-1, 1))
-      case "!@" => Seq((-1, -1))
-      case "!-" | "!/" | "!\\" => Seq((2, 0), (3, 0), (4, 0))
-      case "!=" => Seq((1, 0), (3, 0), (4, 0))
-      case "!#" => Seq((1, 0), (2, 0), (4, 0))
-      case "!:" => Seq((1, 0), (2, 0), (3, 0))
+    // Internal form during parsing: (allowed order set or None for
+    // unconstrained, ring constraint). AND intersects the order sets —
+    // so a negated primitive (!-, != — the complement set {2,3,4} /
+    // {1,3,4}) composed with another order primitive keeps the
+    // negation instead of being overwritten. !~ matches no bond and is
+    // rejected at parse time with a clear message.
+    type Alt = (Option[Set[Int]], Int)
+    def prim(p: String): Alt = p match {
+      case "-" | "/" | "\\" => (Some(Set(1)), 0)
+      case "=" => (Some(Set(2)), 0)
+      case "#" => (Some(Set(3)), 0)
+      case ":" => (Some(Set(4)), 0)
+      case "~" => (None, 0)
+      case "@" => (None, 1)
+      case "!@" => (None, -1)
+      case "!-" | "!/" | "!\\" => (Some(Set(2, 3, 4)), 0)
+      case "!=" => (Some(Set(1, 3, 4)), 0)
+      case "!#" => (Some(Set(1, 2, 4)), 0)
+      case "!:" => (Some(Set(1, 2, 3)), 0)
       case "!~" => sys.error(
         s"SMARTS bond '!~' matches no bond (in $tok) — rejected at parse")
       case other => sys.error(
         s"unsupported SMARTS bond primitive '$other' in '$tok'")
     }
-    def splitPrims(group: String): Seq[(Int, Int)] = {
+    // AND of two constraints: intersect order sets; ring constraints
+    // must agree (a @;!@ contradiction yields an empty alternative)
+    def and(a: Alt, b: Alt): Option[Alt] = {
+      val orders = (a._1, b._1) match {
+        case (None, o) => o
+        case (o, None) => o
+        case (Some(x), Some(y)) => Some(x.intersect(y))
+      }
+      if (orders.exists(_.isEmpty)) None
+      else if (a._2 != 0 && b._2 != 0 && a._2 != b._2) None
+      else Some((orders, if (b._2 != 0) b._2 else a._2))
+    }
+    def splitPrims(group: String): Seq[Alt] = {
       // a ','-alternative may itself juxtapose primitives (rare); scan
-      // one primitive at a time
-      var alts: Seq[(Int, Int)] = Seq((-1, 0))
+      // one primitive at a time, ANDing as we go
+      var acc: Option[Alt] = Some((None, 0))
       var j = 0
       while (j < group.length) {
         val len = if (group.charAt(j) == '!') 2 else 1
-        val ps = prim(group.substring(j, j + len))
+        val p = prim(group.substring(j, j + len))
         j += len
-        // juxtaposed primitives AND together within the alternative;
-        // a complement set fans out as OR across its members
-        alts = for (a <- alts; b <- ps) yield merge(a, b)
+        acc = acc.flatMap(and(_, p))
       }
-      alts.distinct
+      acc.toSeq
     }
-    def merge(a: (Int, Int), b: (Int, Int)): (Int, Int) = (
-      if (b._1 >= 0) b._1 else a._1,
-      if (b._2 != 0) b._2 else a._2)
-    val groups: Seq[Seq[(Int, Int)]] = tok.split(';').toSeq
+    val groups: Seq[Seq[Alt]] = tok.split(';').toSeq
       .filter(_.nonEmpty).map(_.split(',').toSeq.flatMap(splitPrims))
-    // AND across groups: cartesian-merge one alternative per group
-    val alts = groups.foldLeft(Seq((-1, 0))) { (acc, g) =>
-      for (a <- acc; b <- g) yield merge(a, b)
+    // AND across groups: cartesian, one alternative per group
+    val alts = groups.foldLeft(Seq[Alt]((None, 0))) { (acc, g) =>
+      for (a <- acc; b <- g; m <- and(a, b)) yield m
     }
-    alts.map { case (k, r) => (if (k >= 0) k else 5, r) }
+    // expand to the matcher's (kind, ring) alternatives: an
+    // unconstrained order is kind 5 (any); a constrained set fans out
+    alts.flatMap {
+      case (None, r) => Seq((5, r))
+      case (Some(os), r) => os.toSeq.sorted.map(o => (o, r))
+    }.distinct
   }
 
   /** Parse one SMARTS component (no '.'). */

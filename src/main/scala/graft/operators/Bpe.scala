@@ -125,7 +125,20 @@ object Bpe {
       words: Array[(String, Long)],
       n: Int): (Seq[MergeRule], Map[String, IndexedSeq[String]]) = {
     var syms: Array[IndexedSeq[String]] =
-      words.map { case (w, _) => w.map(_.toString): IndexedSeq[String] }
+      words.map { case (w, _) =>
+        // split by CODE POINTS, not UTF-16 code units — the
+        // distributed charSyms (substring(w, i, 1)) counts code
+        // points, so a supplementary character must stay one symbol
+        // on both paths
+        val cps = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          cps += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        cps.toIndexedSeq: IndexedSeq[String]
+      }
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     var round = 0
     var continue = true

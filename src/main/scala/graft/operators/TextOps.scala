@@ -175,8 +175,11 @@ object TextOps {
     // primitive ArrayData in place — the UDF paid a string copy and
     // an array conversion per row. Null text: SQL NULL (the UDF
     // returned empty; every consumer treats the two alike — explode
-    // drops the row, size(null) > 0 is not true)
-    c => expr(s"graft_winnow(${c.toString}, $k, $t)")
+    // drops the row, size(null) > 0 is not true). call_function keeps
+    // the UDF contract: ANY Column expression works, not just columns
+    // whose name happens to round-trip through SQL text.
+    c => org.apache.spark.sql.functions.call_function(
+      "graft_winnow", c, lit(k), lit(t))
   }
 
   /** Positional winnowing — [[winnow]]'s selection with each kept

@@ -51,7 +51,7 @@ object MassSearch {
       logpRange: Option[(Double, Double)] = None,
       /** J6 bucket width — size it >= the widest tolerance window so
         * each (peak, adduct) range explodes to <= 2 bucket rows; the
-        * 0.001-Da default suits the fixture's absolute tolerances,
+        * 0.01-Da default suits the fixture's absolute tolerances,
         * ppm searches over wide mass ranges should pass ~1.0.
         */
       bucketWidth: Double = 0.01): DataFrame = {

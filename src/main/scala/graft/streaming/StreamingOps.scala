@@ -524,12 +524,15 @@ object StreamingOps {
       evalSet: DataFrame, // textCol
       textCol: String = "text",
       gramK: Int = 8,
-      guaranteeT: Int = 11): DataFrame =
+      guaranteeT: Int = 11): DataFrame = {
+    // winnowCompiled resolves the graft_winnow session function
+    graft.expressions.Hash64.register(evalSet.sparkSession)
     evalSet
       .withColumn("__graft_win",
         graft.operators.TextOps.winnowCompiled(gramK, guaranteeT)(
           col(textCol)))
       .select(explode(col("__graft_win")).as("fp")).distinct()
+  }
 
   /** Streaming benchmark decontamination — the streaming twin of
     * q_text_contamination: each arriving doc winnows its fingerprints
@@ -554,6 +557,7 @@ object StreamingOps {
       guaranteeT: Int = 11,
       flagRatio: Double = 0.75,
       staticSide: Option[DataFrame] = None): DataFrame = {
+    graft.expressions.Hash64.register(docs.sparkSession)
     val evalFps = staticSide.getOrElse(
       contaminationStaticSide(evalSet, textCol, gramK, guaranteeT)
         .persist())

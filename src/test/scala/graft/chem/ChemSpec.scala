@@ -217,6 +217,16 @@ class ChemSpec extends AnyFunSuite {
       Seq((1, 0), (2, 0), (3, 0)))
     assert(Smarts.parseBondExpr("!:;@") ===
       Seq((1, 1), (2, 1), (3, 1)))
+    // AND with another order primitive INTERSECTS the complement set
+    // instead of overwriting it
+    assert(Smarts.parseBondExpr("=;!:") === Seq((2, 0)))
+    assert(Smarts.parseBondExpr("!-;!=") === Seq((3, 0), (4, 0)))
+    assert(Smarts.parseBondExpr("!-!=") === Seq((3, 0), (4, 0)))
+    assert(Smarts.parseBondExpr("-;!:") === Seq((1, 0)))
+    // contradictions match nothing (empty alternative set)
+    assert(Smarts.parseBondExpr("-;=") === Seq.empty)
+    assert(Smarts.parseBondExpr("@;!@") === Seq.empty)
+    assert(Smarts.parseBondExpr("=;!=") === Seq.empty)
     // !~ matches no bond: rejected with a clear message, not a crash
     val e = intercept[RuntimeException](Smarts.parseBondExpr("!~"))
     assert(e.getMessage.contains("matches no bond"))

@@ -60,5 +60,9 @@ class KekulizeSpec extends AnyFunSuite {
     // anionic O may carry at most one bond
     assert(RdkitValence.sanitizeOk(mol("CC([O-])=O")))
     assert(!RdkitValence.sanitizeOk(mol("C[O-]C")))
+    // boron sits LEFT of carbon: the anion GAINS a valence slot
+    assert(RdkitValence.sanitizeOk(mol("[BH4-]"))) // borohydride
+    assert(RdkitValence.sanitizeOk(mol("OB(O)O"))) // boric acid
+    assert(!RdkitValence.sanitizeOk(mol("CB(C)(C)C"))) // 4-valent B0
   }
 }

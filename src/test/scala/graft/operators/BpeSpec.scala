@@ -99,6 +99,27 @@ class BpeSpec extends SparkSuite {
     assert(l === d)
   }
 
+  test("local path splits by CODE POINTS like the distributed " +
+    "charSyms — supplementary characters stay one symbol") {
+    // an emoji (U+1F600, a surrogate pair in UTF-16) must be ONE
+    // symbol on both paths; splitting code units would train
+    // different merges
+    val docs = Seq("a😀a a😀a bb bb bb")
+      .toSeq.map(Tuple1(_)).toDF("text")
+    val (rulesDist, vocabDist) =
+      Bpe.train(docs, n = 3, localVocabThreshold = 0L)
+    val (rulesLocal, vocabLocal) = Bpe.train(docs, n = 3)
+    assert(rulesLocal === rulesDist)
+    val d = vocabDist.select("w", "syms")
+      .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    val l = vocabLocal.select("w", "syms")
+      .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(l === d)
+    // and the emoji word segments into 3 initial symbols, not 4
+    val emojiSyms = l.find(_._1.contains("\uD83D")).get._2
+    assert(emojiSyms.flatten.mkString.length === 4) // 2 a's + 2 units
+  }
+
   test("tokenStats equals the reference count with char-level OOV " +
     "fallback when the tokenizer is trained on a sample") {
     val docs = graft.Tables.load(spark, sf, "documents")
