@@ -44,10 +44,10 @@ class NfcNormalizeSpec extends SparkSuite {
     val rows = Seq(
       // \t \x01 sp a b sp sp sp e ́ \x02 \t sp → "ab é"
       // nfc_changed=1; ctrl \x01+\x02 = 2; ws 10→6 collapsed = 4
-      "\t ab   " + decomposed + "\t ",
+      "\t\u0001 ab   " + decomposed + "\u0002\t ",
       "clean text", // nothing to do
       // sp e ́ \x07 \x7f sp sp → "é": ctrl=2, ws 4→3 = 1
-      " " + decomposed + "  ").toDF("t")
+      " " + decomposed + "\u0007\u007f  ").toDF("t")
       .select(TextOps.normalizeProjection(col("t")).as("np"))
       .select("np.nfc_changed", "np.ctrl_removed", "np.ws_collapsed",
         "np.normalized")
