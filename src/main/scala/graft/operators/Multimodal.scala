@@ -171,4 +171,39 @@ object Multimodal {
           s"$frameSize)"))
       .drop("__nf")
   }
+
+  /** Aspect-fit RESIZE planning — the geometry half of an image-resize
+    * stage: fit (width, height) into a `maxDim` box preserving aspect
+    * ratio with integer-exact arithmetic (floor division, short side
+    * floored at 1 px), plus the `resized` work flag and the exact
+    * output pixel count a batch scheduler budgets on. The pixel
+    * RESAMPLE itself belongs to the codec-backed decode UDF (absent
+    * from this container by brief); every decision a distributed
+    * pipeline makes about the resize — which images need work, what
+    * geometry to emit, how many output pixels to allocate — is this
+    * plan, computed as codegen'd column expressions. Images already
+    * inside the box pass through unchanged (the standard thumbnailer
+    * contract: never upscale).
+    */
+  def withResizePlan(
+      df: DataFrame,
+      widthCol: String,
+      heightCol: String,
+      maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim must be positive: $maxDim")
+    val w = s"greatest($widthCol, 1)"
+    val h = s"greatest($heightCol, 1)"
+    df.withColumn("resized",
+        expr(s"greatest($w, $h) > $maxDim"))
+      .withColumn("target_w", expr(
+        s"cast(if(greatest($w, $h) <= $maxDim, $w, " +
+          s"if($w >= $h, $maxDim, " +
+          s"greatest(($w * $maxDim) div $h, 1))) as int)"))
+      .withColumn("target_h", expr(
+        s"cast(if(greatest($w, $h) <= $maxDim, $h, " +
+          s"if($w >= $h, greatest(($h * $maxDim) div $w, 1), " +
+          s"$maxDim)) as int)"))
+      .withColumn("out_pixels",
+        expr("cast(target_w as bigint) * target_h"))
+  }
 }

@@ -226,6 +226,62 @@ object PipelineQueries extends QueryPack {
         "fingerprint over every sampled frame."),
 
     GraftQuery(
+      "q_multimodal_resize", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // RESIZE planning — the geometry stage of an image pipeline
+        // (Multimodal.withResizePlan): fit each image's dimensions
+        // into a 256-px box with integer-exact aspect-ratio math,
+        // never upscaling, and budget the output pixels. Dimensions
+        // come from the q_multimodal stub convention (the first 4
+        // bytes pretend to encode WxH — decodeStub's fallback branch)
+        // so the oracle can replay the whole plan relationally; with
+        // real headers the SAME withResizePlan runs on the
+        // ImageHeader-parsed columns (MultimodalSpec pins that path).
+        val dims = Tables.load(s, dir, "documents")
+          .where(length(col("text")) >= 4)
+          .withColumn("width", lit(1) +
+            (ascii(substring(col("text"), 1, 1)) * 256 +
+              ascii(substring(col("text"), 2, 1))) % 1024)
+          .withColumn("height", lit(1) +
+            (ascii(substring(col("text"), 3, 1)) * 256 +
+              ascii(substring(col("text"), 4, 1))) % 1024)
+        graft.operators.Multimodal
+          .withResizePlan(dims, "width", "height", maxDim = 256)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+            sum("target_w").as("sum_w"),
+            sum("target_h").as("sum_h"),
+            sum("out_pixels").as("out_pixels"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source,
+            1 + (ord(substr(text, 1, 1)) * 256
+               + ord(substr(text, 2, 1))) % 1024 AS w,
+            1 + (ord(substr(text, 3, 1)) * 256
+               + ord(substr(text, 4, 1))) % 1024 AS h
+          FROM documents WHERE length(text) >= 4),
+          p AS (SELECT source,
+            greatest(w, h) > 256 AS resized,
+            CASE WHEN greatest(w, h) <= 256 THEN w
+                 WHEN w >= h THEN 256
+                 ELSE greatest((w * 256) // h, 1) END AS tw,
+            CASE WHEN greatest(w, h) <= 256 THEN h
+                 WHEN w >= h THEN greatest((h * 256) // w, 1)
+                 ELSE 256 END AS th
+          FROM d)
+        SELECT source, count(*)::BIGINT AS n_imgs,
+          sum(CASE WHEN resized THEN 1 ELSE 0 END)::BIGINT AS n_resized,
+          sum(tw)::BIGINT AS sum_w, sum(th)::BIGINT AS sum_h,
+          sum(tw::BIGINT * th)::BIGINT AS out_pixels
+        FROM p GROUP BY 1 ORDER BY 1"""),
+      "Aspect-fit resize planning over the multimodal column: " +
+        "integer-exact target geometry (floor division, 1-px floor, " +
+        "never upscale), per-source work flags and output-pixel " +
+        "budgets — the decisions a distributed image-resize stage " +
+        "schedules on, with the pixel resample left to the codec UDF."),
+
+    GraftQuery(
       "q_multimodal_audio", Seq("S10", "D9", "P6"),
       (s, dir) => {
         // Audio-pipeline roundtrip PROOF: each doc's tokens become a

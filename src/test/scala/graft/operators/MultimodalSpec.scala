@@ -71,6 +71,42 @@ class MultimodalSpec extends SparkSuite {
     assert(out("t")._1 === "unknown")
   }
 
+  test("withResizePlan: aspect-fit geometry is integer-exact, never " +
+    "upscales, floors the short side at 1px") {
+    import spark.implicits._
+    val dims = Seq(
+      (1, 640, 480),   // landscape above the box: 256 x 192
+      (2, 480, 640),   // portrait above the box: 192 x 256
+      (3, 200, 100),   // inside the box: untouched
+      (4, 256, 256),   // exactly at the box: untouched
+      (5, 10000, 3),   // extreme ratio: short side floors at 1
+      (6, 257, 257),   // one over: 256 x 256
+      (7, 0, 500))     // degenerate width: clamped to 1 before fitting
+      .toDF("id", "width", "height")
+    val out = Multimodal.withResizePlan(dims, "width", "height", 256)
+      .select("id", "resized", "target_w", "target_h", "out_pixels")
+      .as[(Int, Boolean, Int, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1, true, 256, 192, 256L * 192)))
+    assert(out(1) === ((2, true, 192, 256, 192L * 256)))
+    assert(out(2) === ((3, false, 200, 100, 200L * 100)))
+    assert(out(3) === ((4, false, 256, 256, 256L * 256)))
+    assert(out(4) === ((5, true, 256, 1, 256L)))
+    assert(out(5) === ((6, true, 256, 256, 256L * 256)))
+    assert(out(6) === ((7, true, 1, 256, 256L)))
+    // composes with the REAL header path: parse a PNG, plan its resize
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0)
+    val media = Seq(Tuple1(png)).toDF("media")
+    val planned = Multimodal.withResizePlan(
+      Multimodal.withDecodedFeatures(media, "media"),
+      "width", "height", 256)
+      .select("format", "width", "height", "target_w", "target_h")
+      .as[(String, Int, Int, Int, Int)].head()
+    assert(planned === (("png", 640, 480, 256, 192)))
+  }
+
   test("frameSample emits every stride-th byte frame, tail included, " +
     "none for empty media") {
     // 10 bytes at frameSize=3 -> frames 0..3 ('012','345','678','9');
