@@ -25,10 +25,19 @@ object RdkitValence {
     case "N" => Some(3 + (if (charge > 0) 1 else if (charge < 0) -1 else 0))
     case "O" => Some(2 + charge) // O+ 3, O- 1
     case "F" | "Cl" | "Br" | "I" =>
-      if (charge == 0) Some(1) else None // charged halogens: unchecked
+      // isoelectronic shift: X- ~ noble gas (valence 0), X+ ~ the
+      // chalcogen to the left (halonium, valence 2)
+      if (charge == 0) Some(1)
+      else if (charge < 0) Some(0)
+      else Some(2)
     case "P" => Some(if (charge > 0) 4 else 5) // P(V); P+ phosphonium 4
-    case "S" => Some(6) // permissive across charge states
-    case "Se" => Some(6)
+    case "S" | "Se" =>
+      // cations shift left isoelectronically (S+ ~ P: max 5); anions
+      // stay at the neutral hypervalent cap — KNOWN-LAX vs RDKit's
+      // S- ~ Cl shift, kept because thiolate/persulfide anions with
+      // multiple bonds would otherwise need the full valence-list
+      // model rather than a single max
+      Some(if (charge > 0) 6 - charge else 6)
     case "Si" => Some(4)
     case "As" => Some(5)
     case _ => None

@@ -116,9 +116,43 @@ object Bpe {
     (rules.toSeq, vocab)
   }
 
+  /** UTF-8 byte-lexicographic comparison — the SAME total order
+    * Spark's `orderBy` applies to strings (UTF8String compares encoded
+    * bytes unsigned). Scala's `String` ordering compares UTF-16 code
+    * units, which DIVERGES for supplementary-plane characters vs
+    * U+E000–U+FFFF (surrogates sort below private-use in UTF-16 but
+    * 4-byte UTF-8 sorts above 3-byte), so the local twin must compare
+    * encoded bytes to keep the bit-identical contract.
+    */
+  private[operators] def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** True when `a` wins the argmax over `b`: count desc, then (l, r)
+    * asc in UTF-8 byte order — exactly the distributed
+    * `orderBy(cnt.desc, l.asc, r.asc)`.
+    */
+  private def argmaxBetter(
+      a: ((String, String), Long), b: ((String, String), Long)): Boolean =
+    if (a._2 != b._2) a._2 > b._2
+    else {
+      val cl = compareUtf8(a._1._1, b._1._1)
+      if (cl != 0) cl < 0 else compareUtf8(a._1._2, b._1._2) < 0
+    }
+
   /** The driver-side twin of the distributed merge loop: identical
-    * argmax (count desc, then (l, r) asc — ASCII-safe, and the parity
-    * spec guards the corpus actually fed through it) and the identical
+    * argmax (count desc, then (l, r) asc in UTF-8 BYTE order — Spark's
+    * UTF8String binary order, not Scala's UTF-16 code-unit order,
+    * which diverges on supplementary-plane ties) and the identical
     * greedy left-to-right non-overlapping merge.
     */
   private def trainLocal(
@@ -158,7 +192,9 @@ object Bpe {
       }
       if (counts.isEmpty) continue = false
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.reduce { (a, b) =>
+          if (argmaxBetter(a, b)) a else b
+        }
         rules += MergeRule(l, r, c)
         syms = syms.map { ss =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -116,9 +116,11 @@ object CuratedRxns {
       comments: String)
 
   /** Reactions sheet -> (reactions, rejected). References split on
-    * `'; '` (add_rxns_from_excel.py:38-41; a non-string PMID cell
-    * becomes the single-element list of its string form — here the
-    * raw cell, since the sheet arrives as text). The reaction hash is
+    * `'; '` (add_rxns_from_excel.py:38-41); a blank/whitespace PMID
+    * cell yields an EMPTY reference list (the script's single-element
+    * fallback only fires for non-string cells, which a text sheet
+    * never produces — an empty cell must not fabricate a `""`
+    * reference in the MINE table). The reaction hash is
     * the engine's P11 content hash over the resolved stoich tuples.
     * Rows with an empty equation are skipped like the script's
     * "RXN missing" branch; unknown abbreviations are rejected rows.
@@ -132,7 +134,7 @@ object CuratedRxns {
       parseTextRxn(r.equationAbbrev, abrv) match {
         case Right((re, pr)) =>
           val refs =
-            if (r.pmidOrDoi.trim.isEmpty) Seq(r.pmidOrDoi)
+            if (r.pmidOrDoi.trim.isEmpty) Seq.empty[String]
             else r.pmidOrDoi.trim.split("; ").toSeq
           Right((RuleKernel.reactionHash(re, pr), r.metabolite,
             r.equationFull, refs, r.typeOfReaction.trim, r.comments.trim,

@@ -26,14 +26,21 @@ object TextQueries extends QueryPack {
   private val sparkToks = "filter(split(text, ' '), x -> x != '')"
   private val duckToks = "list_filter(string_split(text, ' '), x -> x != '')"
 
-  /** Fixed location of q_text_tokens' exported word→n_tokens model
+  /** Location of q_text_tokens' exported word→n_tokens model
     * artifact. Oracle SQL is a static string, so the path cannot vary
-    * with the Verify outDir; the query overwrites it on every run and
-    * the oracle (which the driver runs immediately after Verify) reads
-    * it back.
+    * with the Verify outDir; the query overwrites it on every run
+    * (bench timings for q_text_tokens therefore INCLUDE a coalesce(1)
+    * parquet write) and the oracle (which the driver runs immediately
+    * after Verify) reads it back. Overridable for concurrent sessions
+    * / non-default checkouts via the `graft.tokens.vocab.path` system
+    * property or `GRAFT_TOKENS_VOCAB_PATH` env var — note the oracle
+    * SQL snapshots whatever value is live when `oracleSql` is built,
+    * so Verify and the oracle run must agree on the override.
     */
-  private[graft] val tokensVocabPath =
-    "/root/repo/spark-warehouse/q_text_tokens_vocab"
+  private[graft] val tokensVocabPath: String =
+    sys.props.get("graft.tokens.vocab.path")
+      .orElse(sys.env.get("GRAFT_TOKENS_VOCAB_PATH"))
+      .getOrElse("/root/repo/spark-warehouse/q_text_tokens_vocab")
 
   /** The corpus blocklist — ONE definition shared by q_text_scrub,
     * the corpus pipeline's scrub stage, and the streaming parity spec.

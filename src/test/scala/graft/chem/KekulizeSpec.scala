@@ -64,5 +64,16 @@ class KekulizeSpec extends AnyFunSuite {
     assert(RdkitValence.sanitizeOk(mol("[BH4-]"))) // borohydride
     assert(RdkitValence.sanitizeOk(mol("OB(O)O"))) // boric acid
     assert(!RdkitValence.sanitizeOk(mol("CB(C)(C)C"))) // 4-valent B0
+    // S+ shifts isoelectronically to P: max 5 — sulfonium ok,
+    // 6-valent S+ rejected (neutral 6-valent S still fine)
+    assert(RdkitValence.sanitizeOk(mol("C[S+](C)C"))) // sulfonium
+    assert(RdkitValence.sanitizeOk(mol("OS(=O)(=O)O"))) // sulfate 6
+    assert(!RdkitValence.sanitizeOk(mol("C[S+](=O)(=O)O"))) // 6-valent S+
+    // charged halogens: X- is valence 0 (free anion only), X+ is the
+    // 2-valent halonium
+    assert(RdkitValence.sanitizeOk(mol("[Cl-]")))
+    assert(!RdkitValence.sanitizeOk(mol("C[Cl-]"))) // bonded Cl-
+    assert(RdkitValence.sanitizeOk(mol("C[Cl+]C"))) // chloronium
+    assert(!RdkitValence.sanitizeOk(mol("C[Cl+](C)C"))) // 3-valent Cl+
   }
 }

@@ -120,6 +120,26 @@ class BpeSpec extends SparkSuite {
     assert(emojiSyms.flatten.mkString.length === 4) // 2 a's + 2 units
   }
 
+  test("argmax ties break in UTF-8 BYTE order on both paths — " +
+    "supplementary vs private-use characters") {
+    // U+1F600 (UTF-16 surrogate pair D83D DE00, UTF-8 F0 9F 98 80) vs
+    // U+F8FF (UTF-16 single unit F8FF, UTF-8 EF A3 BF): UTF-16
+    // code-unit order puts the emoji FIRST (D83D < F8FF) but Spark's
+    // UTF8String binary order puts U+F8FF first (EF < F0). A count
+    // tie between pairs led by these two must resolve identically on
+    // the driver-side and distributed paths.
+    val emoji = "\uD83D\uDE00" // U+1F600
+    val pua = "\uF8FF"
+    assert(Bpe.compareUtf8(emoji, pua) > 0)
+    assert(emoji < pua) // the UTF-16 order DOES diverge
+    val docs = Seq(Tuple1(s"${emoji}x ${pua}x")).toDF("text")
+    val (rulesDist, _) = Bpe.train(docs, n = 1, localVocabThreshold = 0L)
+    val (rulesLocal, _) = Bpe.train(docs, n = 1)
+    assert(rulesLocal === rulesDist)
+    // and the winner is the UTF-8-least pair, led by U+F8FF
+    assert(rulesLocal.head.left === pua)
+  }
+
   test("tokenStats equals the reference count with char-level OOV " +
     "fallback when the tokenizer is trained on a sample") {
     val docs = graft.Tables.load(spark, sf, "documents")

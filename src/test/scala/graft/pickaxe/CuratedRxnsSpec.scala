@@ -61,11 +61,20 @@ class CuratedRxnsSpec extends SparkSuite {
       CuratedRxns.RxnSheetRow("glucose thing",
         "glc + unknownX = etoh", "glucose + ? = ethanol",
         "", "", ""),
+      CuratedRxns.RxnSheetRow("unreferenced",
+        "acald = etoh", "acetaldehyde = ethanol",
+        "   ", "", ""),
       CuratedRxns.RxnSheetRow("skipped", "", "", "", "", ""))
     val (rxns, rejected) = CuratedRxns.ingest(spark, rows, abrv)
-    assert(rxns.count() === 1)
+    assert(rxns.count() === 2)
     assert(rejected.count() === 1)
-    val r = rxns.collect().head
+    // a blank/whitespace PMID cell yields an EMPTY reference list, not
+    // a single-element list holding the raw blank string
+    val unref = rxns.collect()
+      .find(_.getAs[String]("Metabolite") == "unreferenced").get
+    assert(unref.getAs[Seq[String]]("References") === Seq.empty[String])
+    val r = rxns.collect()
+      .find(_.getAs[String]("Metabolite") == "ethanol oxidation").get
     assert(r.getAs[String]("Type") === "oxidation")
     assert(r.getAs[String]("Notes") === "spontaneous")
     assert(r.getAs[Seq[String]]("References")
