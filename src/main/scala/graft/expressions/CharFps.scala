@@ -148,15 +148,23 @@ object WinnowFps {
       startB += UTF8String.numBytesForFirstByte(b(startB))
       i += 1
     }
+    // sliding-window minimum via a monotonic deque — O(1) amortized
+    // per position (each index enters and leaves the deque once)
+    // instead of an O(win) rescan per window; the per-window min VALUE
+    // is identical either way, so first-occurrence dedup order (and
+    // the fingerprint set) is bit-identical to the scan form
     val win = t - k + 1
     val seen = new java.util.LinkedHashSet[Long]
-    var j = 0
-    while (j + win <= grams) {
-      var m = hs(j)
-      var x = j + 1
-      while (x < j + win) { if (hs(x) < m) m = hs(x); x += 1 }
-      seen.add(m)
-      j += 1
+    val dq = new Array[Int](grams) // ascending indices, ascending values
+    var head = 0
+    var tail = 0 // live range [head, tail)
+    var x = 0
+    while (x < grams) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(x)) tail -= 1
+      dq(tail) = x; tail += 1
+      if (dq(head) <= x - win) head += 1
+      if (x >= win - 1) seen.add(hs(dq(head)))
+      x += 1
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
