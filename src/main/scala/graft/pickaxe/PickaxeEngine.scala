@@ -100,6 +100,22 @@ final class PickaxeEngine(
     NetworkState(compounds, spark.emptyDataset[ReactionRow].toDF(), 0)
   }
 
+  /** DataFrame-seed initial state: `starting` carries compound rows in
+    * the [[CompoundRow]] schema — already standardized, organic-
+    * filtered, and content-hashed (the shape
+    * [[PickaxeEngine.loadCompoundFile]] emits). Nothing crosses the
+    * driver and no chemistry re-runs: the Seq overload is for
+    * template-scale seed lists; a MetaNetX-scale (~1M compound) seed
+    * must load gen 0 distributed.
+    */
+  def initialState(starting: DataFrame): NetworkState = {
+    val core = coreactants.map(c =>
+      mkCompound(c._id, c.smiles, "Coreactant", 0, expand = false)).toDF()
+    NetworkState(
+      starting.unionByName(core).dropDuplicates("_id"),
+      spark.emptyDataset[ReactionRow].toDF(), 0)
+  }
+
   /** One generation: filters -> frontier -> kernel -> merge (E1/E2/E6). */
   /** Apply the filter chain to the current frontier: clear Expand
     * flags, cascade-delete removed compounds/reactions. This is the
@@ -244,9 +260,22 @@ final class PickaxeEngine(
       generations: Int,
       filters: Seq[NetworkFilter] = Nil,
       filterAfterFinalGen: Boolean = false,
+      pruneBetweenGens: Boolean = false): NetworkState =
+    runFrom(initialState(startingSmiles), generations, filters,
+      filterAfterFinalGen, pruneBetweenGens)
+
+  /** transform_all from a prebuilt initial state — the entry point for
+    * DataFrame seeds (`runFrom(initialState(seedDf), ...)`), so a
+    * large seed set never collects to the driver.
+    */
+  def runFrom(
+      initial: NetworkState,
+      generations: Int,
+      filters: Seq[NetworkFilter] = Nil,
+      filterAfterFinalGen: Boolean = false,
       pruneBetweenGens: Boolean = false): NetworkState = {
     val expanded =
-      (0 until generations).foldLeft(initialState(startingSmiles)) {
+      (0 until generations).foldLeft(initial) {
         (st, _) => expandOnce(st, filters, pruneBetweenGens)
       }
     if (filterAfterFinalGen) applyFilters(expanded, filters) else expanded
@@ -293,6 +322,27 @@ final class PickaxeEngine(
     pruneNetwork(state,
       state.compounds.where(col("_id").isin(targetIds: _*)).select("_id"),
       localRxnThreshold, localSeedIds = Some(targetIds))
+  }
+
+  /** D4/D5 prune with a DISTRIBUTED target set: `targetIds` is a
+    * 1-column `_id` DataFrame (the shape
+    * [[PickaxeRun.loadTargetIds]] emits). Identical keep-set semantics
+    * to the Seq overload — absent target ids contribute nothing to the
+    * reverse BFS on either path — but the target list never crosses
+    * the driver above `pruneNetwork`'s local gate, which only ever
+    * collects ids PRESENT in the network.
+    */
+  def pruneToTargetsDf(
+      state: NetworkState,
+      targetIds: DataFrame,
+      localRxnThreshold: Long = 200_000L): NetworkState = {
+    if (targetIds.isEmpty)
+      return NetworkState(state.compounds.limit(0),
+        state.reactions.limit(0), state.generation)
+    val present = state.compounds
+      .join(targetIds.select("_id").distinct(), Seq("_id"), "left_semi")
+      .select("_id")
+    pruneNetwork(state, present, localRxnThreshold)
   }
 
   /** General whitelist prune (prune_network / find_minimal_set,

@@ -3,7 +3,7 @@ package graft.pickaxe
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Where a run's rules and coreactants come from — the template's
   * "Rule specification and generation" block
@@ -92,6 +92,8 @@ object PickaxeRun {
 
   /** Standardized target SMILES from a targets csv (load_targets,
     * pickaxe.py:258-306: id,smiles columns, standardize on load).
+    * Collects — for template-scale target lists and callers that need
+    * the SMILES themselves; `execute` uses [[loadTargetIds]] instead.
     */
   def loadTargetSmiles(spark: SparkSession, path: String): Seq[String] = {
     import spark.implicits._
@@ -99,28 +101,38 @@ object PickaxeRun {
       .select("SMILES").as[String].collect().toSeq
   }
 
+  /** Distributed target-id load: standardize + hash the targets file
+    * and keep only the `_id` column (the content hash pruneToTargets
+    * matches on). Nothing crosses the driver.
+    */
+  def loadTargetIds(spark: SparkSession, path: String): DataFrame =
+    PickaxeEngine.loadCompoundFile(spark, path).select("_id")
+
   /** Execute the configured run and return the final network state
     * (also written to the configured sinks). Mirrors the template's
     * sequence: load rules -> load compounds -> transform_all with the
     * filter chain -> prune to targets -> write.
     */
   def execute(spark: SparkSession, cfg: PickaxeRunConfig): NetworkState = {
-    import spark.implicits._
     val (rules, core) = loadRules(spark, cfg.rules)
     val engine = new PickaxeEngine(spark, rules, core,
       explicitH = cfg.explicitH)
+    // the seed stays a DataFrame end to end: loadCompoundFile already
+    // standardized + hashed it distributed, and runFrom consumes it as
+    // gen 0 — no driver collect, no second standardization pass
     val starting = PickaxeEngine.loadCompoundFile(spark, cfg.inputCpds)
-      .select("SMILES").as[String].collect().toSeq
-    val expanded = engine.run(starting, cfg.generations, cfg.filters,
+    val expanded = engine.runFrom(engine.initialState(starting),
+      cfg.generations, cfg.filters,
       filterAfterFinalGen = cfg.filterAfterFinalGen,
       pruneBetweenGens = cfg.pruneBetweenGens)
     val state =
       if (cfg.pruneToTargets) {
-        val targets = cfg.targetCpds.map(loadTargetSmiles(spark, _))
-          .getOrElse(Seq.empty)
-        require(targets.nonEmpty,
+        val targetsPath = cfg.targetCpds.getOrElse(sys.error(
+          "pruneToTargets set but no targetCpds configured"))
+        val targetIds = loadTargetIds(spark, targetsPath)
+        require(!targetIds.isEmpty,
           "pruneToTargets set but no targetCpds configured")
-        engine.pruneToTargets(expanded, targets)
+        engine.pruneToTargetsDf(expanded, targetIds)
       } else expanded
     cfg.writeTsvDir.foreach(dir => engine.writeTsv(state, dir))
     cfg.mineSink.foreach { case (outDir, name) =>

@@ -99,6 +99,59 @@ class PickaxeRunSpec extends SparkSuite {
     assert(gotC.contains(tid))
   }
 
+  test("DataFrame-seed path (initialState(df) / runFrom / " +
+    "pruneToTargetsDf) is identical to the Seq path") {
+    assume(present)
+    val (rules, core) = PickaxeRun.loadRules(spark, ExplicitTsv(
+      s"$refData/test_reaction_rules.tsv",
+      s"$refData/test_coreactants.tsv"))
+    val engine = new PickaxeEngine(spark, rules, core, explicitH = true)
+    import spark.implicits._
+    val seedDf = PickaxeEngine.loadCompoundFile(
+      spark, tmpCsv("dfseed", Seq("FADH" -> fadh)))
+    val got = engine.runFrom(engine.initialState(seedDf), 2)
+    val want = engine.run(Seq(fadh), 2)
+    assert(got.compounds.select("_id").as[String].collect().sorted.toSeq
+      === want.compounds.select("_id").as[String].collect().sorted.toSeq)
+    assert(got.reactions.select("_id").as[String].collect().sorted.toSeq
+      === want.reactions.select("_id").as[String].collect().sorted.toSeq)
+    // distributed target prune equals the Seq overload
+    val tDf = PickaxeRun.loadTargetIds(
+      spark, tmpCsv("dftgt", Seq("T1" -> doublePhospho)))
+    val gotP = engine.pruneToTargetsDf(got, tDf)
+    val wantP = engine.pruneToTargets(want, Seq(doublePhospho))
+    assert(gotP.compounds.select("_id").as[String].collect().sorted.toSeq
+      === wantP.compounds.select("_id").as[String].collect().sorted.toSeq)
+    assert(gotP.reactions.count() === wantP.reactions.count())
+  }
+
+  test("a MetaNetX-scale seed loads gen 0 distributed — no driver " +
+    "round-trip, every partition contributes") {
+    // 100k seed rows (20 distinct alkanes after dedup): the point is
+    // the gen-0 load runs standardization inside tasks over the full
+    // file, not that the network is large
+    val p = Files.createTempFile("bigseed", ".csv")
+    val sb = new StringBuilder("id,smiles\n")
+    (1 to 100000).foreach(i => sb ++= s"m$i,${"C" * (i % 20 + 1)}\n")
+    Files.writeString(p, sb.toString)
+    val seed = PickaxeEngine.loadCompoundFile(spark, p.toString)
+      .repartition(8)
+    val (rules, core) = PickaxeRun.loadRules(spark, ExplicitTsv(
+      s"$refData/test_reaction_rules.tsv",
+      s"$refData/test_coreactants.tsv"))
+    val engine = new PickaxeEngine(spark, rules, core)
+    val st = engine.runFrom(engine.initialState(seed), generations = 0)
+    import spark.implicits._
+    val types = st.compounds.groupBy("Type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types("Starting Compound") === 20L) // dedup by content hash
+    assert(types("Coreactant") === core.length.toLong)
+    // the seed never collected: gen 0's plan still reads the csv scan
+    // (a driver round-trip would re-parallelize a local relation)
+    val plan = st.compounds.queryExecution.executedPlan.toString
+    assert(plan.contains("csv"), plan.take(400))
+  }
+
   test("MetacycGeneralized source resolves the 1216-rule catalog and " +
     "honors nRules") {
     val dir = "/root/reference/minedatabase/data/metacyc_rules"
