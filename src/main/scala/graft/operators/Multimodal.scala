@@ -8,20 +8,22 @@ import org.apache.spark.sql.types._
   * (image/audio/video) as opaque `binary` columns + typed metadata,
   * processed batch-wise with `mapPartitions`-style iteration.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs — see the builder brief): `decodeStub` derives deterministic
-  * pseudo-features from the bytes. Everything around it — schema,
-  * partition-batched iteration, feature schema, chunking — is the real
-  * Spark plumbing a codec-backed UDF would drop into.
+  * The image decode is REAL: headers via [[ImageHeader]], pixels via
+  * [[PixelDecode]] (JDK ImageIO with a from-the-spec pure PNG decoder
+  * as fallback and cross-check), integer-exact pixel features
+  * (gray sum / sum-of-squares, dHash, pHash). Only bytes no engine
+  * recognizes fall back to a clearly-marked deterministic stub.
   */
 object Multimodal {
 
-  /** Feature row the "decoder" emits per media blob. `format`, `width`
-    * and `height` are REAL header parses for PNG/JPEG/GIF/BMP (see
-    * [[ImageHeader]] — pure-JVM, no codecs); unrecognized bytes get
-    * format "unknown" and deterministic stub dimensions. The pixel
-    * decode itself stays stubbed (`sig` is an md5-derived stand-in for
-    * a feature vector).
+  /** Feature row the decoder emits per media blob. `format`, `width`,
+    * `height` are real header parses for PNG/JPEG/GIF/BMP
+    * ([[ImageHeader]]); when the PIXELS decode (`decoded` = true —
+    * PNG/JPEG/GIF/BMP/TIFF via [[PixelDecode]]) the remaining columns
+    * are real integer-exact pixel features and `sig` is the pHash hex.
+    * Unrecognized bytes get format "unknown", deterministic stub
+    * dimensions, zeroed pixel features, and an md5-derived `sig`
+    * stand-in (still a usable dedup key for opaque blobs).
     */
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
@@ -29,14 +31,19 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_sumsq", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false),
     StructField("sig", StringType, nullable = false)))
 
-  /** Header decode: real container format + dimensions when a PNG /
-    * JPEG / GIF / BMP signature matches; deterministic stub math on
-    * the first bytes otherwise (a codec-backed pixel decoder would
-    * drop in here — absent from this container by brief).
+  /** Image decode: real container format + dimensions when a PNG /
+    * JPEG / GIF / BMP signature matches, real pixel features when the
+    * pixels decode; deterministic stub math on the first bytes for
+    * unrecognized blobs.
     */
-  def decodeStub(bytes: Array[Byte], chunkSize: Int): Row = {
+  def decodeFeatures(bytes: Array[Byte], chunkSize: Int): Row = {
     val n = bytes.length.toLong
     val nChunks = ((n + chunkSize - 1) / chunkSize).toInt
     val (fmt, width, height) = ImageHeader.parse(bytes) match {
@@ -46,12 +53,23 @@ object Multimodal {
         def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
         ("unknown", 1 + (b(0) << 8 | b(1)) % 1024, 1 + (b(2) << 8 | b(3)) % 1024)
     }
-    val sig = graft.chem.Chem.hex(
-      java.security.MessageDigest.getInstance("MD5").digest(bytes).take(4))
-    Row(n, nChunks, fmt, width, height, sig)
+    PixelDecode.decode(bytes) match {
+      case Some(px) =>
+        val g = PixelDecode.grayLuma(px)
+        var s = 0L; var sq = 0L
+        var i = 0
+        while (i < g.length) { s += g(i); sq += g(i).toLong * g(i); i += 1 }
+        val ph = PixelDecode.pHash(g, px.width, px.height)
+        Row(n, nChunks, fmt, px.width, px.height, true, s, sq,
+          PixelDecode.dHash(g, px.width, px.height), ph, f"$ph%016x")
+      case None =>
+        val sig = graft.chem.Chem.hex(java.security.MessageDigest
+          .getInstance("MD5").digest(bytes).take(4))
+        Row(n, nChunks, fmt, width, height, false, 0L, 0L, 0L, 0L, sig)
+    }
   }
 
-  /** Attach stub-decoded features to a DataFrame's binary column via
+  /** Attach decoded features to a DataFrame's binary column via
     * partition-batched iteration (the mapInPandas analog in Scala).
     */
   def withDecodedFeatures(
@@ -70,7 +88,7 @@ object Multimodal {
           case s: String => s.getBytes("UTF-8")
           case null => Array.empty[Byte]
         }
-        Row.fromSeq(row.toSeq ++ decodeStub(bytes, chunkSize).toSeq)
+        Row.fromSeq(row.toSeq ++ decodeFeatures(bytes, chunkSize).toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -93,7 +111,7 @@ object Multimodal {
     StructField("rms_x1000", LongType, nullable = false),
     StructField("n_clipped", LongType, nullable = false)))
 
-  /** Audio analog of [[decodeStub]]: header parse + PCM16 stats. */
+  /** Audio analog of [[decodeFeatures]]: header parse + PCM16 stats. */
   def decodeAudio(bytes: Array[Byte]): Row =
     AudioHeader.parse(bytes) match {
       case Some(info) =>

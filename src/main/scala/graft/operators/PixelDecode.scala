@@ -1,0 +1,426 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** REAL pixel decode for the multimodal column — no external codecs.
+  *
+  * Two engines, cross-checked in spec:
+  *   - [[decode]] uses the JDK's own `javax.imageio` (headless-safe;
+  *     PNG/JPEG/GIF/BMP/TIFF readers ship with the `java.desktop`
+  *     module present in this container), falling back to
+  *   - [[decodePngPure]], a from-the-spec PNG decoder (RFC 2083:
+  *     zlib IDAT via `java.util.zip.Inflater`, the five row filters,
+  *     color types 0/2/3/4/6 at bit depth 8, non-interlaced).
+  *
+  * [[encodePngGray]] / [[encodePngRgb]] write real PNG bytes with the
+  * same JDK-only machinery (`Deflater` + CRC32), which lets specs and
+  * oracle queries prove the whole encode → container walk → inflate →
+  * unfilter → feature path as an exact roundtrip on synthetic images.
+  *
+  * Every feature is INTEGER-exact (no float resampling), so results
+  * are bit-stable across partitionings and replayable in oracle SQL:
+  *   - [[grayLuma]]: (299r + 587g + 114b) / 1000, floor — identity on
+  *     achromatic pixels, so gray PNG roundtrips are exact
+  *   - [[resizeArea]]: exact rational box overlap (scaled-integer
+  *     weights, floor division) — the standard area-average
+  *     downsample without a single double
+  *   - [[dHash]]: 9x8 area resize, bit (r*8+c) = g(r,c) > g(r,c+1)
+  *   - [[pHash]]: 32x32 area resize, integer DCT-II (the shared
+  *     [[DctCos]] table, scale 10000), top-left 8x8 block minus DC,
+  *     median threshold (32nd smallest of the 63 AC coefficients)
+  *
+  * Reference analog: none — the reference has no media path; this is
+  * pipeline surface the survey adds beyond it (SURVEY.md multimodal).
+  */
+object PixelDecode {
+
+  /** Decoded image: packed 0xRRGGBB per pixel, row-major. */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Int])
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  /** Decode via ImageIO when a reader exists, else the pure PNG path.
+    * None for bytes no engine understands. Never throws.
+    */
+  def decode(bytes: Array[Byte]): Option[Pixels] =
+    decodeImageIo(bytes).orElse(decodePngPure(bytes))
+
+  private[operators] def decodeImageIo(
+      bytes: Array[Byte]): Option[Pixels] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Int](w * h)
+        val cs = img.getColorModel.getColorSpace
+        if (cs.getType == java.awt.color.ColorSpace.TYPE_GRAY) {
+          // getRGB would push gray samples through the linear-gray ->
+          // sRGB transform (gamma), silently rewriting pixel values;
+          // read the raw raster band instead (scaled to 8 bits)
+          val raster = img.getRaster
+          val bits = img.getColorModel.getComponentSize(0)
+          val maxV = (1 << bits) - 1
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val s = raster.getSample(x, y, 0)
+              val g = if (bits == 8) s else s * 255 / maxV
+              out(y * w + x) = (g << 16) | (g << 8) | g
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          // getRGB returns ARGB in the default sRGB space; drop alpha
+          img.getRGB(0, 0, w, h, out, 0, w)
+          var i = 0
+          while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+        }
+        Some(Pixels(w, h, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** From-the-spec PNG decode: signature, chunk walk (IHDR, PLTE,
+    * IDAT*, IEND), inflate, per-row unfilter, sample expansion.
+    * Supports bit depth 8, interlace 0, color types 0 (gray),
+    * 2 (rgb), 3 (palette), 4 (gray+alpha), 6 (rgba); alpha dropped.
+    */
+  def decodePngPure(bytes: Array[Byte]): Option[Pixels] =
+    try decodePngPureImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodePngPureImpl(b: Array[Byte]): Option[Pixels] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b == null || b.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    def be32(p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var pos = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0
+    var palette: Array[Int] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(pos)
+      if (len < 0 || pos + 12 + len > b.length) return None
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      val dataAt = pos + 8
+      ctype match {
+        case "IHDR" =>
+          w = be32(dataAt); h = be32(dataAt + 4)
+          bitDepth = b(dataAt + 8) & 0xff
+          colorType = b(dataAt + 9) & 0xff
+          interlace = b(dataAt + 12) & 0xff
+          sawIhdr = true
+        case "PLTE" =>
+          palette = (0 until len / 3).map { j =>
+            ((b(dataAt + 3 * j) & 0xff) << 16) |
+              ((b(dataAt + 3 * j + 1) & 0xff) << 8) |
+              (b(dataAt + 3 * j + 2) & 0xff)
+          }.toArray
+        case "IDAT" => idat.write(b, dataAt, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: skip
+      }
+      pos = dataAt + len + 4 // data + crc
+    }
+    if (!sawIhdr || w <= 0 || h <= 0) return None
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && palette == null) return None
+    // inflate the filtered scanlines: h rows of (1 + w*channels)
+    val raw = new Array[Byte](h * (1 + w * channels))
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return None // truncated stream
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return None
+    // unfilter in place (RFC 2083 §6): bpp = channels at depth 8
+    val stride = w * channels
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowAt = y * (1 + stride)
+      val filter = raw(rowAt) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowAt + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0
+        val up = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val rec = filter match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        cur(x) = rec & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        val at = px * channels
+        out(y * w + px) = colorType match {
+          case 0 => val g = cur(at); (g << 16) | (g << 8) | g
+          case 2 => (cur(at) << 16) | (cur(at + 1) << 8) | cur(at + 2)
+          case 3 =>
+            if (cur(at) >= palette.length) return None
+            palette(cur(at))
+          case 4 => val g = cur(at); (g << 16) | (g << 8) | g
+          case 6 => (cur(at) << 16) | (cur(at + 1) << 8) | cur(at + 2)
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+
+  // ------------------------------------------------------------------
+  // encode
+  // ------------------------------------------------------------------
+
+  private def chunk(
+      out: java.io.ByteArrayOutputStream, ctype: String,
+      data: Array[Byte]): Unit = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    out.write(be32(data.length.toLong))
+    val tb = ctype.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(be32(crc.getValue))
+  }
+
+  private def encodePng(
+      w: Int, h: Int, colorType: Int, channels: Int,
+      sample: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"encodePng: ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorType.toByte
+    // compression 0, filter 0, interlace 0 already zeroed
+    chunk(out, "IHDR", ihdr)
+    val raw = new Array[Byte](h * (1 + w * channels))
+    var y = 0
+    while (y < h) {
+      val rowAt = y * (1 + w * channels) // filter byte 0 per row
+      var x = 0
+      while (x < w * channels) {
+        raw(rowAt + 1 + x) = sample(y, x).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk(out, "IDAT", comp.toByteArray)
+    chunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Real 8-bit grayscale PNG from `gray` (row-major, 0..255). */
+  def encodePngGray(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h, "encodePngGray: bad length")
+    encodePng(w, h, colorType = 0, channels = 1,
+      (y, x) => gray(y * w + x) & 0xff)
+  }
+
+  /** Real 8-bit RGB PNG from packed 0xRRGGBB (row-major). */
+  def encodePngRgb(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, "encodePngRgb: bad length")
+    encodePng(w, h, colorType = 2, channels = 3, (y, x) => {
+      val p = rgb(y * w + x / 3)
+      x % 3 match {
+        case 0 => (p >>> 16) & 0xff
+        case 1 => (p >>> 8) & 0xff
+        case _ => p & 0xff
+      }
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // integer-exact features
+  // ------------------------------------------------------------------
+
+  /** Integer luma per pixel: (299r + 587g + 114b) / 1000 (floor).
+    * Exactly the gray value on achromatic pixels (r=g=b).
+    */
+  def grayLuma(p: Pixels): Array[Int] = {
+    val out = new Array[Int](p.rgb.length)
+    var i = 0
+    while (i < out.length) {
+      val v = p.rgb(i)
+      out(i) = (299 * ((v >>> 16) & 0xff) + 587 * ((v >>> 8) & 0xff) +
+        114 * (v & 0xff)) / 1000
+      i += 1
+    }
+    out
+  }
+
+  /** Exact area-average resample (floor): output cell (j,i) is the
+    * box average of the source region it covers, computed with
+    * scaled-integer box overlaps (source x scaled by tw, y by th — so
+    * each output cell's total weight is exactly w*h). Identity when
+    * (tw,th) == (w,h); on upscale each cell averages the 1-4 source
+    * pixels it intersects (box sampling), still integer-exact.
+    */
+  def resizeArea(
+      src: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    require(src.length == w * h, "resizeArea: bad length")
+    require(tw >= 1 && th >= 1, s"resizeArea: ${w}x$h -> ${tw}x$th")
+    if (tw == w && th == h) return src.clone()
+    val out = new Array[Int](tw * th)
+    val denom = w.toLong * h
+    var j = 0
+    while (j < th) {
+      val y0 = j.toLong * h // cell spans [y0, y0+h) in y-scaled-by-th
+      var i = 0
+      while (i < tw) {
+        val x0 = i.toLong * w
+        var acc = 0L
+        var r = (y0 / th).toInt // first source row overlapping
+        while (r.toLong * th < y0 + h) {
+          val ovY = math.min((r + 1).toLong * th, y0 + h) -
+            math.max(r.toLong * th, y0)
+          var c = (x0 / tw).toInt
+          while (c.toLong * tw < x0 + w) {
+            val ovX = math.min((c + 1).toLong * tw, x0 + w) -
+              math.max(c.toLong * tw, x0)
+            acc += ovX * ovY * src(r * w + c)
+            c += 1
+          }
+          r += 1
+        }
+        out(j * tw + i) = (acc / denom).toInt
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Difference hash: area-resize to 9x8, bit (r*8+c) set iff
+    * g(r,c) > g(r,c+1). Full 64 bits (bit 63 may set the sign).
+    */
+  def dHash(gray: Array[Int], w: Int, h: Int): Long = {
+    val g = resizeArea(gray, w, h, 9, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** The shared integer DCT-II cosine table: DctCos(u)(x) =
+    * round(cos((2x+1) * u * pi / 64) * 10000) for u in 0..7 (the only
+    * rows the 8x8 output block needs), x in 0..31. These CONSTANTS
+    * are the contract — oracle SQL inlines the same values, so no
+    * cross-engine libm/rounding question exists.
+    */
+  val DctScale = 10000L
+  val DctCos: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 64) * DctScale)
+  }
+
+  /** Perceptual hash: area-resize to 32x32, integer DCT-II, top-left
+    * 8x8 coefficient block, drop DC, threshold the 63 AC coefficients
+    * at their median (the 32nd smallest — exact order statistic, no
+    * interpolation): bit (u*8+v-1) set iff coef(u,v) > median.
+    * 63 bits — never negative.
+    */
+  def pHash(gray: Array[Int], w: Int, h: Int): Long = {
+    val g = resizeArea(gray, w, h, 32, 32)
+    pHash32(g)
+  }
+
+  /** The DCT + threshold half of [[pHash]] on an already-32x32 image. */
+  def pHash32(g: Array[Int]): Long = {
+    require(g.length == 32 * 32, "pHash32 needs 32x32")
+    // separable: t(u)(y) = sum_x cos(u,x) * g(x,y)  (x = row index)
+    val t = Array.ofDim[Long](8, 32)
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += DctCos(u)(x) * g(x * 32 + yy); x += 1 }
+        t(u)(yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val coefs = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var yy = 0
+        while (yy < 32) { s += DctCos(v)(yy) * t(u)(yy); yy += 1 }
+        coefs(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coefs.drop(1).sorted
+    val med = ac(31) // 32nd smallest of 63
+    var bits = 0L
+    var i = 1
+    while (i < 64) {
+      if (coefs(i) > med) bits |= 1L << (i - 1)
+      i += 1
+    }
+    bits
+  }
+}

@@ -233,7 +233,7 @@ object PipelineQueries extends QueryPack {
         // into a 256-px box with integer-exact aspect-ratio math,
         // never upscaling, and budget the output pixels. Dimensions
         // come from the q_multimodal stub convention (the first 4
-        // bytes pretend to encode WxH — decodeStub's fallback branch)
+        // bytes pretend to encode WxH — decodeFeatures' fallback branch)
         // so the oracle can replay the whole plan relationally; with
         // real headers the SAME withResizePlan runs on the
         // ImageHeader-parsed columns (MultimodalSpec pins that path).

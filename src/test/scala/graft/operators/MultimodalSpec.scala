@@ -8,23 +8,49 @@ import graft.pickaxe.RuleSelection
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
-  test("withDecodedFeatures attaches the stub feature columns") {
+  test("withDecodedFeatures attaches the feature columns; opaque " +
+    "bytes fall back to the md5 stand-in with decoded=false") {
     val df = Seq(("a", "hello world"), ("b", "x" * 1000))
       .toDF("id", "payload")
       .withColumn("media", col("payload").cast("binary"))
     val out = Multimodal.withDecodedFeatures(df, "media", chunkSize = 256)
-    val rows = out.select("id", "n_bytes", "n_chunks", "width", "height",
-      "sig").collect().map(r => r.getString(0) ->
-      (r.getLong(1), r.getInt(2), r.getString(5))).toMap
+    val rows = out.select("id", "n_bytes", "n_chunks", "sig", "decoded")
+      .collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getInt(2), r.getString(3), r.getBoolean(4))).toMap
     assert(rows("a")._1 === 11L)
     assert(rows("a")._2 === 1)
     assert(rows("b")._1 === 1000L)
     assert(rows("b")._2 === 4)
     assert(rows("a")._3.length === 8) // deterministic md5-derived sig
+    assert(!rows("a")._4 && !rows("b")._4) // not images: not decoded
     // deterministic across runs
     val again = Multimodal.withDecodedFeatures(df, "media", 256)
       .select("sig").as[String].collect().sorted
     assert(again === out.select("sig").as[String].collect().sorted)
+  }
+
+  test("withDecodedFeatures computes REAL pixel features for a " +
+    "decodable PNG: exact gray stats, pHash-hex sig") {
+    // 4x2 gray ramp, encoded by our own encoder, decoded by the real
+    // pixel path inside the DataFrame plumbing
+    val gray = Array(0, 51, 102, 153, 204, 255, 10, 20)
+    val png = PixelDecode.encodePngGray(4, 2, gray)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("img", png)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))))
+    val r = Multimodal.withDecodedFeatures(df, "media", 256)
+      .select("format", "width", "height", "decoded", "px_sum",
+        "px_sumsq", "phash", "sig").collect().head
+    assert(r.getString(0) === "png")
+    assert(r.getInt(1) === 4 && r.getInt(2) === 2)
+    assert(r.getBoolean(3))
+    assert(r.getLong(4) === gray.map(_.toLong).sum)
+    assert(r.getLong(5) === gray.map(g => g.toLong * g).sum)
+    assert(r.getString(7) === f"${r.getLong(6)}%016x") // sig = phash hex
   }
 
   test("ImageHeader parses real PNG/GIF/BMP/JPEG dimensions and " +
