@@ -19,6 +19,15 @@ final case class WavStats(
     n_samples: Long, duration_ms: Long, peak: Int,
     rms_x1000: Long, n_clipped: Long)
 
+/** Typed return row of q_multimodal_phash's image roundtrip UDF. */
+final case class PhashStats(phash: Long, px_sum: Long, px_sumsq: Long)
+
+/** Typed return row of q_multimodal_dhash's image roundtrip UDF
+  * (dHash split into 32-bit halves so the oracle's bit sums never
+  * overflow a signed BIGINT).
+  */
+final case class DhashStats(dlo: Long, dhi: Long)
+
 object PipelineQueries extends QueryPack {
 
   override def queries: Seq[GraftQuery] = Seq(
@@ -353,5 +362,167 @@ object PipelineQueries extends QueryPack {
         "RIFF/WAVE blobs, container re-parsed, exact integer PCM " +
         "stats — oracle recomputes from first principles, so equality " +
         "proves the binary encode/parse/decode path itself."),
+
+    GraftQuery(
+      "q_multimodal_phash", Seq("P6", "D9", "A8"),
+      (s, dir) => {
+        // Image-pipeline roundtrip PROOF, the visual twin of
+        // q_multimodal_audio: each doc becomes a deterministic 32x32
+        // grayscale image (md5-derived pixels), Spark ENCODES it into
+        // real PNG bytes (PixelDecode.encodePngGray — Deflater,
+        // filters, CRC), DECODES the pixels back (ImageIO / pure-PNG
+        // engine), and computes the integer-DCT perceptual hash plus
+        // exact gray stats from the DECODED image — while the oracle
+        // computes the identical features from first principles on
+        // the same pixel definition (the shared DctCos constant table
+        // is inlined as a VALUES relation, so no cross-engine libm
+        // question exists). Equality proves the whole PNG encode ->
+        // inflate -> unfilter -> luma -> DCT -> median-threshold path.
+        //
+        // Scale shape: one image per row inside the UDF (the
+        // codec-shaped step), per-source aggregation is codegen'd;
+        // nothing collects, nothing broadcasts.
+        import graft.operators.PixelDecode
+        val kernel = udf((docId: Long) => {
+          val gray = new Array[Int](1024)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var blk = 0
+          while (blk < 64) {
+            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
+            var off = 0
+            while (off < 16) {
+              gray(blk * 16 + off) = d(off) & 0xff; off += 1
+            }
+            blk += 1
+          }
+          val png = PixelDecode.encodePngGray(32, 32, gray)
+          val px = PixelDecode.decode(png).get
+          val g = PixelDecode.grayLuma(px)
+          var su = 0L; var sq = 0L; var i = 0
+          while (i < g.length) {
+            su += g(i); sq += g(i).toLong * g(i); i += 1
+          }
+          PhashStats(PixelDecode.pHash(g, px.width, px.height), su, sq)
+        })
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("st", kernel(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(col("st.phash") % 1000000007L).as("phash_fp"),
+            countDistinct(col("st.phash")).as("n_phash"),
+            sum("st.px_sum").as("px_sum"),
+            sum("st.px_sumsq").as("px_sumsq"))
+          .orderBy("source")
+      },
+      Some {
+        val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
+          yield s"($u,$x,${graft.operators.PixelDecode.DctCos(u)(x)})")
+          .mkString(",")
+        s"""WITH ct(u, x, cv) AS (SELECT * FROM (VALUES $ctvals) v(u, x, cv)),
+        px AS (
+          SELECT doc_id, source, (i // 32) AS r, (i % 32) AS c,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT AS g
+          FROM documents, (SELECT unnest(range(1024)) AS i)),
+        t1 AS (
+          SELECT px.doc_id, px.source, ct.u AS u, px.c AS y,
+            sum(px.g * ct.cv)::BIGINT AS t
+          FROM px JOIN ct ON ct.x = px.r GROUP BY 1, 2, 3, 4),
+        co AS (
+          SELECT t1.doc_id, t1.source, t1.u AS u, ct.u AS v,
+            sum(t1.t * ct.cv)::BIGINT AS coef
+          FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4),
+        acs AS (
+          SELECT doc_id, source, u, v, coef,
+            row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+          FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, coef AS med FROM acs WHERE rn = 32),
+        ph AS (
+          SELECT a.doc_id, a.source,
+            sum(CASE WHEN a.coef > m.med
+              THEN (1::BIGINT << (a.u * 8 + a.v - 1))
+              ELSE 0 END)::BIGINT AS phash
+          FROM acs a JOIN med m USING (doc_id) GROUP BY 1, 2),
+        gs AS (SELECT doc_id, sum(g)::BIGINT AS su,
+            sum(g * g)::BIGINT AS sq
+          FROM px GROUP BY 1)
+        SELECT ph.source, count(*)::BIGINT AS n_imgs,
+          sum(ph.phash % 1000000007)::BIGINT AS phash_fp,
+          count(DISTINCT ph.phash) AS n_phash,
+          sum(gs.su)::BIGINT AS px_sum, sum(gs.sq)::BIGINT AS px_sumsq
+        FROM ph JOIN gs USING (doc_id) GROUP BY 1 ORDER BY 1"""
+      },
+      "Image roundtrip: md5-derived 32x32 grayscale images encoded " +
+        "into real PNG blobs, pixels decoded back, integer-DCT pHash " +
+        "+ exact gray stats — the oracle replays the identical " +
+        "feature math (shared integer cosine table) from first " +
+        "principles, so equality proves the PNG codec path itself."),
+
+    GraftQuery(
+      "q_multimodal_dhash", Seq("P6", "D9", "A8"),
+      (s, dir) => {
+        // The dHash leg of the image roundtrip: 9x8 images (dHash's
+        // native geometry, so the area resample is the pinned
+        // identity) through the same PNG encode -> decode path; the
+        // 64 comparison bits ship as two 32-bit halves so the
+        // oracle's bit sums stay inside signed BIGINT.
+        import graft.operators.PixelDecode
+        val kernel = udf((docId: Long) => {
+          val gray = new Array[Int](72)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var blk = 0
+          while (blk < 5) {
+            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
+            var off = 0
+            while (off < 16 && blk * 16 + off < 72) {
+              gray(blk * 16 + off) = d(off) & 0xff; off += 1
+            }
+            blk += 1
+          }
+          val png = PixelDecode.encodePngGray(9, 8, gray)
+          val px = PixelDecode.decode(png).get
+          val g = PixelDecode.grayLuma(px)
+          val bits = PixelDecode.dHash(g, px.width, px.height)
+          DhashStats(bits & 0xffffffffL, bits >>> 32)
+        })
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("st", kernel(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(col("st.dlo") % 1000000007L).as("dlo_fp"),
+            sum(col("st.dhi") % 1000000007L).as("dhi_fp"),
+            countDistinct(concat(col("st.dlo"), lit(":"),
+              col("st.dhi"))).as("n_dhash"))
+          .orderBy("source")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, source, (i // 9) AS r, (i % 9) AS c,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT AS g
+          FROM documents, (SELECT unnest(range(72)) AS i)),
+        cmp AS (
+          SELECT a.doc_id, a.source, a.r * 8 + a.c AS bit,
+            a.g > b.g AS setb
+          FROM px a JOIN px b
+            ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+          WHERE a.c < 8),
+        dh AS (
+          SELECT doc_id, source,
+            sum(CASE WHEN setb AND bit < 32 THEN (1::BIGINT << bit)
+              ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN setb AND bit >= 32
+              THEN (1::BIGINT << (bit - 32)) ELSE 0 END)::BIGINT AS dhi
+          FROM cmp GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_imgs,
+          sum(dlo % 1000000007)::BIGINT AS dlo_fp,
+          sum(dhi % 1000000007)::BIGINT AS dhi_fp,
+          count(DISTINCT dlo::VARCHAR || ':' || dhi::VARCHAR) AS n_dhash
+        FROM dh GROUP BY 1 ORDER BY 1"""),
+      "Difference-hash roundtrip at dHash's native 9x8 geometry: " +
+        "PNG-encoded md5-derived images decoded back to pixels, the " +
+        "64 neighbor comparisons recomputed relationally by the " +
+        "oracle — proving decode + dHash bit math end to end."),
   )
 }
