@@ -144,6 +144,65 @@ object PathwaySearch {
     reacM.unpersist(); prodM.unpersist()
     result
   }
+
+  /** Multi-seed simple-path ENUMERATION (the reference script loops
+    * `dfs` over its source list — pathway_search.py:37-57): every
+    * walk of 1..maxLength steps from any seed, cycle-free, gated per
+    * compound like [[findPaths]]. Level-synchronous: each round is
+    * the frontier ⋈ reactant-members ⋈ product-members equi-join pair
+    * with checkpointed lineage; the frontier is never collected, so
+    * the loop's join discipline is the one a cluster-scale network
+    * runs.
+    *
+    * @param seeds 1-column `_id` DataFrame of start compounds
+    * @return (path: array of reaction ids, n_steps, end_id) — one row
+    *         per enumerated path
+    */
+  def enumerate(
+      state: NetworkState,
+      seeds: DataFrame,
+      maxLength: Int,
+      compoundGate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = state.compounds.sparkSession
+    import spark.implicits._
+    val reacM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("c_id"))
+      .where(col("c_id").startsWith("C")).persist()
+    val prodM = state.reactions
+      .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
+      .select(col("rxn"), col("m.c_id").as("p_id"))
+      .where(col("p_id").startsWith("C")).persist()
+    val gated = compoundGate.map { gate =>
+      state.compounds.where(gate).select(col("_id").as("p_id"))
+        .localCheckpoint() // scored once, consumed every round
+    }
+    var frontier = seeds.select(col("_id").as("c_id"))
+      .withColumn("path", array().cast("array<string>"))
+      .withColumn("seen", array(col("c_id")))
+      .localCheckpoint()
+    var results = spark.emptyDataset[(Seq[String], Int, String)]
+      .toDF("path", "n_steps", "end_id")
+    var depth = 0
+    while (depth < maxLength && !frontier.isEmpty) {
+      depth += 1
+      var stepped = frontier
+        .join(reacM, Seq("c_id"))
+        .join(prodM, Seq("rxn"))
+        .where(!array_contains(col("seen"), col("p_id")))
+      for (g <- gated) stepped = stepped.join(g, Seq("p_id"), "left_semi")
+      val next = stepped.select(
+        col("p_id").as("c_id"),
+        concat(col("path"), array(col("rxn"))).as("path"),
+        concat(col("seen"), array(col("p_id"))).as("seen"))
+        .localCheckpoint()
+      results = results.union(next.select(col("path"),
+        size(col("path")).as("n_steps"), col("c_id").as("end_id")))
+      frontier = next
+    }
+    reacM.unpersist(); prodM.unpersist()
+    results
+  }
 }
 
 /** Thermodynamics interface (thermodynamics.py:1-357): the reference

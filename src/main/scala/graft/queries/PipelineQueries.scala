@@ -159,6 +159,89 @@ object PipelineQueries extends QueryPack {
         "lookup chain as cascaded semi-joins — no row explosion."),
 
     GraftQuery(
+      "q_path_enum", Seq("W6", "D4", "A13"),
+      (s, dir) => {
+        // Pathway ENUMERATION at bench scale (pathway_search.py's dfs
+        // loop over a source list): a synthetic reaction network from
+        // the co-purchase data — each selected order is a reaction
+        // consuming its min part and producing the rest — walked by
+        // the REAL PathwaySearch.enumerate closure loop: per-round
+        // frontier ⋈ reactants ⋈ products equi-joins, checkpointed
+        // lineage, cycle-free path arrays, an NP-proxy traversal gate
+        // (the script's NP-floor/ΔG-cap predicate shape), depth cap 4.
+        // At sf0.1 the frontier grows 3.4k -> 44k rows per round, so
+        // the loop's join discipline is measured, not assumed; the
+        // frontier is never collected. The oracle replays the whole
+        // traversal as a depth-bounded recursive CTE with string
+        // paths; the per-depth path-set fingerprint (hash64 of the
+        // '>'-joined reaction sequence) pins path CONTENT, not just
+        // counts.
+        import graft.operators.TextOps
+        import graft.pickaxe.{NetworkState, PathwaySearch}
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val rx = li.groupBy("ok").agg(min("pk").as("src"))
+        val edges = rx.join(li, Seq("ok"))
+          .where(col("pk") =!= col("src"))
+        val reactions = edges.groupBy("ok", "src")
+          .agg(collect_list(struct(lit(1).as("stoich"),
+            concat(lit("C"), col("pk")).as("c_id"))).as("Products"))
+          .select(concat(lit("R"), col("ok")).as("_id"),
+            array(struct(lit(1).as("stoich"),
+              concat(lit("C"), col("src")).as("c_id"))).as("Reactants"),
+            col("Products"))
+        val compounds = Tables.load(s, dir, "part")
+          .select(concat(lit("C"), col("p_partkey")).as("_id"),
+            expr("cast(round(p_retailprice * 100) as long) % 97")
+              .as("np"))
+        val seeds = Tables.load(s, dir, "part")
+          .where(col("p_partkey") % 37 === 0)
+          .select(concat(lit("C"), col("p_partkey")).as("_id"))
+        PathwaySearch.enumerate(
+            NetworkState(compounds, reactions, 0), seeds,
+            maxLength = 4, compoundGate = Some(col("np") >= 20))
+          .withColumn("pstr",
+            concat(lit(">"), concat_ws(">", col("path"))))
+          .groupBy("n_steps")
+          .agg(count(lit(1)).as("n_paths"),
+            countDistinct("end_id").as("n_ends"),
+            sum(expr(TextOps.hash64("pstr") + " % 1000000007"))
+              .as("paths_fp"))
+          .orderBy("n_steps")
+      },
+      Some("""WITH RECURSIVE
+        li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_orderkey % 3 = 0),
+        rx AS (SELECT ok, min(pk) AS src FROM li GROUP BY ok),
+        edges AS (SELECT r.ok AS rxn, r.src, l.pk AS dst
+          FROM rx r JOIN li l ON l.ok = r.ok AND l.pk != r.src),
+        gate AS (SELECT p_partkey AS pk FROM part
+          WHERE (round(p_retailprice * 100)::BIGINT % 97) >= 20),
+        seeds AS (SELECT p_partkey AS v FROM part
+          WHERE p_partkey % 37 = 0),
+        walks(v, path, seen, k) AS (
+          SELECT v, '', ',' || v::VARCHAR || ',', 0 FROM seeds
+          UNION ALL
+          SELECT e.dst, w.path || '>R' || e.rxn::VARCHAR,
+            w.seen || e.dst::VARCHAR || ',', w.k + 1
+          FROM walks w JOIN edges e ON e.src = w.v
+          JOIN gate g ON g.pk = e.dst
+          WHERE w.k < 4
+            AND NOT contains(w.seen, ',' || e.dst::VARCHAR || ','))
+        SELECT k AS n_steps, count(*)::BIGINT AS n_paths,
+          count(DISTINCT v)::BIGINT AS n_ends,
+          sum(('0x' || substr(md5(path), 1, 15))::BIGINT
+            % 1000000007)::BIGINT AS paths_fp
+        FROM walks WHERE k >= 1 GROUP BY 1 ORDER BY 1"""),
+      "Bench-scale pathway enumeration: the level-synchronous closure " +
+        "loop (frontier joins with checkpointed lineage, no driver " +
+        "frontier) over a 40k-reaction synthetic network with an " +
+        "NP-proxy traversal gate; per-depth counts plus a path-content " +
+        "fingerprint, oracle-replayed as a recursive CTE."),
+
+    GraftQuery(
       "q_multimodal", Seq("S10", "D9", "P6"),
       (s, dir) => {
         val media = Tables.load(s, dir, "documents")

@@ -80,6 +80,50 @@ class PathwaySpec extends SparkSuite {
     assert(walks >= simple)
   }
 
+  test("enumerate: multi-seed simple-path enumeration with gate and " +
+    "cycle-freedom — exact path sets pinned") {
+    // C1 -R1-> {C2, C3}; C2 -R2-> C4; C3 -R3-> C4; C4 -R4-> C1 (back
+    // edge); C4 -R5-> C5 (gated out: np 5 < 10)
+    val compounds = Seq(("C1", 50), ("C2", 50), ("C3", 50), ("C4", 50),
+      ("C5", 5)).toDF("_id", "np")
+    def m(ids: String*) = ids.map(i => (1, i))
+    val reactions = Seq(
+      ("R1", m("C1"), m("C2", "C3")),
+      ("R2", m("C2"), m("C4")),
+      ("R3", m("C3"), m("C4")),
+      ("R4", m("C4"), m("C1")),
+      ("R5", m("C4"), m("C5")))
+      .toDF("_id", "r", "p")
+      .select(col("_id"),
+        expr("transform(r, x -> struct(x._1 as stoich, x._2 as c_id))")
+          .as("Reactants"),
+        expr("transform(p, x -> struct(x._1 as stoich, x._2 as c_id))")
+          .as("Products"))
+    val net = NetworkState(compounds, reactions, 0)
+    def run(seedIds: Seq[String], gate: Boolean, depth: Int = 3) =
+      PathwaySearch.enumerate(net, seedIds.toDF("_id"), depth,
+          if (gate) Some(col("np") >= 10) else None)
+        .select(concat_ws(">", col("path")), col("end_id"))
+        .as[(String, String)].collect().toSet
+    // single seed, gated: the back edge to the seed and the gated C5
+    // both prune — exactly 4 paths
+    assert(run(Seq("C1"), gate = true) === Set(
+      ("R1", "C2"), ("R1", "C3"),
+      ("R1>R2", "C4"), ("R1>R3", "C4")))
+    // gate off: the two C5 continuations appear, the C1 cycle never
+    assert(run(Seq("C1"), gate = false) === Set(
+      ("R1", "C2"), ("R1", "C3"), ("R1>R2", "C4"), ("R1>R3", "C4"),
+      ("R1>R2>R5", "C5"), ("R1>R3>R5", "C5")))
+    // multi-seed: per-walk seen sets are independent — C2's walk may
+    // return to C1 (not on ITS path) but never to C2 itself
+    assert(run(Seq("C1", "C2"), gate = true) === Set(
+      ("R1", "C2"), ("R1", "C3"), ("R1>R2", "C4"), ("R1>R3", "C4"),
+      ("R2", "C4"), ("R2>R4", "C1"), ("R2>R4>R1", "C3")))
+    // depth cap
+    assert(run(Seq("C1"), gate = false, depth = 1) === Set(
+      ("R1", "C2"), ("R1", "C3")))
+  }
+
   test("thermo stub: deterministic, additive, reaction deltaG") {
     val w = Smiles.parse("O")
     val e1 = Thermo.bondEnergyEstimate(w)
