@@ -27,17 +27,29 @@ final case class SessionState(lastTs: Long, sessionId: Long, nEvents: Long)
   */
 object StreamingOps {
 
-  /** Stream-static mass search: each arriving peak row (name, mz,
-    * charge) is expanded by the (broadcastable) adduct list and interval-
-    * joined to the static compounds table on Mass. The static side is a
-    * bucketed equi-join prelude + exact range check, so the plan stays an
-    * equi-join (no per-row scans) at any compound-table size.
+  /** Stream-static mass search — the online twin of
+    * `MassSearch.adductSearch` (same candidate predicate, same window
+    * arithmetic, same J6 bucket discipline): each arriving peak row
+    * (name, mz, charge) is expanded by the (broadcastable) adduct
+    * list into ppm-or-Da tolerance windows and interval-joined to the
+    * static compounds table on Mass. The static side is a bucketed
+    * equi-join prelude + exact inclusive range check, so the plan
+    * stays an equi-join (no per-row scans) at any compound-table
+    * size; the join is STATELESS (no watermark, no keyed state — the
+    * static side never lates), so streaming state is zero and memory
+    * is bounded by the persisted static side plus one micro-batch.
+    *
+    * `tol`/`ppm`/`excludeHalogens`/`bucketWidth` follow adductSearch:
+    * ppm windows over wide mass ranges should pass bucketWidth ~1.0
+    * so each window explodes to <= 2 bucket keys.
     */
   def peakSearchStream(
       peaks: DataFrame,
       compounds: DataFrame,
       adducts: Seq[AdductRow],
-      tolDa: Double = 0.001,
+      tol: Double = 0.001,
+      ppm: Boolean = false,
+      excludeHalogens: Boolean = true,
       bucketWidth: Double = 0.01): DataFrame = {
     val spark = compounds.sparkSession
     import spark.implicits._
@@ -47,16 +59,24 @@ object StreamingOps {
       .where((col("charge") === "+" && col("ionMass") > 0) ||
         (col("charge") === "-" && col("ionMass") < 0))
       .withColumn("pm", (col("mz") - col("ionMass")) / col("mult"))
+      .withColumn("tol_da", if (ppm) col("pm") * tol / 1e6 else lit(tol))
       .select(col("name").as("peak"), col("adduct"),
-        (col("pm") - tolDa).as("lo"), (col("pm") + tolDa).as("hi"))
+        (col("pm") - col("tol_da")).as("lo"),
+        (col("pm") + col("tol_da")).as("hi"))
       // bucket keys on the stream side: every bucket the window overlaps
       .withColumn("bucket", explode(sequence(
         floor(col("lo") / bucketWidth).cast("long"),
         floor(col("hi") / bucketWidth).cast("long"))))
-    val bucketed = compounds
+    // batch adductSearch's candidate predicate (metabolomics.py:231,
+    // 239-241): neutral compounds, P4 halogen exclusion
+    val cands0 = compounds.where(col("Charge") === 0)
+    val cands =
+      if (excludeHalogens) cands0.where(!col("Formula").rlike("F[^e]|Cl|Br"))
+      else cands0
+    val bucketed = cands
       .withColumn("bucket", floor(col("Mass") / bucketWidth).cast("long"))
     ranges.join(bucketed, Seq("bucket"))
-      .where(col("Mass") > col("lo") && col("Mass") < col("hi"))
+      .where(col("Mass") >= col("lo") && col("Mass") <= col("hi"))
       .select("peak", "adduct", "_id", "SMILES", "Formula", "Mass")
   }
 

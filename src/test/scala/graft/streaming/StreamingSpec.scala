@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSuite {
       .toDF("_id", "SMILES", "Formula", "Mass", "Charge")
     val hits = StreamingOps.peakSearchStream(
       peaks.toDF().toDF("name", "mz", "charge"), compounds,
-      Seq(AdductRow("[M+H]+", 1.0, 1.007276)), tolDa = 0.01)
+      Seq(AdductRow("[M+H]+", 1.0, 1.007276)), tol = 0.01)
     val q = hits.writeStream.format("memory").queryName("peak_hits")
       .outputMode("append").start()
     try {
@@ -34,6 +34,68 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       assert(spark.table("peak_hits").count() === 2)
     } finally q.stop()
+  }
+
+  test("catalog-scale stream-static mass search: thousands of ppm " +
+    "windows, batch parity with adductSearch, zero streaming state") {
+    // the q_mass_search_scale geometry ONLINE: a 5k-compound catalog
+    // (with a charged sliver and a halogen sliver the candidate
+    // predicate must drop), 2k peaks -> ~7k (peak, adduct) ppm
+    // windows at 20 ppm / bucketWidth 1.0, arriving over three
+    // micro-batches. The stream-static bucketed interval join must
+    // return EXACTLY the batch adductSearch hit set — and carry no
+    // keyed state (stateless join: the static side never lates).
+    implicit val sqlCtx = spark.sqlContext
+    val compounds = spark.range(5000)
+      .select(col("id").as("_id"),
+        lit("C").as("SMILES"),
+        when(col("id") % 7 === 0, concat(lit("C6Cl"), col("id") % 50))
+          .otherwise(concat(lit("C"), col("id") % 50)).as("Formula"),
+        (lit(100.0) + col("id") % 4000 * 0.37).as("Mass"),
+        when(col("id") % 11 === 0, 1).otherwise(0).as("Charge"))
+      .persist() // stream-static: re-read every micro-batch otherwise
+    val adducts = Seq(
+      AdductRow("[M+H]+", 1.0, 1.007276),
+      AdductRow("[M+Na]+", 1.0, 22.989218),
+      AdductRow("[M+2H]2+", 2.0, 2.014552),
+      AdductRow("[M-H]-", 1.0, -1.007276),
+      AdductRow("[M-2H]2-", 2.0, -2.014552),
+      AdductRow("[2M-H]-", 0.5, -1.007276))
+    // peaks aimed at the catalog's mass grid through the [M+H]+/[M-H]-
+    // window arithmetic (a 20 ppm window at mass ~1500 is only
+    // ±0.03 Da, so un-aimed peaks almost never hit; aimed peaks make
+    // the parity set thousands of rows, and the multi-charge / dimer
+    // adducts add off-grid coverage wherever their arithmetic lands)
+    val peakRows = (1 to 2000).map { i =>
+      val m = 100.0 + (i * 7 % 4000) * 0.37
+      if (i % 2 == 0) (s"pk$i", m + 1.007276, "+")
+      else (s"pk$i", m - 1.007276, "-")
+    }
+    val want = graft.pickaxe.MassSearch.adductSearch(spark, compounds,
+        peakRows.toDF("name", "mz", "charge"), adducts,
+        tol = 20.0, ppm = true, bucketWidth = 1.0)
+      .select("peak", "adduct", "_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(want.size > 1000, s"fixture too sparse: ${want.size}")
+    val peaks = MemoryStream[(String, Double, String)]
+    val hits = StreamingOps.peakSearchStream(
+      peaks.toDF().toDF("name", "mz", "charge"), compounds, adducts,
+      tol = 20.0, ppm = true, bucketWidth = 1.0)
+    val q = hits.writeStream.format("memory").queryName("mass_scale")
+      .outputMode("append").start()
+    try {
+      peakRows.grouped(700).foreach { chunk =>
+        peaks.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mass_scale")
+        .select("peak", "adduct", "_id")
+        .as[(String, String, Long)].collect().toSet
+      assert(got === want)
+      // the J6 discipline holds online with ZERO streaming state —
+      // no stateful operator exists in the query at all
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally { q.stop(); compounds.unpersist() }
   }
 
   test("streaming MS2 scoring: on-time peaks score identically to " +
