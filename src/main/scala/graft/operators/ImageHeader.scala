@@ -3,11 +3,11 @@ package graft.operators
 /** Pure-JVM image header parsing: container format + pixel dimensions
   * from the first bytes of a blob, no codec libraries. This makes the
   * multimodal `width`/`height` feature columns REAL for the formats a
-  * training-data pipeline actually meets (PNG, JPEG, GIF, BMP) while
-  * the pixel decode itself stays stubbed (no codecs in this
-  * container — builder brief). Header layouts are from the public
-  * specs: PNG (RFC 2083 §4.1.1 IHDR), JPEG (ITU T.81 SOFn segment),
-  * GIF (GIF89a §17 logical screen descriptor), BMP (BITMAPINFOHEADER).
+  * training-data pipeline actually meets (PNG, JPEG, GIF, BMP, TIFF);
+  * the pixel decode itself lives in [[PixelDecode]]. Header layouts
+  * are from the public specs: PNG (RFC 2083 §4.1.1 IHDR), JPEG (ITU
+  * T.81 SOFn segment), GIF (GIF89a §17 logical screen descriptor),
+  * BMP (BITMAPINFOHEADER), TIFF (TIFF 6.0 §2 IFD).
   *
   * Reference analog: the reference has no media path at all; this is
   * part of the pipeline surface the survey adds beyond it.
@@ -33,7 +33,8 @@ object ImageHeader {
     */
   def parse(bytes: Array[Byte]): Option[Info] =
     if (bytes == null) None
-    else png(bytes).orElse(gif(bytes)).orElse(bmp(bytes)).orElse(jpeg(bytes))
+    else png(bytes).orElse(gif(bytes)).orElse(bmp(bytes))
+      .orElse(jpeg(bytes)).orElse(tiff(bytes))
 
   /** PNG: 8-byte signature, then the IHDR chunk (always first, RFC 2083
     * §4.1.1): length(4) "IHDR"(4) width(4 BE) height(4 BE).
@@ -100,5 +101,45 @@ object ImageHeader {
       }
     }
     None
+  }
+
+  /** TIFF (TIFF 6.0 §2): "II*\0" (little-endian) or "MM\0*"
+    * (big-endian), IFD offset at byte 4; the first IFD's 12-byte
+    * entries carry ImageWidth (tag 256) / ImageLength (tag 257) as
+    * inline SHORT(3)/LONG(4) values.
+    */
+  private def tiff(b: Array[Byte]): Option[Info] = {
+    if (b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0)
+        true
+      else if (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 &&
+        u8(b, 3) == 42) false
+      else return None
+    def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long =
+      if (le) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    var w = 0L
+    var h = 0L
+    var e = 0
+    while (e < n) {
+      val at = ifd.toInt + 2 + e * 12
+      if (at + 12 > b.length) return None
+      val tag = u16(at)
+      if (tag == 256 || tag == 257) {
+        val vtype = u16(at + 2)
+        val v: Long =
+          if (vtype == 3) u16(at + 8).toLong // SHORT, left-justified
+          else if (vtype == 4) u32(at + 8) // LONG
+          else -1L
+        if (tag == 256) w = v else h = v
+      }
+      e += 1
+    }
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(Info("tiff", w.toInt, h.toInt))
   }
 }

@@ -136,6 +136,27 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(d <= 10, s"hamming $d")
   }
 
+  test("TIFF: header parse (both byte orders via the IFD walk) and " +
+    "ImageIO pixel decode agree with the written image") {
+    val (w, h) = (21, 13)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((next() & 0xffffff)).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    val bytes = bos.toByteArray
+    assert(ImageHeader.parse(bytes) ===
+      Some(ImageHeader.Info("tiff", w, h)))
+    val p = PixelDecode.decode(bytes).get
+    assert(p.width === w && p.height === h)
+    val want = (0 until h).flatMap(y => (0 until w).map(x =>
+      img.getRGB(x, y) & 0xffffff))
+    assert(p.rgb.toSeq === want)
+    // a truncated header never parses
+    assert(ImageHeader.parse(bytes.take(6)) === None)
+  }
+
   test("the DCT cosine table is the pinned integer contract") {
     // u=0 row is the DC basis: all 10000
     assert(PixelDecode.DctCos(0).toSeq === Seq.fill(32)(10000L))
