@@ -53,7 +53,13 @@ object Multimodal {
         def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
         ("unknown", 1 + (b(0) << 8 | b(1)) % 1024, 1 + (b(2) << 8 | b(3)) % 1024)
     }
-    PixelDecode.decode(bytes) match {
+    // pixel decode only runs behind a successful header parse: on a
+    // corpus where most blobs are NOT images, per-row ImageIO reader
+    // sniffing of arbitrary bytes would be pure overhead (every
+    // decodable container above also header-parses)
+    val decodedPx =
+      if (fmt == "unknown") None else PixelDecode.decode(bytes)
+    decodedPx match {
       case Some(px) =>
         val g = PixelDecode.grayLuma(px)
         var s = 0L; var sq = 0L

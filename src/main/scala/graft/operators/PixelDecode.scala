@@ -111,7 +111,8 @@ object PixelDecode {
     var done = false
     while (!done && pos + 8 <= b.length) {
       val len = be32(pos)
-      if (len < 0 || pos + 12 + len > b.length) return None
+      // Long math: a hostile 4-byte length must not wrap the bound
+      if (len < 0 || pos + 12L + len > b.length) return None
       val ctype = new String(b, pos + 4, 4, "US-ASCII")
       val dataAt = pos + 8
       ctype match {
@@ -144,6 +145,9 @@ object PixelDecode {
       case _ => return None
     }
     if (colorType == 3 && palette == null) return None
+    // allocation guard: a hostile IHDR must not OOM the executor
+    // (OutOfMemoryError is not NonFatal — it would escape the wrapper)
+    if (w.toLong * h * channels + h > (1L << 28)) return None
     // inflate the filtered scanlines: h rows of (1 + w*channels)
     val raw = new Array[Byte](h * (1 + w * channels))
     val inf = new Inflater()
@@ -151,7 +155,10 @@ object PixelDecode {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) return None // truncated stream
+      // any zero-progress state (truncated stream, or a corrupt
+      // header demanding a preset dictionary PNG never uses) must
+      // bail, not spin
+      if (n == 0) { inf.end(); return None }
       got += n
     }
     inf.end()

@@ -76,6 +76,17 @@ class PixelDecodeSpec extends AnyFunSuite {
     val png = PixelDecode.encodePngGray(4, 4, Array.fill(16)(7))
     assert(PixelDecode.decode(png.take(30)) === None)
     assert(PixelDecode.decodePngPure(png.take(30)) === None)
+    // a hostile IHDR claiming a 100000x100000 image must bail at the
+    // allocation guard, not OOM the executor
+    val evil = png.clone()
+    for (i <- 16 to 19) evil(i) = 0
+    evil(17) = 1; evil(18) = 0x86.toByte; evil(19) = 0xa0.toByte // w
+    for (i <- 20 to 23) evil(i) = evil(i - 4) // h = w
+    assert(PixelDecode.decodePngPure(evil) === None)
+    // a chunk whose 4-byte length would wrap 32-bit bounds math
+    val wrap = png.clone()
+    wrap(8) = 0x7f.toByte // IHDR length -> 0x7f00000d
+    assert(PixelDecode.decodePngPure(wrap) === None)
   }
 
   test("resizeArea: identity, exact known boxes, and agreement with a " +
