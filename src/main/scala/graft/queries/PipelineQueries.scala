@@ -609,6 +609,111 @@ object PipelineQueries extends QueryPack {
         "oracle — proving decode + dHash bit math end to end."),
 
     GraftQuery(
+      "q_multimodal_keyframes", Seq("P6", "D9", "W4"),
+      (s, dir) => {
+        // Video KEYFRAME detection over really-decoded frames: each
+        // doc is a 12-frame synthetic clip (a new scene every 4
+        // frames; frames within a scene differ by 1-pixel jitter),
+        // every frame PNG-roundtrips through the real decoder to a
+        // dHash, and the shot-boundary rule is the classic
+        // frame-to-frame hash delta — lag() per clip, keyframe =
+        // first frame or hamming > 16. Within-scene jitter hashes to
+        // hamming 0 and scene cuts to ~28-35, so the detector
+        // recovers exactly the scene starts; the oracle replays
+        // decode-free from the pixel definition. The per-clip window
+        // is partitioned on doc_id (no global window), the kernel is
+        // per-row — the 100 TB shape is scan + window + aggregate.
+        import graft.operators.PixelDecode
+        val kernel = udf((docId: Long, f: Int) => {
+          val gray = new Array[Int](72)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var blk = 0
+          while (blk < 5) {
+            val d = md.digest(s"$docId:${f / 4}:$blk".getBytes("US-ASCII"))
+            var off = 0
+            while (off < 16 && blk * 16 + off < 72) {
+              gray(blk * 16 + off) = d(off) & 0xff; off += 1
+            }
+            blk += 1
+          }
+          gray(0) = (gray(0) + f % 4) % 256
+          val png = PixelDecode.encodePngGray(9, 8, gray)
+          val px = PixelDecode.decode(png).get
+          val g = PixelDecode.grayLuma(px)
+          val bits = PixelDecode.dHash(g, px.width, px.height)
+          DhashStats(bits & 0xffffffffL, bits >>> 32)
+        })
+        val w = Window.partitionBy("doc_id").orderBy("f")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("f", explode(sequence(lit(0), lit(11))))
+          .withColumn("st", kernel(col("doc_id"), col("f")))
+          .select(col("doc_id"), col("source"), col("f"),
+            col("st.dlo"), col("st.dhi"))
+          .withColumn("plo", lag("dlo", 1).over(w))
+          .withColumn("phi", lag("dhi", 1).over(w))
+          .withColumn("ham", when(col("plo").isNull, lit(null))
+            .otherwise(expr(
+              "bit_count(dlo ^ plo) + bit_count(dhi ^ phi)")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("ham").isNull || col("ham") > 16, 1L)
+              .otherwise(0L)).as("n_keyframes"),
+            coalesce(sum("ham"), lit(0L)).as("total_motion"),
+            sum(when(col("ham").isNull || col("ham") > 16,
+              (col("doc_id") * 16 + col("f")) % 1000000007L)
+              .otherwise(0L)).as("kf_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id, source, f, (i // 9) AS r, (i % 9) AS c,
+            CASE WHEN i = 0 THEN
+              (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                (f // 4)::VARCHAR || ':0'), 1, 2))::BIGINT + f % 4) % 256
+            ELSE
+              ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                (f // 4)::VARCHAR || ':' || (i // 16)::VARCHAR),
+                (i % 16) * 2 + 1, 2))::BIGINT
+            END AS g
+          FROM documents, (SELECT unnest(range(12)) AS f),
+            (SELECT unnest(range(72)) AS i)),
+        dh AS (
+          SELECT a.doc_id, a.source, a.f,
+            sum(CASE WHEN a.g > b.g AND a.r * 8 + a.c < 32
+              THEN (1::BIGINT << (a.r * 8 + a.c))
+              ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.g > b.g AND a.r * 8 + a.c >= 32
+              THEN (1::BIGINT << (a.r * 8 + a.c - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+            AND a.r = b.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY 1, 2, 3),
+        lagd AS (
+          SELECT doc_id, source, f, dlo, dhi,
+            lag(dlo) OVER (PARTITION BY doc_id ORDER BY f) AS plo,
+            lag(dhi) OVER (PARTITION BY doc_id ORDER BY f) AS phi
+          FROM dh),
+        scored AS (
+          SELECT doc_id, source, f,
+            CASE WHEN plo IS NULL THEN NULL
+              ELSE bit_count(xor(dlo, plo)) + bit_count(xor(dhi, phi))
+            END AS ham
+          FROM lagd)
+        SELECT source, count(*)::BIGINT AS n_frames,
+          sum(CASE WHEN ham IS NULL OR ham > 16 THEN 1 ELSE 0
+            END)::BIGINT AS n_keyframes,
+          coalesce(sum(ham), 0)::BIGINT AS total_motion,
+          sum(CASE WHEN ham IS NULL OR ham > 16
+            THEN (doc_id * 16 + f) % 1000000007 ELSE 0 END)::BIGINT
+            AS kf_fp
+        FROM scored GROUP BY 1 ORDER BY 1"""),
+      "Video keyframe detection over really-decoded frames: per-clip " +
+        "lag window on frame dHashes, shot boundary = hamming > 16 — " +
+        "within-scene 1-pixel jitter hashes to 0 and scene cuts to " +
+        "~32, so detected keyframes are exactly the scene starts; " +
+        "oracle replays the detector from the pixel definition."),
+
+    GraftQuery(
       "q_multimodal_neardup", Seq("D1", "J11", "P6"),
       (s, dir) => {
         // Image NEAR-DUP search on the banded-dedup discipline: two
