@@ -609,6 +609,121 @@ object PipelineQueries extends QueryPack {
         "oracle — proving decode + dHash bit math end to end."),
 
     GraftQuery(
+      "q_multimodal_features", Seq("P6", "D9", "S10"),
+      (s, dir) => {
+        // The REAL feature-extraction operator under the oracle gate:
+        // Multimodal.withDecodedFeatures (the mapPartitions decode
+        // plumbing itself, not a query-local kernel) runs over
+        // actual PNG bytes synthesized per doc, and the oracle
+        // recomputes every emitted feature from the pixel definition
+        // — including the 32x32 -> 9x8 exact area RESAMPLE inside
+        // dHash, replayed relationally with the same scaled-integer
+        // box overlaps. Byte-size columns (n_bytes/n_chunks) are
+        // Deflater-output-dependent and stay out of the oracle
+        // surface; everything pixel-derived is pinned.
+        import graft.operators.{Multimodal, PixelDecode}
+        val mkPng = udf((docId: Long) => {
+          val gray = new Array[Int](1024)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          var blk = 0
+          while (blk < 64) {
+            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
+            var off = 0
+            while (off < 16) {
+              gray(blk * 16 + off) = d(off) & 0xff; off += 1
+            }
+            blk += 1
+          }
+          PixelDecode.encodePngGray(32, 32, gray)
+        })
+        val media = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkPng(col("doc_id")))
+        Multimodal.withDecodedFeatures(media, "media")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("decoded") && col("format") === "png" &&
+              col("width") === 32 && col("height") === 32, 1L)
+              .otherwise(0L)).as("n_decoded"),
+            sum("px_sum").as("px_sum"),
+            sum("px_sumsq").as("px_sumsq"),
+            sum(col("phash") % 1000000007L).as("phash_fp"),
+            sum(expr("(dhash & 4294967295) % 1000000007"))
+              .as("dlo_fp"),
+            sum(expr("shiftrightunsigned(dhash, 32) % 1000000007"))
+              .as("dhi_fp"))
+          .orderBy("source")
+      },
+      Some {
+        val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
+          yield s"($u,$x,${graft.operators.PixelDecode.DctCos(u)(x)})")
+          .mkString(",")
+        s"""WITH ct(u, x, cv) AS (SELECT * FROM (VALUES $ctvals) v(u, x, cv)),
+        px AS (
+          SELECT doc_id, source, (i // 32) AS r, (i % 32) AS c,
+            ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT AS g
+          FROM documents, (SELECT unnest(range(1024)) AS i)
+          WHERE doc_id % 3 = 0),
+        t1 AS (SELECT px.doc_id, px.source, ct.u AS u, px.c AS y,
+            sum(px.g * ct.cv)::BIGINT AS t
+          FROM px JOIN ct ON ct.x = px.r GROUP BY 1, 2, 3, 4),
+        co AS (SELECT t1.doc_id, t1.source, t1.u AS u, ct.u AS v,
+            sum(t1.t * ct.cv)::BIGINT AS coef
+          FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4),
+        acs AS (SELECT doc_id, source, u, v, coef,
+            row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+          FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, coef AS med FROM acs WHERE rn = 32),
+        ph AS (SELECT a.doc_id, a.source,
+            sum(CASE WHEN a.coef > m.med
+              THEN (1::BIGINT << (a.u * 8 + a.v - 1))
+              ELSE 0 END)::BIGINT AS phash
+          FROM acs a JOIN med m USING (doc_id) GROUP BY 1, 2),
+        g9 AS (
+          SELECT px.doc_id, jj.j, ii.i,
+            (sum((least((px.c + 1) * 9, ii.i * 32 + 32)
+                - greatest(px.c * 9, ii.i * 32))
+              * (least((px.r + 1) * 8, jj.j * 32 + 32)
+                - greatest(px.r * 8, jj.j * 32))
+              * px.g) // 1024)::BIGINT AS g
+          FROM px
+          JOIN (SELECT unnest(range(8)) AS j) jj
+            ON (px.r + 1) * 8 > jj.j * 32 AND px.r * 8 < jj.j * 32 + 32
+          JOIN (SELECT unnest(range(9)) AS i) ii
+            ON (px.c + 1) * 9 > ii.i * 32 AND px.c * 9 < ii.i * 32 + 32
+          GROUP BY 1, 2, 3),
+        dh AS (
+          SELECT a.doc_id,
+            sum(CASE WHEN a.g > b.g AND a.j * 8 + a.i < 32
+              THEN (1::BIGINT << (a.j * 8 + a.i))
+              ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.g > b.g AND a.j * 8 + a.i >= 32
+              THEN (1::BIGINT << (a.j * 8 + a.i - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM g9 a JOIN g9 b
+            ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8 GROUP BY 1),
+        gs AS (SELECT doc_id, sum(g)::BIGINT AS su,
+            sum(g * g)::BIGINT AS sq
+          FROM px GROUP BY 1)
+        SELECT ph.source, count(*)::BIGINT AS n_imgs,
+          count(*)::BIGINT AS n_decoded,
+          sum(gs.su)::BIGINT AS px_sum, sum(gs.sq)::BIGINT AS px_sumsq,
+          sum(ph.phash % 1000000007)::BIGINT AS phash_fp,
+          sum(dh.dlo % 1000000007)::BIGINT AS dlo_fp,
+          sum(dh.dhi % 1000000007)::BIGINT AS dhi_fp
+        FROM ph JOIN gs USING (doc_id) JOIN dh USING (doc_id)
+        GROUP BY 1 ORDER BY 1"""
+      },
+      "The production feature-extraction operator oracle-gated: " +
+        "withDecodedFeatures over real PNG bytes, every pixel-derived " +
+        "column recomputed relationally — including the exact " +
+        "scaled-integer area resample inside dHash. n_decoded == " +
+        "n_imgs pins that the real decoder accepted every blob."),
+
+    GraftQuery(
       "q_multimodal_keyframes", Seq("P6", "D9", "W4"),
       (s, dir) => {
         // Video KEYFRAME detection over really-decoded frames: each
