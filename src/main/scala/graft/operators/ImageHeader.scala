@@ -103,6 +103,76 @@ object ImageHeader {
     None
   }
 
+  /** EXIF orientation (tag 274 of the EXIF IFD — CIPA DC-008 §4.6.4):
+    * 1 = upright ... 6/8 = 90° rotations (width/height swap), read
+    * from a JPEG APP1 "Exif\0\0" segment (a TIFF structure at the
+    * payload) or a bare TIFF's first IFD. The one metadata field a
+    * resize/thumbnail pipeline MUST consult before trusting the SOFn
+    * dimensions. None when absent/corrupt; never throws.
+    */
+  def exifOrientation(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 4) return None
+    // bare TIFF: the orientation lives in the first IFD directly
+    if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+      (bytes(0) == 'M' && bytes(1) == 'M'))
+      return ifdTag(bytes, 0, 274)
+    // JPEG: walk marker segments to APP1 "Exif\0\0"
+    if (u8(bytes, 0) != 0xff || u8(bytes, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(bytes, i) != 0xff) return None
+      var m = u8(bytes, i + 1)
+      while (m == 0xff && i + 2 < bytes.length) { i += 1; m = u8(bytes, i + 1) }
+      if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2
+      else {
+        val len = be16(bytes, i + 2)
+        if (len < 2 || i + 2L + len > bytes.length) return None
+        if (m == 0xe1 && len >= 8 + 6 &&
+          bytes(i + 4) == 'E' && bytes(i + 5) == 'x' &&
+          bytes(i + 6) == 'i' && bytes(i + 7) == 'f' &&
+          bytes(i + 8) == 0 && bytes(i + 9) == 0)
+          return ifdTag(bytes, i + 10, 274)
+        if (m == 0xda) return None // SOS: entropy data, no APP1 follows
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Read one inline SHORT/LONG tag from the first IFD of the TIFF
+    * structure starting at `base`. Offsets inside the structure are
+    * relative to `base` (EXIF-in-JPEG semantics).
+    */
+  private def ifdTag(b: Array[Byte], base: Int, wantTag: Int): Option[Int] = {
+    if (base + 8 > b.length) return None
+    val le =
+      if (b(base) == 'I' && b(base + 1) == 'I' && u8(b, base + 2) == 42 &&
+        u8(b, base + 3) == 0) true
+      else if (b(base) == 'M' && b(base + 1) == 'M' &&
+        u8(b, base + 2) == 0 && u8(b, base + 3) == 42) false
+      else return None
+    def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long =
+      if (le) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+    val ifd = u32(base + 4)
+    if (ifd < 8 || base + ifd + 2 > b.length) return None
+    val at0 = base + ifd.toInt
+    val n = u16(at0)
+    var e = 0
+    while (e < n) {
+      val at = at0 + 2 + e * 12
+      if (at + 12 > b.length) return None
+      if (u16(at) == wantTag) {
+        val vtype = u16(at + 2)
+        return if (vtype == 3) Some(u16(at + 8))
+        else if (vtype == 4) Some(u32(at + 8).toInt)
+        else None
+      }
+      e += 1
+    }
+    None
+  }
+
   /** TIFF (TIFF 6.0 §2): "II*\0" (little-endian) or "MM\0*"
     * (big-endian), IFD offset at byte 4; the first IFD's 12-byte
     * entries carry ImageWidth (tag 256) / ImageLength (tag 257) as

@@ -209,6 +209,25 @@ object Multimodal {
     * inside the box pass through unchanged (the standard thumbnailer
     * contract: never upscale).
     */
+  /** EXIF-aware display dimensions: orientations 5-8 (the 90°/270°
+    * rotation family — [[ImageHeader.exifOrientation]]) swap the
+    * stored width/height, so a resize/thumbnail plan computed on the
+    * RAW header dims would budget the wrong aspect box. Emits
+    * `disp_w`/`disp_h` (null/absent orientation = upright); feed
+    * those to [[withResizePlan]].
+    */
+  def withDisplayDims(
+      df: DataFrame,
+      widthCol: String,
+      heightCol: String,
+      orientationCol: String): DataFrame = {
+    val rotated = col(orientationCol).isin(5, 6, 7, 8)
+    df.withColumn("disp_w",
+        when(rotated, col(heightCol)).otherwise(col(widthCol)))
+      .withColumn("disp_h",
+        when(rotated, col(widthCol)).otherwise(col(heightCol)))
+  }
+
   def withResizePlan(
       df: DataFrame,
       widthCol: String,

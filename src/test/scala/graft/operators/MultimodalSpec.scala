@@ -133,6 +133,28 @@ class MultimodalSpec extends SparkSuite {
     assert(planned === (("png", 640, 480, 256, 192)))
   }
 
+  test("withDisplayDims swaps the rotation-family orientations into " +
+    "the resize plan; upright/absent pass through") {
+    val df = Seq(
+      ("a", 400, 300, Integer.valueOf(1)), // upright
+      ("b", 400, 300, Integer.valueOf(6)), // 90 deg: display 300x400
+      ("c", 400, 300, Integer.valueOf(8)), // 270 deg
+      ("d", 400, 300, Integer.valueOf(3)), // 180 deg: no swap
+      ("e", 400, 300, null.asInstanceOf[Integer]) // no EXIF
+    ).toDF("id", "w", "h", "orient")
+    val out = Multimodal.withResizePlan(
+      Multimodal.withDisplayDims(df, "w", "h", "orient"),
+      "disp_w", "disp_h", maxDim = 200)
+      .select("id", "disp_w", "disp_h", "target_w", "target_h")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out("a") === ((400, 300, 200, 150)))
+    assert(out("b") === ((300, 400, 150, 200))) // portrait after rotate
+    assert(out("c") === ((300, 400, 150, 200)))
+    assert(out("d") === ((400, 300, 200, 150)))
+    assert(out("e") === ((400, 300, 200, 150)))
+  }
+
   test("frameSample emits every stride-th byte frame, tail included, " +
     "none for empty media") {
     // 10 bytes at frameSize=3 -> frames 0..3 ('012','345','678','9');

@@ -168,6 +168,45 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(ImageHeader.parse(bytes.take(6)) === None)
   }
 
+  test("EXIF orientation: APP1-embedded TIFF in both byte orders, " +
+    "bare TIFF, and absent/corrupt cases") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // little-endian TIFF: header(8) + count(2) + one entry(12) + next(4)
+    val tiffLe = b('I', 'I', 42, 0, 8, 0, 0, 0, // IFD at offset 8
+      1, 0, // one entry
+      18, 1, // tag 274 LE
+      3, 0, // type SHORT
+      1, 0, 0, 0, // count 1
+      6, 0, 0, 0) ++ b(0, 0, 0, 0) // value 6, next-IFD 0
+    val tiffBe = b('M', 'M', 0, 42, 0, 0, 0, 8,
+      0, 1,
+      1, 18, // tag 274 BE
+      0, 3,
+      0, 0, 0, 1,
+      0, 8, 0, 0) ++ b(0, 0, 0, 0) // value 8 (left-justified SHORT)
+    def jpegWith(tiff: Array[Byte]): Array[Byte] = {
+      val payload = "Exif".getBytes("US-ASCII") ++ b(0, 0) ++ tiff
+      val len = payload.length + 2
+      b(0xff, 0xd8, 0xff, 0xe1, len >> 8, len & 0xff) ++ payload ++
+        b(0xff, 0xd9)
+    }
+    assert(ImageHeader.exifOrientation(jpegWith(tiffLe)) === Some(6))
+    assert(ImageHeader.exifOrientation(jpegWith(tiffBe)) === Some(8))
+    // bare TIFF structures parse directly
+    assert(ImageHeader.exifOrientation(tiffLe) === Some(6))
+    assert(ImageHeader.exifOrientation(tiffBe) === Some(8))
+    // a JPEG without APP1 (the ImageIO writer emits JFIF only), plain
+    // text, and truncation all yield None
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(ImageHeader.exifOrientation(bos.toByteArray) === None)
+    assert(ImageHeader.exifOrientation("hello".getBytes) === None)
+    assert(ImageHeader.exifOrientation(jpegWith(tiffLe).take(12)) === None)
+    assert(ImageHeader.exifOrientation(null) === None)
+  }
+
   test("the DCT cosine table is the pinned integer contract") {
     // u=0 row is the DC basis: all 10000
     assert(PixelDecode.DctCos(0).toSeq === Seq.fill(32)(10000L))
