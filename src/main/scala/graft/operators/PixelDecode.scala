@@ -41,11 +41,12 @@ object PixelDecode {
   // decode
   // ------------------------------------------------------------------
 
-  /** Decode via ImageIO when a reader exists, else the pure PNG path.
-    * None for bytes no engine understands. Never throws.
+  /** Decode via ImageIO when a reader exists, else the pure PNG/GIF
+    * paths. None for bytes no engine understands. Never throws.
     */
   def decode(bytes: Array[Byte]): Option[Pixels] =
     decodeImageIo(bytes).orElse(decodePngPure(bytes))
+      .orElse(decodeGifPure(bytes))
 
   private[operators] def decodeImageIo(
       bytes: Array[Byte]): Option[Pixels] =
@@ -211,6 +212,184 @@ object PixelDecode {
       y += 1
     }
     Some(Pixels(w, h, out))
+  }
+
+  /** From-the-spec GIF decode (GIF89a, Appendix F LZW): header +
+    * logical screen descriptor, global/local color tables, extension
+    * skip, FIRST image descriptor only (the still-image contract),
+    * variable-width LZW with clear/EOI codes and the 4096-entry
+    * dictionary cap, 4-pass interlace reorder. Transparency is
+    * ignored (the transparent index still maps to its color-table
+    * RGB — alpha is dropped everywhere in this module).
+    */
+  def decodeGifPure(bytes: Array[Byte]): Option[Pixels] =
+    try decodeGifPureImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeGifPureImpl(b: Array[Byte]): Option[Pixels] = {
+    if (b == null || b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8i(i: Int): Int = b(i) & 0xff
+    def le16i(i: Int): Int = (u8i(i + 1) << 8) | u8i(i)
+    var pos = 6
+    pos += 4 // screen width/height (frame carries its own dims)
+    val packed = u8i(pos); pos += 3 // packed, bg index, aspect
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return None
+      gct = Array.tabulate(n)(j => (u8i(pos + 3 * j) << 16) |
+        (u8i(pos + 3 * j + 1) << 8) | u8i(pos + 3 * j + 2))
+      pos += 3 * n
+    }
+    // block walk to the first image descriptor
+    while (pos < b.length) {
+      u8i(pos) match {
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          pos += 2
+          while (pos < b.length && u8i(pos) != 0) pos += 1 + u8i(pos)
+          pos += 1
+        case 0x3b => return None // trailer before any image
+        case 0x2c =>
+          pos += 1
+          if (pos + 9 > b.length) return None
+          val w = le16i(pos + 4)
+          val h = le16i(pos + 6)
+          val ipacked = u8i(pos + 8)
+          pos += 9
+          if (w < 1 || h < 1 || w.toLong * h > (1L << 26)) return None
+          var table = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (pos + 3 * n > b.length) return None
+            table = Array.tabulate(n)(j => (u8i(pos + 3 * j) << 16) |
+              (u8i(pos + 3 * j + 1) << 8) | u8i(pos + 3 * j + 2))
+            pos += 3 * n
+          }
+          if (table == null) return None
+          val interlaced = (ipacked & 0x40) != 0
+          if (pos >= b.length) return None
+          val minCode = u8i(pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the length-prefixed data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8i(pos) != 0) {
+            val len = u8i(pos)
+            if (pos + 1 + len > b.length) return None
+            data.write(b, pos + 1, len)
+            pos += 1 + len
+          }
+          val idx = lzwDecode(minCode, data.toByteArray, w * h)
+            .getOrElse(return None)
+          val out = new Array[Int](w * h)
+          // interlace: rows arrive in 4 passes (GIF89a §20)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else (Seq.range(0, h, 8) ++ Seq.range(4, h, 8) ++
+              Seq.range(2, h, 4) ++ Seq.range(1, h, 2)).toArray
+          var r = 0
+          while (r < h) {
+            val destRow = rowOrder(r)
+            var c = 0
+            while (c < w) {
+              val v = idx(r * w + c)
+              if (v >= table.length) return None
+              out(destRow * w + c) = table(v)
+              c += 1
+            }
+            r += 1
+          }
+          return Some(Pixels(w, h, out))
+        case _ => return None // desynced
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW (LSB-first bit packing, variable code width,
+    * clear/EOI codes, 4096-entry cap). Returns exactly `nPixels`
+    * color indices, or None on a corrupt stream.
+    */
+  private def lzwDecode(
+      minCode: Int, data: Array[Byte], nPixels: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val MaxCodes = 4096
+    val prefix = new Array[Int](MaxCodes)
+    val suffix = new Array[Int](MaxCodes)
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var bitPos = 0L
+    val totalBits = data.length * 8L
+    def readCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < codeSize) {
+        val p = bitPos + i
+        if (((data((p >> 3).toInt) >> (p & 7).toInt) & 1) != 0)
+          v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    val out = new Array[Int](nPixels)
+    var got = 0
+    val stack = new Array[Int](MaxCodes + 1)
+    var prev = -1
+    while (got < nPixels) {
+      val code = readCode()
+      if (code < 0 || code == eoi) return None // short stream
+      if (code == clear) {
+        codeSize = minCode + 1
+        next = eoi + 1
+        prev = -1
+      } else {
+        if (prev == -1) {
+          if (code >= clear) return None // first code must be literal
+          out(got) = code; got += 1
+          prev = code
+        } else {
+          if (code > next || code == eoi) return None
+          var sp = 0
+          var cur = if (code == next) { // KwKwK case
+            stack(sp) = firstChar(prev, prefix, suffix, clear); sp += 1
+            prev
+          } else code
+          while (cur >= clear + 2) { // walk the chain (skip clear/eoi)
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          stack(sp) = cur; sp += 1 // the literal root
+          // emit reversed
+          while (sp > 0 && got < nPixels) {
+            sp -= 1; out(got) = stack(sp); got += 1
+          }
+          if (sp > 0) return None // overflow past the pixel count
+          if (next < MaxCodes) {
+            prefix(next) = prev
+            suffix(next) = firstChar(code, prefix, suffix, clear)
+            next += 1
+            if (next < MaxCodes && next == (1 << codeSize) &&
+              codeSize < 12)
+              codeSize += 1
+          }
+          prev = code
+        }
+      }
+    }
+    Some(out)
+  }
+
+  /** First (root) character of a code's expansion chain. */
+  private def firstChar(
+      code: Int, prefix: Array[Int], suffix: Array[Int],
+      clear: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
   }
 
   // ------------------------------------------------------------------

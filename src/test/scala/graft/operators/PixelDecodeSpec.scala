@@ -168,6 +168,45 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(ImageHeader.parse(bytes.take(6)) === None)
   }
 
+  test("pure GIF decoder == ImageIO on JDK-written GIFs, plain and " +
+    "interlaced (LZW, color tables, 4-pass reorder)") {
+    def writeGif(img: java.awt.image.BufferedImage,
+        interlaced: Boolean): Array[Byte] = {
+      val w = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setProgressiveMode(
+        if (interlaced) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    for (trial <- 1 to 4; interlaced <- Seq(false, true)) {
+      val w = 5 + (next() % 50).toInt
+      val h = 5 + (next() % 40).toInt
+      // indexed image: the GIF write is lossless, so both decoders
+      // must agree with each other exactly
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (next() % 256).toInt)
+      val bytes = writeGif(img, interlaced)
+      val a = PixelDecode.decodeImageIo(bytes).get
+      val b = PixelDecode.decodeGifPure(bytes).get
+      assert(a.width === b.width && a.height === b.height,
+        s"trial $trial interlaced=$interlaced")
+      assert(a.rgb.toSeq === b.rgb.toSeq,
+        s"trial $trial interlaced=$interlaced ${w}x$h")
+    }
+    // garbage / header-only GIF bytes never decode
+    assert(PixelDecode.decodeGifPure("GIF89a junk".getBytes) === None)
+    assert(PixelDecode.decodeGifPure("nope".getBytes) === None)
+  }
+
   test("EXIF orientation: APP1-embedded TIFF in both byte orders, " +
     "bare TIFF, and absent/corrupt cases") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
