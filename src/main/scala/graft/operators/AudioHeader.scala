@@ -103,6 +103,39 @@ object AudioHeader {
       }
     }
 
+  /** Delta-coded envelope hash — the audio analog of the image dHash
+    * and the classic cheap audio near-dup primitive: the PCM16 stream
+    * splits into `windows` equal spans (sample i lands in window
+    * floor(i*windows/n) — exact integer partition), env(w) = exact
+    * Σ|sample| per window, bit w set iff env(w) > env(w+1) for
+    * w < min(windows-1, 64). Loudness-profile-invariant to small
+    * per-sample jitter, integer-exact, replayable relationally.
+    * None for non-PCM16/unparseable blobs; an empty data chunk
+    * hashes to 0.
+    */
+  def envelopeHash(bytes: Array[Byte], windows: Int = 65): Option[Long] = {
+    require(windows >= 2, s"envelopeHash: windows=$windows")
+    parse(bytes).filter(_.bitsPerSample == 16).flatMap { _ =>
+      dataChunk(bytes).map { case (off, len) =>
+        val n = ((len - (len % 2)) / 2).toInt
+        val env = new Array[Long](windows)
+        var i = 0
+        while (i < n) {
+          val v = (le16(bytes, off + 2 * i) << 16) >> 16
+          env((i.toLong * windows / n).toInt) += math.abs(v)
+          i += 1
+        }
+        var bits = 0L
+        var w = 0
+        while (w < windows - 1 && w < 64) {
+          if (env(w) > env(w + 1)) bits |= 1L << w
+          w += 1
+        }
+        bits
+      }
+    }
+  }
+
   private def dataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
     var off = 12
     while (off + 8 <= bytes.length) {

@@ -447,6 +447,85 @@ object PipelineQueries extends QueryPack {
         "proves the binary encode/parse/decode path itself."),
 
     GraftQuery(
+      "q_multimodal_audiohash", Seq("P6", "D9", "J11"),
+      (s, dir) => {
+        // Audio FINGERPRINTING through the real codec path: the same
+        // token-derived PCM16 clips as q_multimodal_audio, WAV-encoded
+        // and re-decoded, then hashed with the delta-coded envelope
+        // hash (AudioHeader.envelopeHash — the audio dHash: 65 exact
+        // Σ|sample| windows, bit w = env(w) > env(w+1)). The oracle
+        // replays the window partition (floor(pos*65/n)) and the
+        // comparison bits relationally, halves-split for signed
+        // BIGINT; equality proves the encode -> chunk walk -> PCM
+        // read -> envelope math end to end.
+        import graft.operators.{AudioHeader, TextOps}
+        val kernel = udf((samples: Seq[Int]) => {
+          val wav = AudioHeader.synthesizeWavPcm16(
+            8000, samples.map(_.toShort).toArray)
+          val bits = AudioHeader.envelopeHash(wav).get
+          DhashStats(bits & 0xffffffffL, bits >>> 32)
+        })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
+          .withColumn("sv",
+            expr(TextOps.hash64(
+              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
+              .cast("int"))
+          .groupBy("doc_id", "source")
+          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
+            .as("ps"))
+          .withColumn("st", kernel(expr("transform(ps, x -> x.sv)")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("st.dlo") % 1000000007L).as("dlo_fp"),
+            sum(col("st.dhi") % 1000000007L).as("dhi_fp"),
+            countDistinct(concat(col("st.dlo"), lit(":"),
+              col("st.dhi"))).as("n_hashes"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            list_filter(string_split(text, ' '), x -> x != '') AS t
+          FROM documents WHERE doc_id % 5 = 0),
+        sm AS (SELECT doc_id, source, i - 1 AS pos,
+            (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i - 1)::VARCHAR || ':' || t[i]), 1, 15))::BIGINT
+              % 65536 - 32768)::BIGINT AS sv,
+            len(t) AS n
+          FROM (SELECT doc_id, source, t,
+              unnest(range(1, len(t) + 1)) AS i
+            FROM d WHERE len(t) > 0)),
+        env0 AS (SELECT doc_id, source, (pos * 65) // n AS w,
+            sum(abs(sv))::BIGINT AS e
+          FROM sm GROUP BY 1, 2, 3),
+        keys AS (SELECT DISTINCT doc_id, source FROM env0),
+        grid AS (SELECT k.doc_id, k.source, w.w
+          FROM keys k, (SELECT unnest(range(65)) AS w) w),
+        env AS (SELECT g.doc_id, g.source, g.w,
+            coalesce(e.e, 0)::BIGINT AS e
+          FROM grid g LEFT JOIN env0 e
+            ON e.doc_id = g.doc_id AND e.w = g.w),
+        dh AS (SELECT a.doc_id, a.source,
+            sum(CASE WHEN a.e > b.e AND a.w < 32
+              THEN (1::BIGINT << a.w) ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.e > b.e AND a.w >= 32 AND a.w < 64
+              THEN (1::BIGINT << (a.w - 32)) ELSE 0 END)::BIGINT AS dhi
+          FROM env a JOIN env b
+            ON a.doc_id = b.doc_id AND b.w = a.w + 1
+          GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_clips,
+          sum(dlo % 1000000007)::BIGINT AS dlo_fp,
+          sum(dhi % 1000000007)::BIGINT AS dhi_fp,
+          count(DISTINCT dlo::VARCHAR || ':' || dhi::VARCHAR)
+            AS n_hashes
+        FROM dh GROUP BY 1 ORDER BY 1"""),
+      "Audio envelope fingerprint through the real WAV codec path: " +
+        "the delta-coded loudness-profile hash (the audio dHash) " +
+        "computed from re-decoded PCM bytes, oracle-replayed from the " +
+        "sample definition — the cheap audio near-dup primitive."),
+
+    GraftQuery(
       "q_multimodal_phash", Seq("P6", "D9", "A8"),
       (s, dir) => {
         // Image-pipeline roundtrip PROOF, the visual twin of
