@@ -73,6 +73,40 @@ class AudioHeaderSpec extends SparkSuite {
       32767L * 32767 * 2 + 32768L * 32768)
   }
 
+  test("envelopeHash: exact window partition, comparison bits, " +
+    "jitter invariance, and edge cases") {
+    // 130 samples into 65 windows: exactly 2 per window; a loudness
+    // staircase DOWN sets every comparison bit below 64
+    val down = Array.tabulate[Short](130)(i => (6500 - (i / 2) * 100).toShort)
+    val hDown = AudioHeader.envelopeHash(
+      AudioHeader.synthesizeWavPcm16(8000, down)).get
+    assert(hDown === -1L) // all 64 bits
+    // staircase UP: |sample| increases, no bit set
+    val up = Array.tabulate[Short](130)(i => ((i / 2) * 100).toShort)
+    assert(AudioHeader.envelopeHash(
+      AudioHeader.synthesizeWavPcm16(8000, up)).get === 0L)
+    // per-sample jitter of +-1 never flips a 100-unit staircase
+    val jit = down.zipWithIndex.map { case (v, i) =>
+      (v + (if (i % 2 == 0) 1 else -1)).toShort
+    }
+    assert(AudioHeader.envelopeHash(
+      AudioHeader.synthesizeWavPcm16(8000, jit)).get === hDown)
+    // brute-force reference on an irregular length (windows uneven)
+    val s = Array.tabulate[Short](97)(i => ((i * 37) % 2000 - 1000).toShort)
+    val env = new Array[Long](65)
+    s.zipWithIndex.foreach { case (v, i) =>
+      env(i * 65 / 97) += math.abs(v.toLong)
+    }
+    var want = 0L
+    for (w <- 0 until 64) if (env(w) > env(w + 1)) want |= 1L << w
+    assert(AudioHeader.envelopeHash(
+      AudioHeader.synthesizeWavPcm16(8000, s)).get === want)
+    // empty data chunk hashes to 0; garbage is None
+    assert(AudioHeader.envelopeHash(AudioHeader.synthesizeWavPcm16(
+      8000, Array.empty[Short])).get === 0L)
+    assert(AudioHeader.envelopeHash("nope".getBytes) === None)
+  }
+
   test("withAudioFeatures decodes WAV rows and zeroes non-audio rows") {
     import spark.implicits._
     val wav = AudioHeader.synthesizeWavPcm16(8000, tone)
