@@ -38,12 +38,22 @@ object Multimodal {
     StructField("phash", LongType, nullable = false),
     StructField("sig", StringType, nullable = false)))
 
-  /** Image decode: real container format + dimensions when a PNG /
-    * JPEG / GIF / BMP signature matches, real pixel features when the
-    * pixels decode; deterministic stub math on the first bytes for
-    * unrecognized blobs.
+  /** Typed form of the per-blob feature row — the shared kernel
+    * behind [[decodeFeatures]] (batch Row form) and
+    * [[featuresColumn]] (the streaming-capable struct column).
     */
-  def decodeFeatures(bytes: Array[Byte], chunkSize: Int): Row = {
+  final case class MediaFeatures(
+      n_bytes: Long, n_chunks: Int, format: String,
+      width: Int, height: Int, decoded: Boolean,
+      px_sum: Long, px_sumsq: Long, dhash: Long, phash: Long,
+      sig: String)
+
+  /** Image decode: real container format + dimensions when a PNG /
+    * JPEG / GIF / BMP / TIFF signature matches, real pixel features
+    * when the pixels decode; deterministic stub math on the first
+    * bytes for unrecognized blobs.
+    */
+  def featuresOf(bytes: Array[Byte], chunkSize: Int): MediaFeatures = {
     val n = bytes.length.toLong
     val nChunks = ((n + chunkSize - 1) / chunkSize).toInt
     val (fmt, width, height) = ImageHeader.parse(bytes) match {
@@ -66,13 +76,38 @@ object Multimodal {
         var i = 0
         while (i < g.length) { s += g(i); sq += g(i).toLong * g(i); i += 1 }
         val ph = PixelDecode.pHash(g, px.width, px.height)
-        Row(n, nChunks, fmt, px.width, px.height, true, s, sq,
+        MediaFeatures(n, nChunks, fmt, px.width, px.height, true, s, sq,
           PixelDecode.dHash(g, px.width, px.height), ph, f"$ph%016x")
       case None =>
         val sig = graft.chem.Chem.hex(java.security.MessageDigest
           .getInstance("MD5").digest(bytes).take(4))
-        Row(n, nChunks, fmt, width, height, false, 0L, 0L, 0L, 0L, sig)
+        MediaFeatures(n, nChunks, fmt, width, height, false,
+          0L, 0L, 0L, 0L, sig)
     }
+  }
+
+  /** Batch Row form of [[featuresOf]] (kept for the RDD plumbing). */
+  def decodeFeatures(bytes: Array[Byte], chunkSize: Int): Row = {
+    val f = featuresOf(bytes, chunkSize)
+    Row(f.n_bytes, f.n_chunks, f.format, f.width, f.height, f.decoded,
+      f.px_sum, f.px_sumsq, f.dhash, f.phash, f.sig)
+  }
+
+  /** The decode kernel as a struct COLUMN — the streaming-capable
+    * twin of [[withDecodedFeatures]], whose RDD mapPartitions cannot
+    * run on a streaming DataFrame. `df.withColumn("mf",
+    * featuresColumn(col("media"))).select($"*", $"mf.*")` yields the
+    * same columns as the batch operator on any (batch or streaming)
+    * frame; null media decodes like empty bytes, matching the batch
+    * null handling.
+    */
+  def featuresColumn(
+      media: org.apache.spark.sql.Column,
+      chunkSize: Int = 256): org.apache.spark.sql.Column = {
+    val f = udf((bytes: Array[Byte]) =>
+      featuresOf(if (bytes == null) Array.empty[Byte] else bytes,
+        chunkSize))
+    f(media)
   }
 
   /** Attach decoded features to a DataFrame's binary column via

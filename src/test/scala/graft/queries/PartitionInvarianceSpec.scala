@@ -59,7 +59,14 @@ class PartitionInvarianceSpec extends SparkSuite {
     // comparison ((mz-ion)/mult ± ppm vs the mass column) — per-row
     // math is partition-free and the rollups are integer, so the hit
     // set cannot move under re-partitioning
-    "q_mass_search_scale")
+    "q_mass_search_scale",
+    // round-14 wave: every image/path query is integer-exact by
+    // design, but the pHash median threshold, the LSH candidate set,
+    // and the path enumeration's per-round frontier all pass through
+    // shuffles — invariance pins that no partition-order dependence
+    // crept into the kernels or the collect_list sort
+    "q_multimodal_phash", "q_multimodal_neardup", "q_path_enum",
+    "q_multimodal_audiohash")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -210,7 +210,16 @@ class PlanAuditSpec extends SparkSuite {
       ("q_agg_rollup", "lineitem.parquet",
         Set("l_returnflag", "l_linestatus", "l_quantity")),
       ("q_sample_stratified", "documents.parquet",
-        Set("doc_id", "lang", "n_chars")))
+        Set("doc_id", "lang", "n_chars")),
+      // round-14 image queries: the decode kernel takes doc_id only —
+      // the text column must never reach the scan
+      ("q_multimodal_phash", "documents.parquet",
+        Set("doc_id", "source")),
+      ("q_multimodal_neardup", "documents.parquet", Set("doc_id")),
+      // (q_path_enum's scans live inside the loop's checkpointed
+      // rounds — its final plan has no file leaves to audit)
+      ("q_multimodal_keyframes", "documents.parquet",
+        Set("doc_id", "source")))
     val bad = cases.flatMap { case (q, f, allowed) =>
       val schemas = readSchemas(q, f)
       if (schemas.isEmpty) Seq(s"$q: no $f scan found in plan")

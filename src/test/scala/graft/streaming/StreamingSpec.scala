@@ -98,6 +98,35 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); compounds.unpersist() }
   }
 
+  test("streaming image feature extraction (featuresColumn) matches " +
+    "the batch withDecodedFeatures operator row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode}
+    // a real PNG, opaque text bytes, and empty media — the decode,
+    // stub-fallback, and empty branches all cross the parity check
+    val png = PixelDecode.encodePngGray(6, 4, Array.tabulate(24)(_ * 10))
+    val rows = Seq(("png", png), ("txt", "hello world".getBytes),
+      ("empty", Array.empty[Byte]))
+    val cols = Multimodal.featureSchema.fieldNames.toSeq
+    val want = Multimodal
+      .withDecodedFeatures(rows.toDF("id", "media"), "media")
+      .select((Seq("id") ++ cols).map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val media = MemoryStream[(String, Array[Byte])]
+    val feats = media.toDF().toDF("id", "media")
+      .withColumn("mf", Multimodal.featuresColumn(col("media")))
+      .select((Seq(col("id")) ++ cols.map(c => col(s"mf.$c"))): _*)
+    val q = feats.writeStream.format("memory").queryName("img_feats")
+      .outputMode("append").start()
+    try {
+      media.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("img_feats").collect().map(_.toSeq).toSet
+      assert(got === want)
+      assert(q.lastProgress.stateOperators.isEmpty) // stateless map
+    } finally q.stop()
+  }
+
   test("streaming MS2 scoring: on-time peaks score identically to " +
     "batch; late-past-watermark peaks are dropped") {
     implicit val sqlCtx = spark.sqlContext
