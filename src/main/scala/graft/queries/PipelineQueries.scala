@@ -374,6 +374,73 @@ object PipelineQueries extends QueryPack {
         "schedules on, with the pixel resample left to the codec UDF."),
 
     GraftQuery(
+      "q_multimodal_resize_real", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // The resize PLAN on REAL container bytes: per doc, a real
+        // PNG with doc-derived dimensions (w = 16 + id%200, h = 16 +
+        // 7id%200, constant fill id%256 — cheap to deflate, and
+        // px_sum = w*h*fill is oracle-exact), pushed through the
+        // production decode column (featuresColumn: signature sniff,
+        // IHDR parse, pixel decode) and then the aspect-fit planner
+        // on the DECODED dimensions. The oracle recomputes dims,
+        // gray mass, and the whole plan from the id arithmetic — so
+        // equality pins encode -> header/pixel decode -> plan
+        // composition, not just the plan math.
+        import graft.operators.{Multimodal, PixelDecode}
+        val mkPng = udf((docId: Long) => {
+          val w = (16 + docId % 200).toInt
+          val h = (16 + docId * 7 % 200).toInt
+          PixelDecode.encodePngGray(w, h,
+            Array.fill(w * h)((docId % 256).toInt))
+        })
+        val media = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkPng(col("doc_id")))
+          .withColumn("mf", Multimodal.featuresColumn(col("media")))
+          .select(col("doc_id"), col("source"),
+            col("mf.width").as("width"), col("mf.height").as("height"),
+            col("mf.decoded"), col("mf.px_sum"))
+        Multimodal.withResizePlan(media, "width", "height", maxDim = 64)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+            sum("width").as("sum_w"), sum("height").as("sum_h"),
+            sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+            sum("target_w").as("sum_tw"), sum("target_h").as("sum_th"),
+            sum("out_pixels").as("out_pixels"),
+            sum(col("px_sum") % 1000000007L).as("px_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (16 + doc_id % 200)::BIGINT AS w,
+            (16 + (doc_id * 7) % 200)::BIGINT AS h,
+            (doc_id % 256)::BIGINT AS fill
+          FROM documents WHERE doc_id % 2 = 0),
+        p AS (SELECT source, w, h, w * h * fill AS px_sum,
+            greatest(w, h) > 64 AS resized,
+            CASE WHEN greatest(w, h) <= 64 THEN w
+                 WHEN w >= h THEN 64
+                 ELSE greatest((w * 64) // h, 1) END AS tw,
+            CASE WHEN greatest(w, h) <= 64 THEN h
+                 WHEN w >= h THEN greatest((h * 64) // w, 1)
+                 ELSE 64 END AS th
+          FROM d)
+        SELECT source, count(*)::BIGINT AS n_imgs,
+          count(*)::BIGINT AS n_decoded,
+          sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+          sum(CASE WHEN resized THEN 1 ELSE 0 END)::BIGINT AS n_resized,
+          sum(tw)::BIGINT AS sum_tw, sum(th)::BIGINT AS sum_th,
+          sum(tw * th)::BIGINT AS out_pixels,
+          sum(px_sum % 1000000007)::BIGINT AS px_fp
+        FROM p GROUP BY 1 ORDER BY 1"""),
+      "Aspect-fit resize planning on REAL decoded dimensions: " +
+        "doc-derived PNGs through the production decode column, the " +
+        "planner on what the decoder reports — oracle recomputes " +
+        "dims, gray mass, and the plan from the id arithmetic, " +
+        "pinning the encode -> decode -> plan composition."),
+
+    GraftQuery(
       "q_multimodal_audio", Seq("S10", "D9", "P6"),
       (s, dir) => {
         // Audio-pipeline roundtrip PROOF: each doc's tokens become a
