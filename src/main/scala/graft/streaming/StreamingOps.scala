@@ -1620,6 +1620,54 @@ object StreamingOps {
       }
   }
 
+  /** One decoded frame hash arriving on the stream (dHash in 32-bit
+    * halves, the cross-engine convention).
+    */
+  final case class FrameHash(clipId: Long, f: Int, dlo: Long, dhi: Long)
+
+  /** Keyed state of [[keyframeStream]]: the last seen frame per clip
+    * — O(1) per clip, so total state is bounded by live clip count.
+    */
+  final case class KeyframeState(lastF: Int, dlo: Long, dhi: Long)
+
+  final case class KeyframeOut(
+      clipId: Long, f: Int, ham: Int, keyframe: Boolean)
+
+  /** ONLINE shot-boundary detection — the stateful streaming twin of
+    * q_multimodal_keyframes' lag-window detector: per-clip keyed
+    * state carries only the last frame's dHash; an arriving frame
+    * emits its hamming delta and the keyframe verdict (first frame of
+    * a clip, or delta > threshold). A clip's first frame reports
+    * ham = -1 (the batch side's null lag). Frames are ordered within
+    * each micro-batch; ACROSS batches each clip's frames must arrive
+    * in index order (the sequence-packing stream's contract — a video
+    * ingest feed is naturally ordered).
+    */
+  def keyframeStream(
+      frames: Dataset[FrameHash],
+      hamThreshold: Int = 16): Dataset[KeyframeOut] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.groupByKey(_.clipId)
+      .flatMapGroupsWithState[KeyframeState, KeyframeOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (clip: Long, rows: Iterator[FrameHash],
+         state: GroupState[KeyframeState]) =>
+          var st = state.getOption.getOrElse(KeyframeState(-1, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.f).map { fr =>
+            val ham =
+              if (st.lastF < 0) -1
+              else java.lang.Long.bitCount(fr.dlo ^ st.dlo) +
+                java.lang.Long.bitCount(fr.dhi ^ st.dhi)
+            st = KeyframeState(fr.f, fr.dlo, fr.dhi)
+            KeyframeOut(clip, fr.f, ham, ham < 0 || ham > hamThreshold)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based streaming sessionization with explicit keyed state —
     * emits a row per event annotated with its running session id.
     */

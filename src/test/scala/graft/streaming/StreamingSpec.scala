@@ -127,6 +127,69 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming keyframe detection matches the batch lag-window " +
+    "detector across a mid-clip batch split; state is one frame per " +
+    "clip") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PixelDecode
+    // the q_multimodal_keyframes frame kernel, verbatim
+    def frameHash(docId: Long, f: Int): (Long, Long) = {
+      val gray = new Array[Int](72)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var blk = 0
+      while (blk < 5) {
+        val d = md.digest(s"$docId:${f / 4}:$blk".getBytes("US-ASCII"))
+        var off = 0
+        while (off < 16 && blk * 16 + off < 72) {
+          gray(blk * 16 + off) = d(off) & 0xff; off += 1
+        }
+        blk += 1
+      }
+      gray(0) = (gray(0) + f % 4) % 256
+      val px = PixelDecode.decode(
+        PixelDecode.encodePngGray(9, 8, gray)).get
+      val bits = PixelDecode.dHash(PixelDecode.grayLuma(px), 9, 8)
+      (bits & 0xffffffffL, bits >>> 32)
+    }
+    val clips = Seq(3L, 7L, 12L)
+    val rows = for (c <- clips; f <- 0 until 12) yield {
+      val (lo, hi) = frameHash(c, f)
+      StreamingOps.FrameHash(c, f, lo, hi)
+    }
+    // batch expectation: the lag computation in plain Scala
+    val want = clips.flatMap { c =>
+      var prev: Option[(Long, Long)] = None
+      (0 until 12).map { f =>
+        val (lo, hi) = frameHash(c, f)
+        val ham = prev.map { case (plo, phi) =>
+          java.lang.Long.bitCount(lo ^ plo) +
+            java.lang.Long.bitCount(hi ^ phi)
+        }.getOrElse(-1)
+        prev = Some((lo, hi))
+        (c, f, ham, ham < 0 || ham > 16)
+      }
+    }.toSet
+    val ms = MemoryStream[StreamingOps.FrameHash]
+    val q = StreamingOps.keyframeStream(ms.toDS())
+      .writeStream.format("memory").queryName("kf_stream")
+      .outputMode("append").start()
+    try {
+      // the batch boundary cuts every clip mid-scene: frame 7's delta
+      // must come from frame 6 carried in keyed state
+      ms.addData(rows.filter(_.f < 7): _*)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_.f >= 7): _*)
+      q.processAllAvailable()
+      val got = spark.table("kf_stream")
+        .as[(Long, Int, Int, Boolean)].collect().toSet
+      assert(got === want)
+      // and the detector recovers exactly the planted scene starts
+      val kf = got.filter(_._4).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSeq.sorted).toMap
+      clips.foreach(c => assert(kf(c) === Seq(0, 4, 8), s"clip $c"))
+    } finally q.stop()
+  }
+
   test("streaming MS2 scoring: on-time peaks score identically to " +
     "batch; late-past-watermark peaks are dropped") {
     implicit val sqlCtx = spark.sqlContext
