@@ -870,6 +870,157 @@ object PipelineQueries extends QueryPack {
         "n_imgs pins that the real decoder accepted every blob."),
 
     GraftQuery(
+      "q_pipeline_images", Seq("P6", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The IMAGE-corpus build funnel — the visual twin of
+        // q_pipeline_corpus: raw media -> decode gate (corrupt blobs
+        // drop: every 13th doc's second image is a truncated PNG) ->
+        // luminance quality gate (brightness varies by doc_id%7
+        // clipped shift; mean-gray >= 170 drops, cutting INSIDE every
+        // source) -> pHash near-dup dedup (drop any image with a
+        // smaller-id near-duplicate — banded candidates, hamming
+        // verify; every 3rd doc plants a 1-pixel perturbation pair)
+        // -> per-source funnel counts + survivor fingerprint. Runs
+        // the production featuresColumn kernel once (checkpointed),
+        // every stage is a filter/join over its output; the oracle
+        // replays decode-free from the pixel definition.
+        import graft.operators.{Multimodal, PixelDecode}
+        val mkBytes = udf((docId: Long, v: Int) => {
+          val gray = new Array[Int](1024)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val base = v == 0 || docId % 3 == 0
+          val shift = (docId % 7).toInt * 20
+          var blk = 0
+          while (blk < 64) {
+            val key = if (base) s"$docId:$blk" else s"$docId:b:$blk"
+            val d = md.digest(key.getBytes("US-ASCII"))
+            var off = 0
+            while (off < 16) {
+              gray(blk * 16 + off) = math.min((d(off) & 0xff) + shift, 255)
+              off += 1
+            }
+            blk += 1
+          }
+          if (v == 1 && docId % 3 == 0)
+            gray(1023) = (gray(1023) + 1) % 256
+          val png = PixelDecode.encodePngGray(32, 32, gray)
+          if (docId % 13 == 0 && v == 1) png.take(30) else png
+        })
+        val imgs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("v", explode(array(lit(0), lit(1))))
+          .withColumn("img", col("doc_id") * 2 + col("v"))
+          .withColumn("media", mkBytes(col("doc_id"), col("v")))
+        val feats = imgs
+          .withColumn("mf", Multimodal.featuresColumn(col("media")))
+          .select(col("source"), col("img"), col("mf.decoded"),
+            col("mf.px_sum"), col("mf.phash"))
+          .localCheckpoint() // ONE kernel pass feeds every stage
+        val live = feats.where(col("decoded"))
+        val qual = live.where(expr("px_sum div 1024 < 170"))
+          .localCheckpoint()
+        val bands = qual
+          .withColumn("j", explode(sequence(lit(0), lit(6))))
+          .withColumn("bk", expr("shiftright(phash, j * 9) & 511"))
+          .select("img", "j", "bk")
+        val dup = bands.as("a")
+          .join(bands.as("b"),
+            col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+              col("a.img") < col("b.img"))
+          .select(col("a.img").as("ia"), col("b.img").as("ib"))
+          .distinct()
+          .join(qual.select(col("img").as("ia"),
+            col("phash").as("pa")), Seq("ia"))
+          .join(qual.select(col("img").as("ib"),
+            col("phash").as("pb")), Seq("ib"))
+          .where(expr("bit_count(pa ^ pb) <= 6"))
+          .select("ib").distinct()
+        val kept = qual.join(dup,
+          qual("img") === dup("ib"), "left_anti")
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy("source").agg(count(lit(1)).as(name))
+        cnt(imgs, "n_raw")
+          .join(cnt(live, "n_decoded"), Seq("source"))
+          .join(cnt(qual, "n_quality"), Seq("source"))
+          .join(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              sum(col("phash") % 1000000007L).as("kept_fp")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some {
+        val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
+          yield s"($u,$x,${graft.operators.PixelDecode.DctCos(u)(x)})")
+          .mkString(",")
+        s"""WITH ct(u, x, cv) AS (SELECT * FROM (VALUES $ctvals) v(u, x, cv)),
+        imgs AS (SELECT doc_id, source, v, doc_id * 2 + v AS img,
+            (doc_id % 13 = 0 AND v = 1) AS corrupt
+          FROM documents, (SELECT unnest([0, 1]) AS v)),
+        live AS (SELECT * FROM imgs WHERE NOT corrupt),
+        px AS (
+          SELECT l.img, l.source, (i // 32) AS r, (i % 32) AS c,
+            CASE WHEN l.v = 1 AND l.doc_id % 3 = 0 AND i = 1023
+              THEN (least(('0x' || substr(md5(l.doc_id::VARCHAR || ':'
+                || (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT
+                + (l.doc_id % 7) * 20, 255) + 1) % 256
+              WHEN l.v = 0 OR l.doc_id % 3 = 0
+              THEN least(('0x' || substr(md5(l.doc_id::VARCHAR || ':'
+                || (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT
+                + (l.doc_id % 7) * 20, 255)
+              ELSE least(('0x' || substr(md5(l.doc_id::VARCHAR || ':b:'
+                || (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT
+                + (l.doc_id % 7) * 20, 255)
+            END AS g
+          FROM live l, (SELECT unnest(range(1024)) AS i)),
+        gs AS (SELECT img, sum(g)::BIGINT AS su FROM px GROUP BY 1),
+        q AS (SELECT img FROM gs WHERE su // 1024 < 170),
+        qpx AS (SELECT px.* FROM px JOIN q USING (img)),
+        t1 AS (SELECT qpx.img, qpx.source, ct.u AS u, qpx.c AS y,
+            sum(qpx.g * ct.cv)::BIGINT AS t
+          FROM qpx JOIN ct ON ct.x = qpx.r GROUP BY 1, 2, 3, 4),
+        co AS (SELECT t1.img, t1.source, t1.u AS u, ct.u AS v,
+            sum(t1.t * ct.cv)::BIGINT AS coef
+          FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3, 4),
+        acs AS (SELECT img, source, u, v, coef,
+            row_number() OVER (PARTITION BY img ORDER BY coef) AS rn
+          FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT img, coef AS med FROM acs WHERE rn = 32),
+        ph AS (SELECT a.img, a.source,
+            sum(CASE WHEN a.coef > m.med
+              THEN (1::BIGINT << (a.u * 8 + a.v - 1))
+              ELSE 0 END)::BIGINT AS phash
+          FROM acs a JOIN med m USING (img) GROUP BY 1, 2),
+        bands AS (SELECT img, j, (phash >> (j * 9)) & 511 AS bk
+          FROM ph, (SELECT unnest(range(7)) AS j)),
+        cand AS (SELECT DISTINCT a.img AS ia, b.img AS ib
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.bk = b.bk AND a.img < b.img),
+        dup AS (SELECT DISTINCT c.ib FROM cand c
+          JOIN ph pa ON pa.img = c.ia JOIN ph pb ON pb.img = c.ib
+          WHERE bit_count(xor(pa.phash, pb.phash)) <= 6),
+        kept AS (SELECT ph.img, ph.source, ph.phash FROM ph
+          LEFT JOIN dup ON dup.ib = ph.img WHERE dup.ib IS NULL)
+        SELECT r.source, r.n_raw, l.n_decoded, qq.n_quality,
+          k.n_unique, k.kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM imgs GROUP BY 1) r
+        JOIN (SELECT source, count(*)::BIGINT AS n_decoded
+            FROM live GROUP BY 1) l USING (source)
+        JOIN (SELECT source, count(*)::BIGINT AS n_quality
+            FROM ph GROUP BY 1) qq USING (source)
+        JOIN (SELECT source, count(*)::BIGINT AS n_unique,
+            sum(phash % 1000000007)::BIGINT AS kept_fp
+            FROM kept GROUP BY 1) k USING (source)
+        ORDER BY source"""
+      },
+      "The image-corpus build funnel (the visual q_pipeline_corpus): " +
+        "decode gate on real bytes (truncated PNGs drop), luminance " +
+        "quality gate cutting inside every source, banded pHash " +
+        "near-dup dedup with keep-smallest canonicalization — " +
+        "per-source funnel counts + survivor fingerprint, oracle " +
+        "replayed decode-free from the pixel definition."),
+
+    GraftQuery(
       "q_multimodal_keyframes", Seq("P6", "D9", "W4"),
       (s, dir) => {
         // Video KEYFRAME detection over really-decoded frames: each
