@@ -441,6 +441,94 @@ object PipelineQueries extends QueryPack {
         "pinning the encode -> decode -> plan composition."),
 
     GraftQuery(
+      "q_multimodal_exif", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // EXIF-aware thumbnail planning on REAL JPEG header bytes:
+        // per doc, a synthetic JPEG (SOI + APP1 "Exif" TIFF with
+        // orientation 1 + id%8 + SOF0 with id-derived dims + EOI) is
+        // byte-built in the kernel, then the PRODUCTION parsers run —
+        // ImageHeader.parse for the SOFn dimensions,
+        // exifOrientation for tag 274 — and withDisplayDims +
+        // withResizePlan compute the rotation-corrected plan. The
+        // oracle replays everything from the id arithmetic, so
+        // equality pins the marker walk, the IFD walk, the
+        // orientation swap, and the plan composition. (Orientations
+        // 5-8 swap: planning on RAW dims here would flip target
+        // geometry for half the corpus — the classic thumbnail bug.)
+        import graft.operators.{ImageHeader, Multimodal}
+        val kernel = udf((docId: Long) => {
+          val w = (100 + docId % 1500).toInt
+          val h = (100 + docId * 3 % 1500).toInt
+          val orient = (1 + docId % 8).toInt
+          def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+          val tiff = b('I', 'I', 42, 0, 8, 0, 0, 0, // IFD at 8
+            1, 0, // one entry
+            18, 1, 3, 0, 1, 0, 0, 0, // tag 274, SHORT, count 1
+            orient, 0, 0, 0) ++ b(0, 0, 0, 0)
+          val app1 = "Exif".getBytes("US-ASCII") ++ b(0, 0) ++ tiff
+          val sof = b(0xff, 0xc0, 0, 11, 8,
+            h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 0x11, 0)
+          val jpeg = b(0xff, 0xd8, 0xff, 0xe1,
+            (app1.length + 2) >> 8, (app1.length + 2) & 0xff) ++
+            app1 ++ sof ++ b(0xff, 0xd9)
+          val info = ImageHeader.parse(jpeg).get
+          val o = ImageHeader.exifOrientation(jpeg).get
+          (info.format, info.width, info.height, o)
+        })
+        val parsed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("p", kernel(col("doc_id")))
+          .select(col("source"), col("p._1").as("fmt"),
+            col("p._2").as("w"), col("p._3").as("h"),
+            col("p._4").as("orient"))
+        Multimodal.withResizePlan(
+            Multimodal.withDisplayDims(parsed, "w", "h", "orient"),
+            "disp_w", "disp_h", maxDim = 256)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("fmt") === "jpeg", 1L).otherwise(0L))
+              .as("n_jpeg"),
+            sum(when(col("orient").isin(5, 6, 7, 8), 1L).otherwise(0L))
+              .as("n_rotated"),
+            sum("disp_w").as("sum_dw"), sum("disp_h").as("sum_dh"),
+            sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+            sum("target_w").as("sum_tw"), sum("target_h").as("sum_th"),
+            sum("out_pixels").as("out_pixels"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (100 + doc_id % 1500)::BIGINT AS w,
+            (100 + (doc_id * 3) % 1500)::BIGINT AS h,
+            (1 + doc_id % 8)::BIGINT AS o
+          FROM documents),
+        disp AS (SELECT source, o,
+            CASE WHEN o >= 5 THEN h ELSE w END AS dw,
+            CASE WHEN o >= 5 THEN w ELSE h END AS dh
+          FROM d),
+        p AS (SELECT source, o, dw, dh,
+            greatest(dw, dh) > 256 AS resized,
+            CASE WHEN greatest(dw, dh) <= 256 THEN dw
+                 WHEN dw >= dh THEN 256
+                 ELSE greatest((dw * 256) // dh, 1) END AS tw,
+            CASE WHEN greatest(dw, dh) <= 256 THEN dh
+                 WHEN dw >= dh THEN greatest((dh * 256) // dw, 1)
+                 ELSE 256 END AS th
+          FROM disp)
+        SELECT source, count(*)::BIGINT AS n_imgs,
+          count(*)::BIGINT AS n_jpeg,
+          sum(CASE WHEN o >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_rotated,
+          sum(dw)::BIGINT AS sum_dw, sum(dh)::BIGINT AS sum_dh,
+          sum(CASE WHEN resized THEN 1 ELSE 0 END)::BIGINT AS n_resized,
+          sum(tw)::BIGINT AS sum_tw, sum(th)::BIGINT AS sum_th,
+          sum(tw * th)::BIGINT AS out_pixels
+        FROM p GROUP BY 1 ORDER BY 1"""),
+      "EXIF-aware thumbnail planning: byte-built JPEGs (APP1 Exif IFD " +
+        "+ SOF0) through the production marker/IFD walks, the " +
+        "rotation-family width/height swap, and the aspect-fit plan — " +
+        "oracle replays from the id arithmetic, pinning the metadata " +
+        "path that flips target geometry for half the corpus."),
+
+    GraftQuery(
       "q_multimodal_audio", Seq("S10", "D9", "P6"),
       (s, dir) => {
         // Audio-pipeline roundtrip PROOF: each doc's tokens become a
