@@ -46,7 +46,7 @@ object PixelDecode {
     */
   def decode(bytes: Array[Byte]): Option[Pixels] =
     decodeImageIo(bytes).orElse(decodePngPure(bytes))
-      .orElse(decodeGifPure(bytes))
+      .orElse(decodeGifPure(bytes)).orElse(decodeBmpPure(bytes))
 
   private[operators] def decodeImageIo(
       bytes: Array[Byte]): Option[Pixels] =
@@ -305,6 +305,71 @@ object PixelDecode {
       }
     }
     None
+  }
+
+  /** From-the-spec BMP decode (BITMAPINFOHEADER, BI_RGB only): "BM" +
+    * pixel-data offset at byte 10, the 40-byte info header at 14
+    * (LE width, LE signed height — positive means bottom-up rows),
+    * 8-bit palette (BGRA quads) or 24/32-bit BGR(A) samples, rows
+    * padded to 4 bytes. Alpha dropped like everywhere in this module.
+    */
+  def decodeBmpPure(bytes: Array[Byte]): Option[Pixels] =
+    try decodeBmpPureImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeBmpPureImpl(b: Array[Byte]): Option[Pixels] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return None
+    def u8i(i: Int): Int = b(i) & 0xff
+    def le16i(i: Int): Int = (u8i(i + 1) << 8) | u8i(i)
+    def le32i(i: Int): Int = (u8i(i + 3) << 24) | (u8i(i + 2) << 16) |
+      (u8i(i + 1) << 8) | u8i(i)
+    val dataAt = le32i(10)
+    val hdrSize = le32i(14)
+    if (hdrSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = le32i(18)
+    val hRaw = le32i(22)
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val bpp = le16i(28)
+    val compression = le32i(30)
+    if (w < 1 || h < 1 || w.toLong * h > (1L << 26)) return None
+    if (compression != 0) return None // BI_RGB only
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    val palette: Array[Int] =
+      if (bpp == 8) {
+        val declared = le32i(46) // biClrUsed; 0 means the full 256
+        val n = if (declared == 0) 256 else declared
+        val at = 14 + hdrSize
+        if (n < 1 || n > 256 || at + 4 * n > b.length) return None
+        Array.tabulate(n)(j => (u8i(at + 4 * j + 2) << 16) |
+          (u8i(at + 4 * j + 1) << 8) | u8i(at + 4 * j))
+      } else null
+    val bytesPerPx = bpp / 8
+    val stride = (w * bytesPerPx + 3) / 4 * 4 // rows pad to 4 bytes
+    if (dataAt < 0 || dataAt.toLong + stride.toLong * h > b.length)
+      return None
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val srcRow = if (bottomUp) h - 1 - row else row
+      val at = dataAt + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val p = at + x * bytesPerPx
+        out(row * w + x) =
+          if (bpp == 8) {
+            val idx = u8i(p)
+            if (idx >= palette.length) return None
+            palette(idx)
+          } else { // BGR(A) sample order
+            (u8i(p + 2) << 16) | (u8i(p + 1) << 8) | u8i(p)
+          }
+        x += 1
+      }
+      row += 1
+    }
+    Some(Pixels(w, h, out))
   }
 
   /** GIF-flavor LZW (LSB-first bit packing, variable code width,

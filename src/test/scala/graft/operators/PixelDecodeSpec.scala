@@ -207,6 +207,30 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decodeGifPure("nope".getBytes) === None)
   }
 
+  test("pure BMP decoder == ImageIO on JDK-written BMPs: 24-bit " +
+    "true-color and 8-bit palette") {
+    for (trial <- 1 to 3;
+        imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)) {
+      val w = 5 + (next() % 40).toInt // odd widths exercise row padding
+      val h = 5 + (next() % 30).toInt
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (next() & 0xffffff).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+      val bytes = bos.toByteArray
+      val a = PixelDecode.decodeImageIo(bytes).get
+      val b = PixelDecode.decodeBmpPure(bytes).get
+      assert(a.width === b.width && a.height === b.height,
+        s"trial $trial type=$imgType")
+      assert(a.rgb.toSeq === b.rgb.toSeq, s"trial $trial type=$imgType")
+    }
+    // garbage and header-only bytes never decode
+    assert(PixelDecode.decodeBmpPure("BM not a bitmap".getBytes) === None)
+    assert(PixelDecode.decodeBmpPure(Array.empty[Byte]) === None)
+  }
+
   test("EXIF orientation: APP1-embedded TIFF in both byte orders, " +
     "bare TIFF, and absent/corrupt cases") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
