@@ -30,6 +30,25 @@ final case class DhashStats(dlo: Long, dhi: Long)
 
 object PipelineQueries extends QueryPack {
 
+  /** Fill `gray` with md5-derived bytes: pixel i takes byte i%16 of
+    * md5(key(i/16)) — the ONE synthetic-pixel convention every image
+    * query's kernel AND oracle share (`('0x' || substr(md5(key),
+    * (i%16)*2+1, 2))::BIGINT` on the DuckDB side).
+    */
+  private def md5Fill(gray: Array[Int], key: Int => String): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var blk = 0
+    while (blk * 16 < gray.length) {
+      val d = md.digest(key(blk).getBytes("US-ASCII"))
+      var off = 0
+      while (off < 16 && blk * 16 + off < gray.length) {
+        gray(blk * 16 + off) = d(off) & 0xff
+        off += 1
+      }
+      blk += 1
+    }
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -702,16 +721,7 @@ object PipelineQueries extends QueryPack {
         import graft.operators.PixelDecode
         val kernel = udf((docId: Long) => {
           val gray = new Array[Int](1024)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          var blk = 0
-          while (blk < 64) {
-            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16) {
-              gray(blk * 16 + off) = d(off) & 0xff; off += 1
-            }
-            blk += 1
-          }
+          md5Fill(gray, blk => s"$docId:$blk")
           val png = PixelDecode.encodePngGray(32, 32, gray)
           val px = PixelDecode.decode(png).get
           val g = PixelDecode.grayLuma(px)
@@ -787,16 +797,7 @@ object PipelineQueries extends QueryPack {
         import graft.operators.PixelDecode
         val kernel = udf((docId: Long) => {
           val gray = new Array[Int](72)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          var blk = 0
-          while (blk < 5) {
-            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16 && blk * 16 + off < 72) {
-              gray(blk * 16 + off) = d(off) & 0xff; off += 1
-            }
-            blk += 1
-          }
+          md5Fill(gray, blk => s"$docId:$blk")
           val png = PixelDecode.encodePngGray(9, 8, gray)
           val px = PixelDecode.decode(png).get
           val g = PixelDecode.grayLuma(px)
@@ -858,16 +859,7 @@ object PipelineQueries extends QueryPack {
         import graft.operators.{Multimodal, PixelDecode}
         val mkPng = udf((docId: Long) => {
           val gray = new Array[Int](1024)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          var blk = 0
-          while (blk < 64) {
-            val d = md.digest(s"$docId:$blk".getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16) {
-              gray(blk * 16 + off) = d(off) & 0xff; off += 1
-            }
-            blk += 1
-          }
+          md5Fill(gray, blk => s"$docId:$blk")
           PixelDecode.encodePngGray(32, 32, gray)
         })
         val media = Tables.load(s, dir, "documents")
@@ -975,19 +967,13 @@ object PipelineQueries extends QueryPack {
         import graft.operators.{Multimodal, PixelDecode}
         val mkBytes = udf((docId: Long, v: Int) => {
           val gray = new Array[Int](1024)
-          val md = java.security.MessageDigest.getInstance("MD5")
           val base = v == 0 || docId % 3 == 0
           val shift = (docId % 7).toInt * 20
-          var blk = 0
-          while (blk < 64) {
-            val key = if (base) s"$docId:$blk" else s"$docId:b:$blk"
-            val d = md.digest(key.getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16) {
-              gray(blk * 16 + off) = math.min((d(off) & 0xff) + shift, 255)
-              off += 1
-            }
-            blk += 1
+          md5Fill(gray,
+            blk => if (base) s"$docId:$blk" else s"$docId:b:$blk")
+          var i = 0
+          while (i < gray.length) {
+            gray(i) = math.min(gray(i) + shift, 255); i += 1
           }
           if (v == 1 && docId % 3 == 0)
             gray(1023) = (gray(1023) + 1) % 256
@@ -1126,16 +1112,7 @@ object PipelineQueries extends QueryPack {
         import graft.operators.PixelDecode
         val kernel = udf((docId: Long, f: Int) => {
           val gray = new Array[Int](72)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          var blk = 0
-          while (blk < 5) {
-            val d = md.digest(s"$docId:${f / 4}:$blk".getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16 && blk * 16 + off < 72) {
-              gray(blk * 16 + off) = d(off) & 0xff; off += 1
-            }
-            blk += 1
-          }
+          md5Fill(gray, blk => s"$docId:${f / 4}:$blk")
           gray(0) = (gray(0) + f % 4) % 256
           val png = PixelDecode.encodePngGray(9, 8, gray)
           val px = PixelDecode.decode(png).get
@@ -1230,18 +1207,9 @@ object PipelineQueries extends QueryPack {
         import graft.operators.PixelDecode
         val kernel = udf((docId: Long, v: Int) => {
           val gray = new Array[Int](1024)
-          val md = java.security.MessageDigest.getInstance("MD5")
           val base = v == 0 || docId % 3 == 0
-          var blk = 0
-          while (blk < 64) {
-            val key = if (base) s"$docId:$blk" else s"$docId:b:$blk"
-            val d = md.digest(key.getBytes("US-ASCII"))
-            var off = 0
-            while (off < 16) {
-              gray(blk * 16 + off) = d(off) & 0xff; off += 1
-            }
-            blk += 1
-          }
+          md5Fill(gray,
+            blk => if (base) s"$docId:$blk" else s"$docId:b:$blk")
           if (v == 1 && docId % 3 == 0)
             gray(1023) = (gray(1023) + 1) % 256
           val png = PixelDecode.encodePngGray(32, 32, gray)
