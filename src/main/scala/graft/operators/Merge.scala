@@ -34,9 +34,9 @@ object Merge {
         s"$opCol + $seqCol")
     // latest-wins per key: version leads the struct so it dominates
     // the comparison; op + data follow as deterministic tie-breaks
-    val m = changes.groupBy(keys.map(col): _*)
+    val m = changes.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(max(struct(
-        (col(seqCol) +: col(opCol) +: dataCols.map(col)): _*))
+        (col(seqCol) +: col(opCol) +: dataCols.map(col)).toIndexedSeq: _*))
         .as("__graft_m"))
     val latest = m.select(
       keys.map(col) ++
@@ -45,7 +45,7 @@ object Merge {
     val untouched = base.join(
       latest.select(keys.map(col): _*), keys, "left_anti")
     val upserts = latest.where(col(opCol) === "u")
-      .select(base.columns.map(col): _*)
+      .select(base.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(upserts)
   }
 }

@@ -27,9 +27,11 @@ object TableDiff {
         s"a: ${a.columns.sorted.mkString(",")} " +
         s"b: ${b.columns.sorted.mkString(",")}")
     val av = a.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("__graft_a"): _*)
+      struct(dataCols.map(col).toIndexedSeq: _*).as("__graft_a")
+        : _*)
     val bv = b.select(keys.map(col) :+
-      struct(dataCols.map(col): _*).as("__graft_b"): _*)
+      struct(dataCols.map(col).toIndexedSeq: _*).as("__graft_b")
+        : _*)
     av.join(bv, keys, "full_outer")
       .withColumn("status",
         when(col("__graft_a").isNull, "added")

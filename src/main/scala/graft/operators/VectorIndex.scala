@@ -422,7 +422,7 @@ object VectorIndex {
     val (m, subLen) = pqGeometry(cbRaw, s"loadPq($name, $path)")
     // pre-flag artifacts (no residual column) are plain indexes
     val residual = cbRaw.columns.contains("residual") &&
-      cbRaw.select("residual").head.getBoolean(0)
+      cbRaw.select("residual").head().getBoolean(0)
     IvfPqIndex(
       spark.read.parquet(s"$path/${name}_centroids"),
       cbRaw.drop("residual"), coded, m, subLen, residual)
@@ -435,7 +435,7 @@ object VectorIndex {
   private def pqGeometry(
       codebook: DataFrame, what: String): (Int, Int) = {
     val geom = codebook
-      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head
+      .agg(max("j").as("mj"), max(size(col("cvec"))).as("sl")).head()
     require(!geom.isNullAt(0) && !geom.isNullAt(1),
       s"$what: codebook is empty — the index was built over an empty " +
         "corpus or the _codebook parquet is missing/empty")

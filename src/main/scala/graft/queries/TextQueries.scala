@@ -530,7 +530,7 @@ object TextQueries extends QueryPack {
     // only while accuracy >= the largest group — past that bound
     // the gate must fail loudly, not drift into approximate cuts
     if (s.conf.getOption("graft.gate").contains("true")) {
-      val row = scored.groupBy("lang").count().agg(max("count")).head
+      val row = scored.groupBy("lang").count().agg(max("count")).head()
       val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
       require(maxG <= acc,
         s"q_pipeline_corpus: largest lang group ($maxG rows) " +
@@ -916,7 +916,7 @@ object TextQueries extends QueryPack {
         // gate run on data past that bound must fail loudly, not
         // silently drift into approximate cuts
         if (s.conf.getOption("graft.gate").contains("true")) {
-          val row = scored.groupBy("lang").count().agg(max("count")).head
+          val row = scored.groupBy("lang").count().agg(max("count")).head()
           // null max = zero scored rows: trivially exact, pin passes
           val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
           require(maxG <= acc,
@@ -2273,7 +2273,7 @@ object TextQueries extends QueryPack {
           .select("doc_id", "lang", "nll")
         val acc = sketchAcc(s, dir)
         if (s.conf.getOption("graft.gate").contains("true")) {
-          val row = scored.groupBy("lang").count().agg(max("count")).head
+          val row = scored.groupBy("lang").count().agg(max("count")).head()
           val maxG = if (row.isNullAt(0)) 0L else row.getLong(0)
           require(maxG <= acc,
             s"q_text_ppl_buckets: largest lang group ($maxG rows) " +
