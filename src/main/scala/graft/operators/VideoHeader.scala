@@ -1,0 +1,303 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM video container parsing: the ISO base-media file format
+  * (ISO/IEC 14496-12 — MP4/MOV/M4A) box walk, no codec libraries.
+  * This makes the multimodal video metadata columns REAL for the
+  * container a training-data pipeline meets most (MP4): major brand,
+  * movie duration, per-track handler ('vide'/'soun'), codec fourcc,
+  * pixel dimensions, and track timescale/duration — everything a
+  * distributed pipeline needs to gate, budget, and frame-sample video
+  * BEFORE any decode. The video twin of [[ImageHeader]]'s TIFF IFD
+  * walk; the frame bytes themselves stay opaque (no codecs in this
+  * container, builder brief).
+  *
+  * Box grammar from the public spec: box = size(4 BE) type(4ASCII)
+  * [largesize(8 BE) when size==1; size==0 = box extends to EOF],
+  * containers moov/trak/mdia/minf/stbl nest plain concatenated boxes,
+  * full boxes carry version(1)+flags(3). Leaf layouts: ftyp §4.3,
+  * mvhd §8.2.2, tkhd §8.3.2 (width/height 16.16 fixed-point),
+  * mdhd §8.4.2, hdlr §8.4.3, stsd §8.5.2 (sample-entry fourcc).
+  *
+  * Every multi-byte read is explicitly bounds-checked so malformed
+  * boxes return None deliberately — never via exception control flow.
+  *
+  * Reference analog: the reference has no media path at all; this is
+  * part of the pipeline surface the survey adds beyond it (SURVEY.md
+  * §2 multimodal extensions).
+  */
+object VideoHeader {
+
+  /** One parsed track: handler fourcc ('vide'/'soun'/...), first
+    * sample-entry codec fourcc, tkhd display dims (16.16 truncated to
+    * integer pixels; 0 for audio), and the mdhd media clock.
+    */
+  final case class Track(
+      handler: String,
+      codec: String,
+      width: Int,
+      height: Int,
+      timescale: Long,
+      duration: Long) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+  }
+
+  /** Parsed movie header: ftyp major brand, mvhd movie clock, and the
+    * track list in file order.
+    */
+  final case class Info(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      tracks: Seq[Track]) {
+    def durationMs: Long =
+      if (timescale <= 0) 0L else duration * 1000L / timescale
+    def videoTracks: Seq[Track] = tracks.filter(_.handler == "vide")
+    def audioTracks: Seq[Track] = tracks.filter(_.handler == "soun")
+  }
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def fourcc(b: Array[Byte], i: Int): String = {
+    // printable-ASCII box types only; anything else is not a box walk
+    // we trust (e.g. random bytes that happened to parse as a size)
+    val cs = new Array[Char](4)
+    var k = 0
+    while (k < 4) {
+      val c = u8(b, i + k)
+      if (c < 0x20 || c > 0x7e) return null
+      cs(k) = c.toChar
+      k += 1
+    }
+    new String(cs)
+  }
+
+  /** Walk the concatenated boxes in b[start, end), invoking f with
+    * (type, payloadStart, payloadEnd) per box. Returns false when the
+    * walk hits a malformed size (truncated header, payload past end,
+    * non-ASCII type) — the caller treats that as an unparseable file.
+    */
+  private def walk(
+      b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Boolean): Boolean = {
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return false
+      val sz32 = be32(b, off)
+      val tp = fourcc(b, off + 4)
+      if (tp == null) return false
+      var payload = off + 8L
+      var boxEnd = 0L
+      if (sz32 == 1L) {
+        if (off + 16 > end) return false
+        val sz64 = be64(b, off + 8)
+        if (sz64 < 16) return false
+        payload = off + 16L
+        boxEnd = off + sz64
+      } else if (sz32 == 0L) {
+        boxEnd = end.toLong // extends to end of enclosing scope
+      } else {
+        if (sz32 < 8) return false
+        boxEnd = off + sz32
+      }
+      if (boxEnd > end || payload > boxEnd) return false
+      if (!f(tp, payload.toInt, boxEnd.toInt)) return false
+      off = boxEnd.toInt
+    }
+    true
+  }
+
+  /** Parse an ISO-BMFF file's metadata, or None when the signature
+    * doesn't match (first box must be ftyp, per the brand grammar) or
+    * any box size is malformed/truncated. Never throws on arbitrary
+    * bytes; skips unknown boxes (free/mdat/udta/...) by size, as a
+    * real demuxer does.
+    */
+  def parse(bytes: Array[Byte]): Option[Info] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (fourcc(bytes, 4) != "ftyp") return None
+    var brand: String = null
+    var mvTs = -1L
+    var mvDur = -1L
+    val tracks = ArrayBuffer.empty[Track]
+    val ok = walk(bytes, 0, bytes.length) { (tp, p0, p1) =>
+      tp match {
+        case "ftyp" =>
+          if (p1 - p0 < 8) false
+          else { brand = fourcc(bytes, p0); brand != null }
+        case "moov" =>
+          walk(bytes, p0, p1) { (mtp, m0, m1) =>
+            mtp match {
+              case "mvhd" =>
+                // full box: v0 ts@12 dur@16(4B); v1 ts@20 dur@24(8B)
+                if (m1 - m0 < 20) false
+                else if (u8(bytes, m0) == 1) {
+                  if (m1 - m0 < 32) false
+                  else { mvTs = be32(bytes, m0 + 20); mvDur = be64(bytes, m0 + 24); true }
+                } else {
+                  mvTs = be32(bytes, m0 + 12); mvDur = be32(bytes, m0 + 16); true
+                }
+              case "trak" =>
+                parseTrak(bytes, m0, m1) match {
+                  case Some(t) => tracks += t; true
+                  case None => false
+                }
+              case _ => true // udta, meta, iods, ... skipped by size
+            }
+          }
+        case _ => true // mdat, free, skip, wide, ... skipped by size
+      }
+    }
+    if (!ok || brand == null || mvTs < 0) None
+    else Some(Info(brand, mvTs, mvDur, tracks.toSeq))
+  }
+
+  private def parseTrak(b: Array[Byte], start: Int, end: Int): Option[Track] = {
+    var w = 0
+    var h = 0
+    var handler = ""
+    var codec = ""
+    var ts = 0L
+    var dur = 0L
+    val ok = walk(b, start, end) { (tp, p0, p1) =>
+      tp match {
+        case "tkhd" =>
+          // v0: width@76 height@80 (16.16); v1 (+12 for 64-bit
+          // times/duration): width@88 height@92
+          val wOff = if (p1 - p0 >= 1 && u8(b, p0) == 1) 88 else 76
+          if (p1 - p0 < wOff + 8) false
+          else {
+            w = (be32(b, p0 + wOff) >> 16).toInt
+            h = (be32(b, p0 + wOff + 4) >> 16).toInt
+            true
+          }
+        case "mdia" =>
+          walk(b, p0, p1) { (mtp, m0, m1) =>
+            mtp match {
+              case "mdhd" =>
+                if (m1 - m0 < 20) false
+                else if (u8(b, m0) == 1) {
+                  if (m1 - m0 < 32) false
+                  else { ts = be32(b, m0 + 20); dur = be64(b, m0 + 24); true }
+                } else { ts = be32(b, m0 + 12); dur = be32(b, m0 + 16); true }
+              case "hdlr" =>
+                // vf(4) pre_defined(4) handler_type(4)
+                if (m1 - m0 < 12) false
+                else {
+                  val hd = fourcc(b, m0 + 8)
+                  if (hd == null) false else { handler = hd; true }
+                }
+              case "minf" =>
+                walk(b, m0, m1) { (stp, s0, s1) =>
+                  if (stp != "stbl") true
+                  else walk(b, s0, s1) { (ltp, l0, l1) =>
+                    if (ltp != "stsd") true
+                    else {
+                      // vf(4) entry_count(4) entry{size(4) fourcc(4)}
+                      if (l1 - l0 < 16) false
+                      else {
+                        val cc = fourcc(b, l0 + 12)
+                        if (cc == null) false else { codec = cc; true }
+                      }
+                    }
+                  }
+                }
+              case _ => true
+            }
+          }
+        case _ => true
+      }
+    }
+    if (!ok || handler.isEmpty) None
+    else Some(Track(handler, codec, w, h, ts, dur))
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture builder: a minimal spec-correct MP4 — test fixture + the
+  // docs-level executable spec of the layout this parser reads (the
+  // synthesizeWavPcm16 precedent, AudioHeader.scala:154).
+  // ---------------------------------------------------------------
+
+  /** Track spec for [[synthesizeMp4]]. Width/height are pixels (the
+    * builder stores them 16.16); audio tracks conventionally pass 0.
+    */
+  final case class TrackSpec(
+      handler: String, codec: String, width: Int, height: Int,
+      timescale: Long, duration: Long)
+
+  private def beInt(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def beShort(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    beInt(body.length + 8L) ++ ascii(tp) ++ body
+  }
+  private def fullBox(tp: String, payload: Array[Byte]*): Array[Byte] =
+    box(tp, (Array[Byte](0, 0, 0, 0) +: payload): _*) // version 0, flags 0
+
+  /** The 3x3 unity transform matrix tkhd/mvhd carry (16.16/2.30). */
+  private val unityMatrix: Array[Byte] =
+    beInt(0x00010000L) ++ beInt(0) ++ beInt(0) ++
+      beInt(0) ++ beInt(0x00010000L) ++ beInt(0) ++
+      beInt(0) ++ beInt(0) ++ beInt(0x40000000L)
+
+  /** Build a minimal valid MP4: ftyp + free + moov(mvhd + trak*) +
+    * mdat(payload). Every box is spec-layout-complete (full tkhd
+    * matrix, sample-entry reserved fields), so third-party demuxers
+    * would accept the geometry too.
+    */
+  def synthesizeMp4(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      tracks: Seq[TrackSpec],
+      mdatPayload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a fourcc: $brand")
+    val ftyp = box("ftyp", ascii(brand), beInt(0), ascii(brand), ascii("isom"))
+    val mvhd = fullBox("mvhd",
+      beInt(0), beInt(0), // creation/modification time
+      beInt(timescale), beInt(duration),
+      beInt(0x00010000L), beShort(0x0100), beShort(0), // rate, volume, reserved
+      beInt(0), beInt(0), // reserved
+      unityMatrix,
+      Array.fill(24)(0.toByte), // pre_defined
+      beInt(tracks.length + 1L)) // next_track_ID
+    val trakBoxes = tracks.zipWithIndex.map { case (t, i) =>
+      require(t.handler.length == 4 && t.codec.length == 4,
+        s"handler/codec must be fourccs: ${t.handler}/${t.codec}")
+      val tkhd = fullBox("tkhd",
+        beInt(0), beInt(0), beInt(i + 1L), beInt(0), // times, id, reserved
+        beInt(duration), beInt(0), beInt(0), // duration (movie scale), reserved
+        beShort(0), beShort(0), // layer, alternate_group
+        beShort(if (t.handler == "soun") 0x0100 else 0), beShort(0), // volume
+        unityMatrix,
+        beInt(t.width.toLong << 16), beInt(t.height.toLong << 16))
+      val mdhd = fullBox("mdhd",
+        beInt(0), beInt(0), beInt(t.timescale), beInt(t.duration),
+        beShort(0x55c4), beShort(0)) // language 'und', pre_defined
+      val hdlr = fullBox("hdlr",
+        beInt(0), ascii(t.handler), beInt(0), beInt(0), beInt(0),
+        Array[Byte](0)) // name: empty NUL-terminated
+      // SampleEntry: 6 reserved bytes + data_reference_index(2)
+      val sampleEntry = box(t.codec, Array.fill(6)(0.toByte), beShort(1))
+      val stsd = fullBox("stsd", beInt(1), sampleEntry)
+      val minf = box("minf", box("stbl", stsd))
+      box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    }
+    val moov = box("moov", (mvhd +: trakBoxes): _*)
+    val free = box("free", Array.fill(4)(0.toByte))
+    ftyp ++ free ++ moov ++ box("mdat", mdatPayload)
+  }
+}

@@ -1319,5 +1319,84 @@ object PipelineQueries extends QueryPack {
         "1-pixel perturbations recovered with measured 100% recall " +
         "(pigeonhole: <= 6 flipped bits never dirty all 7 bands) " +
         "while the shuffle carries only band-collision slivers."),
+
+    GraftQuery(
+      "q_multimodal_video", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // Video-container metadata through the REAL ISO-BMFF box walk
+        // (VideoHeader — the MP4 twin of q_multimodal_exif's IFD
+        // walk): per doc, a spec-layout-complete MP4 is byte-built in
+        // the kernel (ftyp + free + moov(mvhd + trak(tkhd 16.16 dims,
+        // mdhd clock, hdlr, stbl/stsd codec fourcc)*) + mdat) with
+        // id-derived geometry/clocks/codecs, then the PRODUCTION
+        // parser walks the boxes back out. The oracle replays every
+        // field from the id arithmetic, so equality pins the box-size
+        // walk, the 16.16 fixed-point dims, the v0 full-box offsets,
+        // the handler/codec fourcc reads, and both duration clocks
+        // (movie 600 Hz vs video-track 90 kHz — same wall time by
+        // construction, a cross-clock consistency proof). Scale
+        // shape: blobs live one row at a time inside the kernel; the
+        // only shuffle is the final (source, codec) aggregate.
+        import graft.operators.VideoHeader
+        val kernel = udf((docId: Long) => {
+          val w = (16 * (1 + docId % 120)).toInt
+          val h = (16 * (1 + docId * 3 % 120)).toInt
+          val ticks = 600 + (docId % 1800) * 3
+          val vCodec = Seq("avc1", "hev1", "av01")((docId % 3).toInt)
+          val tracks = VideoHeader.TrackSpec(
+              "vide", vCodec, w, h, 90000L, ticks * 150) +:
+            (if (docId % 2 == 0)
+              Seq(VideoHeader.TrackSpec(
+                "soun", "mp4a", 0, 0, 48000L, ticks * 80))
+            else Nil)
+          val mp4 = VideoHeader.synthesizeMp4("mp42", 600L, ticks, tracks)
+          val info = VideoHeader.parse(mp4).get
+          val v = info.videoTracks.head
+          (info.brand, info.durationMs, info.tracks.size, v.codec,
+            v.width, v.height, v.durationMs, info.audioTracks.size)
+        })
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("p", kernel(col("doc_id")))
+          .select(col("source"), col("p._4").as("v_codec"),
+            col("p._1").as("brand"), col("p._2").as("dur_ms"),
+            col("p._3").as("n_tracks"), col("p._5").as("w"),
+            col("p._6").as("h"), col("p._7").as("vdur_ms"),
+            col("p._8").as("n_audio"))
+          .groupBy("source", "v_codec")
+          .agg(count(lit(1)).as("n_videos"),
+            sum(when(col("brand") === "mp42", 1L).otherwise(0L))
+              .as("n_mp42"),
+            sum(col("n_tracks").cast("long")).as("n_tracks"),
+            sum(col("n_audio").cast("long")).as("n_with_audio"),
+            sum(col("w").cast("long")).as("sum_w"),
+            sum(col("h").cast("long")).as("sum_h"),
+            sum("dur_ms").as("sum_dur_ms"),
+            sum("vdur_ms").as("sum_vdur_ms"),
+            max("dur_ms").as("max_dur_ms"))
+          .orderBy("source", "v_codec")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (16 * (1 + doc_id % 120))::BIGINT AS w,
+            (16 * (1 + (doc_id * 3) % 120))::BIGINT AS h,
+            (600 + (doc_id % 1800) * 3)::BIGINT AS ticks,
+            CASE (doc_id % 3) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+              ELSE 'av01' END AS v_codec,
+            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_audio
+          FROM documents)
+        SELECT source, v_codec, count(*)::BIGINT AS n_videos,
+          count(*)::BIGINT AS n_mp42,
+          sum(1 + has_audio)::BIGINT AS n_tracks,
+          sum(has_audio)::BIGINT AS n_with_audio,
+          sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+          sum((ticks * 1000) // 600)::BIGINT AS sum_dur_ms,
+          sum((ticks * 150 * 1000) // 90000)::BIGINT AS sum_vdur_ms,
+          max((ticks * 1000) // 600)::BIGINT AS max_dur_ms
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "MP4 metadata via the real ISO-BMFF box walk: byte-built " +
+        "spec-complete containers re-parsed by the production " +
+        "demuxer-grade walk (ftyp brand, mvhd/mdhd clocks, tkhd 16.16 " +
+        "dims, hdlr/stsd fourccs), oracle-replayed from the id " +
+        "arithmetic — the video twin of the EXIF IFD pin."),
   )
 }
