@@ -103,6 +103,25 @@ object AudioHeader {
       }
     }
 
+  /** Extract the interleaved PCM16 sample stream from a parsed WAV
+    * (16-bit only; None otherwise) — the decode step feeding
+    * [[AudioFingerprint]]'s spectrogram. A trailing odd byte in a
+    * malformed data chunk is dropped, matching [[pcm16Stats]].
+    */
+  def pcm16Samples(bytes: Array[Byte]): Option[Array[Short]] =
+    parse(bytes).filter(_.bitsPerSample == 16).flatMap { _ =>
+      dataChunk(bytes).map { case (off, len) =>
+        val n = ((len - (len % 2)) / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = le16(bytes, off + 2 * i).toShort
+          i += 1
+        }
+        out
+      }
+    }
+
   /** Delta-coded envelope hash — the audio analog of the image dHash
     * and the classic cheap audio near-dup primitive: the PCM16 stream
     * splits into `windows` equal spans (sample i lands in window

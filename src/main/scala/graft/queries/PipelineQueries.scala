@@ -28,6 +28,11 @@ final case class PhashStats(phash: Long, px_sum: Long, px_sumsq: Long)
   */
 final case class DhashStats(dlo: Long, dhi: Long)
 
+/** Typed return row of q_multimodal_audiofp's fingerprint UDF. */
+final case class FpStats(
+    n_frames: Long, peak_fp: Long, n_landmarks: Long, n_lids: Long,
+    lm_fp: Long)
+
 object PipelineQueries extends QueryPack {
 
   /** Fill `gray` with md5-derived bytes: pixel i takes byte i%16 of
@@ -1398,5 +1403,251 @@ object PipelineQueries extends QueryPack {
         "demuxer-grade walk (ftyp brand, mvhd/mdhd clocks, tkhd 16.16 " +
         "dims, hdlr/stsd fourccs), oracle-replayed from the id " +
         "arithmetic — the video twin of the EXIF IFD pin."),
+
+    GraftQuery(
+      "q_multimodal_audiofp", Seq("P6", "D9", "J11"),
+      (s, dir) => {
+        // Spectrogram landmark FINGERPRINT through the real WAV codec
+        // path (AudioFingerprint — the retrieval-grade upgrade of
+        // q_multimodal_audiohash's loudness envelope): the same
+        // token-derived PCM16 clips as q_multimodal_audio are
+        // WAV-encoded, sample-decoded back (pcm16Samples), then
+        // fixed-point-DFT'd (pinned Q11 trig table), per-frame
+        // spectral peaks picked (max |X_k|^2, ties to the low bin),
+        // and consecutive-peak-triples hashed into 512-bucket
+        // landmark ids. The oracle replays the whole computation
+        // relationally — the trig table inlined as a VALUES relation,
+        // peaks via a window rank, triples via self-joins — so
+        // equality pins encode -> sample decode -> integer DFT ->
+        // peak pick -> landmark hash end to end. Scale shape: one
+        // clip per row inside the kernel; the only shuffles are the
+        // doc-keyed regroup and the source aggregate.
+        import graft.operators.{AudioFingerprint, AudioHeader, TextOps}
+        val kernel = udf((samples: Seq[Int]) => {
+          val wav = AudioHeader.synthesizeWavPcm16(
+            8000, samples.map(_.toShort).toArray)
+          val sm = AudioHeader.pcm16Samples(wav).get
+          val peaks = AudioFingerprint.framePeaks(sm)
+          val lms = AudioFingerprint.landmarks(sm)
+          val p = 1000000007L
+          FpStats(peaks.length.toLong,
+            peaks.zipWithIndex.map { case (k, t) => (t * 31L + k) % p }.sum,
+            lms.length.toLong,
+            lms.map(_._2).distinct.length.toLong,
+            lms.map { case (t, lid) => (t * 1000L + lid) % p }.sum)
+        })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
+          .withColumn("sv",
+            expr(TextOps.hash64(
+              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
+              .cast("int"))
+          .groupBy("doc_id", "source")
+          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
+            .as("ps"))
+          .withColumn("st", kernel(expr("transform(ps, x -> x.sv)")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clips"),
+            sum("st.n_frames").as("n_frames"),
+            sum("st.peak_fp").as("peak_fp"),
+            sum("st.n_landmarks").as("n_landmarks"),
+            sum("st.n_lids").as("n_lids"),
+            sum("st.lm_fp").as("lm_fp"))
+          .orderBy("source")
+      },
+      Some {
+        val trig = graft.operators.AudioFingerprint.trigValuesSql
+        s"""WITH tg(k, n, cq, sq) AS (SELECT * FROM (VALUES $trig) v(k, n, cq, sq)),
+        d AS (SELECT doc_id, source,
+            list_filter(string_split(text, ' '), x -> x != '') AS t
+          FROM documents WHERE doc_id % 5 = 0),
+        sm AS (SELECT doc_id, source, i - 1 AS pos,
+            (('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+              (i - 1)::VARCHAR || ':' || t[i]), 1, 15))::BIGINT
+              % 65536 - 32768)::BIGINT AS sv,
+            len(t) AS n
+          FROM (SELECT doc_id, source, t,
+              unnest(range(1, len(t) + 1)) AS i
+            FROM d WHERE len(t) > 0)),
+        fr AS (SELECT doc_id, source, pos // 16 AS t, pos % 16 AS nn, sv
+          FROM sm WHERE pos < (n // 16) * 16),
+        sp AS (SELECT f.doc_id, f.source, f.t, tg.k,
+            sum(f.sv * tg.cq)::BIGINT AS re,
+            sum(f.sv * tg.sq)::BIGINT AS im
+          FROM fr f JOIN tg ON tg.n = f.nn GROUP BY 1, 2, 3, 4),
+        pk AS (SELECT doc_id, source, t, k,
+            row_number() OVER (PARTITION BY doc_id, t
+              ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM sp),
+        peaks AS (SELECT doc_id, source, t, k FROM pk WHERE rn = 1),
+        lm AS (SELECT a.doc_id, a.source, a.t,
+            (a.k - 1) * 64 + (b.k - 1) * 8 + (c.k - 1) AS lid
+          FROM peaks a
+          JOIN peaks b ON b.doc_id = a.doc_id AND b.t = a.t + 1
+          JOIN peaks c ON c.doc_id = a.doc_id AND c.t = a.t + 2),
+        agg_f AS (SELECT source, count(*)::BIGINT AS n_frames,
+            sum((t * 31 + k) % 1000000007)::BIGINT AS peak_fp
+          FROM peaks GROUP BY 1),
+        dl AS (SELECT doc_id, source,
+            count(*)::BIGINT AS nlm,
+            count(DISTINCT lid)::BIGINT AS nl,
+            sum((t * 1000 + lid) % 1000000007)::BIGINT AS fp
+          FROM lm GROUP BY 1, 2),
+        agg_l AS (SELECT source, sum(nlm)::BIGINT AS n_landmarks,
+            sum(nl)::BIGINT AS n_lids, sum(fp)::BIGINT AS lm_fp
+          FROM dl GROUP BY 1),
+        cl AS (SELECT source, count(*)::BIGINT AS n_clips
+          FROM d WHERE len(t) > 0 GROUP BY 1)
+        SELECT cl.source AS source, n_clips,
+          coalesce(n_frames, 0)::BIGINT AS n_frames,
+          coalesce(peak_fp, 0)::BIGINT AS peak_fp,
+          coalesce(n_landmarks, 0)::BIGINT AS n_landmarks,
+          coalesce(n_lids, 0)::BIGINT AS n_lids,
+          coalesce(lm_fp, 0)::BIGINT AS lm_fp
+        FROM cl LEFT JOIN agg_f USING (source)
+          LEFT JOIN agg_l USING (source)
+        ORDER BY source"""
+      },
+      "Spectrogram landmark fingerprints through the real WAV codec " +
+        "path: fixed-point integer DFT over a pinned Q11 trig table, " +
+        "per-frame spectral peaks, consecutive-triple landmark ids — " +
+        "oracle replays the DFT, the peak rank, and the triple hash " +
+        "relationally, the audio twin of the pHash DCT pin."),
+
+    GraftQuery(
+      "q_multimodal_audiodup", Seq("D1", "J11", "P6"),
+      (s, dir) => {
+        // Audio NEAR-DUP search on the banded-dedup discipline — the
+        // audio twin of q_multimodal_neardup, with landmark ids as
+        // the bands: clips in groups of three share a hash-derived
+        // base stream, each member delayed by 0/1/2 whole frames of
+        // leading silence (planted near-dups under time shift — the
+        // transformation envelope hashes are blind to). Each clip is
+        // WAV-encoded, sample-decoded, landmark-fingerprinted; the
+        // catalog self-joins on landmark id (512 buckets — collision
+        // slivers, never all-pairs), aligned-offset counts per
+        // (pair, dt) verify candidates, and score >= 8 declares a
+        // match. The oracle replays silence injection, DFT, peaks,
+        // triples, and the aligned-offset verify relationally;
+        // n_planted_found == n_planted is a MEASURED recall audit of
+        // shift-invariant retrieval.
+        import graft.operators.{AudioFingerprint, AudioHeader, TextOps}
+        val kernel = udf((shift: Int, samples: Seq[Int]) => {
+          val padded = new Array[Short](shift * 16) ++
+            samples.map(_.toShort)
+          val wav = AudioHeader.synthesizeWavPcm16(8000, padded)
+          val sm = AudioHeader.pcm16Samples(wav).get
+          AudioFingerprint.landmarks(sm).map { case (t, lid) =>
+            t * 512 + lid
+          }.toSeq
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        val lmdf = clips
+          .withColumn("j", explode(sequence(lit(0), lit(767))))
+          .withColumn("sv",
+            expr(TextOps.hash64("concat(g, ':', j)") +
+              " % 65536 - 32768").cast("int"))
+          .groupBy("clip", "g", "shift")
+          .agg(sort_array(collect_list(struct(col("j"), col("sv"))))
+            .as("ps"))
+          .withColumn("v",
+            explode(kernel(col("shift"), expr("transform(ps, x -> x.sv)"))))
+          .select(col("clip"), col("g"),
+            expr("v div 512").as("t"), expr("v % 512").as("lid"))
+          .localCheckpoint()
+        val aligned = lmdf.as("a")
+          .join(lmdf.as("b"),
+            col("a.lid") === col("b.lid") && col("a.clip") < col("b.clip"))
+          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
+            (col("b.t") - col("a.t")).as("dt"))
+          .agg(count(lit(1)).as("n_al"))
+          .localCheckpoint()
+        val best = aligned.groupBy("ca", "cb")
+          .agg(max("n_al").as("score"))
+        val matches = best.where(col("score") >= 8).localCheckpoint()
+        val planted = clips.as("a").join(clips.as("b"),
+          col("a.g") === col("b.g") && col("a.clip") < col("b.clip"))
+        val plantedFound = matches
+          .join(clips.select(col("clip").as("ca"), col("g").as("ga")),
+            Seq("ca"))
+          .join(clips.select(col("clip").as("cb"), col("g").as("gb")),
+            Seq("cb"))
+          .where(col("ga") === col("gb"))
+        def metric(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("value"))
+            .select(lit(name).as("metric"), col("value"))
+        metric("n_clips", clips)
+          .unionAll(metric("n_landmarks", lmdf))
+          .unionAll(metric("n_buckets", lmdf.select("lid").distinct()))
+          .unionAll(metric("n_aligned_cells", aligned))
+          .unionAll(metric("n_matches", matches))
+          .unionAll(metric("n_planted", planted))
+          .unionAll(metric("n_planted_found", plantedFound))
+          .orderBy("metric")
+      },
+      Some {
+        val trig = graft.operators.AudioFingerprint.trigValuesSql
+        s"""WITH tg(k, n, cq, sq) AS (SELECT * FROM (VALUES $trig) v(k, n, cq, sq)),
+        cl AS (SELECT doc_id AS clip, doc_id - doc_id % 15 AS g,
+            (doc_id % 15) // 5 AS shift
+          FROM documents WHERE doc_id % 5 = 0),
+        sm AS (SELECT clip, j + shift * 16 AS pos,
+            (('0x' || substr(md5(g::VARCHAR || ':' || j::VARCHAR),
+              1, 15))::BIGINT % 65536 - 32768)::BIGINT AS sv
+          FROM cl, (SELECT unnest(range(768)) AS j) r
+          UNION ALL
+          SELECT clip, j AS pos, 0::BIGINT AS sv
+          FROM cl, (SELECT unnest(range(32)) AS j) r
+          WHERE j < shift * 16),
+        fr AS (SELECT clip, pos // 16 AS t, pos % 16 AS nn, sv FROM sm),
+        sp AS (SELECT f.clip, f.t, tg.k,
+            sum(f.sv * tg.cq)::BIGINT AS re,
+            sum(f.sv * tg.sq)::BIGINT AS im
+          FROM fr f JOIN tg ON tg.n = f.nn GROUP BY 1, 2, 3),
+        pk AS (SELECT clip, t, k,
+            row_number() OVER (PARTITION BY clip, t
+              ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM sp),
+        peaks AS (SELECT clip, t, k FROM pk WHERE rn = 1),
+        lm AS (SELECT a.clip, a.t,
+            (a.k - 1) * 64 + (b.k - 1) * 8 + (c.k - 1) AS lid
+          FROM peaks a
+          JOIN peaks b ON b.clip = a.clip AND b.t = a.t + 1
+          JOIN peaks c ON c.clip = a.clip AND c.t = a.t + 2),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM lm a JOIN lm b ON a.lid = b.lid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        best AS (SELECT ca, cb, max(n_al) AS score
+          FROM aligned GROUP BY 1, 2),
+        matches AS (SELECT ca, cb FROM best WHERE score >= 8),
+        planted AS (SELECT a.clip AS ca, b.clip AS cb
+          FROM cl a JOIN cl b ON a.g = b.g AND a.clip < b.clip)
+        SELECT 'n_aligned_cells' AS metric,
+          (SELECT count(*) FROM aligned)::BIGINT AS value
+        UNION ALL SELECT 'n_buckets',
+          (SELECT count(DISTINCT lid) FROM lm)::BIGINT
+        UNION ALL SELECT 'n_clips', (SELECT count(*) FROM cl)::BIGINT
+        UNION ALL SELECT 'n_landmarks', (SELECT count(*) FROM lm)::BIGINT
+        UNION ALL SELECT 'n_matches',
+          (SELECT count(*) FROM matches)::BIGINT
+        UNION ALL SELECT 'n_planted',
+          (SELECT count(*) FROM planted)::BIGINT
+        UNION ALL SELECT 'n_planted_found',
+          (SELECT count(*) FROM matches m JOIN cl a ON a.clip = m.ca
+            JOIN cl b ON b.clip = m.cb WHERE a.g = b.g)::BIGINT
+        ORDER BY metric"""
+      },
+      "Audio near-duplicate retrieval with the banded-dedup " +
+        "discipline: landmark fingerprints as 512-bucket LSH bands, " +
+        "candidate self-join on landmark id, aligned-offset verify — " +
+        "planted whole-frame time shifts recovered with a measured " +
+        "recall audit, the shift-invariance the envelope hash lacks."),
   )
 }
