@@ -38,9 +38,9 @@ object Multimodal {
     StructField("phash", LongType, nullable = false),
     StructField("sig", StringType, nullable = false)))
 
-  /** Typed form of the per-blob feature row — the shared kernel
-    * behind [[decodeFeatures]] (batch Row form) and
-    * [[featuresColumn]] (the streaming-capable struct column).
+  /** Typed form of the per-blob feature row — the kernel behind
+    * [[featuresColumn]] (the struct column both batch and streaming
+    * callers share).
     */
   final case class MediaFeatures(
       n_bytes: Long, n_chunks: Int, format: String,
@@ -86,20 +86,12 @@ object Multimodal {
     }
   }
 
-  /** Batch Row form of [[featuresOf]] (kept for the RDD plumbing). */
-  def decodeFeatures(bytes: Array[Byte], chunkSize: Int): Row = {
-    val f = featuresOf(bytes, chunkSize)
-    Row(f.n_bytes, f.n_chunks, f.format, f.width, f.height, f.decoded,
-      f.px_sum, f.px_sumsq, f.dhash, f.phash, f.sig)
-  }
-
-  /** The decode kernel as a struct COLUMN — the streaming-capable
-    * twin of [[withDecodedFeatures]], whose RDD mapPartitions cannot
-    * run on a streaming DataFrame. `df.withColumn("mf",
+  /** The decode kernel as a struct COLUMN — the single entry point
+    * both [[withDecodedFeatures]] (batch convenience) and streaming
+    * plans build on. `df.withColumn("mf",
     * featuresColumn(col("media"))).select($"*", $"mf.*")` yields the
-    * same columns as the batch operator on any (batch or streaming)
-    * frame; null media decodes like empty bytes, matching the batch
-    * null handling.
+    * same columns on any (batch or streaming) frame; null media
+    * decodes like empty bytes.
     */
   def featuresColumn(
       media: org.apache.spark.sql.Column,
@@ -110,29 +102,26 @@ object Multimodal {
     f(media)
   }
 
-  /** Attach decoded features to a DataFrame's binary column via
-    * partition-batched iteration (the mapInPandas analog in Scala).
+  /** Attach decoded features to a DataFrame's binary (or UTF-8
+    * string) column. Delegates to [[featuresColumn]] — ONE kernel
+    * entry point, so batch callers get the same column pruning /
+    * codegen-friendly plan as streaming callers instead of an RDD Row
+    * round-trip (a string column casts to its UTF-8 bytes, matching
+    * the historical RDD-form contract; null media decodes like empty
+    * bytes).
     */
   def withDecodedFeatures(
       df: DataFrame,
       binaryCol: String,
       chunkSize: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields ++ featureSchema.fields)
-    val binIdx = df.schema.fieldIndex(binaryCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      // batch shape: the stub is called per row but a codec would get
-      // the whole iterator to batch I/O — keep that structure
-      it.map { row =>
-        val bytes = row.get(binIdx) match {
-          case b: Array[Byte] => b
-          case s: String => s.getBytes("UTF-8")
-          case null => Array.empty[Byte]
-        }
-        Row.fromSeq(row.toSeq ++ decodeFeatures(bytes, chunkSize).toSeq)
-      }
+    val bin = df.schema(binaryCol).dataType match {
+      case BinaryType => col(binaryCol)
+      case _ => col(binaryCol).cast(BinaryType)
     }
-    spark.createDataFrame(rdd, outSchema)
+    val cols = df.columns.map(col) ++
+      featureSchema.fieldNames.map(f => col("__mf").getField(f).as(f))
+    df.withColumn("__mf", featuresColumn(bin, chunkSize))
+      .select(cols.toIndexedSeq: _*)
   }
 
   /** Feature row the audio "decoder" emits per media blob: REAL

@@ -852,7 +852,7 @@ object PipelineQueries extends QueryPack {
       "q_multimodal_features", Seq("P6", "D9", "S10"),
       (s, dir) => {
         // The REAL feature-extraction operator under the oracle gate:
-        // Multimodal.withDecodedFeatures (the mapPartitions decode
+        // Multimodal.withDecodedFeatures (the featuresColumn decode
         // plumbing itself, not a query-local kernel) runs over
         // actual PNG bytes synthesized per doc, and the oracle
         // recomputes every emitted feature from the pixel definition
