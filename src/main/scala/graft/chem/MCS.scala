@@ -62,23 +62,30 @@ object MCS {
         }
       }.sum / 2
 
-    def record(mapAB: Map[Int, Int]): Unit =
-      if (mapAB.size >= bestAtoms) {
-        val bonds = countBonds(mapAB)
-        // FindMCS seeds from common BONDS: an atom-only overlap (no
-        // compatible bond) is no MCS at all, e.g. benzene/cyclohexane
-        if (bonds < 1) return
-        if (mapAB.size > bestAtoms ||
-          (mapAB.size == bestAtoms && bonds > bestBonds)) {
-          bestAtoms = mapAB.size; bestBonds = bonds
-        }
+    def record(mapAB: Map[Int, Int]): Unit = {
+      val bonds = countBonds(mapAB)
+      // FindMCS seeds from common BONDS: an atom-only overlap (no
+      // compatible bond) is no MCS at all, e.g. benzene/cyclohexane
+      if (bonds < 1) return
+      // FindMCS default objective is maximizeBonds=True: the BEST
+      // common subgraph is the one with the most bonds (atoms break
+      // ties) — NOT the most atoms. The two disagree exactly when a
+      // denser (ring-heavy) overlap with fewer atoms competes with a
+      // longer tree-shaped one, and the (atoms+bonds) score differs
+      // with it.
+      if (bonds > bestBonds ||
+        (bonds == bestBonds && mapAB.size > bestAtoms)) {
+        bestAtoms = mapAB.size; bestBonds = bonds
       }
+    }
 
     def grow(mapAB: Map[Int, Int], usedB: Set[Int]): Unit = {
       if (states >= effBudget) { record(mapAB); return }
       if (!visited.add(stateKey(mapAB))) return // mapping already explored
       states += 1
-      if (mapAB.size > bestAtoms) record(mapAB)
+      // matched bonds grow monotonically with the map, so recording at
+      // leaves (and at budget exhaustion) dominates every prefix —
+      // no mid-path record needed under either objective
       // candidate extensions: adjacent compatible pairs (deterministic order)
       val cands = (for {
         (ai, bi) <- mapAB.toSeq.sortBy(_._1)
