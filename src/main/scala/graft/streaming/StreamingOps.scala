@@ -2221,4 +2221,141 @@ object StreamingOps {
           Iterator.single(EntropySnapshot(u, n, counts.size.toLong, h))
       }
   }
+
+  /** Static side for [[imageNearDupStream]] / [[imageFunnelStream]]:
+    * the pHash band table of an already-ingested image corpus —
+    * production decode (Multimodal.featuresColumn, undecodable blobs
+    * drop: a zero pHash must not become a collision magnet), the same
+    * 7 x 9-bit bands as the batch near-dup (q_multimodal_neardup).
+    * Persist it and reuse across queries; at scale it is a plain
+    * hash-partitioned static relation keyed by (band, key).
+    */
+  def imageNearDupStaticSide(
+      corpus: DataFrame, // idCol, mediaCol
+      idCol: String = "img",
+      mediaCol: String = "media"): DataFrame =
+    corpus
+      .withColumn("__mf",
+        graft.operators.Multimodal.featuresColumn(col(mediaCol)))
+      .where(col("__mf.decoded"))
+      .select(col(idCol).as("dup_of"),
+        col("__mf.phash").as("corpus_phash"))
+      .withColumn("j", explode(sequence(lit(0), lit(6))))
+      .withColumn("bk", expr("shiftright(corpus_phash, j * 9) & 511"))
+      .select("j", "bk", "dup_of", "corpus_phash")
+      .distinct()
+
+  /** Streaming image near-dup flagging against a static corpus — the
+    * streaming twin of q_multimodal_neardup for a continuously-
+    * arriving media feed: each arriving blob runs the production
+    * decode column (stateless), its pHash explodes into the 7 x 9-bit
+    * LSH bands, and an equi-join to the precomputed corpus band table
+    * yields candidates, verified at hamming <= `maxHamming` (the
+    * pigeonhole guarantee carries over: <= 6 flipped bits cannot
+    * dirty all 7 bands, so recall vs the corpus is exact at the
+    * verify threshold). Self-matches (same id in feed and corpus) are
+    * excluded. A watermarked per-(window, id) max/min folds the band
+    * rows to ONE verdict row; undecodable blobs emit a verdict row
+    * with is_neardup = false and decoded = false (the funnel needs
+    * the drop accounting). The stream side never shuffles more than
+    * its own micro-batch; the corpus bands are a static equi-join
+    * side.
+    *
+    * Output: bucket, <idCol>, decoded, is_neardup, dup_of (smallest
+    * verified corpus id, null when none).
+    */
+  def imageNearDupStream(
+      images: DataFrame, // idCol, mediaCol, tsCol
+      corpus: DataFrame, // idCol, mediaCol
+      idCol: String = "img",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      maxHamming: Int = 6,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val corpusBands = staticSide.getOrElse(
+      imageNearDupStaticSide(corpus, idCol, mediaCol).persist())
+    bandProbe(images, corpusBands, idCol, mediaCol, tsCol, watermark,
+        maxHamming, onlySmallerIds = false)
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(col("decoded")).as("decoded"),
+        max(col("dup_of").isNotNull).as("is_neardup"),
+        min(col("dup_of")).as("dup_of"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("decoded"), col("is_neardup"), col("dup_of"))
+  }
+
+  /** Shared stateless probe: decode column -> band explode -> corpus
+    * band join -> hamming verify. Non-decoded rows pass through on a
+    * sentinel band (-1) that can never match a corpus band, so every
+    * arriving id reaches the verdict aggregation exactly once per
+    * matched band row (or once unmatched). `onlySmallerIds` keeps the
+    * batch dedup discipline (drop only when an EARLIER — smaller-id —
+    * near-dup exists), which makes survivor sets deterministic
+    * whatever the arrival order.
+    */
+  private def bandProbe(
+      images: DataFrame, corpusBands: DataFrame, idCol: String,
+      mediaCol: String, tsCol: String, watermark: String,
+      maxHamming: Int, onlySmallerIds: Boolean): DataFrame = {
+    val verified =
+      expr(s"bit_count(phash ^ corpus_phash) <= $maxHamming") &&
+        col("dup_of") =!= col(idCol) &&
+        (if (onlySmallerIds) col("dup_of") < col(idCol) else lit(true))
+    images.withWatermark(tsCol, watermark)
+      .withColumn("__mf",
+        graft.operators.Multimodal.featuresColumn(col(mediaCol)))
+      .select(col(idCol), col(tsCol), col("__mf.decoded").as("decoded"),
+        col("__mf.px_sum").as("px_sum"), col("__mf.phash").as("phash"))
+      .withColumn("j", explode(when(col("decoded"),
+        sequence(lit(0), lit(6))).otherwise(array(lit(-1)))))
+      .withColumn("bk", expr("shiftright(phash, j * 9) & 511"))
+      .join(corpusBands, Seq("j", "bk"), "left")
+      .withColumn("dup_of", when(verified, col("dup_of")))
+  }
+
+  /** The streaming IMAGE-corpus build funnel — the online composition
+    * of q_pipeline_images' stages, the way the text funnel relays
+    * quality -> cluster-assign -> contamination -> pack: arriving
+    * media runs ONE decode-column pass, then the decode gate, the
+    * luminance quality gate (mean gray < `lumaMax`), and the banded
+    * near-dup assignment against the already-ingested catalog with
+    * the batch discipline (drop only on a SMALLER-id verified
+    * near-dup, so the survivor set is arrival-order-independent and
+    * equals the batch funnel's kept set when the catalog is the batch
+    * corpus). One watermarked aggregation emits one verdict row per
+    * image with full funnel accounting.
+    *
+    * Output: bucket, <idCol>, decoded, quality_ok, is_neardup,
+    * dup_of, survived.
+    */
+  def imageFunnelStream(
+      images: DataFrame, // idCol, mediaCol, tsCol
+      corpus: DataFrame, // idCol, mediaCol
+      idCol: String = "img",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      lumaMax: Int = 170,
+      maxHamming: Int = 6,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val corpusBands = staticSide.getOrElse(
+      imageNearDupStaticSide(corpus, idCol, mediaCol).persist())
+    bandProbe(images, corpusBands, idCol, mediaCol, tsCol, watermark,
+        maxHamming, onlySmallerIds = true)
+      .withColumn("quality_ok",
+        col("decoded") && expr(s"px_sum div 1024 < $lumaMax"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(col("decoded")).as("decoded"),
+        max(col("quality_ok")).as("quality_ok"),
+        max(col("dup_of").isNotNull && col("quality_ok"))
+          .as("is_neardup"),
+        min(when(col("quality_ok"), col("dup_of"))).as("dup_of"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("decoded"), col("quality_ok"), col("is_neardup"),
+        col("dup_of"),
+        (col("quality_ok") && !col("is_neardup")).as("survived"))
+  }
 }

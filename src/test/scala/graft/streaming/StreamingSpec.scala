@@ -127,6 +127,130 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup probe matches q_multimodal_neardup's " +
+    "verdict set across a mid-stream batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PixelDecode
+    // the q_multimodal_neardup image convention, verbatim: two images
+    // per doc, every 3rd doc's second image a 1-px perturbation of
+    // its first (planted near-dup), the rest independent
+    def mkPng(docId: Long, v: Int): Array[Byte] = {
+      val gray = new Array[Int](1024)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val key = (blk: Int) =>
+        if (v == 0 || docId % 3 == 0) s"$docId:$blk" else s"$docId:b:$blk"
+      (0 until 64).foreach { blk =>
+        val d = md.digest(key(blk).getBytes("US-ASCII"))
+        (0 until 16).foreach(o => gray(blk * 16 + o) = d(o) & 0xff)
+      }
+      if (v == 1 && docId % 3 == 0) gray(1023) = (gray(1023) + 1) % 256
+      PixelDecode.encodePngGray(32, 32, gray)
+    }
+    val imgs = for (d <- 0L until 15L; v <- 0 to 1)
+      yield (d * 2 + v, mkPng(d, v))
+    // exact all-pairs truth at spec scale: img is a near-dup iff ANY
+    // other image sits at hamming <= 6
+    def ph(png: Array[Byte]): Long = {
+      val px = PixelDecode.decode(png).get
+      PixelDecode.pHash(PixelDecode.grayLuma(px), px.width, px.height)
+    }
+    val hashes = imgs.map { case (id, png) => id -> ph(png) }
+    val truth = hashes.map { case (id, h) =>
+      id -> hashes.exists { case (id2, h2) =>
+        id2 != id && java.lang.Long.bitCount(h ^ h2) <= 6
+      }
+    }.toMap
+    assert(truth.values.count(identity) >= 10) // planted pairs present
+    val corpus = imgs.toDF("img", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.imageNearDupStream(
+      feed.toDF().toDF("img", "media", "ts"), corpus,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("img_neardup")
+      .outputMode("update").start()
+    try {
+      val rows = imgs.map { case (id, png) =>
+        (id, png, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      // mid-stream split: half the feed per micro-batch
+      rows.grouped(rows.size / 2 + 1).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("img_neardup")
+        .groupBy("img").agg(max("is_neardup").as("nd"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(got === truth)
+    } finally q.stop()
+  }
+
+  test("streaming image-corpus funnel matches the batch " +
+    "q_pipeline_images survivor set across a mid-stream batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PixelDecode
+    // the q_pipeline_images byte convention, verbatim: corrupt every
+    // 13th doc's second image (truncated PNG), per-doc luma shift
+    // (doc_id%7 * 20, clipped), planted 1-px near-dup every 3rd doc
+    def mkBytes(docId: Long, v: Int): Array[Byte] = {
+      val gray = new Array[Int](1024)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val key = (blk: Int) =>
+        if (v == 0 || docId % 3 == 0) s"$docId:$blk" else s"$docId:b:$blk"
+      (0 until 64).foreach { blk =>
+        val d = md.digest(key(blk).getBytes("US-ASCII"))
+        (0 until 16).foreach(o => gray(blk * 16 + o) = d(o) & 0xff)
+      }
+      val shift = (docId % 7).toInt * 20
+      (0 until 1024).foreach(i => gray(i) = math.min(gray(i) + shift, 255))
+      if (v == 1 && docId % 3 == 0) gray(1023) = (gray(1023) + 1) % 256
+      val png = PixelDecode.encodePngGray(32, 32, gray)
+      if (docId % 13 == 0 && v == 1) png.take(30) else png
+    }
+    val imgs = for (d <- 0L until 14L; v <- 0 to 1)
+      yield (d * 2 + v, mkBytes(d, v))
+    // batch funnel truth, computed from the operator definitions:
+    // decode gate -> mean-gray < 170 -> drop on smaller-id near-dup
+    val feats = imgs.flatMap { case (id, png) =>
+      PixelDecode.decode(png).map { px =>
+        val g = PixelDecode.grayLuma(px)
+        (id, g.map(_.toLong).sum, PixelDecode.pHash(g, 32, 32))
+      }
+    }
+    val qual = feats.filter(_._2 / 1024 < 170)
+    val kept = qual.filter { case (id, _, h) =>
+      !qual.exists { case (id2, _, h2) =>
+        id2 < id && java.lang.Long.bitCount(h ^ h2) <= 6
+      }
+    }.map(_._1).toSet
+    assert(kept.size < qual.size) // the dedup stage actually cuts
+    assert(qual.size < feats.size || feats.size < imgs.size)
+    val corpus = imgs.toDF("img", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.imageFunnelStream(
+      feed.toDF().toDF("img", "media", "ts"), corpus,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("img_funnel")
+      .outputMode("update").start()
+    try {
+      val rows = imgs.map { case (id, png) =>
+        (id, png, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(rows.size / 2 + 1).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val table = spark.table("img_funnel")
+        .groupBy("img").agg(max("decoded").as("decoded"),
+          max("quality_ok").as("q"), max("survived").as("s"))
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+      // every image gets a verdict row, including the corrupt ones
+      assert(table.map(_._1).toSet === imgs.map(_._1).toSet)
+      assert(table.filter(!_._2).map(_._1).toSet ===
+        imgs.map(_._1).toSet -- feats.map(_._1).toSet)
+      assert(table.filter(_._3).map(_._1).toSet ===
+        qual.map(_._1).toSet)
+      assert(table.filter(_._4).map(_._1).toSet === kept)
+    } finally q.stop()
+  }
+
   test("streaming keyframe detection matches the batch lag-window " +
     "detector across a mid-clip batch split; state is one frame per " +
     "clip") {
