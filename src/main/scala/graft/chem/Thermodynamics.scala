@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * reference has the same caveat shape — without its eQuilibrator
   * sqlite cache it cannot compute real ∆G either.
   *
+  * "Calibration-grade" as a MEASURED number (ThermodynamicsSpec's
+  * held-out audit vs the Alberty table, which never fed the group
+  * constants): max |∆Gf° error| = 547 kJ/mol, rms = 278 kJ/mol over
+  * 17 species, with a systematic negative bias on oxygenated
+  * carbons. The ordering contract the ThermoFilter gate consumes
+  * holds on the same held-out set; absolute ∆G values from this
+  * model must not be quoted as physical.
+  *
   * Scalar functions pair with Column twins (`legendreCol`,
   * `isomerGroupCol` composition) sharing the same constants, so
   * distributed grids and the driver-side filter path provably agree.

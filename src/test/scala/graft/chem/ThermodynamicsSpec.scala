@@ -165,6 +165,70 @@ class ThermodynamicsSpec extends SparkSuite {
     assert(math.abs((f8 - f7) - 6 * rtLn10()) < 1e-9)
   }
 
+  test("group model: MEASURED |ΔGf°| error bound vs the Alberty table " +
+    "(held-out — the table never fed the group constants)") {
+    // The 'calibration-grade' label as a number: for every Alberty
+    // table compound whose dominant species has a drawable structure,
+    // compare the group-contribution ΔGf° (I=0) against the published
+    // species value matched by (nH, charge). The group constants were
+    // chosen for oxidation-state ORDERING (the ThermoFilter gate's
+    // contract), never fitted to these absolutes, so this is a
+    // held-out error audit.
+    val cases: Seq[(String, String)] = Seq(
+      "water" -> "O",
+      "acetate" -> "CC(=O)[O-]",
+      "ethanol" -> "CCO",
+      "acetaldehyde" -> "CC=O",
+      "formate" -> "C(=O)[O-]",
+      "lactate" -> "CC(O)C(=O)[O-]",
+      "pyruvate" -> "CC(=O)C(=O)[O-]",
+      "succinate" -> "[O-]C(=O)CCC(=O)[O-]",
+      "fumarate" -> "[O-]C(=O)C=CC(=O)[O-]",
+      "malate" -> "[O-]C(=O)CC(O)C(=O)[O-]",
+      "citrate" -> "[O-]C(=O)CC(O)(CC(=O)[O-])C(=O)[O-]",
+      "glucose" -> "OCC1OC(O)C(O)C(O)C1O",
+      "glycerol" -> "OCC(O)CO",
+      "ammonia" -> "N",
+      "glucose6phos" -> "OC1OC(COP(=O)([O-])[O-])C(O)C(O)C1O",
+      "pi" -> "OP(=O)([O-])[O-]",
+      "co2tot" -> "OC(=O)O")
+    val errs = cases.map { case (name, smi) =>
+      val m = Smiles.parse(smi)
+      val sp = speciesOf(m)
+      val ref = Thermodynamics.speciesTable(name)
+        .find(s => s.charge == sp.charge)
+        .getOrElse(fail(s"$name: no table species at charge ${sp.charge}"))
+      // the structure must carry the species' hydrogen count — a
+      // mismatch would compare different protonation states
+      assert(sp.nH === ref.nH, s"$name: nH ${sp.nH} vs table ${ref.nH}")
+      val err = groupFormationEnergy(m) - ref.dGf0
+      info(f"$name%-14s group=${groupFormationEnergy(m)}%9.1f " +
+        f"table=${ref.dGf0}%9.1f err=$err%8.1f kJ/mol")
+      name -> err
+    }
+    val maxAbs = errs.map { case (_, e) => math.abs(e) }.max
+    val rms = math.sqrt(
+      errs.map { case (_, e) => e * e }.sum / errs.size)
+    info(f"max |err| = $maxAbs%.1f kJ/mol, rms = $rms%.1f kJ/mol " +
+      f"over ${errs.size} held-out species")
+    // the measured bound, pinned (round 15: max 547.3, rms 277.9 —
+    // a systematic negative bias on oxygenated carbons): the
+    // estimator is calibration-grade, NOT quantitative — regressed
+    // component-contribution constants would be needed for that
+    // (eQuilibrator's artifact, unavailable offline; the reference
+    // has the same caveat without its cache)
+    assert(maxAbs <= 560.0,
+      f"held-out |err| grew past the documented bound: $maxAbs%.1f")
+    assert(rms <= 290.0,
+      f"held-out rms error grew past the documented bound: $rms%.1f")
+    // and the gate's actual contract survives on the same held-out
+    // set: oxidation ordering (carboxylate below carbonyl below
+    // alkane; alcohols below alkanes)
+    val g = (s: String) => groupFormationEnergy(Smiles.parse(s))
+    assert(g("CC(=O)[O-]") < g("CC=O") && g("CC=O") < g("CC"))
+    assert(g("CCO") < g("CC"))
+  }
+
   test("ThermoFilter.componentContribution keeps the formation-energy " +
     "sign convention: dG'r = Σ products − Σ reactants") {
     // Thermo.deltaG sums model(reactants) − model(products) with the
