@@ -118,12 +118,18 @@ object PixelDecode {
       val dataAt = pos + 8
       ctype match {
         case "IHDR" =>
+          // spec: IHDR carries exactly 13 bytes; a hostile shorter
+          // length must fail HERE, deliberately — not by the outer
+          // NonFatal catch swallowing an out-of-bounds read
+          if (len < 13) return None
           w = be32(dataAt); h = be32(dataAt + 4)
           bitDepth = b(dataAt + 8) & 0xff
           colorType = b(dataAt + 9) & 0xff
           interlace = b(dataAt + 12) & 0xff
           sawIhdr = true
         case "PLTE" =>
+          // spec: palette length is a multiple of 3 (RGB triples)
+          if (len % 3 != 0) return None
           palette = (0 until len / 3).map { j =>
             ((b(dataAt + 3 * j) & 0xff) << 16) |
               ((b(dataAt + 3 * j + 1) & 0xff) << 8) |

@@ -87,6 +87,12 @@ class PixelDecodeSpec extends AnyFunSuite {
     val wrap = png.clone()
     wrap(8) = 0x7f.toByte // IHDR length -> 0x7f00000d
     assert(PixelDecode.decodePngPure(wrap) === None)
+    // a hostile IHDR with len < 13 must return None via the explicit
+    // per-chunk length check, not via exception control flow
+    val shortIhdr = png.clone()
+    shortIhdr(8) = 0; shortIhdr(9) = 0; shortIhdr(10) = 0
+    shortIhdr(11) = 4 // IHDR claims only 4 payload bytes
+    assert(PixelDecode.decodePngPure(shortIhdr) === None)
   }
 
   test("resizeArea: identity, exact known boxes, and agreement with a " +
