@@ -2315,6 +2315,79 @@ object StreamingOps {
       .withColumn("dup_of", when(verified, col("dup_of")))
   }
 
+  /** Static side for [[audioMatchStream]]: the landmark table of a
+    * fingerprinted WAV catalog — one (landmark id, clip, frame) row
+    * per consecutive-peak triple (AudioFingerprint.landmarks through
+    * the real sample decode). 512 landmark buckets; persist and reuse.
+    */
+  def audioFpStaticSide(
+      catalog: DataFrame, // idCol, mediaCol (WAV bytes)
+      idCol: String = "clip",
+      mediaCol: String = "media"): DataFrame = {
+    val lms = udf { bytes: Array[Byte] =>
+      graft.operators.AudioHeader
+        .pcm16Samples(if (bytes == null) Array.empty[Byte] else bytes)
+        .map(graft.operators.AudioFingerprint.landmarks)
+        .getOrElse(Array.empty[(Int, Int)])
+        .map { case (t, lid) => t * 512 + lid }.toSeq
+    }
+    catalog
+      .withColumn("__lm", explode(lms(col(mediaCol))))
+      .select(col(idCol).as("cat_clip"),
+        expr("__lm div 512").as("cat_t"), expr("__lm % 512").as("lid"))
+  }
+
+  /** Streaming audio landmark matching against a static catalog — the
+    * audio twin of [[imageNearDupStream]] and the online form of
+    * q_multimodal_audiodup's retrieval: each arriving WAV blob is
+    * landmark-fingerprinted (stateless: sample decode + integer DFT +
+    * peak triples), its landmarks equi-join the catalog's 512-bucket
+    * landmark table (collision slivers, never all-pairs), and a
+    * watermarked count per (window, clip, catalog clip, time offset)
+    * yields the aligned-match evidence; rows meeting `minAligned`
+    * ship as match verdicts — one row per (catalog clip, offset), the
+    * Shazam decision shape (a true match concentrates its count at
+    * ONE offset; random collisions spread thin and never reach the
+    * threshold). A blob's whole landmark set rides on its single
+    * input row, so one stateful aggregation completes the match — no
+    * chained streaming aggs. Self-matches are excluded.
+    *
+    * Output: bucket, <idCol>, cat_clip, dt (frame offset stream −
+    * catalog), n_aligned (>= minAligned).
+    */
+  def audioMatchStream(
+      clips: DataFrame, // idCol, mediaCol, tsCol
+      catalog: DataFrame, // idCol, mediaCol
+      idCol: String = "clip",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      minAligned: Int = 8,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val catalogLms = staticSide.getOrElse(
+      audioFpStaticSide(catalog, idCol, mediaCol).persist())
+    val lms = udf { bytes: Array[Byte] =>
+      graft.operators.AudioHeader
+        .pcm16Samples(if (bytes == null) Array.empty[Byte] else bytes)
+        .map(graft.operators.AudioFingerprint.landmarks)
+        .getOrElse(Array.empty[(Int, Int)])
+        .map { case (t, lid) => t * 512 + lid }.toSeq
+    }
+    clips.withWatermark(tsCol, watermark)
+      .withColumn("__lm", explode(lms(col(mediaCol))))
+      .withColumn("t", expr("__lm div 512"))
+      .withColumn("lid", expr("__lm % 512"))
+      .join(catalogLms, Seq("lid"))
+      .where(col("cat_clip") =!= col(idCol))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol),
+        col("cat_clip"), (col("t") - col("cat_t")).as("dt"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .where(col("n_aligned") >= minAligned)
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("cat_clip"), col("dt"), col("n_aligned"))
+  }
+
   /** The streaming IMAGE-corpus build funnel — the online composition
     * of q_pipeline_images' stages, the way the text funnel relays
     * quality -> cluster-assign -> contamination -> pack: arriving

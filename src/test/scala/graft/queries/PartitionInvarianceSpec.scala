@@ -66,7 +66,13 @@ class PartitionInvarianceSpec extends SparkSuite {
     // shuffles — invariance pins that no partition-order dependence
     // crept into the kernels or the collect_list sort
     "q_multimodal_phash", "q_multimodal_neardup", "q_path_enum",
-    "q_multimodal_audiohash")
+    "q_multimodal_audiohash",
+    // round-15 wave: the video box walk and the audio landmark path
+    // are integer-exact per row, but the landmark LSH self-join, the
+    // aligned-offset verify, the peak-rank window, and the sample-
+    // table extraction all pass through shuffles/collect_list sorts
+    "q_multimodal_video", "q_multimodal_audiofp",
+    "q_multimodal_audiodup", "q_multimodal_mp4frames")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -219,6 +219,14 @@ class PlanAuditSpec extends SparkSuite {
       // (q_path_enum's scans live inside the loop's checkpointed
       // rounds — its final plan has no file leaves to audit)
       ("q_multimodal_keyframes", "documents.parquet",
+        Set("doc_id", "source")),
+      // round-15 media queries: container synthesis + parse take
+      // doc_id only — the text column must never reach the scan
+      ("q_multimodal_video", "documents.parquet",
+        Set("doc_id", "source")),
+      ("q_multimodal_mp4frames", "documents.parquet",
+        Set("doc_id", "source")),
+      ("q_multimodal_audiodup", "documents.parquet",
         Set("doc_id", "source")))
     val bad = cases.flatMap { case (q, f, allowed) =>
       val schemas = readSchemas(q, f)

@@ -251,6 +251,66 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming audio landmark match recovers planted time-shifted " +
+    "clips against a static catalog across a mid-stream batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AudioFingerprint, AudioHeader}
+    // 3 groups of 3 clips sharing a base stream, members delayed by
+    // 0/1/2 whole frames of silence — the q_multimodal_audiodup plant
+    val rnd = new scala.util.Random(21)
+    val bases = Array.fill(3)(
+      Array.fill[Short](768)((rnd.nextInt(65536) - 32768).toShort))
+    val clipSamples = (0 until 9).map { id =>
+      id.toLong -> (new Array[Short]((id % 3) * 16) ++ bases(id / 3))
+    }
+    val clipWavs = clipSamples.map { case (id, s) =>
+      id -> AudioHeader.synthesizeWavPcm16(8000, s)
+    }
+    // exact truth from the kernel: aligned-count cells >= 8, self
+    // matches excluded, dt = stream frame - catalog frame
+    val lms = clipSamples.map { case (id, s) =>
+      id -> AudioFingerprint.landmarks(s)
+    }.toMap
+    val truth = (for {
+      (a, la) <- lms.toSeq; (b, lb) <- lms.toSeq if a != b
+      ((ta, lida), (tb, lidb)) <- for {
+        x <- la.toSeq; y <- lb.toSeq if x._2 == y._2
+      } yield (x, y)
+    } yield ((a, b, (ta - tb).toLong), 1))
+      .groupBy(_._1).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 8L)
+      .map { case ((a, b, dt), n) => (a, b, dt, n) }.toSet
+    assert(truth.nonEmpty && truth.size >= 6) // each group: 3 ordered pairs
+    val catalog = clipWavs.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.audioMatchStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("audio_match")
+      .outputMode("append").start()
+    try {
+      val rows = clipWavs.map { case (id, wav) =>
+        (id, wav, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(5).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // append mode: windowed agg rows finalize at watermark close —
+      // push late-window rows to advance the watermark and flush (two
+      // batches: one carries the new event time, the next emits)
+      feed.addData((100L, clipWavs.head._2,
+        Timestamp.valueOf("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      feed.addData((101L, clipWavs.head._2,
+        Timestamp.valueOf("2024-01-02 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("audio_match")
+        .select("clip", "cat_clip", "dt", "n_aligned")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === truth)
+    } finally q.stop()
+  }
+
   test("streaming keyframe detection matches the batch lag-window " +
     "detector across a mid-clip batch split; state is one frame per " +
     "clip") {
