@@ -583,18 +583,18 @@ object PipelineQueries extends QueryPack {
           WavStats(info.nSamples, info.durationMs, st.peak, rms,
             st.nClipped)
         })
-        val samples = Tables.load(s, dir, "documents")
+        // samples derive IN-ROW via transform's index lambda — no
+        // posexplode + regroup shuffle; the whole query is
+        // shuffle-free up to the final sort (round-15 plan cleanup)
+        Tables.load(s, dir, "documents")
           .where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
-          .withColumn("sv",
-            expr(TextOps.hash64(
-              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
-              .cast("int"))
-        samples.groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
-            .as("ps"))
-          .withColumn("st", decode(expr("transform(ps, x -> x.sv)")))
+          .withColumn("ts", TextOps.tokens("text"))
+          .where(size(col("ts")) > 0) // explode used to drop these
+          .withColumn("sm", expr(
+            "transform(ts, (w, i) -> cast(" +
+              TextOps.hash64("concat(doc_id, ':', i, ':', w)") +
+              " % 65536 - 32768 as int))"))
+          .withColumn("st", decode(col("sm")))
           .select(col("doc_id"), col("st.n_samples"),
             col("st.duration_ms"), col("st.peak"), col("st.rms_x1000"),
             col("st.n_clipped"))
@@ -646,16 +646,13 @@ object PipelineQueries extends QueryPack {
         })
         Tables.load(s, dir, "documents")
           .where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("source"),
-            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
-          .withColumn("sv",
-            expr(TextOps.hash64(
-              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
-              .cast("int"))
-          .groupBy("doc_id", "source")
-          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
-            .as("ps"))
-          .withColumn("st", kernel(expr("transform(ps, x -> x.sv)")))
+          .withColumn("ts", TextOps.tokens("text"))
+          .where(size(col("ts")) > 0)
+          .withColumn("sm", expr(
+            "transform(ts, (w, i) -> cast(" +
+              TextOps.hash64("concat(doc_id, ':', i, ':', w)") +
+              " % 65536 - 32768 as int))"))
+          .withColumn("st", kernel(col("sm")))
           .groupBy("source")
           .agg(count(lit(1)).as("n_clips"),
             sum(col("st.dlo") % 1000000007L).as("dlo_fp"),
@@ -1438,16 +1435,13 @@ object PipelineQueries extends QueryPack {
         })
         Tables.load(s, dir, "documents")
           .where(col("doc_id") % 5 === 0)
-          .select(col("doc_id"), col("source"),
-            posexplode(TextOps.tokens("text")).as(Seq("pos", "w")))
-          .withColumn("sv",
-            expr(TextOps.hash64(
-              "concat(doc_id, ':', pos, ':', w)") + " % 65536 - 32768")
-              .cast("int"))
-          .groupBy("doc_id", "source")
-          .agg(sort_array(collect_list(struct(col("pos"), col("sv"))))
-            .as("ps"))
-          .withColumn("st", kernel(expr("transform(ps, x -> x.sv)")))
+          .withColumn("ts", TextOps.tokens("text"))
+          .where(size(col("ts")) > 0)
+          .withColumn("sm", expr(
+            "transform(ts, (w, i) -> cast(" +
+              TextOps.hash64("concat(doc_id, ':', i, ':', w)") +
+              " % 65536 - 32768 as int))"))
+          .withColumn("st", kernel(col("sm")))
           .groupBy("source")
           .agg(count(lit(1)).as("n_clips"),
             sum("st.n_frames").as("n_frames"),
@@ -1548,6 +1542,13 @@ object PipelineQueries extends QueryPack {
           .select(col("doc_id").as("clip"), col("source"))
           .withColumn("g", expr("clip - clip % 15"))
           .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        // Sample derivation stays the codegen'd explode + regroup
+        // (measured the FASTEST of three shapes at sf0.1: 2.3s vs
+        // 3.1s for a JVM-md5 in-kernel loop and 3.6s for an in-row
+        // transform() — Spark HOF lambdas are interpreted, and the
+        // skinny (clip, j, sv) shuffle costs less than either); the
+        // token-derived audio queries, whose arrays are ~50x smaller,
+        // use the shuffle-free transform shape instead.
         val lmdf = clips
           .withColumn("j", explode(sequence(lit(0), lit(767))))
           .withColumn("sv",
