@@ -302,4 +302,78 @@ object Multimodal {
       .withColumn("out_pixels",
         expr("cast(target_w as bigint) * target_h"))
   }
+
+  /** Shingle row [[videoShingles]] emits: `t` is the first frame's
+    * sample index, `fk` the frame's folded dHash key, `sid` the
+    * k-frame shingle band key.
+    */
+  final case class VideoShingle(t: Int, fk: Long, sid: Long)
+
+  /** Modulus the video shingle keys fold with: the largest prime
+    * below 2^20, so a 3-frame shingle key stays under 2^60 (inside
+    * signed 64-bit for both Spark and a relational oracle replay).
+    */
+  val ShingleMod = 1048573L
+
+  /** The per-blob kernel behind [[videoShingles]]: demux the first
+    * video track's sample table ([[VideoHeader.videoSamples]]),
+    * decode each frame through the ONE image kernel entry point
+    * ([[featuresOf]] — header-gated, so non-image payloads cost a
+    * signature check, not a decoder), fold each frame's 64-bit dHash
+    * into `fk = (lo32 * 31 + hi32) mod [[ShingleMod]]`, and emit one
+    * shingle per run of `k` CONSECUTIVE decoded frames with
+    * `sid = ((fk0 * M + fk1) * M + fk2)` (base-M positional combine).
+    * dHash is invariant to global brightness shifts (neighbor
+    * differences keep their sign) and `sid` is time-shift-COVARIANT
+    * (a whole-frame shift moves `t`, never `sid`), so a banded
+    * equi-join on `sid` plus an aligned-offset verify recovers
+    * shifted and re-graded duplicates — the video twin of
+    * [[AudioFingerprint]]'s landmark triples. Frames that fail to
+    * decode break shingle runs (never bridged); non-MP4 bytes emit
+    * nothing.
+    */
+  def videoShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
+    require(k >= 1 && k <= 3, s"k must be in [1, 3]: $k")
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    val fks = VideoHeader.videoSamples(b).getOrElse(Seq.empty)
+      .sortBy(_.index)
+      .flatMap { sm =>
+        val end = sm.offset + sm.size
+        if (sm.offset < 0 || end > b.length || sm.size < 0) None
+        else {
+          val mf = featuresOf(java.util.Arrays.copyOfRange(
+            b, sm.offset.toInt, end.toInt), 256)
+          if (!mf.decoded) None
+          else {
+            val dlo = mf.dhash & 0xffffffffL
+            val dhi = mf.dhash >>> 32
+            Some((sm.index, (dlo * 31 + dhi) % ShingleMod))
+          }
+        }
+      }
+    fks.sliding(k).filter { w =>
+      w.length == k &&
+        w.zipWithIndex.forall { case ((t, _), i) => t == w.head._1 + i }
+    }.map { w =>
+      VideoShingle(w.head._1, w.head._2,
+        w.foldLeft(0L)((acc, p) => acc * ShingleMod + p._2))
+    }.toSeq
+  }
+
+  /** Temporal video fingerprint as a DataFrame transform: one row per
+    * k-frame shingle of the first video track (columns `t`, `fk`,
+    * `sid` appended; the media column is dropped after the kernel so
+    * the exploded rows stay narrow). The whole clip rides on its one
+    * blob row, so the kernel is a STATELESS per-row projection — no
+    * window, no shuffle, and the same plan on a streaming frame
+    * (see [[graft.streaming.StreamingOps.videoMatchStream]]).
+    */
+  def videoShingles(
+      df: DataFrame, mediaCol: String, k: Int = 3): DataFrame = {
+    val sh = udf((bytes: Array[Byte]) => videoShingleRows(bytes, k))
+    val keep = df.columns.filter(_ != mediaCol).map(col)
+    df.withColumn("__vs", explode(sh(col(mediaCol))))
+      .select(keep.toIndexedSeq ++ Seq(col("__vs.t").as("t"),
+        col("__vs.fk").as("fk"), col("__vs.sid").as("sid")): _*)
+  }
 }

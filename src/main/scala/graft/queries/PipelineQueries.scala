@@ -1725,5 +1725,155 @@ object PipelineQueries extends QueryPack {
         "every 3rd frame's exact mdat payload extracted — oracle " +
         "replays sizes, decode timestamps, and payload bytes from the " +
         "id arithmetic, pinning byte-exact demuxer extraction."),
+
+    GraftQuery(
+      "q_multimodal_videodup", Seq("D1", "J11", "P6"),
+      (s, dir) => {
+        // VIDEO near-dup search — the video twin of
+        // q_multimodal_audiodup, completing the per-modality dedup
+        // matrix (text minhash / image pHash bands / audio landmarks /
+        // video temporal shingles). Clips in groups of three share 12
+        // md5-derived 9x8 frames; each member is delayed by 0/1/2
+        // flat lead-in frames (time shift) AND brightened by
+        // member*25 gray levels (re-grade) — the two transformations
+        // byte hashes are blind to. Each clip is a REAL MP4 (PNG
+        // frames inside real stts/stsc/stsz/stco sample tables); the
+        // PRODUCTION operator Multimodal.videoShingles demuxes,
+        // decodes every frame through the image kernel, and emits
+        // 3-frame dHash shingles (dHash cancels the brightness,
+        // shingle ids are shift-covariant). Banded self-join on sid +
+        // aligned-offset verify, score >= 6 declares a match; the
+        // oracle replays pixels, dHash bits, shingle folding, and the
+        // verify relationally. n_planted_found == n_planted is the
+        // measured recall audit; n_frames == n_shingles + 2*n_clips
+        // pins that EVERY frame decoded (a dropped frame breaks a
+        // shingle run and the derived count). Scale shape: the whole
+        // clip rides on its one blob row (kernel is a stateless
+        // projection, run ONCE behind a localCheckpoint); the only
+        // joins are the sid-band candidate slivers — never all-pairs.
+        import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+        val kernel = udf((g: Long, shift: Int) => {
+          val bright = shift * 25
+          val frames: Seq[Array[Byte]] =
+            (0 until shift).map { _ =>
+              PixelDecode.encodePngGray(9, 8, Array.fill(72)(bright))
+            } ++ (0 until 12).map { c =>
+              val gray = new Array[Int](72)
+              md5Fill(gray, blk => s"vg$g:$c:$blk")
+              PixelDecode.encodePngGray(9, 8,
+                gray.map(_ % 200 + bright))
+            }
+          val dur = (12 + shift) * 100L
+          VideoHeader.synthesizeMp4WithSamples("mp42", 600, dur,
+            VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600, dur),
+            frames, 100, samplesPerChunk = 4)
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("clip"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        val sh = Multimodal.videoShingles(
+            clips.withColumn("media", kernel(col("g"), col("shift"))),
+            "media")
+          .localCheckpoint()
+        val aligned = sh.as("a")
+          .join(sh.as("b"),
+            col("a.sid") === col("b.sid") && col("a.clip") < col("b.clip"))
+          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
+            (col("b.t") - col("a.t")).as("dt"))
+          .agg(count(lit(1)).as("n_al"))
+          .localCheckpoint()
+        val matches = aligned.groupBy("ca", "cb")
+          .agg(max("n_al").as("score"))
+          .where(col("score") >= 6)
+          .localCheckpoint()
+        val planted = clips.as("a").join(clips.as("b"),
+          col("a.g") === col("b.g") && col("a.clip") < col("b.clip"))
+        val plantedFound = matches
+          .join(clips.select(col("clip").as("ca"), col("g").as("ga")),
+            Seq("ca"))
+          .join(clips.select(col("clip").as("cb"), col("g").as("gb")),
+            Seq("cb"))
+          .where(col("ga") === col("gb"))
+        def metric(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("value"))
+            .select(lit(name).as("metric"), col("value"))
+        def stat(name: String, value: org.apache.spark.sql.Column) =
+          sh.agg(value.as("value"))
+            .select(lit(name).as("metric"), col("value"))
+        metric("n_clips", clips)
+          .unionAll(stat("n_frames",
+            count(lit(1)) + countDistinct(col("clip")) * 2))
+          .unionAll(stat("n_shingles", count(lit(1))))
+          .unionAll(stat("n_buckets", countDistinct(col("sid"))))
+          .unionAll(stat("sid_fp", sum(col("sid") % 1000000007L)))
+          .unionAll(metric("n_aligned_cells", aligned))
+          .unionAll(metric("n_matches", matches))
+          .unionAll(metric("n_planted", planted))
+          .unionAll(metric("n_planted_found", plantedFound))
+          .orderBy("metric")
+      },
+      Some("""WITH cl AS (SELECT doc_id AS clip, doc_id - doc_id % 15 AS g,
+            ((doc_id % 15) // 5)::BIGINT AS shift
+          FROM documents WHERE doc_id % 5 = 0),
+        cpx AS (SELECT clip, tc + shift AS t, (i // 9) AS r, (i % 9) AS c,
+            (('0x' || substr(md5('vg' || g::VARCHAR || ':' ||
+                tc::VARCHAR || ':' || (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT % 200 + shift * 25) AS gpx
+          FROM cl, (SELECT unnest(range(12)) AS tc) ts,
+            (SELECT unnest(range(72)) AS i) ii),
+        fh AS (
+          SELECT a.clip, a.t,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c < 32
+              THEN (1::BIGINT << (a.r * 8 + a.c)) ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c >= 32
+              THEN (1::BIGINT << (a.r * 8 + a.c - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM cpx a JOIN cpx b ON b.clip = a.clip AND b.t = a.t
+            AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY 1, 2
+          UNION ALL
+          SELECT clip, li AS t, 0::BIGINT, 0::BIGINT
+          FROM cl, (SELECT unnest(range(2)) AS li) ls WHERE li < shift),
+        fk AS (SELECT clip, t, (dlo * 31 + dhi) % 1048573 AS fk FROM fh),
+        sh AS (SELECT a.clip, a.t,
+            (a.fk * 1048573 + b.fk) * 1048573 + c.fk AS sid
+          FROM fk a JOIN fk b ON b.clip = a.clip AND b.t = a.t + 1
+            JOIN fk c ON c.clip = a.clip AND c.t = a.t + 2),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM sh a JOIN sh b ON a.sid = b.sid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        best AS (SELECT ca, cb, max(n_al) AS score
+          FROM aligned GROUP BY 1, 2),
+        matches AS (SELECT ca, cb FROM best WHERE score >= 6),
+        planted AS (SELECT a.clip AS ca, b.clip AS cb
+          FROM cl a JOIN cl b ON a.g = b.g AND a.clip < b.clip)
+        SELECT 'n_aligned_cells' AS metric,
+          (SELECT count(*) FROM aligned)::BIGINT AS value
+        UNION ALL SELECT 'n_buckets',
+          (SELECT count(DISTINCT sid) FROM sh)::BIGINT
+        UNION ALL SELECT 'n_clips', (SELECT count(*) FROM cl)::BIGINT
+        UNION ALL SELECT 'n_frames',
+          (SELECT sum(12 + shift) FROM cl)::BIGINT
+        UNION ALL SELECT 'n_matches',
+          (SELECT count(*) FROM matches)::BIGINT
+        UNION ALL SELECT 'n_planted',
+          (SELECT count(*) FROM planted)::BIGINT
+        UNION ALL SELECT 'n_planted_found',
+          (SELECT count(*) FROM matches m JOIN cl a ON a.clip = m.ca
+            JOIN cl b ON b.clip = m.cb WHERE a.g = b.g)::BIGINT
+        UNION ALL SELECT 'n_shingles', (SELECT count(*) FROM sh)::BIGINT
+        UNION ALL SELECT 'sid_fp',
+          (SELECT sum(sid % 1000000007) FROM sh)::BIGINT
+        ORDER BY metric"""),
+      "Video near-duplicate retrieval completing the per-modality " +
+        "dedup matrix: real MP4 clips (PNG frames in real sample " +
+        "tables) demuxed and decoded by the production shingle " +
+        "operator, 3-frame dHash shingles as LSH bands, aligned-" +
+        "offset verify — planted time shifts AND brightness re-grades " +
+        "recovered with a measured recall audit, transformations " +
+        "byte-level hashes are blind to."),
   )
 }

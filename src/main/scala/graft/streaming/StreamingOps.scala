@@ -2431,4 +2431,63 @@ object StreamingOps {
         col("dup_of"),
         (col("quality_ok") && !col("is_neardup")).as("survived"))
   }
+
+  /** Static side for [[videoMatchStream]]: the temporal-shingle table
+    * of a fingerprinted MP4 catalog — one (sid, clip, frame) row per
+    * 3-frame dHash shingle ([[graft.operators.Multimodal.videoShingles]]
+    * through the real demux + image-kernel decode). Persist and reuse.
+    */
+  def videoFpStaticSide(
+      catalog: DataFrame, // idCol, mediaCol (MP4 bytes)
+      idCol: String = "clip",
+      mediaCol: String = "media"): DataFrame =
+    graft.operators.Multimodal.videoShingles(
+        catalog.select(col(idCol), col(mediaCol)), mediaCol)
+      .select(col(idCol).as("cat_clip"), col("t").as("cat_t"),
+        col("sid"))
+
+  /** Streaming video shingle matching against a static catalog — the
+    * video twin of [[audioMatchStream]], completing the per-modality
+    * batch/stream dedup symmetry (text nearDupStream / image
+    * imageNearDupStream / audio audioMatchStream / video here) and
+    * the online form of q_multimodal_videodup's retrieval: each
+    * arriving MP4 blob is shingle-fingerprinted (stateless: sample-
+    * table demux + per-frame image decode + dHash fold — the whole
+    * clip rides on its one input row), its shingles equi-join the
+    * catalog's shingle table on `sid` (collision slivers, never
+    * all-pairs), and a watermarked count per (window, clip, catalog
+    * clip, frame offset) yields the aligned-match evidence; rows
+    * meeting `minAligned` ship as match verdicts — a true duplicate
+    * concentrates its count at ONE offset (dHash cancels brightness
+    * re-grades, the shingle key is shift-covariant), while chance
+    * collisions spread thin. One stateful aggregation completes the
+    * match — no chained streaming aggs. Self-matches are excluded.
+    *
+    * Output: bucket, <idCol>, cat_clip, dt (frame offset stream −
+    * catalog), n_aligned (>= minAligned).
+    */
+  def videoMatchStream(
+      clips: DataFrame, // idCol, mediaCol, tsCol
+      catalog: DataFrame, // idCol, mediaCol
+      idCol: String = "clip",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      minAligned: Int = 6,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val catalogSh = staticSide.getOrElse(
+      videoFpStaticSide(catalog, idCol, mediaCol).persist())
+    graft.operators.Multimodal.videoShingles(
+        clips.withWatermark(tsCol, watermark)
+          .select(col(idCol), col(tsCol), col(mediaCol)), mediaCol)
+      .join(catalogSh, Seq("sid"))
+      .where(col("cat_clip") =!= col(idCol))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol),
+        col("cat_clip"), (col("t") - col("cat_t")).as("dt"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .where(col("n_aligned") >= minAligned)
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("cat_clip"), col("dt"), col("n_aligned"))
+  }
 }

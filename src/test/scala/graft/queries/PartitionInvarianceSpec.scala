@@ -72,7 +72,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     // aligned-offset verify, the peak-rank window, and the sample-
     // table extraction all pass through shuffles/collect_list sorts
     "q_multimodal_video", "q_multimodal_audiofp",
-    "q_multimodal_audiodup", "q_multimodal_mp4frames")
+    "q_multimodal_audiodup", "q_multimodal_mp4frames",
+    // the video dedup's sid-band self-join, aligned-offset verify,
+    // and the n_frames derivation all cross shuffles
+    "q_multimodal_videodup")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -227,7 +227,8 @@ class PlanAuditSpec extends SparkSuite {
       ("q_multimodal_mp4frames", "documents.parquet",
         Set("doc_id", "source")),
       ("q_multimodal_audiodup", "documents.parquet",
-        Set("doc_id", "source")))
+        Set("doc_id", "source")),
+      ("q_multimodal_videodup", "documents.parquet", Set("doc_id")))
     val bad = cases.flatMap { case (q, f, allowed) =>
       val schemas = readSchemas(q, f)
       if (schemas.isEmpty) Seq(s"$q: no $f scan found in plan")

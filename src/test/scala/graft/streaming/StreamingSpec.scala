@@ -251,6 +251,70 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming video shingle match recovers planted shifted, " +
+    "re-graded clips against a static catalog across a mid-stream " +
+    "batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+    // 3 groups of 3 clips sharing 8 content frames; member m delayed
+    // by m flat lead-in frames AND brightened by m*20 gray levels —
+    // the q_multimodal_videodup plant (dHash cancels the re-grade,
+    // shingle ids are shift-covariant)
+    def contentGray(g: Int, c: Int): Array[Int] =
+      Array.tabulate(72)(i =>
+        (g * 97 + c * 31 + i * 7 + (i * i) % 13) % 200)
+    def mp4For(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3; val bright = m * 20
+      val frames = Seq.fill(m)(Array.fill(72)(bright)) ++
+        (0 until 8).map(c => contentGray(g, c).map(_ + bright))
+      VideoHeader.synthesizeMp4WithSamples("mp42", 600,
+        frames.length * 100L,
+        VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600,
+          frames.length * 100L),
+        frames.map(fr => PixelDecode.encodePngGray(9, 8, fr)),
+        100, samplesPerChunk = 3)
+    }
+    val clipMp4s = (0 until 9).map(id => id.toLong -> mp4For(id))
+    // exact truth from the kernel: aligned-count cells >= 6, self
+    // matches excluded, dt = stream frame - catalog frame
+    val sh = clipMp4s.map { case (id, b) =>
+      id -> Multimodal.videoShingleRows(b, 3) }.toMap
+    val truth = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+      x <- sa; y <- sb if x.sid == y.sid
+    } yield ((a, b, (x.t - y.t).toLong), 1))
+      .groupBy(_._1).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 6L)
+      .map { case ((a, b, dt), n) => (a, b, dt, n) }.toSet
+    assert(truth.size >= 18, s"fixture too sparse: ${truth.size}")
+    val catalog = clipMp4s.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.videoMatchStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("video_match")
+      .outputMode("append").start()
+    try {
+      val rows = clipMp4s.map { case (id, mp4) =>
+        (id, mp4, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(5).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // append mode: flush the window by advancing the watermark
+      feed.addData((100L, clipMp4s.head._2,
+        Timestamp.valueOf("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      feed.addData((101L, clipMp4s.head._2,
+        Timestamp.valueOf("2024-01-02 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("video_match")
+        .select("clip", "cat_clip", "dt", "n_aligned")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === truth)
+    } finally q.stop()
+  }
+
   test("streaming audio landmark match recovers planted time-shifted " +
     "clips against a static catalog across a mid-stream batch split") {
     implicit val sqlCtx = spark.sqlContext
