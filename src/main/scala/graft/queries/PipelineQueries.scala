@@ -1875,5 +1875,147 @@ object PipelineQueries extends QueryPack {
         "offset verify — planted time shifts AND brightness re-grades " +
         "recovered with a measured recall audit, transformations " +
         "byte-level hashes are blind to."),
+
+    GraftQuery(
+      "q_pipeline_video", Seq("P6", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The VIDEO-corpus build funnel — the temporal twin of
+        // q_pipeline_images: raw containers -> demux gate (every 13th
+        // clip's MP4 is truncated mid-moov; the hardened box walk
+        // returns nothing, never throws) -> frame-count quality gate
+        // (every 11th clip carries only 5 content frames; shingle
+        // count n-2 < 6 drops it — a gate computed from the SAME
+        // kernel pass, no second demux) -> temporal-shingle near-dup
+        // dedup (groups of three share content under 0/1/2-frame
+        // shifts + brightness re-grades; drop any clip with a
+        // verified smaller-id match) -> per-source funnel counts +
+        // survivor shingle fingerprint. The production
+        // Multimodal.videoShingles kernel runs ONCE (checkpointed);
+        // every stage is a filter/aggregate/banded-join over its
+        // output. The oracle replays demux-free from the pixel
+        // definition: corrupt clips by the id predicate, frame
+        // counts from the plant arithmetic, dHash/shingle/verify
+        // relationally.
+        import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+        val kernel = udf((clip: Long, g: Long, shift: Int) => {
+          val bright = shift * 25
+          val nc = if (clip % 11 == 0) 5 else 12
+          val frames: Seq[Array[Byte]] =
+            (0 until shift).map { _ =>
+              PixelDecode.encodePngGray(9, 8, Array.fill(72)(bright))
+            } ++ (0 until nc).map { c =>
+              val gray = new Array[Int](72)
+              md5Fill(gray, blk => s"vp$g:$c:$blk")
+              PixelDecode.encodePngGray(9, 8,
+                gray.map(_ % 200 + bright))
+            }
+          val dur = (nc + shift) * 100L
+          val mp4 = VideoHeader.synthesizeMp4WithSamples("mp42", 600,
+            dur, VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600, dur),
+            frames, 100, samplesPerChunk = 4)
+          if (clip % 13 == 0) mp4.take(40) else mp4
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        val sh = Multimodal.videoShingles(
+            clips.withColumn("media",
+              kernel(col("clip"), col("g"), col("shift"))), "media")
+          .localCheckpoint()
+        val perClip = sh.groupBy("clip", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(col("sid") % 1000000007L).as("fp"))
+          .localCheckpoint()
+        val qual = perClip.where(col("n_sh") >= 6)
+        val qsh = sh.join(qual.select("clip"), Seq("clip"))
+        val dup = qsh.as("a")
+          .join(qsh.as("b"),
+            col("a.sid") === col("b.sid") && col("a.clip") < col("b.clip"))
+          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
+            (col("b.t") - col("a.t")).as("dt"))
+          .agg(count(lit(1)).as("n_al"))
+          .where(col("n_al") >= 6)
+          .select(col("cb").as("clip")).distinct()
+        val kept = qual.join(dup, Seq("clip"), "left_anti")
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy("source").agg(count(lit(1)).as(name))
+        cnt(clips, "n_raw")
+          .join(cnt(perClip, "n_demuxed"), Seq("source"))
+          .join(cnt(qual, "n_quality"), Seq("source"))
+          .join(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some("""WITH cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 15 AS g,
+            ((doc_id % 15) // 5)::BIGINT AS shift,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 12 END AS nc
+          FROM documents WHERE doc_id % 5 = 0),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        cpx AS (SELECT clip, tc + shift AS t, (i // 9) AS r,
+            (i % 9) AS c,
+            (('0x' || substr(md5('vp' || g::VARCHAR || ':' ||
+                tc::VARCHAR || ':' || (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT % 200 + shift * 25) AS gpx
+          FROM live, (SELECT unnest(range(12)) AS tc) ts,
+            (SELECT unnest(range(72)) AS i) ii
+          WHERE tc < nc),
+        fh AS (
+          SELECT a.clip, a.t,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c < 32
+              THEN (1::BIGINT << (a.r * 8 + a.c)) ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c >= 32
+              THEN (1::BIGINT << (a.r * 8 + a.c - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM cpx a JOIN cpx b ON b.clip = a.clip AND b.t = a.t
+            AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY 1, 2
+          UNION ALL
+          SELECT clip, li AS t, 0::BIGINT, 0::BIGINT
+          FROM live, (SELECT unnest(range(2)) AS li) ls
+          WHERE li < shift),
+        fk AS (SELECT clip, t, (dlo * 31 + dhi) % 1048573 AS fk FROM fh),
+        sh AS (SELECT a.clip, a.t,
+            (a.fk * 1048573 + b.fk) * 1048573 + c.fk AS sid
+          FROM fk a JOIN fk b ON b.clip = a.clip AND b.t = a.t + 1
+            JOIN fk c ON c.clip = a.clip AND c.t = a.t + 2),
+        pc AS (SELECT clip, count(*)::BIGINT AS n_sh,
+            sum(sid % 1000000007)::BIGINT AS fp
+          FROM sh GROUP BY 1),
+        qual AS (SELECT clip, fp FROM pc WHERE n_sh >= 6),
+        qsh AS (SELECT sh.* FROM sh JOIN qual USING (clip)),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM qsh a JOIN qsh b ON a.sid = b.sid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 6),
+        kept AS (SELECT q.clip, q.fp FROM qual q
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw, dm.n_demuxed, qq.n_quality,
+          k.n_unique, k.kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        JOIN (SELECT source, count(*)::BIGINT AS n_demuxed
+            FROM live GROUP BY 1) dm USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_quality
+            FROM qual JOIN cl USING (clip) GROUP BY 1) qq
+          USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY source"""),
+      "The video-corpus build funnel (the temporal q_pipeline_images): " +
+        "demux gate on real truncated containers, frame-count quality " +
+        "gate derived from the one kernel pass, temporal-shingle " +
+        "near-dup dedup with keep-smallest canonicalization — " +
+        "per-source funnel counts + survivor fingerprint, oracle " +
+        "replayed demux-free from the pixel definition."),
   )
 }

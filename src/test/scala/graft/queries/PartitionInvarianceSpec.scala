@@ -74,8 +74,9 @@ class PartitionInvarianceSpec extends SparkSuite {
     "q_multimodal_video", "q_multimodal_audiofp",
     "q_multimodal_audiodup", "q_multimodal_mp4frames",
     // the video dedup's sid-band self-join, aligned-offset verify,
-    // and the n_frames derivation all cross shuffles
-    "q_multimodal_videodup")
+    // and the n_frames derivation all cross shuffles, as do the video
+    // funnel's per-clip rollup and keep-smallest anti-join
+    "q_multimodal_videodup", "q_pipeline_video")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -228,7 +228,9 @@ class PlanAuditSpec extends SparkSuite {
         Set("doc_id", "source")),
       ("q_multimodal_audiodup", "documents.parquet",
         Set("doc_id", "source")),
-      ("q_multimodal_videodup", "documents.parquet", Set("doc_id")))
+      ("q_multimodal_videodup", "documents.parquet", Set("doc_id")),
+      ("q_pipeline_video", "documents.parquet",
+        Set("doc_id", "source")))
     val bad = cases.flatMap { case (q, f, allowed) =>
       val schemas = readSchemas(q, f)
       if (schemas.isEmpty) Seq(s"$q: no $f scan found in plan")
