@@ -2490,4 +2490,72 @@ object StreamingOps {
       .select(col("window.start").as("bucket"), col(idCol),
         col("cat_clip"), col("dt"), col("n_aligned"))
   }
+
+  /** The streaming VIDEO-corpus build funnel — the online composition
+    * of q_pipeline_video's stages, the way [[imageFunnelStream]]
+    * relays the image funnel: each arriving container runs ONE
+    * shingle-kernel pass (demux + per-frame decode + dHash fold, all
+    * on the clip's single input row), then the demux gate (no
+    * shingles = truncated/foreign container), the frame-count quality
+    * gate (`minShingles` — frame count minus two, derived from the
+    * same pass), and the temporal near-dup assignment against the
+    * already-ingested catalog with the batch keep-smallest
+    * discipline. The aligned-offset verify keeps the pack's
+    * one-stateful-agg rule: the windowed aggregation collects only
+    * the smaller-id band-collision EVIDENCE (cat_clip, dt) slivers,
+    * and the >= `minAligned` count per (catalog clip, offset) is a
+    * STATELESS post-aggregation array fold — no chained streaming
+    * aggs, state bounded by collision volume. Survivor sets are
+    * arrival-order-independent and equal the batch funnel's kept set
+    * when the catalog is the batch corpus.
+    *
+    * Output: bucket, <idCol>, demuxed, quality_ok, is_neardup,
+    * dup_of, survived.
+    */
+  def videoFunnelStream(
+      clips: DataFrame, // idCol, mediaCol, tsCol
+      catalog: DataFrame, // idCol, mediaCol
+      idCol: String = "clip",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      minShingles: Int = 6,
+      minAligned: Int = 6,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val catalogSh = staticSide.getOrElse(
+      videoFpStaticSide(catalog, idCol, mediaCol).persist())
+    val shArr = udf((bytes: Array[Byte]) =>
+      graft.operators.Multimodal.videoShingleRows(bytes, 3))
+    // non-quality clips ride a sentinel shingle (sid -1 can never
+    // match a catalog key, which is a non-negative base-M fold), so
+    // every arriving id reaches the verdict aggregation exactly once
+    val sentinel = array(struct(lit(-1).as("t"), lit(-1L).as("fk"),
+      lit(-1L).as("sid")))
+    clips.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), shArr(col(mediaCol)).as("__sh"))
+      .withColumn("demuxed", size(col("__sh")) > 0)
+      .withColumn("quality_ok", size(col("__sh")) >= minShingles)
+      .withColumn("s",
+        explode(when(col("quality_ok"), col("__sh")).otherwise(sentinel)))
+      .select(col(idCol), col(tsCol), col("demuxed"), col("quality_ok"),
+        col("s.t").as("t"), col("s.sid").as("sid"))
+      .join(catalogSh, Seq("sid"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(col("demuxed")).as("demuxed"),
+        max(col("quality_ok")).as("quality_ok"),
+        collect_list(when(col("cat_clip") < col(idCol),
+          struct(col("cat_clip"), (col("t") - col("cat_t")).as("dt"))))
+          .as("__ev"))
+      .withColumn("dup_of", expr(
+        s"""array_min(transform(filter(__ev, x ->
+           size(filter(__ev, y ->
+             y.cat_clip = x.cat_clip AND y.dt = x.dt)) >= $minAligned),
+           x -> x.cat_clip))"""))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("demuxed"), col("quality_ok"),
+        (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
+        col("dup_of"),
+        (col("quality_ok") && col("dup_of").isNull).as("survived"))
+  }
 }

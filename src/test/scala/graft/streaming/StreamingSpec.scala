@@ -315,6 +315,84 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming video-corpus funnel matches the batch " +
+    "q_pipeline_video stages: demux gate, frame-count quality gate, " +
+    "keep-smallest temporal near-dup — across a mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+    // 4 groups of 3 clips, 8 shared content frames, member m delayed
+    // by m flat frames + brightened m*20; clip 7 truncated mid-moov
+    // (demux gate), clip 4 only 5 content frames (quality gate)
+    def contentGray(g: Int, c: Int): Array[Int] =
+      Array.tabulate(72)(i =>
+        (g * 89 + c * 37 + i * 11 + (i * i) % 17) % 200)
+    def mp4For(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3; val bright = m * 20
+      val nc = if (id == 4) 5 else 8
+      val frames = Seq.fill(m)(Array.fill(72)(bright)) ++
+        (0 until nc).map(c => contentGray(g, c).map(_ + bright))
+      val mp4 = VideoHeader.synthesizeMp4WithSamples("mp42", 600,
+        frames.length * 100L,
+        VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600,
+          frames.length * 100L),
+        frames.map(fr => PixelDecode.encodePngGray(9, 8, fr)),
+        100, samplesPerChunk = 3)
+      if (id == 7) mp4.take(40) else mp4
+    }
+    val corpus = (0 until 12).map(id => id.toLong -> mp4For(id))
+    // batch-funnel truth from the kernel (q_pipeline_video logic:
+    // dedup candidates among QUALITY clips only — non-quality catalog
+    // clips can never reach minAligned=6 with < 6 shingles, so the
+    // stream's full-catalog band table yields the same verdicts)
+    val sh = corpus.map { case (id, b) =>
+      id -> Multimodal.videoShingleRows(b, 3) }.toMap
+    val demuxed = corpus.map(_._1).filter(sh(_).nonEmpty).toSet
+    val quality = corpus.map(_._1).filter(sh(_).size >= 6).toSet
+    val dupOf = quality.map { a =>
+      val cands = quality.filter(_ < a).filter { b =>
+        sh(a).flatMap(x => sh(b).filter(_.sid == x.sid)
+            .map(y => (b, x.t - y.t)))
+          .groupBy(identity).values.exists(_.size >= 6)
+      }
+      a -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    assert(demuxed === (0L until 12L).toSet - 7L)
+    assert(quality === demuxed - 4L)
+    assert(dupOf.count(_._2.isDefined) === 6) // two dups per group
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.videoFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("video_funnel")
+      .outputMode("update").start()
+    try {
+      val rows = corpus.map { case (id, mp4) =>
+        (id, mp4, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(7).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("video_funnel")
+        .groupBy("clip").agg(max("demuxed").as("d"),
+          max("quality_ok").as("q"), min("dup_of").as("dup"),
+          max("survived").as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toMap
+      // every clip gets a verdict row, including the corrupt one
+      assert(got.keySet === corpus.map(_._1).toSet)
+      for ((id, (d, qok, dup, s)) <- got) {
+        assert(d === demuxed(id), s"demuxed($id)")
+        assert(qok === quality(id), s"quality($id)")
+        assert(dup === dupOf.getOrElse(id, None), s"dup_of($id)")
+        assert(s === (quality(id) && dupOf.getOrElse(id, None).isEmpty),
+          s"survived($id)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming audio landmark match recovers planted time-shifted " +
     "clips against a static catalog across a mid-stream batch split") {
     implicit val sqlCtx = spark.sqlContext
