@@ -40,7 +40,7 @@ object PipelineQueries extends QueryPack {
     * query's kernel AND oracle share (`('0x' || substr(md5(key),
     * (i%16)*2+1, 2))::BIGINT` on the DuckDB side).
     */
-  private def md5Fill(gray: Array[Int], key: Int => String): Unit = {
+  private[queries] def md5Fill(gray: Array[Int], key: Int => String): Unit = {
     val md = java.security.MessageDigest.getInstance("MD5")
     var blk = 0
     while (blk * 16 < gray.length) {

@@ -3308,5 +3308,137 @@ object TextQueries extends QueryPack {
         "integer-ppm per-doc boilerplate fractions — the CCNet-style " +
         "template-removal signal as one explode + one type reduce + " +
         "one (source, gram)-keyed score join; no doc pairs."),
+
+    GraftQuery(
+      "q_pipeline_pairs", Seq("D1", "D2", "J11", "P6"),
+      (s, dir) => {
+        // CROSS-MODAL pair dedup — the LAION-style step no single-
+        // modality pass covers: a (text, image) training pair is a
+        // duplicate if EITHER its caption near-dups (minhash-LSH
+        // bands, the q_dedup_cluster geometry) or its image
+        // fingerprint collides (3 x 21-bit pHash bands — pigeonhole-
+        // lossless for hamming <= 2, and wide enough that chance
+        // band collisions stay rare without a verify stage). One
+        // union membership relation feeds ConnectedComponents.byGroup
+        // (hub rows, never pairwise edges), so a caption cluster and
+        // an image pair sharing one doc GLUE into one component —
+        // the transitive multimodal dup set. Per component: size,
+        // member fingerprint, and the number of modalities whose
+        // shared buckets actually connect it (2 = a genuinely
+        // cross-modal cluster). Images plant exact pairs across
+        // id-adjacent docs (doc_id % 7 in {0,1} share pixels), which
+        // cut across the corpus's caption clusters. Scale shape:
+        // membership union is explode-sized, CC is the label-prop
+        // loop, the modality rollup is one keyed aggregate.
+        import graft.operators.{ConnectedComponents, PixelDecode}
+        val phashOf = udf((docId: Long) => {
+          val k = if (docId % 7 < 2) docId - docId % 7 else docId
+          val gray = new Array[Int](1024)
+          PipelineQueries.md5Fill(gray, blk => s"pair:$k:$blk")
+          PixelDecode.pHash(gray, 32, 32)
+        })
+        val base = docs(s, dir)
+        val tm = dedupMembershipOf(base)
+          .select(col("doc_id"),
+            concat(lit("t:"), col("gkey")).as("gkey"))
+        val im = base.select(col("doc_id"))
+          .withColumn("ph", phashOf(col("doc_id")))
+          .withColumn("j", explode(sequence(lit(0), lit(2))))
+          .select(col("doc_id"), concat_ws(":", lit("i"), col("j"),
+            expr("shiftright(ph, j * 21) & 2097151")).as("gkey"))
+        val mem = tm.unionAll(im).localCheckpoint()
+        val comp = ConnectedComponents.byGroup(mem, "doc_id", "gkey")
+        val sharedMods = mem.join(comp, Seq("doc_id"))
+          .groupBy(col("component"), col("gkey"))
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2)
+          .groupBy("component")
+          .agg(countDistinct(expr("substring(gkey, 1, 1)"))
+            .as("modalities"))
+        comp.groupBy("component")
+          .agg(count(lit(1)).as("n_pairs"),
+            sort_array(collect_list(col("doc_id"))).as("ms"))
+          .where(col("n_pairs") >= 2)
+          .join(sharedMods, Seq("component"))
+          .select(col("component").as("canonical"), col("n_pairs"),
+            expr("md5(concat_ws(',', transform(ms, x -> cast(x as string))))")
+              .as("members_fp"),
+            col("modalities"))
+          .orderBy("canonical")
+      },
+      Some {
+        val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
+          yield s"($u,$x,${graft.operators.PixelDecode.DctCos(u)(x)})")
+          .mkString(",")
+        s"""WITH RECURSIVE ct(u, x, cv) AS (SELECT * FROM (VALUES $ctvals) v(u, x, cv)),
+        d AS (SELECT doc_id, $duckToks AS t FROM documents),
+        s3 AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(t)-1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM d WHERE len(t) >= 3),
+        sigs AS (SELECT doc_id,
+            list_transform(range(0, 16), s ->
+              list_min(list_transform(sh, g ->
+                (${dh("g")} & 2147483647) * (2 * s + 1)
+                  + s * 2654435761))) AS sig
+          FROM s3),
+        tmem AS (SELECT doc_id, 't:' || b || ':' ||
+            md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS gkey
+          FROM sigs, unnest([0,1,2,3]) AS u(b)),
+        px AS (SELECT doc_id, (i // 32) AS r, (i % 32) AS c,
+            ('0x' || substr(md5('pair:' ||
+                (CASE WHEN doc_id % 7 < 2 THEN doc_id - doc_id % 7
+                  ELSE doc_id END)::VARCHAR || ':' ||
+                (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT AS g
+          FROM documents, (SELECT unnest(range(1024)) AS i)),
+        t1 AS (SELECT px.doc_id, ct.u AS u, px.c AS y,
+            sum(px.g * ct.cv)::BIGINT AS t
+          FROM px JOIN ct ON ct.x = px.r GROUP BY 1, 2, 3),
+        co AS (SELECT t1.doc_id, t1.u AS u, ct.u AS v,
+            sum(t1.t * ct.cv)::BIGINT AS coef
+          FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3),
+        acs AS (SELECT doc_id, u, v, coef,
+            row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+          FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, coef AS med FROM acs WHERE rn = 32),
+        ph AS (SELECT a.doc_id,
+            sum(CASE WHEN a.coef > m.med
+              THEN (1::BIGINT << (a.u * 8 + a.v - 1))
+              ELSE 0 END)::BIGINT AS phash
+          FROM acs a JOIN med m USING (doc_id) GROUP BY 1),
+        imem AS (SELECT doc_id, 'i:' || j || ':' ||
+            ((phash >> (j * 21)) & 2097151) AS gkey
+          FROM ph, (SELECT unnest(range(3)) AS j) js),
+        mem AS (SELECT * FROM tmem UNION ALL SELECT * FROM imem),
+        edges AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM mem x JOIN mem y ON x.gkey = y.gkey
+            AND x.doc_id != y.doc_id),
+        nodes AS (SELECT DISTINCT doc_id FROM mem),
+        walk(node, reach) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+        comp AS (SELECT node AS doc_id, min(reach) AS canonical
+          FROM walk GROUP BY 1),
+        cs AS (SELECT canonical, count(*)::BIGINT AS n_pairs,
+            md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+              AS members_fp
+          FROM comp GROUP BY 1 HAVING count(*) >= 2),
+        sk AS (SELECT c.canonical, substr(m.gkey, 1, 1) AS mo
+          FROM mem m JOIN comp c ON c.doc_id = m.doc_id
+          GROUP BY c.canonical, m.gkey HAVING count(*) >= 2),
+        mods AS (SELECT canonical, count(DISTINCT mo)::BIGINT AS modalities
+          FROM sk GROUP BY 1)
+        SELECT cs.canonical, cs.n_pairs, cs.members_fp, mods.modalities
+        FROM cs JOIN mods USING (canonical) ORDER BY canonical"""
+      },
+      "Cross-modal (text, image) pair dedup: minhash caption bands " +
+        "UNION 3x21-bit pHash image bands feed one connected-" +
+        "components pass — caption clusters and planted image pairs " +
+        "glue into transitive multimodal dup sets, with a per-" +
+        "component modality count naming the genuinely cross-modal " +
+        "clusters; oracle replays minhash, the integer DCT, and the " +
+        "label propagation relationally."),
   )
 }

@@ -76,7 +76,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     // the video dedup's sid-band self-join, aligned-offset verify,
     // and the n_frames derivation all cross shuffles, as do the video
     // funnel's per-clip rollup and keep-smallest anti-join
-    "q_multimodal_videodup", "q_pipeline_video")
+    "q_multimodal_videodup", "q_pipeline_video",
+    // cross-modal CC: label propagation, the shared-bucket modality
+    // rollup, and the member-list sort all cross shuffles
+    "q_pipeline_pairs")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -231,6 +231,9 @@ class PlanAuditSpec extends SparkSuite {
       ("q_multimodal_videodup", "documents.parquet", Set("doc_id")),
       ("q_pipeline_video", "documents.parquet",
         Set("doc_id", "source")))
+      // (q_pipeline_pairs' scans live behind the membership
+      // localCheckpoint — its final plan has no file leaves to audit,
+      // the q_path_enum situation)
     val bad = cases.flatMap { case (q, f, allowed) =>
       val schemas = readSchemas(q, f)
       if (schemas.isEmpty) Seq(s"$q: no $f scan found in plan")
