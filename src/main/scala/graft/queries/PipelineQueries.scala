@@ -33,6 +33,13 @@ final case class FpStats(
     n_frames: Long, peak_fp: Long, n_landmarks: Long, n_lids: Long,
     lm_fp: Long)
 
+/** Typed return row of q_pipeline_audio's decode+fingerprint kernel:
+  * real WAV decode verdict, exact sample count, and the landmark ids
+  * (t*512+lid) — one kernel pass feeds every funnel stage.
+  */
+final case class AudioFunnelRow(
+    decoded: Boolean, n_samples: Long, lms: Seq[Int])
+
 object PipelineQueries extends QueryPack {
 
   /** Fill `gray` with md5-derived bytes: pixel i takes byte i%16 of
@@ -2017,5 +2024,156 @@ object PipelineQueries extends QueryPack {
         "near-dup dedup with keep-smallest canonicalization — " +
         "per-source funnel counts + survivor fingerprint, oracle " +
         "replayed demux-free from the pixel definition."),
+
+    GraftQuery(
+      "q_pipeline_audio", Seq("S8", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The AUDIO-corpus build funnel, completing the per-modality
+        // funnel matrix (text q_pipeline_corpus / image
+        // q_pipeline_images / video q_pipeline_video / audio here):
+        // raw WAV blobs -> decode gate (every 13th clip's RIFF
+        // container is truncated mid-fmt; the hardened parser returns
+        // nothing, never throws) -> duration quality gate on the
+        // REAL decoded sample count (every 11th clip carries only 256
+        // content samples; n_samples >= 512 drops it — equality with
+        // the oracle's shift*16+nc arithmetic pins the codec's count)
+        // -> landmark near-dup dedup (groups of three share a base
+        // stream under 0/1/2-frame silence delays; aligned-offset
+        // count >= 8 on the 512-bucket landmark bands, keep-smallest)
+        // -> per-source funnel counts + survivor landmark
+        // fingerprint. ONE decode+fingerprint kernel pass
+        // (checkpointed) feeds every stage; sample derivation stays
+        // the codegen'd explode + regroup (the measured-fastest shape
+        // — see q_multimodal_audiodup).
+        import graft.operators.{AudioFingerprint, AudioHeader, TextOps}
+        val kernel = udf((clip: Long, shift: Int, samples: Seq[Int]) => {
+          val padded = new Array[Short](shift * 16) ++
+            samples.map(_.toShort)
+          val wav0 = AudioHeader.synthesizeWavPcm16(8000, padded)
+          val wav = if (clip % 13 == 0) wav0.take(20) else wav0
+          AudioHeader.pcm16Samples(wav) match {
+            case Some(sm) => AudioFunnelRow(true, sm.length.toLong,
+              AudioFingerprint.landmarks(sm)
+                .map { case (t, lid) => t * 512 + lid }.toSeq)
+            case None => AudioFunnelRow(false, 0L, Seq.empty)
+          }
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+          .withColumn("nc",
+            expr("case when clip % 11 = 0 then 256 else 768 end"))
+        val feats = clips
+          .withColumn("j", explode(expr("sequence(0, nc - 1)")))
+          .withColumn("sv",
+            expr(TextOps.hash64("concat(g, ':', j)") +
+              " % 65536 - 32768").cast("int"))
+          .groupBy("clip", "source", "shift")
+          .agg(sort_array(collect_list(struct(col("j"), col("sv"))))
+            .as("ps"))
+          .withColumn("st", kernel(col("clip"), col("shift"),
+            expr("transform(ps, x -> x.sv)")))
+          .select(col("clip"), col("source"),
+            col("st.decoded").as("decoded"),
+            col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
+          .localCheckpoint()
+        val live = feats.where(col("decoded"))
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
+          .select(col("clip"), expr("v div 512").as("t"),
+            expr("v % 512").as("lid"))
+          .localCheckpoint()
+        val dup = lmdf.as("a")
+          .join(lmdf.as("b"),
+            col("a.lid") === col("b.lid") && col("a.clip") < col("b.clip"))
+          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
+            (col("b.t") - col("a.t")).as("dt"))
+          .agg(count(lit(1)).as("n_al"))
+          .where(col("n_al") >= 8)
+          .select(col("cb").as("clip")).distinct()
+        val clFp = lmdf.groupBy("clip")
+          .agg(sum((col("t") * 1000 + col("lid")) % 1000000007L).as("fp"))
+        val kept = qual.join(dup, Seq("clip"), "left_anti")
+          .join(clFp, Seq("clip"))
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy("source").agg(count(lit(1)).as(name))
+        cnt(clips, "n_raw")
+          .join(cnt(live, "n_decoded"), Seq("source"))
+          .join(cnt(qual, "n_quality"), Seq("source"))
+          .join(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some {
+        val trig = graft.operators.AudioFingerprint.trigValuesSql
+        s"""WITH tg(k, n, cq, sq) AS (SELECT * FROM (VALUES $trig) v(k, n, cq, sq)),
+        cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 15 AS g,
+            (doc_id % 15) // 5 AS shift,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 256 ELSE 768 END AS nc
+          FROM documents WHERE doc_id % 5 = 0),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        q AS (SELECT * FROM live WHERE shift * 16 + nc >= 512),
+        sm AS (SELECT clip, j + shift * 16 AS pos,
+            (('0x' || substr(md5(g::VARCHAR || ':' || j::VARCHAR),
+              1, 15))::BIGINT % 65536 - 32768)::BIGINT AS sv
+          FROM q, (SELECT unnest(range(768)) AS j) r
+          WHERE j < nc
+          UNION ALL
+          SELECT clip, j AS pos, 0::BIGINT AS sv
+          FROM q, (SELECT unnest(range(32)) AS j) r
+          WHERE j < shift * 16),
+        fr AS (SELECT clip, pos // 16 AS t, pos % 16 AS nn, sv FROM sm),
+        sp AS (SELECT f.clip, f.t, tg.k,
+            sum(f.sv * tg.cq)::BIGINT AS re,
+            sum(f.sv * tg.sq)::BIGINT AS im
+          FROM fr f JOIN tg ON tg.n = f.nn GROUP BY 1, 2, 3),
+        pk AS (SELECT clip, t, k,
+            row_number() OVER (PARTITION BY clip, t
+              ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM sp),
+        peaks AS (SELECT clip, t, k FROM pk WHERE rn = 1),
+        lm AS (SELECT a.clip, a.t,
+            (a.k - 1) * 64 + (b.k - 1) * 8 + (c.k - 1) AS lid
+          FROM peaks a
+          JOIN peaks b ON b.clip = a.clip AND b.t = a.t + 1
+          JOIN peaks c ON c.clip = a.clip AND c.t = a.t + 2),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM lm a JOIN lm b ON a.lid = b.lid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 8),
+        clfp AS (SELECT clip,
+            sum((t * 1000 + lid) % 1000000007)::BIGINT AS fp
+          FROM lm GROUP BY 1),
+        kept AS (SELECT q.clip, clfp.fp FROM q
+          JOIN clfp ON clfp.clip = q.clip
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw, dc.n_decoded, qq.n_quality,
+          k.n_unique, k.kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        JOIN (SELECT source, count(*)::BIGINT AS n_decoded
+            FROM live GROUP BY 1) dc USING (source)
+        JOIN (SELECT source, count(*)::BIGINT AS n_quality
+            FROM q GROUP BY 1) qq USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY source"""
+      },
+      "The audio-corpus build funnel completing the per-modality " +
+        "matrix: RIFF decode gate on truncated containers, a duration " +
+        "quality gate on the REAL decoded sample count, landmark " +
+        "near-dup dedup with keep-smallest canonicalization — " +
+        "per-source funnel counts + survivor landmark fingerprint, " +
+        "the DFT/peak/triple chain replayed relationally."),
   )
 }

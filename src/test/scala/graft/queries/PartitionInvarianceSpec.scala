@@ -79,7 +79,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     "q_multimodal_videodup", "q_pipeline_video",
     // cross-modal CC: label propagation, the shared-bucket modality
     // rollup, and the member-list sort all cross shuffles
-    "q_pipeline_pairs")
+    "q_pipeline_pairs",
+    // the audio funnel's sample regroup, landmark-band self-join, and
+    // keep-smallest anti-join all cross shuffles
+    "q_pipeline_audio")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -230,6 +230,8 @@ class PlanAuditSpec extends SparkSuite {
         Set("doc_id", "source")),
       ("q_multimodal_videodup", "documents.parquet", Set("doc_id")),
       ("q_pipeline_video", "documents.parquet",
+        Set("doc_id", "source")),
+      ("q_pipeline_audio", "documents.parquet",
         Set("doc_id", "source")))
       // (q_pipeline_pairs' scans live behind the membership
       // localCheckpoint — its final plan has no file leaves to audit,
