@@ -2558,4 +2558,104 @@ object StreamingOps {
         col("dup_of"),
         (col("quality_ok") && col("dup_of").isNull).as("survived"))
   }
+
+  /** Union multimodal band membership shared by [[pairAssignStream]]
+    * and its static side: caption minhash bands ("t:"-prefixed, the
+    * [[graft.operators.TextOps.bandedDocs]] geometry) plus 3 x 21-bit
+    * image pHash bands over the DECODED media column ("i:"-prefixed
+    * — pigeonhole-lossless for hamming <= 2, wide enough to need no
+    * verify stage; the q_pipeline_pairs discipline). Captions shorter
+    * than the shingle width emit no text bands and undecodable media
+    * emit no image bands — a pair stays assignable as long as EITHER
+    * modality fingerprints, and one with neither emits nothing.
+    */
+  private def pairMembership(
+      df: DataFrame, idCol: String, textCol: String, mediaCol: String,
+      tsCol: Option[String], shingleW: Int, minhashK: Int,
+      bands: Int): DataFrame = {
+    val keep = (Seq(idCol) ++ tsCol).map(col)
+    val tm = graft.operators.TextOps
+      .bandedDocs(df.select(keep :+ col(textCol): _*), textCol,
+        shingleW, minhashK, bands)
+      .select(keep :+ concat(lit("t:"), col("band_key")).as("band_key"): _*)
+    val im = df.select(keep :+ col(mediaCol): _*)
+      .withColumn("__mf",
+        graft.operators.Multimodal.featuresColumn(col(mediaCol)))
+      .where(col("__mf.decoded"))
+      .withColumn("__j", explode(sequence(lit(0), lit(2))))
+      .select(keep :+ concat_ws(":", lit("i"), col("__j"),
+        expr("shiftright(__mf.phash, __j * 21) & 2097151"))
+        .as("band_key"): _*)
+    tm.unionByName(im)
+  }
+
+  /** Static side for [[pairAssignStream]]: the clustered (band_key ->
+    * component) table of a (caption, image) pair corpus — union
+    * multimodal membership through ConnectedComponents.byGroup, so a
+    * caption cluster and an image pair sharing one doc already carry
+    * ONE canonical (the q_pipeline_pairs structure). Persist and
+    * reuse; refresh offline like [[clusterAssignStaticSide]].
+    */
+  def pairAssignStaticSide(
+      corpus: DataFrame, // idCol, textCol, mediaCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      mediaCol: String = "media",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3): DataFrame = {
+    val mem = pairMembership(corpus, idCol, textCol, mediaCol, None,
+      shingleW, minhashK, bands)
+    val comp = graft.operators.ConnectedComponents
+      .byGroup(mem, idCol, "band_key")
+    mem.join(comp, Seq(idCol))
+      .groupBy("band_key").agg(min("component").as("component"))
+  }
+
+  /** Streaming CROSS-MODAL pair-cluster assignment — the online form
+    * of q_pipeline_pairs and the multimodal upgrade of
+    * [[clusterAssignStream]]: each arriving (caption, image) pair is
+    * fingerprinted statelessly in BOTH modalities (minhash caption
+    * bands + pHash image bands over the production decode column),
+    * its band keys join the persisted cluster table of the last
+    * offline CC run, and one watermarked aggregation assigns the
+    * minimum matching canonical. A pair whose caption is unusable
+    * (too short, garbled) still assigns by image, and vice versa —
+    * the cross-modal robustness a single-modality assigner lacks.
+    * `matched_modalities` counts the distinct modalities with a
+    * cluster hit (2 = both agreed / glued); pairs with no bands in
+    * either modality emit no verdict (the [[clusterAssignStream]]
+    * short-doc contract).
+    *
+    * Output: bucket, <idCol>, is_known, component, matched_modalities.
+    */
+  def pairAssignStream(
+      pairs: DataFrame, // idCol, textCol, mediaCol, tsCol
+      corpus: DataFrame, // idCol, textCol, mediaCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      shingleW: Int = 3,
+      minhashK: Int = 9,
+      bands: Int = 3,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val keyToComp = staticSide.getOrElse(
+      pairAssignStaticSide(corpus, idCol, textCol, mediaCol,
+        shingleW, minhashK, bands).persist())
+    pairMembership(pairs.withWatermark(tsCol, watermark), idCol,
+        textCol, mediaCol, Some(tsCol), shingleW, minhashK, bands)
+      .join(keyToComp, Seq("band_key"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(min(col("component")).as("component"),
+        size(array_distinct(collect_list(
+          when(col("component").isNotNull,
+            substring(col("band_key"), 1, 1)))))
+          .as("matched_modalities"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("component").isNotNull.as("is_known"), col("component"),
+        col("matched_modalities"))
+  }
 }

@@ -912,6 +912,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cross-modal pair assignment: arriving pairs assign by caption " +
+    "bands, image bands, or both; either modality alone suffices") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.PixelDecode
+    def png(seed: Int): Array[Byte] = PixelDecode.encodePngGray(32, 32,
+      Array.tabulate(1024)(i => (seed * 53 + i * 7 + (i * i) % 19) % 256))
+    // corpus: c1/c3 caption-dups (canonical c1); c2/c4 image-dups
+    // (canonical c2); captions unique across c2/c4
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog at dawn", png(1)),
+      ("c3", "the quick brown fox jumps over the lazy dog at dawn", png(3)),
+      ("c2", "pack my box with five dozen liquor jugs before noon", png(2)),
+      ("c4", "how vexingly quick daft zebras jump over fences today", png(2)))
+      .toDF("doc_id", "text", "media")
+    val pairs = MemoryStream[(String, String, Array[Byte], Timestamp)]
+    val out = StreamingOps.pairAssignStream(
+      pairs.toDF().toDF("doc_id", "text", "media", "ts"), corpus)
+    val q = out.writeStream.format("memory").queryName("pair_assign")
+      .outputMode("update").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      pairs.addData(
+        // caption hit only -> c1 cluster, one modality
+        ("d_text", "the quick brown fox jumps over the lazy dog at dawn",
+          png(100), t(0)),
+        // image hit only -> c2 cluster, one modality
+        ("d_img", "entirely novel caption about catalyst shuffle plans " +
+          "and broadcast joins", png(2), t(1)),
+        // both modalities hit different clusters -> min canonical, 2
+        ("d_both", "the quick brown fox jumps over the lazy dog at dawn",
+          png(2), t(2)),
+        // caption unusable (below shingle width), image carries it
+        ("d_short", "hi", png(2), t(3)),
+        // image undecodable, caption carries it
+        ("d_noimg", "the quick brown fox jumps over the lazy dog at dawn",
+          "not an image".getBytes, t(4)),
+        // neither matches -> known=false, zero matched modalities
+        ("d_new", "completely different words about spark catalyst " +
+          "plans and shuffle partitions everywhere", png(101), t(5)))
+      q.processAllAvailable()
+      val got = spark.table("pair_assign")
+        .select("doc_id", "is_known", "component", "matched_modalities")
+        .as[(String, Boolean, Option[String], Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got("d_text") === ((true, Some("c1"), 1)))
+      assert(got("d_img") === ((true, Some("c2"), 1)))
+      assert(got("d_both") === ((true, Some("c1"), 2)))
+      assert(got("d_short") === ((true, Some("c2"), 1)))
+      assert(got("d_noimg") === ((true, Some("c1"), 1)))
+      assert(got("d_new") === ((false, None, 0)))
+    } finally q.stop()
+  }
+
   test("streaming quality bucketing scores arriving docs against " +
     "broadcast corpus cut points; unknown groups and empty docs get " +
     "null buckets") {
