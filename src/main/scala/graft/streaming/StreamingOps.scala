@@ -2523,6 +2523,12 @@ object StreamingOps {
       minShingles: Int = 6,
       minAligned: Int = 6,
       staticSide: Option[DataFrame] = None): DataFrame = {
+    // batch parity relies on a non-quality catalog clip (< minShingles
+    // shingles) never reaching minAligned aligned cells — which holds
+    // exactly when minAligned >= minShingles (the audio twin instead
+    // gates its static side, see audioFunnelStaticSide)
+    require(minAligned >= minShingles,
+      s"minAligned ($minAligned) must be >= minShingles ($minShingles)")
     val catalogSh = staticSide.getOrElse(
       videoFpStaticSide(catalog, idCol, mediaCol).persist())
     val shArr = udf((bytes: Array[Byte]) =>
@@ -2554,6 +2560,107 @@ object StreamingOps {
            x -> x.cat_clip))"""))
       .select(col("window.start").as("bucket"), col(idCol),
         col("demuxed"), col("quality_ok"),
+        (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
+        col("dup_of"),
+        (col("quality_ok") && col("dup_of").isNull).as("survived"))
+  }
+
+  /** Static side for [[audioFunnelStream]]: the landmark table of the
+    * catalog's QUALITY survivors — the same decode + duration gates
+    * the arriving side runs, so the near-dup discipline matches the
+    * batch funnel's dedup-among-quality exactly. This filter is NOT
+    * optional for audio: a too-short catalog clip still carries
+    * enough landmarks to clear `minAligned` (unlike the video twin,
+    * where a non-quality clip's shingle count is bounded below
+    * minAligned by construction), so an unfiltered catalog would veto
+    * arriving clips the batch funnel keeps.
+    */
+  def audioFunnelStaticSide(
+      catalog: DataFrame, // idCol, mediaCol (WAV bytes)
+      idCol: String = "clip",
+      mediaCol: String = "media",
+      minSamples: Long = 512L): DataFrame = {
+    val lms = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      graft.operators.AudioHeader.pcm16Samples(b)
+        .filter(_.length >= minSamples)
+        .map(graft.operators.AudioFingerprint.landmarks)
+        .getOrElse(Array.empty[(Int, Int)])
+        .map { case (t, lid) => t * 512 + lid }.toSeq
+    }
+    catalog
+      .withColumn("__lm", explode(lms(col(mediaCol))))
+      .select(col(idCol).as("cat_clip"),
+        expr("__lm div 512").as("cat_t"), expr("__lm % 512").as("lid"))
+  }
+
+  /** The streaming AUDIO-corpus build funnel — the online composition
+    * of q_pipeline_audio's stages, completing the per-modality
+    * batch/stream funnel symmetry (text / image / video / audio):
+    * each arriving WAV blob runs ONE decode+fingerprint kernel pass
+    * (RIFF parse + landmark triples, all on its single input row),
+    * then the decode gate, the duration quality gate on the REAL
+    * decoded sample count, and the landmark near-dup assignment
+    * against the already-ingested catalog with the batch
+    * keep-smallest discipline. Same one-stateful-agg shape as
+    * [[videoFunnelStream]]: the windowed aggregation collects only
+    * smaller-id landmark-collision evidence (cat_clip, dt) and the
+    * >= `minAligned` verify is a stateless post-aggregation array
+    * fold. Non-quality clips ride a sentinel landmark id (-1 never
+    * matches the 0..511 catalog buckets) so every arriving id gets a
+    * funnel verdict row.
+    *
+    * Output: bucket, <idCol>, decoded, quality_ok, is_neardup,
+    * dup_of, survived.
+    */
+  def audioFunnelStream(
+      clips: DataFrame, // idCol, mediaCol, tsCol
+      catalog: DataFrame, // idCol, mediaCol (WAV bytes)
+      idCol: String = "clip",
+      mediaCol: String = "media",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      minSamples: Long = 512L,
+      minAligned: Int = 8,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val catalogLms = staticSide.getOrElse(
+      audioFunnelStaticSide(catalog, idCol, mediaCol, minSamples)
+        .persist())
+    val kernel = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      graft.operators.AudioHeader.pcm16Samples(b) match {
+        case Some(sm) => graft.queries.AudioFunnelRow(true,
+          sm.length.toLong,
+          graft.operators.AudioFingerprint.landmarks(sm)
+            .map { case (t, lid) => t * 512 + lid }.toSeq)
+        case None =>
+          graft.queries.AudioFunnelRow(false, 0L, Seq.empty)
+      }
+    }
+    clips.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), kernel(col(mediaCol)).as("__af"))
+      .withColumn("decoded", col("__af.decoded"))
+      .withColumn("quality_ok",
+        col("decoded") && col("__af.n_samples") >= minSamples)
+      .withColumn("__lm", explode(when(col("quality_ok"),
+        col("__af.lms")).otherwise(array(lit(-1)))))
+      .select(col(idCol), col(tsCol), col("decoded"), col("quality_ok"),
+        expr("__lm div 512").as("t"), expr("__lm % 512").as("lid"))
+      .join(catalogLms, Seq("lid"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(max(col("decoded")).as("decoded"),
+        max(col("quality_ok")).as("quality_ok"),
+        collect_list(when(col("cat_clip") < col(idCol),
+          struct(col("cat_clip"), (col("t") - col("cat_t")).as("dt"))))
+          .as("__ev"))
+      .withColumn("dup_of", expr(
+        s"""array_min(transform(filter(__ev, x ->
+           size(filter(__ev, y ->
+             y.cat_clip = x.cat_clip AND y.dt = x.dt)) >= $minAligned),
+           x -> x.cat_clip))"""))
+      .select(col("window.start").as("bucket"), col(idCol),
+        col("decoded"), col("quality_ok"),
         (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
         col("dup_of"),
         (col("quality_ok") && col("dup_of").isNull).as("survived"))

@@ -393,6 +393,80 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming audio-corpus funnel matches the batch " +
+    "q_pipeline_audio stages: decode gate, duration quality gate, " +
+    "keep-smallest landmark near-dup — across a mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AudioFingerprint, AudioHeader}
+    // 4 groups of 3 clips sharing a base stream, member m delayed by
+    // m frames of silence; clip 7 truncated mid-fmt (decode gate),
+    // clip 4 only 256 content samples (duration gate — and its 14
+    // landmarks would wrongly veto clip 5 were the catalog unfiltered)
+    val rnd = new scala.util.Random(37)
+    val bases = Array.fill(4)(
+      Array.fill[Short](768)((rnd.nextInt(65536) - 32768).toShort))
+    def wavFor(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3
+      val n = if (id == 4) 256 else 768
+      val wav = AudioHeader.synthesizeWavPcm16(8000,
+        new Array[Short](m * 16) ++ bases(g).take(n))
+      if (id == 7) wav.take(20) else wav
+    }
+    val corpus = (0 until 12).map(id => id.toLong -> wavFor(id))
+    // batch-funnel truth from the kernel
+    val lms = corpus.map { case (id, w) =>
+      id -> AudioHeader.pcm16Samples(w)
+        .map(s => (s.length, AudioFingerprint.landmarks(s)))
+    }.toMap
+    val decoded = corpus.map(_._1).filter(lms(_).isDefined).toSet
+    val quality = corpus.map(_._1)
+      .filter(id => lms(id).exists(_._1 >= 512)).toSet
+    val dupOf = quality.map { a =>
+      val la = lms(a).get._2
+      val cands = quality.filter(_ < a).filter { b =>
+        val lb = lms(b).get._2
+        la.flatMap(x => lb.filter(_._2 == x._2)
+            .map(y => (b, x._1 - y._1)))
+          .groupBy(identity).values.exists(_.size >= 8)
+      }
+      a -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    assert(decoded === (0L until 12L).toSet - 7L)
+    assert(quality === decoded - 4L)
+    assert(dupOf.count(_._2.isDefined) === 6)
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.audioFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("audio_funnel")
+      .outputMode("update").start()
+    try {
+      val rows = corpus.map { case (id, wav) =>
+        (id, wav, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(7).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("audio_funnel")
+        .groupBy("clip").agg(max("decoded").as("d"),
+          max("quality_ok").as("q"), min("dup_of").as("dup"),
+          max("survived").as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toMap
+      assert(got.keySet === corpus.map(_._1).toSet)
+      for ((id, (d, qok, dup, s)) <- got) {
+        assert(d === decoded(id), s"decoded($id)")
+        assert(qok === quality(id), s"quality($id)")
+        assert(dup === dupOf.getOrElse(id, None), s"dup_of($id)")
+        assert(s === (quality(id) && dupOf.getOrElse(id, None).isEmpty),
+          s"survived($id)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming audio landmark match recovers planted time-shifted " +
     "clips against a static catalog across a mid-stream batch split") {
     implicit val sqlCtx = spark.sqlContext
