@@ -167,6 +167,229 @@ object AudioHeader {
     None
   }
 
+  // ------------------------------------------------------------------
+  // MP3 (MPEG Layer III) frame-header walk — the compressed-audio twin
+  // of the TIFF IFD / ISO-BMFF box walks: metadata-level (bitrate /
+  // sample rate / exact frame count / duration), no DSP decode
+  // claimed. Layout per ISO/IEC 11172-3 §2.4.1.3 and 13818-3.
+  // ------------------------------------------------------------------
+
+  /** Parsed MP3 stream facts from the full frame walk. `bitrateKbps`,
+    * `sampleRate`, `channels` come from the first frame; `nFrames` /
+    * `nSamples` / `durationMs` from walking EVERY frame header
+    * (1152 samples per MPEG-1 Layer III frame, 576 for MPEG-2/2.5).
+    */
+  final case class Mp3Info(
+      version: String, bitrateKbps: Int, sampleRate: Int,
+      channels: Int, nFrames: Int, nSamples: Long, durationMs: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps, index 1..14). */
+  val Mp3BitrateV1L3: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-2/2.5 Layer III bitrate table (kbps, index 1..14). */
+  val Mp3BitrateV2L3: Array[Int] =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** Sample-rate tables by version (index 0..2). */
+  val Mp3RateV1: Array[Int] = Array(44100, 48000, 32000)
+  val Mp3RateV2: Array[Int] = Array(22050, 24000, 16000)
+  val Mp3RateV25: Array[Int] = Array(11025, 12000, 8000)
+
+  /** Walk an MP3 stream: optional ID3v2 prefix (syncsafe size), then
+    * consecutive Layer III frame headers — frame length = 144000 *
+    * kbps / rate + padding for MPEG-1 (72000 for MPEG-2/2.5). Returns
+    * None (never throws) unless every byte is accounted for: ID3v2 +
+    * frames + an optional trailing 128-byte ID3v1 "TAG" block.
+    * Reserved version/layer/bitrate/rate codes and frames running
+    * past EOF are malformed — None deliberately, not via exception.
+    */
+  def parseMp3(bytes: Array[Byte]): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = (u8(bytes, 6) & 0x7f) << 21 | (u8(bytes, 7) & 0x7f) << 14 |
+        (u8(bytes, 8) & 0x7f) << 7 | (u8(bytes, 9) & 0x7f)
+      val skip = 10L + sz
+      if (skip >= bytes.length) return None
+      off = skip.toInt
+    }
+    var nFrames = 0
+    var nSamples = 0L
+    var first: Option[(String, Int, Int, Int)] = None
+    var ok = true
+    while (ok && off + 4 <= bytes.length) {
+      val h = u8(bytes, off) << 24 | u8(bytes, off + 1) << 16 |
+        u8(bytes, off + 2) << 8 | u8(bytes, off + 3)
+      if ((h >>> 21) != 0x7ff) ok = false
+      else {
+        val verBits = (h >>> 19) & 3 // 0=2.5, 1=reserved, 2=2, 3=1
+        val layerBits = (h >>> 17) & 3 // 1=III
+        val brIdx = (h >>> 12) & 15
+        val srIdx = (h >>> 10) & 3
+        val pad = (h >>> 9) & 1
+        val mode = (h >>> 6) & 3
+        if (verBits == 1 || layerBits != 1 || brIdx == 0 ||
+            brIdx == 15 || srIdx == 3) ok = false
+        else {
+          val mpeg1 = verBits == 3
+          val kbps =
+            (if (mpeg1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
+          val rate = (verBits match {
+            case 3 => Mp3RateV1
+            case 2 => Mp3RateV2
+            case _ => Mp3RateV25
+          })(srIdx)
+          val flen = (if (mpeg1) 144000 else 72000) * kbps / rate + pad
+          if (flen < 4 || off.toLong + flen > bytes.length) ok = false
+          else {
+            if (first.isEmpty) first = Some((
+              if (mpeg1) "mpeg1" else if (verBits == 2) "mpeg2"
+              else "mpeg2.5",
+              kbps, rate, if (mode == 3) 1 else 2))
+            nFrames += 1
+            nSamples += (if (mpeg1) 1152 else 576)
+            off += flen
+          }
+        }
+      }
+    }
+    val tailOk = off == bytes.length ||
+      (bytes.length - off == 128 && bytes(off) == 'T' &&
+        bytes(off + 1) == 'A' && bytes(off + 2) == 'G')
+    first.filter(_ => nFrames > 0 && tailOk).map {
+      case (v, kbps, rate, ch) =>
+        Mp3Info(v, kbps, rate, ch, nFrames, nSamples,
+          nSamples * 1000 / rate)
+    }
+  }
+
+  /** Build a spec-layout MP3: optional ID3v2 prefix, `nFrames` Layer
+    * III frames (padding bit alternating per `padEvery`), deterministic
+    * filler payloads — fixture + executable spec of [[parseMp3]].
+    */
+  def synthesizeMp3(
+      mpeg1: Boolean, brIdx: Int, srIdx: Int, mono: Boolean,
+      nFrames: Int, id3Size: Int = 0,
+      padEvery: Int = 2): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2,
+      s"brIdx/srIdx out of range: $brIdx/$srIdx")
+    require(nFrames >= 1 && padEvery >= 1, s"nFrames/padEvery")
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    if (id3Size > 0) {
+      out ++= "ID3".getBytes("US-ASCII")
+      out += 3; out += 0; out += 0 // version 2.3.0, flags 0
+      out += ((id3Size >> 21) & 0x7f).toByte
+      out += ((id3Size >> 14) & 0x7f).toByte
+      out += ((id3Size >> 7) & 0x7f).toByte
+      out += (id3Size & 0x7f).toByte
+      (0 until id3Size).foreach(i => out += (i % 251).toByte)
+    }
+    val verBits = if (mpeg1) 3 else 2
+    val kbps = (if (mpeg1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
+    val rate = (if (mpeg1) Mp3RateV1 else Mp3RateV2)(srIdx)
+    (0 until nFrames).foreach { f =>
+      val pad = if (f % padEvery == 0) 1 else 0
+      val flen = (if (mpeg1) 144000 else 72000) * kbps / rate + pad
+      out += 0xff.toByte
+      out += (0xe0 | (verBits << 3) | (1 << 1) | 1).toByte
+      out += ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      out += (if (mono) (3 << 6) else 0).toByte
+      (4 until flen).foreach(i => out += ((f * 31 + i) % 251).toByte)
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC STREAMINFO parse — metadata-block walk per the FLAC format
+  // spec (RFC 9639 §8): magic, block headers (last-flag + type +
+  // 24-bit BE length), STREAMINFO field extraction.
+  // ------------------------------------------------------------------
+
+  /** Parsed FLAC STREAMINFO facts. */
+  final case class FlacInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, durationMs: Long)
+
+  /** Parse a FLAC header: "fLaC" magic, then the metadata-block walk.
+    * STREAMINFO must be the first block (spec rule — enforced);
+    * subsequent blocks (padding, vorbis comment, ...) are walked for
+    * bounds only. Truncated blocks, a zero sample rate, or a
+    * non-STREAMINFO first block return None deliberately.
+    */
+  def parseFlac(bytes: Array[Byte]): Option[FlacInfo] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C')) return None
+    var off = 4
+    var info: Option[FlacInfo] = None
+    var last = false
+    var firstBlock = true
+    while (!last && off + 4 <= bytes.length) {
+      val h = u8(bytes, off)
+      last = (h & 0x80) != 0
+      val tp = h & 0x7f
+      val len = u8(bytes, off + 1) << 16 | u8(bytes, off + 2) << 8 |
+        u8(bytes, off + 3)
+      if (off + 4L + len > bytes.length) return None
+      if (firstBlock && tp != 0) return None
+      if (tp == 0) {
+        if (len < 34 || info.isDefined) return None
+        val b = off + 4
+        val rate = u8(bytes, b + 10) << 12 | u8(bytes, b + 11) << 4 |
+          (u8(bytes, b + 12) >>> 4)
+        val ch = ((u8(bytes, b + 12) >>> 1) & 7) + 1
+        val bps = (((u8(bytes, b + 12) & 1) << 4) |
+          (u8(bytes, b + 13) >>> 4)) + 1
+        val total = (u8(bytes, b + 13) & 0xf).toLong << 32 |
+          u8(bytes, b + 14).toLong << 24 | u8(bytes, b + 15).toLong << 16 |
+          u8(bytes, b + 16).toLong << 8 | u8(bytes, b + 17).toLong
+        if (rate == 0) return None
+        info = Some(FlacInfo(rate, ch, bps, total, total * 1000 / rate))
+      }
+      firstBlock = false
+      off += 4 + len
+    }
+    info.filter(_ => last)
+  }
+
+  /** Build a spec-layout FLAC header: STREAMINFO (+ an optional
+    * PADDING block so the walk is exercised) — fixture + executable
+    * spec of [[parseFlac]]. Header-level only: no audio frames.
+    */
+  def synthesizeFlac(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, padLen: Int = 0): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20), s"rate: $sampleRate")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bps: $bitsPerSample")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "totalSamples")
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0 // min/max blocksize 4096
+    // min/max frame size (bytes 4-9) stay 0 = unknown
+    si(10) = ((sampleRate >> 12) & 0xff).toByte
+    si(11) = ((sampleRate >> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    // bytes 18-33: md5 of the unencoded audio — zeros (unknown)
+    def blockHeader(tp: Int, len: Int, isLast: Boolean): Array[Byte] =
+      Array((((if (isLast) 0x80 else 0) | tp) & 0xff).toByte,
+        ((len >> 16) & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        (len & 0xff).toByte)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      blockHeader(0, 34, isLast = padLen == 0) ++ si
+    if (padLen == 0) head
+    else head ++ blockHeader(1, padLen, isLast = true) ++
+      new Array[Byte](padLen)
+  }
+
   /** Build a minimal valid PCM16 WAV blob — test fixture + docs-level
     * executable spec of the layout this parser reads.
     */

@@ -40,6 +40,13 @@ final case class FpStats(
 final case class AudioFunnelRow(
     decoded: Boolean, n_samples: Long, lms: Seq[Int])
 
+/** Typed return row of q_multimodal_audiomd's container-metadata
+  * kernel (MP3 frame walk / FLAC STREAMINFO fields).
+  */
+final case class AudioMdRow(
+    fmt: String, rate_kbps: Int, sample_rate: Int, channels: Int,
+    n_frames: Int, n_samples: Long, duration_ms: Long)
+
 object PipelineQueries extends QueryPack {
 
   /** Fill `gray` with md5-derived bytes: pixel i takes byte i%16 of
@@ -2175,5 +2182,107 @@ object PipelineQueries extends QueryPack {
         "near-dup dedup with keep-smallest canonicalization — " +
         "per-source funnel counts + survivor landmark fingerprint, " +
         "the DFT/peak/triple chain replayed relationally."),
+
+    GraftQuery(
+      "q_multimodal_audiomd", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // Compressed-audio CONTAINER metadata — the audio twin of the
+        // TIFF/EXIF and ISO-BMFF walks, extending S8 beyond WAV: even
+        // docs carry a byte-built MP3 (ID3v2 prefix on every 5th,
+        // Layer III frames whose lengths exercise the padding-bit
+        // arithmetic, both MPEG versions), odd docs a FLAC STREAMINFO
+        // (+ padding block on two of three). The PRODUCTION parsers
+        // walk them back — parseMp3 walks EVERY frame header, so the
+        // frame count/duration pin the 144000*kbps/rate+pad length
+        // math; parseFlac pins the 20-bit rate / 36-bit total field
+        // extraction. The oracle replays all fields from the id
+        // arithmetic with the bitrate/rate tables inlined as VALUES.
+        // Scale shape: one blob per row, embarrassingly parallel; the
+        // only shuffle is the (source, fmt) rollup.
+        import graft.operators.AudioHeader
+        val kernel = udf((docId: Long) => {
+          if (docId % 2 == 0) {
+            val i = AudioHeader.parseMp3(AudioHeader.synthesizeMp3(
+              mpeg1 = docId % 4 == 0,
+              brIdx = 1 + (docId % 14).toInt,
+              srIdx = (docId % 3).toInt,
+              mono = docId % 3 == 0,
+              nFrames = 3 + (docId % 5).toInt,
+              id3Size = if (docId % 5 == 0) 40 + (docId % 7).toInt
+                else 0)).get
+            AudioMdRow("mp3", i.bitrateKbps, i.sampleRate, i.channels,
+              i.nFrames, i.nSamples, i.durationMs)
+          } else {
+            val i = AudioHeader.parseFlac(AudioHeader.synthesizeFlac(
+              sampleRate = 8000 * (1 + (docId % 5).toInt),
+              channels = 1 + ((docId / 3) % 2).toInt,
+              bitsPerSample = 16,
+              totalSamples = 10000L + (docId * 7) % 50000,
+              padLen = ((docId % 3) * 8).toInt)).get
+            AudioMdRow("flac", i.bitsPerSample, i.sampleRate,
+              i.channels, 0, i.totalSamples, i.durationMs)
+          }
+        })
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("md", kernel(col("doc_id")))
+          .groupBy(col("source"), col("md.fmt").as("fmt"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("md.rate_kbps").cast("long")).as("kbps_sum"),
+            sum(col("md.sample_rate").cast("long")).as("rate_sum"),
+            sum(col("md.channels").cast("long")).as("ch_sum"),
+            sum(col("md.n_frames").cast("long")).as("frames_sum"),
+            sum(col("md.n_samples")).as("samples_sum"),
+            sum(col("md.duration_ms")).as("dur_sum"))
+          .orderBy("source", "fmt")
+      },
+      Some {
+        val br = (1 to 14).map(i =>
+          s"($i,${graft.operators.AudioHeader.Mp3BitrateV1L3(i)}," +
+            s"${graft.operators.AudioHeader.Mp3BitrateV2L3(i)})")
+          .mkString(",")
+        val sr = (0 to 2).map(i =>
+          s"($i,${graft.operators.AudioHeader.Mp3RateV1(i)}," +
+            s"${graft.operators.AudioHeader.Mp3RateV2(i)})")
+          .mkString(",")
+        s"""WITH br(i, v1, v2) AS (SELECT * FROM (VALUES $br) b(i, v1, v2)),
+        sr(i, r1, r2) AS (SELECT * FROM (VALUES $sr) r(i, r1, r2)),
+        mp3 AS (SELECT d.doc_id, d.source,
+            CASE WHEN d.doc_id % 4 = 0 THEN br.v1 ELSE br.v2 END AS kbps,
+            CASE WHEN d.doc_id % 4 = 0 THEN sr.r1 ELSE sr.r2 END AS rate,
+            CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 2 END AS ch,
+            (3 + d.doc_id % 5)::BIGINT AS nf,
+            CASE WHEN d.doc_id % 4 = 0 THEN 1152 ELSE 576 END AS spf
+          FROM documents d
+          JOIN br ON br.i = 1 + d.doc_id % 14
+          JOIN sr ON sr.i = d.doc_id % 3
+          WHERE d.doc_id % 2 = 0),
+        flac AS (SELECT doc_id, source,
+            (8000 * (1 + doc_id % 5))::BIGINT AS rate,
+            (1 + (doc_id // 3) % 2)::BIGINT AS ch,
+            (10000 + (doc_id * 7) % 50000)::BIGINT AS total
+          FROM documents WHERE doc_id % 2 = 1),
+        rows_all AS (
+          SELECT source, 'mp3' AS fmt, kbps::BIGINT AS kbps,
+            rate::BIGINT AS rate, ch::BIGINT AS ch, nf AS frames,
+            (nf * spf)::BIGINT AS samples,
+            (nf * spf * 1000 // rate)::BIGINT AS dur
+          FROM mp3
+          UNION ALL
+          SELECT source, 'flac', 16::BIGINT, rate, ch, 0::BIGINT,
+            total, (total * 1000 // rate)::BIGINT
+          FROM flac)
+        SELECT source, fmt, count(*)::BIGINT AS n,
+          sum(kbps)::BIGINT AS kbps_sum, sum(rate)::BIGINT AS rate_sum,
+          sum(ch)::BIGINT AS ch_sum, sum(frames)::BIGINT AS frames_sum,
+          sum(samples)::BIGINT AS samples_sum,
+          sum(dur)::BIGINT AS dur_sum
+        FROM rows_all GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+      "Compressed-audio container metadata: byte-built MP3s (ID3v2 " +
+        "prefixes, both MPEG versions, padding-bit frame lengths) and " +
+        "FLAC STREAMINFO blocks re-parsed by the production walks — " +
+        "frame counts, durations, and every field replayed from id " +
+        "arithmetic with the bitrate/rate tables inlined as VALUES."),
   )
 }

@@ -132,6 +132,94 @@ class AudioHeaderSpec extends SparkSuite {
     assert(r2.getInt(2) === 0)
   }
 
+  test("parseMp3 walks every Layer III frame: exact frame count and " +
+    "duration, ID3v2 skip, ID3v1 tail tolerance, both MPEG versions") {
+    val mp3 = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 9,
+      srIdx = 0, mono = true, nFrames = 7, id3Size = 33)
+    val i = AudioHeader.parseMp3(mp3).get
+    assert(i.version === "mpeg1")
+    assert(i.bitrateKbps === 128)
+    assert(i.sampleRate === 44100)
+    assert(i.channels === 1)
+    assert(i.nFrames === 7)
+    assert(i.nSamples === 7 * 1152L)
+    assert(i.durationMs === 7 * 1152L * 1000 / 44100)
+    // MPEG-2: 576 samples per frame, the V2 bitrate/rate tables
+    val m2 = AudioHeader.parseMp3(AudioHeader.synthesizeMp3(
+      mpeg1 = false, brIdx = 5, srIdx = 1, mono = false,
+      nFrames = 3)).get
+    assert(m2.version === "mpeg2")
+    assert(m2.bitrateKbps === 40)
+    assert(m2.sampleRate === 24000)
+    assert(m2.channels === 2)
+    assert(m2.nSamples === 3 * 576L)
+    // trailing 128-byte ID3v1 "TAG" block is tolerated
+    val withTail = mp3 ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(AudioHeader.parseMp3(withTail).get.nFrames === 7)
+  }
+
+  test("parseMp3 hostility: truncation, bad sync, trailing garbage " +
+    "-> None deliberately; random fuzz never throws") {
+    val mp3 = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 9,
+      srIdx = 0, mono = true, nFrames = 4)
+    assert(AudioHeader.parseMp3(mp3.dropRight(10)) === None)
+    assert(AudioHeader.parseMp3(mp3 ++ Array[Byte](1, 2, 3)) === None)
+    val bad = mp3.clone(); bad(1) = 0x00 // first frame loses sync
+    assert(AudioHeader.parseMp3(bad) === None)
+    assert(AudioHeader.parseMp3(null) === None)
+    assert(AudioHeader.parseMp3(Array.emptyByteArray) === None)
+    // ID3v2 size running past EOF
+    val id3Only = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 1,
+      srIdx = 0, mono = true, nFrames = 1, id3Size = 50).take(30)
+    assert(AudioHeader.parseMp3(id3Only) === None)
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { _ =>
+      val bytes = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt().toByte)
+      AudioHeader.parseMp3(bytes) // must not throw
+    }
+    // byte-mutation fuzz of a VALID stream reaches deep walk paths
+    (1 to 300).foreach { _ =>
+      val m = mp3.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      AudioHeader.parseMp3(m) // must not throw
+    }
+  }
+
+  test("parseFlac extracts STREAMINFO exactly (20-bit rate, 36-bit " +
+    "total, padding-block walk); hostile headers -> None") {
+    val f = AudioHeader.parseFlac(AudioHeader.synthesizeFlac(
+      44100, 2, 16, 123456L, padLen = 12)).get
+    assert(f.sampleRate === 44100)
+    assert(f.channels === 2)
+    assert(f.bitsPerSample === 16)
+    assert(f.totalSamples === 123456L)
+    assert(f.durationMs === 123456L * 1000 / 44100)
+    // field-width extremes roundtrip bit-exactly
+    val g = AudioHeader.parseFlac(AudioHeader.synthesizeFlac(
+      1048575, 8, 32, (1L << 36) - 1)).get
+    assert(g.sampleRate === 1048575)
+    assert(g.channels === 8)
+    assert(g.bitsPerSample === 32)
+    assert(g.totalSamples === (1L << 36) - 1)
+    val ok = AudioHeader.synthesizeFlac(8000, 1, 16, 100L)
+    assert(AudioHeader.parseFlac(ok.dropRight(5)) === None)
+    assert(AudioHeader.parseFlac("fLaCxx".getBytes) === None)
+    assert(AudioHeader.parseFlac(null) === None)
+    // zero sample rate is malformed
+    val zr = ok.clone(); zr(18) = 0; zr(19) = 0
+    zr(20) = (zr(20) & 0x0f).toByte
+    assert(AudioHeader.parseFlac(zr) === None)
+    // a non-STREAMINFO first block violates the spec rule
+    val swapped = ok.clone(); swapped(4) = (0x80 | 1).toByte
+    assert(AudioHeader.parseFlac(swapped) === None)
+    val rnd = new scala.util.Random(17)
+    (1 to 300).foreach { _ =>
+      val m = ok.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      AudioHeader.parseFlac(m) // must not throw
+    }
+  }
+
   test("audio feature columns stay bit-identical across partitionings") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>

@@ -82,7 +82,10 @@ class PartitionInvarianceSpec extends SparkSuite {
     "q_pipeline_pairs",
     // the audio funnel's sample regroup, landmark-band self-join, and
     // keep-smallest anti-join all cross shuffles
-    "q_pipeline_audio")
+    "q_pipeline_audio",
+    // the container-metadata walks are per-row, but the (source, fmt)
+    // rollup merges integer partials across shuffles
+    "q_multimodal_audiomd")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")
