@@ -3,11 +3,12 @@ package graft.operators
 /** Pure-JVM image header parsing: container format + pixel dimensions
   * from the first bytes of a blob, no codec libraries. This makes the
   * multimodal `width`/`height` feature columns REAL for the formats a
-  * training-data pipeline actually meets (PNG, JPEG, GIF, BMP, TIFF);
-  * the pixel decode itself lives in [[PixelDecode]]. Header layouts
-  * are from the public specs: PNG (RFC 2083 §4.1.1 IHDR), JPEG (ITU
-  * T.81 SOFn segment), GIF (GIF89a §17 logical screen descriptor),
-  * BMP (BITMAPINFOHEADER), TIFF (TIFF 6.0 §2 IFD).
+  * training-data pipeline actually meets (PNG, JPEG, GIF, BMP, TIFF,
+  * WebP); the pixel decode itself lives in [[PixelDecode]]. Header
+  * layouts are from the public specs: PNG (RFC 2083 §4.1.1 IHDR),
+  * JPEG (ITU T.81 SOFn segment), GIF (GIF89a §17 logical screen
+  * descriptor), BMP (BITMAPINFOHEADER), TIFF (TIFF 6.0 §2 IFD),
+  * WebP (RFC 9649 VP8/VP8L/VP8X chunks).
   *
   * Reference analog: the reference has no media path at all; this is
   * part of the pipeline surface the survey adds beyond it.
@@ -34,7 +35,43 @@ object ImageHeader {
   def parse(bytes: Array[Byte]): Option[Info] =
     if (bytes == null) None
     else png(bytes).orElse(gif(bytes)).orElse(bmp(bytes))
-      .orElse(jpeg(bytes)).orElse(tiff(bytes))
+      .orElse(jpeg(bytes)).orElse(tiff(bytes)).orElse(webp(bytes))
+
+  /** WebP: RIFF container ("RIFF" size "WEBP"), first chunk one of
+    * (RFC 9649): VP8 lossy — frame tag(3) + start code 9D 01 2A +
+    * width(2 LE, 14 bits) height(2 LE, 14 bits); VP8L lossless —
+    * 0x2F byte then 14-bit width-1 / height-1 packed LE; VP8X
+    * extended — flags(4) + 24-bit LE width-1 / height-1.
+    */
+  private def webp(b: Array[Byte]): Option[Info] = {
+    if (b.length < 25) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+      return None
+    val tag = new String(b, 12, 4, "US-ASCII")
+    tag match {
+      case "VP8 " =>
+        // key-frame start code at payload offset 3
+        if (b.length < 30 ||
+            !(u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a))
+          return None
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w < 1 || h < 1) None else Some(Info("webp", w, h))
+      case "VP8L" =>
+        if (u8(b, 20) != 0x2f) return None
+        val bits = le32(b, 21)
+        val w = (bits & 0x3fff) + 1
+        val h = ((bits >>> 14) & 0x3fff) + 1
+        Some(Info("webp", w, h))
+      case "VP8X" =>
+        if (b.length < 30) return None
+        val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+        val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+        Some(Info("webp", w, h))
+      case _ => None
+    }
+  }
 
   /** PNG: 8-byte signature, then the IHDR chunk (always first, RFC 2083
     * §4.1.1): length(4) "IHDR"(4) width(4 BE) height(4 BE).

@@ -75,6 +75,30 @@ class MultimodalSpec extends SparkSuite {
       0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x00, 0x02, 0x00, 3)
     assert(ImageHeader.parse(jpeg) ===
       Some(ImageHeader.Info("jpeg", 512, 256)))
+    // WebP, all three chunk variants (RFC 9649): lossy VP8 with the
+    // 9D 01 2A start code and 14-bit LE dims...
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        bytes(payload.length + 12, 0, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ tag.getBytes("US-ASCII") ++
+        bytes(payload.length, 0, 0, 0) ++ payload
+    val vp8 = riff("VP8 ", bytes(0, 0, 0, 0x9d, 0x01, 0x2a,
+      0x20, 0x03, 0x58, 0x02)) // 800 x 600
+    assert(ImageHeader.parse(vp8) === Some(ImageHeader.Info("webp", 800, 600)))
+    // ...lossless VP8L: 0x2F then packed 14-bit width-1 / height-1
+    // (w=17 -> 16 = 0x10; h=9 -> 8: bits = 16 | 8<<14 = 0x20010)
+    val vp8l = riff("VP8L", bytes(0x2f, 0x10, 0x00, 0x02, 0x00, 0x00))
+    assert(ImageHeader.parse(vp8l) === Some(ImageHeader.Info("webp", 17, 9)))
+    // ...extended VP8X: 24-bit LE width-1 / height-1 canvas
+    val vp8x = riff("VP8X", bytes(0, 0, 0, 0,
+      0x1f, 0x03, 0, 0x57, 0x02, 0)) // 800 x 600
+    assert(ImageHeader.parse(vp8x) === Some(ImageHeader.Info("webp", 800, 600)))
+    // a RIFF that is not WEBP (e.g. WAVE) must not parse as an image
+    val wav = AudioHeader.synthesizeWavPcm16(8000, Array[Short](1, 2, 3))
+    assert(ImageHeader.parse(wav) === None)
+    // VP8 without the start code is malformed
+    val badVp8 = vp8.clone(); badVp8(23) = 0
+    assert(ImageHeader.parse(badVp8) === None)
     // truncated PNG header and plain text -> no parse
     assert(ImageHeader.parse(png.take(20)) === None)
     assert(ImageHeader.parse("hello world".getBytes) === None)
