@@ -69,4 +69,91 @@ class RestartSpec extends SparkSuite {
       .as[(Long, Long, Long)].head()
     assert(got === want)
   }
+
+  test("videoFunnelStream windowed evidence state survives a " +
+    "checkpointed restart: clips split across the restart inside ONE " +
+    "window still close to exactly-once batch-parity verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+    def contentGray(g: Int, c: Int): Array[Int] =
+      Array.tabulate(72)(i =>
+        (g * 83 + c * 41 + i * 13 + (i * i) % 23) % 200)
+    def mp4For(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3
+      val nc = if (id == 4) 5 else 8 // id 4: quality-gated short clip
+      val frames = Seq.fill(m)(Array.fill(72)(m * 20)) ++
+        (0 until nc).map(c => contentGray(g, c).map(_ + m * 20))
+      val mp4 = VideoHeader.synthesizeMp4WithSamples("mp42", 600,
+        frames.length * 100L,
+        VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600,
+          frames.length * 100L),
+        frames.map(fr => PixelDecode.encodePngGray(9, 8, fr)),
+        100, samplesPerChunk = 3)
+      if (id == 1) mp4.take(40) else mp4 // id 1: demux-gated truncation
+    }
+    val corpus = (0 until 6).map(id => id.toLong -> mp4For(id))
+    val sh = corpus.map { case (id, b) =>
+      id -> Multimodal.videoShingleRows(b, 3) }.toMap
+    val quality = corpus.map(_._1).filter(sh(_).size >= 6).toSet
+    val dupOf = quality.map { a =>
+      val cands = quality.filter(_ < a).filter { b =>
+        sh(a).flatMap(x => sh(b).filter(_.sid == x.sid)
+            .map(y => (b, x.t - y.t)))
+          .groupBy(identity).values.exists(_.size >= 6)
+      }
+      a -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    assert(dupOf.count(_._2.isDefined) >= 2) // the plant is real
+    val ckpt = java.nio.file.Files.createTempDirectory("vf_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vf_out").toString
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val funnel = StreamingOps.videoFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours")
+    def start() = funnel.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    // phase 1: half the clips arrive, window stays open, query STOPS
+    val q1 = start()
+    try {
+      feed.addData(corpus.take(3).map { case (id, m) => (id, m, ts) }: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema(funnel.schema).parquet(outDir).count() === 0,
+      "window not closed — nothing may emit before the restart")
+    // phase 2: restart; the rest of the clips land in the SAME
+    // window (the restored evidence state must merge them), then
+    // next-day arrivals advance the watermark and close it
+    val q2 = start()
+    try {
+      feed.addData(corpus.drop(3).map { case (id, m) => (id, m, ts) }: _*)
+      q2.processAllAvailable()
+      feed.addData((100L, corpus.head._2,
+        Timestamp.valueOf("2024-01-02 10:00:00")))
+      q2.processAllAvailable()
+      feed.addData((101L, corpus.head._2,
+        Timestamp.valueOf("2024-01-02 13:00:00")))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .where(col("clip") < 100)
+        .select("clip", "demuxed", "quality_ok", "dup_of", "survived")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toMap
+      assert(got.keySet === corpus.map(_._1).toSet,
+        "exactly one verdict row per clip across the restart")
+      for ((id, (d, qok, dup, s)) <- got) {
+        assert(d === sh(id).nonEmpty, s"demuxed($id)")
+        assert(qok === quality(id), s"quality($id)")
+        assert(dup === dupOf.getOrElse(id, None), s"dup_of($id)")
+        assert(s === (quality(id) && dupOf.getOrElse(id, None).isEmpty),
+          s"survived($id)")
+      }
+    } finally q2.stop()
+  }
 }
