@@ -249,6 +249,33 @@ object Multimodal {
       .drop("__fr")
   }
 
+  /** Container-true KEYFRAME sampling — what a 100 TB video pipeline
+    * actually decodes for thumbnails/shot analysis: only the frames
+    * the stss sync-sample table marks seekable (I-frames), located
+    * through the full sample-table walk and stamped with both decode
+    * (`dts`) and presentation (`pts` = dts + ctts offset) times. A
+    * track without an stss box has every sample sync (§8.6.2), so
+    * this degrades to full-frame extraction exactly when the
+    * container says it should. Stateless per-row projection, same
+    * scale shape as [[mp4FrameSample]].
+    */
+  def mp4KeyframeSample(df: DataFrame, mediaCol: String): DataFrame = {
+    val extract = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      VideoHeader.videoSamples(b).getOrElse(Seq.empty)
+        .filter(_.sync)
+        .map(s => (s.index, s.dts, s.pts,
+          java.util.Arrays.copyOfRange(b, s.offset.toInt,
+            s.offset.toInt + s.size)))
+    }
+    df.withColumn("__kf", explode(extract(col(mediaCol))))
+      .withColumn("frame_idx", col("__kf._1"))
+      .withColumn("dts", col("__kf._2"))
+      .withColumn("pts", col("__kf._3"))
+      .withColumn("frame", col("__kf._4"))
+      .drop("__kf")
+  }
+
   /** Aspect-fit RESIZE planning — the geometry half of an image-resize
     * stage: fit (width, height) into a `maxDim` box preserving aspect
     * ratio with integer-exact arithmetic (floor division, short side

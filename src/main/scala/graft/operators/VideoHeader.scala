@@ -231,7 +231,14 @@ object VideoHeader {
   /** One demuxed video sample: absolute file offset, byte size, and
     * decode timestamp in the track's timescale.
     */
-  final case class Sample(index: Int, offset: Long, size: Int, dts: Long)
+  /** One located sample: byte extent, decode time, presentation time
+    * (`pts = dts + ctts offset`; equals dts when no ctts box — no
+    * b-frame reordering), and the sync flag (stss membership; a track
+    * without an stss box has EVERY sample sync, per §8.6.2).
+    */
+  final case class Sample(
+      index: Int, offset: Long, size: Int, dts: Long,
+      pts: Long = 0L, sync: Boolean = true)
 
   /** Demux the FIRST video track's sample table: walk moov/trak until
     * a 'vide' handler, then resolve stsc runs against stco chunk
@@ -272,6 +279,8 @@ object VideoHeader {
     var nSamples = -1L
     var stsc: Array[(Long, Long)] = null // (first_chunk, per_chunk)
     var chunkOffsets: Array[Long] = null
+    var stss: Array[Long] = null // 1-based sync sample numbers
+    var ctts: Array[(Long, Long)] = null // (count, signed offset)
     var bad = false
     def u32(i: Int): Long = be32(b, i)
     walk(b, start, end) { (tp, p0, p1) =>
@@ -351,6 +360,34 @@ object VideoHeader {
                       true
                     }
                   }
+                case "stss" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 1000000 || l0 + 8 + n * 4 > l1) {
+                      bad = true; false
+                    } else {
+                      stss = Array.tabulate(n.toInt)(k =>
+                        u32(l0 + 8 + k * 4))
+                      true
+                    }
+                  }
+                case "ctts" =>
+                  if (l1 - l0 < 8) { bad = true; false }
+                  else {
+                    val n = u32(l0 + 4)
+                    if (n < 0 || n > 65536 || l0 + 8 + n * 8 > l1) {
+                      bad = true; false
+                    } else {
+                      // offset read as SIGNED 32 (the version-1 form;
+                      // version-0 values are non-negative, where the
+                      // signed read is the identity)
+                      ctts = Array.tabulate(n.toInt)(k =>
+                        (u32(l0 + 8 + k * 8),
+                          u32(l0 + 12 + k * 8).toInt.toLong))
+                      true
+                    }
+                  }
                 case _ => true
               }
             }
@@ -366,9 +403,13 @@ object VideoHeader {
     // resolve stsc runs: run i applies from first_chunk(i) to
     // first_chunk(i+1)-1 (1-based); walk chunks until samples exhaust
     val out = new ArrayBuffer[Sample](nSamples.toInt)
+    val syncSet =
+      if (stss == null) null else stss.toSet
     var dts = 0L
     var sttsIdx = 0
     var sttsLeft = if (stts.isEmpty) 0L else stts(0)._1
+    var cttsIdx = 0
+    var cttsLeft = if (ctts == null || ctts.isEmpty) 0L else ctts(0)._1
     var sample = 0
     var chunk = 0
     while (sample < nSamples && chunk < chunkOffsets.length) {
@@ -383,7 +424,16 @@ object VideoHeader {
       while (k < perChunk && sample < nSamples) {
         val sz = if (uniformSize != 0) uniformSize.toInt else sizes(sample)
         if (sz < 0 || off < 0 || off + sz > b.length) return Left(true)
-        out += Sample(sample, off, sz, dts)
+        val ctsOff =
+          if (ctts == null || ctts.isEmpty) 0L
+          else {
+            while (cttsLeft == 0 && cttsIdx + 1 < ctts.length) {
+              cttsIdx += 1; cttsLeft = ctts(cttsIdx)._1
+            }
+            if (cttsLeft > 0) { cttsLeft -= 1; ctts(cttsIdx)._2 } else 0L
+          }
+        out += Sample(sample, off, sz, dts, dts + ctsOff,
+          syncSet == null || syncSet(sample + 1L))
         // advance the stts clock
         while (sttsLeft == 0 && sttsIdx + 1 < stts.length) {
           sttsIdx += 1; sttsLeft = stts(sttsIdx)._1
@@ -496,8 +546,12 @@ object VideoHeader {
       video: TrackSpec,
       samples: Seq[Array[Byte]],
       sampleDelta: Long,
-      samplesPerChunk: Int): Array[Byte] = {
+      samplesPerChunk: Int,
+      syncSamples: Seq[Int] = Nil, // 1-based; empty = no stss box
+      cttsOffsets: Seq[Long] = Nil): Array[Byte] = { // per sample
     require(samplesPerChunk > 0, s"samplesPerChunk: $samplesPerChunk")
+    require(cttsOffsets.isEmpty || cttsOffsets.length == samples.length,
+      "cttsOffsets must be empty or one per sample")
     val n = samples.length
     val nChunks = if (n == 0) 0 else (n + samplesPerChunk - 1) / samplesPerChunk
     def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
@@ -527,7 +581,24 @@ object VideoHeader {
         samples.toArray.flatMap(s => beInt(s.length.toLong)))
       val stco = fullBox("stco", beInt(nChunks.toLong),
         chunkOffsets.toArray.flatMap(beInt))
-      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val extras = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      if (syncSamples.nonEmpty)
+        extras += fullBox("stss", beInt(syncSamples.length.toLong),
+          syncSamples.toArray.flatMap(s => beInt(s.toLong)))
+      if (cttsOffsets.nonEmpty) {
+        // run-length compress consecutive equal offsets (spec shape)
+        val runs = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        cttsOffsets.foreach { o =>
+          if (runs.nonEmpty && runs.last._2 == o)
+            runs(runs.length - 1) = (runs.last._1 + 1, o)
+          else runs += ((1L, o))
+        }
+        extras += fullBox("ctts", beInt(runs.length.toLong),
+          runs.toArray.flatMap { case (c, o) =>
+            beInt(c) ++ beInt(o & 0xffffffffL) })
+      }
+      val stbl = box("stbl",
+        (Seq(stsd, stts, stsc, stsz, stco) ++ extras): _*)
       val minf = box("minf", stbl)
       box("moov", mvhd,
         box("trak", tkhd, box("mdia", mdhd, hdlr, minf)))

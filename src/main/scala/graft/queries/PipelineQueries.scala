@@ -2284,5 +2284,82 @@ object PipelineQueries extends QueryPack {
         "FLAC STREAMINFO blocks re-parsed by the production walks — " +
         "frame counts, durations, and every field replayed from id " +
         "arithmetic with the bitrate/rate tables inlined as VALUES."),
+
+    GraftQuery(
+      "q_multimodal_mp4sync", Seq("P6", "A8", "D9"),
+      (s, dir) => {
+        // Container-true KEYFRAME sampling — what a video pipeline
+        // decodes at 100 TB (only the stss-marked I-frames), through
+        // REAL sync-sample and composition-offset tables: per doc an
+        // MP4 is byte-built with every 3rd sample sync and a
+        // b-frame-ish ctts pattern ({-50, 0, +50} reordering), then
+        // the PRODUCTION Multimodal.mp4KeyframeSample walks it back —
+        // exactly the sync frames, each with dts AND pts. The oracle
+        // replays indices, both clocks, and the payload bytes from
+        // the id arithmetic, pinning stss membership and the signed
+        // ctts offset resolution. Scale shape: one blob per row; the
+        // only shuffle is the source rollup.
+        import graft.operators.{Multimodal, VideoHeader}
+        val mkMp4 = udf((docId: Long) => {
+          val n = (6 + docId % 7).toInt
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = (0 until n).map { i =>
+            val len = (8 + (docId + i) % 9).toInt
+            md.digest(s"$docId:k$i".getBytes("US-ASCII")).take(len)
+          }
+          VideoHeader.synthesizeMp4WithSamples(
+            "mp42", 600, n * 100L,
+            VideoHeader.TrackSpec("vide", "avc1", 320, 240, 600,
+              n * 100L),
+            samples, 100, samplesPerChunk = 4,
+            syncSamples = (1 to n by 3),
+            cttsOffsets = (0 until n).map(i =>
+              ((docId + i) % 3) * 50 - 50))
+        })
+        val byteSum = udf((b: Array[Byte]) =>
+          b.map(x => (x & 0xff).toLong).sum)
+        val vids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkMp4(col("doc_id")))
+        Multimodal.mp4KeyframeSample(vids, "media")
+          .withColumn("bsum", byteSum(col("frame")))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_videos"),
+            count(lit(1)).as("n_keyframes"),
+            sum("dts").as("sum_dts"),
+            sum("pts").as("sum_pts"),
+            sum(octet_length(col("frame")).cast("long")).as("sum_bytes"),
+            sum(col("bsum") % 1000000007L).as("byte_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (6 + doc_id % 7)::BIGINT AS n
+          FROM documents WHERE doc_id % 2 = 0),
+        fr AS (SELECT doc_id, source, i,
+            (8 + (doc_id + i) % 9)::BIGINT AS sz,
+            i * 100 AS dts,
+            i * 100 + ((doc_id + i) % 3) * 50 - 50 AS pts
+          FROM (SELECT d.*, unnest(range(n)) AS i FROM d)
+          WHERE i % 3 = 0),
+        by AS (SELECT fr.doc_id, fr.source, fr.i,
+            ('0x' || substr(md5(fr.doc_id::VARCHAR || ':k' ||
+              fr.i::VARCHAR), j * 2 + 1, 2))::BIGINT AS b
+          FROM fr, (SELECT unnest(range(16)) AS j) js
+          WHERE js.j < fr.sz),
+        fsum AS (SELECT doc_id, source, i, sum(b)::BIGINT AS bsum
+          FROM by GROUP BY 1, 2, 3)
+        SELECT fr.source, count(DISTINCT fr.doc_id)::BIGINT AS n_videos,
+          count(*)::BIGINT AS n_keyframes,
+          sum(fr.dts)::BIGINT AS sum_dts,
+          sum(fr.pts)::BIGINT AS sum_pts,
+          sum(fr.sz)::BIGINT AS sum_bytes,
+          sum(fsum.bsum % 1000000007)::BIGINT AS byte_fp
+        FROM fr JOIN fsum ON fsum.doc_id = fr.doc_id AND fsum.i = fr.i
+        GROUP BY 1 ORDER BY 1"""),
+      "Container-true keyframe sampling: real stss sync tables and " +
+        "signed ctts composition offsets written and walked back by " +
+        "the production operator — exactly the I-frames extracted, " +
+        "dts and pts both replayed from id arithmetic."),
   )
 }

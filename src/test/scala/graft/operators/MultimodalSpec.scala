@@ -8,6 +8,38 @@ import graft.pickaxe.RuleSelection
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
+  test("mp4KeyframeSample extracts exactly the stss sync frames with " +
+    "dts and ctts-offset pts; stss-less tracks emit every frame") {
+    import spark.implicits._
+    val payloads = (0 until 9).map(i => Array.fill[Byte](6)(i.toByte))
+    val ctts = (0 until 9).map(i => Seq(100L, 200L, -100L)(i % 3))
+    val mp4 = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 900, VideoHeader.TrackSpec("vide", "avc1", 64, 64,
+        600, 900), payloads, sampleDelta = 100, samplesPerChunk = 4,
+      syncSamples = Seq(1, 4, 7), cttsOffsets = ctts)
+    val df = Seq(("v1", mp4)).toDF("vid", "media")
+    val kf = Multimodal.mp4KeyframeSample(df, "media")
+      .select("frame_idx", "dts", "pts", "frame")
+      .collect().sortBy(_.getInt(0))
+    assert(kf.map(_.getInt(0)).toSeq === Seq(0, 3, 6))
+    kf.foreach { r =>
+      assert(r.getLong(1) === r.getInt(0) * 100L)
+      assert(r.getLong(2) === r.getLong(1) + ctts(r.getInt(0)))
+      assert(r.getAs[Array[Byte]](3).toSeq ===
+        payloads(r.getInt(0)).toSeq)
+    }
+    // no stss box: keyframe sampling degrades to every frame
+    val plain = VideoHeader.synthesizeMp4WithSamples("mp42", 600, 300,
+      VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 300),
+      payloads.take(3), 100, 2)
+    assert(Multimodal.mp4KeyframeSample(
+      Seq(("v2", plain)).toDF("vid", "media"), "media").count() === 3)
+    // non-MP4 bytes emit nothing
+    assert(Multimodal.mp4KeyframeSample(
+      Seq(("v3", "junk".getBytes)).toDF("vid", "media"), "media")
+      .count() === 0)
+  }
+
   test("withDecodedFeatures attaches the feature columns; opaque " +
     "bytes fall back to the md5 stand-in with decoded=false") {
     val df = Seq(("a", "hello world"), ("b", "x" * 1000))

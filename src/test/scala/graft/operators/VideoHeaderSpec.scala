@@ -148,6 +148,40 @@ class VideoHeaderSpec extends AnyFunSuite {
     assert(within.size === 3 && within.last.size === 3)
   }
 
+  test("stss/ctts roundtrip: sync flags follow the written sync table " +
+    "(absent box = every sample sync), pts = dts + signed ctts offset") {
+    val payloads = (0 until 9).map(i => Array.fill[Byte](6)(i.toByte))
+    // b-frame-ish reordering: I P B pattern -> offsets 100, 200, -100
+    val ctts = (0 until 9).map(i => Seq(100L, 200L, -100L)(i % 3))
+    val mp4 = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 900, VideoHeader.TrackSpec("vide", "avc1", 64, 64,
+        600, 900), payloads, sampleDelta = 100, samplesPerChunk = 4,
+      syncSamples = Seq(1, 4, 7), cttsOffsets = ctts)
+    val samples = VideoHeader.videoSamples(mp4).get
+    assert(samples.size === 9)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s.sync === (i % 3 == 0), s"sync($i)")
+      assert(s.dts === i * 100L)
+      assert(s.pts === i * 100L + ctts(i), s"pts($i)")
+      val got = mp4.slice(s.offset.toInt, s.offset.toInt + s.size)
+      assert(got.toSeq === payloads(i).toSeq)
+    }
+    // no stss box: every sample is sync; no ctts: pts == dts
+    val plain = VideoHeader.videoSamples(
+      VideoHeader.synthesizeMp4WithSamples("mp42", 600, 300,
+        VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 300),
+        payloads.take(3), 100, 2)).get
+    assert(plain.forall(_.sync))
+    assert(plain.forall(s => s.pts === s.dts))
+    // mutation fuzz over the new boxes: never throws
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val m = mp4.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      VideoHeader.videoSamples(m) // must not throw
+    }
+  }
+
   test("co64 (64-bit chunk offsets) demuxes like stco") {
     val payloads = (0 until 3).map(i => Array.fill[Byte](4)(i.toByte))
     val mp4 = VideoHeader.synthesizeMp4WithSamples(
