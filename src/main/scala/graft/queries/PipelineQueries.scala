@@ -2361,5 +2361,108 @@ object PipelineQueries extends QueryPack {
         "signed ctts composition offsets written and walked back by " +
         "the production operator — exactly the I-frames extracted, " +
         "dts and pts both replayed from id arithmetic."),
+
+    GraftQuery(
+      "q_multimodal_thumbnail", Seq("P6", "D9", "A8"),
+      (s, dir) => {
+        // The REAL thumbnail pipeline end to end: decode (real PNG of
+        // per-doc varied dimensions) -> aspect-fit plan (the
+        // PRODUCTION Multimodal.withResizePlan column arithmetic,
+        // maxDim 10 — images already inside the box pass through
+        // unresampled) -> EXACT integer area resample
+        // (PixelDecode.resizeArea, the scaled-integer box overlaps) ->
+        // PNG re-encode -> decode the THUMB back and report its pixel
+        // stats, so the emitted numbers prove the whole
+        // decode/resample/encode chain, not just the plan. The oracle
+        // replays the plan arithmetic AND the variable-geometry
+        // resample relationally (per-doc w/h/tw/th in the overlap
+        // join). Scale shape: per-row kernels over the pruned scan;
+        // one keyed rollup.
+        import graft.operators.{Multimodal, PixelDecode}
+        val mkPng = udf((docId: Long) => {
+          val w = 4 + (docId % 17).toInt
+          val h = 3 + (docId % 11).toInt
+          val gray = new Array[Int](w * h)
+          md5Fill(gray, blk => s"th$docId:$blk")
+          PixelDecode.encodePngGray(w, h, gray)
+        })
+        val thumb = udf((media: Array[Byte], tw: Int, th: Int) => {
+          val px = PixelDecode.decode(media).get
+          val g = PixelDecode.grayLuma(px)
+          val rs = PixelDecode.resizeArea(g, px.width, px.height, tw, th)
+          val png = PixelDecode.encodePngGray(tw, th, rs)
+          val back = PixelDecode.grayLuma(PixelDecode.decode(png).get)
+          var sum = 0L; var sq = 0L
+          back.foreach { v => sum += v; sq += v.toLong * v }
+          (sum, sq)
+        })
+        val imgs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkPng(col("doc_id")))
+        val planned = Multimodal.withResizePlan(
+          Multimodal.withDecodedFeatures(imgs, "media")
+            .where(col("decoded")),
+          "width", "height", maxDim = 10)
+        planned
+          .withColumn("t",
+            thumb(col("media"), col("target_w"), col("target_h")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(when(col("resized"), 1L).otherwise(0L)).as("n_resized"),
+            sum(col("target_w").cast("long")).as("tw_sum"),
+            sum(col("target_h").cast("long")).as("th_sum"),
+            sum("out_pixels").as("out_px"),
+            sum(col("t._1")).as("t_px_sum"),
+            sum(col("t._2")).as("t_px_sumsq"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (4 + doc_id % 17)::BIGINT AS w, (3 + doc_id % 11)::BIGINT AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        pl AS (SELECT *,
+            greatest(w, h) > 10 AS resized,
+            CASE WHEN greatest(w, h) <= 10 THEN w
+              WHEN w >= h THEN 10
+              ELSE greatest((w * 10) // h, 1) END AS tw,
+            CASE WHEN greatest(w, h) <= 10 THEN h
+              WHEN w >= h THEN greatest((h * 10) // w, 1)
+              ELSE 10 END AS th
+          FROM d),
+        px AS (SELECT pl.doc_id, pl.w, pl.h, pl.tw, pl.th,
+            (i // w) AS r, (i % w) AS c,
+            ('0x' || substr(md5('th' || doc_id::VARCHAR || ':' ||
+              (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT AS g
+          FROM pl, (SELECT unnest(range(340)) AS i) ii
+          WHERE i < w * h),
+        tpx AS (SELECT px.doc_id, jj.j, ii.i,
+            (sum((least((px.c + 1) * px.tw, ii.i * px.w + px.w)
+                - greatest(px.c * px.tw, ii.i * px.w))
+              * (least((px.r + 1) * px.th, jj.j * px.h + px.h)
+                - greatest(px.r * px.th, jj.j * px.h))
+              * px.g) // any_value(px.w * px.h))::BIGINT AS g
+          FROM px
+          JOIN (SELECT unnest(range(10)) AS j) jj
+            ON jj.j < px.th AND (px.r + 1) * px.th > jj.j * px.h
+              AND px.r * px.th < jj.j * px.h + px.h
+          JOIN (SELECT unnest(range(10)) AS i) ii
+            ON ii.i < px.tw AND (px.c + 1) * px.tw > ii.i * px.w
+              AND px.c * px.tw < ii.i * px.w + px.w
+          GROUP BY 1, 2, 3),
+        ts AS (SELECT doc_id, sum(g)::BIGINT AS su,
+            sum(g * g)::BIGINT AS sq
+          FROM tpx GROUP BY 1)
+        SELECT pl.source, count(*)::BIGINT AS n_imgs,
+          sum(CASE WHEN pl.resized THEN 1 ELSE 0 END)::BIGINT AS n_resized,
+          sum(pl.tw)::BIGINT AS tw_sum, sum(pl.th)::BIGINT AS th_sum,
+          sum(pl.tw * pl.th)::BIGINT AS out_px,
+          sum(ts.su)::BIGINT AS t_px_sum,
+          sum(ts.sq)::BIGINT AS t_px_sumsq
+        FROM pl JOIN ts USING (doc_id) GROUP BY 1 ORDER BY 1"""),
+      "The real thumbnail pipeline: decode varied-dimension PNGs, " +
+        "aspect-fit plan, EXACT integer area resample, PNG re-encode, " +
+        "decode the thumb back — the oracle replays the plan " +
+        "arithmetic and the variable-geometry resample relationally, " +
+        "pinning the whole chain."),
   )
 }
