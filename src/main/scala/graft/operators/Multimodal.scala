@@ -249,6 +249,44 @@ object Multimodal {
       .drop("__fr")
   }
 
+  /** Caption/subtitle extraction from MP4 TEXT tracks — the bridge
+    * from the media pipeline into the text pipeline: the first
+    * 'text' (or, via `handler`, 'sbtl') track's samples are located
+    * through the same sample-table walk as video frames and decoded
+    * per the 3GPP timed-text sample shape (ISO 14496-17 / tx3g: a
+    * 16-bit BE text length followed by UTF-8 bytes; style boxes after
+    * the text are ignored). One row per cue with `cue_idx`, `dts`
+    * (track timescale), and the cue `text` — ready for langid /
+    * token counting / dedup like any documents table. Malformed cues
+    * (length running past the sample) and non-MP4 blobs emit
+    * nothing; stateless per-row projection.
+    */
+  def mp4Cues(
+      df: DataFrame, mediaCol: String,
+      handler: String = "text"): DataFrame = {
+    val extract = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      VideoHeader.trackSamples(b, handler).getOrElse(Seq.empty)
+        .flatMap { s =>
+          if (s.size < 2 || s.offset < 0 ||
+            s.offset + s.size > b.length) None
+          else {
+            val off = s.offset.toInt
+            val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+            if (len > s.size - 2) None
+            else Some((s.index, s.dts,
+              new String(b, off + 2, len,
+                java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+    }
+    df.withColumn("__cue", explode(extract(col(mediaCol))))
+      .withColumn("cue_idx", col("__cue._1"))
+      .withColumn("dts", col("__cue._2"))
+      .withColumn("text", col("__cue._3"))
+      .drop("__cue")
+  }
+
   /** Container-true KEYFRAME sampling — what a 100 TB video pipeline
     * actually decodes for thumbnails/shot analysis: only the frames
     * the stss sync-sample table marks seekable (I-frames), located

@@ -247,7 +247,17 @@ object VideoHeader {
     * a sample falls outside the file. Caps at 1M samples (hostile
     * tables must not allocate unbounded).
     */
-  def videoSamples(bytes: Array[Byte]): Option[Seq[Sample]] = {
+  def videoSamples(bytes: Array[Byte]): Option[Seq[Sample]] =
+    trackSamples(bytes, "vide")
+
+  /** Demux the FIRST track with the given handler fourcc ('vide',
+    * 'text', 'sbtl', 'soun', ...) — the general form of
+    * [[videoSamples]]; same table resolution, same hostile-input
+    * contract (malformed tables on a MATCHING track fail the whole
+    * parse; non-matching tracks are skipped).
+    */
+  def trackSamples(
+      bytes: Array[Byte], handler: String): Option[Seq[Sample]] = {
     if (bytes == null || bytes.length < 16) return None
     if (fourcc(bytes, 4) != "ftyp") return None
     var result: Option[Seq[Sample]] = None
@@ -256,9 +266,9 @@ object VideoHeader {
       else walk(bytes, p0, p1) { (mtp, m0, m1) =>
         if (mtp != "trak" || result.isDefined) true
         else {
-          demuxTrak(bytes, m0, m1) match {
+          demuxTrak(bytes, m0, m1, handler) match {
             case Right(samples) => result = Some(samples); true
-            case Left(isVide) => !isVide // malformed VIDEO track: fail
+            case Left(isWanted) => !isWanted // malformed wanted track: fail
           }
         }
       }
@@ -266,12 +276,13 @@ object VideoHeader {
     if (!ok) None else result
   }
 
-  /** Right(samples) for a well-formed video track; Left(isVide) when
-    * the track is not video (skip) or its tables are malformed (fail
-    * if video).
+  /** Right(samples) for a well-formed track with the wanted handler;
+    * Left(isWanted) when the track has a different handler (skip) or
+    * its tables are malformed (fail if it was the wanted one).
     */
   private def demuxTrak(
-      b: Array[Byte], start: Int, end: Int): Either[Boolean, Seq[Sample]] = {
+      b: Array[Byte], start: Int, end: Int,
+      wantHandler: String): Either[Boolean, Seq[Sample]] = {
     var handler = ""
     var stts: Array[(Long, Long)] = null // (count, delta)
     var sizes: Array[Int] = null
@@ -397,7 +408,7 @@ object VideoHeader {
       }
       else true
     }
-    if (handler != "vide") return Left(false)
+    if (handler != wantHandler) return Left(false)
     if (bad || stts == null || stsc == null || chunkOffsets == null ||
       nSamples < 0 || stsc.isEmpty) return Left(true)
     // resolve stsc runs: run i applies from first_chunk(i) to
@@ -548,47 +559,76 @@ object VideoHeader {
       sampleDelta: Long,
       samplesPerChunk: Int,
       syncSamples: Seq[Int] = Nil, // 1-based; empty = no stss box
-      cttsOffsets: Seq[Long] = Nil): Array[Byte] = { // per sample
-    require(samplesPerChunk > 0, s"samplesPerChunk: $samplesPerChunk")
-    require(cttsOffsets.isEmpty || cttsOffsets.length == samples.length,
-      "cttsOffsets must be empty or one per sample")
-    val n = samples.length
-    val nChunks = if (n == 0) 0 else (n + samplesPerChunk - 1) / samplesPerChunk
-    def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
-      val mvhd = fullBox("mvhd",
-        beInt(0), beInt(0), beInt(timescale), beInt(duration),
-        beInt(0x00010000L), beShort(0x0100), beShort(0),
-        beInt(0), beInt(0), unityMatrix,
-        Array.fill(24)(0.toByte), beInt(2))
+      cttsOffsets: Seq[Long] = Nil): Array[Byte] = // per sample
+    synthesizeMp4Tracks(brand, timescale, duration, Seq(TrackSamples(
+      video, samples, sampleDelta, samplesPerChunk, syncSamples,
+      cttsOffsets)))
+
+  /** One track's spec + sample data for [[synthesizeMp4Tracks]]. */
+  final case class TrackSamples(
+      spec: TrackSpec, samples: Seq[Array[Byte]], sampleDelta: Long,
+      samplesPerChunk: Int, syncSamples: Seq[Int] = Nil,
+      cttsOffsets: Seq[Long] = Nil)
+
+  /** Build an MP4 with MULTIPLE tracks carrying real sample tables —
+    * the realistic shape of in-the-wild media (video + captions +
+    * audio in one container). Each track gets its own trak box and
+    * chunk run in the shared mdat (track-major layout; stco offsets
+    * are absolute, so the order is the writer's choice); the two-pass
+    * stco patch spans all tracks. Single-track calls produce the same
+    * bytes as the historical [[synthesizeMp4WithSamples]].
+    */
+  def synthesizeMp4Tracks(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      tracks: Seq[TrackSamples]): Array[Byte] = {
+    require(tracks.nonEmpty, "at least one track")
+    tracks.foreach { t =>
+      require(t.samplesPerChunk > 0, s"samplesPerChunk: ${t.samplesPerChunk}")
+      require(t.cttsOffsets.isEmpty ||
+        t.cttsOffsets.length == t.samples.length,
+        "cttsOffsets must be empty or one per sample")
+    }
+    def nChunks(t: TrackSamples): Int =
+      if (t.samples.isEmpty) 0
+      else (t.samples.length + t.samplesPerChunk - 1) / t.samplesPerChunk
+    def buildTrak(
+        t: TrackSamples, trackId: Int,
+        chunkOffsets: Seq[Long]): Array[Byte] = {
+      val n = t.samples.length
       val tkhd = fullBox("tkhd",
-        beInt(0), beInt(0), beInt(1), beInt(0),
+        beInt(0), beInt(0), beInt(trackId.toLong), beInt(0),
         beInt(duration), beInt(0), beInt(0),
         beShort(0), beShort(0), beShort(0), beShort(0),
         unityMatrix,
-        beInt(video.width.toLong << 16), beInt(video.height.toLong << 16))
+        beInt(t.spec.width.toLong << 16),
+        beInt(t.spec.height.toLong << 16))
       val mdhd = fullBox("mdhd",
-        beInt(0), beInt(0), beInt(video.timescale), beInt(video.duration),
-        beShort(0x55c4), beShort(0))
+        beInt(0), beInt(0), beInt(t.spec.timescale),
+        beInt(t.spec.duration), beShort(0x55c4), beShort(0))
       val hdlr = fullBox("hdlr",
-        beInt(0), ascii("vide"), beInt(0), beInt(0), beInt(0),
+        beInt(0), ascii(t.spec.handler), beInt(0), beInt(0), beInt(0),
         Array[Byte](0))
-      val sampleEntry = box(video.codec, Array.fill(6)(0.toByte), beShort(1))
+      val sampleEntry =
+        box(t.spec.codec, Array.fill(6)(0.toByte), beShort(1))
       val stsd = fullBox("stsd", beInt(1), sampleEntry)
-      val stts = fullBox("stts", beInt(1), beInt(n.toLong), beInt(sampleDelta))
+      val stts = fullBox("stts", beInt(1), beInt(n.toLong),
+        beInt(t.sampleDelta))
       val stsc = fullBox("stsc", beInt(1),
-        beInt(1), beInt(samplesPerChunk.toLong), beInt(1))
+        beInt(1), beInt(t.samplesPerChunk.toLong), beInt(1))
       val stsz = fullBox("stsz", beInt(0), beInt(n.toLong),
-        samples.toArray.flatMap(s => beInt(s.length.toLong)))
-      val stco = fullBox("stco", beInt(nChunks.toLong),
+        t.samples.toArray.flatMap(s => beInt(s.length.toLong)))
+      val stco = fullBox("stco", beInt(nChunks(t).toLong),
         chunkOffsets.toArray.flatMap(beInt))
       val extras = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      if (syncSamples.nonEmpty)
-        extras += fullBox("stss", beInt(syncSamples.length.toLong),
-          syncSamples.toArray.flatMap(s => beInt(s.toLong)))
-      if (cttsOffsets.nonEmpty) {
+      if (t.syncSamples.nonEmpty)
+        extras += fullBox("stss", beInt(t.syncSamples.length.toLong),
+          t.syncSamples.toArray.flatMap(s => beInt(s.toLong)))
+      if (t.cttsOffsets.nonEmpty) {
         // run-length compress consecutive equal offsets (spec shape)
         val runs = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        cttsOffsets.foreach { o =>
+        t.cttsOffsets.foreach { o =>
           if (runs.nonEmpty && runs.last._2 == o)
             runs(runs.length - 1) = (runs.last._1 + 1, o)
           else runs += ((1L, o))
@@ -599,21 +639,35 @@ object VideoHeader {
       }
       val stbl = box("stbl",
         (Seq(stsd, stts, stsc, stsz, stco) ++ extras): _*)
-      val minf = box("minf", stbl)
-      box("moov", mvhd,
-        box("trak", tkhd, box("mdia", mdhd, hdlr, minf)))
+      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", stbl)))
+    }
+    def buildMoov(offsets: Seq[Seq[Long]]): Array[Byte] = {
+      val mvhd = fullBox("mvhd",
+        beInt(0), beInt(0), beInt(timescale), beInt(duration),
+        beInt(0x00010000L), beShort(0x0100), beShort(0),
+        beInt(0), beInt(0), unityMatrix,
+        Array.fill(24)(0.toByte), beInt(tracks.length + 1L))
+      val traks = tracks.zip(offsets).zipWithIndex.map {
+        case ((t, off), i) => buildTrak(t, i + 1, off)
+      }
+      box("moov", (mvhd +: traks): _*)
     }
     val ftyp = box("ftyp", ascii(brand), beInt(0), ascii(brand), ascii("isom"))
     val free = box("free", Array.fill(4)(0.toByte))
     // pass 1: placeholder offsets fix the moov size; pass 2 patches
-    val moovSize = buildMoov(Seq.fill(nChunks)(0L)).length
-    val mdatPayloadStart = ftyp.length + free.length + moovSize + 8L
-    val chunkStarts = samples.grouped(samplesPerChunk)
-      .scanLeft(mdatPayloadStart)((off, chunk) =>
-        off + chunk.map(_.length).sum)
-      .take(nChunks).toSeq
+    val moovSize =
+      buildMoov(tracks.map(t => Seq.fill(nChunks(t))(0L))).length
+    var cursor = ftyp.length + free.length + moovSize + 8L
+    val chunkStarts = tracks.map { t =>
+      val starts = t.samples.grouped(t.samplesPerChunk)
+        .scanLeft(cursor)((off, chunk) => off + chunk.map(_.length).sum)
+        .take(nChunks(t)).toSeq
+      cursor += t.samples.map(_.length.toLong).sum
+      starts
+    }
     val moov = buildMoov(chunkStarts)
     require(moov.length == moovSize, "stco patch moved the moov size")
-    ftyp ++ free ++ moov ++ box("mdat", samples.toArray.flatten)
+    ftyp ++ free ++ moov ++
+      box("mdat", tracks.toArray.flatMap(_.samples.toArray.flatten))
   }
 }

@@ -2464,5 +2464,78 @@ object PipelineQueries extends QueryPack {
         "decode the thumb back — the oracle replays the plan " +
         "arithmetic and the variable-geometry resample relationally, " +
         "pinning the whole chain."),
+
+    GraftQuery(
+      "q_multimodal_subtitles", Seq("P6", "A8", "S1"),
+      (s, dir) => {
+        // Caption extraction from MULTI-TRACK containers — the bridge
+        // from the media pipeline into the text pipeline: per doc an
+        // MP4 is byte-built with a video track AND a timed-text track
+        // (both with real sample tables; the shared two-pass stco
+        // patch spans both), cues in the tx3g shape (16-bit BE length
+        // + UTF-8, some with trailing style bytes the decoder must
+        // ignore). The PRODUCTION Multimodal.mp4Cues selects the
+        // 'text' track — skipping the video trak — and decodes every
+        // cue; the oracle replays cue strings from id arithmetic and
+        // pins them by md5-derived hash, so a one-byte decode error
+        // anywhere fails the gate. Scale shape: one blob per row;
+        // only the source rollup shuffles.
+        import graft.operators.{Multimodal, TextOps, VideoHeader}
+        val mkMp4 = udf((docId: Long) => {
+          val nCues = (3 + docId % 4).toInt
+          val cues: Seq[Array[Byte]] = (0 until nCues).map { i =>
+            val txt = s"cue $docId w${(docId + i) % 9} t$i"
+              .getBytes("UTF-8")
+            val extra: Array[Byte] =
+              if (i % 2 == 0) Array[Byte](1, 2, 3)
+              else Array.emptyByteArray
+            Array[Byte](((txt.length >> 8) & 0xff).toByte,
+              (txt.length & 0xff).toByte) ++ txt ++ extra
+          }
+          val vframes: Seq[Array[Byte]] =
+            (0 until 2).map(i => Array.fill[Byte](5)((docId + i).toByte))
+          VideoHeader.synthesizeMp4Tracks("mp42", 600, nCues * 200L,
+            Seq(
+              VideoHeader.TrackSamples(
+                VideoHeader.TrackSpec("vide", "avc1", 320, 240, 600,
+                  400L), vframes, 200, 2),
+              VideoHeader.TrackSamples(
+                VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000,
+                  nCues * 200L), cues, 200, 3)))
+        })
+        val vids = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"))
+          .withColumn("media", mkMp4(col("doc_id")))
+        Multimodal.mp4Cues(vids, "media")
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_videos"),
+            count(lit(1)).as("n_cues"),
+            sum("dts").as("sum_dts"),
+            sum(expr("size(split(text, ' '))").cast("long"))
+              .as("n_tokens"),
+            sum(expr(TextOps.hash64("text") + " % 1000000007"))
+              .as("text_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (3 + doc_id % 4)::BIGINT AS n
+          FROM documents WHERE doc_id % 2 = 1),
+        cues AS (SELECT doc_id, source, i, i * 200 AS dts,
+            'cue ' || doc_id::VARCHAR || ' w' ||
+              ((doc_id + i) % 9)::VARCHAR || ' t' || i::VARCHAR AS txt
+          FROM (SELECT d.*, unnest(range(n)) AS i FROM d))
+        SELECT source, count(DISTINCT doc_id)::BIGINT AS n_videos,
+          count(*)::BIGINT AS n_cues,
+          sum(dts)::BIGINT AS sum_dts,
+          sum(len(string_split(txt, ' ')))::BIGINT AS n_tokens,
+          sum(('0x' || substr(md5(txt), 1, 15))::BIGINT
+            % 1000000007)::BIGINT AS text_fp
+        FROM cues GROUP BY 1 ORDER BY 1"""),
+      "Caption extraction from multi-track MP4s: real video + timed-" +
+        "text sample tables in one container, the production cue " +
+        "decoder selecting the text track and parsing tx3g length-" +
+        "prefixed UTF-8 (style bytes ignored) — cue strings pinned by " +
+        "md5 hash against the oracle's id-arithmetic replay."),
   )
 }

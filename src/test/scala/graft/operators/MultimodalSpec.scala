@@ -40,6 +40,50 @@ class MultimodalSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("mp4Cues decodes the timed-text track of a multi-track " +
+    "container: handler selection skips the video trak, tx3g style " +
+    "bytes are ignored, malformed cue lengths drop the cue") {
+    import spark.implicits._
+    val cues = Seq("hello world", "second cue here", "final")
+    val cueSamples: Seq[Array[Byte]] = cues.zipWithIndex.map {
+      case (t, i) =>
+        val b = t.getBytes("UTF-8")
+        val extra: Array[Byte] =
+          if (i == 1) Array[Byte](9, 9) else Array.emptyByteArray
+        Array[Byte](((b.length >> 8) & 0xff).toByte,
+          (b.length & 0xff).toByte) ++ b ++ extra
+    }
+    val vframes = (0 until 2).map(i => Array.fill[Byte](4)(i.toByte))
+    val mp4 = VideoHeader.synthesizeMp4Tracks("mp42", 600, 600L, Seq(
+      VideoHeader.TrackSamples(
+        VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 400L),
+        vframes, 200, 2),
+      VideoHeader.TrackSamples(
+        VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000, 600L),
+        cueSamples, 200, 2)))
+    // both tracks demux independently from the shared mdat
+    assert(VideoHeader.videoSamples(mp4).get.size === 2)
+    assert(VideoHeader.trackSamples(mp4, "text").get.size === 3)
+    val df = Seq(("v1", mp4)).toDF("vid", "media")
+    val got = Multimodal.mp4Cues(df, "media")
+      .select("cue_idx", "dts", "text")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === cues.zipWithIndex.map { case (t, i) =>
+      (i, i * 200L, t) })
+    // a cue whose declared length runs past its sample is dropped,
+    // not mis-decoded
+    val bad = cueSamples.updated(0,
+      Array[Byte](0x7f, 0x7f) ++ "x".getBytes("UTF-8"))
+    val mp4Bad = VideoHeader.synthesizeMp4Tracks("mp42", 600, 600L, Seq(
+      VideoHeader.TrackSamples(
+        VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000, 600L),
+        bad, 200, 2)))
+    assert(Multimodal.mp4Cues(
+      Seq(("v2", mp4Bad)).toDF("vid", "media"), "media")
+      .count() === 2)
+  }
+
   test("withDecodedFeatures attaches the feature columns; opaque " +
     "bytes fall back to the md5 stand-in with decoded=false") {
     val df = Seq(("a", "hello world"), ("b", "x" * 1000))
