@@ -2537,5 +2537,106 @@ object PipelineQueries extends QueryPack {
         "decoder selecting the text track and parsing tx3g length-" +
         "prefixed UTF-8 (style bytes ignored) — cue strings pinned by " +
         "md5 hash against the oracle's id-arithmetic replay."),
+
+    GraftQuery(
+      "q_multimodal_mp4audio", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // The 'soun' handler leg completing the track matrix
+        // (vide / text / soun): per doc a TWO-track MP4 whose audio
+        // track carries interleaved PCM16 chunks (twos-complement LE,
+        // the sowt shape) alongside a video track; the production
+        // trackSamples('soun') walk locates every chunk, the samples
+        // reassemble IN SAMPLE-TABLE ORDER into the signal, and the
+        // exact integer stats (n, Σ|s|-peak, Σs², clipping count —
+        // the AudioHeader.Pcm16Stats conventions) are computed over
+        // the reassembled stream. The oracle replays the samples from
+        // id arithmetic — a chunk located at the wrong offset or out
+        // of order changes Σs² and fails the hash. One blob per row;
+        // only the source rollup shuffles.
+        import graft.operators.{TextOps, VideoHeader}
+        val mkMp4 = udf((docId: Long) => {
+          val nChunks = (3 + docId % 4).toInt
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val chunks: Seq[Array[Byte]] = (0 until nChunks).map { c =>
+            // 24 PCM16 samples per chunk, md5-derived LE pairs
+            val d0 = md.digest(s"au$docId:$c:0".getBytes("US-ASCII"))
+            val d1 = md.digest(s"au$docId:$c:1".getBytes("US-ASCII"))
+            val d2 = md.digest(s"au$docId:$c:2".getBytes("US-ASCII"))
+            d0 ++ d1 ++ d2
+          }
+          val vframes: Seq[Array[Byte]] =
+            (0 until 2).map(i => Array.fill[Byte](4)((docId + i).toByte))
+          VideoHeader.synthesizeMp4Tracks("mp42", 600, nChunks * 100L,
+            Seq(
+              VideoHeader.TrackSamples(
+                VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600,
+                  200L), vframes, 100, 2),
+              VideoHeader.TrackSamples(
+                VideoHeader.TrackSpec("soun", "sowt", 0, 0, 8000,
+                  nChunks * 24L), chunks, 24, 2)))
+        })
+        val stats = udf((media: Array[Byte]) => {
+          val b = if (media == null) Array.empty[Byte] else media
+          val chunks = VideoHeader.trackSamples(b, "soun")
+            .getOrElse(Seq.empty).sortBy(_.index)
+          var n = 0L; var peak = 0L; var sumSq = 0L; var clip = 0L
+          chunks.foreach { s =>
+            var i = s.offset.toInt
+            while (i + 1 < s.offset + s.size) {
+              val v = ((b(i + 1) << 8) | (b(i) & 0xff)).toShort.toLong
+              n += 1
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v * v
+              if (v == 32767 || v == -32768) clip += 1
+              i += 2
+            }
+          }
+          (n, peak, sumSq, clip)
+        })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("source"))
+          .withColumn("st", stats(mkMp4(col("doc_id"))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("st._1")).as("n_samples"),
+            sum(col("st._2")).as("peak_sum"),
+            sum(col("st._3") % 1000000007L).as("sumsq_fp"),
+            sum(col("st._4")).as("n_clipped"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (3 + doc_id % 4)::BIGINT AS nc
+          FROM documents WHERE doc_id % 3 = 2),
+        sm AS (SELECT doc_id, source, c, j,
+            (('0x' || substr(md5('au' || doc_id::VARCHAR || ':' ||
+                c::VARCHAR || ':' || (j // 8)::VARCHAR),
+              (j % 8) * 4 + 3, 2) ||
+              substr(md5('au' || doc_id::VARCHAR || ':' ||
+                c::VARCHAR || ':' || (j // 8)::VARCHAR),
+              (j % 8) * 4 + 1, 2))::BIGINT) AS uv
+          FROM d, (SELECT unnest(range(6)) AS c) cs,
+            (SELECT unnest(range(24)) AS j) js
+          WHERE c < nc),
+        sv AS (SELECT doc_id, source,
+            CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+          FROM sm),
+        pc AS (SELECT doc_id, source, count(*)::BIGINT AS n,
+            max(abs(v))::BIGINT AS peak,
+            sum(v * v)::BIGINT AS sumsq,
+            sum(CASE WHEN v = 32767 OR v = -32768 THEN 1
+              ELSE 0 END)::BIGINT AS clip
+          FROM sv GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_clips,
+          sum(n)::BIGINT AS n_samples,
+          sum(peak)::BIGINT AS peak_sum,
+          sum(sumsq % 1000000007)::BIGINT AS sumsq_fp,
+          sum(clip)::BIGINT AS n_clipped
+        FROM pc GROUP BY 1 ORDER BY 1"""),
+      "PCM16 audio chunks extracted from a multi-track MP4's 'soun' " +
+        "track and reassembled in sample-table order — exact integer " +
+        "signal stats replayed by the oracle from the little-endian " +
+        "byte arithmetic, pinning chunk location and ordering."),
   )
 }

@@ -86,7 +86,8 @@ class PartitionInvarianceSpec extends SparkSuite {
     // the container-metadata walks are per-row, but the (source, fmt)
     // rollup merges integer partials across shuffles
     "q_multimodal_audiomd", "q_multimodal_mp4sync",
-    "q_multimodal_thumbnail", "q_multimodal_subtitles")
+    "q_multimodal_thumbnail", "q_multimodal_subtitles",
+    "q_multimodal_mp4audio")
 
   // queries whose hit geometry is empty at sf0.001 run one SF up
   private val sfOverride = Map("q_mass_search_scale" -> "/root/testdata/sf0.01")

@@ -240,6 +240,8 @@ class PlanAuditSpec extends SparkSuite {
       ("q_multimodal_thumbnail", "documents.parquet",
         Set("doc_id", "source")),
       ("q_multimodal_subtitles", "documents.parquet",
+        Set("doc_id", "source")),
+      ("q_multimodal_mp4audio", "documents.parquet",
         Set("doc_id", "source")))
       // (q_pipeline_pairs' scans live behind the membership
       // localCheckpoint — its final plan has no file leaves to audit,
