@@ -393,6 +393,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mp4Cues is streaming-transparent: caption extraction from " +
+    "arriving multi-track containers matches the batch rows across a " +
+    "mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, VideoHeader}
+    def mp4For(id: Int): Array[Byte] = {
+      val cues = (0 until 2 + id % 3).map(i => s"clip $id cue $i")
+      val cueSamples: Seq[Array[Byte]] = cues.map { t =>
+        val b = t.getBytes("UTF-8")
+        Array[Byte](((b.length >> 8) & 0xff).toByte,
+          (b.length & 0xff).toByte) ++ b
+      }
+      VideoHeader.synthesizeMp4Tracks("mp42", 600,
+        cueSamples.length * 200L, Seq(
+          VideoHeader.TrackSamples(
+            VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 200L),
+            Seq(Array[Byte](1, 2, 3)), 200, 1),
+          VideoHeader.TrackSamples(
+            VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000,
+              cueSamples.length * 200L), cueSamples, 200, 2)))
+    }
+    val clips = (0 until 6).map(id => id.toLong -> mp4For(id))
+    val want = Multimodal.mp4Cues(clips.toDF("clip", "media"), "media")
+      .select("clip", "cue_idx", "dts", "text")
+      .collect().map(_.toSeq).toSet
+    val feed = MemoryStream[(Long, Array[Byte])]
+    val out = Multimodal.mp4Cues(
+      feed.toDF().toDF("clip", "media"), "media")
+      .select("clip", "cue_idx", "dts", "text")
+    val q = out.writeStream.format("memory").queryName("cue_stream")
+      .outputMode("append").start()
+    try {
+      clips.grouped(4).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("cue_stream").collect().map(_.toSeq).toSet
+      assert(got === want)
+      // stateless: no state store operator exists in the query
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming audio-corpus funnel matches the batch " +
     "q_pipeline_audio stages: decode gate, duration quality gate, " +
     "keep-smallest landmark near-dup — across a mid-stream split") {
