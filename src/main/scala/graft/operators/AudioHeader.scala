@@ -175,9 +175,13 @@ object AudioHeader {
   // ------------------------------------------------------------------
 
   /** Parsed MP3 stream facts from the full frame walk. `bitrateKbps`,
-    * `sampleRate`, `channels` come from the first frame; `nFrames` /
+    * `sampleRate`, `channels` are FIRST-FRAME-ONLY by contract (a VBR
+    * or mixed-rate stream may legally vary later frames); `nFrames` /
     * `nSamples` / `durationMs` from walking EVERY frame header
     * (1152 samples per MPEG-1 Layer III frame, 576 for MPEG-2/2.5).
+    * `durationMs` is exact for mixed-rate streams: samples are summed
+    * per distinct rate and converted per-bucket, not divided by the
+    * first frame's rate.
     */
   final case class Mp3Info(
       version: String, bitrateKbps: Int, sampleRate: Int,
@@ -217,6 +221,11 @@ object AudioHeader {
     }
     var nFrames = 0
     var nSamples = 0L
+    // samples grouped per distinct sample rate: keeps durationMs exact
+    // for mixed-rate (VBR-style) streams instead of dividing the total
+    // by the first frame's rate. bitrateKbps/sampleRate in Mp3Info stay
+    // first-frame-only by contract (documented on the case class).
+    val samplesByRate = scala.collection.mutable.LinkedHashMap[Int, Long]()
     var first: Option[(String, Int, Int, Int)] = None
     var ok = true
     while (ok && off + 4 <= bytes.length) {
@@ -249,7 +258,9 @@ object AudioHeader {
               else "mpeg2.5",
               kbps, rate, if (mode == 3) 1 else 2))
             nFrames += 1
-            nSamples += (if (mpeg1) 1152 else 576)
+            val spf = if (mpeg1) 1152L else 576L
+            nSamples += spf
+            samplesByRate(rate) = samplesByRate.getOrElse(rate, 0L) + spf
             off += flen
           }
         }
@@ -260,8 +271,9 @@ object AudioHeader {
         bytes(off + 1) == 'A' && bytes(off + 2) == 'G')
     first.filter(_ => nFrames > 0 && tailOk).map {
       case (v, kbps, rate, ch) =>
-        Mp3Info(v, kbps, rate, ch, nFrames, nSamples,
-          nSamples * 1000 / rate)
+        val durMs = samplesByRate.iterator
+          .map { case (r, s) => s * 1000 / r }.sum
+        Mp3Info(v, kbps, rate, ch, nFrames, nSamples, durMs)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,9 +66,13 @@ object Multimodal {
     // pixel decode only runs behind a successful header parse: on a
     // corpus where most blobs are NOT images, per-row ImageIO reader
     // sniffing of arbitrary bytes would be pure overhead (every
-    // decodable container above also header-parses)
+    // decodable container above also header-parses). WebP is
+    // header-only in this pure-JVM stack (no VP8/VP8L bitstream
+    // decoder ships with the JDK), so it skips the guaranteed-failing
+    // reader sniff and keeps its real header dims with decoded=false.
     val decodedPx =
-      if (fmt == "unknown") None else PixelDecode.decode(bytes)
+      if (fmt == "unknown" || fmt == "webp") None
+      else PixelDecode.decode(bytes)
     decodedPx match {
       case Some(px) =>
         val g = PixelDecode.grayLuma(px)
@@ -141,38 +145,105 @@ object Multimodal {
     StructField("rms_x1000", LongType, nullable = false),
     StructField("n_clipped", LongType, nullable = false)))
 
-  /** Audio analog of [[decodeFeatures]]: header parse + PCM16 stats. */
-  def decodeAudio(bytes: Array[Byte]): Row =
+  /** Typed form of the per-blob AUDIO feature row — the kernel behind
+    * [[audioFeaturesColumn]], the audio twin of [[MediaFeatures]].
+    * Field names match [[audioFeatureSchema]] so the struct column
+    * expands to the historical `withAudioFeatures` columns.
+    */
+  final case class AudioFeatures(
+      a_format: String, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long,
+      peak: Int, rms_x1000: Long, n_clipped: Long)
+
+  private val noAudio =
+    AudioFeatures("unknown", 0, 0, 0, 0L, 0L, 0, 0L, 0L)
+
+  private def rmsX1000(n: Long, sumSq: Long): Long =
+    if (n == 0) 0L else math.round(math.sqrt(sumSq.toDouble / n) * 1000)
+
+  /** Audio decode kernel: RIFF/WAVE header parse + exact integer
+    * PCM16 signal stats, or the MP4 'soun'-track PCM16 path (`sowt`
+    * little-endian / `twos` big-endian sample entries, reassembled in
+    * sample-table order via [[VideoHeader.trackSamples]]); "unknown"
+    * with zeroed fields otherwise. Pure JVM, no codecs — compressed
+    * payloads (mp4a/AAC, MP3 frames) report container metadata
+    * through [[VideoHeader]]/[[AudioHeader.parseMp3]], not here.
+    */
+  def audioFeaturesOf(bytes: Array[Byte]): AudioFeatures =
     AudioHeader.parse(bytes) match {
       case Some(info) =>
         val st = AudioHeader.pcm16Stats(bytes)
           .getOrElse(AudioHeader.Pcm16Stats(0L, 0, 0L, 0L))
-        val rms = if (st.n == 0) 0L
-          else math.round(math.sqrt(st.sumSq.toDouble / st.n) * 1000)
-        Row(info.format, info.sampleRate, info.channels,
+        AudioFeatures(info.format, info.sampleRate, info.channels,
           info.bitsPerSample, info.nSamples, info.durationMs,
-          st.peak, rms, st.nClipped)
-      case None => Row("unknown", 0, 0, 0, 0L, 0L, 0, 0L, 0L)
+          st.peak, rmsX1000(st.n, st.sumSq), st.nClipped)
+      case None => mp4AudioFeaturesOf(bytes).getOrElse(noAudio)
     }
 
-  /** Attach audio features to a DataFrame's binary column — same
-    * partition-batched iteration shape as [[withDecodedFeatures]].
+  /** The MP4 leg of [[audioFeaturesOf]]: first 'soun' track whose
+    * sample entry is uncompressed PCM16 (`sowt` LE / `twos` BE, per
+    * the QuickTime sound sample descriptions ISO-BMFF inherited).
+    * Stats pool all interleaved channels, matching the WAV path; the
+    * minimal sample entry synthesized/parsed here carries no channel
+    * count, so channels reports 1 (the stream is still fully
+    * accounted for — n_samples counts every int16).
+    */
+  private def mp4AudioFeaturesOf(
+      bytes: Array[Byte]): Option[AudioFeatures] =
+    for {
+      info <- VideoHeader.parse(bytes)
+      track <- info.audioTracks.headOption
+      if track.codec == "sowt" || track.codec == "twos"
+      samples <- VideoHeader.trackSamples(bytes, "soun")
+    } yield {
+      val le = track.codec == "sowt"
+      var n = 0L; var peak = 0; var sumSq = 0L; var clipped = 0L
+      samples.sortBy(_.index).foreach { s =>
+        var i = s.offset.toInt
+        val end = s.offset + s.size
+        while (i + 1 < end) {
+          val v =
+            if (le) ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+            else ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          if (v == 32767 || v == -32768) clipped += 1
+          n += 1
+          i += 2
+        }
+      }
+      AudioFeatures("mp4-" + track.codec, track.timescale.toInt, 1, 16,
+        n, track.durationMs, peak, rmsX1000(n, sumSq), clipped)
+    }
+
+  /** The audio decode kernel as a struct COLUMN — the single entry
+    * point batch and streaming callers share, the audio twin of
+    * [[featuresColumn]] (null media decodes like empty bytes).
+    */
+  def audioFeaturesColumn(
+      media: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = udf((bytes: Array[Byte]) =>
+      audioFeaturesOf(if (bytes == null) Array.empty[Byte] else bytes))
+    f(media)
+  }
+
+  /** Attach audio features to a DataFrame's binary (or UTF-8 string)
+    * column. Delegates to [[audioFeaturesColumn]] — ONE kernel entry
+    * point, same column-pruning / codegen-friendly plan shape as
+    * [[withDecodedFeatures]]; the historical RDD Row round-trip is
+    * gone (a string column casts to its UTF-8 bytes, matching the
+    * historical contract).
     */
   def withAudioFeatures(df: DataFrame, binaryCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(df.schema.fields ++ audioFeatureSchema.fields)
-    val binIdx = df.schema.fieldIndex(binaryCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.get(binIdx) match {
-          case b: Array[Byte] => b
-          case s: String => s.getBytes("UTF-8")
-          case null => Array.empty[Byte]
-        }
-        Row.fromSeq(row.toSeq ++ decodeAudio(bytes).toSeq)
-      }
+    val bin = df.schema(binaryCol).dataType match {
+      case BinaryType => col(binaryCol)
+      case _ => col(binaryCol).cast(BinaryType)
     }
-    spark.createDataFrame(rdd, outSchema)
+    val cols = df.columns.map(col) ++
+      audioFeatureSchema.fieldNames.map(f => col("__af").getField(f).as(f))
+    df.withColumn("__af", audioFeaturesColumn(bin))
+      .select(cols.toIndexedSeq: _*)
   }
 
   /** Split a binary column into fixed-size chunk rows — the sharded-blob

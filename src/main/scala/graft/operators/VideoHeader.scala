@@ -486,6 +486,9 @@ object VideoHeader {
   }
   private def fullBox(tp: String, payload: Array[Byte]*): Array[Byte] =
     box(tp, (Array[Byte](0, 0, 0, 0) +: payload): _*) // version 0, flags 0
+  private def fullBoxV(tp: String, version: Int,
+      payload: Array[Byte]*): Array[Byte] =
+    box(tp, (Array[Byte](version.toByte, 0, 0, 0) +: payload): _*)
 
   /** The 3x3 unity transform matrix tkhd/mvhd carry (16.16/2.30). */
   private val unityMatrix: Array[Byte] =
@@ -633,7 +636,10 @@ object VideoHeader {
             runs(runs.length - 1) = (runs.last._1 + 1, o)
           else runs += ((1L, o))
         }
-        extras += fullBox("ctts", beInt(runs.length.toLong),
+        // ISO 14496-12 §8.6.1.3: version-0 ctts offsets are UNSIGNED;
+        // negative composition offsets require the version-1 box.
+        val cttsVersion = if (t.cttsOffsets.exists(_ < 0)) 1 else 0
+        extras += fullBoxV("ctts", cttsVersion, beInt(runs.length.toLong),
           runs.toArray.flatMap { case (c, o) =>
             beInt(c) ++ beInt(o & 0xffffffffL) })
       }

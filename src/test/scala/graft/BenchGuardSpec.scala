@@ -101,6 +101,44 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(healedTotal <= 1.2 * committedTotal)
   }
 
+  test("healedHeadline corroboration: a real ~1.4x regression that " +
+    "coincides with a contention flag does NOT heal below the " +
+    "fastest sweep rep") {
+    // genuinely regressed to ~2x baseline, PLUS contention spreading
+    // the later reps: the sweep's fastest rep (2.0) is credible
+    // (<= 3x baseline) and every sweep rep saw >= 2.0 — a flukey
+    // 2-rep quiet median of 1.0 must not become the headline
+    val (h, ok, un) = Bench.healedHeadline(Seq(2.0, 6.5, 7.0),
+      Seq(0.9, 1.1), Some(1.0))
+    assert(ok) // still healed: contention above the credible rep sheds
+    assert(h === 2.0) // ...but capped at the fastest corroborated rep
+    assert(un === 6.5)
+    // same shape but the quiet median IS corroborated by the fastest
+    // sweep rep (within 1.5x): heals to the quiet median as before
+    val (h2, ok2, _) = Bench.healedHeadline(Seq(1.0, 4.0, 4.2),
+      Seq(1.05, 1.1), Some(1.0))
+    assert(ok2 && math.abs(h2 - 1.075) < 1e-9)
+  }
+
+  test("waitForQuiet: bounded poll until the load drops, capped; " +
+    "disabled thresholds and unreporting platforms never wait") {
+    // load drops below threshold after 3 polls -> waited 30s
+    var calls = 0
+    val loads = Iterator(3.2, 2.8, 1.4, 0.6, 0.5)
+    var slept = 0
+    val w = Bench.waitForQuiet(1.0, 600, 10,
+      () => { calls += 1; loads.next() }, s => slept += s)
+    assert(w === 30 && slept === 30 && calls === 4)
+    // cap: load never drops -> waits exactly capSec, not forever
+    assert(Bench.waitForQuiet(1.0, 25, 10, () => 9.9, _ => ()) === 25)
+    // already quiet -> no wait
+    assert(Bench.waitForQuiet(1.0, 600, 10, () => 0.2, _ => ()) === 0)
+    // platform reports -1 -> no wait (can't gate on missing data)
+    assert(Bench.waitForQuiet(1.0, 600, 10, () => -1.0, _ => ()) === 0)
+    // threshold <= 0 disables the gate
+    assert(Bench.waitForQuiet(0.0, 600, 10, () => 9.9, _ => ()) === 0)
+  }
+
   test("uniformlyAboveBaseline: all reps must exceed 3x the median") {
     // uniformly contended: every rep slow, tight spread — flagged
     assert(Bench.uniformlyAboveBaseline(Some(1.0), Seq(3.2, 3.4, 3.3)))

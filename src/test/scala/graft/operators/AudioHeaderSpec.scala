@@ -158,6 +158,74 @@ class AudioHeaderSpec extends SparkSuite {
     assert(AudioHeader.parseMp3(withTail).get.nFrames === 7)
   }
 
+  test("parseMp3 mixed-rate stream: durationMs sums per-rate sample " +
+    "buckets exactly, not total/first-rate; metadata stays first-frame") {
+    // 5 frames at 44100 then 3 at 48000 — a legal VBR-ish rate switch
+    val a = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 9,
+      srIdx = 0, mono = true, nFrames = 5)
+    val b = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 9,
+      srIdx = 1, mono = true, nFrames = 3)
+    val i = AudioHeader.parseMp3(a ++ b).get
+    assert(i.nFrames === 8)
+    assert(i.nSamples === 8L * 1152)
+    // exact per-bucket conversion: floor(5760*1000/44100) +
+    // floor(3456*1000/48000) = 130 + 72; the old total/first-rate
+    // formula gave floor(9216*1000/44100) = 208
+    assert(i.durationMs === 5L * 1152 * 1000 / 44100 +
+      3L * 1152 * 1000 / 48000)
+    assert(i.durationMs === 202L)
+    // first-frame-only contract for the stream-level metadata
+    assert(i.sampleRate === 44100)
+  }
+
+  test("audioFeaturesColumn: MP4 'soun' PCM16 (sowt LE / twos BE) " +
+    "reassembles the sample table; withAudioFeatures delegates") {
+    import spark.implicits._
+    import graft.operators.VideoHeader
+    // 3 chunks x 10 samples, values chosen to pin sign handling
+    val sm: Array[Short] = Array.tabulate(30)(i =>
+      (i * 1103 - 16000).toShort)
+    def chunksLe = sm.grouped(10).map(g =>
+      g.flatMap(v => Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+        .toArray).toSeq
+    def chunksBe = sm.grouped(10).map(g =>
+      g.flatMap(v => Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+        .toArray).toSeq
+    def mp4(codec: String, chunks: Seq[Array[Byte]]) =
+      VideoHeader.synthesizeMp4Tracks("mp42", 600, 300L, Seq(
+        VideoHeader.TrackSamples(
+          VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 200L),
+          Seq(Array[Byte](1, 2, 3, 4)), 100, 1),
+        VideoHeader.TrackSamples(
+          VideoHeader.TrackSpec("soun", codec, 0, 0, 8000, 30L),
+          chunks, 10, 2)))
+    val le = Multimodal.audioFeaturesOf(mp4("sowt", chunksLe))
+    val be = Multimodal.audioFeaturesOf(mp4("twos", chunksBe))
+    val expPeak = sm.map(v => math.abs(v.toInt)).max
+    val expSumSq = sm.map(v => v.toLong * v).sum
+    val expRms = math.round(math.sqrt(expSumSq.toDouble / 30) * 1000)
+    for ((f, fmt) <- Seq((le, "mp4-sowt"), (be, "mp4-twos"))) {
+      assert(f.a_format === fmt)
+      assert(f.sample_rate === 8000)
+      assert(f.n_samples === 30L)
+      assert(f.duration_ms === 30L * 1000 / 8000)
+      assert(f.peak === expPeak)
+      assert(f.rms_x1000 === expRms)
+      assert(f.n_clipped === 0L)
+    }
+    // a compressed audio track (mp4a) stays honest: no decode claimed
+    assert(Multimodal.audioFeaturesOf(
+      mp4("mp4a", chunksLe)).a_format === "unknown")
+    // withAudioFeatures delegates to the SAME kernel column
+    val df = Seq((1L, mp4("sowt", chunksLe))).toDF("id", "media")
+    val row = Multimodal.withAudioFeatures(df, "media")
+      .select("a_format", "n_samples", "peak", "rms_x1000").head
+    assert(row.getString(0) === "mp4-sowt")
+    assert(row.getLong(1) === 30L)
+    assert(row.getInt(2) === expPeak)
+    assert(row.getLong(3) === expRms)
+  }
+
   test("parseMp3 hostility: truncation, bad sync, trailing garbage " +
     "-> None deliberately; random fuzz never throws") {
     val mp3 = AudioHeader.synthesizeMp3(mpeg1 = true, brIdx = 9,

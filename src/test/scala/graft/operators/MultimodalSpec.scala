@@ -169,6 +169,12 @@ class MultimodalSpec extends SparkSuite {
     val vp8x = riff("VP8X", bytes(0, 0, 0, 0,
       0x1f, 0x03, 0, 0x57, 0x02, 0)) // 800 x 600
     assert(ImageHeader.parse(vp8x) === Some(ImageHeader.Info("webp", 800, 600)))
+    // featuresOf keeps WebP's real header dims with decoded=false and
+    // skips the pixel-decode attempt (no VP8/VP8L decoder in the JDK —
+    // the reader sniff would be a guaranteed-failing cost per row)
+    val wf = Multimodal.featuresOf(vp8, 256)
+    assert(wf.format === "webp" && wf.width === 800 &&
+      wf.height === 600 && !wf.decoded)
     // a RIFF that is not WEBP (e.g. WAVE) must not parse as an image
     val wav = AudioHeader.synthesizeWavPcm16(8000, Array[Short](1, 2, 3))
     assert(ImageHeader.parse(wav) === None)

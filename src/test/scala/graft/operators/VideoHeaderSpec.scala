@@ -182,6 +182,29 @@ class VideoHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("ctts box version byte: 1 when any composition offset is " +
+    "negative (ISO 14496-12 v0 offsets are unsigned), else 0") {
+    def cttsVersion(mp4: Array[Byte]): Int = {
+      val idx = (0 to mp4.length - 4).find(i =>
+        mp4(i) == 'c' && mp4(i + 1) == 't' && mp4(i + 2) == 't' &&
+          mp4(i + 3) == 's').get
+      mp4(idx + 4) & 0xff // version byte follows the fourcc
+    }
+    val payloads = (0 until 3).map(i => Array.fill[Byte](4)(i.toByte))
+    def mk(offsets: Seq[Long]) = VideoHeader.synthesizeMp4WithSamples(
+      "mp42", 600, 300, VideoHeader.TrackSpec("vide", "avc1", 64, 64,
+        600, 300), payloads, 100, 2, cttsOffsets = offsets)
+    assert(cttsVersion(mk(Seq(100L, 200L, -100L))) === 1)
+    assert(cttsVersion(mk(Seq(100L, 200L, 0L))) === 0)
+    // the parser's signed read decodes both forms to the same pts
+    Seq(Seq(100L, 200L, -100L), Seq(100L, 200L, 0L)).foreach { off =>
+      val s = VideoHeader.videoSamples(mk(off)).get
+      s.zipWithIndex.foreach { case (x, i) =>
+        assert(x.pts === x.dts + off(i))
+      }
+    }
+  }
+
   test("co64 (64-bit chunk offsets) demuxes like stco") {
     val payloads = (0 until 3).map(i => Array.fill[Byte](4)(i.toByte))
     val mp4 = VideoHeader.synthesizeMp4WithSamples(
