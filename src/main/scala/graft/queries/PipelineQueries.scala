@@ -1013,30 +1013,24 @@ object PipelineQueries extends QueryPack {
           .withColumn("j", explode(sequence(lit(0), lit(6))))
           .withColumn("bk", expr("shiftright(phash, j * 9) & 511"))
           .select("img", "j", "bk")
-        val dup = bands.as("a")
-          .join(bands.as("b"),
-            col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
-              col("a.img") < col("b.img"))
-          .select(col("a.img").as("ia"), col("b.img").as("ib"))
-          .distinct()
-          .join(qual.select(col("img").as("ia"),
-            col("phash").as("pa")), Seq("ia"))
-          .join(qual.select(col("img").as("ib"),
-            col("phash").as("pb")), Seq("ib"))
-          .where(expr("bit_count(pa ^ pb) <= 6"))
-          .select("ib").distinct()
-        val kept = qual.join(dup,
-          qual("img") === dup("ib"), "left_anti")
-        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
-          df.groupBy("source").agg(count(lit(1)).as(name))
-        cnt(imgs, "n_raw")
-          .join(cnt(live, "n_decoded"), Seq("source"))
-          .join(cnt(qual, "n_quality"), Seq("source"))
-          .join(kept.groupBy("source")
+        // funnel algebra (band candidates -> hamming verify ->
+        // keep-smallest -> per-source rollup) via the shared
+        // CorpusFunnel combinator; this query plugs only the pHash
+        // band geometry and the hamming-<=6 verify
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.verifiedDupIds(bands, qual, "img",
+          Seq("j", "bk"), "phash",
+          (a, b) => bit_count(a.bitwiseXOR(b)) <= 6)
+        val kept = CorpusFunnel.survivors(qual, dup, "img")
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", imgs),
+          CountStage("n_decoded", live),
+          CountStage("n_quality", qual),
+          AggStage(kept.groupBy("source")
             .agg(count(lit(1)).as("n_unique"),
               sum(col("phash") % 1000000007L).as("kept_fp")),
-            Seq("source"))
-          .orderBy("source")
+            Seq("n_unique", "kept_fp"))))
       },
       Some {
         val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
@@ -1944,25 +1938,21 @@ object PipelineQueries extends QueryPack {
           .localCheckpoint()
         val qual = perClip.where(col("n_sh") >= 6)
         val qsh = sh.join(qual.select("clip"), Seq("clip"))
-        val dup = qsh.as("a")
-          .join(qsh.as("b"),
-            col("a.sid") === col("b.sid") && col("a.clip") < col("b.clip"))
-          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
-            (col("b.t") - col("a.t")).as("dt"))
-          .agg(count(lit(1)).as("n_al"))
-          .where(col("n_al") >= 6)
-          .select(col("cb").as("clip")).distinct()
-        val kept = qual.join(dup, Seq("clip"), "left_anti")
-        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
-          df.groupBy("source").agg(count(lit(1)).as(name))
-        cnt(clips, "n_raw")
-          .join(cnt(perClip, "n_demuxed"), Seq("source"))
-          .join(cnt(qual, "n_quality"), Seq("source"))
-          .join(kept.groupBy("source")
+        // funnel algebra via the shared CorpusFunnel combinator; this
+        // query plugs the temporal-shingle band (sid) and the
+        // aligned-offset >= 6 verify
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(qsh, "clip", "t", "sid", 6)
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_demuxed", perClip),
+          CountStage("n_quality", qual),
+          AggStage(kept.groupBy("source")
             .agg(count(lit(1)).as("n_unique"),
               (sum("fp") % 1000000007L).as("kept_fp")),
-            Seq("source"))
-          .orderBy("source")
+            Seq("n_unique", "kept_fp"))))
       },
       Some("""WITH cl AS (SELECT doc_id AS clip, source,
             doc_id - doc_id % 15 AS g,
@@ -2092,28 +2082,24 @@ object PipelineQueries extends QueryPack {
           .select(col("clip"), expr("v div 512").as("t"),
             expr("v % 512").as("lid"))
           .localCheckpoint()
-        val dup = lmdf.as("a")
-          .join(lmdf.as("b"),
-            col("a.lid") === col("b.lid") && col("a.clip") < col("b.clip"))
-          .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
-            (col("b.t") - col("a.t")).as("dt"))
-          .agg(count(lit(1)).as("n_al"))
-          .where(col("n_al") >= 8)
-          .select(col("cb").as("clip")).distinct()
+        // funnel algebra via the shared CorpusFunnel combinator; this
+        // query plugs the landmark band (lid) and the aligned-offset
+        // >= 8 verify
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(lmdf, "clip", "t", "lid", 8)
         val clFp = lmdf.groupBy("clip")
           .agg(sum((col("t") * 1000 + col("lid")) % 1000000007L).as("fp"))
-        val kept = qual.join(dup, Seq("clip"), "left_anti")
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
           .join(clFp, Seq("clip"))
-        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
-          df.groupBy("source").agg(count(lit(1)).as(name))
-        cnt(clips, "n_raw")
-          .join(cnt(live, "n_decoded"), Seq("source"))
-          .join(cnt(qual, "n_quality"), Seq("source"))
-          .join(kept.groupBy("source")
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_decoded", live),
+          CountStage("n_quality", qual),
+          AggStage(kept.groupBy("source")
             .agg(count(lit(1)).as("n_unique"),
               (sum("fp") % 1000000007L).as("kept_fp")),
-            Seq("source"))
-          .orderBy("source")
+            Seq("n_unique", "kept_fp"))))
       },
       Some {
         val trig = graft.operators.AudioFingerprint.trigValuesSql
@@ -2182,6 +2168,148 @@ object PipelineQueries extends QueryPack {
         "near-dup dedup with keep-smallest canonicalization — " +
         "per-source funnel counts + survivor landmark fingerprint, " +
         "the DFT/peak/triple chain replayed relationally."),
+
+    GraftQuery(
+      "q_pipeline_flac", Seq("S8", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The FLAC leg of the audio funnel — COMPRESSED audio through
+        // the full corpus build, and the 5th-modality proof of the
+        // CorpusFunnel plug discipline: the only modality-specific
+        // code below is the kernel (FLAC fixed-predictor encode in
+        // the fixture UDF, FlacDecode.pcm16Samples + landmarks in the
+        // decode UDF); gates, banded near-dup, keep-smallest, and the
+        // rollup all ride the shared combinator. The oracle replays
+        // the SAME sample arithmetic as q_pipeline_audio's (FLAC is
+        // lossless, so the decoded stream must equal the encoder
+        // input bit-for-bit — a rice/CRC/predictor slip anywhere in
+        // the distributed decode changes the landmark fingerprint and
+        // fails the hash). Every 13th clip's stream is truncated
+        // mid-frame: the CRC-gated decoder returns None, never wrong
+        // samples — the decode gate the batch funnel counts.
+        import graft.operators.{AudioFingerprint, FlacDecode, TextOps}
+        val kernel = udf((clip: Long, shift: Int, samples: Seq[Int]) => {
+          val padded = new Array[Short](shift * 16) ++
+            samples.map(_.toShort)
+          val flac0 = FlacDecode.synthesizeFlacPcm16(8000, padded,
+            blockSize = 192, subframe = "fixed2")
+          val flac = if (clip % 13 == 0) flac0.take(50) else flac0
+          FlacDecode.pcm16Samples(flac) match {
+            case Some(sm) => AudioFunnelRow(true, sm.length.toLong,
+              AudioFingerprint.landmarks(sm)
+                .map { case (t, lid) => t * 512 + lid }.toSeq)
+            case None => AudioFunnelRow(false, 0L, Seq.empty)
+          }
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 3)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+          .withColumn("nc",
+            expr("case when clip % 11 = 0 then 256 else 768 end"))
+        val feats = clips
+          .withColumn("j", explode(expr("sequence(0, nc - 1)")))
+          .withColumn("sv",
+            expr(TextOps.hash64("concat(g, ':', j)") +
+              " % 65536 - 32768").cast("int"))
+          .groupBy("clip", "source", "shift")
+          .agg(sort_array(collect_list(struct(col("j"), col("sv"))))
+            .as("ps"))
+          .withColumn("st", kernel(col("clip"), col("shift"),
+            expr("transform(ps, x -> x.sv)")))
+          .select(col("clip"), col("source"),
+            col("st.decoded").as("decoded"),
+            col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
+          .localCheckpoint()
+        val live = feats.where(col("decoded"))
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
+          .select(col("clip"), expr("v div 512").as("t"),
+            expr("v % 512").as("lid"))
+          .localCheckpoint()
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(lmdf, "clip", "t", "lid", 8)
+        val clFp = lmdf.groupBy("clip")
+          .agg(sum((col("t") * 1000 + col("lid")) % 1000000007L).as("fp"))
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
+          .join(clFp, Seq("clip"))
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_decoded", live),
+          CountStage("n_quality", qual),
+          AggStage(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("n_unique", "kept_fp"))))
+      },
+      Some {
+        val trig = graft.operators.AudioFingerprint.trigValuesSql
+        s"""WITH tg(k, n, cq, sq) AS (SELECT * FROM (VALUES $trig) v(k, n, cq, sq)),
+        cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 15 AS g,
+            (doc_id % 15) // 5 AS shift,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 256 ELSE 768 END AS nc
+          FROM documents WHERE doc_id % 5 = 3),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        q AS (SELECT * FROM live WHERE shift * 16 + nc >= 512),
+        sm AS (SELECT clip, j + shift * 16 AS pos,
+            (('0x' || substr(md5(g::VARCHAR || ':' || j::VARCHAR),
+              1, 15))::BIGINT % 65536 - 32768)::BIGINT AS sv
+          FROM q, (SELECT unnest(range(768)) AS j) r
+          WHERE j < nc
+          UNION ALL
+          SELECT clip, j AS pos, 0::BIGINT AS sv
+          FROM q, (SELECT unnest(range(32)) AS j) r
+          WHERE j < shift * 16),
+        fr AS (SELECT clip, pos // 16 AS t, pos % 16 AS nn, sv FROM sm),
+        sp AS (SELECT f.clip, f.t, tg.k,
+            sum(f.sv * tg.cq)::BIGINT AS re,
+            sum(f.sv * tg.sq)::BIGINT AS im
+          FROM fr f JOIN tg ON tg.n = f.nn GROUP BY 1, 2, 3),
+        pk AS (SELECT clip, t, k,
+            row_number() OVER (PARTITION BY clip, t
+              ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM sp),
+        peaks AS (SELECT clip, t, k FROM pk WHERE rn = 1),
+        lm AS (SELECT a.clip, a.t,
+            (a.k - 1) * 64 + (b.k - 1) * 8 + (c.k - 1) AS lid
+          FROM peaks a
+          JOIN peaks b ON b.clip = a.clip AND b.t = a.t + 1
+          JOIN peaks c ON c.clip = a.clip AND c.t = a.t + 2),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM lm a JOIN lm b ON a.lid = b.lid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 8),
+        clfp AS (SELECT clip,
+            sum((t * 1000 + lid) % 1000000007)::BIGINT AS fp
+          FROM lm GROUP BY 1),
+        kept AS (SELECT q.clip, clfp.fp FROM q
+          JOIN clfp ON clfp.clip = q.clip
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw, dc.n_decoded, qq.n_quality,
+          k.n_unique, k.kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        JOIN (SELECT source, count(*)::BIGINT AS n_decoded
+            FROM live GROUP BY 1) dc USING (source)
+        JOIN (SELECT source, count(*)::BIGINT AS n_quality
+            FROM q GROUP BY 1) qq USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY 1"""
+      },
+      "COMPRESSED audio through the corpus funnel: FLAC fixed-" +
+        "predictor streams decode bit-exactly (rice residuals, CRC-8/" +
+        "16 verified) before the same gate/near-dup/rollup plugs as " +
+        "the WAV leg — the oracle replays the encoder INPUT, so any " +
+        "decode slip fails the landmark hash; truncated streams drop " +
+        "at the CRC-gated decode gate."),
 
     GraftQuery(
       "q_multimodal_audiomd", Seq("S8", "P6", "A8"),

@@ -575,22 +575,20 @@ object TextQueries extends QueryPack {
     val packStats = packed.groupBy("lang")
       .agg(countDistinct("pack_id").as("n_packs"),
         sum("n_tok").as("sum_tokens"))
-    def cnt(df: DataFrame, name: String) =
-      df.groupBy("lang").agg(count(lit(1)).as(name))
-    val counts = cnt(corpus, "n_input")
-      .join(scrubStats, Seq("lang"), "left")
-      .join(cnt(q1, "nq1"), Seq("lang"), "left")
-      .join(cnt(q2, "nq2"), Seq("lang"), "left")
-      .join(cnt(q3, "nq3"), Seq("lang"), "left")
-      .join(packStats, Seq("lang"), "left")
-      .select(col("lang"), col("n_input"),
-        coalesce(col("nmask"), lit(0L)).as("n_masked"),
-        coalesce(col("nq1"), lit(0L)).as("n_quality"),
-        coalesce(col("nq2"), lit(0L)).as("n_dedup"),
-        coalesce(col("nq3"), lit(0L)).as("n_clean"),
-        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"))
-      .orderBy("lang")
+    // stage-count rollup via the shared CorpusFunnel combinator
+    // (sparse: a language CAN lose every doc to a stage — left joins
+    // with coalesce-0, unlike the dense media funnels)
+    import graft.operators.CorpusFunnel
+    import graft.operators.CorpusFunnel.{AggStage, CountStage}
+    val counts = CorpusFunnel.stageCounts("lang", Seq(
+      CountStage("n_input", corpus),
+      AggStage(scrubStats.select(col("lang"),
+        col("nmask").as("n_masked")), Seq("n_masked")),
+      CountStage("n_quality", q1),
+      CountStage("n_dedup", q2),
+      CountStage("n_clean", q3),
+      AggStage(packStats, Seq("n_packs", "sum_tokens"))),
+      sparse = true)
     CorpusStages(corpus, scored, q1, q2, q3, packed, counts)
   }
 

@@ -2416,20 +2416,16 @@ object StreamingOps {
       staticSide: Option[DataFrame] = None): DataFrame = {
     val corpusBands = staticSide.getOrElse(
       imageNearDupStaticSide(corpus, idCol, mediaCol).persist())
-    bandProbe(images, corpusBands, idCol, mediaCol, tsCol, watermark,
-        maxHamming, onlySmallerIds = true)
-      .withColumn("quality_ok",
-        col("decoded") && expr(s"px_sum div 1024 < $lumaMax"))
-      .groupBy(window(col(tsCol), windowDuration), col(idCol))
-      .agg(max(col("decoded")).as("decoded"),
-        max(col("quality_ok")).as("quality_ok"),
-        max(col("dup_of").isNotNull && col("quality_ok"))
-          .as("is_neardup"),
-        min(when(col("quality_ok"), col("dup_of"))).as("dup_of"))
-      .select(col("window.start").as("bucket"), col(idCol),
-        col("decoded"), col("quality_ok"), col("is_neardup"),
-        col("dup_of"),
-        (col("quality_ok") && !col("is_neardup")).as("survived"))
+    funnelVerdict(
+      bandProbe(images, corpusBands, idCol, mediaCol, tsCol, watermark,
+          maxHamming, onlySmallerIds = true)
+        .withColumn("quality_ok",
+          col("decoded") && expr(s"px_sum div 1024 < $lumaMax"))
+        .groupBy(window(col(tsCol), windowDuration), col(idCol))
+        .agg(max(col("decoded")).as("decoded"),
+          max(col("quality_ok")).as("quality_ok"),
+          min(when(col("quality_ok"), col("dup_of"))).as("dup_of")),
+      idCol, "decoded")
   }
 
   /** Static side for [[videoMatchStream]]: the temporal-shingle table
@@ -2512,6 +2508,44 @@ object StreamingOps {
     * Output: bucket, <idCol>, demuxed, quality_ok, is_neardup,
     * dup_of, survived.
     */
+  /** min cat_clip over evidence groups (cat_clip, dt) with >=
+    * `minAligned` occurrences — the funnel streams' aligned-offset
+    * verify. Single pass: sort the evidence array once, then an
+    * indexed-lambda scan marks position i when the element
+    * minAligned-1 slots earlier is (cat_clip, dt)-equal (all entries
+    * between are equal too in a sorted array, so a run of >=
+    * minAligned contains i). O(E log E) vs the naive
+    * filter-inside-filter O(E^2), which goes quadratic when a hot
+    * shingle/landmark bucket collides with many catalog entries.
+    */
+  /** The shared funnel verdict projection all three media funnel
+    * streams end with (the streaming face of
+    * [[graft.operators.CorpusFunnel]]'s keep-smallest discipline):
+    * bucket, id, <gate>, quality_ok, is_neardup, dup_of, survived —
+    * where a clip survives iff it passed the quality gate and no
+    * smaller-id near-duplicate was found.
+    */
+  private def funnelVerdict(
+      df: DataFrame, idCol: String, gateCol: String): DataFrame =
+    df.select(col("window.start").as("bucket"), col(idCol),
+      col(gateCol), col("quality_ok"),
+      (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
+      col("dup_of"),
+      (col("quality_ok") && col("dup_of").isNull).as("survived"))
+
+  private def alignedDupOf(
+      evCol: String, minAligned: Int): org.apache.spark.sql.Column = {
+    val k = minAligned - 1
+    // transform(array(sorted), s -> ...) binds the sorted array ONCE
+    // as a lambda variable — projection collapse would otherwise
+    // inline a withColumn alias and re-sort per reference
+    expr(s"""(transform(array(array_sort($evCol)), s ->
+       array_min(transform(filter(s, (x, i) ->
+         i >= $k AND s[i - $k].cat_clip = x.cat_clip
+         AND s[i - $k].dt = x.dt),
+         x -> x.cat_clip))))[0]""")
+  }
+
   def videoFunnelStream(
       clips: DataFrame, // idCol, mediaCol, tsCol
       catalog: DataFrame, // idCol, mediaCol
@@ -2553,16 +2587,8 @@ object StreamingOps {
         collect_list(when(col("cat_clip") < col(idCol),
           struct(col("cat_clip"), (col("t") - col("cat_t")).as("dt"))))
           .as("__ev"))
-      .withColumn("dup_of", expr(
-        s"""array_min(transform(filter(__ev, x ->
-           size(filter(__ev, y ->
-             y.cat_clip = x.cat_clip AND y.dt = x.dt)) >= $minAligned),
-           x -> x.cat_clip))"""))
-      .select(col("window.start").as("bucket"), col(idCol),
-        col("demuxed"), col("quality_ok"),
-        (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
-        col("dup_of"),
-        (col("quality_ok") && col("dup_of").isNull).as("survived"))
+      .withColumn("dup_of", alignedDupOf("__ev", minAligned))
+      .transform(funnelVerdict(_, idCol, "demuxed"))
   }
 
   /** Static side for [[audioFunnelStream]]: the landmark table of the
@@ -2654,16 +2680,8 @@ object StreamingOps {
         collect_list(when(col("cat_clip") < col(idCol),
           struct(col("cat_clip"), (col("t") - col("cat_t")).as("dt"))))
           .as("__ev"))
-      .withColumn("dup_of", expr(
-        s"""array_min(transform(filter(__ev, x ->
-           size(filter(__ev, y ->
-             y.cat_clip = x.cat_clip AND y.dt = x.dt)) >= $minAligned),
-           x -> x.cat_clip))"""))
-      .select(col("window.start").as("bucket"), col(idCol),
-        col("decoded"), col("quality_ok"),
-        (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
-        col("dup_of"),
-        (col("quality_ok") && col("dup_of").isNull).as("survived"))
+      .withColumn("dup_of", alignedDupOf("__ev", minAligned))
+      .transform(funnelVerdict(_, idCol, "decoded"))
   }
 
   /** Union multimodal band membership shared by [[pairAssignStream]]
