@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FlacDecode: the CONSTANT/VERBATIM/FIXED subframe subset of RFC
+  * 9639 with Rice residuals, pinned by encode->decode roundtrips
+  * (the synthesizer writes real frames with real CRCs), hostility
+  * cases, and WAV/FLAC landmark parity — the same PCM16 signal must
+  * fingerprint identically through either container.
+  */
+class FlacDecodeSpec extends AnyFunSuite {
+
+  private val tone: Array[Short] =
+    Array.tabulate(1000)(i => (math.sin(i * 0.07) * 12000).toShort)
+
+  test("encode->decode roundtrip is exact for every supported " +
+    "subframe type, incl. a short last frame") {
+    for (sf <- Seq("verbatim", "fixed0", "fixed1", "fixed2", "fixed3",
+        "fixed4")) {
+      val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,
+        blockSize = 256, subframe = sf)
+      val d = FlacDecode.decode(flac).getOrElse(
+        fail(s"decode failed for $sf"))
+      assert(d.info.sampleRate === 8000, sf)
+      assert(d.info.channels === 1, sf)
+      assert(d.info.bitsPerSample === 16, sf)
+      assert(d.info.totalSamples === 1000L, sf)
+      assert(d.samples.toSeq === tone.map(_.toInt).toSeq, sf)
+      // fixed2 compresses a smooth tone; verbatim never shrinks it
+      if (sf == "fixed2") assert(flac.length < 42 + 2 * tone.length)
+    }
+    // constant subframe on a constant block (and its verbatim
+    // fallback on a non-constant one)
+    val const = Array.fill[Short](512)(-1234)
+    val cf = FlacDecode.synthesizeFlacPcm16(8000, const,
+      blockSize = 256, subframe = "constant")
+    assert(FlacDecode.decode(cf).get.samples.toSeq ===
+      const.map(_.toInt).toSeq)
+    assert(cf.length < 42 + 30) // 2 frames, ~12 bytes each
+    val mixed = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),
+      blockSize = 256, subframe = "constant") // falls back to verbatim
+    assert(FlacDecode.decode(mixed).get.samples.toSeq ===
+      tone.take(256).map(_.toInt).toSeq)
+  }
+
+  test("pcm16Samples: FLAC and WAV containers of the SAME signal " +
+    "yield identical samples and identical audio landmarks") {
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,
+      blockSize = 192, subframe = "fixed2")
+    val wav = AudioHeader.synthesizeWavPcm16(8000, tone)
+    val fs = FlacDecode.pcm16Samples(flac).get
+    val ws = AudioHeader.pcm16Samples(wav).get
+    assert(fs.toSeq === ws.toSeq)
+    assert(AudioFingerprint.landmarks(fs).toSeq ===
+      AudioFingerprint.landmarks(ws).toSeq)
+  }
+
+  test("hostility: CRC damage, LPC subframes, truncation, and " +
+    "garbage all return None; fuzz never throws") {
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),
+      blockSize = 256, subframe = "fixed2")
+    // flip one bit inside the frame body: CRC-16 must catch it
+    val dmg = flac.clone()
+    dmg(dmg.length - 5) = (dmg(dmg.length - 5) ^ 0x10).toByte
+    assert(FlacDecode.decode(dmg) === None)
+    // rewrite the subframe type to LPC order 2 (0b100001): honest None
+    // (header = 42 bytes, frame header = 8 bytes -> subframe byte @50)
+    val lpc = flac.clone()
+    lpc(50) = 0x42.toByte
+    assert(FlacDecode.decode(lpc) === None)
+    // truncation at every prefix: None, never a throw
+    (0 until flac.length by 7).foreach { n =>
+      assert(FlacDecode.decode(flac.take(n)) === None, s"prefix $n")
+    }
+    // bit-flip fuzz: any single-bit corruption decodes to None or to
+    // the original (flips in padding bits are legal no-ops) — never
+    // throws, never returns DIFFERENT samples (the CRCs see to it)
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val m = flac.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      FlacDecode.decode(m).foreach { d =>
+        assert(d.samples.toSeq === tone.take(256).map(_.toInt).toSeq)
+      }
+    }
+    assert(FlacDecode.decode("not a flac".getBytes) === None)
+    assert(FlacDecode.decode(Array.empty[Byte]) === None)
+    // header-only stream claiming samples it doesn't carry: None
+    assert(FlacDecode.decode(
+      AudioHeader.synthesizeFlac(8000, 1, 16, 100L)) === None)
+  }
+}
