@@ -1960,22 +1960,26 @@ object TextQueries extends QueryPack {
         // CANNOT drift from the pipeline it explains.
         //
         // Scale shape: each stage frame is already checkpointed by
-        // the pipeline; classification is three skinny doc_id
-        // equi-joins (shuffle on the key, combining aggregation
-        // after) — no window, no broadcast of any O(corpus) side.
+        // the pipeline; the stages are NESTED (q3 ⊆ q2 ⊆ q1 ⊆ scored
+        // ⊆ corpus), so the deepest stage a doc reached is max(rank)
+        // over a UNION of the skinny id frames — one aggregation plus
+        // ONE doc_id equi-join instead of four chained left joins
+        // (round-16 plan pass: 4 join shuffles -> union + agg + join,
+        // and no O(corpus) broadcast either way).
         val st = corpusStages(s, dir, _.localCheckpoint())
-        def mark(df: DataFrame, c: String) =
-          df.select("doc_id").withColumn(c, lit(1))
+        val deepest = Seq(st.scored -> 1, st.q1 -> 2, st.q2 -> 3,
+            st.q3 -> 4)
+          .map { case (df, r) =>
+            df.select(col("doc_id"), lit(r).as("r")) }
+          .reduce(_ unionByName _)
+          .groupBy("doc_id").agg(max("r").as("r"))
         st.corpus.select("doc_id", "lang")
-          .join(mark(st.scored, "in_sc"), Seq("doc_id"), "left")
-          .join(mark(st.q1, "in1"), Seq("doc_id"), "left")
-          .join(mark(st.q2, "in2"), Seq("doc_id"), "left")
-          .join(mark(st.q3, "in3"), Seq("doc_id"), "left")
+          .join(deepest, Seq("doc_id"), "left")
           .withColumn("verdict",
-            when(col("in3") === 1, "kept")
-              .when(col("in2") === 1, "contaminated")
-              .when(col("in1") === 1, "near_dup")
-              .when(col("in_sc") === 1, "quality")
+            when(col("r") === 4, "kept")
+              .when(col("r") === 3, "contaminated")
+              .when(col("r") === 2, "near_dup")
+              .when(col("r") === 1, "quality")
               .otherwise("unscorable"))
           .groupBy("lang", "verdict")
           .agg(count(lit(1)).as("n_docs"),
