@@ -2821,6 +2821,125 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("cross-modal streaming composition: arriving MP4s fan into an " +
+    "image leg (stss keyframes -> real decode -> thumbnail plan) and " +
+    "a text leg (tx3g captions -> qualityBucketStream), re-joined " +
+    "into one clip verdict — parity with the batch composition " +
+    "across a mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode, VideoHeader}
+    import org.apache.spark.sql.DataFrame
+    // static text corpus -> quality cut points (the offline-refresh
+    // contract): scores spread via the length term, distinct tokens
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, "en", (0 until (i + 1) * 3)
+        .map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val cuts = StreamingOps
+      .qualityCutsStaticSide(corpus, "lang", "text").persist()
+    val goodCue = (0 until 90).map(j => s"tok$j").mkString(" ")
+    val badCue = "the the a a the"
+    // clip plan: 0,1,2,6 fully good; 3 bad captions; 4 undecodable
+    // keyframes; 5 truncated container (absent from BOTH outputs);
+    // 7 no text track (n_cues = 0 fails the text leg)
+    def mp4For(id: Int): Array[Byte] = {
+      val frames: Seq[Array[Byte]] = (0 until 3).map { c =>
+        if (id == 4) Array[Byte](1, 2, 3, 4) // undecodable payload
+        else PixelDecode.encodePngGray(9, 8,
+          Array.tabulate(72)(i => (id * 31 + c * 7 + i) % 256))
+      }
+      val cueTexts =
+        if (id == 7) Nil
+        else Seq.fill(2)(if (id == 3) badCue else s"clip $id $goodCue")
+      val cueSamples: Seq[Array[Byte]] = cueTexts.map { t =>
+        val b = t.getBytes("UTF-8")
+        Array[Byte](((b.length >> 8) & 0xff).toByte,
+          (b.length & 0xff).toByte) ++ b
+      }
+      val tracks = VideoHeader.TrackSamples(
+        VideoHeader.TrackSpec("vide", "avc1", 9, 8, 600, 300L),
+        frames, 100, 2, syncSamples = Seq(1, 3)) +:
+        (if (cueSamples.isEmpty) Nil else Seq(VideoHeader.TrackSamples(
+          VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000,
+            cueSamples.length * 200L), cueSamples, 200, 2)))
+      val mp4 = VideoHeader.synthesizeMp4Tracks("mp42", 600, 300L,
+        tracks)
+      if (id == 5) mp4.take(40) else mp4
+    }
+    val clips = (0 until 8).map(id =>
+      (id.toLong, mp4For(id), Timestamp.valueOf("2024-01-01 10:00:00")))
+    // the SHARED composition — the same function drives the batch
+    // truth and the stream (both legs are stateless, so it composes
+    // on either kind of frame); thumbnails plan against an 8px box
+    def compose(df: DataFrame): DataFrame = {
+      val thumbs = Multimodal.withResizePlan(
+        Multimodal.mp4KeyframeSample(df, "media")
+          .withColumn("mf", Multimodal.featuresColumn(col("frame"))),
+        "mf.width", "mf.height", maxDim = 8)
+        .select(col("clip"), col("ts"), lit("thumb").as("kind"),
+          (col("mf.decoded") && col("target_w") <= 8 &&
+            col("target_h") <= 8).as("ok"))
+      // dock = (clip, ts) rides through qualityBucketStream's id
+      // column so the windowed verdict downstream keeps its time
+      val cueDocs = Multimodal.mp4Cues(df, "media")
+        .withColumn("dock", struct(col("clip"), col("ts")))
+        .withColumn("lang", lit("en"))
+      val cues = StreamingOps.qualityBucketStream(
+        cueDocs, corpus, idCol = "dock", staticSide = Some(cuts))
+        .select(col("dock.clip").as("clip"), col("dock.ts").as("ts"),
+          lit("cue").as("kind"),
+          (col("bucket").isNotNull && col("bucket") >= 5).as("ok"))
+      thumbs.unionByName(cues)
+    }
+    def verdict(nThumbs: Long, nCues: Long, badCues: Long): Boolean =
+      nThumbs >= 1 && nCues >= 1 && badCues == 0
+    // batch truth
+    val batch = compose(clips.toDF("clip", "media", "ts"))
+      .groupBy("clip")
+      .agg(sum(when(col("kind") === "thumb" && col("ok"), 1)
+          .otherwise(0)).as("nt"),
+        sum(when(col("kind") === "cue", 1).otherwise(0)).as("nc"),
+        sum(when(col("kind") === "cue" && !col("ok"), 1)
+          .otherwise(0)).as("bc"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.keySet === Set(0L, 1L, 2L, 3L, 4L, 6L, 7L)) // 5 absent
+    val batchSurvivors = batch.collect {
+      case (id, (nt, nc, bc)) if verdict(nt, nc, bc) => id }.toSet
+    assert(batchSurvivors === Set(0L, 1L, 2L, 6L))
+    // streaming: same composition, one windowed verdict aggregation
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = compose(
+      feed.toDF().toDF("clip", "media", "ts")
+        .withWatermark("ts", "2 hours"))
+      .groupBy(window(col("ts"), "1 hour"), col("clip"))
+      .agg(sum(when(col("kind") === "thumb" && col("ok"), 1)
+          .otherwise(0)).as("nt"),
+        sum(when(col("kind") === "cue", 1).otherwise(0)).as("nc"),
+        sum(when(col("kind") === "cue" && !col("ok"), 1)
+          .otherwise(0)).as("bc"))
+    val q = out.writeStream.format("memory").queryName("xmodal")
+      .outputMode("update").start()
+    try {
+      clips.grouped(5).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("xmodal")
+        .groupBy("clip").agg(max("nt").as("nt"), max("nc").as("nc"),
+          max("bc").as("bc"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got === batch) // per-clip leg counts match exactly
+      val streamSurvivors = got.collect {
+        case (id, (nt, nc, bc)) if verdict(nt, nc, bc) => id }.toSet
+      assert(streamSurvivors === batchSurvivors)
+    } finally { q.stop(); cuts.unpersist() }
+  }
+
   test("runningDistinctStream state survives a query restart from its " +
     "checkpoint") {
     implicit val sqlCtx = spark.sqlContext
