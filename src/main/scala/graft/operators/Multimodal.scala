@@ -162,12 +162,16 @@ object Multimodal {
     if (n == 0) 0L else math.round(math.sqrt(sumSq.toDouble / n) * 1000)
 
   /** Audio decode kernel: RIFF/WAVE header parse + exact integer
-    * PCM16 signal stats, or the MP4 'soun'-track PCM16 path (`sowt`
+    * PCM16 signal stats, the MP4 'soun'-track PCM16 path (`sowt`
     * little-endian / `twos` big-endian sample entries, reassembled in
-    * sample-table order via [[VideoHeader.trackSamples]]); "unknown"
-    * with zeroed fields otherwise. Pure JVM, no codecs — compressed
-    * payloads (mp4a/AAC, MP3 frames) report container metadata
-    * through [[VideoHeader]]/[[AudioHeader.parseMp3]], not here.
+    * sample-table order via [[VideoHeader.trackSamples]]), or a FLAC
+    * stream whose frames [[FlacDecode]] can decode bit-exactly
+    * (constant/verbatim/fixed subframes at 16 bps); "unknown" with
+    * zeroed fields otherwise. Pure JVM, no third-party codecs —
+    * payloads outside those shapes (mp4a/AAC, MP3 frames, FLAC LPC)
+    * report container metadata through
+    * [[VideoHeader]]/[[AudioHeader.parseMp3]]/[[AudioHeader.parseFlac]],
+    * never approximate samples here.
     */
   def audioFeaturesOf(bytes: Array[Byte]): AudioFeatures =
     AudioHeader.parse(bytes) match {
@@ -177,8 +181,36 @@ object Multimodal {
         AudioFeatures(info.format, info.sampleRate, info.channels,
           info.bitsPerSample, info.nSamples, info.durationMs,
           st.peak, rmsX1000(st.n, st.sumSq), st.nClipped)
-      case None => mp4AudioFeaturesOf(bytes).getOrElse(noAudio)
+      case None =>
+        mp4AudioFeaturesOf(bytes)
+          .orElse(flacAudioFeaturesOf(bytes))
+          .getOrElse(noAudio)
     }
+
+  /** The FLAC leg of [[audioFeaturesOf]]: full-stream frame decode
+    * (CRC-verified — a corrupt stream falls to "unknown", never to
+    * wrong stats) with the same pooled-channel integer stats as the
+    * WAV path.
+    */
+  private def flacAudioFeaturesOf(
+      bytes: Array[Byte]): Option[AudioFeatures] =
+    FlacDecode.decode(bytes)
+      .filter(_.info.bitsPerSample == 16)
+      .map { d =>
+        var peak = 0; var sumSq = 0L; var clipped = 0L
+        var i = 0
+        while (i < d.samples.length) {
+          val v = d.samples(i)
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          if (v == 32767 || v == -32768) clipped += 1
+          i += 1
+        }
+        AudioFeatures("flac", d.info.sampleRate, d.info.channels, 16,
+          d.info.totalSamples, d.info.durationMs, peak,
+          rmsX1000(d.samples.length.toLong, sumSq), clipped)
+      }
 
   /** The MP4 leg of [[audioFeaturesOf]]: first 'soun' track whose
     * sample entry is uncompressed PCM16 (`sowt` LE / `twos` BE, per

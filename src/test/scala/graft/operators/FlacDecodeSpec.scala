@@ -55,6 +55,25 @@ class FlacDecodeSpec extends AnyFunSuite {
       AudioFingerprint.landmarks(ws).toSeq)
   }
 
+  test("audioFeaturesOf routes FLAC through the one audio kernel: " +
+    "identical stats to the WAV container of the same signal") {
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,
+      blockSize = 256, subframe = "fixed1")
+    val wav = AudioHeader.synthesizeWavPcm16(8000, tone)
+    val ff = Multimodal.audioFeaturesOf(flac)
+    val wf = Multimodal.audioFeaturesOf(wav)
+    assert(ff.a_format === "flac" && wf.a_format === "wav")
+    assert((ff.sample_rate, ff.channels, ff.bits_per_sample,
+      ff.n_samples, ff.duration_ms, ff.peak, ff.rms_x1000,
+      ff.n_clipped) ===
+      ((wf.sample_rate, wf.channels, wf.bits_per_sample,
+        wf.n_samples, wf.duration_ms, wf.peak, wf.rms_x1000,
+        wf.n_clipped)))
+    // a truncated FLAC falls to "unknown" — never wrong stats
+    assert(Multimodal.audioFeaturesOf(flac.take(60)).a_format
+      === "unknown")
+  }
+
   test("hostility: CRC damage, LPC subframes, truncation, and " +
     "garbage all return None; fuzz never throws") {
     val flac = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),
