@@ -331,28 +331,42 @@ object FlacDecode {
   // encoder (fixture + executable spec of the decoder)
   // ------------------------------------------------------------------
 
-  /** Encode a mono PCM16 stream as real FLAC bytes: STREAMINFO header
-    * ([[AudioHeader.synthesizeFlac]]) + one frame per `blockSize`
-    * samples (the last frame may be short), each channel coded with
-    * `subframe`: "constant" (falls back to verbatim when a block is
-    * not constant), "verbatim", or "fixedK" (K = 0..4, Rice residual
-    * with a per-partition parameter chosen by exhaustive search,
-    * partition order 0). Frames carry correct CRC-8/CRC-16 —
-    * [[decode]] -> identical samples is the roundtrip spec.
+  /** Encode an interleaved PCM16 stream as real FLAC bytes:
+    * STREAMINFO header ([[AudioHeader.synthesizeFlac]]) + one frame
+    * per `blockSize` inter-channel sample frames (the last may be
+    * short), each channel coded INDEPENDENTLY with `subframe`:
+    * "constant" (falls back to verbatim when a block is not
+    * constant), "verbatim", or "fixedK" (K = 0..4, Rice residual
+    * with a per-partition parameter chosen by exhaustive search).
+    * `partitionOrder` splits the residual into 2^k Rice partitions
+    * (each full block must divide evenly — the spec's own
+    * constraint); `escapeZeroPartitions` emits all-zero partitions
+    * as spec escape partitions (param 0b1111 + 5-bit size 0), so the
+    * decoder's escape path is an encoder-exercised shape, not dead
+    * code. Frames carry correct CRC-8/CRC-16 — [[decode]] ->
+    * identical samples is the roundtrip spec.
     */
   def synthesizeFlacPcm16(
       sampleRate: Int, samples: Array[Short],
-      blockSize: Int = 256, subframe: String = "fixed2"): Array[Byte] = {
+      blockSize: Int = 256, subframe: String = "fixed2",
+      channels: Int = 1, partitionOrder: Int = 0,
+      escapeZeroPartitions: Boolean = false): Array[Byte] = {
     require(blockSize >= 16 && blockSize <= 65536, s"blockSize: $blockSize")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(samples.length % channels == 0,
+      s"interleaved length ${samples.length} not a multiple of $channels")
+    require(partitionOrder >= 0 && partitionOrder <= 6,
+      s"partitionOrder: $partitionOrder")
+    val totalFrames = samples.length / channels
     val head = AudioHeader.synthesizeFlac(
-      sampleRate, 1, 16, samples.length.toLong)
+      sampleRate, channels, 16, totalFrames.toLong)
     val frames = new scala.collection.mutable.ArrayBuffer[Byte]()
     var frameNo = 0
     var base = 0
-    while (base < samples.length) {
-      val n = math.min(blockSize, samples.length - base)
-      frames ++= encodeFrame(
-        samples, base, n, frameNo, subframe)
+    while (base < totalFrames) {
+      val n = math.min(blockSize, totalFrames - base)
+      frames ++= encodeFrame(samples, base, n, channels, frameNo,
+        subframe, partitionOrder, escapeZeroPartitions)
       base += n
       frameNo += 1
     }
@@ -360,15 +374,16 @@ object FlacDecode {
   }
 
   private def encodeFrame(
-      samples: Array[Short], base: Int, n: Int, frameNo: Int,
-      subframe: String): Array[Byte] = {
+      samples: Array[Short], base: Int, n: Int, channels: Int,
+      frameNo: Int, subframe: String, partitionOrder: Int,
+      escapeZero: Boolean): Array[Byte] = {
     val w = new BitWriter
     w.writeBits(0x3ffe, 14) // sync
     w.writeBit(0) // reserved
     w.writeBit(0) // fixed blocking strategy
     w.writeBits(7, 4) // block size: 16-bit-1 at end
     w.writeBits(0, 4) // sample rate: from STREAMINFO
-    w.writeBits(0, 4) // channels: 1 (independent)
+    w.writeBits((channels - 1).toLong, 4) // independent channels
     w.writeBits(4, 3) // sample size: 16
     w.writeBit(0) // reserved
     // coded frame number (UTF-8-style; fixtures stay < 2^31)
@@ -378,38 +393,50 @@ object FlacDecode {
     val w2 = new BitWriter
     headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
     w2.writeBits(crc8(headBytes, 0, headBytes.length).toLong, 8)
-    // ---- subframe
-    val s = Array.tabulate(n)(i => samples(base + i).toLong)
-    val constant = s.forall(_ == s(0))
-    subframe match {
-      case "constant" =>
-        if (constant) {
-          w2.writeBit(0); w2.writeBits(0, 6); w2.writeBit(0)
-          w2.writeBits(s(0) & 0xffff, 16)
-        } else writeVerbatim(w2, s)
-      case "verbatim" => writeVerbatim(w2, s)
-      case f if f.startsWith("fixed") =>
-        val order = f.substring(5).toInt
-        require(order >= 0 && order <= 4, s"order: $order")
-        require(n > order, s"block of $n too short for order $order")
-        w2.writeBit(0)
-        w2.writeBits((0x08 | order).toLong, 6)
-        w2.writeBit(0) // no wasted bits
-        var i = 0
-        while (i < order) { w2.writeBits(s(i) & 0xffff, 16); i += 1 }
-        // residuals via the fixed predictor
-        val res = new Array[Long](n - order)
-        i = order
-        while (i < n) {
-          var p = 0L
-          var j = 0
-          while (j < order) { p += FixedCoef(order)(j) * s(i - 1 - j); j += 1 }
-          res(i - order) = s(i) - p
-          i += 1
-        }
-        writeRice(w2, res)
-      case other => throw new IllegalArgumentException(
-        s"subframe: $other (constant | verbatim | fixed0..fixed4)")
+    // ---- one subframe per channel
+    var c = 0
+    while (c < channels) {
+      val s = Array.tabulate(n)(i =>
+        samples((base + i) * channels + c).toLong)
+      val constant = s.forall(_ == s(0))
+      subframe match {
+        case "constant" =>
+          if (constant) {
+            w2.writeBit(0); w2.writeBits(0, 6); w2.writeBit(0)
+            w2.writeBits(s(0) & 0xffff, 16)
+          } else writeVerbatim(w2, s)
+        case "verbatim" => writeVerbatim(w2, s)
+        case f if f.startsWith("fixed") =>
+          val order = f.substring(5).toInt
+          require(order >= 0 && order <= 4, s"order: $order")
+          require(n > order, s"block of $n too short for order $order")
+          w2.writeBit(0)
+          w2.writeBits((0x08 | order).toLong, 6)
+          w2.writeBit(0) // no wasted bits
+          var i = 0
+          while (i < order) { w2.writeBits(s(i) & 0xffff, 16); i += 1 }
+          // residuals via the fixed predictor
+          val res = new Array[Long](n - order)
+          i = order
+          while (i < n) {
+            var p = 0L
+            var j = 0
+            while (j < order) {
+              p += FixedCoef(order)(j) * s(i - 1 - j); j += 1
+            }
+            res(i - order) = s(i) - p
+            i += 1
+          }
+          // partitioned coding requires even division (spec rule);
+          // fall back to one partition on the (short) last block
+          val po = if ((1 << partitionOrder) <= n &&
+            n % (1 << partitionOrder) == 0 &&
+            n / (1 << partitionOrder) > order) partitionOrder else 0
+          writeRice(w2, res, n, order, po, escapeZero)
+        case other => throw new IllegalArgumentException(
+          s"subframe: $other (constant | verbatim | fixed0..fixed4)")
+      }
+      c += 1
     }
     w2.alignByte()
     val body = w2.bytes
@@ -424,23 +451,40 @@ object FlacDecode {
     s.foreach(v => w.writeBits(v & 0xffff, 16))
   }
 
-  /** Partition order 0, 4-bit parameter minimizing the exact bit cost
-    * (unary quotient + param bits per residual) — escape-free; PCM16
-    * fixed-order residuals always fit a <= 14-bit Rice parameter.
+  /** Rice residual with 2^po partitions, each parameter (0..14)
+    * minimizing the exact bit cost (unary quotient + param bits per
+    * residual); all-zero partitions optionally emit the spec escape
+    * (param 0b1111 + 5-bit size 0). PCM16 fixed-order residuals
+    * always fit a <= 14-bit parameter.
     */
-  private def writeRice(w: BitWriter, res: Array[Long]): Unit = {
+  private def writeRice(
+      w: BitWriter, res: Array[Long], blockSize: Int, order: Int,
+      po: Int, escapeZero: Boolean): Unit = {
     def zig(v: Long): Long = (v << 1) ^ (v >> 63)
     val zs = res.map(zig)
-    val best = (0 to 14).minBy { p =>
-      zs.map(z => (z >>> p) + 1 + p).sum
-    }
     w.writeBits(0, 2) // 4-bit params
-    w.writeBits(0, 4) // partition order 0
-    w.writeBits(best.toLong, 4)
-    zs.foreach { z =>
-      val q = (z >>> best).toInt
-      w.writeUnary(q)
-      if (best > 0) w.writeBits(z & ((1L << best) - 1), best)
+    w.writeBits(po.toLong, 4)
+    val perPart = blockSize >> po
+    var p = 0
+    var idx = 0
+    while (p < (1 << po)) {
+      val n = if (p == 0) perPart - order else perPart
+      val part = zs.slice(idx, idx + n)
+      if (escapeZero && part.forall(_ == 0L)) {
+        w.writeBits(0xf, 4) // escape partition
+        w.writeBits(0, 5) // 0-bit unencoded samples: all zero
+      } else {
+        val best = (0 to 14).minBy { q =>
+          part.map(z => (z >>> q) + 1 + q).sum
+        }
+        w.writeBits(best.toLong, 4)
+        part.foreach { z =>
+          w.writeUnary((z >>> best).toInt)
+          if (best > 0) w.writeBits(z & ((1L << best) - 1), best)
+        }
+      }
+      idx += n
+      p += 1
     }
   }
 

@@ -2601,14 +2601,28 @@ object StreamingOps {
     * minAligned by construction), so an unfiltered catalog would veto
     * arriving clips the batch funnel keeps.
     */
+  /** PCM16 decoders [[audioFunnelStream]]/[[audioFunnelStaticSide]]
+    * accept as their container plug: WAV (the default) and FLAC (the
+    * CRC-gated [[graft.operators.FlacDecode]] subset). Named values
+    * rather than arbitrary lambdas so the plug stays serializable and
+    * the funnel's decode-gate semantics stay documented per
+    * container.
+    */
+  val WavDecoder: Array[Byte] => Option[Array[Short]] =
+    graft.operators.AudioHeader.pcm16Samples(_)
+  val FlacDecoder: Array[Byte] => Option[Array[Short]] =
+    graft.operators.FlacDecode.pcm16Samples(_)
+
   def audioFunnelStaticSide(
-      catalog: DataFrame, // idCol, mediaCol (WAV bytes)
+      catalog: DataFrame, // idCol, mediaCol (PCM16-bearing bytes)
       idCol: String = "clip",
       mediaCol: String = "media",
-      minSamples: Long = 512L): DataFrame = {
+      minSamples: Long = 512L,
+      decoder: Array[Byte] => Option[Array[Short]] = WavDecoder)
+      : DataFrame = {
     val lms = udf { bytes: Array[Byte] =>
       val b = if (bytes == null) Array.empty[Byte] else bytes
-      graft.operators.AudioHeader.pcm16Samples(b)
+      decoder(b)
         .filter(_.length >= minSamples)
         .map(graft.operators.AudioFingerprint.landmarks)
         .getOrElse(Array.empty[(Int, Int)])
@@ -2621,10 +2635,12 @@ object StreamingOps {
   }
 
   /** The streaming AUDIO-corpus build funnel — the online composition
-    * of q_pipeline_audio's stages, completing the per-modality
-    * batch/stream funnel symmetry (text / image / video / audio):
-    * each arriving WAV blob runs ONE decode+fingerprint kernel pass
-    * (RIFF parse + landmark triples, all on its single input row),
+    * of q_pipeline_audio's stages (and, with `decoder = FlacDecoder`,
+    * of q_pipeline_flac's — the container is a PLUG), completing the
+    * per-modality batch/stream funnel symmetry (text / image / video
+    * / audio): each arriving blob runs ONE decode+fingerprint kernel
+    * pass (container decode + landmark triples, all on its single
+    * input row),
     * then the decode gate, the duration quality gate on the REAL
     * decoded sample count, and the landmark near-dup assignment
     * against the already-ingested catalog with the batch
@@ -2641,7 +2657,7 @@ object StreamingOps {
     */
   def audioFunnelStream(
       clips: DataFrame, // idCol, mediaCol, tsCol
-      catalog: DataFrame, // idCol, mediaCol (WAV bytes)
+      catalog: DataFrame, // idCol, mediaCol (PCM16-bearing bytes)
       idCol: String = "clip",
       mediaCol: String = "media",
       tsCol: String = "ts",
@@ -2649,13 +2665,15 @@ object StreamingOps {
       windowDuration: String = "10 minutes",
       minSamples: Long = 512L,
       minAligned: Int = 8,
-      staticSide: Option[DataFrame] = None): DataFrame = {
+      staticSide: Option[DataFrame] = None,
+      decoder: Array[Byte] => Option[Array[Short]] = WavDecoder)
+      : DataFrame = {
     val catalogLms = staticSide.getOrElse(
-      audioFunnelStaticSide(catalog, idCol, mediaCol, minSamples)
-        .persist())
+      audioFunnelStaticSide(catalog, idCol, mediaCol, minSamples,
+        decoder).persist())
     val kernel = udf { bytes: Array[Byte] =>
       val b = if (bytes == null) Array.empty[Byte] else bytes
-      graft.operators.AudioHeader.pcm16Samples(b) match {
+      decoder(b) match {
         case Some(sm) => graft.queries.AudioFunnelRow(true,
           sm.length.toLong,
           graft.operators.AudioFingerprint.landmarks(sm)

@@ -43,6 +43,48 @@ class FlacDecodeSpec extends AnyFunSuite {
       tone.take(256).map(_.toInt).toSeq)
   }
 
+  test("partitioned Rice (2^k partitions), escape partitions, and " +
+    "independent stereo all roundtrip exactly") {
+    // half linear ramp (fixed2 residual = 0 -> escape partitions),
+    // half noise (real Rice partitions) in every 256 block
+    val mixed: Array[Short] = Array.tabulate(1024) { i =>
+      if ((i / 128) % 2 == 0) (i % 128 * 9 - 500).toShort
+      else ((i * 2654435761L % 20000) - 10000).toShort
+    }
+    for (po <- Seq(1, 2, 3); esc <- Seq(false, true)) {
+      val flac = FlacDecode.synthesizeFlacPcm16(8000, mixed,
+        blockSize = 256, subframe = "fixed2", partitionOrder = po,
+        escapeZeroPartitions = esc)
+      val d = FlacDecode.decode(flac).getOrElse(
+        fail(s"decode failed po=$po esc=$esc"))
+      assert(d.samples.toSeq === mixed.map(_.toInt).toSeq,
+        s"po=$po esc=$esc")
+    }
+    // escape coding of the zero partitions must actually shrink the
+    // stream (a 4+5-bit partition vs per-sample unary+remainder)
+    val plain = FlacDecode.synthesizeFlacPcm16(8000, mixed,
+      blockSize = 256, subframe = "fixed2", partitionOrder = 3)
+    val escd = FlacDecode.synthesizeFlacPcm16(8000, mixed,
+      blockSize = 256, subframe = "fixed2", partitionOrder = 3,
+      escapeZeroPartitions = true)
+    assert(escd.length < plain.length)
+    // independent 2-channel stereo: interleaved roundtrip + header
+    val stereo: Array[Short] = Array.tabulate(600)(i =>
+      (if (i % 2 == 0) math.sin(i * 0.05) * 9000
+       else math.cos(i * 0.03) * 7000).toShort)
+    val sf = FlacDecode.synthesizeFlacPcm16(8000, stereo,
+      blockSize = 100, subframe = "fixed1", channels = 2)
+    val sd = FlacDecode.decode(sf).get
+    assert(sd.info.channels === 2)
+    assert(sd.info.totalSamples === 300L)
+    assert(sd.samples.toSeq === stereo.map(_.toInt).toSeq)
+    // the unified audio kernel pools both channels, like the WAV path
+    val af = Multimodal.audioFeaturesOf(sf)
+    assert(af.a_format === "flac" && af.channels === 2 &&
+      af.n_samples === 300L)
+    assert(af.peak === stereo.map(v => math.abs(v.toInt)).max)
+  }
+
   test("pcm16Samples: FLAC and WAV containers of the SAME signal " +
     "yield identical samples and identical audio landmarks") {
     val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,

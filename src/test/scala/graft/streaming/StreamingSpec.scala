@@ -510,6 +510,80 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("FLAC through the streaming audio funnel: the container is a " +
+    "decoder plug — CRC-gated decode gate, duration gate, landmark " +
+    "near-dup, batch-kernel parity across a mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AudioFingerprint, FlacDecode}
+    // same plant geometry as the WAV funnel case, FLAC-encoded with
+    // fixed-predictor frames; clip 7 truncated mid-frame (the CRC
+    // gate), clip 4 only 256 content samples (the duration gate)
+    val rnd = new scala.util.Random(53)
+    val bases = Array.fill(4)(
+      Array.fill[Short](768)((rnd.nextInt(65536) - 32768).toShort))
+    def flacFor(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3
+      val n = if (id == 4) 256 else 768
+      val flac = FlacDecode.synthesizeFlacPcm16(8000,
+        new Array[Short](m * 16) ++ bases(g).take(n),
+        blockSize = 192, subframe = "fixed2")
+      if (id == 7) flac.dropRight(9) else flac
+    }
+    val corpus = (0 until 12).map(id => id.toLong -> flacFor(id))
+    val lms = corpus.map { case (id, f) =>
+      id -> FlacDecode.pcm16Samples(f)
+        .map(s => (s.length, AudioFingerprint.landmarks(s)))
+    }.toMap
+    val decoded = corpus.map(_._1).filter(lms(_).isDefined).toSet
+    val quality = corpus.map(_._1)
+      .filter(id => lms(id).exists(_._1 >= 512)).toSet
+    val dupOf = quality.map { a =>
+      val la = lms(a).get._2
+      val cands = quality.filter(_ < a).filter { b =>
+        val lb = lms(b).get._2
+        la.flatMap(x => lb.filter(_._2 == x._2)
+            .map(y => (b, x._1 - y._1)))
+          .groupBy(identity).values.exists(_.size >= 8)
+      }
+      a -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    assert(decoded === (0L until 12L).toSet - 7L) // CRC gate caught 7
+    assert(quality === decoded - 4L)
+    assert(dupOf.count(_._2.isDefined) === 6)
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.audioFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours",
+      decoder = StreamingOps.FlacDecoder)
+    val q = out.writeStream.format("memory").queryName("flac_funnel")
+      .outputMode("update").start()
+    try {
+      val rows = corpus.map { case (id, f) =>
+        (id, f, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(7).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("flac_funnel")
+        .groupBy("clip").agg(max("decoded").as("d"),
+          max("quality_ok").as("q"), min("dup_of").as("dup"),
+          max("survived").as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toMap
+      assert(got.keySet === corpus.map(_._1).toSet)
+      for ((id, (d, qok, dup, s)) <- got) {
+        assert(d === decoded(id), s"decoded($id)")
+        assert(qok === quality(id), s"quality($id)")
+        assert(dup === dupOf.getOrElse(id, None), s"dup_of($id)")
+        assert(s === (quality(id) && dupOf.getOrElse(id, None).isEmpty),
+          s"survived($id)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming audio landmark match recovers planted time-shifted " +
     "clips against a static catalog across a mid-stream batch split") {
     implicit val sqlCtx = spark.sqlContext
