@@ -155,7 +155,7 @@ object AudioHeader {
     }
   }
 
-  private def dataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
+  private[operators] def dataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
     var off = 12
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)

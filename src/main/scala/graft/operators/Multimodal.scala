@@ -175,12 +175,44 @@ object Multimodal {
     */
   def audioFeaturesOf(bytes: Array[Byte]): AudioFeatures =
     AudioHeader.parse(bytes) match {
-      case Some(info) =>
+      case Some(info) if info.audioFormat == 1 =>
         val st = AudioHeader.pcm16Stats(bytes)
           .getOrElse(AudioHeader.Pcm16Stats(0L, 0, 0L, 0L))
         AudioFeatures(info.format, info.sampleRate, info.channels,
           info.bitsPerSample, info.nSamples, info.durationMs,
           st.peak, rmsX1000(st.n, st.sumSq), st.nClipped)
+      case Some(info) =>
+        // compressed-WAV leg: G.711 µ-law/A-law and mono IMA ADPCM
+        // decode exactly ([[AudioCodecs.samples]]); other formats
+        // keep the header facts with zeroed signal stats
+        AudioCodecs.samples(bytes) match {
+          case Some(sm) =>
+            var peak = 0; var sumSq = 0L; var clipped = 0L
+            var i = 0
+            while (i < sm.length) {
+              val v = sm(i).toInt
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumSq += v.toLong * v
+              if (v == 32767 || v == -32768) clipped += 1
+              i += 1
+            }
+            val fmt = info.audioFormat match {
+              case 6 => "wav-alaw"
+              case 7 => "wav-ulaw"
+              case 17 => "wav-adpcm"
+              case _ => info.format
+            }
+            val n = sm.length.toLong / info.channels
+            AudioFeatures(fmt, info.sampleRate, info.channels,
+              info.bitsPerSample, n,
+              if (info.sampleRate > 0) n * 1000 / info.sampleRate else 0L,
+              peak, rmsX1000(sm.length.toLong, sumSq), clipped)
+          case None =>
+            AudioFeatures(info.format, info.sampleRate, info.channels,
+              info.bitsPerSample, info.nSamples, info.durationMs,
+              0, 0L, 0L)
+        }
       case None =>
         mp4AudioFeaturesOf(bytes)
           .orElse(flacAudioFeaturesOf(bytes))

@@ -2312,6 +2312,88 @@ object PipelineQueries extends QueryPack {
         "at the CRC-gated decode gate."),
 
     GraftQuery(
+      "q_multimodal_g711", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // G.711 telephony audio (ITU-T µ-law / A-law WAV, one code
+        // byte per sample) decoded exactly through the container:
+        // per doc a code stream derived from md5 digests, µ-law for
+        // even docs / A-law for odd, decoded by AudioCodecs.samples
+        // and reduced to exact integer stats per (source, law). The
+        // oracle replays the SAME code derivation relationally and
+        // decodes through the published 256-entry table inlined as a
+        // VALUES relation (the trig-table discipline: the table's
+        // values are spec-pinned against the ITU endpoints in
+        // AudioCodecsSpec; the query pins the distributed container
+        // walk + per-byte decode + rollup). One blob per row; only
+        // the (source, law) rollup shuffles.
+        import graft.operators.AudioCodecs
+        val mkWav = udf((docId: Long) => {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val codes = (0 until 6).flatMap(k =>
+            md.digest(s"g7$docId:$k".getBytes("US-ASCII"))).toArray
+          AudioCodecs.synthesizeWavG711Codes(8000, codes,
+            if (docId % 2 == 0) "ulaw" else "alaw")
+        })
+        val stats = udf((media: Array[Byte]) =>
+          AudioCodecs.samples(media) match {
+            case Some(sm) =>
+              var peak = 0; var sv = 0L; var sq = 0L
+              sm.foreach { x =>
+                val v = x.toInt
+                if (math.abs(v) > peak) peak = math.abs(v)
+                sv += v
+                sq += v.toLong * v
+              }
+              (sm.length.toLong, peak, sv, sq % 1000000007L)
+            case None => (0L, 0, 0L, 0L)
+          })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), col("source"))
+          .withColumn("law", when(col("doc_id") % 2 === 0, lit("ulaw"))
+            .otherwise(lit("alaw")))
+          .withColumn("st", stats(mkWav(col("doc_id"))))
+          .groupBy("source", "law")
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("st._1")).as("n_samples"),
+            sum(col("st._2")).as("peak_sum"),
+            sum(col("st._3")).as("val_sum"),
+            sum(col("st._4")).as("sumsq_fp"))
+          .orderBy("source", "law")
+      },
+      Some {
+        val table = (0 until 256).map(c =>
+          s"($c,${graft.operators.AudioCodecs.muLawDecode(c)}," +
+            s"${graft.operators.AudioCodecs.aLawDecode(c)})")
+          .mkString(",")
+        s"""WITH g711(code, mu, al) AS (SELECT * FROM (VALUES $table)
+          v(code, mu, al)),
+        d AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+          FROM documents WHERE doc_id % 7 = 1),
+        cb AS (SELECT d.doc_id, d.source, d.law, j,
+            ('0x' || substr(md5('g7' || doc_id::VARCHAR || ':' ||
+              (j // 16)::VARCHAR), (j % 16) * 2 + 1, 2))::INT AS code
+          FROM d, (SELECT unnest(range(96)) AS j)),
+        sv AS (SELECT cb.doc_id, cb.source, cb.law,
+            CASE WHEN cb.law = 'ulaw' THEN g.mu ELSE g.al END AS v
+          FROM cb JOIN g711 g ON g.code = cb.code),
+        pc AS (SELECT doc_id, source, law, count(*)::BIGINT AS n,
+            max(abs(v))::BIGINT AS peak, sum(v)::BIGINT AS sv,
+            (sum(v * v) % 1000000007)::BIGINT AS sq
+          FROM sv GROUP BY 1, 2, 3)
+        SELECT source, law, count(*)::BIGINT AS n_clips,
+          sum(n)::BIGINT AS n_samples, sum(peak)::BIGINT AS peak_sum,
+          sum(sv)::BIGINT AS val_sum, sum(sq)::BIGINT AS sumsq_fp
+        FROM pc GROUP BY 1, 2 ORDER BY 1, 2"""
+      },
+      "G.711 telephony WAVs (µ-law even docs, A-law odd) decoded " +
+        "exactly through the RIFF container — per-(source, law) " +
+        "integer stats replayed by the oracle from the md5 code " +
+        "derivation joined to the published decode table as VALUES, " +
+        "pinning the distributed byte-level decode."),
+
+    GraftQuery(
       "q_multimodal_audiomd", Seq("S8", "P6", "A8"),
       (s, dir) => {
         // Compressed-audio CONTAINER metadata — the audio twin of the
