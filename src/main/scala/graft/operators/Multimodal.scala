@@ -532,6 +532,29 @@ object Multimodal {
     * decode break shingle runs (never bridged); non-MP4 bytes emit
     * nothing.
     */
+  /** Fold a 64-bit frame dHash into the base-M frame key. */
+  private def frameKey(dhash: Long): Long = {
+    val dlo = dhash & 0xffffffffL
+    val dhi = dhash >>> 32
+    (dlo * 31 + dhi) % ShingleMod
+  }
+
+  /** Combine consecutive decoded frame keys into k-frame shingles —
+    * the fold shared by the MP4 and animated-GIF kernels. Input:
+    * (frame ordinal, frame key) for DECODED frames only; a gap in the
+    * ordinals (an undecodable frame) breaks shingle runs, never
+    * bridged.
+    */
+  private def shingleFoldKeys(
+      fks: Seq[(Int, Long)], k: Int): Seq[VideoShingle] =
+    fks.sliding(k).filter { w =>
+      w.length == k &&
+        w.zipWithIndex.forall { case ((t, _), i) => t == w.head._1 + i }
+    }.map { w =>
+      VideoShingle(w.head._1, w.head._2,
+        w.foldLeft(0L)((acc, p) => acc * ShingleMod + p._2))
+    }.toSeq
+
   def videoShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
     require(k >= 1 && k <= 3, s"k must be in [1, 3]: $k")
     val b = if (bytes == null) Array.empty[Byte] else bytes
@@ -544,20 +567,41 @@ object Multimodal {
           val mf = featuresOf(java.util.Arrays.copyOfRange(
             b, sm.offset.toInt, end.toInt), 256)
           if (!mf.decoded) None
-          else {
-            val dlo = mf.dhash & 0xffffffffL
-            val dhi = mf.dhash >>> 32
-            Some((sm.index, (dlo * 31 + dhi) % ShingleMod))
-          }
+          else Some((sm.index, frameKey(mf.dhash)))
         }
       }
-    fks.sliding(k).filter { w =>
-      w.length == k &&
-        w.zipWithIndex.forall { case ((t, _), i) => t == w.head._1 + i }
-    }.map { w =>
-      VideoShingle(w.head._1, w.head._2,
-        w.foldLeft(0L)((acc, p) => acc * ShingleMod + p._2))
-    }.toSeq
+    shingleFoldKeys(fks, k)
+  }
+
+  /** The animated-GIF twin of [[videoShingleRows]]: decode every
+    * composited canvas frame ([[PixelDecode.gifFrames]] — GCE
+    * disposal/transparency, frame rects, the full GIF89a animation
+    * semantics), dHash each canvas, fold into the SAME base-M k-frame
+    * shingle keys — so animated GIFs and MP4s of the same content
+    * land in the same banded near-dup space. Non-GIF or malformed
+    * bytes emit nothing (the funnel's decode gate).
+    */
+  def gifShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
+    require(k >= 1 && k <= 3, s"k must be in [1, 3]: $k")
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    val fks = PixelDecode.gifFrames(b).getOrElse(Seq.empty)
+      .zipWithIndex.map { case (px, i) =>
+        val g = PixelDecode.grayLuma(px)
+        (i, frameKey(PixelDecode.dHash(g, px.width, px.height)))
+      }
+    shingleFoldKeys(fks, k)
+  }
+
+  /** [[videoShingles]]' GIF twin as a DataFrame transform — same
+    * stateless per-row projection, same output columns.
+    */
+  def gifShingles(
+      df: DataFrame, mediaCol: String, k: Int = 3): DataFrame = {
+    val sh = udf((bytes: Array[Byte]) => gifShingleRows(bytes, k))
+    val keep = df.columns.filter(_ != mediaCol).map(col)
+    df.withColumn("__vs", explode(sh(col(mediaCol))))
+      .select(keep.toIndexedSeq ++ Seq(col("__vs.t").as("t"),
+        col("__vs.fk").as("fk"), col("__vs.sid").as("sid")): _*)
   }
 
   /** Temporal video fingerprint as a DataFrame transform: one row per

@@ -463,6 +463,206 @@ object PixelDecode {
     c
   }
 
+  /** Animated-GIF decode: EVERY image descriptor composited onto the
+    * logical-screen canvas per GIF89a semantics — graphic-control
+    * extensions (transparency index, disposal methods 1 leave /
+    * 2 restore-background / 3 restore-previous), frame rects at
+    * (left, top), local color tables, interlace — one full-canvas
+    * snapshot per frame, in order. None for malformed streams
+    * (truncation, rect outside the screen, missing tables, bad LZW)
+    * — never a partial animation. Single-frame GIFs yield one frame
+    * whose pixels match [[decodeGifPure]] when the frame covers the
+    * screen. Never throws.
+    */
+  def gifFrames(
+      bytes: Array[Byte], maxFrames: Int = 1024): Option[Seq[Pixels]] =
+    try gifFramesImpl(bytes, maxFrames)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def gifFramesImpl(
+      b: Array[Byte], maxFrames: Int): Option[Seq[Pixels]] = {
+    if (b == null || b.length < 13) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8i(i: Int): Int = b(i) & 0xff
+    def le16i(i: Int): Int = (u8i(i + 1) << 8) | u8i(i)
+    val sw = le16i(6)
+    val sh = le16i(8)
+    if (sw < 1 || sh < 1 || sw.toLong * sh > (1L << 26)) return None
+    var pos = 10
+    val packed = u8i(pos)
+    val bgIndex = u8i(pos + 1)
+    pos += 3
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return None
+      gct = Array.tabulate(n)(j => (u8i(pos + 3 * j) << 16) |
+        (u8i(pos + 3 * j + 1) << 8) | u8i(pos + 3 * j + 2))
+      pos += 3 * n
+    }
+    val bg =
+      if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
+    val canvas = Array.fill(sw * sh)(bg)
+    val frames = new scala.collection.mutable.ArrayBuffer[Pixels]()
+    // pending graphic-control state for the NEXT image descriptor
+    var disposal = 0
+    var transparentIdx = -1
+    while (pos < b.length) {
+      u8i(pos) match {
+        case 0x3b => // trailer
+          return if (frames.isEmpty) None else Some(frames.toSeq)
+        case 0x21 =>
+          val label = if (pos + 1 < b.length) u8i(pos + 1) else -1
+          if (label == 0xf9 && pos + 7 < b.length && u8i(pos + 2) == 4) {
+            val p = u8i(pos + 3)
+            disposal = (p >> 2) & 7
+            transparentIdx = if ((p & 1) != 0) u8i(pos + 6) else -1
+          }
+          pos += 2
+          while (pos < b.length && u8i(pos) != 0) pos += 1 + u8i(pos)
+          if (pos >= b.length) return None
+          pos += 1
+        case 0x2c =>
+          if (frames.length >= maxFrames) return Some(frames.toSeq)
+          pos += 1
+          if (pos + 9 > b.length) return None
+          val left = le16i(pos)
+          val top = le16i(pos + 2)
+          val w = le16i(pos + 4)
+          val h = le16i(pos + 6)
+          val ipacked = u8i(pos + 8)
+          pos += 9
+          if (w < 1 || h < 1 || left + w > sw || top + h > sh) return None
+          var table = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (pos + 3 * n > b.length) return None
+            table = Array.tabulate(n)(j => (u8i(pos + 3 * j) << 16) |
+              (u8i(pos + 3 * j + 1) << 8) | u8i(pos + 3 * j + 2))
+            pos += 3 * n
+          }
+          if (table == null) return None
+          val interlaced = (ipacked & 0x40) != 0
+          if (pos >= b.length) return None
+          val minCode = u8i(pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < b.length && u8i(pos) != 0) {
+            val len = u8i(pos)
+            if (pos + 1 + len > b.length) return None
+            data.write(b, pos + 1, len)
+            pos += 1 + len
+          }
+          if (pos >= b.length) return None
+          pos += 1 // sub-block terminator
+          val idx = lzwDecode(minCode, data.toByteArray, w * h)
+            .getOrElse(return None)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, h)
+            else (Seq.range(0, h, 8) ++ Seq.range(4, h, 8) ++
+              Seq.range(2, h, 4) ++ Seq.range(1, h, 2)).toArray
+          val before =
+            if (disposal == 3) canvas.clone() else null
+          var r = 0
+          while (r < h) {
+            val destRow = top + rowOrder(r)
+            var c = 0
+            while (c < w) {
+              val v = idx(r * w + c)
+              if (v >= table.length) return None
+              if (v != transparentIdx)
+                canvas(destRow * sw + left + c) = table(v)
+              c += 1
+            }
+            r += 1
+          }
+          frames += Pixels(sw, sh, canvas.clone())
+          disposal match {
+            case 2 => // restore background in the frame's rect
+              var rr = 0
+              while (rr < h) {
+                var cc = 0
+                while (cc < w) {
+                  canvas((top + rr) * sw + left + cc) = bg; cc += 1
+                }
+                rr += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, before.length)
+            case _ => () // 0/1: leave in place
+          }
+          disposal = 0
+          transparentIdx = -1
+        case _ => return None // desynced
+      }
+    }
+    None // ran out of bytes before the trailer
+  }
+
+  /** Encode an animated GIF89a from full-canvas GRAY frames (values
+    * 0..255; palette j -> (j, j, j), so [[grayLuma]] is the identity
+    * back): one graphic-control block (disposal 1, no transparency)
+    * + full-screen image descriptor per frame, LZW coded as literal
+    * root codes with a clear every 250 literals (keeps the code
+    * width at 9 bits — the classic table-growth-free encoding; ~9/8
+    * expansion, fine for fixtures). [[gifFrames]] ->
+    * identical pixel values is the roundtrip spec.
+    */
+  def encodeGifGrayAnimated(
+      w: Int, h: Int, frames: Seq[Array[Int]],
+      delayCs: Int = 10): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 0xffff && h <= 0xffff, s"dims $w x $h")
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == w * h &&
+      f.forall(v => v >= 0 && v <= 255), "frame shape/range"))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16o(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16o(w); le16o(h)
+    out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit color, 256 entries
+    out.write(0) // background index
+    out.write(0) // aspect
+    (0 until 256).foreach { j => out.write(j); out.write(j); out.write(j) }
+    frames.foreach { f =>
+      // graphic control: disposal 1 (leave), no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(1 << 2); le16o(delayCs); out.write(0); out.write(0)
+      // image descriptor: full screen, no LCT, no interlace
+      out.write(0x2c); le16o(0); le16o(0); le16o(w); le16o(h); out.write(0)
+      out.write(8) // LZW min code size
+      // literal-code stream, LSB-first bit packing, 9-bit codes
+      val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+      var cur = 0
+      var nb = 0
+      def put(code: Int): Unit = {
+        cur |= code << nb
+        nb += 9
+        while (nb >= 8) { bits += (cur & 0xff).toByte; cur >>= 8; nb -= 8 }
+      }
+      put(256) // initial clear
+      var i = 0
+      while (i < f.length) {
+        if (i > 0 && i % 250 == 0) put(256) // stay at 9-bit width
+        put(f(i))
+        i += 1
+      }
+      put(257) // end of information
+      if (nb > 0) bits += (cur & 0xff).toByte
+      // length-prefixed sub-blocks
+      var off = 0
+      val arr = bits.toArray
+      while (off < arr.length) {
+        val n = math.min(255, arr.length - off)
+        out.write(n)
+        out.write(arr, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // encode
   // ------------------------------------------------------------------

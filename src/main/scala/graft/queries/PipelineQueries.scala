@@ -2394,6 +2394,131 @@ object PipelineQueries extends QueryPack {
         "pinning the distributed byte-level decode."),
 
     GraftQuery(
+      "q_pipeline_gif", Seq("P6", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The ANIMATED-GIF corpus funnel — the same temporal-shingle
+        // discipline as q_pipeline_video over a DIFFERENT container:
+        // full GIF89a animation decode (LZW, GCE, compositing) feeds
+        // the SAME dHash/shingle kernel, so the funnel algebra is the
+        // CorpusFunnel plugs verbatim and the oracle is the video
+        // oracle's pixel replay (gifShingleRows and videoShingleRows
+        // are spec-pinned to produce identical keys for identical
+        // frames — GifAnimSpec). Truncated GIFs (every 13th, cut
+        // inside the palette) fail the decode gate; every 11th clip
+        // carries only 5 content frames (quality gate); groups of
+        // three share content under 0/1/2-frame shifts + brightness
+        // re-grades (near-dup keep-smallest).
+        import graft.operators.{Multimodal, PixelDecode}
+        val kernel = udf((clip: Long, g: Long, shift: Int) => {
+          val bright = shift * 25
+          val nc = if (clip % 11 == 0) 5 else 12
+          val frames: Seq[Array[Int]] =
+            (0 until shift).map(_ => Array.fill(72)(bright)) ++
+              (0 until nc).map { c =>
+                val gray = new Array[Int](72)
+                md5Fill(gray, blk => s"vp$g:$c:$blk")
+                gray.map(_ % 200 + bright)
+              }
+          val gif = PixelDecode.encodeGifGrayAnimated(9, 8, frames)
+          if (clip % 13 == 0) gif.take(40) else gif
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 2)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 15"))
+          .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        val sh = Multimodal.gifShingles(
+            clips.withColumn("media",
+              kernel(col("clip"), col("g"), col("shift"))), "media")
+          .localCheckpoint()
+        val perClip = sh.groupBy("clip", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(col("sid") % 1000000007L).as("fp"))
+          .localCheckpoint()
+        val qual = perClip.where(col("n_sh") >= 6)
+        val qsh = sh.join(qual.select("clip"), Seq("clip"))
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(qsh, "clip", "t", "sid", 6)
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_demuxed", perClip),
+          CountStage("n_quality", qual),
+          AggStage(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("n_unique", "kept_fp"))))
+      },
+      Some("""WITH cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 15 AS g,
+            ((doc_id % 15) // 5)::BIGINT AS shift,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 12 END AS nc
+          FROM documents WHERE doc_id % 5 = 2),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        cpx AS (SELECT clip, tc + shift AS t, (i // 9) AS r,
+            (i % 9) AS c,
+            (('0x' || substr(md5('vp' || g::VARCHAR || ':' ||
+                tc::VARCHAR || ':' || (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT % 200 + shift * 25) AS gpx
+          FROM live, (SELECT unnest(range(12)) AS tc) ts,
+            (SELECT unnest(range(72)) AS i) ii
+          WHERE tc < nc),
+        fh AS (
+          SELECT a.clip, a.t,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c < 32
+              THEN (1::BIGINT << (a.r * 8 + a.c)) ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c >= 32
+              THEN (1::BIGINT << (a.r * 8 + a.c - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM cpx a JOIN cpx b ON b.clip = a.clip AND b.t = a.t
+            AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY 1, 2
+          UNION ALL
+          SELECT clip, li AS t, 0::BIGINT, 0::BIGINT
+          FROM live, (SELECT unnest(range(2)) AS li) ls
+          WHERE li < shift),
+        fk AS (SELECT clip, t, (dlo * 31 + dhi) % 1048573 AS fk FROM fh),
+        sh AS (SELECT a.clip, a.t,
+            (a.fk * 1048573 + b.fk) * 1048573 + c.fk AS sid
+          FROM fk a JOIN fk b ON b.clip = a.clip AND b.t = a.t + 1
+            JOIN fk c ON c.clip = a.clip AND c.t = a.t + 2),
+        pc AS (SELECT clip, count(*)::BIGINT AS n_sh,
+            sum(sid % 1000000007)::BIGINT AS fp
+          FROM sh GROUP BY 1),
+        qual AS (SELECT clip, fp FROM pc WHERE n_sh >= 6),
+        qsh AS (SELECT sh.* FROM sh JOIN qual USING (clip)),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM qsh a JOIN qsh b ON a.sid = b.sid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 6),
+        kept AS (SELECT q.clip, q.fp FROM qual q
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw, dm.n_demuxed, qq.n_quality,
+          k.n_unique, k.kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        JOIN (SELECT source, count(*)::BIGINT AS n_demuxed
+            FROM live GROUP BY 1) dm USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_quality
+            FROM qual JOIN cl USING (clip) GROUP BY 1) qq
+          USING (source)
+        JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY source"""),
+      "Animated GIFs through the corpus funnel: full GIF89a " +
+        "animation decode (LZW + compositing) into the SAME temporal " +
+        "dHash-shingle space as MP4s, the funnel algebra via the " +
+        "shared CorpusFunnel plugs — truncated palettes drop at the " +
+        "decode gate, the oracle replays pixels/dHash/shingles " +
+        "relationally."),
+
+    GraftQuery(
       "q_multimodal_audiomd", Seq("S8", "P6", "A8"),
       (s, dir) => {
         // Compressed-audio CONTAINER metadata — the audio twin of the
