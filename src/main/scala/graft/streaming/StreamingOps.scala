@@ -2433,14 +2433,29 @@ object StreamingOps {
     * 3-frame dHash shingle ([[graft.operators.Multimodal.videoShingles]]
     * through the real demux + image-kernel decode). Persist and reuse.
     */
+  /** Temporal-shingle kernels [[videoFunnelStream]] /
+    * [[videoFpStaticSide]] accept as their container plug: MP4 (the
+    * default) and animated GIF — both fold into the same base-M
+    * shingle space, so a mixed catalog even dedups ACROSS containers.
+    */
+  val Mp4Shingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+    graft.operators.Multimodal.videoShingleRows(_, 3)
+  val GifShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+    graft.operators.Multimodal.gifShingleRows(_, 3)
+
   def videoFpStaticSide(
-      catalog: DataFrame, // idCol, mediaCol (MP4 bytes)
+      catalog: DataFrame, // idCol, mediaCol (MP4 or GIF bytes)
       idCol: String = "clip",
-      mediaCol: String = "media"): DataFrame =
-    graft.operators.Multimodal.videoShingles(
-        catalog.select(col(idCol), col(mediaCol)), mediaCol)
-      .select(col(idCol).as("cat_clip"), col("t").as("cat_t"),
-        col("sid"))
+      mediaCol: String = "media",
+      shingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+        Mp4Shingler): DataFrame = {
+    val sh = udf((bytes: Array[Byte]) =>
+      shingler(if (bytes == null) Array.empty[Byte] else bytes))
+    catalog.select(col(idCol), col(mediaCol))
+      .withColumn("__vs", explode(sh(col(mediaCol))))
+      .select(col(idCol).as("cat_clip"), col("__vs.t").as("cat_t"),
+        col("__vs.sid").as("sid"))
+  }
 
   /** Streaming video shingle matching against a static catalog — the
     * video twin of [[audioMatchStream]], completing the per-modality
@@ -2488,7 +2503,9 @@ object StreamingOps {
   }
 
   /** The streaming VIDEO-corpus build funnel — the online composition
-    * of q_pipeline_video's stages, the way [[imageFunnelStream]]
+    * of q_pipeline_video's stages (and, with `shingler =
+    * GifShingler`, of q_pipeline_gif's — the container is a PLUG),
+    * the way [[imageFunnelStream]]
     * relays the image funnel: each arriving container runs ONE
     * shingle-kernel pass (demux + per-frame decode + dHash fold, all
     * on the clip's single input row), then the demux gate (no
@@ -2556,7 +2573,9 @@ object StreamingOps {
       windowDuration: String = "10 minutes",
       minShingles: Int = 6,
       minAligned: Int = 6,
-      staticSide: Option[DataFrame] = None): DataFrame = {
+      staticSide: Option[DataFrame] = None,
+      shingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+        Mp4Shingler): DataFrame = {
     // batch parity relies on a non-quality catalog clip (< minShingles
     // shingles) never reaching minAligned aligned cells — which holds
     // exactly when minAligned >= minShingles (the audio twin instead
@@ -2564,9 +2583,9 @@ object StreamingOps {
     require(minAligned >= minShingles,
       s"minAligned ($minAligned) must be >= minShingles ($minShingles)")
     val catalogSh = staticSide.getOrElse(
-      videoFpStaticSide(catalog, idCol, mediaCol).persist())
+      videoFpStaticSide(catalog, idCol, mediaCol, shingler).persist())
     val shArr = udf((bytes: Array[Byte]) =>
-      graft.operators.Multimodal.videoShingleRows(bytes, 3))
+      shingler(if (bytes == null) Array.empty[Byte] else bytes))
     // non-quality clips ride a sentinel shingle (sid -1 can never
     // match a catalog key, which is a non-negative base-M fold), so
     // every arriving id reaches the verdict aggregation exactly once

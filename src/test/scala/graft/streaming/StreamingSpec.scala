@@ -510,6 +510,76 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("animated GIFs through the streaming video funnel: the " +
+    "shingler is a container plug — decode gate, frame-count gate, " +
+    "keep-smallest temporal near-dup, batch-kernel parity across a " +
+    "mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode}
+    // the q_pipeline_video plant geometry, GIF-encoded: clip 7
+    // truncated inside the palette (decode gate), clip 4 only 5
+    // content frames (quality gate)
+    def contentGray(g: Int, c: Int): Array[Int] =
+      Array.tabulate(72)(i =>
+        (g * 89 + c * 37 + i * 11 + (i * i) % 17) % 200)
+    def gifFor(id: Int): Array[Byte] = {
+      val g = id / 3; val m = id % 3; val bright = m * 20
+      val nc = if (id == 4) 5 else 8
+      val frames = Seq.fill(m)(Array.fill(72)(bright)) ++
+        (0 until nc).map(c => contentGray(g, c).map(_ + bright))
+      val gif = PixelDecode.encodeGifGrayAnimated(9, 8, frames)
+      if (id == 7) gif.take(40) else gif
+    }
+    val corpus = (0 until 12).map(id => id.toLong -> gifFor(id))
+    val sh = corpus.map { case (id, b) =>
+      id -> Multimodal.gifShingleRows(b, 3) }.toMap
+    val demuxed = corpus.map(_._1).filter(sh(_).nonEmpty).toSet
+    val quality = corpus.map(_._1).filter(sh(_).size >= 6).toSet
+    val dupOf = quality.map { a =>
+      val cands = quality.filter(_ < a).filter { b =>
+        sh(a).flatMap(x => sh(b).filter(_.sid == x.sid)
+            .map(y => (b, x.t - y.t)))
+          .groupBy(identity).values.exists(_.size >= 6)
+      }
+      a -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    assert(demuxed === (0L until 12L).toSet - 7L)
+    assert(quality === demuxed - 4L)
+    assert(dupOf.count(_._2.isDefined) === 6)
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.videoFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours",
+      shingler = StreamingOps.GifShingler)
+    val q = out.writeStream.format("memory").queryName("gif_funnel")
+      .outputMode("update").start()
+    try {
+      val rows = corpus.map { case (id, gif) =>
+        (id, gif, Timestamp.valueOf("2024-01-01 10:00:00")) }
+      rows.grouped(7).foreach { chunk =>
+        feed.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("gif_funnel")
+        .groupBy("clip").agg(max("demuxed").as("d"),
+          max("quality_ok").as("q"), min("dup_of").as("dup"),
+          max("survived").as("s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), r.getBoolean(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4))).toMap
+      assert(got.keySet === corpus.map(_._1).toSet)
+      for ((id, (d, qok, dup, s)) <- got) {
+        assert(d === demuxed(id), s"demuxed($id)")
+        assert(qok === quality(id), s"quality($id)")
+        assert(dup === dupOf.getOrElse(id, None), s"dup_of($id)")
+        assert(s === (quality(id) && dupOf.getOrElse(id, None).isEmpty),
+          s"survived($id)")
+      }
+    } finally q.stop()
+  }
+
   test("FLAC through the streaming audio funnel: the container is a " +
     "decoder plug — CRC-gated decode gate, duration gate, landmark " +
     "near-dup, batch-kernel parity across a mid-stream split") {
