@@ -277,6 +277,98 @@ object AudioHeader {
     }
   }
 
+  /** ID3v2 text frames (the MP3 -> text-pipeline bridge, the audio
+    * twin of [[graft.operators.Multimodal.mp4Cues]]): walk an ID3v2.3
+    * or v2.4 tag's frames and decode the text frames (ids starting
+    * with 'T', an encoding byte then the payload — ISO-8859-1 (0) and
+    * UTF-8 (3) supported; UTF-16 variants are skipped, not mangled).
+    * Frame sizes are plain 32-bit BE in v2.3 and syncsafe in v2.4,
+    * per the informal standards. Returns (frame id, text) pairs in
+    * tag order; bytes without a well-formed ID3v2 tag return empty —
+    * never throws.
+    */
+  def id3TextFrames(bytes: Array[Byte]): Seq[(String, String)] = {
+    if (bytes == null || bytes.length < 10) return Seq.empty
+    if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))
+      return Seq.empty
+    val major = u8(bytes, 3)
+    if (major != 3 && major != 4) return Seq.empty
+    val tagSize = (u8(bytes, 6) & 0x7f) << 21 | (u8(bytes, 7) & 0x7f) << 14 |
+      (u8(bytes, 8) & 0x7f) << 7 | (u8(bytes, 9) & 0x7f)
+    val end = math.min(10L + tagSize, bytes.length.toLong).toInt
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var off = 10
+    var ok = true
+    while (ok && off + 10 <= end) {
+      val id = new String(bytes, off, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (id(0) == 0) ok = false // padding reached
+      else {
+        val size =
+          if (major == 4)
+            (u8(bytes, off + 4) & 0x7f) << 21 |
+              (u8(bytes, off + 5) & 0x7f) << 14 |
+              (u8(bytes, off + 6) & 0x7f) << 7 |
+              (u8(bytes, off + 7) & 0x7f)
+          else
+            u8(bytes, off + 4) << 24 | u8(bytes, off + 5) << 16 |
+              u8(bytes, off + 6) << 8 | u8(bytes, off + 7)
+        if (size < 0 || off + 10L + size > end) ok = false
+        else {
+          if (id.startsWith("T") && size >= 1 &&
+              id.forall(c => c.isUpper || c.isDigit)) {
+            val enc = u8(bytes, off + 10)
+            val cs = enc match {
+              case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+              case 3 => java.nio.charset.StandardCharsets.UTF_8
+              case _ => null // UTF-16 variants: skip, never mangle
+            }
+            if (cs != null) {
+              var len = size - 1
+              // strip one trailing NUL terminator if present
+              if (len > 0 && bytes(off + 10 + len) == 0) len -= 1
+              out += id -> new String(bytes, off + 11, len, cs)
+            }
+          }
+          off += 10 + size
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Build an ID3v2 tag block carrying the given text frames —
+    * fixture + executable spec of [[id3TextFrames]] (v2.3 plain or
+    * v2.4 syncsafe frame sizes, UTF-8 payloads, optional padding).
+    */
+  def synthesizeId3v2(
+      frames: Seq[(String, String)], major: Int = 3,
+      padding: Int = 0): Array[Byte] = {
+    require(major == 3 || major == 4, s"major: $major")
+    require(frames.forall(_._1.length == 4), "frame ids are 4 chars")
+    val body = new scala.collection.mutable.ArrayBuffer[Byte]()
+    frames.foreach { case (id, text) =>
+      val payload = Array(3.toByte) ++ text.getBytes("UTF-8")
+      body ++= id.getBytes("US-ASCII")
+      val sz = payload.length
+      if (major == 4)
+        body ++= Array(((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+          ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+      else
+        body ++= Array((sz >> 24).toByte, (sz >> 16).toByte,
+          (sz >> 8).toByte, sz.toByte)
+      body ++= Array[Byte](0, 0) // flags
+      body ++= payload
+    }
+    body ++= Array.fill[Byte](padding)(0)
+    val sz = body.length
+    require(sz < (1 << 28), "tag too large")
+    "ID3".getBytes("US-ASCII") ++
+      Array(major.toByte, 0.toByte, 0.toByte,
+        ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+  }
+
   /** Build a spec-layout MP3: optional ID3v2 prefix, `nFrames` Layer
     * III frames (padding bit alternating per `padEvery`), deterministic
     * filler payloads — fixture + executable spec of [[parseMp3]].

@@ -2519,6 +2519,144 @@ object PipelineQueries extends QueryPack {
         "relationally."),
 
     GraftQuery(
+      "q_multimodal_id3", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // ID3v2 text frames -> the text pipeline (the MP3 twin of
+        // mp4Cues' caption bridge): per doc an MP3 whose ID3v2 tag
+        // (v2.3 for even docs, v2.4 syncsafe for odd) carries
+        // title/artist(/album on every 3rd) frames with id-derived
+        // text; every 13th doc's tag magic is corrupted (no tag ->
+        // no frames). The distributed walk explodes (frame_id, text)
+        // rows; the oracle REBUILDS the expected strings from the
+        // same arithmetic — a size-field slip or charset mangle
+        // changes sum_len/min_text and fails the hash. Stateless
+        // per-row projection; one (source, frame_id) rollup shuffle.
+        import graft.operators.AudioHeader
+        val extract = udf((docId: Long) => {
+          val frames = Seq(
+            "TIT2" -> s"title $docId",
+            "TPE1" -> s"artist ${docId % 50}") ++
+            (if (docId % 3 == 0) Seq("TALB" -> s"album ${docId % 10}")
+             else Nil)
+          val tag = AudioHeader.synthesizeId3v2(frames,
+            major = if (docId % 2 == 0) 3 else 4)
+          if (docId % 13 == 0) tag(0) = 'X'.toByte
+          val mp3 = tag ++ AudioHeader.synthesizeMp3(mpeg1 = true,
+            brIdx = 9, srIdx = 0, mono = true, nFrames = 2)
+          AudioHeader.id3TextFrames(mp3)
+        })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("source"))
+          .withColumn("f", explode(extract(col("doc_id"))))
+          .select(col("source"), col("f._1").as("frame_id"),
+            col("f._2").as("text"))
+          .groupBy("source", "frame_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("text"))).as("sum_len"),
+            min(col("text")).as("min_text"))
+          .orderBy("source", "frame_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source FROM documents
+          WHERE doc_id % 7 = 3 AND doc_id % 13 != 0),
+        fr AS (
+          SELECT doc_id, source, 'TIT2' AS frame_id,
+            'title ' || doc_id::VARCHAR AS text FROM d
+          UNION ALL
+          SELECT doc_id, source, 'TPE1',
+            'artist ' || (doc_id % 50)::VARCHAR FROM d
+          UNION ALL
+          SELECT doc_id, source, 'TALB',
+            'album ' || (doc_id % 10)::VARCHAR FROM d
+          WHERE doc_id % 3 = 0)
+        SELECT source, frame_id, count(*)::BIGINT AS n_frames,
+          sum(length(text))::BIGINT AS sum_len,
+          min(text) AS min_text
+        FROM fr GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "ID3v2 text frames extracted from MP3 tags (v2.3 plain and " +
+        "v2.4 syncsafe sizes) into text rows — the oracle rebuilds " +
+        "the expected strings from the id arithmetic, pinning the " +
+        "frame walk, size decoding, and charset handling; corrupted " +
+        "tag magic yields no frames."),
+
+    GraftQuery(
+      "q_multimodal_oggmd", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // Ogg container metadata (RFC 3533 page walk + Opus/Vorbis id
+        // headers, per-page CRC verified): per doc a real Ogg stream
+        // — Opus for even docs (pre-skip-adjusted 48 kHz duration),
+        // Vorbis for odd (rate-based duration) — with id-derived page
+        // counts and granules; every 13th doc truncated mid-page (the
+        // CRC/bounds gate -> parse None, counted as undecoded). The
+        // oracle replays the granule arithmetic and both duration
+        // formulas relationally. Stateless per-row walk; one
+        // (source, codec) rollup shuffle.
+        import graft.operators.OggHeader
+        val kernel = udf((docId: Long) => {
+          val nAud = (3 + docId % 4).toInt
+          val ogg =
+            if (docId % 2 == 0)
+              OggHeader.synthesizeOggOpus(
+                1 + (docId % 2).toInt, (docId % 5).toInt * 100, 48000,
+                (1 to nAud).map(_ * 960L))
+            else {
+              val rate = 8000 + (docId % 4).toInt * 1000
+              OggHeader.synthesizeOggVorbis(
+                1 + (docId % 3).toInt, rate,
+                (1 to nAud).map(_ * (rate / 10).toLong))
+            }
+          val blob = if (docId % 13 == 0) ogg.take(40) else ogg
+          OggHeader.parse(blob) match {
+            case Some(i) => (i.codec, i.channels, i.sampleRate,
+              i.durationMs, i.lastGranule, i.nPages)
+            case None => ("none", 0, 0, 0L, 0L, 0)
+          }
+        })
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 5)
+          .select(col("doc_id"), col("source"))
+          .withColumn("st", kernel(col("doc_id")))
+          .groupBy(col("source"), col("st._1").as("codec"))
+          .agg(count(lit(1)).as("n_clips"),
+            sum(col("st._2")).as("ch_sum"),
+            sum(col("st._4")).as("dur_sum"),
+            sum(col("st._5") % 1000000007L).as("granule_fp"),
+            sum(col("st._6")).as("pages_sum"))
+          .orderBy("source", "codec")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (3 + doc_id % 4)::BIGINT AS naud,
+            (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 7 = 5),
+        st AS (SELECT doc_id, source,
+            CASE WHEN corrupt THEN 'none'
+                 WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+            CASE WHEN corrupt THEN 0
+                 WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2
+                 ELSE 1 + doc_id % 3 END AS ch,
+            CASE WHEN corrupt THEN 0
+                 WHEN doc_id % 2 = 0 THEN greatest(
+                   naud * 960 - (doc_id % 5) * 100, 0) * 1000 // 48000
+                 ELSE naud * 100 END AS dur,
+            CASE WHEN corrupt THEN 0
+                 WHEN doc_id % 2 = 0 THEN naud * 960
+                 ELSE naud * ((8000 + (doc_id % 4) * 1000) // 10)
+                 END AS granule,
+            CASE WHEN corrupt THEN 0
+                 WHEN doc_id % 2 = 0 THEN naud + 2
+                 ELSE naud + 1 END AS pages
+          FROM d)
+        SELECT source, codec, count(*)::BIGINT AS n_clips,
+          sum(ch)::BIGINT AS ch_sum, sum(dur)::BIGINT AS dur_sum,
+          sum(granule % 1000000007)::BIGINT AS granule_fp,
+          sum(pages)::BIGINT AS pages_sum
+        FROM st GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "Ogg Opus/Vorbis container metadata through the CRC-verified " +
+        "page walk — terminal granules, pre-skip/rate duration " +
+        "formulas, and page counts replayed relationally; truncated " +
+        "streams fail the parse and roll up as undecoded."),
+
+    GraftQuery(
       "q_multimodal_audiomd", Seq("S8", "P6", "A8"),
       (s, dir) => {
         // Compressed-audio CONTAINER metadata — the audio twin of the

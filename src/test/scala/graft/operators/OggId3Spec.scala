@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OggHeader (RFC 3533 page walk + Opus/Vorbis id headers, CRC
+  * verified) and AudioHeader.id3TextFrames (the MP3 -> text bridge).
+  */
+class OggId3Spec extends AnyFunSuite {
+
+  test("Ogg Opus roundtrip: codec fields, terminal granule, pre-skip " +
+    "duration, page count; multi-segment lacing") {
+    val ogg = OggHeader.synthesizeOggOpus(2, 312, 48000,
+      Seq(960L, 1920L, 2880L))
+    val i = OggHeader.parse(ogg).get
+    assert(i.codec === "opus")
+    assert(i.channels === 2)
+    assert(i.sampleRate === 48000)
+    assert(i.preSkip === 312)
+    assert(i.lastGranule === 2880L)
+    assert(i.durationMs === (2880L - 312) * 1000 / 48000)
+    assert(i.nPages === 5) // OpusHead + OpusTags + 3 audio pages
+    // payload > 255 bytes exercises the 255+tail lacing, and an
+    // exact multiple of 255 requires the trailing 0 segment
+    for (len <- Seq(300, 510)) {
+      val big = OggHeader.synthesizeOggOpus(1, 0, 48000,
+        Seq(960L), payloadLen = len)
+      assert(OggHeader.parse(big).get.lastGranule === 960L, s"len $len")
+    }
+  }
+
+  test("Ogg Vorbis roundtrip: rate-based duration") {
+    val ogg = OggHeader.synthesizeOggVorbis(1, 44100,
+      Seq(4410L, 22050L))
+    val i = OggHeader.parse(ogg).get
+    assert(i.codec === "vorbis")
+    assert(i.channels === 1)
+    assert(i.sampleRate === 44100)
+    assert(i.lastGranule === 22050L)
+    assert(i.durationMs === 500L)
+    assert(i.nPages === 3)
+  }
+
+  test("Ogg hostility: CRC damage, truncation, unknown codec, " +
+    "missing EOS -> None; fuzz never throws") {
+    val ogg = OggHeader.synthesizeOggOpus(1, 0, 48000, Seq(960L, 1920L))
+    // flip one payload byte: the page CRC must catch it
+    val dmg = ogg.clone()
+    dmg(dmg.length - 3) = (dmg(dmg.length - 3) ^ 0x20).toByte
+    assert(OggHeader.parse(dmg) === None)
+    (0 until ogg.length by 7).foreach { n =>
+      assert(OggHeader.parse(ogg.take(n)) === None, s"prefix $n")
+    }
+    // a stream that never flags end-of-stream is incomplete
+    val noEos = OggHeader.synthesizeOggOpus(1, 0, 48000, Seq(960L, 1920L))
+    val cut = noEos.take(noEos.length -
+      (27 + 1 + 120)) // drop the final (EOS) page entirely
+    assert(OggHeader.parse(cut) === None)
+    val rnd = new scala.util.Random(29)
+    (1 to 300).foreach { _ =>
+      val m = ogg.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      OggHeader.parse(m) // must not throw
+    }
+    assert(OggHeader.parse("OggS but not really".getBytes) === None)
+    assert(OggHeader.parse(Array.empty[Byte]) === None)
+  }
+
+  test("id3TextFrames: v2.3 and v2.4 roundtrips, padding, non-text " +
+    "and UTF-16 frames skipped, hostile tags empty") {
+    import AudioHeader._
+    val frames = Seq("TIT2" -> "A Title", "TPE1" -> "Some Artist",
+      "TALB" -> "ål bûm") // UTF-8 beyond latin1
+    for (major <- Seq(3, 4); pad <- Seq(0, 37)) {
+      val tag = synthesizeId3v2(frames, major, pad)
+      assert(id3TextFrames(tag) === frames, s"v2.$major pad $pad")
+      // prepended to a real MP3 body: the frame walk still skips the
+      // tag by its syncsafe size and the text bridge still reads it
+      val mp3 = tag ++ synthesizeMp3(mpeg1 = true, brIdx = 9,
+        srIdx = 0, mono = true, nFrames = 3)
+      assert(id3TextFrames(mp3) === frames)
+      assert(parseMp3(mp3).get.nFrames === 3)
+    }
+    // a UTF-16 text frame (encoding 1) is skipped, not mangled:
+    // hand-build one v2.3 frame with encoding byte 1
+    val utf16Payload = Array[Byte](1, 0xff.toByte, 0xfe.toByte, 65, 0)
+    val one = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, utf16Payload.length.toByte, 0, 0) ++
+      utf16Payload
+    val tag16 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 0, one.length.toByte) ++ one
+    assert(AudioHeader.id3TextFrames(tag16) === Seq.empty)
+    // hostility: truncation and garbage
+    val t = synthesizeId3v2(frames)
+    (0 until t.length by 3).foreach { n =>
+      AudioHeader.id3TextFrames(t.take(n)) // never throws
+    }
+    assert(AudioHeader.id3TextFrames("no tag here".getBytes) === Seq.empty)
+    assert(AudioHeader.id3TextFrames(Array.empty[Byte]) === Seq.empty)
+  }
+}
