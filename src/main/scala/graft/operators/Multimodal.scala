@@ -604,6 +604,22 @@ object Multimodal {
         col("__vs.fk").as("fk"), col("__vs.sid").as("sid")): _*)
   }
 
+  /** The animated-PNG twin of [[gifShingleRows]]: APNG frames
+    * ([[PixelDecode.apngFrames]] — acTL/fcTL/fdAT with dispose
+    * compositing) into the SAME base-M shingle space as MP4s and
+    * GIFs. Non-APNG or malformed bytes emit nothing.
+    */
+  def apngShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
+    require(k >= 1 && k <= 3, s"k must be in [1, 3]: $k")
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    val fks = PixelDecode.apngFrames(b).getOrElse(Seq.empty)
+      .zipWithIndex.map { case (px, i) =>
+        val g = PixelDecode.grayLuma(px)
+        (i, frameKey(PixelDecode.dHash(g, px.width, px.height)))
+      }
+    shingleFoldKeys(fks, k)
+  }
+
   /** Temporal video fingerprint as a DataFrame transform: one row per
     * k-frame shingle of the first video track (columns `t`, `fk`,
     * `sid` appended; the media column is dropped after the kernel so

@@ -599,6 +599,192 @@ object PixelDecode {
     None // ran out of bytes before the trailer
   }
 
+  /** Animated-PNG decode (the APNG spec's acTL/fcTL/fdAT chunks over
+    * RFC 2083 PNG): every fcTL frame's data re-assembles as a
+    * standalone PNG at the FRAME's dims (APNG's own rule: frame data
+    * is an independent zlib stream with the image's depth/color
+    * type) and decodes through [[decodePngPure]], then composites
+    * onto the logical canvas at (x_offset, y_offset) with dispose
+    * 0 none / 1 background / 2 previous. Alpha-less color types only
+    * (0/2/3 — there blend "over" equals "source" by spec, so the
+    * opaque-canvas model is exact); alpha color types, sequence-number
+    * disorder, frame-count mismatches, rects outside the canvas, and
+    * truncation return None honestly. A PNG without acTL is not an
+    * animation (None — [[decodePngPure]] owns stills). Never throws.
+    */
+  def apngFrames(
+      bytes: Array[Byte], maxFrames: Int = 1024): Option[Seq[Pixels]] =
+    try apngFramesImpl(bytes, maxFrames)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private final case class Fctl(
+      seq: Long, w: Int, h: Int, x: Int, y: Int,
+      dispose: Int, blend: Int)
+
+  private def apngFramesImpl(
+      b: Array[Byte], maxFrames: Int): Option[Seq[Pixels]] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b == null || b.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    def be32(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xff) << 16) |
+        ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    var pos = 8
+    var w = 0; var h = 0
+    var ihdrTail: Array[Byte] = null // depth..interlace (5 bytes)
+    var plte: Array[Byte] = null
+    var numFrames = -1L
+    val frames = new scala.collection.mutable.ArrayBuffer[
+      (Fctl, java.io.ByteArrayOutputStream)]()
+    var lastSeq = -1L
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = be32(pos)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      val l = len.toInt
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      val at = pos + 8
+      ctype match {
+        case "IHDR" =>
+          if (l < 13) return None
+          w = be32(at).toInt; h = be32(at + 4).toInt
+          ihdrTail = java.util.Arrays.copyOfRange(b, at + 8, at + 13)
+          val colorType = b(at + 9) & 0xff
+          if ((b(at + 8) & 0xff) != 8 || (b(at + 12) & 0xff) != 0)
+            return None
+          if (colorType != 0 && colorType != 2 && colorType != 3)
+            return None // alpha types: the opaque model would lie
+        case "acTL" =>
+          if (l < 8) return None
+          numFrames = be32(at)
+        case "PLTE" =>
+          plte = java.util.Arrays.copyOfRange(b, at, at + l)
+        case "fcTL" =>
+          if (l < 26 || numFrames < 0) return None
+          val seq = be32(at)
+          if (seq != lastSeq + 1) return None
+          lastSeq = seq
+          if (frames.length >= maxFrames) return None
+          frames += Fctl(seq, be32(at + 4).toInt, be32(at + 8).toInt,
+            be32(at + 12).toInt, be32(at + 16).toInt,
+            b(at + 24) & 0xff, b(at + 25) & 0xff) ->
+            new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          // default-image data: frame 1 iff its fcTL came first
+          if (frames.length == 1) frames.head._2.write(b, at, l)
+          else if (frames.length > 1) return None
+        case "fdAT" =>
+          if (l < 4 || frames.isEmpty) return None
+          val seq = be32(at)
+          if (seq != lastSeq + 1) return None
+          lastSeq = seq
+          frames.last._2.write(b, at + 4, l - 4)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      pos = at + l + 4
+    }
+    if (!done || numFrames < 1 || frames.length != numFrames ||
+        w < 1 || h < 1 || w.toLong * h > (1L << 26)) return None
+    val canvas = new Array[Int](w * h) // APNG background: black
+    val out = new scala.collection.mutable.ArrayBuffer[Pixels]()
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    frames.foreach { case (f, buf) =>
+      if (f.w < 1 || f.h < 1 || f.x < 0 || f.y < 0 ||
+          f.x + f.w > w || f.y + f.h > h) return None
+      if (f.blend > 1 || f.dispose > 2) return None
+      // re-assemble the frame as a standalone PNG at the frame dims
+      val mini = new java.io.ByteArrayOutputStream()
+      mini.write(pngSig)
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = (f.w >>> 24).toByte; ihdr(1) = (f.w >>> 16).toByte
+      ihdr(2) = (f.w >>> 8).toByte; ihdr(3) = f.w.toByte
+      ihdr(4) = (f.h >>> 24).toByte; ihdr(5) = (f.h >>> 16).toByte
+      ihdr(6) = (f.h >>> 8).toByte; ihdr(7) = f.h.toByte
+      System.arraycopy(ihdrTail, 0, ihdr, 8, 5)
+      chunk(mini, "IHDR", ihdr)
+      if (plte != null) chunk(mini, "PLTE", plte)
+      chunk(mini, "IDAT", buf.toByteArray)
+      chunk(mini, "IEND", Array.empty[Byte])
+      val px = decodePngPure(mini.toByteArray).getOrElse(return None)
+      val before = if (f.dispose == 2) canvas.clone() else null
+      var r = 0
+      while (r < f.h) {
+        System.arraycopy(px.rgb, r * f.w, canvas,
+          (f.y + r) * w + f.x, f.w)
+        r += 1
+      }
+      out += Pixels(w, h, canvas.clone())
+      f.dispose match {
+        case 1 =>
+          var rr = 0
+          while (rr < f.h) {
+            java.util.Arrays.fill(canvas, (f.y + rr) * w + f.x,
+              (f.y + rr) * w + f.x + f.w, 0)
+            rr += 1
+          }
+        case 2 => System.arraycopy(before, 0, canvas, 0, before.length)
+        case _ => ()
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Encode an animated PNG (APNG) from full-canvas GRAY frames —
+    * acTL + per-frame fcTL, frame 1 in IDAT, later frames in fdAT
+    * (each an independent zlib stream), shared sequence numbering.
+    * [[apngFrames]] -> identical pixels is the roundtrip spec.
+    */
+  def encodeApngGray(
+      w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"dims $w x $h")
+    require(frames.nonEmpty, "at least one frame")
+    frames.foreach(f => require(f.length == w * h &&
+      f.forall(v => v >= 0 && v <= 255), "frame shape/range"))
+    def deflated(gray: Array[Int]): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + w))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raw(y * (1 + w) + 1 + x) = gray(y * w + x).toByte; x += 1
+        }
+        y += 1
+      }
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      comp.toByteArray
+    }
+    def be32a(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = be32a(w) ++ be32a(h) ++ Array[Byte](8, 0, 0, 0, 0)
+    chunk(out, "IHDR", ihdr)
+    chunk(out, "acTL", be32a(frames.length) ++ be32a(0))
+    var seq = 0L
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val fctl = be32a(seq) ++ be32a(w) ++ be32a(h) ++ be32a(0) ++
+        be32a(0) ++ Array[Byte](0, 1, 0, 10, 0, 0) // delay 1/10, 0, 0
+      chunk(out, "fcTL", fctl)
+      seq += 1
+      if (i == 0) chunk(out, "IDAT", deflated(f))
+      else {
+        chunk(out, "fdAT", be32a(seq) ++ deflated(f))
+        seq += 1
+      }
+    }
+    chunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** Encode an animated GIF89a from full-canvas GRAY frames (values
     * 0..255; palette j -> (j, j, j), so [[grayLuma]] is the identity
     * back): one graphic-control block (disposal 1, no transparency)

@@ -2442,6 +2442,8 @@ object StreamingOps {
     graft.operators.Multimodal.videoShingleRows(_, 3)
   val GifShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
     graft.operators.Multimodal.gifShingleRows(_, 3)
+  val ApngShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+    graft.operators.Multimodal.apngShingleRows(_, 3)
 
   def videoFpStaticSide(
       catalog: DataFrame, // idCol, mediaCol (MP4 or GIF bytes)
