@@ -175,30 +175,89 @@ object AudioCodecs {
     None
   }
 
-  /** The one WAV sample entry point: decoded PCM16 for audioFormat 1
-    * (16-bit PCM), 6 (A-law), 7 (µ-law), and 17 (mono IMA ADPCM);
-    * None for anything else — a proprietary payload never gets
-    * approximate samples. Mirrors [[AudioHeader.pcm16Samples]]'s
+  /** The one WAV sample entry point, normalized to PCM16: audioFormat
+    * 1 at 16 bits (verbatim), 8 bits (unsigned, re-centered and
+    * scaled: (v - 128) << 8 — the exact inverse of the standard 8-bit
+    * store), and 24 bits (high 16 bits — the standard down-conversion,
+    * documented precision loss); audioFormat 3 at 32 bits (IEEE float,
+    * clamped x32767); audioFormat 6 (A-law), 7 (µ-law), and 17 (mono
+    * IMA ADPCM). None for anything else — a proprietary payload never
+    * gets approximate samples. Mirrors [[AudioHeader.pcm16Samples]]'s
     * hostile-input contract: malformed containers return None, never
     * throw.
     */
   def samples(bytes: Array[Byte]): Option[Array[Short]] =
     AudioHeader.parse(bytes).flatMap { info =>
-      info.audioFormat match {
-        case 1 if info.bitsPerSample == 16 =>
-          AudioHeader.pcm16Samples(bytes)
-        case 6 if info.bitsPerSample == 8 =>
+      (info.audioFormat, info.bitsPerSample) match {
+        case (1, 16) => AudioHeader.pcm16Samples(bytes)
+        case (1, 8) =>
+          AudioHeader.dataChunk(bytes).map { case (off, len) =>
+            Array.tabulate(len.toInt)(i =>
+              ((u8(bytes, off + i) - 128) << 8).toShort)
+          }
+        case (1, 24) =>
+          AudioHeader.dataChunk(bytes).map { case (off, len) =>
+            val n = (len / 3).toInt
+            Array.tabulate(n) { i =>
+              // LE 24-bit: the top two bytes are the PCM16 value
+              ((u8(bytes, off + 3 * i + 2) << 8) |
+                u8(bytes, off + 3 * i + 1)).toShort
+            }
+          }
+        case (3, 32) =>
+          AudioHeader.dataChunk(bytes).map { case (off, len) =>
+            val n = (len / 4).toInt
+            Array.tabulate(n) { i =>
+              val bits = (u8(bytes, off + 4 * i + 3) << 24) |
+                (u8(bytes, off + 4 * i + 2) << 16) |
+                (u8(bytes, off + 4 * i + 1) << 8) |
+                u8(bytes, off + 4 * i)
+              val f = java.lang.Float.intBitsToFloat(bits)
+              val v =
+                if (f.isNaN) 0
+                else math.max(-32768, math.min(32767,
+                  math.round(f * 32767f)))
+              v.toShort
+            }
+          }
+        case (6, 8) =>
           AudioHeader.dataChunk(bytes).map { case (off, len) =>
             Array.tabulate(len.toInt)(i => aLawDecode(u8(bytes, off + i)))
           }
-        case 7 if info.bitsPerSample == 8 =>
+        case (7, 8) =>
           AudioHeader.dataChunk(bytes).map { case (off, len) =>
             Array.tabulate(len.toInt)(i => muLawDecode(u8(bytes, off + i)))
           }
-        case 17 if info.bitsPerSample == 4 && info.channels == 1 =>
-          imaAdpcmSamples(bytes)
+        case (17, 4) if info.channels == 1 => imaAdpcmSamples(bytes)
         case _ => None
       }
+    }
+
+  /** Encode a PCM16 signal as an 8-bit, 24-bit, or float-32 WAV —
+    * fixtures for [[samples]]' width-conversion legs. 8-bit stores
+    * (v >> 8) + 128 (so decode recovers v & 0xff00); 24-bit stores
+    * v << 8 (decode is exact); float stores v / 32767f (decode is
+    * exact after rounding).
+    */
+  def synthesizeWavWidth(
+      sampleRate: Int, samples: Array[Short], width: String): Array[Byte] =
+    width match {
+      case "pcm8" =>
+        wavHeader(1, 1, sampleRate, 8, 1, samples.length) ++
+          samples.map(v => (((v >> 8) + 128) & 0xff).toByte)
+      case "pcm24" =>
+        wavHeader(1, 1, sampleRate, 24, 3, samples.length * 3) ++
+          samples.flatMap(v => Array(0.toByte, (v & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte))
+      case "float32" =>
+        wavHeader(3, 1, sampleRate, 32, 4, samples.length * 4) ++
+          samples.flatMap { v =>
+            val bits = java.lang.Float.floatToIntBits(v / 32767f)
+            Array((bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+              ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+          }
+      case other => throw new IllegalArgumentException(
+        s"width: $other (pcm8 | pcm24 | float32)")
     }
 
   /** Decode a mono IMA-ADPCM WAV data chunk: per `blockAlign` block,

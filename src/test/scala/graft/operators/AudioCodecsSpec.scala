@@ -74,6 +74,30 @@ class AudioCodecsSpec extends AnyFunSuite {
     assert(samples(Array.empty[Byte]) === None)
   }
 
+  test("PCM width conversions through samples(): 24-bit and float-32 " +
+    "roundtrip exactly, 8-bit recovers the stored high byte") {
+    import AudioCodecs._
+    val tone = Array.tabulate(400)(i =>
+      (math.sin(i * 0.11) * 21000).toShort)
+    // 24-bit: stored v << 8, decoded back to v exactly
+    assert(samples(synthesizeWavWidth(8000, tone, "pcm24")).get.toSeq
+      === tone.toSeq)
+    // float-32: v/32767 stored, round(f*32767) recovers v exactly
+    assert(samples(synthesizeWavWidth(8000, tone, "float32")).get.toSeq
+      === tone.toSeq)
+    // 8-bit: (v>>8)+128 stored; decode = (stored-128)<<8 = v & 0xff00
+    val got8 = samples(synthesizeWavWidth(8000, tone, "pcm8")).get
+    assert(got8.toSeq === tone.map(v => ((v >> 8) << 8).toShort).toSeq)
+    // float NaN clamps to 0, overscale clamps to full scale
+    val weird = synthesizeWavWidth(8000, Array[Short](0, 0), "float32")
+    val nanBits = java.lang.Float.floatToIntBits(Float.NaN)
+    val bigBits = java.lang.Float.floatToIntBits(7.5f)
+    def put(at: Int, bits: Int): Unit = (0 until 4).foreach(j =>
+      weird(at + j) = ((bits >> (8 * j)) & 0xff).toByte)
+    put(44, nanBits); put(48, bigBits)
+    assert(samples(weird).get.toSeq === Seq[Short](0, 32767))
+  }
+
   test("IMA ADPCM: published table entries, a hand-stepped block, " +
     "exact block-seed samples, and the closed-loop error bound") {
     import AudioCodecs._
