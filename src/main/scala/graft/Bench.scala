@@ -310,7 +310,11 @@ object Bench {
     // per-query start loadavg, 2 decimals (evidence, not measurement)
     val qLoadJson = queryLoad.sortBy(_._1)
       .map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "null" else f"$v%.2f") }
+        // Locale.ROOT: the default locale's decimal comma (e.g.
+        // de_DE) would make the whole JSON line invalid
+        "\"" + k + "\":" + (if (v < 0) "null"
+        else String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(v))) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"healed":$healedJson,"unhealed":$unhealedJson,"loadavg_start":$startLoad,"loadavg_pregate":$pregateLoad,"load_gate_waited_sec":$gateWaited,"query_loadavg":$qLoadJson,"loadavg_quiet":$quietLoad,"sf":"$sfDir"}"""
     println(line)

@@ -293,6 +293,11 @@ object AudioHeader {
       return Seq.empty
     val major = u8(bytes, 3)
     if (major != 3 && major != 4) return Seq.empty
+    // header flags: unsynchronisation (0x80) re-stuffs frame bytes and
+    // an extended header (0x40) shifts every frame offset — walking
+    // either as if flat would desync sizes and mangle text, violating
+    // the never-mangle contract. Skip such tags wholesale.
+    if ((u8(bytes, 5) & 0xc0) != 0) return Seq.empty
     val tagSize = (u8(bytes, 6) & 0x7f) << 21 | (u8(bytes, 7) & 0x7f) << 14 |
       (u8(bytes, 8) & 0x7f) << 7 | (u8(bytes, 9) & 0x7f)
     val end = math.min(10L + tagSize, bytes.length.toLong).toInt

@@ -1,20 +1,24 @@
 package graft.operators
 
-/** Pure-JVM FLAC audio-frame decode — the one tractable slice of the
-  * compressed-codec gap (round-15 VERDICT #4): the CONSTANT, VERBATIM,
-  * and FIXED-predictor subframe subset of RFC 9639, with Rice-coded
-  * residuals, decoded bit-exactly. LPC subframes and stereo
-  * decorrelation (left/side, right/side, mid/side) return None
-  * honestly — no approximation is ever emitted.
+/** Pure-JVM FLAC audio-frame decode per RFC 9639: ALL four subframe
+  * types — CONSTANT, VERBATIM, FIXED-predictor order 0-4, and LPC
+  * order 1-32 (quantized coefficients + shift, §9.2.6) — with
+  * Rice-coded residuals, plus all four channel assignments
+  * (independent, left/side, right/side, mid/side with the side
+  * channel's extra sample bit, §9.1.4/§4.2), decoded bit-exactly.
+  * Real-world FLAC is almost exclusively LPC-coded and
+  * stereo-decorrelated, so this is the production decode path, not a
+  * fixture subset. Only reserved codes return None.
   *
   * Layout per RFC 9639: §9.1 frame headers (15-bit sync + blocking
   * strategy, coded block-size/rate/channel/sample-size fields, the
   * UTF-8-style coded number, CRC-8), §9.2 subframe headers
-  * (CONSTANT 0b000000, VERBATIM 0b000001, FIXED 0b001xxx order 0-4),
-  * §9.2.7 residual coding (4/5-bit Rice parameters, 2^order
-  * partitions, escape-to-verbatim partitions), and the frame-closing
-  * CRC-16. Both CRCs are VERIFIED, not skipped — a corrupt frame
-  * fails the decode rather than shipping wrong samples.
+  * (CONSTANT 0b000000, VERBATIM 0b000001, FIXED 0b001xxx order 0-4,
+  * LPC 0b1xxxxx order 1-32), §9.2.7 residual coding (4/5-bit Rice
+  * parameters, 2^order partitions, escape-to-verbatim partitions),
+  * and the frame-closing CRC-16. Both CRCs are VERIFIED, not
+  * skipped — a corrupt frame fails the decode rather than shipping
+  * wrong samples.
   *
   * [[synthesizeFlacPcm16]] writes real decodable FLAC bytes with the
   * same machinery (the encoder side of constant/verbatim/fixed +
@@ -138,10 +142,24 @@ object FlacDecode {
   final case class DecodedFlac(
       info: AudioHeader.FlacInfo, samples: Array[Int])
 
+  /** Hard cap on total decoded samples (interleaved ints) — the
+    * decode-bomb guard mirroring PixelDecode's 2^26-pixel cap: a
+    * small hostile stream (constant subframes at blockSize 65536 x 8
+    * channels) would otherwise amplify ~25 input bytes into 2 MB of
+    * output per frame, unbounded, and STREAMINFO's totalSamples is
+    * attacker-controlled so the post-hoc cross-check can't bound the
+    * accumulation. 2^26 ints = 256 MB peak — far beyond any fixture
+    * and a sane per-row ceiling for a corpus pipeline.
+    */
+  val MaxDecodedSamples: Long = 1L << 26
+
   /** Decode a whole FLAC stream (header + audio frames). None when
     * the header fails [[AudioHeader.parseFlac]], any frame uses an
-    * unsupported shape (LPC subframe, stereo decorrelation), any
-    * field is malformed/truncated, or a CRC mismatches. Never throws.
+    * unsupported shape (reserved channel assignment / subframe type),
+    * any field is malformed/truncated, a CRC mismatches, or the
+    * decoded output would exceed [[MaxDecodedSamples]] (or the
+    * STREAMINFO-declared stream length, checked per frame). Never
+    * throws.
     */
   def decode(bytes: Array[Byte]): Option[DecodedFlac] =
     try Some(decodeOrBail(bytes))
@@ -158,6 +176,14 @@ object FlacDecode {
 
   private def decodeOrBail(bytes: Array[Byte]): DecodedFlac = {
     val info = AudioHeader.parseFlac(bytes).getOrElse(bail())
+    // decode-bomb guard: bound accumulation BEFORE decoding each
+    // frame — by the declared stream length when STREAMINFO carries
+    // one (a lying declaration fails at its first excess frame, not
+    // after unbounded buffering) and by the hard cap either way
+    val cap =
+      if (info.totalSamples > 0)
+        math.min(info.totalSamples * info.channels, MaxDecodedSamples)
+      else MaxDecodedSamples
     // re-walk the metadata blocks to find the first frame offset
     var off = 4
     var last = false
@@ -212,8 +238,10 @@ object FlacDecode {
         case 15 => bail()
         case _ => ()
       }
-      if (chCode > 7) bail() // stereo decorrelation / reserved: honest None
-      val nCh = chCode + 1
+      // 0-7: independent channels; 8 left/side, 9 right/side,
+      // 10 mid/side (stereo decorrelation, §9.1.4); 11+ reserved
+      if (chCode > 10) bail()
+      val nCh = if (chCode <= 7) chCode + 1 else 2
       if (nCh != info.channels) bail()
       val bps = ssCode match {
         case 0 => info.bitsPerSample
@@ -231,14 +259,24 @@ object FlacDecode {
       if ((r.pos & 7) != 0) bail() // header is byte-aligned here
       val crc8Got = r.readBits(8).toInt
       if (crc8(bytes, frameStart, headerEnd) != crc8Got) bail()
-      // ---- subframes (§9.2), one per channel
+      // per-frame output bound (the decode-bomb guard): checked
+      // BEFORE the frame's subframes decode into the buffer
+      if (out.length.toLong + blockSize.toLong * nCh > cap) bail()
+      // ---- subframes (§9.2), one per channel. In a decorrelated
+      // stereo frame the SIDE subframe carries one extra bit (§9.2.2):
+      // channel 1 for left/side and mid/side, channel 0 for right/side.
       val ch = Array.ofDim[Long](nCh, blockSize)
       var c = 0
       while (c < nCh) {
+        val sideExtra = chCode match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        }
         if (r.readBit() != 0) bail() // subframe padding bit
         val tp = r.readBits(6).toInt
         val wasted = if (r.readBit() == 1) r.readUnary() + 1 else 0
-        val eb = bps - wasted
+        val eb = bps + sideExtra - wasted
         if (eb <= 0) bail()
         val s = ch(c)
         if (tp == 0) { // CONSTANT
@@ -262,12 +300,57 @@ object FlacDecode {
             s(i) += p
             i += 1
           }
-        } else bail() // LPC (0b100000+) / reserved: honest None
+        } else if ((tp & 0x20) != 0) { // LPC, order 1..32 (§9.2.6)
+          val order = (tp & 0x1f) + 1
+          if (order > blockSize) bail()
+          var i = 0
+          while (i < order) { s(i) = r.readSigned(eb); i += 1 }
+          val precM1 = r.readBits(4).toInt
+          if (precM1 == 15) bail() // 0b1111 is invalid per spec
+          val precision = precM1 + 1
+          // the 5-bit shift is signed on the wire but a negative
+          // value is forbidden (§9.2.6) — reject, don't guess
+          val shift = r.readSigned(5).toInt
+          if (shift < 0) bail()
+          val coef = new Array[Long](order)
+          i = 0
+          while (i < order) { coef(i) = r.readSigned(precision); i += 1 }
+          readResidual(r, s, blockSize, order)
+          i = order
+          while (i < blockSize) {
+            var p = 0L
+            var j = 0
+            while (j < order) { p += coef(j) * s(i - 1 - j); j += 1 }
+            s(i) += (p >> shift)
+            i += 1
+          }
+        } else bail() // reserved subframe types: honest None
         if (wasted > 0) {
           var i = 0
           while (i < blockSize) { s(i) <<= wasted; i += 1 }
         }
         c += 1
+      }
+      // ---- stereo reconstruction (§4.2: side = left - right;
+      // mid = (left + right) >> 1, its dropped low bit recoverable
+      // from side's parity)
+      chCode match {
+        case 8 => // left/side: ch0 = left, ch1 = side -> right
+          var i = 0
+          while (i < blockSize) { ch(1)(i) = ch(0)(i) - ch(1)(i); i += 1 }
+        case 9 => // right/side: ch0 = side, ch1 = right -> left
+          var i = 0
+          while (i < blockSize) { ch(0)(i) = ch(0)(i) + ch(1)(i); i += 1 }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blockSize) {
+            val side = ch(1)(i)
+            val m = (ch(0)(i) << 1) | (side & 1L)
+            ch(0)(i) = (m + side) >> 1
+            ch(1)(i) = (m - side) >> 1
+            i += 1
+          }
+        case _ => ()
       }
       r.alignByte()
       val bodyEnd = r.bytePos
@@ -331,17 +414,36 @@ object FlacDecode {
   // encoder (fixture + executable spec of the decoder)
   // ------------------------------------------------------------------
 
+  /** The deterministic LPC coefficient set the fixture encoder uses
+    * for order-K subframes: coef(0) = 2^shift (predict the previous
+    * sample) plus small index-derived taps — ANY (coef, shift) pair
+    * round-trips exactly (the decoder inverts the integer prediction
+    * bit-for-bit), so the fixtures exercise real multi-tap
+    * coefficient reads without needing a Levinson-Durbin fit.
+    */
+  private[operators] val LpcShift = 5
+  private[operators] def lpcCoef(order: Int): Array[Long] =
+    Array.tabulate(order)(j =>
+      if (j == 0) (1L << LpcShift) else ((j * 97 + 13) % 9) - 4L)
+
   /** Encode an interleaved PCM16 stream as real FLAC bytes:
     * STREAMINFO header ([[AudioHeader.synthesizeFlac]]) + one frame
     * per `blockSize` inter-channel sample frames (the last may be
-    * short), each channel coded INDEPENDENTLY with `subframe`:
-    * "constant" (falls back to verbatim when a block is not
-    * constant), "verbatim", or "fixedK" (K = 0..4, Rice residual
-    * with a per-partition parameter chosen by exhaustive search).
-    * `partitionOrder` splits the residual into 2^k Rice partitions
+    * short). `subframe` picks the coding per channel: "constant"
+    * (falls back to verbatim when a block is not constant),
+    * "verbatim", "fixedK" (K = 0..4), or "lpcK" (K = 1..32,
+    * quantized coefficients from [[lpcCoef]], precision 7, shift
+    * [[LpcShift]]); fixed/LPC residuals are Rice-coded with a
+    * per-partition parameter chosen by exhaustive bit-cost search
+    * (the 5-bit parameter method is emitted automatically when any
+    * partition needs a parameter past 14). `channelMode` selects the
+    * channel assignment for stereo input: "independent" (any channel
+    * count), or "leftside" / "rightside" / "midside" (channels == 2
+    * only — the side subframe carries its spec extra bit).
+    * `partitionOrder` splits residuals into 2^k Rice partitions
     * (each full block must divide evenly — the spec's own
     * constraint); `escapeZeroPartitions` emits all-zero partitions
-    * as spec escape partitions (param 0b1111 + 5-bit size 0), so the
+    * as spec escape partitions (escape param + 5-bit size 0), so the
     * decoder's escape path is an encoder-exercised shape, not dead
     * code. Frames carry correct CRC-8/CRC-16 — [[decode]] ->
     * identical samples is the roundtrip spec.
@@ -350,13 +452,16 @@ object FlacDecode {
       sampleRate: Int, samples: Array[Short],
       blockSize: Int = 256, subframe: String = "fixed2",
       channels: Int = 1, partitionOrder: Int = 0,
-      escapeZeroPartitions: Boolean = false): Array[Byte] = {
+      escapeZeroPartitions: Boolean = false,
+      channelMode: String = "independent"): Array[Byte] = {
     require(blockSize >= 16 && blockSize <= 65536, s"blockSize: $blockSize")
     require(channels >= 1 && channels <= 8, s"channels: $channels")
     require(samples.length % channels == 0,
       s"interleaved length ${samples.length} not a multiple of $channels")
     require(partitionOrder >= 0 && partitionOrder <= 6,
       s"partitionOrder: $partitionOrder")
+    require(channelMode == "independent" || channels == 2,
+      s"channelMode $channelMode needs channels == 2")
     val totalFrames = samples.length / channels
     val head = AudioHeader.synthesizeFlac(
       sampleRate, channels, 16, totalFrames.toLong)
@@ -366,7 +471,7 @@ object FlacDecode {
     while (base < totalFrames) {
       val n = math.min(blockSize, totalFrames - base)
       frames ++= encodeFrame(samples, base, n, channels, frameNo,
-        subframe, partitionOrder, escapeZeroPartitions)
+        subframe, partitionOrder, escapeZeroPartitions, channelMode)
       base += n
       frameNo += 1
     }
@@ -376,14 +481,23 @@ object FlacDecode {
   private def encodeFrame(
       samples: Array[Short], base: Int, n: Int, channels: Int,
       frameNo: Int, subframe: String, partitionOrder: Int,
-      escapeZero: Boolean): Array[Byte] = {
+      escapeZero: Boolean, channelMode: String): Array[Byte] = {
+    val chCode = channelMode match {
+      case "independent" => channels - 1
+      case "leftside" => 8
+      case "rightside" => 9
+      case "midside" => 10
+      case other => throw new IllegalArgumentException(
+        s"channelMode: $other (independent | leftside | rightside | " +
+          "midside)")
+    }
     val w = new BitWriter
     w.writeBits(0x3ffe, 14) // sync
     w.writeBit(0) // reserved
     w.writeBit(0) // fixed blocking strategy
     w.writeBits(7, 4) // block size: 16-bit-1 at end
     w.writeBits(0, 4) // sample rate: from STREAMINFO
-    w.writeBits((channels - 1).toLong, 4) // independent channels
+    w.writeBits(chCode.toLong, 4)
     w.writeBits(4, 3) // sample size: 16
     w.writeBit(0) // reserved
     // coded frame number (UTF-8-style; fixtures stay < 2^31)
@@ -393,50 +507,77 @@ object FlacDecode {
     val w2 = new BitWriter
     headBytes.foreach(b => w2.writeBits(b & 0xffL, 8))
     w2.writeBits(crc8(headBytes, 0, headBytes.length).toLong, 8)
-    // ---- one subframe per channel
-    var c = 0
-    while (c < channels) {
-      val s = Array.tabulate(n)(i =>
-        samples((base + i) * channels + c).toLong)
+    // ---- channel signals per the assignment (+1 side bit where the
+    // spec says so)
+    def raw(c: Int): Array[Long] =
+      Array.tabulate(n)(i => samples((base + i) * channels + c).toLong)
+    val signals: Seq[(Array[Long], Int)] = chCode match {
+      case 8 => // left, side = left - right
+        val l = raw(0); val r = raw(1)
+        Seq(l -> 16, Array.tabulate(n)(i => l(i) - r(i)) -> 17)
+      case 9 => // side, right
+        val l = raw(0); val r = raw(1)
+        Seq(Array.tabulate(n)(i => l(i) - r(i)) -> 17, r -> 16)
+      case 10 => // mid = (l + r) >> 1, side
+        val l = raw(0); val r = raw(1)
+        Seq(Array.tabulate(n)(i => (l(i) + r(i)) >> 1) -> 16,
+          Array.tabulate(n)(i => l(i) - r(i)) -> 17)
+      case _ => (0 until channels).map(c => raw(c) -> 16)
+    }
+    // ---- one subframe per channel signal
+    signals.foreach { case (s, eb) =>
+      def mask(v: Long): Long = v & ((1L << eb) - 1)
       val constant = s.forall(_ == s(0))
+      def predictive(order: Int, coef: Array[Long], shift: Int,
+          header: Long, lpc: Boolean): Unit = {
+        require(n > order, s"block of $n too short for order $order")
+        w2.writeBit(0)
+        w2.writeBits(header, 6)
+        w2.writeBit(0) // no wasted bits
+        var i = 0
+        while (i < order) { w2.writeBits(mask(s(i)), eb); i += 1 }
+        if (lpc) {
+          w2.writeBits(6, 4) // precision 7 (precision - 1)
+          w2.writeBits(shift.toLong & 0x1f, 5)
+          coef.foreach(cf => w2.writeBits(cf & 0x7f, 7))
+        }
+        val res = new Array[Long](n - order)
+        i = order
+        while (i < n) {
+          var p = 0L
+          var j = 0
+          while (j < order) { p += coef(j) * s(i - 1 - j); j += 1 }
+          res(i - order) = s(i) - (if (lpc) p >> shift else p)
+          i += 1
+        }
+        // partitioned coding requires even division (spec rule);
+        // fall back to one partition on the (short) last block
+        val po = if ((1 << partitionOrder) <= n &&
+          n % (1 << partitionOrder) == 0 &&
+          n / (1 << partitionOrder) > order) partitionOrder else 0
+        writeRice(w2, res, n, order, po, escapeZero)
+      }
       subframe match {
         case "constant" =>
           if (constant) {
             w2.writeBit(0); w2.writeBits(0, 6); w2.writeBit(0)
-            w2.writeBits(s(0) & 0xffff, 16)
-          } else writeVerbatim(w2, s)
-        case "verbatim" => writeVerbatim(w2, s)
+            w2.writeBits(mask(s(0)), eb)
+          } else writeVerbatim(w2, s, eb)
+        case "verbatim" => writeVerbatim(w2, s, eb)
         case f if f.startsWith("fixed") =>
           val order = f.substring(5).toInt
           require(order >= 0 && order <= 4, s"order: $order")
-          require(n > order, s"block of $n too short for order $order")
-          w2.writeBit(0)
-          w2.writeBits((0x08 | order).toLong, 6)
-          w2.writeBit(0) // no wasted bits
-          var i = 0
-          while (i < order) { w2.writeBits(s(i) & 0xffff, 16); i += 1 }
-          // residuals via the fixed predictor
-          val res = new Array[Long](n - order)
-          i = order
-          while (i < n) {
-            var p = 0L
-            var j = 0
-            while (j < order) {
-              p += FixedCoef(order)(j) * s(i - 1 - j); j += 1
-            }
-            res(i - order) = s(i) - p
-            i += 1
-          }
-          // partitioned coding requires even division (spec rule);
-          // fall back to one partition on the (short) last block
-          val po = if ((1 << partitionOrder) <= n &&
-            n % (1 << partitionOrder) == 0 &&
-            n / (1 << partitionOrder) > order) partitionOrder else 0
-          writeRice(w2, res, n, order, po, escapeZero)
+          predictive(order, FixedCoef(order), 0,
+            (0x08 | order).toLong, lpc = false)
+        case f if f.startsWith("lpc") =>
+          val order = f.substring(3).toInt
+          require(order >= 1 && order <= 32, s"order: $order")
+          predictive(order, lpcCoef(order), LpcShift,
+            (0x20 | (order - 1)).toLong, lpc = true)
         case other => throw new IllegalArgumentException(
-          s"subframe: $other (constant | verbatim | fixed0..fixed4)")
+          s"subframe: $other (constant | verbatim | fixed0..fixed4 | " +
+            "lpc1..lpc32)")
       }
-      c += 1
     }
     w2.alignByte()
     val body = w2.bytes
@@ -446,45 +587,54 @@ object FlacDecode {
     w3.bytes
   }
 
-  private def writeVerbatim(w: BitWriter, s: Array[Long]): Unit = {
+  private def writeVerbatim(w: BitWriter, s: Array[Long], eb: Int): Unit = {
     w.writeBit(0); w.writeBits(1, 6); w.writeBit(0)
-    s.foreach(v => w.writeBits(v & 0xffff, 16))
+    s.foreach(v => w.writeBits(v & ((1L << eb) - 1), eb))
   }
 
-  /** Rice residual with 2^po partitions, each parameter (0..14)
-    * minimizing the exact bit cost (unary quotient + param bits per
-    * residual); all-zero partitions optionally emit the spec escape
-    * (param 0b1111 + 5-bit size 0). PCM16 fixed-order residuals
-    * always fit a <= 14-bit parameter.
+  /** Rice residual with 2^po partitions, each parameter minimizing
+    * the exact bit cost (unary quotient + param bits per residual);
+    * the 2-bit method selects 4-bit parameters when every partition
+    * fits <= 14 and the 5-bit method otherwise (LPC residuals can
+    * exceed the 4-bit range). All-zero partitions optionally emit
+    * the spec escape (escape param + 5-bit size 0).
     */
   private def writeRice(
       w: BitWriter, res: Array[Long], blockSize: Int, order: Int,
       po: Int, escapeZero: Boolean): Unit = {
     def zig(v: Long): Long = (v << 1) ^ (v >> 63)
     val zs = res.map(zig)
-    w.writeBits(0, 2) // 4-bit params
-    w.writeBits(po.toLong, 4)
     val perPart = blockSize >> po
-    var p = 0
-    var idx = 0
-    while (p < (1 << po)) {
-      val n = if (p == 0) perPart - order else perPart
-      val part = zs.slice(idx, idx + n)
-      if (escapeZero && part.forall(_ == 0L)) {
-        w.writeBits(0xf, 4) // escape partition
+    val parts = {
+      var idx = 0
+      (0 until (1 << po)).map { p =>
+        val n = if (p == 0) perPart - order else perPart
+        val sl = zs.slice(idx, idx + n)
+        idx += n
+        sl
+      }
+    }
+    // -1 marks an escape (all-zero) partition
+    val best = parts.map { part =>
+      if (escapeZero && part.forall(_ == 0L)) -1
+      else (0 to 30).minBy(q => part.map(z => (z >>> q) + 1 + q).sum)
+    }
+    val method = if (best.exists(_ > 14)) 1 else 0
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    w.writeBits(method.toLong, 2)
+    w.writeBits(po.toLong, 4)
+    parts.zip(best).foreach { case (part, q) =>
+      if (q < 0) {
+        w.writeBits(escape.toLong, pBits) // escape partition
         w.writeBits(0, 5) // 0-bit unencoded samples: all zero
       } else {
-        val best = (0 to 14).minBy { q =>
-          part.map(z => (z >>> q) + 1 + q).sum
-        }
-        w.writeBits(best.toLong, 4)
+        w.writeBits(q.toLong, pBits)
         part.foreach { z =>
-          w.writeUnary((z >>> best).toInt)
-          if (best > 0) w.writeBits(z & ((1L << best) - 1), best)
+          w.writeUnary((z >>> q).toInt)
+          if (q > 0) w.writeBits(z & ((1L << q) - 1), q)
         }
       }
-      idx += n
-      p += 1
     }
   }
 

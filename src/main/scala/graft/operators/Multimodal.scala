@@ -165,10 +165,10 @@ object Multimodal {
     * PCM16 signal stats, the MP4 'soun'-track PCM16 path (`sowt`
     * little-endian / `twos` big-endian sample entries, reassembled in
     * sample-table order via [[VideoHeader.trackSamples]]), or a FLAC
-    * stream whose frames [[FlacDecode]] can decode bit-exactly
-    * (constant/verbatim/fixed subframes at 16 bps); "unknown" with
-    * zeroed fields otherwise. Pure JVM, no third-party codecs —
-    * payloads outside those shapes (mp4a/AAC, MP3 frames, FLAC LPC)
+    * stream at 16 bps ([[FlacDecode]] — all four subframe types
+    * including LPC, all four channel assignments, bit-exact);
+    * "unknown" with zeroed fields otherwise. Pure JVM, no third-party
+    * codecs — payloads outside those shapes (mp4a/AAC, MP3 frames)
     * report container metadata through
     * [[VideoHeader]]/[[AudioHeader.parseMp3]]/[[AudioHeader.parseFlac]],
     * never approximate samples here.
@@ -515,23 +515,6 @@ object Multimodal {
     */
   val ShingleMod = 1048573L
 
-  /** The per-blob kernel behind [[videoShingles]]: demux the first
-    * video track's sample table ([[VideoHeader.videoSamples]]),
-    * decode each frame through the ONE image kernel entry point
-    * ([[featuresOf]] — header-gated, so non-image payloads cost a
-    * signature check, not a decoder), fold each frame's 64-bit dHash
-    * into `fk = (lo32 * 31 + hi32) mod [[ShingleMod]]`, and emit one
-    * shingle per run of `k` CONSECUTIVE decoded frames with
-    * `sid = ((fk0 * M + fk1) * M + fk2)` (base-M positional combine).
-    * dHash is invariant to global brightness shifts (neighbor
-    * differences keep their sign) and `sid` is time-shift-COVARIANT
-    * (a whole-frame shift moves `t`, never `sid`), so a banded
-    * equi-join on `sid` plus an aligned-offset verify recovers
-    * shifted and re-graded duplicates — the video twin of
-    * [[AudioFingerprint]]'s landmark triples. Frames that fail to
-    * decode break shingle runs (never bridged); non-MP4 bytes emit
-    * nothing.
-    */
   /** Fold a 64-bit frame dHash into the base-M frame key. */
   private def frameKey(dhash: Long): Long = {
     val dlo = dhash & 0xffffffffL
@@ -555,6 +538,23 @@ object Multimodal {
         w.foldLeft(0L)((acc, p) => acc * ShingleMod + p._2))
     }.toSeq
 
+  /** The per-blob kernel behind [[videoShingles]]: demux the first
+    * video track's sample table ([[VideoHeader.videoSamples]]),
+    * decode each frame through the ONE image kernel entry point
+    * ([[featuresOf]] — header-gated, so non-image payloads cost a
+    * signature check, not a decoder), fold each frame's 64-bit dHash
+    * into `fk = (lo32 * 31 + hi32) mod [[ShingleMod]]`, and emit one
+    * shingle per run of `k` CONSECUTIVE decoded frames with
+    * `sid = ((fk0 * M + fk1) * M + fk2)` (base-M positional combine).
+    * dHash is invariant to global brightness shifts (neighbor
+    * differences keep their sign) and `sid` is time-shift-COVARIANT
+    * (a whole-frame shift moves `t`, never `sid`), so a banded
+    * equi-join on `sid` plus an aligned-offset verify recovers
+    * shifted and re-graded duplicates — the video twin of
+    * [[AudioFingerprint]]'s landmark triples. Frames that fail to
+    * decode break shingle runs (never bridged); non-MP4 bytes emit
+    * nothing.
+    */
   def videoShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
     require(k >= 1 && k <= 3, s"k must be in [1, 3]: $k")
     val b = if (bytes == null) Array.empty[Byte] else bytes

@@ -472,12 +472,25 @@ object PixelDecode {
     * (truncation, rect outside the screen, missing tables, bad LZW)
     * — never a partial animation. Single-frame GIFs yield one frame
     * whose pixels match [[decodeGifPure]] when the frame covers the
-    * screen. Never throws.
+    * screen. `maxFrames` is additionally bounded so frames x canvas
+    * pixels stays <= 2^26 — each frame snapshots the FULL canvas, and
+    * LZW expands tiny hostile payloads into full frames, so the
+    * per-canvas pixel cap alone would not bound total memory. Never
+    * throws.
     */
   def gifFrames(
       bytes: Array[Byte], maxFrames: Int = 1024): Option[Seq[Pixels]] =
     try gifFramesImpl(bytes, maxFrames)
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Joint frames-x-canvas memory bound for animation decodes: the
+    * largest frame count keeping total snapshot pixels <= 2^26
+    * (256 MB of ints), floored at 1 so a legal single-frame
+    * max-canvas animation still decodes.
+    */
+  private def boundedFrames(maxFrames: Int, w: Int, h: Int): Int =
+    math.max(1L, math.min(maxFrames.toLong,
+      (1L << 26) / math.max(w.toLong * h, 1L))).toInt
 
   private def gifFramesImpl(
       b: Array[Byte], maxFrames: Int): Option[Seq[Pixels]] = {
@@ -489,6 +502,7 @@ object PixelDecode {
     val sw = le16i(6)
     val sh = le16i(8)
     if (sw < 1 || sh < 1 || sw.toLong * sh > (1L << 26)) return None
+    val frameCap = boundedFrames(maxFrames, sw, sh)
     var pos = 10
     val packed = u8i(pos)
     val bgIndex = u8i(pos + 1)
@@ -524,7 +538,7 @@ object PixelDecode {
           if (pos >= b.length) return None
           pos += 1
         case 0x2c =>
-          if (frames.length >= maxFrames) return Some(frames.toSeq)
+          if (frames.length >= frameCap) return Some(frames.toSeq)
           pos += 1
           if (pos + 9 > b.length) return None
           val left = le16i(pos)
@@ -665,7 +679,11 @@ object PixelDecode {
           val seq = be32(at)
           if (seq != lastSeq + 1) return None
           lastSeq = seq
-          if (frames.length >= maxFrames) return None
+          // fcTL before IHDR is malformed (IHDR must come first), and
+          // the frame count is jointly bounded with the canvas size —
+          // every frame snapshots the full canvas (see gifFrames)
+          if (w < 1 || h < 1) return None
+          if (frames.length >= boundedFrames(maxFrames, w, h)) return None
           frames += Fctl(seq, be32(at + 4).toInt, be32(at + 8).toInt,
             be32(at + 12).toInt, be32(at + 16).toInt,
             b(at + 24) & 0xff, b(at + 25) & 0xff) ->

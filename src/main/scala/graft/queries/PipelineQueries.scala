@@ -2190,8 +2190,18 @@ object PipelineQueries extends QueryPack {
         val kernel = udf((clip: Long, shift: Int, samples: Seq[Int]) => {
           val padded = new Array[Short](shift * 16) ++
             samples.map(_.toShort)
+          // subframe coding varies per clip — fixed-predictor plus
+          // low- and high-order LPC (the coding real encoders emit
+          // almost exclusively) — while the oracle keeps replaying
+          // the encoder INPUT: losslessness across every coding is
+          // exactly what the unchanged landmark hash pins
+          val sf = (clip % 3) match {
+            case 0 => "fixed2"
+            case 1 => "lpc4"
+            case _ => "lpc12"
+          }
           val flac0 = FlacDecode.synthesizeFlacPcm16(8000, padded,
-            blockSize = 192, subframe = "fixed2")
+            blockSize = 192, subframe = sf)
           val flac = if (clip % 13 == 0) flac0.take(50) else flac0
           FlacDecode.pcm16Samples(flac) match {
             case Some(sm) => AudioFunnelRow(true, sm.length.toLong,

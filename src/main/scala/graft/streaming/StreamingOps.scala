@@ -2428,15 +2428,11 @@ object StreamingOps {
       idCol, "decoded")
   }
 
-  /** Static side for [[videoMatchStream]]: the temporal-shingle table
-    * of a fingerprinted MP4 catalog — one (sid, clip, frame) row per
-    * 3-frame dHash shingle ([[graft.operators.Multimodal.videoShingles]]
-    * through the real demux + image-kernel decode). Persist and reuse.
-    */
   /** Temporal-shingle kernels [[videoFunnelStream]] /
     * [[videoFpStaticSide]] accept as their container plug: MP4 (the
-    * default) and animated GIF — both fold into the same base-M
-    * shingle space, so a mixed catalog even dedups ACROSS containers.
+    * default), animated GIF, and animated PNG — all fold into the
+    * same base-M shingle space, so a mixed catalog even dedups
+    * ACROSS containers.
     */
   val Mp4Shingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
     graft.operators.Multimodal.videoShingleRows(_, 3)
@@ -2445,6 +2441,11 @@ object StreamingOps {
   val ApngShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
     graft.operators.Multimodal.apngShingleRows(_, 3)
 
+  /** Static side for [[videoMatchStream]]: the temporal-shingle table
+    * of a fingerprinted MP4 catalog — one (sid, clip, frame) row per
+    * 3-frame dHash shingle ([[graft.operators.Multimodal.videoShingles]]
+    * through the real demux + image-kernel decode). Persist and reuse.
+    */
   def videoFpStaticSide(
       catalog: DataFrame, // idCol, mediaCol (MP4 or GIF bytes)
       idCol: String = "clip",
@@ -2504,6 +2505,44 @@ object StreamingOps {
         col("cat_clip"), col("dt"), col("n_aligned"))
   }
 
+  /** The shared funnel verdict projection all three media funnel
+    * streams end with (the streaming face of
+    * [[graft.operators.CorpusFunnel]]'s keep-smallest discipline):
+    * bucket, id, <gate>, quality_ok, is_neardup, dup_of, survived —
+    * where a clip survives iff it passed the quality gate and no
+    * smaller-id near-duplicate was found.
+    */
+  private def funnelVerdict(
+      df: DataFrame, idCol: String, gateCol: String): DataFrame =
+    df.select(col("window.start").as("bucket"), col(idCol),
+      col(gateCol), col("quality_ok"),
+      (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
+      col("dup_of"),
+      (col("quality_ok") && col("dup_of").isNull).as("survived"))
+
+  /** min cat_clip over evidence groups (cat_clip, dt) with >=
+    * `minAligned` occurrences — the funnel streams' aligned-offset
+    * verify. Single pass: sort the evidence array once, then an
+    * indexed-lambda scan marks position i when the element
+    * minAligned-1 slots earlier is (cat_clip, dt)-equal (all entries
+    * between are equal too in a sorted array, so a run of >=
+    * minAligned contains i). O(E log E) vs the naive
+    * filter-inside-filter O(E^2), which goes quadratic when a hot
+    * shingle/landmark bucket collides with many catalog entries.
+    */
+  private def alignedDupOf(
+      evCol: String, minAligned: Int): org.apache.spark.sql.Column = {
+    val k = minAligned - 1
+    // transform(array(sorted), s -> ...) binds the sorted array ONCE
+    // as a lambda variable — projection collapse would otherwise
+    // inline a withColumn alias and re-sort per reference
+    expr(s"""(transform(array(array_sort($evCol)), s ->
+       array_min(transform(filter(s, (x, i) ->
+         i >= $k AND s[i - $k].cat_clip = x.cat_clip
+         AND s[i - $k].dt = x.dt),
+         x -> x.cat_clip))))[0]""")
+  }
+
   /** The streaming VIDEO-corpus build funnel — the online composition
     * of q_pipeline_video's stages (and, with `shingler =
     * GifShingler`, of q_pipeline_gif's — the container is a PLUG),
@@ -2527,44 +2566,6 @@ object StreamingOps {
     * Output: bucket, <idCol>, demuxed, quality_ok, is_neardup,
     * dup_of, survived.
     */
-  /** min cat_clip over evidence groups (cat_clip, dt) with >=
-    * `minAligned` occurrences — the funnel streams' aligned-offset
-    * verify. Single pass: sort the evidence array once, then an
-    * indexed-lambda scan marks position i when the element
-    * minAligned-1 slots earlier is (cat_clip, dt)-equal (all entries
-    * between are equal too in a sorted array, so a run of >=
-    * minAligned contains i). O(E log E) vs the naive
-    * filter-inside-filter O(E^2), which goes quadratic when a hot
-    * shingle/landmark bucket collides with many catalog entries.
-    */
-  /** The shared funnel verdict projection all three media funnel
-    * streams end with (the streaming face of
-    * [[graft.operators.CorpusFunnel]]'s keep-smallest discipline):
-    * bucket, id, <gate>, quality_ok, is_neardup, dup_of, survived —
-    * where a clip survives iff it passed the quality gate and no
-    * smaller-id near-duplicate was found.
-    */
-  private def funnelVerdict(
-      df: DataFrame, idCol: String, gateCol: String): DataFrame =
-    df.select(col("window.start").as("bucket"), col(idCol),
-      col(gateCol), col("quality_ok"),
-      (col("quality_ok") && col("dup_of").isNotNull).as("is_neardup"),
-      col("dup_of"),
-      (col("quality_ok") && col("dup_of").isNull).as("survived"))
-
-  private def alignedDupOf(
-      evCol: String, minAligned: Int): org.apache.spark.sql.Column = {
-    val k = minAligned - 1
-    // transform(array(sorted), s -> ...) binds the sorted array ONCE
-    // as a lambda variable — projection collapse would otherwise
-    // inline a withColumn alias and re-sort per reference
-    expr(s"""(transform(array(array_sort($evCol)), s ->
-       array_min(transform(filter(s, (x, i) ->
-         i >= $k AND s[i - $k].cat_clip = x.cat_clip
-         AND s[i - $k].dt = x.dt),
-         x -> x.cat_clip))))[0]""")
-  }
-
   def videoFunnelStream(
       clips: DataFrame, // idCol, mediaCol, tsCol
       catalog: DataFrame, // idCol, mediaCol

@@ -2,11 +2,13 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** FlacDecode: the CONSTANT/VERBATIM/FIXED subframe subset of RFC
-  * 9639 with Rice residuals, pinned by encode->decode roundtrips
-  * (the synthesizer writes real frames with real CRCs), hostility
-  * cases, and WAV/FLAC landmark parity — the same PCM16 signal must
-  * fingerprint identically through either container.
+/** FlacDecode: all four RFC 9639 subframe types (CONSTANT, VERBATIM,
+  * FIXED 0-4, LPC 1-32) and all four channel assignments
+  * (independent, left/side, right/side, mid/side), pinned by
+  * encode->decode roundtrips (the synthesizer writes real frames
+  * with real CRCs), hostility cases, and WAV/FLAC landmark parity —
+  * the same PCM16 signal must fingerprint identically through
+  * either container.
   */
 class FlacDecodeSpec extends AnyFunSuite {
 
@@ -116,19 +118,87 @@ class FlacDecodeSpec extends AnyFunSuite {
       === "unknown")
   }
 
-  test("hostility: CRC damage, LPC subframes, truncation, and " +
-    "garbage all return None; fuzz never throws") {
+  test("LPC subframes roundtrip exactly across the order bands, on " +
+    "smooth and on noise signals (the 5-bit Rice parameter method)") {
+    // noise residuals through multi-tap LPC exceed the 4-bit Rice
+    // parameter range, so the encoder's automatic 5-bit method and
+    // the decoder's method-1 path are both exercised; a method slip
+    // (or a coefficient/shift/warm-up mis-read) fails sample equality
+    val noise: Array[Short] = Array.tabulate(1000)(i =>
+      ((i * 2654435761L % 60000) - 30000).toShort)
+    for (order <- Seq(1, 2, 5, 8, 12, 32); sig <- Seq(tone, noise)) {
+      val flac = FlacDecode.synthesizeFlacPcm16(8000, sig,
+        blockSize = 256, subframe = s"lpc$order")
+      val d = FlacDecode.decode(flac).getOrElse(
+        fail(s"decode failed for lpc$order"))
+      assert(d.samples.toSeq === sig.map(_.toInt).toSeq, s"lpc$order")
+    }
+    // partitioned Rice under LPC
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, noise,
+      blockSize = 250, subframe = "lpc6", partitionOrder = 2)
+    assert(FlacDecode.decode(flac).get.samples.toSeq ===
+      noise.map(_.toInt).toSeq)
+  }
+
+  test("stereo decorrelation roundtrips exactly: left/side, " +
+    "right/side, mid/side x subframe types") {
+    // interleaved L/R with channel-coupled content (decorrelation's
+    // home turf) plus odd/even value mixes that exercise mid/side's
+    // dropped-low-bit reconstruction
+    val stereo: Array[Short] = Array.tabulate(1200) { i =>
+      val f = i / 2
+      val l = (math.sin(f * 0.05) * 11000).toInt
+      (if (i % 2 == 0) l
+       else l / 2 + ((f * 2654435761L % 400) - 200).toInt).toShort
+    }
+    for (mode <- Seq("leftside", "rightside", "midside");
+        sf <- Seq("verbatim", "fixed2", "lpc4")) {
+      val flac = FlacDecode.synthesizeFlacPcm16(8000, stereo,
+        blockSize = 200, subframe = sf, channels = 2,
+        channelMode = mode)
+      val d = FlacDecode.decode(flac).getOrElse(
+        fail(s"decode failed for $mode/$sf"))
+      assert(d.info.channels === 2, s"$mode/$sf")
+      assert(d.samples.toSeq === stereo.map(_.toInt).toSeq,
+        s"$mode/$sf")
+    }
+    // decorrelated containers of the same signal match the
+    // independent-channel decode bit-for-bit
+    val indep = FlacDecode.decode(FlacDecode.synthesizeFlacPcm16(
+      8000, stereo, blockSize = 200, subframe = "fixed2",
+      channels = 2)).get
+    val ms = FlacDecode.decode(FlacDecode.synthesizeFlacPcm16(
+      8000, stereo, blockSize = 200, subframe = "fixed2",
+      channels = 2, channelMode = "midside")).get
+    assert(indep.samples.toSeq === ms.samples.toSeq)
+  }
+
+  test("decode-bomb guard: a frame exceeding the declared stream " +
+    "length bails before buffering it") {
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),
+      blockSize = 256, subframe = "fixed2")
+    // patch STREAMINFO's totalSamples (36-bit field ending at header
+    // byte 21) down to 64: the first 256-sample frame now exceeds
+    // the declaration and must bail at the per-frame cap check
+    val lying = flac.clone()
+    lying(21) = (((64 >> 32) & 0xf) | (lying(21) & 0xf0)).toByte
+    lying(22) = 0; lying(23) = 0; lying(24) = 0; lying(25) = 64.toByte
+    assert(FlacDecode.decode(lying) === None)
+  }
+
+  test("hostility: CRC damage, reserved subframe types, truncation, " +
+    "and garbage all return None; fuzz never throws") {
     val flac = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),
       blockSize = 256, subframe = "fixed2")
     // flip one bit inside the frame body: CRC-16 must catch it
     val dmg = flac.clone()
     dmg(dmg.length - 5) = (dmg(dmg.length - 5) ^ 0x10).toByte
     assert(FlacDecode.decode(dmg) === None)
-    // rewrite the subframe type to LPC order 2 (0b100001): honest None
+    // rewrite the subframe type to a RESERVED code (0b000010): None
     // (header = 42 bytes, frame header = 8 bytes -> subframe byte @50)
-    val lpc = flac.clone()
-    lpc(50) = 0x42.toByte
-    assert(FlacDecode.decode(lpc) === None)
+    val rsv = flac.clone()
+    rsv(50) = 0x04.toByte
+    assert(FlacDecode.decode(rsv) === None)
     // truncation at every prefix: None, never a throw
     (0 until flac.length by 7).foreach { n =>
       assert(FlacDecode.decode(flac.take(n)) === None, s"prefix $n")
