@@ -216,8 +216,21 @@ object Multimodal {
       case None =>
         mp4AudioFeaturesOf(bytes)
           .orElse(flacAudioFeaturesOf(bytes))
+          .orElse(oggFlacAudioFeaturesOf(bytes))
           .getOrElse(noAudio)
     }
+
+  /** The Ogg-FLAC leg of [[audioFeaturesOf]]: reassemble the embedded
+    * FLAC stream from the Ogg pages ([[OggHeader.oggFlacStream]] —
+    * CRC-verified, packets rejoined across page boundaries) and run
+    * the same FLAC decode + stats; .oga blobs get the identical
+    * numbers their .flac twin gets, under format "ogg-flac".
+    */
+  private def oggFlacAudioFeaturesOf(
+      bytes: Array[Byte]): Option[AudioFeatures] =
+    OggHeader.oggFlacStream(bytes)
+      .flatMap(flacAudioFeaturesOf)
+      .map(_.copy(a_format = "ogg-flac"))
 
   /** The FLAC leg of [[audioFeaturesOf]]: full-stream frame decode
     * (CRC-verified — a corrupt stream falls to "unknown", never to

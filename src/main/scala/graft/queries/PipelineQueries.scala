@@ -2186,7 +2186,8 @@ object PipelineQueries extends QueryPack {
         // fails the hash). Every 13th clip's stream is truncated
         // mid-frame: the CRC-gated decoder returns None, never wrong
         // samples — the decode gate the batch funnel counts.
-        import graft.operators.{AudioFingerprint, FlacDecode, TextOps}
+        import graft.operators.{
+          AudioFingerprint, FlacDecode, OggHeader, TextOps}
         val kernel = udf((clip: Long, shift: Int, samples: Seq[Int]) => {
           val padded = new Array[Short](shift * 16) ++
             samples.map(_.toShort)
@@ -2202,10 +2203,24 @@ object PipelineQueries extends QueryPack {
           }
           val flac0 = FlacDecode.synthesizeFlacPcm16(8000, padded,
             blockSize = 192, subframe = sf)
-          val flac = if (clip % 13 == 0) flac0.take(50) else flac0
-          FlacDecode.pcm16Samples(flac) match {
-            case Some(sm) => AudioFunnelRow(true, sm.length.toLong,
-              AudioFingerprint.landmarks(sm)
+          // every 4th clip ships as Ogg-FLAC (.oga): same stream
+          // wrapped in Ogg pages, decoded through the packet
+          // reassembly — a lossless wrap, so the oracle is unchanged
+          // and the hash pins the page walk too; its corrupt leg
+          // truncates the CONTAINER (page CRC/bounds fail)
+          val sm =
+            if (clip % 4 == 1) {
+              val oga0 = OggHeader.synthesizeOggFlac(flac0)
+              val oga = if (clip % 13 == 0) oga0.take(60) else oga0
+              OggHeader.oggFlacStream(oga)
+                .flatMap(FlacDecode.pcm16Samples)
+            } else {
+              val flac = if (clip % 13 == 0) flac0.take(50) else flac0
+              FlacDecode.pcm16Samples(flac)
+            }
+          sm match {
+            case Some(s) => AudioFunnelRow(true, s.length.toLong,
+              AudioFingerprint.landmarks(s)
                 .map { case (t, lid) => t * 512 + lid }.toSeq)
             case None => AudioFunnelRow(false, 0L, Seq.empty)
           }
@@ -2314,12 +2329,14 @@ object PipelineQueries extends QueryPack {
           USING (source)
         ORDER BY 1"""
       },
-      "COMPRESSED audio through the corpus funnel: FLAC fixed-" +
-        "predictor streams decode bit-exactly (rice residuals, CRC-8/" +
-        "16 verified) before the same gate/near-dup/rollup plugs as " +
-        "the WAV leg — the oracle replays the encoder INPUT, so any " +
-        "decode slip fails the landmark hash; truncated streams drop " +
-        "at the CRC-gated decode gate."),
+      "COMPRESSED audio through the corpus funnel: FLAC streams " +
+        "(fixed-predictor AND LPC codings) decode bit-exactly (rice " +
+        "residuals, CRC-8/16 verified) before the same gate/near-dup/" +
+        "rollup plugs as the WAV leg, with every 4th clip wrapped as " +
+        "Ogg-FLAC and decoded through the page-walk packet " +
+        "reassembly — the oracle replays the encoder INPUT, so any " +
+        "decode or reassembly slip fails the landmark hash; truncated " +
+        "streams/pages drop at the CRC-gated decode gate."),
 
     GraftQuery(
       "q_multimodal_g711", Seq("S8", "P6", "A8"),

@@ -65,6 +65,59 @@ class OggId3Spec extends AnyFunSuite {
     assert(OggHeader.parse(Array.empty[Byte]) === None)
   }
 
+  test("Ogg-FLAC: reassembled payload decodes to the SAME samples as " +
+    "the raw FLAC stream, across packet/page geometries") {
+    val tone: Array[Short] =
+      Array.tabulate(900)(i => (math.sin(i * 0.06) * 11000).toShort)
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,
+      blockSize = 192, subframe = "lpc4")
+    val want = FlacDecode.decode(flac).get.samples.toSeq
+    // small audioChunk + tiny pages force packets to SPAN page
+    // boundaries (continuation flag); large ones keep pages whole
+    for ((chunk, segs) <- Seq((1000, 16), (333, 2), (255, 1),
+        (64, 50), (flac.length, 16))) {
+      val ogg = OggHeader.synthesizeOggFlac(flac, chunk, segs)
+      val re = OggHeader.oggFlacStream(ogg).getOrElse(
+        fail(s"reassembly failed chunk=$chunk segs=$segs"))
+      assert(FlacDecode.decode(re).get.samples.toSeq === want,
+        s"chunk=$chunk segs=$segs")
+      // the page-level parse also identifies the codec + duration
+      val i = OggHeader.parse(ogg).get
+      assert(i.codec === "flac" && i.sampleRate === 8000 &&
+        i.lastGranule === 900L, s"chunk=$chunk segs=$segs")
+    }
+    // the one audio kernel: .oga blobs get the .flac twin's numbers
+    val ogg = OggHeader.synthesizeOggFlac(flac)
+    val of = Multimodal.audioFeaturesOf(ogg)
+    val ff = Multimodal.audioFeaturesOf(flac)
+    assert(of.a_format === "ogg-flac" && ff.a_format === "flac")
+    assert((of.n_samples, of.duration_ms, of.peak, of.rms_x1000,
+      of.n_clipped) ===
+      ((ff.n_samples, ff.duration_ms, ff.peak, ff.rms_x1000,
+        ff.n_clipped)))
+    // hostility: CRC damage in any page, truncation, and a non-FLAC
+    // Ogg stream all return None; fuzz never throws
+    val dmg = ogg.clone()
+    dmg(dmg.length - 3) = (dmg(dmg.length - 3) ^ 0x20).toByte
+    assert(OggHeader.oggFlacStream(dmg) === None)
+    (0 until ogg.length by 11).foreach { n =>
+      assert(OggHeader.oggFlacStream(ogg.take(n)) === None, s"pfx $n")
+    }
+    assert(OggHeader.oggFlacStream(
+      OggHeader.synthesizeOggOpus(1, 0, 48000, Seq(960L))) === None)
+    val rnd = new scala.util.Random(31)
+    (1 to 200).foreach { _ =>
+      val m = ogg.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      OggHeader.oggFlacStream(m).foreach { re =>
+        // any surviving mutation must still decode to the original
+        // or fail FLAC's own CRCs — never different samples
+        FlacDecode.decode(re).foreach(d =>
+          assert(d.samples.toSeq === want))
+      }
+    }
+  }
+
   test("id3TextFrames: v2.3 and v2.4 roundtrips, padding, non-text " +
     "and UTF-16 frames skipped, hostile tags empty") {
     import AudioHeader._
