@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * median) so a genuine regression can never be masked, and the
   * unhealed sweep medians ship in `unhealed` for audit. (Host
   * contention voided three rounds of driver trend data; the flags make
-  * a contaminated headline self-identifying.)
+  * a contaminated headline self-identifying.) Two load gates guard
+  * the sweep itself: a pre-sweep wait-for-quiet and a per-query
+  * mid-sweep re-gate (a co-tenant RETURNING mid-sweep contaminated
+  * five consecutive driver artifacts), both bounded, both leaving
+  * their waits in the artifact.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -155,6 +159,15 @@ object Bench {
     waited
   }
 
+  /** Render (name, count) pairs as a sorted JSON object, non-zero
+    * entries only — the per-entry wait evidence map stays empty (and
+    * the artifact line short) on a quiet host.
+    */
+  private[graft] def jsonIntMap(entries: List[(String, Int)]): String =
+    entries.filter(_._2 > 0).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
   /** Second variance guard: the intra-spread check misses a query whose
     * reps are UNIFORMLY contended (all slow, small spread) — the shape
     * that contaminated the round-12 working-tree artifact. A query
@@ -220,11 +233,32 @@ object Bench {
         -1.0
       }
     }
+    // mid-sweep re-gate (round-16 VERDICT #3): the pre-sweep gate
+    // can't stop a co-tenant RETURNING mid-sweep — five driver
+    // artifacts in a row were contaminated that way. Before each
+    // query, if the 1-minute load exceeds the re-gate threshold,
+    // wait briefly (bounded per entry) and record the wait. The
+    // threshold sits ABOVE what our own short bursts push the 1-min
+    // EMA to (a multi-second local[32] query adds ~2) and below the
+    // co-tenant's observed 5-9 spikes, so the gate yields to real
+    // contention without stalling on self-load.
+    val regateThreshold = sys.env.getOrElse(
+      "SPARK_GRAFT_LOAD_REGATE", "4.0").toDouble
+    val regateCapSec = sys.env.getOrElse(
+      "SPARK_GRAFT_LOAD_REGATE_CAP", "60").toInt
+    var queryGateWaited = List.empty[(String, Int)]
     // ---- sweep pass: reps per query, variance flags, NO reruns yet
     // per-query start loadavg makes contamination attributable per
     // ENTRY, not per sweep (round-15 VERDICT #3)
     var queryLoad = List.empty[(String, Double)]
     val sweep = selected.map { case (name, fn) =>
+      val regateWaited = waitForQuiet(regateThreshold, regateCapSec, 5,
+        () => loadAvg(), s => Thread.sleep(s * 1000L))
+      if (regateWaited > 0) {
+        queryGateWaited ::= name -> regateWaited
+        System.err.println(
+          s"[bench] $name: mid-sweep re-gate waited ${regateWaited}s")
+      }
       queryLoad ::= name -> loadAvg()
       val base = (1 to reps).map(_ => rep(name, fn))
       // variance guard: reps spreading past 3x within one query is
@@ -316,7 +350,11 @@ object Bench {
         else String.format(java.util.Locale.ROOT, "%.2f",
           Double.box(v))) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"healed":$healedJson,"unhealed":$unhealedJson,"loadavg_start":$startLoad,"loadavg_pregate":$pregateLoad,"load_gate_waited_sec":$gateWaited,"query_loadavg":$qLoadJson,"loadavg_quiet":$quietLoad,"sf":"$sfDir"}"""
+    // per-entry mid-sweep re-gate waits (non-zero only): evidence that
+    // the sweep PAUSED for a returning co-tenant instead of timing
+    // queries into its load
+    val gateWaitJson = jsonIntMap(queryGateWaited)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"n_failed":${failed.size},"failed":$failedJson,"variance_flagged":$varJson,"healed":$healedJson,"unhealed":$unhealedJson,"loadavg_start":$startLoad,"loadavg_pregate":$pregateLoad,"load_gate_waited_sec":$gateWaited,"query_gate_waited":$gateWaitJson,"query_loadavg":$qLoadJson,"loadavg_quiet":$quietLoad,"sf":"$sfDir"}"""
     println(line)
     // The driver's recorded BENCH tail truncates, losing per-query
     // numbers past ~2000 chars — also write the COMPLETE line to a

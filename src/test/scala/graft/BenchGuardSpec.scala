@@ -139,6 +139,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.waitForQuiet(0.0, 600, 10, () => 9.9, _ => ()) === 0)
   }
 
+  test("mid-sweep re-gate evidence: jsonIntMap renders only non-zero " +
+    "waits, sorted, and the re-gate waits through a returning " +
+    "co-tenant but caps per entry") {
+    // the JSON evidence map: zero waits (the common case on a quiet
+    // host) stay out, so the artifact line does not grow by 214 keys
+    assert(Bench.jsonIntMap(Nil) === "{}")
+    assert(Bench.jsonIntMap(List("q_b" -> 15, "q_a" -> 0, "q_c" -> 60))
+      === """{"q_b":15,"q_c":60}""")
+    // a co-tenant spike at query start: waits in 5s polls until the
+    // load decays below the 4.0 default, never past the 60s cap —
+    // same waitForQuiet core as the pre-sweep gate, re-gate geometry
+    val loads = Iterator(6.5, 5.1, 3.4)
+    assert(Bench.waitForQuiet(4.0, 60, 5,
+      () => loads.next(), _ => ()) === 10)
+    assert(Bench.waitForQuiet(4.0, 60, 5, () => 9.0, _ => ()) === 60)
+    // self-load after a multi-second local[32] burst (~+2 on the
+    // 1-min EMA) must NOT trigger the re-gate
+    assert(Bench.waitForQuiet(4.0, 60, 5, () => 2.3, _ => ()) === 0)
+  }
+
   test("uniformlyAboveBaseline: all reps must exceed 3x the median") {
     // uniformly contended: every rep slow, tight spread — flagged
     assert(Bench.uniformlyAboveBaseline(Some(1.0), Seq(3.2, 3.4, 3.3)))
