@@ -633,6 +633,32 @@ object Multimodal {
     shingleFoldKeys(fks, k)
   }
 
+  /** Container-DISPATCHING animation shingler: GIF bytes through
+    * [[gifShingleRows]], PNG bytes through [[apngShingleRows]] — one
+    * shingle space either way, so a mixed animation corpus dedups
+    * ACROSS containers in one funnel. Non-animation bytes emit
+    * nothing (each decoder's own gate).
+    */
+  def animShingleRows(bytes: Array[Byte], k: Int): Seq[VideoShingle] = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      gifShingleRows(b, k)
+    else apngShingleRows(b, k)
+  }
+
+  /** [[videoShingles]]' mixed-container twin ([[animShingleRows]]) as
+    * a DataFrame transform — same stateless per-row projection, same
+    * output columns, GIF and APNG blobs in one frame.
+    */
+  def animShingles(
+      df: DataFrame, mediaCol: String, k: Int = 3): DataFrame = {
+    val sh = udf((bytes: Array[Byte]) => animShingleRows(bytes, k))
+    val keep = df.columns.filter(_ != mediaCol).map(col)
+    df.withColumn("__vs", explode(sh(col(mediaCol))))
+      .select(keep.toIndexedSeq ++ Seq(col("__vs.t").as("t"),
+        col("__vs.fk").as("fk"), col("__vs.sid").as("sid")): _*)
+  }
+
   /** Temporal video fingerprint as a DataFrame transform: one row per
     * k-frame shingle of the first video track (columns `t`, `fk`,
     * `sid` appended; the media column is dropped after the kernel so

@@ -2546,6 +2546,154 @@ object PipelineQueries extends QueryPack {
         "relationally."),
 
     GraftQuery(
+      "q_pipeline_anim", Seq("P6", "D1", "J11", "D9"),
+      (s, dir) => {
+        // CROSS-CONTAINER animation dedup — the oracle-proven form of
+        // the "one fingerprint space" claim: each content group ships
+        // the SAME md5-derived frames as an animated GIF (leg 0) and
+        // as an APNG (leg 1, one pad frame ahead + a +25 brightness
+        // re-grade), both decode through the container-dispatching
+        // animShingles kernel into the one base-M shingle space, and
+        // the aligned-offset verify must drop every APNG against its
+        // GIF twin (dt = 1 — dHash cancels the re-grade, the shingle
+        // key is shift-covariant). n_cross_dups counts the dropped
+        // APNG legs explicitly, so a silent cross-container miss
+        // fails the hash, not just the survivor count. Truncated
+        // containers (every 13th: GIF cut inside its palette, APNG
+        // inside acTL) drop at the decode gate; 5-frame clips (every
+        // 11th) at the quality gate.
+        import graft.operators.{Multimodal, PixelDecode}
+        val kernel = udf((clip: Long, g: Long, leg: Int) => {
+          val bright = leg * 25
+          val nc = if (clip % 11 == 0) 5 else 12
+          val frames: Seq[Array[Int]] =
+            (0 until leg).map(_ => Array.fill(72)(bright)) ++
+              (0 until nc).map { c =>
+                val gray = new Array[Int](72)
+                md5Fill(gray, blk => s"an$g:$c:$blk")
+                gray.map(_ % 200 + bright)
+              }
+          val media =
+            if (leg == 0) PixelDecode.encodeGifGrayAnimated(9, 8, frames)
+            else PixelDecode.encodeApngGray(9, 8, frames)
+          if (clip % 13 == 0) media.take(if (leg == 0) 40 else 50)
+          else media
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 3)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 14"))
+          .withColumn("leg", expr("cast((clip % 14) div 7 as int)"))
+        val sh = Multimodal.animShingles(
+            clips.withColumn("media",
+              kernel(col("clip"), col("g"), col("leg"))), "media")
+          .localCheckpoint()
+        val perClip = sh.groupBy("clip", "source")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(col("sid") % 1000000007L).as("fp"))
+          .localCheckpoint()
+        val qual = perClip.where(col("n_sh") >= 6)
+        val qsh = sh.join(qual.select("clip"), Seq("clip"))
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(qsh, "clip", "t", "sid", 6)
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
+        // sparse: a source could in principle carry zero cross-dups
+        // (boundary groups split across sources) — count 0, not a
+        // dropped row
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_decoded", perClip),
+          CountStage("n_quality", qual),
+          AggStage(dup
+            .join(clips.select("clip", "source", "leg"), Seq("clip"))
+            .groupBy("source")
+            .agg(sum(when(col("leg") === 1, 1L).otherwise(0L))
+              .as("n_cross_dups")),
+            Seq("n_cross_dups")),
+          AggStage(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("n_unique", "kept_fp"))), sparse = true)
+      },
+      Some("""WITH cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 14 AS g,
+            ((doc_id % 14) // 7)::BIGINT AS leg,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 12 END AS nc
+          FROM documents WHERE doc_id % 7 = 3),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        cpx AS (SELECT clip, tc + leg AS t, (i // 9) AS r,
+            (i % 9) AS c,
+            (('0x' || substr(md5('an' || g::VARCHAR || ':' ||
+                tc::VARCHAR || ':' || (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT % 200 + leg * 25) AS gpx
+          FROM live, (SELECT unnest(range(12)) AS tc) ts,
+            (SELECT unnest(range(72)) AS i) ii
+          WHERE tc < nc),
+        fh AS (
+          SELECT a.clip, a.t,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c < 32
+              THEN (1::BIGINT << (a.r * 8 + a.c)) ELSE 0 END)::BIGINT AS dlo,
+            sum(CASE WHEN a.gpx > b.gpx AND a.r * 8 + a.c >= 32
+              THEN (1::BIGINT << (a.r * 8 + a.c - 32))
+              ELSE 0 END)::BIGINT AS dhi
+          FROM cpx a JOIN cpx b ON b.clip = a.clip AND b.t = a.t
+            AND b.r = a.r AND b.c = a.c + 1
+          WHERE a.c < 8 GROUP BY 1, 2
+          UNION ALL
+          SELECT clip, li AS t, 0::BIGINT, 0::BIGINT
+          FROM live, (SELECT unnest(range(1)) AS li) ls
+          WHERE li < leg),
+        fk AS (SELECT clip, t, (dlo * 31 + dhi) % 1048573 AS fk FROM fh),
+        sh AS (SELECT a.clip, a.t,
+            (a.fk * 1048573 + b.fk) * 1048573 + c.fk AS sid
+          FROM fk a JOIN fk b ON b.clip = a.clip AND b.t = a.t + 1
+            JOIN fk c ON c.clip = a.clip AND c.t = a.t + 2),
+        pc AS (SELECT clip, count(*)::BIGINT AS n_sh,
+            sum(sid % 1000000007)::BIGINT AS fp
+          FROM sh GROUP BY 1),
+        qual AS (SELECT clip, fp FROM pc WHERE n_sh >= 6),
+        qsh AS (SELECT sh.* FROM sh JOIN qual USING (clip)),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM qsh a JOIN qsh b ON a.sid = b.sid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 6),
+        kept AS (SELECT q.clip, q.fp FROM qual q
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw,
+          COALESCE(dc.n_decoded, 0) AS n_decoded,
+          COALESCE(qq.n_quality, 0) AS n_quality,
+          COALESCE(xd.n_cross_dups, 0) AS n_cross_dups,
+          COALESCE(k.n_unique, 0) AS n_unique,
+          COALESCE(k.kept_fp, 0) AS kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_decoded
+            FROM live GROUP BY 1) dc USING (source)
+        LEFT JOIN (SELECT cl.source, count(*)::BIGINT AS n_quality
+            FROM qual JOIN cl USING (clip) GROUP BY 1) qq
+          USING (source)
+        LEFT JOIN (SELECT cl.source,
+            sum(CASE WHEN cl.leg = 1 THEN 1 ELSE 0 END)::BIGINT
+              AS n_cross_dups
+            FROM dup JOIN cl USING (clip) GROUP BY 1) xd
+          USING (source)
+        LEFT JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY source"""),
+      "Cross-container animation dedup: the same content as GIF and " +
+        "as APNG (shifted + brightness-re-graded) must near-dup in " +
+        "ONE funnel through the container-dispatching shingle kernel " +
+        "— n_cross_dups pins the dropped APNG legs explicitly, and " +
+        "the oracle replays pixels/dHash/shingles for both " +
+        "containers."),
+
+    GraftQuery(
       "q_multimodal_id3", Seq("S8", "P6", "A8"),
       (s, dir) => {
         // ID3v2 text frames -> the text pipeline (the MP3 twin of

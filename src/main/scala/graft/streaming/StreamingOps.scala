@@ -2441,6 +2441,13 @@ object StreamingOps {
   val ApngShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
     graft.operators.Multimodal.apngShingleRows(_, 3)
 
+  /** Container-DISPATCHING plug for MIXED animation streams: GIF and
+    * APNG blobs in one stream/catalog, one shingle space — the
+    * streaming face of q_pipeline_anim's cross-container dedup.
+    */
+  val AnimShingler: Array[Byte] => Seq[graft.operators.Multimodal.VideoShingle] =
+    graft.operators.Multimodal.animShingleRows(_, 3)
+
   /** Static side for [[videoMatchStream]]: the temporal-shingle table
     * of a fingerprinted MP4 catalog — one (sid, clip, frame) row per
     * 3-frame dHash shingle ([[graft.operators.Multimodal.videoShingles]]

@@ -580,6 +580,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("MIXED GIF+APNG stream through the container-dispatching " +
+    "AnimShingler: cross-container near-dups resolve keep-smallest " +
+    "(the streaming face of q_pipeline_anim)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Multimodal, PixelDecode}
+    def contentGray(g: Int, c: Int): Array[Int] =
+      Array.tabulate(72)(i =>
+        (g * 71 + c * 41 + i * 13 + (i * i) % 19) % 200)
+    // pairs: even id = GIF, odd id = the SAME content as APNG, one
+    // pad frame ahead + a +25 brightness re-grade — the odd id must
+    // dedup onto its even GIF twin ACROSS containers
+    def mediaFor(id: Int): Array[Byte] = {
+      val g = id / 2; val apng = id % 2 == 1
+      val bright = if (apng) 25 else 0
+      val frames =
+        Seq.fill(if (apng) 1 else 0)(Array.fill(72)(bright)) ++
+          (0 until 8).map(c => contentGray(g, c).map(_ + bright))
+      if (apng) PixelDecode.encodeApngGray(9, 8, frames)
+      else PixelDecode.encodeGifGrayAnimated(9, 8, frames)
+    }
+    val corpus = (0 until 8).map(id => id.toLong -> mediaFor(id))
+    // the batch kernel agrees the pairs share the shingle space
+    val sh = corpus.map { case (id, b) =>
+      id -> Multimodal.animShingleRows(b, 3) }.toMap
+    corpus.foreach { case (id, _) =>
+      assert(sh(id).size >= 6, s"shingles($id)") }
+    val catalog = corpus.toDF("clip", "media")
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = StreamingOps.videoFunnelStream(
+      feed.toDF().toDF("clip", "media", "ts"), catalog,
+      windowDuration = "1 hour", watermark = "2 hours",
+      shingler = StreamingOps.AnimShingler)
+    val q = out.writeStream.format("memory").queryName("anim_funnel")
+      .outputMode("update").start()
+    try {
+      feed.addData(corpus.map { case (id, m) =>
+        (id, m, Timestamp.valueOf("2024-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("anim_funnel")
+        .groupBy("clip").agg(min("dup_of").as("dup"),
+          max("survived").as("s"))
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            r.getBoolean(2))).toMap
+      for (id <- 0L until 8L) {
+        if (id % 2 == 1)
+          assert(got(id) === (Some(id - 1), false),
+            s"APNG $id must dup onto its GIF twin")
+        else assert(got(id) === (None, true), s"GIF $id survives")
+      }
+    } finally q.stop()
+  }
+
   test("FLAC through the streaming audio funnel: the container is a " +
     "decoder plug — CRC-gated decode gate, duration gate, landmark " +
     "near-dup, batch-kernel parity across a mid-stream split") {
