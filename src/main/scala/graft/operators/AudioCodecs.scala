@@ -353,6 +353,24 @@ object AudioCodecs {
     wavHeader(fmt, 1, sampleRate, 8, 1, codes.length) ++ codes
   }
 
+  /** Build a mono IMA-ADPCM WAV directly from CODE bytes (two
+    * nibbles each, low first — the IMA/WAV packing) with the given
+    * predictor seed and step index, one block — the fixture shape
+    * oracle queries replay relationally (nibble stream from id
+    * arithmetic, decode through the published step tables as a
+    * recursive state machine). The G.711 twin of
+    * [[synthesizeWavG711Codes]].
+    */
+  def synthesizeWavImaAdpcmCodes(
+      sampleRate: Int, seed: Int, index: Int,
+      data: Array[Byte]): Array[Byte] = {
+    require(index >= 0 && index <= 88, s"index: $index")
+    require(seed >= -32768 && seed <= 32767, s"seed: $seed")
+    val block = Array((seed & 0xff).toByte, ((seed >> 8) & 0xff).toByte,
+      index.toByte, 0.toByte) ++ data
+    wavHeader(17, 1, sampleRate, 4, block.length, block.length) ++ block
+  }
+
   /** Encode PCM16 as a mono IMA-ADPCM WAV: `samplesPerBlock` =
     * (blockAlign - 4) * 2 + 1; the first sample of each block seeds
     * the predictor verbatim (so decode's first sample per block is

@@ -2042,13 +2042,18 @@ object PipelineQueries extends QueryPack {
         // (checkpointed) feeds every stage; sample derivation stays
         // the codegen'd explode + regroup (the measured-fastest shape
         // — see q_multimodal_audiodup).
-        import graft.operators.{AudioFingerprint, AudioHeader, TextOps}
+        import graft.operators.{
+          AudioCodecs, AudioFingerprint, AudioHeader, TextOps}
         val kernel = udf((clip: Long, shift: Int, samples: Seq[Int]) => {
           val padded = new Array[Short](shift * 16) ++
             samples.map(_.toShort)
           val wav0 = AudioHeader.synthesizeWavPcm16(8000, padded)
           val wav = if (clip % 13 == 0) wav0.take(20) else wav0
-          AudioHeader.pcm16Samples(wav) match {
+          // the UNIFIED codec entry point (AudioCodecs.samples — the
+          // fmt-chunk dispatch): for these PCM16 containers it is the
+          // identical decode, and compressed-WAV legs ride the same
+          // gate in q_pipeline_wavcodec
+          AudioCodecs.samples(wav) match {
             case Some(sm) => AudioFunnelRow(true, sm.length.toLong,
               AudioFingerprint.landmarks(sm)
                 .map { case (t, lid) => t * 512 + lid }.toSeq)
@@ -2692,6 +2697,247 @@ object PipelineQueries extends QueryPack {
         "— n_cross_dups pins the dropped APNG legs explicitly, and " +
         "the oracle replays pixels/dHash/shingles for both " +
         "containers."),
+
+    GraftQuery(
+      "q_pipeline_wavcodec", Seq("S8", "D1", "J11", "D9"),
+      (s, dir) => {
+        // The UNIFIED WAV decode gate, oracle-proven: each content
+        // group ships FOUR containers — a µ-law-representable stream
+        // as plain PCM16 (leg 0) and as a G.711 µ-law WAV (leg 1),
+        // and a closed-loop IMA-ADPCM stream (nibbles tracking an md5
+        // white-noise target) as PCM16 (leg 2) and as the ADPCM block
+        // (leg 3) — ALL decoded through the one AudioCodecs.samples
+        // entry point. Compressed legs decode to the EXACT stream
+        // their PCM16 twin carries, so the landmark near-dup must
+        // drop each codec leg against its twin (n_codec_dups pins
+        // that explicitly). The oracle replays µ-law through the
+        // published 256-entry table as VALUES and the full ADPCM
+        // encoder+decoder through the published step tables as a
+        // RECURSIVE state machine — a threshold-cascade, clamp, or
+        // index-adaptation slip anywhere in the distributed codec
+        // changes the landmark hash. Truncated containers (every
+        // 13th) drop at the decode gate; 256-sample clips (every
+        // 11th) at the duration gate.
+        import graft.operators.{AudioCodecs, AudioFingerprint,
+          AudioHeader}
+        val kernel = udf((clip: Long, g: Long, leg: Int) => {
+          val nc = if (clip % 11 == 0) 256 else 768
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val wav0: Array[Byte] = leg match {
+            case 0 | 1 =>
+              val codes = (0 until nc / 16).flatMap(k =>
+                md.digest(s"wc$g:$k".getBytes("US-ASCII"))).toArray
+              if (leg == 1)
+                AudioCodecs.synthesizeWavG711Codes(8000, codes, "ulaw")
+              else AudioHeader.synthesizeWavPcm16(8000,
+                codes.map(c => AudioCodecs.muLawDecode(c & 0xff)))
+            case _ =>
+              // closed-loop ADPCM of an md5 white-noise target —
+              // raw random nibbles would decode to a random WALK
+              // (1/f^2 spectrum, every frame peaking at bin 1),
+              // collapsing landmark diversity; tracking a white
+              // target keeps the decoded spectrum diverse AND makes
+              // the oracle replay the full encoder+decoder state
+              // machine
+              val target = Array.tabulate(nc) { j =>
+                val d = md.digest(s"wt$g:${j / 8}".getBytes("US-ASCII"))
+                ((d(2 * (j % 8)) & 0xff) << 8 |
+                  (d(2 * (j % 8) + 1) & 0xff)) - 32768
+              }
+              val seed = (g % 2000 - 1000).toInt
+              val data = new Array[Byte](nc / 2)
+              var pred = seed
+              var idx = 0
+              var j = 0
+              while (j < nc) {
+                val (n1, p1, i1) =
+                  AudioCodecs.imaEncodeStep(target(j), pred, idx)
+                val (n2, p2, i2) =
+                  AudioCodecs.imaEncodeStep(target(j + 1), p1, i1)
+                data(j / 2) = ((n2 << 4) | n1).toByte
+                pred = p2
+                idx = i2
+                j += 2
+              }
+              val adpcm = AudioCodecs.synthesizeWavImaAdpcmCodes(
+                8000, seed, 0, data)
+              if (leg == 3) adpcm
+              else AudioHeader.synthesizeWavPcm16(8000,
+                AudioCodecs.samples(adpcm).get)
+          }
+          val wav = if (clip % 13 == 0) wav0.take(20) else wav0
+          AudioCodecs.samples(wav) match {
+            case Some(sm) => AudioFunnelRow(true, sm.length.toLong,
+              AudioFingerprint.landmarks(sm)
+                .map { case (t, lid) => t * 512 + lid }.toSeq)
+            case None => AudioFunnelRow(false, 0L, Seq.empty)
+          }
+        })
+        val clips = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("clip"), col("source"))
+          .withColumn("g", expr("clip - clip % 20"))
+          .withColumn("leg", expr("cast((clip % 20) div 5 as int)"))
+        val feats = clips
+          .withColumn("st", kernel(col("clip"), col("g"), col("leg")))
+          .select(col("clip"), col("source"), col("leg"),
+            col("st.decoded").as("decoded"),
+            col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
+          .localCheckpoint()
+        val live = feats.where(col("decoded"))
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
+          .select(col("clip"), expr("v div 512").as("t"),
+            expr("v % 512").as("lid"))
+          .localCheckpoint()
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        val dup = CorpusFunnel.alignedDupIds(lmdf, "clip", "t", "lid", 8)
+        val clFp = lmdf.groupBy("clip")
+          .agg(sum((col("t") * 1000 + col("lid")) % 1000000007L).as("fp"))
+        val kept = CorpusFunnel.survivors(qual, dup, "clip")
+          .join(clFp, Seq("clip"))
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_raw", clips),
+          CountStage("n_decoded", live),
+          CountStage("n_quality", qual),
+          AggStage(dup
+            .join(clips.select("clip", "source", "leg"), Seq("clip"))
+            .groupBy("source")
+            .agg(sum(when(col("leg") === 1 || col("leg") === 3, 1L)
+              .otherwise(0L)).as("n_codec_dups")),
+            Seq("n_codec_dups")),
+          AggStage(kept.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              (sum("fp") % 1000000007L).as("kept_fp")),
+            Seq("n_unique", "kept_fp"))), sparse = true)
+      },
+      Some {
+        import graft.operators.{AudioCodecs, AudioFingerprint}
+        val trig = AudioFingerprint.trigValuesSql
+        val mu = (0 until 256)
+          .map(c => s"($c,${AudioCodecs.muLawDecode(c)})").mkString(",")
+        val stp = AudioCodecs.ImaStep.zipWithIndex
+          .map { case (v, i) => s"($i,$v)" }.mkString(",")
+        val adj = AudioCodecs.ImaIndexAdjust.zipWithIndex
+          .map { case (d, n) => s"($n,$d)" }.mkString(",")
+        s"""WITH RECURSIVE
+        tg(k, n, cq, sq) AS (SELECT * FROM (VALUES $trig) v(k, n, cq, sq)),
+        g711(code, mu) AS (SELECT * FROM (VALUES $mu) v(code, mu)),
+        stp(i, st) AS (SELECT * FROM (VALUES $stp) v(i, st)),
+        adj(nb, d) AS (SELECT * FROM (VALUES $adj) v(nb, d)),
+        cl AS (SELECT doc_id AS clip, source,
+            doc_id - doc_id % 20 AS g,
+            ((doc_id % 20) // 5)::INT AS leg,
+            (doc_id % 13 = 0) AS corrupt,
+            CASE WHEN doc_id % 11 = 0 THEN 256 ELSE 768 END AS nc
+          FROM documents WHERE doc_id % 5 = 1),
+        live AS (SELECT * FROM cl WHERE NOT corrupt),
+        q AS (SELECT * FROM live
+          WHERE (CASE WHEN leg <= 1 THEN nc ELSE nc + 1 END) >= 512),
+        ga AS (SELECT DISTINCT g FROM q WHERE leg <= 1),
+        sa AS (SELECT ga.g, j,
+            ('0x' || substr(md5('wc' || g::VARCHAR || ':' ||
+              (j // 16)::VARCHAR), (j % 16) * 2 + 1, 2))::INT AS code
+          FROM ga, (SELECT unnest(range(768)) AS j)),
+        gb AS (SELECT DISTINCT g, (g % 2000 - 1000)::INT AS seed
+          FROM q WHERE leg >= 2),
+        tgt AS (SELECT gb.g, j,
+            (('0x' || substr(md5('wt' || g::VARCHAR || ':' ||
+              (j // 8)::VARCHAR), (j % 8) * 4 + 1, 4))::INT
+              - 32768) AS x
+          FROM gb, (SELECT unnest(range(768)) AS j)),
+        ad AS (
+          SELECT g, -1 AS j, seed AS pred, 0 AS idx FROM gb
+          UNION ALL
+          SELECT g, j,
+            GREATEST(-32768, LEAST(32767, pred + sgn *
+              (st // 8 + b4 * st + b2 * (st // 2) + b1 * (st // 4))
+              ))::INT AS pred,
+            GREATEST(0, LEAST(88, idx + a.d))::INT AS idx
+          FROM (
+            SELECT *, CASE WHEN d - b4 * st - b2 * (st // 2)
+                >= st // 4 THEN 1 ELSE 0 END AS b1
+            FROM (
+              SELECT *, CASE WHEN d - b4 * st >= st // 2
+                  THEN 1 ELSE 0 END AS b2
+              FROM (
+                SELECT *, CASE WHEN d >= st THEN 1 ELSE 0 END AS b4
+                FROM (
+                  SELECT r.g, r.j + 1 AS j, r.pred, r.idx, s.st,
+                    CASE WHEN t.x < r.pred THEN -1 ELSE 1 END AS sgn,
+                    abs(t.x - r.pred) AS d
+                  FROM ad r
+                  JOIN stp s ON s.i = r.idx
+                  JOIN tgt t ON t.g = r.g AND t.j = r.j + 1)))) enc
+          JOIN adj a ON a.nb = enc.b4 * 4 + enc.b2 * 2 + enc.b1),
+        svb AS (SELECT g, j + 1 AS pos, pred AS sv FROM ad),
+        sm AS (
+          SELECT c.clip, s.j AS pos, gm.mu::BIGINT AS sv
+          FROM q c JOIN sa s ON s.g = c.g AND s.j < c.nc
+          JOIN g711 gm ON gm.code = s.code
+          WHERE c.leg <= 1
+          UNION ALL
+          SELECT c.clip, s.pos, s.sv::BIGINT AS sv
+          FROM q c JOIN svb s ON s.g = c.g AND s.pos < c.nc
+          WHERE c.leg >= 2),
+        fr AS (SELECT clip, pos // 16 AS t, pos % 16 AS nn, sv FROM sm),
+        sp AS (SELECT f.clip, f.t, tg.k,
+            sum(f.sv * tg.cq)::BIGINT AS re,
+            sum(f.sv * tg.sq)::BIGINT AS im
+          FROM fr f JOIN tg ON tg.n = f.nn GROUP BY 1, 2, 3),
+        pk AS (SELECT clip, t, k,
+            row_number() OVER (PARTITION BY clip, t
+              ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM sp),
+        peaks AS (SELECT clip, t, k FROM pk WHERE rn = 1),
+        lm AS (SELECT a.clip, a.t,
+            (a.k - 1) * 64 + (b.k - 1) * 8 + (c.k - 1) AS lid
+          FROM peaks a
+          JOIN peaks b ON b.clip = a.clip AND b.t = a.t + 1
+          JOIN peaks c ON c.clip = a.clip AND c.t = a.t + 2),
+        aligned AS (SELECT a.clip AS ca, b.clip AS cb, b.t - a.t AS dt,
+            count(*)::BIGINT AS n_al
+          FROM lm a JOIN lm b ON a.lid = b.lid AND a.clip < b.clip
+          GROUP BY 1, 2, 3),
+        dup AS (SELECT DISTINCT cb AS clip FROM aligned
+          WHERE n_al >= 8),
+        clfp AS (SELECT clip,
+            sum((t * 1000 + lid) % 1000000007)::BIGINT AS fp
+          FROM lm GROUP BY 1),
+        kept AS (SELECT q.clip, clfp.fp FROM q
+          JOIN clfp ON clfp.clip = q.clip
+          LEFT JOIN dup d ON d.clip = q.clip WHERE d.clip IS NULL)
+        SELECT r.source, r.n_raw,
+          COALESCE(dc.n_decoded, 0) AS n_decoded,
+          COALESCE(qq.n_quality, 0) AS n_quality,
+          COALESCE(xd.n_codec_dups, 0) AS n_codec_dups,
+          COALESCE(k.n_unique, 0) AS n_unique,
+          COALESCE(k.kept_fp, 0) AS kept_fp
+        FROM (SELECT source, count(*)::BIGINT AS n_raw
+            FROM cl GROUP BY 1) r
+        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_decoded
+            FROM live GROUP BY 1) dc USING (source)
+        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_quality
+            FROM q GROUP BY 1) qq USING (source)
+        LEFT JOIN (SELECT cl.source,
+            sum(CASE WHEN cl.leg IN (1, 3) THEN 1 ELSE 0 END)::BIGINT
+              AS n_codec_dups
+            FROM dup JOIN cl USING (clip) GROUP BY 1) xd
+          USING (source)
+        LEFT JOIN (SELECT cl.source, count(*)::BIGINT AS n_unique,
+            (sum(kept.fp) % 1000000007)::BIGINT AS kept_fp
+            FROM kept JOIN cl USING (clip) GROUP BY 1) k
+          USING (source)
+        ORDER BY source"""
+      },
+      "The unified WAV decode gate: G.711 u-law and closed-loop " +
+        "IMA-ADPCM blocks decode through the one AudioCodecs.samples " +
+        "dispatch to the EXACT streams their PCM16 twins carry and " +
+        "must near-dup against them (n_codec_dups pins it) — the " +
+        "oracle replays u-law via the published table as VALUES and " +
+        "the full ADPCM encoder+decoder as a RECURSIVE CTE over the " +
+        "published step tables."),
 
     GraftQuery(
       "q_multimodal_id3", Seq("S8", "P6", "A8"),

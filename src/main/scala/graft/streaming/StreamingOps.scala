@@ -2631,14 +2631,18 @@ object StreamingOps {
     * arriving clips the batch funnel keeps.
     */
   /** PCM16 decoders [[audioFunnelStream]]/[[audioFunnelStaticSide]]
-    * accept as their container plug: WAV (the default) and FLAC (the
-    * CRC-gated [[graft.operators.FlacDecode]] subset). Named values
-    * rather than arbitrary lambdas so the plug stays serializable and
-    * the funnel's decode-gate semantics stay documented per
-    * container.
+    * accept as their container plug: WAV through the UNIFIED codec
+    * entry point (the default — [[graft.operators.AudioCodecs.samples]]
+    * dispatches on the fmt chunk's audioFormat, so G.711 µ-law/A-law,
+    * IMA-ADPCM, and 8/24-bit/float-32 WAVs ride the same gates as
+    * plain PCM16, decoding to the identical stream their PCM16 twin
+    * carries) and FLAC (the CRC-gated [[graft.operators.FlacDecode]]).
+    * Named values rather than arbitrary lambdas so the plug stays
+    * serializable and the funnel's decode-gate semantics stay
+    * documented per container.
     */
   val WavDecoder: Array[Byte] => Option[Array[Short]] =
-    graft.operators.AudioHeader.pcm16Samples(_)
+    graft.operators.AudioCodecs.samples(_)
   val FlacDecoder: Array[Byte] => Option[Array[Short]] =
     graft.operators.FlacDecode.pcm16Samples(_)
 
