@@ -287,21 +287,69 @@ object AudioHeader {
     * tag order; bytes without a well-formed ID3v2 tag return empty —
     * never throws.
     */
-  def id3TextFrames(bytes: Array[Byte]): Seq[(String, String)] = {
+  def id3TextFrames(bytes: Array[Byte]): Seq[(String, String)] =
+    id3Frames(bytes).collect {
+      case (id, p) if id.startsWith("T") && p.length >= 1 &&
+          id.forall(c => c.isUpper || c.isDigit) &&
+          (u8(p, 0) == 0 || u8(p, 0) == 3) =>
+        val cs =
+          if (u8(p, 0) == 0) java.nio.charset.StandardCharsets.ISO_8859_1
+          else java.nio.charset.StandardCharsets.UTF_8
+        var len = p.length - 1
+        // strip one trailing NUL terminator if present
+        if (len > 0 && p(len) == 0) len -= 1
+        id -> new String(p, 1, len, cs)
+      // UTF-16 encodings (1/2): skipped by the guard, never mangled
+    }
+
+  /** ID3v2 APIC (attached picture) frames — the MP3 -> IMAGE bridge,
+    * the album-art twin of [[graft.operators.Multimodal.mp4Cues]]'
+    * MP4 -> text bridge: per the informal standard an APIC payload is
+    * an encoding byte, a NUL-terminated ISO-8859-1 mime string, a
+    * picture-type byte, a NUL-terminated description (latin1/UTF-8
+    * only — UTF-16 descriptions are skipped, never mangled), then the
+    * raw image bytes. Returns (mime, pictureType, imageBytes) in tag
+    * order; malformed payloads are skipped; never throws.
+    */
+  def id3ApicFrames(bytes: Array[Byte]): Seq[(String, Int, Array[Byte])] =
+    id3Frames(bytes).collect { case ("APIC", p) => p }.flatMap { p =>
+      if (p.length < 4) None
+      else {
+        val enc = u8(p, 0)
+        val mimeEnd = p.indexWhere(_ == 0, 1)
+        if (mimeEnd < 0 || (enc != 0 && enc != 3) ||
+            mimeEnd + 2 > p.length) None
+        else {
+          val mime = new String(p, 1, mimeEnd - 1,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val picType = u8(p, mimeEnd + 1)
+          val descEnd = p.indexWhere(_ == 0, mimeEnd + 2)
+          if (descEnd < 0 || descEnd + 1 > p.length) None
+          else Some((mime, picType,
+            java.util.Arrays.copyOfRange(p, descEnd + 1, p.length)))
+        }
+      }
+    }
+
+  /** Walk an ID3v2.3/v2.4 tag's frames: (id, payload) pairs in tag
+    * order — the shared walk behind [[id3TextFrames]] and
+    * [[id3ApicFrames]]. Frame sizes are plain 32-bit BE in v2.3 and
+    * syncsafe in v2.4. Bytes without a well-formed tag — or with the
+    * unsynchronisation (0x80) / extended-header (0x40) flags, which
+    * re-stuff bytes / shift every frame offset and would desync a
+    * flat walk — return empty; never throws.
+    */
+  private def id3Frames(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     if (bytes == null || bytes.length < 10) return Seq.empty
     if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))
       return Seq.empty
     val major = u8(bytes, 3)
     if (major != 3 && major != 4) return Seq.empty
-    // header flags: unsynchronisation (0x80) re-stuffs frame bytes and
-    // an extended header (0x40) shifts every frame offset — walking
-    // either as if flat would desync sizes and mangle text, violating
-    // the never-mangle contract. Skip such tags wholesale.
     if ((u8(bytes, 5) & 0xc0) != 0) return Seq.empty
     val tagSize = (u8(bytes, 6) & 0x7f) << 21 | (u8(bytes, 7) & 0x7f) << 14 |
       (u8(bytes, 8) & 0x7f) << 7 | (u8(bytes, 9) & 0x7f)
     val end = math.min(10L + tagSize, bytes.length.toLong).toInt
-    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
     var off = 10
     var ok = true
     while (ok && off + 10 <= end) {
@@ -320,21 +368,8 @@ object AudioHeader {
               u8(bytes, off + 6) << 8 | u8(bytes, off + 7)
         if (size < 0 || off + 10L + size > end) ok = false
         else {
-          if (id.startsWith("T") && size >= 1 &&
-              id.forall(c => c.isUpper || c.isDigit)) {
-            val enc = u8(bytes, off + 10)
-            val cs = enc match {
-              case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
-              case 3 => java.nio.charset.StandardCharsets.UTF_8
-              case _ => null // UTF-16 variants: skip, never mangle
-            }
-            if (cs != null) {
-              var len = size - 1
-              // strip one trailing NUL terminator if present
-              if (len > 0 && bytes(off + 10 + len) == 0) len -= 1
-              out += id -> new String(bytes, off + 11, len, cs)
-            }
-          }
+          out += id -> java.util.Arrays.copyOfRange(
+            bytes, off + 10, off + 10 + size)
           off += 10 + size
         }
       }
@@ -342,18 +377,21 @@ object AudioHeader {
     out.toSeq
   }
 
-  /** Build an ID3v2 tag block carrying the given text frames —
-    * fixture + executable spec of [[id3TextFrames]] (v2.3 plain or
-    * v2.4 syncsafe frame sizes, UTF-8 payloads, optional padding).
+  /** Build an ID3v2 tag block carrying the given text frames and
+    * optional APIC picture frames (UTF-8 encoding byte, latin1 mime +
+    * NUL, picture type, empty description + NUL, raw image bytes) —
+    * fixture + executable spec of [[id3TextFrames]] /
+    * [[id3ApicFrames]] (v2.3 plain or v2.4 syncsafe frame sizes,
+    * optional padding).
     */
   def synthesizeId3v2(
       frames: Seq[(String, String)], major: Int = 3,
-      padding: Int = 0): Array[Byte] = {
+      padding: Int = 0,
+      apic: Seq[(String, Int, Array[Byte])] = Seq.empty): Array[Byte] = {
     require(major == 3 || major == 4, s"major: $major")
     require(frames.forall(_._1.length == 4), "frame ids are 4 chars")
     val body = new scala.collection.mutable.ArrayBuffer[Byte]()
-    frames.foreach { case (id, text) =>
-      val payload = Array(3.toByte) ++ text.getBytes("UTF-8")
+    def frame(id: String, payload: Array[Byte]): Unit = {
       body ++= id.getBytes("US-ASCII")
       val sz = payload.length
       if (major == 4)
@@ -364,6 +402,13 @@ object AudioHeader {
           (sz >> 8).toByte, sz.toByte)
       body ++= Array[Byte](0, 0) // flags
       body ++= payload
+    }
+    frames.foreach { case (id, text) =>
+      frame(id, Array(3.toByte) ++ text.getBytes("UTF-8"))
+    }
+    apic.foreach { case (mime, picType, img) =>
+      frame("APIC", Array(3.toByte) ++ mime.getBytes("ISO-8859-1") ++
+        Array(0.toByte, picType.toByte, 0.toByte) ++ img)
     }
     body ++= Array.fill[Byte](padding)(0)
     val sz = body.length

@@ -435,6 +435,30 @@ object Multimodal {
       .drop("__cue")
   }
 
+  /** Album-art extraction from ID3v2 APIC frames — the MP3 -> IMAGE
+    * bridge into the image pipeline ([[AudioHeader.id3ApicFrames]]),
+    * the album-art twin of [[mp4Cues]]' MP4 -> text bridge: one row
+    * per attached picture with `apic_idx`, `mime`, `pic_type`, and
+    * the raw `art` bytes — ready for [[featuresColumn]] / pHash
+    * near-dup like any image column. Blobs without a well-formed
+    * ID3v2 tag emit nothing; stateless per-row projection (the same
+    * plan on batch and streaming frames).
+    */
+  def id3CoverArt(df: DataFrame, mediaCol: String): DataFrame = {
+    val extract = udf { bytes: Array[Byte] =>
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      AudioHeader.id3ApicFrames(b).zipWithIndex.map {
+        case ((mime, tp, img), i) => (i, mime, tp, img)
+      }
+    }
+    df.withColumn("__ap", explode(extract(col(mediaCol))))
+      .withColumn("apic_idx", col("__ap._1"))
+      .withColumn("mime", col("__ap._2"))
+      .withColumn("pic_type", col("__ap._3"))
+      .withColumn("art", col("__ap._4"))
+      .drop("__ap")
+  }
+
   /** Container-true KEYFRAME sampling — what a 100 TB video pipeline
     * actually decodes for thumbnails/shot analysis: only the frames
     * the stss sync-sample table marks seekable (I-frames), located

@@ -3001,6 +3001,104 @@ object PipelineQueries extends QueryPack {
         "tag magic yields no frames."),
 
     GraftQuery(
+      "q_multimodal_apic", Seq("S8", "P6", "A8"),
+      (s, dir) => {
+        // ID3v2 APIC album art -> the IMAGE pipeline (the MP3 twin of
+        // mp4Cues' caption bridge, completing the cross-modal bridge
+        // matrix): per doc an MP3 whose tag (v2.3 even docs, v2.4
+        // odd) carries a 32x32 PNG cover; every 3 docs share one
+        // cover under per-doc brightness re-grades (+0/+20/+40 —
+        // pHash is DC-invariant, so the three must hash IDENTICALLY
+        // despite different bytes: n_covers counts the distinct
+        // hashes); every 13th doc's PNG is truncated (APIC parses,
+        // pixels don't — the decode gate). The oracle replays the
+        // pixel -> DCT -> median -> pHash math per doc from the md5
+        // arithmetic, so a mime/description offset slip in the APIC
+        // walk or any pixel slip fails cover_fp. Stateless per-row
+        // projection; one (source) rollup shuffle.
+        import graft.operators.{AudioHeader, Multimodal, PixelDecode}
+        val mkMp3 = udf((docId: Long, ag: Long, b: Int) => {
+          val gray = new Array[Int](1024)
+          md5Fill(gray, blk => s"ap$ag:$blk")
+          val art = gray.map(_ % 200 + b * 20)
+          val png0 = PixelDecode.encodePngGray(32, 32, art)
+          val png = if (docId % 13 == 0) png0.take(30) else png0
+          AudioHeader.synthesizeId3v2(
+            Seq("TIT2" -> s"t $docId"),
+            major = if (docId % 2 == 0) 3 else 4,
+            apic = Seq(("image/png", 3, png))) ++
+            AudioHeader.synthesizeMp3(mpeg1 = false, brIdx = 2,
+              srIdx = 0, mono = true, nFrames = 2)
+        })
+        val arts = Multimodal.id3CoverArt(
+          Tables.load(s, dir, "documents")
+            .where(col("doc_id") % 9 === 5)
+            .select(col("doc_id"), col("source"))
+            .withColumn("ag", expr("doc_id - doc_id % 27"))
+            .withColumn("b", expr("cast((doc_id % 27) div 9 as int)"))
+            .withColumn("media",
+              mkMp3(col("doc_id"), col("ag"), col("b"))), "media")
+        arts
+          .withColumn("mf", Multimodal.featuresColumn(col("art")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_art"),
+            sum(when(col("mime") === "image/png" &&
+              col("pic_type") === 3, 1L).otherwise(0L)).as("n_png"),
+            sum(when(col("mf.decoded"), 1L).otherwise(0L))
+              .as("n_decoded"),
+            countDistinct(when(col("mf.decoded"), col("mf.phash")))
+              .as("n_covers"),
+            coalesce(sum(when(col("mf.decoded"),
+              col("mf.phash") % 1000000007L)), lit(0L)).as("cover_fp"))
+          .orderBy("source")
+      },
+      Some {
+        val ctvals = (for (u <- 0 until 8; x <- 0 until 32)
+          yield s"($u,$x,${graft.operators.PixelDecode.DctCos(u)(x)})")
+          .mkString(",")
+        s"""WITH ct(u, x, cv) AS (SELECT * FROM (VALUES $ctvals) v(u, x, cv)),
+        d AS (SELECT doc_id, source,
+            doc_id - doc_id % 27 AS ag,
+            ((doc_id % 27) // 9)::BIGINT AS b,
+            (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 9 = 5),
+        live AS (SELECT * FROM d WHERE NOT corrupt),
+        px AS (SELECT doc_id, (i // 32) AS r, (i % 32) AS c,
+            (('0x' || substr(md5('ap' || ag::VARCHAR || ':' ||
+              (i // 16)::VARCHAR), (i % 16) * 2 + 1, 2))::BIGINT
+              % 200 + b * 20) AS g
+          FROM live, (SELECT unnest(range(1024)) AS i)),
+        t1 AS (SELECT px.doc_id, ct.u, px.c AS y,
+            sum(px.g * ct.cv)::BIGINT AS t
+          FROM px JOIN ct ON ct.x = px.r GROUP BY 1, 2, 3),
+        co AS (SELECT t1.doc_id, t1.u, ct.u AS v,
+            sum(t1.t * ct.cv)::BIGINT AS coef
+          FROM t1 JOIN ct ON ct.x = t1.y GROUP BY 1, 2, 3),
+        acs AS (SELECT doc_id, u, v, coef,
+            row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+          FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, coef AS med FROM acs WHERE rn = 32),
+        ph AS (SELECT a.doc_id, sum(CASE WHEN a.coef > m.med
+            THEN (1::BIGINT << (a.u * 8 + a.v - 1))
+            ELSE 0 END)::BIGINT AS phash
+          FROM acs a JOIN med m USING (doc_id) GROUP BY 1)
+        SELECT d.source, count(*)::BIGINT AS n_art,
+          count(*)::BIGINT AS n_png,
+          sum(CASE WHEN NOT d.corrupt THEN 1 ELSE 0 END)::BIGINT
+            AS n_decoded,
+          count(DISTINCT ph.phash)::BIGINT AS n_covers,
+          COALESCE(sum(ph.phash % 1000000007), 0)::BIGINT AS cover_fp
+        FROM d LEFT JOIN ph USING (doc_id)
+        GROUP BY 1 ORDER BY 1"""
+      },
+      "ID3v2 APIC album art into the image pipeline: covers shared " +
+        "across MP3s under brightness re-grades must pHash " +
+        "identically (DC invariance), truncated PNGs drop at the " +
+        "decode gate — the oracle replays the APIC walk implicitly " +
+        "and the pixel/DCT/median/pHash math explicitly from the md5 " +
+        "arithmetic."),
+
+    GraftQuery(
       "q_multimodal_oggmd", Seq("S8", "P6", "A8"),
       (s, dir) => {
         // Ogg container metadata (RFC 3533 page walk + Opus/Vorbis id

@@ -580,6 +580,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ID3v2 APIC album art relays MP3 streams into the image " +
+    "pipeline: stateless cover extraction + decode column, " +
+    "brightness re-grades cluster to one pHash per cover") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AudioHeader, Multimodal, PixelDecode}
+    // 6 MP3s, 2 covers, 3 brightness re-grades each (+0/+20/+40):
+    // pHash is DC-invariant, so each cover must land on ONE hash
+    def mp3For(id: Int): Array[Byte] = {
+      val g = id / 3
+      val art = Array.tabulate(1024)(i =>
+        (g * 83 + i * 7 + (i * i) % 23) % 200 + (id % 3) * 20)
+      AudioHeader.synthesizeId3v2(Seq("TIT2" -> s"t $id"),
+        major = 3 + id % 2,
+        apic = Seq(("image/png", 3,
+          PixelDecode.encodePngGray(32, 32, art)))) ++
+        AudioHeader.synthesizeMp3(mpeg1 = false, brIdx = 2,
+          srIdx = 0, mono = true, nFrames = 2)
+    }
+    val corpus = (0 until 6).map(id => id.toLong -> mp3For(id))
+    val feed = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val out = Multimodal.id3CoverArt(
+        feed.toDF().toDF("doc", "media", "ts")
+          .withWatermark("ts", "2 hours"), "media")
+      .withColumn("mf", Multimodal.featuresColumn(col("art")))
+      .groupBy(window(col("ts"), "1 hour"), col("mf.phash"))
+      .agg(count(lit(1)).as("n"),
+        collect_set(col("doc")).as("docs"))
+    val q = out.writeStream.format("memory").queryName("apic_stream")
+      .outputMode("update").start()
+    try {
+      feed.addData(corpus.map { case (id, m) =>
+        (id, m, Timestamp.valueOf("2024-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("apic_stream")
+        .select("phash", "n", "docs").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Long](2).toSet)).toMap
+      assert(got.size === 2, "two covers -> two hashes")
+      assert(got.values.map(_._2).toSet ===
+        Set(Set(0L, 1L, 2L), Set(3L, 4L, 5L)))
+      // parity with the batch kernel's extraction
+      val batch = corpus.map { case (id, m) =>
+        val art = AudioHeader.id3ApicFrames(m).head._3
+        id -> Multimodal.featuresOf(art, 256).phash
+      }.toMap
+      for ((ph, (_, docs)) <- got; d <- docs)
+        assert(batch(d) === ph, s"batch parity doc $d")
+    } finally q.stop()
+  }
+
   test("MIXED GIF+APNG stream through the container-dispatching " +
     "AnimShingler: cross-container near-dups resolve keep-smallest " +
     "(the streaming face of q_pipeline_anim)") {
