@@ -66,12 +66,14 @@ object Multimodal {
     // pixel decode only runs behind a successful header parse: on a
     // corpus where most blobs are NOT images, per-row ImageIO reader
     // sniffing of arbitrary bytes would be pure overhead (every
-    // decodable container above also header-parses). WebP is
-    // header-only in this pure-JVM stack (no VP8/VP8L bitstream
-    // decoder ships with the JDK), so it skips the guaranteed-failing
-    // reader sniff and keeps its real header dims with decoded=false.
+    // decodable container above also header-parses). WebP routes
+    // straight to the pure [[Vp8lDecode]] (lossless payloads decode
+    // for real; lossy VP8 is a DSP codec — honest decoded=false with
+    // real header dims), skipping the guaranteed-failing ImageIO
+    // sniff.
     val decodedPx =
-      if (fmt == "unknown" || fmt == "webp") None
+      if (fmt == "unknown") None
+      else if (fmt == "webp") Vp8lDecode.decode(bytes)
       else PixelDecode.decode(bytes)
     decodedPx match {
       case Some(px) =>

@@ -47,6 +47,7 @@ object PixelDecode {
   def decode(bytes: Array[Byte]): Option[Pixels] =
     decodeImageIo(bytes).orElse(decodePngPure(bytes))
       .orElse(decodeGifPure(bytes)).orElse(decodeBmpPure(bytes))
+      .orElse(Vp8lDecode.decode(bytes))
 
   private[operators] def decodeImageIo(
       bytes: Array[Byte]): Option[Pixels] =

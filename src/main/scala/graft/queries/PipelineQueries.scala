@@ -980,7 +980,7 @@ object PipelineQueries extends QueryPack {
         // the production featuresColumn kernel once (checkpointed),
         // every stage is a filter/join over its output; the oracle
         // replays decode-free from the pixel definition.
-        import graft.operators.{Multimodal, PixelDecode}
+        import graft.operators.{Multimodal, PixelDecode, Vp8lDecode}
         val mkBytes = udf((docId: Long, v: Int) => {
           val gray = new Array[Int](1024)
           val base = v == 0 || docId % 3 == 0
@@ -993,8 +993,19 @@ object PipelineQueries extends QueryPack {
           }
           if (v == 1 && docId % 3 == 0)
             gray(1023) = (gray(1023) + 1) % 256
-          val png = PixelDecode.encodePngGray(32, 32, gray)
-          if (docId % 13 == 0 && v == 1) png.take(30) else png
+          // container varies per doc — every 5th-ish doc's images ship
+          // as LOSSLESS WEBP (VP8L: subtract-green + color cache)
+          // instead of PNG; pixels identical, so the decode-free
+          // pixel-replay oracle is unchanged and now pins the VP8L
+          // decoder too. The corrupt leg truncates whichever container
+          // the doc uses.
+          val img =
+            if (docId % 5 == 2)
+              Vp8lDecode.encodeWebpLossless(32, 32,
+                gray.map(g => (g << 16) | (g << 8) | g),
+                cacheBits = 6, subtractGreen = true)
+            else PixelDecode.encodePngGray(32, 32, gray)
+          if (docId % 13 == 0 && v == 1) img.take(30) else img
         })
         val imgs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"))
@@ -1098,11 +1109,13 @@ object PipelineQueries extends QueryPack {
         ORDER BY source"""
       },
       "The image-corpus build funnel (the visual q_pipeline_corpus): " +
-        "decode gate on real bytes (truncated PNGs drop), luminance " +
+        "decode gate on real bytes (truncated PNGs AND lossless WebPs " +
+        "drop — every 5th-ish doc ships VP8L-coded), luminance " +
         "quality gate cutting inside every source, banded pHash " +
         "near-dup dedup with keep-smallest canonicalization — " +
         "per-source funnel counts + survivor fingerprint, oracle " +
-        "replayed decode-free from the pixel definition."),
+        "replayed decode-free from the pixel definition, container-" +
+        "invariant across PNG and VP8L."),
 
     GraftQuery(
       "q_multimodal_keyframes", Seq("P6", "D9", "W4"),
