@@ -648,8 +648,11 @@ object Vp8lDecode {
   }
 
   /** Emit one Huffman code: simple form when it fits (<= 2 used
-    * symbols, all < 256), else the code-length-coded normal form
-    * (all 19 CL slots, no repeats, no max-symbol bound).
+    * symbols, all < 256), else the code-length-coded normal form with
+    * the spec's run-length codes — 16 (repeat previous nonzero length
+    * 3-6x), 17 (3-10 zeros), 18 (11-138 zeros) — so the decoder's
+    * repeat paths are encoder-exercised, and length arrays (mostly
+    * zeros) stay compact.
     */
   private def writeCodeDef(
       bw: BitWriter, lengths: Array[Int]): Unit = {
@@ -665,18 +668,45 @@ object Vp8lDecode {
       if (used.length == 2) bw.write(used(1), 8)
     } else {
       bw.write(0, 1) // normal
-      bw.write(15, 4) // num_code_lengths = 19
-      val clHist = lengths.groupBy(identity).map { case (l, a) => l -> a.length }
-      val clLengths = flatLengths(clHist.keys.toSeq.sorted, 19)
+      // tokenize runs: (cl symbol, extra bits, extra value)
+      val toks = new scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
       var i = 0
-      while (i < 19) { bw.write(clLengths(ClOrder(i)), 3); i += 1 }
-      bw.write(0, 1) // no max-symbol bound: all lengths follow
+      while (i < lengths.length) {
+        val l = lengths(i)
+        var run = 1
+        while (i + run < lengths.length && lengths(i + run) == l) run += 1
+        var rem = run
+        if (l == 0) {
+          while (rem >= 11) {
+            val c = math.min(rem, 138)
+            toks += ((18, 7, c - 11))
+            rem -= c
+          }
+          if (rem >= 3) { toks += ((17, 3, rem - 3)); rem = 0 }
+          while (rem > 0) { toks += ((0, 0, 0)); rem -= 1 }
+        } else {
+          toks += ((l, 0, 0)) // sets the decoder's prev-length
+          rem -= 1
+          while (rem >= 3) {
+            val c = math.min(rem, 6)
+            toks += ((16, 2, c - 3))
+            rem -= c
+          }
+          while (rem > 0) { toks += ((l, 0, 0)); rem -= 1 }
+        }
+        i += run
+      }
+      val clSyms = toks.map(_._1).distinct.sorted.toSeq
+      val clLengths = flatLengths(clSyms, 19)
+      bw.write(15, 4) // num_code_lengths = 19
+      var k = 0
+      while (k < 19) { bw.write(clLengths(ClOrder(k)), 3); k += 1 }
+      bw.write(0, 1) // no max-symbol bound
       val clCodes = canonicalCodes(clLengths)
-      lengths.foreach { l =>
-        if (clLengths(l) > 0 || clHist.size == 1) {
-          // trivial CL code (one distinct length): 0 bits on the wire
-          if (clHist.size > 1) bw.writeCode(clCodes(l), clLengths(l))
-        } else bail()
+      val trivialCl = clSyms.length == 1
+      toks.foreach { case (sym, eb, ev) =>
+        if (!trivialCl) bw.writeCode(clCodes(sym), clLengths(sym))
+        if (eb > 0) bw.write(ev, eb)
       }
     }
   }
@@ -706,29 +736,43 @@ object Vp8lDecode {
   }
 
   /** Encode an ARGB image as one entropy-coded VP8L image stream:
-    * literals, optional previous-row backrefs (distance = xsize —
-    * the 2D map's (0,1) entry, dist_code 1), optional color cache.
+    * literals, optional previous-row backrefs (distance = xsize -
+    * the 2D map's (0,1) entry, dist_code 1), optional color cache,
+    * and (main image only) an optional meta-Huffman entropy image -
+    * `metaBits` > 0 splits the image into 2^metaBits-wide tiles
+    * assigned to TWO code groups in a checkerboard, each with its own
+    * five codes, so the decoder's spatially-varying-codes path is
+    * encoder-exercised.
     */
   private def writeImage(
       bw: BitWriter, argb: Array[Int], w: Int, h: Int,
-      cacheBits: Int, rowBackrefs: Boolean, withMeta: Boolean): Unit = {
+      cacheBits: Int, rowBackrefs: Boolean, withMeta: Boolean,
+      metaBits: Int = 0): Unit = {
     require(!rowBackrefs || w <= 4096, "row backref length fits 24 codes")
+    require(metaBits == 0 || withMeta, "meta only on the main image")
+    require(metaBits == 0 || (metaBits >= 2 && metaBits <= 9),
+      s"metaBits: $metaBits")
     bw.write(if (cacheBits > 0) 1 else 0, 1)
     if (cacheBits > 0) bw.write(cacheBits, 4)
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
     val cacheUsed = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
-    val toks = new scala.collection.mutable.ArrayBuffer[Tok]()
+    val numGroups = if (metaBits > 0) 2 else 1
+    def groupOf(pos: Int): Int =
+      if (metaBits == 0) 0
+      else (((pos % w) >> metaBits) + ((pos / w) >> metaBits)) % 2
+    val toks = new scala.collection.mutable.ArrayBuffer[(Int, Tok)]()
     var pos = 0
     while (pos < w * h) {
       val y = pos / w
+      val grp = groupOf(pos)
       val rowRepeat = rowBackrefs && pos % w == 0 && y > 0 &&
         (0 until w).forall(x => argb(pos + x) == argb(pos - w + x))
       if (rowRepeat) {
         val (lc, le) = toPrefix(w)
         // distance = xsize -> 2D entry (0,1) -> dist_code 1
         val (dc, de) = toPrefix(1)
-        toks += Backref(lc, le, dc, de)
+        toks += grp -> Backref(lc, le, dc, de)
         var k = 0
         while (k < w) {
           val px = argb(pos - w + k)
@@ -743,57 +787,88 @@ object Vp8lDecode {
         val px = argb(pos)
         val hh = if (cache != null) hashPix(px, cacheBits) else -1
         if (cache != null && cacheUsed(hh) && cache(hh) == px)
-          toks += Cached(hh)
+          toks += grp -> Cached(hh)
         else {
-          toks += Lit(px)
+          toks += grp -> Lit(px)
           if (cache != null) { cache(hh) = px; cacheUsed(hh) = true }
         }
         pos += 1
       }
     }
-    // histograms over the token stream
-    val greenAlpha = 256 + 24 + cacheSize
-    val gh = scala.collection.mutable.Set.empty[Int]
-    val rh = scala.collection.mutable.Set.empty[Int]
-    val bh = scala.collection.mutable.Set.empty[Int]
-    val ah = scala.collection.mutable.Set.empty[Int]
-    val dh = scala.collection.mutable.Set.empty[Int]
-    toks.foreach {
-      case Lit(px) =>
-        gh += (px >> 8) & 0xff
-        rh += (px >> 16) & 0xff
-        bh += px & 0xff
-        ah += (px >>> 24)
-      case Cached(idx) => gh += 280 + idx
-      case Backref(lc, _, dc, _) => gh += 256 + lc; dh += dc
+    if (withMeta) {
+      bw.write(if (metaBits > 0) 1 else 0, 1)
+      if (metaBits > 0) {
+        bw.write(metaBits - 2, 3)
+        val mw = subSampleSize(w, metaBits)
+        val mh = subSampleSize(h, metaBits)
+        val entropy = Array.tabulate(mw * mh) { i =>
+          val grp = ((i % mw) + (i / mw)) % 2
+          0xff000000 | (grp << 8) // group index in (red << 8) | green
+        }
+        writeImage(bw, entropy, mw, mh, 0,
+          rowBackrefs = false, withMeta = false)
+      }
     }
-    if (rh.isEmpty) { rh += 0; bh += 0; ah += 0 }
-    if (dh.isEmpty) dh += 0
-    if (withMeta) bw.write(0, 1) // no meta-Huffman (main image only)
-    val gl = flatLengths(gh.toSeq.sorted, greenAlpha)
-    val rl = flatLengths(rh.toSeq.sorted, 256)
-    val bl = flatLengths(bh.toSeq.sorted, 256)
-    val al = flatLengths(ah.toSeq.sorted, 256)
-    val dl = flatLengths(dh.toSeq.sorted, 40)
-    Seq(gl, rl, bl, al, dl).foreach(writeCodeDef(bw, _))
-    val gc = canonicalCodes(gl)
-    val rc = canonicalCodes(rl)
-    val bc = canonicalCodes(bl)
-    val ac = canonicalCodes(al)
-    val dcArr = canonicalCodes(dl)
+    // per-group histograms over the token stream, then 5 codes per
+    // group in group order
+    val greenAlpha = 256 + 24 + cacheSize
+    case class GroupCodes(
+        gl: Array[Int], rl: Array[Int], bl: Array[Int],
+        al: Array[Int], dl: Array[Int]) {
+      val gc = canonicalCodes(gl)
+      val rc = canonicalCodes(rl)
+      val bc = canonicalCodes(bl)
+      val ac = canonicalCodes(al)
+      val dcodes = canonicalCodes(dl)
+    }
+    val groups = (0 until numGroups).map { grp =>
+      val gh = scala.collection.mutable.Set.empty[Int]
+      val rh = scala.collection.mutable.Set.empty[Int]
+      val bh = scala.collection.mutable.Set.empty[Int]
+      val ah = scala.collection.mutable.Set.empty[Int]
+      val dh = scala.collection.mutable.Set.empty[Int]
+      toks.foreach {
+        case (g, Lit(px)) if g == grp =>
+          gh += (px >> 8) & 0xff
+          rh += (px >> 16) & 0xff
+          bh += px & 0xff
+          ah += (px >>> 24)
+        case (g, Cached(idx)) if g == grp => gh += 280 + idx
+        case (g, Backref(lc, _, dc, _)) if g == grp =>
+          gh += 256 + lc
+          dh += dc
+        case _ => ()
+      }
+      // a group can be empty of some symbol kinds (or, on a tiny
+      // image, entirely unused): every code still needs >= 1 symbol
+      if (gh.isEmpty) gh += 0
+      if (rh.isEmpty) { rh += 0; bh += 0; ah += 0 }
+      if (dh.isEmpty) dh += 0
+      GroupCodes(flatLengths(gh.toSeq.sorted, greenAlpha),
+        flatLengths(rh.toSeq.sorted, 256),
+        flatLengths(bh.toSeq.sorted, 256),
+        flatLengths(ah.toSeq.sorted, 256),
+        flatLengths(dh.toSeq.sorted, 40))
+    }
+    groups.foreach(c =>
+      Seq(c.gl, c.rl, c.bl, c.al, c.dl).foreach(writeCodeDef(bw, _)))
     def emit(codes: Array[Int], lens: Array[Int], s: Int): Unit =
       if (lens.count(_ > 0) > 1) bw.writeCode(codes(s), lens(s))
     toks.foreach {
-      case Lit(px) =>
-        emit(gc, gl, (px >> 8) & 0xff)
-        emit(rc, rl, (px >> 16) & 0xff)
-        emit(bc, bl, px & 0xff)
-        emit(ac, al, px >>> 24)
-      case Cached(idx) => emit(gc, gl, 280 + idx)
-      case Backref(lc, le, dc, de) =>
-        emit(gc, gl, 256 + lc)
+      case (g, Lit(px)) =>
+        val c = groups(g)
+        emit(c.gc, c.gl, (px >> 8) & 0xff)
+        emit(c.rc, c.rl, (px >> 16) & 0xff)
+        emit(c.bc, c.bl, px & 0xff)
+        emit(c.ac, c.al, px >>> 24)
+      case (g, Cached(idx)) =>
+        val c = groups(g)
+        emit(c.gc, c.gl, 280 + idx)
+      case (g, Backref(lc, le, dc, de)) =>
+        val c = groups(g)
+        emit(c.gc, c.gl, 256 + lc)
         if (le._1 > 0) bw.write(le._2, le._1)
-        emit(dcArr, dl, dc)
+        emit(c.dcodes, c.dl, dc)
         if (de._1 > 0) bw.write(de._2, de._1)
     }
   }
@@ -804,7 +879,8 @@ object Vp8lDecode {
     * mode, image <= 512x512), `colorDeltas` (one tile of
     * (green_to_red, green_to_blue, red_to_blue) signed bytes),
     * `palette` (color indexing, <= 256 distinct colors, with sub-byte
-    * packing when few), `cacheBits`, `rowBackrefs`. decode() ->
+    * packing when few), `cacheBits`, `rowBackrefs`, and `metaBits`
+    * (a two-group meta-Huffman tile checkerboard). decode() ->
     * identical pixels is the roundtrip spec.
     */
   def encodeWebpLossless(
@@ -813,7 +889,8 @@ object Vp8lDecode {
       subtractGreen: Boolean = false,
       predictor: Option[Int] = None,
       colorDeltas: Option[(Int, Int, Int)] = None,
-      palette: Boolean = false): Array[Byte] = {
+      palette: Boolean = false,
+      metaBits: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, s"dims $w x $h")
     require(rgb.length == w * h, "pixel count")
     require(!palette || (!subtractGreen && predictor.isEmpty &&
@@ -943,7 +1020,7 @@ object Vp8lDecode {
     }
     bw.write(0, 1) // end of transforms
     writeImage(bw, argb, xsize, h, cacheBits, rowBackrefs,
-      withMeta = true)
+      withMeta = true, metaBits = metaBits)
     val payload = Array(0x2f.toByte) ++ bw.bytes
     // RIFF container
     val chunkLen = payload.length

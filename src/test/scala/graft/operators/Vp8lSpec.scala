@@ -31,11 +31,12 @@ class Vp8lSpec extends AnyFunSuite {
       cacheBits: Int = 0, rowBackrefs: Boolean = false,
       subtractGreen: Boolean = false, predictor: Option[Int] = None,
       colorDeltas: Option[(Int, Int, Int)] = None,
-      palette: Boolean = false): Array[Byte] = {
+      palette: Boolean = false, metaBits: Int = 0): Array[Byte] = {
     val webp = Vp8lDecode.encodeWebpLossless(w, h, rgb,
       cacheBits = cacheBits, rowBackrefs = rowBackrefs,
       subtractGreen = subtractGreen, predictor = predictor,
-      colorDeltas = colorDeltas, palette = palette)
+      colorDeltas = colorDeltas, palette = palette,
+      metaBits = metaBits)
     val px = Vp8lDecode.decode(webp).getOrElse(fail(s"decode: $label"))
     assert(px.width === w && px.height === h, label)
     assert(px.rgb.toSeq === rgb.toSeq, label)
@@ -94,6 +95,17 @@ class Vp8lSpec extends AnyFunSuite {
     val rows = Array.tabulate(16 * 10)(i => colorImg(16, 1, 5)(i % 16))
     roundtrip(16, 10, rows, "combo", cacheBits = 4, rowBackrefs = true,
       subtractGreen = true, predictor = Some(7))
+  }
+
+  test("meta-Huffman entropy image roundtrips: spatially varying " +
+    "code groups in a tile checkerboard, alone and with cache + " +
+    "backrefs + subtract-green") {
+    val img = colorImg(21, 13, 8)
+    roundtrip(21, 13, img, "meta2", metaBits = 2)
+    roundtrip(21, 13, img, "meta4", metaBits = 4)
+    val rows = Array.tabulate(16 * 10)(i => colorImg(16, 1, 5)(i % 16))
+    roundtrip(16, 10, rows, "metaCombo", metaBits = 2, cacheBits = 4,
+      rowBackrefs = true, subtractGreen = true)
   }
 
   test("the image kernel decodes lossless WebP for real: features, " +
