@@ -445,15 +445,25 @@ object FlacDecode {
     * constraint); `escapeZeroPartitions` emits all-zero partitions
     * as spec escape partitions (escape param + 5-bit size 0), so the
     * decoder's escape path is an encoder-exercised shape, not dead
-    * code. Frames carry correct CRC-8/CRC-16 — [[decode]] ->
-    * identical samples is the roundtrip spec.
+    * code; `wastedBits` > 0 emits every subframe with the spec's
+    * wasted-bits flag + unary count (the input samples must have that
+    * many zero low bits), so the decoder's wasted-bits restore is
+    * encoder-exercised too. Frames carry correct CRC-8/CRC-16 —
+    * [[decode]] -> identical samples is the roundtrip spec.
     */
   def synthesizeFlacPcm16(
       sampleRate: Int, samples: Array[Short],
       blockSize: Int = 256, subframe: String = "fixed2",
       channels: Int = 1, partitionOrder: Int = 0,
       escapeZeroPartitions: Boolean = false,
-      channelMode: String = "independent"): Array[Byte] = {
+      channelMode: String = "independent",
+      wastedBits: Int = 0): Array[Byte] = {
+    require(wastedBits >= 0 && wastedBits <= 8, s"wastedBits: $wastedBits")
+    require(wastedBits == 0 || channelMode == "independent",
+      "wasted-bit fixtures keep independent channels")
+    require(wastedBits == 0 ||
+      samples.forall(v => (v & ((1 << wastedBits) - 1)) == 0),
+      s"samples must have $wastedBits zero low bits")
     require(blockSize >= 16 && blockSize <= 65536, s"blockSize: $blockSize")
     require(channels >= 1 && channels <= 8, s"channels: $channels")
     require(samples.length % channels == 0,
@@ -471,7 +481,8 @@ object FlacDecode {
     while (base < totalFrames) {
       val n = math.min(blockSize, totalFrames - base)
       frames ++= encodeFrame(samples, base, n, channels, frameNo,
-        subframe, partitionOrder, escapeZeroPartitions, channelMode)
+        subframe, partitionOrder, escapeZeroPartitions, channelMode,
+        wastedBits)
       base += n
       frameNo += 1
     }
@@ -481,7 +492,8 @@ object FlacDecode {
   private def encodeFrame(
       samples: Array[Short], base: Int, n: Int, channels: Int,
       frameNo: Int, subframe: String, partitionOrder: Int,
-      escapeZero: Boolean, channelMode: String): Array[Byte] = {
+      escapeZero: Boolean, channelMode: String,
+      wastedBits: Int): Array[Byte] = {
     val chCode = channelMode match {
       case "independent" => channels - 1
       case "leftside" => 8
@@ -524,8 +536,20 @@ object FlacDecode {
           Array.tabulate(n)(i => l(i) - r(i)) -> 17)
       case _ => (0 until channels).map(c => raw(c) -> 16)
     }
-    // ---- one subframe per channel signal
-    signals.foreach { case (s, eb) =>
+    // ---- one subframe per channel signal (wasted bits: the stored
+    // signal is the input >> wastedBits at eb - wastedBits width; the
+    // decoder shifts back)
+    def wastedFlag(): Unit =
+      if (wastedBits == 0) w2.writeBit(0)
+      else {
+        w2.writeBit(1)
+        var k = 0
+        while (k < wastedBits - 1) { w2.writeBit(0); k += 1 }
+        w2.writeBit(1) // unary terminator: count = wastedBits
+      }
+    signals.foreach { case (s0, eb0) =>
+      val s = if (wastedBits == 0) s0 else s0.map(_ >> wastedBits)
+      val eb = eb0 - wastedBits
       def mask(v: Long): Long = v & ((1L << eb) - 1)
       val constant = s.forall(_ == s(0))
       def predictive(order: Int, coef: Array[Long], shift: Int,
@@ -533,7 +557,7 @@ object FlacDecode {
         require(n > order, s"block of $n too short for order $order")
         w2.writeBit(0)
         w2.writeBits(header, 6)
-        w2.writeBit(0) // no wasted bits
+        wastedFlag()
         var i = 0
         while (i < order) { w2.writeBits(mask(s(i)), eb); i += 1 }
         if (lpc) {
@@ -560,10 +584,10 @@ object FlacDecode {
       subframe match {
         case "constant" =>
           if (constant) {
-            w2.writeBit(0); w2.writeBits(0, 6); w2.writeBit(0)
+            w2.writeBit(0); w2.writeBits(0, 6); wastedFlag()
             w2.writeBits(mask(s(0)), eb)
-          } else writeVerbatim(w2, s, eb)
-        case "verbatim" => writeVerbatim(w2, s, eb)
+          } else writeVerbatim(w2, s, eb, wastedFlag _)
+        case "verbatim" => writeVerbatim(w2, s, eb, wastedFlag _)
         case f if f.startsWith("fixed") =>
           val order = f.substring(5).toInt
           require(order >= 0 && order <= 4, s"order: $order")
@@ -587,8 +611,10 @@ object FlacDecode {
     w3.bytes
   }
 
-  private def writeVerbatim(w: BitWriter, s: Array[Long], eb: Int): Unit = {
-    w.writeBit(0); w.writeBits(1, 6); w.writeBit(0)
+  private def writeVerbatim(
+      w: BitWriter, s: Array[Long], eb: Int,
+      wastedFlag: () => Unit): Unit = {
+    w.writeBit(0); w.writeBits(1, 6); wastedFlag()
     s.foreach(v => w.writeBits(v & ((1L << eb) - 1), eb))
   }
 

@@ -173,6 +173,21 @@ class FlacDecodeSpec extends AnyFunSuite {
     assert(indep.samples.toSeq === ms.samples.toSeq)
   }
 
+  test("wasted-bits subframes roundtrip: quantized samples emit the " +
+    "spec flag + unary count, shrink the stream, decode back exactly") {
+    val quant: Array[Short] = tone.map(v => (v & ~7).toShort)
+    for (sf <- Seq("verbatim", "constant", "fixed2", "lpc4")) {
+      val flac = FlacDecode.synthesizeFlacPcm16(8000, quant,
+        blockSize = 250, subframe = sf, wastedBits = 3)
+      val d = FlacDecode.decode(flac).getOrElse(fail(s"decode $sf"))
+      assert(d.samples.toSeq === quant.map(_.toInt).toSeq, sf)
+      // the wasted bits must really leave the subframes
+      val plain = FlacDecode.synthesizeFlacPcm16(8000, quant,
+        blockSize = 250, subframe = sf)
+      assert(flac.length < plain.length, sf)
+    }
+  }
+
   test("decode-bomb guard: a frame exceeding the declared stream " +
     "length bails before buffering it") {
     val flac = FlacDecode.synthesizeFlacPcm16(8000, tone.take(256),

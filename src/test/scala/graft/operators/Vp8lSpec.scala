@@ -125,6 +125,23 @@ class Vp8lSpec extends AnyFunSuite {
     assert(PixelDecode.decode(webp).get.rgb.toSeq === g.toSeq)
   }
 
+  test("VP8X-wrapped VP8L decodes through the chunk walk") {
+    val img = colorImg(9, 7, 6)
+    val plain = Vp8lDecode.encodeWebpLossless(9, 7, img)
+    val vp8l = plain.drop(12) // the VP8L chunk, header included
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val vp8x = "VP8X".getBytes("US-ASCII") ++ le32(10) ++
+      Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](8, 0, 0) ++ Array[Byte](6, 0, 0) // (w-1, h-1) 24-bit LE
+    val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ vp8l
+    val riff = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    assert(Vp8lDecode.decode(riff).get.rgb.toSeq === img.toSeq)
+    assert(ImageHeader.parse(riff).exists(i =>
+      i.format == "webp" && i.width == 9 && i.height == 7))
+  }
+
   test("hostility: truncation, bit damage, lossy VP8, and garbage " +
     "return None; fuzz never throws") {
     val webp = Vp8lDecode.encodeWebpLossless(13, 9, colorImg(13, 9, 2),
