@@ -180,8 +180,9 @@ object AudioCodecs {
     * scaled: (v - 128) << 8 — the exact inverse of the standard 8-bit
     * store), and 24 bits (high 16 bits — the standard down-conversion,
     * documented precision loss); audioFormat 3 at 32 bits (IEEE float,
-    * clamped x32767); audioFormat 6 (A-law), 7 (µ-law), and 17 (mono
-    * IMA ADPCM). None for anything else — a proprietary payload never
+    * clamped x32767); audioFormat 6 (A-law), 7 (µ-law), and 17 (IMA
+    * ADPCM, mono and the standard stereo channel-word interleave).
+    * None for anything else — a proprietary payload never
     * gets approximate samples. Mirrors [[AudioHeader.pcm16Samples]]'s
     * hostile-input contract: malformed containers return None, never
     * throw.
@@ -229,6 +230,7 @@ object AudioCodecs {
             Array.tabulate(len.toInt)(i => muLawDecode(u8(bytes, off + i)))
           }
         case (17, 4) if info.channels == 1 => imaAdpcmSamples(bytes)
+        case (17, 4) if info.channels == 2 => imaAdpcmStereoSamples(bytes)
         case _ => None
       }
     }
@@ -302,6 +304,71 @@ object AudioCodecs {
     Some(out.toArray)
   }
 
+  /** Decode a STEREO IMA-ADPCM WAV data chunk (the standard WAV
+    * layout): per block TWO 4-byte channel headers (left then right),
+    * then alternating 4-byte channel words — 4 bytes of left nibbles
+    * (8 samples, low nibble first) then 4 bytes of right nibbles.
+    * Output interleaves L/R per sample frame. Blocks must carry whole
+    * 8-byte word pairs; a ragged tail is malformed (None).
+    */
+  def imaAdpcmStereoSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    for {
+      ba <- blockAlign(bytes)
+      if ba >= 16 && (ba - 8) % 8 == 0
+      (off, len) <- AudioHeader.dataChunk(bytes)
+      out <- decodeAdpcmStereoBlocks(bytes, off, len.toInt, ba)
+    } yield out
+
+  private def decodeAdpcmStereoBlocks(
+      b: Array[Byte], off: Int, len: Int, blockAlign: Int)
+      : Option[Array[Short]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Short]()
+    var base = off
+    val end = off + len
+    while (base < end) {
+      val bl = math.min(blockAlign, end - base)
+      if (bl < 16 || (bl - 8) % 8 != 0) return None
+      var predL = (le16(b, base) << 16) >> 16
+      var idxL = u8(b, base + 2)
+      var predR = (le16(b, base + 4) << 16) >> 16
+      var idxR = u8(b, base + 6)
+      if (idxL > 88 || idxR > 88 ||
+        u8(b, base + 3) != 0 || u8(b, base + 7) != 0) return None
+      out += predL.toShort
+      out += predR.toShort
+      var i = base + 8
+      while (i < base + bl) {
+        val l = new Array[Short](8)
+        val r = new Array[Short](8)
+        var k = 0
+        while (k < 4) {
+          val byte = u8(b, i + k)
+          val (p1, i1) = imaStep(predL, idxL, byte & 0xf)
+          l(2 * k) = p1.toShort
+          val (p2, i2) = imaStep(p1, i1, (byte >> 4) & 0xf)
+          l(2 * k + 1) = p2.toShort
+          predL = p2; idxL = i2
+          k += 1
+        }
+        k = 0
+        while (k < 4) {
+          val byte = u8(b, i + 4 + k)
+          val (p1, i1) = imaStep(predR, idxR, byte & 0xf)
+          r(2 * k) = p1.toShort
+          val (p2, i2) = imaStep(p1, i1, (byte >> 4) & 0xf)
+          r(2 * k + 1) = p2.toShort
+          predR = p2; idxR = i2
+          k += 1
+        }
+        var s = 0
+        while (s < 8) { out += l(s); out += r(s); s += 1 }
+        i += 8
+      }
+      base += bl
+    }
+    Some(out.toArray)
+  }
+
   // ------------------------------------------------------------------
   // fixture encoders (real decodable WAV bytes)
   // ------------------------------------------------------------------
@@ -369,6 +436,71 @@ object AudioCodecs {
     val block = Array((seed & 0xff).toByte, ((seed >> 8) & 0xff).toByte,
       index.toByte, 0.toByte) ++ data
     wavHeader(17, 1, sampleRate, 4, block.length, block.length) ++ block
+  }
+
+  /** Encode interleaved STEREO PCM16 as a stereo IMA-ADPCM WAV
+    * (fixture + executable spec of [[imaAdpcmStereoSamples]]): per
+    * block the two channel seeds verbatim, then closed-loop encoded
+    * 8-sample channel words. Frames per block = 1 + (blockAlign - 8);
+    * the input must tile into blocks whose frame counts stay
+    * seed + whole words (the decoder's own grammar).
+    */
+  def synthesizeWavImaAdpcmStereo(
+      sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(blockAlign >= 16 && blockAlign % 8 == 0,
+      s"blockAlign: $blockAlign")
+    require(samples.length % 2 == 0, "interleaved stereo")
+    val frames = samples.length / 2
+    val fpb = 1 + (blockAlign - 8)
+    val tail = frames % fpb
+    require(tail == 0 || (tail >= 9 && (tail - 1) % 8 == 0),
+      s"frame count $frames must tile into seed + whole 8-sample words")
+    val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var idxL = 0
+    var idxR = 0
+    var base = 0
+    while (base < frames) {
+      val n = math.min(fpb, frames - base)
+      var predL: Int = samples(2 * base)
+      var predR: Int = samples(2 * base + 1)
+      data += (predL & 0xff).toByte
+      data += ((predL >> 8) & 0xff).toByte
+      data += idxL.toByte
+      data += 0
+      data += (predR & 0xff).toByte
+      data += ((predR >> 8) & 0xff).toByte
+      data += idxR.toByte
+      data += 0
+      var i = 1
+      while (i < n) {
+        // 8 left samples into 4 bytes, then 8 right samples
+        var k = 0
+        while (k < 4) {
+          val (n1, p1, i1) =
+            imaEncodeStep(samples(2 * (base + i + 2 * k)), predL, idxL)
+          val (n2, p2, i2) =
+            imaEncodeStep(samples(2 * (base + i + 2 * k + 1)), p1, i1)
+          data += ((n2 << 4) | n1).toByte
+          predL = p2; idxL = i2
+          k += 1
+        }
+        k = 0
+        while (k < 4) {
+          val (n1, p1, i1) = imaEncodeStep(
+            samples(2 * (base + i + 2 * k) + 1), predR, idxR)
+          val (n2, p2, i2) = imaEncodeStep(
+            samples(2 * (base + i + 2 * k + 1) + 1), p1, i1)
+          data += ((n2 << 4) | n1).toByte
+          predR = p2; idxR = i2
+          k += 1
+        }
+        i += 8
+      }
+      base += n
+    }
+    wavHeader(17, 2, sampleRate, 4, blockAlign, data.length) ++
+      data.toArray
   }
 
   /** Encode PCM16 as a mono IMA-ADPCM WAV: `samplesPerBlock` =

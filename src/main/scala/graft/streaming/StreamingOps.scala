@@ -2646,6 +2646,16 @@ object StreamingOps {
   val FlacDecoder: Array[Byte] => Option[Array[Short]] =
     graft.operators.FlacDecode.pcm16Samples(_)
 
+  /** Ogg-FLAC plug: reassemble the embedded FLAC stream from the Ogg
+    * pages ([[graft.operators.OggHeader.oggFlacStream]] — CRC-gated,
+    * packets rejoined across page boundaries) and decode it, so .oga
+    * streams ride the same funnel gates as .flac.
+    */
+  val OggFlacDecoder: Array[Byte] => Option[Array[Short]] = b =>
+    graft.operators.OggHeader
+      .oggFlacStream(if (b == null) Array.empty[Byte] else b)
+      .flatMap(graft.operators.FlacDecode.pcm16Samples)
+
   def audioFunnelStaticSide(
       catalog: DataFrame, // idCol, mediaCol (PCM16-bearing bytes)
       idCol: String = "clip",

@@ -140,4 +140,62 @@ class AudioCodecsSpec extends AnyFunSuite {
     bad(44 + 2) = 90.toByte // first block's index byte
     assert(samples(bad) === None)
   }
+
+  test("STEREO IMA ADPCM: channel-word interleave, per-channel seeds " +
+    "exact, channel separation, error bound, ragged tails malformed") {
+    import AudioCodecs._
+    // frames per block at blockAlign 256 = 1 + 248 = 249; pick
+    // 2 full blocks + a 9-frame tail (seed + one word) = 507 frames
+    val frames = 2 * 249 + 9
+    // left: a moving tone; right: CONSTANT (its closed-loop nibbles
+    // stay tiny, so any cross-channel state bleed would show up as
+    // right-channel drift)
+    val stereo = new Array[Short](frames * 2)
+    (0 until frames).foreach { i =>
+      stereo(2 * i) = (math.sin(i * 0.07) * 11000).toShort
+      stereo(2 * i + 1) = 1200
+    }
+    val wav = synthesizeWavImaAdpcmStereo(8000, stereo, 256)
+    assert(AudioHeader.parse(wav).exists(i =>
+      i.audioFormat == 17 && i.channels == 2))
+    val got = samples(wav).get
+    assert(got.length === frames * 2)
+    // per-channel block seeds are verbatim
+    for (b <- Seq(0, 249, 498)) {
+      assert(got(2 * b) === stereo(2 * b), s"L seed of block at $b")
+      assert(got(2 * b + 1) === stereo(2 * b + 1), s"R seed at $b")
+    }
+    // channel separation: the constant right channel never drifts
+    // beyond the smallest quantizer steps
+    val rErr = (0 until frames).map(i =>
+      math.abs(got(2 * i + 1) - 1200))
+    assert(rErr.max <= 32, s"right drift ${rErr.max}")
+    // left tracks within the adaptive-quantizer bound
+    val lErr = (0 until frames).map(i =>
+      math.abs(got(2 * i) - stereo(2 * i)))
+    assert(lErr.max <= 8192, s"max L err ${lErr.max}")
+    assert(lErr.sum.toDouble / lErr.size <= 256,
+      s"mean L err ${lErr.sum.toDouble / lErr.size}")
+    // ragged tail (not seed + whole words) is malformed, never a
+    // partial decode
+    assert(imaAdpcmStereoSamples(wav.dropRight(3)) === None)
+    // bad right-channel step index -> None
+    val bad = wav.clone()
+    bad(44 + 6) = 91.toByte
+    assert(samples(bad) === None)
+  }
+
+  test("Ogg-FLAC streaming decoder plug: .oga decodes to the .flac " +
+    "twin's samples; non-Ogg bytes gate to None") {
+    import graft.streaming.StreamingOps
+    val tone = Array.tabulate(600)(i =>
+      (math.sin(i * 0.06) * 9000).toShort)
+    val flac = FlacDecode.synthesizeFlacPcm16(8000, tone,
+      blockSize = 192, subframe = "lpc4")
+    val oga = OggHeader.synthesizeOggFlac(flac)
+    assert(StreamingOps.OggFlacDecoder(oga).map(_.toSeq) ===
+      StreamingOps.FlacDecoder(flac).map(_.toSeq))
+    assert(StreamingOps.OggFlacDecoder(flac) === None)
+    assert(StreamingOps.OggFlacDecoder(null) === None)
+  }
 }
