@@ -174,6 +174,20 @@ object FlacDecode {
     decode(bytes).filter(_.info.bitsPerSample == 16)
       .map(_.samples.map(_.toShort))
 
+  /** PCM16-NORMALIZED sample stream from any supported bit depth —
+    * the FLAC twin of [[AudioCodecs.samples]]' width normalization:
+    * 16 verbatim; 20/24/32 keep the top 16 bits (the standard
+    * down-conversion, documented precision loss); 8/12 scale up by
+    * shift. None unless the full stream decodes.
+    */
+  def pcm16NormalizedSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    decode(bytes).map { d =>
+      val shift = d.info.bitsPerSample - 16
+      if (shift == 0) d.samples.map(_.toShort)
+      else if (shift > 0) d.samples.map(v => (v >> shift).toShort)
+      else d.samples.map(v => (v << -shift).toShort)
+    }
+
   private def decodeOrBail(bytes: Array[Byte]): DecodedFlac = {
     val info = AudioHeader.parseFlac(bytes).getOrElse(bail())
     // decode-bomb guard: bound accumulation BEFORE decoding each
@@ -472,9 +486,32 @@ object FlacDecode {
       s"partitionOrder: $partitionOrder")
     require(channelMode == "independent" || channels == 2,
       s"channelMode $channelMode needs channels == 2")
+    synthesizeFlacWidth(sampleRate, samples.map(_.toInt), 16,
+      blockSize, subframe, channels, partitionOrder,
+      escapeZeroPartitions, channelMode, wastedBits)
+  }
+
+  /** [[synthesizeFlacPcm16]] at ANY supported bit depth (8/12/16/20/
+    * 24/32) over raw Int samples — the fixture encoder for the width
+    * legs [[pcm16NormalizedSamples]] normalizes. Same options.
+    */
+  def synthesizeFlacWidth(
+      sampleRate: Int, samples: Array[Int], bps: Int,
+      blockSize: Int = 256, subframe: String = "fixed2",
+      channels: Int = 1, partitionOrder: Int = 0,
+      escapeZeroPartitions: Boolean = false,
+      channelMode: String = "independent",
+      wastedBits: Int = 0): Array[Byte] = {
+    require(Set(8, 12, 16, 20, 24, 32)(bps), s"bps: $bps")
+    require(bps == 32 || samples.forall(v =>
+      v >= -(1 << (bps - 1)) && v < (1 << (bps - 1))),
+      s"samples out of $bps-bit range")
+    require(blockSize >= 16 && blockSize <= 65536, s"blockSize: $blockSize")
+    require(channels >= 1 && channels <= 8, s"channels: $channels")
+    require(samples.length % channels == 0, "interleave")
     val totalFrames = samples.length / channels
     val head = AudioHeader.synthesizeFlac(
-      sampleRate, channels, 16, totalFrames.toLong)
+      sampleRate, channels, bps, totalFrames.toLong)
     val frames = new scala.collection.mutable.ArrayBuffer[Byte]()
     var frameNo = 0
     var base = 0
@@ -482,7 +519,7 @@ object FlacDecode {
       val n = math.min(blockSize, totalFrames - base)
       frames ++= encodeFrame(samples, base, n, channels, frameNo,
         subframe, partitionOrder, escapeZeroPartitions, channelMode,
-        wastedBits)
+        wastedBits, bps)
       base += n
       frameNo += 1
     }
@@ -490,10 +527,10 @@ object FlacDecode {
   }
 
   private def encodeFrame(
-      samples: Array[Short], base: Int, n: Int, channels: Int,
+      samples: Array[Int], base: Int, n: Int, channels: Int,
       frameNo: Int, subframe: String, partitionOrder: Int,
       escapeZero: Boolean, channelMode: String,
-      wastedBits: Int): Array[Byte] = {
+      wastedBits: Int, bps: Int): Array[Byte] = {
     val chCode = channelMode match {
       case "independent" => channels - 1
       case "leftside" => 8
@@ -510,7 +547,16 @@ object FlacDecode {
     w.writeBits(7, 4) // block size: 16-bit-1 at end
     w.writeBits(0, 4) // sample rate: from STREAMINFO
     w.writeBits(chCode.toLong, 4)
-    w.writeBits(4, 3) // sample size: 16
+    // coded sample size (8/12/16/20/24/32 -> 1/2/4/5/6/7)
+    val ssCode = bps match {
+      case 8 => 1
+      case 12 => 2
+      case 16 => 4
+      case 20 => 5
+      case 24 => 6
+      case _ => 7
+    }
+    w.writeBits(ssCode.toLong, 3)
     w.writeBit(0) // reserved
     // coded frame number (UTF-8-style; fixtures stay < 2^31)
     encodeCodedNumber(w, frameNo.toLong)
@@ -526,15 +572,15 @@ object FlacDecode {
     val signals: Seq[(Array[Long], Int)] = chCode match {
       case 8 => // left, side = left - right
         val l = raw(0); val r = raw(1)
-        Seq(l -> 16, Array.tabulate(n)(i => l(i) - r(i)) -> 17)
+        Seq(l -> bps, Array.tabulate(n)(i => l(i) - r(i)) -> (bps + 1))
       case 9 => // side, right
         val l = raw(0); val r = raw(1)
-        Seq(Array.tabulate(n)(i => l(i) - r(i)) -> 17, r -> 16)
+        Seq(Array.tabulate(n)(i => l(i) - r(i)) -> (bps + 1), r -> bps)
       case 10 => // mid = (l + r) >> 1, side
         val l = raw(0); val r = raw(1)
-        Seq(Array.tabulate(n)(i => (l(i) + r(i)) >> 1) -> 16,
-          Array.tabulate(n)(i => l(i) - r(i)) -> 17)
-      case _ => (0 until channels).map(c => raw(c) -> 16)
+        Seq(Array.tabulate(n)(i => (l(i) + r(i)) >> 1) -> bps,
+          Array.tabulate(n)(i => l(i) - r(i)) -> (bps + 1))
+      case _ => (0 until channels).map(c => raw(c) -> bps)
     }
     // ---- one subframe per channel signal (wasted bits: the stored
     // signal is the input >> wastedBits at eb - wastedBits width; the

@@ -236,28 +236,33 @@ object Multimodal {
 
   /** The FLAC leg of [[audioFeaturesOf]]: full-stream frame decode
     * (CRC-verified — a corrupt stream falls to "unknown", never to
-    * wrong stats) with the same pooled-channel integer stats as the
-    * WAV path.
+    * wrong stats), signal stats over the PCM16-NORMALIZED stream
+    * ([[FlacDecode.pcm16NormalizedSamples]]' width rule — so 24-bit
+    * hi-res FLAC gets comparable numbers to its 16-bit twin, like
+    * the WAV width legs), `bits_per_sample` reporting the REAL
+    * depth. Same pooled-channel integer stats as the WAV path.
     */
   private def flacAudioFeaturesOf(
       bytes: Array[Byte]): Option[AudioFeatures] =
-    FlacDecode.decode(bytes)
-      .filter(_.info.bitsPerSample == 16)
-      .map { d =>
-        var peak = 0; var sumSq = 0L; var clipped = 0L
-        var i = 0
-        while (i < d.samples.length) {
-          val v = d.samples(i)
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          sumSq += v.toLong * v
-          if (v == 32767 || v == -32768) clipped += 1
-          i += 1
-        }
-        AudioFeatures("flac", d.info.sampleRate, d.info.channels, 16,
-          d.info.totalSamples, d.info.durationMs, peak,
-          rmsX1000(d.samples.length.toLong, sumSq), clipped)
+    FlacDecode.decode(bytes).map { d =>
+      val shift = d.info.bitsPerSample - 16
+      var peak = 0; var sumSq = 0L; var clipped = 0L
+      var i = 0
+      while (i < d.samples.length) {
+        val v0 = d.samples(i)
+        val v = (if (shift == 0) v0
+          else if (shift > 0) v0 >> shift
+          else v0 << -shift).toShort.toInt
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v.toLong * v
+        if (v == 32767 || v == -32768) clipped += 1
+        i += 1
       }
+      AudioFeatures("flac", d.info.sampleRate, d.info.channels,
+        d.info.bitsPerSample, d.info.totalSamples, d.info.durationMs,
+        peak, rmsX1000(d.samples.length.toLong, sumSq), clipped)
+    }
 
   /** The MP4 leg of [[audioFeaturesOf]]: first 'soun' track whose
     * sample entry is uncompressed PCM16 (`sowt` LE / `twos` BE, per

@@ -173,6 +173,46 @@ class FlacDecodeSpec extends AnyFunSuite {
     assert(indep.samples.toSeq === ms.samples.toSeq)
   }
 
+  test("bit-depth matrix: 8/12/20/24/32-bit streams decode exactly " +
+    "and normalize to PCM16 like the WAV width legs") {
+    // 24-bit built as PCM16 << 8: normalization recovers the original
+    val s24 = tone.map(v => v.toInt << 8)
+    val f24 = FlacDecode.synthesizeFlacWidth(48000, s24, 24,
+      blockSize = 250, subframe = "lpc4")
+    val d24 = FlacDecode.decode(f24).get
+    assert(d24.info.bitsPerSample === 24)
+    assert(d24.samples.toSeq === s24.toSeq)
+    assert(FlacDecode.pcm16Samples(f24) === None) // strict-16 gate
+    assert(FlacDecode.pcm16NormalizedSamples(f24).get.toSeq ===
+      tone.toSeq)
+    // the one audio kernel: 24-bit FLAC gets its 16-bit twin's stats
+    // with the REAL depth reported
+    val f16 = FlacDecode.synthesizeFlacPcm16(48000, tone,
+      blockSize = 250, subframe = "lpc4")
+    val a24 = Multimodal.audioFeaturesOf(f24)
+    val a16 = Multimodal.audioFeaturesOf(f16)
+    assert(a24.bits_per_sample === 24 && a16.bits_per_sample === 16)
+    assert((a24.n_samples, a24.duration_ms, a24.peak, a24.rms_x1000,
+      a24.n_clipped) ===
+      ((a16.n_samples, a16.duration_ms, a16.peak, a16.rms_x1000,
+        a16.n_clipped)))
+    // every other depth roundtrips bit-exactly, incl. stereo mid/side
+    for ((bps, scale) <- Seq((8, 1 << 8), (12, 1 << 4), (20, 1),
+        (32, 1))) {
+      val sig = tone.map(v => v.toInt / scale)
+      val f = FlacDecode.synthesizeFlacWidth(8000, sig, bps,
+        blockSize = 200, subframe = "fixed2")
+      assert(FlacDecode.decode(f).get.samples.toSeq === sig.toSeq,
+        s"bps $bps")
+    }
+    val st24 = Array.tabulate(800)(i =>
+      (math.sin(i * 0.04) * 4000000).toInt)
+    val fst = FlacDecode.synthesizeFlacWidth(48000, st24, 24,
+      blockSize = 200, subframe = "lpc2", channels = 2,
+      channelMode = "midside")
+    assert(FlacDecode.decode(fst).get.samples.toSeq === st24.toSeq)
+  }
+
   test("wasted-bits subframes roundtrip: quantized samples emit the " +
     "spec flag + unary count, shrink the stream, decode back exactly") {
     val quant: Array[Short] = tone.map(v => (v & ~7).toShort)
