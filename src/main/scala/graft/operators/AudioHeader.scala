@@ -308,69 +308,128 @@ object AudioHeader {
     * an encoding byte, a NUL-terminated ISO-8859-1 mime string, a
     * picture-type byte, a NUL-terminated description (latin1/UTF-8
     * only — UTF-16 descriptions are skipped, never mangled), then the
-    * raw image bytes. Returns (mime, pictureType, imageBytes) in tag
-    * order; malformed payloads are skipped; never throws.
+    * raw image bytes; v2.2's PIC frames (3-char image format instead
+    * of a mime) report under the equivalent mime. Returns (mime,
+    * pictureType, imageBytes) in tag order; malformed payloads are
+    * skipped; never throws.
     */
   def id3ApicFrames(bytes: Array[Byte]): Seq[(String, Int, Array[Byte])] =
-    id3Frames(bytes).collect { case ("APIC", p) => p }.flatMap { p =>
-      if (p.length < 4) None
-      else {
-        val enc = u8(p, 0)
-        val mimeEnd = p.indexWhere(_ == 0, 1)
-        if (mimeEnd < 0 || (enc != 0 && enc != 3) ||
-            mimeEnd + 2 > p.length) None
+    id3Frames(bytes).flatMap {
+      case ("APIC", p) =>
+        if (p.length < 4) None
         else {
-          val mime = new String(p, 1, mimeEnd - 1,
-            java.nio.charset.StandardCharsets.ISO_8859_1)
-          val picType = u8(p, mimeEnd + 1)
-          val descEnd = p.indexWhere(_ == 0, mimeEnd + 2)
-          if (descEnd < 0 || descEnd + 1 > p.length) None
-          else Some((mime, picType,
-            java.util.Arrays.copyOfRange(p, descEnd + 1, p.length)))
+          val enc = u8(p, 0)
+          val mimeEnd = p.indexWhere(_ == 0, 1)
+          if (mimeEnd < 0 || (enc != 0 && enc != 3) ||
+              mimeEnd + 2 > p.length) None
+          else {
+            val mime = new String(p, 1, mimeEnd - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val picType = u8(p, mimeEnd + 1)
+            val descEnd = p.indexWhere(_ == 0, mimeEnd + 2)
+            if (descEnd < 0 || descEnd + 1 > p.length) None
+            else Some((mime, picType,
+              java.util.Arrays.copyOfRange(p, descEnd + 1, p.length)))
+          }
         }
-      }
+      case ("PIC", p) =>
+        // v2.2's picture frame: encoding byte, a 3-char image FORMAT
+        // ("PNG"/"JPG"), picture type, NUL-terminated description,
+        // data — reported under the equivalent mime
+        if (p.length < 6) None
+        else {
+          val enc = u8(p, 0)
+          if (enc != 0 && enc != 3) None
+          else {
+            val fmt = new String(p, 1, 3,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val picType = u8(p, 4)
+            val descEnd = p.indexWhere(_ == 0, 5)
+            if (descEnd < 0) None
+            else Some(("image/" + fmt.trim.toLowerCase, picType,
+              java.util.Arrays.copyOfRange(p, descEnd + 1, p.length)))
+          }
+        }
+      case _ => None
     }
 
-  /** Walk an ID3v2.3/v2.4 tag's frames: (id, payload) pairs in tag
-    * order — the shared walk behind [[id3TextFrames]] and
-    * [[id3ApicFrames]]. Frame sizes are plain 32-bit BE in v2.3 and
-    * syncsafe in v2.4. Bytes without a well-formed tag — or with the
-    * unsynchronisation (0x80) / extended-header (0x40) flags, which
-    * re-stuff bytes / shift every frame offset and would desync a
-    * flat walk — return empty; never throws.
+  /** Walk an ID3v2.2/v2.3/v2.4 tag's frames: (id, payload) pairs in
+    * tag order — the shared walk behind [[id3TextFrames]] and
+    * [[id3ApicFrames]]. Frame headers are 6 bytes in v2.2 (3-char
+    * id, 3-byte BE size), 10 bytes with plain 32-bit sizes in v2.3,
+    * and syncsafe in v2.4. The v2.2/v2.3 WHOLE-TAG unsynchronisation
+    * flag (0x80) is honored by de-stuffing (FF 00 -> FF) before the
+    * walk; v2.4's flag means PER-FRAME unsync, which this walk
+    * doesn't decode — such tags return empty, never mangled text.
+    * Extended headers (0x40) are skipped by their declared size
+    * (v2.3 excludes its own 4 size bytes, v2.4 includes itself).
+    * Malformed tags return empty; never throws.
     */
   private def id3Frames(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     if (bytes == null || bytes.length < 10) return Seq.empty
     if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))
       return Seq.empty
     val major = u8(bytes, 3)
-    if (major != 3 && major != 4) return Seq.empty
-    if ((u8(bytes, 5) & 0xc0) != 0) return Seq.empty
+    if (major < 2 || major > 4) return Seq.empty
+    val flags = u8(bytes, 5)
     val tagSize = (u8(bytes, 6) & 0x7f) << 21 | (u8(bytes, 7) & 0x7f) << 14 |
       (u8(bytes, 8) & 0x7f) << 7 | (u8(bytes, 9) & 0x7f)
-    val end = math.min(10L + tagSize, bytes.length.toLong).toInt
+    if (major == 4 && (flags & 0x80) != 0) return Seq.empty
+    if (major == 2 && (flags & 0x40) != 0) return Seq.empty // compression
+    val rawEnd = math.min(10L + tagSize, bytes.length.toLong).toInt
+    // whole-tag de-unsynchronisation (v2.2/v2.3): FF 00 -> FF
+    val b: Array[Byte] =
+      if ((flags & 0x80) == 0)
+        java.util.Arrays.copyOfRange(bytes, 10, rawEnd)
+      else {
+        val o = new java.io.ByteArrayOutputStream()
+        var i = 10
+        while (i < rawEnd) {
+          o.write(bytes(i))
+          if (bytes(i) == 0xff.toByte && i + 1 < rawEnd &&
+            bytes(i + 1) == 0) i += 2
+          else i += 1
+        }
+        o.toByteArray
+      }
+    var off = 0
+    // extended header: skip by declared size
+    if (major >= 3 && (flags & 0x40) != 0) {
+      if (b.length < 4) return Seq.empty
+      def be32(i: Int): Long = (b(i) & 0xffL) << 24 |
+        (b(i + 1) & 0xff) << 16 | (b(i + 2) & 0xff) << 8 | (b(i + 3) & 0xff)
+      def ss32(i: Int): Long = (b(i) & 0x7fL) << 21 |
+        (b(i + 1) & 0x7f) << 14 | (b(i + 2) & 0x7f) << 7 | (b(i + 3) & 0x7f)
+      val skip = if (major == 3) 4 + be32(0) else ss32(0)
+      if (skip < 4 || skip > b.length) return Seq.empty
+      off = skip.toInt
+    }
+    val idLen = if (major == 2) 3 else 4
+    val headLen = if (major == 2) 6 else 10
     val out = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
-    var off = 10
     var ok = true
-    while (ok && off + 10 <= end) {
-      val id = new String(bytes, off, 4,
+    while (ok && off + headLen <= b.length) {
+      val id = new String(b, off, idLen,
         java.nio.charset.StandardCharsets.US_ASCII)
       if (id(0) == 0) ok = false // padding reached
       else {
-        val size =
-          if (major == 4)
-            (u8(bytes, off + 4) & 0x7f) << 21 |
-              (u8(bytes, off + 5) & 0x7f) << 14 |
-              (u8(bytes, off + 6) & 0x7f) << 7 |
-              (u8(bytes, off + 7) & 0x7f)
-          else
-            u8(bytes, off + 4) << 24 | u8(bytes, off + 5) << 16 |
-              u8(bytes, off + 6) << 8 | u8(bytes, off + 7)
-        if (size < 0 || off + 10L + size > end) ok = false
+        val size: Long = major match {
+          case 2 => (u8(b, off + 3).toLong << 16) |
+            (u8(b, off + 4) << 8) | u8(b, off + 5)
+          case 4 =>
+            ((u8(b, off + 4) & 0x7f).toLong << 21) |
+              ((u8(b, off + 5) & 0x7f) << 14) |
+              ((u8(b, off + 6) & 0x7f) << 7) |
+              (u8(b, off + 7) & 0x7f)
+          case _ => (u8(b, off + 4).toLong << 24) |
+            (u8(b, off + 5) << 16) | (u8(b, off + 6) << 8) |
+            u8(b, off + 7)
+        }
+        if (off + headLen + size > b.length) ok = false
         else {
           out += id -> java.util.Arrays.copyOfRange(
-            bytes, off + 10, off + 10 + size)
-          off += 10 + size
+            b, off + headLen, off + headLen + size.toInt)
+          off += headLen + size.toInt
         }
       }
     }
@@ -378,45 +437,69 @@ object AudioHeader {
   }
 
   /** Build an ID3v2 tag block carrying the given text frames and
-    * optional APIC picture frames (UTF-8 encoding byte, latin1 mime +
-    * NUL, picture type, empty description + NUL, raw image bytes) —
-    * fixture + executable spec of [[id3TextFrames]] /
-    * [[id3ApicFrames]] (v2.3 plain or v2.4 syncsafe frame sizes,
-    * optional padding).
+    * optional picture frames (APIC in v2.3/v2.4 — UTF-8 encoding
+    * byte, latin1 mime + NUL, picture type, empty description + NUL,
+    * raw image bytes; PIC with the 3-char format in v2.2) — fixture
+    * + executable spec of [[id3TextFrames]] / [[id3ApicFrames]]
+    * (v2.2 6-byte headers, v2.3 plain or v2.4 syncsafe frame sizes,
+    * optional padding, optional v2.2/v2.3 WHOLE-TAG
+    * unsynchronisation: FF 00 stuffing over the finished body).
     */
   def synthesizeId3v2(
       frames: Seq[(String, String)], major: Int = 3,
       padding: Int = 0,
-      apic: Seq[(String, Int, Array[Byte])] = Seq.empty): Array[Byte] = {
-    require(major == 3 || major == 4, s"major: $major")
-    require(frames.forall(_._1.length == 4), "frame ids are 4 chars")
+      apic: Seq[(String, Int, Array[Byte])] = Seq.empty,
+      unsync: Boolean = false): Array[Byte] = {
+    require(major >= 2 && major <= 4, s"major: $major")
+    require(!unsync || major <= 3, "whole-tag unsync is v2.2/v2.3")
+    val idLen = if (major == 2) 3 else 4
+    require(frames.forall(_._1.length == idLen),
+      s"frame ids are $idLen chars in v2.$major")
     val body = new scala.collection.mutable.ArrayBuffer[Byte]()
     def frame(id: String, payload: Array[Byte]): Unit = {
       body ++= id.getBytes("US-ASCII")
       val sz = payload.length
-      if (major == 4)
-        body ++= Array(((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
-          ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
-      else
-        body ++= Array((sz >> 24).toByte, (sz >> 16).toByte,
-          (sz >> 8).toByte, sz.toByte)
-      body ++= Array[Byte](0, 0) // flags
+      major match {
+        case 2 =>
+          body ++= Array(((sz >> 16) & 0xff).toByte,
+            ((sz >> 8) & 0xff).toByte, (sz & 0xff).toByte)
+        case 4 =>
+          body ++= Array(((sz >> 21) & 0x7f).toByte,
+            ((sz >> 14) & 0x7f).toByte,
+            ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte)
+          body ++= Array[Byte](0, 0) // flags
+        case _ =>
+          body ++= Array((sz >> 24).toByte, (sz >> 16).toByte,
+            (sz >> 8).toByte, sz.toByte)
+          body ++= Array[Byte](0, 0) // flags
+      }
       body ++= payload
     }
     frames.foreach { case (id, text) =>
       frame(id, Array(3.toByte) ++ text.getBytes("UTF-8"))
     }
     apic.foreach { case (mime, picType, img) =>
-      frame("APIC", Array(3.toByte) ++ mime.getBytes("ISO-8859-1") ++
-        Array(0.toByte, picType.toByte, 0.toByte) ++ img)
+      if (major == 2) {
+        val fmt = mime.stripPrefix("image/").toUpperCase.take(3)
+        require(fmt.length == 3, s"v2.2 PIC format from mime $mime")
+        frame("PIC", Array(3.toByte) ++ fmt.getBytes("ISO-8859-1") ++
+          Array(picType.toByte, 0.toByte) ++ img)
+      } else
+        frame("APIC", Array(3.toByte) ++ mime.getBytes("ISO-8859-1") ++
+          Array(0.toByte, picType.toByte, 0.toByte) ++ img)
     }
     body ++= Array.fill[Byte](padding)(0)
-    val sz = body.length
+    val stuffed =
+      if (!unsync) body
+      else body.flatMap(b =>
+        if (b == 0xff.toByte) Seq(b, 0.toByte) else Seq(b))
+    val sz = stuffed.length
     require(sz < (1 << 28), "tag too large")
     "ID3".getBytes("US-ASCII") ++
-      Array(major.toByte, 0.toByte, 0.toByte,
+      Array(major.toByte, 0.toByte,
+        (if (unsync) 0x80 else 0).toByte,
         ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
-        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ stuffed
   }
 
   /** Build a spec-layout MP3: optional ID3v2 prefix, `nFrames` Layer

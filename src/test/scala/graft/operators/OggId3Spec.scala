@@ -118,6 +118,64 @@ class OggId3Spec extends AnyFunSuite {
     }
   }
 
+  test("ID3v2.2 tags, whole-tag unsynchronisation, and extended " +
+    "headers: 6-byte frames + PIC art, FF-stuffed tags de-unsync " +
+    "exactly, ext headers are skipped, v2.4 unsync stays out") {
+    import AudioHeader._
+    // v2.2: 3-char ids, 3-byte sizes, PIC picture frames
+    val png = Array.tabulate[Byte](40)(i => (i * 7 - 100).toByte)
+    val t22 = synthesizeId3v2(
+      Seq("TT2" -> "old title", "TP1" -> "artist"),
+      major = 2, apic = Seq(("image/png", 3, png)))
+    assert(id3TextFrames(t22) ===
+      Seq("TT2" -> "old title", "TP1" -> "artist"))
+    val Seq((mime22, tp22, img22)) = id3ApicFrames(t22)
+    assert(mime22 === "image/png" && tp22 === 3 &&
+      img22.toSeq === png.toSeq)
+    // whole-tag unsync: picture data full of FF bytes (the case the
+    // stuffing exists for) must de-unsync to the exact payload
+    val ffpng = Array.tabulate[Byte](64)(i =>
+      if (i % 3 == 0) 0xff.toByte else i.toByte)
+    for (major <- Seq(2, 3)) {
+      val tid = if (major == 2) "TT2" else "TIT2"
+      val tu = synthesizeId3v2(Seq(tid -> s"u$major"), major = major,
+        apic = Seq(("image/png", 3, ffpng)), unsync = true)
+      assert((tu(5) & 0x80) !== 0, s"v2.$major unsync flag set")
+      assert(id3TextFrames(tu) === Seq(tid -> s"u$major"),
+        s"v2.$major text under unsync")
+      val Seq((m, t, img)) = id3ApicFrames(tu)
+      assert(m === "image/png" && t === 3 &&
+        img.toSeq === ffpng.toSeq, s"v2.$major art under unsync")
+      // the stuffed body really differs from the unstuffed tag
+      val plain = synthesizeId3v2(Seq(tid -> s"u$major"),
+        major = major, apic = Seq(("image/png", 3, ffpng)))
+      assert(tu.length > plain.length)
+    }
+    // v2.3 extended header: 4-byte size (excluding itself) + data,
+    // skipped by declared size
+    val base = synthesizeId3v2(Seq("TIT2" -> "ext"), major = 3)
+    val body = Array[Byte](0, 0, 0, 6, 0, 0, 0, 0, 0, 0) ++ base.drop(10)
+    val sz = body.length
+    val tagged = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0x40.toByte,
+        ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+    assert(id3TextFrames(tagged) === Seq("TIT2" -> "ext"))
+    // v2.4's flag means PER-FRAME unsync — still skipped, not mangled
+    val t4 = synthesizeId3v2(Seq("TIT2" -> "x"), major = 4)
+    val t4u = t4.clone(); t4u(5) = 0x80.toByte
+    assert(id3TextFrames(t4u) === Seq.empty)
+    // fuzz: arbitrary corruption never throws
+    val rnd = new scala.util.Random(41)
+    val tu3 = synthesizeId3v2(Seq("TIT2" -> "z"), major = 3,
+      apic = Seq(("image/png", 3, ffpng)), unsync = true)
+    (1 to 200).foreach { _ =>
+      val m = tu3.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      id3TextFrames(m); id3ApicFrames(m)
+    }
+  }
+
   test("id3TextFrames: v2.3 and v2.4 roundtrips, padding, non-text " +
     "and UTF-16 frames skipped, hostile tags empty") {
     import AudioHeader._
