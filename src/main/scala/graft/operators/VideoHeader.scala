@@ -292,10 +292,40 @@ object VideoHeader {
     var chunkOffsets: Array[Long] = null
     var stss: Array[Long] = null // 1-based sync sample numbers
     var ctts: Array[(Long, Long)] = null // (count, signed offset)
+    var editOffset = 0L // initial elst media_time (presentation shift)
     var bad = false
     def u32(i: Int): Long = be32(b, i)
     walk(b, start, end) { (tp, p0, p1) =>
-      if (tp == "mdia") walk(b, p0, p1) { (mtp, m0, m1) =>
+      if (tp == "edts") walk(b, p0, p1) { (etp, e0, e1) =>
+        if (etp != "elst") true
+        else if (e1 - e0 < 8) { bad = true; false }
+        else {
+          // edit list (§8.6.6): the FIRST non-empty entry's media_time
+          // is the initial presentation offset (the dominant real-world
+          // use — composition-delay compensation); empty edits
+          // (media_time -1, a movie-timescale delay) and further
+          // segments are metadata this walk does not re-time
+          val version = u8(b, e0)
+          val n = u32(e0 + 4)
+          val entrySz = if (version == 1) 20 else 12
+          if (version > 1 || n < 0 || n > 4096 ||
+            e0 + 8 + n * entrySz > e1) { bad = true; false }
+          else {
+            var k = 0
+            var found = false
+            while (k < n && !found) {
+              val at = e0 + 8 + k * entrySz
+              val mediaTime =
+                if (version == 1) be64(b, at + 8)
+                else u32(at + 4).toInt.toLong // signed 32
+              if (mediaTime >= 0) { editOffset = mediaTime; found = true }
+              k += 1
+            }
+            true
+          }
+        }
+      }
+      else if (tp == "mdia") walk(b, p0, p1) { (mtp, m0, m1) =>
         mtp match {
           case "hdlr" =>
             if (m1 - m0 >= 12) {
@@ -443,7 +473,7 @@ object VideoHeader {
             }
             if (cttsLeft > 0) { cttsLeft -= 1; ctts(cttsIdx)._2 } else 0L
           }
-        out += Sample(sample, off, sz, dts, dts + ctsOff,
+        out += Sample(sample, off, sz, dts, dts + ctsOff - editOffset,
           syncSet == null || syncSet(sample + 1L))
         // advance the stts clock
         while (sttsLeft == 0 && sttsIdx + 1 < stts.length) {
@@ -567,11 +597,15 @@ object VideoHeader {
       video, samples, sampleDelta, samplesPerChunk, syncSamples,
       cttsOffsets)))
 
-  /** One track's spec + sample data for [[synthesizeMp4Tracks]]. */
+  /** One track's spec + sample data for [[synthesizeMp4Tracks]].
+    * `editMediaTime` emits an edts/elst box (one version-0 entry at
+    * rate 1.0) whose media_time shifts every sample's presentation
+    * time — the composition-delay compensation real muxers write.
+    */
   final case class TrackSamples(
       spec: TrackSpec, samples: Seq[Array[Byte]], sampleDelta: Long,
       samplesPerChunk: Int, syncSamples: Seq[Int] = Nil,
-      cttsOffsets: Seq[Long] = Nil)
+      cttsOffsets: Seq[Long] = Nil, editMediaTime: Option[Long] = None)
 
   /** Build an MP4 with MULTIPLE tracks carrying real sample tables —
     * the realistic shape of in-the-wild media (video + captions +
@@ -645,7 +679,17 @@ object VideoHeader {
       }
       val stbl = box("stbl",
         (Seq(stsd, stts, stsc, stsz, stco) ++ extras): _*)
-      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", stbl)))
+      val mdia = box("mdia", mdhd, hdlr, box("minf", stbl))
+      t.editMediaTime match {
+        case Some(mt) =>
+          require(mt >= 0 && mt < (1L << 31), s"editMediaTime: $mt")
+          // one version-0 entry: whole-duration segment, media_time,
+          // rate 1.0 — the composition-delay shape
+          val elst = fullBox("elst", beInt(1),
+            beInt(duration), beInt(mt), beShort(1), beShort(0))
+          box("trak", tkhd, box("edts", elst), mdia)
+        case None => box("trak", tkhd, mdia)
+      }
     }
     def buildMoov(offsets: Seq[Seq[Long]]): Array[Byte] = {
       val mvhd = fullBox("mvhd",

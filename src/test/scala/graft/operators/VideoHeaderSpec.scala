@@ -182,6 +182,42 @@ class VideoHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("edit lists: elst media_time shifts every pts (the composition-" +
+    "delay compensation real muxers write); dts and payloads unmoved") {
+    val payloads = (0 until 9).map(i => Array.fill[Byte](6)(i.toByte))
+    // b-frame shape whose ctts delays every frame by >= 100: the elst
+    // compensates so the first presented frame lands at pts 0
+    val ctts = (0 until 9).map(i => Seq(100L, 200L, 300L)(i % 3))
+    def mk(edit: Option[Long]) = VideoHeader.synthesizeMp4Tracks(
+      "mp42", 600, 900, Seq(VideoHeader.TrackSamples(
+        VideoHeader.TrackSpec("vide", "avc1", 64, 64, 600, 900),
+        payloads, 100, 4, Seq(1, 4, 7), ctts, editMediaTime = edit)))
+    val base = VideoHeader.videoSamples(mk(None)).get
+    val withEditMp4 = mk(Some(100L))
+    val edited = VideoHeader.videoSamples(withEditMp4).get
+    assert(edited.size === 9)
+    edited.zip(base).foreach { case (e, b) =>
+      assert(e.dts === b.dts)
+      assert(e.pts === b.pts - 100L, s"pts shift at ${e.index}")
+      assert(e.size === b.size && e.sync === b.sync)
+      // the edts box grows moov, so absolute offsets shift — the
+      // PAYLOAD each sample locates must stay the frame's bytes
+      val got = withEditMp4.slice(e.offset.toInt, e.offset.toInt + e.size)
+      assert(got.toSeq === payloads(e.index).toSeq, s"bytes(${e.index})")
+    }
+    assert(edited.head.pts === 0L)
+    // parse() still reads the container around the edts box
+    assert(VideoHeader.parse(mk(Some(100L))).get.videoTracks.nonEmpty)
+    val withEdit = mk(Some(100L))
+    // mutation fuzz over the elst box: never throws
+    val rnd = new scala.util.Random(23)
+    (1 to 300).foreach { _ =>
+      val m = withEdit.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      VideoHeader.videoSamples(m) // must not throw
+    }
+  }
+
   test("ctts box version byte: 1 when any composition offset is " +
     "negative (ISO 14496-12 v0 offsets are unsigned), else 0") {
     def cttsVersion(mp4: Array[Byte]): Int = {
