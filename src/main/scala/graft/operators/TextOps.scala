@@ -523,6 +523,44 @@ object TextOps {
     * The model is FIXED-size (never grows with the corpus) and
     * broadcast-sized by construction.
     */
+  /** Parse SubRip (.srt) / WebVTT (.vtt) subtitle text into cue rows
+    * (ordinal, start_ms, end_ms, text) — the sidecar-subtitle twin of
+    * [[graft.operators.Multimodal.mp4Cues]]' in-container bridge, and
+    * a first-class text SOURCE for a corpus build (subtitles are a
+    * major share of real transcript data). Grammar: blank-line-
+    * separated blocks; an optional id line, then a
+    * `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line (SRT comma or VTT
+    * dot decimals; trailing VTT cue settings tolerated), then the cue
+    * text lines joined by newline. A leading `WEBVTT` header block
+    * and NOTE/STYLE blocks carry no timing line and are skipped, as
+    * are malformed blocks (no timing within the first two lines,
+    * end < start, empty text) — never thrown on. The ordinal counts
+    * EMITTED cues (declared SRT indices are unreliable in the wild).
+    */
+  def subtitleCues(text: String): Seq[(Int, Long, Long, String)] = {
+    if (text == null) return Seq.empty
+    val Timing = ("""(\d{1,2}):(\d{2}):(\d{2})[.,](\d{3})\s*-->\s*""" +
+      """(\d{1,2}):(\d{2}):(\d{2})[.,](\d{3}).*""").r
+    def ms(h: String, m: String, s: String, mil: String): Long =
+      h.toLong * 3600000 + m.toLong * 60000 + s.toLong * 1000 + mil.toLong
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Long, String)]()
+    text.split("\r?\n\r?\n+").foreach { blk =>
+      val lines = blk.split("\r?\n").dropWhile(_.trim.isEmpty)
+      val tIdx = lines.indexWhere(_.contains("-->"))
+      if (tIdx >= 0 && tIdx <= 1) lines(tIdx).trim match {
+        case Timing(h1, m1, s1, ms1, h2, m2, s2, ms2) =>
+          val start = ms(h1, m1, s1, ms1)
+          val end = ms(h2, m2, s2, ms2)
+          val body = lines.drop(tIdx + 1).mkString("\n")
+          if (end >= start && body.nonEmpty)
+            out += ((out.length, start, end, body))
+        case _ => () // malformed timing: skip the block
+      }
+    }
+    out.toSeq
+  }
+
   def dsirModel(
       corpus: org.apache.spark.sql.DataFrame,
       isTarget: Column,

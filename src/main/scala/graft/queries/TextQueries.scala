@@ -3442,5 +3442,86 @@ object TextQueries extends QueryPack {
         "component modality count naming the genuinely cross-modal " +
         "clusters; oracle replays minhash, the integer DCT, and the " +
         "label propagation relationally."),
+
+    GraftQuery(
+      "q_text_srt", Seq("S1", "P6", "A8"),
+      (s, dir) => {
+        // SUBTITLE-FILE ingestion (SRT + WebVTT) — sidecar subtitles
+        // are a major real transcript source; this is the text-source
+        // twin of mp4Cues' in-container bridge. Per doc a subtitle
+        // file from id arithmetic: SRT flavor (index lines, comma
+        // decimals) for even docs, WebVTT (header block, dot
+        // decimals, cue settings, no ids) for odd; every 13th doc's
+        // SECOND cue carries a garbage timing line (that block must
+        // skip — the malformed-cue gate); every 3rd cue is multi-line
+        // (the newline join). The oracle REBUILDS the expected cues
+        // from the same arithmetic without parsing, so a timing-math,
+        // flavor-dispatch, skip, or line-join slip fails the hash.
+        // Stateless per-row parse; one (source) rollup shuffle.
+        import graft.operators.TextOps
+        val mkSub = udf((docId: Long) => {
+          val nc = (docId % 5 + 2).toInt
+          val vtt = docId % 2 == 1
+          val sb = new StringBuilder
+          if (vtt) sb.append("WEBVTT\n\n")
+          (0 until nc).foreach { k =>
+            val start = (docId % 7) * 537 + k * 2347
+            val end = start + 800 + (k % 3) * 350
+            def fmt(ms: Long): String = {
+              val h = ms / 3600000
+              val m = ms / 60000 % 60
+              val sec = ms / 1000 % 60
+              val mil = ms % 1000
+              f"$h%02d:$m%02d:$sec%02d${if (vtt) "." else ","}$mil%03d"
+            }
+            if (!vtt) sb.append((k + 1).toString).append('\n')
+            if (docId % 13 == 0 && k == 1)
+              sb.append("not a timing line\n")
+            else sb.append(fmt(start)).append(" --> ").append(fmt(end))
+              .append(if (vtt) " align:start" else "").append('\n')
+            sb.append(s"cue $docId:$k\n")
+            if (k % 3 == 0) sb.append(s"second $k\n")
+            sb.append('\n')
+          }
+          sb.toString
+        })
+        val cues = udf((text: String) => TextOps.subtitleCues(text))
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 6 === 2)
+          .select(col("doc_id"), col("source"))
+          .withColumn("c", explode(cues(mkSub(col("doc_id")))))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_cues"),
+            sum(col("c._2")).as("sum_start"),
+            sum(col("c._3")).as("sum_end"),
+            sum(length(col("c._4"))).as("sum_len"),
+            min(col("c._4")).as("min_text"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id % 5 + 2 AS nc, (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 6 = 2),
+        cues AS (SELECT doc_id, source,
+            ((doc_id % 7) * 537 + k * 2347)::BIGINT AS start_ms,
+            ((doc_id % 7) * 537 + k * 2347 + 800 + (k % 3) * 350)::BIGINT
+              AS end_ms,
+            CASE WHEN k % 3 = 0
+              THEN 'cue ' || doc_id::VARCHAR || ':' || k::VARCHAR ||
+                chr(10) || 'second ' || k::VARCHAR
+              ELSE 'cue ' || doc_id::VARCHAR || ':' || k::VARCHAR
+            END AS text
+          FROM d, (SELECT unnest(range(7)) AS k)
+          WHERE k < nc AND NOT (corrupt AND k = 1))
+        SELECT source, count(*)::BIGINT AS n_cues,
+          sum(start_ms)::BIGINT AS sum_start,
+          sum(end_ms)::BIGINT AS sum_end,
+          sum(length(text))::BIGINT AS sum_len,
+          min(text) AS min_text
+        FROM cues GROUP BY 1 ORDER BY 1"""),
+      "SRT and WebVTT subtitle files parsed into cue rows (timing " +
+        "arithmetic, flavor dispatch, multi-line joins, malformed-" +
+        "block skip) — the oracle rebuilds every expected cue from " +
+        "the id arithmetic without parsing, pinning the parser " +
+        "end-to-end."),
   )
 }
