@@ -3523,5 +3523,75 @@ object TextQueries extends QueryPack {
         "block skip) — the oracle rebuilds every expected cue from " +
         "the id arithmetic without parsing, pinning the parser " +
         "end-to-end."),
+
+    GraftQuery(
+      "q_text_warc", Seq("S1", "P6", "A8"),
+      (s, dir) => {
+        // WARC ingestion (ISO 28500 — the Common Crawl container, the
+        // format a web-scale corpus build actually starts from): per
+        // doc a WARC of 1 warcinfo + nc response records, layout
+        // varying per doc — plain for even docs, gzip member-per-
+        // record (Common Crawl's seekable layout) for doc%4==1,
+        // coarser 3-record members for doc%4==3 — extracted through
+        // the production warcDocuments bridge (record walk -> HTTP
+        // split -> text rows). Every 13th doc carries a garbage tail
+        // after its first response: the forgiving-stream contract
+        // keeps exactly the records before it. The oracle rebuilds
+        // every expected (uri, status, text) from the id arithmetic
+        // without parsing — a header-walk, Content-Length, gzip-
+        // member, or UTF-8 split slip fails the hash. Stateless
+        // per-row parse; one (source) rollup shuffle.
+        import graft.operators.Warc
+        val mkWarc = udf((docId: Long) => {
+          val nc = (docId % 4 + 2).toInt
+          val recs = Warc.WarcRecord("warcinfo", "",
+            "application/warc-fields",
+            "software: graft\r\n".getBytes("ISO-8859-1")) +:
+            (0 until nc).map { k =>
+              Warc.WarcRecord("response", s"https://ex.com/$docId/$k",
+                "application/http;msgtype=response",
+                Warc.synthesizeHttp(200 + (k % 3) * 100, "text/html",
+                  s"page $docId:$k" + (if (k % 2 == 1) " é" else "")))
+            }
+          if (docId % 13 == 0)
+            Warc.synthesizeWarc(recs.take(2)) ++
+              "CORRUPT TAIL".getBytes("ISO-8859-1")
+          else if (docId % 4 == 1) Warc.synthesizeWarcGz(recs, 1)
+          else if (docId % 4 == 3) Warc.synthesizeWarcGz(recs, 3)
+          else Warc.synthesizeWarc(recs)
+        })
+        Warc.warcDocuments(
+            Tables.load(s, dir, "documents")
+              .where(col("doc_id") % 6 === 4)
+              .select(col("doc_id"), col("source"))
+              .withColumn("blob", mkWarc(col("doc_id"))), "blob")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_resp"),
+            sum(col("http_status")).as("sum_status"),
+            sum(length(col("text"))).as("sum_len"),
+            min(col("uri")).as("min_uri"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id % 4 + 2 AS nc, (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 6 = 4),
+        r AS (SELECT doc_id, source,
+            'https://ex.com/' || doc_id::VARCHAR || '/' || k::VARCHAR
+              AS uri,
+            (200 + (k % 3) * 100)::BIGINT AS status,
+            'page ' || doc_id::VARCHAR || ':' || k::VARCHAR ||
+              CASE WHEN k % 2 = 1 THEN ' é' ELSE '' END AS text
+          FROM d, (SELECT unnest(range(6)) AS k)
+          WHERE k < nc AND NOT (corrupt AND k >= 1))
+        SELECT source, count(*)::BIGINT AS n_resp,
+          sum(status)::BIGINT AS sum_status,
+          sum(length(text))::BIGINT AS sum_len,
+          min(uri) AS min_uri
+        FROM r GROUP BY 1 ORDER BY 1"""),
+      "WARC archives (plain + both gzip member layouts) through the " +
+        "production record walk and HTTP split into text rows — the " +
+        "oracle rebuilds every expected (uri, status, text) from the " +
+        "id arithmetic without parsing; garbage tails keep exactly " +
+        "the records before them (the forgiving-stream contract)."),
   )
 }
