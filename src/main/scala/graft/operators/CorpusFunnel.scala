@@ -54,8 +54,16 @@ object CorpusFunnel {
     val joined = frames.map(_._1).reduce((a, b) =>
       a.join(b, Seq(groupCol), if (sparse) "left" else "inner"))
     val outCols = frames.flatMap(_._2)
-    val sel = col(groupCol) +: outCols.map(c =>
-      if (sparse) coalesce(col(c), lit(0L)).as(c) else col(c))
+    val sel = col(groupCol) +: outCols.map { c =>
+      if (!sparse) col(c)
+      else joined.schema(c).dataType match {
+        // only numeric columns have a meaningful zero; a sparse
+        // string column (e.g. a min-uri pin) stays null
+        case _: org.apache.spark.sql.types.NumericType =>
+          coalesce(col(c), lit(0L)).as(c)
+        case _ => col(c)
+      }
+    }
     joined.select(sel: _*).orderBy(groupCol)
   }
 

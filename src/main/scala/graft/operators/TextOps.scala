@@ -561,6 +561,100 @@ object TextOps {
     out.toSeq
   }
 
+  /** Extract the visible text of an HTML page — the C4/CCNet-style
+    * html -> text step a Common Crawl corpus build runs right after
+    * [[graft.operators.Warc.warcDocuments]]: `<script>`/`<style>`
+    * elements removed WHOLESALE (their content is code, not text),
+    * `<!-- -->` comments dropped, every other tag replaced by a
+    * space (so adjacent elements never fuse words), the standard
+    * named entities (&amp; &lt; &gt; &quot; &apos; &nbsp;) and
+    * numeric &#N; / &#xH; references decoded, whitespace collapsed
+    * to single spaces and trimmed. Single-pass scanner, regex-free,
+    * case-insensitive tag names; unknown entities pass through
+    * literally (never mangled); never throws.
+    */
+  def htmlText(html: String): String = {
+    if (html == null) return ""
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n)
+    def lowerAt(i: Int, s: String): Boolean =
+      i + s.length <= n &&
+        html.regionMatches(true, i, s, 0, s.length)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lowerAt(i, "<script")) {
+          var end = i + 7
+          while (end < n && !lowerAt(end, "</script")) end += 1
+          val gt = html.indexOf('>', end)
+          i = if (end >= n || gt < 0) n else gt + 1
+        } else if (lowerAt(i, "<style")) {
+          var end = i + 6
+          while (end < n && !lowerAt(end, "</style")) end += 1
+          val gt = html.indexOf('>', end)
+          i = if (end >= n || gt < 0) n else gt + 1
+        } else {
+          val gt = html.indexOf('>', i + 1)
+          i = if (gt < 0) n else gt + 1
+        }
+        sb.append(' ')
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val entity =
+          if (semi > i && semi - i <= 10) html.substring(i + 1, semi)
+          else null
+        val decoded: String = entity match {
+          case null => null
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "nbsp" => " "
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            try {
+              val cp = Integer.parseInt(e.substring(2), 16)
+              if (Character.isValidCodePoint(cp))
+                new String(Character.toChars(cp))
+              else null
+            } catch { case _: Exception => null }
+          case e if e.startsWith("#") =>
+            try {
+              val cp = Integer.parseInt(e.substring(1))
+              if (Character.isValidCodePoint(cp))
+                new String(Character.toChars(cp))
+              else null
+            } catch { case _: Exception => null }
+          case _ => null
+        }
+        if (decoded != null) { sb.append(decoded); i = semi + 1 }
+        else { sb.append('&'); i += 1 } // unknown entity: literal
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    // collapse whitespace (incl. the tag-replacement spaces) + trim
+    val out = new java.lang.StringBuilder(sb.length)
+    var k = 0
+    var pendingSpace = false
+    while (k < sb.length) {
+      val c = sb.charAt(k)
+      if (Character.isWhitespace(c)) pendingSpace = true
+      else {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+      k += 1
+    }
+    out.toString
+  }
+
   def dsirModel(
       corpus: org.apache.spark.sql.DataFrame,
       isTarget: Column,

@@ -3593,5 +3593,118 @@ object TextQueries extends QueryPack {
         "oracle rebuilds every expected (uri, status, text) from the " +
         "id arithmetic without parsing; garbage tails keep exactly " +
         "the records before them (the forgiving-stream contract)."),
+
+    GraftQuery(
+      "q_pipeline_cc", Seq("S1", "P6", "D1", "D9"),
+      (s, dir) => {
+        // The COMMON CRAWL front-end, composed end-to-end: WARC
+        // archives (gzip member-per-record for odd legs) -> record
+        // walk + HTTP split (warcDocuments) -> html -> visible text
+        // (htmlText: script/style removal, entity decode) -> a token-
+        // count quality gate -> exact-text dedup with keep-smallest
+        // canonicalization (each content group is served by TWO
+        // mirror hosts — the classic crawl duplication — so every
+        // leg-1 page must drop against its leg-0 twin) -> per-source
+        // funnel counts. Corrupt docs (every 13th) lose everything
+        // after their first response at the WARC gate; short docs
+        // (every 11th) lose their pages at the quality gate. The
+        // oracle rebuilds the EXPECTED text of every page from id
+        // arithmetic — a record-walk, gzip, tag-strip, entity, or
+        // dedup slip fails the hash. At 100 TB the dedup window
+        // partitions on a text hash; the window is hash-partitioned
+        // either way.
+        import graft.operators.{TextOps, Warc}
+        import org.apache.spark.sql.expressions.Window
+        val mkWarc = udf((docId: Long, g: Long, leg: Int) => {
+          val nr = (g / 12 % 3 + 2).toInt
+          val short = docId % 11 == 0
+          val recs = Warc.WarcRecord("warcinfo", "",
+            "application/warc-fields",
+            "software: graft\r\n".getBytes("ISO-8859-1")) +:
+            (0 until nr).map { k =>
+              val html = s"<html><body><h1>Page $g $k</h1>" +
+                (if (short) ""
+                 else s"<p>body &amp; text $g:$k &#233;</p>") +
+                "<script>var x = 1;</script></body></html>"
+              Warc.WarcRecord("response",
+                s"https://m$leg.ex.com/$g/$k",
+                "application/http;msgtype=response",
+                Warc.synthesizeHttp(200, "text/html", html))
+            }
+          if (docId % 13 == 0)
+            Warc.synthesizeWarc(recs.take(2)) ++
+              "CORRUPT TAIL".getBytes("ISO-8859-1")
+          else if (leg == 1) Warc.synthesizeWarcGz(recs, 1)
+          else Warc.synthesizeWarc(recs)
+        })
+        val strip = udf((html: String) => TextOps.htmlText(html))
+        val pages = Warc.warcDocuments(
+            Tables.load(s, dir, "documents")
+              .where(col("doc_id") % 6 === 5)
+              .select(col("doc_id"), col("source"))
+              .withColumn("g", expr("doc_id - doc_id % 12"))
+              .withColumn("leg", expr("cast((doc_id % 12) div 6 as int)"))
+              .withColumn("blob",
+                mkWarc(col("doc_id"), col("g"), col("leg"))), "blob")
+          .withColumn("text", strip(col("text")))
+          .select("doc_id", "source", "uri", "text")
+          .localCheckpoint() // ONE extraction pass feeds every stage
+        val qual = pages
+          .where(size(split(col("text"), " ")) >= 5)
+          .localCheckpoint()
+        val uniq = qual.withColumn("rk",
+            row_number().over(Window.partitionBy(col("text"))
+              .orderBy(col("doc_id"), col("uri"))))
+          .where(col("rk") === 1)
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_pages", pages),
+          CountStage("n_quality", qual),
+          AggStage(uniq.groupBy("source")
+            .agg(count(lit(1)).as("n_unique"),
+              sum(length(col("text"))).as("kept_len"),
+              min(col("uri")).as("min_uri")),
+            Seq("n_unique", "kept_len", "min_uri"))), sparse = true)
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 12 AS g,
+            ((doc_id % 12) // 6)::BIGINT AS leg,
+            (doc_id % 13 = 0) AS corrupt, (doc_id % 11 = 0) AS short
+          FROM documents WHERE doc_id % 6 = 5),
+        p AS (SELECT doc_id, source,
+            'https://m' || leg::VARCHAR || '.ex.com/' || g::VARCHAR ||
+              '/' || k::VARCHAR AS uri,
+            CASE WHEN short
+              THEN 'Page ' || g::VARCHAR || ' ' || k::VARCHAR
+              ELSE 'Page ' || g::VARCHAR || ' ' || k::VARCHAR ||
+                ' body & text ' || g::VARCHAR || ':' || k::VARCHAR ||
+                ' é' END AS text
+          FROM d, (SELECT unnest(range(5)) AS k)
+          WHERE k < (g // 12 % 3) + 2 AND NOT (corrupt AND k >= 1)),
+        q AS (SELECT * FROM p
+          WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 5),
+        u AS (SELECT *, row_number() OVER (PARTITION BY text
+            ORDER BY doc_id, uri) AS rn FROM q)
+        SELECT p0.source, p0.n_pages,
+          COALESCE(qq.n_quality, 0) AS n_quality,
+          COALESCE(uu.n_unique, 0) AS n_unique,
+          COALESCE(uu.kept_len, 0) AS kept_len,
+          uu.min_uri AS min_uri
+        FROM (SELECT source, count(*)::BIGINT AS n_pages
+            FROM p GROUP BY 1) p0
+        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_quality
+            FROM q GROUP BY 1) qq USING (source)
+        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_unique,
+            sum(length(text))::BIGINT AS kept_len,
+            min(uri) AS min_uri
+            FROM u WHERE rn = 1 GROUP BY 1) uu USING (source)
+        ORDER BY source"""),
+      "The Common Crawl front-end composed end-to-end: WARC record " +
+        "walk + HTTP split -> html-to-text (script/style strip, " +
+        "entity decode) -> token-count quality gate -> exact-text " +
+        "mirror dedup with keep-smallest — per-source funnel counts, " +
+        "the oracle rebuilding every expected page text from id " +
+        "arithmetic without any parsing."),
   )
 }
