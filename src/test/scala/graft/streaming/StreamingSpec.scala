@@ -580,6 +580,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("WARC streams relay through the Common Crawl front-end: " +
+    "record walk + HTTP split + htmlText are stateless projections, " +
+    "one windowed agg rolls up the quality verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{TextOps, Warc}
+    def warcFor(id: Int): Array[Byte] = {
+      val recs = (0 until 3).map { k =>
+        val html = s"<html><body><h1>Doc $id $k</h1>" +
+          (if (id % 3 == 0) "" else s"<p>real body &amp; words $k</p>") +
+          "<script>x()</script></body></html>"
+        Warc.WarcRecord("response", s"https://s.ex.com/$id/$k",
+          "application/http;msgtype=response",
+          Warc.synthesizeHttp(200, "text/html", html))
+      }
+      if (id % 2 == 0) Warc.synthesizeWarc(recs)
+      else Warc.synthesizeWarcGz(recs, 1)
+    }
+    val corpus = (0 until 6).map(id => id -> warcFor(id))
+    val strip = udf((h: String) => TextOps.htmlText(h))
+    val feed = MemoryStream[(Int, Array[Byte], Timestamp)]
+    val out = Warc.warcDocuments(
+        feed.toDF().toDF("doc", "blob", "ts")
+          .withWatermark("ts", "2 hours"), "blob")
+      .withColumn("text", strip(col("text")))
+      .withColumn("ok", size(split(col("text"), " ")) >= 5)
+      .groupBy(window(col("ts"), "1 hour"), col("doc"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality"))
+    val q = out.writeStream.format("memory").queryName("cc_stream")
+      .outputMode("update").start()
+    try {
+      feed.addData(corpus.map { case (id, b) =>
+        (id, b, Timestamp.valueOf("2024-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("cc_stream")
+        .select("doc", "n_pages", "n_quality").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      for (id <- 0 until 6)
+        assert(got(id) ===
+          ((3L, if (id % 3 == 0) 0L else 3L)), s"doc $id")
+    } finally q.stop()
+  }
+
   test("ID3v2 APIC album art relays MP3 streams into the image " +
     "pipeline: stateless cover extraction + decode column, " +
     "brightness re-grades cluster to one pHash per cover") {
