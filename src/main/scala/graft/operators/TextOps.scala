@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{array_contains, array_join, expr,
-  filter, length, lit, regexp_count, regexp_replace, size, split, struct,
-  transform, trim, typedLit, when}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{array_contains, array_join, coalesce,
+  col, countDistinct, expr, filter, length, lit, posexplode, regexp_count,
+  regexp_replace, size, split, struct, transform, trim, typedLit, when}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -653,6 +653,45 @@ object TextOps {
       k += 1
     }
     out.toString
+  }
+
+  /** Per-host BOILERPLATE removal — the CCNet-style step after
+    * [[htmlText]]: lines (nav bars, cookie banners, footers) that
+    * appear in at least `minFrac` of a host's documents are dropped
+    * from every document of that host; hosts with fewer than
+    * `minHostDocs` documents are left untouched (no frequency
+    * evidence). Line identity is exact text; document order of the
+    * kept lines is preserved; a document whose every line is
+    * boilerplate comes back as "". Pure DataFrame algebra — one
+    * explode, two keyed aggregations, an anti-join, a reassembly
+    * aggregation — so at 100 TB everything shuffles on (host, line)
+    * / (host, id) keys and nothing is driver-side.
+    */
+  def removeBoilerplate(
+      df: DataFrame, hostCol: String, idCol: String, textCol: String,
+      minFrac: Double = 0.6, minHostDocs: Int = 3): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac: $minFrac")
+    require(minHostDocs >= 1, s"minHostDocs: $minHostDocs")
+    val lines = df.select(col(hostCol), col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+    val hostDocs = df.groupBy(hostCol)
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+    val boiler = lines.groupBy(hostCol, "__line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(hostDocs, Seq(hostCol))
+      .where(col("__n_docs") >= minHostDocs &&
+        col("__df") >= col("__n_docs") * minFrac)
+      .select(col(hostCol), col("__line"))
+    val cleaned = lines
+      .join(boiler, Seq(hostCol, "__line"), "left_anti")
+      .groupBy(hostCol, idCol)
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(__idx, __line)))," +
+          " x -> x.__line)"), "\n").as("__cleaned"))
+    df.drop(textCol)
+      .join(cleaned, Seq(hostCol, idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
   }
 
   def dsirModel(

@@ -3706,5 +3706,91 @@ object TextQueries extends QueryPack {
         "mirror dedup with keep-smallest — per-source funnel counts, " +
         "the oracle rebuilding every expected page text from id " +
         "arithmetic without any parsing."),
+
+    GraftQuery(
+      "q_text_boilerlines", Seq("P6", "D1", "A8"),
+      (s, dir) => {
+        // Per-host BOILERPLATE removal (the CCNet step after
+        // html->text): every host's pages share HEADER/FOOTER lines
+        // (100% document frequency -> dropped at minFrac 0.6), about
+        // a third carry a promo line (<= 0.5 df by construction ->
+        // KEPT: the threshold must not over-fire), and body lines are
+        // unique (kept). Pure DataFrame algebra — explode, two keyed
+        // aggs, anti-join, ordered reassembly — no UDF anywhere, so
+        // the op itself is whole-stage-codegen and shuffles only on
+        // (host, line)/(host, doc) keys at any scale. The oracle
+        // replays the document-frequency arithmetic and the ordered
+        // reassembly relationally, pinning threshold, order, and the
+        // host-size guard.
+        import graft.operators.TextOps
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 6 === 1)
+          .select(col("doc_id"), col("source"))
+          .withColumn("host", concat(lit("h"), col("doc_id") % 10))
+          .withColumn("page", concat_ws("\n",
+            concat(lit("HEADER site "), col("host")),
+            when(expr("(doc_id div 30) % 3 = 0"),
+              concat(lit("promo "), col("host"))),
+            concat(lit("body "), col("doc_id"), lit(" line 0")),
+            concat(lit("body "), col("doc_id"), lit(" line 1")),
+            concat(lit("FOOTER "), col("host"))))
+        TextOps.removeBoilerplate(docs, "host", "doc_id", "page")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("page"))).as("sum_len"),
+            sum(when(col("page").contains("promo"), 1L).otherwise(0L))
+              .as("n_promo"),
+            sum(when(col("page").contains("HEADER") ||
+              col("page").contains("FOOTER"), 1L).otherwise(0L))
+              .as("n_boiler_left"),
+            min(col("page")).as("min_page"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            'h' || (doc_id % 10)::VARCHAR AS host,
+            ((doc_id // 30) % 3 = 0) AS promo
+          FROM documents WHERE doc_id % 6 = 1),
+        lines AS (
+          SELECT doc_id, source, host, 0 AS idx,
+            'HEADER site ' || host AS line FROM d
+          UNION ALL
+          SELECT doc_id, source, host, 1, 'promo ' || host
+          FROM d WHERE promo
+          UNION ALL
+          SELECT doc_id, source, host, 2,
+            'body ' || doc_id::VARCHAR || ' line 0' FROM d
+          UNION ALL
+          SELECT doc_id, source, host, 3,
+            'body ' || doc_id::VARCHAR || ' line 1' FROM d
+          UNION ALL
+          SELECT doc_id, source, host, 4, 'FOOTER ' || host FROM d),
+        hd AS (SELECT host, count(DISTINCT doc_id)::BIGINT AS n_docs
+          FROM d GROUP BY 1),
+        ldf AS (SELECT host, line,
+            count(DISTINCT doc_id)::BIGINT AS df
+          FROM lines GROUP BY 1, 2),
+        boiler AS (SELECT ldf.host, ldf.line
+          FROM ldf JOIN hd USING (host)
+          WHERE hd.n_docs >= 3 AND ldf.df >= hd.n_docs * 0.6),
+        kept AS (SELECT l.* FROM lines l
+          LEFT JOIN boiler b ON b.host = l.host AND b.line = l.line
+          WHERE b.line IS NULL),
+        cleaned AS (SELECT doc_id, source,
+            COALESCE(string_agg(line, chr(10) ORDER BY idx), '')
+              AS page
+          FROM kept GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(length(page))::BIGINT AS sum_len,
+          sum(CASE WHEN page LIKE '%promo%' THEN 1 ELSE 0 END)::BIGINT
+            AS n_promo,
+          sum(CASE WHEN page LIKE '%HEADER%' OR page LIKE '%FOOTER%'
+            THEN 1 ELSE 0 END)::BIGINT AS n_boiler_left,
+          min(page) AS min_page
+        FROM cleaned GROUP BY 1 ORDER BY 1"""),
+      "Per-host boilerplate removal: host-global header/footer lines " +
+        "drop at >= 60% document frequency while sub-threshold promo " +
+        "lines and unique body lines survive, order preserved — pure " +
+        "DataFrame algebra (no UDF), the oracle replaying the " +
+        "frequency arithmetic and ordered reassembly relationally."),
   )
 }
