@@ -694,6 +694,60 @@ object TextOps {
       .drop("__cleaned")
   }
 
+  /** Tracking-parameter keys [[normalizeUrl]] strips (plus any
+    * `utm_*`-prefixed key) — the standard crawl-dedup set.
+    */
+  val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid",
+    "ref", "igshid", "mc_cid", "mc_eid")
+
+  /** Canonicalize a URL for crawl-level dedup — the step before
+    * fetch/content dedup in a web corpus build: scheme and host
+    * lowercased, a default port for the scheme dropped (http:80 /
+    * https:443), the fragment removed, tracking query parameters
+    * stripped (`utm_*` + [[TrackingParams]]), the surviving
+    * parameters sorted, and an empty path normalized to "/". The
+    * PATH's case and encoding are preserved (paths are case-
+    * sensitive by spec; www-stripping is a site-specific policy this
+    * function deliberately does not guess). Non-absolute inputs come
+    * back trimmed but otherwise unchanged; never throws.
+    */
+  def normalizeUrl(url: String): String = {
+    if (url == null) return ""
+    val trimmed = url.trim
+    val si = trimmed.indexOf("://")
+    if (si <= 0) return trimmed
+    val scheme = trimmed.substring(0, si).toLowerCase
+    var rest = trimmed.substring(si + 3)
+    val hi = rest.indexOf('#')
+    if (hi >= 0) rest = rest.substring(0, hi)
+    val qi = rest.indexOf('?')
+    val (hp, query) =
+      if (qi >= 0) (rest.substring(0, qi), rest.substring(qi + 1))
+      else (rest, "")
+    val pi = hp.indexOf('/')
+    val (auth, path) =
+      if (pi >= 0) (hp.substring(0, pi), hp.substring(pi))
+      else (hp, "")
+    val ci = auth.lastIndexOf(':')
+    val (host, port) =
+      if (ci >= 0 && ci + 1 < auth.length &&
+        auth.substring(ci + 1).forall(_.isDigit))
+        (auth.substring(0, ci), auth.substring(ci + 1))
+      else (auth, "")
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") ||
+        (scheme == "https" && port == "443"))
+    val hostPart = host.toLowerCase +
+      (if (keepPort) ":" + port else "")
+    val normPath = if (path.isEmpty) "/" else path
+    val params = query.split("&").toSeq.filter(_.nonEmpty).filter { p =>
+      val k = p.takeWhile(_ != '=').toLowerCase
+      !k.startsWith("utm_") && !TrackingParams(k)
+    }.sorted
+    scheme + "://" + hostPart + normPath +
+      (if (params.nonEmpty) params.mkString("?", "&", "") else "")
+  }
+
   def dsirModel(
       corpus: org.apache.spark.sql.DataFrame,
       isTarget: Column,

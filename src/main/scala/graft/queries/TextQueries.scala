@@ -3792,5 +3792,76 @@ object TextQueries extends QueryPack {
         "lines and unique body lines survive, order preserved — pure " +
         "DataFrame algebra (no UDF), the oracle replaying the " +
         "frequency arithmetic and ordered reassembly relationally."),
+
+    GraftQuery(
+      "q_text_urlnorm", Seq("P6", "D1", "A8"),
+      (s, dir) => {
+        // URL canonicalization — the crawl-level dedup step BEFORE
+        // content dedup: each content group is crawled twice under
+        // messy variants (scheme/host case, explicit default ports,
+        // utm_*/fbclid tracking params, unsorted query order,
+        // fragments) that must normalize to ONE canonical form, so
+        // countDistinct(canonical) halves the URL count. The oracle
+        // REBUILDS the expected canonical string from the id
+        // arithmetic — any slip in case folding, port dropping,
+        // param stripping/sorting, or fragment removal changes
+        // n_canonical/min_url and fails the hash.
+        import graft.operators.TextOps
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 6 === 3)
+          .select(col("doc_id"), col("source"))
+          .withColumn("g", expr("doc_id - doc_id % 12"))
+          .withColumn("url",
+            when(col("doc_id") % 12 === 3, concat(
+              lit("HTTPS://EX"), col("g") % 5, lit(".COM:443/p/"),
+              col("g"), lit("?b="), col("g") % 7,
+              lit("&utm_campaign=z&a="), col("g") % 3,
+              lit("#frag"), col("doc_id")))
+            .otherwise(concat(
+              lit("https://ex"), col("g") % 5, lit(".com/p/"),
+              col("g"), lit("?a="), col("g") % 3,
+              lit("&fbclid=x"), col("doc_id"),
+              lit("&b="), col("g") % 7)))
+        val norm = udf((u: String) => TextOps.normalizeUrl(u))
+        val canon = docs.withColumn("canonical", norm(col("url")))
+        // global canonical counts make the cross-variant collapse
+        // EXPLICIT: a URL is mirrored iff its canonical form also
+        // arrived from the other crawl leg (an equi-join on the
+        // canonical key — the URL-dedup shuffle shape at any scale)
+        val global = canon.groupBy("canonical")
+          .agg(count(lit(1)).as("n_dup"))
+        canon.join(global, Seq("canonical"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("canonical")).as("n_canonical"),
+            sum(when(col("n_dup") >= 2, 1L).otherwise(0L))
+              .as("n_mirrored"),
+            sum(length(col("canonical"))).as("sum_len"),
+            min(col("canonical")).as("min_url"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 12 AS g
+          FROM documents WHERE doc_id % 6 = 3),
+        c AS (SELECT doc_id, source,
+            'https://ex' || (g % 5)::VARCHAR || '.com/p/' ||
+              g::VARCHAR || '?a=' || (g % 3)::VARCHAR ||
+              '&b=' || (g % 7)::VARCHAR AS canonical
+          FROM d),
+        gl AS (SELECT canonical, count(*)::BIGINT AS n_dup
+          FROM c GROUP BY 1)
+        SELECT source, count(*)::BIGINT AS n_urls,
+          count(DISTINCT c.canonical)::BIGINT AS n_canonical,
+          sum(CASE WHEN gl.n_dup >= 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_mirrored,
+          sum(length(c.canonical))::BIGINT AS sum_len,
+          min(c.canonical) AS min_url
+        FROM c JOIN gl USING (canonical)
+        GROUP BY 1 ORDER BY 1"""),
+      "URL canonicalization for crawl dedup: scheme/host case, " +
+        "default ports, tracking params, query order, and fragments " +
+        "all normalize away so mirror crawls collapse to one " +
+        "canonical URL — the oracle rebuilds the exact expected " +
+        "string per URL from id arithmetic."),
   )
 }
