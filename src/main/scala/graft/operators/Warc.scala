@@ -50,7 +50,7 @@ object Warc {
     * concatenated members natively — the per-record-member layout
     * Common Crawl uses needs no special casing.
     */
-  private def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+  private[operators] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b))

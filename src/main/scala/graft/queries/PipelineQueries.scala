@@ -3643,5 +3643,88 @@ object PipelineQueries extends QueryPack {
         "track and reassembled in sample-table order — exact integer " +
         "signal stats replayed by the oracle from the little-endian " +
         "byte arithmetic, pinning chunk location and ordering."),
+
+    GraftQuery(
+      "q_pipeline_wds", Seq("S1", "P6", "D9"),
+      (s, dir) => {
+        // WEBDATASET shards — the standard multimodal training
+        // layout: each doc is one TAR shard of {key}.png + {key}.txt
+        // sample pairs (gzipped for odd docs, plain for even),
+        // grouped back into samples by basename stem through the
+        // production Tar.webdatasetSamples walk and decoded through
+        // the ONE image kernel. Every 13th shard carries a bad-
+        // checksum header after its first sample: the forgiving walk
+        // keeps exactly that sample (the shard gate). The oracle
+        // replays the per-sample pixel SUM from the md5 arithmetic
+        // and caption lengths from the id arithmetic — an octal-
+        // size, checksum, 512-padding, stem-grouping, or PNG-decode
+        // slip fails the hash. One shard per row (the WebDataset
+        // unit of parallelism); one (source) rollup shuffle.
+        import graft.operators.{Multimodal, PixelDecode, Tar}
+        val mkShard = udf((docId: Long) => {
+          val ns = (docId % 3 + 2).toInt
+          def members(j: Int): Seq[Tar.TarEntry] = {
+            val gray = new Array[Int](1024)
+            md5Fill(gray, blk => s"wd$docId:$j:$blk")
+            Seq(
+              Tar.TarEntry(s"${docId}_$j.png",
+                PixelDecode.encodePngGray(32, 32, gray)),
+              Tar.TarEntry(s"${docId}_$j.txt",
+                s"caption $docId:$j".getBytes("UTF-8")))
+          }
+          if (docId % 13 == 0)
+            Tar.synthesizeTar(members(0)).dropRight(1024) ++
+              Array.fill[Byte](512)(1) // bad-checksum header
+          else {
+            val all = (0 until ns).flatMap(members)
+            if (docId % 2 == 1) Tar.synthesizeTarGz(all)
+            else Tar.synthesizeTar(all)
+          }
+        })
+        Tar.webdatasetSamples(
+            Tables.load(s, dir, "documents")
+              .where(col("doc_id") % 7 === 0)
+              .select(col("doc_id"), col("source"))
+              .withColumn("shard", mkShard(col("doc_id"))), "shard")
+          .withColumn("caption",
+            expr("cast(element_at(members, 'txt') as string)"))
+          .withColumn("mf",
+            Multimodal.featuresColumn(expr("element_at(members, 'png')")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_samples"),
+            sum(when(col("caption").isNotNull &&
+              expr("element_at(members, 'png')").isNotNull, 1L)
+              .otherwise(0L)).as("n_complete"),
+            sum(when(col("mf.decoded"), 1L).otherwise(0L))
+              .as("n_decoded"),
+            sum(length(col("caption"))).as("sum_caption_len"),
+            sum(col("mf.px_sum") % 1000000007L).as("px_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id % 3 + 2 AS ns, (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 7 = 0),
+        smp AS (SELECT doc_id, source, j
+          FROM d, (SELECT unnest(range(5)) AS j)
+          WHERE (corrupt AND j = 0) OR (NOT corrupt AND j < ns)),
+        px AS (SELECT doc_id, j,
+            sum(('0x' || substr(md5('wd' || doc_id::VARCHAR || ':' ||
+              j::VARCHAR || ':' || (i // 16)::VARCHAR),
+              (i % 16) * 2 + 1, 2))::BIGINT)::BIGINT AS px_sum
+          FROM smp, (SELECT unnest(range(1024)) AS i)
+          GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_samples,
+          count(*)::BIGINT AS n_complete,
+          count(*)::BIGINT AS n_decoded,
+          sum(length('caption ' || doc_id::VARCHAR || ':' ||
+            j::VARCHAR))::BIGINT AS sum_caption_len,
+          sum(px.px_sum % 1000000007)::BIGINT AS px_fp
+        FROM smp JOIN px USING (doc_id, j)
+        GROUP BY 1 ORDER BY 1"""),
+      "WebDataset TAR shards (plain + gzipped) regrouped into " +
+        "image+caption samples by basename stem and decoded through " +
+        "the one image kernel — per-sample pixel sums and caption " +
+        "lengths replayed from the id arithmetic; bad-checksum " +
+        "headers end a shard at exactly the samples before them."),
   )
 }
