@@ -5,11 +5,14 @@ package graft.operators
   * multimodal audio feature columns (`sample_rate`, `channels`,
   * `bits_per_sample`, `n_samples`, duration) REAL for the container a
   * training-data pipeline meets most (WAV), the way [[ImageHeader]]
-  * does for images; compressed codecs (mp3/opus/aac) stay stubbed —
-  * no codecs in this container (builder brief). Layout is from the
-  * public spec: RIFF chunk grammar (Microsoft/IBM Multimedia
-  * Programming Interface 1.0, 1991) with the `fmt ` chunk's
-  * WAVEFORMATEX fields, all little-endian.
+  * does for images. Compressed-codec DECODE lives elsewhere where it
+  * is tractable in pure JVM ([[FlacDecode]], [[AudioCodecs]] for
+  * G.711/ADPCM); MP3/AAC/Opus/Vorbis payloads stay metadata-only
+  * (frame walks here and in [[OggHeader]]) — DSP codecs are out of
+  * scope by brief. Layout is from the public spec: RIFF chunk
+  * grammar (Microsoft/IBM Multimedia Programming Interface 1.0,
+  * 1991) with the `fmt ` chunk's WAVEFORMATEX fields, all
+  * little-endian.
   *
   * Reference analog: the reference has no media path at all; this is
   * part of the pipeline surface the survey adds beyond it (SURVEY.md

@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** Feature row the decoder emits per media blob. `format`, `width`,
-    * `height` are real header parses for PNG/JPEG/GIF/BMP
+    * `height` are real header parses for PNG/JPEG/GIF/BMP/TIFF/WebP
     * ([[ImageHeader]]); when the PIXELS decode (`decoded` = true —
-    * PNG/JPEG/GIF/BMP/TIFF via [[PixelDecode]]) the remaining columns
+    * PNG/JPEG/GIF/BMP/TIFF via [[PixelDecode]], lossless WebP via
+    * [[Vp8lDecode]]) the remaining columns
     * are real integer-exact pixel features and `sig` is the pHash hex.
     * Unrecognized bytes get format "unknown", deterministic stub
     * dimensions, zeroed pixel features, and an md5-derived `sig`
