@@ -766,16 +766,28 @@ object Vp8lDecode {
     while (pos < w * h) {
       val y = pos / w
       val grp = groupOf(pos)
-      val rowRepeat = rowBackrefs && pos % w == 0 && y > 0 &&
-        (0 until w).forall(x => argb(pos + x) == argb(pos - w + x))
-      if (rowRepeat) {
+      // nearest matching PREVIOUS ROW within 10 rows: lag 1 is the
+      // 2D map's (0,1) entry, lags 2..7 its other (0, dy) entries,
+      // lags 8+ the DIRECT distance codes (dist + 120) — so all
+      // three distance shapes are encoder-exercised
+      val rowLag =
+        if (!(rowBackrefs && pos % w == 0 && y > 0)) 0
+        else (1 to math.min(y, 10)).find(r =>
+          (0 until w).forall(x =>
+            argb(pos + x) == argb(pos - r * w + x))).getOrElse(0)
+      if (rowLag > 0) {
         val (lc, le) = toPrefix(w)
-        // distance = xsize -> 2D entry (0,1) -> dist_code 1
-        val (dc, de) = toPrefix(1)
+        val distance = rowLag * w
+        val distCode =
+          DistMap.indexOf((0, rowLag)) match {
+            case -1 => distance + 120 // beyond the 2D map: direct
+            case idx => idx + 1
+          }
+        val (dc, de) = toPrefix(distCode)
         toks += grp -> Backref(lc, le, dc, de)
         var k = 0
         while (k < w) {
-          val px = argb(pos - w + k)
+          val px = argb(pos - rowLag * w + k)
           if (cache != null) {
             val hh = hashPix(px, cacheBits)
             cache(hh) = px; cacheUsed(hh) = true

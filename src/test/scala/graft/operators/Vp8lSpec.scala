@@ -64,6 +64,17 @@ class Vp8lSpec extends AnyFunSuite {
     val noBr = Vp8lDecode.encodeWebpLossless(20, 12, rows)
     assert(br.length < noBr.length,
       "row backrefs must actually shrink the stream")
+    // row repeats at LAGS 2, 5, and 9: lags <= 7 ride the 2D map's
+    // (0, dy) entries, lag 9 the DIRECT distance codes (dist + 120) —
+    // all three decoder distance shapes are encoder-exercised
+    for (lag <- Seq(2, 5, 9)) {
+      val h = 3 * lag
+      val laggy = Array.tabulate(16 * h)(i =>
+        colorImg(16, 1, 7 + (i / 16) % lag)(i % 16))
+      val enc = roundtrip(16, h, laggy, s"lag$lag", rowBackrefs = true)
+      val plainLag = Vp8lDecode.encodeWebpLossless(16, h, laggy)
+      assert(enc.length < plainLag.length, s"lag $lag must compress")
+    }
     // both together, non-uniform tail
     val mix = rows.zipWithIndex.map { case (p, i) =>
       if (i >= 20 * 10) colorImg(20, 2, 7)(i - 20 * 10) else p }
