@@ -530,7 +530,8 @@ object TextOps {
     * major share of real transcript data). Grammar: blank-line-
     * separated blocks; an optional id line, then a
     * `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line (SRT comma or VTT
-    * dot decimals; trailing VTT cue settings tolerated), then the cue
+    * dot decimals; VTT's short `MM:SS.mmm` form without hours too;
+    * trailing VTT cue settings tolerated), then the cue
     * text lines joined by newline. A leading `WEBVTT` header block
     * and NOTE/STYLE blocks carry no timing line and are skipped, as
     * are malformed blocks (no timing within the first two lines,
@@ -539,10 +540,13 @@ object TextOps {
     */
   def subtitleCues(text: String): Seq[(Int, Long, Long, String)] = {
     if (text == null) return Seq.empty
-    val Timing = ("""(\d{1,2}):(\d{2}):(\d{2})[.,](\d{3})\s*-->\s*""" +
-      """(\d{1,2}):(\d{2}):(\d{2})[.,](\d{3}).*""").r
+    // WebVTT's common short form omits the hours ("MM:SS.mmm") —
+    // the leading group is optional, defaulting to 0
+    val Timing = ("""(?:(\d{1,2}):)?(\d{2}):(\d{2})[.,](\d{3})\s*-->\s*""" +
+      """(?:(\d{1,2}):)?(\d{2}):(\d{2})[.,](\d{3}).*""").r
     def ms(h: String, m: String, s: String, mil: String): Long =
-      h.toLong * 3600000 + m.toLong * 60000 + s.toLong * 1000 + mil.toLong
+      (if (h == null) 0L else h.toLong * 3600000) +
+        m.toLong * 60000 + s.toLong * 1000 + mil.toLong
     val out = new scala.collection.mutable.ArrayBuffer[
       (Int, Long, Long, String)]()
     text.split("\r?\n\r?\n+").foreach { blk =>
@@ -561,17 +565,34 @@ object TextOps {
     out.toSeq
   }
 
+  /** Tags whose open OR close marks a line boundary in [[htmlText]]
+    * output — the block-level set C4/CCNet's line-based rules need
+    * (boilerplate lines, terminal punctuation per line, line dedup
+    * all assume one visual block per line).
+    */
+  private val BlockTags: Set[String] = Set(
+    "p", "br", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr",
+    "td", "th", "blockquote", "section", "article", "ul", "ol", "dl",
+    "dt", "dd", "table", "thead", "tbody", "tfoot", "header", "footer",
+    "nav", "aside", "main", "form", "fieldset", "hr", "pre", "figure",
+    "figcaption", "address", "title", "caption", "option", "body",
+    "html", "head")
+
   /** Extract the visible text of an HTML page — the C4/CCNet-style
     * html -> text step a Common Crawl corpus build runs right after
     * [[graft.operators.Warc.warcDocuments]]: `<script>`/`<style>`
     * elements removed WHOLESALE (their content is code, not text),
-    * `<!-- -->` comments dropped, every other tag replaced by a
-    * space (so adjacent elements never fuse words), the standard
-    * named entities (&amp; &lt; &gt; &quot; &apos; &nbsp;) and
-    * numeric &#N; / &#xH; references decoded, whitespace collapsed
-    * to single spaces and trimmed. Single-pass scanner, regex-free,
-    * case-insensitive tag names; unknown entities pass through
-    * literally (never mangled); never throws.
+    * `<!-- -->` comments dropped, BLOCK-LEVEL tags ([[BlockTags]])
+    * replaced by a newline — so the output is LINE-STRUCTURED, one
+    * visual block per line, the shape [[removeBoilerplate]] and
+    * C4's line-based quality rules require — every other tag
+    * replaced by a space (so adjacent inline elements never fuse
+    * words), the standard named entities (&amp; &lt; &gt; &quot;
+    * &apos; &nbsp;) and numeric &#N; / &#xH; references decoded,
+    * whitespace collapsed WITHIN lines, lines trimmed, empty lines
+    * dropped. Single-pass scanner, regex-free, case-insensitive tag
+    * names; unknown entities pass through literally (never mangled);
+    * never throws.
     */
   def htmlText(html: String): String = {
     if (html == null) return ""
@@ -587,21 +608,32 @@ object TextOps {
         if (lowerAt(i, "<!--")) {
           val end = html.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
+          sb.append(' ') // a comment separates words, not blocks
         } else if (lowerAt(i, "<script")) {
           var end = i + 7
           while (end < n && !lowerAt(end, "</script")) end += 1
           val gt = html.indexOf('>', end)
           i = if (end >= n || gt < 0) n else gt + 1
+          sb.append('\n') // script/style elements are blocks
         } else if (lowerAt(i, "<style")) {
           var end = i + 6
           while (end < n && !lowerAt(end, "</style")) end += 1
           val gt = html.indexOf('>', end)
           i = if (end >= n || gt < 0) n else gt + 1
+          sb.append('\n')
         } else {
+          // the tag name decides the replacement: block-level tags
+          // become line boundaries, inline tags a word-separating
           val gt = html.indexOf('>', i + 1)
+          var ni = i + 1
+          if (ni < n && html.charAt(ni) == '/') ni += 1
+          val ns = ni
+          while (ni < n && (html.charAt(ni).isLetterOrDigit))
+            ni += 1
+          val name = html.substring(ns, ni).toLowerCase
           i = if (gt < 0) n else gt + 1
+          sb.append(if (BlockTags(name)) '\n' else ' ')
         }
-        sb.append(' ')
       } else if (c == '&') {
         val semi = html.indexOf(';', i + 1)
         val entity =
@@ -638,15 +670,22 @@ object TextOps {
         i += 1
       }
     }
-    // collapse whitespace (incl. the tag-replacement spaces) + trim
+    // collapse whitespace WITHIN lines (incl. the tag-replacement
+    // spaces), trim lines, drop empty lines: a newline outranks any
+    // pending spaces, runs of newlines collapse to one
     val out = new java.lang.StringBuilder(sb.length)
     var k = 0
     var pendingSpace = false
+    var pendingNewline = false
     while (k < sb.length) {
       val c = sb.charAt(k)
-      if (Character.isWhitespace(c)) pendingSpace = true
+      if (c == '\n') pendingNewline = true
+      else if (Character.isWhitespace(c)) pendingSpace = true
       else {
-        if (pendingSpace && out.length > 0) out.append(' ')
+        if (pendingNewline && out.length > 0) out.append('\n')
+        else if (pendingSpace && out.length > 0 &&
+          out.charAt(out.length - 1) != '\n') out.append(' ')
+        pendingNewline = false
         pendingSpace = false
         out.append(c)
       }

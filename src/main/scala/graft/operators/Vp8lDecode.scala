@@ -303,7 +303,10 @@ object Vp8lDecode {
     val numGroups =
       if (metaImg == null) 1
       else metaImg.map(p => (p >> 8) & 0xffff).max + 1
-    if (numGroups > 1024) bail() // hostile meta image
+    // group index is (red<<8|green) of a meta pixel, so 65536 is the
+    // spec's own ceiling; memory stays input-proportional because
+    // every group's five codes must be spelled out in the bitstream
+    if (numGroups > 65536) bail()
     val greenAlpha = 256 + 24 + cacheSize
     val groups = Array.fill(numGroups)(new Group(
       readCode(r, greenAlpha), readCode(r, 256), readCode(r, 256),
@@ -506,10 +509,14 @@ object Vp8lDecode {
   // ------------------------------------------------------------------
 
   private sealed trait Transform
-  private final case class Predictor(bits: Int, tiles: Array[Int])
-    extends Transform
-  private final case class ColorT(bits: Int, tiles: Array[Int])
-    extends Transform
+  // `width` is the read-time image width: a transform read after
+  // COLOR_INDEXING operates on the packed-width image, and its
+  // inverse (applied before the indexing inverse re-expands the
+  // width) must iterate that packed width, not the full one.
+  private final case class Predictor(bits: Int, tiles: Array[Int],
+      width: Int) extends Transform
+  private final case class ColorT(bits: Int, tiles: Array[Int],
+      width: Int) extends Transform
   private case object SubGreen extends Transform
   private final case class Indexing(palette: Array[Int], widthBits: Int)
     extends Transform
@@ -537,13 +544,16 @@ object Vp8lDecode {
         off += 8 + len + (len & 1)
       }
       None
-    } catch { case _: Bail => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode a raw VP8L payload (no RIFF container). */
+  /** Decode a raw VP8L payload (no RIFF container). NonFatal (not
+    * just Bail) is caught as the never-throws contract's backstop —
+    * hostile corpus bytes must not kill a Spark task.
+    */
   private[operators] def decodeVp8l(
       b: Array[Byte], from: Int, until: Int): Option[PixelDecode.Pixels] =
     try Some(decodeVp8lOrBail(b, from, until))
-    catch { case _: Bail => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def decodeVp8lOrBail(
       b: Array[Byte], from: Int, until: Int): PixelDecode.Pixels = {
@@ -569,12 +579,12 @@ object Vp8lDecode {
           val bits = 2 + r.read(3)
           transforms ::= Predictor(bits, decodeImage(r,
             subSampleSize(xsize, bits), subSampleSize(h, bits),
-            allowMeta = false))
+            allowMeta = false), xsize)
         case 1 => // COLOR
           val bits = 2 + r.read(3)
           transforms ::= ColorT(bits, decodeImage(r,
             subSampleSize(xsize, bits), subSampleSize(h, bits),
-            allowMeta = false))
+            allowMeta = false), xsize)
         case 2 => transforms ::= SubGreen
         case _ => // COLOR_INDEXING
           val size = r.read(8) + 1
@@ -616,8 +626,8 @@ object Vp8lDecode {
         }
         img = out
         xsize = w
-      case Predictor(bits, tiles) => inversePredictor(img, w, h, bits, tiles)
-      case ColorT(bits, tiles) => inverseColor(img, w, h, bits, tiles)
+      case Predictor(bits, tiles, rw) => inversePredictor(img, rw, h, bits, tiles)
+      case ColorT(bits, tiles, rw) => inverseColor(img, rw, h, bits, tiles)
       case SubGreen => inverseSubtractGreen(img)
     }
     if (xsize != w) bail() // packed width never resolved to full
@@ -905,8 +915,10 @@ object Vp8lDecode {
       metaBits: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, s"dims $w x $h")
     require(rgb.length == w * h, "pixel count")
-    require(!palette || (!subtractGreen && predictor.isEmpty &&
-      colorDeltas.isEmpty), "palette composes with nothing else here")
+    require(!palette || (!subtractGreen && colorDeltas.isEmpty),
+      "palette composes only with predictor here (applied to the " +
+        "PACKED image — the packed-width transform order the decoder " +
+        "must survive)")
     require(cacheBits >= 0 && cacheBits <= 11, s"cacheBits: $cacheBits")
     var argb = rgb.map(p => 0xff000000 | (p & 0xffffff))
     val bw = new BitWriter
@@ -917,26 +929,62 @@ object Vp8lDecode {
     var xsize = w
     // forward transforms, written in application order (the decoder
     // inverts in reverse read order)
-    predictor.foreach { mode =>
-      require(mode >= 0 && mode <= 13, s"predictor mode: $mode")
-      require(w <= 512 && h <= 512, "one-tile predictor needs <= 512")
-      // residuals = pixel - predicted (per channel mod 256), same
-      // edge rules as the inverse
-      val res = new Array[Int](w * h)
-      var pos = 0
+    if (palette) {
+      val colors = argb.distinct
+      require(colors.length <= 256, s"palette of ${colors.length}")
+      val index = colors.zipWithIndex.toMap
+      val widthBits =
+        if (colors.length <= 2) 3 else if (colors.length <= 4) 2
+        else if (colors.length <= 16) 1 else 0
+      bw.write(1, 1); bw.write(3, 2) // COLOR_INDEXING
+      bw.write(colors.length - 1, 8)
+      // palette entries are delta-coded component-wise
+      val deltas = colors.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else subPixels(c, colors(i - 1))
+      }
+      writeImage(bw, deltas, colors.length, 1, 0,
+        rowBackrefs = false, withMeta = false)
+      // pack indices into the green channel
+      val packedW = subSampleSize(w, widthBits)
+      val pxPerPacked = 1 << widthBits
+      val bitsPer = 8 >> widthBits
+      val packed = new Array[Int](packedW * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
+          val idx = index(argb(y * w + x))
+          val pi = y * packedW + (x >> widthBits)
+          packed(pi) |= idx << (bitsPer * (x & (pxPerPacked - 1)))
+          x += 1
+        }
+        y += 1
+      }
+      argb = packed.map(g => 0xff000000 | ((g & 0xff) << 8))
+      xsize = packedW
+    }
+    predictor.foreach { mode =>
+      require(mode >= 0 && mode <= 13, s"predictor mode: $mode")
+      require(w <= 512 && h <= 512, "one-tile predictor needs <= 512")
+      // residuals = pixel - predicted (per channel mod 256), same
+      // edge rules as the inverse; runs at the CURRENT width (the
+      // packed one when the palette transform precedes it)
+      val res = new Array[Int](xsize * h)
+      var pos = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < xsize) {
           val pred =
             if (x == 0 && y == 0) 0xff000000
             else if (y == 0) argb(pos - 1)
-            else if (x == 0) argb(pos - w)
+            else if (x == 0) argb(pos - xsize)
             else {
               val l = argb(pos - 1)
-              val t = argb(pos - w)
-              val tl = argb(pos - w - 1)
-              val tr = if (x + 1 < w) argb(pos - w + 1) else argb(pos - x)
+              val t = argb(pos - xsize)
+              val tl = argb(pos - xsize - 1)
+              val tr = if (x + 1 < xsize) argb(pos - xsize + 1)
+                else argb(pos - x)
               mode match {
                 case 0 => 0xff000000
                 case 1 => l
@@ -995,40 +1043,6 @@ object Vp8lDecode {
         (px & 0xff00ff00) | (r << 16) | b
       }
       bw.write(1, 1); bw.write(2, 2) // SUBTRACT_GREEN (no data)
-    }
-    if (palette) {
-      val colors = argb.distinct
-      require(colors.length <= 256, s"palette of ${colors.length}")
-      val index = colors.zipWithIndex.toMap
-      val widthBits =
-        if (colors.length <= 2) 3 else if (colors.length <= 4) 2
-        else if (colors.length <= 16) 1 else 0
-      bw.write(1, 1); bw.write(3, 2) // COLOR_INDEXING
-      bw.write(colors.length - 1, 8)
-      // palette entries are delta-coded component-wise
-      val deltas = colors.zipWithIndex.map { case (c, i) =>
-        if (i == 0) c else subPixels(c, colors(i - 1))
-      }
-      writeImage(bw, deltas, colors.length, 1, 0,
-        rowBackrefs = false, withMeta = false)
-      // pack indices into the green channel
-      val packedW = subSampleSize(w, widthBits)
-      val pxPerPacked = 1 << widthBits
-      val bitsPer = 8 >> widthBits
-      val packed = new Array[Int](packedW * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val idx = index(argb(y * w + x))
-          val pi = y * packedW + (x >> widthBits)
-          packed(pi) |= idx << (bitsPer * (x & (pxPerPacked - 1)))
-          x += 1
-        }
-        y += 1
-      }
-      argb = packed.map(g => 0xff000000 | ((g & 0xff) << 8))
-      xsize = packedW
     }
     bw.write(0, 1) // end of transforms
     writeImage(bw, argb, xsize, h, cacheBits, rowBackrefs,

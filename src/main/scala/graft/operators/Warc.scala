@@ -36,11 +36,77 @@ object Warc {
       body: Array[Byte])
 
   /** An HTTP response payload split: status code, the entity body
-    * (after the header/body blank line) decoded as UTF-8, and the
-    * HTTP Content-Type header value ("" when absent).
+    * (after the header/body blank line) decoded per the declared
+    * charset (see [[httpBody]]), and the HTTP Content-Type header
+    * value ("" when absent).
     */
   final case class HttpPayload(
       status: Int, contentType: String, body: String)
+
+  /** Resolve a declared charset name to a JVM Charset; None for
+    * unknown/unsupported names (caller falls back to UTF-8). The
+    * whatwg rule that matters at crawl scale: a bare "iso-8859-1" /
+    * "latin1" / "us-ascii" label almost always marks windows-1252
+    * bytes in the wild (the 0x80-0x9f range carries curly quotes and
+    * the euro sign there), so those aliases map to windows-1252.
+    */
+  private[operators] def charsetFor(
+      name: String): Option[java.nio.charset.Charset] = {
+    val n = name.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'")
+    if (n.isEmpty) None
+    else if (n == "utf-8" || n == "utf8")
+      Some(java.nio.charset.StandardCharsets.UTF_8)
+    else if (n == "iso-8859-1" || n == "latin1" || n == "latin-1" ||
+      n == "us-ascii" || n == "ascii" || n == "windows-1252" ||
+      n == "cp1252" || n == "x-cp1252")
+      Some(java.nio.charset.Charset.forName("windows-1252"))
+    else
+      try Some(java.nio.charset.Charset.forName(n))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pull `charset=...` out of a Content-Type value ("" if absent). */
+  private[operators] def charsetParam(contentType: String): String = {
+    val lower = contentType.toLowerCase
+    val ci = lower.indexOf("charset=")
+    if (ci < 0) return ""
+    val start = ci + 8
+    var end = start
+    while (end < contentType.length && contentType.charAt(end) != ';' &&
+      !contentType.charAt(end).isWhitespace) end += 1
+    contentType.substring(start, end)
+  }
+
+  /** Bounded `<meta charset=...>` / `<meta http-equiv="content-type"
+    * content="...charset=...">` sniff over the first `limit` body
+    * octets (ASCII-compatible scan, the way browsers pre-scan);
+    * "" when nothing is declared.
+    */
+  private[operators] def sniffMetaCharset(
+      payload: Array[Byte], from: Int, limit: Int = 1024): String = {
+    val end = math.min(payload.length, from + limit)
+    if (end <= from) return ""
+    val head = new String(payload, from, end - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    var i = head.indexOf("<meta")
+    while (i >= 0) {
+      val gt = head.indexOf('>', i)
+      val tag = head.substring(i, if (gt < 0) head.length else gt)
+      val ci = tag.indexOf("charset=")
+      if (ci >= 0) {
+        var s = ci + 8
+        // skip quote if the attribute itself is quoted
+        if (s < tag.length && (tag.charAt(s) == '"' || tag.charAt(s) == '\''))
+          s += 1
+        var e = s
+        while (e < tag.length && !"\"' ;/".contains(tag.charAt(e))) e += 1
+        if (e > s) return tag.substring(s, e)
+      }
+      i = head.indexOf("<meta", i + 5)
+    }
+    ""
+  }
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
@@ -138,8 +204,13 @@ object Warc {
   }
 
   /** Split an HTTP message payload: `HTTP/1.x NNN ...` status line,
-    * headers to the blank line, entity body as UTF-8. None when the
-    * payload is not an HTTP message.
+    * headers to the blank line, entity body decoded CHARSET-AWARE:
+    * `charset=` in the Content-Type header wins, else a bounded
+    * `<meta charset>` sniff over the first 1 KiB of the body, else
+    * UTF-8. A real crawl is 10-20% legacy-encoded — decoding those
+    * pages as UTF-8 would mojibake them into the corpus and poison
+    * dedup/quality downstream. None when the payload is not an HTTP
+    * message.
     */
   def httpBody(payload: Array[Byte]): Option[HttpPayload] = {
     if (payload == null || payload.length < 12) return None
@@ -158,11 +229,17 @@ object Warc {
       case h if h.toLowerCase.startsWith("content-type:") =>
         h.substring(h.indexOf(':') + 1).trim
     }.getOrElse("")
-    // decode the ENTITY BODY as UTF-8 from the original octets (the
-    // latin1 round-trip above was only for header scanning)
+    // decode the ENTITY BODY from the original octets (the latin1
+    // round-trip above was only for header scanning): header charset
+    // -> meta sniff -> UTF-8
+    val declared = charsetParam(ctype) match {
+      case "" => sniffMetaCharset(payload, headEnd + 4)
+      case c => c
+    }
+    val cs = charsetFor(declared)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
     val body = new String(payload, headEnd + 4,
-      payload.length - headEnd - 4,
-      java.nio.charset.StandardCharsets.UTF_8)
+      payload.length - headEnd - 4, cs)
     Some(HttpPayload(status, ctype, body))
   }
 
@@ -187,6 +264,29 @@ object Warc {
       .withColumn("http_status", col("__wr._2"))
       .withColumn("content_type", col("__wr._3"))
       .withColumn("text", col("__wr._4"))
+      .drop("__wr")
+  }
+
+  /** Explode a binary WET column (Common Crawl's pre-extracted-text
+    * sibling of WARC — the file real text pipelines overwhelmingly
+    * read) into one row per CONVERSION record: `uri`, `text`. WET
+    * payloads are plain UTF-8 text with no HTTP envelope, so the
+    * bridge is the record walk alone. Same stateless per-row shape
+    * as [[warcDocuments]].
+    */
+  def wetDocuments(
+      df: org.apache.spark.sql.DataFrame,
+      binaryCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val extract = udf { bytes: Array[Byte] =>
+      records(bytes).filter(_.warcType == "conversion").map { r =>
+        (r.targetUri, new String(r.body,
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    df.withColumn("__wr", explode(extract(col(binaryCol))))
+      .withColumn("uri", col("__wr._1"))
+      .withColumn("text", col("__wr._2"))
       .drop("__wr")
   }
 
@@ -215,12 +315,21 @@ object Warc {
     out.toByteArray
   }
 
-  /** Build an HTTP response payload with an exact entity body. */
+  /** Build an HTTP response payload with an exact entity body,
+    * encoded in `charset` (UTF-8 by default; pass e.g.
+    * "windows-1252" to fixture a legacy-encoded page — note the
+    * Content-Type value itself must carry `; charset=...` for the
+    * header path, or the body a meta tag, for [[httpBody]] to pick
+    * it up).
+    */
   def synthesizeHttp(
-      status: Int, contentType: String, body: String): Array[Byte] =
+      status: Int, contentType: String, body: String,
+      charset: String = "UTF-8"): Array[Byte] = {
+    val octets = body.getBytes(charset)
     (s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\n" +
-      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n")
-      .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
+      s"Content-Length: ${octets.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ octets
+  }
 
   /** Gzip with ONE MEMBER PER GROUP of `perMember` records — the
     * Common Crawl member-per-record layout (perMember = 1) and

@@ -3595,42 +3595,148 @@ object TextQueries extends QueryPack {
         "the records before them (the forgiving-stream contract)."),
 
     GraftQuery(
+      "q_text_wet", Seq("S1", "P6", "A8"),
+      (s, dir) => {
+        // WET ingestion — Common Crawl's pre-extracted-text sibling
+        // of WARC and the file real text pipelines overwhelmingly
+        // read: conversion records carry a PLAIN-TEXT payload (no
+        // HTTP envelope), so the bridge is the record walk alone.
+        // Per doc: warcinfo + nc conversion records + one RESPONSE
+        // record wetDocuments must IGNORE; gzip member-per-record
+        // for odd docs; every 13th doc keeps only its first
+        // conversion record (forgiving tail). Stateless per-row
+        // parse; one (source) rollup shuffle.
+        import graft.operators.Warc
+        val mkWet = udf((docId: Long) => {
+          val nc = (docId % 3 + 2).toInt
+          val recs = Warc.WarcRecord("warcinfo", "",
+            "application/warc-fields",
+            "software: graft\r\n".getBytes("ISO-8859-1")) +:
+            ((0 until nc).map { k =>
+              Warc.WarcRecord("conversion",
+                s"https://ex.org/$docId/$k", "text/plain",
+                (s"extracted $docId:$k" +
+                  (if (k % 2 == 1) " é" else "")).getBytes("UTF-8"))
+            } :+ Warc.WarcRecord("response",
+              s"https://ex.org/$docId/http",
+              "application/http;msgtype=response",
+              Warc.synthesizeHttp(200, "text/html", "not wet")))
+          if (docId % 13 == 0)
+            Warc.synthesizeWarc(recs.take(2)) ++
+              "CORRUPT TAIL".getBytes("ISO-8859-1")
+          else if (docId % 2 == 1) Warc.synthesizeWarcGz(recs, 1)
+          else Warc.synthesizeWarc(recs)
+        })
+        Warc.wetDocuments(
+            Tables.load(s, dir, "documents")
+              .where(col("doc_id") % 6 === 3)
+              .select(col("doc_id"), col("source"))
+              .withColumn("blob", mkWet(col("doc_id"))), "blob")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_conv"),
+            sum(length(col("text"))).as("sum_len"),
+            min(col("uri")).as("min_uri"),
+            min(col("text")).as("min_text"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, doc_id % 3 + 2 AS nc,
+            (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 6 = 3),
+        r AS (SELECT doc_id, source,
+            'https://ex.org/' || doc_id::VARCHAR || '/' || k::VARCHAR
+              AS uri,
+            'extracted ' || doc_id::VARCHAR || ':' || k::VARCHAR ||
+              CASE WHEN k % 2 = 1 THEN ' é' ELSE '' END AS text
+          FROM d, (SELECT unnest(range(4)) AS k)
+          WHERE k < nc AND NOT (corrupt AND k >= 1))
+        SELECT source, count(*)::BIGINT AS n_conv,
+          sum(length(text))::BIGINT AS sum_len,
+          min(uri) AS min_uri, min(text) AS min_text
+        FROM r GROUP BY 1 ORDER BY 1"""),
+      "WET files (Common Crawl's pre-extracted-text sibling of " +
+        "WARC): conversion records flow to text rows through the " +
+        "record walk alone — no HTTP envelope — response records " +
+        "ignored, both gzip layouts, forgiving tails; the oracle " +
+        "rebuilds every expected (uri, text) from the id " +
+        "arithmetic."),
+
+    GraftQuery(
       "q_pipeline_cc", Seq("S1", "P6", "D1", "D9"),
       (s, dir) => {
-        // The COMMON CRAWL front-end, composed end-to-end: WARC
-        // archives (gzip member-per-record for odd legs) -> record
-        // walk + HTTP split (warcDocuments) -> html -> visible text
-        // (htmlText: script/style removal, entity decode) -> a token-
-        // count quality gate -> exact-text dedup with keep-smallest
-        // canonicalization (each content group is served by TWO
-        // mirror hosts — the classic crawl duplication — so every
-        // leg-1 page must drop against its leg-0 twin) -> per-source
-        // funnel counts. Corrupt docs (every 13th) lose everything
-        // after their first response at the WARC gate; short docs
-        // (every 11th) lose their pages at the quality gate. The
-        // oracle rebuilds the EXPECTED text of every page from id
-        // arithmetic — a record-walk, gzip, tag-strip, entity, or
-        // dedup slip fails the hash. At 100 TB the dedup window
-        // partitions on a text hash; the window is hash-partitioned
-        // either way.
+        // The COMMON CRAWL front-end, composed end-to-end in the
+        // published CCNet order: WARC archives (gzip member-per-
+        // record for leg-1 mirrors; leg-0 pages windows-1252-ENCODED,
+        // declared via the Content-Type header for some groups and a
+        // <meta charset> tag for others — both charset paths are
+        // LOAD-BEARING, a UTF-8-only decode would mojibake the é and
+        // break the mirror dedup) -> record walk + HTTP split
+        // (warcDocuments) -> LINE-STRUCTURED html -> text (htmlText:
+        // block tags to newlines) -> crawl-level URL dedup
+        // (normalizeUrl: tracking params + fragment stripped, the
+        // planted ?utm twin of every first page drops) -> per-host
+        // BOILERPLATE line removal (the planted NAV/FOOTER lines sit
+        // at 100% document frequency and vanish; the PROMO line at
+        // ~40% must SURVIVE the 0.6 threshold) -> token-count quality
+        // gate -> exact-text mirror dedup with keep-smallest (leg-1
+        // drops against its leg-0 twin) -> marker-word langid ->
+        // unigram-LM perplexity terciles per language (ntile 3) ->
+        // per-source funnel counts. Corrupt docs (every 13th) lose
+        // everything after their first response at the WARC gate;
+        // short docs (every 11th) lose their pages at the quality
+        // gate. The oracle rebuilds the EXPECTED text of every page
+        // from id arithmetic — a record-walk, gzip, charset,
+        // tag-strip, entity, URL-normalize, boilerplate, dedup, or
+        // bucketing slip fails the hash. At 100 TB every stage
+        // shuffles on hash keys (nurl / (host, line) / text / word)
+        // and the LM model is two keyed aggs + a broadcast total —
+        // no driver-side state anywhere.
         import graft.operators.{TextOps, Warc}
         import org.apache.spark.sql.expressions.Window
         val mkWarc = udf((docId: Long, g: Long, leg: Int) => {
           val nr = (g / 12 % 3 + 2).toInt
           val short = docId % 11 == 0
+          val promo = g / 12 % 5 < 2
+          val viaMeta = g / 12 % 3 == 1
+          val en = g / 12 % 2 == 0
+          val host = s"m$leg.ex.com"
+          def html(k: Int): String = {
+            val markers =
+              if (en) s"the of is was word $g"
+              else s"le et les une mot $g"
+            "<html>" +
+              // only the windows-1252 leg declares its charset in a
+              // meta tag — the UTF-8 mirror must not lie about its
+              // encoding (the sniffer would honor it)
+              (if (viaMeta && leg == 0)
+                 "<head><meta charset=\"windows-1252\"></head>"
+               else "") +
+              s"<body><div>NAV ex.com menu</div><h1>Page $g $k</h1>" +
+              (if (short) ""
+               else s"<p>café &amp; text $g:$k &#233;</p>" +
+                 (if (promo) "<div>PROMO visit us today now</div>"
+                  else "") +
+                 s"<p>$markers</p>") +
+              s"<div>FOOTER $host</div>" +
+              "<script>var x = 1;</script></body></html>"
+          }
+          val charset = if (leg == 0) "windows-1252" else "UTF-8"
+          val ctype =
+            if (leg == 0 && !viaMeta) "text/html; charset=iso-8859-1"
+            else "text/html"
+          def resp(k: Int, uri: String) =
+            Warc.WarcRecord("response", uri,
+              "application/http;msgtype=response",
+              Warc.synthesizeHttp(200, ctype, html(k), charset))
+          val pages = (0 until nr).flatMap { k =>
+            val bare = resp(k, s"https://$host/$g/$k")
+            if (k == 0)
+              Seq(bare, resp(0,
+                s"https://$host/$g/0?utm_source=promo&fbclid=z#top"))
+            else Seq(bare)
+          }
           val recs = Warc.WarcRecord("warcinfo", "",
             "application/warc-fields",
-            "software: graft\r\n".getBytes("ISO-8859-1")) +:
-            (0 until nr).map { k =>
-              val html = s"<html><body><h1>Page $g $k</h1>" +
-                (if (short) ""
-                 else s"<p>body &amp; text $g:$k &#233;</p>") +
-                "<script>var x = 1;</script></body></html>"
-              Warc.WarcRecord("response",
-                s"https://m$leg.ex.com/$g/$k",
-                "application/http;msgtype=response",
-                Warc.synthesizeHttp(200, "text/html", html))
-            }
+            "software: graft\r\n".getBytes("ISO-8859-1")) +: pages
           if (docId % 13 == 0)
             Warc.synthesizeWarc(recs.take(2)) ++
               "CORRUPT TAIL".getBytes("ISO-8859-1")
@@ -3638,6 +3744,7 @@ object TextQueries extends QueryPack {
           else Warc.synthesizeWarc(recs)
         })
         val strip = udf((html: String) => TextOps.htmlText(html))
+        val norm = udf((u: String) => TextOps.normalizeUrl(u))
         val pages = Warc.warcDocuments(
             Tables.load(s, dir, "documents")
               .where(col("doc_id") % 6 === 5)
@@ -3647,65 +3754,158 @@ object TextQueries extends QueryPack {
               .withColumn("blob",
                 mkWarc(col("doc_id"), col("g"), col("leg"))), "blob")
           .withColumn("text", strip(col("text")))
-          .select("doc_id", "source", "uri", "text")
+          .withColumn("host", expr("parse_url(uri, 'HOST')"))
+          .select("doc_id", "source", "uri", "host", "text")
           .localCheckpoint() // ONE extraction pass feeds every stage
-        val qual = pages
-          .where(size(split(col("text"), " ")) >= 5)
-          .localCheckpoint()
+        // crawl-level dedup first: canonical URL, keep-first
+        val urlUniq = pages
+          .withColumn("nurl", norm(col("uri")))
+          .withColumn("urk", row_number().over(
+            Window.partitionBy("nurl").orderBy("doc_id", "uri")))
+          .where(col("urk") === 1).drop("urk", "nurl")
+        // CCNet per-host boilerplate-line removal
+        val boiled = TextOps.removeBoilerplate(
+            urlUniq, "host", "uri", "text")
+          .localCheckpoint() // frequency pass runs once
+        val qual = boiled
+          .where(size(split(col("text"), "\\s+")) >= 5)
         val uniq = qual.withColumn("rk",
             row_number().over(Window.partitionBy(col("text"))
               .orderBy(col("doc_id"), col("uri"))))
-          .where(col("rk") === 1)
+          .where(col("rk") === 1).drop("rk")
+          .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+          .withColumn("s_en", expr(
+            "size(filter(t, x -> array_contains(array('the','of','is','was'), x)))"))
+          .withColumn("s_fr", expr(
+            "size(filter(t, x -> array_contains(array('le','et','les','une'), x)))"))
+          .withColumn("predicted",
+            expr("case when s_en >= s_fr then 'en' else 'fr' end"))
+          .localCheckpoint() // feeds the LM model AND the scoring join
+        // CCNet LM stage: unigram self-perplexity over the kept
+        // corpus, integer-scaled logs (the cross-engine-exact
+        // discipline of q_text_perplexity), terciles per language
+        val toks = uniq.select(col("doc_id"), col("uri"),
+          explode(col("t")).as("w"))
+        val cw = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+        val tot = cw.agg(sum("cw").as("tot"))
+        val scored = toks.join(cw, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .withColumn("sc", expr(
+            "cast(round(-ln(cast(cw as double) / cast(tot as double)) " +
+              "* 10000) as bigint)"))
+          .groupBy("doc_id", "uri")
+          .agg(sum("sc").as("ss"), count(lit(1)).as("nt"))
+        val bucketed = uniq.join(scored, Seq("doc_id", "uri"))
+          .withColumn("ppl", expr("ss div nt"))
+          .withColumn("bkt", ntile(3).over(
+            Window.partitionBy("predicted")
+              .orderBy(col("ppl"), col("doc_id"), col("uri"))))
         import graft.operators.CorpusFunnel
         import graft.operators.CorpusFunnel.{AggStage, CountStage}
         CorpusFunnel.stageCounts("source", Seq(
           CountStage("n_pages", pages),
+          CountStage("n_url", urlUniq),
           CountStage("n_quality", qual),
-          AggStage(uniq.groupBy("source")
+          AggStage(bucketed.groupBy("source")
             .agg(count(lit(1)).as("n_unique"),
+              sum(when(col("predicted") === "en", 1L).otherwise(0L))
+                .as("n_en"),
+              sum(when(col("predicted") === "fr", 1L).otherwise(0L))
+                .as("n_fr"),
+              sum(when(col("bkt") === 1, 1L).otherwise(0L))
+                .as("n_head"),
+              sum(when(col("bkt") === 3, 1L).otherwise(0L))
+                .as("n_tail"),
               sum(length(col("text"))).as("kept_len"),
               min(col("uri")).as("min_uri")),
-            Seq("n_unique", "kept_len", "min_uri"))), sparse = true)
+            Seq("n_unique", "n_en", "n_fr", "n_head", "n_tail",
+              "kept_len", "min_uri"))), sparse = true)
       },
       Some("""WITH d AS (SELECT doc_id, source,
             doc_id - doc_id % 12 AS g,
             ((doc_id % 12) // 6)::BIGINT AS leg,
             (doc_id % 13 = 0) AS corrupt, (doc_id % 11 = 0) AS short
           FROM documents WHERE doc_id % 6 = 5),
-        p AS (SELECT doc_id, source,
+        p0 AS (SELECT doc_id, source, g, leg, k, short, corrupt,
+            ((g // 12) % 2 = 0) AS en, ((g // 12) % 5 < 2) AS promo,
             'https://m' || leg::VARCHAR || '.ex.com/' || g::VARCHAR ||
-              '/' || k::VARCHAR AS uri,
+              '/' || k::VARCHAR AS uri
+          FROM d, (SELECT unnest(range(5)) AS k)
+          WHERE k < (g // 12 % 3) + 2 AND NOT (corrupt AND k >= 1)),
+        p AS (SELECT *,
             CASE WHEN short
               THEN 'Page ' || g::VARCHAR || ' ' || k::VARCHAR
               ELSE 'Page ' || g::VARCHAR || ' ' || k::VARCHAR ||
-                ' body & text ' || g::VARCHAR || ':' || k::VARCHAR ||
-                ' é' END AS text
-          FROM d, (SELECT unnest(range(5)) AS k)
-          WHERE k < (g // 12 % 3) + 2 AND NOT (corrupt AND k >= 1)),
+                chr(10) || 'café & text ' || g::VARCHAR || ':' ||
+                k::VARCHAR || ' é' ||
+                CASE WHEN promo
+                  THEN chr(10) || 'PROMO visit us today now'
+                  ELSE '' END ||
+                chr(10) ||
+                CASE WHEN en THEN 'the of is was word ' || g::VARCHAR
+                     ELSE 'le et les une mot ' || g::VARCHAR END
+            END AS text
+          FROM p0),
         q AS (SELECT * FROM p
-          WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 5),
-        u AS (SELECT *, row_number() OVER (PARTITION BY text
-            ORDER BY doc_id, uri) AS rn FROM q)
-        SELECT p0.source, p0.n_pages,
-          COALESCE(qq.n_quality, 0) AS n_quality,
-          COALESCE(uu.n_unique, 0) AS n_unique,
-          COALESCE(uu.kept_len, 0) AS kept_len,
-          uu.min_uri AS min_uri
-        FROM (SELECT source, count(*)::BIGINT AS n_pages
-            FROM p GROUP BY 1) p0
-        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_quality
-            FROM q GROUP BY 1) qq USING (source)
-        LEFT JOIN (SELECT source, count(*)::BIGINT AS n_unique,
-            sum(length(text))::BIGINT AS kept_len,
+          WHERE len(regexp_split_to_array(text, '\s+')) >= 5),
+        u AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY text ORDER BY doc_id, uri) AS rn FROM q)
+          WHERE rn = 1),
+        tok AS (SELECT doc_id, uri,
+            unnest(list_filter(regexp_split_to_array(text, '\s+'),
+              x -> x != '')) AS w
+          FROM u),
+        cw AS (SELECT w, count(*)::BIGINT AS cw FROM tok GROUP BY 1),
+        tt AS (SELECT sum(cw)::BIGINT AS tot FROM cw),
+        sc AS (SELECT doc_id, uri,
+            sum(round(-ln(cw::DOUBLE / tot::DOUBLE) * 10000)::BIGINT)
+              ::BIGINT AS ss,
+            count(*)::BIGINT AS nt
+          FROM tok JOIN cw USING (w), tt GROUP BY 1, 2),
+        bk AS (SELECT u.source,
+            CASE WHEN u.en THEN 'en' ELSE 'fr' END AS predicted,
+            ntile(3) OVER (PARTITION BY u.en
+              ORDER BY sc.ss // sc.nt, u.doc_id, u.uri) AS bkt,
+            length(u.text) AS tlen, u.uri
+          FROM u JOIN sc USING (doc_id, uri)),
+        np AS (SELECT source, count(*)::BIGINT +
+            count(DISTINCT CASE WHEN NOT corrupt THEN doc_id END)
+              ::BIGINT AS n_pages,
+            count(*)::BIGINT AS n_url
+          FROM p0 GROUP BY 1),
+        nq AS (SELECT source, count(*)::BIGINT AS n_quality
+          FROM q GROUP BY 1),
+        fin AS (SELECT source, count(*)::BIGINT AS n_unique,
+            sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END)::BIGINT
+              AS n_en,
+            sum(CASE WHEN predicted = 'fr' THEN 1 ELSE 0 END)::BIGINT
+              AS n_fr,
+            sum(CASE WHEN bkt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_head,
+            sum(CASE WHEN bkt = 3 THEN 1 ELSE 0 END)::BIGINT AS n_tail,
+            sum(tlen)::BIGINT AS kept_len,
             min(uri) AS min_uri
-            FROM u WHERE rn = 1 GROUP BY 1) uu USING (source)
-        ORDER BY source"""),
-      "The Common Crawl front-end composed end-to-end: WARC record " +
-        "walk + HTTP split -> html-to-text (script/style strip, " +
-        "entity decode) -> token-count quality gate -> exact-text " +
-        "mirror dedup with keep-smallest — per-source funnel counts, " +
-        "the oracle rebuilding every expected page text from id " +
-        "arithmetic without any parsing."),
+          FROM bk GROUP BY 1)
+        SELECT np.source, np.n_pages, np.n_url,
+          COALESCE(nq.n_quality, 0) AS n_quality,
+          COALESCE(fin.n_unique, 0) AS n_unique,
+          COALESCE(fin.n_en, 0) AS n_en,
+          COALESCE(fin.n_fr, 0) AS n_fr,
+          COALESCE(fin.n_head, 0) AS n_head,
+          COALESCE(fin.n_tail, 0) AS n_tail,
+          COALESCE(fin.kept_len, 0) AS kept_len,
+          fin.min_uri AS min_uri
+        FROM np
+        LEFT JOIN nq USING (source)
+        LEFT JOIN fin USING (source)
+        ORDER BY np.source"""),
+      "The Common Crawl front-end composed end-to-end in CCNet " +
+        "order: WARC record walk + charset-aware HTTP split -> " +
+        "line-structured html-to-text -> URL-canonicalization dedup " +
+        "-> per-host boilerplate-line removal -> quality gate -> " +
+        "exact-text mirror dedup -> marker langid -> unigram-LM " +
+        "perplexity terciles — per-source funnel counts, the oracle " +
+        "rebuilding every expected page text (including the " +
+        "windows-1252 legs) from id arithmetic without any parsing."),
 
     GraftQuery(
       "q_text_boilerlines", Seq("P6", "D1", "A8"),

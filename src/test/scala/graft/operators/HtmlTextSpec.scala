@@ -3,13 +3,16 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /** TextOps.htmlText: the html -> visible-text step of the Common
-  * Crawl front-end — script/style/comment removal, tag-to-space,
-  * entity decoding, whitespace collapse, hostility.
+  * Crawl front-end — script/style/comment removal, block tags to
+  * newlines / inline tags to spaces (LINE-STRUCTURED output, the
+  * shape removeBoilerplate and C4's line-based rules require),
+  * entity decoding, per-line whitespace collapse, hostility.
   */
 class HtmlTextSpec extends AnyFunSuite {
 
-  test("tags strip to spaces, script/style/comments drop wholesale, " +
-    "entities decode, whitespace collapses") {
+  test("block tags become line boundaries, inline tags spaces, " +
+    "script/style/comments drop wholesale, entities decode, " +
+    "whitespace collapses within lines") {
     val html = "<html><head><title>T</title>" +
       "<style>p { color: red; }</style></head>" +
       "<body><!-- a comment with <p>tags</p> inside -->" +
@@ -17,15 +20,26 @@ class HtmlTextSpec extends AnyFunSuite {
       "<SCRIPT type=\"text/js\">var x = \"<b>not text</b>\";</SCRIPT>" +
       "<div>tail&nbsp;word</div></body></html>"
     assert(TextOps.htmlText(html) ===
-      "T Page One body & text é A tail word")
-    // adjacent elements never fuse words
-    assert(TextOps.htmlText("<p>one</p><p>two</p>") === "one two")
+      "T\nPage One\nbody & text é A\ntail word")
+    // block-level siblings land on separate lines...
+    assert(TextOps.htmlText("<p>one</p><p>two</p>") === "one\ntwo")
+    assert(TextOps.htmlText("x<br>y") === "x\ny")
+    assert(TextOps.htmlText("<li>a</li><li>b</li>") === "a\nb")
+    // ...inline elements separate words on the SAME line
+    assert(TextOps.htmlText("one <b>two</b> three") === "one two three")
+    assert(TextOps.htmlText("<span>a</span><span>b</span>") === "a b")
+    assert(TextOps.htmlText("a<em>b</em>c") === "a b c")
+    // a comment separates words, not blocks
+    assert(TextOps.htmlText("a<!-- x -->b") === "a b")
     // unknown entities pass through literally, never mangled
     assert(TextOps.htmlText("a &unknown; b &#xzz; c") ===
       "a &unknown; b &#xzz; c")
     // case-insensitive tag names, attributes with > in quotes are a
     // known simple-scanner limit (first > ends the tag) — documented
     assert(TextOps.htmlText("<STYLE>x</Style>after") === "after")
+    // no leading/trailing newlines, empty lines dropped
+    assert(TextOps.htmlText("<div></div><p>only</p><div></div>") ===
+      "only")
   }
 
   test("hostility: unterminated constructs, null/empty, fuzz never " +

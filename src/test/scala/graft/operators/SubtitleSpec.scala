@@ -43,6 +43,26 @@ class SubtitleSpec extends AnyFunSuite {
       (1, 0L, 1000L, "after id")))
   }
 
+  test("WebVTT short form: the spec-legal MM:SS.mmm timing without " +
+    "an hours component parses with hours = 0, mixed with long form") {
+    val vtt =
+      """WEBVTT
+        |
+        |00:05.000 --> 00:07.250
+        |short form
+        |
+        |01:00:05.000 --> 01:00:07.000
+        |long form
+        |
+        |02:30.100 --> 1:02:30.200
+        |mixed endpoints
+        |""".stripMargin
+    assert(TextOps.subtitleCues(vtt) === Seq(
+      (0, 5000L, 7250L, "short form"),
+      (1, 3605000L, 3607000L, "long form"),
+      (2, 150100L, 3750200L, "mixed endpoints")))
+  }
+
   test("skip semantics: malformed timing, end < start, empty text, " +
     "timing buried past line two; hostility never throws") {
     val mixed =

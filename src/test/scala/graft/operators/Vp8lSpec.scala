@@ -106,6 +106,16 @@ class Vp8lSpec extends AnyFunSuite {
     val rows = Array.tabulate(16 * 10)(i => colorImg(16, 1, 5)(i % 16))
     roundtrip(16, 10, rows, "combo", cacheBits = 4, rowBackrefs = true,
       subtractGreen = true, predictor = Some(7))
+    // COLOR_INDEXING read BEFORE the predictor (legal per the
+    // grammar: each transform at most once, ANY order): the main
+    // image and the predictor tiles live at the PACKED width, and
+    // the predictor inverse must iterate that packed width — the
+    // shape that used to index past the packed buffer. Each packing
+    // width (3/2/1/0-bit), ragged final packed pixel included.
+    for ((n, w, h) <- Seq((2, 19, 7), (4, 13, 6), (16, 9, 9),
+        (200, 23, 11)); mode <- Seq(1, 2, 11))
+      roundtrip(w, h, palImg(n, w, h), s"palette$n+pred$mode",
+        palette = true, predictor = Some(mode))
   }
 
   test("meta-Huffman entropy image roundtrips: spatially varying " +

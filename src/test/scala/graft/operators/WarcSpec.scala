@@ -54,6 +54,58 @@ class WarcSpec extends AnyFunSuite {
     assert(docs(1)._2.body === "page 3:1 é")
   }
 
+  test("charset-aware entity-body decode: header charset wins, meta " +
+    "sniff falls back, UTF-8 default; legacy aliases map to " +
+    "windows-1252") {
+    // header path: latin-1 label, windows-1252 bytes (é = 0xE9,
+    // € = 0x80 — the 0x80-0x9f range only windows-1252 carries)
+    val h1 = Warc.httpBody(Warc.synthesizeHttp(200,
+      "text/html; charset=iso-8859-1", "café €9", "windows-1252")).get
+    assert(h1.body === "café €9")
+    // meta-sniff path: no header charset, <meta charset=...> in body
+    val metaHtml = "<html><head><meta charset=\"windows-1252\">" +
+      "</head><body>café</body></html>"
+    val h2 = Warc.httpBody(Warc.synthesizeHttp(200, "text/html",
+      metaHtml, "windows-1252")).get
+    assert(h2.body === metaHtml)
+    // meta http-equiv variant
+    val eqHtml = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head>" +
+      "<body>naïve</body></html>"
+    assert(Warc.httpBody(Warc.synthesizeHttp(200, "text/html",
+      eqHtml, "ISO-8859-1")).get.body === eqHtml)
+    // default stays UTF-8
+    assert(Warc.httpBody(Warc.synthesizeHttp(200, "text/html",
+      "café")).get.body === "café")
+    // an unknown charset label falls back to UTF-8, never throws
+    assert(Warc.httpBody(Warc.synthesizeHttp(200,
+      "text/html; charset=no-such-cs", "plain")).get.body === "plain")
+    // a UTF-8-decoded windows-1252 page WOULD mojibake — the pin
+    // that makes the charset path load-bearing
+    val raw = Warc.synthesizeHttp(200, "text/html; charset=utf-8",
+      "café", "windows-1252")
+    assert(Warc.httpBody(raw).get.body !== "café")
+    assert(Warc.charsetParam("text/html; charset=UTF-8") === "UTF-8")
+    assert(Warc.charsetParam("text/html") === "")
+  }
+
+  test("wetDocuments: conversion records (WET — plain-text payload, " +
+    "no HTTP envelope) flow to text rows; responses are ignored") {
+    val recs = Seq(
+      Warc.WarcRecord("warcinfo", "", "application/warc-fields",
+        "software: graft\r\n".getBytes("ISO-8859-1")),
+      Warc.WarcRecord("conversion", "https://ex.com/a", "text/plain",
+        "extracted text é".getBytes("UTF-8")),
+      resp(1, 0),
+      Warc.WarcRecord("conversion", "https://ex.com/b", "text/plain",
+        "second page".getBytes("UTF-8")))
+    val conv = Warc.records(Warc.synthesizeWarcGz(recs, 1))
+      .filter(_.warcType == "conversion")
+    assert(conv.map(_.targetUri) ===
+      Seq("https://ex.com/a", "https://ex.com/b"))
+    assert(new String(conv.head.body, "UTF-8") === "extracted text é")
+  }
+
   test("forgiving tail: records before the first malformation are " +
     "kept; truncation, garbage, corrupt gzip -> what parsed; fuzz " +
     "never throws") {
