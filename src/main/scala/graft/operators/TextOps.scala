@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{array_contains, array_join, coalesce,
-  col, countDistinct, expr, filter, length, lit, posexplode, regexp_count,
-  regexp_replace, size, split, struct, transform, trim, typedLit, when}
+  col, countDistinct, explode, expr, filter, length, lit, posexplode,
+  regexp_count, regexp_replace, size, split, struct, transform, trim,
+  typedLit, when}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -709,18 +710,11 @@ object TextOps {
   def removeBoilerplate(
       df: DataFrame, hostCol: String, idCol: String, textCol: String,
       minFrac: Double = 0.6, minHostDocs: Int = 3): DataFrame = {
-    require(minFrac > 0 && minFrac <= 1, s"minFrac: $minFrac")
-    require(minHostDocs >= 1, s"minHostDocs: $minHostDocs")
     val lines = df.select(col(hostCol), col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
-    val hostDocs = df.groupBy(hostCol)
-      .agg(countDistinct(col(idCol)).as("__n_docs"))
-    val boiler = lines.groupBy(hostCol, "__line")
-      .agg(countDistinct(col(idCol)).as("__df"))
-      .join(hostDocs, Seq(hostCol))
-      .where(col("__n_docs") >= minHostDocs &&
-        col("__df") >= col("__n_docs") * minFrac)
-      .select(col(hostCol), col("__line"))
+    val boiler = boilerplateLines(
+        df, hostCol, idCol, textCol, minFrac, minHostDocs)
+      .withColumnRenamed("line", "__line")
     val cleaned = lines
       .join(boiler, Seq(hostCol, "__line"), "left_anti")
       .groupBy(hostCol, idCol)
@@ -731,6 +725,33 @@ object TextOps {
       .join(cleaned, Seq(hostCol, idCol), "left")
       .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
       .drop("__cleaned")
+  }
+
+  /** The (host, line) BOILERPLATE table behind [[removeBoilerplate]]
+    * — ONE definition shared with the streaming twin's static side
+    * ([[graft.streaming.StreamingOps.boilerlineStream]]) so batch
+    * and stream frequency semantics cannot drift. A line qualifies
+    * when it appears in >= `minFrac` of a host's >= `minHostDocs`
+    * documents. Columns: (hostCol, line). Returned UNPERSISTED —
+    * the caller owns the caching contract; at scale this is the
+    * artifact a pipeline persists next to its corpus, hash-
+    * partitioned by the (host, line) join key.
+    */
+  def boilerplateLines(
+      df: DataFrame, hostCol: String, idCol: String, textCol: String,
+      minFrac: Double = 0.6, minHostDocs: Int = 3): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac: $minFrac")
+    require(minHostDocs >= 1, s"minHostDocs: $minHostDocs")
+    val lines = df.select(col(hostCol), col(idCol),
+      explode(split(col(textCol), "\n")).as("line"))
+    val hostDocs = df.groupBy(hostCol)
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+    lines.groupBy(hostCol, "line")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(hostDocs, Seq(hostCol))
+      .where(col("__n_docs") >= minHostDocs &&
+        col("__df") >= col("__n_docs") * minFrac)
+      .select(col(hostCol), col("line"))
   }
 
   /** Tracking-parameter keys [[normalizeUrl]] strips (plus any

@@ -374,6 +374,57 @@ object StreamingOps {
         col("component").isNotNull.as("is_known"), col("component"))
   }
 
+  /** Streaming per-host BOILERPLATE-LINE removal — the streaming twin
+    * of TextOps.removeBoilerplate: arriving docs explode into
+    * positional lines (stateless), anti-join the PERSISTED (host,
+    * line) boilerplate table of the last offline corpus pass
+    * (TextOps.boilerplateLines — the ONE shared definition, so batch
+    * and stream frequency semantics cannot drift), and reassemble in
+    * document order inside the window aggregation. Same
+    * refresh contract as [[clusterAssignStream]]: arrivals never
+    * mutate the static table; hosts and lines that became frequent
+    * since the last offline pass are caught at the next refresh.
+    * Output per (bucket, host, id): `n_kept` surviving lines and the
+    * reassembled `cleaned` text. A doc whose EVERY line is
+    * boilerplate emits NO row (the anti-join consumes all its lines)
+    * — the streaming analog of batch's "" — so a consumer needing
+    * every arrival accounted for must treat absent ids as fully
+    * boilerplate. Scale shape: the anti-join shuffles on the same
+    * (host, line) key the static table is partitioned by; state is
+    * one window aggregation keyed by (host, id).
+    */
+  def boilerlineStream(
+      docs: DataFrame, // hostCol, idCol, textCol, tsCol
+      corpus: DataFrame, // hostCol, idCol, textCol
+      hostCol: String = "host",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      minFrac: Double = 0.6,
+      minHostDocs: Int = 3,
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val boiler = staticSide.getOrElse(
+      graft.operators.TextOps.boilerplateLines(
+        corpus, hostCol, idCol, textCol, minFrac, minHostDocs)
+        .persist())
+      .withColumnRenamed("line", "__line")
+    docs.withWatermark(tsCol, watermark)
+      .select(col(hostCol), col(idCol), col(tsCol),
+        posexplode(split(col(textCol), "\n"))
+          .as(Seq("__idx", "__line")))
+      .join(boiler, Seq(hostCol, "__line"), "left_anti")
+      .groupBy(window(col(tsCol), windowDuration),
+        col(hostCol), col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(__idx, __line)))," +
+            " x -> x.__line)"), "\n").as("cleaned"))
+      .select(col("window.start").as("bucket"), col(hostCol),
+        col(idCol), col("n_kept"), col("cleaned"))
+  }
+
   /** Static side for [[qualityBucketStream]]: per-group quantile cut
     * points of the corpus quality score (TextOps.qualityScore — the
     * same blend q_text_quantile ranks by), via the mergeable GK-sketch

@@ -587,8 +587,11 @@ class StreamingSpec extends SparkSuite {
     import graft.operators.{TextOps, Warc}
     def warcFor(id: Int): Array[Byte] = {
       val recs = (0 until 3).map { k =>
+        val markers = if (id % 2 == 0) "the of is was here"
+          else "le et les une ici"
         val html = s"<html><body><h1>Doc $id $k</h1>" +
-          (if (id % 3 == 0) "" else s"<p>real body &amp; words $k</p>") +
+          (if (id % 3 == 0) ""
+           else s"<p>real body &amp; words $k</p><p>$markers</p>") +
           "<script>x()</script></body></html>"
         Warc.WarcRecord("response", s"https://s.ex.com/$id/$k",
           "application/http;msgtype=response",
@@ -604,10 +607,21 @@ class StreamingSpec extends SparkSuite {
         feed.toDF().toDF("doc", "blob", "ts")
           .withWatermark("ts", "2 hours"), "blob")
       .withColumn("text", strip(col("text")))
-      .withColumn("ok", size(split(col("text"), " ")) >= 5)
+      .withColumn("ok", size(split(col("text"), "\\s+")) >= 5)
+      // the CCNet langid stage, stateless like every step before the
+      // one windowed rollup: marker-word scores over the page tokens
+      .withColumn("t", expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+      .withColumn("s_en", expr("size(filter(t, x -> " +
+        "array_contains(array('the','of','is','was'), x)))"))
+      .withColumn("s_fr", expr("size(filter(t, x -> " +
+        "array_contains(array('le','et','les','une'), x)))"))
+      .withColumn("predicted",
+        expr("case when s_en >= s_fr then 'en' else 'fr' end"))
       .groupBy(window(col("ts"), "1 hour"), col("doc"))
       .agg(count(lit(1)).as("n_pages"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality"))
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("ok") && col("predicted") === "en", 1L)
+          .otherwise(0L)).as("n_en"))
     val q = out.writeStream.format("memory").queryName("cc_stream")
       .outputMode("update").start()
     try {
@@ -615,11 +629,14 @@ class StreamingSpec extends SparkSuite {
         (id, b, Timestamp.valueOf("2024-01-01 10:00:00")) }: _*)
       q.processAllAvailable()
       val got = spark.table("cc_stream")
-        .select("doc", "n_pages", "n_quality").collect()
-        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      for (id <- 0 until 6)
-        assert(got(id) ===
-          ((3L, if (id % 3 == 0) 0L else 3L)), s"doc $id")
+        .select("doc", "n_pages", "n_quality", "n_en").collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      for (id <- 0 until 6) {
+        val nq = if (id % 3 == 0) 0L else 3L
+        val nEn = if (id % 3 != 0 && id % 2 == 0) 3L else 0L
+        assert(got(id) === ((3L, nq, nEn)), s"doc $id")
+      }
     } finally q.stop()
   }
 
@@ -2969,6 +2986,54 @@ class StreamingSpec extends SparkSuite {
     } finally {
       q.stop(); bp.unpersist()
     }
+  }
+
+  test("streaming boilerplate-LINE removal probes arriving docs " +
+    "against the frozen host-line table, matching batch " +
+    "removeBoilerplate; all-boilerplate docs emit no row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    // host h0: 4 docs sharing HEAD/FOOT (df 1.0 -> boilerplate) and
+    // a PROMO line in 2/4 (df 0.5 < 0.6 -> must be KEPT); host h1:
+    // only 2 docs (< minHostDocs -> left untouched entirely)
+    val corpus = Seq(
+      ("h0", 1L, "HEAD h0\nbody one\nPROMO now\nFOOT h0"),
+      ("h0", 2L, "HEAD h0\nbody two\nFOOT h0"),
+      ("h0", 3L, "HEAD h0\nbody three\nPROMO now\nFOOT h0"),
+      ("h0", 4L, "HEAD h0\nbody four\nFOOT h0"),
+      ("h1", 5L, "HEAD h1\nbody five\nFOOT h1"),
+      ("h1", 6L, "HEAD h1\nbody six\nFOOT h1"))
+      .toDF("host", "doc_id", "text")
+    val want = TextOps.removeBoilerplate(
+        corpus, "host", "doc_id", "text")
+      .select("host", "doc_id", "text")
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(want.find(_._2 == 1L).get._3 === "body one\nPROMO now")
+    assert(want.find(_._2 == 5L).get._3 ===
+      "HEAD h1\nbody five\nFOOT h1")
+    val static = TextOps.boilerplateLines(
+      corpus, "host", "doc_id", "text").persist()
+    val in = MemoryStream[(String, Long, String, Timestamp)]
+    val q = StreamingOps.boilerlineStream(
+        in.toDF().toDF("host", "doc_id", "text", "ts"),
+        corpus, staticSide = Some(static))
+      .writeStream.format("memory").queryName("boil_stream")
+      .outputMode("update").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      val arrivals = corpus.select("host", "doc_id", "text")
+        .as[(String, Long, String)].collect().toSeq
+        .map(r => (r._1, r._2, r._3, t)) :+
+        (("h0", 7L, "HEAD h0\nFOOT h0", t)) // EVERY line boilerplate
+      val (b1, b2) = arrivals.splitAt(3)
+      Seq(b1, b2).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val got = spark.table("boil_stream")
+        .select("host", "doc_id", "cleaned")
+        .as[(String, Long, String)].collect().sorted.toSeq
+      assert(got === want) // doc 7 emits no row; the rest match batch
+    } finally { q.stop(); static.unpersist() }
   }
 
   test("streaming running distinct-count equals the batch " +
