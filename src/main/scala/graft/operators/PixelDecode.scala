@@ -48,6 +48,7 @@ object PixelDecode {
     decodeImageIo(bytes).orElse(decodePngPure(bytes))
       .orElse(decodeGifPure(bytes)).orElse(decodeBmpPure(bytes))
       .orElse(Vp8lDecode.decode(bytes))
+      .orElse(JpegDecode.decode(bytes))
 
   private[operators] def decodeImageIo(
       bytes: Array[Byte]): Option[Pixels] =

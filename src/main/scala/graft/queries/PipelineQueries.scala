@@ -3726,5 +3726,78 @@ object PipelineQueries extends QueryPack {
         "the one image kernel — per-sample pixel sums and caption " +
         "lengths replayed from the id arithmetic; bad-checksum " +
         "headers end a shard at exactly the samples before them."),
+
+    GraftQuery(
+      "q_multimodal_jpeg", Seq("P6", "A8"),
+      (s, dir) => {
+        // BASELINE JPEG through BOTH engines — ImageIO (the kernel
+        // chain) and the from-the-spec JpegDecode — pinned to exact
+        // arithmetic: per doc a mosaic of FLAT 8x8 tiles encoded
+        // DC-only at flat quant 8, where every conforming decoder
+        // reconstructs each tile integer-exactly (a flat block is
+        // round(dc*q/8) + 128 everywhere, and gray pixels survive
+        // YCbCr both ways: Cb = Cr = 128 exactly). Legs: 4:4:4 and
+        // 4:2:0 sampling (constant chroma upsampes exactly under any
+        // filter), restart intervals, single-component grayscale
+        // frames. n_agree pins the two engines to EACH OTHER; px_fp
+        // pins them to the oracle's tile arithmetic — a marker,
+        // Huffman, DC-prediction, dequantize, IDCT, upsample, or
+        // color-convert slip fails the hash. Stateless per-row
+        // encode+decode; one (source) rollup shuffle.
+        import graft.operators.{JpegDecode, PixelDecode}
+        val mkJpeg = udf((docId: Long) => {
+          def v(bx: Int, by: Int): Int =
+            (((docId % 97) * 31 + bx * 5 + by * 11) % 256).toInt
+          val img = Array.tabulate(32 * 24) { i =>
+            val g = v((i % 32) / 8, (i / 32) / 8)
+            (g << 16) | (g << 8) | g
+          }
+          JpegDecode.encodeJpeg(32, 24, img, lumaQ = 8, chromaQ = 8,
+            subsample = if (docId % 2 == 0) "444" else "420",
+            restartInterval = if (docId % 3 == 0) 2 else 0,
+            gray = docId % 5 == 0)
+        })
+        val pureSum = udf((jpeg: Array[Byte]) =>
+          JpegDecode.decode(jpeg).map { px =>
+            var s = 0L
+            PixelDecode.grayLuma(px).foreach(s += _)
+            s
+          }.getOrElse(-1L))
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("source"))
+          .withColumn("jpeg", mkJpeg(col("doc_id")))
+          .withColumn("mf", Multimodal.featuresColumn(col("jpeg")))
+          .withColumn("pure_sum", pureSum(col("jpeg")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mf.decoded"), 1L).otherwise(0L))
+              .as("n_decoded"),
+            sum(when(col("mf.px_sum") === col("pure_sum"), 1L)
+              .otherwise(0L)).as("n_agree"),
+            sum(col("mf.width")).as("sum_w"),
+            sum(col("pure_sum") % 1000000007L).as("px_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source
+            FROM documents WHERE doc_id % 7 = 3),
+        t AS (SELECT doc_id, source,
+            ((doc_id % 97) * 31 + (i % 4) * 5 + (i // 4) * 11) % 256
+              AS v
+          FROM d, (SELECT unnest(range(12)) AS i)),
+        px AS (SELECT doc_id, source,
+            (sum(v) * 64)::BIGINT AS px_sum
+          FROM t GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          count(*)::BIGINT AS n_decoded,
+          count(*)::BIGINT AS n_agree,
+          (count(*) * 32)::BIGINT AS sum_w,
+          sum(px_sum % 1000000007)::BIGINT AS px_fp
+        FROM px GROUP BY 1 ORDER BY 1"""),
+      "Baseline JPEG mosaics of DC-only flat tiles decoded through " +
+        "BOTH engines — ImageIO and the from-the-spec baseline " +
+        "decoder — with 4:4:4/4:2:0, restart, and grayscale legs; " +
+        "engine agreement and the exact per-tile pixel arithmetic " +
+        "both pinned by the oracle."),
   )
 }
