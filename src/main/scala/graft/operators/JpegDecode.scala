@@ -249,7 +249,7 @@ object JpegDecode {
     * components, malformation). Never throws.
     */
   def decode(bytes: Array[Byte]): Option[PixelDecode.Pixels] =
-    try Some(decodeOrBail(bytes)._1)
+    try Some(decodeOrBail(bytes, keepCoefficients = false)._1)
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Spec hook: the decoded QUANTIZED coefficient blocks, keyed by
@@ -260,10 +260,13 @@ object JpegDecode {
     */
   private[operators] def decodeQuantized(
       bytes: Array[Byte]): Option[Map[(Int, Int, Int), Array[Int]]] =
-    try Some(decodeOrBail(bytes)._2)
+    try Some(decodeOrBail(bytes, keepCoefficients = true)._2)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def decodeOrBail(b: Array[Byte])
+  // keepCoefficients materializes the per-block quantized map (the
+  // spec hook) — off on the production decode path, where it would
+  // cost real memory on large images
+  private def decodeOrBail(b: Array[Byte], keepCoefficients: Boolean)
       : (PixelDecode.Pixels, Map[(Int, Int, Int), Array[Int]]) = {
     if (b == null || b.length < 4) bail()
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) bail() // SOI
@@ -353,10 +356,11 @@ object JpegDecode {
       }
       pos = segEnd
     }
-    decodeScan(b, sosAt, f)
+    decodeScan(b, sosAt, f, keepCoefficients)
   }
 
-  private def decodeScan(b: Array[Byte], at: Int, f: Frame)
+  private def decodeScan(b: Array[Byte], at: Int, f: Frame,
+      keepCoefficients: Boolean)
       : (PixelDecode.Pixels, Map[(Int, Int, Int), Array[Int]]) = {
     // a single-component scan is NON-INTERLEAVED (T.81 A.2.2): one
     // data unit per MCU in raster order over the component's own
@@ -426,7 +430,8 @@ object JpegDecode {
                 k += 1
               }
             }
-            quantized((ci, my * c.v + by, mx * c.h + bx)) = zz
+            if (keepCoefficients)
+              quantized((ci, my * c.v + by, mx * c.h + bx)) = zz
             // dequantize + de-zigzag + IDCT + level shift
             val coef = new Array[Int](64)
             var i = 0

@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkSuite {
     "q_pipeline_mixture",
     // 1-row vocabulary-count broadcast for the add-one denominator
     "q_text_perplexity", "q_text_ppl_buckets",
+    // 1-row total-token broadcast for the CC-chain LM denominator
+    "q_pipeline_cc",
     // 1-row total-bigram-types broadcast for the continuation prob
     "q_text_kneser_ney",
     // 1-row totals broadcast onto the ≤bins aligned bin table
