@@ -1,32 +1,42 @@
 package graft.operators
 
-/** Pure-JVM BASELINE JPEG (ITU-T T.81 sequential DCT, SOF0) decode —
-  * the second engine for the one decodable image format that was
-  * ImageIO-only (PNG/GIF/BMP/WebP-lossless already have from-the-spec
-  * twins): marker walk (DQT/DHT/DRI/SOF0/SOS), the BITS/HUFFVAL
+/** Pure-JVM JPEG (ITU-T T.81 Huffman DCT) decode — the second engine
+  * for the one decodable image format that was ImageIO-only
+  * (PNG/GIF/BMP/WebP-lossless already have from-the-spec twins):
+  * marker walk (DQT/DHT/DRI/SOF0/SOF2/SOS), the BITS/HUFFVAL
   * canonical Huffman build, MSB-first entropy reading with 0xFF00
   * byte-unstuffing and restart markers, DC prediction + the
   * sign-extension rule, AC run-length (ZRL/EOB), dequantize +
   * de-zigzag, a separable double-precision IDCT, chroma upsampling
   * for 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 sampling, and the BT.601
-  * YCbCr -> RGB transform. Grayscale (1 component) and YCbCr (3)
-  * frames; progressive/arithmetic/12-bit frames return None honestly.
+  * YCbCr -> RGB transform. Covers BASELINE sequential (SOF0) frames
+  * and PROGRESSIVE (SOF2, T.81 Annex G) frames — multi-scan spectral
+  * selection + successive approximation: interleaved/single DC first
+  * and refinement scans, non-interleaved AC first scans with EOB
+  * runs, and the G.1.2.3 AC correction-bit refinement — grayscale
+  * (1 component) and YCbCr (3); arithmetic/lossless/12-bit frames
+  * return None honestly.
   *
   * Exactness contract: the DCT stage is float, so two conforming
   * decoders may differ by ±1 per sample (T.81 Annex A tolerances) —
   * the spec cross-checks against ImageIO within that bound, and the
   * Huffman/marker/prediction machinery is pinned EXACTLY by
   * [[decodeQuantized]] (decoded quantized coefficients must equal the
-  * encoder's, bit for bit). DC-ONLY blocks decode integer-exactly in
-  * any conforming decoder (a flat block is q*c/8 + 128 in every
-  * IDCT), which is what the oracle query plants.
+  * encoder's, bit for bit, for baseline AND progressive scripts).
+  * DC-ONLY blocks decode integer-exactly in any conforming decoder
+  * (a flat block is q*c/8 + 128 in every IDCT), which is what the
+  * oracle query plants.
   *
   * [[encodeJpeg]] writes real baseline JPEG bytes with the same
   * canonical-code machinery (flat per-image Huffman tables with a
   * phantom symbol so the all-ones code stays unassigned, flat
   * quantization tables, optional 4:2:0/4:2:2 subsampling and restart
   * intervals) — ImageIO reads them, which proves the bitstream, and
-  * roundtrip specs prove the decoder against it.
+  * roundtrip specs prove the decoder against it. [[encodeProgressive]]
+  * writes real SOF2 streams (a libjpeg-style scan script: DC first at
+  * Al=1, per-component AC bands at Al=1, AC refinement to Al=0, DC
+  * refinement; per-scan flat Huffman tables, EOB-run folding, the
+  * G.1.2.3 correction-bit buffering) under the same exactness pins.
   *
   * Hostile-input contract: never throws; decode bombs bounded by
   * [[MaxPixels]].
@@ -233,6 +243,7 @@ object JpegDecode {
   private final class Frame {
     var w = 0
     var h = 0
+    var progressive = false
     var comps: Array[Component] = Array.empty
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
@@ -240,13 +251,36 @@ object JpegDecode {
     var restartInterval = 0
   }
 
+  /** Progressive coefficient store: one zigzag-ordered 64-int slot
+    * per block of each component's MCU-padded grid, accumulated
+    * across scans (T.81 G.2 requires a full-image buffer — the
+    * format interleaves frequency bands, not rows). `nibW`/`nibH`
+    * are the component's OWN block grid (ceil of its sample dims /
+    * 8), the coverage of non-interleaved scans per A.2.2.
+    */
+  private final class ProgState(f: Frame) {
+    val hmax: Int = f.comps.map(_.h).max
+    val vmax: Int = f.comps.map(_.v).max
+    val mcusX: Int = (f.w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (f.h + 8 * vmax - 1) / (8 * vmax)
+    if (mcusX.toLong * mcusY * hmax * vmax * 64 > 4 * MaxPixels) bail()
+    val bw: Array[Int] = f.comps.map(c => mcusX * c.h)
+    val bh: Array[Int] = f.comps.map(c => mcusY * c.v)
+    val nibW: Array[Int] = f.comps.map(c =>
+      ((f.w * c.h + hmax - 1) / hmax + 7) / 8)
+    val nibH: Array[Int] = f.comps.map(c =>
+      ((f.h * c.v + vmax - 1) / vmax + 7) / 8)
+    val coefs: Array[Array[Int]] = f.comps.indices.map(i =>
+      new Array[Int](bw(i) * bh(i) * 64)).toArray
+  }
+
   // ------------------------------------------------------------------
   // decode
   // ------------------------------------------------------------------
 
-  /** Decode baseline JPEG bytes to pixels; None for anything this
-    * engine does not cover (progressive, arithmetic, 12-bit, >3
-    * components, malformation). Never throws.
+  /** Decode baseline or progressive JPEG bytes to pixels; None for
+    * anything this engine does not cover (arithmetic, lossless,
+    * 12-bit, >3 components, malformation). Never throws.
     */
   def decode(bytes: Array[Byte]): Option[PixelDecode.Pixels] =
     try Some(decodeOrBail(bytes, keepCoefficients = false)._1)
@@ -271,18 +305,28 @@ object JpegDecode {
     if (b == null || b.length < 4) bail()
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) bail() // SOI
     val f = new Frame
+    var prog: ProgState = null
+    var scans = 0
     var pos = 2
     var sosAt = -1
     while (sosAt < 0) {
-      if (pos + 4 > b.length) bail()
+      if (pos + 2 > b.length) bail()
       if ((b(pos) & 0xff) != 0xff) bail()
       val marker = b(pos + 1) & 0xff
+      if (marker == 0xd9) { // EOI — the progressive end of frame
+        if (!f.progressive || prog == null) bail()
+        return reconstructProgressive(f, prog, keepCoefficients)
+      }
+      if (pos + 4 > b.length) bail()
       val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
       if (len < 2 || pos + 2 + len > b.length) bail()
       val seg = pos + 4
       val segEnd = pos + 2 + len
+      var nextPos = segEnd
       marker match {
-        case 0xc0 => // SOF0 — baseline sequential
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (f.comps.nonEmpty) bail() // one frame header per stream
+          f.progressive = marker == 0xc2
           if (b(seg) != 8) bail() // precision
           f.h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
           f.w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
@@ -299,9 +343,9 @@ object JpegDecode {
               c.tq > 3) bail()
             c
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
-          bail() // extended/progressive/lossless/arithmetic: not here
+          bail() // extended/lossless/arithmetic: not here
         case 0xdb => // DQT
           var o = seg
           while (o < segEnd) {
@@ -338,25 +382,311 @@ object JpegDecode {
           f.restartInterval =
             ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
         case 0xda => // SOS
-          val ns = b(seg) & 0xff
-          if (f.comps.isEmpty || ns != f.comps.length) bail()
-          var i = 0
-          while (i < ns) {
-            val cs = b(seg + 1 + 2 * i) & 0xff
-            val c = f.comps.find(_.id == cs).getOrElse(bail())
-            val tt = b(seg + 2 + 2 * i) & 0xff
-            c.td = tt >> 4
-            c.ta = tt & 15
-            i += 1
+          if (f.comps.isEmpty) bail()
+          if (f.progressive) {
+            if (prog == null) prog = new ProgState(f)
+            // decode-bomb cap: a legal script never needs more than
+            // ~14 bit-planes x 64 coefficients x 3 components
+            scans += 1
+            if (scans > 3072) bail()
+            nextPos = progScan(b, seg, segEnd, f, prog)
+          } else {
+            val ns = b(seg) & 0xff
+            if (ns != f.comps.length) bail()
+            var i = 0
+            while (i < ns) {
+              val cs = b(seg + 1 + 2 * i) & 0xff
+              val c = f.comps.find(_.id == cs).getOrElse(bail())
+              val tt = b(seg + 2 + 2 * i) & 0xff
+              c.td = tt >> 4
+              c.ta = tt & 15
+              i += 1
+            }
+            sosAt = segEnd
           }
-          sosAt = segEnd
         case m if m >= 0xe0 && m <= 0xef => () // APPn
         case 0xfe => () // COM
         case _ => () // other tables/segments: skip by length
       }
-      pos = segEnd
+      pos = nextPos
     }
     decodeScan(b, sosAt, f, keepCoefficients)
+  }
+
+  // ------------------------------------------------------------------
+  // progressive scans (T.81 Annex G)
+  // ------------------------------------------------------------------
+
+  /** Decode one progressive scan (header at `seg`, entropy data from
+    * `segEnd`) into the coefficient store; returns the position of
+    * the next marker after the entropy segment.
+    */
+  private def progScan(b: Array[Byte], seg: Int, segEnd: Int,
+      f: Frame, st: ProgState): Int = {
+    val ns = b(seg) & 0xff
+    if (ns < 1 || ns > f.comps.length ||
+      seg + 4 + 2 * ns > segEnd) bail()
+    val scanCis = new Array[Int](ns)
+    var i = 0
+    while (i < ns) {
+      val cs = b(seg + 1 + 2 * i) & 0xff
+      val ci = f.comps.indexWhere(_.id == cs)
+      if (ci < 0) bail()
+      val tt = b(seg + 2 + 2 * i) & 0xff
+      f.comps(ci).td = tt >> 4
+      f.comps(ci).ta = tt & 15
+      scanCis(i) = ci
+      i += 1
+    }
+    val ss = b(seg + 1 + 2 * ns) & 0xff
+    val se = b(seg + 2 + 2 * ns) & 0xff
+    val ahal = b(seg + 3 + 2 * ns) & 0xff
+    val ah = ahal >> 4
+    val al = ahal & 15
+    // scan-header legality per G.1.1.1.1
+    if (se > 63 || se < ss || al > 13 || ah > 13) bail()
+    if (ss == 0 && se != 0) bail() // a DC scan is exactly [0, 0]
+    if (ss > 0 && ns != 1) bail() // AC scans are non-interleaved
+    if (ah != 0 && ah != al + 1) bail() // one bit per refinement
+    val r = new BitReader(b, segEnd)
+    if (ss == 0) dcScan(r, f, st, scanCis, ah, al)
+    else acScan(r, f, st, scanCis(0), ss, se, ah, al)
+    r.align()
+    // skip pad bytes to the next true marker (not stuffing, not RST)
+    var p = r.pos
+    while (p + 1 < b.length && !((b(p) & 0xff) == 0xff && {
+      val m = b(p + 1) & 0xff
+      m != 0x00 && (m < 0xd0 || m > 0xd7)
+    })) p += 1
+    if (p + 1 >= b.length) bail()
+    p
+  }
+
+  /** DC scan: first pass (Ah=0) decodes Huffman-coded diffs of the
+    * point-transformed DC (stored << Al); refinement (Ah>0) appends
+    * one raw bit per block at position Al (G.1.2.1).
+    */
+  private def dcScan(r: BitReader, f: Frame, st: ProgState,
+      scanCis: Array[Int], ah: Int, al: Int): Unit = {
+    val pred = new Array[Int](f.comps.length)
+    var rstIdx = 0
+    var sinceRst = 0
+    def maybeRestart(): Unit =
+      if (f.restartInterval > 0 && sinceRst == f.restartInterval) {
+        r.expectRst(rstIdx % 8)
+        rstIdx += 1
+        java.util.Arrays.fill(pred, 0)
+        sinceRst = 0
+      }
+    def block(ci: Int, by: Int, bx: Int): Unit = {
+      val off = (by * st.bw(ci) + bx) * 64
+      if (ah == 0) {
+        val tab = f.dcTabs(f.comps(ci).td)
+        if (tab == null) bail()
+        val s = tab.read(r)
+        if (s > 11) bail()
+        pred(ci) += extend(r.readBits(s), s)
+        st.coefs(ci)(off) = pred(ci) << al
+      } else if (r.readBit() == 1) st.coefs(ci)(off) |= 1 << al
+    }
+    if (scanCis.length > 1) { // interleaved: the MCU walk
+      val n = st.mcusX * st.mcusY
+      var mcu = 0
+      while (mcu < n) {
+        maybeRestart()
+        val my = mcu / st.mcusX
+        val mx = mcu % st.mcusX
+        var k = 0
+        while (k < scanCis.length) {
+          val ci = scanCis(k)
+          val c = f.comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              block(ci, my * c.v + by, mx * c.h + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          k += 1
+        }
+        sinceRst += 1
+        mcu += 1
+      }
+    } else { // single component: raster over its own grid (A.2.2)
+      val ci = scanCis(0)
+      val n = st.nibW(ci) * st.nibH(ci)
+      var u = 0
+      while (u < n) {
+        maybeRestart()
+        block(ci, u / st.nibW(ci), u % st.nibW(ci))
+        sinceRst += 1
+        u += 1
+      }
+    }
+  }
+
+  /** AC scan over one component's own block grid: first pass
+    * (G.1.2.2, EOB runs) or correction-bit refinement (G.1.2.3).
+    */
+  private def acScan(r: BitReader, f: Frame, st: ProgState, ci: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Unit = {
+    val tab = f.acTabs(f.comps(ci).ta)
+    if (tab == null) bail()
+    val zz = st.coefs(ci)
+    val w = st.nibW(ci)
+    val n = w * st.nibH(ci)
+    var eobrun = 0
+    var rstIdx = 0
+    var sinceRst = 0
+    var u = 0
+    while (u < n) {
+      if (f.restartInterval > 0 && sinceRst == f.restartInterval) {
+        r.expectRst(rstIdx % 8)
+        rstIdx += 1
+        eobrun = 0
+        sinceRst = 0
+      }
+      val off = ((u / w) * st.bw(ci) + (u % w)) * 64
+      eobrun =
+        if (ah == 0) acFirstBlock(r, tab, zz, off, ss, se, al, eobrun)
+        else acRefineBlock(r, tab, zz, off, ss, se, al, eobrun)
+      sinceRst += 1
+      u += 1
+    }
+  }
+
+  /** One block of an AC first scan (G.1.2.2): run-length symbols as
+    * in baseline, coefficients stored << Al, EOBn symbols starting a
+    * run of (1 << n) + n-extra-bits end-of-band blocks. Returns the
+    * EOB run remaining for FOLLOWING blocks.
+    */
+  private def acFirstBlock(r: BitReader, tab: Huff, zz: Array[Int],
+      off: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+    if (eobrun0 > 0) return eobrun0 - 1
+    var k = ss
+    while (k <= se) {
+      val rs = tab.read(r)
+      val run = rs >> 4
+      val size = rs & 15
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else return (1 << run) - 1 +
+          (if (run > 0) r.readBits(run) else 0) // EOBn
+      } else {
+        k += run
+        if (k > se) bail()
+        zz(off + k) = extend(r.readBits(size), size) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** One block of an AC refinement scan — the G.1.2.3 algorithm:
+    * every nonzero-history coefficient crossed carries a correction
+    * bit; (run, 1) symbols place a newly-significant ±(1 << Al) after
+    * `run` zero-history positions; ZRL skips 16 zero-history
+    * positions; EOBn refines the rest of the band in this and the
+    * following (run count) blocks. Returns the remaining EOB run.
+    */
+  private def acRefineBlock(r: BitReader, tab: Huff, zz: Array[Int],
+      off: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrun0
+    var k = ss
+    def refineBit(idx: Int): Unit =
+      if (r.readBit() == 1 && (zz(idx) & p1) == 0)
+        zz(idx) += (if (zz(idx) >= 0) p1 else m1)
+    if (eobrun == 0) {
+      var open = true
+      while (open && k <= se) {
+        val rs = tab.read(r)
+        var run = rs >> 4
+        val size = rs & 15
+        var newVal = 0
+        if (size == 0) {
+          if (run < 15) { // EOBn: this block joins the run
+            eobrun = (1 << run) +
+              (if (run > 0) r.readBits(run) else 0)
+            open = false
+          } // run == 15 (ZRL): skip 16 zero-history positions below
+        } else {
+          if (size != 1) bail() // refinement codes only carry s = 1
+          newVal = if (r.readBit() == 1) p1 else m1
+        }
+        if (open) {
+          var placing = true
+          while (placing && k <= se) {
+            if (zz(off + k) != 0) refineBit(off + k)
+            else if (run == 0) {
+              if (newVal != 0) zz(off + k) = newVal
+              placing = false
+            } else run -= 1
+            k += 1
+          }
+          if (placing && newVal != 0) bail() // fell past Se unplaced
+        }
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= se) { // end-of-band: refinement bits only
+        if (zz(off + k) != 0) refineBit(off + k)
+        k += 1
+      }
+      eobrun - 1
+    } else 0
+  }
+
+  /** After EOI: dequantize + IDCT every block of the accumulated
+    * coefficient store and hand the planes to the shared
+    * upsample/color pipeline.
+    */
+  private def reconstructProgressive(f: Frame, st: ProgState,
+      keepCoefficients: Boolean)
+      : (PixelDecode.Pixels, Map[(Int, Int, Int), Array[Int]]) = {
+    val planeW = f.comps.indices.map(i => st.bw(i) * 8).toArray
+    val planes = f.comps.indices.map(i =>
+      new Array[Int](st.bw(i) * 8 * st.bh(i) * 8)).toArray
+    val quantized =
+      scala.collection.mutable.Map[(Int, Int, Int), Array[Int]]()
+    var ci = 0
+    while (ci < f.comps.length) {
+      val q = f.quant(f.comps(ci).tq)
+      if (q == null) bail()
+      val pw = planeW(ci)
+      var by = 0
+      while (by < st.bh(ci)) {
+        var bx = 0
+        while (bx < st.bw(ci)) {
+          val off = (by * st.bw(ci) + bx) * 64
+          val zz = java.util.Arrays.copyOfRange(
+            st.coefs(ci), off, off + 64)
+          if (keepCoefficients) quantized((ci, by, bx)) = zz
+          val coef = new Array[Int](64)
+          var i = 0
+          while (i < 64) { coef(Zigzag(i)) = zz(i) * q(i); i += 1 }
+          val px = idct(coef)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val v = math.round(px(yy * 8 + xx)).toInt + 128
+              planes(ci)((by * 8 + yy) * pw + (bx * 8 + xx)) =
+                if (v < 0) 0 else if (v > 255) 255 else v
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    (assemble(f, planes, planeW, st.hmax, st.vmax), quantized.toMap)
   }
 
   private def decodeScan(b: Array[Byte], at: Int, f: Frame,
@@ -459,7 +789,15 @@ object JpegDecode {
       }
       mcu += 1
     }
-    // upsample each plane to full resolution + color transform
+    (assemble(f, planes, planeW, hmax, vmax), quantized.toMap)
+  }
+
+  /** Upsample the component planes to full resolution and apply the
+    * BT.601 color transform — shared by the baseline and progressive
+    * paths.
+    */
+  private def assemble(f: Frame, planes: Array[Array[Int]],
+      planeW: Array[Int], hmax: Int, vmax: Int): PixelDecode.Pixels = {
     val out = new Array[Int](f.w * f.h)
     if (f.comps.length == 1) {
       val pw = planeW(0)
@@ -502,7 +840,7 @@ object JpegDecode {
         y += 1
       }
     }
-    (PixelDecode.Pixels(f.w, f.h, out), quantized.toMap)
+    PixelDecode.Pixels(f.w, f.h, out)
   }
 
   /** Upsample one component plane to (w, h). Factors of exactly 2
@@ -676,13 +1014,60 @@ object JpegDecode {
     * like [[decodeQuantized]] — decode(encode(x)) must reproduce
     * them bit for bit (the entropy-layer exactness pin).
     */
-  private[operators] def encodeJpegFull(
+  /** Shared encoder front half: color transform, chroma subsample,
+    * FDCT, flat quantization — everything up to the per-mode entropy
+    * coding. `ch`/`cv` are the luma sampling factors; chroma is
+    * always (1, 1).
+    */
+  private final class EncPlan(
+      val w: Int, val h: Int, val ch: Int, val cv: Int,
+      val gray: Boolean, val mcusX: Int, val mcusY: Int,
+      val yBlocks: Array[Array[Int]],
+      val cbBlocks: Array[Array[Int]],
+      val crBlocks: Array[Array[Int]]) {
+    /** Blocks of component ci (zigzag quantized, padded grid). */
+    def blocks(ci: Int): Array[Array[Int]] =
+      if (ci == 0) yBlocks else if (ci == 1) cbBlocks else crBlocks
+    def gridW(ci: Int): Int = if (ci == 0) mcusX * ch else mcusX
+    def gridH(ci: Int): Int = if (ci == 0) mcusY * cv else mcusY
+    /** The component's own (non-interleaved) block grid. */
+    def nibW(ci: Int): Int =
+      if (ci == 0) (w + 7) / 8 else (((w + ch - 1) / ch) + 7) / 8
+    def nibH(ci: Int): Int =
+      if (ci == 0) (h + 7) / 8 else (((h + cv - 1) / cv) + 7) / 8
+    def nComps: Int = if (gray) 1 else 3
+    /** The spec-hook coefficient map over the padded grids. */
+    def coefMap(zeroPadAc: Boolean)
+        : Map[(Int, Int, Int), Array[Int]] = {
+      val m = scala.collection.mutable.Map[(Int, Int, Int),
+        Array[Int]]()
+      var ci = 0
+      while (ci < nComps) {
+        val bw = gridW(ci)
+        blocks(ci).zipWithIndex.foreach { case (zz, bi) =>
+          val by = bi / bw
+          val bx = bi % bw
+          // progressive AC scans never cover padding blocks beyond
+          // the component's own grid: their ACs stay zero on the wire
+          val out =
+            if (zeroPadAc && (bx >= nibW(ci) || by >= nibH(ci))) {
+              val z = new Array[Int](64)
+              z(0) = zz(0)
+              z
+            } else zz
+          m((ci, by, bx)) = out
+        }
+        ci += 1
+      }
+      m.toMap
+    }
+  }
+
+  private def prepareBlocks(
       w: Int, h: Int, rgb: Array[Int],
       lumaQ: Int, chromaQ: Int,
       subsample: String,
-      restartInterval: Int,
-      gray: Boolean)
-      : (Array[Byte], Map[(Int, Int, Int), Array[Int]]) = {
+      gray: Boolean): EncPlan = {
     require(w >= 1 && h >= 1 && rgb.length == w * h, s"dims $w x $h")
     require(lumaQ >= 2 && lumaQ <= 255 && chromaQ >= 2 &&
       chromaQ <= 255,
@@ -795,6 +1180,25 @@ object JpegDecode {
       if (gray) null else blocksOf(cbS, cw, chh, mcusX, mcusY, chromaQ)
     val crBlocks =
       if (gray) null else blocksOf(crS, cw, chh, mcusX, mcusY, chromaQ)
+    new EncPlan(w, h, ch, cv, gray, mcusX, mcusY,
+      yBlocks, cbBlocks, crBlocks)
+  }
+
+  private[operators] def encodeJpegFull(
+      w: Int, h: Int, rgb: Array[Int],
+      lumaQ: Int, chromaQ: Int,
+      subsample: String,
+      restartInterval: Int,
+      gray: Boolean)
+      : (Array[Byte], Map[(Int, Int, Int), Array[Int]]) = {
+    val p = prepareBlocks(w, h, rgb, lumaQ, chromaQ, subsample, gray)
+    val ch = p.ch
+    val cv = p.cv
+    val mcusX = p.mcusX
+    val mcusY = p.mcusY
+    val yBlocks = p.yBlocks
+    val cbBlocks = p.cbBlocks
+    val crBlocks = p.crBlocks
 
     // collect the symbol alphabets actually used, per table class
     val dcSyms = Array.fill(2)(
@@ -983,20 +1387,345 @@ object JpegDecode {
     }
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
-    val blocks = scala.collection.mutable.Map[(Int, Int, Int),
-      Array[Int]]()
-    val ybw = mcusX * ch
-    yBlocks.zipWithIndex.foreach { case (zz, bi) =>
-      blocks((0, bi / ybw, bi % ybw)) = zz
+    (out.toByteArray, p.coefMap(zeroPadAc = false))
+  }
+
+  // ------------------------------------------------------------------
+  // progressive encoder (real decodable SOF2 bytes)
+  // ------------------------------------------------------------------
+
+  /** One scan of the progressive script: `cis` component indices
+    * (several only for DC scans), spectral band [ss, se], successive
+    * approximation (ah, al).
+    */
+  private final case class Scan(
+      cis: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** Entropy sink shared by the two scan passes: pass 1 collects the
+    * symbol alphabet per Huffman table, pass 2 emits codes and raw
+    * bits. Both passes run the SAME walker so restart/EOB-run state
+    * lines up exactly.
+    */
+  private trait ScanSink {
+    def sym(tab: Int, s: Int): Unit
+    def bits(v: Int, n: Int): Unit
+    def restart(idx: Int): Unit
+  }
+
+  private final class SymCollector extends ScanSink {
+    val syms: Array[scala.collection.mutable.SortedSet[Int]] =
+      Array.fill(2)(scala.collection.mutable.SortedSet[Int]())
+    def sym(tab: Int, s: Int): Unit = syms(tab) += s
+    def bits(v: Int, n: Int): Unit = ()
+    def restart(idx: Int): Unit = ()
+  }
+
+  private final class SymEmitter(
+      out: java.io.ByteArrayOutputStream,
+      codes: Array[Map[Int, (Int, Int)]]) extends ScanSink {
+    val bw = new BitWriter(out)
+    def sym(tab: Int, s: Int): Unit = {
+      val (c, l) = codes(tab)(s)
+      bw.writeBits(c, l)
     }
-    if (!gray) {
-      cbBlocks.zipWithIndex.foreach { case (zz, bi) =>
-        blocks((1, bi / mcusX, bi % mcusX)) = zz
-      }
-      crBlocks.zipWithIndex.foreach { case (zz, bi) =>
-        blocks((2, bi / mcusX, bi % mcusX)) = zz
+    def bits(v: Int, n: Int): Unit = bw.writeBits(v, n)
+    def restart(idx: Int): Unit = {
+      bw.flush()
+      out.write(0xff)
+      out.write(0xd0 + (idx % 8))
+    }
+  }
+
+  /** Encode RGB pixels as real PROGRESSIVE (SOF2) JPEG with the same
+    * flat quantization/Huffman machinery as [[encodeJpeg]]. The scan
+    * script is libjpeg-shaped: interleaved DC first at Al=1, per-
+    * component AC bands [1,5] and [6,63] at Al=1, AC refinement of
+    * both bands to Al=0, DC refinement to Al=0 — every Annex G
+    * decode path (EOB runs, ZRL-in-refinement, correction bits,
+    * newly-significant placement) is exercised. ImageIO reads the
+    * output; [[decodeQuantized]] must reproduce the returned blocks
+    * bit for bit.
+    */
+  def encodeProgressive(
+      w: Int, h: Int, rgb: Array[Int],
+      lumaQ: Int = 8, chromaQ: Int = 12,
+      subsample: String = "444",
+      restartInterval: Int = 0,
+      gray: Boolean = false): Array[Byte] =
+    encodeProgressiveFull(w, h, rgb, lumaQ, chromaQ, subsample,
+      restartInterval, gray)._1
+
+  /** Spec hook: the bytes plus the quantized blocks AS TRANSMITTED —
+    * padding blocks beyond a component's own grid carry DC only
+    * (non-interleaved AC scans never visit them), so their ACs are
+    * zero in the returned map exactly as on the wire.
+    */
+  private[operators] def encodeProgressiveFull(
+      w: Int, h: Int, rgb: Array[Int],
+      lumaQ: Int, chromaQ: Int,
+      subsample: String,
+      restartInterval: Int,
+      gray: Boolean)
+      : (Array[Byte], Map[(Int, Int, Int), Array[Int]]) = {
+    val p = prepareBlocks(w, h, rgb, lumaQ, chromaQ, subsample, gray)
+    val comps = 0 until p.nComps
+    val script =
+      Scan(comps, 0, 0, 0, 1) +:
+        (comps.flatMap(ci =>
+          Seq(Scan(Seq(ci), 1, 5, 0, 1), Scan(Seq(ci), 6, 63, 0, 1))) ++
+          comps.flatMap(ci =>
+            Seq(Scan(Seq(ci), 1, 5, 1, 0), Scan(Seq(ci), 6, 63, 1, 0))) :+
+          Scan(comps, 0, 0, 1, 0))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int)(
+        body: java.io.ByteArrayOutputStream => Unit): Unit = {
+      val tmp = new java.io.ByteArrayOutputStream()
+      body(tmp)
+      out.write(0xff); out.write(m)
+      out.write(((tmp.size + 2) >> 8) & 0xff)
+      out.write((tmp.size + 2) & 0xff)
+      tmp.writeTo(out)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xdb) { s =>
+      s.write(0x00)
+      (0 until 64).foreach(_ => s.write(lumaQ))
+      if (!gray) {
+        s.write(0x01)
+        (0 until 64).foreach(_ => s.write(chromaQ))
       }
     }
-    (out.toByteArray, blocks.toMap)
+    marker(0xc2) { s => // SOF2
+      s.write(8)
+      s.write((h >> 8) & 0xff); s.write(h & 0xff)
+      s.write((w >> 8) & 0xff); s.write(w & 0xff)
+      s.write(if (gray) 1 else 3)
+      s.write(1); s.write((p.ch << 4) | p.cv); s.write(0)
+      if (!gray) {
+        s.write(2); s.write(0x11); s.write(1)
+        s.write(3); s.write(0x11); s.write(1)
+      }
+    }
+    if (restartInterval > 0)
+      marker(0xdd) { s =>
+        s.write((restartInterval >> 8) & 0xff)
+        s.write(restartInterval & 0xff)
+      }
+
+    script.foreach { scan =>
+      // pass 1: collect the symbol alphabet this scan actually uses
+      val coll = new SymCollector
+      walkScan(p, scan, restartInterval, coll)
+      val isDc = scan.ss == 0
+      val needTables = !(isDc && scan.ah > 0) // DC refinement: raw bits
+      val codes = new Array[Map[Int, (Int, Int)]](2)
+      if (needTables) {
+        val tc = if (isDc) 0 else 1
+        coll.syms.zipWithIndex.foreach { case (ss, tab) =>
+          if (ss.nonEmpty) {
+            val (counts, vals, cmap) = buildFlatTable(ss.toSeq)
+            marker(0xc4) { s =>
+              s.write((tc << 4) | tab)
+              counts.foreach(s.write)
+              vals.foreach(s.write)
+            }
+            codes(tab) = cmap
+          }
+        }
+      }
+      marker(0xda) { s => // SOS
+        s.write(scan.cis.length)
+        scan.cis.foreach { ci =>
+          s.write(ci + 1) // component ids are 1-based in our SOF
+          val tab = if (ci == 0) 0 else 1
+          s.write(if (isDc) (tab << 4) | 0 else 0x00 | tab)
+        }
+        s.write(scan.ss); s.write(scan.se)
+        s.write((scan.ah << 4) | scan.al)
+      }
+      // pass 2: emit
+      val em = new SymEmitter(out, codes)
+      walkScan(p, scan, restartInterval, em)
+      em.bw.flush()
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    (out.toByteArray, p.coefMap(zeroPadAc = true))
+  }
+
+  /** Drive one scan over the block grid(s), feeding `sink` — the
+    * walker both passes share. Restart boundaries flush EOB runs and
+    * reset prediction state in lockstep with the decoder.
+    */
+  private def walkScan(p: EncPlan, scan: Scan, ri: Int,
+      sink: ScanSink): Unit = {
+    if (scan.ss == 0) walkDcScan(p, scan, ri, sink)
+    else walkAcScan(p, scan, ri, sink)
+  }
+
+  private def walkDcScan(p: EncPlan, scan: Scan, ri: Int,
+      sink: ScanSink): Unit = {
+    val preds = new Array[Int](3)
+    var rst = 0
+    var since = 0
+    def maybeRestart(): Unit =
+      if (ri > 0 && since == ri) {
+        sink.restart(rst)
+        rst += 1
+        java.util.Arrays.fill(preds, 0)
+        since = 0
+      }
+    def block(ci: Int, zz: Array[Int]): Unit = {
+      val tab = if (ci == 0) 0 else 1
+      if (scan.ah == 0) {
+        val v = zz(0) >> scan.al // DC point transform: arith shift
+        val diff = v - preds(ci)
+        preds(ci) = v
+        val s = category(diff)
+        sink.sym(tab, s)
+        if (s > 0)
+          sink.bits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      } else sink.bits((zz(0) >> scan.al) & 1, 1)
+    }
+    if (scan.cis.length > 1) { // interleaved MCU walk
+      var mcu = 0
+      val n = p.mcusX * p.mcusY
+      while (mcu < n) {
+        maybeRestart()
+        val my = mcu / p.mcusX
+        val mx = mcu % p.mcusX
+        scan.cis.foreach { ci =>
+          val (hs, vs) = if (ci == 0) (p.ch, p.cv) else (1, 1)
+          val gw = p.gridW(ci)
+          var by = 0
+          while (by < vs) {
+            var bx = 0
+            while (bx < hs) {
+              block(ci,
+                p.blocks(ci)((my * vs + by) * gw + (mx * hs + bx)))
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        since += 1
+        mcu += 1
+      }
+    } else { // single component: its own grid, one block per MCU
+      val ci = scan.cis.head
+      val n = p.nibW(ci) * p.nibH(ci)
+      var u = 0
+      while (u < n) {
+        maybeRestart()
+        block(ci, p.blocks(ci)(
+          (u / p.nibW(ci)) * p.gridW(ci) + u % p.nibW(ci)))
+        since += 1
+        u += 1
+      }
+    }
+  }
+
+  private def walkAcScan(p: EncPlan, scan: Scan, ri: Int,
+      sink: ScanSink): Unit = {
+    val ci = scan.cis.head
+    val tid = if (ci == 0) 0 else 1 // AC table id by component
+    var eobrun = 0
+    // correction bits owed to pending EOB runs (G.1.2.3 buffering)
+    val pending = new scala.collection.mutable.ArrayBuffer[Int]()
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+        sink.sym(tid, nbits << 4)
+        if (nbits > 0) sink.bits(eobrun - (1 << nbits), nbits)
+        eobrun = 0
+      }
+      pending.foreach(bit => sink.bits(bit, 1))
+      pending.clear()
+    }
+    var rst = 0
+    var since = 0
+    val n = p.nibW(ci) * p.nibH(ci)
+    var u = 0
+    while (u < n) {
+      if (ri > 0 && since == ri) {
+        flushEob()
+        sink.restart(rst)
+        rst += 1
+        since = 0
+      }
+      val zz = p.blocks(ci)(
+        (u / p.nibW(ci)) * p.gridW(ci) + u % p.nibW(ci))
+      if (scan.ah == 0) { // AC first pass (G.1.2.2)
+        var r = 0
+        var k = scan.ss
+        while (k <= scan.se) {
+          val t = math.abs(zz(k)) >> scan.al
+          if (t == 0) r += 1
+          else {
+            flushEob()
+            while (r > 15) { sink.sym(tid, 0xf0); r -= 16 } // ZRL
+            val nbits = category(t)
+            sink.sym(tid, (r << 4) | nbits)
+            val sv = if (zz(k) >= 0) t else -t
+            sink.bits(if (sv >= 0) sv else sv + (1 << nbits) - 1,
+              nbits)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        }
+      } else { // AC refinement (G.1.2.3)
+        // last newly-significant position bounds ZRL emission
+        var eobPos = scan.ss - 1
+        var k = scan.ss
+        while (k <= scan.se) {
+          if ((math.abs(zz(k)) >> scan.al) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val br = new scala.collection.mutable.ArrayBuffer[Int]()
+        k = scan.ss
+        while (k <= scan.se) {
+          val t = math.abs(zz(k)) >> scan.al
+          if (t == 0) r += 1
+          else {
+            // ZRLs are due at ANY nonzero coefficient (the decoder
+            // reads history correction bits positionally inside each
+            // symbol's zero-run window), but never past the last
+            // newly-significant position — those runs fold into EOB
+            while (r > 15 && k <= eobPos) {
+              flushEob()
+              sink.sym(tid, 0xf0) // ZRL
+              r -= 16
+              br.foreach(bit => sink.bits(bit, 1))
+              br.clear()
+            }
+            if (t > 1) br += (t & 1) // history coef: correction bit
+            else { // newly significant
+              flushEob()
+              sink.sym(tid, (r << 4) | 1)
+              sink.bits(if (zz(k) >= 0) 1 else 0, 1)
+              br.foreach(bit => sink.bits(bit, 1))
+              br.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || br.nonEmpty) {
+          eobrun += 1
+          pending ++= br
+          // bound the buffered-correction-bit pool (libjpeg's
+          // MAX_CORR_BITS discipline)
+          if (eobrun == 0x7fff || pending.length > 937) flushEob()
+        }
+      }
+      since += 1
+      u += 1
+    }
+    flushEob()
   }
 }

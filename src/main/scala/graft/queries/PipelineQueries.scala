@@ -3730,20 +3730,24 @@ object PipelineQueries extends QueryPack {
     GraftQuery(
       "q_multimodal_jpeg", Seq("P6", "A8"),
       (s, dir) => {
-        // BASELINE JPEG through BOTH engines — ImageIO (the kernel
-        // chain) and the from-the-spec JpegDecode — pinned to exact
-        // arithmetic: per doc a mosaic of FLAT 8x8 tiles encoded
-        // DC-only at flat quant 8, where every conforming decoder
-        // reconstructs each tile integer-exactly (a flat block is
-        // round(dc*q/8) + 128 everywhere, and gray pixels survive
-        // YCbCr both ways: Cb = Cr = 128 exactly). Legs: 4:4:4 and
-        // 4:2:0 sampling (constant chroma upsampes exactly under any
-        // filter), restart intervals, single-component grayscale
-        // frames. n_agree pins the two engines to EACH OTHER; px_fp
-        // pins them to the oracle's tile arithmetic — a marker,
-        // Huffman, DC-prediction, dequantize, IDCT, upsample, or
-        // color-convert slip fails the hash. Stateless per-row
-        // encode+decode; one (source) rollup shuffle.
+        // BASELINE + PROGRESSIVE JPEG through BOTH engines — ImageIO
+        // (the kernel chain) and the from-the-spec JpegDecode —
+        // pinned to exact arithmetic: per doc a mosaic of FLAT 8x8
+        // tiles encoded DC-only at flat quant 8, where every
+        // conforming decoder reconstructs each tile integer-exactly
+        // (a flat block is round(dc*q/8) + 128 everywhere, and gray
+        // pixels survive YCbCr both ways: Cb = Cr = 128 exactly).
+        // Legs: 4:4:4 and 4:2:0 sampling (constant chroma upsamples
+        // exactly under any filter), restart intervals, single-
+        // component grayscale frames, and every 4th doc a SOF2
+        // PROGRESSIVE stream (the Annex G scan script reassembles
+        // the identical coefficients, so the tile arithmetic holds
+        // unchanged). n_agree pins the two engines to EACH OTHER;
+        // px_fp pins them to the oracle's tile arithmetic — a
+        // marker, Huffman, DC-prediction, EOB-run, refinement,
+        // dequantize, IDCT, upsample, or color-convert slip fails
+        // the hash. Stateless per-row encode+decode; one (source)
+        // rollup shuffle.
         import graft.operators.{JpegDecode, PixelDecode}
         val mkJpeg = udf((docId: Long) => {
           def v(bx: Int, by: Int): Int =
@@ -3752,10 +3756,17 @@ object PipelineQueries extends QueryPack {
             val g = v((i % 32) / 8, (i / 32) / 8)
             (g << 16) | (g << 8) | g
           }
-          JpegDecode.encodeJpeg(32, 24, img, lumaQ = 8, chromaQ = 8,
-            subsample = if (docId % 2 == 0) "444" else "420",
-            restartInterval = if (docId % 3 == 0) 2 else 0,
-            gray = docId % 5 == 0)
+          val sub = if (docId % 2 == 0) "444" else "420"
+          val rst = if (docId % 3 == 0) 2 else 0
+          val gry = docId % 5 == 0
+          if (docId % 4 == 1)
+            JpegDecode.encodeProgressive(32, 24, img, lumaQ = 8,
+              chromaQ = 8, subsample = sub, restartInterval = rst,
+              gray = gry)
+          else
+            JpegDecode.encodeJpeg(32, 24, img, lumaQ = 8,
+              chromaQ = 8, subsample = sub, restartInterval = rst,
+              gray = gry)
         })
         val pureSum = udf((jpeg: Array[Byte]) =>
           JpegDecode.decode(jpeg).map { px =>
@@ -3794,10 +3805,10 @@ object PipelineQueries extends QueryPack {
           (count(*) * 32)::BIGINT AS sum_w,
           sum(px_sum % 1000000007)::BIGINT AS px_fp
         FROM px GROUP BY 1 ORDER BY 1"""),
-      "Baseline JPEG mosaics of DC-only flat tiles decoded through " +
-        "BOTH engines — ImageIO and the from-the-spec baseline " +
-        "decoder — with 4:4:4/4:2:0, restart, and grayscale legs; " +
-        "engine agreement and the exact per-tile pixel arithmetic " +
-        "both pinned by the oracle."),
+      "Baseline AND progressive (SOF2) JPEG mosaics of DC-only flat " +
+        "tiles decoded through BOTH engines — ImageIO and the " +
+        "from-the-spec decoder — with 4:4:4/4:2:0, restart, and " +
+        "grayscale legs; engine agreement and the exact per-tile " +
+        "pixel arithmetic both pinned by the oracle."),
   )
 }

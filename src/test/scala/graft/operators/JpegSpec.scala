@@ -124,7 +124,7 @@ class JpegSpec extends AnyFunSuite {
     assert(got00 === want00)
   }
 
-  test("hostility: truncation, bit damage, progressive rejection, " +
+  test("hostility: truncation, bit damage, frame-type confusion, " +
     "garbage — None, never a throw; the kernel chain picks it up") {
     val img = colorImg(19, 13, 7)
     val jpeg = JpegDecode.encodeJpeg(19, 13, img)
@@ -143,7 +143,9 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegDecode.decode(null) === None)
     assert(JpegDecode.decode(Array.empty[Byte]) === None)
     assert(JpegDecode.decode("not a jpeg".getBytes) === None)
-    // progressive (SOF2) must be rejected honestly, not mis-decoded
+    // a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan
+    // header no legal progressive stream can have (G.1.1.1.1) — the
+    // progressive path must reject it, not mis-decode it
     val prog = jpeg.clone()
     var i = 2
     var sof = -1
