@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{array_contains, array_join, coalesce,
-  col, countDistinct, explode, expr, filter, length, lit, posexplode,
-  regexp_count, regexp_replace, size, split, struct, transform, trim,
-  typedLit, when}
+  col, countDistinct, explode, expr, filter, length, lit, lower,
+  posexplode, regexp_count, regexp_replace, row_number, size, split,
+  struct, transform, trim, typedLit, when}
 
 /** Text / dedup primitives for the training-data pipeline extensions
   * (SURVEY.md north-star: exact dedup, MinHash+LSH, SimHash, n-gram
@@ -707,6 +708,56 @@ object TextOps {
     * aggregation — so at 100 TB everything shuffles on (host, line)
     * / (host, id) keys and nothing is driver-side.
     */
+  /** The normalization key under which two paragraphs count as
+    * duplicates — the CCNet-style AGGRESSIVE dedup key (case,
+    * digits, punctuation, and spacing runs do not distinguish
+    * paragraphs; only the letter sequence does). One definition so
+    * batch dedup, its oracle, and any persisted paragraph index
+    * cannot drift. Reference analog: none — this is the published
+    * CCNet pipeline's paragraph-hash normalization re-expressed as
+    * a codegen'd column (CCNet paper §3.1, "deduplication").
+    */
+  def paragraphKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z ]", ""), " +", " "))
+
+  /** CCNet-style PARAGRAPH-LEVEL dedup — the published pipeline's
+    * actual dedup unit (whole-document dedup misses the boilerplate-
+    * like paragraphs that survive per-host line removal because they
+    * recur ACROSS hosts). Every paragraph (one per line of the
+    * line-structured [[htmlText]] output) is keyed by
+    * [[paragraphKey]]; only the corpus-wide FIRST occurrence —
+    * smallest (`idCol`, position), the deterministic distributed
+    * analog of CCNet's first-seen-hash rule — survives; every
+    * later copy is dropped from its document, and the kept
+    * paragraphs are reassembled in document order (a document whose
+    * every paragraph is a repeat comes back as ""). Pure DataFrame
+    * algebra — one explode, a row_number window over the paragraph
+    * key, a reassembly aggregation — so at 100 TB everything
+    * shuffles on hash-distributed paragraph-key / id partitions and
+    * nothing is driver-side.
+    */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n"))
+          .as(Seq("__idx", "__para")))
+      .withColumn("__key", paragraphKey(col("__para")))
+    val kept = paras
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__key"))
+          .orderBy(col(idCol), col("__idx"))))
+      .where(col("__rk") === 1)
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(__idx, __para)))," +
+          " x -> x.__para)"), "\n").as("__cleaned"))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__cleaned"), lit("")))
+      .drop("__cleaned")
+  }
+
   def removeBoilerplate(
       df: DataFrame, hostCol: String, idCol: String, textCol: String,
       minFrac: Double = 0.6, minHostDocs: Int = 3): DataFrame = {

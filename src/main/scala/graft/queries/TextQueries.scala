@@ -4063,5 +4063,101 @@ object TextQueries extends QueryPack {
         "all normalize away so mirror crawls collapse to one " +
         "canonical URL — the oracle rebuilds the exact expected " +
         "string per URL from id arithmetic."),
+
+    GraftQuery(
+      "q_text_paradedup", Seq("P6", "D1", "A8"),
+      (s, dir) => {
+        // PARAGRAPH-LEVEL dedup — CCNet's actual dedup unit (page
+        // dedup misses cross-host repeated paragraphs). Per doc:
+        // a GLOBAL header paragraph (case/punctuation variants that
+        // must collapse under the aggressive key -> survives only
+        // in the corpus-first doc), a GROUP paragraph shared by the
+        // doc's mod-24 group (case + '!!' variants -> one survivor
+        // per group), a stats paragraph whose only difference is
+        // DIGITS (the key strips them -> one survivor globally,
+        // carrying ITS OWN digit width into sum_len — a digit-
+        // stripping slip changes both counts and lengths), and 2-3
+        // unique body paragraphs (always kept). Keep-first is
+        // (doc_id, position) — the deterministic distributed analog
+        // of CCNet's first-seen-hash rule. The operator is pure
+        // DataFrame algebra (explode, a row_number window on the
+        // normalized key, ordered reassembly — hash-partitioned
+        // shuffles only); the oracle replays the normalization,
+        // the window, and the reassembly relationally.
+        import graft.operators.TextOps
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 6 === 2)
+          .select(col("doc_id"), col("source"))
+          .withColumn("g", expr("doc_id - doc_id % 24"))
+          .withColumn("lg", expr(
+            "translate(cast(g as string), '0123456789', 'abcdefghij')"))
+          .withColumn("ld", expr(
+            "translate(cast(doc_id as string), '0123456789'," +
+              " 'abcdefghij')"))
+          .withColumn("text", expr(
+            "concat_ws('\\n'," +
+              " case when doc_id % 2 = 0 then 'Shared Header Intro.'" +
+              "      else 'shared header intro' end," +
+              " case when doc_id % 2 = 0 then concat('group notes ', lg)" +
+              "      else concat('Group Notes ', lg, '!!') end," +
+              " concat('stats: ', cast(doc_id as string), ' views')," +
+              " concat('body ', ld, ' one')," +
+              " concat('body ', ld, ' two')," +
+              " case when doc_id % 3 = 0 then concat('extra ', ld, ' three')" +
+              "      else cast(null as string) end)"))
+          .select("doc_id", "source", "text")
+        TextOps.dedupParagraphs(docs, "doc_id", "text")
+          .withColumn("np", expr(
+            "size(filter(split(text, '\\n'), x -> x != ''))"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("np")).as("n_paras"),
+            sum(length(col("text"))).as("sum_len"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 24 AS g,
+            (doc_id % 2 = 0) AS even, (doc_id % 3 = 0) AS extra
+          FROM documents WHERE doc_id % 6 = 2),
+        base AS (SELECT *,
+            translate(g::VARCHAR, '0123456789', 'abcdefghij') AS lg,
+            translate(doc_id::VARCHAR, '0123456789', 'abcdefghij')
+              AS ld
+          FROM d),
+        paras AS (
+          SELECT doc_id, source, 0 AS idx,
+            CASE WHEN even THEN 'Shared Header Intro.'
+                 ELSE 'shared header intro' END AS para FROM base
+          UNION ALL SELECT doc_id, source, 1,
+            CASE WHEN even THEN 'group notes ' || lg
+                 ELSE 'Group Notes ' || lg || '!!' END FROM base
+          UNION ALL SELECT doc_id, source, 2,
+            'stats: ' || doc_id::VARCHAR || ' views' FROM base
+          UNION ALL SELECT doc_id, source, 3,
+            'body ' || ld || ' one' FROM base
+          UNION ALL SELECT doc_id, source, 4,
+            'body ' || ld || ' two' FROM base
+          UNION ALL SELECT doc_id, source, 5,
+            'extra ' || ld || ' three' FROM base WHERE extra),
+        keyed AS (SELECT *,
+            trim(regexp_replace(regexp_replace(lower(para),
+              '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS key
+          FROM paras),
+        kept AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY key ORDER BY doc_id, idx) AS rk FROM keyed)
+          WHERE rk = 1),
+        docs AS (SELECT doc_id, source,
+            string_agg(para, chr(10) ORDER BY idx) AS text,
+            count(*)::BIGINT AS np
+          FROM kept GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(np)::BIGINT AS n_paras,
+          sum(length(text))::BIGINT AS sum_len
+        FROM docs GROUP BY 1 ORDER BY 1"""),
+      "CCNet-style paragraph-level dedup: the aggressive letters-" +
+        "and-spaces key collapses case/punctuation/digit variants, " +
+        "keep-first is corpus-wide (doc, position), documents " +
+        "reassemble in order — the oracle replays the key, the " +
+        "keep-first window, and the reassembly relationally."),
   )
 }
