@@ -4159,5 +4159,78 @@ object TextQueries extends QueryPack {
         "keep-first is corpus-wide (doc, position), documents " +
         "reassemble in order — the oracle replays the key, the " +
         "keep-first window, and the reassembly relationally."),
+
+    GraftQuery(
+      "q_text_robots", Seq("P6", "D5", "A8"),
+      (s, dir) => {
+        // ROBOTS.TXT gate (RFC 9309) over a crawl URL table: hosts
+        // alternate between a '*'-only policy (Disallow /priv with
+        // an Allow /priv/ok carve-out — longest-match must let the
+        // carve-out through) and a policy with a DEDICATED graftbot
+        // group (Disallow /no + the anchored wildcard /*.tmp$) —
+        // where the most-specific-group rule says the '*' rules are
+        // NOT consulted at all, so /priv pages on those hosts pass.
+        // robots parse once per host; the URL table joins on the
+        // host key (equi-join at any scale); the oracle replays the
+        // per-leg expected decisions from the id arithmetic — a
+        // group-selection, longest-match, wildcard, or anchor slip
+        // changes the kept set and fails the hash.
+        import graft.operators.Robots
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 6 === 0)
+          .select(col("doc_id"), col("source"))
+          .withColumn("g", expr("doc_id - doc_id % 12"))
+        val robots = docs.groupBy(col("g")).agg(
+            count(lit(1)).as("__n"))
+          .withColumn("host", expr("concat('h', g, '.com')"))
+          .withColumn("txt", expr(
+            "case when g % 24 = 0 then" +
+              " 'User-agent: *\\nDisallow: /\\n\\n" +
+              "User-agent: graftbot\\nDisallow: /no\\n" +
+              "Disallow: /*.tmp$\\n'" +
+              " else 'User-agent: *\\nDisallow: /priv\\n" +
+              "Allow: /priv/ok\\n' end"))
+          .select("host", "txt")
+        val urls = docs
+          .withColumn("k", explode(typedLit(Seq(0, 1, 2, 3, 4))))
+          .withColumn("url", expr(
+            "concat('https://h', g, '.com'," +
+              " case k when 0 then concat('/pub/', doc_id)" +
+              " when 1 then concat('/priv/', doc_id)" +
+              " when 2 then concat('/priv/ok/', doc_id)" +
+              " when 3 then concat('/no/', doc_id)" +
+              " else concat('/f', doc_id, '.tmp') end)"))
+          .select("doc_id", "source", "url")
+        Robots.robotsFilter(urls, "url", robots, "host", "txt",
+            "graftbot")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_allowed"),
+            sum(length(col("url"))).as("sum_len"),
+            min(col("url")).as("min_url"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 12 AS g
+          FROM documents WHERE doc_id % 6 = 0),
+        u AS (SELECT doc_id, source, g, k,
+            'https://h' || g::VARCHAR || '.com' ||
+              CASE k WHEN 0 THEN '/pub/' || doc_id::VARCHAR
+                WHEN 1 THEN '/priv/' || doc_id::VARCHAR
+                WHEN 2 THEN '/priv/ok/' || doc_id::VARCHAR
+                WHEN 3 THEN '/no/' || doc_id::VARCHAR
+                ELSE '/f' || doc_id::VARCHAR || '.tmp' END AS url
+          FROM d, (SELECT unnest(range(5)) AS k)),
+        kept AS (SELECT * FROM u
+          WHERE CASE WHEN g % 24 = 0 THEN k NOT IN (3, 4)
+                     ELSE k != 1 END)
+        SELECT source, count(*)::BIGINT AS n_allowed,
+          sum(length(url))::BIGINT AS sum_len, min(url) AS min_url
+        FROM kept GROUP BY 1 ORDER BY 1"""),
+      "RFC 9309 robots.txt over a crawl URL table: most-specific " +
+        "agent-group selection (a dedicated graftbot group hides " +
+        "the '*' rules entirely), longest-match with Allow " +
+        "carve-outs, '*' wildcards and the '$' anchor — per-host " +
+        "parse joined to URLs on the host key, the oracle replaying " +
+        "every leg's expected decision from the id arithmetic."),
   )
 }
