@@ -4232,5 +4232,87 @@ object TextQueries extends QueryPack {
         "carve-outs, '*' wildcards and the '$' anchor — per-host " +
         "parse joined to URLs on the host key, the oracle replaying " +
         "every leg's expected decision from the id arithmetic."),
+
+    GraftQuery(
+      "q_text_cdx", Seq("P6", "J9", "A8"),
+      (s, dir) => {
+        // CDXJ INDEX LOOKUP — how a real corpus build finds records
+        // before touching any WARC: captures render to index lines
+        // (cdxjLine: SURT urlkey + compact JSON), parse back through
+        // the forgiving reader (every 13th doc drags a garbage line
+        // the walk must skip; every 11th doc's timestamp is short so
+        // ITS capture drops entirely), and a wanted-URL table joins
+        // on urlkey == surt(url) — the messy capture spelling
+        // (WWW./mixed case/unsorted params) and the clean wanted
+        // spelling must canonicalize to the SAME key, while the
+        // sibling wanted path must miss. Writer and reader are pure
+        // column algebra (to_json/from_json/regexp — codegen, no
+        // UDF on the hot path); the join shuffles on the urlkey.
+        // The oracle rebuilds expected urlkeys, statuses, and
+        // offsets from the id arithmetic alone.
+        import graft.operators.Cdx
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), col("source"))
+          .withColumn("g", expr("doc_id - doc_id % 10"))
+        val lines = docs
+          .withColumn("url", expr(
+            "concat('https://WWW.h', g, '.Ex.org/p', doc_id," +
+              " '?b=', doc_id, '&a=1')"))
+          .withColumn("ts", expr(
+            "case when doc_id % 11 = 0 then '2026' else" +
+              " concat('20260101', lpad(cast(doc_id % 1000000 as" +
+              " string), 6, '0')) end"))
+          .withColumn("text", concat(
+            Cdx.cdxjLine(col("url"), col("ts"), lit("text/html"),
+              expr("cast(200 + (doc_id % 3) * 100 as int)"),
+              expr("concat('sha1:', doc_id)"),
+              expr("cast(100 + doc_id % 50 as bigint)"),
+              expr("cast(doc_id * 17 % 100000 as bigint)"),
+              expr("concat('crawl-', g, '.warc.gz')")),
+            expr("case when doc_id % 13 = 0 then '\\nGARBAGE LINE'" +
+              " else '' end")))
+          .select("source", "text")
+        val recs = Cdx.cdxjRecords(lines, "text")
+          .select("urlkey", "status", "offset", "length")
+        val wanted = docs
+          .withColumn("k", explode(typedLit(Seq(0, 1))))
+          .withColumn("wurl", expr(
+            "concat('https://h', g, '.ex.org/'," +
+              " case when k = 0 then concat('p', doc_id)" +
+              " else concat('q', doc_id) end," +
+              " '?b=', doc_id, '&a=1')"))
+          .select(col("source"), Cdx.surtCol(col("wurl")).as("wkey"))
+        recs.join(wanted, col("urlkey") === col("wkey"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_hits"),
+            sum(col("status")).as("sum_status"),
+            sum(col("offset")).as("sum_off"),
+            sum(col("length")).as("sum_blen"),
+            min(col("urlkey")).as("min_key"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 10 AS g
+          FROM documents WHERE doc_id % 7 = 1 AND doc_id % 11 != 0),
+        r AS (SELECT source,
+            'org,ex,h' || g::VARCHAR || ')/p' || doc_id::VARCHAR ||
+              '?a=1&b=' || doc_id::VARCHAR AS urlkey,
+            (200 + (doc_id % 3) * 100)::BIGINT AS status,
+            (doc_id * 17 % 100000)::BIGINT AS off,
+            (100 + doc_id % 50)::BIGINT AS blen
+          FROM d)
+        SELECT source, count(*)::BIGINT AS n_hits,
+          sum(status)::BIGINT AS sum_status,
+          sum(off)::BIGINT AS sum_off,
+          sum(blen)::BIGINT AS sum_blen,
+          min(urlkey) AS min_key
+        FROM r GROUP BY 1 ORDER BY 1"""),
+      "CDXJ index writer + forgiving reader + SURT-keyed lookup: " +
+        "messy capture URLs and clean wanted URLs canonicalize to " +
+        "one urlkey (reversal, www/scheme/port dropping, query " +
+        "sort), damaged lines and short timestamps drop without " +
+        "taking neighbors, and the oracle rebuilds every expected " +
+        "key/status/offset from id arithmetic."),
   )
 }
