@@ -425,6 +425,68 @@ object StreamingOps {
         col(idCol), col("n_kept"), col("cleaned"))
   }
 
+  /** Static side for [[paraDedupStream]]: the corpus's distinct
+    * paragraph keys under TextOps.paragraphKey — the ONE shared key
+    * definition with batch [[graft.operators.TextOps.dedupParagraphs]]
+    * so batch and stream dedup identity cannot drift. One column
+    * (`__key`); returned UNPERSISTED (caller owns caching); at scale
+    * this is the paragraph-hash artifact a pipeline persists next to
+    * its corpus, hash-partitioned by the key it joins on.
+    */
+  def paragraphKeyStaticSide(
+      corpus: DataFrame,
+      textCol: String = "text"): DataFrame =
+    corpus
+      .select(explode(split(col(textCol), "\n")).as("__para"))
+      .select(graft.operators.TextOps.paragraphKey(col("__para"))
+        .as("__key"))
+      .distinct()
+
+  /** Streaming PARAGRAPH dedup — the streaming twin of
+    * [[graft.operators.TextOps.dedupParagraphs]]'s corpus-probe
+    * half: each arriving doc's paragraphs anti-join the frozen
+    * paragraph-key table of the last offline corpus pass, repeats
+    * WITHIN the arriving doc collapse to their first position (the
+    * batch keep-first rule), and survivors reassemble in document
+    * order inside the window aggregation. Same refresh contract as
+    * [[boilerlineStream]]: arrivals never mutate the static table —
+    * a paragraph two different arrivals both introduce is deduped by
+    * the next offline pass, not by the stream. A doc whose EVERY
+    * paragraph is already known emits NO row (the anti-join consumes
+    * it all) — the streaming analog of batch's "". Scale shape: the
+    * anti-join shuffles on the hash-distributed paragraph key; state
+    * is one window aggregation keyed by id.
+    */
+  def paraDedupStream(
+      docs: DataFrame, // idCol, textCol, tsCol
+      corpus: DataFrame, // textCol
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "30 minutes",
+      windowDuration: String = "10 minutes",
+      staticSide: Option[DataFrame] = None): DataFrame = {
+    val keys = staticSide.getOrElse(
+      paragraphKeyStaticSide(corpus, textCol).persist())
+    val firstOccurrence =
+      "filter(__arr, x -> NOT exists(__arr," +
+        " y -> y.__key = x.__key AND y.__idx < x.__idx))"
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        posexplode(split(col(textCol), "\n"))
+          .as(Seq("__idx", "__para")))
+      .withColumn("__key",
+        graft.operators.TextOps.paragraphKey(col("__para")))
+      .join(keys, Seq("__key"), "left_anti")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(expr("array_sort(collect_list(struct(__idx, __para," +
+        " __key)))").as("__arr"))
+      .select(col("window.start").as("bucket"), col(idCol),
+        expr(s"size($firstOccurrence)").as("n_kept"),
+        expr(s"array_join(transform($firstOccurrence," +
+          " x -> x.__para), '\\n')").as("cleaned"))
+  }
+
   /** Static side for [[qualityBucketStream]]: per-group quantile cut
     * points of the corpus quality score (TextOps.qualityScore — the
     * same blend q_text_quantile ranks by), via the mergeable GK-sketch

@@ -3036,6 +3036,56 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); static.unpersist() }
   }
 
+  test("streaming paragraph dedup probes the frozen corpus key " +
+    "table, matching batch dedupParagraphs on arrivals; all-known " +
+    "docs emit no row; within-doc repeats collapse to first") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (1L, "shared header\nalpha body\npromo line"),
+      (2L, "shared header\nbeta body"))
+      .toDF("doc_id", "text")
+    // arrivals: known paragraphs (case/punct variants!) must drop,
+    // fresh ones survive, a within-doc repeat keeps first position
+    val arrivals = Seq(
+      (10L, "Shared Header!\ngamma body\ngamma body\ndelta tail"),
+      (11L, "PROMO LINE\nalpha body"), // everything known -> no row
+      (12L, "epsilon solo\nPromo Line."))
+    // batch truth: corpus + arrivals through the batch operator,
+    // restricted to the arriving ids (arriving ids sort after the
+    // corpus, and no NEW paragraph is shared across arrivals)
+    val want = TextOps.dedupParagraphs(
+        corpus.union(arrivals.toDF("doc_id", "text")),
+        "doc_id", "text")
+      .where(col("doc_id") >= 10L && length(col("text")) > 0)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(want === Seq(10L -> "gamma body\ndelta tail",
+      12L -> "epsilon solo"))
+    val static = StreamingOps.paragraphKeyStaticSide(corpus).persist()
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.paraDedupStream(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        corpus, staticSide = Some(static))
+      .writeStream.format("memory").queryName("para_stream")
+      .outputMode("update").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      val (b1, b2) = arrivals.map(a => (a._1, a._2, t)).splitAt(2)
+      Seq(b1, b2).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val got = spark.table("para_stream")
+        .select("doc_id", "cleaned")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got === want) // doc 11 emits no row
+      val kept = spark.table("para_stream")
+        .select("doc_id", "n_kept")
+        .as[(Long, Long)].collect().toMap
+      assert(kept === Map(10L -> 2L, 12L -> 1L))
+    } finally { q.stop(); static.unpersist() }
+  }
+
   test("streaming running distinct-count equals the batch " +
     "first-occurrence ranking, with late arrivals across batches") {
     implicit val sqlCtx = spark.sqlContext
