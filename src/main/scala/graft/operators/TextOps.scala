@@ -580,6 +580,12 @@ object TextOps {
     "figcaption", "address", "title", "caption", "option", "body",
     "html", "head")
 
+  /** The shared block-boundary test ([[MainContent.htmlBlocks]]'s
+    * scanner must split exactly where this one does).
+    */
+  private[operators] def isBlockTag(name: String): Boolean =
+    BlockTags(name)
+
   /** Extract the visible text of an HTML page — the C4/CCNet-style
     * html -> text step a Common Crawl corpus build runs right after
     * [[graft.operators.Warc.warcDocuments]]: `<script>`/`<style>`

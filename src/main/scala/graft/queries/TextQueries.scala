@@ -4314,5 +4314,88 @@ object TextQueries extends QueryPack {
         "sort), damaged lines and short timestamps drop without " +
         "taking neighbors, and the oracle rebuilds every expected " +
         "key/status/offset from id arithmetic."),
+
+    GraftQuery(
+      "q_text_maincontent", Seq("P6", "D5", "A8"),
+      (s, dir) => {
+        // MAIN-CONTENT extraction (jusText-shaped) — the page-level
+        // boilerplate step per-host line frequency cannot catch:
+        // every planted page carries a nav link cluster (link
+        // density -> bad), a short TITLE that must be RESCUED by
+        // its good prose neighbor, a long stopword-dense paragraph
+        // (good, with an &amp; entity the scanner must decode), a
+        // short aside rescued from the other side, an optional
+        // second paragraph (every 3rd doc omits it — the context
+        // pass must not depend on it), a link farm (bad), and an
+        // orphaned footer whose only decided neighbor is bad ->
+        // DROPPED. Classification is pure column algebra + two
+        // per-doc windows; the oracle rebuilds each doc's expected
+        // extracted text VERBATIM from the id arithmetic — a
+        // scanner, link-attribution, threshold, or context slip
+        // changes the reassembled text and fails the hash.
+        import graft.operators.MainContent
+        val mkHtml = udf((docId: Long) => {
+          val l = docId.toString.map(c => ('a' + (c - '0')).toChar)
+          val c1 = "the story of the day is that the work of the " +
+            "team is done &amp; the result of it is good for all " +
+            "of us"
+          val c2 = "a long account of the plan is set out in the " +
+            "notes of the team for the record"
+          "<html><body><div><a href=x>Home</a> <a>News</a> " +
+            "<a>About</a></div>" +
+            s"<h1>Title $l</h1>" +
+            s"<p>$c1 $c1</p>" +
+            s"<div>See also item $l</div>" +
+            (if (docId % 3 != 0) s"<p>$c2 $c2 $c2</p>" else "") +
+            "<div><a>p one</a> <a>p two</a> <a>p three</a> " +
+            "<a>p four</a> <a>p five</a> <a>p six</a> " +
+            "<a>p seven</a></div>" +
+            s"<div>Copyright $l Inc</div></body></html>"
+        })
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 9 === 4)
+          .select(col("doc_id"), col("source"))
+          .withColumn("html", mkHtml(col("doc_id")))
+        MainContent.mainContent(docs, "doc_id", "html")
+          .withColumn("n_blocks", expr(
+            "size(filter(split(html, '\\n'), x -> x != ''))"))
+          .withColumn("title", expr("split(html, '\\n')[0]"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_blocks")).as("n_kept"),
+            sum(length(col("html"))).as("sum_len"),
+            min(col("title")).as("min_title"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            translate(doc_id::VARCHAR, '0123456789', 'abcdefghij')
+              AS l,
+            (doc_id % 3 != 0) AS two
+          FROM documents WHERE doc_id % 9 = 4),
+        c AS (SELECT *,
+            'the story of the day is that the work of the team is' ||
+              ' done & the result of it is good for all of us' AS r1,
+            'a long account of the plan is set out in the notes' ||
+              ' of the team for the record' AS r2
+          FROM d),
+        t AS (SELECT doc_id, source,
+            'Title ' || l AS title,
+            'Title ' || l || chr(10) || r1 || ' ' || r1 || chr(10) ||
+              'See also item ' || l ||
+              CASE WHEN two
+                THEN chr(10) || r2 || ' ' || r2 || ' ' || r2
+                ELSE '' END AS text,
+            CASE WHEN two THEN 4 ELSE 3 END AS nb
+          FROM c)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          sum(nb)::BIGINT AS n_kept,
+          sum(length(text))::BIGINT AS sum_len,
+          min(title) AS min_title
+        FROM t GROUP BY 1 ORDER BY 1"""),
+      "jusText-shaped main-content extraction: link-density chrome " +
+        "and link farms drop, stopword-dense prose keeps, short " +
+        "titles/asides rescue via good neighbors, orphaned footers " +
+        "next to bad blocks drop — the oracle rebuilds every doc's " +
+        "extracted text verbatim from id arithmetic."),
   )
 }

@@ -487,6 +487,23 @@ object StreamingOps {
           " x -> x.__para), '\\n')").as("cleaned"))
   }
 
+  /** Streaming MAIN-CONTENT extraction — the streaming twin of
+    * [[graft.operators.MainContent.mainContent]]: the jusText-shaped
+    * classification is per-document by construction, so the stream
+    * is entirely STATELESS (no watermark, no state store, no static
+    * side to refresh) — one extracted-content column per arriving
+    * page via the spec-pinned single-doc twin
+    * ([[graft.operators.MainContent.extractLocal]]).
+    */
+  def mainContentStream(
+      docs: DataFrame,
+      htmlCol: String = "html",
+      outCol: String = "content"): DataFrame = {
+    val ex = udf((h: String) =>
+      graft.operators.MainContent.extractLocal(h))
+    docs.withColumn(outCol, ex(col(htmlCol)))
+  }
+
   /** Static side for [[qualityBucketStream]]: per-group quantile cut
     * points of the corpus quality score (TextOps.qualityScore — the
     * same blend q_text_quantile ranks by), via the mergeable GK-sketch

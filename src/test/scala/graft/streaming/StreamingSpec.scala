@@ -3036,6 +3036,39 @@ class StreamingSpec extends SparkSuite {
     } finally { q.stop(); static.unpersist() }
   }
 
+  test("streaming main-content extraction is stateless and matches " +
+    "the batch pipeline per arriving page") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MainContent
+    val prose = "the story of the day is that the work of the team " +
+      "is done and the result of it is good for all of us and the " +
+      "plan of the week is set out in the notes of the run for the " +
+      "record and more of it besides for the file"
+    val pages = Seq(
+      (1L, s"<div><a>Home</a> <a>News</a></div><h1>T</h1>" +
+        s"<p>$prose</p><div>Copyright X</div>"),
+      (2L, "<div><a>only chrome</a></div>"),
+      (3L, s"<p>$prose</p><div>See more</div>"))
+    val want = MainContent.mainContent(
+        pages.toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String)].collect().sorted.toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.mainContentStream(
+        in.toDF().toDF("doc_id", "html"))
+      .select("doc_id", "content")
+      .writeStream.format("memory").queryName("mc_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = pages.splitAt(2)
+      Seq(b1, b2).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val got = spark.table("mc_stream")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("streaming paragraph dedup probes the frozen corpus key " +
     "table, matching batch dedupParagraphs on arrivals; all-known " +
     "docs emit no row; within-doc repeats collapse to first") {
