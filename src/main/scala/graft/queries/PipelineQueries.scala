@@ -3810,5 +3810,113 @@ object PipelineQueries extends QueryPack {
         "from-the-spec decoder — with 4:4:4/4:2:0, restart, and " +
         "grayscale legs; engine agreement and the exact per-tile " +
         "pixel arithmetic both pinned by the oracle."),
+
+    GraftQuery(
+      "q_pipeline_crawl", Seq("S1", "P6", "D5", "D9"),
+      (s, dir) => {
+        // The CRAWL-PLANNING front-end, composed: CDXJ index shards
+        // (writer -> forgiving reader; every 13th doc's utm-twin
+        // capture carries a SHORT timestamp and is lost; every 13th
+        // doc also drags a garbage line the walk must skip) ->
+        // status gate (404 captures drop) -> RFC 9309 robots gate
+        // (each host Disallows /no; the /no/sec capture drops) ->
+        // frontier dedup on the canonical URL (normalizeUrl: the
+        // ?utm_source twin collapses onto its clean sibling,
+        // keep-first by capture timestamp) -> per-source funnel.
+        // Every stage count and the surviving offsets replay from
+        // id arithmetic in the oracle — an index-parse, status,
+        // group-selection, longest-match, canonicalization, or
+        // keep-first slip changes the funnel and fails the hash.
+        // All joins are host-/urlkey-/nurl-keyed equi-joins.
+        import graft.operators.{Cdx, Robots, TextOps}
+        import graft.operators.CorpusFunnel
+        import graft.operators.CorpusFunnel.{AggStage, CountStage}
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 9 === 7)
+          .select(col("doc_id"), col("source"))
+          .withColumn("g", expr("doc_id - doc_id % 12"))
+        val lines = docs
+          .withColumn("k", explode(typedLit(Seq(0, 1, 2, 3))))
+          .withColumn("url", expr(
+            "concat('https://c', g, '.ex.net'," +
+              " case k when 0 then concat('/page', doc_id)" +
+              " when 1 then concat('/page', doc_id, '?utm_source=x')" +
+              " when 2 then concat('/no/sec', doc_id)" +
+              " else concat('/gone', doc_id) end)"))
+          .withColumn("ts", expr(
+            "case when k = 1 and doc_id % 13 = 0 then '2026' else" +
+              " concat('20260101', lpad(cast(doc_id % 10000 as" +
+              " string), 4, '0'), '0', k) end"))
+          .withColumn("line", Cdx.cdxjLine(col("url"), col("ts"),
+            lit("text/html"),
+            expr("cast(case when k = 3 then 404 else 200 end as int)"),
+            expr("concat('sha1:', doc_id, ':', k)"),
+            expr("cast(500 + k as bigint)"),
+            expr("cast(doc_id * 31 % 90000 + k as bigint)"),
+            expr("concat('seg-', g, '.warc.gz')")))
+          .groupBy("doc_id", "source")
+          .agg(expr("array_join(transform(array_sort(" +
+            "collect_list(struct(k, line))), x -> x.line), '\\n')")
+            .as("text"))
+          .withColumn("text", expr(
+            "case when doc_id % 13 = 0 then concat(text," +
+              " '\\nGARBAGE') else text end"))
+          .select("source", "text")
+        val recs = Cdx.cdxjRecords(lines, "text")
+          .select("source", "url", "ts", "status", "offset")
+          .localCheckpoint() // one parse feeds every stage
+        val ok = recs.where(col("status") === 200)
+        val robots = docs.groupBy("g").agg(count(lit(1)).as("__n"))
+          .withColumn("host", expr("concat('c', g, '.ex.net')"))
+          .withColumn("txt",
+            lit("User-agent: *\nDisallow: /no\n"))
+          .select("host", "txt")
+        val allowed = Robots.robotsFilter(ok, "url", robots,
+          "host", "txt", "graftbot")
+        val norm = udf((u: String) => TextOps.normalizeUrl(u))
+        val frontier = allowed
+          .withColumn("nurl", norm(col("url")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("nurl").orderBy("ts", "url")))
+          .where(col("rk") === 1)
+        CorpusFunnel.stageCounts("source", Seq(
+          CountStage("n_idx", recs),
+          CountStage("n_ok", ok),
+          CountStage("n_allowed", allowed),
+          AggStage(frontier.groupBy("source")
+            .agg(count(lit(1)).as("n_frontier"),
+              sum(col("offset")).as("sum_off"),
+              min(col("nurl")).as("min_url")),
+            Seq("n_frontier", "sum_off", "min_url"))),
+          sparse = true)
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            doc_id - doc_id % 12 AS g, (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 9 = 7),
+        caps AS (SELECT doc_id, source, g, k, corrupt
+          FROM d, (SELECT unnest(range(4)) AS k)
+          WHERE NOT (corrupt AND k = 1)),
+        agg AS (SELECT source,
+            count(*)::BIGINT AS n_idx,
+            sum(CASE WHEN k != 3 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+            sum(CASE WHEN k IN (0, 1) THEN 1 ELSE 0 END)::BIGINT
+              AS n_allowed
+          FROM caps GROUP BY 1),
+        fr AS (SELECT source,
+            count(*)::BIGINT AS n_frontier,
+            sum(doc_id * 31 % 90000)::BIGINT AS sum_off,
+            min('https://c' || g::VARCHAR || '.ex.net/page' ||
+              doc_id::VARCHAR) AS min_url
+          FROM d GROUP BY 1)
+        SELECT agg.source, n_idx, n_ok, n_allowed,
+          n_frontier, sum_off, min_url
+        FROM agg JOIN fr ON agg.source = fr.source
+        ORDER BY 1"""),
+      "The crawl-planning funnel composed end to end: CDXJ index " +
+        "parse with damage legs, status gate, RFC 9309 robots gate, " +
+        "canonical-URL frontier dedup with keep-first-by-timestamp " +
+        "— every stage count and surviving offset replayed from id " +
+        "arithmetic."),
   )
 }
