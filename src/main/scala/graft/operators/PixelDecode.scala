@@ -90,8 +90,15 @@ object PixelDecode {
 
   /** From-the-spec PNG decode: signature, chunk walk (IHDR, PLTE,
     * IDAT*, IEND), inflate, per-row unfilter, sample expansion.
-    * Supports bit depth 8, interlace 0, color types 0 (gray),
-    * 2 (rgb), 3 (palette), 4 (gray+alpha), 6 (rgba); alpha dropped.
+    * Supports EVERY legal IHDR combination — bit depths 1/2/4/8/16
+    * (sub-byte samples MSB-first-unpacked and scaled by
+    * 255/(2^d-1) for gray, used raw as palette indices; 16-bit
+    * samples take their high byte — the standard 8-bit reduction),
+    * color types 0 (gray), 2 (rgb), 3 (palette), 4 (gray+alpha),
+    * 6 (rgba) with the spec's type/depth validity matrix, and BOTH
+    * interlace methods (0 and Adam7: seven sub-images, each with
+    * its own filtered scanlines at its own reduced width, merged on
+    * the 8x8 sparkle grid). Alpha dropped.
     */
   def decodePngPure(bytes: Array[Byte]): Option[Pixels] =
     try decodePngPureImpl(bytes)
@@ -144,21 +151,45 @@ object PixelDecode {
       pos = dataAt + len + 4 // data + crc
     }
     if (!sawIhdr || w <= 0 || h <= 0) return None
-    if (bitDepth != 8 || interlace != 0) return None
+    // the spec's color-type / bit-depth validity matrix
     val channels = colorType match {
-      case 0 => 1
-      case 2 => 3
-      case 3 => 1
-      case 4 => 2
-      case 6 => 4
+      case 0 =>
+        if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
+          bitDepth != 8 && bitDepth != 16) return None
+        1
+      case 2 => if (bitDepth != 8 && bitDepth != 16) return None; 3
+      case 3 =>
+        if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 &&
+          bitDepth != 8) return None
+        1
+      case 4 => if (bitDepth != 8 && bitDepth != 16) return None; 2
+      case 6 => if (bitDepth != 8 && bitDepth != 16) return None; 4
       case _ => return None
     }
+    if (interlace != 0 && interlace != 1) return None
     if (colorType == 3 && palette == null) return None
     // allocation guard: a hostile IHDR must not OOM the executor
     // (OutOfMemoryError is not NonFatal — it would escape the wrapper)
     if (w.toLong * h * channels + h > (1L << 28)) return None
-    // inflate the filtered scanlines: h rows of (1 + w*channels)
-    val raw = new Array[Byte](h * (1 + w * channels))
+    def rowBytes(width: Int): Int =
+      ((width.toLong * channels * bitDepth + 7) / 8).toInt
+    // filter distance: bytes per complete pixel, min 1 (RFC 2083 §6)
+    val bpp = math.max(1, channels * bitDepth / 8)
+    // sub-images: the whole frame, or the seven Adam7 passes — each
+    // pass is its own filtered scanline sequence at its reduced
+    // width; empty passes contribute no bytes at all
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+    }
+    val rawLen = dims.map { case (pw, ph) =>
+      if (pw <= 0 || ph <= 0) 0L else ph.toLong * (1 + rowBytes(pw))
+    }.sum
+    if (rawLen <= 0 || rawLen > (1L << 29)) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -172,52 +203,82 @@ object PixelDecode {
     }
     inf.end()
     if (got < raw.length) return None
-    // unfilter in place (RFC 2083 §6): bpp = channels at depth 8
-    val stride = w * channels
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
     val out = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      val rowAt = y * (1 + stride)
-      val filter = raw(rowAt) & 0xff
-      var x = 0
-      while (x < stride) {
-        val v = raw(rowAt + 1 + x) & 0xff
-        val a = if (x >= channels) cur(x - channels) else 0
-        val up = prev(x)
-        val c = if (x >= channels) prev(x - channels) else 0
-        val rec = filter match {
-          case 0 => v
-          case 1 => v + a
-          case 2 => v + up
-          case 3 => v + (a + up) / 2
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return None
+    val maxSub = (1 << bitDepth) - 1
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = dims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = rowBytes(pw)
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride) // zero: each pass restarts
+        var y = 0
+        while (y < ph) {
+          val rowAt = base + y * (1 + stride)
+          val filter = raw(rowAt) & 0xff
+          var x = 0
+          while (x < stride) {
+            val v = raw(rowAt + 1 + x) & 0xff
+            val a = if (x >= bpp) cur(x - bpp) else 0
+            val up = prev(x)
+            val c = if (x >= bpp) prev(x - bpp) else 0
+            val rec = filter match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + up
+              case 3 => v + (a + up) / 2
+              case 4 =>
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                v + (if (pa <= pb && pa <= pc) a
+                  else if (pb <= pc) up else c)
+              case _ => return None
+            }
+            cur(x) = rec & 0xff
+            x += 1
+          }
+          // sample extraction at this pass's reduced width
+          var px = 0
+          while (px < pw) {
+            // channel ch of pixel px, reduced to 8 bits
+            def sample(ch: Int): Int =
+              if (bitDepth == 8) cur(px * channels + ch)
+              else if (bitDepth == 16) cur((px * channels + ch) * 2)
+              else { // sub-byte: MSB-first packed, channels == 1
+                val bit = px * bitDepth
+                (cur(bit >> 3) >> (8 - bitDepth - (bit & 7))) &
+                  maxSub
+              }
+            val rgb = colorType match {
+              case 0 =>
+                val g =
+                  if (bitDepth < 8) sample(0) * 255 / maxSub
+                  else sample(0)
+                (g << 16) | (g << 8) | g
+              case 2 =>
+                (sample(0) << 16) | (sample(1) << 8) | sample(2)
+              case 3 =>
+                val idx = sample(0)
+                if (idx >= palette.length) return None
+                palette(idx)
+              case 4 =>
+                val g = sample(0)
+                (g << 16) | (g << 8) | g
+              case 6 =>
+                (sample(0) << 16) | (sample(1) << 8) | sample(2)
+            }
+            out((y0 + y * dy) * w + (x0 + px * dx)) = rgb
+            px += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          y += 1
         }
-        cur(x) = rec & 0xff
-        x += 1
+        base += ph * (1 + stride)
       }
-      var px = 0
-      while (px < w) {
-        val at = px * channels
-        out(y * w + px) = colorType match {
-          case 0 => val g = cur(at); (g << 16) | (g << 8) | g
-          case 2 => (cur(at) << 16) | (cur(at + 1) << 8) | cur(at + 2)
-          case 3 =>
-            if (cur(at) >= palette.length) return None
-            palette(cur(at))
-          case 4 => val g = cur(at); (g << 16) | (g << 8) | g
-          case 6 => (cur(at) << 16) | (cur(at + 1) << 8) | cur(at + 2)
-        }
-        px += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      pi += 1
     }
     Some(Pixels(w, h, out))
   }

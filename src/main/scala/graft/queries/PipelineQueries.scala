@@ -3812,6 +3812,111 @@ object PipelineQueries extends QueryPack {
         "pixel arithmetic both pinned by the oracle."),
 
     GraftQuery(
+      "q_multimodal_png", Seq("P6", "A8"),
+      (s, dir) => {
+        // The FULL PNG IHDR matrix through BOTH engines — ImageIO
+        // (the kernel chain) and the from-the-spec decodePngPure —
+        // under exact pixel arithmetic (PNG is lossless, so the pin
+        // is equality, no tolerance): per doc a gray 32x24 tile
+        // mosaic, rotated through four legs by doc id — sequential
+        // gray8, ADAM7-interlaced gray8, Adam7 PALETTE-16 (depth 4,
+        // sub-byte samples), and Adam7 16-BIT gray (g*257 values,
+        // whose high-byte reduction is exact). n_agree pins the two
+        // engines to each other; px_fp pins them to the oracle's
+        // tile arithmetic — an interlace-geometry, bit-unpack,
+        // palette, 16-bit-reduction, filter, or inflate slip fails
+        // the hash. Stateless per-row encode+decode; one (source)
+        // rollup shuffle.
+        import graft.operators.PixelDecode
+        import java.awt.image.{BufferedImage, IndexColorModel}
+        val mkPng = udf((docId: Long) => {
+          def v(bx: Int, by: Int): Int =
+            (((docId % 89) * 29 + bx * 7 + by * 13) % 256).toInt
+          // the slice is odd ids only, so the leg must rotate on
+          // doc_id / 8, not doc_id % 4
+          val leg = (docId / 8 % 4).toInt
+          val img = leg match {
+            case 2 =>
+              val pal = Array.tabulate(16)(i => (i * 17).toByte)
+              val icm = new IndexColorModel(4, 16, pal, pal, pal)
+              new BufferedImage(32, 24,
+                BufferedImage.TYPE_BYTE_BINARY, icm)
+            case 3 => new BufferedImage(32, 24,
+              BufferedImage.TYPE_USHORT_GRAY)
+            case _ => new BufferedImage(32, 24,
+              BufferedImage.TYPE_BYTE_GRAY)
+          }
+          // write RASTER samples, never setRGB: setRGB routes the
+          // sRGB triple through the gray/indexed color model's
+          // colorimetric conversion and the stored sample drifts
+          for (y <- 0 until 24; x <- 0 until 32) {
+            val sample = leg match {
+              case 2 => v(x / 8, y / 8) % 16 // palette INDEX
+              case 3 => v(x / 8, y / 8) * 257
+              case _ => v(x / 8, y / 8)
+            }
+            img.getRaster.setSample(x, y, 0, sample)
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          val w = javax.imageio.ImageIO
+            .getImageWritersByFormatName("png").next()
+          w.setOutput(ios)
+          val p = w.getDefaultWriteParam
+          if (leg != 0) p.setProgressiveMode(
+            javax.imageio.ImageWriteParam.MODE_DEFAULT)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          w.dispose()
+          ios.close()
+          baos.toByteArray
+        })
+        val pureSum = udf((png: Array[Byte]) =>
+          PixelDecode.decodePngPure(png).map { px =>
+            var sum = 0L
+            PixelDecode.grayLuma(px).foreach(sum += _)
+            sum
+          }.getOrElse(-1L))
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 8 === 5)
+          .select(col("doc_id"), col("source"))
+          .withColumn("png", mkPng(col("doc_id")))
+          .withColumn("mf", Multimodal.featuresColumn(col("png")))
+          .withColumn("pure_sum", pureSum(col("png")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mf.decoded"), 1L).otherwise(0L))
+              .as("n_decoded"),
+            sum(when(col("mf.px_sum") === col("pure_sum"), 1L)
+              .otherwise(0L)).as("n_agree"),
+            sum(col("mf.width")).as("sum_w"),
+            sum(col("pure_sum") % 1000000007L).as("px_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (doc_id // 8) % 4 AS leg
+          FROM documents WHERE doc_id % 8 = 5),
+        t AS (SELECT doc_id, source,
+            CASE WHEN leg = 2
+              THEN (((doc_id % 89) * 29 + (i % 4) * 7 +
+                (i // 4) * 13) % 256 % 16) * 17
+              ELSE ((doc_id % 89) * 29 + (i % 4) * 7 +
+                (i // 4) * 13) % 256 END AS g
+          FROM d, (SELECT unnest(range(12)) AS i)),
+        px AS (SELECT doc_id, source,
+            (sum(g) * 64)::BIGINT AS px_sum
+          FROM t GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          count(*)::BIGINT AS n_decoded,
+          count(*)::BIGINT AS n_agree,
+          (count(*) * 32)::BIGINT AS sum_w,
+          sum(px_sum % 1000000007)::BIGINT AS px_fp
+        FROM px GROUP BY 1 ORDER BY 1"""),
+      "The full PNG IHDR matrix — sequential and Adam7-interlaced " +
+        "gray8, Adam7 palette-16 (sub-byte samples), Adam7 16-bit " +
+        "gray — through BOTH engines under exact (lossless) pixel " +
+        "arithmetic replayed by the oracle."),
+
+    GraftQuery(
       "q_pipeline_crawl", Seq("S1", "P6", "D5", "D9"),
       (s, dir) => {
         // The CRAWL-PLANNING front-end, composed: CDXJ index shards
