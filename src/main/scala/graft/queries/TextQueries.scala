@@ -4397,5 +4397,91 @@ object TextQueries extends QueryPack {
         "titles/asides rescue via good neighbors, orphaned footers " +
         "next to bad blocks drop — the oracle rebuilds every doc's " +
         "extracted text verbatim from id arithmetic."),
+
+    GraftQuery(
+      "q_text_inflate", Seq("P6", "A8"),
+      (s, dir) => {
+        // DEFLATE through BOTH engines — the JDK and the
+        // from-the-spec Inflate (RFC 1951/1952) — on the WARC
+        // member layout: per doc one gzip member of arithmetic text
+        // (repeat counts force real LZ77 back-references), even
+        // docs a SECOND concatenated member, every 13th doc one
+        // flipped byte inside the deflate data (both engines must
+        // reject it — the member CRC32 pins that). n_agree pins the
+        // engines to each other; sum_len/min_text pin them to the
+        // oracle's replayed text — a Huffman-table, bit-order,
+        // window, length/distance, or trailer-verification slip
+        // fails the hash. Stateless per-row; one (source) rollup.
+        import graft.operators.Inflate
+        val mkGz = udf((docId: Long) => {
+          def gz(t: String): Array[Byte] = {
+            val bo = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bo)
+            g.write(t.getBytes("UTF-8"))
+            g.close()
+            bo.toByteArray
+          }
+          val t1 = s"alpha $docId " * (docId % 5 + 1).toInt
+          val out = gz(t1) ++
+            (if (docId % 2 == 0) gz(s"beta $docId")
+             else Array.empty[Byte])
+          if (docId % 13 == 0)
+            out(12) = (out(12) ^ 0x55).toByte
+          out
+        })
+        val pure = udf((b: Array[Byte]) =>
+          Inflate.gunzip(b).map(x => new String(x, "UTF-8"))
+            .getOrElse(""))
+        val jdk = udf((b: Array[Byte]) =>
+          (try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(b))
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](4096)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(new String(out.toByteArray, "UTF-8"))
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }).getOrElse(""))
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 8 === 6)
+          .select(col("doc_id"), col("source"))
+          .withColumn("gz", mkGz(col("doc_id")))
+          .withColumn("pure", pure(col("gz")))
+          .withColumn("jdk", jdk(col("gz")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pure") === col("jdk"), 1L).otherwise(0L))
+              .as("n_agree"),
+            sum(when(length(col("pure")) > 0, 1L).otherwise(0L))
+              .as("n_ok"),
+            sum(length(col("pure"))).as("sum_len"),
+            min(when(length(col("pure")) > 0, col("pure")))
+              .as("min_text"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (doc_id % 13 = 0) AS corrupt
+          FROM documents WHERE doc_id % 8 = 6),
+        t AS (SELECT doc_id, source,
+            CASE WHEN corrupt THEN '' ELSE
+              repeat('alpha ' || doc_id::VARCHAR || ' ',
+                (doc_id % 5 + 1)::INT) ||
+              CASE WHEN doc_id % 2 = 0
+                THEN 'beta ' || doc_id::VARCHAR ELSE '' END
+            END AS text
+          FROM d)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          count(*)::BIGINT AS n_agree,
+          sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_ok,
+          sum(length(text))::BIGINT AS sum_len,
+          min(CASE WHEN length(text) > 0 THEN text END) AS min_text
+        FROM t GROUP BY 1 ORDER BY 1"""),
+      "RFC 1951/1952 deflate through BOTH engines on the WARC gzip " +
+        "member layout — concatenated members, real back-references, " +
+        "a flipped byte the CRC32 trailer must catch — engine " +
+        "agreement and the oracle's replayed text both pinned."),
   )
 }
