@@ -189,20 +189,12 @@ object PixelDecode {
       if (pw <= 0 || ph <= 0) 0L else ph.toLong * (1 + rowBytes(pw))
     }.sum
     if (rawLen <= 0 || rawLen > (1L << 29)) return None
-    val raw = new Array[Byte](rawLen.toInt)
-    val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
-    var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      // any zero-progress state (truncated stream, or a corrupt
-      // header demanding a preset dictionary PNG never uses) must
-      // bail, not spin
-      if (n == 0) { inf.end(); return None }
-      got += n
-    }
-    inf.end()
-    if (got < raw.length) return None
+    // the from-the-spec zlib/deflate engine, so this decoder shares
+    // NOTHING with the ImageIO+native-zlib path it is pinned against
+    // (Adler-32 verified; over-long output bails at the cap)
+    val raw = Inflate.zlib(idat.toByteArray, maxOut = rawLen.toInt)
+      .getOrElse(return None)
+    if (raw.length < rawLen) return None
     val out = new Array[Int](w * h)
     val maxSub = (1 << bitDepth) - 1
     var base = 0
