@@ -59,9 +59,9 @@ object Inflate {
     private val count = new Array[Int](maxLen + 1)
     lengths.foreach { l => if (l < 0 || l > maxLen) bail()
       if (l > 0) count(l) += 1 }
-    if (count.sum == 0) bail()
-    // over-subscription check (a valid code is exactly subscribed
-    // or, for the degenerate 1-symbol case, under-subscribed)
+    // an EMPTY table is legal at build time — RFC 1951 allows "one
+    // distance code of zero bits" meaning no distance codes at all
+    // (a literal-only block); read() bails if it is ever consulted
     private val firstCode = new Array[Int](maxLen + 2)
     private val firstSym = new Array[Int](maxLen + 1)
     private val syms = new Array[Int](count.sum)

@@ -32,8 +32,14 @@ object Robots {
     * rules. Empty-path rules are the spec's "allow all" no-ops and
     * are dropped. Never throws.
     */
-  def rulesFor(robotsTxt: String, agent: String): Seq[Rule] = {
-    if (robotsTxt == null) return Seq.empty
+  def rulesFor(robotsTxt0: String, agent: String): Seq[Rule] = {
+    if (robotsTxt0 == null) return Seq.empty
+    // RFC 9309 §2.5 parse bound: crawlers parse at least 500 KiB;
+    // beyond it a hostile robots.txt stops costing anything
+    val robotsTxt =
+      if (robotsTxt0.length > 512 * 1024)
+        robotsTxt0.substring(0, 512 * 1024)
+      else robotsTxt0
     // group assembly: consecutive user-agent lines share the group
     // that the rules following them attach to
     val groups =

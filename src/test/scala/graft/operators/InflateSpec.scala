@@ -131,6 +131,50 @@ class InflateSpec extends AnyFunSuite {
     assert(Inflate.gunzip("not gzip at all".getBytes) === None)
   }
 
+  test("the RFC-legal zero-distance-codes dynamic block (literal-" +
+    "only, 'one distance code of zero bits') decodes — an edge the " +
+    "JDK encoder never emits but the spec allows") {
+    // hand-assembled: HLIT=0 HDIST=0 HCLEN=14; CL lengths 2 for
+    // {0,1,17,18}; litlen code = {65:'A', 256:EOB} both length 1;
+    // the single distance entry has length 0 -> empty dist table
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nb = 0
+    def wb(v: Int, n: Int): Unit = { // LSB-first value bits
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nb
+        nb += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+        i += 1
+      }
+    }
+    def code(c: Int, l: Int): Unit = { // Huffman code: MSB-first
+      var i = l - 1
+      while (i >= 0) { wb((c >> i) & 1, 1); i -= 1 }
+    }
+    wb(1, 1) // BFINAL
+    wb(2, 2) // BTYPE = dynamic
+    wb(0, 5); wb(0, 5); wb(14, 4) // HLIT HDIST HCLEN
+    // 18 code-length lengths in the permuted order
+    // [16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1]
+    Seq(0, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2)
+      .foreach(wb(_, 3))
+    // canonical CL codes: 0->00, 1->01, 17->10, 18->11
+    code(3, 2); wb(54, 7) // 18: 65 zeros (11 + 54)
+    code(1, 2) // symbol 65 ('A') gets length 1
+    code(3, 2); wb(127, 7) // 18: 138 zeros
+    code(3, 2); wb(41, 7) // 18: 52 zeros  (66..255 = 190 total)
+    code(1, 2) // symbol 256 (EOB) gets length 1
+    code(0, 2) // the one distance entry: length 0
+    // data: litlen codes are 65->0, 256->1 (canonical, length 1)
+    code(0, 1) // 'A'
+    code(1, 1) // EOB
+    if (nb > 0) out.write(cur)
+    assert(Inflate.inflate(out.toByteArray).get.toSeq ===
+      "A".getBytes.toSeq)
+  }
+
   test("zlib wrapper (the PNG IDAT envelope): JDK zlib streams " +
     "read with the Adler-32 trailer verified; a real PNG's IDAT " +
     "inflates to the same filtered scanlines the JDK sees") {
