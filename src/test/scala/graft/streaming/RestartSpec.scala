@@ -156,4 +156,68 @@ class RestartSpec extends SparkSuite {
       }
     } finally q2.stop()
   }
+
+  test("paraDedupStream window state survives a checkpointed " +
+    "restart: the same doc id split across the restart inside one " +
+    "window reassembles exactly once; all-known docs emit no row") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (1L, "known header line"),
+      (2L, "another known paragraph"))
+      .toDF("doc_id", "text")
+    val static = StreamingOps.paragraphKeyStaticSide(corpus).persist()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("pd_ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("pd_out").toString
+    val feed = MemoryStream[(Long, String, Timestamp)]
+    val stream = StreamingOps.paraDedupStream(
+      feed.toDF().toDF("doc_id", "text", "ts"),
+      corpus, watermark = "2 hours", windowDuration = "1 hour",
+      staticSide = Some(static))
+    def start() = stream.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val ts = Timestamp.valueOf("2024-01-01 10:00:00")
+    // phase 1: doc 10 (one known + one fresh line) and the FIRST
+    // half of doc 50 arrive; the window stays open; the query stops
+    val q1 = start()
+    try {
+      feed.addData(
+        (10L, "known header line\nfresh ten body", ts),
+        (50L, "fresh alpha fifty", ts))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.schema(stream.schema).parquet(outDir)
+      .count() === 0, "window open — nothing may emit yet")
+    // phase 2: restart; doc 50's second half lands in the SAME
+    // window (restored state must merge it), an all-known doc 12
+    // arrives (must emit nothing), then next-day arrivals advance
+    // the watermark and close the window
+    val q2 = start()
+    try {
+      feed.addData(
+        (50L, "fresh beta fifty", ts),
+        (12L, "known header line\nanother known paragraph", ts))
+      q2.processAllAvailable()
+      feed.addData((100L, "day two closer",
+        Timestamp.valueOf("2024-01-02 10:00:00")))
+      q2.processAllAvailable()
+      feed.addData((101L, "day two second",
+        Timestamp.valueOf("2024-01-02 13:00:00")))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .where(col("doc_id") < 100)
+        .select("doc_id", "n_kept", "cleaned")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getString(2)))).toMap
+      // exactly one row per surviving doc; doc 50's halves merged
+      // in (position, text) order; doc 12 absent
+      assert(got === Map(
+        10L -> ((1, "fresh ten body")),
+        50L -> ((2, "fresh alpha fifty\nfresh beta fifty"))))
+    } finally { q2.stop(); static.unpersist() }
+  }
 }
