@@ -368,11 +368,18 @@ object PixelDecode {
     None
   }
 
-  /** From-the-spec BMP decode (BITMAPINFOHEADER, BI_RGB only): "BM" +
-    * pixel-data offset at byte 10, the 40-byte info header at 14
-    * (LE width, LE signed height — positive means bottom-up rows),
-    * 8-bit palette (BGRA quads) or 24/32-bit BGR(A) samples, rows
-    * padded to 4 bytes. Alpha dropped like everywhere in this module.
+  /** From-the-spec BMP decode (BITMAPINFOHEADER): "BM" + pixel-data
+    * offset at byte 10, the 40-byte info header at 14 (LE width, LE
+    * signed height — positive means bottom-up rows). The classic
+    * matrix: BI_RGB at 1/4/8-bit palette (MSB-first packed
+    * indices, BGRA quads), 16-bit X1R5G5B5 (5-to-8-bit channel
+    * expansion by round-scaling (c*255+15)/31, the
+    * DirectColorModel convention), 24/32-bit BGR(A); and the RLE
+    * compressions — BI_RLE8
+    * and BI_RLE4 (encoded runs, absolute mode with word-aligned
+    * padding, EOL/EOB/delta escapes; undrawn cells stay color 0 as
+    * the format intends). Rows pad to 4 bytes. Alpha dropped like
+    * everywhere in this module.
     */
   def decodeBmpPure(bytes: Array[Byte]): Option[Pixels] =
     try decodeBmpPureImpl(bytes)
@@ -395,43 +402,122 @@ object PixelDecode {
     val bpp = le16i(28)
     val compression = le32i(30)
     if (w < 1 || h < 1 || w.toLong * h > (1L << 26)) return None
-    if (compression != 0) return None // BI_RGB only
-    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    val rle8 = compression == 1 && bpp == 8
+    val rle4 = compression == 2 && bpp == 4
+    if (compression != 0 && !rle8 && !rle4) return None
+    if (compression == 0 && bpp != 1 && bpp != 4 && bpp != 8 &&
+      bpp != 16 && bpp != 24 && bpp != 32) return None
     val palette: Array[Int] =
-      if (bpp == 8) {
-        val declared = le32i(46) // biClrUsed; 0 means the full 256
-        val n = if (declared == 0) 256 else declared
+      if (bpp <= 8) {
+        val declared = le32i(46) // biClrUsed; 0 means the full set
+        val full = 1 << bpp
+        val n = if (declared == 0) full else declared
         val at = 14 + hdrSize
         if (n < 1 || n > 256 || at + 4 * n > b.length) return None
         Array.tabulate(n)(j => (u8i(at + 4 * j + 2) << 16) |
           (u8i(at + 4 * j + 1) << 8) | u8i(at + 4 * j))
       } else null
-    val bytesPerPx = bpp / 8
-    val stride = (w * bytesPerPx + 3) / 4 * 4 // rows pad to 4 bytes
-    if (dataAt < 0 || dataAt.toLong + stride.toLong * h > b.length)
-      return None
     val out = new Array[Int](w * h)
-    var row = 0
-    while (row < h) {
-      val srcRow = if (bottomUp) h - 1 - row else row
-      val at = dataAt + srcRow * stride
+    if (rle8 || rle4) {
+      // RLE bitmaps are bottom-up by definition; undrawn cells keep
+      // palette color 0 (the format's skip/delta semantics)
+      if (!bottomUp) return None
+      if (palette.isEmpty) return None
+      java.util.Arrays.fill(out, palette(0))
+      var p = dataAt
       var x = 0
-      while (x < w) {
-        val p = at + x * bytesPerPx
-        out(row * w + x) =
-          if (bpp == 8) {
-            val idx = u8i(p)
-            if (idx >= palette.length) return None
-            palette(idx)
-          } else { // BGR(A) sample order
-            (u8i(p + 2) << 16) | (u8i(p + 1) << 8) | u8i(p)
-          }
+      var row = 0 // bottom-up row counter
+      def plot(idx: Int): Unit = {
+        if (idx >= palette.length) bailBmp()
+        if (x < w && row < h)
+          out((h - 1 - row) * w + x) = palette(idx)
         x += 1
       }
-      row += 1
+      var open = true
+      while (open) {
+        if (p + 1 >= b.length) return None
+        val n = u8i(p)
+        val v = u8i(p + 1)
+        p += 2
+        if (n > 0) { // encoded run
+          var i = 0
+          while (i < n) {
+            val idx =
+              if (rle8) v
+              else if ((i & 1) == 0) v >> 4
+              else v & 15
+            plot(idx)
+            i += 1
+          }
+        } else v match {
+          case 0 => x = 0; row += 1 // end of line
+          case 1 => open = false // end of bitmap
+          case 2 => // delta
+            if (p + 1 >= b.length) return None
+            x += u8i(p)
+            row += u8i(p + 1)
+            p += 2
+          case cnt => // absolute mode, word-aligned
+            val bytesUsed =
+              if (rle8) cnt else (cnt + 1) / 2
+            val padded = (bytesUsed + 1) / 2 * 2
+            if (p + padded > b.length) return None
+            var i = 0
+            while (i < cnt) {
+              val idx =
+                if (rle8) u8i(p + i)
+                else if ((i & 1) == 0) u8i(p + i / 2) >> 4
+                else u8i(p + i / 2) & 15
+              plot(idx)
+              i += 1
+            }
+            p += padded
+        }
+        if (row > h) return None // runaway cursor
+      }
+    } else {
+      val stride = ((w.toLong * bpp + 31) / 32 * 4).toInt
+      if (dataAt < 0 || dataAt.toLong + stride.toLong * h > b.length)
+        return None
+      var row = 0
+      while (row < h) {
+        val srcRow = if (bottomUp) h - 1 - row else row
+        val at = dataAt + srcRow * stride
+        var x = 0
+        while (x < w) {
+          out(row * w + x) = bpp match {
+            case 1 | 4 =>
+              val bit = x * bpp
+              val idx = (u8i(at + (bit >> 3)) >>
+                (8 - bpp - (bit & 7))) & ((1 << bpp) - 1)
+              if (idx >= palette.length) return None
+              palette(idx)
+            case 8 =>
+              val idx = u8i(at + x)
+              if (idx >= palette.length) return None
+              palette(idx)
+            case 16 => // X1R5G5B5; 5->8 bits by round-scaling
+              // (v*255+15)/31 — the DirectColorModel convention, so
+              // the two engines agree bit for bit
+              val v = le16i(at + x * 2)
+              def s5(c: Int): Int = (c * 255 + 15) / 31
+              (s5((v >> 10) & 31) << 16) | (s5((v >> 5) & 31) << 8) |
+                s5(v & 31)
+            case _ => // 24 / 32: BGR(A) sample order
+              val p = at + x * (bpp / 8)
+              (u8i(p + 2) << 16) | (u8i(p + 1) << 8) | u8i(p)
+          }
+          x += 1
+        }
+        row += 1
+      }
     }
     Some(Pixels(w, h, out))
   }
+
+  private final class BmpBail extends
+    RuntimeException(null, null, false, false)
+  private def bailBmp(): Nothing = throw new BmpBail
 
   /** GIF-flavor LZW (LSB-first bit packing, variable code width,
     * clear/EOI codes, 4096-entry cap). Returns exactly `nPixels`
@@ -975,6 +1061,94 @@ object PixelDecode {
     d.end()
     chunk(out, "IDAT", comp.toByteArray)
     chunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Real BMP bytes: 8-bit palette frames, plain (BI_RGB) or
+    * run-length encoded (BI_RLE8: per-row maximal runs, EOL after
+    * every row, EOB closing the frame), and 16-bit X1R5G5B5 frames
+    * — the writer sides of [[decodeBmpPure]]'s matrix, used by the
+    * fixture queries and readable by any BMP consumer. `indices`
+    * are row-major TOP-DOWN (the writer flips to the format's
+    * bottom-up order).
+    */
+  def encodeBmp8(w: Int, h: Int, indices: Array[Int],
+      palette: Array[Int], rle: Boolean): Array[Byte] = {
+    require(indices.length == w * h, "encodeBmp8: bad length")
+    require(palette.nonEmpty && palette.length <= 256, "palette")
+    val data = new java.io.ByteArrayOutputStream()
+    if (rle) {
+      var row = h - 1 // bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = indices(row * w + x)
+          var n = 1
+          while (x + n < w && n < 255 &&
+            indices(row * w + x + n) == v) n += 1
+          data.write(n); data.write(v)
+          x += n
+        }
+        if (row > 0) { data.write(0); data.write(0) } // EOL
+        row -= 1
+      }
+      data.write(0); data.write(1) // EOB
+    } else {
+      val stride = (w + 3) / 4 * 4
+      var row = h - 1
+      while (row >= 0) {
+        var x = 0
+        while (x < w) { data.write(indices(row * w + x)); x += 1 }
+        while (x < stride) { data.write(0); x += 1 }
+        row -= 1
+      }
+    }
+    bmpWrap(w, h, 8, if (rle) 1 else 0, palette, data.toByteArray)
+  }
+
+  /** 16-bit X1R5G5B5 BMP from 8-bit RGB (channels truncated >> 3 —
+    * round-trips exactly through the round-scaling expansion when
+    * the inputs already sit on the scaled lattice).
+    */
+  def encodeBmp16(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, "encodeBmp16: bad length")
+    val data = new java.io.ByteArrayOutputStream()
+    val stride = (w * 2 + 3) / 4 * 4
+    var row = h - 1
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = rgb(row * w + x)
+        val v = ((((p >> 16) & 0xff) >> 3) << 10) |
+          ((((p >> 8) & 0xff) >> 3) << 5) | ((p & 0xff) >> 3)
+        data.write(v & 0xff); data.write((v >> 8) & 0xff)
+        x += 1
+      }
+      var pad = w * 2
+      while (pad < stride) { data.write(0); pad += 1 }
+      row -= 1
+    }
+    bmpWrap(w, h, 16, 0, Array.empty, data.toByteArray)
+  }
+
+  private def bmpWrap(w: Int, h: Int, bpp: Int, compression: Int,
+      palette: Array[Int], data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+    val dataAt = 54 + 4 * palette.length
+    out.write('B'); out.write('M')
+    le32(dataAt + data.length); le32(0); le32(dataAt)
+    le32(40); le32(w); le32(h) // bottom-up
+    le16(1); le16(bpp); le32(compression); le32(data.length)
+    le32(2835); le32(2835); le32(palette.length); le32(0)
+    palette.foreach { c =>
+      out.write(c & 0xff); out.write((c >> 8) & 0xff)
+      out.write((c >> 16) & 0xff); out.write(0)
+    }
+    out.write(data)
     out.toByteArray
   }
 

@@ -3917,6 +3917,84 @@ object PipelineQueries extends QueryPack {
         "arithmetic replayed by the oracle."),
 
     GraftQuery(
+      "q_multimodal_bmp", Seq("P6", "A8"),
+      (s, dir) => {
+        // The classic BMP matrix through BOTH engines — ImageIO
+        // (the kernel chain) and the from-the-spec decodeBmpPure —
+        // under exact pixel arithmetic: per doc a gray 32x24 tile
+        // mosaic rotated through three legs — plain 8-bit palette,
+        // RLE8 (the mosaic's 8-wide tile runs make the compression
+        // real), and 16-bit X1R5G5B5 whose tile values sit on the
+        // bit-replication lattice so the 5-bit round-trip is exact.
+        // n_agree pins the engines to each other; px_fp pins them
+        // to the oracle's tile arithmetic — a palette, run-length,
+        // bottom-up, padding, or channel-expansion slip fails the
+        // hash. Stateless per-row; one (source) rollup shuffle.
+        import graft.operators.PixelDecode
+        val mkBmp = udf((docId: Long) => {
+          def v(bx: Int, by: Int): Int =
+            (((docId % 83) * 37 + bx * 11 + by * 5) % 256).toInt
+          val leg = (docId / 9 % 3).toInt
+          if (leg == 2) {
+            val rgb = Array.tabulate(32 * 24) { i =>
+              val k = v((i % 32) / 8, (i / 32) / 8) % 32
+              val g = (k * 255 + 15) / 31 // the round-scaling lattice
+              (g << 16) | (g << 8) | g
+            }
+            PixelDecode.encodeBmp16(32, 24, rgb)
+          } else {
+            val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+            val idx = Array.tabulate(32 * 24)(i =>
+              v((i % 32) / 8, (i / 32) / 8))
+            PixelDecode.encodeBmp8(32, 24, idx, pal, rle = leg == 1)
+          }
+        })
+        val pureSum = udf((bmp: Array[Byte]) =>
+          PixelDecode.decodeBmpPure(bmp).map { px =>
+            var sum = 0L
+            PixelDecode.grayLuma(px).foreach(sum += _)
+            sum
+          }.getOrElse(-1L))
+        Tables.load(s, dir, "documents")
+          .where(col("doc_id") % 9 === 3)
+          .select(col("doc_id"), col("source"))
+          .withColumn("bmp", mkBmp(col("doc_id")))
+          .withColumn("mf", Multimodal.featuresColumn(col("bmp")))
+          .withColumn("pure_sum", pureSum(col("bmp")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mf.decoded"), 1L).otherwise(0L))
+              .as("n_decoded"),
+            sum(when(col("mf.px_sum") === col("pure_sum"), 1L)
+              .otherwise(0L)).as("n_agree"),
+            sum(col("mf.height")).as("sum_h"),
+            sum(col("pure_sum") % 1000000007L).as("px_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+            (doc_id // 9) % 3 AS leg
+          FROM documents WHERE doc_id % 9 = 3),
+        t AS (SELECT doc_id, source,
+            CASE WHEN leg = 2 THEN
+              ((((doc_id % 83) * 37 + (i % 4) * 11 +
+                (i // 4) * 5) % 256 % 32) * 255 + 15) // 31
+            ELSE ((doc_id % 83) * 37 + (i % 4) * 11 +
+              (i // 4) * 5) % 256 END AS g
+          FROM d, (SELECT unnest(range(12)) AS i)),
+        px AS (SELECT doc_id, source,
+            (sum(g) * 64)::BIGINT AS px_sum
+          FROM t GROUP BY 1, 2)
+        SELECT source, count(*)::BIGINT AS n_docs,
+          count(*)::BIGINT AS n_decoded,
+          count(*)::BIGINT AS n_agree,
+          (count(*) * 24)::BIGINT AS sum_h,
+          sum(px_sum % 1000000007)::BIGINT AS px_fp
+        FROM px GROUP BY 1 ORDER BY 1"""),
+      "The classic BMP matrix — plain 8-bit palette, RLE8, 16-bit " +
+        "X1R5G5B5 on the round-scaling lattice — through BOTH " +
+        "engines under the oracle's exact tile arithmetic."),
+
+    GraftQuery(
       "q_pipeline_crawl", Seq("S1", "P6", "D5", "D9"),
       (s, dir) => {
         // The CRAWL-PLANNING front-end, composed: CDXJ index shards
