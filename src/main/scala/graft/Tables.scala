@@ -64,6 +64,43 @@ object Tables {
     }
   }
 
+  /** Spread a narrow frame across the session's full parallelism before
+    * an expensive per-row kernel (media decode, codec synthesis, chem).
+    * The sf tables are single-row-group parquet files, so a scan is ONE
+    * task and everything mapped over it inherits parallelism 1 — a
+    * 32-core box runs the decode kernel on one core while 31 idle
+    * (guide §2.6 idle capacity; §8: move the narrow rows, not the
+    * payload — the callers fan out id/text rows and SYNTHESIZE payloads
+    * after the exchange, so the shuffle carries bytes, not blobs).
+    * Partition count tracks `defaultParallelism`, so it is
+    * scale-adaptive: a real cluster gets its full width, local[N] gets
+    * N. Row-order effects: round-robin repartition is deterministic
+    * (sort-before-repartition is on by default, SPARK-23207) and every
+    * caller aggregates order-insensitively or re-sorts.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // scale-adaptive: a production multi-file scan already carries >=
+    // cluster-width partitions — then this is a NO-OP (no exchange
+    // added); only a collapsed input (one row group) is widened. The
+    // callers' plans are narrow (scan+filter+project), so .rdd here
+    // builds lineage without running a job.
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
+  /** [[fanout]] keyed on `cols`: hash-distributes to the session's full
+    * parallelism so a downstream groupBy/window on (a superset of)
+    * `cols` REUSES this exchange instead of adding its own (guide §2.4
+    * "two operations keyed the same way share one exchange") — and,
+    * because the partition count is user-specified, AQE will not
+    * coalesce the kernel stage back to one task the way it does with a
+    * plain post-aggregation shuffle of tiny data. Always keyed-
+    * exchanges (the downstream aggregation needs the clustering); at
+    * scale this replaces, not adds to, the aggregation's own shuffle.
+    */
+  def fanoutBy(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+
   private val rowCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 

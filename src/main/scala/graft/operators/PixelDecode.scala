@@ -34,6 +34,17 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   */
 object PixelDecode {
 
+  // ImageIO's default stream cache backs EVERY read with a temp FILE
+  // (FileCacheImageInputStream): per-blob create/write/delete in
+  // java.io.tmpdir, which serializes 32 concurrent decode tasks on
+  // file-system and SecureRandom-name locks — profiled at ~100x task
+  // CPU inflation on the image-funnel kernel stage once the kernel ran
+  // at full parallelism. Memory-backed streams decode byte-identically
+  // (same readers), so this is pure overhead removal (guide §1.2 step
+  // 2: per-task work). Set once at class load; ImageIO reads are only
+  // ever issued from this object and JpegDecode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded image: packed 0xRRGGBB per pixel, row-major. */
   final case class Pixels(width: Int, height: Int, rgb: Array[Int])
 

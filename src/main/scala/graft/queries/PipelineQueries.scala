@@ -1007,10 +1007,14 @@ object PipelineQueries extends QueryPack {
             else PixelDecode.encodePngGray(32, 32, gray)
           if (docId % 13 == 0 && v == 1) img.take(30) else img
         })
-        val imgs = Tables.load(s, dir, "documents")
+        // fanout BEFORE the encode/decode kernel: the narrow (doc_id,
+        // source, v) rows shuffle, the blobs are synthesized after the
+        // exchange — single-row-group scan otherwise runs the whole
+        // kernel on one core (guide §2.6/§8)
+        val imgs = Tables.fanout(Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("source"))
           .withColumn("v", explode(array(lit(0), lit(1))))
-          .withColumn("img", col("doc_id") * 2 + col("v"))
+          .withColumn("img", col("doc_id") * 2 + col("v")))
           .withColumn("media", mkBytes(col("doc_id"), col("v")))
         val feats = imgs
           .withColumn("mf", Multimodal.featuresColumn(col("media")))
@@ -1242,9 +1246,11 @@ object PipelineQueries extends QueryPack {
         })
         val docs = Tables.load(s, dir, "documents").select("doc_id")
         // materialize once: bands AND both pair sides consume it
-        val ph = docs
+        // (fanout first — the pHash kernel must not run single-task
+        // over the one-row-group scan, guide §2.6)
+        val ph = Tables.fanout(docs
           .withColumn("v", explode(array(lit(0), lit(1))))
-          .withColumn("img", col("doc_id") * 2 + col("v"))
+          .withColumn("img", col("doc_id") * 2 + col("v")))
           .withColumn("phash", kernel(col("doc_id"), col("v")))
           .select("img", "phash")
           .localCheckpoint()
@@ -1570,7 +1576,11 @@ object PipelineQueries extends QueryPack {
         // skinny (clip, j, sv) shuffle costs less than either); the
         // token-derived audio queries, whose arrays are ~50x smaller,
         // use the shuffle-free transform shape instead.
-        val lmdf = clips
+        // fanoutBy(clip): parallelizes the derivation explode AND the
+        // landmark kernel — the groupBy below reuses this keyed
+        // exchange (no extra shuffle), and without it the kernel runs
+        // on the one AQE-coalesced post-agg partition (guide §2.4/§2.6)
+        val lmdf = Tables.fanoutBy(clips, col("clip"))
           .withColumn("j", explode(sequence(lit(0), lit(767))))
           .withColumn("sv",
             expr(TextOps.hash64("concat(g, ':', j)") +
@@ -1705,8 +1715,9 @@ object PipelineQueries extends QueryPack {
         })
         val byteSum = udf((b: Array[Byte]) =>
           b.map(x => (x & 0xff).toLong).sum)
-        val vids = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
+        // fanout before the mux+demux kernel (guide §2.6)
+        val vids = Tables.fanout(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source")))
           .withColumn("media", mkMp4(col("doc_id")))
         Multimodal.mp4FrameSample(vids, "media", stride = 3)
           .withColumn("bsum", byteSum(col("frame")))
@@ -1794,8 +1805,11 @@ object PipelineQueries extends QueryPack {
           .select(col("doc_id").as("clip"))
           .withColumn("g", expr("clip - clip % 15"))
           .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        // fanout before the mux+demux+decode kernel — single-row-group
+        // scan otherwise runs it on one core (guide §2.6)
         val sh = Multimodal.videoShingles(
-            clips.withColumn("media", kernel(col("g"), col("shift"))),
+            Tables.fanout(clips)
+              .withColumn("media", kernel(col("g"), col("shift"))),
             "media")
           .localCheckpoint()
         val aligned = sh.as("a")
@@ -1941,8 +1955,9 @@ object PipelineQueries extends QueryPack {
           .select(col("doc_id").as("clip"), col("source"))
           .withColumn("g", expr("clip - clip % 15"))
           .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
+        // fanout before the mux+demux+decode kernel (guide §2.6)
         val sh = Multimodal.videoShingles(
-            clips.withColumn("media",
+            Tables.fanout(clips).withColumn("media",
               kernel(col("clip"), col("g"), col("shift"))), "media")
           .localCheckpoint()
         val perClip = sh.groupBy("clip", "source")
@@ -2080,7 +2095,10 @@ object PipelineQueries extends QueryPack {
           .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
           .withColumn("nc",
             expr("case when clip % 11 = 0 then 256 else 768 end"))
-        val feats = clips
+        // fanoutBy(clip): parallelizes the derivation explode AND the
+        // codec kernel; the groupBy reuses the keyed exchange
+        // (guide §2.4/§2.6)
+        val feats = Tables.fanoutBy(clips, col("clip"))
           .withColumn("j", explode(expr("sequence(0, nc - 1)")))
           .withColumn("sv",
             expr(TextOps.hash64("concat(g, ':', j)") +
@@ -2250,7 +2268,10 @@ object PipelineQueries extends QueryPack {
           .withColumn("shift", expr("cast((clip % 15) div 5 as int)"))
           .withColumn("nc",
             expr("case when clip % 11 = 0 then 256 else 768 end"))
-        val feats = clips
+        // fanoutBy(clip): parallelizes the derivation explode AND the
+        // codec kernel; the groupBy reuses the keyed exchange
+        // (guide §2.4/§2.6)
+        val feats = Tables.fanoutBy(clips, col("clip"))
           .withColumn("j", explode(expr("sequence(0, nc - 1)")))
           .withColumn("sv",
             expr(TextOps.hash64("concat(g, ':', j)") +
@@ -2791,7 +2812,8 @@ object PipelineQueries extends QueryPack {
           .select(col("doc_id").as("clip"), col("source"))
           .withColumn("g", expr("clip - clip % 20"))
           .withColumn("leg", expr("cast((clip % 20) div 5 as int)"))
-        val feats = clips
+        // fanout before the codec kernel (guide §2.6)
+        val feats = Tables.fanout(clips)
           .withColumn("st", kernel(col("clip"), col("g"), col("leg")))
           .select(col("clip"), col("source"), col("leg"),
             col("st.decoded").as("decoded"),
@@ -3508,9 +3530,10 @@ object PipelineQueries extends QueryPack {
                 VideoHeader.TrackSpec("text", "tx3g", 0, 0, 1000,
                   nCues * 200L), cues, 200, 3)))
         })
-        val vids = Tables.load(s, dir, "documents")
+        // fanout before the mux+demux kernel (guide §2.6)
+        val vids = Tables.fanout(Tables.load(s, dir, "documents")
           .where(col("doc_id") % 2 === 1)
-          .select(col("doc_id"), col("source"))
+          .select(col("doc_id"), col("source")))
           .withColumn("media", mkMp4(col("doc_id")))
         Multimodal.mp4Cues(vids, "media")
           .groupBy("source")
@@ -3681,10 +3704,12 @@ object PipelineQueries extends QueryPack {
             else Tar.synthesizeTar(all)
           }
         })
+        // fanout before the shard-synthesis + ustar-walk + decode
+        // kernel (guide §2.6)
         Tar.webdatasetSamples(
-            Tables.load(s, dir, "documents")
+            Tables.fanout(Tables.load(s, dir, "documents")
               .where(col("doc_id") % 7 === 0)
-              .select(col("doc_id"), col("source"))
+              .select(col("doc_id"), col("source")))
               .withColumn("shard", mkShard(col("doc_id"))), "shard")
           .withColumn("caption",
             expr("cast(element_at(members, 'txt') as string)"))

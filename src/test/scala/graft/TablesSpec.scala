@@ -55,4 +55,22 @@ class TablesSpec extends SparkSuite {
     assert(emb.schema("embedding").dataType
       .asInstanceOf[ArrayType].elementType === FloatType)
   }
+
+  test("fanout widens a collapsed scan to full parallelism, keeps " +
+    "rows, and is a no-op on an already-wide frame") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id")
+    val want = spark.sparkContext.defaultParallelism
+    // the single-row-group parquet collapses to < want partitions
+    assert(docs.rdd.getNumPartitions < want)
+    val fanned = Tables.fanout(docs)
+    assert(fanned.rdd.getNumPartitions === want)
+    assert(fanned.count() === docs.count())
+    // idempotent: a frame already at full width gains no exchange
+    assert(Tables.fanout(fanned) eq fanned)
+    // keyed variant: same width, rows preserved, and a groupBy on the
+    // key satisfies its distribution from this exchange
+    val keyed = Tables.fanoutBy(docs, col("doc_id"))
+    assert(keyed.rdd.getNumPartitions === want)
+    assert(keyed.count() === docs.count())
+  }
 }
