@@ -34,8 +34,11 @@ object Profile {
         jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
-        perStage.computeIfAbsent(s.stageInfo.stageId,
-          _ => (s.stageInfo.name.take(60), new AtomicInteger, new AtomicLong))
+        // tasks usually arrive first and create the cell with a "?"
+        // name; merge keeps their counters and fills in the name
+        perStage.merge(s.stageInfo.stageId,
+          (s.stageInfo.name.take(60), new AtomicInteger, new AtomicLong),
+          (old, fresh) => (fresh._1, old._2, old._3))
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
@@ -68,12 +71,14 @@ object Profile {
         f"tasks=${tasks.get}%5d taskTime=${taskTimeMs.get / 1e3}%7.2fs " +
         f"gc=${gcMs.get / 1e3}%5.2fs")
       import scala.jdk.CollectionConverters._
-      perStage.asScala.toSeq
-        .sortBy { case (_, (_, _, ms)) => -ms.get }.take(6)
-        .foreach { case (id, (nm, n, ms)) =>
-          println(f"[profile]   stage $id%4d tasks=${n.get}%4d " +
-            f"time=${ms.get / 1e3}%7.2fs  $nm")
-        }
+      val all = sys.env.contains("SPARK_GRAFT_PROFILE_ALL")
+      val rows = perStage.asScala.toSeq
+      val top = if (all) rows.sortBy(_._1)
+        else rows.sortBy { case (_, (_, _, ms)) => -ms.get }.take(6)
+      top.foreach { case (id, (nm, n, ms)) =>
+        println(f"[profile]   stage $id%4d tasks=${n.get}%4d " +
+          f"time=${ms.get / 1e3}%7.2fs  $nm")
+      }
     }
     spark.stop()
   }

@@ -129,13 +129,16 @@ final class PickaxeEngine(
     // filters run in declaration order (pickaxe.py:628-629); a filter
     // with `removes` additionally cascade-deletes its blocked set
     filters.foldLeft(state) { (st, f) =>
-      // materialize the (small) blocked id-set ONCE: the plan behind it is
-      // the filter's whole scoring chain, and it is consumed by both the
-      // Expand-flag join and the removal cascade — without the checkpoint
-      // the chain re-runs per consumer
-      val blocked = f.blocked(st)
+      // materialize the (small) blocked id-set ONCE when it has TWO
+      // consumers (Expand-flag join + removal cascade) — without the
+      // checkpoint the scoring chain re-runs per consumer. A
+      // non-removing filter has a single consumer, so the checkpoint
+      // would only add a sequential driver job (guide §7.3: these
+      // fixture-scale runs are job-latency-bound, ~40-100 ms each)
+      val blockedPlan = f.blocked(st)
         .select(col("_id").as("__blocked_id")).distinct()
-        .localCheckpoint()
+      val blocked =
+        if (f.removes) blockedPlan.localCheckpoint() else blockedPlan
       val cpds = st.compounds.join(broadcast(blocked),
           st.compounds("_id") === col("__blocked_id"), "left")
         .withColumn("Expand",
@@ -240,9 +243,23 @@ final class PickaxeEngine(
       .unionByName(newCpds)
 
     // materialize BOTH checkpoints before releasing the kernel output —
-    // unpersisting first would re-run the chemistry flatMap twice
-    val outC = mergedCpds.persist().localCheckpoint()
-    val outR = mergedRxns.persist().localCheckpoint()
+    // unpersisting first would re-run the chemistry flatMap twice.
+    // localCheckpoint alone (NO Dataset-level persist): it is eager and
+    // self-caching, while a .persist() wrapper pinned every shuffle
+    // under it to the static spark.sql.shuffle.partitions width (cached
+    // plans opt out of AQE re-partitioning), materializing 32-wide
+    // states of a handful of rows — and leaked one InMemoryRelation per
+    // generation. Without it AQE coalesces the state width to the DATA
+    // (1 partition at fixture scale, advisory-sized at MINE scale) —
+    // the scale-adaptive partitioning the optimization brief asks for.
+    // The two materializations are independent jobs; run them from two
+    // driver threads so their (driver-latency-dominated) schedules
+    // overlap instead of queueing (guide §2.6 "overlap independent
+    // jobs") — the shared `predicted` persist is computed once, the
+    // BlockManager serializes concurrent cache fills.
+    val (outC, outR) = PickaxeEngine.concurrently(
+      mergedCpds.localCheckpoint(),
+      mergedRxns.localCheckpoint())
     predicted.unpersist()
     NetworkState(outC, outR, g + 1)
   }
@@ -494,6 +511,30 @@ final class PickaxeEngine(
 }
 
 object PickaxeEngine {
+
+  /** Evaluate two independent Spark actions from two driver threads
+    * (guide §2.6): local-mode jobs are driver-latency-dominated at
+    * fixture scale, so overlapping their schedules halves the
+    * per-generation materialization latency. Daemon threads; FIFO
+    * scheduling lets the second job back-fill the first one's tail.
+    */
+  private lazy val actionPool =
+    java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "pickaxe-action")
+        t.setDaemon(true)
+        t
+      })
+
+  private[pickaxe] def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    val fa = actionPool.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = a
+    })
+    val fb = actionPool.submit(new java.util.concurrent.Callable[B] {
+      override def call(): B = b
+    })
+    (fa.get(), fb.get())
+  }
 
   /** S2: compound-file ingest (load_compound_set, pickaxe.py:445-495):
     * CSV/TSV/JSON dispatched on extension (file_to_dict_list,
