@@ -143,11 +143,19 @@ object ConnectedComponents {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val out = parent.keys.toSeq.map(n => Row(n, find(n)))
-    // spread across defaultParallelism: a 1-partition result would
-    // feed every downstream join/agg a single-task stage
+    // Slice count tracks the RESULT SIZE, capped at the session's
+    // parallelism: a fixture-scale component table sliced 32 ways fed
+    // every consumer a 32-task stage whose per-task overhead dwarfed
+    // the rows (profiled: 8-12 s summed task time per consumer at
+    // local[32] for ~5 k rows — guide §2.6/§7.3 width tax), while a
+    // 1-partition result would serialize a genuinely large one. ~4 k
+    // rows per slice keeps small outputs narrow and the ≤1 M-node
+    // gate means the cap is what binds at scale.
+    val slices = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (out.size + 4095L) / 4096L)).toInt
     spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        out, math.max(1, spark.sparkContext.defaultParallelism)),
+      spark.sparkContext.parallelize(out, slices),
       StructType(Seq(nodeField, StructField("component",
         nodeField.dataType, nodeField.nullable))))
   }

@@ -185,15 +185,20 @@ object ProductQuantizer {
       m: Int = 8,
       subLen: Int = 8,
       kCodes: Int = 16): IvfPq = {
-    val cent = VectorIndex.sampleCentroids(e, kCentroids)
-      .localCheckpoint()
+    val base = e.select("vec_id", "qe")
+    // cent and cb are INDEPENDENT draws over e (the codebook never
+    // reads the centroids in the plain — non-residual — chain), so
+    // their eager checkpoints materialize from two driver threads
+    // (guide §2.6): same pinned relations, one materialization wave
+    // instead of two sequential ones.
+    val (cent, cbDf) = Par.concurrently(
+      VectorIndex.sampleCentroids(e, kCentroids).localCheckpoint(),
+      codebook(base, m, subLen, kCodes).localCheckpoint())
     val cellOf = VectorIndex.argmaxCell(
       e.crossJoin(broadcast(cent))
         .withColumn("dot", VectorOps.dot("cqe", "qe"))
         .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
       .localCheckpoint()
-    val base = e.select("vec_id", "qe")
-    val cbDf = codebook(base, m, subLen, kCodes).localCheckpoint()
     IvfPq(cent, cellOf, cbDf, encode(base, cbDf, m, subLen))
   }
 

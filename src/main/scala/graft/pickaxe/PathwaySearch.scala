@@ -44,11 +44,16 @@ object PathwaySearch {
     val reacM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts out of AQE
+      // re-partitioning and pins every round's joins (and therefore the
+      // checkpointed frontiers) to the static shuffle width — the same
+      // width tax removed from PickaxeEngine in the previous round. The
+      // eager checkpoint materializes at the AQE-coalesced width.
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).persist()
+      .where(col("p_id").startsWith("C")).localCheckpoint()
 
     var frontier = Seq((startId, Seq.empty[String], Seq(startId)))
       .toDF("c_id", "path", "seen")
@@ -78,7 +83,6 @@ object PathwaySearch {
       frontier = next.where(col("c_id") =!= targetId)
     }
     val out = results.orderBy(size(col("path")), col("path")(0))
-    reacM.unpersist(); prodM.unpersist()
     out
   }
 
@@ -103,11 +107,16 @@ object PathwaySearch {
     val reacM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts out of AQE
+      // re-partitioning and pins every round's joins (and therefore the
+      // checkpointed frontiers) to the static shuffle width — the same
+      // width tax removed from PickaxeEngine in the previous round. The
+      // eager checkpoint materializes at the AQE-coalesced width.
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).persist()
+      .where(col("p_id").startsWith("C")).localCheckpoint()
 
     var visited = Seq(startId).toDF("c_id").localCheckpoint()
     var frontier = Seq((startId, Seq.empty[String]))
@@ -141,7 +150,6 @@ object PathwaySearch {
       }
       frontier = next.where(col("c_id") =!= targetId)
     }
-    reacM.unpersist(); prodM.unpersist()
     result
   }
 
@@ -168,11 +176,16 @@ object PathwaySearch {
     val reacM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts out of AQE
+      // re-partitioning and pins every round's joins (and therefore the
+      // checkpointed frontiers) to the static shuffle width — the same
+      // width tax removed from PickaxeEngine in the previous round. The
+      // eager checkpoint materializes at the AQE-coalesced width.
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).persist()
+      .where(col("p_id").startsWith("C")).localCheckpoint()
     val gated = compoundGate.map { gate =>
       state.compounds.where(gate).select(col("_id").as("p_id"))
         .localCheckpoint() // scored once, consumed every round
@@ -200,7 +213,6 @@ object PathwaySearch {
         size(col("path")).as("n_steps"), col("c_id").as("end_id")))
       frontier = next
     }
-    reacM.unpersist(); prodM.unpersist()
     results
   }
 }
