@@ -113,5 +113,11 @@ object Hash64 {
           s"graft_winnow takes (text, k, t), got ${exprs.length}")
         WinnowFps(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "t"))
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_overlap", (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_sorted_overlap takes (a, b), got ${exprs.length}")
+        SortedOverlap(exprs.head, exprs(1))
+      }, "built-in")
   }
 }

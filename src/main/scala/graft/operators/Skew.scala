@@ -88,8 +88,18 @@ object Skew {
     if (leftFamily(lt)) {
       val bigS = big.withColumn("__salt",
         pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+      // SHUFFLE_HASH on the replicated side: left alone the planner
+      // broadcasts it (estimated size ignores the x`salts` explode),
+      // which (a) builds a salts-times-inflated hash relation on the
+      // driver and (b) makes the salting pointless — a broadcast join
+      // never shuffles the big side, so there is no skewed exchange to
+      // spread. The shuffled-hash join on (keys, salt) is exactly the
+      // shape manual salting exists to feed: every reduce task sees
+      // ~1/salts of a hot key, and the per-partition build side stays
+      // small-side-sized. Same rows either way (guide §3.1).
       val smallS = small.withColumn("__salt",
         explode(sequence(lit(0L), lit(salts - 1L))))
+        .hint("shuffle_hash")
       val out = bigS.join(smallS, keys :+ "__salt", joinType)
       if (out.columns.contains("__salt")) out.drop("__salt") else out
     } else {

@@ -1736,6 +1736,9 @@ object RelationalQueries extends QueryPack {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          // same four-consumer shape as q_agg_pmi: one scan+distinct
+          // behind a barrier instead of one per consumer
+          .localCheckpoint()
         val nOrders = li.select("ok").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val itemSupp = li.groupBy("pk").agg(count(lit(1)).as("supp"))
@@ -2949,6 +2952,10 @@ object RelationalQueries extends QueryPack {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+          // one scan+distinct feeds FOUR consumers (order count, the
+          // marginals, and both self-join sides) -- without the barrier
+          // the distinct re-runs per consumer
+          .localCheckpoint()
         val nOrders = li.select("ok").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val marg = li.groupBy(col("pk"))

@@ -191,8 +191,12 @@ object TextQueries extends QueryPack {
         col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"),
         col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
+      // graft_sorted_overlap: sh is array_sort(array_distinct(hash))
+      // on both sides, so the fused merge walk counts exactly what
+      // size(array_intersect) counted — without the per-pair hash-set
+      // build that dominated the verify stage
       .withColumn("overlap",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        expr("graft_sorted_overlap(sh_a, sh_b)").cast("long"))
       .where(lit(3) * col("overlap") >= col("n_a") + col("n_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_a").cast("long").as("n_a"),
@@ -480,8 +484,10 @@ object TextQueries extends QueryPack {
         col("fps").as("fps_a"), col("n").as("n_a"))), Seq("a"))
       .join(side(fpArr.select(col("doc_id").as("b"),
         col("fps").as("fps_b"))), Seq("b"))
+      // fused merge-walk overlap (see ngramDupPairs): fps is sorted
+      // distinct on both sides by construction
       .withColumn("overlap",
-        size(array_intersect(col("fps_a"), col("fps_b")))
+        expr("graft_sorted_overlap(fps_a, fps_b)")
           .cast("long"))
       .where(col("overlap") * tauDen >= col("n_a") * tauNum)
       .withColumn("containment", round(
