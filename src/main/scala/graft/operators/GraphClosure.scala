@@ -35,10 +35,20 @@ object GraphClosure {
       seeds: DataFrame,
       maxIter: Int = 50,
       localEdgeThreshold: Long = 4_000_000L): (DataFrame, DataFrame) = {
-    val e = edges.select(aCol, bCol).distinct().persist()
-    val nEdges = e.count() // also materializes the persist
+    // RAW rows are cached and counted for the size gate (the
+    // ConnectedComponents.byGroup discipline): the driver-side BFS
+    // absorbs duplicate edges natively, so the local path never pays
+    // the distinct's shuffle — which, under the persist's static
+    // width, was the most expensive stage of the whole closure at
+    // fixture scale (profiled 3.8 s task time / 32 tasks on
+    // q_graph_closure). Only the iterative path dedups, where repeated
+    // rows would inflate every join. Raw count >= distinct count, so
+    // the gate errs toward the scale-safe distributed path.
+    val e0 = edges.select(aCol, bCol).persist()
+    val nEdges = e0.count() // also materializes the persist
     if (nEdges <= localEdgeThreshold)
-      return localClosure(e, aCol, bCol, seeds)
+      return localClosure(e0, aCol, bCol, seeds)
+    val e = e0.distinct()
     var visitedA = seeds.select(aCol).distinct().localCheckpoint()
     var frontierA = visitedA
     var iter = 0
@@ -65,8 +75,8 @@ object GraphClosure {
     }
     val visitedB = e.join(visitedA, Seq(aCol), "left_semi")
       .select(bCol).distinct()
-      .localCheckpoint() // materialize before releasing e
-    e.unpersist()
+      .localCheckpoint() // materialize before releasing the raw cache
+    e0.unpersist()
     if (!done)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"bipartiteClosure: iteration budget maxIter=$maxIter exhausted " +

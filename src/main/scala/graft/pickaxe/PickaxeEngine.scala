@@ -191,9 +191,16 @@ final class PickaxeEngine(
     val rulesB = spark.sparkContext.broadcast(rules)
     val coreB = spark.sparkContext.broadcast(coreactantMap)
     val eh = explicitH
+    // localCheckpoint, not persist, for the same reason as the state
+    // checkpoints below: a persisted kernel output opts every shuffle
+    // above it out of AQE re-partitioning, so the reaction-merge
+    // groupBy materialized 32-wide for a handful of rows (profiled
+    // 1.2-1.6 s task time on every pickaxe query's first generation).
+    // Eager checkpoint = the chemistry flatMap still runs exactly once
+    // for its two consumers (newRxns, newCpds).
     val predicted = frontier.flatMap { case (id, smi) =>
       RuleKernel.applyAll(id, smi, rulesB.value, coreB.value, explicitH = eh)
-    }.toDF().persist()
+    }.toDF().localCheckpoint()
 
     // D2/A1: reaction merge with operator set-union
     val newRxns = predicted
@@ -260,7 +267,6 @@ final class PickaxeEngine(
     val (outC, outR) = PickaxeEngine.concurrently(
       mergedCpds.localCheckpoint(),
       mergedRxns.localCheckpoint())
-    predicted.unpersist()
     NetworkState(outC, outR, g + 1)
   }
 
