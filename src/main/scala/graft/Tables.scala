@@ -82,9 +82,13 @@ object Tables {
     val want = df.sparkSession.sparkContext.defaultParallelism
     // scale-adaptive: a production multi-file scan already carries >=
     // cluster-width partitions — then this is a NO-OP (no exchange
-    // added); only a collapsed input (one row group) is widened. The
-    // callers' plans are narrow (scan+filter+project), so .rdd here
-    // builds lineage without running a job.
+    // added); only a collapsed input (one row group) is widened.
+    // CONSTRAINT (callers own it): pass SHUFFLE-FREE plans only
+    // (scan+filter+project). The width probe below goes through
+    // df.rdd, which under AQE MATERIALIZES upstream query stages when
+    // the plan already contains an exchange — on a narrow plan it only
+    // builds lineage, on a shuffled one it silently runs jobs at
+    // plan-build time. Every current caller fans out a bare scan.
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 

@@ -27,12 +27,18 @@ object Cascade {
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts the query out
+      // of AQE re-partitioning and pins the fixpoint rounds' joins to
+      // static shuffle width (the PathwaySearch/PickaxeEngine fix)
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val reacAndProd = state.reactions
       .select(col("_id").as("rxn"), explode(concat(col("Reactants"),
         col("Products"))).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts the query out
+      // of AQE re-partitioning and pins the fixpoint rounds' joins to
+      // static shuffle width (the PathwaySearch/PickaxeEngine fix)
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     // compounds never removable: starting compounds + coreactants
     val protectedC = state.compounds
       .where(col("Type").isin("Starting Compound", "Coreactant"))
@@ -77,7 +83,6 @@ object Cascade {
     val outC = state.compounds.join(remove, Seq("_id"), "left_anti")
     val outR = state.reactions.join(
       deadRxns.withColumnRenamed("rxn", "_id"), Seq("_id"), "left_anti")
-    prodM.unpersist(); reacAndProd.unpersist()
     NetworkState(outC, outR, state.generation)
   }
 
@@ -153,11 +158,17 @@ object Cascade {
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts the query out
+      // of AQE re-partitioning and pins the fixpoint rounds' joins to
+      // static shuffle width (the PathwaySearch/PickaxeEngine fix)
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val reacM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
       .select(col("rxn"), col("m.c_id").as("c_id"))
-      .where(col("c_id").startsWith("C")).persist()
+      // localCheckpoint, not persist: a persisted plan opts the query out
+      // of AQE re-partitioning and pins the fixpoint rounds' joins to
+      // static shuffle width (the PathwaySearch/PickaxeEngine fix)
+      .where(col("c_id").startsWith("C")).localCheckpoint()
     val protectedC = state.compounds
       .where(col("Type").isin("Starting Compound", "Coreactant"))
       .select(col("_id").as("c_id"))
@@ -186,7 +197,6 @@ object Cascade {
       removedC.withColumnRenamed("c_id", "_id"), Seq("_id"), "left_anti")
     val outR = state.reactions.join(
       dead.withColumnRenamed("rxn", "_id"), Seq("_id"), "left_anti")
-    prodM.unpersist(); reacM.unpersist()
     NetworkState(outC, outR, state.generation)
   }
 

@@ -249,8 +249,6 @@ final class PickaxeEngine(
         when(col("Generation") === g, lit(false)).otherwise(col("Expand")))
       .unionByName(newCpds)
 
-    // materialize BOTH checkpoints before releasing the kernel output —
-    // unpersisting first would re-run the chemistry flatMap twice.
     // localCheckpoint alone (NO Dataset-level persist): it is eager and
     // self-caching, while a .persist() wrapper pinned every shuffle
     // under it to the static spark.sql.shuffle.partitions width (cached
@@ -262,8 +260,8 @@ final class PickaxeEngine(
     // The two materializations are independent jobs; run them from two
     // driver threads so their (driver-latency-dominated) schedules
     // overlap instead of queueing (guide §2.6 "overlap independent
-    // jobs") — the shared `predicted` persist is computed once, the
-    // BlockManager serializes concurrent cache fills.
+    // jobs") — the shared `predicted` checkpoint above already holds
+    // the kernel output, so both jobs read cached blocks.
     val (outC, outR) = PickaxeEngine.concurrently(
       mergedCpds.localCheckpoint(),
       mergedRxns.localCheckpoint())
@@ -390,10 +388,10 @@ final class PickaxeEngine(
       .select(col("_id").as("c_id")).distinct()
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
-      .select(col("rxn"), col("m.c_id").as("c_id")).persist()
+      .select(col("rxn"), col("m.c_id").as("c_id")).localCheckpoint()
     val reacM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Reactants")).as("m"))
-      .select(col("rxn"), col("m.c_id").as("c_id")).persist()
+      .select(col("rxn"), col("m.c_id").as("c_id")).localCheckpoint()
 
     // loop on the compound side only (producing reactions -> their
     // reactant compounds per round); the kept-reaction set equals
@@ -429,7 +427,6 @@ final class PickaxeEngine(
     val outC = state.compounds.join(keepAll.distinct(), Seq("_id"), "left_semi")
     val outR = state.reactions.join(keepR.withColumnRenamed("rxn", "_id"),
       Seq("_id"), "left_semi")
-    prodM.unpersist(); reacM.unpersist()
     NetworkState(outC, outR, state.generation)
   }
 

@@ -60,6 +60,9 @@ class TablesSpec extends SparkSuite {
     "rows, and is a no-op on an already-wide frame") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id")
     val want = spark.sparkContext.defaultParallelism
+    // on a single-core runner the 1-partition scan already equals the
+    // parallelism and there is no width to assert — skip, don't fail
+    assume(want > 1, "fanout is a no-op at defaultParallelism 1")
     // the single-row-group parquet collapses to < want partitions
     assert(docs.rdd.getNumPartitions < want)
     val fanned = Tables.fanout(docs)
