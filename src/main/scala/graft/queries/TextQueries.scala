@@ -1341,18 +1341,22 @@ object TextQueries extends QueryPack {
         import graft.operators.DedupIndex
         val g = DedupIndex.Geometry(w = 3, k = 16, bands = 4)
         val all = docs(s, dir)
-        val idx = DedupIndex.membership(
-            all.where(col("doc_id") % 10 =!= 0), "text", "doc_id", g)
-          // the saved-artifact stand-in: consumed by the probe join
-          // AND the membership counts
-          .localCheckpoint()
+        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
+        // the index membership and the full-corpus shingle table are
+        // independent kernels over the same scan — materialize their
+        // checkpoints from two driver threads (guide §2.6)
+        val (idx, sh) = graft.operators.Par.concurrently(
+          DedupIndex.membership(
+              all.where(col("doc_id") % 10 =!= 0), "text", "doc_id", g)
+            // the saved-artifact stand-in: consumed by the probe join
+            // AND the membership counts
+            .localCheckpoint(),
+          all.withColumn("r", shSig(col("text")))
+            .where(expr("size(r._1) >= 1"))
+            .select(col("doc_id"), col("r._1").as("sh"))
+            .localCheckpoint())
         val cand = DedupIndex.probeBuckets(idx,
           all.where(col("doc_id") % 10 === 0), "text", "doc_id", g)
-        val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
-        val sh = all.withColumn("r", shSig(col("text")))
-          .where(expr("size(r._1) >= 1"))
-          .select(col("doc_id"), col("r._1").as("sh"))
-          .localCheckpoint()
         val verified = cand
           .join(sh.select(col("doc_id").as("new_id"),
             col("sh").as("sh_n")), Seq("new_id"))
@@ -1692,9 +1696,14 @@ object TextQueries extends QueryPack {
         // aggregation — the join work the CC stage faces — plus the
         // max bucket, the skew number that decides whether a hub
         // bucket needs salting at 100 TB.
-        val truth = ngramDupPairs(s, dir)
-          .select("doc_a", "doc_b").localCheckpoint()
-        val mem = dedupMembership(s, dir).localCheckpoint()
+        // truth (exact ngram pair set) and mem (LSH membership) are
+        // independent pipelines over the same corpus scan — their
+        // eager checkpoints materialize from two driver threads
+        // (guide §2.6), trimming the sequential-materialization tail
+        val (truth, mem) = graft.operators.Par.concurrently(
+          ngramDupPairs(s, dir)
+            .select("doc_a", "doc_b").localCheckpoint(),
+          dedupMembership(s, dir).localCheckpoint())
         val caught = truth
           .join(mem.toDF("doc_a", "gkey"), Seq("doc_a"))
           .join(mem.toDF("doc_b", "gkey"), Seq("doc_b", "gkey"))
