@@ -1110,9 +1110,16 @@ object RelationalQueries extends QueryPack {
         // measured error, because I-E error compounds and should be
         // REPORTED, not assumed.
         val li = t(s, dir, "lineitem")
-        val regs = Sketches.hllRegisters(
-            li, col("l_orderkey"), Seq("l_returnflag"), p = 12)
-          .localCheckpoint() // 3*4096 rows; probed by 3 pair unions
+        // the register table and the exact distinct-key table (dk,
+        // below) are independent aggregations over the same scan —
+        // materialize both checkpoints from two driver threads
+        // (guide §2.6)
+        val (regs, dk) = graft.operators.Par.concurrently(
+          Sketches.hllRegisters(
+              li, col("l_orderkey"), Seq("l_returnflag"), p = 12)
+            .localCheckpoint(), // 3*4096 rows; probed by 3 pair unions
+          li.select(col("l_returnflag").as("f"),
+            col("l_orderkey").as("ok")).distinct().localCheckpoint())
         val single = Sketches.hllEstimate(regs, Seq("l_returnflag"))
           .select(col("l_returnflag"), col("hll_est"))
         val pairs = Seq(("A", "N"), ("A", "R"), ("N", "R"))
@@ -1129,8 +1136,6 @@ object RelationalQueries extends QueryPack {
             import s.implicits._
             rows.toDF("pair", "fx", "fy")
         }
-        val dk = li.select(col("l_returnflag").as("f"),
-          col("l_orderkey").as("ok")).distinct().localCheckpoint()
         val exact = dk.toDF("fx", "ok")
           .join(dk.toDF("fy", "ok"), Seq("ok"))
           .where(col("fx") < col("fy"))
@@ -1207,15 +1212,19 @@ object RelationalQueries extends QueryPack {
         // one-sided guarantee est >= true is visible in the
         // overcount column (collisions only ever inflate).
         val li = t(s, dir, "lineitem")
-        val sk = Sketches.cmsSketch(li, col("l_partkey"), d = 4, w = 1024)
         val exact = li
           .groupBy(col("l_partkey").cast("string").as("key"))
           .agg(count(lit(1)).as("true_cnt"))
-        // 10 rows consumed twice (probe keys + broadcast audit join):
-        // materialize once or the full exact aggregation re-runs
-        val top = exact
-          .orderBy(col("true_cnt").desc, col("key").asc).limit(10)
-          .localCheckpoint()
+        // the 4x1024-cell sketch and the exact top-10 are independent
+        // aggregations over the same scan: materialize both from two
+        // driver threads (guide §2.6). top was already checkpointed
+        // (10 rows, two consumers); the bounded sketch rides along.
+        val (sk, top) = graft.operators.Par.concurrently(
+          Sketches.cmsSketch(li, col("l_partkey"), d = 4, w = 1024)
+            .localCheckpoint(),
+          exact
+            .orderBy(col("true_cnt").desc, col("key").asc).limit(10)
+            .localCheckpoint())
         Sketches.cmsEstimate(sk, top.select("key"), d = 4, w = 1024)
           .join(broadcast(top), Seq("key"))
           .withColumn("overcount", col("cms_est") - col("true_cnt"))
