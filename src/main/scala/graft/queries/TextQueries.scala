@@ -1777,12 +1777,17 @@ object TextQueries extends QueryPack {
         // equi-joins, one final 1-row aggregation, no pair
         // enumeration beyond truth itself.
         val shSig = TextOps.shinglesAndSignature(w = 3, k = 16)
-        val sigs = docs(s, dir)
-          .withColumn("r", shSig(col("text")))
-          .where(expr("size(r._1) >= 1"))
-          .select(col("doc_id"), col("r._2").as("sig"))
-          .localCheckpoint()
-        ngramDupPairs(s, dir)
+        // the signature table and the exact-truth pipeline (whose
+        // internal base/ranked checkpoints materialize eagerly at call
+        // time) are independent — run both from two driver threads
+        val (sigs, truthPairs) = graft.operators.Par.concurrently(
+          docs(s, dir)
+            .withColumn("r", shSig(col("text")))
+            .where(expr("size(r._1) >= 1"))
+            .select(col("doc_id"), col("r._2").as("sig"))
+            .localCheckpoint(),
+          ngramDupPairs(s, dir))
+        truthPairs
           .join(sigs.toDF("doc_a", "sig_a"), Seq("doc_a"))
           .join(sigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
           .withColumn("est16", expr(
