@@ -1712,23 +1712,27 @@ object SimilarityQueries extends QueryPack {
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
-        val ivfpq = ProductQuantizer.buildIvfPq(
-          e.select("vec_id", "qe", "nq"), kCentroids = k,
-          m = 8, subLen = 8, kCodes = 16)
         val qBase = e.where(col("vec_id") % 100 === 0)
         val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
         val wx = Window.partitionBy("query_id")
           .orderBy(col("dist").asc, col("vec_id").asc)
-        val exact = e.crossJoin(broadcast(qBase
-            .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
-              col("nq").as("qnq"))))
-          .where(col("vec_id") =!= col("query_id"))
-          .withColumn("dist", col("qnq") + col("nq") -
-            lit(2L) * VectorOps.dot("qqe", "qe"))
-          .withColumn("rnk", row_number().over(wx))
-          .where(col("rnk") <= 3)
-          .select("query_id", "vec_id")
-          .localCheckpoint() // feeds both nprobe overlap counts
+        // the index build (own pinned checkpoints) and the exact
+        // brute-force truth are independent — materialize them from
+        // two driver threads (guide §2.6)
+        val (ivfpq, exact) = graft.operators.Par.concurrently(
+          ProductQuantizer.buildIvfPq(
+            e.select("vec_id", "qe", "nq"), kCentroids = k,
+            m = 8, subLen = 8, kCodes = 16),
+          e.crossJoin(broadcast(qBase
+              .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+                col("nq").as("qnq"))))
+            .where(col("vec_id") =!= col("query_id"))
+            .withColumn("dist", col("qnq") + col("nq") -
+              lit(2L) * VectorOps.dot("qqe", "qe"))
+            .withColumn("rnk", row_number().over(wx))
+            .where(col("rnk") <= 3)
+            .select("query_id", "vec_id")
+            .localCheckpoint()) // feeds both nprobe overlap counts
         val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
@@ -1932,32 +1936,41 @@ object SimilarityQueries extends QueryPack {
         val k = VectorOps.suggestedCentroids(nRows)
         gateCheckIvf(s, nRows, k)
         val e = quantized(s, dir)
-        val ivfpq = ProductQuantizer.buildIvfPq(
-          e.select("vec_id", "qe", "nq"), kCentroids = k,
-          m = 8, subLen = 8, kCodes = 16)
-        val resid = ProductQuantizer.residuals(
-          e.select("vec_id", "qe"), ivfpq.cellOf, ivfpq.cent)
-        // zero-residual rows (the sampled centroids themselves) must
-        // not seed the codebook — see ProductQuantizer.residCbBase
-        val rcb = ProductQuantizer.codebook(
-          ProductQuantizer.residCbBase(resid), m = 8, subLen = 8,
-          k = 16).localCheckpoint()
-        val rcodes = ProductQuantizer.encode(resid, rcb, m = 8,
-          subLen = 8)
         val qBase = e.where(col("vec_id") % 100 === 0)
         val q = qBase.select(col("vec_id").as("query_id"), col("qe"))
         val wx = Window.partitionBy("query_id")
           .orderBy(col("dist").asc, col("vec_id").asc)
-        val exact = e.crossJoin(broadcast(qBase
-            .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
-              col("nq").as("qnq"))))
-          .where(col("vec_id") =!= col("query_id"))
-          .withColumn("dist", col("qnq") + col("nq") -
-            lit(2L) * VectorOps.dot("qqe", "qe"))
-          .withColumn("rnk", row_number().over(wx))
-          .where(col("rnk") <= 3)
-          .select("query_id", "vec_id")
-          .localCheckpoint() // feeds both hit counts
+        // the whole PQ-build chain (coarse layer + residual codebook,
+        // each with its own pinned checkpoints) and the exact
+        // brute-force truth are independent — two driver threads
+        // (guide §2.6)
+        val ((ivfpq, rcb), exact) = graft.operators.Par.concurrently(
+          {
+            val chain = ProductQuantizer.buildIvfPq(
+              e.select("vec_id", "qe", "nq"), kCentroids = k,
+              m = 8, subLen = 8, kCodes = 16)
+            val res = ProductQuantizer.residuals(
+              e.select("vec_id", "qe"), chain.cellOf, chain.cent)
+            // zero-residual rows (the sampled centroids themselves)
+            // must not seed the codebook — see residCbBase
+            (chain, ProductQuantizer.codebook(
+              ProductQuantizer.residCbBase(res), m = 8, subLen = 8,
+              k = 16).localCheckpoint())
+          },
+          e.crossJoin(broadcast(qBase
+              .select(col("vec_id").as("query_id"), col("qe").as("qqe"),
+                col("nq").as("qnq"))))
+            .where(col("vec_id") =!= col("query_id"))
+            .withColumn("dist", col("qnq") + col("nq") -
+              lit(2L) * VectorOps.dot("qqe", "qe"))
+            .withColumn("rnk", row_number().over(wx))
+            .where(col("rnk") <= 3)
+            .select("query_id", "vec_id")
+            .localCheckpoint()) // feeds both hit counts
+        val resid = ProductQuantizer.residuals(
+          e.select("vec_id", "qe"), ivfpq.cellOf, ivfpq.cent)
+        val rcodes = ProductQuantizer.encode(resid, rcb, m = 8,
+          subLen = 8)
         val qRanked = qBase.crossJoin(broadcast(ivfpq.cent))
           .withColumn("dot", VectorOps.dot("cqe", "qe"))
           .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq"))
