@@ -191,16 +191,19 @@ final class PickaxeEngine(
     val rulesB = spark.sparkContext.broadcast(rules)
     val coreB = spark.sparkContext.broadcast(coreactantMap)
     val eh = explicitH
-    // localCheckpoint, not persist, for the same reason as the state
-    // checkpoints below: a persisted kernel output opts every shuffle
-    // above it out of AQE re-partitioning, so the reaction-merge
-    // groupBy materialized 32-wide for a handful of rows (profiled
-    // 1.2-1.6 s task time on every pickaxe query's first generation).
-    // Eager checkpoint = the chemistry flatMap still runs exactly once
-    // for its two consumers (newRxns, newCpds).
+    // LAZY localCheckpoint, not persist: a persisted kernel output opts
+    // every shuffle above it out of AQE re-partitioning, so the
+    // reaction-merge groupBy materialized 32-wide for a handful of rows
+    // (profiled 1.2-1.6 s task time on every pickaxe query's first
+    // generation). The lazy form keeps persist's schedule (the kernel
+    // materializes inside the first consumer job, overlapped with the
+    // two concurrent state checkpoints, BlockManager partition locks
+    // guaranteeing single compute) while caching the AQE-final RDD —
+    // the eager form was measured to add one sequential job per
+    // generation (q_pickaxe_skeleton +0.4 s).
     val predicted = frontier.flatMap { case (id, smi) =>
       RuleKernel.applyAll(id, smi, rulesB.value, coreB.value, explicitH = eh)
-    }.toDF().localCheckpoint()
+    }.toDF().localCheckpoint(eager = false)
 
     // D2/A1: reaction merge with operator set-union
     val newRxns = predicted
