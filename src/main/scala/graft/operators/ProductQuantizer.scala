@@ -194,11 +194,15 @@ object ProductQuantizer {
     val (cent, cbDf) = Par.concurrently(
       VectorIndex.sampleCentroids(e, kCentroids).localCheckpoint(),
       codebook(base, m, subLen, kCodes).localCheckpoint())
+    // lazy checkpoint: single-compute + pinned evaluation still hold
+    // (RDD-level cache locks), but the assignment kernel materializes
+    // inside its first consumer's job instead of one more sequential
+    // driver job per query
     val cellOf = VectorIndex.argmaxCell(
       e.crossJoin(broadcast(cent))
         .withColumn("dot", VectorOps.dot("cqe", "qe"))
         .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     IvfPq(cent, cellOf, cbDf, encode(base, cbDf, m, subLen))
   }
 

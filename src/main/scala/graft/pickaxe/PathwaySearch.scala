@@ -49,11 +49,11 @@ object PathwaySearch {
       // checkpointed frontiers) to the static shuffle width — the same
       // width tax removed from PickaxeEngine in the previous round. The
       // eager checkpoint materializes at the AQE-coalesced width.
-      .where(col("c_id").startsWith("C")).localCheckpoint()
+      .where(col("c_id").startsWith("C")).localCheckpoint(eager = false)
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).localCheckpoint()
+      .where(col("p_id").startsWith("C")).localCheckpoint(eager = false)
 
     var frontier = Seq((startId, Seq.empty[String], Seq(startId)))
       .toDF("c_id", "path", "seen")
@@ -112,11 +112,11 @@ object PathwaySearch {
       // checkpointed frontiers) to the static shuffle width — the same
       // width tax removed from PickaxeEngine in the previous round. The
       // eager checkpoint materializes at the AQE-coalesced width.
-      .where(col("c_id").startsWith("C")).localCheckpoint()
+      .where(col("c_id").startsWith("C")).localCheckpoint(eager = false)
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).localCheckpoint()
+      .where(col("p_id").startsWith("C")).localCheckpoint(eager = false)
 
     var visited = Seq(startId).toDF("c_id").localCheckpoint()
     var frontier = Seq((startId, Seq.empty[String]))
@@ -181,11 +181,11 @@ object PathwaySearch {
       // checkpointed frontiers) to the static shuffle width — the same
       // width tax removed from PickaxeEngine in the previous round. The
       // eager checkpoint materializes at the AQE-coalesced width.
-      .where(col("c_id").startsWith("C")).localCheckpoint()
+      .where(col("c_id").startsWith("C")).localCheckpoint(eager = false)
     val prodM = state.reactions
       .select(col("_id").as("rxn"), explode(col("Products")).as("m"))
       .select(col("rxn"), col("m.c_id").as("p_id"))
-      .where(col("p_id").startsWith("C")).localCheckpoint()
+      .where(col("p_id").startsWith("C")).localCheckpoint(eager = false)
     val gated = compoundGate.map { gate =>
       state.compounds.where(gate).select(col("_id").as("p_id"))
         .localCheckpoint() // scored once, consumed every round
