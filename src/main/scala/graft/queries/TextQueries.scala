@@ -1921,7 +1921,7 @@ object TextQueries extends QueryPack {
       // body + stage semantics documented on corpusPipeline (shared
       // with PlanAuditSpec, which composes it un-checkpointed to
       // assert stage 1 never plans a per-language window sort)
-      (s, dir) => corpusPipeline(s, dir, _.localCheckpoint()),
+      (s, dir) => corpusPipeline(s, dir, _.localCheckpoint(eager = false)),
       Some(s"""WITH RECURSIVE
           $duckCorpusChainToQ3,
           szd AS (SELECT q3.doc_id, q3.lang, len($duckToks)::BIGINT
@@ -1986,7 +1986,7 @@ object TextQueries extends QueryPack {
         // ONE doc_id equi-join instead of four chained left joins
         // (round-16 plan pass: 4 join shuffles -> union + agg + join,
         // and no O(corpus) broadcast either way).
-        val st = corpusStages(s, dir, _.localCheckpoint())
+        val st = corpusStages(s, dir, _.localCheckpoint(eager = false))
         val deepest = Seq(st.scored -> 1, st.q1 -> 2, st.q2 -> 3,
             st.q3 -> 4)
           .map { case (df, r) =>
