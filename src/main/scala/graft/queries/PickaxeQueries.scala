@@ -728,7 +728,7 @@ object PickaxeQueries extends QueryPack {
           .withColumn("k", keyUdf(col("SMILES")))
           .withColumn("mobile",
             when(col("k").contains("(H"), 1L).otherwise(0L))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         def roll(df: org.apache.spark.sql.DataFrame) = df.agg(
           count(lit(1)).as("n"),
           countDistinct("k").as("n_skeletons"),

@@ -1020,10 +1020,10 @@ object PipelineQueries extends QueryPack {
           .withColumn("mf", Multimodal.featuresColumn(col("media")))
           .select(col("source"), col("img"), col("mf.decoded"),
             col("mf.px_sum"), col("mf.phash"))
-          .localCheckpoint() // ONE kernel pass feeds every stage
+          .localCheckpoint(eager = false) // ONE kernel pass feeds every stage
         val live = feats.where(col("decoded"))
         val qual = live.where(expr("px_sum div 1024 < 170"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val bands = qual
           .withColumn("j", explode(sequence(lit(0), lit(6))))
           .withColumn("bk", expr("shiftright(phash, j * 9) & 511"))
@@ -1253,7 +1253,7 @@ object PipelineQueries extends QueryPack {
           .withColumn("img", col("doc_id") * 2 + col("v")))
           .withColumn("phash", kernel(col("doc_id"), col("v")))
           .select("img", "phash")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val bands = ph
           .withColumn("j", explode(sequence(lit(0), lit(6))))
           .withColumn("bk", expr("shiftright(phash, j * 9) & 511"))
@@ -1264,7 +1264,7 @@ object PipelineQueries extends QueryPack {
               col("a.img") < col("b.img"))
           .select(col("a.img").as("ia"), col("b.img").as("ib"))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val pairs = cand
           .join(ph.select(col("img").as("ia"), col("phash").as("pa")),
             Seq("ia"))
@@ -1272,7 +1272,7 @@ object PipelineQueries extends QueryPack {
             Seq("ib"))
           .withColumn("ham", expr("bit_count(pa ^ pb)"))
           .where(col("ham") <= 6)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         def metric(name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("value"))
             .select(lit(name).as("metric"), col("value"))
@@ -1592,17 +1592,17 @@ object PipelineQueries extends QueryPack {
             explode(kernel(col("shift"), expr("transform(ps, x -> x.sv)"))))
           .select(col("clip"), col("g"),
             expr("v div 512").as("t"), expr("v % 512").as("lid"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val aligned = lmdf.as("a")
           .join(lmdf.as("b"),
             col("a.lid") === col("b.lid") && col("a.clip") < col("b.clip"))
           .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
             (col("b.t") - col("a.t")).as("dt"))
           .agg(count(lit(1)).as("n_al"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val best = aligned.groupBy("ca", "cb")
           .agg(max("n_al").as("score"))
-        val matches = best.where(col("score") >= 8).localCheckpoint()
+        val matches = best.where(col("score") >= 8).localCheckpoint(eager = false)
         val planted = clips.as("a").join(clips.as("b"),
           col("a.g") === col("b.g") && col("a.clip") < col("b.clip"))
         val plantedFound = matches
@@ -1811,18 +1811,18 @@ object PipelineQueries extends QueryPack {
             Tables.fanout(clips)
               .withColumn("media", kernel(col("g"), col("shift"))),
             "media")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val aligned = sh.as("a")
           .join(sh.as("b"),
             col("a.sid") === col("b.sid") && col("a.clip") < col("b.clip"))
           .groupBy(col("a.clip").as("ca"), col("b.clip").as("cb"),
             (col("b.t") - col("a.t")).as("dt"))
           .agg(count(lit(1)).as("n_al"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val matches = aligned.groupBy("ca", "cb")
           .agg(max("n_al").as("score"))
           .where(col("score") >= 6)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val planted = clips.as("a").join(clips.as("b"),
           col("a.g") === col("b.g") && col("a.clip") < col("b.clip"))
         val plantedFound = matches
@@ -1959,11 +1959,11 @@ object PipelineQueries extends QueryPack {
         val sh = Multimodal.videoShingles(
             Tables.fanout(clips).withColumn("media",
               kernel(col("clip"), col("g"), col("shift"))), "media")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val perClip = sh.groupBy("clip", "source")
           .agg(count(lit(1)).as("n_sh"),
             sum(col("sid") % 1000000007L).as("fp"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val qual = perClip.where(col("n_sh") >= 6)
         val qsh = sh.join(qual.select("clip"), Seq("clip"))
         // funnel algebra via the shared CorpusFunnel combinator; this
@@ -2111,13 +2111,13 @@ object PipelineQueries extends QueryPack {
           .select(col("clip"), col("source"),
             col("st.decoded").as("decoded"),
             col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val live = feats.where(col("decoded"))
-        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint(eager = false)
         val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
           .select(col("clip"), expr("v div 512").as("t"),
             expr("v % 512").as("lid"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         // funnel algebra via the shared CorpusFunnel combinator; this
         // query plugs the landmark band (lid) and the aligned-offset
         // >= 8 verify
@@ -2284,13 +2284,13 @@ object PipelineQueries extends QueryPack {
           .select(col("clip"), col("source"),
             col("st.decoded").as("decoded"),
             col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val live = feats.where(col("decoded"))
-        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint(eager = false)
         val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
           .select(col("clip"), expr("v div 512").as("t"),
             expr("v % 512").as("lid"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         import graft.operators.CorpusFunnel
         import graft.operators.CorpusFunnel.{AggStage, CountStage}
         val dup = CorpusFunnel.alignedDupIds(lmdf, "clip", "t", "lid", 8)
@@ -2496,11 +2496,11 @@ object PipelineQueries extends QueryPack {
         val sh = Multimodal.gifShingles(
             clips.withColumn("media",
               kernel(col("clip"), col("g"), col("shift"))), "media")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val perClip = sh.groupBy("clip", "source")
           .agg(count(lit(1)).as("n_sh"),
             sum(col("sid") % 1000000007L).as("fp"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val qual = perClip.where(col("n_sh") >= 6)
         val qsh = sh.join(qual.select("clip"), Seq("clip"))
         import graft.operators.CorpusFunnel
@@ -2626,11 +2626,11 @@ object PipelineQueries extends QueryPack {
         val sh = Multimodal.animShingles(
             clips.withColumn("media",
               kernel(col("clip"), col("g"), col("leg"))), "media")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val perClip = sh.groupBy("clip", "source")
           .agg(count(lit(1)).as("n_sh"),
             sum(col("sid") % 1000000007L).as("fp"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val qual = perClip.where(col("n_sh") >= 6)
         val qsh = sh.join(qual.select("clip"), Seq("clip"))
         import graft.operators.CorpusFunnel
@@ -2818,13 +2818,13 @@ object PipelineQueries extends QueryPack {
           .select(col("clip"), col("source"), col("leg"),
             col("st.decoded").as("decoded"),
             col("st.n_samples").as("n_samples"), col("st.lms").as("lms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val live = feats.where(col("decoded"))
-        val qual = live.where(col("n_samples") >= 512).localCheckpoint()
+        val qual = live.where(col("n_samples") >= 512).localCheckpoint(eager = false)
         val lmdf = qual.select(col("clip"), explode(col("lms")).as("v"))
           .select(col("clip"), expr("v div 512").as("t"),
             expr("v % 512").as("lid"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         import graft.operators.CorpusFunnel
         import graft.operators.CorpusFunnel.{AggStage, CountStage}
         val dup = CorpusFunnel.alignedDupIds(lmdf, "clip", "t", "lid", 8)
@@ -4073,7 +4073,7 @@ object PipelineQueries extends QueryPack {
           .select("source", "text")
         val recs = Cdx.cdxjRecords(lines, "text")
           .select("source", "url", "ts", "status", "offset")
-          .localCheckpoint() // one parse feeds every stage
+          .localCheckpoint(eager = false) // one parse feeds every stage
         val ok = recs.where(col("status") === 200)
         val robots = docs.groupBy("g").agg(count(lit(1)).as("__n"))
           .withColumn("host", expr("concat('c', g, '.ex.net')"))

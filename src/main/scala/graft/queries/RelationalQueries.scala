@@ -734,7 +734,7 @@ object RelationalQueries extends QueryPack {
           .join(li.toDF("ok", "dst"), Seq("ok"))
           .where(col("src") =!= col("dst"))
           .select("src", "dst").distinct()
-          .localCheckpoint() // reused by 3 iterations + degrees
+          .localCheckpoint(eager = false) // reused by 3 iterations + degrees
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("outdeg"))
         val nDf = deg.agg(count(lit(1)).as("n"))
@@ -818,7 +818,7 @@ object RelationalQueries extends QueryPack {
         val und = li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
           .where(col("a") < col("b"))
           .select("a", "b").distinct()
-          .localCheckpoint() // reused by degrees + wedges + closure
+          .localCheckpoint(eager = false) // reused by degrees + wedges + closure
         val deg = und.select(col("a").as("node"))
           .union(und.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -832,7 +832,7 @@ object RelationalQueries extends QueryPack {
             when(aFirst, col("a")).otherwise(col("b")).as("src"),
             when(aFirst, col("b")).otherwise(col("a")).as("dst"),
             when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wedges = oriented.toDF("u", "v", "dv")
           .join(oriented.toDF("u", "w", "dw"), Seq("u"))
           .where(col("dv") < col("dw") ||
@@ -893,14 +893,14 @@ object RelationalQueries extends QueryPack {
         val e0 = li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
           .where(col("a") =!= col("b"))
           .select(col("a").as("src"), col("b").as("dst")).distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val e3 = (1 to 3).foldLeft(e0) { (e, _) =>
           val keep = e.groupBy("src").agg(count(lit(1)).as("c"))
             .where(col("c") >= k).select("src")
           e.join(keep, Seq("src"), "left_semi")
             .join(keep.toDF("dst"), Seq("dst"), "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         val deg = e3.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
@@ -1747,7 +1747,7 @@ object RelationalQueries extends QueryPack {
           .distinct()
           // same four-consumer shape as q_agg_pmi: one scan+distinct
           // behind a barrier instead of one per consumer
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val nOrders = li.select("ok").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val itemSupp = li.groupBy("pk").agg(count(lit(1)).as("supp"))
@@ -2159,7 +2159,7 @@ object RelationalQueries extends QueryPack {
           .where(col("src") =!= col("dst"))
           .groupBy("src", "dst")
           .agg((lit(10L) - least(lit(9L), count(lit(1)))).as("w"))
-          .localCheckpoint() // reused by all 4 relaxation rounds
+          .localCheckpoint(eager = false) // reused by all 4 relaxation rounds
         var d = t(s, dir, "part")
           .where(col("p_partkey") % 191 === 0)
           .select(col("p_partkey").as("v"), lit(0L).as("dist"))
@@ -2169,7 +2169,7 @@ object RelationalQueries extends QueryPack {
             .select(col("dst").as("v"),
               (col("dist") + col("w")).as("dist"))
           d = d.union(relaxed).groupBy("v").agg(min("dist").as("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         d.select(col("v").as("node"), col("dist"))
           .orderBy("dist", "node").limit(50)
@@ -2784,7 +2784,7 @@ object RelationalQueries extends QueryPack {
           .join(li.toDF("ok", "dst"), Seq("ok"))
           .where(col("src") =!= col("dst"))
           .select("src", "dst").distinct()
-          .localCheckpoint() // reused by all 3 rounds
+          .localCheckpoint(eager = false) // reused by all 3 rounds
         val nodes = edges.select(col("src").as("node")).distinct()
         val l0 = nodes.withColumn("lab", col("node"))
         val lFinal = (1 to 3).foldLeft(l0) { (labs, _) =>
@@ -2964,7 +2964,7 @@ object RelationalQueries extends QueryPack {
           // one scan+distinct feeds FOUR consumers (order count, the
           // marginals, and both self-join sides) -- without the barrier
           // the distinct re-runs per consumer
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val nOrders = li.select("ok").distinct()
           .agg(count(lit(1)).as("n_orders"))
         val marg = li.groupBy(col("pk"))
@@ -3340,7 +3340,7 @@ object RelationalQueries extends QueryPack {
           // consumed by BOTH the replicate pipeline and the point
           // estimate: materialize once or the events scan+shuffle
           // behind it runs twice
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val h = graft.operators.TextOps.hash64(
           "concat(event_type, ':', cast(user_id as string), ':', " +
             "cast(b as string))")
@@ -3443,7 +3443,7 @@ object RelationalQueries extends QueryPack {
         val base = ev.groupBy("user_id")
           .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y_c"))
           .withColumn("v", expr(vExpr))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val h = graft.operators.TextOps.hash64(
           "concat(cast(user_id as string), '#', cast(b as string))")
         val wCase =

@@ -366,7 +366,7 @@ object SimilarityQueries extends QueryPack {
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 8)
           .select("query_id", "vec_id", "rel", "rnk", "qe")
-          .localCheckpoint() // 8 rows/query; reused by pairs + 3 steps
+          .localCheckpoint(eager = false) // 8 rows/query; reused by pairs + 3 steps
         val pair = cands
           .select(col("query_id"), col("vec_id").as("xi"),
             col("qe").as("xqe"))
@@ -375,7 +375,7 @@ object SimilarityQueries extends QueryPack {
           .where(col("xi") =!= col("yi"))
           .withColumn("sim", VectorOps.dot("xqe", "yqe"))
           .select("query_id", "xi", "yi", "sim")
-          .localCheckpoint() // ≤64 rows/query; probed by steps 2 and 3
+          .localCheckpoint(eager = false) // ≤64 rows/query; probed by steps 2 and 3
         val s1 = cands.where(col("rnk") === 1)
           .select(col("query_id"), col("vec_id").as("sel"),
             lit(1).as("step"), (col("rel") * 2).as("mmr_score"),
@@ -479,7 +479,7 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
           .withColumn("sketch",
             VectorOps.signSketch("qe", bits = LshBands * r))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val eb = e.select(col("vec_id"),
           explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
         val q = e.where(col("vec_id") % 100 === 0)
@@ -556,7 +556,7 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
           .withColumn("sketch",
             VectorOps.signSketch("qe", bits = LshBands * r))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val eb = e.select(col("vec_id"),
           explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
         val cand = eb.as("x").join(eb.as("y"),
@@ -629,7 +629,7 @@ object SimilarityQueries extends QueryPack {
           e.crossJoin(broadcast(cent))
             .withColumn("dot", VectorOps.dot("cqe", "qe"))
             .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val assigned = e.join(cellOf, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("qe"), col("nq"),
             col("cell"))
@@ -700,7 +700,7 @@ object SimilarityQueries extends QueryPack {
           e.crossJoin(broadcast(cent))
             .withColumn("dot", VectorOps.dot("cqe", "qe"))
             .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val assigned = e.join(cellOf, Seq("vec_id"))
           .select(col("vec_id"), col("label"), col("qe"), col("nq"),
             col("cell"))
@@ -774,7 +774,7 @@ object SimilarityQueries extends QueryPack {
         // over the QUERY subset's n/100 x k rows (filter pushed below
         // the crossJoin), never the corpus
         val cellOf = graft.operators.VectorIndex.argmaxCell(scored)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val assigned = e.join(cellOf, Seq("vec_id"))
         val qRanked = scored.where(col("vec_id") % 100 === 0)
           .withColumn("rn", row_number().over(
@@ -1048,7 +1048,7 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
           .withColumn("sketch",
             VectorOps.signSketch("qe", bits = LshBands * r))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val eb = e.select(col("vec_id"),
           explode(VectorOps.bandKeys("sketch", LshBands, r)).as("bkey"))
         val cand = eb.as("x").join(eb.as("y"),
@@ -1125,7 +1125,7 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
         val base = e.select("vec_id", "qe")
         val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
-          .localCheckpoint() // one sample scan; feeds encode AND adc
+          .localCheckpoint(eager = false) // one sample scan; feeds encode AND adc
         val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
         val q = e.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe"))
@@ -1193,7 +1193,7 @@ object SimilarityQueries extends QueryPack {
           .where(col("rnk") <= 3)
           .select("query_id", "vec_id")
         val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val codes = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
         val wpq = Window.partitionBy("query_id")
           .orderBy(col("adist").asc, col("vec_id").asc)
@@ -1265,9 +1265,9 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
         val er = e.select(col("vec_id"),
           VectorOps.hadamardCompiled(64)(col("qe")).as("qe"))
-          .localCheckpoint() // one FWHT pass; feeds codebook+encode+probe
+          .localCheckpoint(eager = false) // one FWHT pass; feeds codebook+encode+probe
         val cb = ProductQuantizer.codebook(er, m = 8, subLen = 8, k = 16)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val codes = ProductQuantizer.encode(er, cb, m = 8, subLen = 8)
         val q = er.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe"))
@@ -1335,9 +1335,9 @@ object SimilarityQueries extends QueryPack {
           .select("query_id", "vec_id")
         val er = e.select(col("vec_id"),
           VectorOps.hadamardCompiled(64)(col("qe")).as("qe"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val cb = ProductQuantizer.codebook(er, m = 8, subLen = 8, k = 16)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val codes = ProductQuantizer.encode(er, cb, m = 8, subLen = 8)
         val qr = er.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe"))
@@ -1416,11 +1416,11 @@ object SimilarityQueries extends QueryPack {
         val e = quantized(s, dir)
         val base = e.select("vec_id", "qe")
         val cb = ProductQuantizer.codebook(base, m = 8, subLen = 8, k = 16)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val codes0 = ProductQuantizer.encode(base, cb, m = 8, subLen = 8)
         val cb1 = ProductQuantizer
           .refineCodebook(base, codes0, m = 8, subLen = 8)
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val codes1 = ProductQuantizer.encode(base, cb1, m = 8, subLen = 8)
         val q = e.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("qe"))
@@ -1742,7 +1742,7 @@ object SimilarityQueries extends QueryPack {
           .where(col("rn") <= 2)
           .select(col("vec_id").as("query_id"), col("c_id").as("cell"),
             col("rn"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         // ONE ADC pass over the nprobe=2 candidate set with each
         // candidate's probe rank carried; both overlap counts derive
         // from the same checkpointed scored relation (the oracle's ad
@@ -1756,7 +1756,7 @@ object SimilarityQueries extends QueryPack {
             q, cand2.select("query_id", "vec_id"),
             ivfpq.codes, ivfpq.cb, m = 8, subLen = 8)
           .join(cand2, Seq("query_id", "vec_id"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         def hits(nprobe: Int, name: String) = {
           val w = Window.partitionBy("query_id")
             .orderBy(col("adist").asc, col("vec_id").asc)
@@ -1979,7 +1979,7 @@ object SimilarityQueries extends QueryPack {
               .orderBy(col("cos").desc, col("c_id").asc)))
           .where(col("rn") <= 2)
           .select(col("vec_id").as("query_id"), col("c_id").as("cell"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val cand = ivfpq.cellOf.join(broadcast(qRanked), Seq("cell"))
           .where(col("vec_id") =!= col("query_id"))
           .select("query_id", "cell", "vec_id")
@@ -2158,7 +2158,7 @@ object SimilarityQueries extends QueryPack {
           e.crossJoin(broadcast(cent))
             .withColumn("dot", VectorOps.dot("cqe", "qe"))
             .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val assigned = e.join(cellOf, Seq("vec_id"))
           .join(broadcast(cent.select(col("c_id").as("cell"),
             col("cqe"), col("cnq"))), Seq("cell"))
@@ -2265,7 +2265,7 @@ object SimilarityQueries extends QueryPack {
         // ((sqdist asc, id asc), the pack's rule) reproduce in the
         // oracle bit-for-bit. Same % 100 probe set as every ANN query.
         val e = quantized(s, dir)
-        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+        val st = ScalarQuantizer.stats(e).localCheckpoint(eager = false) // 1 row
         val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
         val q = coded.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("code").as("qcode"))
@@ -2322,7 +2322,7 @@ object SimilarityQueries extends QueryPack {
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 3)
           .select("query_id", "vec_id")
-        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+        val st = ScalarQuantizer.stats(e).localCheckpoint(eager = false) // 1 row
         val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
         val qc = coded.where(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("code").as("qcode"))
@@ -2394,8 +2394,8 @@ object SimilarityQueries extends QueryPack {
           e.crossJoin(broadcast(cent))
             .withColumn("dot", VectorOps.dot("cqe", "qe"))
             .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint()
-        val st = ScalarQuantizer.stats(e).localCheckpoint() // 1 row
+          .localCheckpoint(eager = false)
+        val st = ScalarQuantizer.stats(e).localCheckpoint(eager = false) // 1 row
         val coded = ScalarQuantizer.encode(e.select("vec_id", "qe"), st)
           .join(cellOf, Seq("vec_id"))
         val q = coded.where(col("vec_id") % 100 === 0)
@@ -2590,7 +2590,7 @@ object SimilarityQueries extends QueryPack {
           e.crossJoin(broadcast(cent))
             .withColumn("dot", VectorOps.dot("cqe", "qe"))
             .withColumn("cos", VectorOps.cosine("dot", "cnq", "nq")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val assigned = e.join(cellOf, Seq("vec_id"))
           .select(col("vec_id"), col("qe"), col("nq"), col("cell"))
         val pairs = assigned
@@ -2607,7 +2607,7 @@ object SimilarityQueries extends QueryPack {
         val knn = pairs.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 4)
           .select("src", "nbr", "rnk", "dist")
-          .localCheckpoint() // reused by the reciprocity flip join
+          .localCheckpoint(eager = false) // reused by the reciprocity flip join
         val mut = knn.select(col("src"), col("nbr"))
           .join(knn.select(col("nbr").as("src"), col("src").as("nbr")),
             Seq("src", "nbr"))

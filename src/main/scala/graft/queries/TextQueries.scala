@@ -60,7 +60,7 @@ object TextQueries extends QueryPack {
       .withColumn("t", TextOps.tokens("text"))
       .where(size(col("t")) >= 2)
       .select("doc_id", "lang", "t")
-      .localCheckpoint() // feeds model counts AND scoring
+      .localCheckpoint(eager = false) // feeds model counts AND scoring
     val big = base.select(col("doc_id"),
       explode(TextOps.wordShingles("t", 2)).as("bg"))
     val bgCounts = big.groupBy("bg")
@@ -165,7 +165,8 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       // 1 row/doc; the posting pass and the verify pass both read
       // it — an interpreted tokenize+hash expression must never
-      // be re-inlined into each consumer
+      // be re-inlined into each consumer; EAGER: the recall/minhash_err
+      // overlap threads rely on this materializing at call time
       .localCheckpoint()
     val fps = base.select(col("doc_id"), explode(col("sh")).as("fp"))
     val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -363,7 +364,7 @@ object TextQueries extends QueryPack {
     * (which severs the plan) and assert the whole chain — in
     * particular that stage 1 plans as sketch-aggregate + broadcast cut
     * join, never a per-language window sort. Production callers pass
-    * `_.localCheckpoint()`.
+    * `_.localCheckpoint(eager = false)`.
     *
     * END-TO-END corpus build — the actual deliverable of a
     * training-data pipeline, composed from the four individually gated
@@ -440,7 +441,7 @@ object TextQueries extends QueryPack {
       .withColumn("fps", array_sort(array_distinct(
         TextOps.charFingerprints("text", w = 8, step = 4))))
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
-      .localCheckpoint() // 1 row/doc; reused by 3 consumers
+      .localCheckpoint(eager = false) // 1 row/doc; reused by 3 consumers
     val fps = fpArr.select(col("doc_id").as("a"),
       explode(col("fps")).as("fp"))
     val dfreq = fps.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -452,7 +453,8 @@ object TextQueries extends QueryPack {
         Window.partitionBy("a").orderBy("df", "fp")))
       .join(fpArr.select(col("doc_id").as("a"), col("n")), Seq("a"))
       .select("a", "fp", "rk", "n")
-      .localCheckpoint() // one row per posting; probed twice
+      .localCheckpoint() // one row per posting; probed twice (eager:
+      // materialized by the overlap threads at call time)
     val prefix = ranked
       .where(col("rk") <=
         expr(s"(n * ${tauDen - tauNum}) div $tauDen") + 1L)
@@ -1051,7 +1053,7 @@ object TextQueries extends QueryPack {
         val base = docs(s, dir)
           .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
           .select("doc_id", "lang", "win")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val stats = base.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             round(avg(size(col("win"))), 4).as("avg_fps"))
@@ -1104,7 +1106,7 @@ object TextQueries extends QueryPack {
         val base = docs(s, dir)
           .withColumn("win", TextOps.winnowCompiled(8, 11)(col("text")))
           .select("doc_id", "lang", "source", "win")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val evalFps = base.where(col("source") === "src0")
           .select(explode(col("win")).as("fp")).distinct()
         val corpus = base.where(col("source") =!= "src0" &&
@@ -1244,7 +1246,7 @@ object TextQueries extends QueryPack {
             col("r._2").as("sig"))
           // materialized: reused by bands/buckets/verification, and the
           // self-join must not re-inline the signature computation
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val bands = base.select(
             col("doc_id"), col("sig"),
             explode(expr("sequence(0, 3)")).as("b"))
@@ -1253,7 +1255,7 @@ object TextQueries extends QueryPack {
           // materialized: read by buckets + BOTH sides of the pair
           // self-join — without the barrier the md5 band keys are
           // recomputed three times
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val buckets = bands.groupBy("b", "key")
           .agg(count(lit(1)).as("sz")).where(col("sz") > 1)
         val pairs = bands.as("x")
@@ -1578,7 +1580,7 @@ object TextQueries extends QueryPack {
           // hashes per token PER BIT — 32x the md5 work at 32 bits)
           .withColumn("sim", TextOps.simhashCompiled(32)(col("t")))
           .select("doc_id", "sim")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val bands = base.select(col("doc_id"), col("sim"),
             explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("bkey", expr("shiftleft(cast(b as bigint), 8) + " +
@@ -3077,13 +3079,13 @@ object TextQueries extends QueryPack {
           .withColumn("t", TextOps.tokens("text"))
           .where(size(col("t")) >= 2)
           .select("doc_id", "lang", "t")
-          .localCheckpoint() // feeds model counts AND scoring
+          .localCheckpoint(eager = false) // feeds model counts AND scoring
         val big = base.select(col("doc_id"),
           explode(TextOps.wordShingles("t", 2)).as("bg"))
         val bgc = big.groupBy("bg").agg(count(lit(1)).as("cbg"))
           .withColumn("w1", expr("split(bg, ' ')[0]"))
           .withColumn("w2", expr("split(bg, ' ')[1]"))
-          .localCheckpoint() // bigram types feed three consumers
+          .localCheckpoint(eager = false) // bigram types feed three consumers
         val cw = base.select(explode(col("t")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
         val n1f = bgc.groupBy("w1").agg(count(lit(1)).as("n1f"))
@@ -3283,7 +3285,7 @@ object TextQueries extends QueryPack {
         // gram)-keyed shuffle equi-join — never a broadcast of
         // unbounded corpus state. No doc x doc pairs anywhere.
         val bp = boilerplateSet(docs(s, dir))
-          .localCheckpoint() // reused by the phrase count + the score join
+          .localCheckpoint(eager = false) // reused by the phrase count + the score join
         val perDoc = boilerplatePerDoc(docs(s, dir), bp)
         val phrases = bp.groupBy("source")
           .agg(count(lit(1)).as("n_phrases"))
@@ -3368,7 +3370,7 @@ object TextQueries extends QueryPack {
           .withColumn("j", explode(sequence(lit(0), lit(2))))
           .select(col("doc_id"), concat_ws(":", lit("i"), col("j"),
             expr("shiftright(ph, j * 21) & 2097151")).as("gkey"))
-        val mem = tm.unionAll(im).localCheckpoint()
+        val mem = tm.unionAll(im).localCheckpoint(eager = false)
         val comp = ConnectedComponents.byGroup(mem, "doc_id", "gkey")
         val sharedMods = mem.join(comp, Seq("doc_id"))
           .groupBy(col("component"), col("gkey"))
@@ -3776,7 +3778,7 @@ object TextQueries extends QueryPack {
           .withColumn("text", strip(col("text")))
           .withColumn("host", expr("parse_url(uri, 'HOST')"))
           .select("doc_id", "source", "uri", "host", "text")
-          .localCheckpoint() // ONE extraction pass feeds every stage
+          .localCheckpoint(eager = false) // ONE extraction pass feeds every stage
         // crawl-level dedup first: canonical URL, keep-first
         val urlUniq = pages
           .withColumn("nurl", norm(col("uri")))
@@ -3786,7 +3788,7 @@ object TextQueries extends QueryPack {
         // CCNet per-host boilerplate-line removal
         val boiled = TextOps.removeBoilerplate(
             urlUniq, "host", "uri", "text")
-          .localCheckpoint() // frequency pass runs once
+          .localCheckpoint(eager = false) // frequency pass runs once
         val qual = boiled
           .where(size(split(col("text"), "\\s+")) >= 5)
         val uniq = qual.withColumn("rk",
@@ -3800,7 +3802,7 @@ object TextQueries extends QueryPack {
             "size(filter(t, x -> array_contains(array('le','et','les','une'), x)))"))
           .withColumn("predicted",
             expr("case when s_en >= s_fr then 'en' else 'fr' end"))
-          .localCheckpoint() // feeds the LM model AND the scoring join
+          .localCheckpoint(eager = false) // feeds the LM model AND the scoring join
         // CCNet LM stage: unigram self-perplexity over the kept
         // corpus, integer-scaled logs (the cross-engine-exact
         // discipline of q_text_perplexity), terciles per language
