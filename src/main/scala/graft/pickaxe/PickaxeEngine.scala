@@ -524,23 +524,12 @@ object PickaxeEngine {
     * per-generation materialization latency. Daemon threads; FIFO
     * scheduling lets the second job back-fill the first one's tail.
     */
-  private lazy val actionPool =
-    java.util.concurrent.Executors.newFixedThreadPool(2,
-      (r: Runnable) => {
-        val t = new Thread(r, "pickaxe-action")
-        t.setDaemon(true)
-        t
-      })
-
-  private[pickaxe] def concurrently[A, B](a: => A, b: => B): (A, B) = {
-    val fa = actionPool.submit(new java.util.concurrent.Callable[A] {
-      override def call(): A = a
-    })
-    val fb = actionPool.submit(new java.util.concurrent.Callable[B] {
-      override def call(): B = b
-    })
-    (fa.get(), fb.get())
-  }
+  private[pickaxe] def concurrently[A, B](a: => A, b: => B): (A, B) =
+    // delegate to the shared helper: fresh daemon threads per call (no
+    // fixed pool a nested use could deadlock), caller-thread Spark
+    // local properties captured per call, and the ORIGINAL exception
+    // rethrown instead of ExecutionException (round-18 ADVICE)
+    graft.operators.Par.concurrently(a, b)
 
   /** S2: compound-file ingest (load_compound_set, pickaxe.py:445-495):
     * CSV/TSV/JSON dispatched on extension (file_to_dict_list,
